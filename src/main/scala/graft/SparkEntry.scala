@@ -1,13 +1,656 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ext.{DedupOps, SimilarityOps, TextOps}
+import graft.ops.{CoreOps, QualityCheck}
+import graft.sources.Stores
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Driver contract (SURVEY.md §7.0): one named query per implemented operator
+ * from SURVEY.md §2, each with a DuckDB-equivalent oracle in [[oracleSql]].
+ *
+ * Determinism rules (SURVEY.md §7.4): every query ends in a total ORDER BY
+ * including a unique key; aggregated doubles go through DECIMAL (exact,
+ * order-independent) and are cast back to double; counts are BIGINT on both
+ * sides; row_number is cast to BIGINT; cross-engine hashing is md5-based.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Stores.table(spark, dir, name)
+
+  /** sum(cast decimal) cast back to double — exact, order-independent. */
+  private def dsum(c: org.apache.spark.sql.Column, p: Int = 12, s: Int = 2) =
+    sum(c.cast(DecimalType(p, s))).cast("double")
+
+  /** Flagship: the full reference pipeline (extract→transform→load→QC→
+    * reconcile) on sf0.001, returning its 1-row summary. Driver smoke-checks
+    * rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_entry_").toString
+    val r = graft.pipeline.Pipeline.run(
+      spark, "/root/testdata/sf0.001",
+      start = "2024-01-05 00:00:00", end = "2024-01-20 00:00:00",
+      runId = "entry_run", workDir = work)
+    Seq((r.runId, r.extracted, r.loaded, r.reconciled, r.qc.getOrElse("n_rows", 0L)))
+      .toDF("run_id", "src_count", "dst_count", "reconciled", "mart_rows")
+  }
+
+  // ---------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- reference operators (SURVEY.md §2.1) --------------------------------
+
+    // O1-O4: scan + projection + half-open window filter + multi-key sort
+    "q_window_filter_extract" -> ((s, d) =>
+      CoreOps.windowedExtract(t(s, d, "events"),
+        projectCols = Seq("event_id", "ts", "user_id", "event_type"),
+        tsCols = Seq("ts"),
+        start = "2024-01-05 00:00:00", end = "2024-01-20 00:00:00",
+        sortKeys = Seq("ts", "event_id"))),
+
+    // O2: projection
+    "q_projection" -> ((s, d) =>
+      t(s, d, "events").select("event_id", "user_id", "value")
+        .orderBy("event_id")),
+
+    // O4: multi-key sort with limit
+    "q_multikey_sort" -> ((s, d) =>
+      t(s, d, "events").select("event_id", "user_id", "ts")
+        .orderBy(col("user_id").asc, col("ts").desc, col("event_id").asc)
+        .limit(100)),
+
+    // O6+O7: schema alignment (name normalization + cast + missing-as-null)
+    "q_schema_normalize" -> ((s, d) => {
+      val messy = t(s, d, "events")
+        .select(col("event_id").as(" Event ID "), col("event_type").as("EVENT TYPE"),
+          col("ts").as("Ts"))
+      CoreOps.alignSchema(messy, StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("ts", TimestampType), StructField("missing_col", StringType))))
+        .orderBy("event_id")
+    }),
+
+    // O6: key cast (ObjectId→string analog)
+    "q_key_cast" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id").cast(StringType).as("_id"), col("event_type"))
+        .orderBy("_id")),
+
+    // O9: timestamp parse with null-on-failure coercion
+    "q_ts_parse_coerce" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("ts_parsed"),
+        expr("try_to_timestamp(event_type)").as("ts_bad"))
+        .orderBy("event_id")),
+
+    // O14: JSON scalar extraction (JSONB ->> analog)
+    "q_json_extract" -> ((s, d) =>
+      CoreOps.flattenJson(t(s, d, "events"), "props", Seq("k"))
+        .select("event_id", "props_k").orderBy("event_id")),
+
+    // O14 typed: from_json struct flatten
+    "q_json_typed_flatten" -> ((s, d) =>
+      CoreOps.flattenJsonTyped(t(s, d, "events"), "props",
+        StructType(Seq(StructField("k", LongType))))
+        .select("event_id", "props_k").orderBy("event_id")),
+
+    // O11: lineage tag
+    "q_lineage_tag" -> ((s, d) =>
+      CoreOps.tagRun(t(s, d, "events"), "run_2024_01_demo")
+        .select("event_id", "run_id").orderBy("event_id")),
+
+    // O15: run-scoped selection (equality filter)
+    "q_staging_filter" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_type") === "purchase")
+        .select("event_id", "event_type", "value").orderBy("event_id")),
+
+    // O16 core: latest-version-per-key dedup
+    "q_dedup_latest" -> ((s, d) =>
+      CoreOps.dedupLatest(t(s, d, "events"), "user_id", "ts", "event_id")
+        .select("user_id", "event_id", "ts").orderBy("user_id")),
+
+    // exact dedup on a composite key
+    "q_dedup_exact_key" -> ((s, d) =>
+      CoreOps.dedupExact(t(s, d, "events"), Seq("user_id", "event_type"), "event_id")
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")),
+
+    // O16: keyed upsert with PARTIAL update set (value, props only)
+    "q_upsert_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val target = ev.filter(col("event_id") % 4 =!= 0)
+      val updates = ev.filter(col("event_id") % 2 === 0)
+        .withColumn("value", col("value") + lit(1000.0))
+      CoreOps.upsert(target, updates, "event_id", Seq("value", "props"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("event_id")
+    }),
+
+    // O18+O19: QC report (freshness/type/regex/unique/not-null, single pass)
+    "q_qc_profile" -> ((s, d) =>
+      QualityCheck.report(t(s, d, "events"), Seq(
+        QualityCheck.NotNull("event_id"),
+        QualityCheck.Unique("event_id"),
+        QualityCheck.Regex("event_type", "^[a-z]+$"),
+        QualityCheck.ValidType("props", "string"),
+        QualityCheck.Freshness("ts", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))),
+
+    // O20-O22: count reconciliation src vs dst
+    "q_count_reconcile" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val pred = CoreOps.windowPredicate(Seq("ts"),
+        "2024-01-05 00:00:00", "2024-01-20 00:00:00")
+      CoreOps.reconcile(ev.filter(pred), ev.filter(pred).select("event_id").distinct())
+    }),
+
+    // ---- generic relational surface (SURVEY.md §2.2, TPC-H-style) -----------
+
+    // groupBy/agg with exact decimal sums (TPC-H Q1 shape)
+    "q1_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1).cast(DecimalType(8, 4)) - col("l_discount").cast(DecimalType(8, 4))))
+            .cast("double").as("sum_disc_price"),
+          sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1).cast(DecimalType(8, 4)) - col("l_discount").cast(DecimalType(8, 4))) *
+            (lit(1).cast(DecimalType(8, 4)) + col("l_tax").cast(DecimalType(8, 4))))
+            .cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast(DecimalType(12, 2))).cast("double") /
+            count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast(DecimalType(8, 4))).cast("double") /
+            count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // 3-way join + agg + top-k (TPC-H Q3 shape); dim side broadcast
+    "q3_top_revenue_orders" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-01-01 00:00:00").cast(TimestampType))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(8, 4)) - col("l_discount").cast(DecimalType(8, 4))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // 6-way star join through region→nation→(customer,supplier) (Q5 shape)
+    "q5_local_supplier_volume" -> ((s, d) => {
+      val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, d, "nation")
+      val cust = t(s, d, "customer")
+      val supp = t(s, d, "supplier")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+                col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+      val li = t(s, d, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(8, 4)) - col("l_discount").cast(DecimalType(8, 4))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // window function: top-2 orders per customer
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // top-k by sort+limit
+    "q_topk_limit" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(20)),
+
+    // set op: union + distinct
+    "q_union_distinct" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+        .union(t(s, d, "customer").filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("custkey")))
+        .distinct().orderBy("custkey")),
+
+    // semi join (EXISTS)
+    "q_semi_join" -> ((s, d) =>
+      t(s, d, "customer").join(
+        t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // anti join (NOT EXISTS): customers with no URGENT order
+    "q_anti_join" -> ((s, d) =>
+      t(s, d, "customer").join(
+        t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // rollup grouping sets
+    "q_rollup_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)),
+
+    // multiple exact distinct aggregates
+    "q_agg_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    // streaming-analog tumbling window aggregation (batch form)
+    "q_events_tumbling_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 18, 2).as("total_value"))
+        .orderBy("day", "event_type")),
+
+    // per-group freshness (QC freshness generalized)
+    "q_freshness_by_type" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type")
+        .agg(max(col("ts")).as("max_ts"), min(col("ts")).as("min_ts"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // ---- [EXT] text analysis -------------------------------------------------
+
+    "q_text_stats" -> ((s, d) =>
+      TextOps.textStats(t(s, d, "documents"), "doc_id", "text")
+        .withColumn("n_tokens", col("n_tokens").cast(LongType))
+        .withColumn("n_chars_m", col("n_chars_m").cast(LongType))
+        .withColumn("n_subwords", col("n_subwords").cast(LongType))
+        .orderBy("doc_id")),
+
+    "q_word_frequency" -> ((s, d) =>
+      TextOps.wordFrequency(t(s, d, "documents"), "text")
+        .orderBy(col("n").desc, col("word").asc).limit(20)),
+
+    "q_quality_score" -> ((s, d) =>
+      TextOps.qualityFeatures(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+          col("n_stopwords").cast(LongType).as("n_stopwords"),
+          col("stopword_ratio"), col("avg_token_len"))
+        .orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // ---- [EXT] dedup ---------------------------------------------------------
+
+    "q_dedup_exact_content" -> ((s, d) =>
+      DedupOps.dedupExactByContent(t(s, d, "documents"), "doc_id", "text")
+        .select("fingerprint", "keep_id", "n_dups").orderBy("keep_id")),
+
+    "q_ngram_jaccard_pairs" -> ((s, d) =>
+      DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .orderBy("id1", "id2")),
+
+    "q_simhash" -> ((s, d) =>
+      DedupOps.simhashSignatures(t(s, d, "documents"), "doc_id", "text", bits = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    "q_minhash_lsh_pairs" -> ((s, d) =>
+      DedupOps.minhashDedupPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.4)
+        .withColumnRenamed("j", "jaccard")
+        .orderBy("id1", "id2")),
+
+    // ---- [EXT] similarity search --------------------------------------------
+
+    "q_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.cosineTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_ann_bucket_hist" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(SimilarityOps.signLshBucket(col("embedding"), 4, 8).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"))
+  )
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracles — same semantics, same column names, same ordering.
+  // ---------------------------------------------------------------------------
+
+  private val revenueExpr =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_window_filter_extract" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         ORDER BY ts, event_id""",
+
+    "q_projection" ->
+      "SELECT event_id, user_id, value FROM events ORDER BY event_id",
+
+    "q_multikey_sort" ->
+      """SELECT event_id, user_id, ts FROM events
+         ORDER BY user_id ASC, ts DESC, event_id ASC LIMIT 100""",
+
+    "q_schema_normalize" ->
+      """SELECT event_id, event_type, ts, CAST(NULL AS VARCHAR) AS missing_col
+         FROM events ORDER BY event_id""",
+
+    "q_key_cast" ->
+      "SELECT CAST(event_id AS VARCHAR) AS _id, event_type FROM events ORDER BY _id",
+
+    "q_ts_parse_coerce" ->
+      """SELECT event_id,
+                CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts_parsed,
+                TRY_CAST(event_type AS TIMESTAMP) AS ts_bad
+         FROM events ORDER BY event_id""",
+
+    "q_json_extract" ->
+      "SELECT event_id, props ->> 'k' AS props_k FROM events ORDER BY event_id",
+
+    "q_json_typed_flatten" ->
+      "SELECT event_id, CAST(props ->> 'k' AS BIGINT) AS props_k FROM events ORDER BY event_id",
+
+    "q_lineage_tag" ->
+      "SELECT event_id, 'run_2024_01_demo' AS run_id FROM events ORDER BY event_id",
+
+    "q_staging_filter" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "q_dedup_latest" ->
+      """SELECT user_id, event_id, ts FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         ORDER BY user_id""",
+
+    "q_dedup_exact_key" ->
+      """SELECT user_id, event_type, event_id FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id ASC) = 1
+         ORDER BY user_id, event_type""",
+
+    "q_upsert_merge" ->
+      """WITH t AS (SELECT * FROM events WHERE event_id % 4 <> 0),
+              u AS (SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value, props
+                    FROM events WHERE event_id % 2 = 0)
+         SELECT COALESCE(t.event_id, u.event_id) AS event_id,
+                CASE WHEN t.event_id IS NOT NULL THEN t.ts ELSE u.ts END AS ts,
+                CASE WHEN t.event_id IS NOT NULL THEN t.user_id ELSE u.user_id END AS user_id,
+                CASE WHEN t.event_id IS NOT NULL THEN t.event_type ELSE u.event_type END AS event_type,
+                CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE t.value END AS value,
+                CASE WHEN u.event_id IS NOT NULL THEN u.props ELSE t.props END AS props
+         FROM t FULL OUTER JOIN u ON t.event_id = u.event_id
+         ORDER BY event_id""",
+
+    "q_qc_profile" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_event_id,
+                CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT) AS unique_event_id,
+                CAST(SUM(CASE WHEN event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS regex_event_type,
+                CAST(SUM(CASE WHEN props IS NOT NULL AND TRY_CAST(props AS VARCHAR) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS type_props_string,
+                CAST(CASE WHEN MAX(ts) >= TIMESTAMP '2024-01-01 00:00:00' THEN 0 ELSE 1 END AS BIGINT) AS freshness_ts
+         FROM events""",
+
+    "q_count_reconcile" ->
+      """SELECT a.src_count, b.dst_count, a.src_count = b.dst_count AS ok
+         FROM (SELECT CAST(COUNT(*) AS BIGINT) AS src_count FROM events
+               WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00') a
+         CROSS JOIN (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS dst_count FROM events
+               WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00') b""",
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+                CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                CAST(COUNT(*) AS BIGINT) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_top_revenue_orders" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenueExpr AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+
+    "q5_local_supplier_volume" ->
+      s"""SELECT n_name, $revenueExpr AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY n_name
+          ORDER BY revenue DESC, n_name ASC""",
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+           FROM orders)
+         WHERE rn <= 2 ORDER BY o_custkey, rn""",
+
+    "q_topk_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 20""",
+
+    "q_union_distinct" ->
+      """SELECT DISTINCT custkey FROM (
+           SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+           UNION ALL
+           SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+         ORDER BY custkey""",
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "q_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""",
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_events_tumbling_window" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+
+    "q_freshness_by_type" ->
+      """SELECT event_type, MAX(ts) AS max_ts, MIN(ts) AS min_ts,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars_m,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+                md5(text) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+
+    "q_word_frequency" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""",
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+                ROUND(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+                ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang,
+                CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                     WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','is'))) > 0 THEN 'en'
+                     WHEN len(list_filter(string_split(text, ' '), x -> x IN ('el','la','los','es','y'))) > 0 THEN 'es'
+                     WHEN len(list_filter(string_split(text, ' '), x -> x IN ('le','les','et','est'))) > 0 THEN 'fr'
+                     WHEN len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist'))) > 0 THEN 'de'
+                     ELSE 'unknown' END AS lang_pred
+         FROM documents ORDER BY doc_id""",
+
+    "q_dedup_exact_content" ->
+      """SELECT md5(text) AS fingerprint, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                CAST(COUNT(*) AS BIGINT) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+
+    "q_ngram_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              sh AS (SELECT DISTINCT doc_id AS id,
+                            CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
+                     FROM grams),
+              sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+              common AS (SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                         GROUP BY a.id, b.id)
+         SELECT id1, id2,
+                ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) AS jaccard
+         FROM common
+         JOIN sizes s1 ON s1.id = id1
+         JOIN sizes s2 ON s2.id = id2
+         WHERE ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) >= 0.5
+         ORDER BY id1, id2""",
+
+    "q_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+              h AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+              bits AS (SELECT doc_id, b.i AS b,
+                              CASE WHEN (h // CAST(power(2, b.i) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS delta
+                       FROM h, (SELECT unnest(generate_series(0, 15)) AS i) b),
+              s AS (SELECT doc_id, b, SUM(delta) AS s FROM bits GROUP BY doc_id, b)
+         SELECT doc_id,
+                CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_minhash_lsh_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              sh AS (SELECT DISTINCT doc_id AS id,
+                            CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
+                     FROM grams),
+              seeds AS (SELECT unnest(generate_series(0, 15)) AS i),
+              sigs AS (SELECT id, i,
+                              MIN(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
+                       FROM sh, seeds GROUP BY id, i),
+              banded AS (SELECT id, CAST(i // 4 AS INT) AS band,
+                                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
+                         FROM sigs GROUP BY id, CAST(i // 4 AS INT)),
+              cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                        FROM banded a JOIN banded b
+                          ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+              sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+              common AS (SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                         GROUP BY a.id, b.id)
+         SELECT c.id1, c.id2,
+                ROUND(CAST(cm.c AS DOUBLE) / (s1.sz + s2.sz - cm.c), 4) AS jaccard
+         FROM cands c
+         JOIN common cm ON cm.id1 = c.id1 AND cm.id2 = c.id2
+         JOIN sizes s1 ON s1.id = c.id1
+         JOIN sizes s2 ON s2.id = c.id2
+         WHERE ROUND(CAST(cm.c AS DOUBLE) / (s1.sz + s2.sz - cm.c), 4) >= 0.4
+         ORDER BY 1, 2""",
+
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+              pairs AS (SELECT q.qid, c.vec_id AS cid, q.qe, c.embedding AS ce
+                        FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.qid),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              dots AS (SELECT qid, cid,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+                              SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+                       FROM pairs, idx GROUP BY qid, cid),
+              scored AS (SELECT qid AS query_id, cid AS neighbor_id,
+                                ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) AS score
+                         FROM dots),
+              ranked AS (SELECT query_id, neighbor_id, score,
+                                CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+                         FROM scored)
+         SELECT query_id, neighbor_id, score, rank FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_ann_bucket_hist" ->
+      """SELECT CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM embeddings GROUP BY 1 ORDER BY bucket"""
+  )
 }

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * [EXT] Similarity search over an embedding column (`array<float>`).
+ * North-star mandate (BASELINE.json). Two tiers:
+ *
+ *  1. [[cosineTopK]] — exact brute-force top-k: broadcast the (small) query
+ *     set against the corpus; score with codegen'd higher-order functions.
+ *     Cost O(|Q|·|C|·d) flops but ZERO corpus shuffle — on a 1000-executor
+ *     cluster the corpus streams once from parquet, queries ride along
+ *     broadcast. This is the right exact plan at any corpus size as long as
+ *     |Q| is bounded.
+ *
+ *  2. [[signLshBucket]] / [[annTopK]] — approximate path: random-hyperplane
+ *     (sign) LSH buckets computed per-row, then candidate generation joins
+ *     query buckets to corpus buckets (equi-join ⇒ hash shuffle on bucket id,
+ *     volume O(corpus)), and exact re-scoring only within buckets. This is
+ *     the IVF/LSH shape that survives unbounded |Q|.
+ *
+ * All arithmetic is done in DOUBLE (floats are cast before multiply) so
+ * results are exactly reproducible across engines for the oracle.
+ */
+object SimilarityOps {
+
+  /** dot(a, b) with per-element cast to double — reproducible fp math. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to 6 dp — rounding makes float-sum-order
+    * differences (≪1e-12 in double) irrelevant for cross-engine comparison
+    * while keeping full ranking power. */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /**
+   * Exact top-k neighbors for each query vector. `queries` must be small
+   * (≤ ~10⁵ rows): it is broadcast, so the big corpus never shuffles for the
+   * scoring join; the only shuffle is the final per-query top-k window over
+   * |Q|·|C| scored pairs — bounded by filtering to the per-partition top-k
+   * first at larger scales (not needed at fixture scale).
+   */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Sign-LSH bucket id from `nBits` fixed "hyperplanes". For oracle
+    * reproducibility the hyperplanes are axis-aligned (bit b = sign of
+    * dimension b·stride); production would use seeded random Gaussian
+    * hyperplanes — same plan shape, same cost. Pure projection, no shuffle. */
+  def signLshBucket(vec: Column, nBits: Int, stride: Int): Column =
+    (0 until nBits).map { b =>
+      when(element_at(vec, b * stride + 1) > 0f,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: score only within matching LSH bucket. Recall is
+    * tunable via nBits (fewer bits = bigger buckets = higher recall & cost).
+    * The bucket equi-join shuffles each side once on the bucket id —
+    * O(corpus) shuffle, no cross join anywhere. */
+  def annTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nBits: Int = 4, stride: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      signLshBucket(col(vecCol), nBits, stride).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      signLshBucket(col(vecCol), nBits, stride).as("bucket"))
+    val scored = c.join(q, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a,b), a<b, with cosine ≥
+    * threshold, via bucketed self-join (exact within bucket — an
+    * approximate global answer, like all embedding dedup at scale). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nBits: Int = 4,
+                         stride: Int = 8): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signLshBucket(col(vecCol), nBits, stride).as("bucket"))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("score", cosine(col("a.v"), col("b.v")))
+      .filter(col("score") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("score"))
+  }
+}

