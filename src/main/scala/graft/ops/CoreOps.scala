@@ -37,9 +37,9 @@ object CoreOps {
     *  - normalize names (DAG:62-69)
     *  - add columns missing in the input as typed nulls (reference guards
     *    `if col in df.columns`, DAG:172,179)
-    *  - cast present columns to the target type (ObjectId→str DAG:165,
-    *    `pd.to_datetime(errors="coerce")` DAG:177-180 — Spark's cast /
-    *    `to_timestamp` is already null-on-failure, so the whole NaT fix
+    *  - try_cast present columns to the target type (ObjectId→str DAG:165,
+    *    `pd.to_datetime(errors="coerce")` DAG:177-180 — `try_cast` is
+    *    null-on-failure under Spark 4's ANSI mode, so the whole NaT fix
     *    DAG:183 disappears)
     *  - project in target order, dropping extras.
     * Narrow, codegen'd; collapses into the scan projection under Catalyst. */
@@ -47,7 +47,7 @@ object CoreOps {
     val normalized = normalizeColumns(df)
     val present = normalized.columns.toSet
     val cols = target.fields.map { f =>
-      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      if (present(f.name)) col(f.name).try_cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }
     normalized.select(cols.toIndexedSeq: _*)

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.QualityCheck
+import graft.ops.QualityCheck._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class QualityCheckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, "alpha", "2024-06-01 00:00:00", "10"),
+    (2L, "beta", "2024-01-01 00:00:00", "x"),     // bad int
+    (2L, "Gamma7", "2023-01-01 00:00:00", "30"),  // dup key + regex violation
+    (4L, null, "2024-02-01 00:00:00", null))      // null name
+    .toDF("id", "name", "ts", "num")
+    .withColumn("ts", col("ts").cast(TimestampType))
+
+  test("report runs all rules in one pass and counts violations") {
+    val rep = QualityCheck.report(df, Seq(
+      NotNull("name"), Unique("id"), Regex("name", "^[a-z]+$"),
+      ValidType("num", "bigint"),
+      Freshness("ts", java.sql.Timestamp.valueOf("2024-05-01 00:00:00")),
+      Predicate("id_positive", col("id") > 0))).head()
+    rep.getAs[Long]("n_rows") shouldBe 4L
+    rep.getAs[Long]("not_null_name") shouldBe 1L
+    rep.getAs[Long]("unique_id") shouldBe 1L
+    rep.getAs[Long]("regex_name") shouldBe 1L       // Gamma7
+    rep.getAs[Long]("type_num_bigint") shouldBe 1L  // "x"
+    rep.getAs[Long]("freshness_ts") shouldBe 0L     // max ts is 2024-06-01
+    rep.getAs[Long]("id_positive") shouldBe 0L
+  }
+
+  test("freshness violation when max(ts) below threshold") {
+    val rep = QualityCheck.report(df,
+      Seq(Freshness("ts", java.sql.Timestamp.valueOf("2025-01-01 00:00:00")))).head()
+    rep.getAs[Long]("freshness_ts") shouldBe 1L
+  }
+
+  test("check throws on any violation, mirrors soda hard-fail (DAG:361-362)") {
+    an[IllegalStateException] should be thrownBy
+      QualityCheck.check(df, Seq(NotNull("name")))
+    noException should be thrownBy
+      QualityCheck.check(df, Seq(NotNull("id"), Predicate("pos", col("id") > 0)))
+  }
+
+  test("report is empty-input safe (violations coalesce to 0)") {
+    val empty = df.filter(lit(false))
+    val rep = QualityCheck.report(empty, Seq(NotNull("name"), Unique("id"))).head()
+    rep.getAs[Long]("n_rows") shouldBe 0L
+    rep.getAs[Long]("not_null_name") shouldBe 0L
+    rep.getAs[Long]("unique_id") shouldBe 0L
+  }
+
+  test("report is a single aggregation (one scan) regardless of rule count") {
+    val rep = QualityCheck.report(df, Seq(NotNull("name"), Unique("id"),
+      Regex("name", "^[a-z]+$"), ValidType("num", "bigint")))
+    // physical plan contains exactly one aggregate pair (partial+final) over one scan
+    val scans = rep.queryExecution.executedPlan.collectLeaves().size
+    scans shouldBe 1
+  }
+}
