@@ -1,7 +1,7 @@
 package graft
 
-import graft.ext.{DedupOps, SimilarityOps, TextOps}
-import graft.ops.{CoreOps, QualityCheck}
+import graft.ext.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{CoreOps, QualityCheck, TemporalOps}
 import graft.sources.Stores
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -347,7 +347,351 @@ object SparkEntry {
       t(s, d, "embeddings")
         .select(SimilarityOps.signLshBucket(col("embedding"), 4, 8).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // approximate top-k: LSH-bucketed candidate join + exact re-score
+    "q_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.annTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, nBits = 4, stride = 8)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("query_id", "rank")
+    }),
+
+    // vector norms / dims — embedding column algebra
+    "q_vector_norm" -> ((s, d) =>
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        round(SimilarityOps.norm(col("embedding")), 6).as("l2_norm"),
+        round(SimilarityOps.dot(col("embedding"), col("embedding")), 4).as("self_dot"))
+        .orderBy("vec_id")),
+
+    // ---- temporal operators --------------------------------------------------
+
+    // as-of join: each purchase matched to the user's most recent prior click
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      TemporalOps.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+          "event_id", Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_event_id").as("click_id"), col("asof_ts").as("click_ts"))
+        .orderBy("event_id")
+    }),
+
+    // sessionization: gap-based session assignment + per-session rollup
+    "q_sessionize" -> ((s, d) =>
+      TemporalOps.sessionStats(t(s, d, "events"), "user_id", "ts", "event_id",
+          gapSeconds = 3600L)
+        .orderBy("user_id", "session_id")),
+
+    // lag/lead over per-customer order history
+    "q_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast(LongType).as("days_since_prev"))
+        .orderBy("o_orderkey")
+    }),
+
+    // sliding window frame: moving avg/sum/count over last 4 events per user
+    "q_moving_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-3, 0)
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        round(avg(col("value")).over(w), 4).as("mv_avg"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("mv_sum"),
+        count(lit(1)).over(w).as("mv_n"))
+        .orderBy("event_id")
+    }),
+
+    // ---- relational surface: joins & subquery shapes -------------------------
+
+    // left outer join + two-level agg (TPC-H Q13 shape)
+    "q_left_join_count_dist" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_cust").desc, col("c_count").desc)),
+
+    // full outer join with coalesced key (USING semantics)
+    "q_full_outer_join" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      val a = ord.filter(col("o_orderstatus") === "F")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_f"))
+      val b = ord.filter(col("o_orderstatus") === "O")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_o"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"), coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("n_o"), lit(0L)).as("n_o"))
+        .orderBy("o_custkey")
+    }),
+
+    // semi-join + agg (TPC-H Q4 shape: EXISTS then count per group)
+    "q_exists_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem").filter(col("l_discount") > 0.05),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+
+    // scalar-subquery filter (TPC-H Q17 shape: below half of per-part avg
+    // qty). Window formulation: ONE shuffle on l_partkey computes the
+    // per-part average alongside every row — vs the groupBy+join-back shape
+    // which shuffles the fact table twice.
+    "q_scalar_subquery" -> ((s, d) => {
+      val w = Window.partitionBy("l_partkey")
+      t(s, d, "lineitem")
+        .withColumn("aq",
+          sum(col("l_quantity").cast(DecimalType(12, 2))).over(w)
+            .cast("double") / count(lit(1)).over(w))
+        .filter(col("l_quantity") < lit(0.5) * col("aq"))
+        .agg(dsum(col("l_extendedprice")).as("total_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    // conditional aggregation (TPC-H Q12 shape)
+    "q_conditional_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")),
+
+    // two-branch conditional ratio (TPC-H Q14 promo-share shape)
+    "q_promo_share" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) *
+            sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice").cast(DecimalType(12, 2)) *
+                (lit(1).cast(DecimalType(8, 4)) -
+                  col("l_discount").cast(DecimalType(8, 4))))
+              .otherwise(lit(0).cast(DecimalType(20, 6)))).cast("double") /
+            sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+              (lit(1).cast(DecimalType(8, 4)) -
+                col("l_discount").cast(DecimalType(8, 4)))).cast("double"),
+          6).as("promo_revenue_pct"))),
+
+    // group-filter (HAVING)
+    "q_having" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 18, 2).as("total_spent"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")),
+
+    // ---- set operations ------------------------------------------------------
+
+    "q_intersect" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+        .intersect(ord.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    }),
+
+    "q_except" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+        .except(ord.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    }),
+
+    // ---- grouping extensions -------------------------------------------------
+
+    "q_cube_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_last,
+          col("l_linestatus").asc_nulls_last)),
+
+    // SQL surface: GROUPING SETS + grouping() via spark.sql
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                      CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+               FROM graft_lineitem_gs
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               ORDER BY g_rf, g_ls, l_returnflag ASC NULLS LAST,
+                        l_linestatus ASC NULLS LAST""")
+    }),
+
+    // pivot (wide conditional counts per day)
+    "q_pivot_event_counts" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("day"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))
+        .orderBy("day")),
+
+    // ---- ranking & distribution ----------------------------------------------
+
+    "q_dense_rank_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("drank", dense_rank().over(w).cast(LongType))
+        .withColumn("quartile", ntile(4).over(w).cast(LongType))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .filter(col("rn") <= 50)
+        .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice",
+          "drank", "quartile", "pct_rank", "cume")
+        .orderBy("o_orderstatus", "rn")
+    }),
+
+    // arg-max/arg-min per group (min_by/max_by semantics) as two rank
+    // windows over one shuffle — the struct-ordered max_by aggregate fell
+    // back to a slow object-hash/sort aggregate at 150k rows
+    "q_minby_maxby" -> ((s, d) => {
+      val wmax = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      val wmin = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(wmax).as("rmax"), row_number().over(wmin).as("rmin"))
+        .filter(col("rmax") === 1 || col("rmin") === 1)
+        .groupBy("o_orderstatus")
+        .agg(
+          max(when(col("rmax") === 1, col("o_orderkey"))).as("max_price_key"),
+          max(when(col("rmin") === 1, col("o_orderkey"))).as("min_price_key"),
+          max(when(col("rmax") === 1, col("o_totalprice"))).as("max_price"),
+          min(when(col("rmin") === 1, col("o_totalprice"))).as("min_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q_percentiles" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    "q_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket")),
+
+    // approximate distinct (HLL) — no SQL oracle (engine-specific sketch);
+    // driver records the weaker rows-only check
+    "q_approx_distinct" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")),
+
+    // ---- scalar function surface ---------------------------------------------
+
+    "q_string_funcs" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        lower(col("c_mktsegment")).as("seg_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).cast(LongType).as("name_len"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"),
+        lpad(col("c_custkey").cast(StringType), 8, "0").as("key_padded"),
+        regexp_replace(col("c_name"), "[0-9]", "").as("name_alpha"))
+        .orderBy("c_custkey")),
+
+    "q_math_funcs" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(-col("l_extendedprice")), 2).as("abs_price"),
+        ceil(col("l_discount") * 100).as("disc_ceil"),
+        floor(col("l_discount") * 100).as("disc_floor"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+        (col("l_orderkey") % 7).as("key_mod"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_date_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("plus30"),
+        datediff(lit("2002-01-01").cast(DateType), col("o_orderdate"))
+          .cast(LongType).as("days_to_2002"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+        .orderBy("o_orderkey")),
+
+    "q_levenshtein" -> ((s, d) =>
+      t(s, d, "nation").select(col("n_name"),
+        levenshtein(col("n_name"), lit("UNITED STATES")).cast(LongType).as("dist"))
+        .orderBy("n_name")),
+
+    // generator/UDTF surface: posexplode with ordinal
+    "q_token_positions" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+          col("col").as("word"))
+        .orderBy("doc_id", "pos")),
+
+    // map type via from_json: keys, cardinality, lookup
+    "q_json_keys" -> ((s, d) => {
+      val m = from_json(col("props"), MapType(StringType, StringType))
+      t(s, d, "events").filter(col("event_id") < 100)
+        .select(col("event_id"),
+          concat_ws(",", array_sort(map_keys(m))).as("keys"),
+          size(map_keys(m)).cast(LongType).as("n_keys"),
+          m.getItem("k").cast(LongType).as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    // ---- [EXT] multimodal binary columns -------------------------------------
+
+    // payload stats over a binary media column (exact blob dedup shape);
+    // payload synthesized from documents.text — the engine surface under
+    // test is binary-column handling, not the codec (MultimodalOps doc)
+    "q_multimodal_payload" -> ((s, d) => {
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+      MultimodalOps.payloadStats(media)
+        .select(col("media_id"), col("n_bytes").cast(LongType).as("n_bytes"),
+          col("content_hash"),
+          floor(col("n_bytes") / 100).cast(LongType).as("size_bucket"))
+        .orderBy("media_id")
+    })
   )
 
   // ---------------------------------------------------------------------------
@@ -651,6 +995,268 @@ object SparkEntry {
                    + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
                    + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket,
                 CAST(COUNT(*) AS BIGINT) AS n
-         FROM embeddings GROUP BY 1 ORDER BY bucket"""
+         FROM embeddings GROUP BY 1 ORDER BY bucket""",
+
+    "q_ann_topk" ->
+      """WITH v AS (SELECT vec_id, embedding,
+                           CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                              + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+                              + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+                              + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
+                    FROM embeddings),
+              q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM v WHERE vec_id < 10),
+              pairs AS (SELECT q.qid, c.vec_id AS cid, q.qe, c.embedding AS ce
+                        FROM q JOIN v c USING(bucket) WHERE c.vec_id <> q.qid),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              dots AS (SELECT qid, cid,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+                              SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+                       FROM pairs, idx GROUP BY qid, cid),
+              ranked AS (SELECT qid AS query_id, cid AS neighbor_id,
+                                ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) AS score,
+                                CAST(row_number() OVER (PARTITION BY qid ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) DESC, cid ASC) AS BIGINT) AS rank
+                         FROM dots)
+         SELECT query_id, neighbor_id, score, rank FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_vector_norm" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+                ROUND(sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), 6) AS l2_norm,
+                ROUND(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 4) AS self_dot
+         FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+         WHERE i <= len(embedding)
+         GROUP BY vec_id, len(embedding) ORDER BY vec_id""",
+
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+              r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+         SELECT l.event_id, l.user_id, l.ts, rr.click_id, rr.click_ts
+         FROM l LEFT JOIN LATERAL (
+           SELECT r.event_id AS click_id, r.ts AS click_ts FROM r
+           WHERE r.user_id = l.user_id AND r.ts <= l.ts
+           ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) rr ON true
+         ORDER BY event_id""",
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+              g AS (SELECT user_id, ts, event_id, tsec,
+                           CASE WHEN lag(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                  OR tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 3600
+                                THEN 1 ELSE 0 END AS is_new
+                    FROM e),
+              s AS (SELECT user_id, ts, tsec,
+                           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+                    FROM g)
+         SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                MAX(tsec) - MIN(tsec) AS duration_s, CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "q_lag_lead" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+                lag(o_orderkey, 1) OVER w AS prev_key,
+                lead(o_orderkey, 1) OVER w AS next_key,
+                datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS days_since_prev
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         ORDER BY o_orderkey""",
+
+    "q_moving_window" ->
+      """SELECT event_id, user_id,
+                ROUND(AVG(value) OVER w, 4) AS mv_avg,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mv_sum,
+                CAST(COUNT(*) OVER w AS BIGINT) AS mv_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q_left_join_count_dist" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_cust
+         FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY n_cust DESC, c_count DESC""",
+
+    "q_full_outer_join" ->
+      """WITH a AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_f FROM orders
+                    WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+              b AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_o FROM orders
+                    WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+         SELECT o_custkey, COALESCE(n_f, 0) AS n_f, COALESCE(n_o, 0) AS n_o
+         FROM a FULL OUTER JOIN b USING (o_custkey)
+         ORDER BY o_custkey""",
+
+    "q_exists_agg" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_scalar_subquery" ->
+      """WITH a AS (SELECT l_partkey,
+                           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS aq
+                    FROM lineitem GROUP BY l_partkey)
+         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem JOIN a USING (l_partkey)
+         WHERE l_quantity < 0.5 * aq""",
+
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_promo_share" ->
+      """SELECT ROUND(100.0 *
+                  CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                                ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE) /
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE),
+                6) AS promo_revenue_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey""",
+
+    "q_having" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         FROM orders GROUP BY o_custkey
+         HAVING COUNT(*) >= 15 ORDER BY o_custkey""",
+
+    "q_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY custkey""",
+
+    "q_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY custkey""",
+
+    "q_cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""",
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY g_rf, g_ls, l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""",
+
+    "q_pivot_event_counts" ->
+      """SELECT date_trunc('day', ts) AS day,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+         FROM events GROUP BY 1 ORDER BY day""",
+
+    "q_dense_rank_ntile" ->
+      """SELECT o_orderstatus, rn, o_orderkey, o_totalprice, drank, quartile, pct_rank, cume
+         FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                      CAST(row_number() OVER w AS BIGINT) AS rn,
+                      CAST(dense_rank() OVER w AS BIGINT) AS drank,
+                      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                      ROUND(percent_rank() OVER w, 6) AS pct_rank,
+                      ROUND(cume_dist() OVER w, 6) AS cume
+               FROM orders
+               WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC))
+         WHERE rn <= 50 ORDER BY o_orderstatus, rn""",
+
+    "q_minby_maxby" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                           row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+                           row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+                    FROM orders)
+         SELECT o_orderstatus,
+                MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_price_key,
+                MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_price_key,
+                MAX(o_totalprice) AS max_price,
+                MIN(o_totalprice) AS min_price
+         FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+                ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+                upper(c_name) AS name_upper,
+                lower(c_mktsegment) AS seg_lower,
+                substring(c_name, 1, 8) AS name_prefix,
+                CAST(length(c_name) AS BIGINT) AS name_len,
+                concat_ws('-', c_mktsegment, c_custkey) AS seg_key,
+                lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+                regexp_replace(c_name, '[0-9]', '', 'g') AS name_alpha
+         FROM customer ORDER BY c_custkey""",
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND(abs(-l_extendedprice), 2) AS abs_price,
+                CAST(ceil(l_discount * 100) AS BIGINT) AS disc_ceil,
+                CAST(floor(l_discount * 100) AS BIGINT) AS disc_floor,
+                ROUND(sqrt(l_quantity), 6) AS qty_sqrt,
+                ROUND(ln(l_extendedprice), 6) AS price_ln,
+                ROUND(power(l_quantity, 2), 2) AS qty_sq,
+                l_orderkey % 7 AS key_mod
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS BIGINT) AS yr,
+                CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+                CAST(month(o_orderdate) AS BIGINT) AS mo,
+                CAST(day(o_orderdate) AS BIGINT) AS dom,
+                o_orderdate + INTERVAL 30 DAY AS plus30,
+                datediff('day', o_orderdate, DATE '2002-01-01') AS days_to_2002,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                date_trunc('month', o_orderdate) AS month_start
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_levenshtein" ->
+      """SELECT n_name, CAST(levenshtein(n_name, 'UNITED STATES') AS BIGINT) AS dist
+         FROM nation ORDER BY n_name""",
+
+    "q_token_positions" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 20)
+         SELECT doc_id, CAST(j AS BIGINT) AS pos, t[j] AS word
+         FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+         WHERE j <= len(t)
+         ORDER BY doc_id, pos""",
+
+    "q_json_keys" ->
+      """SELECT event_id,
+                array_to_string(list_sort(json_keys(props)), ',') AS keys,
+                CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+                CAST(props ->> 'k' AS BIGINT) AS k_val
+         FROM events WHERE event_id < 100 ORDER BY event_id""",
+
+    "q_multimodal_payload" ->
+      """SELECT doc_id AS media_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_hash,
+                CAST(floor(octet_length(encode(text)) / 100) AS BIGINT) AS size_bucket
+         FROM documents ORDER BY media_id"""
   )
 }

@@ -42,15 +42,17 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Word n-gram shingles of a text column, as an array of distinct 60-bit
-    * shingle hashes. Narrow (per-row) — transform+filter are codegen'd
-    * higher-order functions, no explode until the caller needs one. */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    array_distinct(transform(grams, g => fingerprint60(g)))
-  }
+    * shingle hashes. Narrow (per-row), one JVM kernel call per document —
+    * semantically: tokens = split(text, " "); gram_i = tokens[i, i+n) joined
+    * by " " for i ∈ [0, max(|tokens|−n, 0)]; hash = fingerprint60(gram);
+    * distinct, first-occurrence order. (The equivalent
+    * sequence→slice→concat_ws→md5→conv higher-order-function tree is
+    * interpreted per element — ~0.5 ms/doc vs ~10 µs for the kernel.) */
+  def shingleHashes(text: Column, n: Int): Column = shingleUdf(n)(text)
+
+  private def shingleUdf(n: Int) =
+    udf((text: String) =>
+      if (text == null) null else MinhashKernel.shingles(text, n))
 
   /** Pairwise n-gram Jaccard near-dup pairs above `threshold`, via an
     * inverted index on shingle hash: explode shingles → self-join on shingle
@@ -59,7 +61,7 @@ object DedupOps {
     * (id1 < id2 keeps each pair once.) */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+    val sh = spread(df).select(col(idCol).as("id"),
         explode(shingleHashes(col(textCol), n)).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a").join(sh.as("b"),
@@ -76,47 +78,155 @@ object DedupOps {
       .select("id1", "id2", "jaccard")
   }
 
-  /** MinHash signature: `numHashes` permutations simulated as
-    * h_i(s) = fingerprint60(i ‖ ':' ‖ shingle-hash), signature[i] = min over
-    * shingles. Output: one row per (id, i, minhash). Shuffle O(docs × hashes)
-    * after a narrow explode — the standard scalable MinHash shape. */
+  /**
+   * JVM kernel for the MinHash hot loop. Semantically identical to the SQL
+   * form (md5 → first 15 hex chars → bigint, exactly [[TextOps.fingerprint60]])
+   * but runs as one tight JVM call per document instead of an interpreted
+   * higher-order-function tree: Spark's lambda functions are CodegenFallback,
+   * and Catalyst's CollapseProject inlines a once-referenced expensive
+   * expression into downstream lambdas — which multiplied the md5 work by
+   * bands × hashes. A custom codegen `Expression` is the production endgame;
+   * a deterministic JVM function already removes both the interpreter
+   * overhead and the re-evaluation hazard.
+   */
+  private object MinhashKernel extends Serializable {
+    private val digest = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+    private val HEX = "0123456789abcdef".toCharArray
+
+    def md5Hex(s: String): String = {
+      val d = digest.get(); d.reset()
+      val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(2 * i) = HEX((bytes(i) >> 4) & 0xf)
+        out(2 * i + 1) = HEX(bytes(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
+
+    /** fingerprint60: bigint of the first 15 hex chars — TextOps.fingerprint60. */
+    def fp60(s: String): Long =
+      java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+    /** sig[i] = min over shingles of fp60(i ‖ ':' ‖ shingle). */
+    def signature(shingles: Array[Long], numHashes: Int): Array[Long] = {
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < numHashes) {
+        var j = 0
+        while (j < shingles.length) {
+          val h = fp60(i.toString + ":" + shingles(j).toString)
+          if (h < sig(i)) sig(i) = h
+          j += 1
+        }
+        i += 1
+      }
+      sig
+    }
+
+    /** band b's key = md5 of the comma-joined decimal rows sig[b·r … b·r+r). */
+    def bandKeys(sig: Array[Long], bands: Int, rows: Int): Array[String] =
+      Array.tabulate(bands) { b =>
+        md5Hex(sig.slice(b * rows, b * rows + rows).mkString(","))
+      }
+
+    /** Distinct word-n-gram shingle hashes, first-occurrence order —
+      * mirrors split(" ") → sliding-gram → fp60 → array_distinct. */
+    def shingles(text: String, n: Int): Array[Long] = {
+      val toks = text.split(" ", -1)
+      val nGrams = math.max(toks.length - n, 0) + 1
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i < nGrams) {
+        val end = math.min(i + n, toks.length)
+        val sb = new java.lang.StringBuilder()
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        seen.add(fp60(sb.toString))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      out
+    }
+  }
+
+  private def signatureUdf(numHashes: Int) =
+    udf((sh: Seq[Long]) =>
+      if (sh == null) null else MinhashKernel.signature(sh.toArray, numHashes))
+
+  private def bandKeysUdf(numHashes: Int, bands: Int) =
+    udf((sh: Seq[Long]) =>
+      if (sh == null) null
+      else MinhashKernel.bandKeys(
+        MinhashKernel.signature(sh.toArray, numHashes), bands, numHashes / bands))
+
+  /** Spread a (possibly few-split) input across the cluster before CPU-heavy
+    * per-row work — signature cost is O(shingles × hashes) per doc and must
+    * not be bound by the source's split count. Round-robin, tiny rows. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** MinHash signatures in exploded (id, i, minhash) form:
+    * sig[i] = min over shingles of fingerprint60(i ‖ ':' ‖ shingle-hash) —
+    * `numHashes` permutations simulated by salting the hash with i.
+    * One narrow pass per doc (kernel above), ZERO shuffle: at 100 TB the
+    * corpus streams once; the only wide op in minhash dedup is the band join. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("sh"))
-      .crossJoin(spark_range_df(df, numHashes))
-      .withColumn("h", fingerprint60(concat(col("i"), lit(":"), col("sh"))))
-      .groupBy("id", "i").agg(min("h").as("minhash"))
+    spread(df)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .select(col("id"),
+        posexplode(signatureUdf(numHashes)(col("sh"))))
+      .select(col("id"), col("pos").cast("bigint").as("i"),
+        col("col").as("minhash"))
 
-  private def spark_range_df(df: DataFrame, n: Int): DataFrame =
-    df.sparkSession.range(n).toDF("i")
-
-  /** LSH banding over minhash signatures: band key = md5 of the concatenated
-    * band rows; docs sharing any band key become candidate pairs. With b
-    * bands of r rows, P(candidate) = 1−(1−j^r)^b — the standard S-curve.
-    * The band join shuffles O(docs × bands) rows of 16-byte keys; candidate
-    * verification (exact Jaccard) touches only surviving pairs. */
+  /** LSH banding over exploded (id, i, minhash) signatures: docs sharing any
+    * band key become candidate pairs. The band self-join shuffles
+    * O(docs × bands) rows of 16-byte keys; hot boilerplate buckets are the
+    * skew risk — AQE skew-join splits them. */
   def lshCandidatePairs(signatures: DataFrame, bands: Int, rows: Int): DataFrame = {
     val banded = signatures
       .withColumn("band", (col("i") / rows).cast("int"))
       .groupBy("id", "band")
       .agg(md5(concat_ws(",",
         transform(sort_array(collect_list(struct(col("i"), col("minhash")))),
-          s => s.getField("minhash")))).as("band_key"))
+          s => s.getField("minhash").cast("string")))).as("band_key"))
+    bandJoin(banded)
+  }
+
+  private def bandJoin(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-  }
 
-  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    * exact-Jaccard verification ≥ threshold. */
+  /** Full MinHash-LSH near-dup pipeline: per-row signatures → per-row band
+    * keys → band-bucket join for candidates → exact-Jaccard verification ≥
+    * threshold. Wide ops: the band join + the two verification joins — all
+    * hash joins on doc id / 16-byte keys, never O(docs²). */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int, bands: Int,
                         threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
-    val cands = lshCandidatePairs(sigs, bands, numHashes / bands)
+    val banded = spread(df)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .select(col("id"),
+        posexplode(bandKeysUdf(numHashes, bands)(col("sh"))))
+      .select(col("id"), col("pos").as("band"), col("col").as("band_key"))
+    val cands = bandJoin(banded)
     val withText = df.select(col(idCol).as("id"), col(textCol).as("__t"))
     val verified = cands
       .join(withText.withColumnsRenamed(Map("id" -> "id1", "__t" -> "t1")), "id1")
@@ -138,24 +248,21 @@ object DedupOps {
 
   /** SimHash (bitwise-majority) signature over token hashes, `bits` wide
     * (≤ 32 here; production uses 64 via two 32-bit halves). Per doc:
-    * for each bit b, sum ±1 over tokens' hash-bit b; signature bit = sign.
-    * Shape: explode tokens × bits → two-level agg. Shuffle O(tokens × bits);
-    * at scale one aggregates the ±1 contributions map-side first (partial
-    * agg does this automatically). */
+    * for each bit b, sum ±1 over distinct tokens' hash-bit b; signature
+    * bit = sign of the sum. Pure per-row projection via higher-order
+    * `aggregate` — ZERO shuffle, whole corpus streams once. (The naive
+    * explode-tokens × crossJoin-bits × two-level-agg shape shuffled
+    * O(tokens × bits) rows; this computes the same signature in-register.) */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        bits: Int): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(array_distinct(tokens(col(textCol)))).as("t"))
-      .withColumn("h", fingerprint60(col("t")))
-    val contrib = tok
-      .crossJoin(spark_range_df(df, bits).withColumnRenamed("i", "b"))
-      .withColumn("delta",
-        when(expr("shiftright(h, cast(b as int))").bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-      .groupBy("id", "b").agg(sum("delta").as("s"))
-    contrib
-      .withColumn("bitval",
-        when(col("s") > 0, expr("shiftleft(1L, cast(b as int))")).otherwise(0L))
-      .groupBy("id").agg(sum("bitval").as("simhash"))
-  }
+                        bits: Int): DataFrame =
+    spread(df.filter(col(textCol).isNotNull))
+      .select(col(idCol).as("id"),
+        transform(array_distinct(tokens(col(textCol))),
+          t => fingerprint60(t)).as("hs"))
+      .select(col("id"),
+        (0 until bits).map { b =>
+          val s = aggregate(col("hs"), lit(0L), (acc, h) =>
+            acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          when(s > 0, lit(1L << b)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
 }

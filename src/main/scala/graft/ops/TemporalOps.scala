@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal operators beyond vanilla Spark joins: as-of join and
+ * sessionization. Both generalize the reference pipeline's event-time
+ * handling (`/root/reference/dag_mgo_pg_schedule_etl_qc.py:124-129` — the
+ * half-open logical-date window over createdAt/updatedAt is exactly the
+ * "latest state as of a point in time" problem that an as-of join solves
+ * keyed-per-row).
+ *
+ * Scale notes: both operators are implemented as ONE hash shuffle on the key
+ * (union + window / lag + running sum) — never a per-row range probe or a
+ * broadcast nested-loop. This is the canonical distributed as-of shape
+ * (kdb/Flink/QuestDB all reduce to merge-within-key); a 100 TB corpus
+ * partitions by key and each partition sorts locally.
+ */
+object TemporalOps {
+
+  /**
+   * As-of join: for every left row, attach the single right row with the
+   * greatest `rightTs <= leftTs` for the same `key` (ties on `rightTs`
+   * broken by the greatest `rightTieBreak` — fully deterministic).
+   * Left rows with no prior right row keep nulls (LEFT OUTER semantics).
+   *
+   * Implementation: tag + union both sides, then one window pass per key
+   * ordered by (ts, side, tiebreak) carrying `last(value, ignoreNulls)`
+   * forward — right rows sort before left rows at equal ts, so the match is
+   * inclusive. One shuffle on `key`, local sort within partitions; no range
+   * join, no nested loop. `rightCols` are the right-side payload columns to
+   * carry (emitted with prefix `asof_`).
+   */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightTieBreak: String,
+      rightCols: Seq[String]): DataFrame = {
+    val carried = (rightCols :+ rightTs).distinct
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast("long"))
+    val r0 = right
+      .select((Seq(col(key), col(rightTs).as("__t"), lit(0).as("__side"),
+        col(rightTieBreak).cast("long").as("__tie")) ++
+        carried.map(c => col(c).as(s"asof_$c"))): _*)
+    val unioned = l.unionByName(r0, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAsof = carried.foldLeft(unioned) { (acc, c) =>
+      acc.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    withAsof.filter(col("__side") === 1)
+      .drop("__t", "__side", "__tie")
+  }
+
+  /**
+   * Sessionize: assign a session id per `key`, starting a new session when
+   * the gap since the previous event exceeds `gapSeconds`. Session id is the
+   * running count of session starts in (ts, tieBreak) order — deterministic
+   * and dense (1, 2, 3 … per key).
+   *
+   * lag + running sum over the same window = one shuffle on `key`; this is
+   * the batch analog of Structured Streaming's session window
+   * (`session_window(ts, gap)` covers the streaming path in
+   * [[graft.streaming.StreamingPipeline]]'s domain).
+   */
+  def sessionize(df: DataFrame, key: String, ts: String, tieBreak: String,
+                 gapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(key).orderBy(col(ts).asc, col(tieBreak).asc)
+    val prevTs = lag(col(ts), 1).over(order)
+    val isNew = when(prevTs.isNull ||
+      col(ts).cast("long") - prevTs.cast("long") > gapSeconds, 1L).otherwise(0L)
+    df.withColumn("__new", isNew)
+      .withColumn("session_id",
+        sum(col("__new")).over(order.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("__new")
+  }
+
+  /** Per-session rollup: bounds, duration, event count. One extra hash agg
+    * on (key, session_id) after [[sessionize]]'s shuffle. */
+  def sessionStats(df: DataFrame, key: String, ts: String, tieBreak: String,
+                   gapSeconds: Long): DataFrame =
+    sessionize(df, key, ts, tieBreak, gapSeconds)
+      .groupBy(col(key), col("session_id"))
+      .agg(
+        min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"),
+        (max(col(ts)).cast("long") - min(col(ts)).cast("long"))
+          .as("duration_s"),
+        count(lit(1)).as("n_events"))
+}
