@@ -1,0 +1,69 @@
+package graft
+
+import graft.ext.{DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{size => arraySize}
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingleHashes: JVM kernel equals the SQL fingerprint60 semantics") {
+    // kernel shingle of a 1-gram doc must equal fingerprint60 of the text
+    val df = Seq((1L, "hello")).toDF("id", "text")
+    val kernel = df.select(DedupOps.shingleHashes(col("text"), 3).as("sh"))
+      .head().getSeq[Long](0)
+    val sql = df.select(TextOps.fingerprint60(col("text"))).head().getLong(0)
+    kernel shouldBe Seq(sql)
+  }
+
+  test("shingleHashes builds distinct sliding word n-grams") {
+    val df = Seq((1L, "a b c d")).toDF("id", "text")
+    // 3-grams of 4 tokens: "a b c", "b c d" → 2 distinct hashes
+    df.select(arraySize(DedupOps.shingleHashes(col("text"), 3)))
+      .head().getInt(0) shouldBe 2
+    // repeated grams dedup: "x x x x" → single distinct 3-gram "x x x"
+    Seq((1L, "x x x x")).toDF("id", "text")
+      .select(arraySize(DedupOps.shingleHashes(col("text"), 3)))
+      .head().getInt(0) shouldBe 1
+  }
+
+  test("dedupExactByContent groups identical texts under min keep_id") {
+    val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("doc_id", "text")
+    val out = DedupOps.dedupExactByContent(df, "doc_id", "text")
+      .orderBy("keep_id").select("keep_id", "n_dups")
+      .as[(Long, Long)].collect()
+    out shouldBe Array((1L, 2L), (2L, 1L))
+  }
+
+  test("minhashDedupPairs finds identical docs with jaccard 1.0") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base), (2L, base),                       // exact dup pair
+      (3L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.minhashDedupPairs(df, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    out shouldBe Array((1L, 2L, 1.0))
+  }
+
+  test("jaccardPairs computes exact n-gram jaccard above threshold") {
+    val df = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "z y x w v"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.jaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    out shouldBe Array((1L, 2L, 1.0))
+  }
+
+  test("simhash: identical docs share signature, disjoint docs differ") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "omicron sigma tau upsilon phi"))
+      .toDF("doc_id", "text")
+    val sigs = DedupOps.simhashSignatures(df, "doc_id", "text", bits = 16)
+      .orderBy("id").as[(Long, Long)].collect()
+    sigs(0)._2 shouldBe sigs(1)._2
+    sigs(0)._2 should not be sigs(2)._2
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.sources.Stores
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stageEvents(dir: String): Long = {
+    val ev = Stores.table(spark, sf0001, "events")
+      .select(StreamingPipeline.eventSchema.fieldNames.map(col).toIndexedSeq: _*)
+    ev.write.mode("overwrite").parquet(dir)
+    ev.count()
+  }
+
+  test("keyedIngest: file stream → dedup → per-batch upsert, idempotent") {
+    val work = Files.createTempDirectory("graft_stream_").toString
+    val srcDir = s"$work/src"
+    val mart = s"$work/mart"
+    val n = stageEvents(srcDir)
+
+    val q1 = StreamingPipeline.keyedIngest(spark,
+      StreamingPipeline.readEventStream(spark, srcDir), mart, s"$work/cp1")
+    q1.awaitTermination()
+    val afterFirst = Stores.martRead(spark, mart)
+    afterFirst.count() shouldBe n
+    afterFirst.select(countDistinct(col("event_id"))).head().getLong(0) shouldBe n
+
+    // re-deliver the same files with a fresh checkpoint: keyed upsert keeps
+    // the mart unchanged (DAG:311 ON CONFLICT idempotency, stream-shaped)
+    val q2 = StreamingPipeline.keyedIngest(spark,
+      StreamingPipeline.readEventStream(spark, srcDir), mart, s"$work/cp2")
+    q2.awaitTermination()
+    Stores.martRead(spark, mart).count() shouldBe n
+  }
+
+  test("windowedCounts: tumbling windows match the batch aggregation") {
+    val work = Files.createTempDirectory("graft_stream_wc_").toString
+    stageEvents(s"$work/src")
+
+    val q = StreamingPipeline.windowedCounts(
+        StreamingPipeline.readEventStream(spark, s"$work/src"))
+      .writeStream.format("memory").queryName("graft_wc")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("graft_wc")
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+    val batch = Stores.table(spark, sf0001, "events")
+      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+    streamed.count() shouldBe batch.count()
+    streamed.except(batch).count() shouldBe 0L
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.TemporalOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin matches greatest right ts <= left ts per key, left outer") {
+    val left = Seq(
+      (100L, 1L, "2024-01-01 10:00:00"),
+      (101L, 1L, "2024-01-01 12:00:00"),
+      (102L, 2L, "2024-01-01 09:00:00")) // no prior right row
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    val right = Seq(
+      (200L, 1L, "2024-01-01 09:30:00"),
+      (201L, 1L, "2024-01-01 11:00:00"),
+      (202L, 2L, "2024-01-01 09:30:00")) // after left's 09:00 → no match
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    val out = TemporalOps.asofJoin(left, right, "user_id", "ts", "ts",
+        "event_id", Seq("event_id"))
+      .select("event_id", "asof_event_id").orderBy("event_id")
+      .as[(Long, Option[Long])].collect()
+    out shouldBe Array(
+      (100L, Some(200L)),  // 09:30 is the latest <= 10:00
+      (101L, Some(201L)),  // 11:00 is the latest <= 12:00
+      (102L, None))        // nothing at or before 09:00
+  }
+
+  test("asofJoin is inclusive and breaks right-side ts ties by max tiebreak") {
+    val left = Seq((1L, 9L, "2024-01-01 10:00:00"))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    val right = Seq(
+      (50L, 9L, "2024-01-01 10:00:00"),   // same instant: included
+      (51L, 9L, "2024-01-01 10:00:00"))   // tie → larger event_id wins
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    TemporalOps.asofJoin(left, right, "user_id", "ts", "ts",
+        "event_id", Seq("event_id"))
+      .head().getAs[Long]("asof_event_id") shouldBe 51L
+  }
+
+  test("sessionize starts a new session when gap exceeds threshold") {
+    val df = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"),
+      (2L, 10L, "2024-01-01 10:20:00"),   // 20 min gap → same session
+      (3L, 10L, "2024-01-01 12:00:00"),   // 100 min gap → new session
+      (4L, 11L, "2024-01-01 10:00:00"))   // other user → own session 1
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    val out = TemporalOps.sessionize(df, "user_id", "ts", "event_id", 3600L)
+      .select("event_id", "session_id").orderBy("event_id")
+      .as[(Long, Long)].collect()
+    out shouldBe Array((1L, 1L), (2L, 1L), (3L, 2L), (4L, 1L))
+  }
+
+  test("sessionStats rolls up bounds, duration, counts") {
+    val df = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"),
+      (2L, 10L, "2024-01-01 10:30:00"),
+      (3L, 10L, "2024-01-01 13:00:00"))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    val out = TemporalOps.sessionStats(df, "user_id", "ts", "event_id", 3600L)
+      .orderBy("session_id").collect()
+    out.length shouldBe 2
+    out(0).getAs[Long]("n_events") shouldBe 2L
+    out(0).getAs[Long]("duration_s") shouldBe 1800L
+    out(0).getAs[java.sql.Timestamp]("session_start") shouldBe ts("2024-01-01 10:00:00")
+    out(1).getAs[Long]("n_events") shouldBe 1L
+    out(1).getAs[Long]("duration_s") shouldBe 0L
+  }
+}
