@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -36,9 +37,16 @@ object SimilarityOps {
 
   /** Cosine similarity rounded to 6 dp — rounding makes float-sum-order
     * differences (≪1e-12 in double) irrelevant for cross-engine comparison
-    * while keeping full ranking power. */
+    * while keeping full ranking power. Higher-order-function form; the
+    * scoring joins below use the codegen'd [[graft.functions.CosineSimilarity]]
+    * expression instead (same semantics, one fused primitive loop). */
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Codegen'd cosine via the native expression — requires
+    * [[GraftFunctions.register]] on the session (operators below do it). */
+  def cosineNative(a: Column, b: Column): Column =
+    round(call_function(GraftFunctions.cosineName, a, b), 6)
 
   /**
    * Exact top-k neighbors for each query vector. `queries` must be small
@@ -49,11 +57,12 @@ object SimilarityOps {
    */
   def cosineTopK(queries: DataFrame, corpus: DataFrame,
                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score", cosineNative(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -78,13 +87,14 @@ object SimilarityOps {
   def annTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nBits: Int = 4, stride: Int = 8): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       signLshBucket(col(vecCol), nBits, stride).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       signLshBucket(col(vecCol), nBits, stride).as("bucket"))
     val scored = c.join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score", cosineNative(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -100,9 +110,10 @@ object SimilarityOps {
                          stride: Int = 8): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       signLshBucket(col(vecCol), nBits, stride).as("bucket"))
+    GraftFunctions.register(df.sparkSession)
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("score", cosine(col("a.v"), col("b.v")))
+      .withColumn("score", cosineNative(col("a.v"), col("b.v")))
       .filter(col("score") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("score"))
   }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ext.SimilarityOps
+import graft.functions.{CosineSimilarity, GraftFunctions}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lit4(xs: Float*) = Literal.create(xs.toArray, ArrayType(FloatType))
+
+  test("interpreted eval matches hand-computed cosine") {
+    val e = CosineSimilarity(lit4(1f, 0f), lit4(1f, 0f))
+    e.eval(null).asInstanceOf[Double] shouldBe 1.0 +- 1e-12
+    val orth = CosineSimilarity(lit4(1f, 0f), lit4(0f, 1f))
+    orth.eval(null).asInstanceOf[Double] shouldBe 0.0 +- 1e-12
+    val mid = CosineSimilarity(lit4(1f, 1f), lit4(1f, 0f))
+    mid.eval(null).asInstanceOf[Double] shouldBe (1.0 / math.sqrt(2)) +- 1e-12
+  }
+
+  test("null contract: null array, null element, length mismatch → null") {
+    assert(CosineSimilarity(Literal.create(null, ArrayType(FloatType)), lit4(1f))
+      .eval(null) == null)
+    assert(CosineSimilarity(lit4(1f, 2f), lit4(1f)).eval(null) == null)
+    val withNullElem = Literal.create(Array[java.lang.Float](1f, null),
+      ArrayType(FloatType))
+    assert(CosineSimilarity(withNullElem, lit4(1f, 2f)).eval(null) == null)
+  }
+
+  test("codegen path (via DataFrame) agrees exactly with the HOF form") {
+    GraftFunctions.register(spark)
+    val emb = sources.Stores.table(spark, sf0001, "embeddings").limit(200)
+    val both = emb.select(
+      SimilarityOps.cosineNative(col("embedding"), col("embedding")).as("native"),
+      SimilarityOps.cosine(col("embedding"), col("embedding")).as("hof"))
+    both.filter(col("native") =!= col("hof")).count() shouldBe 0L
+  }
+
+  test("registered via SQL name and usable in spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(cast(1 as float), cast(0 as float)), " +
+        "array(cast(0.5 as float), cast(0 as float))) AS c").head()
+    r.getDouble(0) shouldBe 1.0 +- 1e-12
+  }
+
+  test("scoring join uses the native expression, not the interpreted lambda tree") {
+    GraftFunctions.register(spark)
+    val emb = sources.Stores.table(spark, sf0001, "embeddings")
+    val plan = SimilarityOps.cosineTopK(emb.filter(col("vec_id") < 3), emb,
+      "vec_id", "embedding", 2).queryExecution.executedPlan.toString
+    plan should include("graft_cosine")
+    // the HOF form would plan as aggregate(zip_with(...)) lambdas (CodegenFallback)
+    plan should not include "zip_with"
+    plan should not include "aggregate("
+  }
+}
