@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
-import graft.ops.{CoreOps, QualityCheck, TemporalOps}
+import graft.ops.{CoreOps, QualityCheck, SkewOps, TemporalOps}
 import graft.sources.Stores
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -691,7 +691,37 @@ object SparkEntry {
           col("content_hash"),
           floor(col("n_bytes") / 100).cast(LongType).as("size_bucket"))
         .orderBy("media_id")
-    })
+    }),
+
+    // ---- skew mitigation (results identical to unsalted forms) ---------------
+
+    // salted equi-join: hot-key rows split across `buckets` reducers
+    "q_salted_join" -> ((s, d) => {
+      val joined = SkewOps.saltedJoin(
+        t(s, d, "lineitem"),
+        t(s, d, "part").select("p_partkey", "p_type")
+          .withColumnRenamed("p_partkey", "l_partkey"),
+        key = "l_partkey", saltFrom = "l_linenumber", buckets = 8)
+      joined.groupBy("p_type")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_type")
+    }),
+
+    // two-phase exact distinct (shuffle key includes the value → no hot group)
+    "q_distinct_two_phase" -> ((s, d) =>
+      SkewOps.distinctCountTwoPhase(t(s, d, "events"), "event_type", "user_id")
+        .orderBy("event_type")),
+
+    // ---- [EXT] winnowing document fingerprints (MOSS scheme) -----------------
+
+    "q_winnow_fingerprints" -> ((s, d) =>
+      TextOps.winnowFingerprints(t(s, d, "documents"), "doc_id", "text",
+          k = 8, w = 16)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fingerprints"),
+          min(col("fingerprint")).as("min_fp"),
+          max(col("fingerprint")).as("max_fp"))
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------------------
@@ -1257,6 +1287,32 @@ object SparkEntry {
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS content_hash,
                 CAST(floor(octet_length(encode(text)) / 100) AS BIGINT) AS size_bucket
-         FROM documents ORDER BY media_id"""
+         FROM documents ORDER BY media_id""",
+
+    "q_salted_join" ->
+      """SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_type ORDER BY p_type""",
+
+    "q_distinct_two_phase" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_winnow_fingerprints" ->
+      """WITH pos AS (
+           SELECT doc_id, i,
+                  CAST(('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15)) AS BIGINT) AS h
+           FROM documents, (SELECT unnest(generate_series(1, 2000)) AS i)
+           WHERE i <= length(text) - 8 + 1),
+         wmin AS (
+           SELECT doc_id,
+                  MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fingerprint
+           FROM pos),
+         fp AS (SELECT DISTINCT doc_id, fingerprint FROM wmin)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+                MIN(fingerprint) AS min_fp, MAX(fingerprint) AS max_fp
+         FROM fp GROUP BY doc_id ORDER BY doc_id"""
   )
 }

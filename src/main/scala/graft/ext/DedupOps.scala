@@ -52,7 +52,7 @@ object DedupOps {
 
   private def shingleUdf(n: Int) =
     udf((text: String) =>
-      if (text == null) null else MinhashKernel.shingles(text, n))
+      if (text == null) null else HashKernel.shingles(text, n))
 
   /** Pairwise n-gram Jaccard near-dup pairs above `threshold`, via an
     * inverted index on shingle hash: explode shingles → self-join on shingle
@@ -78,99 +78,15 @@ object DedupOps {
       .select("id1", "id2", "jaccard")
   }
 
-  /**
-   * JVM kernel for the MinHash hot loop. Semantically identical to the SQL
-   * form (md5 → first 15 hex chars → bigint, exactly [[TextOps.fingerprint60]])
-   * but runs as one tight JVM call per document instead of an interpreted
-   * higher-order-function tree: Spark's lambda functions are CodegenFallback,
-   * and Catalyst's CollapseProject inlines a once-referenced expensive
-   * expression into downstream lambdas — which multiplied the md5 work by
-   * bands × hashes. A custom codegen `Expression` is the production endgame;
-   * a deterministic JVM function already removes both the interpreter
-   * overhead and the re-evaluation hazard.
-   */
-  private object MinhashKernel extends Serializable {
-    private val digest = new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-    private val HEX = "0123456789abcdef".toCharArray
-
-    def md5Hex(s: String): String = {
-      val d = digest.get(); d.reset()
-      val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val out = new Array[Char](32)
-      var i = 0
-      while (i < 16) {
-        out(2 * i) = HEX((bytes(i) >> 4) & 0xf)
-        out(2 * i + 1) = HEX(bytes(i) & 0xf)
-        i += 1
-      }
-      new String(out)
-    }
-
-    /** fingerprint60: bigint of the first 15 hex chars — TextOps.fingerprint60. */
-    def fp60(s: String): Long =
-      java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
-
-    /** sig[i] = min over shingles of fp60(i ‖ ':' ‖ shingle). */
-    def signature(shingles: Array[Long], numHashes: Int): Array[Long] = {
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      var i = 0
-      while (i < numHashes) {
-        var j = 0
-        while (j < shingles.length) {
-          val h = fp60(i.toString + ":" + shingles(j).toString)
-          if (h < sig(i)) sig(i) = h
-          j += 1
-        }
-        i += 1
-      }
-      sig
-    }
-
-    /** band b's key = md5 of the comma-joined decimal rows sig[b·r … b·r+r). */
-    def bandKeys(sig: Array[Long], bands: Int, rows: Int): Array[String] =
-      Array.tabulate(bands) { b =>
-        md5Hex(sig.slice(b * rows, b * rows + rows).mkString(","))
-      }
-
-    /** Distinct word-n-gram shingle hashes, first-occurrence order —
-      * mirrors split(" ") → sliding-gram → fp60 → array_distinct. */
-    def shingles(text: String, n: Int): Array[Long] = {
-      val toks = text.split(" ", -1)
-      val nGrams = math.max(toks.length - n, 0) + 1
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      var i = 0
-      while (i < nGrams) {
-        val end = math.min(i + n, toks.length)
-        val sb = new java.lang.StringBuilder()
-        var j = i
-        while (j < end) {
-          if (j > i) sb.append(' ')
-          sb.append(toks(j))
-          j += 1
-        }
-        seen.add(fp60(sb.toString))
-        i += 1
-      }
-      val out = new Array[Long](seen.size)
-      val it = seen.iterator()
-      var k = 0
-      while (it.hasNext) { out(k) = it.next(); k += 1 }
-      out
-    }
-  }
-
   private def signatureUdf(numHashes: Int) =
     udf((sh: Seq[Long]) =>
-      if (sh == null) null else MinhashKernel.signature(sh.toArray, numHashes))
+      if (sh == null) null else HashKernel.signature(sh.toArray, numHashes))
 
   private def bandKeysUdf(numHashes: Int, bands: Int) =
     udf((sh: Seq[Long]) =>
       if (sh == null) null
-      else MinhashKernel.bandKeys(
-        MinhashKernel.signature(sh.toArray, numHashes), bands, numHashes / bands))
+      else HashKernel.bandKeys(
+        HashKernel.signature(sh.toArray, numHashes), bands, numHashes / bands))
 
   /** Spread a (possibly few-split) input across the cluster before CPU-heavy
     * per-row work — signature cost is O(shingles × hashes) per doc and must

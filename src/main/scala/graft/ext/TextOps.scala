@@ -85,4 +85,32 @@ object TextOps {
   def wordFrequency(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
+
+  private def charKgramUdf(k: Int) =
+    udf((text: String) =>
+      if (text == null) null else HashKernel.charKgrams(text, k))
+
+  /**
+   * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+   * the MOSS scheme): hash every character k-gram with a rolling pass, then
+   * keep the minimum hash of each sliding window of `w` consecutive k-grams;
+   * the distinct selected hashes are the document's fingerprints. Guarantees
+   * any shared substring of length ≥ w+k−1 contributes a shared fingerprint.
+   *
+   * Shape: per-row k-gram hashing (JVM kernel, narrow) → posexplode →
+   * sliding-window min per doc (one shuffle on doc id) → distinct.
+   * At 100 TB the explode volume is O(total characters) — winnowing then
+   * compresses ~w× before anything wide happens downstream (fingerprint
+   * joins for near-dup detection).
+   */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("pos")).rowsBetween(0, w - 1)
+    df.select(col(idCol), posexplode(charKgramUdf(k)(col(textCol))))
+      .select(col(idCol), col("pos"), col("col").as("h"))
+      .withColumn("fingerprint", min(col("h")).over(win))
+      .select(col(idCol), col("fingerprint"))
+      .distinct()
+  }
 }

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-mitigation operators for hot keys. Spark's AQE handles skew for
+ * sort-merge JOINs at runtime (`spark.sql.adaptive.skewJoin`), but not every
+ * wide shape is covered: exact-distinct aggregation and streaming joins
+ * re-plan poorly, and salt-based splitting is the portable fix at any scale.
+ * Both operators return results IDENTICAL to their unsalted counterparts —
+ * salting changes only the physical shuffle distribution.
+ */
+object SkewOps {
+
+  /**
+   * Salted equi-join for a skewed `big` side: big rows of one join key are
+   * split across `buckets` shuffle partitions by a deterministic salt drawn
+   * from `saltFrom` (any column; uniqueness not required), and every `small`
+   * row is replicated `buckets` times so each salted sub-partition finds its
+   * match. Join output is row-identical to `big.join(small, key)`.
+   *
+   * Cost: `small` side volume × buckets (keep `small` genuinely small);
+   * `big` side unchanged. The hot key's rows now land on `buckets` reducers
+   * instead of one — the same split AQE's OptimizeSkewedJoin performs, but
+   * usable where AQE can't re-plan (streaming, custom operators, severe
+   * single-key skew under hash agg).
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltFrom: String, buckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(col(saltFrom)), lit(buckets)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /**
+   * Exact distinct count per group without a skew-prone single-level
+   * `countDistinct`: phase 1 dedups on (group, value) — the shuffle key
+   * includes the value, so a hot group spreads across the cluster — and
+   * phase 2 counts per group. This is the classic two-phase exact-distinct;
+   * result equals `groupBy(group).agg(countDistinct(value))`.
+   */
+  def distinctCountTwoPhase(df: DataFrame, groupCol: String,
+                            valueCol: String): DataFrame =
+    df.select(col(groupCol), col(valueCol))
+      .distinct()
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as(s"n_distinct_$valueCol"))
+}

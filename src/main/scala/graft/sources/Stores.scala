@@ -88,6 +88,29 @@ object Stores {
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
+  // -------------------------------------------------------------------------
+  // Text formats — CSV / JSON-lines, schema always pinned
+  // -------------------------------------------------------------------------
+
+  /** CSV source with an explicit schema — NEVER inferSchema: schema
+    * inference on a text format is a full extra pass over the data (at
+    * 100 TB, a second 100 TB read before the first real job). Same rule the
+    * engine applies at the parquet boundary (SURVEY.md §1.3). */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JSON-lines source with an explicit schema (no inference pass). */
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Connectivity probe (DAG:79-84: Mongo ping + PG SELECT 1). */
   def probe(spark: SparkSession, sfDir: String): Boolean = {
     spark.sql("SELECT 1").head()

@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.ops.CoreOps
 import graft.sources.Stores
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /**
@@ -78,4 +78,45 @@ object StreamingPipeline {
     * drive the pipeline with AvailableNow (batch-of-files as a stream). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
+
+  // -------------------------------------------------------------------------
+  // Custom state — KeyValueGroupedDataset.mapGroupsWithState
+  // -------------------------------------------------------------------------
+
+  final case class StreamEvent(event_id: Long, ts: java.sql.Timestamp,
+                               user_id: Long, event_type: String,
+                               value: Double, props: String)
+
+  final case class UserState(user_id: Long, n_events: Long,
+                             total_value: Double,
+                             last_ts: java.sql.Timestamp)
+
+  /**
+   * Per-user running profile via `mapGroupsWithState` — the custom-state
+   * escape hatch for semantics tumbling windows can't express (lifetime
+   * counters, per-entity models). State is partitioned by user across
+   * executors and checkpointed by the engine; at 100 TB of events the state
+   * size is O(distinct users), not O(events), and a production deployment
+   * bounds it with `GroupStateTimeout` eviction.
+   */
+  def runningUserState(events: DataFrame): Dataset[UserState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[StreamEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+        (userId, batch, state) =>
+          val prev = state.getOption.getOrElse(UserState(userId, 0L, 0.0, null))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserState(
+              userId,
+              acc.n_events + 1,
+              acc.total_value + e.value,
+              if (acc.last_ts == null || e.ts.after(acc.last_ts)) e.ts
+              else acc.last_ts)
+          }
+          state.update(next)
+          next
+      }
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.SkewOps
+import graft.sources.Stores
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SkewAndSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the unsalted join result") {
+    val big = Seq((1L, 10), (1L, 20), (1L, 30), (2L, 40))
+      .toDF("k", "payload")
+    val small = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val salted = SkewOps.saltedJoin(big, small, "k", "payload", buckets = 4)
+      .orderBy("k", "payload").collect()
+    val plain = big.join(small, Seq("k"))
+      .orderBy("k", "payload").collect()
+    salted shouldBe plain
+  }
+
+  test("distinctCountTwoPhase equals countDistinct") {
+    val ev = Stores.table(spark, sf0001, "events")
+    val twoPhase = SkewOps.distinctCountTwoPhase(ev, "event_type", "user_id")
+      .orderBy("event_type").as[(String, Long)].collect()
+    val direct = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .orderBy("event_type").as[(String, Long)].collect()
+    twoPhase shouldBe direct
+  }
+
+  test("CSV and JSON-lines sources round-trip with a pinned schema") {
+    val work = Files.createTempDirectory("graft_fmt_").toString
+    val ev = Stores.table(spark, sf0001, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .limit(500)
+    val schema = ev.schema
+
+    Stores.writeCsv(ev, s"$work/csv")
+    val csvBack = Stores.readCsv(spark, s"$work/csv", schema)
+    csvBack.schema shouldBe schema
+    csvBack.count() shouldBe 500
+    csvBack.except(ev).count() shouldBe 0L
+
+    Stores.writeJsonLines(ev, s"$work/json")
+    val jsonBack = Stores.readJsonLines(spark, s"$work/json", schema)
+    jsonBack.schema shouldBe schema
+    jsonBack.except(ev).count() shouldBe 0L
+  }
+
+  test("runningUserState accumulates per-user totals via mapGroupsWithState") {
+    val work = Files.createTempDirectory("graft_state_").toString
+    val ev = Stores.table(spark, sf0001, "events")
+      .select(StreamingPipeline.eventSchema.fieldNames.map(col).toIndexedSeq: _*)
+    ev.write.mode("overwrite").parquet(s"$work/src")
+
+    val q = StreamingPipeline.runningUserState(
+        StreamingPipeline.readEventStream(spark, s"$work/src"))
+      .writeStream.format("memory").queryName("graft_user_state")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("graft_user_state")
+      .select("user_id", "n_events")
+    val batch = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    streamed.count() shouldBe batch.count()
+    streamed.except(batch).count() shouldBe 0L
+  }
+
+  test("winnowing fingerprints: shared long substrings share a fingerprint") {
+    import graft.ext.TextOps
+    val common = "this exact sentence appears verbatim in both documents"
+    val df = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"other beginning text $common different tail"),
+      (3L, "completely unrelated content with nothing in common here"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprints(df, "doc_id", "text", k = 8, w = 16)
+    val f1 = fp.filter(col("doc_id") === 1).select("fingerprint").as[Long].collect().toSet
+    val f2 = fp.filter(col("doc_id") === 2).select("fingerprint").as[Long].collect().toSet
+    val f3 = fp.filter(col("doc_id") === 3).select("fingerprint").as[Long].collect().toSet
+    (f1 intersect f2) should not be empty   // the shared sentence ≥ w+k−1 chars
+    (f1 intersect f3) shouldBe empty
+  }
+}
