@@ -89,6 +89,26 @@ object Stores {
   }
 
   // -------------------------------------------------------------------------
+  // Bucketed tables — co-located joins without a per-query shuffle
+  // -------------------------------------------------------------------------
+
+  /** Bucketed + bucket-sorted managed-table write: the table is physically
+    * hash-partitioned by `bucketCol` into `n` buckets at WRITE time, so
+    * every subsequent equi-join or aggregation on that key plans with NO
+    * Exchange — the shuffle is paid once, not per query. This is the
+    * 100 TB answer for fact⋈fact joins where neither side broadcasts
+    * (the staging⋈mart merge in [[graft.ops.CoreOps.upsert]] being the
+    * canonical case: bucket both tiers by `_id`). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    n: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(n, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  // -------------------------------------------------------------------------
   // Text formats — CSV / JSON-lines, schema always pinned
   // -------------------------------------------------------------------------
 

@@ -1,0 +1,85 @@
+package graft
+
+import graft.sources.Stores
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/**
+ * Asserts the physical plans the 100 TB design depends on: pushdown,
+ * pruning, broadcast, partition pruning, and bucket-join shuffle
+ * elimination. A correct answer computed with the wrong plan is a scale
+ * bug — these tests pin the plan.
+ */
+class PhysicalPlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val plan = planOf(Stores.table(spark, sf0001, "orders")
+      .filter(col("o_orderkey") === 42).select("o_orderkey", "o_totalprice"))
+    plan should include("PushedFilters")
+    plan should include regex "PushedFilters: \\[.*o_orderkey.*\\]"
+  }
+
+  test("column pruning: scan reads only projected columns") {
+    val plan = planOf(Stores.table(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity"))
+    val readSchema = plan.split("ReadSchema:").last
+    readSchema should include("l_orderkey")
+    readSchema should not include "l_extendedprice"
+  }
+
+  test("dimension join plans as broadcast, not shuffle, of the small side") {
+    val q5 = SparkEntry.queries("q5_local_supplier_volume")(spark, sf0001)
+    planOf(q5) should include("BroadcastHashJoin")
+  }
+
+  test("run_id-partitioned staging read prunes to one partition directory") {
+    val work = Files.createTempDirectory("graft_prune_").toString
+    val df = Stores.table(spark, sf0001, "events").limit(100)
+    Stores.stageAppend(graft.ops.CoreOps.tagRun(df, "runA"), s"$work/st")
+    Stores.stageAppend(graft.ops.CoreOps.tagRun(df, "runB"), s"$work/st")
+    val read = Stores.stagingForRun(spark, s"$work/st", "runA")
+    read.count() shouldBe 100
+    val plan = read.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include regex "PartitionFilters: \\[.*run_id.*\\]"
+  }
+
+  test("bucketed tables join with zero Exchange (co-located join)") {
+    // force the fact⋈fact path: at fixture scale the planner would rather
+    // broadcast the small side (which is also shuffle-free, but not the
+    // plan under test here)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("graft_li_b", "graft_ord_b").foreach { tbl =>
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new java.io.File(
+          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir") + "/" + tbl))
+        if (loc.exists()) {
+          loc.listFiles().foreach(_.delete()); loc.delete()
+        }
+      }
+      val li = Stores.table(spark, sf0001, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val ord = Stores.table(spark, sf0001, "orders")
+        .select("o_orderkey", "o_totalprice")
+      Stores.writeBucketed(li, "graft_li_b", "l_orderkey", 8)
+      Stores.writeBucketed(ord, "graft_ord_b", "o_orderkey", 8)
+      val joined = Stores.readTable(spark, "graft_li_b")
+        .join(Stores.readTable(spark, "graft_ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.count() should be > 0L
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange"
+      plan should include("Bucketed: true")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}
