@@ -358,6 +358,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF top-k: centroid cells assigned narrowly (model-as-literals, zero
+    // shuffle), scoring only within the query's cell
+    "q_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      SimilarityOps.ivfTopK(
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), emb, cents,
+        "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding-cosine near-duplicate pairs within LSH buckets
+    "q_embedding_near_dups" -> ((s, d) =>
+      SimilarityOps.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, nBits = 4, stride = 8)
+        .orderBy("id1", "id2")),
+
     // vector norms / dims — embedding column algebra
     "q_vector_norm" -> ((s, d) =>
       t(s, d, "embeddings").select(
@@ -1049,6 +1067,59 @@ object SparkEntry {
                          FROM dots)
          SELECT query_id, neighbor_id, score, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_ivf_topk" ->
+      """WITH cen AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              vc AS (SELECT v.vec_id, cen.cid,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS dot,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS nv,
+                            SUM(CAST(cen.ce[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS nc
+                     FROM embeddings v, cen, idx GROUP BY v.vec_id, cen.cid),
+              scored_c AS (SELECT vec_id, cid, ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS cs FROM vc),
+              assign AS (SELECT vec_id, cid AS cell FROM (
+                           SELECT vec_id, cid,
+                                  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+                           FROM scored_c) WHERE rn = 1),
+              q AS (SELECT a.vec_id AS qid, e.embedding AS qe, a.cell
+                    FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+                    WHERE a.vec_id >= 10 AND a.vec_id < 20),
+              c AS (SELECT a.vec_id AS nid, e.embedding AS ne, a.cell
+                    FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+              pairs AS (SELECT q.qid, c.nid, q.qe, c.ne FROM q JOIN c USING (cell)
+                        WHERE c.nid <> q.qid),
+              dots AS (SELECT qid, nid,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+                              SUM(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nc
+                       FROM pairs, idx GROUP BY qid, nid),
+              ranked AS (SELECT qid AS query_id, nid AS neighbor_id,
+                                ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) AS score,
+                                CAST(row_number() OVER (PARTITION BY qid ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) DESC, nid ASC) AS BIGINT) AS rank
+                         FROM dots)
+         SELECT query_id, neighbor_id, score, rank FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_embedding_near_dups" ->
+      """WITH v AS (SELECT vec_id, embedding,
+                           CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                              + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+                              + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+                              + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
+                    FROM embeddings),
+              pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                               a.embedding AS ae, b.embedding AS be
+                        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              dots AS (SELECT id1, id2,
+                              SUM(CAST(ae[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)) AS na,
+                              SUM(CAST(be[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS nb
+                       FROM pairs, idx GROUP BY id1, id2)
+         SELECT id1, id2, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS score
+         FROM dots
+         WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+         ORDER BY id1, id2""",
 
     "q_vector_norm" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,

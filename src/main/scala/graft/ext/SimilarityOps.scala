@@ -102,6 +102,65 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  // -------------------------------------------------------------------------
+  // IVF (inverted-file) index — the third ANN tier
+  // -------------------------------------------------------------------------
+
+  /**
+   * Assign every vector to its nearest centroid cell (argmax cosine, ties →
+   * smallest centroid id). The centroid set is a MODEL artifact — bounded,
+   * driver-collected, folded into the row expression as literals — so
+   * assignment is a pure narrow projection: ZERO shuffle at any corpus size
+   * (a window-based argmax would shuffle rows × centroids). Centroids here
+   * come from [[takeCentroids]] (deterministic stub); production swaps in
+   * k-means output — identical plumbing.
+   */
+  def ivfAssign(df: DataFrame, centroids: Seq[(Long, Seq[Float])],
+                idCol: String, vecCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    // argmax as array_max over (score, -cid) structs: linear expression size
+    // (one cosine per centroid). A when-chain fold would re-reference its
+    // accumulator 3× per level — exponential tree growth that stalls codegen.
+    val entries = centroids.map { case (cid, vec) =>
+      struct(cosineNative(col(vecCol), typedlit(vec)).as("cs"),
+        lit(-cid).as("ncid"))
+    }
+    val best = array_max(array(entries: _*))
+    df.withColumn("cell", -best.getField("ncid"))
+  }
+
+  /** Deterministic centroid stub: the first `c` vectors by id. Production:
+    * sampled k-means (same (id, vector) shape, same downstream plumbing). */
+  def takeCentroids(df: DataFrame, idCol: String, vecCol: String,
+                    c: Int): Seq[(Long, Seq[Float])] =
+    df.orderBy(col(idCol)).limit(c)
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
+  /**
+   * IVF top-k (nprobe=1): queries and corpus are cell-assigned narrowly,
+   * then scored only within the query's cell — the equi-join on `cell`
+   * shuffles each side once, volume O(corpus), never O(|Q|·|C|). Recall is
+   * tuned by the centroid count (fewer cells = bigger cells = higher
+   * recall & cost), exactly the IVF nlist/nprobe trade.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              centroids: Seq[(Long, Seq[Float])],
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = ivfAssign(queries, centroids, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"))
+    val c = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+    val scored = c.join(q, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosineNative(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a,b), a<b, with cosine ≥
     * threshold, via bucketed self-join (exact within bucket — an
     * approximate global answer, like all embedding dedup at scale). */

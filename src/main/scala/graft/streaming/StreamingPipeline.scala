@@ -79,6 +79,17 @@ object StreamingPipeline {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Native streaming session windows: per-user sessions close after
+    * `gap` of event-time silence past the watermark. The engine-managed
+    * streaming analog of [[graft.ops.TemporalOps.sessionize]] (same
+    * semantics, state bounded by watermark instead of a batch window). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
   // -------------------------------------------------------------------------
   // Custom state — KeyValueGroupedDataset.mapGroupsWithState
   // -------------------------------------------------------------------------

@@ -36,6 +36,27 @@ class StreamingPipelineSpec extends SparkSpec {
     Stores.martRead(spark, mart).count() shouldBe n
   }
 
+  test("sessionCounts: streaming session windows match batch sessionization") {
+    val work = Files.createTempDirectory("graft_stream_sw_").toString
+    stageEvents(s"$work/src")
+
+    val q = StreamingPipeline.sessionCounts(
+        StreamingPipeline.readEventStream(spark, s"$work/src"), gap = "30 minutes")
+      .writeStream.format("memory").queryName("graft_sw")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("graft_sw")
+      .select(col("user_id"), col("session_window.start").as("s"), col("n_events"))
+    val batch = graft.ops.TemporalOps.sessionStats(
+        Stores.table(spark, sf0001, "events"), "user_id", "ts", "event_id", 1800L)
+      .select(col("user_id"), col("session_start").as("s"), col("n_events"))
+    streamed.count() shouldBe batch.count()
+    streamed.except(batch).count() shouldBe 0L
+  }
+
   test("windowedCounts: tumbling windows match the batch aggregation") {
     val work = Files.createTempDirectory("graft_stream_wc_").toString
     stageEvents(s"$work/src")
