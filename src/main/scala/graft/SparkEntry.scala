@@ -271,6 +271,15 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
 
+    // streaming-analog SLIDING window aggregation (batch form): 2-day
+    // windows sliding by 1 day — every event lands in exactly 2 windows
+    "q_events_sliding_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        .orderBy("ws", "event_type")),
+
     // streaming-analog tumbling window aggregation (batch form)
     "q_events_tumbling_window" -> ((s, d) =>
       t(s, d, "events")
@@ -908,6 +917,12 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
                 CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_events_sliding_window" ->
+      """SELECT date_trunc('day', ts) - to_days(o) AS ws, event_type,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events, (SELECT unnest([0, 1]) AS o)
+         GROUP BY 1, 2 ORDER BY ws, event_type""",
 
     "q_events_tumbling_window" ->
       """SELECT date_trunc('day', ts) AS day, event_type,

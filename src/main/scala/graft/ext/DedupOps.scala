@@ -61,16 +61,18 @@ object DedupOps {
     * (id1 < id2 keeps each pair once.) */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    val sh = spread(df).select(col(idCol).as("id"),
-        explode(shingleHashes(col(textCol), n)).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("a").join(sh.as("b"),
+    // set size rides along each exploded shingle row (it's functionally
+    // dependent on the id), so |A| and |B| fall out of the pair groupBy —
+    // no separate sizes aggregation and no two joins back
+    val sh = spread(df)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sha"))
+      .select(col("id"), size(col("sha")).cast("bigint").as("sz"),
+        explode(col("sha")).as("sh"))
+    sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnsRenamed(Map("id" -> "id1", "sz" -> "sz1")), "id1")
-      .join(sizes.withColumnsRenamed(Map("id" -> "id2", "sz" -> "sz2")), "id2")
       .withColumn("jaccard",
         round(col("common").cast("double") /
           (col("sz1") + col("sz2") - col("common")), 4))
