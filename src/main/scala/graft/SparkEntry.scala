@@ -680,6 +680,38 @@ object SparkEntry {
         date_trunc("month", col("o_orderdate")).as("month_start"))
         .orderBy("o_orderkey")),
 
+    // null-handling scalar functions
+    "q_null_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("F")), lit("FINAL")).as("status_nn"),
+        greatest(col("o_totalprice"), lit(150000.0)).as("price_floor"),
+        least(col("o_totalprice"), lit(150000.0)).as("price_cap"),
+        when(col("o_totalprice") > 150000, "big").otherwise("small").as("size_tag"),
+        isnull(col("o_custkey")).as("cust_missing"))
+        .orderBy("o_orderkey")),
+
+    // array/struct construction + access
+    "q_array_funcs" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 50).select(
+        col("doc_id"),
+        array_contains(split(col("text"), " "), "the").as("has_the"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        concat_ws("|", slice(split(col("text"), " "), 1, 3)).as("first3"),
+        element_at(array_sort(array_distinct(split(col("text"), " "))), 1)
+          .as("first_sorted"),
+        struct(col("doc_id").as("id"), col("lang").as("l"))
+          .getField("l").as("lang_via_struct"))
+        .orderBy("doc_id")),
+
+    // regexp extraction (capture groups)
+    "q_regexp_extract" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+        col("c_name").rlike("[0-9]{3,}").as("has_3digits"))
+        .orderBy("c_custkey")),
+
     "q_levenshtein" -> ((s, d) =>
       t(s, d, "nation").select(col("n_name"),
         levenshtein(col("n_name"), lit("UNITED STATES")).cast(LongType).as("dist"))
@@ -1349,6 +1381,30 @@ object SparkEntry {
                 last_day(CAST(o_orderdate AS DATE)) AS month_end,
                 date_trunc('month', o_orderdate) AS month_start
          FROM orders ORDER BY o_orderkey""",
+
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+                COALESCE(NULLIF(o_orderstatus, 'F'), 'FINAL') AS status_nn,
+                GREATEST(o_totalprice, 150000.0) AS price_floor,
+                LEAST(o_totalprice, 150000.0) AS price_cap,
+                CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS size_tag,
+                o_custkey IS NULL AS cust_missing
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_array_funcs" ->
+      """SELECT doc_id,
+                list_contains(string_split(text, ' '), 'the') AS has_the,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                array_to_string(string_split(text, ' ')[1:3], '|') AS first3,
+                list_sort(list_distinct(string_split(text, ' ')))[1] AS first_sorted,
+                lang AS lang_via_struct
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+
+    "q_regexp_extract" ->
+      """SELECT c_custkey,
+                COALESCE(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
+                regexp_matches(c_name, '[0-9]{3,}') AS has_3digits
+         FROM customer ORDER BY c_custkey""",
 
     "q_levenshtein" ->
       """SELECT n_name, CAST(levenshtein(n_name, 'UNITED STATES') AS BIGINT) AS dist

@@ -14,14 +14,20 @@ import org.apache.spark.sql.functions._
  */
 object Stores {
 
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   /** Source scan (DAG:94-96 `client[DB][COLLECTION]`). Projection/predicates
     * applied by the caller are pushed into the parquet scan by Catalyst —
     * the engine-side equivalent of Mongo server-side
-    * projection+filter+sort pushdown (DAG:98-132). */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    normalizeNanoTs(df)
-  }
+    * projection+filter+sort pushdown (DAG:98-132). The unresolved plan is
+    * memoized per (session, dir, table): plans are immutable, and re-reading
+    * repeats the file listing + footer schema read on every call — measurable
+    * across a 70-query run. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    tableCache.computeIfAbsent((spark, sfDir, name), { _ =>
+      normalizeNanoTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+    })
 
   /** Parquet TIMESTAMP(NANOS) columns (events.ts fixture) are rejected by
     * Spark 4 unless read as raw longs (`spark.sql.legacy.parquet.nanosAsLong`,
