@@ -107,6 +107,41 @@ object MultimodalOps {
     raw.map(_ / n)
   }
 
+  final case class ResizedMedia(media_id: Long, payload: Array[Byte],
+                                width: Int, height: Int)
+
+  /**
+   * Resize plumbing — same per-partition batch shape as [[extractFeatures]]
+   * (codec init amortized across the batch, payload-in → payload-out).
+   *
+   * ??? STUB ???  `resizePayload` stands in for a real image resize
+   * (libvips/Pillow-SIMD equivalent). The fake is deterministic —
+   * truncate/cycle the payload to a size proportional to the target area —
+   * so tests exercise the real plumbing (batch iteration, metadata rewrite,
+   * payload replacement) with stable outputs.
+   */
+  def resize(spark: SparkSession, media: Dataset[MediaRow],
+             targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      // per-partition codec setup would go here
+      batch.map { m =>
+        val bytes = Option(m.payload).getOrElse(Array.emptyByteArray)
+        ResizedMedia(m.media_id, resizePayload(bytes, targetW, targetH),
+          targetW, targetH)
+      }
+    }
+  }
+
+  /** STUB — deterministic fake resize: emits ceil(area/64) bytes cycled
+    * from the source payload. Replace with a real decoder+scaler; the
+    * (bytes, w, h) → bytes signature is the production contract. */
+  private def resizePayload(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(w * h / 64, 1)
+    if (bytes.isEmpty) new Array[Byte](n)
+    else Array.tabulate[Byte](n)(i => bytes(i % bytes.length))
+  }
+
   /** Video frame-sampling plumbing: explode a (stubbed) frame index list —
     * one output row per sampled frame, payload carried by reference
     * (offset), not copied. Real frame extraction would slice the container

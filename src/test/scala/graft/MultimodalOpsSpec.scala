@@ -46,6 +46,21 @@ class MultimodalOpsSpec extends SparkSpec {
       again.sortBy(_.media_id).map(_.feature.toSeq)
   }
 
+  test("resize: batch payload rewrite with deterministic stub scaler") {
+    import MultimodalOps.MediaRow
+    val media = MultimodalOps.syntheticMedia(spark, 8)
+      .select(col("media_id"), col("payload"),
+        col("meta.media_type").as("media_type"), col("meta.format").as("format"))
+      .as[MediaRow]
+    val resized = MultimodalOps.resize(spark, media, 64, 64).collect()
+    resized.length shouldBe 8
+    all(resized.map(_.width)) shouldBe 64
+    all(resized.map(_.payload.length)) shouldBe 64 * 64 / 64
+    val again = MultimodalOps.resize(spark, media, 64, 64).collect()
+    resized.sortBy(_.media_id).map(_.payload.toSeq) shouldBe
+      again.sortBy(_.media_id).map(_.payload.toSeq)
+  }
+
   test("sampleFrames explodes one row per sampled frame offset") {
     val media = MultimodalOps.syntheticMedia(spark, 5)
     val frames = MultimodalOps.sampleFrames(media, everyMs = 1000L)
