@@ -48,6 +48,19 @@ object Pipeline {
     * (DAG:311-315: only address, country, updatedat, requestparams). */
   val updateCols: Seq[String] = Seq("ts", "value", "props", "props_k", "run_id")
 
+  /** Backfill: one [[run]] per historical window, in order — the engine
+    * analog of Airflow `catchup=True` enumerating logical dates
+    * (DAG:437-446). Windows are half-open and contiguous windows never
+    * double-load thanks to the keyed upsert. */
+  def backfill(
+      spark: SparkSession,
+      sfDir: String,
+      windows: Seq[(String, String)],
+      workDir: String): Seq[Result] =
+    windows.zipWithIndex.map { case ((start, end), i) =>
+      run(spark, sfDir, start, end, runId = s"backfill_$i", workDir = workDir)
+    }
+
   def run(
       spark: SparkSession,
       sfDir: String,

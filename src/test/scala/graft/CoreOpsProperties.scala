@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.CoreOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/**
+ * Property-based invariants (SURVEY.md §5): upsert idempotency, merge key
+ * algebra, normalization idempotency, half-open window semantics. Small
+ * generated frames through the shared session; case count tuned down —
+ * each case is a real Spark job.
+ */
+object CoreOpsProperties extends Properties("CoreOps") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowGen: Gen[(Long, String, Double)] = for {
+    id <- Gen.chooseNum(0L, 20L)
+    s <- Gen.alphaStr.map(_.take(6))
+    v <- Gen.chooseNum(-1000.0, 1000.0)
+  } yield (id, s, v)
+
+  private val frameGen: Gen[List[(Long, String, Double)]] =
+    Gen.listOfN(12, rowGen).map(rows =>
+      rows.groupBy(_._1).map(_._2.head).toList) // unique per key
+
+  property("upsert is idempotent: upsert(upsert(t,u),u) == upsert(t,u)") =
+    forAll(frameGen, frameGen) { (t, u) =>
+      val target = t.toDF("id", "s", "v")
+      val updates = u.toDF("id", "s", "v")
+      val once = CoreOps.upsert(target, updates, "id", Seq("v"))
+        .orderBy("id").collect().toSeq
+      val twice = CoreOps.upsert(
+        CoreOps.upsert(target, updates, "id", Seq("v")), updates, "id", Seq("v"))
+        .orderBy("id").collect().toSeq
+      Prop(once == twice) :| s"once=$once twice=$twice"
+    }
+
+  property("upsert key set = target keys ∪ update keys") =
+    forAll(frameGen, frameGen) { (t, u) =>
+      val merged = CoreOps.upsert(t.toDF("id", "s", "v"), u.toDF("id", "s", "v"),
+        "id", Seq("v"))
+      val keys = merged.select("id").as[Long].collect().toSet
+      Prop(keys == (t.map(_._1).toSet ++ u.map(_._1).toSet))
+    }
+
+  property("upsert never changes non-update columns of existing target keys") =
+    forAll(frameGen, frameGen) { (t, u) =>
+      val merged = CoreOps.upsert(t.toDF("id", "s", "v"), u.toDF("id", "s", "v"),
+        "id", Seq("v"))
+      val mergedS = merged.select("id", "s").as[(Long, String)].collect().toMap
+      Prop(t.forall { case (id, s, _) => mergedS(id) == s })
+    }
+
+  property("normalizeColumns is idempotent") =
+    forAll(Gen.listOfN(3, Gen.identifier.map(_.take(8)))) { names0 =>
+      val names = names0.zipWithIndex.map { case (n, i) => s" $n$i X" }
+      val df = Seq((1, 2, 3)).toDF(names: _*)
+      val once = CoreOps.normalizeColumns(df).columns.toSeq
+      val twice = CoreOps.normalizeColumns(CoreOps.normalizeColumns(df)).columns.toSeq
+      Prop(once == twice && once.forall(c => c == c.trim.toLowerCase))
+    }
+
+  property("windowPredicate is half-open: start included, end excluded") =
+    forAll(Gen.chooseNum(0L, 86400L * 30)) { offsetS =>
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val ts = new java.sql.Timestamp(base + offsetS * 1000)
+      val df = Seq(Tuple1(ts)).toDF("ts")
+      val start = "2024-01-10 00:00:00"
+      val end = "2024-01-20 00:00:00"
+      val kept = df.filter(CoreOps.windowPredicate(Seq("ts"), start, end)).count() == 1
+      val s = java.sql.Timestamp.valueOf(start)
+      val e = java.sql.Timestamp.valueOf(end)
+      val expected = !ts.before(s) && ts.before(e)
+      Prop(kept == expected) :| s"ts=$ts kept=$kept expected=$expected"
+    }
+}

@@ -31,6 +31,20 @@ class PipelineSpec extends SparkSpec {
     Stores.martRead(spark, s"$work/mart").count() shouldBe (r1.loaded + r3.loaded)
   }
 
+  test("backfill over contiguous windows loads each row exactly once") {
+    val work = Files.createTempDirectory("graft_backfill_").toString
+    val results = Pipeline.backfill(spark, sf0001,
+      Seq(("2024-01-05 00:00:00", "2024-01-10 00:00:00"),
+        ("2024-01-10 00:00:00", "2024-01-15 00:00:00"),
+        ("2024-01-15 00:00:00", "2024-01-20 00:00:00")),
+      workDir = work)
+    all(results.map(_.reconciled)) shouldBe true
+    val expected = Stores.table(spark, sf0001, "events")
+      .filter(graft.ops.CoreOps.windowPredicate(Seq("ts"),
+        "2024-01-05 00:00:00", "2024-01-20 00:00:00")).count()
+    Stores.martRead(spark, s"$work/mart").count() shouldBe expected
+  }
+
   test("empty window short-circuits (DAG:136-143)") {
     val work = Files.createTempDirectory("graft_pipe_empty_").toString
     val r = Pipeline.run(spark, sf0001,
