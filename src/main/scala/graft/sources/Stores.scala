@@ -88,6 +88,56 @@ object Stores {
   def martRead(spark: SparkSession, martPath: String): DataFrame =
     spark.read.parquet(martPath)
 
+  /**
+   * Partition-scoped incremental merge — the 100 TB mart path. The mart is
+   * partitioned by `partitionCol` (a key-immutable derivation, e.g. the
+   * record's creation day); an incremental run:
+   *
+   *   1. collects the update batch's distinct partition values (bounded by
+   *      the batch's window — a driver-side list of partition KEYS, never
+   *      data rows);
+   *   2. reads ONLY those mart partitions (isin filter → directory-level
+   *      partition pruning, asserted in PhysicalPlanSpec);
+   *   3. merges with [[graft.ops.CoreOps.upsert]] partial-update semantics;
+   *   4. rewrites only the touched partition directories via
+   *      write-to-tmp + per-directory swap (the overwrite-while-reading
+   *      hazard makes in-place dynamic overwrite illegal).
+   *
+   * Untouched partitions are never read, shuffled, or rewritten — an
+   * incremental run's cost is O(touched partitions), not O(mart).
+   * Requires `partitionCol` immutable per key (true for creation-date
+   * partitioning; the reference's updatedAt-driven re-extract keeps _id's
+   * createdAt fixed, dag_mgo_pg_schedule_etl_qc.py:124-129).
+   */
+  def martMergePartitioned(spark: SparkSession, martPath: String,
+                           updates: DataFrame, key: String,
+                           updateCols: Seq[String],
+                           partitionCol: String): Unit = {
+    if (!martExists(spark, martPath)) {
+      updates.write.partitionBy(partitionCol).parquet(martPath)
+      return
+    }
+    val touched = updates.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    val target = martRead(spark, martPath)
+      .filter(col(partitionCol).isin(touched: _*))
+      .select(updates.columns.map(col).toIndexedSeq: _*)
+    val merged = graft.ops.CoreOps.upsert(target, updates, key, updateCols)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(martPath).getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(martPath + ".tmpparts")
+    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+    fs.listStatus(tmp)
+      .filter(_.getPath.getName.startsWith(s"$partitionCol="))
+      .foreach { part =>
+        val dst = new org.apache.hadoop.fs.Path(martPath, part.getPath.getName)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.rename(part.getPath, dst)
+      }
+    fs.delete(tmp, true)
+  }
+
   def martExists(spark: SparkSession, martPath: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(martPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

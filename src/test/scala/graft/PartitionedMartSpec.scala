@@ -1,0 +1,58 @@
+package graft
+
+import graft.sources.Stores
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PartitionedMartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: Seq[(Long, String, Double, String)]) =
+    rows.toDF("id", "s", "v", "day")
+
+  test("martMergePartitioned rewrites only touched partitions") {
+    val work = Files.createTempDirectory("graft_pmart_").toString
+    val mart = s"$work/mart"
+
+    // seed: two partitions
+    Stores.martMergePartitioned(spark, mart,
+      frame(Seq(
+        (1L, "a", 1.0, "2024-01-01"), (2L, "b", 2.0, "2024-01-01"),
+        (3L, "c", 3.0, "2024-01-02"))),
+      key = "id", updateCols = Seq("v"), partitionCol = "day")
+
+    val dayAFiles = new java.io.File(s"$mart/day=2024-01-01")
+      .listFiles().map(f => (f.getName, f.lastModified())).toSet
+
+    // update one existing key and insert a new one, both in day 2
+    Stores.martMergePartitioned(spark, mart,
+      frame(Seq(
+        (3L, "CHANGED", 30.0, "2024-01-02"),   // only v may change
+        (4L, "d", 4.0, "2024-01-02"))),
+      key = "id", updateCols = Seq("v"), partitionCol = "day")
+
+    val out = Stores.martRead(spark, mart)
+      .orderBy("id").select("id", "s", "v").as[(Long, String, Double)].collect()
+    out shouldBe Array(
+      (1L, "a", 1.0),      // untouched partition intact
+      (2L, "b", 2.0),
+      (3L, "c", 30.0),     // v updated, s keeps target (partial update)
+      (4L, "d", 4.0))      // inserted
+
+    // untouched partition directory was not rewritten
+    val dayAAfter = new java.io.File(s"$mart/day=2024-01-01")
+      .listFiles().map(f => (f.getName, f.lastModified())).toSet
+    dayAAfter shouldBe dayAFiles
+  }
+
+  test("touched-partition read plans with directory-level pruning") {
+    val work = Files.createTempDirectory("graft_pmart_prune_").toString
+    val mart = s"$work/mart"
+    Stores.martMergePartitioned(spark, mart,
+      frame(Seq((1L, "a", 1.0, "2024-01-01"), (2L, "b", 2.0, "2024-01-02"))),
+      key = "id", updateCols = Seq("v"), partitionCol = "day")
+    val read = Stores.martRead(spark, mart).filter(col("day") === "2024-01-02")
+    read.count() shouldBe 1
+    read.queryExecution.executedPlan.toString should include("PartitionFilters")
+  }
+}
