@@ -217,6 +217,110 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // nation-pair trade volume by year (TPC-H Q7 shape): two roles of the
+    // same dimension (supplier nation vs customer nation), broadcast twice
+    "q7_nation_trade" -> ((s, d) => {
+      val n1 = t(s, d, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).cast(LongType).as("yr"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(8, 4)) - col("l_discount").cast(DecimalType(8, 4))))
+          .cast("double").as("volume"))
+        .filter(col("volume") > 1000000)
+        .orderBy("supp_nation", "cust_nation", "yr")
+    }),
+
+    // market-share ratio per year (TPC-H Q8 shape): conditional numerator
+    // over total, grouped by year
+    "q8_market_share" -> ((s, d) => {
+      val discPrice = col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(8, 4)) - col("l_discount").cast(DecimalType(8, 4)))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"))
+        .agg(round(
+          sum(when(col("n_name") === "CHINA", discPrice)
+            .otherwise(lit(0).cast(DecimalType(20, 6)))).cast("double") /
+            sum(discPrice).cast("double"), 6).as("mkt_share"))
+        .orderBy("yr")
+    }),
+
+    // top returned-revenue customers (TPC-H Q10 shape)
+    "q10_returned_items" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(8, 4)) - col("l_discount").cast(DecimalType(8, 4))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+
+    // distinct-supplier counts with NOT IN exclusion (TPC-H Q16 shape)
+    "q16_supplier_cnt" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 5, 9, 13))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)),
+
+    // big-order detection via IN-subquery-with-HAVING (TPC-H Q18 shape)
+    "q18_large_orders" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity"), 18, 2).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "total_qty")
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(50)
+    }),
+
+    // disjunctive multi-range predicate (TPC-H Q19 shape)
+    "q19_disjunctive" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(15, 40) &&
+            col("l_quantity").between(20, 35)))
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // dormant rich customers: scalar subquery + NOT EXISTS (TPC-H Q22 shape)
+    "q22_dormant_customers" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("ab"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal"), 18, 2).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // window function: top-2 orders per customer
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
@@ -908,6 +1012,78 @@ object SparkEntry {
             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
           GROUP BY n_name
           ORDER BY revenue DESC, n_name ASC""",
+
+    "q7_nation_trade" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(o_orderdate) AS BIGINT) AS yr, $revenueExpr AS volume
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_name < n2.n_name
+          GROUP BY 1, 2, 3
+          HAVING $revenueExpr > 1000000
+          ORDER BY supp_nation, cust_nation, yr""",
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                ROUND(
+                  CAST(SUM(CASE WHEN n_name = 'CHINA'
+                                THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                                ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE) /
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE),
+                6) AS mkt_share
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY yr""",
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, $revenueExpr AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE l_returnflag = 'R'
+          GROUP BY c_custkey, c_name
+          ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""",
+
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, total_qty
+         FROM orders
+         JOIN (SELECT l_orderkey,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150) b
+           ON o_orderkey = b.l_orderkey
+         ORDER BY total_qty DESC, o_orderkey ASC LIMIT 50""",
+
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 25)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40 AND l_quantity BETWEEN 20 AND 35)""",
+
+    "q22_dormant_customers" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                            FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
