@@ -143,6 +143,12 @@ object SparkEntry {
         QualityCheck.ValidType("props", "string"),
         QualityCheck.Freshness("ts", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))),
 
+    // O19 extension: referential-integrity QC (orphaned foreign keys)
+    "q_qc_fk_orphans" -> ((s, d) =>
+      QualityCheck.referentialIntegrity(
+        t(s, d, "orders"), "o_custkey",
+        t(s, d, "customer").filter(col("c_acctbal") >= 0), "c_custkey")),
+
     // O20-O22: count reconciliation src vs dst
     "q_count_reconcile" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -965,6 +971,13 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN props IS NOT NULL AND TRY_CAST(props AS VARCHAR) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS type_props_string,
                 CAST(CASE WHEN MAX(ts) >= TIMESTAMP '2024-01-01 00:00:00' THEN 0 ELSE 1 END AS BIGINT) AS freshness_ts
          FROM events""",
+
+    "q_qc_fk_orphans" ->
+      """SELECT 'fk_o_custkey_refs_c_custkey' AS rule,
+                CAST(COUNT(*) AS BIGINT) AS violations
+         FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM customer
+                           WHERE c_acctbal >= 0 AND c_custkey = o_custkey)""",
 
     "q_count_reconcile" ->
       """SELECT a.src_count, b.dst_count, a.src_count = b.dst_count AS ok

@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
  */
 object QualityCheck {
 
+  /** Referential-integrity check (the one declared-check class that can't
+    * ride in the single-pass aggregate — it needs a join): count of child
+    * rows whose `childKey` has no match in `parent.parentKey`. Implemented
+    * as a left-anti join (shuffle or broadcast per Catalyst's choice) +
+    * count — at 100 TB the parent side's distinct keys usually broadcast.
+    * Returns a 1-row frame (rule, violations). */
+  def referentialIntegrity(child: org.apache.spark.sql.DataFrame,
+                           childKey: String,
+                           parent: org.apache.spark.sql.DataFrame,
+                           parentKey: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keys = parent.select(col(parentKey).as("__pk")).distinct()
+    child.join(keys, col(childKey) === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(s"fk_${childKey}_refs_$parentKey").as("rule"),
+        col("violations"))
+  }
+
   sealed trait Rule {
     def name: String
     /** Aggregate column counting VIOLATIONS (0 = pass). */
