@@ -11,7 +11,7 @@ package graft.ext
  * A custom codegen `Expression` (see [[graft.functions.CosineSimilarity]]
  * for the pattern) is the production endgame for these too.
  */
-private[ext] object HashKernel extends Serializable {
+private[graft] object HashKernel extends Serializable {
 
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

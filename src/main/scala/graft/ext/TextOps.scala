@@ -65,7 +65,7 @@ object TextOps {
     * true 100 TB exact-dedup use the full 128-bit hex string (also provided);
     * the numeric form exists for cheap joins/minhash arithmetic. */
   def fingerprint60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+    graft.functions.Fingerprint60(c)
 
   def fingerprintHex(c: Column): Column = md5(c)
 

@@ -118,14 +118,25 @@ object GraftFunctions {
       CosineSimilarity(children.head, children(1))
     })
 
+  val fp60Name = "graft_fp60"
+
+  private def fp60Entry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(fp60Name),
+    new ExpressionInfo(classOf[Fingerprint60].getName, fp60Name),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, s"$fp60Name expects 1 argument")
+      Fingerprint60(children.head)
+    })
+
   /** Idempotent session-scoped registration — lets library operators
-    * (e.g. [[graft.ext.SimilarityOps]]) use the function on any session
+    * (e.g. [[graft.ext.SimilarityOps]]) use the functions on any session
     * without requiring the `spark.sql.extensions` config. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(cosineName))) {
-      val (id, info, builder) = cosineEntry
-      registry.registerFunction(id, info, builder)
+    Seq(cosineEntry, fp60Entry).foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, info, builder)
+      }
     }
   }
 }
@@ -138,5 +149,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.cosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.cosineName),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.fp60Name),
+      new ExpressionInfo(classOf[Fingerprint60].getName, GraftFunctions.fp60Name),
+      (children: Seq[Expression]) => Fingerprint60(children.head)))
   }
 }

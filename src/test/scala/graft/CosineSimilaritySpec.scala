@@ -46,6 +46,30 @@ class CosineSimilaritySpec extends SparkSpec {
     r.getDouble(0) shouldBe 1.0 +- 1e-12
   }
 
+  test("Fingerprint60 equals the SQL md5-prefix composition, codegen and eval") {
+    import graft.functions.Fingerprint60
+    val docs = sources.Stores.table(spark, sf0001, "documents").limit(200)
+    val both = docs.select(
+      Fingerprint60(col("text")).as("native"),
+      expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("sql"))
+    both.filter(col("native") =!= col("sql")).count() shouldBe 0L
+    // interpreted path (inside a higher-order lambda)
+    val inLambda = docs.select(
+      transform(split(col("text"), " "),
+        t => graft.ext.TextOps.fingerprint60(t)).as("hs"),
+      split(col("text"), " ").as("toks"))
+    inLambda.selectExpr(
+        "exists(zip_with(hs, transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)), (a, b) -> a != b), x -> x) AS mismatch")
+      .filter(col("mismatch")).count() shouldBe 0L
+    // SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql("SELECT graft_fp60('hello') AS h").head().getLong(0) shouldBe
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .substring(0, 15), 16)
+  }
+
   test("scoring join uses the native expression, not the interpreted lambda tree") {
     GraftFunctions.register(spark)
     val emb = sources.Stores.table(spark, sf0001, "embeddings")
