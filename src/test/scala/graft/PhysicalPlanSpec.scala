@@ -32,6 +32,15 @@ class PhysicalPlanSpec extends SparkSpec {
     readSchema should not include "l_extendedprice"
   }
 
+  test("aggregation query runs inside WholeStageCodegen spans") {
+    val q1 = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
+    // '*(n)' prefixes mark WholeStageCodegen stages in the plan string;
+    // both the partial and final aggregates must be inside one
+    val plan = planOf(q1)
+    plan should include regex "\\*\\(\\d+\\) HashAggregate"
+    plan should not include "CodegenFallback"
+  }
+
   test("dimension join plans as broadcast, not shuffle, of the small side") {
     val q5 = SparkEntry.queries("q5_local_supplier_volume")(spark, sf0001)
     planOf(q5) should include("BroadcastHashJoin")
