@@ -520,6 +520,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // interval (range) join: purchases to same-user clicks in the prior hour
+    "q_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+          col("ts").as("click_ts"))
+      p.join(c,
+          col("user_id") === col("c_user_id") &&
+            col("click_ts") <= col("purchase_ts") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 60 MINUTES"))
+        .select("purchase_id", "click_id", "user_id")
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // sessionization: gap-based session assignment + per-session rollup
     "q_sessionize" -> ((s, d) =>
       TemporalOps.sessionStats(t(s, d, "events"), "user_id", "ts", "event_id",
@@ -1374,6 +1391,14 @@ object SparkEntry {
            WHERE r.user_id = l.user_id AND r.ts <= l.ts
            ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) rr ON true
          ORDER BY event_id""",
+
+    "q_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         ORDER BY purchase_id, click_id""",
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),

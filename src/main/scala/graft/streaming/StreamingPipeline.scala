@@ -90,6 +90,33 @@ object StreamingPipeline {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
 
+  /**
+   * Stream-stream interval join: each purchase joins clicks of the same
+   * user within the preceding `horizonMinutes`. Both sides carry
+   * watermarks, so the engine bounds the join state to the horizon +
+   * watermark — without the time bound the state would grow forever.
+   * Batch equivalent: an equi-join with a range residual (asserted equal
+   * in the spec).
+   */
+  def purchaseClickJoin(events: DataFrame,
+                        horizonMinutes: Int = 60,
+                        watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   // -------------------------------------------------------------------------
   // Custom state — KeyValueGroupedDataset.mapGroupsWithState
   // -------------------------------------------------------------------------

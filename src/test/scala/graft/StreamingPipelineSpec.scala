@@ -57,6 +57,36 @@ class StreamingPipelineSpec extends SparkSpec {
     streamed.except(batch).count() shouldBe 0L
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val work = Files.createTempDirectory("graft_stream_ssj_").toString
+    stageEvents(s"$work/src")
+
+    val q = StreamingPipeline.purchaseClickJoin(
+        StreamingPipeline.readEventStream(spark, s"$work/src"), horizonMinutes = 60)
+      .writeStream.format("memory").queryName("graft_ssj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val ev = Stores.table(spark, sf0001, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+    val batch = p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 60 MINUTES"))
+      .select("purchase_id", "click_id")
+
+    val streamed = spark.table("graft_ssj").select("purchase_id", "click_id")
+    streamed.count() shouldBe batch.count()
+    streamed.except(batch).count() shouldBe 0L
+  }
+
   test("windowedCounts: tumbling windows match the batch aggregation") {
     val work = Files.createTempDirectory("graft_stream_wc_").toString
     stageEvents(s"$work/src")
