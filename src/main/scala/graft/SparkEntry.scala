@@ -495,6 +495,18 @@ object SparkEntry {
         "embedding", threshold = 0.4, nBits = 4, stride = 8)
         .orderBy("id1", "id2")),
 
+    // typed UDAF: element-wise vector mean per label (k-means centroid step)
+    "q_vector_mean_by_label" -> ((s, d) => {
+      val vm = udaf(new graft.functions.VectorAggregators.VectorMean(8))
+      t(s, d, "embeddings")
+        .select(col("label"), slice(col("embedding"), 1, 8).as("v8"))
+        .groupBy(col("label").cast(LongType).as("label"))
+        .agg(vm(col("v8")).as("m"))
+        .select(col("label") +:
+          (1 to 8).map(i => round(element_at(col("m"), i), 6).as(s"m$i")): _*)
+        .orderBy("label")
+    }),
+
     // vector norms / dims — embedding column algebra
     "q_vector_norm" -> ((s, d) =>
       t(s, d, "embeddings").select(
@@ -1373,6 +1385,18 @@ object SparkEntry {
          FROM dots
          WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
          ORDER BY id1, id2""",
+
+    "q_vector_mean_by_label" ->
+      """SELECT CAST(label AS BIGINT) AS label,
+                ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS m1,
+                ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 6) AS m2,
+                ROUND(AVG(CAST(embedding[3] AS DOUBLE)), 6) AS m3,
+                ROUND(AVG(CAST(embedding[4] AS DOUBLE)), 6) AS m4,
+                ROUND(AVG(CAST(embedding[5] AS DOUBLE)), 6) AS m5,
+                ROUND(AVG(CAST(embedding[6] AS DOUBLE)), 6) AS m6,
+                ROUND(AVG(CAST(embedding[7] AS DOUBLE)), 6) AS m7,
+                ROUND(AVG(CAST(embedding[8] AS DOUBLE)), 6) AS m8
+         FROM embeddings GROUP BY 1 ORDER BY label""",
 
     "q_vector_norm" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
