@@ -101,7 +101,12 @@ object Pipeline {
 
     // -- task 4: load (DAG:195-326): stage append (partitioned by run_id),
     //    keyed merge with partial update set, staging cleanup.
-    Stores.stageAppend(transformed, stagingPath)
+    //    Reconciliation counts ride the write jobs as Observations — the
+    //    reference re-queries Mongo and Postgres for its counts (DAG:394-407);
+    //    observed metrics cost ZERO extra passes over the data.
+    val srcObs = new org.apache.spark.sql.Observation(s"graft_src_$runId")
+    Stores.stageAppend(transformed.observe(srcObs, count(lit(1)).as("n")),
+      stagingPath)
     val updates = Stores.stagingForRun(spark, stagingPath, runId)
       .select(martSchema.fieldNames.map(col).toIndexedSeq: _*)
     val merged =
@@ -110,10 +115,11 @@ object Pipeline {
           .select(martSchema.fieldNames.map(col).toIndexedSeq: _*)
         CoreOps.upsert(target, updates, "_id", updateCols)
       } else updates
-    // two actions read the staging+mart inputs (write, then counts) — cache
-    // the merged frame for the duration of the load+qc+reconcile phase
-    merged.cache()
-    Stores.martOverwrite(merged, martPath)
+    val dstObs = new org.apache.spark.sql.Observation(s"graft_dst_$runId")
+    Stores.martOverwrite(
+      merged.observe(dstObs,
+        sum(when(col("run_id") === lit(runId), 1L).otherwise(0L)).as("n")),
+      martPath)
     Stores.dropRun(spark, stagingPath, runId)   // DAG:317-320
 
     // -- task 5: quality gate (DAG:333-369) — the declared check set DAG:369,
@@ -126,12 +132,16 @@ object Pipeline {
       QualityCheck.ValidType("_id", "bigint"),
       QualityCheck.Freshness("ts", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
 
-    // -- task 6: row-count reconciliation (DAG:375-422): source count over the
-    //    window vs mart count for this run.
-    val (srcN, dstN) = CoreOps.reconcileOrThrow(
-      src.filter(CoreOps.windowPredicate(Seq("ts"), start, end)),
-      CoreOps.selectRun(mart, runId))
-    merged.unpersist()
+    // -- task 6: row-count reconciliation (DAG:375-422): source-window count
+    //    vs this run's mart rows, both harvested from the write-job
+    //    observations above — no extra scans.
+    val srcN = srcObs.get("n").asInstanceOf[Long]
+    val dstN = dstObs.get("n") match {
+      case null => 0L
+      case n => n.asInstanceOf[Long]
+    }
+    if (srcN != dstN)
+      throw new IllegalStateException(s"reconciliation failed: src=$srcN dst=$dstN")
 
     Result(runId, srcN, dstN, qc, reconciled = true)
   }

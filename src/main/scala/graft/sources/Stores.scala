@@ -144,6 +144,27 @@ object Stores {
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
+  /**
+   * Small-files compaction: rewrite a parquet directory into
+   * ⌈bytes / targetFileBytes⌉ files (atomic tmp-swap). Incremental
+   * append-per-run staging (and any streaming sink) accretes small files;
+   * at scale the file count — not the byte count — kills scan planning
+   * (one task + one open per file). Run periodically or when
+   * `fileCount / idealCount` exceeds ~10×.
+   */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path).coalesce(nFiles)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
   // -------------------------------------------------------------------------
   // Bucketed tables — co-located joins without a per-query shuffle
   // -------------------------------------------------------------------------

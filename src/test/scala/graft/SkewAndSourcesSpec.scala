@@ -30,6 +30,21 @@ class SkewAndSourcesSpec extends SparkSpec {
     twoPhase shouldBe direct
   }
 
+  test("compact rewrites a many-file directory into few files, same rows") {
+    val work = Files.createTempDirectory("graft_compact_").toString
+    val ev = Stores.table(spark, sf0001, "events").select("event_id", "value")
+    ev.repartition(24).write.mode("overwrite").parquet(s"$work/many")
+    val before = new java.io.File(s"$work/many")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    before should be >= 20
+    Stores.compact(spark, s"$work/many")
+    val after = new java.io.File(s"$work/many")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    after shouldBe 1   // tiny fixture << 128 MB target
+    spark.read.parquet(s"$work/many").except(ev).count() shouldBe 0L
+    spark.read.parquet(s"$work/many").count() shouldBe ev.count()
+  }
+
   test("CSV and JSON-lines sources round-trip with a pinned schema") {
     val work = Files.createTempDirectory("graft_fmt_").toString
     val ev = Stores.table(spark, sf0001, "events")
