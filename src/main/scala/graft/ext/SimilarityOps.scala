@@ -129,6 +129,35 @@ object SimilarityOps {
     df.withColumn("cell", -best.getField("ncid"))
   }
 
+  /**
+   * Lloyd's k-means over the embedding column, cosine assignment +
+   * element-wise mean update — produces trained centroids for [[ivfTopK]].
+   * Per iteration: one narrow assignment pass (centroids-as-literals) and
+   * one hash aggregation by cell using the [[graft.functions.VectorAggregators.VectorMean]]
+   * UDAF (partial aggregation: the shuffle carries one (dim, count) buffer
+   * per cell per partition). Only the c new centroids are collected — the
+   * model artifact, never data. Deterministic: seeded by [[takeCentroids]],
+   * scores rounded before argmax, empty cells keep their previous centroid.
+   */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      c: Int, iters: Int, dim: Int): Seq[(Long, Seq[Float])] = {
+    val vm = udaf(new graft.functions.VectorAggregators.VectorMean(dim))
+    var centroids = takeCentroids(df, idCol, vecCol, c)
+    var i = 0
+    while (i < iters) {
+      val means = ivfAssign(df, centroids, idCol, vecCol)
+        .groupBy("cell").agg(vm(col(vecCol)).as("m"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toFloat).toSeq))
+        .toMap
+      centroids = centroids.map { case (cid, old) =>
+        (cid, means.getOrElse(cid, old))
+      }
+      i += 1
+    }
+    centroids
+  }
+
   /** Deterministic centroid stub: the first `c` vectors by id. Production:
     * sampled k-means (same (id, vector) shape, same downstream plumbing). */
   def takeCentroids(df: DataFrame, idCol: String, vecCol: String,
