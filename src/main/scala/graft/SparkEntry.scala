@@ -338,6 +338,18 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // explicit cross join (dimension cartesian)
+    "q_cross_join" -> ((s, d) =>
+      t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")),
+
+    // pagination: sort + offset + limit
+    "q_limit_offset" -> ((s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(100).limit(10)),
+
     // top-k by sort+limit
     "q_topk_limit" -> ((s, d) =>
       t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
@@ -1133,6 +1145,14 @@ object SparkEntry {
                   CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
            FROM orders)
          WHERE rn <= 2 ORDER BY o_custkey, rn""",
+
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+
+    "q_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 100""",
 
     "q_topk_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
