@@ -130,6 +130,35 @@ object StreamingPipeline {
                              last_ts: java.sql.Timestamp)
 
   /**
+   * Threshold alerting via `flatMapGroupsWithState` — the 0..n-output
+   * custom-state form: emits a user's state exactly ONCE, on the batch
+   * where their lifetime event count first crosses `threshold`. State and
+   * partitioning as in [[runningUserState]]; the flatMap variant is what
+   * lets a group stay silent (no output) on most batches.
+   */
+  def thresholdAlerts(events: DataFrame, threshold: Long): Dataset[UserState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[StreamEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserState](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (userId, batch, state) =>
+          val prev = state.getOption.getOrElse(UserState(userId, 0L, 0.0, null))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserState(userId, acc.n_events + 1, acc.total_value + e.value,
+              if (acc.last_ts == null || e.ts.after(acc.last_ts)) e.ts
+              else acc.last_ts)
+          }
+          state.update(next)
+          if (prev.n_events < threshold && next.n_events >= threshold)
+            Iterator.single(next)
+          else Iterator.empty
+      }
+  }
+
+  /**
    * Per-user running profile via `mapGroupsWithState` — the custom-state
    * escape hatch for semantics tumbling windows can't express (lifetime
    * counters, per-entity models). State is partitioned by user across

@@ -85,6 +85,28 @@ class SkewAndSourcesSpec extends SparkSpec {
     streamed.except(batch).count() shouldBe 0L
   }
 
+  test("thresholdAlerts emits each crossing user exactly once (flatMapGroupsWithState)") {
+    val work = Files.createTempDirectory("graft_alerts_").toString
+    val ev = Stores.table(spark, sf0001, "events")
+      .select(StreamingPipeline.eventSchema.fieldNames.map(col).toIndexedSeq: _*)
+    ev.write.mode("overwrite").parquet(s"$work/src")
+
+    val q = StreamingPipeline.thresholdAlerts(
+        StreamingPipeline.readEventStream(spark, s"$work/src"), threshold = 5L)
+      .writeStream.format("memory").queryName("graft_alerts")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val alerted = spark.table("graft_alerts").select("user_id")
+    val expected = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5).select("user_id")
+    alerted.count() shouldBe expected.count()
+    alerted.distinct().count() shouldBe alerted.count()  // exactly once
+    alerted.except(expected).count() shouldBe 0L
+  }
+
   test("winnowing fingerprints: shared long substrings share a fingerprint") {
     import graft.ext.TextOps
     val common = "this exact sentence appears verbatim in both documents"
