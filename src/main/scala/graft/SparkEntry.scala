@@ -567,6 +567,16 @@ object SparkEntry {
           gapSeconds = 3600L)
         .orderBy("user_id", "session_id")),
 
+    // Spark-native session_window in batch mode (gap-merged sessions);
+    // oracle rebuilds the same semantics via lag + running sum
+    "q_session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("n"))
+        .orderBy("user_id", "s_start")),
+
     // lag/lead over per-customer order history
     "q_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
@@ -1458,6 +1468,20 @@ object SparkEntry {
          SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
                 MAX(tsec) - MIN(tsec) AS duration_s, CAST(COUNT(*) AS BIGINT) AS n_events
          FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "q_session_window" ->
+      """WITH g AS (SELECT user_id, ts,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END AS is_new
+                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              s AS (SELECT user_id, ts,
+                           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+                    FROM g)
+         SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""",
 
     "q_lag_lead" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
