@@ -793,6 +793,22 @@ object SparkEntry {
           max(col("o_totalprice")).as("hi"))
         .orderBy("bucket")),
 
+    // approximate percentiles (t-digest-style sketch) — the 100 TB variant
+    // of q_percentiles: mergeable sketch, no global sort. No SQL oracle
+    // (engine-specific sketch); rows-only check
+    "q_approx_percentiles" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(
+          expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+            .as("quartiles"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"),
+          element_at(col("quartiles"), 1).as("p25"),
+          element_at(col("quartiles"), 2).as("p50"),
+          element_at(col("quartiles"), 3).as("p75"),
+          col("n"))
+        .orderBy("o_orderstatus")),
+
     // approximate distinct (HLL) — no SQL oracle (engine-specific sketch);
     // driver records the weaker rows-only check
     "q_approx_distinct" -> ((s, d) =>
