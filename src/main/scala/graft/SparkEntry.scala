@@ -223,6 +223,34 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // pure filter + scalar aggregate (TPC-H Q6 forecast-revenue shape):
+    // everything pushes to the scan, one partial+final agg, no join
+    "q6_forecast_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampType) &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          col("l_discount").cast(DecimalType(8, 4)))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // top supplier(s) by revenue (TPC-H Q15 shape): agg view + max via window
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-07-01 00:00:00").cast(TimestampType))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(8, 4)) - col("l_discount").cast(DecimalType(8, 4))))
+          .cast("double").as("total_revenue"))
+      rev.withColumn("max_rev", max(col("total_revenue")).over(Window.partitionBy()))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+
     // nation-pair trade volume by year (TPC-H Q7 shape): two roles of the
     // same dimension (supplier nation vs customer nation), broadcast twice
     "q7_nation_trade" -> ((s, d) => {
@@ -1092,6 +1120,26 @@ object SparkEntry {
             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
           GROUP BY n_name
           ORDER BY revenue DESC, n_name ASC""",
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.02 AND 0.06
+           AND l_quantity < 24""",
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey, $revenueExpr AS total_revenue
+                       FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                         AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+                       GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, total_revenue
+          FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+          ORDER BY s_suppkey""",
 
     "q7_nation_trade" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
