@@ -45,6 +45,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Can produce null from NON-null inputs (length mismatch, null element),
+    * so nullability must not be inherited from the children — with
+    * non-nullable inputs the default would declare the column non-nullable
+    * and a null result would silently read back as 0.0. (Same override
+    * Spark's ElementAt/GetArrayItem carry for the same reason.) */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_cosine"
 
   override protected def withNewChildrenInternal(

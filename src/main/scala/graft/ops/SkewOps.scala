@@ -40,12 +40,16 @@ object SkewOps {
    * `countDistinct`: phase 1 dedups on (group, value) — the shuffle key
    * includes the value, so a hot group spreads across the cluster — and
    * phase 2 counts per group. This is the classic two-phase exact-distinct;
-   * result equals `groupBy(group).agg(countDistinct(value))`.
+   * result equals `groupBy(group).agg(countDistinct(value))` INCLUDING null
+   * semantics: `count(value)` skips the (group, null) row `distinct()`
+   * keeps, so nulls are never counted as a distinct value and an all-null
+   * group reports 0 — while the group itself survives (countDistinct keeps
+   * every group too).
    */
   def distinctCountTwoPhase(df: DataFrame, groupCol: String,
                             valueCol: String): DataFrame =
     df.select(col(groupCol), col(valueCol))
       .distinct()
       .groupBy(groupCol)
-      .agg(count(lit(1)).as(s"n_distinct_$valueCol"))
+      .agg(count(col(valueCol)).as(s"n_distinct_$valueCol"))
 }

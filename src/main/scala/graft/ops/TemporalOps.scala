@@ -27,11 +27,15 @@ object TemporalOps {
    * Left rows with no prior right row keep nulls (LEFT OUTER semantics).
    *
    * Implementation: tag + union both sides, then one window pass per key
-   * ordered by (ts, side, tiebreak) carrying `last(value, ignoreNulls)`
-   * forward — right rows sort before left rows at equal ts, so the match is
-   * inclusive. One shuffle on `key`, local sort within partitions; no range
-   * join, no nested loop. `rightCols` are the right-side payload columns to
-   * carry (emitted with prefix `asof_`).
+   * ordered by (ts, side, tiebreak) carrying the matched right row forward
+   * as a SINGLE struct with one `last(ignoreNulls)` — right rows sort before
+   * left rows at equal ts, so the match is inclusive. Carrying one struct
+   * (not one `last` per column) guarantees every `asof_` column comes from
+   * the SAME right row, and a legitimately-null payload value rides with its
+   * owning row instead of resurrecting a stale non-null from an older row.
+   * One shuffle on `key`, local sort within partitions; no range join, no
+   * nested loop. `rightCols` are the right-side payload columns to carry
+   * (emitted with prefix `asof_`).
    */
   def asofJoin(
       left: DataFrame,
@@ -47,18 +51,20 @@ object TemporalOps {
       .withColumn("__side", lit(1))
       .withColumn("__tie", lit(null).cast("long"))
     val r0 = right
-      .select((Seq(col(key), col(rightTs).as("__t"), lit(0).as("__side"),
-        col(rightTieBreak).cast("long").as("__tie")) ++
-        carried.map(c => col(c).as(s"asof_$c"))): _*)
+      .select(col(key), col(rightTs).as("__t"), lit(0).as("__side"),
+        col(rightTieBreak).cast("long").as("__tie"),
+        struct(carried.map(c => col(c).as(s"asof_$c")): _*).as("__asof"))
     val unioned = l.unionByName(r0, allowMissingColumns = true)
     val w = Window.partitionBy(key)
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withAsof = carried.foldLeft(unioned) { (acc, c) =>
-      acc.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    withAsof.filter(col("__side") === 1)
-      .drop("__t", "__side", "__tie")
+    val withRow = unioned
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+    carried.foldLeft(withRow) { (acc, c) =>
+        acc.withColumn(s"asof_$c", col("__asof").getField(s"asof_$c"))
+      }
+      .filter(col("__side") === 1)
+      .drop("__t", "__side", "__tie", "__asof")
   }
 
   /**

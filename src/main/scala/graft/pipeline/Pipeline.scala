@@ -35,7 +35,17 @@ object Pipeline {
     StructField("value", DoubleType),
     StructField("props", StringType),        // JSONB column analog, DAG:227
     StructField("props_k", LongType),        // flattened nested field
+    StructField("p_day", DateType),          // mart partition key (see below)
     StructField("run_id", StringType)))      // lineage, DAG:184,264
+
+  /** Mart partition column: the record's creation DAY, derived from ts at
+    * first sight and — critically — NOT in [[updateCols]], so an update
+    * keeps the target row's p_day. Key-immutability is the reference's own
+    * contract (a re-extract of an updated doc carries the original
+    * createdAt, DAG:124-129), and it is what lets an incremental run
+    * rewrite only the partition directories its batch touches instead of
+    * the whole mart. */
+  val martPartitionCol: String = "p_day"
 
   final case class Result(
       runId: String,
@@ -96,7 +106,9 @@ object Pipeline {
         CoreOps.flattenJsonTyped(
           extracted.withColumn("_id", col("event_id").cast(StringType)),
           "props", StructType(Seq(StructField("k", LongType)))),
-        StructType(martSchema.fields.filterNot(_.name == "run_id"))),
+        StructType(martSchema.fields
+          .filterNot(f => f.name == "run_id" || f.name == martPartitionCol)))
+        .withColumn(martPartitionCol, to_date(col("ts"))),
       runId)
 
     // -- task 4: load (DAG:195-326): stage append (partitioned by run_id),
@@ -107,19 +119,18 @@ object Pipeline {
     val srcObs = new org.apache.spark.sql.Observation(s"graft_src_$runId")
     Stores.stageAppend(transformed.observe(srcObs, count(lit(1)).as("n")),
       stagingPath)
+    //    The merge is PARTITION-SCOPED (Stores.martMergePartitioned): only
+    //    the p_day directories present in this batch are read, merged, and
+    //    swapped — an incremental run costs O(touched partitions), never
+    //    O(mart). The reconciliation count rides the merge write as an
+    //    Observation (zero extra passes).
     val updates = Stores.stagingForRun(spark, stagingPath, runId)
       .select(martSchema.fieldNames.map(col).toIndexedSeq: _*)
-    val merged =
-      if (Stores.martExists(spark, martPath)) {
-        val target = Stores.martRead(spark, martPath)
-          .select(martSchema.fieldNames.map(col).toIndexedSeq: _*)
-        CoreOps.upsert(target, updates, "_id", updateCols)
-      } else updates
     val dstObs = new org.apache.spark.sql.Observation(s"graft_dst_$runId")
-    Stores.martOverwrite(
-      merged.observe(dstObs,
-        sum(when(col("run_id") === lit(runId), 1L).otherwise(0L)).as("n")),
-      martPath)
+    Stores.martMergePartitioned(spark, martPath, updates, "_id", updateCols,
+      martPartitionCol,
+      instrument = df => df.observe(dstObs,
+        sum(when(col("run_id") === lit(runId), 1L).otherwise(0L)).as("n")))
     Stores.dropRun(spark, stagingPath, runId)   // DAG:317-320
 
     // -- task 5: quality gate (DAG:333-369) — the declared check set DAG:369,

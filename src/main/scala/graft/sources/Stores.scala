@@ -58,32 +58,81 @@ object Stores {
     spark.read.parquet(stagingPath).filter(col("run_id") === lit(runId))
 
   /** Drop one run's staging partition (DAG:317-320 predicate DELETE).
-    * Metadata-only at any scale. */
+    * Metadata-only at any scale. Goes through the Hadoop FileSystem API —
+    * a java.io.File path would silently no-op on HDFS/S3 and accrete
+    * staging garbage forever. */
   def dropRun(spark: SparkSession, stagingPath: String, runId: String): Unit = {
-    val dir = new java.io.File(s"$stagingPath/run_id=$runId")
-    if (dir.exists()) {
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
-    }
+    val p = new org.apache.hadoop.fs.Path(s"$stagingPath/run_id=$runId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
+
+  private def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
 
   /** Mart overwrite (the materialization step after the merge, DAG:279-316).
     * Parquet is immutable, so "upsert into mart" = compute merged frame,
     * write new version. The merged plan READS the current mart, so writing
     * goes to a temp dir first and swaps in — the same write-new-version-then-
-    * flip-pointer discipline every table format (Delta/Iceberg) uses. At
-    * 100 TB the mart would be partitioned by a stable key range / date so an
-    * incremental run rewrites only touched partitions. */
+    * flip-pointer discipline every table format (Delta/Iceberg) uses.
+    *
+    * The swap is crash-safe: the live dir is RENAMED to `.bak` (never
+    * deleted) before the new version renames in, so at every instant either
+    * the live dir or a complete predecessor (.bak) or successor (.tmp)
+    * exists; [[recoverMart]] promotes whichever survives a crash. A
+    * delete-then-rename swap here would be data loss under foreachBatch
+    * replay: on restart martExists()=false and the replayed micro-batch
+    * would seed a mart containing only itself.
+    *
+    * At 100 TB the mart is partitioned and incremental runs go through
+    * [[martMergePartitioned]] instead — this whole-table form is for
+    * bounded marts and first materialization. */
   def martOverwrite(df: DataFrame, martPath: String): Unit = {
     val spark = df.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(martPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(martPath + ".tmp")
-    val dst = new org.apache.hadoop.fs.Path(martPath)
+    val fs = hpath(martPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = hpath(martPath + ".tmp")
+    val bak = hpath(martPath + ".bak")
+    val dst = hpath(martPath)
+    recoverMart(spark, martPath)
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
     fs.rename(tmp, dst)
+    fs.delete(bak, true)
   }
+
+  /** Crash recovery for a rename-swap (write tmp → live→bak → tmp→live →
+    * drop bak). Invariants:
+    *   - live exists        → any leftover bak is superseded; drop it.
+    *   - live missing, tmp complete (_SUCCESS) → crash fell between
+    *     live→bak and tmp→live; tmp holds the NEWER full version — promote.
+    *   - live missing, only bak → crash fell before tmp finished; bak holds
+    *     the last complete version — restore it.
+    * Leftover tmp alongside a live dir is NOT promoted: the write that
+    * produced it never committed (its batch/run will replay). */
+  private def recoverSwap(spark: SparkSession, path: String,
+                          tmpSuffix: String, bakSuffix: String): Unit = {
+    val fs = hpath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = hpath(path + tmpSuffix)
+    val bak = hpath(path + bakSuffix)
+    val dst = hpath(path)
+    if (fs.exists(dst)) {
+      if (fs.exists(bak)) fs.delete(bak, true)
+    } else if (fs.exists(tmp) && fs.exists(hpath(path + tmpSuffix + "/_SUCCESS"))) {
+      fs.rename(tmp, dst)
+      if (fs.exists(bak)) fs.delete(bak, true)
+    } else if (fs.exists(bak)) {
+      fs.rename(bak, dst)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
+  }
+
+  /** Recover the [[martOverwrite]] swap after a crash. */
+  def recoverMart(spark: SparkSession, martPath: String): Unit =
+    recoverSwap(spark, martPath, ".tmp", ".bak")
+
+  /** Recover the [[compact]] swap after a crash. */
+  def recoverCompacted(spark: SparkSession, path: String): Unit =
+    recoverSwap(spark, path, ".compact", ".precompact")
 
   def martRead(spark: SparkSession, martPath: String): DataFrame =
     spark.read.parquet(martPath)
@@ -112,9 +161,10 @@ object Stores {
   def martMergePartitioned(spark: SparkSession, martPath: String,
                            updates: DataFrame, key: String,
                            updateCols: Seq[String],
-                           partitionCol: String): Unit = {
+                           partitionCol: String,
+                           instrument: DataFrame => DataFrame = identity): Unit = {
     if (!martExists(spark, martPath)) {
-      updates.write.partitionBy(partitionCol).parquet(martPath)
+      instrument(updates).write.partitionBy(partitionCol).parquet(martPath)
       return
     }
     val touched = updates.select(partitionCol).distinct().collect()
@@ -127,18 +177,48 @@ object Stores {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(martPath).getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(martPath + ".tmpparts")
-    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+    instrument(merged).write.mode("overwrite")
+      .partitionBy(partitionCol).parquet(tmp.toString)
+    // Per-directory swap, crash-safe per partition: old dir renames ASIDE
+    // (outside the mart root, so partition discovery never sees it), new dir
+    // renames in, then the aside copy drops. A crash mid-loop leaves each
+    // partition either fully old, fully new, or old-under-aside — never
+    // absent; [[recoverMartPartitions]] restores aside dirs on next access
+    // and the keyed upsert makes the replayed run idempotent.
+    val asideRoot = new org.apache.hadoop.fs.Path(martPath + ".aside")
+    fs.mkdirs(asideRoot)
     fs.listStatus(tmp)
       .filter(_.getPath.getName.startsWith(s"$partitionCol="))
       .foreach { part =>
         val dst = new org.apache.hadoop.fs.Path(martPath, part.getPath.getName)
-        if (fs.exists(dst)) fs.delete(dst, true)
+        val aside = new org.apache.hadoop.fs.Path(asideRoot, part.getPath.getName)
+        if (fs.exists(aside)) fs.delete(aside, true)
+        if (fs.exists(dst)) fs.rename(dst, aside)
         fs.rename(part.getPath, dst)
+        fs.delete(aside, true)
       }
     fs.delete(tmp, true)
+    fs.delete(asideRoot, true)
+  }
+
+  /** Crash recovery for the [[martMergePartitioned]] per-partition swap:
+    * an aside dir whose live twin exists is superseded (drop it); one whose
+    * live twin is missing holds the last complete version (restore it). */
+  def recoverMartPartitions(spark: SparkSession, martPath: String): Unit = {
+    val fs = hpath(martPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val asideRoot = hpath(martPath + ".aside")
+    if (!fs.exists(asideRoot)) return
+    fs.listStatus(asideRoot).foreach { part =>
+      val live = new org.apache.hadoop.fs.Path(martPath, part.getPath.getName)
+      if (fs.exists(live)) fs.delete(part.getPath, true)
+      else fs.rename(part.getPath, live)
+    }
+    fs.delete(asideRoot, true)
   }
 
   def martExists(spark: SparkSession, martPath: String): Boolean = {
+    recoverMart(spark, martPath)
+    recoverMartPartitions(spark, martPath)
     val p = new org.apache.hadoop.fs.Path(martPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).nonEmpty
@@ -154,15 +234,21 @@ object Stores {
    */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    recoverCompacted(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path).coalesce(nFiles)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    val bak = new org.apache.hadoop.fs.Path(path + ".precompact")
+    // Rename-swap, never delete-then-rename: a crash between the two steps
+    // must leave a complete version under either the live path or .precompact.
     df.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(p, bak)
     fs.rename(tmp, p)
+    fs.delete(bak, true)
   }
 
   // -------------------------------------------------------------------------

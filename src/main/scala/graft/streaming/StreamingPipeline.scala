@@ -49,12 +49,18 @@ object StreamingPipeline {
   /** Exactly-once keyed ingestion: dedup inside the stream (idempotent
     * re-delivery, DAG:311 ON CONFLICT) then per-micro-batch upsert into the
     * mart via foreachBatch — the reference's extract→merge loop with the
-    * scheduler replaced by the engine. */
+    * scheduler replaced by the engine.
+    *
+    * Dedup state IS bounded by the watermark horizon:
+    * `dropDuplicatesWithinWatermark` evicts a key's entry once the watermark
+    * passes its event time. Plain `dropDuplicates("event_id")` would keep
+    * every key forever (watermark eviction requires the event-time column in
+    * the dedup keys) — unbounded state at 100 TB. */
   def keyedIngest(spark: SparkSession, events: DataFrame, martPath: String,
                   checkpoint: String, watermark: String = "1 hour"): StreamingQuery =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .writeStream
       .queryName("graft_keyed_ingest")
       .option("checkpointLocation", checkpoint)
