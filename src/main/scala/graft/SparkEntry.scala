@@ -478,7 +478,7 @@ object SparkEntry {
 
     "q_ngram_jaccard_pairs" -> ((s, d) =>
       DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.5, maxShingleDf = 50)
         .orderBy("id1", "id2")),
 
     "q_simhash" -> ((s, d) =>
@@ -488,7 +488,7 @@ object SparkEntry {
 
     "q_minhash_lsh_pairs" -> ((s, d) =>
       DedupOps.minhashDedupPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 3, numHashes = 16, bands = 4, threshold = 0.4)
+        n = 3, numHashes = 16, bands = 4, threshold = 0.4, maxBandDf = 50)
         .withColumnRenamed("j", "jaccard")
         .orderBy("id1", "id2")),
 
@@ -1324,8 +1324,12 @@ object SparkEntry {
                             CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
                      FROM grams),
               sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+              kept AS (SELECT s.id, s.sh FROM sh s
+                       JOIN (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh) d
+                         ON d.sh = s.sh
+                       WHERE d.df <= 50),
               common AS (SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS c
-                         FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                         FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
                          GROUP BY a.id, b.id)
          SELECT id1, id2,
                 ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) AS jaccard
@@ -1361,8 +1365,13 @@ object SparkEntry {
               banded AS (SELECT id, CAST(i // 4 AS INT) AS band,
                                 md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
                          FROM sigs GROUP BY id, CAST(i // 4 AS INT)),
+              bandedk AS (SELECT bd.id, bd.band, bd.band_key FROM banded bd
+                          JOIN (SELECT band, band_key, COUNT(*) AS df
+                                FROM banded GROUP BY band, band_key) d
+                            ON d.band = bd.band AND d.band_key = bd.band_key
+                          WHERE d.df <= 50),
               cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2
-                        FROM banded a JOIN banded b
+                        FROM bandedk a JOIN bandedk b
                           ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
               sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
               common AS (SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS c

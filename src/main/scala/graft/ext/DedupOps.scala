@@ -42,32 +42,62 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Word n-gram shingles of a text column, as an array of distinct 60-bit
-    * shingle hashes. Narrow (per-row), one JVM kernel call per document —
+    * shingle hashes. Narrow (per-row), one native codegen expression per
+    * document ([[graft.functions.ShingleHashes]] → HashKernel) —
     * semantically: tokens = split(text, " "); gram_i = tokens[i, i+n) joined
     * by " " for i ∈ [0, max(|tokens|−n, 0)]; hash = fingerprint60(gram);
     * distinct, first-occurrence order. (The equivalent
     * sequence→slice→concat_ws→md5→conv higher-order-function tree is
-    * interpreted per element — ~0.5 ms/doc vs ~10 µs for the kernel.) */
-  def shingleHashes(text: Column, n: Int): Column = shingleUdf(n)(text)
+    * interpreted per element — ~0.5 ms/doc vs ~10 µs for the kernel; a
+    * Scala UDF adds an encoder round-trip per row on top.) */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.ShingleHashes(text, n)
 
-  private def shingleUdf(n: Int) =
-    udf((text: String) =>
-      if (text == null) null else HashKernel.shingles(text, n))
+  /** Drop exploded index entries whose key's document frequency exceeds
+    * `cap` — the standard guard (CCNet et al.) against hot boilerplate:
+    * one shingle/band key shared by n docs yields n² candidate pairs, and
+    * AQE can split the shuffle partitions but not the quadratic pair count.
+    * Cost: one hash-agg over the (small) key column + a broadcast anti-join;
+    * the df aggregation is partial+final so the extra pass is cheap relative
+    * to the self-join it bounds. `cap` ≥ dedup-cluster size keeps genuine
+    * duplicate groups intact — boilerplate df is orders of magnitude above
+    * both. */
+  private def dropHotKeys(exploded: DataFrame, keyCol: String, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) exploded
+    else {
+      // Pin ONE hash exchange on the key and hang the df aggregation, the
+      // anti-join probe side, and (downstream) both self-join sides off it:
+      // ReuseExchange then computes the expensive upstream (shingle kernel +
+      // explode) exactly once, and neither the groupBy nor the self-join
+      // needs a further shuffle — their partitioning requirement is already
+      // satisfied.
+      val exchanged = exploded.repartition(col(keyCol))
+      val hot = exchanged.groupBy(keyCol)
+        .agg(count(lit(1)).as("__df")).filter(col("__df") > cap)
+        .select(keyCol)
+      exchanged.join(broadcast(hot), Seq(keyCol), "left_anti")
+    }
 
   /** Pairwise n-gram Jaccard near-dup pairs above `threshold`, via an
     * inverted index on shingle hash: explode shingles → self-join on shingle
     * → count common → |A∩B| / (|A|+|B|−|A∩B|). Shuffle is O(total shingles),
     * and only docs sharing ≥1 shingle ever meet — never a cross join.
-    * (id1 < id2 keeps each pair once.) */
+    * (id1 < id2 keeps each pair once.) Shingles with document frequency >
+    * `maxShingleDf` are dropped BEFORE the self-join (hot-boilerplate guard,
+    * see [[dropHotKeys]]); set sizes |A|,|B| are computed before the cap, so
+    * capped pairs can only lose score, never gain. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
+                   n: Int, threshold: Double,
+                   maxShingleDf: Int = Int.MaxValue): DataFrame = {
     // set size rides along each exploded shingle row (it's functionally
     // dependent on the id), so |A| and |B| fall out of the pair groupBy —
     // no separate sizes aggregation and no two joins back
-    val sh = spread(df)
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sha"))
-      .select(col("id"), size(col("sha")).cast("bigint").as("sz"),
-        explode(col("sha")).as("sh"))
+    val sh = dropHotKeys(
+      spread(df)
+        .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sha"))
+        .select(col("id"), size(col("sha")).cast("bigint").as("sz"),
+          explode(col("sha")).as("sh")),
+      "sh", maxShingleDf)
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
@@ -79,16 +109,6 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
-
-  private def signatureUdf(numHashes: Int) =
-    udf((sh: Seq[Long]) =>
-      if (sh == null) null else HashKernel.signature(sh.toArray, numHashes))
-
-  private def bandKeysUdf(numHashes: Int, bands: Int) =
-    udf((sh: Seq[Long]) =>
-      if (sh == null) null
-      else HashKernel.bandKeys(
-        HashKernel.signature(sh.toArray, numHashes), bands, numHashes / bands))
 
   /** Spread a (possibly few-split) input across the cluster before CPU-heavy
     * per-row work — signature cost is O(shingles × hashes) per doc and must
@@ -106,45 +126,57 @@ object DedupOps {
     spread(df)
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .select(col("id"),
-        posexplode(signatureUdf(numHashes)(col("sh"))))
+        posexplode(graft.functions.MinhashSignature(col("sh"), numHashes)))
       .select(col("id"), col("pos").cast("bigint").as("i"),
         col("col").as("minhash"))
 
   /** LSH banding over exploded (id, i, minhash) signatures: docs sharing any
     * band key become candidate pairs. The band self-join shuffles
-    * O(docs × bands) rows of 16-byte keys; hot boilerplate buckets are the
-    * skew risk — AQE skew-join splits them. */
-  def lshCandidatePairs(signatures: DataFrame, bands: Int, rows: Int): DataFrame = {
+    * O(docs × bands) rows of 16-byte keys. Hot boilerplate buckets are the
+    * skew AND volume risk: band keys with document frequency > `maxBandDf`
+    * are dropped before the self-join ([[dropHotKeys]]) — AQE splits skewed
+    * partitions but cannot un-quadratic the pair count. */
+  def lshCandidatePairs(signatures: DataFrame, bands: Int, rows: Int,
+                        maxBandDf: Int = Int.MaxValue): DataFrame = {
     val banded = signatures
       .withColumn("band", (col("i") / rows).cast("int"))
       .groupBy("id", "band")
       .agg(md5(concat_ws(",",
         transform(sort_array(collect_list(struct(col("i"), col("minhash")))),
           s => s.getField("minhash").cast("string")))).as("band_key"))
-    bandJoin(banded)
+    bandJoin(banded, maxBandDf)
   }
 
-  private def bandJoin(banded: DataFrame): DataFrame =
+  private def bandJoin(banded0: DataFrame, maxBandDf: Int): DataFrame = {
+    // the df key is the (band, band_key) pair — fold band into the key so
+    // dropHotKeys can cap on one column
+    val banded = dropHotKeys(
+      banded0.withColumn("band_key",
+        concat_ws(":", col("band").cast("string"), col("band_key"))),
+      "band_key", maxBandDf)
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+  }
 
   /** Full MinHash-LSH near-dup pipeline: per-row signatures → per-row band
     * keys → band-bucket join for candidates → exact-Jaccard verification ≥
     * threshold. Wide ops: the band join + the two verification joins — all
-    * hash joins on doc id / 16-byte keys, never O(docs²). */
+    * hash joins on doc id / 16-byte keys, never O(docs²). Band keys with
+    * document frequency > `maxBandDf` are dropped before the candidate
+    * join (hot-boilerplate guard, [[dropHotKeys]]). */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int, bands: Int,
-                        threshold: Double): DataFrame = {
+                        threshold: Double,
+                        maxBandDf: Int = Int.MaxValue): DataFrame = {
     val banded = spread(df)
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .select(col("id"),
-        posexplode(bandKeysUdf(numHashes, bands)(col("sh"))))
+        posexplode(graft.functions.BandKeys(col("sh"), numHashes, bands)))
       .select(col("id"), col("pos").as("band"), col("col").as("band_key"))
-    val cands = bandJoin(banded)
+    val cands = bandJoin(banded, maxBandDf)
     val withText = df.select(col(idCol).as("id"), col(textCol).as("__t"))
     val verified = cands
       .join(withText.withColumnsRenamed(Map("id" -> "id1", "__t" -> "t1")), "id1")

@@ -50,24 +50,34 @@ object SimilarityOps {
 
   /**
    * Exact top-k neighbors for each query vector. `queries` must be small
-   * (≤ ~10⁵ rows): it is broadcast, so the big corpus never shuffles for the
-   * scoring join; the only shuffle is the final per-query top-k window over
-   * |Q|·|C| scored pairs — bounded by filtering to the per-partition top-k
-   * first at larger scales (not needed at fixture scale).
+   * (≤ ~10⁵ rows): it is broadcast, so the big corpus never shuffles for
+   * the scoring join. The per-query top-k is a bounded-heap typed
+   * Aggregator ([[graft.functions.VectorAggregators.TopKByScore]]) with
+   * full partial aggregation: map-side `reduce` prunes to k per partition,
+   * so the shuffle carries |Q|·k·partitions buffer entries — NOT the
+   * |Q|·|C| scored pairs a `Window.partitionBy(query).orderBy(score)` rank
+   * would move (at 100 TB corpus × 10⁵ queries, that window shuffle would
+   * BE the job). Tie order (score desc, id asc) matches the window form
+   * exactly, so results are bit-identical.
+   *
+   * `idCol` must be integral (it rides the heap as a long); at 100 TB an
+   * id is a 64-bit key anyway — hash or dictionary-encode string ids first.
    */
   def cosineTopK(queries: DataFrame, corpus: DataFrame,
                  idCol: String, vecCol: String, k: Int): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosineNative(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    val topk = udaf(new graft.functions.VectorAggregators.TopKByScore(k))
+    scored.groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        col("col._1").as("score"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Sign-LSH bucket id from `nBits` fixed "hyperplanes". For oracle

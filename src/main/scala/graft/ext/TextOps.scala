@@ -86,9 +86,10 @@ object TextOps {
     df.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
 
-  private def charKgramUdf(k: Int) =
-    udf((text: String) =>
-      if (text == null) null else HashKernel.charKgrams(text, k))
+  /** Char k-gram hashes via the native codegen expression (one static
+    * kernel call per row, no UDF encoder round-trip). */
+  private def charKgrams(text: Column, k: Int): Column =
+    graft.functions.CharKgrams(text, k)
 
   /**
    * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
@@ -107,7 +108,7 @@ object TextOps {
                          k: Int, w: Int): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("pos")).rowsBetween(0, w - 1)
-    df.select(col(idCol), posexplode(charKgramUdf(k)(col(textCol))))
+    df.select(col(idCol), posexplode(charKgrams(col(textCol), k)))
       .select(col(idCol), col("pos"), col("col").as("h"))
       .withColumn("fingerprint", min(col("h")).over(win))
       .select(col(idCol), col("fingerprint"))

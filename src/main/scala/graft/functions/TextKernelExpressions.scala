@@ -1,0 +1,151 @@
+package graft.functions
+
+import graft.ext.HashKernel
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native codegen expressions for the text/dedup hot loops — the promotion
+ * of the former Scala UDFs (shingles / minhash signature / LSH band keys /
+ * char k-grams) to first-class Catalyst expressions, following the
+ * [[Fingerprint60]] pattern. A Scala UDF costs an encoder round-trip
+ * (UTF8String→String→result→Catalyst) per ROW plus a closure call that
+ * blocks expression-level codegen fusion; these compile to a direct static
+ * call inside the surrounding WholeStageCodegen stage and hand back
+ * primitive `long[]` arrays with no boxing (`UnsafeArrayData
+ * .fromPrimitiveArray`). The per-document semantics are unchanged — both
+ * forms call the same [[graft.ext.HashKernel]] — so every DuckDB oracle
+ * stays bit-identical.
+ */
+abstract class TextKernelExpression extends UnaryExpression {
+  override def nullable: Boolean = true
+
+  protected def expectedInput: DataType
+
+  private def matchesInput(dt: DataType): Boolean = (dt, expectedInput) match {
+    case (_: StringType, _: StringType) => true
+    case (ArrayType(a, _), ArrayType(b, _)) => a == b
+    case (a, b) => a == b
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (matchesInput(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ${expectedInput.simpleString}, got ${child.dataType.simpleString}")
+}
+
+/** `graft_shingles(text, n)` — distinct word-n-gram 60-bit shingle hashes,
+  * first-occurrence order (see [[graft.ext.HashKernel.shingles]]). */
+case class ShingleHashes(child: Expression, n: Int) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override protected def expectedInput: DataType = StringType
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.kernel(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashes$$.MODULE$$.kernel($c, $n)")
+}
+
+object ShingleHashes {
+  def kernel(s: UTF8String, n: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(HashKernel.shingles(s.toString, n))
+
+  def apply(c: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), n))
+}
+
+/** `graft_minhash(shingles, numHashes)` — MinHash signature over an
+  * array of shingle hashes (see [[graft.ext.HashKernel.signature]]). */
+case class MinhashSignature(child: Expression, numHashes: Int)
+    extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override protected def expectedInput: DataType = ArrayType(LongType)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashSignature.kernel(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinhashSignature$$.MODULE$$.kernel($c, $numHashes)")
+}
+
+object MinhashSignature {
+  def kernel(sh: ArrayData, numHashes: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      HashKernel.signature(sh.toLongArray(), numHashes))
+
+  def apply(c: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinhashSignature(ColumnBridge.expression(c), numHashes))
+}
+
+/** `graft_band_keys(shingles, numHashes, bands)` — LSH band keys of the
+  * MinHash signature (see [[graft.ext.HashKernel.bandKeys]]). */
+case class BandKeys(child: Expression, numHashes: Int, bands: Int)
+    extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_band_keys"
+  override protected def expectedInput: DataType = ArrayType(LongType)
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeys =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    BandKeys.kernel(input.asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BandKeys$$.MODULE$$.kernel($c, $numHashes, $bands)")
+}
+
+object BandKeys {
+  def kernel(sh: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val keys = HashKernel.bandKeys(
+      HashKernel.signature(sh.toLongArray(), numHashes), bands, numHashes / bands)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      keys.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  def apply(c: Column, numHashes: Int, bands: Int): Column =
+    ColumnBridge.column(BandKeys(ColumnBridge.expression(c), numHashes, bands))
+}
+
+/** `graft_char_kgrams(text, k)` — character k-gram hashes in position
+  * order, the winnowing base layer (see [[graft.ext.HashKernel.charKgrams]]). */
+case class CharKgrams(child: Expression, k: Int) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_kgrams"
+  override protected def expectedInput: DataType = StringType
+
+  override protected def withNewChildInternal(newChild: Expression): CharKgrams =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharKgrams.kernel(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharKgrams$$.MODULE$$.kernel($c, $k)")
+}
+
+object CharKgrams {
+  def kernel(s: UTF8String, k: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(HashKernel.charKgrams(s.toString, k))
+
+  def apply(c: Column, k: Int): Column =
+    ColumnBridge.column(CharKgrams(ColumnBridge.expression(c), k))
+}

@@ -49,9 +49,54 @@ object VectorAggregators {
       ExpressionEncoderHolder.seqDouble
   }
 
+  /**
+   * Bounded top-k by score with full partial aggregation — the scale fix
+   * for exact top-k search. As a `Window.partitionBy(query).orderBy(score)`
+   * rank, the shuffle carries EVERY scored pair (|Q|·|C| rows at exact
+   * cosine top-k — at a 100 TB corpus that window shuffle is the job). As
+   * an Aggregator, `reduce` prunes map-side per partition, so the shuffle
+   * carries one ≤k-element buffer per (group, partition) — |Q|·k·partitions,
+   * independent of corpus size.
+   *
+   * Input (score, neighborId); output the k best as (score, neighborId)
+   * structs sorted by (score desc, neighborId asc) — ties resolved exactly
+   * like the window form (`orderBy(score.desc, id.asc)`), so results are
+   * bit-identical to the rank≤k filter.
+   */
+  final class TopKByScore(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+    private val ord: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+    // amortize the sort: let the buffer grow to a few k before pruning
+    private val pruneAt = math.max(4 * k, 64)
+
+    override def zero: Seq[(Double, Long)] = Vector.empty
+
+    override def reduce(b: Seq[(Double, Long)],
+                        a: (Double, Long)): Seq[(Double, Long)] = {
+      val nb = b :+ a
+      if (nb.length >= pruneAt) nb.sorted(ord).take(k) else nb
+    }
+
+    override def merge(x: Seq[(Double, Long)],
+                       y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (x ++ y).sorted(ord).take(k)
+
+    override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      b.sorted(ord).take(k)
+
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoderHolder.seqScored
+
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoderHolder.seqScored
+  }
+
   private object ExpressionEncoderHolder {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val arrayDouble: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
     val seqDouble: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+    val seqScored: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
   }
 }

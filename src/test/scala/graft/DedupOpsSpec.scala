@@ -56,6 +56,48 @@ class DedupOpsSpec extends SparkSpec {
     out shouldBe Array((1L, 2L, 1.0))
   }
 
+  test("jaccardPairs df-cap drops hot boilerplate shingles, keeps genuine dups") {
+    // 20 docs that share ONLY a boilerplate sentence (df=20 per boilerplate
+    // shingle) + one genuine duplicate pair with private content (df=2).
+    val boiler = "this footer appears on every single page of the site"
+    val docs =
+      (1L to 20L).map(i => (i, s"unique$i $boiler")) ++
+      Seq((100L, "the real content of the duplicated article body text"),
+          (101L, "the real content of the duplicated article body text"))
+    val df = docs.toDF("doc_id", "text")
+
+    // without the cap the boilerplate makes every doc pair a candidate and
+    // most pass a low threshold — the n² blowup the cap exists to stop
+    val uncapped = DedupOps.jaccardPairs(df, "doc_id", "text",
+      n = 3, threshold = 0.3).count()
+    uncapped should be > 100L
+
+    // with the cap only the genuine pair survives (its shingles have df 2)
+    val capped = DedupOps.jaccardPairs(df, "doc_id", "text",
+      n = 3, threshold = 0.3, maxShingleDf = 5)
+      .as[(Long, Long, Double)].collect()
+    capped shouldBe Array((100L, 101L, 1.0))
+  }
+
+  test("minhash LSH band-key df-cap bounds hot-bucket candidates") {
+    // 20 identical boilerplate docs: every band key has df=20; a genuine
+    // dup pair with private text has band-key df=2
+    val docs =
+      (1L to 20L).map(i => (i, "identical boilerplate body repeated everywhere always")) ++
+      Seq((100L, "specific article content that was copied once verbatim"),
+          (101L, "specific article content that was copied once verbatim"))
+    val df = docs.toDF("doc_id", "text")
+
+    val uncapped = DedupOps.minhashDedupPairs(df, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, threshold = 0.9).count()
+    uncapped shouldBe (20L * 19 / 2 + 1)   // full n² on the hot bucket + dup pair
+
+    val capped = DedupOps.minhashDedupPairs(df, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, threshold = 0.9, maxBandDf = 5)
+      .as[(Long, Long, Double)].collect()
+    capped shouldBe Array((100L, 101L, 1.0))
+  }
+
   test("simhash: identical docs share signature, disjoint docs differ") {
     val df = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

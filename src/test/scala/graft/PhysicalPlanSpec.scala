@@ -46,6 +46,33 @@ class PhysicalPlanSpec extends SparkSpec {
     planOf(q5) should include("BroadcastHashJoin")
   }
 
+  test("cosineTopK aggregates map-side (bounded heap), no full-pair window shuffle") {
+    val emb = Stores.table(spark, sf0001, "embeddings")
+    val topk = graft.ext.SimilarityOps.cosineTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
+    val plan = planOf(topk)
+    // partial+final typed aggregate replaces the rank window: the exchange
+    // carries ≤k-element buffers per (query, partition), not |Q|·|C| pairs
+    plan should include("ObjectHashAggregate")
+    plan should not include "Window"
+    // and the results are exactly the window form's rank ≤ k
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val reference = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        graft.ext.SimilarityOps.cosineNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "score", "rank")
+    topk.orderBy("query_id", "rank").collect() shouldBe
+      reference.orderBy("query_id", "rank").collect()
+  }
+
   test("run_id-partitioned staging read prunes to one partition directory") {
     val work = Files.createTempDirectory("graft_prune_").toString
     val df = Stores.table(spark, sf0001, "events").limit(100)
