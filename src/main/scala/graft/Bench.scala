@@ -1,6 +1,18 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Force full evaluation of every output row WITHOUT an aggregating
+    * action: `count()` lets Catalyst prune all columns (a projection-only
+    * query then measures ~nothing and expression cost is under-weighted).
+    * Draining the executed plan's internal-row iterator materializes every
+    * column of every row on the executors — an honest no-op sink with no
+    * driver collect. */
+  private def drain(df: DataFrame): Unit =
+    df.queryExecution.toRdd.foreachPartition { it =>
+      while (it.hasNext) it.next()
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,10 +29,10 @@ object Bench {
     // startup cost isn't attributed to whichever query happens to run first.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     SparkEntry.queries.get("q_projection")
-      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+      .foreach(fn => try drain(fn(spark, sfDir)) catch { case _: Throwable => })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try drain(fn(spark, sfDir)) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -22,6 +22,17 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Stores.table(spark, dir, name)
 
+  /** SQL-entry-point queries: register the named tables as temp views and
+    * run the statement through `spark.sql`. Used for the correlated-subquery
+    * shapes (TPC-H Q2/Q9/Q11/Q20/Q21 analogs) where the surface under test
+    * is Catalyst's decorrelation itself — the SQL text is shared nearly
+    * verbatim with the DuckDB oracle. */
+  private def sqlq(s: SparkSession, d: String, tables: Seq[String],
+                   sql: String): DataFrame = {
+    tables.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
   /** sum(cast decimal) cast back to double — exact, order-independent. */
   private def dsum(c: org.apache.spark.sql.Column, p: Int = 12, s: Int = 2) =
     sum(c.cast(DecimalType(p, s))).cast("double")
@@ -354,6 +365,82 @@ object SparkEntry {
           dsum(col("c_acctbal"), 18, 2).as("totacctbal"))
         .orderBy("c_mktsegment")
     }),
+
+    // correlated scalar subquery in WHERE: cheapest part per type
+    // (TPC-H Q2 shape — min within a correlated group; no partsupp fixture,
+    // so the correlation runs on part itself)
+    "q2_min_price_part" -> ((s, d) => sqlq(s, d, Seq("part"),
+      """SELECT p_partkey, p_name, p_type, p_retailprice
+         FROM part p
+         WHERE p_size <= 15
+           AND p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                                WHERE p2.p_type = p.p_type AND p2.p_size <= 15)
+         ORDER BY p_type, p_partkey""")),
+
+    // five-table join + groupBy nation/year (TPC-H Q9 shape; profit without
+    // the partsupp supplycost term — fixture has no partsupp)
+    "q9_product_profit" -> ((s, d) =>
+      sqlq(s, d, Seq("lineitem", "supplier", "part", "orders", "nation"),
+      """SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS profit
+         FROM lineitem
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN part ON p_partkey = l_partkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN nation ON n_nationkey = s_nationkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2
+         ORDER BY nation ASC, o_year DESC""")),
+
+    // HAVING against a scalar subquery of the global aggregate
+    // (TPC-H Q11 shape: keep groups above a fraction of the total)
+    "q11_supplier_share" -> ((s, d) => sqlq(s, d, Seq("lineitem", "supplier"),
+      """SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+         WHERE s_nationkey < 8
+         GROUP BY l_suppkey
+         HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))) >
+                (SELECT CAST(0.02 AS DECIMAL(8,4)) * SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                 FROM lineitem JOIN supplier ON s_suppkey = l_suppkey WHERE s_nationkey < 8)
+         ORDER BY total_value DESC, l_suppkey ASC""")),
+
+    // nested semi joins + correlated scalar aggregate in the inner WHERE
+    // (TPC-H Q20 shape; `shipped` plays partsupp's role — fixture has none)
+    "q20_volume_shippers" -> ((s, d) =>
+      sqlq(s, d, Seq("lineitem", "supplier", "part", "nation"),
+      """WITH shipped AS (
+           SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+           FROM lineitem GROUP BY l_suppkey, l_partkey)
+         SELECT s_suppkey, s_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+           AND s_suppkey IN (
+             SELECT sh.l_suppkey FROM shipped sh
+             WHERE sh.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+               AND sh.qty > CAST(0.1 AS DECIMAL(4,3)) *
+                   (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) FROM lineitem l2
+                    WHERE l2.l_partkey = sh.l_partkey))
+         ORDER BY s_suppkey""")),
+
+    // EXISTS + NOT EXISTS multi-level anti/semi join (TPC-H Q21 shape:
+    // the only supplier late on a multi-supplier order; lateness is
+    // shipdate > orderdate + 60 days — fixture has no commit/receipt dates)
+    "q21_waiting_suppliers" -> ((s, d) =>
+      sqlq(s, d, Seq("lineitem", "supplier", "orders", "nation"),
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+         FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         JOIN nation ON n_nationkey = s_nationkey
+         WHERE o.o_orderstatus = 'F'
+           AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                           WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o3.o_orderdate + INTERVAL '60' DAY)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name ASC""")),
 
     // window function: top-2 orders per customer
     "q_window_rank" -> ((s, d) => {
@@ -822,27 +909,38 @@ object SparkEntry {
         .orderBy("bucket")),
 
     // approximate percentiles (t-digest-style sketch) — the 100 TB variant
-    // of q_percentiles: mergeable sketch, no global sort. No SQL oracle
-    // (engine-specific sketch); rows-only check
+    // of q_percentiles: mergeable sketch, no global sort. The sketch values
+    // are engine-specific, so the oracle is BOUND-BASED: the query emits
+    // booleans asserting each sketch quartile lands within 5% of the exact
+    // (sort-based) percentile, and the oracle stipulates the bound holds —
+    // a full rows+schema+hash row instead of a rows-only check.
     "q_approx_percentiles" -> ((s, d) =>
       t(s, d, "orders").groupBy("o_orderstatus")
         .agg(
           expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75))")
-            .as("quartiles"),
+            .as("ap"),
+          expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("ex"),
           count(lit(1)).as("n"))
-        .select(col("o_orderstatus"),
-          element_at(col("quartiles"), 1).as("p25"),
-          element_at(col("quartiles"), 2).as("p50"),
-          element_at(col("quartiles"), 3).as("p75"),
-          col("n"))
+        .select(col("o_orderstatus"), col("n"),
+          (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1)) <=
+            element_at(col("ex"), 1) * 0.05).as("p25_within_5pct"),
+          (abs(element_at(col("ap"), 2) - element_at(col("ex"), 2)) <=
+            element_at(col("ex"), 2) * 0.05).as("p50_within_5pct"),
+          (abs(element_at(col("ap"), 3) - element_at(col("ex"), 3)) <=
+            element_at(col("ex"), 3) * 0.05).as("p75_within_5pct"))
         .orderBy("o_orderstatus")),
 
-    // approximate distinct (HLL) — no SQL oracle (engine-specific sketch);
-    // driver records the weaker rows-only check
+    // approximate distinct (HLL++) — sketch estimate is engine-specific, so
+    // the oracle is BOUND-BASED: emit the exact count (oracle-checkable) and
+    // a boolean asserting the sketch is within HLL's configured 5% rsd
+    // (±3 sigma ≈ 15% hard bound; 10% here), instead of a rows-only check.
     "q_approx_distinct" -> ((s, d) =>
       t(s, d, "events").groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.10).as("within_10pct"))
         .orderBy("event_type")),
 
     // ---- scalar function surface ---------------------------------------------
@@ -1212,6 +1310,67 @@ object SparkEntry {
                             FROM customer WHERE c_acctbal > 0)
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q2_min_price_part" ->
+      """SELECT p_partkey, p_name, p_type, p_retailprice
+         FROM part p
+         WHERE p_size <= 15
+           AND p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                                WHERE p2.p_type = p.p_type AND p2.p_size <= 15)
+         ORDER BY p_type, p_partkey""",
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS profit
+         FROM lineitem
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN part ON p_partkey = l_partkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN nation ON n_nationkey = s_nationkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2
+         ORDER BY nation ASC, o_year DESC""",
+
+    "q11_supplier_share" ->
+      """SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+         WHERE s_nationkey < 8
+         GROUP BY l_suppkey
+         HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))) >
+                (SELECT CAST(0.02 AS DECIMAL(8,4)) * SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                 FROM lineitem JOIN supplier ON s_suppkey = l_suppkey WHERE s_nationkey < 8)
+         ORDER BY total_value DESC, l_suppkey ASC""",
+
+    "q20_volume_shippers" ->
+      """WITH shipped AS (
+           SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+           FROM lineitem GROUP BY l_suppkey, l_partkey)
+         SELECT s_suppkey, s_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+           AND s_suppkey IN (
+             SELECT sh.l_suppkey FROM shipped sh
+             WHERE sh.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+               AND sh.qty > CAST(0.1 AS DECIMAL(4,3)) *
+                   (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) FROM lineitem l2
+                    WHERE l2.l_partkey = sh.l_partkey))
+         ORDER BY s_suppkey""",
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+         FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         JOIN nation ON n_nationkey = s_nationkey
+         WHERE o.o_orderstatus = 'F'
+           AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                           WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o3.o_orderdate + INTERVAL '60' DAY)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name ASC""",
 
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
@@ -1696,6 +1855,20 @@ object SparkEntry {
                 ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // bound-based sketch oracles: the oracle computes the exact side and
+    // stipulates the engine's sketch satisfied the declared tolerance —
+    // the booleans hash-match iff the sketch was in bounds
+    "q_approx_percentiles" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+                TRUE AS p25_within_5pct, TRUE AS p50_within_5pct,
+                TRUE AS p75_within_5pct
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_approx_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                TRUE AS within_10pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,

@@ -71,6 +71,56 @@ object Pipeline {
       run(spark, sfDir, start, end, runId = s"backfill_$i", workDir = workDir)
     }
 
+  /**
+   * Operational policy wrapper — the engine-side analog of the reference's
+   * Airflow `default_args` (retries=2, retry_delay=5 min, DAG:428-435) and
+   * `dagrun_timeout=1 h` (DAG:443): bounded retries with a fixed delay,
+   * under an overall wall-clock cap that is checked before every attempt.
+   * Safe to retry because a run is idempotent end-to-end: staging is
+   * run_id-scoped, the mart merge is keyed, and the swap is crash-safe
+   * (Stores.recoverMart* reconcile any partial write on the next attempt).
+   * `sleep`/`clock` are injectable for tests.
+   */
+  def withRetry[T](maxRetries: Int = 2,
+                   retryDelayMs: Long = 5L * 60 * 1000,
+                   timeoutMs: Long = 60L * 60 * 1000,
+                   sleep: Long => Unit = Thread.sleep,
+                   clock: () => Long = () => System.currentTimeMillis)
+                  (body: => T): T = {
+    val deadline = clock() + timeoutMs
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= maxRetries) {
+      if (clock() >= deadline)
+        throw new java.util.concurrent.TimeoutException(
+          s"pipeline exceeded ${timeoutMs} ms (attempt $attempt, last error: $lastErr)")
+      try return body
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          lastErr = e
+          attempt += 1
+          if (attempt <= maxRetries) sleep(retryDelayMs)
+      }
+    }
+    throw new IllegalStateException(
+      s"pipeline failed after ${maxRetries + 1} attempts", lastErr)
+  }
+
+  /** [[run]] under the reference's retry/timeout policy ([[withRetry]]). */
+  def runWithRetry(
+      spark: SparkSession,
+      sfDir: String,
+      start: String,
+      end: String,
+      runId: String,
+      workDir: String,
+      maxRetries: Int = 2,
+      retryDelayMs: Long = 5L * 60 * 1000,
+      timeoutMs: Long = 60L * 60 * 1000): Result =
+    withRetry(maxRetries, retryDelayMs, timeoutMs) {
+      run(spark, sfDir, start, end, runId, workDir)
+    }
+
   def run(
       spark: SparkSession,
       sfDir: String,

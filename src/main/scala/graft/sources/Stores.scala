@@ -299,4 +299,55 @@ object Stores {
     spark.sql("SELECT 1").head()
     new java.io.File(sfDir).isDirectory
   }
+
+  // -------------------------------------------------------------------------
+  // External connectors — jar-gated JDBC seam
+  // -------------------------------------------------------------------------
+
+  /** A JDBC boundary (the reference's PostgreSQL sink / MongoDB source
+    * analog, DAG:270-276 / DAG:94-132). `driver` is the JDBC driver class
+    * whose presence on the classpath gates the connector path. */
+  final case class JdbcTarget(url: String, table: String,
+                              driver: String = "org.postgresql.Driver",
+                              user: String = "", password: String = "")
+
+  /** True iff the target's JDBC driver jar is on the classpath. This build
+    * environment ships no connector jars (documented, SURVEY §7.4.5), so
+    * the seam is jar-gated at RUNTIME rather than assumed: deployments add
+    * the jar and get `format("jdbc")` with no code change; without it every
+    * boundary falls back to parquet. */
+  def jdbcDriverPresent(driver: String): Boolean =
+    try { Class.forName(driver); true } catch { case _: Throwable => false }
+
+  private def defaultJdbcWrite(df: DataFrame, t: JdbcTarget): Unit =
+    df.write.format("jdbc")
+      .option("url", t.url).option("dbtable", t.table).option("driver", t.driver)
+      .option("user", t.user).option("password", t.password)
+      .mode("append").save()
+
+  private def defaultJdbcRead(spark: SparkSession, t: JdbcTarget): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", t.url).option("dbtable", t.table).option("driver", t.driver)
+      .option("user", t.user).option("password", t.password)
+      .load()
+
+  /** Write through JDBC when the driver is present, else parquet fallback.
+    * Returns the branch taken ("jdbc" | "parquet"). The actual JDBC write is
+    * an injectable seam so the gate is unit-testable with no server. */
+  def writeJdbcOrParquet(df: DataFrame, target: JdbcTarget,
+                         fallbackPath: String,
+                         jdbcWrite: (DataFrame, JdbcTarget) => Unit =
+                           defaultJdbcWrite): String =
+    if (jdbcDriverPresent(target.driver)) { jdbcWrite(df, target); "jdbc" }
+    else { df.write.mode("overwrite").parquet(fallbackPath); "parquet" }
+
+  /** Read through JDBC when the driver is present, else parquet fallback.
+    * JDBC predicate/projection pushdown then applies upstream exactly as
+    * the reference pushes its window filter into Mongo (DAG:124-132). */
+  def readJdbcOrParquet(spark: SparkSession, target: JdbcTarget,
+                        fallbackPath: String,
+                        jdbcRead: (SparkSession, JdbcTarget) => DataFrame =
+                          defaultJdbcRead): DataFrame =
+    if (jdbcDriverPresent(target.driver)) jdbcRead(spark, target)
+    else spark.read.parquet(fallbackPath)
 }

@@ -157,5 +157,71 @@ class RobustnessSpec extends SparkSpec {
     twoPhase shouldBe Array(("g1", 1L), ("g2", 0L))   // all-null group → 0, kept
   }
 
+  test("withRetry: transient failures retry with delay, then succeed") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val out = Pipeline.withRetry(maxRetries = 2, retryDelayMs = 123L,
+      timeoutMs = 10000L, sleep = sleeps.append(_), clock = () => 0L) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException(s"transient #$calls")
+      "ok"
+    }
+    out shouldBe "ok"
+    calls shouldBe 3
+    sleeps.toSeq shouldBe Seq(123L, 123L)
+  }
+
+  test("withRetry: retry budget exhausts with the last error as cause") {
+    var calls = 0
+    val e = intercept[IllegalStateException] {
+      Pipeline.withRetry(maxRetries = 1, retryDelayMs = 1L,
+        timeoutMs = 10000L, sleep = _ => (), clock = () => 0L) {
+        calls += 1; throw new RuntimeException("always fails")
+      }
+    }
+    calls shouldBe 2                      // initial + 1 retry (DAG:430)
+    e.getCause.getMessage shouldBe "always fails"
+  }
+
+  test("withRetry: wall-clock cap stops further attempts (dagrun_timeout analog)") {
+    var now = 0L
+    var calls = 0
+    intercept[java.util.concurrent.TimeoutException] {
+      Pipeline.withRetry(maxRetries = 5, retryDelayMs = 0L,
+        timeoutMs = 100L, sleep = _ => (), clock = () => now) {
+        calls += 1; now += 60L            // each attempt consumes 60 ms
+        throw new RuntimeException("slow failure")
+      }
+    }
+    calls shouldBe 2                      // third attempt is past the deadline
+  }
+
+  test("JDBC seam: absent driver falls back to parquet; present driver takes jdbc") {
+    val work = Files.createTempDirectory("graft_jdbc_").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+
+    // org.postgresql.Driver is not on this classpath → parquet fallback
+    val branch = Stores.writeJdbcOrParquet(df,
+      Stores.JdbcTarget("jdbc:postgresql://db/x", "mart"), s"$work/fallback")
+    branch shouldBe "parquet"
+    spark.read.parquet(s"$work/fallback").count() shouldBe 2L
+    Stores.readJdbcOrParquet(spark,
+      Stores.JdbcTarget("jdbc:postgresql://db/x", "mart"), s"$work/fallback")
+      .count() shouldBe 2L
+
+    // a driver class that IS present gates into the jdbc branch; the write
+    // itself goes through the injectable seam (no server needed)
+    var wrote: Option[String] = None
+    val target = Stores.JdbcTarget("jdbc:postgresql://db/x", "mart",
+      driver = "java.lang.String")
+    Stores.writeJdbcOrParquet(df, target, s"$work/unused",
+      jdbcWrite = (_, t) => wrote = Some(t.table)) shouldBe "jdbc"
+    wrote shouldBe Some("mart")
+    var read = false
+    Stores.readJdbcOrParquet(spark, target, s"$work/fallback",
+      jdbcRead = (sp, _) => { read = true; df }).count() shouldBe 2L
+    read shouldBe true
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
