@@ -573,6 +573,37 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // Gopher-style repetition signals: top n-gram share + distinct-token ratio
+    "q_repetition_score" -> ((s, d) =>
+      TextOps.repetitionScores(t(s, d, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id")),
+
+    // corpus quality filter: token bounds + minimum distinct-token ratio
+    "q_quality_filter" -> ((s, d) =>
+      TextOps.qualityFilter(t(s, d, "documents"), "text",
+        minTokens = 30, maxTokens = 70, minDistinctRatio = 0.35)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    // PII-style redaction (emails/phones → typed tags); the fixture text is
+    // synthetic, so deterministic PII is spliced in before redacting
+    "q_pii_redact" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.redactPii(concat(
+          lit("contact user"), col("doc_id").cast("string"),
+          lit("@mail.com or 555-"), col("doc_id").cast("string"),
+          lit(" "), substring(col("text"), 1, 40))).as("redacted"))
+        .orderBy("doc_id")),
+
+    // native Generator (UDTF surface): streaming shingle explode, no
+    // intermediate array materialization
+    "q_shingle_explode" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          graft.functions.ShingleExplode(col("text"), 3))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("sh"))
+        .orderBy("doc_id", "pos")),
+
     "q_minhash_lsh_pairs" -> ((s, d) =>
       DedupOps.minhashDedupPairs(t(s, d, "documents"), "doc_id", "text",
         n = 3, numHashes = 16, bands = 4, threshold = 0.4, maxBandDf = 50)
@@ -1508,6 +1539,54 @@ object SparkEntry {
          SELECT doc_id,
                 CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_repetition_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+1], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 1, 1)),
+              gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+              agg AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS total FROM gc GROUP BY doc_id),
+              tk AS (SELECT doc_id, len(t) AS n_toks,
+                            len(list_distinct(t)) AS n_distinct FROM toks)
+         SELECT a.doc_id, CAST(a.total AS BIGINT) AS total_grams,
+                ROUND(CAST(a.topc AS DOUBLE) / a.total, 4) AS top_gram_share,
+                ROUND(CAST(tk.n_distinct AS DOUBLE) / tk.n_toks, 4) AS distinct_token_ratio
+         FROM agg a JOIN tk USING (doc_id) ORDER BY doc_id""",
+
+    "q_quality_filter" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE text IS NOT NULL
+           AND len(string_split(text, ' ')) BETWEEN 30 AND 70
+           AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) >= 0.35
+         ORDER BY doc_id""",
+
+    "q_pii_redact" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(
+                  'contact user' || CAST(doc_id AS VARCHAR) || '@mail.com or 555-'
+                    || CAST(doc_id AS VARCHAR) || ' ' || substring(text, 1, 40),
+                  '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
+                  '555-[0-9]+', '[PHONE]', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+
+    "q_shingle_explode" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE doc_id < 50),
+              grams AS (SELECT doc_id, j, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              sh AS (SELECT doc_id,
+                            CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh,
+                            MIN(j) AS fj
+                     FROM grams GROUP BY doc_id, g),
+              shd AS (SELECT doc_id, sh, MIN(fj) AS fj FROM sh GROUP BY doc_id, sh),
+              ranked AS (SELECT doc_id,
+                                CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fj) - 1 AS BIGINT) AS pos,
+                                sh
+                         FROM shd)
+         SELECT doc_id, pos, sh FROM ranked ORDER BY doc_id, pos""",
 
     "q_minhash_lsh_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

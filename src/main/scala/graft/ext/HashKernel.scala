@@ -84,6 +84,45 @@ private[graft] object HashKernel extends Serializable {
       md5Hex(sig.slice(b * rows, b * rows + rows).mkString(","))
     }
 
+  /** Word n-grams as strings, duplicates KEPT in position order — the
+    * counting form behind repetition scoring (shingles() is the distinct
+    * set form). Same gram construction: gram_i = tokens[i, min(i+n, len)). */
+  def wordGrams(text: String, n: Int): Array[String] = {
+    val toks = text.split(" ", -1)
+    val nGrams = math.max(toks.length - n, 0) + 1
+    val out = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  /** Repetition stats in one pass: [total n-grams, max single-gram count].
+    * The per-document form of top-gram-share — a per-row kernel so the
+    * statistic never shuffles exploded grams. */
+  def repetitionStats(text: String, n: Int): Array[Long] = {
+    val grams = wordGrams(text, n)
+    val counts = new java.util.HashMap[String, Integer](grams.length * 2)
+    var maxC = 0
+    var i = 0
+    while (i < grams.length) {
+      val c = counts.merge(grams(i), 1, (a, b) => a + b)
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    Array(grams.length.toLong, maxC.toLong)
+  }
+
   /** Character k-gram hashes in position order (1 char step): hash at
     * position i (0-based) = fp60(text[i, i+k)). Rolling-fingerprint base
     * layer for winnowing; length < k → empty. */

@@ -91,6 +91,63 @@ object TextOps {
   private def charKgrams(text: Column, k: Int): Column =
     graft.functions.CharKgrams(text, k)
 
+  // -------------------------------------------------------------------------
+  // Corpus curation — repetition scoring, quality filtering, PII redaction
+  // -------------------------------------------------------------------------
+
+  /**
+   * Gopher-style repetition signals per document: the share of the most
+   * frequent word n-gram (`top_gram_share`) and the distinct-token ratio.
+   * Repetitive machine-generated or boilerplate text scores high on the
+   * first and low on the second — the standard cheap repetition filters.
+   *
+   * ZERO shuffle: the statistic is per-document, so it is computed as a
+   * per-row kernel projection ([[graft.functions.RepetitionStats]] — one
+   * hash-count pass over the document's grams in-register). The
+   * explode → groupBy(doc, gram) → groupBy(doc) formulation computes the
+   * same numbers but shuffles O(total n-grams) rows twice — at 100 TB
+   * that's two corpus-sized shuffles for a value each row already owns.
+   */
+  def repetitionScores(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.RepetitionStats(col(textCol), n).as("__rs"),
+        size(toks).as("__nt"),
+        size(array_distinct(toks)).as("__nd"))
+      .select(col(idCol),
+        element_at(col("__rs"), 1).as("total_grams"),
+        round(element_at(col("__rs"), 2).cast("double") /
+          element_at(col("__rs"), 1), 4).as("top_gram_share"),
+        round(col("__nd").cast("double") / col("__nt"), 4)
+          .as("distinct_token_ratio"))
+  }
+
+  /** Corpus quality filter: keep documents inside token-count bounds with a
+    * distinct-token ratio above `minDistinctRatio` (drops degenerate
+    * repetition). Pure filter over per-row projections — no shuffle; at
+    * 100 TB this runs in the scan stage and feeds every downstream op a
+    * smaller corpus. */
+  def qualityFilter(df: DataFrame, textCol: String,
+                    minTokens: Int, maxTokens: Int,
+                    minDistinctRatio: Double): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.filter(col(textCol).isNotNull &&
+      size(toks).between(minTokens, maxTokens) &&
+      (size(array_distinct(toks)).cast("double") / size(toks))
+        >= minDistinctRatio)
+  }
+
+  /** PII-style redaction: replace email-shaped and phone-shaped substrings
+    * with typed placeholder tags. Codegen'd `regexp_replace` — narrow,
+    * per-row, no UDF; patterns restricted to the RE2∩Java-regex common
+    * subset so any SQL oracle agrees byte-for-byte. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+", "[EMAIL]"),
+      "555-[0-9]+", "[PHONE]")
+
   /**
    * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
    * the MOSS scheme): hash every character k-gram with a rolling pass, then

@@ -135,15 +135,39 @@ object GraftFunctions {
       Fingerprint60(children.head)
     })
 
+  /** Second-argument-as-int-literal extractor for the kernel functions
+    * whose tuning parameter (n, k, numHashes…) must be plan-time constant. */
+  private def intLit(name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int parameter, got $other")
+  }
+
+  private def kernelEntries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_shingles", classOf[ShingleHashes].getName,
+      (c: Seq[Expression]) => ShingleHashes(c.head, intLit("graft_shingles", c(1)))),
+    ("graft_minhash", classOf[MinhashSignature].getName,
+      (c: Seq[Expression]) => MinhashSignature(c.head, intLit("graft_minhash", c(1)))),
+    ("graft_char_kgrams", classOf[CharKgrams].getName,
+      (c: Seq[Expression]) => CharKgrams(c.head, intLit("graft_char_kgrams", c(1)))),
+    ("graft_word_grams", classOf[WordGrams].getName,
+      (c: Seq[Expression]) => WordGrams(c.head, intLit("graft_word_grams", c(1)))),
+    ("graft_shingle_explode", classOf[ShingleExplode].getName,
+      (c: Seq[Expression]) => ShingleExplode(c.head, intLit("graft_shingle_explode", c(1))))
+  ).map { case (name, cls, builder) =>
+    (FunctionIdentifier(name), new ExpressionInfo(cls, name), builder)
+  }
+
   /** Idempotent session-scoped registration — lets library operators
     * (e.g. [[graft.ext.SimilarityOps]]) use the functions on any session
     * without requiring the `spark.sql.extensions` config. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(cosineEntry, fp60Entry).foreach { case (id, info, builder) =>
-      if (!registry.functionExists(id)) {
-        registry.registerFunction(id, info, builder)
-      }
+    (Seq(cosineEntry, fp60Entry) ++ kernelEntries).foreach {
+      case (id, info, builder) =>
+        if (!registry.functionExists(id)) {
+          registry.registerFunction(id, info, builder)
+        }
     }
   }
 }

@@ -124,6 +124,63 @@ object BandKeys {
     ColumnBridge.column(BandKeys(ColumnBridge.expression(c), numHashes, bands))
 }
 
+/** `graft_word_grams(text, n)` — word n-grams as strings, duplicates kept
+  * in position order (the counting form behind repetition scoring; see
+  * [[graft.ext.HashKernel.wordGrams]]). */
+case class WordGrams(child: Expression, n: Int) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_grams"
+  override protected def expectedInput: DataType = StringType
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGrams.kernel(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordGrams$$.MODULE$$.kernel($c, $n)")
+}
+
+object WordGrams {
+  def kernel(s: UTF8String, n: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashKernel.wordGrams(s.toString, n)
+        .map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+
+  def apply(c: Column, n: Int): Column =
+    ColumnBridge.column(WordGrams(ColumnBridge.expression(c), n))
+}
+
+/** `graft_repetition_stats(text, n)` — `[total n-grams, max single-gram
+  * count]` in one kernel pass (see [[graft.ext.HashKernel.repetitionStats]]):
+  * the per-row form of top-gram-share repetition scoring, so the statistic
+  * is a narrow projection instead of an exploded-gram aggregation. */
+case class RepetitionStats(child: Expression, n: Int) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_repetition_stats"
+  override protected def expectedInput: DataType = StringType
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStats.kernel(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RepetitionStats$$.MODULE$$.kernel($c, $n)")
+}
+
+object RepetitionStats {
+  def kernel(s: UTF8String, n: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(HashKernel.repetitionStats(s.toString, n))
+
+  def apply(c: Column, n: Int): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(c), n))
+}
+
 /** `graft_char_kgrams(text, k)` — character k-gram hashes in position
   * order, the winnowing base layer (see [[graft.ext.HashKernel.charKgrams]]). */
 case class CharKgrams(child: Expression, k: Int) extends TextKernelExpression {

@@ -66,16 +66,19 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val updates = CoreOps.tagRun(batch, s"stream_batch_$batchId")
-        if (Stores.martExists(spark, martPath)) {
-          val target = Stores.martRead(spark, martPath)
-          Stores.martOverwrite(
-            CoreOps.upsert(target,
-              updates.select(target.columns.map(col).toIndexedSeq: _*),
-              "event_id", updates.columns.filterNot(_ == "event_id").toSeq),
-            martPath)
-        } else {
-          Stores.martOverwrite(updates, martPath)
+        // Partition-scoped merge — the same scale path the batch pipeline
+        // uses: each micro-batch reads/rewrites only the event-day
+        // directories it touches (O(batch), never O(mart)), with the
+        // crash-safe per-partition swap + recovery making foreachBatch
+        // replay after a failure idempotent. p_day derives from event time,
+        // which is immutable per event_id — the partition-key contract.
+        if (!batch.isEmpty) {
+          val updates = CoreOps.tagRun(batch, s"stream_batch_$batchId")
+            .withColumn("p_day", to_date(col("ts")))
+          Stores.martMergePartitioned(spark, martPath, updates, "event_id",
+            updateCols = updates.columns
+              .filterNot(c => c == "event_id" || c == "p_day").toSeq,
+            partitionCol = "p_day")
         }
       }
       .start()

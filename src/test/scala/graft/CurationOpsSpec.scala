@@ -1,0 +1,69 @@
+package graft
+
+import graft.ext.TextOps
+import graft.functions.{GraftFunctions, ShingleExplode, WordGrams}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators (repetition scoring, quality filter, PII
+  * redaction) and the native Generator (UDTF) surface. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionScores: repeated text scores high top-gram share, low distinct ratio") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "all six tokens here are different"))
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionScores(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    // doc 1: five identical 2-grams "spam spam" → share 1.0; 1 distinct of 6 tokens
+    out(0) shouldBe ((1L, 5L, 1.0, 0.1667))
+    // doc 2: every 2-gram unique → share 1/5; all tokens distinct
+    out(1) shouldBe ((2L, 5L, 0.2, 1.0))
+  }
+
+  test("qualityFilter keeps only in-bounds, non-degenerate docs") {
+    val df = Seq(
+      (1L, "one two three four five six seven eight nine ten"),  // ok (10 toks)
+      (2L, "short text"),                                        // too short
+      (3L, "rep rep rep rep rep rep rep rep rep rep"),           // degenerate
+      (4L, null.asInstanceOf[String]))                           // null
+      .toDF("doc_id", "text")
+    TextOps.qualityFilter(df, "text", minTokens = 5, maxTokens = 20,
+        minDistinctRatio = 0.5)
+      .select("doc_id").as[Long].collect() shouldBe Array(1L)
+  }
+
+  test("redactPii replaces every email and phone occurrence with typed tags") {
+    val out = Seq("write a@b.com and c.d@mail.org or dial 555-1234 then 555-9")
+      .toDF("t").select(TextOps.redactPii(col("t"))).head().getString(0)
+    out shouldBe "write [EMAIL] and [EMAIL] or dial [PHONE] then [PHONE]"
+  }
+
+  test("ShingleExplode generator streams (pos, sh) identical to array explode") {
+    val df = Seq((1L, "a b c d e"), (2L, "x y"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val gen = df.select(col("doc_id"), ShingleExplode(col("text"), 3))
+      .orderBy("doc_id", "pos")
+      .as[(Long, Int, Long)].collect()
+    val viaArray = df.select(col("doc_id"),
+        posexplode(graft.ext.DedupOps.shingleHashes(col("text"), 3)))
+      .orderBy("doc_id", "pos")
+      .as[(Long, Int, Long)].collect()
+    gen shouldBe viaArray
+    gen.map(_._1).distinct shouldBe Array(1L, 2L)   // null doc emits nothing
+  }
+
+  test("kernel functions are SQL-registered (LATERAL VIEW generator included)") {
+    GraftFunctions.register(spark)
+    Seq((1L, "a b c d")).toDF("id", "text").createOrReplaceTempView("cur_docs")
+    val viaSql = spark.sql(
+      """SELECT id, pos, sh FROM cur_docs
+         LATERAL VIEW graft_shingle_explode(text, 2) AS pos, sh
+         ORDER BY pos""").as[(Long, Int, Long)].collect()
+    viaSql.length shouldBe 3
+    spark.sql("SELECT graft_word_grams('a b c', 2) AS g").head()
+      .getSeq[String](0) shouldBe Seq("a b", "b c")
+  }
+}
