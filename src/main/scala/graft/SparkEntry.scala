@@ -690,6 +690,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // keyless point-in-interval join via the custom plan stack (logical
+    // IntervalJoin + rewrite Rule + Strategy + broadcast binary-search
+    // SparkPlan) — vanilla Spark would plan this BroadcastNestedLoopJoin
+    "q_calendar_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("ts"), col("value"))
+      val iv = s.range(0, 30).select(
+        col("id").as("window_id"),
+        expr("TIMESTAMP '2024-01-01 00:00:00' + id * INTERVAL '16' HOUR").as("w_start"),
+        expr("TIMESTAMP '2024-01-01 00:00:00' + id * INTERVAL '16' HOUR + INTERVAL '12' HOUR").as("w_end"))
+      TemporalOps.pointInIntervalJoin(ev, iv, "ts", "w_start", "w_end")
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+        .orderBy("window_id")
+    }),
+
     // interval (range) join: purchases to same-user clicks in the prior hour
     "q_interval_join" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -1756,6 +1772,16 @@ object SparkEntry {
            WHERE r.user_id = l.user_id AND r.ts <= l.ts
            ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) rr ON true
          ORDER BY event_id""",
+
+    "q_calendar_interval_join" ->
+      """WITH iv AS (SELECT id AS window_id,
+                            TIMESTAMP '2024-01-01 00:00:00' + id * INTERVAL 16 HOUR AS w_start,
+                            TIMESTAMP '2024-01-01 00:00:00' + id * INTERVAL 16 HOUR + INTERVAL 12 HOUR AS w_end
+                     FROM (SELECT unnest(generate_series(0, 29)) AS id))
+         SELECT window_id, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts <= iv.w_end
+         GROUP BY window_id ORDER BY window_id""",
 
     "q_interval_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id

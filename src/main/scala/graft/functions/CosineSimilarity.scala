@@ -173,7 +173,8 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` — the standard
-  * cluster-wide injection point for the engine's native functions. */
+  * cluster-wide injection point for the engine's native functions AND the
+  * custom planner pieces (interval-join rewrite rule + strategy). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -184,5 +185,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.fp60Name),
       new ExpressionInfo(classOf[Fingerprint60].getName, GraftFunctions.fp60Name),
       (children: Seq[Expression]) => Fingerprint60(children.head)))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteIntervalJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

@@ -91,6 +91,26 @@ object TemporalOps {
       .drop("__new")
   }
 
+  /**
+   * Point-in-interval join WITHOUT an equi-key: rows of `points` matched to
+   * every `intervals` row with `start <= point <= end`. Declared as the
+   * plain range-predicate join; [[graft.plans.RewriteIntervalJoin]]
+   * (registered here) upgrades the plan from Spark's O(points·intervals)
+   * BroadcastNestedLoopJoin to [[graft.plans.IntervalJoinExec]] — broadcast
+   * intervals, sorted probe with binary search + max-end prefix,
+   * O(log m + matches) per point, zero shuffle of the point side.
+   * `intervals` must be broadcast-bounded (calendars, campaigns, validity
+   * windows — the realistic shape for a keyless range join).
+   */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+                          pointCol: String, startCol: String,
+                          endCol: String): DataFrame = {
+    graft.plans.GraftPlanner.register(points.sparkSession)
+    points.join(intervals,
+      points(pointCol) >= intervals(startCol) &&
+      points(pointCol) <= intervals(endCol))
+  }
+
   /** Per-session rollup: bounds, duration, event count. One extra hash agg
     * on (key, session_id) after [[sessionize]]'s shuffle. */
   def sessionStats(df: DataFrame, key: String, ts: String, tieBreak: String,
