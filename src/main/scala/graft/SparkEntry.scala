@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ext.{DedupOps, MultimodalOps, SamplingOps, SimilarityOps, TextOps}
 import graft.ops.{CoreOps, QualityCheck, SkewOps, TemporalOps}
 import graft.sources.Stores
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -593,6 +593,31 @@ object SparkEntry {
           lit("contact user"), col("doc_id").cast("string"),
           lit("@mail.com or 555-"), col("doc_id").cast("string"),
           lit(" "), substring(col("text"), 1, 40))).as("redacted"))
+        .orderBy("doc_id")),
+
+    // deterministic 1/10 hash sample — reproducible, engine-independent,
+    // stable under corpus growth (no rand())
+    "q_hash_sample" -> ((s, d) =>
+      SamplingOps.hashSample(t(s, d, "documents"), "doc_id", k = 10, r = 0)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    // deterministic 80/10/10 train/val/test split; rows never migrate
+    // between splits as the corpus grows
+    "q_dataset_split" -> ((s, d) =>
+      SamplingOps.assignSplits(t(s, d, "documents"), "doc_id",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang", "split")),
+
+    // sequence packing: docs → fixed-budget context-window packs, sharded
+    // by key hash so shards pack independently in parallel
+    "q_sequence_pack" -> ((s, d) =>
+      SamplingOps.packByBudget(t(s, d, "documents"), "doc_id", "n_chars",
+        budget = 5000L, nShards = 8)
+        .select("doc_id", "shard", "pack_id", "n_chars")
         .orderBy("doc_id")),
 
     // native Generator (UDTF surface): streaming shingle explode, no
@@ -1630,6 +1655,32 @@ object SparkEntry {
                   '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
                   '555-[0-9]+', '[PHONE]', 'g') AS redacted
          FROM documents ORDER BY doc_id""",
+
+    "q_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+         ORDER BY doc_id""",
+
+    "q_dataset_split" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars,
+                           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+                    FROM documents)
+         SELECT lang,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM b GROUP BY 1, 2 ORDER BY lang, split""",
+
+    "q_sequence_pack" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+                           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+                    FROM documents)
+         SELECT doc_id, shard,
+                CAST(floor(COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 5000) AS BIGINT) AS pack_id,
+                n_chars
+         FROM s ORDER BY doc_id""",
 
     "q_shingle_explode" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

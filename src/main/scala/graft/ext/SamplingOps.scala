@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * [EXT] Deterministic dataset-construction operators: hash sampling,
+ * train/val/test splitting, and sequence packing. All decisions derive
+ * from the cross-engine md5 fingerprint of the row KEY — never from
+ * `rand()` — so samples are reproducible run-to-run, stable under
+ * re-partitioning, consistent across engines (exact SQL oracles), and a
+ * re-run of an incremental pipeline assigns every row the same way
+ * (the property that keeps train/test membership stable as a corpus
+ * grows — rows never migrate between splits).
+ *
+ * Scale: sampling and split assignment are pure per-row projections
+ * (zero shuffle — they run inside the scan stage). Packing shuffles once
+ * on the shard key.
+ */
+object SamplingOps {
+
+  import TextOps.fingerprint60
+
+  /** Uniform bucket id in [0, k) from the row key — the shared primitive:
+    * fp60 is uniform over 60 bits, so `mod k` is an unbiased bucket. */
+  def hashBucket(key: Column, k: Int): Column =
+    pmod(fingerprint60(key.cast("string")), lit(k.toLong))
+
+  /** Deterministic 1/k sample: keep rows whose key hashes to residue `r`.
+    * Per-row filter, zero shuffle, stable under corpus growth. */
+  def hashSample(df: DataFrame, keyCol: String, k: Int, r: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol), k) === r)
+
+  /**
+   * Deterministic split assignment over percentage weights (e.g.
+   * ("train", 80), ("val", 10), ("test", 10)): the key's bucket in
+   * [0, 100) picks the split. Adding documents later never moves an
+   * existing document's split — membership is a pure function of the key.
+   */
+  def assignSplits(df: DataFrame, keyCol: String,
+                   weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.map(_._2).sum == 100, "split weights must sum to 100")
+    val bucket = hashBucket(col(keyCol), 100)
+    val (expr0, _) = weights.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, lo), (name, w)) =>
+        (when(bucket >= lo && bucket < lo + w, name).otherwise(acc), lo + w)
+    }
+    df.withColumn("split", expr0)
+  }
+
+  /**
+   * Sequence packing: assign documents to fixed-budget packs (context
+   * windows) by cumulative weight. Documents are sharded by key hash
+   * (`nShards` — one shuffle, shards pack independently in parallel) and
+   * packed in key order within the shard:
+   * `pack_id = floor(cum_weight_before / budget)` — the deterministic
+   * streaming approximation of greedy first-fit (a pack may overflow by
+   * at most one document, the standard concat-then-chunk trade). At
+   * 100 TB the shard count scales with the cluster; a global single-window
+   * pack would serialize on one partition.
+   */
+  def packByBudget(df: DataFrame, keyCol: String, weightCol: String,
+                   budget: Long, nShards: Int): DataFrame = {
+    val shard = hashBucket(col(keyCol), nShards)
+    val w = Window.partitionBy("shard").orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", shard)
+      .withColumn("__cum_before",
+        coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("__cum_before") / budget))
+      .drop("__cum_before")
+  }
+}
