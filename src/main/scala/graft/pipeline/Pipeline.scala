@@ -184,8 +184,15 @@ object Pipeline {
     Stores.dropRun(spark, stagingPath, runId)   // DAG:317-320
 
     // -- task 5: quality gate (DAG:333-369) — the declared check set DAG:369,
-    //    one aggregation pass over this run's slice of the mart.
+    //    one aggregation pass over the PARTITIONS THIS RUN TOUCHED (p_day
+    //    within the logical window → directory-level pruning). The reference
+    //    re-scans its whole table per run (soda over the live PG table); at
+    //    100 TB an O(mart) read per incremental run is the QC-side version
+    //    of the full-rewrite scale bug — the merged state of the touched
+    //    partitions is exactly what this run could have corrupted.
     val mart = Stores.martRead(spark, martPath)
+      .filter(col(martPartitionCol).between(
+        to_date(lit(start)), to_date(lit(end))))
     val qc = QualityCheck.check(mart, Seq(
       QualityCheck.NotNull("_id"),
       QualityCheck.Unique("_id"),
