@@ -154,6 +154,18 @@ object SparkEntry {
         QualityCheck.ValidType("props", "string"),
         QualityCheck.Freshness("ts", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))),
 
+    // O19 extension: row-level quarantine (side-output pattern): tag each
+    // row with the first violated row-expressible rule instead of failing
+    // the whole run; counts per reason ('pass' = clean)
+    "q_qc_quarantine" -> ((s, d) =>
+      QualityCheck.quarantine(t(s, d, "events"), Seq(
+        QualityCheck.Predicate("value_le_250", col("value") <= 250),
+        QualityCheck.Predicate("user_id_lt_900", col("user_id") < 900),
+        QualityCheck.NotNull("props")))
+        .groupBy(coalesce(col("qc_fail_reason"), lit("pass")).as("reason"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("reason")),
+
     // O19 extension: referential-integrity QC (orphaned foreign keys)
     "q_qc_fk_orphans" -> ((s, d) =>
       QualityCheck.referentialIntegrity(
@@ -941,6 +953,40 @@ object SparkEntry {
           coalesce(col("error"), lit(0L)).as("n_error"))
         .orderBy("day")),
 
+    // unpivot/melt — the inverse of pivot: wide measure columns → long
+    // (entity, metric, value) rows
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_tax")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")),
+
+    // first_value / last_value / nth_value over an unbounded frame
+    "q_first_last_value" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ordered string aggregation (listagg/string_agg)
+    "q_string_agg" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") < 100)
+        .groupBy("o_orderstatus")
+        .agg(concat_ws(",",
+          sort_array(collect_list(col("o_orderkey").cast(StringType))))
+          .as("order_keys"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     // ---- ranking & distribution ----------------------------------------------
 
     "q_dense_rank_ntile" -> ((s, d) => {
@@ -1287,6 +1333,42 @@ object SparkEntry {
          FROM orders
          WHERE NOT EXISTS (SELECT 1 FROM customer
                            WHERE c_acctbal >= 0 AND c_custkey = o_custkey)""",
+
+    "q_qc_quarantine" ->
+      """SELECT COALESCE(CASE WHEN NOT COALESCE(value <= 250, FALSE) THEN 'value_le_250'
+                              WHEN NOT COALESCE(user_id < 900, FALSE) THEN 'user_id_lt_900'
+                              WHEN props IS NULL THEN 'not_null_props'
+                         END, 'pass') AS reason,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1 ORDER BY reason""",
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m AS metric,
+                CASE m WHEN 'l_quantity' THEN l_quantity
+                       WHEN 'l_extendedprice' THEN l_extendedprice
+                       ELSE l_tax END AS val
+         FROM lineitem,
+              (SELECT unnest(['l_extendedprice', 'l_quantity', 'l_tax']) AS m)
+         WHERE l_orderkey < 100
+         ORDER BY l_orderkey, l_linenumber, metric, val""",
+
+    "q_first_last_value" ->
+      """SELECT o_custkey, o_orderkey,
+                first_value(o_totalprice) OVER w AS first_price,
+                last_value(o_totalprice) OVER w AS last_price,
+                nth_value(o_totalprice, 2) OVER w AS second_price
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q_string_agg" ->
+      """SELECT o_orderstatus,
+                string_agg(CAST(o_orderkey AS VARCHAR), ','
+                           ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders WHERE o_orderkey < 100
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_count_reconcile" ->
       """SELECT a.src_count, b.dst_count, a.src_count = b.dst_count AS ok

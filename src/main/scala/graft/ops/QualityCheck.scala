@@ -40,12 +40,18 @@ object QualityCheck {
     def name: String
     /** Aggregate column counting VIOLATIONS (0 = pass). */
     def violations: Column
+    /** Row-level pass predicate (null-safe; true = row passes), when the
+      * rule is row-expressible — drives [[quarantine]]. Dataset-level rules
+      * (uniqueness, freshness) return None: a single row can't violate
+      * them alone. */
+    def rowCheck: Option[Column] = None
   }
 
   /** "not missing fields value check" (DAG:369). */
   final case class NotNull(column: String) extends Rule {
     val name = s"not_null_$column"
     def violations: Column = sum(when(col(column).isNull, 1L).otherwise(0L))
+    override def rowCheck: Option[Column] = Some(col(column).isNotNull)
   }
 
   /** "unique" (DAG:369) — key uniqueness as count − distinct-count. */
@@ -59,6 +65,8 @@ object QualityCheck {
     val name = s"regex_$column"
     def violations: Column =
       sum(when(col(column).isNotNull && !col(column).rlike(pattern), 1L).otherwise(0L))
+    override def rowCheck: Option[Column] =
+      Some(col(column).isNull || col(column).rlike(pattern))
   }
 
   /** "valid data type" (DAG:369) — value must survive a cast (the engine-side
@@ -69,6 +77,8 @@ object QualityCheck {
     def violations: Column =
       sum(when(col(column).isNotNull && col(column).try_cast(castTo).isNull, 1L)
         .otherwise(0L))
+    override def rowCheck: Option[Column] =
+      Some(col(column).isNull || col(column).try_cast(castTo).isNotNull)
   }
 
   /** "data freshness" (DAG:369) — newest timestamp must be ≥ threshold. */
@@ -81,7 +91,34 @@ object QualityCheck {
   /** Arbitrary row-predicate rule: count rows violating `mustHold`. */
   final case class Predicate(name: String, mustHold: Column) extends Rule {
     def violations: Column = sum(when(!mustHold, 1L).otherwise(0L))
+    override def rowCheck: Option[Column] = Some(coalesce(mustHold, lit(false)))
   }
+
+  /**
+   * Row-level quarantine — the "side output" pattern: instead of hard-failing
+   * the whole run on any violation ([[check]]'s gate semantics), tag each row
+   * with the FIRST row-expressible rule it violates (`qc_fail_reason`, null =
+   * clean) so callers route clean rows onward and quarantined rows to a dead
+   * letter sink. Pure per-row projection — zero shuffle, runs in the scan
+   * stage; dataset-level rules (unique/freshness) stay in the [[report]]
+   * aggregate where they belong.
+   */
+  def quarantine(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val reason = rules.flatMap(r => r.rowCheck.map(c => (r.name, c)))
+      .foldRight(lit(null).cast("string")) { case ((name, holds), acc) =>
+        when(!holds, name).otherwise(acc)
+      }
+    df.withColumn("qc_fail_reason", reason)
+  }
+
+  /** The clean side of [[quarantine]]. */
+  def passedRows(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    quarantine(df, rules).filter(col("qc_fail_reason").isNull)
+      .drop("qc_fail_reason")
+
+  /** The dead-letter side of [[quarantine]]. */
+  def quarantinedRows(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    quarantine(df, rules).filter(col("qc_fail_reason").isNotNull)
 
   /** One-row wide report: `n_rows`, then one violation-count column per rule.
     * Single aggregation pass regardless of rule count. */

@@ -52,6 +52,30 @@ class QualityCheckSpec extends SparkSpec {
     rep.getAs[Long]("unique_id") shouldBe 0L
   }
 
+  test("quarantine tags rows with the FIRST violated rule; split is total") {
+    val rules = Seq(
+      NotNull("name"),                          // row 4 fails here first
+      Regex("name", "^[a-z]+$"),                // row 3 fails here
+      ValidType("num", "bigint"))               // row 2 fails here
+    val tagged = QualityCheck.quarantine(df, rules)
+      .select("id", "name", "qc_fail_reason")
+      .orderBy("id", "name").collect()
+    tagged.map(r => Option(r.getString(2))) shouldBe Array(
+      None,                                     // (1, alpha) clean
+      Some("regex_name"),                       // (2, Gamma7) — G sorts before b
+      Some("type_num_bigint"),                  // (2, beta) bad int
+      Some("not_null_name"))                    // (4, null name)
+    // pass/quarantine split is a total partition of the input
+    val good = QualityCheck.passedRows(df, rules)
+    val bad = QualityCheck.quarantinedRows(df, rules)
+    good.count() + bad.count() shouldBe df.count()
+    good.columns should not contain "qc_fail_reason"
+    // dataset-level rules don't quarantine rows: dup id=2 rows stay clean-side
+    // for Unique (they fail the aggregate gate, not the row filter)
+    QualityCheck.quarantine(df, Seq(Unique("id")))
+      .filter(col("qc_fail_reason").isNotNull).count() shouldBe 0L
+  }
+
   test("report is a single aggregation (one scan) regardless of rule count") {
     val rep = QualityCheck.report(df, Seq(NotNull("name"), Unique("id"),
       Regex("name", "^[a-z]+$"), ValidType("num", "bigint")))
