@@ -42,6 +42,12 @@ object Stores {
       else acc
     }
 
+  /** Parquet codec for everything the engine writes: zstd ≈ snappy's speed
+    * at ~2× better ratio — at 100 TB that halves storage AND every
+    * downstream scan's IO. Read-side is codec-agnostic, so this is a pure
+    * write-path default. */
+  private val ParquetCodec = "zstd"
+
   /** Staging append, partitioned by run_id (DAG:270-276 `execute_values`
     * batched INSERT, rows pre-tagged with airflow_run_id DAG:264).
     * Partitioning by run_id makes the reference's run-scoped delete
@@ -49,7 +55,8 @@ object Stores {
     * (the deadlock the reference's header warns about, DAG:2-4, cannot
     * happen: writers touch disjoint directories). */
   def stageAppend(df: DataFrame, stagingPath: String): Unit =
-    df.write.mode("append").partitionBy("run_id").parquet(stagingPath)
+    df.write.mode("append").option("compression", ParquetCodec)
+      .partitionBy("run_id").parquet(stagingPath)
 
   /** Read one run's staging rows (DAG:309-310 `WHERE airflow_run_id = %s`).
     * run_id is a partition column → partition pruning reads only that
@@ -93,7 +100,8 @@ object Stores {
     val bak = hpath(martPath + ".bak")
     val dst = hpath(martPath)
     recoverMart(spark, martPath)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    df.write.mode("overwrite").option("compression", ParquetCodec)
+      .parquet(tmp.toString)
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(dst)) fs.rename(dst, bak)
     fs.rename(tmp, dst)
@@ -164,7 +172,8 @@ object Stores {
                            partitionCol: String,
                            instrument: DataFrame => DataFrame = identity): Unit = {
     if (!martExists(spark, martPath)) {
-      instrument(updates).write.partitionBy(partitionCol).parquet(martPath)
+      instrument(updates).write.option("compression", ParquetCodec)
+        .partitionBy(partitionCol).parquet(martPath)
       return
     }
     val touched = updates.select(partitionCol).distinct().collect()
@@ -177,7 +186,7 @@ object Stores {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(martPath).getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(martPath + ".tmpparts")
-    instrument(merged).write.mode("overwrite")
+    instrument(merged).write.mode("overwrite").option("compression", ParquetCodec)
       .partitionBy(partitionCol).parquet(tmp.toString)
     // Per-directory swap, crash-safe per partition: old dir renames ASIDE
     // (outside the mart root, so partition discovery never sees it), new dir
@@ -244,7 +253,8 @@ object Stores {
     val bak = new org.apache.hadoop.fs.Path(path + ".precompact")
     // Rename-swap, never delete-then-rename: a crash between the two steps
     // must leave a complete version under either the live path or .precompact.
-    df.write.mode("overwrite").parquet(tmp.toString)
+    df.write.mode("overwrite").option("compression", ParquetCodec)
+      .parquet(tmp.toString)
     if (fs.exists(bak)) fs.delete(bak, true)
     fs.rename(p, bak)
     fs.rename(tmp, p)
@@ -339,7 +349,11 @@ object Stores {
                          jdbcWrite: (DataFrame, JdbcTarget) => Unit =
                            defaultJdbcWrite): String =
     if (jdbcDriverPresent(target.driver)) { jdbcWrite(df, target); "jdbc" }
-    else { df.write.mode("overwrite").parquet(fallbackPath); "parquet" }
+    else {
+      df.write.mode("overwrite").option("compression", ParquetCodec)
+        .parquet(fallbackPath)
+      "parquet"
+    }
 
   /** Read through JDBC when the driver is present, else parquet fallback.
     * JDBC predicate/projection pushdown then applies upstream exactly as
