@@ -110,11 +110,18 @@ object DedupOps {
       .select("id1", "id2", "jaccard")
   }
 
-  /** Spread a (possibly few-split) input across the cluster before CPU-heavy
-    * per-row work — signature cost is O(shingles × hashes) per doc and must
-    * not be bound by the source's split count. Round-robin, tiny rows. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Spread a FEW-SPLIT input across the cluster before CPU-heavy per-row
+    * work — signature cost is O(shingles × hashes) per doc and must not be
+    * bound by the source's split count. Conditional: a 100 TB corpus
+    * already scans as many thousands of splits (maxPartitionBytes), and
+    * round-robin repartitioning it would shuffle the full document text
+    * just to move CPU — only genuinely under-split inputs (tiny fixture
+    * files, coalesced upstreams) pay the redistribution. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 
   /** MinHash signatures in exploded (id, i, minhash) form:
     * sig[i] = min over shingles of fingerprint60(i ‖ ':' ‖ shingle-hash) —

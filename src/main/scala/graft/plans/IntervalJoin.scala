@@ -52,13 +52,26 @@ case class IntervalJoin(
   * point on one side and both bounds on the other, no residual predicates,
   * all three timestamp-typed — and rewrites to [[IntervalJoin]]. A
   * mirrored match (point side on the right) rewrites with the sides
-  * swapped under a projection restoring the original column order. */
+  * swapped under a projection restoring the original column order.
+  *
+  * Size guard: the interval side is broadcast by [[IntervalJoinExec]], so
+  * the rewrite only fires when its estimated size fits a generous
+  * broadcast budget (32 × `autoBroadcastJoinThreshold` — a keyless range
+  * join justifies a higher ceiling than an equi-join, since the
+  * alternative is an O(n·m) nested loop, but an unbounded interval side
+  * must still fall back to vanilla planning rather than OOM the driver). */
 object RewriteIntervalJoin extends Rule[LogicalPlan] {
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
       conjuncts(a) ++ conjuncts(b)
     case other => Seq(other)
+  }
+
+  private def broadcastable(intervals: LogicalPlan): Boolean = {
+    val threshold = conf.autoBroadcastJoinThreshold
+    val budget = if (threshold > 0) 32L * threshold else 32L * 10 * 1024 * 1024
+    intervals.stats.sizeInBytes <= budget
   }
 
   /** (small, big) of a `<=` chain: GreaterThanOrEqual flips. */
@@ -83,12 +96,14 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
             case Some((point, start, end))
                 if point.references.subsetOf(l.outputSet) &&
                    start.references.subsetOf(r.outputSet) &&
-                   end.references.subsetOf(r.outputSet) =>
+                   end.references.subsetOf(r.outputSet) &&
+                   broadcastable(r) =>
               IntervalJoin(l, r, point, start, end)
             case Some((point, start, end))
                 if point.references.subsetOf(r.outputSet) &&
                    start.references.subsetOf(l.outputSet) &&
-                   end.references.subsetOf(l.outputSet) =>
+                   end.references.subsetOf(l.outputSet) &&
+                   broadcastable(l) =>
               // mirrored: points on the right — swap and re-project
               Project(j.output, IntervalJoin(r, l, point, start, end))
             case _ => j

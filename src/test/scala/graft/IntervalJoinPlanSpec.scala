@@ -90,5 +90,20 @@ class IntervalJoinPlanSpec extends SparkSpec {
     out.select("iid", "pid").as[(Long, Long)].collect() shouldBe Array((10L, 1L))
   }
 
+  test("size guard: an interval side over the broadcast budget is not rewritten") {
+    GraftPlanner.register(spark)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")  // budget = 32 B
+      val pts = Seq((1L, ts("2024-01-01 05:00:00"))).toDF("pid", "pts")
+      val iv = (0L until 100L).map(i =>
+          (i, ts("2024-01-01 00:00:00"), ts("2024-01-01 06:00:00")))
+        .toDF("iid", "s", "e")   // ~2.4 KB estimated — over the 32 B budget
+      val out = pts.join(iv, col("pts") >= col("s") && col("pts") <= col("e"))
+      out.queryExecution.optimizedPlan.toString should not include "IntervalJoin"
+      out.count() shouldBe 100L   // vanilla plan still answers correctly
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
