@@ -585,6 +585,19 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // connected components over a dup-pair graph: pairwise dedup output →
+    // transitive clusters (chain edges exercise multi-hop closure; the
+    // operator takes any (id1, id2) pair frame, e.g. minhashDedupPairs)
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = t(s, d, "documents")
+        .filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      DedupOps.connectedComponents(pairs, iterations = 3)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"), max(col("id")).as("max_member"))
+        .orderBy("cluster_id")
+    }),
+
     // Gopher-style repetition signals: top n-gram share + distinct-token ratio
     "q_repetition_score" -> ((s, d) =>
       TextOps.repetitionScores(t(s, d, "documents"), "doc_id", "text", n = 2)
@@ -605,6 +618,16 @@ object SparkEntry {
           lit("contact user"), col("doc_id").cast("string"),
           lit("@mail.com or 555-"), col("doc_id").cast("string"),
           lit(" "), substring(col("text"), 1, 40))).as("redacted"))
+        .orderBy("doc_id")),
+
+    // canonical text normalization (NFC/lowercase/whitespace-collapse/trim);
+    // messy casing + spacing is synthesized so the canonicalization is visible
+    "q_text_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.normalizeText(concat(
+          lit("  "), upper(substring(col("text"), 1, 30)),
+          lit("   "), substring(col("text"), 31, 20), lit(" ")))
+          .as("normalized"))
         .orderBy("doc_id")),
 
     // deterministic 1/10 hash sample — reproducible, engine-independent,
@@ -1707,6 +1730,28 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          FROM s GROUP BY doc_id ORDER BY doc_id""",
 
+    "q_dedup_clusters" ->
+      """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+                     WHERE doc_id % 10 < 3),
+              edges AS (SELECT id1 AS a, id2 AS b FROM e0
+                        UNION ALL SELECT id2 AS a, id1 AS b FROM e0),
+              l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
+              l1 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l0 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l0 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l2 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l1 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l1 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l3 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l2 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l2 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id))
+         SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                CAST(MAX(id) AS BIGINT) AS max_member
+         FROM l3 GROUP BY label ORDER BY cluster_id""",
+
     "q_repetition_score" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
               grams AS (SELECT doc_id, array_to_string(t[j:j+1], ' ') AS g
@@ -1736,6 +1781,14 @@ object SparkEntry {
                     || CAST(doc_id AS VARCHAR) || ' ' || substring(text, 1, 40),
                   '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
                   '555-[0-9]+', '[PHONE]', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+                trim(regexp_replace(lower(nfc_normalize(
+                  '  ' || upper(substring(text, 1, 30)) || '   '
+                       || substring(text, 31, 20) || ' ')),
+                  '\s+', ' ', 'g')) AS normalized
          FROM documents ORDER BY doc_id""",
 
     "q_hash_sample" ->

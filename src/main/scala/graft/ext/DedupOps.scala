@@ -194,6 +194,40 @@ object DedupOps {
     verified
   }
 
+  /**
+   * Connected components over a near-duplicate pair graph — the step that
+   * turns pairwise dedup output into KEEPABLE clusters (one representative
+   * per component; "dedup" at corpus level means dropping all but the
+   * min-id member of each component, including transitive duplicates the
+   * pair list never emitted directly).
+   *
+   * Min-label propagation: every node starts labeled with itself; each
+   * iteration takes the min of its own label and its neighbors' labels.
+   * Converges in `iterations` ≥ graph diameter (near-dup components are
+   * shallow — boilerplate stars and small cliques; production corpora run
+   * the large-star/small-star variant, which is this same primitive with
+   * edge rewiring, in O(log d) rounds). Per iteration: one hash-agg on the
+   * neighbor side + one join on node id — shuffle volume O(edges), never
+   * materializing the transitive closure.
+   */
+  def connectedComponents(pairs: DataFrame, iterations: Int): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var i = 0
+    while (i < iterations) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("min_nbr"))
+      labels = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** Exact Jaccard of two texts' shingle sets as a single expression —
     * used to verify LSH candidates without another shuffle. */
   def jaccardExpr(t1: Column, t2: Column, n: Int): Column = {

@@ -107,6 +107,16 @@ private[graft] object HashKernel extends Serializable {
     out
   }
 
+  /** Canonical text normalization: Unicode NFC → lowercase (root locale) →
+    * collapse whitespace runs → trim. The standard pre-dedup
+    * canonicalization: without it, visually-identical documents differing
+    * only in composed/decomposed accents, case, or spacing hash apart and
+    * every downstream dedup tier misses them. */
+  def normalizeText(s: String): String = {
+    val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    nfc.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
+  }
+
   /** Repetition stats in one pass: [total n-grams, max single-gram count].
     * The per-document form of top-gram-share — a per-row kernel so the
     * statistic never shuffles exploded grams. */

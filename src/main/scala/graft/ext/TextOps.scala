@@ -139,6 +139,13 @@ object TextOps {
         >= minDistinctRatio)
   }
 
+  /** Canonical text normalization (NFC → lowercase → collapse whitespace →
+    * trim) as a native codegen expression — run this BEFORE any dedup
+    * tier, or visually-identical docs differing only in accents/case/
+    * spacing hash apart. Per-row, zero shuffle. */
+  def normalizeText(text: Column): Column =
+    graft.functions.NormalizeText(text)
+
   /** PII-style redaction: replace email-shaped and phone-shaped substrings
     * with typed placeholder tags. Codegen'd `regexp_replace` — narrow,
     * per-row, no UDF; patterns restricted to the RE2∩Java-regex common

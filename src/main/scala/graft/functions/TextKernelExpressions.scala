@@ -181,6 +181,34 @@ object RepetitionStats {
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(c), n))
 }
 
+/** `graft_normalize_text(text)` — NFC + lowercase + whitespace-collapse +
+  * trim canonicalization (see [[graft.ext.HashKernel.normalizeText]]):
+  * the pre-dedup step that makes visually-identical documents hash
+  * identically. */
+case class NormalizeText(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize_text"
+  override protected def expectedInput: DataType = StringType
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeText.kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NormalizeText$$.MODULE$$.kernel($c)")
+}
+
+object NormalizeText {
+  def kernel(s: UTF8String): UTF8String =
+    UTF8String.fromString(HashKernel.normalizeText(s.toString))
+
+  def apply(c: Column): Column =
+    ColumnBridge.column(NormalizeText(ColumnBridge.expression(c)))
+}
+
 /** `graft_char_kgrams(text, k)` — character k-gram hashes in position
   * order, the winnowing base layer (see [[graft.ext.HashKernel.charKgrams]]). */
 case class CharKgrams(child: Expression, k: Int) extends TextKernelExpression {

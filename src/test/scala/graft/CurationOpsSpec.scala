@@ -55,6 +55,17 @@ class CurationOpsSpec extends SparkSpec {
     gen.map(_._1).distinct shouldBe Array(1L, 2L)   // null doc emits nothing
   }
 
+  test("normalizeText: NFC + case + whitespace canonicalization unifies dup variants") {
+    // e-acute as precomposed U+00E9 vs decomposed e + U+0301: NFC unifies;
+    // case and whitespace runs collapse — all four variants hash identically
+    val variants = Seq(
+      "Café  du   Monde", "café du monde",
+      "  CAFÉ DU MONDE ", "café\tdu\nmonde")
+      .toDF("t").select(TextOps.normalizeText(col("t")).as("n"))
+      .as[String].collect().toSet
+    variants shouldBe Set("café du monde")
+  }
+
   test("kernel functions are SQL-registered (LATERAL VIEW generator included)") {
     GraftFunctions.register(spark)
     Seq((1L, "a b c d")).toDF("id", "text").createOrReplaceTempView("cur_docs")

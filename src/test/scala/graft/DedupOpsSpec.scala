@@ -98,6 +98,31 @@ class DedupOpsSpec extends SparkSpec {
     capped shouldBe Array((100L, 101L, 1.0))
   }
 
+  test("connectedComponents: transitive closure within iteration budget") {
+    // chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val cc = DedupOps.connectedComponents(pairs, iterations = 3)
+      .orderBy("id").as[(Long, Long)].collect()
+    cc shouldBe Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+  }
+
+  test("connectedComponents clusters real minhash dup pairs") {
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, body), (2L, body), (3L, body),   // 3-clique of dups
+      (7L, "something else entirely different here now friends"),
+      (8L, "something else entirely different here now friends"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashDedupPairs(df, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, threshold = 0.9)
+      .select("id1", "id2")
+    val keep = DedupOps.connectedComponents(pairs, iterations = 2)
+      .groupBy("cluster_id").agg(min(col("id")).as("keep_id"))
+      .orderBy("cluster_id").as[(Long, Long)].collect()
+    keep shouldBe Array((1L, 1L), (7L, 7L))   // one representative per cluster
+  }
+
   test("simhash: identical docs share signature, disjoint docs differ") {
     val df = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
