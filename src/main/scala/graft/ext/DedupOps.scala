@@ -119,7 +119,9 @@ object DedupOps {
     * files, coalesced upstreams) pay the redistribution. */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    // toRdd reuses the frame's memoized queryExecution (df.rdd would build
+    // a second plan plus a discarded Row-deserializer layer)
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
     else df.repartition(target)
   }
 
@@ -195,6 +197,38 @@ object DedupOps {
   }
 
   /**
+   * Incremental exact dedup — the production shape for a growing corpus:
+   * each new batch dedups against the corpus' FINGERPRINT INDEX (16-byte
+   * md5 per doc), never re-scanning corpus text. Within-batch dups collapse
+   * to the min-id representative first; rows whose fingerprint already
+   * exists in the index are dropped. Cost: one hash-agg over the batch +
+   * one anti-join against the index (broadcast when the batch ≪ index —
+   * AQE decides). Pairs with [[graft.ops.CoreOps]]'s run-scoped staging:
+   * the updated index is `seen ∪ survivors` — append-only, O(new docs).
+   */
+  def dedupIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                       seenFingerprints: DataFrame): DataFrame = {
+    // null-text docs have no fingerprint and are DISTINCT documents, not
+    // duplicates of each other — they bypass both dedup stages untouched
+    // (md5(null) is null; grouping on it would collapse them all into one)
+    val withFp = newDocs.withColumn("__fp", md5(col(textCol)))
+    val nullText = withFp.filter(col("__fp").isNull).drop("__fp")
+    val batchUnique = graft.ops.CoreOps.dedupExact(
+      withFp.filter(col("__fp").isNotNull), Seq("__fp"), idCol)
+    batchUnique
+      .join(seenFingerprints.select(col("fingerprint").as("__fp")),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+      .unionByName(nullText)
+  }
+
+  /** The fingerprint index contribution of a batch (append to the corpus
+    * index after [[dedupIncremental]]); null-text docs contribute nothing. */
+  def fingerprintIndex(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull).distinct()
+
+  /**
    * Connected components over a near-duplicate pair graph — the step that
    * turns pairwise dedup output into KEEPABLE clusters (one representative
    * per component; "dedup" at corpus level means dropping all but the
@@ -211,8 +245,15 @@ object DedupOps {
    * materializing the transitive closure.
    */
   def connectedComponents(pairs: DataFrame, iterations: Int): DataFrame = {
+    // Iterative algorithm: each round references the previous labels TWICE
+    // (neighbor build side + join base) and the edges once. Without
+    // persisting, lineage would re-evaluate the previous round per
+    // reference — O(2^iterations) recomputations of the (possibly
+    // expensive: minhashDedupPairs) pair job. Persist caps every round at
+    // one materialization; edges persist once.
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var i = 0
@@ -223,6 +264,7 @@ object DedupOps {
       labels = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .persist()
       i += 1
     }
     labels.withColumnRenamed("label", "cluster_id")

@@ -65,6 +65,13 @@ object SimilarityOps {
    */
   def cosineTopK(queries: DataFrame, corpus: DataFrame,
                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    // fail fast: the heap carries ids as long — a silent cast of string ids
+    // would null them out and the self-pair filter would drop every row
+    val idType = corpus.schema(idCol).dataType
+    require(Seq("bigint", "int", "smallint", "tinyint")
+      .contains(idType.simpleString),
+      s"cosineTopK requires an integral id column, got $idCol: ${idType.simpleString} — " +
+        "hash or dictionary-encode string ids first (e.g. graft_fp60)")
     GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),

@@ -66,7 +66,18 @@ object VectorAggregators {
   final class TopKByScore(k: Int)
       extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-    private val ord: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+    /** (score desc, id asc) with NaN ranked FIRST — java.lang.Double.compare
+      * treats NaN as greater than +∞, exactly Spark's `orderBy(desc)`
+      * semantics, so a NaN score (e.g. cosine of a zero vector) ranks
+      * identically to the window form this aggregator replaced. A plain
+      * `Ordering.by(-score)` would instead sort NaN last and silently drop
+      * such rows from the top-k. */
+    private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
     // amortize the sort: let the buffer grow to a few k before pruning
     private val pruneAt = math.max(4 * k, 64)
 

@@ -55,8 +55,14 @@ object Pipeline {
       reconciled: Boolean)
 
   /** Columns updated on conflict — mirrors the reference's PARTIAL update set
-    * (DAG:311-315: only address, country, updatedat, requestparams). */
-  val updateCols: Seq[String] = Seq("ts", "value", "props", "props_k", "run_id")
+    * (DAG:311-315: only address, country, updatedat, requestparams). `ts` is
+    * deliberately NOT updatable: it is the creation-time analog (the
+    * reference never updates createdAt) and `p_day` derives from it — a
+    * mutable ts could move a key across midnight, and the partition-scoped
+    * merge would then insert a second copy in the new day's partition while
+    * the old partition kept the stale row. Immutable ts makes that
+    * impossible by construction. */
+  val updateCols: Seq[String] = Seq("value", "props", "props_k", "run_id")
 
   /** Backfill: one [[run]] per historical window, in order — the engine
     * analog of Airflow `catchup=True` enumerating logical dates
@@ -190,9 +196,14 @@ object Pipeline {
     //    100 TB an O(mart) read per incremental run is the QC-side version
     //    of the full-rewrite scale bug — the merged state of the touched
     //    partitions is exactly what this run could have corrupted.
+    //    The window is half-open, so when `end` falls exactly on midnight
+    //    its calendar day was never touched — gating on it would scan (and
+    //    fail on) a NEIGHBOR run's partition.
+    val endTs = lit(end).cast(TimestampType)
+    val lastTouchedDay = when(endTs === to_date(endTs).cast(TimestampType),
+      date_sub(to_date(endTs), 1)).otherwise(to_date(endTs))
     val mart = Stores.martRead(spark, martPath)
-      .filter(col(martPartitionCol).between(
-        to_date(lit(start)), to_date(lit(end))))
+      .filter(col(martPartitionCol).between(to_date(lit(start)), lastTouchedDay))
     val qc = QualityCheck.check(mart, Seq(
       QualityCheck.NotNull("_id"),
       QualityCheck.Unique("_id"),

@@ -76,6 +76,23 @@ object Stores {
 
   private def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
 
+  /** Hadoop FileSystem reports rename/delete failure by RETURNING FALSE,
+    * not throwing — in a swap sequence, ignoring that and proceeding to the
+    * cleanup deletes would destroy the only surviving copy of the data
+    * while reconciliation still reports success. Every swap step goes
+    * through these throwing wrappers so a refused rename aborts the swap
+    * with both versions intact (recover* then restores on next access). */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  private def deleteOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new java.io.IOException(s"delete failed: $p")
+
   /** Mart overwrite (the materialization step after the merge, DAG:279-316).
     * Parquet is immutable, so "upsert into mart" = compute merged frame,
     * write new version. The merged plan READS the current mart, so writing
@@ -102,10 +119,10 @@ object Stores {
     recoverMart(spark, martPath)
     df.write.mode("overwrite").option("compression", ParquetCodec)
       .parquet(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(dst)) fs.rename(dst, bak)
-    fs.rename(tmp, dst)
-    fs.delete(bak, true)
+    deleteOrThrow(fs, bak)
+    if (fs.exists(dst)) renameOrThrow(fs, dst, bak)
+    renameOrThrow(fs, tmp, dst)
+    deleteOrThrow(fs, bak)
   }
 
   /** Crash recovery for a rename-swap (write tmp → live→bak → tmp→live →
@@ -124,13 +141,13 @@ object Stores {
     val bak = hpath(path + bakSuffix)
     val dst = hpath(path)
     if (fs.exists(dst)) {
-      if (fs.exists(bak)) fs.delete(bak, true)
+      deleteOrThrow(fs, bak)
     } else if (fs.exists(tmp) && fs.exists(hpath(path + tmpSuffix + "/_SUCCESS"))) {
-      fs.rename(tmp, dst)
-      if (fs.exists(bak)) fs.delete(bak, true)
+      renameOrThrow(fs, tmp, dst)
+      deleteOrThrow(fs, bak)
     } else if (fs.exists(bak)) {
-      fs.rename(bak, dst)
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      renameOrThrow(fs, bak, dst)
+      deleteOrThrow(fs, tmp)
     }
   }
 
@@ -201,10 +218,10 @@ object Stores {
       .foreach { part =>
         val dst = new org.apache.hadoop.fs.Path(martPath, part.getPath.getName)
         val aside = new org.apache.hadoop.fs.Path(asideRoot, part.getPath.getName)
-        if (fs.exists(aside)) fs.delete(aside, true)
-        if (fs.exists(dst)) fs.rename(dst, aside)
-        fs.rename(part.getPath, dst)
-        fs.delete(aside, true)
+        deleteOrThrow(fs, aside)
+        if (fs.exists(dst)) renameOrThrow(fs, dst, aside)
+        renameOrThrow(fs, part.getPath, dst)
+        deleteOrThrow(fs, aside)
       }
     fs.delete(tmp, true)
     fs.delete(asideRoot, true)
@@ -219,8 +236,8 @@ object Stores {
     if (!fs.exists(asideRoot)) return
     fs.listStatus(asideRoot).foreach { part =>
       val live = new org.apache.hadoop.fs.Path(martPath, part.getPath.getName)
-      if (fs.exists(live)) fs.delete(part.getPath, true)
-      else fs.rename(part.getPath, live)
+      if (fs.exists(live)) deleteOrThrow(fs, part.getPath)
+      else renameOrThrow(fs, part.getPath, live)
     }
     fs.delete(asideRoot, true)
   }
@@ -255,10 +272,10 @@ object Stores {
     // must leave a complete version under either the live path or .precompact.
     df.write.mode("overwrite").option("compression", ParquetCodec)
       .parquet(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    fs.rename(p, bak)
-    fs.rename(tmp, p)
-    fs.delete(bak, true)
+    deleteOrThrow(fs, bak)
+    renameOrThrow(fs, p, bak)
+    renameOrThrow(fs, tmp, p)
+    deleteOrThrow(fs, bak)
   }
 
   // -------------------------------------------------------------------------

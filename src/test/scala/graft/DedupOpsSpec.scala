@@ -98,6 +98,24 @@ class DedupOpsSpec extends SparkSpec {
     capped shouldBe Array((100L, 101L, 1.0))
   }
 
+  test("dedupIncremental: new batch dedups against the corpus index, not its text") {
+    val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val index = DedupOps.fingerprintIndex(corpus, "text")
+    val batch = Seq(
+      (10L, "seen before"),        // dup of corpus → dropped
+      (11L, "brand new content"),  // survives
+      (12L, "brand new content"),  // within-batch dup → collapsed to 11
+      (13L, "also seen"))          // dup of corpus → dropped
+      .toDF("doc_id", "text")
+    val survivors = DedupOps.dedupIncremental(batch, "doc_id", "text", index)
+      .select("doc_id").as[Long].collect().sorted
+    survivors shouldBe Array(11L)
+    // index grows append-only by the survivors' fingerprints
+    val newIndex = index.unionByName(
+      DedupOps.fingerprintIndex(Seq((11L, "brand new content")).toDF("doc_id", "text"), "text"))
+    DedupOps.dedupIncremental(batch, "doc_id", "text", newIndex).count() shouldBe 0L
+  }
+
   test("connectedComponents: transitive closure within iteration budget") {
     // chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated edge 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
