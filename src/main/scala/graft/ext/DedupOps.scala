@@ -245,12 +245,13 @@ object DedupOps {
    * materializing the transitive closure.
    */
   def connectedComponents(pairs: DataFrame, iterations: Int): DataFrame = {
-    // Iterative algorithm: each round references the previous labels TWICE
-    // (neighbor build side + join base) and the edges once. Without
-    // persisting, lineage would re-evaluate the previous round per
-    // reference — O(2^iterations) recomputations of the (possibly
-    // expensive: minhashDedupPairs) pair job. Persist caps every round at
-    // one materialization; edges persist once.
+    // Iterative algorithm, run EAGERLY round by round (the GraphX/ML shape):
+    // each round references the previous labels TWICE (neighbor build side
+    // + join base) and the edges once — without persistence, lineage would
+    // re-evaluate the previous round per reference, O(2^iterations)
+    // recomputations of the (possibly expensive: minhashDedupPairs) pair
+    // job. Each round persists + materializes, then the previous round's
+    // cache is released, so peak cache = edges + two label generations.
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .persist()
@@ -258,15 +259,19 @@ object DedupOps {
       .withColumn("label", col("id"))
     var i = 0
     while (i < iterations) {
-      val viaNeighbor = edges
-        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("nl")).as("min_nbr"))
-      labels = labels.join(viaNeighbor, Seq("id"), "left")
+      val next = labels.join(
+          edges.join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+            .groupBy(col("a").as("id")).agg(min(col("nl")).as("min_nbr")),
+          Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
         .persist()
+      next.count()                            // materialize this round
+      if (i > 0) labels.unpersist(blocking = false)
+      labels = next
       i += 1
     }
+    edges.unpersist(blocking = false)         // final labels are cached
     labels.withColumnRenamed("label", "cluster_id")
   }
 
