@@ -30,18 +30,22 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     SparkEntry.queries.get("q_projection")
       .foreach(fn => try drain(fn(spark, sfDir)) catch { case _: Throwable => })
+    // A failed query records the NEGATED elapsed time — a broken query must
+    // stay distinguishable from a fast one in the JSON.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try drain(fn(spark, sfDir)) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { drain(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -sec)
     }
     // Continuity metric: the same queries under the round-1 `.count()`
     // methodology (Catalyst prunes to counts — under-measures projection
     // cost, but directly comparable with earlier rounds' totals).
     val countTotal = SparkEntry.queries.values.map { fn =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (ok) sec else -sec
     }.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

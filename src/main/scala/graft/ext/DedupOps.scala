@@ -252,6 +252,11 @@ object DedupOps {
     // recomputations of the (possibly expensive: minhashDedupPairs) pair
     // job. Each round persists + materializes, then the previous round's
     // cache is released, so peak cache = edges + two label generations.
+    // The RETURNED frame holds no cache-manager entry: the final labels are
+    // local-checkpointed (lineage cut, blocks owned by the RDD and released
+    // by the ContextCleaner once the caller drops the frame) and every
+    // loop-persist is unpersisted before returning — repeated invocations
+    // (per-batch dedup) accumulate nothing.
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .persist()
@@ -271,8 +276,14 @@ object DedupOps {
       labels = next
       i += 1
     }
-    edges.unpersist(blocking = false)         // final labels are cached
-    labels.withColumnRenamed("label", "cluster_id")
+    val result =
+      if (iterations > 0) {
+        val checkpointed = labels.localCheckpoint()   // eager; cuts lineage
+        labels.unpersist(blocking = false)
+        checkpointed
+      } else labels
+    edges.unpersist(blocking = false)
+    result.withColumnRenamed("label", "cluster_id")
   }
 
   /** Exact Jaccard of two texts' shingle sets as a single expression —

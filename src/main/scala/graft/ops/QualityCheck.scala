@@ -88,9 +88,13 @@ object QualityCheck {
       when(max(col(tsColumn)) >= lit(minTs), 0L).otherwise(1L)
   }
 
-  /** Arbitrary row-predicate rule: count rows violating `mustHold`. */
+  /** Arbitrary row-predicate rule: count rows violating `mustHold`. A NULL
+    * predicate result (NULL operand in the expression) counts as a violation
+    * on BOTH surfaces — the aggregate gate here and [[quarantine]]'s row
+    * check — so the gate and the side-output always agree on the same row. */
   final case class Predicate(name: String, mustHold: Column) extends Rule {
-    def violations: Column = sum(when(!mustHold, 1L).otherwise(0L))
+    def violations: Column =
+      sum(when(!coalesce(mustHold, lit(false)), 1L).otherwise(0L))
     override def rowCheck: Option[Column] = Some(coalesce(mustHold, lit(false)))
   }
 

@@ -69,9 +69,11 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
   }
 
   private def broadcastable(intervals: LogicalPlan): Boolean = {
+    // threshold <= 0 means the user explicitly disabled broadcast joins —
+    // honor the opt-out (skip the rewrite) rather than substituting a
+    // default budget and broadcasting anyway.
     val threshold = conf.autoBroadcastJoinThreshold
-    val budget = if (threshold > 0) 32L * threshold else 32L * 10 * 1024 * 1024
-    intervals.stats.sizeInBytes <= budget
+    threshold > 0 && intervals.stats.sizeInBytes <= 32L * threshold
   }
 
   /** (small, big) of a `<=` chain: GreaterThanOrEqual flips. */

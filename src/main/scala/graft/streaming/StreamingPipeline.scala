@@ -72,12 +72,16 @@ object StreamingPipeline {
         // crash-safe per-partition swap + recovery making foreachBatch
         // replay after a failure idempotent. p_day derives from event time,
         // which is immutable per event_id — the partition-key contract.
+        // ts stays OUT of updateCols (matching the batch Pipeline): a
+        // redelivery with a drifted ts past the dedup horizon must not
+        // update ts without moving p_day — event time is immutable by
+        // construction in both paths.
         if (!batch.isEmpty) {
           val updates = CoreOps.tagRun(batch, s"stream_batch_$batchId")
             .withColumn("p_day", to_date(col("ts")))
           Stores.martMergePartitioned(spark, martPath, updates, "event_id",
             updateCols = updates.columns
-              .filterNot(c => c == "event_id" || c == "p_day").toSeq,
+              .filterNot(c => c == "event_id" || c == "p_day" || c == "ts").toSeq,
             partitionCol = "p_day")
         }
       }

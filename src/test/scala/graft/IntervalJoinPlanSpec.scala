@@ -105,5 +105,20 @@ class IntervalJoinPlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("broadcast opt-out (threshold = -1) disables the rewrite entirely") {
+    GraftPlanner.register(spark)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pts = Seq((1L, ts("2024-01-01 05:00:00"))).toDF("pid", "pts")
+      val iv = Seq((10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 06:00:00")))
+        .toDF("iid", "s", "e")
+      val out = pts.join(iv, col("pts") >= col("s") && col("pts") <= col("e"))
+      // the user said "never broadcast" — no IntervalJoin (which broadcasts)
+      out.queryExecution.optimizedPlan.toString should not include "IntervalJoin"
+      out.count() shouldBe 1L
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }

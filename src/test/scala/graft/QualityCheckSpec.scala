@@ -76,6 +76,17 @@ class QualityCheckSpec extends SparkSpec {
       .filter(col("qc_fail_reason").isNotNull).count() shouldBe 0L
   }
 
+  test("Predicate with NULL result: gate and quarantine agree (null = fail)") {
+    val d = Seq[(java.lang.Long, java.lang.Long)]((1L, 5L), (2L, null), (3L, -1L))
+      .toDF("id", "num")
+    val rule = Predicate("num_positive", col("num") > 0)
+    // aggregate gate: null predicate result counts as a violation
+    QualityCheck.report(d, Seq(rule)).head().getAs[Long]("num_positive") shouldBe 2L
+    // row side-output: the SAME two rows are quarantined
+    QualityCheck.quarantinedRows(d, Seq(rule))
+      .select("id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+  }
+
   test("report is a single aggregation (one scan) regardless of rule count") {
     val rep = QualityCheck.report(df, Seq(NotNull("name"), Unique("id"),
       Regex("name", "^[a-z]+$"), ValidType("num", "bigint")))

@@ -36,6 +36,44 @@ class StreamingPipelineSpec extends SparkSpec {
     Stores.martRead(spark, mart).count() shouldBe n
   }
 
+  test("keyedIngest: event time is immutable on redelivery (ts not in update set)") {
+    val work = Files.createTempDirectory("graft_stream_ts_").toString
+    val mart = s"$work/mart"
+    stageEvents(s"$work/src1")
+
+    val q1 = StreamingPipeline.keyedIngest(spark,
+      StreamingPipeline.readEventStream(spark, s"$work/src1"), mart, s"$work/cp1")
+    q1.awaitTermination()
+    val before = Stores.martRead(spark, mart)
+      .select("event_id", "ts", "value").as[(Long, java.sql.Timestamp, Double)]
+      .collect().toMap.map { case (k, t, v) => k -> (t, v) }
+
+    // redeliver a subset with a drifted ts (+5 min; hour < 23 so the drift
+    // stays same-day) and a new value — beyond any dedup horizon this hits
+    // the merge's update path
+    val redelivered = Stores.table(spark, sf0001, "events")
+      .select(StreamingPipeline.eventSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .filter(hour(col("ts")) < 23)
+      .withColumn("ts", col("ts") + expr("INTERVAL 5 MINUTES"))
+      .withColumn("value", col("value") + 1000.0)
+    redelivered.write.mode("overwrite").parquet(s"$work/src2")
+    val redeliveredIds = redelivered.select("event_id").as[Long].collect().toSet
+    val q2 = StreamingPipeline.keyedIngest(spark,
+      StreamingPipeline.readEventStream(spark, s"$work/src2"), mart, s"$work/cp2")
+    q2.awaitTermination()
+
+    val after = Stores.martRead(spark, mart)
+      .select("event_id", "ts", "value").as[(Long, java.sql.Timestamp, Double)]
+      .collect().toMap.map { case (k, t, v) => k -> (t, v) }
+    after.keySet shouldBe before.keySet
+    // value updated, ts (and hence p_day) unchanged — the partition-key contract
+    after.foreach { case (k, (t, v)) =>
+      t shouldBe before(k)._1
+      v shouldBe (if (redeliveredIds(k)) before(k)._2 + 1000.0 else before(k)._2)
+    }
+    redeliveredIds should not be empty
+  }
+
   test("sessionCounts: streaming session windows match batch sessionization") {
     val work = Files.createTempDirectory("graft_stream_sw_").toString
     stageEvents(s"$work/src")
