@@ -46,7 +46,7 @@ class StreamingPipelineSpec extends SparkSpec {
     q1.awaitTermination()
     val before = Stores.martRead(spark, mart)
       .select("event_id", "ts", "value").as[(Long, java.sql.Timestamp, Double)]
-      .collect().toMap.map { case (k, t, v) => k -> (t, v) }
+      .collect().map { case (k, t, v) => k -> (t, v) }.toMap
 
     // redeliver a subset with a drifted ts (+5 min; hour < 23 so the drift
     // stays same-day) and a new value — beyond any dedup horizon this hits
@@ -64,7 +64,7 @@ class StreamingPipelineSpec extends SparkSpec {
 
     val after = Stores.martRead(spark, mart)
       .select("event_id", "ts", "value").as[(Long, java.sql.Timestamp, Double)]
-      .collect().toMap.map { case (k, t, v) => k -> (t, v) }
+      .collect().map { case (k, t, v) => k -> (t, v) }.toMap
     after.keySet shouldBe before.keySet
     // value updated, ts (and hence p_day) unchanged — the partition-key contract
     after.foreach { case (k, (t, v)) =>
