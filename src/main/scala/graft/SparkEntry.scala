@@ -592,7 +592,7 @@ object SparkEntry {
       val pairs = t(s, d, "documents")
         .filter(col("doc_id") % 10 < 3)
         .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
-      DedupOps.connectedComponents(pairs, iterations = 3)
+      DedupOps.connectedComponentsStar(pairs)
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"), max(col("id")).as("max_member"))
         .orderBy("cluster_id")

@@ -286,6 +286,96 @@ object DedupOps {
     result.withColumnRenamed("label", "cluster_id")
   }
 
+  /**
+   * Connected components via alternating large-star/small-star rewiring —
+   * the production variant for graphs whose diameter exceeds any sane
+   * iteration budget (long duplicate chains). Same contract as
+   * [[connectedComponents]]: (id, cluster_id) with cluster_id = component
+   * min. Where plain min-label propagation needs `iterations` ≥ diameter,
+   * star rewiring HALVES tree heights every round and converges in
+   * O(log d) rounds regardless of chain length.
+   *
+   * Per round (edges kept canonically oriented larger→smaller):
+   *   - large-star: every node hooks its LARGER neighbors directly onto
+   *     the min of its neighborhood (min(Γ(u) ∪ u)),
+   *   - small-star: every node hooks its smaller neighbors + itself onto
+   *     that min.
+   * Each op is one hash-agg (per-node min) + one join (re-emit edges) —
+   * shuffle volume O(edges); nothing quadratic, no transitive closure
+   * materialized. Convergence = the edge set reaches a fixed point
+   * (checked with a distinct-union cardinality probe, one extra shuffle of
+   * the current — by then star-shaped, so near-minimal — edge set).
+   * Persistence discipline matches [[connectedComponents]]: eager rounds,
+   * rolling release, localCheckpoint on return so callers own nothing.
+   */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val nodes = pairs.select(col("id1").as("id"))
+      .unionByName(pairs.select(col("id2").as("id"))).distinct()
+
+    def largeStar(edges: DataFrame): DataFrame = {
+      val both = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = both.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      both.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    def smallStar(edges: DataFrame): DataFrame = {
+      // input oriented u > v, so min(v) is the neighborhood min outright
+      val mins = edges.groupBy("u").agg(min(col("v")).as("m"))
+      edges.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    // Each round references the previous round's frame several times, so an
+    // un-cut plan tree grows ~4× per round — O(4^rounds) nodes, a driver
+    // OOM in plan stringification long before any data moves. persist()
+    // alone does NOT truncate the logical plan; rebasing the next round on
+    // the persisted RDD does (LogicalRDD leaf), while the persisted
+    // original stays available as an explicit unpersist handle.
+    def materializeCut(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist()
+      p.count()
+      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+    }
+
+    var (edges, edgesHandle) = materializeCut(
+      pairs.filter(col("id1") =!= col("id2"))
+        .select(greatest(col("id1"), col("id2")).as("u"),
+          least(col("id1"), col("id2")).as("v"))
+        .distinct())
+    var edgeCount = edgesHandle.count()
+    var converged = edgeCount == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val (ls, lsHandle) = materializeCut(largeStar(edges))
+      val (next, nextHandle) = materializeCut(smallStar(ls))
+      val nextCount = nextHandle.count()
+      lsHandle.unpersist(blocking = false)
+      // fixed point: same cardinality and union introduces nothing new
+      converged = nextCount == edgeCount &&
+        next.unionByName(edges).distinct().count() == edgeCount
+      edgesHandle.unpersist(blocking = false)
+      edges = next
+      edgesHandle = nextHandle
+      edgeCount = nextCount
+      round += 1
+    }
+    // converged edges form stars (child → component min); roots and
+    // isolated nodes label themselves
+    val childLabel = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("lbl"))
+    val labels = nodes.join(childLabel, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
+    val result = labels.localCheckpoint()
+    edgesHandle.unpersist(blocking = false)
+    result
+  }
+
   /** Exact Jaccard of two texts' shingle sets as a single expression —
     * used to verify LSH candidates without another shuffle. */
   def jaccardExpr(t1: Column, t2: Column, n: Int): Column = {

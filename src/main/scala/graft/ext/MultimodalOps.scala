@@ -16,9 +16,12 @@ import org.apache.spark.sql.types._
  *     batch functions (the Scala analog of `mapInPandas`: one call per
  *     batch of rows, vectorization-friendly, no per-row JVM↔native churn)
  *
- * The actual codec calls are STUBBED with a deterministic fake (this
- * container ships no image/audio libs — clearly marked below); everything
- * around them — schema, batching, partitioning, null-safety — is real.
+ * Image decode/resize are REAL, via the JDK's own `javax.imageio` (no
+ * external jars): PNG/JPEG/BMP/GIF payloads are decoded to pixels for
+ * feature extraction and rescaled through Graphics2D. Payloads ImageIO
+ * cannot read (audio/video containers, synthetic test bytes) fall back to
+ * a deterministic content-hash feature so the plumbing stays total — the
+ * same iterator shape either way.
  *
  * Scale notes: media bytes dominate row size, so ops that don't need the
  * payload must never deserialize it — metadata lives in its own columns so
@@ -68,14 +71,16 @@ object MultimodalOps {
 
   /**
    * Feature extraction over batches — Scala analog of `mapInPandas`: the
-   * lambda sees an iterator over a whole partition, amortizing any native
-   * library setup across the batch. Returns small fixed-width features; the
-   * payload is dropped on output.
+   * lambda sees an iterator over a whole partition, amortizing codec setup
+   * across the batch. Returns small fixed-width features; the payload is
+   * dropped on output.
    *
-   * ??? STUB ???  `decodeToFeature` stands in for a real codec call
-   * (e.g. libjpeg decode + CLIP embed). It is a deterministic fake —
-   * a seeded hash-driven vector — so tests exercise real plumbing with
-   * stable outputs. Swap the body for the real codec in production.
+   * Decode is real (`javax.imageio`): an ImageIO-readable payload yields a
+   * unit-norm luminance histogram over `dim` bins — a genuine
+   * pixels-in/vector-out embedding contract (swap the histogram for a CLIP
+   * forward pass in production; the (bytes, format) → floats signature is
+   * the seam). Undecodable payloads get a deterministic content-hash
+   * vector so mixed-modality batches never throw.
    */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
                       dim: Int = 8): Dataset[MediaFeatures] = {
@@ -94,12 +99,47 @@ object MultimodalOps {
     }
   }
 
-  /** STUB — deterministic fake decode: seeds a per-payload PRNG from the
-    * content hash and emits a unit-norm vector. Replace with a real
-    * decoder+embedder; the signature (bytes, format) → fixed-dim floats is
-    * the production contract. */
-  private def decodeToFeature(bytes: Array[Byte], format: String,
-                              dim: Int): Array[Float] = {
+  /** Real decode via the JDK's ImageIO. Returns None when no registered
+    * reader accepts the bytes (audio/video containers, corrupt blobs). */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Throwable => None }
+
+  private[graft] def decodeToFeature(bytes: Array[Byte], format: String,
+                                   dim: Int): Array[Float] =
+    decodeImage(bytes) match {
+      case Some(img) => luminanceHistogram(img, dim)
+      case None      => hashFeature(bytes, format, dim)
+    }
+
+  /** Unit-norm luminance histogram — a real pixel-space feature: images
+    * with different content produce different vectors, a re-encode of the
+    * same pixels produces the same vector. */
+  private def luminanceHistogram(img: java.awt.image.BufferedImage,
+                                 dim: Int): Array[Float] = {
+    val bins = new Array[Float](dim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000 // integer Rec.601 luma, 0..255
+        bins(lum * dim / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.sqrt(bins.map(b => b.toDouble * b).sum).toFloat max 1e-9f
+    bins.map(_ / n)
+  }
+
+  /** Fallback for non-image payloads: deterministic content-hash unit
+    * vector, so mixed-modality batches stay total and test outputs stable. */
+  private def hashFeature(bytes: Array[Byte], format: String,
+                          dim: Int): Array[Float] = {
     val seed = java.util.Arrays.hashCode(bytes).toLong ^ format.##.toLong
     val rng = new java.util.Random(seed)
     val raw = Array.fill(dim)(rng.nextGaussian().toFloat)
@@ -111,14 +151,11 @@ object MultimodalOps {
                                 width: Int, height: Int)
 
   /**
-   * Resize plumbing — same per-partition batch shape as [[extractFeatures]]
-   * (codec init amortized across the batch, payload-in → payload-out).
-   *
-   * ??? STUB ???  `resizePayload` stands in for a real image resize
-   * (libvips/Pillow-SIMD equivalent). The fake is deterministic —
-   * truncate/cycle the payload to a size proportional to the target area —
-   * so tests exercise the real plumbing (batch iteration, metadata rewrite,
-   * payload replacement) with stable outputs.
+   * Resize — same per-partition batch shape as [[extractFeatures]] (codec
+   * init amortized across the batch, payload-in → payload-out). Real for
+   * ImageIO-readable payloads: decode → Graphics2D bilinear rescale →
+   * re-encode as PNG at the target dimensions. Undecodable payloads keep
+   * the deterministic byte-cycling fallback so the operator stays total.
    */
   def resize(spark: SparkSession, media: Dataset[MediaRow],
              targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
@@ -133,14 +170,28 @@ object MultimodalOps {
     }
   }
 
-  /** STUB — deterministic fake resize: emits ceil(area/64) bytes cycled
-    * from the source payload. Replace with a real decoder+scaler; the
-    * (bytes, w, h) → bytes signature is the production contract. */
-  private def resizePayload(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val n = math.max(w * h / 64, 1)
-    if (bytes.isEmpty) new Array[Byte](n)
-    else Array.tabulate[Byte](n)(i => bytes(i % bytes.length))
-  }
+  private[graft] def resizePayload(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    decodeImage(bytes) match {
+      case Some(img) =>
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        baos.toByteArray
+      case None =>
+        // non-image payload: deterministic byte-cycling fallback keeps the
+        // operator total over mixed-modality batches
+        val n = math.max(w * h / 64, 1)
+        if (bytes.isEmpty) new Array[Byte](n)
+        else Array.tabulate[Byte](n)(i => bytes(i % bytes.length))
+    }
 
   /** Video frame-sampling plumbing: explode a (stubbed) frame index list —
     * one output row per sampled frame, payload carried by reference

@@ -14,8 +14,20 @@ import org.apache.spark.sql.functions._
  */
 object Stores {
 
+  /** Memoized unresolved plans, keyed per (session, dir, table). Bounded:
+    * entries belonging to stopped sessions are purged on every miss (a
+    * long-lived multi-session service would otherwise leak one plan per
+    * table per session forever), and a hard cap guards against unbounded
+    * distinct (dir, table) churn within one live session. Plans are tiny
+    * (no data), so the cap is generous. */
+  private val TableCacheMax = 4096
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def pruneTableCache(): Unit = {
+    tableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (tableCache.size > TableCacheMax) tableCache.clear()
+  }
 
   /** Source scan (DAG:94-96 `client[DB][COLLECTION]`). Projection/predicates
     * applied by the caller are pushed into the parquet scan by Catalyst —
@@ -24,10 +36,17 @@ object Stores {
     * memoized per (session, dir, table): plans are immutable, and re-reading
     * repeats the file listing + footer schema read on every call — measurable
     * across a 70-query run. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    tableCache.computeIfAbsent((spark, sfDir, name), { _ =>
-      normalizeNanoTs(spark.read.parquet(s"$sfDir/$name.parquet"))
-    })
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val key = (spark, sfDir, name)
+    val hit = tableCache.get(key)
+    if (hit != null) hit
+    else {
+      pruneTableCache()
+      tableCache.computeIfAbsent(key, { _ =>
+        normalizeNanoTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+      })
+    }
+  }
 
   /** Parquet TIMESTAMP(NANOS) columns (events.ts fixture) are rejected by
     * Spark 4 unless read as raw longs (`spark.sql.legacy.parquet.nanosAsLong`,
@@ -321,10 +340,17 @@ object Stores {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
-  /** Connectivity probe (DAG:79-84: Mongo ping + PG SELECT 1). */
+  /** Connectivity probe (DAG:79-84: Mongo ping + PG SELECT 1). The dir
+    * check goes through the Hadoop FileSystem API — java.io.File answers
+    * about the driver's LOCAL disk and would report false for every
+    * hdfs:///s3a:// source dir, failing the pipeline's require at startup
+    * on any real cluster (same bug class as dropRun's original). */
   def probe(spark: SparkSession, sfDir: String): Boolean = {
     spark.sql("SELECT 1").head()
-    new java.io.File(sfDir).isDirectory
+    val p = hpath(sfDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
   }
 
   // -------------------------------------------------------------------------
@@ -380,5 +406,47 @@ object Stores {
                         jdbcRead: (SparkSession, JdbcTarget) => DataFrame =
                           defaultJdbcRead): DataFrame =
     if (jdbcDriverPresent(target.driver)) jdbcRead(spark, target)
+    else spark.read.parquet(fallbackPath)
+
+  // -------------------------------------------------------------------------
+  // External connectors — jar-gated document-store source
+  // -------------------------------------------------------------------------
+
+  /** A document-store source boundary (the reference's MongoDB collection,
+    * DAG:94-96 `client[DB][COLLECTION]`). `providerClass` is the Spark
+    * connector's DataSource registration class whose classpath presence
+    * gates the connector path (the MongoDB Spark connector's V2 provider). */
+  final case class DocStoreTarget(
+      uri: String, database: String, collection: String,
+      format: String = "mongodb",
+      providerClass: String = "com.mongodb.spark.sql.connector.MongoTableProvider")
+
+  /** True iff the document-store connector jar is on the classpath. Same
+    * runtime jar-gating discipline as [[jdbcDriverPresent]]: deployments
+    * that ship the connector get `format("mongodb")` with aggregation-
+    * pipeline pushdown (the reference pushes projection+filter+sort into
+    * Mongo server-side, DAG:98-132) and no code change; this sandbox has no
+    * connector jars, so every boundary falls back to parquet. */
+  def docStoreProviderPresent(providerClass: String): Boolean =
+    try { Class.forName(providerClass); true } catch { case _: Throwable => false }
+
+  private def defaultDocStoreRead(spark: SparkSession, t: DocStoreTarget): DataFrame =
+    spark.read.format(t.format)
+      .option("connection.uri", t.uri)
+      .option("database", t.database)
+      .option("collection", t.collection)
+      .load()
+
+  /** Read through the document-store connector when its provider class is
+    * present, else parquet fallback. Catalyst pushes the caller's
+    * projection/filters into either scan — connector pushdown upstream
+    * mirrors the reference's server-side Mongo find() options
+    * (DAG:98-132). The connector read is an injectable seam so both
+    * branches are unit-testable with no server. */
+  def readDocStoreOrParquet(spark: SparkSession, target: DocStoreTarget,
+                            fallbackPath: String,
+                            docRead: (SparkSession, DocStoreTarget) => DataFrame =
+                              defaultDocStoreRead): DataFrame =
+    if (docStoreProviderPresent(target.providerClass)) docRead(spark, target)
     else spark.read.parquet(fallbackPath)
 }

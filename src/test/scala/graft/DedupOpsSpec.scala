@@ -126,6 +126,30 @@ class DedupOpsSpec extends SparkSpec {
       (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
   }
 
+  test("connectedComponentsStar: converges on a chain whose diameter dwarfs the round budget") {
+    // a 64-node chain (diameter 63): min-label propagation with a small
+    // iteration budget CANNOT close it, star rewiring converges in O(log d)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val plain = DedupOps.connectedComponents(chain, iterations = 5)
+      .select("cluster_id").distinct().count()
+    plain should be > 1L                      // 5 rounds < diameter: still split
+    val star = DedupOps.connectedComponentsStar(chain, maxRounds = 10)
+      .orderBy("id").as[(Long, Long)].collect()
+    star.map(_._1) shouldBe (0L to 63L).toArray
+    all(star.map(_._2)) shouldBe 0L           // one component, min label
+  }
+
+  test("connectedComponentsStar matches connectedComponents on mixed graphs") {
+    // chain + clique + isolated edge + self-loop-only node
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L), (30L, 30L))
+      .toDF("id1", "id2")
+    val star = DedupOps.connectedComponentsStar(pairs)
+      .orderBy("id").as[(Long, Long)].collect()
+    star shouldBe Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L), (30L, 30L))
+  }
+
   test("connectedComponents clusters real minhash dup pairs") {
     val body = "the quick brown fox jumps over the lazy dog again and again"
     val df = Seq((1L, body), (2L, body), (3L, body),   // 3-clique of dups

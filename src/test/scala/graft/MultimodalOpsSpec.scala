@@ -29,7 +29,65 @@ class MultimodalOpsSpec extends SparkSpec {
     dup shouldBe 0L
   }
 
-  test("extractFeatures: per-partition batch decode plumbing with stub codec") {
+  /** A real PNG: solid color or horizontal luminance gradient. */
+  private def png(w: Int, h: Int, rgb: Int, gradient: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = if (gradient) { val g = x * 255 / math.max(w - 1, 1); (g << 16) | (g << 8) | g }
+                else rgb
+        img.setRGB(x, y, v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("extractFeatures decodes real PNGs: pixel-derived, re-encode-stable features") {
+    import MultimodalOps.{MediaFeatures, MediaRow}
+    val dark = png(16, 16, 0x101010)
+    val bright = png(16, 16, 0xf0f0f0)
+    val grad = png(16, 16, 0, gradient = true)
+    val media = Seq(
+      MediaRow(0L, dark, "image", "png"),
+      MediaRow(1L, bright, "image", "png"),
+      MediaRow(2L, grad, "image", "png")).toDS()
+    val f: Map[Long, Array[Float]] =
+      MultimodalOps.extractFeatures(spark, media, dim = 8)
+        .collect().map((mf: MediaFeatures) => mf.media_id -> mf.feature).toMap
+    // solid dark → all mass in the lowest luminance bin; bright → highest
+    f(0L)(0) shouldBe 1.0f +- 1e-5f
+    f(1L)(7) shouldBe 1.0f +- 1e-5f
+    // gradient spreads mass across bins — differs from both solids
+    f(2L).count(_ > 0f) should be > 2
+    // feature is a function of PIXELS: the normalized histogram of a solid
+    // image is invariant under rescale even though the bytes differ
+    val rescaled = MultimodalOps.resizePayload(dark, 32, 32)
+    rescaled.toSeq should not be dark.toSeq
+    MultimodalOps.decodeToFeature(rescaled, "png", 8).toSeq shouldBe f(0L).toSeq
+  }
+
+  test("resize decodes, rescales and re-encodes real PNGs") {
+    val grad = png(100, 50, 0, gradient = true)
+    val out = MultimodalOps.resizePayload(grad, 32, 16)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    img.getWidth shouldBe 32
+    img.getHeight shouldBe 16
+    // bilinear rescale preserves the gradient direction: left darker than right
+    (img.getRGB(0, 8) & 0xff) should be < (img.getRGB(31, 8) & 0xff)
+    // solid color survives the rescale exactly
+    val solid = MultimodalOps.resizePayload(png(40, 40, 0x336699), 8, 8)
+    val simg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(solid))
+    (simg.getRGB(4, 4) & 0xffffff) shouldBe 0x336699
+  }
+
+  test("extractFeatures: per-partition batch plumbing, hash fallback for non-image payloads") {
     import MultimodalOps.MediaRow
     val media = MultimodalOps.syntheticMedia(spark, 20)
       .select(col("media_id"), col("payload"),
@@ -46,7 +104,7 @@ class MultimodalOpsSpec extends SparkSpec {
       again.sortBy(_.media_id).map(_.feature.toSeq)
   }
 
-  test("resize: batch payload rewrite with deterministic stub scaler") {
+  test("resize: batch payload rewrite, deterministic fallback for non-image payloads") {
     import MultimodalOps.MediaRow
     val media = MultimodalOps.syntheticMedia(spark, 8)
       .select(col("media_id"), col("payload"),

@@ -223,5 +223,33 @@ class RobustnessSpec extends SparkSpec {
     read shouldBe true
   }
 
+  test("doc-store seam: absent provider falls back to parquet; present provider takes connector") {
+    val work = Files.createTempDirectory("graft_docstore_").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("_id", "s")
+    df.write.parquet(s"$work/fallback")
+
+    // the Mongo connector provider is not on this classpath → parquet fallback
+    val target = Stores.DocStoreTarget("mongodb://db", "etl", "raw")
+    Stores.readDocStoreOrParquet(spark, target, s"$work/fallback")
+      .count() shouldBe 2L
+
+    // a provider class that IS present gates into the connector branch;
+    // the read itself goes through the injectable seam (no server needed)
+    var read = false
+    val present = target.copy(providerClass = "java.lang.String")
+    Stores.readDocStoreOrParquet(spark, present, s"$work/unused",
+      docRead = (_, t) => { read = true; t.collection shouldBe "raw"; df })
+      .count() shouldBe 2L
+    read shouldBe true
+  }
+
+  test("probe goes through the Hadoop FS API and rejects missing dirs") {
+    val work = Files.createTempDirectory("graft_probe_").toString
+    Stores.probe(spark, work) shouldBe true
+    Stores.probe(spark, s"$work/nope") shouldBe false
+    // file:// scheme-qualified path still resolves (FS API, not java.io)
+    Stores.probe(spark, s"file://$work") shouldBe true
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
