@@ -302,11 +302,17 @@ object DedupOps {
    *     that min.
    * Each op is one hash-agg (per-node min) + one join (re-emit edges) —
    * shuffle volume O(edges); nothing quadratic, no transitive closure
-   * materialized. Convergence = the edge set reaches a fixed point
-   * (checked with a distinct-union cardinality probe, one extra shuffle of
-   * the current — by then star-shaped, so near-minimal — edge set).
-   * Persistence discipline matches [[connectedComponents]]: eager rounds,
-   * rolling release, localCheckpoint on return so callers own nothing.
+   * materialized. One round = smallStar∘largeStar composed LAZILY and
+   * materialized once: the intra-round intermediate only re-reads the
+   * cached previous edge set (cheap at any scale), so each round costs a
+   * single job instead of three. Convergence = the edge set reaches a
+   * fixed point, detected by (count, Σ xxhash64(u,v)) riding the round's
+   * materializing aggregate — zero extra jobs; with equal counts a
+   * differing set escapes detection only on a 2⁻⁶⁴ checksum collision
+   * (and a false positive still yields star-shaped near-final edges, not
+   * arbitrary garbage). Persistence discipline matches
+   * [[connectedComponents]]: eager rounds, rolling release,
+   * localCheckpoint on return so callers own nothing.
    */
   def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val nodes = pairs.select(col("id1").as("id"))
@@ -337,35 +343,45 @@ object DedupOps {
     // OOM in plan stringification long before any data moves. persist()
     // alone does NOT truncate the logical plan; rebasing the next round on
     // the persisted RDD does (LogicalRDD leaf), while the persisted
-    // original stays available as an explicit unpersist handle.
-    def materializeCut(df: DataFrame): (DataFrame, DataFrame) = {
+    // original stays available as an explicit unpersist handle. The
+    // materializing action is a (count, checksum) aggregate — the checksum
+    // doubles as the fixed-point probe, so no extra per-round job. ANSI
+    // overflow-safe: the hash sum rides an unbounded decimal.
+    def materializeCut(df: DataFrame): (DataFrame, DataFrame, Long, java.math.BigDecimal) = {
       val p = df.persist()
-      p.count()
-      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+      val row = p.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("chk")).head()
+      val chk = if (row.isNullAt(1)) java.math.BigDecimal.ZERO else row.getDecimal(1)
+      (p.sparkSession.createDataFrame(p.rdd, p.schema), p, row.getLong(0), chk)
     }
 
-    var (edges, edgesHandle) = materializeCut(
+    var (edges, edgesHandle, edgeCount, edgeChk) = materializeCut(
       pairs.filter(col("id1") =!= col("id2"))
         .select(greatest(col("id1"), col("id2")).as("u"),
           least(col("id1"), col("id2")).as("v"))
         .distinct())
-    var edgeCount = edgesHandle.count()
     var converged = edgeCount == 0L
     var round = 0
     while (!converged && round < maxRounds) {
-      val (ls, lsHandle) = materializeCut(largeStar(edges))
-      val (next, nextHandle) = materializeCut(smallStar(ls))
-      val nextCount = nextHandle.count()
-      lsHandle.unpersist(blocking = false)
-      // fixed point: same cardinality and union introduces nothing new
-      converged = nextCount == edgeCount &&
-        next.unionByName(edges).distinct().count() == edgeCount
+      // one lazy composed round, one materializing job; the doubled
+      // references inside each star op re-read the CACHED previous edges
+      val (next, nextHandle, nextCount, nextChk) =
+        materializeCut(smallStar(largeStar(edges)))
+      converged = nextCount == edgeCount && nextChk.compareTo(edgeChk) == 0
       edgesHandle.unpersist(blocking = false)
       edges = next
       edgesHandle = nextHandle
       edgeCount = nextCount
+      edgeChk = nextChk
       round += 1
     }
+    // the doc advertises O(log d) convergence — if the round budget ran out
+    // first, labels may hook children to a non-minimal intermediate; say so
+    // loudly rather than hand back a silently-wrong clustering
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxRounds rounds " +
+          s"($edgeCount edges remain in motion); raise maxRounds")
     // converged edges form stars (child → component min); roots and
     // isolated nodes label themselves
     val childLabel = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("lbl"))

@@ -99,12 +99,34 @@ object MultimodalOps {
     }
   }
 
+  /** Decompression-bomb guard: a tiny PNG can declare a huge canvas, and
+    * ImageIO allocates width*height ints before any pixel is read. Reject
+    * declared dimensions above this pixel count before decoding. */
+  private[graft] val maxDecodePixels: Long = 64L * 1024 * 1024
+
   /** Real decode via the JDK's ImageIO. Returns None when no registered
-    * reader accepts the bytes (audio/video containers, corrupt blobs). */
+    * reader accepts the bytes (audio/video containers, corrupt blobs) or
+    * the declared dimensions exceed [[maxDecodePixels]]. Only IO/runtime
+    * failures are converted to None — fatal JVM errors propagate. */
   private[graft] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (bytes == null || bytes.isEmpty) None
-    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: Throwable => None }
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val declared = reader.getWidth(0).toLong * reader.getHeight(0).toLong
+            if (declared <= 0 || declared > maxDecodePixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
 
   private[graft] def decodeToFeature(bytes: Array[Byte], format: String,
                                    dim: Int): Array[Float] =
@@ -183,15 +205,22 @@ object MultimodalOps {
           g.drawImage(img, 0, 0, w, h, null)
         } finally g.dispose()
         val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", baos)
-        baos.toByteArray
+        // write returns false when no registered writer accepts the image —
+        // fall back rather than silently emit an empty payload
+        if (javax.imageio.ImageIO.write(out, "png", baos) && baos.size() > 0)
+          baos.toByteArray
+        else cyclingFallback(bytes, w, h)
       case None =>
-        // non-image payload: deterministic byte-cycling fallback keeps the
-        // operator total over mixed-modality batches
-        val n = math.max(w * h / 64, 1)
-        if (bytes.isEmpty) new Array[Byte](n)
-        else Array.tabulate[Byte](n)(i => bytes(i % bytes.length))
+        cyclingFallback(bytes, w, h)
     }
+
+  /** Non-image payload (or writer failure): deterministic byte-cycling
+    * fallback keeps the operator total over mixed-modality batches. */
+  private def cyclingFallback(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(w * h / 64, 1)
+    if (bytes.isEmpty) new Array[Byte](n)
+    else Array.tabulate[Byte](n)(i => bytes(i % bytes.length))
+  }
 
   /** Video frame-sampling plumbing: explode a (stubbed) frame index list —
     * one output row per sampled frame, payload carried by reference

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.ops.{CoreOps, QualityCheck}
+import graft.ops.{CoreOps, QualityCheck, QualityConfig}
 import graft.sources.Stores
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -53,6 +53,25 @@ object Pipeline {
       loaded: Long,
       qc: Map[String, Long],
       reconciled: Boolean)
+
+  /** The reference's declared check set (DAG:369: "data freshness, valid
+    * data type, regex check, unique, and not missing fields value check")
+    * as a DECLARATIVE config — the engine-native analog of the Soda checks
+    * YAML the reference feeds its scan subprocess (DAG:347-348). Parsed by
+    * [[QualityConfig.parseRules]] on every run, so the config path is
+    * exercised by default; callers pass their own parsed config via
+    * [[run]]'s `qcRules`. */
+  val defaultQcConfig: String =
+    """rules:
+      |  - not_null: _id
+      |  - unique: _id
+      |  - regex:      {column: event_type, pattern: "^[a-z_]+$"}
+      |  - valid_type: {column: _id, cast_to: bigint}
+      |  - freshness:  {column: ts, min_ts: "2024-01-01 00:00:00"}
+      |""".stripMargin
+
+  lazy val defaultQcRules: Seq[QualityCheck.Rule] =
+    QualityConfig.parseRules(defaultQcConfig)
 
   /** Columns updated on conflict — mirrors the reference's PARTIAL update set
     * (DAG:311-315: only address, country, updatedat, requestparams). `ts` is
@@ -133,7 +152,8 @@ object Pipeline {
       start: String,
       end: String,
       runId: String,
-      workDir: String): Result = {
+      workDir: String,
+      qcRules: Seq[QualityCheck.Rule] = defaultQcRules): Result = {
 
     val stagingPath = s"$workDir/staging"
     val martPath    = s"$workDir/mart"
@@ -204,12 +224,7 @@ object Pipeline {
       date_sub(to_date(endTs), 1)).otherwise(to_date(endTs))
     val mart = Stores.martRead(spark, martPath)
       .filter(col(martPartitionCol).between(to_date(lit(start)), lastTouchedDay))
-    val qc = QualityCheck.check(mart, Seq(
-      QualityCheck.NotNull("_id"),
-      QualityCheck.Unique("_id"),
-      QualityCheck.Regex("event_type", "^[a-z_]+$"),
-      QualityCheck.ValidType("_id", "bigint"),
-      QualityCheck.Freshness("ts", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+    val qc = QualityCheck.check(mart, qcRules)
 
     // -- task 6: row-count reconciliation (DAG:375-422): source-window count
     //    vs this run's mart rows, both harvested from the write-job

@@ -21,12 +21,21 @@ object Stores {
     * distinct (dir, table) churn within one live session. Plans are tiny
     * (no data), so the cap is generous. */
   private val TableCacheMax = 4096
+  private val tableCacheTicket = new java.util.concurrent.atomic.AtomicLong(0L)
   private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), (Long, DataFrame)]()
 
+  /** Evict dead-session entries always; over the cap, evict the OLDEST half
+    * by insertion ticket (not a full clear — hot entries for live sessions
+    * survive, so a cap breach doesn't force a re-listing of every table). */
   private def pruneTableCache(): Unit = {
     tableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    if (tableCache.size > TableCacheMax) tableCache.clear()
+    if (tableCache.size > TableCacheMax) {
+      import scala.jdk.CollectionConverters._
+      val cutoff = tableCache.values.asScala.map(_._1).toSeq.sorted
+        .apply(tableCache.size / 2)
+      tableCache.entrySet.removeIf(e => e.getValue._1 < cutoff)
+    }
   }
 
   /** Source scan (DAG:94-96 `client[DB][COLLECTION]`). Projection/predicates
@@ -39,12 +48,13 @@ object Stores {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val key = (spark, sfDir, name)
     val hit = tableCache.get(key)
-    if (hit != null) hit
+    if (hit != null) hit._2
     else {
       pruneTableCache()
       tableCache.computeIfAbsent(key, { _ =>
-        normalizeNanoTs(spark.read.parquet(s"$sfDir/$name.parquet"))
-      })
+        (tableCacheTicket.incrementAndGet(),
+          normalizeNanoTs(spark.read.parquet(s"$sfDir/$name.parquet")))
+      })._2
     }
   }
 
@@ -347,10 +357,16 @@ object Stores {
     * on any real cluster (same bug class as dropRun's original). */
   def probe(spark: SparkSession, sfDir: String): Boolean = {
     spark.sql("SELECT 1").head()
-    val p = hpath(sfDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try fs.getFileStatus(p).isDirectory
-    catch { case _: java.io.FileNotFoundException => false }
+    // contract: a boolean probe — malformed URIs and transient FS errors
+    // answer false rather than propagate (the caller's `require` is the
+    // loud path; the probe itself never throws on bad input)
+    try {
+      val p = hpath(sfDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getFileStatus(p).isDirectory
+    } catch {
+      case _: java.io.IOException | _: IllegalArgumentException => false
+    }
   }
 
   // -------------------------------------------------------------------------

@@ -49,6 +49,24 @@ class MultimodalOpsSpec extends SparkSpec {
     baos.toByteArray
   }
 
+  test("decodeImage rejects declared decompression-bomb dimensions before allocating") {
+    // a syntactically valid PNG header (magic + CRC-correct IHDR) declaring
+    // a 10^12-pixel canvas — must be rejected from the header alone
+    val baos = new java.io.ByteArrayOutputStream()
+    baos.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(17)
+    ihdr.put("IHDR".getBytes("US-ASCII"))
+    ihdr.putInt(1000000).putInt(1000000)          // width, height
+    ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new java.util.zip.CRC32(); crc.update(ihdr.array())
+    baos.write(java.nio.ByteBuffer.allocate(4).putInt(13).array())
+    baos.write(ihdr.array())
+    baos.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    MultimodalOps.decodeImage(baos.toByteArray) shouldBe None
+    // a normal-size PNG still decodes through the same guarded path
+    MultimodalOps.decodeImage(png(16, 16, 0x336699)).isDefined shouldBe true
+  }
+
   test("extractFeatures decodes real PNGs: pixel-derived, re-encode-stable features") {
     import MultimodalOps.{MediaFeatures, MediaRow}
     val dark = png(16, 16, 0x101010)

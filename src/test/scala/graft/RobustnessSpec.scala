@@ -249,6 +249,9 @@ class RobustnessSpec extends SparkSpec {
     Stores.probe(spark, s"$work/nope") shouldBe false
     // file:// scheme-qualified path still resolves (FS API, not java.io)
     Stores.probe(spark, s"file://$work") shouldBe true
+    // contract: a boolean probe — malformed input answers false, not throw
+    Stores.probe(spark, "") shouldBe false
+    Stores.probe(spark, "::not a uri::") shouldBe false
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
