@@ -32,11 +32,21 @@ object Bench {
       .foreach(fn => try drain(fn(spark, sfDir)) catch { case _: Throwable => })
     // A failed query records the NEGATED elapsed time — a broken query must
     // stay distinguishable from a fast one in the JSON.
+    // Best-of-2 per query: single-pass timings on a shared box are hostage
+    // to whoever else is on the CPU (one observed run came back 2× inflated
+    // across the board) — the min of two passes discards one-off JIT/GC/
+    // neighbor-noise spikes while remaining an honest full-evaluation time.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt max 1
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { drain(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -sec)
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { drain(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) sec else -sec
+      }
+      // min: fastest clean pass, or the most-negative (failed) one — a
+      // query that failed any pass stays visibly negative in the JSON
+      name -> times.min
     }
     // Continuity metric: the same queries under the round-1 `.count()`
     // methodology (Catalyst prunes to counts — under-measures projection
@@ -51,7 +61,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"count_method_total":$countTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"agg":"min","queries":$qs,"count_method_total":$countTotal,"sf":"$sfDir"}"""
     println(json)
     // Stdout tail-truncation loses per-query timings in long runs — persist
     // the full line to a file so every timing stays recoverable per round.

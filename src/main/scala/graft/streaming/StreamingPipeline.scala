@@ -87,6 +87,53 @@ object StreamingPipeline {
       }
       .start()
 
+  /**
+   * Keyed ingestion with an in-stream quality gate — the streaming analog of
+   * the batch pipeline's task-5 quarantine ([[graft.pipeline.Pipeline.run]],
+   * DAG:333-369): each micro-batch is row-tagged by
+   * [[graft.ops.QualityCheck.quarantine]] (pure projection, rides the scan),
+   * clean rows merge into the mart exactly as [[keyedIngest]], quarantined
+   * rows land in a dead-letter parquet area keyed by micro-batch id.
+   *
+   * Replay-idempotent on BOTH sides: the mart merge is keyed, and the
+   * dead-letter write OVERWRITES its own `batch_id=N` directory — a
+   * foreachBatch replay after a crash rewrites the same directory instead
+   * of double-appending (an `append` here would duplicate dead letters on
+   * every recovery, the streaming version of the non-idempotent-load bug
+   * the reference engineers around with ON CONFLICT, DAG:311).
+   *
+   * Scale: the gate costs zero extra passes (the tag is a projection fused
+   * into the micro-batch scan); only rule-violating rows are written twice.
+   */
+  def keyedIngestWithQc(spark: SparkSession, events: DataFrame, martPath: String,
+                        quarantinePath: String, checkpoint: String,
+                        rules: Seq[graft.ops.QualityCheck.Rule],
+                        watermark: String = "1 hour"): StreamingQuery =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .queryName("graft_keyed_ingest_qc")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val updates = CoreOps.tagRun(batch, s"stream_batch_$batchId")
+            .withColumn("p_day", to_date(col("ts")))
+          val tagged = graft.ops.QualityCheck.quarantine(updates, rules)
+          val dirty = tagged.filter(col("qc_fail_reason").isNotNull)
+          dirty.write.mode("overwrite")
+            .parquet(s"$quarantinePath/batch_id=$batchId")
+          val clean = tagged.filter(col("qc_fail_reason").isNull)
+            .drop("qc_fail_reason")
+          Stores.martMergePartitioned(spark, martPath, clean, "event_id",
+            updateCols = clean.columns
+              .filterNot(c => c == "event_id" || c == "p_day" || c == "ts").toSeq,
+            partitionCol = "p_day")
+        }
+      }
+      .start()
+
   /** File-source stream over a directory of event parquet — used by tests to
     * drive the pipeline with AvailableNow (batch-of-files as a stream). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -74,6 +74,39 @@ class StreamingPipelineSpec extends SparkSpec {
     redeliveredIds should not be empty
   }
 
+  test("keyedIngestWithQc: clean rows merge, violations dead-letter, replay-idempotent") {
+    import graft.ops.QualityCheck
+    val work = Files.createTempDirectory("graft_stream_qc_").toString
+    val srcDir = s"$work/src"
+    val mart = s"$work/mart"
+    val quar = s"$work/quarantine"
+    val n = stageEvents(srcDir)
+    // deterministic split: every 7th event_id violates the gate
+    val rules = Seq(QualityCheck.Predicate("id_not_mod7", expr("event_id % 7 != 0")))
+    val nBad = Stores.table(spark, sf0001, "events")
+      .filter(col("event_id") % 7 === 0).count()
+    nBad should be > 0L
+
+    val q1 = StreamingPipeline.keyedIngestWithQc(spark,
+      StreamingPipeline.readEventStream(spark, srcDir), mart, quar, s"$work/cp1", rules)
+    q1.awaitTermination()
+    Stores.martRead(spark, mart).count() shouldBe n - nBad
+    Stores.martRead(spark, mart).filter(col("event_id") % 7 === 0).count() shouldBe 0L
+    val deadLetters = spark.read.parquet(quar)
+    deadLetters.count() shouldBe nBad
+    deadLetters.select("qc_fail_reason").distinct().as[String].collect() shouldBe
+      Array("id_not_mod7")
+
+    // redelivery with a fresh checkpoint: keyed merge keeps the mart stable
+    // and the dead-letter write overwrites its batch directory (no
+    // double-append on replay)
+    val q2 = StreamingPipeline.keyedIngestWithQc(spark,
+      StreamingPipeline.readEventStream(spark, srcDir), mart, quar, s"$work/cp2", rules)
+    q2.awaitTermination()
+    Stores.martRead(spark, mart).count() shouldBe n - nBad
+    spark.read.parquet(quar).count() shouldBe nBad
+  }
+
   test("sessionCounts: streaming session windows match batch sessionization") {
     val work = Files.createTempDirectory("graft_stream_sw_").toString
     stageEvents(s"$work/src")
