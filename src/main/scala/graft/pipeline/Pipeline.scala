@@ -58,9 +58,9 @@ object Pipeline {
     * data type, regex check, unique, and not missing fields value check")
     * as a DECLARATIVE config — the engine-native analog of the Soda checks
     * YAML the reference feeds its scan subprocess (DAG:347-348). Parsed by
-    * [[QualityConfig.parseRules]] on every run, so the config path is
-    * exercised by default; callers pass their own parsed config via
-    * [[run]]'s `qcRules`. */
+    * [[QualityConfig.parseRules]] once per JVM (lazy val) at first use, so
+    * the default gate always goes through the config path; callers pass
+    * their own parsed config via [[run]]'s `qcRules`. */
   val defaultQcConfig: String =
     """rules:
       |  - not_null: _id

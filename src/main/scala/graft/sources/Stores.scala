@@ -25,16 +25,23 @@ object Stores {
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), (Long, DataFrame)]()
 
-  /** Evict dead-session entries always; over the cap, evict the OLDEST half
-    * by insertion ticket (not a full clear — hot entries for live sessions
-    * survive, so a cap breach doesn't force a re-listing of every table). */
+  /** Evict dead-session entries always; over the cap, evict the
+    * OLDEST-INSERTED half by ticket (insertion-order FIFO — tickets are not
+    * refreshed on hit; plans are cheap to rebuild, so approximate eviction
+    * beats per-hit bookkeeping). Not a full clear: a cap breach doesn't
+    * force a re-listing of every table. */
   private def pruneTableCache(): Unit = {
     tableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     if (tableCache.size > TableCacheMax) {
       import scala.jdk.CollectionConverters._
-      val cutoff = tableCache.values.asScala.map(_._1).toSeq.sorted
-        .apply(tableCache.size / 2)
-      tableCache.entrySet.removeIf(e => e.getValue._1 < cutoff)
+      // index into the SAME snapshot we sort — the live map can grow
+      // concurrently, and indexing a stale snapshot by the live size would
+      // walk off the end
+      val tickets = tableCache.values.asScala.map(_._1).toSeq.sorted
+      if (tickets.nonEmpty) {
+        val cutoff = tickets(tickets.size / 2)
+        tableCache.entrySet.removeIf(e => e.getValue._1 < cutoff)
+      }
     }
   }
 

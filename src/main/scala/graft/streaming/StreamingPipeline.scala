@@ -96,19 +96,33 @@ object StreamingPipeline {
    * rows land in a dead-letter parquet area keyed by micro-batch id.
    *
    * Replay-idempotent on BOTH sides: the mart merge is keyed, and the
-   * dead-letter write OVERWRITES its own `batch_id=N` directory — a
-   * foreachBatch replay after a crash rewrites the same directory instead
-   * of double-appending (an `append` here would duplicate dead letters on
-   * every recovery, the streaming version of the non-idempotent-load bug
-   * the reference engineers around with ON CONFLICT, DAG:311).
+   * dead-letter write OVERWRITES its own `run=<checkpoint-tag>/batch_id=N`
+   * directory — a foreachBatch replay after a crash rewrites the same
+   * directory instead of double-appending (an `append` here would duplicate
+   * dead letters on every recovery, the streaming version of the
+   * non-idempotent-load bug the reference engineers around with ON
+   * CONFLICT, DAG:311). Dead letters are RUN-SCOPED: the subdirectory tag
+   * derives from the checkpoint location, so a restart under a FRESH
+   * checkpoint (new batch numbering) writes a new run directory instead of
+   * colliding with — or stranding — the old run's batch dirs. The
+   * quarantine area is an audit trail: each logical run's violations stand
+   * on their own, and readers aggregate or prune by `run`/`batch_id`.
    *
-   * Scale: the gate costs zero extra passes (the tag is a projection fused
-   * into the micro-batch scan); only rule-violating rows are written twice.
+   * Scale: the tagged micro-batch is persisted for the duration of the
+   * batch, so the gate costs one cached pass — the dead-letter write, the
+   * clean-side merge, and the merge's touched-partition probe all read the
+   * cache, and a violation-free batch skips the dead-letter write job
+   * entirely (no empty `batch_id` directories).
    */
   def keyedIngestWithQc(spark: SparkSession, events: DataFrame, martPath: String,
                         quarantinePath: String, checkpoint: String,
                         rules: Seq[graft.ops.QualityCheck.Rule],
-                        watermark: String = "1 hour"): StreamingQuery =
+                        watermark: String = "1 hour"): StreamingQuery = {
+    import graft.ops.QualityCheck
+    // stable per-run tag: same checkpoint → same tag (replay overwrites);
+    // new checkpoint → new run directory (no stale-batch collisions)
+    val runTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
@@ -120,19 +134,25 @@ object StreamingPipeline {
         if (!batch.isEmpty) {
           val updates = CoreOps.tagRun(batch, s"stream_batch_$batchId")
             .withColumn("p_day", to_date(col("ts")))
-          val tagged = graft.ops.QualityCheck.quarantine(updates, rules)
-          val dirty = tagged.filter(col("qc_fail_reason").isNotNull)
-          dirty.write.mode("overwrite")
-            .parquet(s"$quarantinePath/batch_id=$batchId")
-          val clean = tagged.filter(col("qc_fail_reason").isNull)
-            .drop("qc_fail_reason")
-          Stores.martMergePartitioned(spark, martPath, clean, "event_id",
-            updateCols = clean.columns
-              .filterNot(c => c == "event_id" || c == "p_day" || c == "ts").toSeq,
-            partitionCol = "p_day")
+          // persist the tagged batch: the helpers below rebuild the same
+          // quarantine plan, and Spark's cache manager substitutes the
+          // cached relation for every plan-equal reference
+          val tagged = QualityCheck.quarantine(updates, rules).persist()
+          try {
+            val dirty = QualityCheck.quarantinedRows(updates, rules)
+            if (!dirty.isEmpty)
+              dirty.write.mode("overwrite")
+                .parquet(s"$quarantinePath/run=$runTag/batch_id=$batchId")
+            val clean = QualityCheck.passedRows(updates, rules)
+            Stores.martMergePartitioned(spark, martPath, clean, "event_id",
+              updateCols = clean.columns
+                .filterNot(c => c == "event_id" || c == "p_day" || c == "ts").toSeq,
+              partitionCol = "p_day")
+          } finally tagged.unpersist(blocking = false)
         }
       }
       .start()
+  }
 
   /** File-source stream over a directory of event parquet — used by tests to
     * drive the pipeline with AvailableNow (batch-of-files as a stream). */

@@ -97,14 +97,35 @@ class StreamingPipelineSpec extends SparkSpec {
     deadLetters.select("qc_fail_reason").distinct().as[String].collect() shouldBe
       Array("id_not_mod7")
 
-    // redelivery with a fresh checkpoint: keyed merge keeps the mart stable
-    // and the dead-letter write overwrites its batch directory (no
-    // double-append on replay)
+    // redelivery under a FRESH checkpoint = a new logical run: the keyed
+    // merge keeps the mart stable, and the dead letters land in a NEW
+    // run=<tag> directory — the audit trail records each run's violations
+    // without colliding with (or stranding) the first run's batch dirs
     val q2 = StreamingPipeline.keyedIngestWithQc(spark,
       StreamingPipeline.readEventStream(spark, srcDir), mart, quar, s"$work/cp2", rules)
     q2.awaitTermination()
     Stores.martRead(spark, mart).count() shouldBe n - nBad
-    spark.read.parquet(quar).count() shouldBe nBad
+    val allRuns = spark.read.parquet(quar)
+    allRuns.count() shouldBe 2 * nBad
+    allRuns.select("run").distinct().count() shouldBe 2L
+    allRuns.groupBy("run").count().select("count").distinct().as[Long]
+      .collect() shouldBe Array(nBad)
+  }
+
+  test("keyedIngestWithQc: a violation-free stream writes no dead-letter dirs") {
+    import graft.ops.QualityCheck
+    val work = Files.createTempDirectory("graft_stream_qc_clean_").toString
+    val srcDir = s"$work/src"
+    val n = stageEvents(srcDir)
+    val rules = Seq(QualityCheck.Predicate("always_ok", lit(true)))
+    val q = StreamingPipeline.keyedIngestWithQc(spark,
+      StreamingPipeline.readEventStream(spark, srcDir), s"$work/mart",
+      s"$work/quarantine", s"$work/cp", rules)
+    q.awaitTermination()
+    Stores.martRead(spark, s"$work/mart").count() shouldBe n
+    // no violations → the quarantine area was never created (not even an
+    // empty batch_id directory with a lone _SUCCESS marker)
+    new java.io.File(s"$work/quarantine").exists() shouldBe false
   }
 
   test("sessionCounts: streaming session windows match batch sessionization") {
