@@ -707,6 +707,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // multi-probe IVF: recall against the exact top-k is provably monotone
+    // in nprobe (candidate sets nest: any exact-top-k member among the
+    // candidates always survives to the IVF top-k), so the bound-based
+    // oracle is a literal TRUE per query — same scheme as q_approx_distinct
+    "q_ivf_topk_probe2" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val exact = SimilarityOps.cosineTopK(emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+      def hits(nprobe: Int) =
+        SimilarityOps.ivfTopK(queries, emb, cents, "vec_id", "embedding",
+            k = 5, nprobe = nprobe)
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n"))
+      val h1 = hits(1).withColumnRenamed("n", "n1")
+      val h2 = hits(2).withColumnRenamed("n", "n2")
+      queries.select(col("vec_id").as("query_id"))
+        .join(h1, Seq("query_id"), "left").join(h2, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n2"), lit(0L)) >= coalesce(col("n1"), lit(0L)))
+            .as("recall_monotone"))
+        .orderBy("query_id")
+    }),
+
     // embedding-cosine near-duplicate pairs within LSH buckets
     "q_embedding_near_dups" -> ((s, d) =>
       SimilarityOps.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id",
@@ -1919,6 +1944,11 @@ object SparkEntry {
                          FROM dots)
          SELECT query_id, neighbor_id, score, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_ivf_topk_probe2" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_monotone
+         FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
+         ORDER BY query_id""",
 
     "q_ivf_topk" ->
       """WITH cen AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),

@@ -184,16 +184,43 @@ object SimilarityOps {
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
 
   /**
-   * IVF top-k (nprobe=1): queries and corpus are cell-assigned narrowly,
-   * then scored only within the query's cell — the equi-join on `cell`
-   * shuffles each side once, volume O(corpus), never O(|Q|·|C|). Recall is
-   * tuned by the centroid count (fewer cells = bigger cells = higher
-   * recall & cost), exactly the IVF nlist/nprobe trade.
+   * Query-side multi-probe cell assignment: each query row explodes to its
+   * `nprobe` nearest centroids' cells. Still a pure narrow projection —
+   * the fan-out multiplies only the (small) query side, never the corpus.
+   * Tie-break matches [[ivfAssign]] (higher score, then smaller cell id),
+   * so probe #1 is exactly the nprobe=1 cell.
+   */
+  def ivfProbeCells(df: DataFrame, centroids: Seq[(Long, Seq[Float])],
+                    vecCol: String, nprobe: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val entries = centroids.map { case (cid, vec) =>
+      struct(cosineNative(col(vecCol), typedlit(vec)).as("cs"),
+        lit(-cid).as("ncid"))
+    }
+    // struct ordering is lexicographic (cs, ncid); sort + reverse = best
+    // score first, ties toward the smaller cell id (larger ncid)
+    val ranked = reverse(array_sort(array(entries: _*)))
+    df.withColumn("cell",
+      explode(transform(slice(ranked, 1, nprobe), e => -e.getField("ncid"))))
+  }
+
+  /**
+   * IVF top-k: queries and corpus are cell-assigned narrowly, then scored
+   * only within the query's probed cell(s) — the equi-join on `cell`
+   * shuffles each side once, volume O(corpus + |Q|·nprobe), never
+   * O(|Q|·|C|). Recall rides the standard IVF nlist/nprobe trade: fewer
+   * cells or more probes = more candidates = higher recall & cost.
+   * `nprobe > 1` fans out only the query side (each query joins its
+   * `nprobe` nearest cells; the corpus is still assigned once), and since
+   * the candidate set grows monotonically with nprobe, recall against the
+   * exact top-k is monotone in nprobe — asserted by the
+   * `q_ivf_topk_probe2` bound-based oracle and KmeansIvfSpec.
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               centroids: Seq[(Long, Seq[Float])],
-              idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = ivfAssign(queries, centroids, idCol, vecCol)
+              idCol: String, vecCol: String, k: Int,
+              nprobe: Int = 1): DataFrame = {
+    val q = ivfProbeCells(queries, centroids, vecCol, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"))
     val c = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))

@@ -334,6 +334,27 @@ object Stores {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /**
+   * Range-sorted layout write — the data-skipping counterpart to
+   * [[writeBucketed]]: `repartitionByRange` + `sortWithinPartitions` on
+   * the hot filter column(s) gives every output file a DISJOINT value
+   * range, so parquet's per-file/row-group min-max statistics let a
+   * selective scan skip everything outside its predicate without any
+   * index. At 100 TB this is the difference between "read 3 files" and
+   * "read the corpus" for time-range or key-range queries — the poor
+   * man's clustering key, paid once at write. One range-exchange shuffle
+   * (sampled boundaries keep partitions even under skew); scans stay
+   * shuffle-free.
+   */
+  def writeRangeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                       nFiles: Int): Unit = {
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").option("compression", ParquetCodec)
+      .parquet(path)
+  }
+
   // -------------------------------------------------------------------------
   // Text formats — CSV / JSON-lines, schema always pinned
   // -------------------------------------------------------------------------

@@ -43,4 +43,30 @@ class KmeansIvfSpec extends SparkSpec {
         byRank.map(_.getAs[Double]("score")).sorted(Ordering[Double].reverse).toSeq
     }
   }
+
+  test("multi-probe: candidates nest, so recall vs exact top-k is monotone in nprobe") {
+    val cents = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
+      c = 8, iters = 2, dim = 64)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = SimilarityOps.cosineTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    def recall(nprobe: Int): Long =
+      SimilarityOps.ivfTopK(queries, emb, cents, "vec_id", "embedding",
+          k = 5, nprobe = nprobe)
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val r1 = recall(1); val r2 = recall(2); val r4 = recall(4)
+    r1 should be > 0L
+    r2 should be >= r1
+    r4 should be >= r2
+    // probing half the cells must beat single-cell somewhere on this corpus
+    r4 should be > r1
+    // probe #1 is exactly the nprobe=1 cell: each query's nprobe=1 result
+    // set is reproduced verbatim inside the nprobe=2 candidate join
+    val p1 = SimilarityOps.ivfProbeCells(queries, cents, "embedding", 1)
+      .select(col("vec_id"), col("cell"))
+    val a1 = SimilarityOps.ivfAssign(queries, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("cell"))
+    p1.exceptAll(a1).count() shouldBe 0L
+    a1.exceptAll(p1).count() shouldBe 0L
+  }
 }

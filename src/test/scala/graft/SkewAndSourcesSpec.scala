@@ -45,6 +45,34 @@ class SkewAndSourcesSpec extends SparkSpec {
     spark.read.parquet(s"$work/many").count() shouldBe ev.count()
   }
 
+  test("writeRangeSorted: disjoint per-file ranges enable min-max data skipping") {
+    val work = Files.createTempDirectory("graft_range_").toString
+    val ev = Stores.table(spark, sf0001, "events")
+      .select("event_id", "ts", "value")
+    Stores.writeRangeSorted(ev, s"$work/sorted", Seq("event_id"), nFiles = 8)
+
+    // layout property: every output file owns a DISJOINT event_id range —
+    // that is exactly what parquet min-max footer stats need to skip files
+    val files = new java.io.File(s"$work/sorted")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    files.length should be >= 4
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("event_id")), max(col("event_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => hiA should be < loB
+      case _ =>
+    }
+    // content is intact and a range predicate still answers correctly
+    spark.read.parquet(s"$work/sorted").count() shouldBe ev.count()
+    val probe = ranges.head._2 // highest key of the first file
+    spark.read.parquet(s"$work/sorted")
+      .filter(col("event_id") <= probe).count() shouldBe
+      ev.filter(col("event_id") <= probe).count()
+  }
+
   test("CSV and JSON-lines sources round-trip with a pinned schema") {
     val work = Files.createTempDirectory("graft_fmt_").toString
     val ev = Stores.table(spark, sf0001, "events")
