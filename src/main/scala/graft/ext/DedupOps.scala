@@ -197,6 +197,61 @@ object DedupOps {
   }
 
   /**
+   * The LSH band index of a corpus (or batch): one (band_key, id) row per
+   * doc per band, with the same composite `band:key` form the in-corpus
+   * band join uses. Persist this next to the corpus (it's O(docs × bands)
+   * 16-byte keys — a sliver of the text it indexes); incremental batches
+   * then near-dup-check against the index WITHOUT recomputing corpus
+   * signatures. `maxBandDf` caps hot boilerplate keys at BUILD time, so
+   * every future batch inherits the skew guard for free.
+   */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String,
+                n: Int, numHashes: Int, bands: Int,
+                maxBandDf: Int = Int.MaxValue): DataFrame = {
+    val banded = spread(docs.filter(col(textCol).isNotNull))
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .select(col("id"),
+        posexplode(graft.functions.BandKeys(col("sh"), numHashes, bands)))
+      .select(concat_ws(":", col("pos").cast("string"), col("col"))
+        .as("band_key"), col("id"))
+    dropHotKeys(banded, "band_key", maxBandDf)
+  }
+
+  /**
+   * Incremental NEAR-dup detection — the approximate counterpart of
+   * [[dedupIncremental]], and the production shape for daily batches
+   * against a 100 TB corpus: the new batch's band keys (one narrow kernel
+   * pass over the BATCH only) join the corpus' persisted [[bandIndex]];
+   * only genuine candidates join text back for exact-Jaccard verification.
+   * The corpus is never re-shingled and never re-shuffled — the batch side
+   * (small) broadcasts through the index join under AQE, and the corpus
+   * TEXT is touched only by the selective verification join on candidate
+   * ids. Returns (new_id, corpus_id, jaccard ≥ threshold).
+   *
+   * Maintaining the index is append-only: after admitting the batch,
+   * append `bandIndex(admittedBatch)` — O(new docs), same as the exact
+   * fingerprint index.
+   */
+  def incrementalNearDupPairs(newDocs: DataFrame, idCol: String, textCol: String,
+                              corpusIndex: DataFrame, corpusText: DataFrame,
+                              n: Int, numHashes: Int, bands: Int,
+                              threshold: Double,
+                              maxBandDf: Int = Int.MaxValue): DataFrame = {
+    val newBanded = bandIndex(newDocs, idCol, textCol, n, numHashes, bands,
+      maxBandDf)
+    val cands = newBanded
+      .join(corpusIndex.withColumnRenamed("id", "corpus_id"), "band_key")
+      .filter(col("id") =!= col("corpus_id"))
+      .select(col("id").as("new_id"), col("corpus_id")).distinct()
+    val t1 = newDocs.select(col(idCol).as("new_id"), col(textCol).as("__t1"))
+    val t2 = corpusText.select(col(idCol).as("corpus_id"), col(textCol).as("__t2"))
+    cands.join(t1, "new_id").join(t2, "corpus_id")
+      .withColumn("jaccard", jaccardExpr(col("__t1"), col("__t2"), n))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /**
    * Incremental exact dedup — the production shape for a growing corpus:
    * each new batch dedups against the corpus' FINGERPRINT INDEX (16-byte
    * md5 per doc), never re-scanning corpus text. Within-batch dups collapse

@@ -116,6 +116,30 @@ class DedupOpsSpec extends SparkSpec {
     DedupOps.dedupIncremental(batch, "doc_id", "text", newIndex).count() shouldBe 0L
   }
 
+  test("incrementalNearDupPairs: batch vs persisted band index, corpus never re-shingled") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words entirely here now for testing"
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val index = DedupOps.bandIndex(corpus, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4)
+    val batch = Seq(
+      (10L, base),                                    // near-dup of corpus doc 1
+      (11L, "novel content that matches nothing at all"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.incrementalNearDupPairs(batch, "doc_id", "text",
+      index, corpus, n = 3, numHashes = 16, bands = 4, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    out shouldBe Array((10L, 1L, 1.0))
+
+    // equivalence with the full batch-mode pipeline: the incremental result
+    // is exactly the full run's pairs restricted to (new × corpus)
+    val full = DedupOps.minhashDedupPairs(corpus.unionByName(batch),
+        "doc_id", "text", n = 3, numHashes = 16, bands = 4, threshold = 0.9)
+      .filter(col("id2") >= 10 && col("id1") < 10)
+      .as[(Long, Long, Double)].collect().map { case (c, nw, j) => (nw, c, j) }
+    out.sorted shouldBe full.sorted
+  }
+
   test("connectedComponents: transitive closure within iteration budget") {
     // chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated edge 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
