@@ -138,6 +138,13 @@ class DedupOpsSpec extends SparkSpec {
       .filter(col("id2") >= 10 && col("id1") < 10)
       .as[(Long, Long, Double)].collect().map { case (c, nw, j) => (nw, c, j) }
     out.sorted shouldBe full.sorted
+
+    // null-text rows index nothing and match nothing — never near-dups
+    val withNull = Seq((20L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    DedupOps.bandIndex(withNull, "doc_id", "text", 3, 16, 4).count() shouldBe 0L
+    DedupOps.incrementalNearDupPairs(withNull, "doc_id", "text",
+      index, corpus, n = 3, numHashes = 16, bands = 4, threshold = 0.9)
+      .count() shouldBe 0L
   }
 
   test("connectedComponents: transitive closure within iteration budget") {

@@ -31,6 +31,27 @@ class PipelineSpec extends SparkSpec {
     Stores.martRead(spark, s"$work/mart").count() shouldBe (r1.loaded + r3.loaded)
   }
 
+  test("config-parsed QC rules drive the gate: a failing declarative rule fails the run") {
+    val work = Files.createTempDirectory("graft_pipe_qc_").toString
+    // default config gate passes
+    Pipeline.run(spark, sf0001,
+      start = "2024-01-05 00:00:00", end = "2024-01-07 00:00:00",
+      runId = "ok", workDir = work).reconciled shouldBe true
+    // a caller-supplied config with an impossible predicate hard-fails the
+    // run (reference gate semantics: soda non-zero exit → AirflowException)
+    val strict = graft.ops.QualityConfig.parseRules(
+      """rules:
+        |  - not_null: _id
+        |  - predicate: {name: impossible, expr: "value > 1e18"}
+        |""".stripMargin)
+    val ex = intercept[IllegalStateException] {
+      Pipeline.run(spark, sf0001,
+        start = "2024-01-05 00:00:00", end = "2024-01-07 00:00:00",
+        runId = "strict", workDir = work, qcRules = strict)
+    }
+    ex.getMessage should include("impossible")
+  }
+
   test("backfill over contiguous windows loads each row exactly once") {
     val work = Files.createTempDirectory("graft_backfill_").toString
     val results = Pipeline.backfill(spark, sf0001,
