@@ -195,8 +195,14 @@ object Stores {
   def recoverCompacted(spark: SparkSession, path: String): Unit =
     recoverSwap(spark, path, ".compact", ".precompact")
 
+  /** Mart read with `mergeSchema`: after an additive schema evolution
+    * ([[martMergePartitioned]]) only the partitions touched since carry the
+    * new columns — merging footers surfaces the UNION schema, with the new
+    * columns null on old partitions. The footer merge is a distributed job
+    * over file metadata (not data); a production deployment at very large
+    * file counts pins the schema in a catalog instead. */
   def martRead(spark: SparkSession, martPath: String): DataFrame =
-    spark.read.parquet(martPath)
+    spark.read.option("mergeSchema", "true").parquet(martPath)
 
   /**
    * Partition-scoped incremental merge — the 100 TB mart path. The mart is
@@ -231,10 +237,35 @@ object Stores {
     }
     val touched = updates.select(partitionCol).distinct().collect()
       .map(_.get(0)).toSeq
-    val target = martRead(spark, martPath)
+    // partition values are directory names on disk — discovery re-infers
+    // their type (e.g. date for "2024-01-01" written from a string column),
+    // so the partition column is cast to the batch's type rather than
+    // flagged as a conflict
+    val targetRaw = martRead(spark, martPath)
       .filter(col(partitionCol).isin(touched: _*))
-      .select(updates.columns.map(col).toIndexedSeq: _*)
-    val merged = graft.ops.CoreOps.upsert(target, updates, key, updateCols)
+      .withColumn(partitionCol,
+        col(partitionCol).cast(updates.schema(partitionCol).dataType))
+    // Additive schema evolution: a batch may carry columns the mart hasn't
+    // seen (the source grew a field) and the mart may carry columns this
+    // batch lacks — align BOTH sides to the union schema with typed nulls,
+    // never dropping data on either side. Untouched partitions keep their
+    // old files; [[martRead]]'s mergeSchema surfaces the union lazily.
+    // Same-name/different-type is refused loudly: a silent cast would
+    // corrupt the column everywhere the types disagree.
+    for (f <- updates.schema.fields; g <- targetRaw.schema.fields
+         if f.name == g.name && f.dataType != g.dataType)
+      throw new IllegalArgumentException(
+        s"schema evolution type conflict on '${f.name}': mart has " +
+          s"${g.dataType.simpleString}, batch has ${f.dataType.simpleString}")
+    def widen(df: DataFrame, other: org.apache.spark.sql.types.StructType) =
+      other.fields.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((acc, f) =>
+          acc.withColumn(f.name, lit(null).cast(f.dataType)))
+    val unionCols = (updates.columns ++
+      targetRaw.columns.filterNot(updates.columns.contains(_))).toIndexedSeq
+    val target = widen(targetRaw, updates.schema).select(unionCols.map(col): _*)
+    val updatesWide = widen(updates, targetRaw.schema).select(unionCols.map(col): _*)
+    val merged = graft.ops.CoreOps.upsert(target, updatesWide, key, updateCols)
 
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(martPath).getFileSystem(conf)

@@ -45,6 +45,45 @@ class PartitionedMartSpec extends SparkSpec {
     dayAAfter shouldBe dayAFiles
   }
 
+  test("additive schema evolution: new batch column appears, old columns survive") {
+    val work = Files.createTempDirectory("graft_pmart_evo_").toString
+    val mart = s"$work/mart"
+    Stores.martMergePartitioned(spark, mart,
+      frame(Seq(
+        (1L, "a", 1.0, "2024-01-01"), (3L, "c", 3.0, "2024-01-02"))),
+      key = "id", updateCols = Seq("v"), partitionCol = "day")
+
+    // the source grew a column: batch carries `extra`, touches only day 2
+    val evolved = Seq((3L, "c", 30.0, "2024-01-02", "NEW"),
+        (4L, "d", 4.0, "2024-01-02", "ALSO"))
+      .toDF("id", "s", "v", "day", "extra")
+    Stores.martMergePartitioned(spark, mart, evolved,
+      key = "id", updateCols = Seq("v", "extra"), partitionCol = "day")
+
+    val out = Stores.martRead(spark, mart)
+      .orderBy("id").select("id", "s", "v", "extra")
+      .as[(Long, String, Double, Option[String])].collect()
+    out shouldBe Array(
+      (1L, "a", 1.0, None),         // untouched partition: extra reads null
+      (3L, "c", 30.0, Some("NEW")), // updated row gains the new column
+      (4L, "d", 4.0, Some("ALSO")))
+
+    // the reverse direction: a TRIMMED batch (no `extra`, no `s`) must not
+    // drop the mart's columns on the partitions it rewrites
+    val trimmed = Seq((4L, 40.0, "2024-01-02")).toDF("id", "v", "day")
+    Stores.martMergePartitioned(spark, mart, trimmed,
+      key = "id", updateCols = Seq("v"), partitionCol = "day")
+    Stores.martRead(spark, mart).filter(col("id") === 4L)
+      .select("s", "v", "extra").as[(String, Double, String)].head() shouldBe
+      ("d", 40.0, "ALSO")
+
+    // same-name different-type is refused loudly, not silently cast
+    val conflict = Seq((5L, 5, "2024-01-02")).toDF("id", "v", "day") // v: int
+    an[IllegalArgumentException] should be thrownBy
+      Stores.martMergePartitioned(spark, mart, conflict,
+        key = "id", updateCols = Seq("v"), partitionCol = "day")
+  }
+
   test("touched-partition read plans with directory-level pruning") {
     val work = Files.createTempDirectory("graft_pmart_prune_").toString
     val mart = s"$work/mart"
