@@ -180,12 +180,15 @@ object DedupOps {
                         n: Int, numHashes: Int, bands: Int,
                         threshold: Double,
                         maxBandDf: Int = Int.MaxValue): DataFrame = {
-    val banded = spread(df)
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
-      .select(col("id"),
-        posexplode(graft.functions.BandKeys(col("sh"), numHashes, bands)))
-      .select(col("id"), col("pos").as("band"), col("col").as("band_key"))
-    val cands = bandJoin(banded, maxBandDf)
+    // band keys built by the SAME helper the persisted index uses
+    // ([[bandIndex]]) — the incremental path's equivalence to this full
+    // pipeline depends on the two constructions staying byte-identical
+    val banded = bandIndex(df, idCol, textCol, n, numHashes, bands, maxBandDf)
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
     val withText = df.select(col(idCol).as("id"), col(textCol).as("__t"))
     val verified = cands
       .join(withText.withColumnsRenamed(Map("id" -> "id1", "__t" -> "t1")), "id1")
@@ -225,8 +228,19 @@ object DedupOps {
    * only genuine candidates join text back for exact-Jaccard verification.
    * The corpus is never re-shingled and never re-shuffled — the batch side
    * (small) broadcasts through the index join under AQE, and the corpus
-   * TEXT is touched only by the selective verification join on candidate
-   * ids. Returns (new_id, corpus_id, jaccard ≥ threshold).
+   * TEXT is read only by the verification join (one column-pruned IO pass;
+   * only candidate rows survive the join — at very large corpora, store
+   * text range-sorted by id so runtime filters prune that scan too).
+   * Returns (new_id, corpus_id, jaccard ≥ threshold).
+   *
+   * CONTRACT — ids are the join identity and must be globally unique
+   * across corpus and batches: a batch id equal to a corpus id is treated
+   * as THE SAME DOCUMENT (its self-pair is suppressed), so colliding id
+   * namespaces silently hide genuine near-dups. And this function returns
+   * batch×corpus pairs ONLY — near-dups arriving together in one batch are
+   * found by running [[minhashDedupPairs]] on the batch first (the same
+   * within-batch-then-against-corpus composition [[dedupIncremental]]
+   * performs internally for the exact case).
    *
    * Maintaining the index is append-only: after admitting the batch,
    * append `bandIndex(admittedBatch)` — O(new docs), same as the exact

@@ -98,7 +98,10 @@ object Stores {
     * run_id is a partition column → partition pruning reads only that
     * directory, never the other runs' data. */
   def stagingForRun(spark: SparkSession, stagingPath: String, runId: String): DataFrame =
-    spark.read.parquet(stagingPath).filter(col("run_id") === lit(runId))
+    // mergeSchema: runs staged before a schema evolution have narrower
+    // files — a single sampled footer could hide the new run's new column
+    spark.read.option("mergeSchema", "true").parquet(stagingPath)
+      .filter(col("run_id") === lit(runId))
 
   /** Drop one run's staging partition (DAG:317-320 predicate DELETE).
     * Metadata-only at any scale. Goes through the Hadoop FileSystem API —
@@ -250,19 +253,33 @@ object Stores {
     // batch lacks — align BOTH sides to the union schema with typed nulls,
     // never dropping data on either side. Untouched partitions keep their
     // old files; [[martRead]]'s mergeSchema surfaces the union lazily.
-    // Same-name/different-type is refused loudly: a silent cast would
-    // corrupt the column everywhere the types disagree.
+    // Conflicts refuse loudly, on the resolver's terms:
+    //   - names compare CASE-INSENSITIVELY (Spark's default resolution):
+    //     a batch 'Score' against a mart 'score' would otherwise slip past
+    //     a case-sensitive check and withColumn("Score", null) would
+    //     case-insensitively REPLACE the mart's populated column;
+    //   - types compare by simpleString, which ignores nested-container
+    //     nullability (array containsNull etc.) — parquet round-trips and
+    //     toDF literals disagree on those bits while being fully
+    //     merge-compatible.
     for (f <- updates.schema.fields; g <- targetRaw.schema.fields
-         if f.name == g.name && f.dataType != g.dataType)
-      throw new IllegalArgumentException(
-        s"schema evolution type conflict on '${f.name}': mart has " +
-          s"${g.dataType.simpleString}, batch has ${f.dataType.simpleString}")
+         if f.name.equalsIgnoreCase(g.name)) {
+      if (f.name != g.name)
+        throw new IllegalArgumentException(
+          s"schema evolution case conflict: mart has '${g.name}', batch has " +
+            s"'${f.name}' — Spark resolves names case-insensitively, pick one spelling")
+      if (f.dataType.simpleString != g.dataType.simpleString)
+        throw new IllegalArgumentException(
+          s"schema evolution type conflict on '${f.name}': mart has " +
+            s"${g.dataType.simpleString}, batch has ${f.dataType.simpleString}")
+    }
     def widen(df: DataFrame, other: org.apache.spark.sql.types.StructType) =
-      other.fields.filterNot(f => df.columns.contains(f.name))
+      other.fields.filterNot(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
         .foldLeft(df)((acc, f) =>
           acc.withColumn(f.name, lit(null).cast(f.dataType)))
     val unionCols = (updates.columns ++
-      targetRaw.columns.filterNot(updates.columns.contains(_))).toIndexedSeq
+      targetRaw.columns.filterNot(c => updates.columns.exists(_.equalsIgnoreCase(c))))
+      .toIndexedSeq
     val target = widen(targetRaw, updates.schema).select(unionCols.map(col): _*)
     val updatesWide = widen(updates, targetRaw.schema).select(unionCols.map(col): _*)
     val merged = graft.ops.CoreOps.upsert(target, updatesWide, key, updateCols)
@@ -278,6 +295,33 @@ object Stores {
     // partition either fully old, fully new, or old-under-aside — never
     // absent; [[recoverMartPartitions]] restores aside dirs on next access
     // and the keyed upsert makes the replayed run idempotent.
+    // Guard against non-canonical partition directory names: discovery
+    // casts e.g. "day=2024-1-1" to the same VALUE as the canonical
+    // "day=2024-01-01" this rewrite emits — swapping in the canonical dir
+    // would leave the old dir in place holding the SAME keys (duplicate
+    // rows on every later read). Refuse loudly before touching the mart;
+    // the operator normalizes the layout (one rewrite) first.
+    val tmpNames = fs.listStatus(tmp).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partitionCol=")).toSet
+    val existingNames = fs.listStatus(hpath(martPath)).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partitionCol=")).toSet
+    val prefixLen = partitionCol.length + 1
+    val suspects = (existingNames -- tmpNames).toSeq.map(_.substring(prefixLen))
+    if (suspects.nonEmpty && tmpNames.nonEmpty) {
+      import spark.implicits._
+      val partType = updates.schema(partitionCol).dataType
+      val tmpValues = tmpNames.map(_.substring(prefixLen))
+      val forks = suspects.toDF("raw")
+        .select(col("raw"), col("raw").cast(partType).cast("string").as("canon"))
+        .collect()
+        .collect { case r if !r.isNullAt(1) && r.getString(1) != r.getString(0) &&
+          tmpValues.contains(r.getString(1)) => r.getString(0) }
+      if (forks.nonEmpty)
+        throw new IllegalStateException(
+          s"non-canonical partition dirs ${forks.map(v => s"$partitionCol=$v").mkString(", ")} " +
+            s"hold the same value(s) this merge would write canonically — " +
+            "normalize the mart layout before merging (duplicate-key hazard)")
+    }
     val asideRoot = new org.apache.hadoop.fs.Path(martPath + ".aside")
     fs.mkdirs(asideRoot)
     fs.listStatus(tmp)
@@ -332,7 +376,12 @@ object Stores {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.parquet(path).coalesce(nFiles)
+    // mergeSchema: after an additive schema evolution the directory holds
+    // files of different widths — reading a single sampled footer here
+    // would silently and PERMANENTLY drop the evolved columns in the
+    // rewrite (compaction is the one op that replaces every file)
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+      .coalesce(nFiles)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
     val bak = new org.apache.hadoop.fs.Path(path + ".precompact")
     // Rename-swap, never delete-then-rename: a crash between the two steps

@@ -82,6 +82,15 @@ class PartitionedMartSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Stores.martMergePartitioned(spark, mart, conflict,
         key = "id", updateCols = Seq("v"), partitionCol = "day")
+
+    // a name differing only in CASE is a conflict too — Spark resolves
+    // case-insensitively, so widening with "V" would clobber mart's "v"
+    val caseClash = Seq((5L, 5.0, "2024-01-02")).toDF("id", "V", "day")
+    val ex = intercept[IllegalArgumentException] {
+      Stores.martMergePartitioned(spark, mart, caseClash,
+        key = "id", updateCols = Seq("V"), partitionCol = "day")
+    }
+    ex.getMessage should include("case conflict")
   }
 
   test("touched-partition read plans with directory-level pruning") {
