@@ -637,6 +637,24 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // deterministic stratified sampling: per-language keep rates (corpus
+    // rebalancing — downsample dominant en, keep rare langs whole)
+    "q_stratified_sample" -> ((s, d) =>
+      SamplingOps.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 10, "de" -> 50))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
+    // token-budget selection: greedy best-quality prefix until the token
+    // budget is spent (data mixing under a fixed training budget)
+    "q_budget_select" -> ((s, d) =>
+      SamplingOps.selectByBudget(
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType)),
+        "doc_id", "n_tokens", "n_chars", budget = 5000L)
+        .select("doc_id", "n_chars", "n_tokens")
+        .orderBy("doc_id")),
+
     // deterministic 80/10/10 train/val/test split; rows never migrate
     // between splits as the corpus grows
     "q_dataset_split" -> ((s, d) =>
@@ -1819,6 +1837,26 @@ object SparkEntry {
     "q_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+         ORDER BY doc_id""",
+
+    "q_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+                           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+                    FROM documents)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM b
+         WHERE bucket < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 ELSE 100 END
+         GROUP BY lang ORDER BY lang""",
+
+    "q_budget_select" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents WHERE text IS NOT NULL),
+              c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY n_chars DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                    FROM t)
+         SELECT doc_id, n_chars, n_tokens FROM c WHERE cum < 5000
          ORDER BY doc_id""",
 
     "q_dataset_split" ->

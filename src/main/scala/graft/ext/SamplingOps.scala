@@ -50,6 +50,49 @@ object SamplingOps {
   }
 
   /**
+   * Deterministic STRATIFIED sampling: per-stratum keep rates (e.g.
+   * {"en" → 10%, "de" → 50%, rare-lang → 100%} — the standard corpus
+   * rebalancing move). A row is kept iff its key's bucket in [0, 100)
+   * falls below its stratum's percentage; strata without a configured
+   * rate keep `defaultPct`. Same guarantees as [[hashSample]]: pure
+   * per-row filter, zero shuffle, reproducible, and stable under corpus
+   * growth — a document's fate never changes as other documents arrive,
+   * and the SAME document keeps the same fate across strata re-weightings
+   * that don't cross its bucket.
+   */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       pctByStratum: Map[String, Int],
+                       defaultPct: Int = 100): DataFrame = {
+    require((defaultPct +: pctByStratum.values.toSeq)
+      .forall(p => p >= 0 && p <= 100), "rates are percentages in [0, 100]")
+    val bucket = hashBucket(col(keyCol), 100)
+    val rate = pctByStratum.foldLeft(lit(defaultPct)) {
+      case (acc, (s, p)) => when(col(strataCol) === s, p).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
+  /**
+   * Token-budget corpus selection — "take the best documents until the
+   * budget is spent": rank by quality (descending, key-tiebroken), keep
+   * every document whose PRECEDING cumulative weight stays under the
+   * budget. The greedy prefix-by-quality is the standard data-mixing
+   * selection under a token budget; one shuffle (the global order on the
+   * ranking key — at 100 TB, run per-domain first and union, or rank on
+   * a coarse quality bucket + hash for a near-total order that
+   * range-partitions cleanly).
+   */
+  def selectByBudget(df: DataFrame, keyCol: String, weightCol: String,
+                     qualityCol: String, budget: Long): DataFrame = {
+    val w = Window.orderBy(col(qualityCol).desc, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum_before",
+        coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .filter(col("__cum_before") < budget)
+      .drop("__cum_before")
+  }
+
+  /**
    * Sequence packing: assign documents to fixed-budget packs (context
    * windows) by cumulative weight. Documents are sharded by key hash
    * (`nShards` — one shuffle, shards pack independently in parallel) and

@@ -37,6 +37,48 @@ class SamplingOpsSpec extends SparkSpec {
     subset shouldBe full
   }
 
+  test("stratifiedSample: per-stratum rates, subset of corpus, stable under growth") {
+    val docs = Stores.table(spark, sf0001, "documents")
+    val rates = Map("en" -> 10, "de" -> 50)
+    val sampled = SamplingOps.stratifiedSample(docs, "doc_id", "lang", rates)
+    // rates bite per stratum: en is downsampled harder than de; unlisted
+    // langs keep everything
+    val kept = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    kept("en").toDouble / total("en") should be < 0.25
+    kept("de").toDouble / total("de") should be < 0.8
+    for (l <- total.keySet -- rates.keySet) kept(l) shouldBe total(l)
+    // a kept document stays kept when the corpus doubles (determinism —
+    // membership is a pure function of the key)
+    val grown = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val keptIds = sampled.select("doc_id").as[Long].collect().toSet
+    val grownKept = SamplingOps.stratifiedSample(grown, "doc_id", "lang", rates)
+      .filter(col("doc_id") < 1000000L).select("doc_id").as[Long].collect().toSet
+    grownKept shouldBe keptIds
+  }
+
+  test("selectByBudget: greedy best-quality prefix under the token budget") {
+    val docs = Stores.table(spark, sf0001, "documents")
+      .filter(col("text").isNotNull)
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long"))
+    val selected = SamplingOps.selectByBudget(docs, "doc_id", "n_tokens",
+      "n_chars", budget = 3000L)
+    val rows = selected.select("doc_id", "n_chars", "n_tokens")
+      .as[(Long, Long, Long)].collect()
+    rows.length should be > 1
+    // the selection is the TOP of the quality order: every selected doc's
+    // quality ≥ every rejected doc's (modulo the key tie-break)
+    val minSelQ = rows.map(_._2).min
+    val rejectedBetter = docs.filter(col("n_chars") > minSelQ)
+      .select("doc_id").as[Long].collect().toSet -- rows.map(_._1).toSet
+    rejectedBetter shouldBe empty
+    // budget respected in the prefix sense: total minus the last-admitted
+    // document fits, and admitting one more would overflow
+    val inOrder = rows.sortBy(r => (-r._2, r._1))
+    inOrder.init.map(_._3).sum should be < 3000L
+  }
+
   test("packByBudget: packs respect the budget modulo one-document overflow") {
     val docs = Stores.table(spark, sf0001, "documents")
     val packed = SamplingOps.packByBudget(docs, "doc_id", "n_chars",
