@@ -637,6 +637,16 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // test-set decontamination: docs sharing any 3-gram with the "eval"
+    // docs (doc_id < 20) are dropped from the training corpus
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.decontaminate(docs.filter(col("doc_id") >= 20), "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "text", n = 3)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // deterministic stratified sampling: per-language keep rates (corpus
     // rebalancing — downsample dominant en, keep rare langs whole)
     "q_stratified_sample" -> ((s, d) =>
@@ -1837,6 +1847,22 @@ object SparkEntry {
     "q_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+         ORDER BY doc_id""",
+
+    "q_decontaminate" ->
+      """WITH ev AS (SELECT DISTINCT array_to_string(t[j:j+2], ' ') AS g
+                     FROM (SELECT string_split(text, ' ') AS t FROM documents
+                           WHERE doc_id < 20 AND text IS NOT NULL),
+                          (SELECT unnest(generate_series(1, 4000)) AS j)
+                     WHERE j <= greatest(len(t) - 2, 1)),
+              cg AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                     FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                           WHERE doc_id >= 20 AND text IS NOT NULL),
+                          (SELECT unnest(generate_series(1, 4000)) AS j)
+                     WHERE j <= greatest(len(t) - 2, 1)),
+              bad AS (SELECT DISTINCT doc_id FROM cg JOIN ev USING (g))
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
 
     "q_stratified_sample" ->

@@ -200,6 +200,34 @@ object DedupOps {
   }
 
   /**
+   * Test-set DECONTAMINATION — drop training documents that share at
+   * least `minOverlap` distinct word n-grams with ANY eval/benchmark
+   * document (the standard guard against benchmark leakage into training
+   * corpora; n=13 is the published GPT-3-style setting, smaller n is
+   * stricter). The eval side is tiny by nature → its distinct shingle set
+   * BROADCASTS; the corpus pays one kernel shingle pass and a broadcast
+   * join — the corpus itself never shuffles. Null-text documents carry no
+   * n-grams and are kept. Returns the clean corpus (all original columns).
+   */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    evalDocs: DataFrame, evalTextCol: String,
+                    n: Int, minOverlap: Int = 1): DataFrame = {
+    val evalShingles = evalDocs.filter(col(evalTextCol).isNotNull)
+      .select(explode(shingleHashes(col(evalTextCol), n)).as("sh")).distinct()
+    val corpusShingles = corpus.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("sh"))
+    val contaminated =
+      if (minOverlap <= 1)
+        corpusShingles.join(broadcast(evalShingles), "sh")
+          .select(idCol).distinct()
+      else
+        corpusShingles.join(broadcast(evalShingles), "sh")
+          .groupBy(idCol).agg(countDistinct(col("sh")).as("__c"))
+          .filter(col("__c") >= minOverlap).select(idCol)
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /**
    * The LSH band index of a corpus (or batch): one (band_key, id) row per
    * doc per band, with the same composite `band:key` form the in-corpus
    * band join uses. Persist this next to the corpus (it's O(docs × bands)

@@ -116,6 +116,28 @@ class DedupOpsSpec extends SparkSpec {
     DedupOps.dedupIncremental(batch, "doc_id", "text", newIndex).count() shouldBe 0L
   }
 
+  test("decontaminate drops corpus docs sharing n-grams with the eval set") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps high"),    // shares "the quick brown"
+      (11L, "totally unrelated training words here"),
+      (12L, null.asInstanceOf[String]))           // null text: kept
+      .toDF("doc_id", "text")
+    val eval = Seq((1L, "the quick brown fox runs")).toDF("doc_id", "text")
+    val kept = DedupOps.decontaminate(corpus, "doc_id", "text", eval, "text", n = 3)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(11L, 12L)
+    // minOverlap > 1: one shared 3-gram is no longer enough...
+    DedupOps.decontaminate(corpus, "doc_id", "text", eval, "text",
+      n = 3, minOverlap = 3).select("doc_id").as[Long].collect().sorted shouldBe
+      Array(10L, 11L, 12L)
+    // ...but a doc sharing 3+ distinct 3-grams still falls
+    val heavy = corpus.unionByName(
+      Seq((13L, "the quick brown fox runs away")).toDF("doc_id", "text"))
+    DedupOps.decontaminate(heavy, "doc_id", "text", eval, "text",
+      n = 3, minOverlap = 3).select("doc_id").as[Long].collect().sorted shouldBe
+      Array(10L, 11L, 12L)
+  }
+
   test("incrementalNearDupPairs: batch vs persisted band index, corpus never re-shingled") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val other = "completely different words entirely here now for testing"
