@@ -660,7 +660,7 @@ object SparkEntry {
     "q_budget_select" -> ((s, d) =>
       SamplingOps.selectByBudget(
         t(s, d, "documents").filter(col("text").isNotNull)
-          .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType)),
+          .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast(LongType)),
         "doc_id", "n_tokens", "n_chars", budget = 5000L)
         .select("doc_id", "n_chars", "n_tokens")
         .orderBy("doc_id")),
@@ -1850,17 +1850,19 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "q_decontaminate" ->
-      """WITH ev AS (SELECT DISTINCT array_to_string(t[j:j+2], ' ') AS g
+      """WITH ev AS (SELECT DISTINCT
+                            CAST(('0x' || substring(md5(array_to_string(t[j:j+2], ' ')), 1, 15)) AS BIGINT) AS sh
                      FROM (SELECT string_split(text, ' ') AS t FROM documents
                            WHERE doc_id < 20 AND text IS NOT NULL),
                           (SELECT unnest(generate_series(1, 4000)) AS j)
                      WHERE j <= greatest(len(t) - 2, 1)),
-              cg AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+              cg AS (SELECT doc_id,
+                            CAST(('0x' || substring(md5(array_to_string(t[j:j+2], ' ')), 1, 15)) AS BIGINT) AS sh
                      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
                            WHERE doc_id >= 20 AND text IS NOT NULL),
                           (SELECT unnest(generate_series(1, 4000)) AS j)
                      WHERE j <= greatest(len(t) - 2, 1)),
-              bad AS (SELECT DISTINCT doc_id FROM cg JOIN ev USING (g))
+              bad AS (SELECT DISTINCT doc_id FROM cg JOIN ev USING (sh))
          SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",

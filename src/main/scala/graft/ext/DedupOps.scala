@@ -212,18 +212,31 @@ object DedupOps {
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     evalDocs: DataFrame, evalTextCol: String,
                     n: Int, minOverlap: Int = 1): DataFrame = {
-    val evalShingles = evalDocs.filter(col(evalTextCol).isNotNull)
-      .select(explode(shingleHashes(col(evalTextCol), n)).as("sh")).distinct()
     val corpusShingles = corpus.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("sh"))
     val contaminated =
-      if (minOverlap <= 1)
+      if (minOverlap <= 1) {
+        // fast path: any single shared gram condemns — eval doc identity
+        // is irrelevant, pool the distinct shingle set
+        val evalShingles = evalDocs.filter(col(evalTextCol).isNotNull)
+          .select(explode(shingleHashes(col(evalTextCol), n)).as("sh")).distinct()
         corpusShingles.join(broadcast(evalShingles), "sh")
           .select(idCol).distinct()
-      else
-        corpusShingles.join(broadcast(evalShingles), "sh")
-          .groupBy(idCol).agg(countDistinct(col("sh")).as("__c"))
-          .filter(col("__c") >= minOverlap).select(idCol)
+      } else {
+        // per-eval-DOC threshold (the documented semantics): a training doc
+        // falls iff SOME single eval doc shares ≥ minOverlap distinct grams
+        // with it — one gram shared with each of three eval docs does NOT
+        // condemn at minOverlap=3. (id, eid, sh) triples are unique (the
+        // shingle kernel emits distinct hashes per doc), so plain count
+        // counts distinct shared grams.
+        val ev = evalDocs.filter(col(evalTextCol).isNotNull)
+          .withColumn("__eid", monotonically_increasing_id())
+          .select(col("__eid"), explode(shingleHashes(col(evalTextCol), n)).as("sh"))
+        corpusShingles.join(broadcast(ev), "sh")
+          .groupBy(col(idCol), col("__eid")).agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= minOverlap)
+          .select(idCol).distinct()
+      }
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 

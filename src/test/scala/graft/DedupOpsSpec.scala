@@ -136,6 +136,19 @@ class DedupOpsSpec extends SparkSpec {
     DedupOps.decontaminate(heavy, "doc_id", "text", eval, "text",
       n = 3, minOverlap = 3).select("doc_id").as[Long].collect().sorted shouldBe
       Array(10L, 11L, 12L)
+    // the threshold is PER EVAL DOC: one gram shared with each of two eval
+    // docs does not reach minOverlap=2 — pooling across the set would
+    // wrongly condemn doc 20
+    val evalTwo = Seq(
+      (1L, "alpha beta gamma padding words"),
+      (2L, "delta epsilon zeta padding words")).toDF("doc_id", "text")
+    val crossDoc = Seq(
+      (20L, "alpha beta gamma X delta epsilon zeta"), // 1 gram from each
+      (21L, "alpha beta gamma padding others here"))  // 2 grams from eval 1
+      .toDF("doc_id", "text")
+    DedupOps.decontaminate(crossDoc, "doc_id", "text", evalTwo, "text",
+      n = 3, minOverlap = 2).select("doc_id").as[Long].collect().sorted shouldBe
+      Array(20L)
   }
 
   test("incrementalNearDupPairs: batch vs persisted band index, corpus never re-shingled") {

@@ -60,8 +60,7 @@ class SamplingOpsSpec extends SparkSpec {
   test("selectByBudget: greedy best-quality prefix under the token budget") {
     val docs = Stores.table(spark, sf0001, "documents")
       .filter(col("text").isNotNull)
-      .withColumn("n_tokens",
-        org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_tokens", graft.ext.TextOps.tokenCount(col("text")).cast("long"))
     val selected = SamplingOps.selectByBudget(docs, "doc_id", "n_tokens",
       "n_chars", budget = 3000L)
     val rows = selected.select("doc_id", "n_chars", "n_tokens")
