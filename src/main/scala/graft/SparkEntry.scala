@@ -656,12 +656,14 @@ object SparkEntry {
         .orderBy("lang")),
 
     // token-budget selection: greedy best-quality prefix until the token
-    // budget is spent (data mixing under a fixed training budget)
+    // budget is spent (data mixing under a fixed training budget). Runs
+    // the SHARDED variant — the oracle is the exact-window semantics, so
+    // the gate itself proves the scalable path row-identical.
     "q_budget_select" -> ((s, d) =>
-      SamplingOps.selectByBudget(
+      SamplingOps.selectByBudgetSharded(
         t(s, d, "documents").filter(col("text").isNotNull)
           .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast(LongType)),
-        "doc_id", "n_tokens", "n_chars", budget = 5000L)
+        "doc_id", "n_tokens", "n_chars", budget = 5000L, buckets = 64)
         .select("doc_id", "n_chars", "n_tokens")
         .orderBy("doc_id")),
 

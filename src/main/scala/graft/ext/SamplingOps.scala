@@ -93,6 +93,60 @@ object SamplingOps {
   }
 
   /**
+   * Scalable [[selectByBudget]] — row-identical results without the
+   * full-corpus single-partition window. Three phases:
+   *
+   *   1. one aggregate pass: quality min/max + total weight (early-exit:
+   *      everything fits);
+   *   2. uniform quality bucketing (`width_bucket`, a projection) + one
+   *      hash-agg of per-bucket weight sums → a DRIVER-side cumulative sum
+   *      over ≤ `buckets` rows, descending quality, locating the boundary
+   *      bucket b*: buckets above b* fit whole, b* fits partially with
+   *      residual budget r;
+   *   3. keep all rows above b* with a per-row filter (zero shuffle), and
+   *      run the EXACT greedy window only over b*'s rows with budget r.
+   *
+   * Equivalence is structural: uniform buckets are quality-ordered, so the
+   * global (quality desc, key) order is (bucket desc) then the in-bucket
+   * order, and "admit while global cum-before < budget" restricted to b*
+   * is exactly "admit while in-bucket cum-before < r". The window now
+   * touches 1/buckets of the corpus (worst case: a quality distribution
+   * collapsed into one bucket degenerates to the exact path).
+   */
+  def selectByBudgetSharded(df: DataFrame, keyCol: String, weightCol: String,
+                            qualityCol: String, budget: Long,
+                            buckets: Int = 10000): DataFrame = {
+    val stats = df.agg(min(col(qualityCol)), max(col(qualityCol)),
+      sum(col(weightCol)).cast("long")).head()
+    if (stats.isNullAt(2) || stats.getLong(2) <= budget) return df
+    val (qmin, qmax) = (stats.getAs[Any](0), stats.getAs[Any](1))
+    if (qmin == qmax)
+      return selectByBudget(df, keyCol, weightCol, qualityCol, budget)
+    val bucketed = df.withColumn("__qb",
+      width_bucket(col(qualityCol).cast("double"),
+        lit(qmin).cast("double"), lit(qmax).cast("double"), lit(buckets)))
+    val perBucket = bucketed.groupBy("__qb")
+      .agg(sum(col(weightCol)).cast("long").as("__w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    // walk buckets from the top until the budget would overflow
+    var cum = 0L; var boundary = Long.MinValue; var residual = budget
+    val it = perBucket.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (b, w) = it.next()
+      if (cum + w <= budget) cum += w
+      else { boundary = b; residual = budget - cum; done = true }
+    }
+    if (!done) return df // all buckets fit (possible when weights are null-heavy)
+    val above = bucketed.filter(col("__qb") > boundary).drop("__qb")
+    val atBoundary = selectByBudget(
+      bucketed.filter(col("__qb") === boundary).drop("__qb"),
+      keyCol, weightCol, qualityCol, residual)
+    above.unionByName(atBoundary)
+  }
+
+  /**
    * Sequence packing: assign documents to fixed-budget packs (context
    * windows) by cumulative weight. Documents are sharded by key hash
    * (`nShards` — one shuffle, shards pack independently in parallel) and

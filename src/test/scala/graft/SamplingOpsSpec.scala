@@ -78,6 +78,24 @@ class SamplingOpsSpec extends SparkSpec {
     inOrder.init.map(_._3).sum should be < 3000L
   }
 
+  test("selectByBudgetSharded: row-identical to the exact window across budgets") {
+    val docs = Stores.table(spark, sf0001, "documents")
+      .filter(col("text").isNotNull)
+      .withColumn("n_tokens", graft.ext.TextOps.tokenCount(col("text")).cast("long"))
+    for (budget <- Seq(500L, 3000L, 20000L, 10000000L)) {
+      val exact = SamplingOps.selectByBudget(docs, "doc_id", "n_tokens",
+        "n_chars", budget).select("doc_id").as[Long].collect().sorted
+      val sharded = SamplingOps.selectByBudgetSharded(docs, "doc_id", "n_tokens",
+        "n_chars", budget, buckets = 16).select("doc_id").as[Long].collect().sorted
+      sharded shouldBe exact
+    }
+    // degenerate single-quality corpus falls back to the exact path
+    val flat = docs.withColumn("n_chars", lit(50L))
+    SamplingOps.selectByBudgetSharded(flat, "doc_id", "n_tokens",
+        "n_chars", 1000L, buckets = 16).count() shouldBe
+      SamplingOps.selectByBudget(flat, "doc_id", "n_tokens", "n_chars", 1000L).count()
+  }
+
   test("packByBudget: packs respect the budget modulo one-document overflow") {
     val docs = Stores.table(spark, sf0001, "documents")
     val packed = SamplingOps.packByBudget(docs, "doc_id", "n_chars",
