@@ -116,34 +116,57 @@ object SamplingOps {
   def selectByBudgetSharded(df: DataFrame, keyCol: String, weightCol: String,
                             qualityCol: String, budget: Long,
                             buckets: Int = 10000): DataFrame = {
+    // All driver arithmetic rides doubles, NOT a truncating long cast —
+    // truncation both broke fractional-weight row-identity and could leave
+    // the budget "never exceeded" (returning the whole over-budget corpus).
+    // Row-identity is exact for integral weights (exact in doubles to 2^53,
+    // the realistic token-count range); fractional weights agree with the
+    // exact window up to fp rounding at the boundary.
+    val qd = col(qualityCol).cast("double")
     val stats = df.agg(min(col(qualityCol)), max(col(qualityCol)),
-      sum(col(weightCol)).cast("long")).head()
-    if (stats.isNullAt(2) || stats.getLong(2) <= budget) return df
+      sum(col(weightCol).cast("double")),
+      count(when(col(qualityCol).isNull || isnan(qd), 1))).head()
+    // null/NaN qualities don't bucket (width_bucket → null key, a driver
+    // NPE) — the exact path already orders them correctly; use it
+    if (stats.getLong(3) > 0)
+      return selectByBudget(df, keyCol, weightCol, qualityCol, budget)
+    // STRICT <: at total == budget a trailing zero-weight row has
+    // cum-before == budget and the exact window drops it — don't early-exit
+    if (stats.isNullAt(2) || stats.getDouble(2) < budget) return df
     val (qmin, qmax) = (stats.getAs[Any](0), stats.getAs[Any](1))
     if (qmin == qmax)
       return selectByBudget(df, keyCol, weightCol, qualityCol, budget)
     val bucketed = df.withColumn("__qb",
-      width_bucket(col(qualityCol).cast("double"),
-        lit(qmin).cast("double"), lit(qmax).cast("double"), lit(buckets)))
+      width_bucket(qd, lit(qmin).cast("double"), lit(qmax).cast("double"),
+        lit(buckets)))
     val perBucket = bucketed.groupBy("__qb")
-      .agg(sum(col(weightCol)).cast("long").as("__w"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .agg(coalesce(sum(col(weightCol).cast("double")), lit(0.0)).as("__w"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
       .sortBy(-_._1)
-    // walk buckets from the top until the budget would overflow
-    var cum = 0L; var boundary = Long.MinValue; var residual = budget
-    val it = perBucket.iterator
+    // walk buckets from the top; STRICT < so a bucket that exactly exhausts
+    // the budget becomes the boundary (its own window then reproduces the
+    // exact cum-before < budget cutoff, including zero-weight rows)
+    var cum = 0.0; var boundary = Long.MinValue; var residual = 0.0
     var done = false
+    val it = perBucket.iterator
     while (it.hasNext && !done) {
       val (b, w) = it.next()
-      if (cum + w <= budget) cum += w
+      if (cum + w < budget) cum += w
       else { boundary = b; residual = budget - cum; done = true }
     }
-    if (!done) return df // all buckets fit (possible when weights are null-heavy)
-    val above = bucketed.filter(col("__qb") > boundary).drop("__qb")
-    val atBoundary = selectByBudget(
-      bucketed.filter(col("__qb") === boundary).drop("__qb"),
-      keyCol, weightCol, qualityCol, residual)
-    above.unionByName(atBoundary)
+    if (!done) return df // fp safety net; unreachable when sums are exact
+    // ONE pass over the kept range: buckets above the boundary pass whole,
+    // the boundary bucket replays the exact greedy cutoff with the residual
+    // budget. The window partitions by bucket — parallel, never the
+    // full-corpus single-partition window.
+    val w = Window.partitionBy("__qb")
+      .orderBy(col(qualityCol).desc, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.filter(col("__qb") >= boundary)
+      .withColumn("__cb",
+        coalesce(sum(col(weightCol).cast("double")).over(w), lit(0.0)))
+      .filter(col("__qb") > boundary || col("__cb") < residual)
+      .drop("__qb", "__cb")
   }
 
   /**

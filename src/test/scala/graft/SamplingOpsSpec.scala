@@ -94,6 +94,26 @@ class SamplingOpsSpec extends SparkSpec {
     SamplingOps.selectByBudgetSharded(flat, "doc_id", "n_tokens",
         "n_chars", 1000L, buckets = 16).count() shouldBe
       SamplingOps.selectByBudget(flat, "doc_id", "n_tokens", "n_chars", 1000L).count()
+
+    // edge parity with the exact window:
+    //  - a zero-weight row past an exactly-exhausted budget is dropped
+    //  - null quality routes through the exact path instead of crashing
+    val edge = Seq((1L, 10L, Some(9.0)), (2L, 0L, Some(1.0)),
+        (3L, 5L, None)) // null quality
+      .toDF("id", "w", "q")
+    for (budget <- Seq(10L, 12L, 100L)) {
+      val exact = SamplingOps.selectByBudget(edge, "id", "w", "q", budget)
+        .select("id").as[Long].collect().sorted
+      SamplingOps.selectByBudgetSharded(edge, "id", "w", "q", budget, buckets = 4)
+        .select("id").as[Long].collect().sorted shouldBe exact
+    }
+    // fractional weights no longer truncate: 2×10.6 busts a budget of 21
+    val frac = Seq((1L, 10.6, 3.0), (2L, 10.6, 2.0), (3L, 10.6, 1.0))
+      .toDF("id", "w", "q")
+    SamplingOps.selectByBudgetSharded(frac, "id", "w", "q", 21L, buckets = 4)
+      .select("id").as[Long].collect().sorted shouldBe
+      SamplingOps.selectByBudget(frac, "id", "w", "q", 21L)
+        .select("id").as[Long].collect().sorted
   }
 
   test("packByBudget: packs respect the budget modulo one-document overflow") {
