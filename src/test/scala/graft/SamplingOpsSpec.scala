@@ -55,6 +55,15 @@ class SamplingOpsSpec extends SparkSpec {
     val grownKept = SamplingOps.stratifiedSample(grown, "doc_id", "lang", rates)
       .filter(col("doc_id") < 1000000L).select("doc_id").as[Long].collect().toSet
     grownKept shouldBe keptIds
+    // raising a stratum's rate only ADDS documents (bucket < 10 ⇒ < 50):
+    // re-weighting never churns the kept set, it grows or shrinks it
+    val keptAt50 = SamplingOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 50)).filter(col("lang") === "en")
+      .select("doc_id").as[Long].collect().toSet
+    val keptAt10 = SamplingOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 10)).filter(col("lang") === "en")
+      .select("doc_id").as[Long].collect().toSet
+    keptAt10.subsetOf(keptAt50) shouldBe true
   }
 
   test("selectByBudget: greedy best-quality prefix under the token budget") {
