@@ -2,7 +2,6 @@ package graft.ext
 
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -48,6 +47,37 @@ object SimilarityOps {
   def cosineNative(a: Column, b: Column): Column =
     round(call_function(GraftFunctions.cosineName, a, b), 6)
 
+  /** Fail fast on non-integral id columns: the top-k heap carries ids as
+    * long — a silent cast of string ids would null them out and the
+    * self-pair filter would drop every row. */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    val idType = df.schema(idCol).dataType
+    require(Seq("bigint", "int", "smallint", "tinyint")
+      .contains(idType.simpleString),
+      s"$op requires an integral id column, got $idCol: ${idType.simpleString} — " +
+        "hash or dictionary-encode string ids first (e.g. graft_fp60)")
+  }
+
+  /**
+   * Per-query top-k over a scored candidate set (`query_id`, `neighbor_id`
+   * long, `score`) via the bounded-heap
+   * [[graft.functions.VectorAggregators.TopKByScore]] aggregator. Full
+   * partial aggregation: map-side `reduce` prunes to k per partition, so
+   * the shuffle carries |Q|·k·partitions buffer entries — NOT every scored
+   * candidate row the `Window.partitionBy(query_id) row_number` form would
+   * move (at a 100 TB corpus the window shuffle would BE the job). Tie
+   * order (score desc, id asc) matches the window form exactly, so results
+   * are bit-identical to a rank≤k filter.
+   */
+  private def heapTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.VectorAggregators.TopKByScore(k))
+    scored.groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        col("col._1").as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /**
    * Exact top-k neighbors for each query vector. `queries` must be small
    * (≤ ~10⁵ rows): it is broadcast, so the big corpus never shuffles for
@@ -65,13 +95,7 @@ object SimilarityOps {
    */
   def cosineTopK(queries: DataFrame, corpus: DataFrame,
                  idCol: String, vecCol: String, k: Int): DataFrame = {
-    // fail fast: the heap carries ids as long — a silent cast of string ids
-    // would null them out and the self-pair filter would drop every row
-    val idType = corpus.schema(idCol).dataType
-    require(Seq("bigint", "int", "smallint", "tinyint")
-      .contains(idType.simpleString),
-      s"cosineTopK requires an integral id column, got $idCol: ${idType.simpleString} — " +
-        "hash or dictionary-encode string ids first (e.g. graft_fp60)")
+    requireIntegralId(corpus, idCol, "cosineTopK")
     GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
@@ -79,12 +103,7 @@ object SimilarityOps {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosineNative(col("qv"), col("cv")))
-    val topk = udaf(new graft.functions.VectorAggregators.TopKByScore(k))
-    scored.groupBy("query_id")
-      .agg(topk(col("score"), col("neighbor_id")).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"), col("col._2").as("neighbor_id"),
-        col("col._1").as("score"), (col("pos") + 1).cast("int").as("rank"))
+    heapTopK(scored, k)
   }
 
   /** Sign-LSH bucket id from `nBits` fixed "hyperplanes". For oracle
@@ -104,19 +123,17 @@ object SimilarityOps {
   def annTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nBits: Int = 4, stride: Int = 8): DataFrame = {
+    requireIntegralId(corpus, idCol, "annTopK")
     GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       signLshBucket(col(vecCol), nBits, stride).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"),
       signLshBucket(col(vecCol), nBits, stride).as("bucket"))
     val scored = c.join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosineNative(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    heapTopK(scored, k)
   }
 
   // -------------------------------------------------------------------------
@@ -220,18 +237,16 @@ object SimilarityOps {
               centroids: Seq[(Long, Seq[Float])],
               idCol: String, vecCol: String, k: Int,
               nprobe: Int = 1): DataFrame = {
+    requireIntegralId(corpus, idCol, "ivfTopK")
     val q = ivfProbeCells(queries, centroids, vecCol, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"))
     val c = ivfAssign(corpus, centroids, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("cv"), col("cell"))
     val scored = c.join(q, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosineNative(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    heapTopK(scored, k)
   }
 
   /**

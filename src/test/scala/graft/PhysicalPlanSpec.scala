@@ -73,6 +73,46 @@ class PhysicalPlanSpec extends SparkSpec {
       reference.orderBy("query_id", "rank").collect()
   }
 
+  test("annTopK and ivfTopK use the bounded heap — no Window node in either plan") {
+    val emb = Stores.table(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+
+    val ann = graft.ext.SimilarityOps.annTopK(
+      queries, emb, "vec_id", "embedding", k = 3)
+    val annPlan = planOf(ann)
+    annPlan should include("ObjectHashAggregate")
+    annPlan should not include "Window"
+
+    val cents = graft.ext.SimilarityOps.takeCentroids(
+      emb, "vec_id", "embedding", c = 4)
+    val ivf = graft.ext.SimilarityOps.ivfTopK(
+      queries, emb, cents, "vec_id", "embedding", k = 3, nprobe = 2)
+    val ivfPlan = planOf(ivf)
+    ivfPlan should include("ObjectHashAggregate")
+    ivfPlan should not include "Window"
+
+    // heap output ≡ the window form it replaced (same bucket candidates,
+    // same (score desc, id asc) tie order)
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"),
+      graft.ext.SimilarityOps.signLshBucket(col("embedding"), 4, 8).as("bucket"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"),
+      graft.ext.SimilarityOps.signLshBucket(col("embedding"), 4, 8).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val reference = c.join(q, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        graft.ext.SimilarityOps.cosineNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "score", "rank")
+    ann.orderBy("query_id", "rank").collect() shouldBe
+      reference.orderBy("query_id", "rank").collect()
+  }
+
   test("run_id-partitioned staging read prunes to one partition directory") {
     val work = Files.createTempDirectory("graft_prune_").toString
     val df = Stores.table(spark, sf0001, "events").limit(100)
