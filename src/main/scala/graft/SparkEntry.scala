@@ -556,6 +556,15 @@ object SparkEntry {
       TextOps.wordFrequency(t(s, d, "documents"), "text")
         .orderBy(col("n").desc, col("word").asc).limit(20)),
 
+    // approximate heavy hitters: Misra-Gries candidates + count-min-sketch
+    // counts — never exact-shuffles the token universe. At sketch width
+    // 2/eps ≫ vocabulary the CMS estimates are exact (an estimate deviates
+    // only if the word collides in EVERY sketch row), so the oracle is the
+    // exact top-k — a full hash-match gate on the approximate plan.
+    "q_approx_top_words" -> ((s, d) =>
+      TextOps.approxTopKWords(t(s, d, "documents"), "text", k = 20)
+        .orderBy(col("n_est").desc, col("word").asc)),
+
     "q_quality_score" -> ((s, d) =>
       TextOps.qualityFeatures(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
@@ -652,6 +661,16 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) =>
       SamplingOps.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
         Map("en" -> 10, "de" -> 50))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
+    // data-mixing weights: target en:de:fr = 2:1:1 over the configured
+    // strata (es/zh dropped — a mixing spec is a whitelist); the binding
+    // stratum is kept whole, the rest downsample pro rata via
+    // integer-arithmetic keep rates the SQL oracle reproduces exactly
+    "q_mix_proportions" -> ((s, d) =>
+      SamplingOps.mixProportions(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 2L, "de" -> 1L, "fr" -> 1L))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")),
 
@@ -767,6 +786,16 @@ object SparkEntry {
       SimilarityOps.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, nBits = 4, stride = 8)
         .orderBy("id1", "id2")),
+
+    // first-class semantic dedup (SemDeDup shape): embedding near-dup
+    // pairs → connected components → keep the min-id member per cluster;
+    // output = the deduplicated corpus with cluster sizes
+    "q_semantic_dedup" -> ((s, d) =>
+      SimilarityOps.semanticDedup(t(s, d, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, nBits = 4, stride = 8)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          col("n_members"))
+        .orderBy("vec_id")),
 
     // int8 symmetric quantization: 4× embedding compression for ANN scans;
     // the oracle recomputes scale/checksum and stipulates the per-element
@@ -1727,6 +1756,15 @@ object SparkEntry {
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""",
 
+    // the approximate plan's estimates are exact at this sketch width (a
+    // deviation needs a collision in every CMS row), so the oracle is the
+    // exact top-k word count
+    "q_approx_top_words" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n_est
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+               WHERE text IS NOT NULL)
+         GROUP BY word ORDER BY n_est DESC, word ASC LIMIT 20""",
+
     "q_quality_score" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1877,6 +1915,20 @@ object SparkEntry {
          FROM b
          WHERE bucket < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 ELSE 100 END
          GROUP BY lang ORDER BY lang""",
+
+    "q_mix_proportions" ->
+      """WITH w(lang, wt) AS (VALUES ('en', 2), ('de', 1), ('fr', 1)),
+              c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM documents JOIN w USING (lang) GROUP BY lang),
+              m AS (SELECT c.lang, c.n, w.wt FROM c JOIN w USING (lang)
+                    ORDER BY CAST(c.n AS DOUBLE) / w.wt, c.lang LIMIT 1),
+              r AS (SELECT c.lang,
+                           LEAST(100 * w.wt * m.n // (m.wt * c.n), 100) AS rate
+                    FROM c JOIN w USING (lang) CROSS JOIN m)
+         SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < r.rate
+         GROUP BY d.lang ORDER BY d.lang""",
 
     "q_budget_select" ->
       """WITH t AS (SELECT doc_id, n_chars,
@@ -2070,6 +2122,62 @@ object SparkEntry {
          FROM dots
          WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
          ORDER BY id1, id2""",
+
+    // same near-dup pair construction, then 6 unrolled min-label rounds
+    // (component eccentricity from the min node is ≤ 4 at every shipped SF)
+    // and keep-min-per-cluster with cluster sizes
+    "q_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, embedding,
+                           CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                              + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+                              + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+                              + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
+                    FROM embeddings),
+              prs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                             a.embedding AS ae, b.embedding AS be
+                      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              dots AS (SELECT id1, id2,
+                              SUM(CAST(ae[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)) AS na,
+                              SUM(CAST(be[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS nb
+                       FROM prs, idx GROUP BY id1, id2),
+              e0 AS (SELECT id1, id2 FROM dots
+                     WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4),
+              edges AS (SELECT id1 AS a, id2 AS b FROM e0
+                        UNION ALL SELECT id2 AS a, id1 AS b FROM e0),
+              l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
+              l1 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l0 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l0 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l2 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l1 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l1 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l3 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l2 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l2 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l4 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l3 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l3 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l5 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l4 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l4 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l6 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l5 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l5 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              lab AS (SELECT emb.vec_id AS id, COALESCE(l6.label, emb.vec_id) AS cluster_id
+                      FROM embeddings emb LEFT JOIN l6 ON l6.id = emb.vec_id),
+              sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+                     FROM lab GROUP BY cluster_id)
+         SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, sz.n_members
+         FROM embeddings e JOIN sz ON e.vec_id = sz.cluster_id
+         ORDER BY e.vec_id""",
 
     "q_vector_mean_by_label" ->
       """SELECT CAST(label AS BIGINT) AS label,

@@ -362,6 +362,12 @@ object DedupOps {
     // recomputations of the (possibly expensive: minhashDedupPairs) pair
     // job. Each round persists + materializes, then the previous round's
     // cache is released, so peak cache = edges + two label generations.
+    // The next round is REBASED on the persisted RDD (LogicalRDD leaf —
+    // the same materializeCut discipline as [[connectedComponentsStar]]):
+    // persist() alone does not truncate the logical plan, and with two
+    // label references per round the un-cut plan TREE doubles every
+    // iteration — analysis walks it as a tree, so high iteration counts
+    // would stall in the optimizer long before any data moved.
     // The RETURNED frame holds no cache-manager entry: the final labels are
     // local-checkpointed (lineage cut, blocks owned by the RDD and released
     // by the ContextCleaner once the caller drops the frame) and every
@@ -372,6 +378,7 @@ object DedupOps {
       .persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
+    var handle: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
       val next = labels.join(
@@ -382,14 +389,16 @@ object DedupOps {
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
         .persist()
       next.count()                            // materialize this round
-      if (i > 0) labels.unpersist(blocking = false)
-      labels = next
+      handle.foreach(_.unpersist(blocking = false))
+      // rebase on the persisted blocks: constant-size plan per round
+      labels = next.sparkSession.createDataFrame(next.rdd, next.schema)
+      handle = Some(next)
       i += 1
     }
     val result =
       if (iterations > 0) {
         val checkpointed = labels.localCheckpoint()   // eager; cuts lineage
-        labels.unpersist(blocking = false)
+        handle.foreach(_.unpersist(blocking = false))
         checkpointed
       } else labels
     edges.unpersist(blocking = false)

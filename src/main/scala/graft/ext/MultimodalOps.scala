@@ -132,8 +132,86 @@ object MultimodalOps {
                                    dim: Int): Array[Float] =
     decodeImage(bytes) match {
       case Some(img) => luminanceHistogram(img, dim)
-      case None      => hashFeature(bytes, format, dim)
+      case None => decodeAudio(bytes) match {
+        case Some(samples) => rmsWindowFeature(samples, dim)
+        case None          => hashFeature(bytes, format, dim)
+      }
     }
+
+  /** Decode cap for audio: bounds the PCM buffer a hostile header can
+    * demand (the audio analog of [[maxDecodePixels]]). */
+  private[graft] val maxAudioBytes: Long = 64L * 1024 * 1024
+
+  /**
+   * Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU —
+   * the PCM containers the JDK ships codecs for; zero external jars, the
+   * same trick as ImageIO for images). The stream is converted to 16-bit
+   * signed PCM so sample math is uniform across source encodings, and
+   * read under [[maxAudioBytes]]. Returns None when no installed reader
+   * accepts the bytes (images, video containers, synthetic test blobs) —
+   * only IO/runtime failures are swallowed, fatal JVM errors propagate.
+   */
+  private[graft] def decodeAudio(bytes: Array[Byte]): Option[Array[Double]] =
+    if (bytes == null || bytes.length < 16) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val base = ais.getFormat
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          base.getChannels * 2, base.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ais)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          var n = pcm.read(buf)
+          while (n > 0 && total <= maxAudioBytes) {
+            out.write(buf, 0, n); total += n; n = pcm.read(buf)
+          }
+          if (total == 0 || total > maxAudioBytes) None
+          else {
+            val b = out.toByteArray
+            val samples = new Array[Double](b.length / 2)
+            var i = 0
+            while (i < samples.length) {
+              // little-endian 16-bit signed → [-1, 1)
+              samples(i) =
+                (((b(2 * i + 1) << 8) | (b(2 * i) & 0xff)).toShort) / 32768.0
+              i += 1
+            }
+            Some(samples)
+          }
+        } finally pcm.close()
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException | _: RuntimeException => None
+    }
+
+  /** Unit-norm RMS-window feature: the sample stream split into `dim`
+    * equal windows, RMS energy per window — a real audio embedding
+    * contract (tones, silence, and envelopes separate; a re-decode of the
+    * same samples reproduces the same vector). */
+  private[graft] def rmsWindowFeature(samples: Array[Double], dim: Int): Array[Float] = {
+    val bins = new Array[Float](dim)
+    if (samples.length > 0) {
+      var w = 0
+      while (w < dim) {
+        val lo = (samples.length.toLong * w / dim).toInt
+        val hi = (samples.length.toLong * (w + 1) / dim).toInt
+        var acc = 0.0
+        var i = lo
+        while (i < hi) { acc += samples(i) * samples(i); i += 1 }
+        bins(w) = if (hi > lo) math.sqrt(acc / (hi - lo)).toFloat else 0f
+        w += 1
+      }
+    }
+    val n = math.sqrt(bins.map(b => b.toDouble * b).sum).toFloat max 1e-9f
+    bins.map(_ / n)
+  }
 
   /** Unit-norm luminance histogram — a real pixel-space feature: images
     * with different content produce different vectors, a re-encode of the
@@ -222,15 +300,79 @@ object MultimodalOps {
     else Array.tabulate[Byte](n)(i => bytes(i % bytes.length))
   }
 
-  /** Video frame-sampling plumbing: explode a (stubbed) frame index list —
-    * one output row per sampled frame, payload carried by reference
-    * (offset), not copied. Real frame extraction would slice the container
-    * at the returned offsets. */
+  /** Frame-sampling PLANNING: explode the frame-offset list from metadata —
+    * one output row per sampled timestamp, payload untouched (pure
+    * projection over the metadata columns, so the parquet scan prunes the
+    * blobs). This plans WHICH offsets to decode; [[extractFrames]] is the
+    * real pixels-out extraction for containers the JDK decodes. */
   def sampleFrames(df: DataFrame, everyMs: Long): DataFrame =
     df.withColumn("frame_ms",
         explode(sequence(lit(0L),
           coalesce(col("meta.duration_ms"), lit(0L)), lit(everyMs))))
       .select(col("media_id"), col("frame_ms"))
+
+  final case class FrameFeatures(media_id: Long, frame_idx: Int,
+                                 n_frames: Int, feature: Array[Float])
+
+  /** Frame-count cap: bounds the decode work a hostile multi-frame
+    * container can demand (the temporal analog of [[maxDecodePixels]]). */
+  private[graft] val maxDecodeFrames: Int = 4096
+
+  /**
+   * REAL multi-frame extraction: ImageIO's sequence API
+   * (`reader.getNumImages(true)` / `read(i)`) decodes every frame of a
+   * multi-frame container — GIF is the JDK-native one (the same seam
+   * takes MJPEG/APNG when a reader jar is registered). Every `everyN`-th
+   * frame is decoded to pixels and embedded via the same luminance
+   * histogram as still images; single-frame payloads yield frame 0 only;
+   * payloads no reader accepts yield NO rows (dropped, not faked — honest
+   * output for a decode operator). Same per-partition batch shape as
+   * [[extractFeatures]]; bomb guards: [[maxDecodePixels]] per frame,
+   * [[maxDecodeFrames]] per payload.
+   */
+  def extractFrames(spark: SparkSession, media: Dataset[MediaRow],
+                    everyN: Int, dim: Int = 8): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    require(everyN > 0, "frame sampling stride must be positive")
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        decodeFramesSampled(m.payload, everyN).map { case (idx, n, img) =>
+          FrameFeatures(m.media_id, idx, n, luminanceHistogram(img, dim))
+        }
+      }
+    }
+  }
+
+  /** Decode every `everyN`-th frame of a multi-frame payload: returns
+    * (frame index, total frames, pixels). Empty when no reader accepts
+    * the bytes; frames that individually fail the bomb guard are skipped. */
+  private[graft] def decodeFramesSampled(bytes: Array[Byte], everyN: Int)
+      : Seq[(Int, Int, java.awt.image.BufferedImage)] =
+    if (bytes == null || bytes.isEmpty) Seq.empty
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) Seq.empty
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true) // seekForwardOnly=false: random frame access
+            val n = math.min(reader.getNumImages(true), maxDecodeFrames)
+            (0 until n by everyN).flatMap { i =>
+              try {
+                val declared = reader.getWidth(i).toLong * reader.getHeight(i).toLong
+                if (declared <= 0 || declared > maxDecodePixels) None
+                else Option(reader.read(i)).map(img => (i, n, img))
+              } catch {
+                case _: java.io.IOException | _: RuntimeException => None
+              }
+            }
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: java.io.IOException | _: RuntimeException => Seq.empty }
 
   /** Synthesizes a deterministic in-memory media table for tests/demo (no
     * media fixtures ship in /root/testdata). */

@@ -73,6 +73,46 @@ object SamplingOps {
   }
 
   /**
+   * Data-mixing weights: given target mixture WEIGHTS per stratum
+   * (domain / language — e.g. en:2, de:1, fr:1 for a 50/25/25 blend),
+   * compute per-stratum keep rates that bring the kept corpus as close as
+   * possible to the target proportions WITHOUT upsampling: the binding
+   * stratum (the smallest count/weight ratio — the one that runs out
+   * first) is kept whole and every other stratum is downsampled pro rata.
+   * Strata without a configured weight are dropped (a mixing spec is a
+   * whitelist). Selection inherits every [[stratifiedSample]] guarantee:
+   * per-row fingerprint filter, zero shuffle, reproducible, growth-stable.
+   *
+   * Determinism across engines: rates are integer percentages computed
+   * with INTEGER arithmetic — `rate_s = ⌊100·w_s·n_m / (w_m·n_s)⌋` where
+   * (n_m, w_m) is the binding stratum — so an exact SQL oracle reproduces
+   * the same selection bit-for-bit (the driver arithmetic runs in BigInt;
+   * nothing overflows at any corpus size).
+   *
+   * Scale: ONE aggregate pass over the corpus (the per-stratum counts —
+   * ≤ #strata rows to the driver, a model artifact) + the per-row filter.
+   */
+  def mixProportions(df: DataFrame, keyCol: String, strataCol: String,
+                     weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty, "mixProportions needs at least one stratum weight")
+    require(weights.values.forall(_ > 0), "mixture weights must be positive")
+    val counts = df
+      .filter(col(strataCol).isin(weights.keys.toSeq.map(lit): _*))
+      .groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val present = weights.toSeq.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) return df.filter(lit(false))
+    // binding stratum: min count/weight; double division is IEEE-identical
+    // across engines, lexicographic tie-break
+    val (sm, wm) = present.minBy { case (s, w) => (counts(s).toDouble / w, s) }
+    val rates = present.map { case (s, w) =>
+      s -> ((BigInt(100) * w * counts(sm)) / (BigInt(wm) * counts(s)))
+        .min(100).toInt
+    }.toMap
+    stratifiedSample(df, keyCol, strataCol, rates, defaultPct = 0)
+  }
+
+  /**
    * Token-budget corpus selection — "take the best documents until the
    * budget is spent": rank by quality (descending, key-tiebroken), keep
    * every document whose PRECEDING cumulative weight stays under the

@@ -67,11 +67,15 @@ object SimilarityOps {
    * candidate row the `Window.partitionBy(query_id) row_number` form would
    * move (at a 100 TB corpus the window shuffle would BE the job). Tie
    * order (score desc, id asc) matches the window form exactly, so results
-   * are bit-identical to a rank≤k filter.
+   * are bit-identical to a rank≤k filter: null scores (a null embedding
+   * reaching the scorer) are dropped up front — the window's `desc`
+   * ordering put nulls last, but the heap's input encoder would decode
+   * them as 0.0 and mis-rank them above negative scores.
    */
   private def heapTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.VectorAggregators.TopKByScore(k))
-    scored.groupBy("query_id")
+    scored.filter(col("score").isNotNull)
+      .groupBy("query_id")
       .agg(topk(col("score"), col("neighbor_id")).as("topk"))
       .select(col("query_id"), posexplode(col("topk")))
       .select(col("query_id"), col("col._2").as("neighbor_id"),
@@ -119,7 +123,12 @@ object SimilarityOps {
   /** Approximate top-k: score only within matching LSH bucket. Recall is
     * tunable via nBits (fewer bits = bigger buckets = higher recall & cost).
     * The bucket equi-join shuffles each side once on the bucket id —
-    * O(corpus) shuffle, no cross join anywhere. */
+    * O(corpus) shuffle, no cross join anywhere.
+    *
+    * Schema note (changed when the heap replaced the window rank): `idCol`
+    * must be INTEGRAL and `neighbor_id` is emitted as long — string ids,
+    * which the old window form passed through, must be hash- or
+    * dictionary-encoded first (consistent with [[cosineTopK]]). */
   def annTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nBits: Int = 4, stride: Int = 8): DataFrame = {
@@ -170,13 +179,17 @@ object SimilarityOps {
    * one hash aggregation by cell using the [[graft.functions.VectorAggregators.VectorMean]]
    * UDAF (partial aggregation: the shuffle carries one (dim, count) buffer
    * per cell per partition). Only the c new centroids are collected — the
-   * model artifact, never data. Deterministic: seeded by [[takeCentroids]],
-   * scores rounded before argmax, empty cells keep their previous centroid.
+   * model artifact, never data. Deterministic: seeded by `init`
+   * ([[takeCentroids]] by default; [[samplePlusPlusCentroids]] for the
+   * bias-free production seeding), scores rounded before argmax, empty
+   * cells keep their previous centroid.
    */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-                      c: Int, iters: Int, dim: Int): Seq[(Long, Seq[Float])] = {
+                      c: Int, iters: Int, dim: Int,
+                      init: (DataFrame, String, String, Int) => Seq[(Long, Seq[Float])]
+                        = takeCentroids): Seq[(Long, Seq[Float])] = {
     val vm = udaf(new graft.functions.VectorAggregators.VectorMean(dim))
-    var centroids = takeCentroids(df, idCol, vecCol, c)
+    var centroids = init(df, idCol, vecCol, c)
     var i = 0
     while (i < iters) {
       val means = ivfAssign(df, centroids, idCol, vecCol)
@@ -192,13 +205,82 @@ object SimilarityOps {
     centroids
   }
 
-  /** Deterministic centroid stub: the first `c` vectors by id. Production:
-    * sampled k-means (same (id, vector) shape, same downstream plumbing). */
+  /** Deterministic centroid stub: the first `c` vectors by id. Biased on
+    * sorted corpora (nearby ids often share a region → degenerate cells);
+    * [[samplePlusPlusCentroids]] is the production seeding. */
   def takeCentroids(df: DataFrame, idCol: String, vecCol: String,
                     c: Int): Seq[(Long, Seq[Float])] =
     df.orderBy(col(idCol)).limit(c)
       .select(col(idCol), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
+  /**
+   * Deterministic k-means++-style seeding — the fix for [[takeCentroids]]'
+   * first-c-by-id bias (on a corpus sorted by topic, the first c ids share
+   * one region, most IVF cells start empty, and recall cliffs). Two steps:
+   *
+   *   1. a bounded candidate POOL is drawn in fingerprint-hash order
+   *      (`TopK(fp60(id))` — uniform over the corpus like a random sample,
+   *      but deterministic, engine-reproducible, and growth-stable; a
+   *      per-partition top-k heap, never a full sort). Only the pool —
+   *      a model artifact of ≤ `poolSize` rows — is collected.
+   *   2. greedy farthest-point selection over the pool (the deterministic
+   *      analog of k-means++'s D²-sampling, the classic 2-approximation
+   *      for k-center): start from the pool's min-hash vector, repeatedly
+   *      add the candidate with the largest distance (1 − cosine) to its
+   *      nearest chosen centroid; ties break toward the smaller id.
+   *
+   * Output shape matches [[takeCentroids]] (centroid ids = chosen vector
+   * ids), so [[kmeansCentroids]]/[[ivfAssign]]/[[ivfTopK]] plumbing is
+   * unchanged.
+   */
+  def samplePlusPlusCentroids(df: DataFrame, idCol: String, vecCol: String,
+                              c: Int, poolSize: Int = 256): Seq[(Long, Seq[Float])] = {
+    require(c > 0, "need at least one centroid")
+    val pool = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        TextOps.fingerprint60(col(idCol).cast("string")).as("fp"))
+      .orderBy(col("fp"), col("id"))
+      .limit(math.max(poolSize, c))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(pool.nonEmpty, "samplePlusPlusCentroids on an empty frame")
+
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 1.0 else 1.0 - dot / d
+    }
+
+    val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+    // minimum distance from each pool point to the chosen set, updated
+    // incrementally — O(pool · c) total, all driver-side on model-sized data
+    val minD = pool.map(p => cosD(p._2, pool.head._2))
+    while (chosen.size < math.min(c, pool.length)) {
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < pool.length) {
+        if (!chosen.exists(_._1 == pool(i)._1) &&
+          (minD(i) > bestD ||
+            (minD(i) == bestD && best >= 0 && pool(i)._1 < pool(best)._1))) {
+          best = i; bestD = minD(i)
+        }
+        i += 1
+      }
+      chosen += pool(best)
+      i = 0
+      while (i < pool.length) {
+        val d = cosD(pool(i)._2, pool(best)._2)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+    }
+    chosen.map { case (id, v) => (id, v.toSeq) }.toSeq
+  }
 
   /**
    * Query-side multi-probe cell assignment: each query row explodes to its
@@ -232,6 +314,9 @@ object SimilarityOps {
    * the candidate set grows monotonically with nprobe, recall against the
    * exact top-k is monotone in nprobe — asserted by the
    * `q_ivf_topk_probe2` bound-based oracle and KmeansIvfSpec.
+   *
+   * Schema note: like [[annTopK]], `idCol` must be integral and
+   * `neighbor_id` comes back as long (heap top-k carries ids as long).
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               centroids: Seq[(Long, Seq[Float])],
@@ -281,5 +366,38 @@ object SimilarityOps {
       .withColumn("score", cosineNative(col("a.v"), col("b.v")))
       .filter(col("score") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("score"))
+  }
+
+  /**
+   * First-class semantic dedup (the SemDeDup pipeline stage): embedding
+   * near-dup pairs ([[cosineNearDupPairs]] — LSH-bucketed self-join, never
+   * all-pairs) → connected components
+   * ([[DedupOps.connectedComponentsStar]] — O(log d) rounds) → keep the
+   * MIN-id member of every cluster. Returns the deduplicated corpus: one
+   * row per kept document, with the input schema plus `n_members` (cluster
+   * size; 1 for documents with no near-duplicate). Transitive duplicates
+   * are dropped even when the pair list never linked them to the
+   * representative directly.
+   *
+   * Scale: pairs are bucket-local, components shuffle O(edges) per star
+   * round, and the final keep step is one aggregate on cluster_id + one
+   * join back on the id — no step touches all-pairs or collects data.
+   * `idCol` must be integral (cluster labels ride the pair graph as the
+   * ids themselves).
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nBits: Int = 4,
+                    stride: Int = 8): DataFrame = {
+    requireIntegralId(df, idCol, "semanticDedup")
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, nBits, stride)
+    val clusters = DedupOps.connectedComponentsStar(pairs) // (id, cluster_id = component min)
+    // every doc gets a cluster (singletons label themselves); cluster_id is
+    // the min member id, so the representative row is id == cluster_id
+    val sizes = df.select(col(idCol).cast("long").as("__sd_id"))
+      .join(clusters, col("__sd_id") === col("id"), "left")
+      .select(coalesce(col("cluster_id"), col("__sd_id")).as("__keep_id"))
+      .groupBy("__keep_id").agg(count(lit(1)).as("n_members"))
+    df.join(sizes, col(idCol).cast("long") === col("__keep_id"))
+      .drop("__keep_id")
   }
 }

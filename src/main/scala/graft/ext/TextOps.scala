@@ -81,10 +81,67 @@ object TextOps {
 
   /** Corpus word frequency: explode + count. The explode fans out rows
     * (narrow), then one hash-agg shuffle on the token — the canonical
-    * scalable word-count shape with map-side partial aggregation. */
+    * scalable word-count shape with map-side partial aggregation. At
+    * 100 TB the token-universe shuffle is the bottleneck; use
+    * [[approxTopKWords]] when only the heavy hitters are needed. */
   def wordFrequency(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Per-partition Misra-Gries summary: every word with LOCAL count
+    * > localTokens/m survives, using O(m) memory and one pass. */
+  private[graft] def misraGries(it: Iterator[String], m: Int): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { w =>
+      if (counts.contains(w)) counts(w) += 1L
+      else if (counts.size < m) counts(w) = 1L
+      else {
+        // decrement-all; O(m) but amortized O(1) per input token
+        counts.mapValuesInPlace((_, c) => c - 1L)
+        counts.filterInPlace((_, c) => c > 0L)
+      }
+    }
+    counts.keysIterator
+  }
+
+  /**
+   * Approximate heavy hitters — the 100 TB shape for
+   * `wordFrequency.orderBy(n desc).limit(k)`, whose exact plan shuffles
+   * the whole token universe. Two bounded-size summaries instead:
+   *
+   *   1. CANDIDATES: per-partition [[misraGries]] summaries of size
+   *      `summarySize` (mapPartitions, O(m) memory). By pigeonhole, any
+   *      word with global count > N/m exceeds the local threshold in at
+   *      least one partition, so the union (≤ partitions·m words — a
+   *      model artifact) contains every true heavy hitter.
+   *   2. COUNTS: one `count_min_sketch` aggregate — partial aggregation
+   *      merges sketches map-side, so the shuffle carries ONE sketch per
+   *      partition regardless of corpus size. CMS never under-counts and
+   *      over-counts by ≤ eps·N with the configured confidence.
+   *
+   * Candidates are ranked by (estimate desc, word asc) and the top k
+   * returned with their estimated counts. Both passes are over the same
+   * narrow token stream; nothing data-sized is collected or shuffled.
+   */
+  def approxTopKWords(df: DataFrame, textCol: String, k: Int,
+                      summarySize: Int = 1024, eps: Double = 1e-4,
+                      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("word"))
+    val sketchBytes = words
+      .agg(count_min_sketch(col("word"), lit(eps), lit(confidence), lit(seed)))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val candidates = words.as[String]
+      .mapPartitions(it => misraGries(it, summarySize))
+      .distinct().collect()
+    val top = candidates.map(w => (w, cms.estimateCount(w)))
+      .sortBy { case (w, n) => (-n, w) }.take(k).toSeq
+    spark.createDataFrame(top).toDF("word", "n_est")
+  }
 
   /** Char k-gram hashes via the native codegen expression (one static
     * kernel call per row, no UDF encoder round-trip). */

@@ -66,6 +66,29 @@ class CurationOpsSpec extends SparkSpec {
     variants shouldBe Set("café du monde")
   }
 
+  test("approxTopKWords: MG candidates + CMS counts reproduce the exact top-k") {
+    val docs = graft.sources.Stores.table(spark, sf0001, "documents")
+    val approx = TextOps.approxTopKWords(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = TextOps.wordFrequency(docs, "text")
+      .orderBy(col("n").desc, col("word").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // at sketch width 2/eps ≫ vocabulary the estimates are exact and the
+    // MG summaries hold the whole vocabulary — approx ≡ exact, proving
+    // both the candidate coverage and the sketch/agg byte-consistency
+    approx shouldBe exact
+  }
+
+  test("misraGries: every word above the frequency threshold survives a summary of size m") {
+    // 60 tokens: "hot" ×30, "warm" ×10, twenty distinct singletons; with
+    // m = 4 any word with count > 60/4 = 15 is guaranteed to survive
+    val tokens = Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++
+      (0 until 20).map(i => s"w$i")
+    val survivors = TextOps.misraGries(tokens.iterator, m = 4).toSet
+    survivors should contain("hot")
+    survivors.size should be <= 4
+  }
+
   test("kernel functions are SQL-registered (LATERAL VIEW generator included)") {
     GraftFunctions.register(spark)
     Seq((1L, "a b c d")).toDF("id", "text").createOrReplaceTempView("cur_docs")

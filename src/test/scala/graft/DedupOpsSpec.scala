@@ -192,6 +192,40 @@ class DedupOpsSpec extends SparkSpec {
       (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
   }
 
+  test("connectedComponents: 50 iterations stay cheap (plan rebased on the persisted RDD each round)") {
+    // a 51-node chain needs all 50 propagation rounds; each round
+    // references the previous labels twice, so WITHOUT the per-round
+    // LogicalRDD rebase the analyzed plan TREE doubles per round —
+    // analysis alone would walk ~2^50 nodes and never return. Completing
+    // 50 rounds (and producing the right closure) proves the rebase.
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cc = DedupOps.connectedComponents(chain, iterations = 50)
+    cc.count() shouldBe 51L
+    cc.select("cluster_id").distinct().collect().map(_.getLong(0)) shouldBe Array(0L)
+  }
+
+  test("semanticDedup keeps the min-id member per embedding near-dup cluster") {
+    import graft.ext.SimilarityOps
+    // angles 5°/30°/55° in the (dim1, dim2) plane (all strictly inside the
+    // first quadrant → same sign-LSH bucket): cos(25°)≈0.906 passes
+    // threshold 0.9 for adjacent pairs, cos(50°)≈0.64 does not — ids 1..3
+    // cluster only TRANSITIVELY; 4 points the opposite way (own LSH
+    // bucket); 5 is a near-orthogonal same-bucket singleton
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f)
+    }
+    val df = Seq(
+      (1L, v(5)), (2L, v(30)), (3L, v(55)),
+      (4L, Array(-1f, -1f, 0f, 0f)),
+      (5L, Array(0.1f, 0.1f, 1f, 0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.9, nBits = 2, stride = 1)
+      .select(col("vec_id"), col("n_members"))
+      .orderBy("vec_id").as[(Long, Long)].collect()
+    out shouldBe Array((1L, 3L), (4L, 1L), (5L, 1L))
+  }
+
   test("connectedComponentsStar: converges on a chain whose diameter dwarfs the round budget") {
     // a 64-node chain (diameter 63): min-label propagation with a small
     // iteration budget CANNOT close it, star rewiring converges in O(log d)

@@ -44,6 +44,66 @@ class KmeansIvfSpec extends SparkSpec {
     }
   }
 
+  test("samplePlusPlusCentroids: spread seeds, balanced cells, no recall loss on a sorted corpus") {
+    import spark.implicits._
+    // the adversarial case for first-c-by-id seeding: a corpus SORTED by
+    // topic — ids 0..49 one tight clump, then four more clumps of 50; the
+    // five clump directions are the 8-dim axes, with a small deterministic
+    // jitter so vectors are distinct
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val v = new Array[Float](8)
+      v(axis) = 1f
+      v((axis + 3) % 8) = 0.02f * ((i * 7) % 10)
+      v
+    }
+    val skewed = (0 until 250).map(i => (i.toLong, vec(i / 50, i)))
+      .toDF("vec_id", "embedding")
+    val take = SimilarityOps.takeCentroids(skewed, "vec_id", "embedding", 4)
+    val pp = SimilarityOps.samplePlusPlusCentroids(skewed, "vec_id", "embedding", 4)
+    pp.length shouldBe 4
+    // deterministic
+    pp shouldBe SimilarityOps.samplePlusPlusCentroids(skewed, "vec_id", "embedding", 4)
+
+    def minPairwiseCosDist(cs: Seq[(Long, Seq[Float])]): Double =
+      (for (a <- cs; b <- cs if a._1 < b._1) yield {
+        val dot = a._2.zip(b._2).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a._2.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b._2.map(x => x.toDouble * x).sum)
+        1.0 - dot / (na * nb)
+      }).min
+    // take's seeds all come from clump 0 (near-identical); farthest-point
+    // seeds span distinct clumps (near-orthogonal)
+    minPairwiseCosDist(take) should be < 0.01
+    minPairwiseCosDist(pp) should be > 0.5
+
+    // trained cells: k-means++-seeded training fills more cells and never
+    // leaves one mega-cell holding the corpus (the IVF scale property —
+    // a degenerate cell makes every probe a brute-force scan)
+    def cellSizes(init: (org.apache.spark.sql.DataFrame, String, String, Int) => Seq[(Long, Seq[Float])]) = {
+      val cents = SimilarityOps.kmeansCentroids(skewed, "vec_id", "embedding",
+        c = 4, iters = 3, dim = 8, init = init)
+      SimilarityOps.ivfAssign(skewed, cents, "vec_id", "embedding")
+        .groupBy("cell").count().collect().map(_.getLong(1))
+    }
+    val takeSizes = cellSizes(SimilarityOps.takeCentroids)
+    val ppSizes = cellSizes(SimilarityOps.samplePlusPlusCentroids(_, _, _, _))
+    ppSizes.length should be >= takeSizes.length
+    ppSizes.max should be < takeSizes.max
+
+    // and recall vs the exact top-k never degrades
+    val queries = skewed.filter(col("vec_id") % 25 === 0)
+    val exact = SimilarityOps.cosineTopK(queries, skewed, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    def recall(init: (org.apache.spark.sql.DataFrame, String, String, Int) => Seq[(Long, Seq[Float])]): Long = {
+      val cents = SimilarityOps.kmeansCentroids(skewed, "vec_id", "embedding",
+        c = 4, iters = 3, dim = 8, init = init)
+      SimilarityOps.ivfTopK(queries, skewed, cents, "vec_id", "embedding", k = 5)
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    }
+    recall(SimilarityOps.samplePlusPlusCentroids(_, _, _, _)) should be >=
+      recall(SimilarityOps.takeCentroids)
+  }
+
   test("multi-probe: candidates nest, so recall vs exact top-k is monotone in nprobe") {
     val cents = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
       c = 8, iters = 2, dim = 64)

@@ -145,4 +145,108 @@ class MultimodalOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect() shouldBe
       Array((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
   }
+
+  /** A real WAV: 16-bit mono PCM of a sine tone (amplitude 0 = silence). */
+  private def wav(freq: Double, amp: Double = 0.4, n: Int = 8000,
+                  rate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("decodeAudio decodes a real WAV to PCM samples; non-audio bytes fall through") {
+    val tone = wav(440)
+    val samples = MultimodalOps.decodeAudio(tone)
+    samples shouldBe defined
+    samples.get.length shouldBe 8000
+    // decoded amplitude matches the synthesized one
+    samples.get.map(math.abs).max shouldBe 0.4 +- 0.01
+    // images and garbage are not audio
+    MultimodalOps.decodeAudio(png(16, 16, 0x336699)) shouldBe None
+    MultimodalOps.decodeAudio(Array.tabulate[Byte](256)(_.toByte)) shouldBe None
+    MultimodalOps.decodeAudio(null) shouldBe None
+  }
+
+  test("audio features are REAL: RMS-window vectors from decoded samples, not the hash fallback") {
+    import MultimodalOps.MediaRow
+    val tone = wav(440)
+    // the decode path was taken: the feature equals the RMS-window vector
+    // of the decoded samples (the hash fallback is seeded differently)
+    val feat = MultimodalOps.decodeToFeature(tone, "wav", 8)
+    feat.toSeq shouldBe MultimodalOps.rmsWindowFeature(
+      MultimodalOps.decodeAudio(tone).get, 8).toSeq
+    // a constant-envelope tone spreads RMS evenly: every window ≈ 1/√8
+    all(feat.map(_.toDouble)) shouldBe (1.0 / math.sqrt(8)) +- 0.02
+    // a half-silent clip concentrates energy in the first windows
+    val halfTone = wav(440, n = 4000) // 0.5 s tone
+    val half = {
+      val full = MultimodalOps.decodeAudio(halfTone).get
+      MultimodalOps.rmsWindowFeature(full ++ new Array[Double](4000), 8)
+    }
+    half.take(4).map(_.toDouble).sum should be > 10 * half.drop(4).map(_.toDouble).sum
+    // end-to-end through the batch operator, mixed with an image row
+    val media = Seq(
+      MediaRow(0L, tone, "audio", "wav"),
+      MediaRow(1L, png(16, 16, 0xf0f0f0), "image", "png")).toDS()
+    val out = MultimodalOps.extractFeatures(spark, media, dim = 8)
+      .collect().map(f => f.media_id -> f.feature).toMap
+    out(0L).toSeq shouldBe feat.toSeq
+    out(1L)(7) shouldBe 1.0f +- 1e-5f // image row still takes the image path
+  }
+
+  /** A real animated GIF: one solid frame per color, via ImageIO's
+    * sequence writer. */
+  private def gif(colors: Seq[Int], w: Int = 16, h: Int = 16): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { rgb =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+        finally g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    baos.toByteArray
+  }
+
+  test("extractFrames decodes every frame of a real animated GIF") {
+    import MultimodalOps.MediaRow
+    val bytes = gif(Seq(0x101010, 0xf0f0f0, 0x101010, 0xf0f0f0))
+    val frames = MultimodalOps.decodeFramesSampled(bytes, everyN = 1)
+    frames.map(_._1) shouldBe Seq(0, 1, 2, 3)
+    frames.map(_._2).distinct shouldBe Seq(4)
+    // stride sampling takes every Nth frame
+    MultimodalOps.decodeFramesSampled(bytes, everyN = 2).map(_._1) shouldBe Seq(0, 2)
+    // a still PNG is a 1-frame payload; garbage decodes to no rows
+    MultimodalOps.decodeFramesSampled(png(8, 8, 0x336699), 1).map(_._1) shouldBe Seq(0)
+    MultimodalOps.decodeFramesSampled(Array.tabulate[Byte](64)(_.toByte), 1) shouldBe empty
+
+    // end-to-end: dark and bright frames produce distinct REAL features
+    val ds = Seq(MediaRow(7L, bytes, "video", "gif")).toDS()
+    val out = MultimodalOps.extractFrames(spark, ds, everyN = 1)
+      .collect().sortBy(_.frame_idx)
+    out.length shouldBe 4
+    all(out.map(_.n_frames)) shouldBe 4
+    out(0).feature(0) shouldBe 1.0f +- 1e-5f // dark frame → lowest luma bin
+    out(1).feature(7) shouldBe 1.0f +- 1e-5f // bright frame → highest
+  }
 }

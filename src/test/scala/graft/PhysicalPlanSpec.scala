@@ -111,6 +111,26 @@ class PhysicalPlanSpec extends SparkSpec {
       .select("query_id", "neighbor_id", "score", "rank")
     ann.orderBy("query_id", "rank").collect() shouldBe
       reference.orderBy("query_id", "rank").collect()
+
+    // same equivalence for the IVF path, including the nprobe=2 query-side
+    // explode: heap output ≡ the window rank over the same cell candidates
+    val qCells = graft.ext.SimilarityOps.ivfProbeCells(
+        queries, cents, "embedding", nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cell"))
+    val cCells = graft.ext.SimilarityOps.ivfAssign(
+        emb, cents, "vec_id", "embedding")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("cell"))
+    val ivfReference = cCells.join(qCells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        graft.ext.SimilarityOps.cosineNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "score", "rank")
+    ivf.orderBy("query_id", "rank").collect() shouldBe
+      ivfReference.orderBy("query_id", "rank").collect()
   }
 
   test("run_id-partitioned staging read prunes to one partition directory") {

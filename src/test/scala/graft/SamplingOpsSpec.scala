@@ -66,6 +66,31 @@ class SamplingOpsSpec extends SparkSpec {
     keptAt10.subsetOf(keptAt50) shouldBe true
   }
 
+  test("mixProportions: binding stratum kept whole, rest downsampled pro rata, unconfigured dropped") {
+    // counts: a=200, b=50, c=100; weights a:3, b:1 → binding stratum is b
+    // (50/1 < 200/3); b keeps 100%, a keeps ⌊100·3·50/(1·200)⌋ = 75%
+    val df = ((0 until 200).map(i => (i.toLong, "a")) ++
+      (1000 until 1050).map(i => (i.toLong, "b")) ++
+      (2000 until 2100).map(i => (i.toLong, "c"))).toDF("id", "s")
+    val out = SamplingOps.mixProportions(df, "id", "s", Map("a" -> 3L, "b" -> 1L))
+    val by = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    by.keySet shouldBe Set("a", "b") // c has no weight → dropped
+    by("b") shouldBe 50L             // binding stratum kept whole
+    // a is exactly the deterministic 75% stratified sample (same buckets)
+    by("a") shouldBe SamplingOps.stratifiedSample(
+      df.filter(col("s") === "a"), "id", "s", Map("a" -> 75)).count()
+    // kept mixture approaches the 3:1 target (hash-bucket noise band)
+    val ratio = by("a").toDouble / by("b")
+    ratio should be >= 2.4
+    ratio should be <= 3.6
+    // a selected row's fate never depends on the other rows that arrived
+    val out2 = SamplingOps.mixProportions(df.filter(col("s") =!= "c"),
+      "id", "s", Map("a" -> 3L, "b" -> 1L))
+    out2.select("id").collect().map(_.getLong(0)).sorted shouldBe
+      out.select("id").collect().map(_.getLong(0)).sorted
+  }
+
   test("selectByBudget: greedy best-quality prefix under the token budget") {
     val docs = Stores.table(spark, sf0001, "documents")
       .filter(col("text").isNotNull)
