@@ -565,6 +565,13 @@ object SparkEntry {
       TextOps.approxTopKWords(t(s, d, "documents"), "text", k = 20)
         .orderBy(col("n_est").desc, col("word").asc)),
 
+    // BM25 full-text retrieval: postings filtered to the query terms
+    // before anything wide; df/corpus stats broadcast; top-k, not a sort
+    "q_bm25_topk" -> ((s, d) =>
+      TextOps.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        terms = Seq("dup", "join", "hash"), k = 20)
+        .orderBy(col("bm25").desc, col("doc_id").asc)),
+
     "q_quality_score" -> ((s, d) =>
       TextOps.qualityFeatures(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
@@ -673,6 +680,17 @@ object SparkEntry {
         Map("en" -> 2L, "de" -> 1L, "fr" -> 1L))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")),
+
+    // per-source cap: keep ≤7 docs per source in fingerprint order (the
+    // domain-dominance guard). Bounded-heap aggregated — the shuffle
+    // carries ≤ strata×7×partitions pairs, never the corpus-wide window —
+    // and the oracle is the window form, so the gate proves the heap path
+    // row-identical
+    "q_source_cap" -> ((s, d) =>
+      SamplingOps.capPerStratum(t(s, d, "documents"), "doc_id", "source",
+        maxPer = 7)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
 
     // token-budget selection: greedy best-quality prefix until the token
     // budget is spent (data mixing under a fixed training budget). Runs
@@ -811,6 +829,27 @@ object SparkEntry {
             (qv, x) => abs(qv.cast("double") / col("q_scale") - x.cast("double"))))
             <= lit(0.5) / col("q_scale") + lit(1e-12)).as("err_in_bound"))
         .orderBy("vec_id")
+    }),
+
+    // product quantization: per-subspace spherical-k-means codebooks,
+    // m=8 × 16 codes over 64 dims → 8 small codes per vector (the ANN
+    // memory step). Bound-based oracle (codebooks are data-dependent, so
+    // SQL can't retrain them): codes in range + reconstruction keeps mean
+    // cosine ≥ 0.5 (the noisy synthetic embeddings land ~0.66; a 1-code
+    // codebook lands ~0) — DuckDB stipulates the booleans, the count is real
+    "q_pq_quantize" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+        m = 8, codes = 16, iters = 2, dim = 64)
+      SimilarityOps.pqEncode(emb, "vec_id", "embedding", cbs)
+        .join(emb, "vec_id")
+        .select(col("vec_id"), col("pq_codes"),
+          SimilarityOps.cosineNative(col("embedding"),
+            SimilarityOps.pqReconstruct(col("pq_codes"), cbs)).as("cos"))
+        .agg(count(lit(1)).as("n_vectors"),
+          (min(array_min(col("pq_codes"))) >= 0 &&
+            max(array_max(col("pq_codes"))) < 16).as("codes_in_range"),
+          (avg(col("cos")) >= 0.5).as("recon_ok"))
     }),
 
     // typed UDAF: element-wise vector mean per label (k-means centroid step)
@@ -1343,6 +1382,20 @@ object SparkEntry {
       SkewOps.distinctCountTwoPhase(t(s, d, "events"), "event_type", "user_id")
         .orderBy("event_type")),
 
+    // bloom-pruned fact⋈dim join: a bloom over the selective dim side's
+    // keys drops non-matching fact rows AT THE SCAN, before the join
+    // shuffle; false positives die in the exact join, so the result is
+    // row-identical to the plain join (which is the oracle)
+    "q_bloom_prune_join" -> ((s, d) => {
+      val dim = t(s, d, "part").filter(col("p_size") <= 2)
+        .select("p_partkey", "p_brand")
+      SkewOps.bloomPrunedJoin(t(s, d, "lineitem"), dim,
+        "l_partkey", "p_partkey")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
     // ---- [EXT] winnowing document fingerprints (MOSS scheme) -----------------
 
     "q_winnow_fingerprints" -> ((s, d) =>
@@ -1765,6 +1818,48 @@ object SparkEntry {
                WHERE text IS NOT NULL)
          GROUP BY word ORDER BY n_est DESC, word ASC LIMIT 20""",
 
+    // Okapi BM25 with the exact operand order of the Spark plan: tf/df/dl/N
+    // are integers, avgdl is an exact double (integer-valued doubles sum
+    // exactly), the score is a fixed-order left-assoc sum rounded to 6
+    "q_bm25_topk" ->
+      """WITH corpus AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+           FROM documents WHERE text IS NOT NULL),
+         stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+                   FROM corpus),
+         postings AS (SELECT doc_id, dl, unnest(toks) AS term FROM corpus),
+         tf AS (SELECT doc_id, dl,
+                       SUM(CASE WHEN term = 'dup'  THEN 1 ELSE 0 END) AS tf_0,
+                       SUM(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS tf_1,
+                       SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS tf_2
+                FROM postings WHERE term IN ('dup', 'join', 'hash')
+                GROUP BY doc_id, dl),
+         dfs AS (SELECT COUNT(DISTINCT CASE WHEN term = 'dup'  THEN doc_id END) AS df_0,
+                        COUNT(DISTINCT CASE WHEN term = 'join' THEN doc_id END) AS df_1,
+                        COUNT(DISTINCT CASE WHEN term = 'hash' THEN doc_id END) AS df_2
+                 FROM postings WHERE term IN ('dup', 'join', 'hash')),
+         scored AS (
+           SELECT doc_id, ROUND(0.0
+             + CASE WHEN CAST(tf_0 AS DOUBLE) > 0 THEN
+                 ln(1.0 + (n_docs - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5))
+                 * CAST(tf_0 AS DOUBLE) * 2.2
+                 / (CAST(tf_0 AS DOUBLE) + (0.25 + (dl / avgdl) * 0.75) * 1.2)
+               ELSE 0.0 END
+             + CASE WHEN CAST(tf_1 AS DOUBLE) > 0 THEN
+                 ln(1.0 + (n_docs - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5))
+                 * CAST(tf_1 AS DOUBLE) * 2.2
+                 / (CAST(tf_1 AS DOUBLE) + (0.25 + (dl / avgdl) * 0.75) * 1.2)
+               ELSE 0.0 END
+             + CASE WHEN CAST(tf_2 AS DOUBLE) > 0 THEN
+                 ln(1.0 + (n_docs - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5))
+                 * CAST(tf_2 AS DOUBLE) * 2.2
+                 / (CAST(tf_2 AS DOUBLE) + (0.25 + (dl / avgdl) * 0.75) * 1.2)
+               ELSE 0.0 END, 6) AS bm25
+           FROM tf CROSS JOIN dfs CROSS JOIN stats)
+         SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
+
     "q_quality_score" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1929,6 +2024,16 @@ object SparkEntry {
          FROM documents d JOIN r ON d.lang = r.lang
          WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < r.rate
          GROUP BY d.lang ORDER BY d.lang""",
+
+    // the heap-aggregated cap is row-identical to the window form
+    "q_source_cap" ->
+      """WITH ranked AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                             doc_id) AS rn
+           FROM documents WHERE doc_id IS NOT NULL)
+         SELECT doc_id, source FROM ranked WHERE rn <= 7 ORDER BY doc_id""",
 
     "q_budget_select" ->
       """WITH t AS (SELECT doc_id, n_chars,
@@ -2524,6 +2629,14 @@ object SparkEntry {
                 TRUE AS err_in_bound
          FROM q ORDER BY vec_id""",
 
+    // codebooks are trained from the data, so SQL can't reproduce them;
+    // the oracle stipulates the two literal bounds (in-range codes, mean
+    // reconstruction cosine ≥ 0.5) and cross-checks the corpus count
+    "q_pq_quantize" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                TRUE AS codes_in_range, TRUE AS recon_ok
+         FROM embeddings""",
+
     "q_salted_join" ->
       """SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
@@ -2533,6 +2646,14 @@ object SparkEntry {
     "q_distinct_two_phase" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // the bloom prune is result-transparent: the oracle is the PLAIN join
+    "q_bloom_prune_join" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size <= 2
+         GROUP BY p_brand ORDER BY p_brand""",
 
     "q_winnow_fingerprints" ->
       """WITH pos AS (

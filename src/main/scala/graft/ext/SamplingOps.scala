@@ -113,6 +113,44 @@ object SamplingOps {
   }
 
   /**
+   * Per-stratum cap — "keep at most `maxPer` documents per domain/source"
+   * (the Common-Crawl-curation guard against any one domain dominating the
+   * corpus). Selection is DETERMINISTIC and growth-stable: within each
+   * stratum the kept rows are the `maxPer` smallest by
+   * (fingerprint60(key), key) — a uniform pseudo-random draw that any SQL
+   * engine reproduces (`row_number() OVER (PARTITION BY stratum ORDER BY
+   * fp, key) <= maxPer`), and adding new documents can only displace, never
+   * reshuffle, the kept set.
+   *
+   * Scale: the obvious window rank shuffles the WHOLE corpus on the
+   * stratum key; this uses the bounded-heap
+   * [[graft.functions.VectorAggregators.KSmallestPairs]] aggregator
+   * instead — partial aggregation prunes map-side, the shuffle carries
+   * ≤ #strata × maxPer × partitions (fp, id) pairs, and the kept-id set
+   * semi-joins back against the corpus (≤ #strata × maxPer rows — AQE
+   * broadcasts it whenever it is small; with millions of strata it falls
+   * back to a shuffled semi join, which is still O(corpus), never a sort).
+   * Keys are compared as exact longs, so the selection is bit-identical
+   * to the window form at any fingerprint density. `keyCol` must be
+   * integral and non-null (null-key rows never match the semi join).
+   */
+  def capPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+                    maxPer: Int): DataFrame = {
+    require(maxPer > 0, "per-stratum cap must be positive")
+    val ksmall = udaf(new graft.functions.VectorAggregators.KSmallestPairs(maxPer))
+    val kept = df
+      .filter(col(keyCol).isNotNull)
+      .select(col(strataCol).as("__cap_stratum"),
+        TextOps.fingerprint60(col(keyCol).cast("string")).as("__cap_fp"),
+        col(keyCol).cast("long").as("__cap_id"))
+      .groupBy("__cap_stratum")
+      .agg(ksmall(col("__cap_fp"), col("__cap_id")).as("__cap_kept"))
+      .select(explode(col("__cap_kept")).as("__cap_pair"))
+      .select(col("__cap_pair._2").as("__cap_keep"))
+    df.join(kept, col(keyCol).cast("long") === col("__cap_keep"), "left_semi")
+  }
+
+  /**
    * Token-budget corpus selection — "take the best documents until the
    * budget is spent": rank by quality (descending, key-tiebroken), keep
    * every document whose PRECEDING cumulative weight stays under the

@@ -352,6 +352,77 @@ object SimilarityOps {
         x => round(x.cast("double") * scale).cast("int")).as("qvec"))
   }
 
+  /**
+   * Product-quantization codebook training (spherical PQ): the vector is
+   * split into `m` contiguous subspaces of `dim / m` dims, and each
+   * subspace gets its own `codes`-entry codebook trained by the SAME
+   * spherical k-means as IVF ([[kmeansCentroids]] with
+   * [[samplePlusPlusCentroids]] seeding — cosine assignment matches the
+   * engine's similarity metric everywhere else). Returns
+   * `codebooks(s)(j)` = code-`j` vector of subspace `s` — m × codes × (dim/m)
+   * floats, a pure model artifact (16 codebooks × 16 codes × 8 dims =
+   * 2 KB for a 128-dim corpus).
+   *
+   * Scale: training runs `m` small k-means jobs over NARROW slices of the
+   * corpus (each pass projects dim/m floats per row, nothing shuffles but
+   * the VectorMean partial buffers); at 100 TB one trains on a
+   * [[SamplingOps.hashSample]] of the corpus instead — same call, sampled
+   * input.
+   */
+  def pqTrainCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                       m: Int, codes: Int, iters: Int, dim: Int)
+      : Seq[Seq[Seq[Float]]] = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val w = dim / m
+    (0 until m).map { s =>
+      val sliced = df.select(col(idCol),
+        slice(col(vecCol), s * w + 1, w).as("__pq_sub"))
+      kmeansCentroids(sliced, idCol, "__pq_sub", codes, iters, w,
+        init = samplePlusPlusCentroids(_, _, _, _))
+        .sortBy(_._1).map(_._2)           // code id = index, id-ordered
+    }
+  }
+
+  /**
+   * PQ encoding: each row's vector becomes `m` small code ids — at
+   * m=8 × 256 codes that is 8 bytes per vector vs 256 for float32, a 32×
+   * compression of the ANN-candidate corpus (the memory step that makes
+   * 100 TB of embeddings scannable; re-rank the survivors against the
+   * full-precision vectors, exactly like [[quantizeInt8]]'s contract).
+   * Pure per-row projection: every (subspace, code) cosine is a codegen'd
+   * expression over a literal codebook — linear expression count, zero
+   * shuffle, no UDF. Argmax ties break toward the smaller code id
+   * (struct-max over (score, -code), the [[ivfAssign]] discipline).
+   */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[Seq[Float]]]): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val m = codebooks.length
+    require(m > 0 && codebooks.forall(_.nonEmpty), "empty PQ codebook")
+    val w = codebooks.head.head.length
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(col(vecCol), s * w + 1, w)
+      val entries = codebooks(s).zipWithIndex.map { case (vec, j) =>
+        struct(cosineNative(sub, typedlit(vec)).as("cs"),
+          lit(-j).as("nc"))
+      }
+      (-array_max(array(entries: _*)).getField("nc")).cast("int")
+    }
+    df.select(col(idCol), array(codeCols: _*).as("pq_codes"))
+  }
+
+  /** PQ reconstruction of an encoded row: concatenate each subspace's
+    * code vector (codebooks as literal int→vector maps — model-sized,
+    * folded into codegen). Column form so verification/re-ranking stays
+    * a narrow projection. */
+  def pqReconstruct(codesCol: Column, codebooks: Seq[Seq[Seq[Float]]]): Column = {
+    val subs = codebooks.zipWithIndex.map { case (cb, s) =>
+      val m = typedlit(cb.indices.map(j => j -> cb(j)).toMap)
+      element_at(m, element_at(codesCol, s + 1))
+    }
+    concat(subs: _*)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a,b), a<b, with cosine ≥
     * threshold, via bucketed self-join (exact within bucket — an
     * approximate global answer, like all embedding dedup at scale). */

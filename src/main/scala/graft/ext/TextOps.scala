@@ -143,6 +143,67 @@ object TextOps {
     spark.createDataFrame(top).toDF("word", "n_est")
   }
 
+  /**
+   * BM25 full-text retrieval: score every document against a bag of query
+   * terms with the Okapi BM25 ranking function and return the top `k`.
+   *
+   * The 100 TB shape: the exploded token stream is filtered to the query
+   * terms BEFORE anything wide (the term list is a literal broadcast into
+   * the codegen filter), so only matching postings — O(Σ tf over query
+   * terms), not O(corpus tokens) — reach the per-document aggregation.
+   * Documents with no matching term never appear downstream at all.
+   * Per-term document frequencies and the (N, avgdl) corpus stats are
+   * one-row/model-sized aggregates cross-joined (broadcast) onto the
+   * scored frame, and the final top-k is a `TakeOrdered`, never a global
+   * sort.
+   *
+   * Cross-engine determinism: tf, df, dl and N are integers; avgdl is an
+   * exact double (integer-valued doubles sum exactly below 2⁵³); the score
+   * is a FIXED-ORDER sum of per-term components (fold in `terms` order —
+   * a SQL oracle writing the same left-assoc chain reproduces it), rounded
+   * to 6 decimals. Ties break on doc id ascending.
+   */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(terms.distinct == terms, "query terms must be distinct")
+    val corpus = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = corpus.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val postings = corpus
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms.map(lit): _*))
+    // per-document tf, one column per term (absent term -> null -> 0)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
+    }
+    val tfs = postings.groupBy("doc_id", "dl").agg(tfCols.head, tfCols.tail: _*)
+    // per-term document frequency, a single 1-row aggregate
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      countDistinct(when(col("term") === t, col("doc_id"))).as(s"df_$i")
+    }
+    val dfs = postings.agg(dfCols.head, dfCols.tail: _*)
+    val scored = tfs.crossJoin(broadcast(dfs)).crossJoin(broadcast(stats))
+    val score = terms.indices.foldLeft(lit(0.0)) { (acc, i) =>
+      val tf = col(s"tf_$i").cast("double")
+      val dfT = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs") - dfT + 0.5) / (dfT + 0.5))
+      // operand order pinned left-assoc so a SQL oracle writing the same
+      // chain reproduces the doubles bit-for-bit
+      val norm = tf + (lit(1.0 - b) + (col("dl") / col("avgdl")) * b) * k1
+      acc + when(tf > 0, idf * tf * (k1 + 1.0) / norm).otherwise(0.0)
+    }
+    scored.withColumn("bm25", round(score, 6))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("bm25"))
+  }
+
   /** Char k-gram hashes via the native codegen expression (one static
     * kernel call per row, no UDF encoder round-trip). */
   private def charKgrams(text: Column, k: Int): Column =

@@ -103,11 +103,57 @@ object VectorAggregators {
       ExpressionEncoderHolder.seqScored
   }
 
+  /**
+   * Bounded k-smallest (key, id) pairs in exact lexicographic long order —
+   * the deterministic-sampling sibling of [[TopKByScore]]. Used for
+   * per-stratum caps ("keep at most k documents per domain, fingerprint-
+   * ordered"): as a `Window.partitionBy(stratum) row_number`, the shuffle
+   * carries the whole corpus; as an Aggregator, `reduce` prunes map-side,
+   * so the shuffle carries ≤ #strata × k × partitions pairs. Keys are
+   * exact LONGS (not doubles) so a 60-bit fingerprint never loses order
+   * to floating-point rounding — selection is bit-identical to
+   * `row_number().over(orderBy(key, id)) <= k`.
+   */
+  final class KSmallestPairs(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+
+    private val ord: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+      override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    private val pruneAt = math.max(4 * k, 64)
+
+    override def zero: Seq[(Long, Long)] = Vector.empty
+
+    override def reduce(b: Seq[(Long, Long)],
+                        a: (Long, Long)): Seq[(Long, Long)] = {
+      val nb = b :+ a
+      if (nb.length >= pruneAt) nb.sorted(ord).take(k) else nb
+    }
+
+    override def merge(x: Seq[(Long, Long)],
+                       y: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      (x ++ y).sorted(ord).take(k)
+
+    override def finish(b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      b.sorted(ord).take(k)
+
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      ExpressionEncoderHolder.seqLongPair
+
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      ExpressionEncoderHolder.seqLongPair
+  }
+
   private object ExpressionEncoderHolder {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val arrayDouble: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
     val seqDouble: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
     val seqScored: Encoder[Seq[(Double, Long)]] =
       ExpressionEncoder[Seq[(Double, Long)]]()
+    val seqLongPair: Encoder[Seq[(Long, Long)]] =
+      ExpressionEncoder[Seq[(Long, Long)]]()
   }
 }

@@ -52,4 +52,42 @@ object SkewOps {
       .distinct()
       .groupBy(groupCol)
       .agg(count(col(valueCol)).as(s"n_distinct_$valueCol"))
+
+  /**
+   * Bloom-pruned equi-join — an explicit runtime filter for a
+   * fact ⋈ selective-dim join: a bloom filter over the dim side's join
+   * keys (a model-sized sketch: ~1.2 MB per million keys at 1% fpp) is
+   * folded into the fact scan as a codegen'd `might_contain` predicate, so
+   * fact rows whose key cannot match are dropped AT THE SCAN, before the
+   * join shuffle ever moves them. With a 5%-selective dim, ~95% of a
+   * 100 TB fact table never leaves the mapper. The result is row-identical
+   * to `big.join(small, bigKey === smallKey)`: bloom false positives are
+   * eliminated by the exact join that follows; keys are pre-hashed with
+   * `xxhash64` on BOTH build and probe sides, so any key type joins
+   * consistently.
+   *
+   * This is exactly what Spark's AQE runtime bloom filter
+   * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects when its
+   * cost heuristics fire; the explicit operator guarantees the filter in
+   * the plan — streaming foreachBatch joins, custom operators, or
+   * threshold edge cases where the optimizer declines.
+   *
+   * Cost: one pass over the dim side to size + build the sketch (the dim
+   * side is the SELECTIVE side — that pass is cheap by assumption), driver
+   * memory for the sketch only.
+   */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame,
+                      bigKey: String, smallKey: String,
+                      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val hashed = small.select(xxhash64(col(smallKey)).as("__bf_h"))
+    val expected = math.max(hashed.count(), 1L)
+    val bf = hashed.stat.bloomFilter("__bf_h", expected, fpp)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bytes)
+    val might = graft.functions.ColumnBridge.column(
+      BloomFilterMightContain(Literal(bytes.toByteArray),
+        graft.functions.ColumnBridge.expression(xxhash64(col(bigKey)))))
+    big.filter(might).join(small, col(bigKey) === col(smallKey))
+  }
 }

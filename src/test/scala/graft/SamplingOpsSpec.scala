@@ -166,4 +166,36 @@ class SamplingOpsSpec extends SparkSpec {
     // every doc packed exactly once
     packed.count() shouldBe docs.count()
   }
+
+  test("capPerStratum: bit-identical to the window rank, deterministic, cap respected") {
+    val docs = Stores.table(spark, sf0001, "documents")
+    val capped = SamplingOps.capPerStratum(docs, "doc_id", "source", maxPer = 3)
+    // the heap aggregation reproduces the window form exactly
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(graft.ext.TextOps.fingerprint60(col("doc_id").cast("string")),
+        col("doc_id"))
+    val windowed = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3).drop("__rn")
+    capped.orderBy("doc_id").collect() shouldBe
+      windowed.orderBy("doc_id").collect()
+    // cap respected per stratum; selection deterministic across runs
+    capped.groupBy("source").count().agg(max("count"))
+      .head().getLong(0) should be <= 3L
+    SamplingOps.capPerStratum(docs.repartition(13), "doc_id", "source", 3)
+      .orderBy("doc_id").collect() shouldBe capped.orderBy("doc_id").collect()
+    // growth stability: capping a subset never selects rows the full
+    // corpus run rejected UNLESS the subset lost the winners — verify the
+    // precise form: within each stratum the kept set is the 3 smallest
+    // fingerprints present
+    val keptIds = capped.select("doc_id").as[Long].collect().toSet
+    val expected = docs
+      .select(col("source"),
+        graft.ext.TextOps.fingerprint60(col("doc_id").cast("string")).as("fp"),
+        col("doc_id"))
+      .collect().groupBy(_.getString(0)).values.flatMap { rows =>
+        rows.map(r => (r.getLong(1), r.getLong(2))).sorted.take(3).map(_._2)
+      }.toSet
+    keptIds shouldBe expected
+  }
 }

@@ -20,6 +20,31 @@ class SkewAndSourcesSpec extends SparkSpec {
     salted shouldBe plain
   }
 
+  test("bloomPrunedJoin: row-identical to the plain join, and the bloom really prunes") {
+    val lineitem = Stores.table(spark, sf0001, "lineitem")
+    val dim = Stores.table(spark, sf0001, "part")
+      .filter(col("p_size") <= 2).select("p_partkey", "p_brand")
+    val pruned = SkewOps.bloomPrunedJoin(lineitem, dim, "l_partkey", "p_partkey")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "p_brand")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey").collect()
+    val plain = lineitem.join(dim, col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "p_brand")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey").collect()
+    pruned shouldBe plain
+
+    // the filter itself drops (almost all) non-matching fact rows before
+    // the join: rebuild the same sketch (xxhash64 on both sides) and check
+    // the survivor fraction tracks dim selectivity (~5%) + fpp, and that
+    // no true match is ever dropped (blooms have no false negatives)
+    val hashed = dim.select(xxhash64(col("p_partkey")).as("h"))
+    val bf = hashed.stat.bloomFilter("h", math.max(hashed.count(), 1L), 0.01)
+    val factHashes = lineitem.select(xxhash64(col("l_partkey")).as("h"))
+      .as[Long].collect()
+    val survivors = factHashes.count(bf.mightContainLong)
+    survivors should be >= plain.length // every true match survives
+    survivors.toDouble / factHashes.length should be < 0.5
+  }
+
   test("distinctCountTwoPhase equals countDistinct") {
     val ev = Stores.table(spark, sf0001, "events")
     val twoPhase = SkewOps.distinctCountTwoPhase(ev, "event_type", "user_id")
