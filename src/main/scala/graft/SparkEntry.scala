@@ -596,6 +596,33 @@ object SparkEntry {
         n = 3, threshold = 0.5, maxShingleDf = 50)
         .orderBy("id1", "id2")),
 
+    // sliding-window chunking (RAG indexing / context packing): pure
+    // per-row explode, zero shuffle; overlap factor chunk/stride = 2×
+    "q_chunk_docs" -> ((s, d) =>
+      TextOps.chunkDocuments(t(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 16, stride = 8)
+        .orderBy("doc_id", "chunk_id")),
+
+    // corpus-unigram LM scoring (KenLM-perplexity quality-filter analog):
+    // the only token-universe shuffle is the vocab count; text never moves
+    "q_unigram_logprob" -> ((s, d) =>
+      TextOps.unigramLogProbs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // CCNet-style segment-level dedup: drop 3-word segments shared by > 2
+    // docs; counts shuffle 16-byte fingerprints, text shuffles exactly once
+    "q_segment_dedup" -> ((s, d) =>
+      DedupOps.segmentDedup(t(s, d, "documents"), "doc_id", "text",
+        segWords = 3, maxDocs = 2)
+        .orderBy("doc_id")),
+
+    // SimHash near-dup pairs — banding is pigeonhole-EXACT for
+    // hamming ≤ bands−1, so the oracle is the full all-pairs filter
+    "q_simhash_near_dups" -> ((s, d) =>
+      DedupOps.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
+        bits = 60, bands = 4, maxHamming = 3)
+        .orderBy("id1", "id2")),
+
     "q_simhash" -> ((s, d) =>
       DedupOps.simhashSignatures(t(s, d, "documents"), "doc_id", "text", bits = 16)
         .withColumnRenamed("id", "doc_id")
@@ -1905,6 +1932,58 @@ object SparkEntry {
          JOIN sizes s1 ON s1.id = id1
          JOIN sizes s2 ON s2.id = id2
          WHERE ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) >= 0.5
+         ORDER BY id1, id2""",
+
+    "q_chunk_docs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+              starts AS (SELECT doc_id, toks,
+                unnest(generate_series(0, CASE WHEN n <= 16 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(ceil((n - 16) / 8.0) AS BIGINT) END)) AS chunk_id FROM n)
+         SELECT doc_id, chunk_id,
+                array_to_string(list_slice(toks, chunk_id*8 + 1, chunk_id*8 + 16), ' ') AS chunk_text,
+                CAST(len(list_slice(toks, chunk_id*8 + 1, chunk_id*8 + 16)) AS INT) AS n_tokens
+         FROM starts ORDER BY doc_id, chunk_id""",
+
+    "q_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+              vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+              tot AS (SELECT sum(c) AS n FROM vocab),
+              lp AS (SELECT t, ln(c / (SELECT n FROM tot)) AS logp FROM vocab)
+         SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logprob
+         FROM tok JOIN lp USING (t) GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_segment_dedup" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                              generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+              segs AS (SELECT doc_id, CAST((i-1)//3 AS BIGINT) AS seg_idx,
+                              string_agg(tok, ' ' ORDER BY i) AS seg
+                       FROM toks GROUP BY doc_id, (i-1)//3),
+              cnt AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg),
+              mark AS (SELECT s.doc_id, s.seg_idx, s.seg, (c.nd <= 2) AS keep
+                       FROM segs s JOIN cnt c USING (seg))
+         SELECT doc_id,
+                string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx) AS text_deduped,
+                CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+         FROM mark GROUP BY doc_id
+         HAVING SUM(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+         ORDER BY doc_id""",
+
+    "q_simhash_near_dups" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+              h AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+              bits AS (SELECT doc_id, b.i AS b,
+                              CASE WHEN (h // CAST(power(2, b.i) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS delta
+                       FROM h, (SELECT unnest(generate_series(0, 59)) AS i) b),
+              s AS (SELECT doc_id, b, SUM(delta) AS s FROM bits GROUP BY doc_id, b),
+              sig AS (SELECT doc_id,
+                             CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+                      FROM s GROUP BY doc_id)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          ORDER BY id1, id2""",
 
     "q_simhash" ->

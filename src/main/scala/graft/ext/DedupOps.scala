@@ -539,4 +539,97 @@ object DedupOps {
             acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
           when(s > 0, lit(1L << b)).otherwise(0L)
         }.reduce(_ + _).as("simhash"))
+
+  /**
+   * SimHash NEAR-dup pairs: all (id1 < id2) pairs whose `bits`-wide SimHash
+   * signatures differ in at most `maxHamming` bits. EXACT under banding by
+   * the pigeonhole principle: the signature is cut into `bands` equal-width
+   * chunks, and two signatures within Hamming distance `maxHamming` ≤
+   * `bands` − 1 can spread their differing bits over at most `maxHamming`
+   * chunks — so at least one chunk is bit-identical and the pair MUST meet
+   * in the equi-join on (band, chunk-value). No candidate is missed; false
+   * candidates are removed by the final `bit_count(xor)` filter.
+   *
+   * Scale shape: signatures are the zero-shuffle per-row aggregate above;
+   * the band explode is ×`bands`; the only wide op is the band equi-join —
+   * O(docs × bands) shuffle of (id, signature) rows, NEVER all pairs, and
+   * never the text. Hot bands (boilerplate-heavy corpora collapse into few
+   * signatures) are df-capped via `maxBandDf` BEFORE the self-join — the
+   * same quadratic-blowup guard as MinHash banding ([[dropHotKeys]]);
+   * capped runs trade recall for a bound, uncapped runs are exact.
+   */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          bits: Int, bands: Int, maxHamming: Int,
+                          maxBandDf: Int = Int.MaxValue): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    require(maxHamming < bands,
+      s"pigeonhole exactness needs maxHamming=$maxHamming < bands=$bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sig = simhashSignatures(df, idCol, textCol, bits)
+    val banded = sig.select(col("id"), col("simhash"),
+        posexplode(array((0 until bands).map { b =>
+          // band_key packs (band index, chunk value) into one equi-join key
+          lit(b.toLong << width) + shiftright(col("simhash"), b * width)
+            .bitwiseAND(mask)
+        }: _*)).as(Seq("band", "band_key")))
+      .select("id", "simhash", "band_key")
+    val capped = dropHotKeys(banded, "band_key", maxBandDf)
+    capped.as("a").join(capped.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
+   * Segment-level dedup (CCNet-style "line dedup", with fixed-width word
+   * segments standing in for lines on unstructured text): cut every
+   * document into consecutive `segWords`-word segments, drop each segment
+   * that occurs in MORE than `maxDocs` distinct documents (corpus-wide
+   * boilerplate: headers, navigation chrome, license blocks), and reassemble
+   * the surviving segments in original order. Documents left with zero
+   * segments are dropped (CCNet drops emptied docs).
+   *
+   * Returns (`idCol`, text_deduped, n_kept, n_dropped).
+   *
+   * Scale shape — the text crosses the wire ONCE: segment occurrence counts
+   * aggregate (fingerprint, doc-count) pairs only (16-byte md5 fingerprint,
+   * never the segment text — one shuffle of O(segments) short rows); the
+   * resulting HOT set (df > maxDocs) is orders of magnitude smaller than
+   * the corpus and joins back as a left join the planner broadcasts when it
+   * fits (falling back to a fingerprint-key shuffle join when it doesn't);
+   * the only text-bearing shuffle is the final per-document reassembly
+   * groupBy. Compare: the naive plan joins full segment text against global
+   * counts — twice the text volume over the wire.
+   */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segWords: Int, maxDocs: Int): DataFrame = {
+    require(segWords > 0 && maxDocs > 0, "segWords and maxDocs must be > 0")
+    val toks = tokens(col(textCol))
+    val nSegs = ceil(size(toks).cast("double") / segWords).cast("int")
+    val segs = spread(df.filter(col(textCol).isNotNull))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nSegs - 1), i =>
+          array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      .withColumn("fp", md5(col("seg")))
+    val hot = segs.groupBy("fp")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDocs)
+      .select(col("fp").as("hot_fp"))
+    val marked = segs.join(hot, col("fp") === col("hot_fp"), "left_outer")
+      // left join against the hot set: a match means boilerplate, drop it
+      .withColumn("keep", col("hot_fp").isNull)
+    val kept = when(col("keep"), struct(col("seg_idx"), col("seg")))
+    marked.groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(kept)),
+          s => s.getField("seg")), " ").as("text_deduped"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .filter(col("n_kept") > 0)
+  }
 }

@@ -296,4 +296,68 @@ object TextOps {
       .select(col(idCol), col("fingerprint"))
       .distinct()
   }
+
+  /**
+   * Sliding-window document chunking — the RAG-indexing / context-window
+   * packing primitive: cut each document into `chunkTokens`-token chunks
+   * whose starts step by `stride` tokens (`stride` < `chunkTokens` ⇒
+   * overlapping chunks). Chunk count per doc is
+   * 1 + ⌈(n − chunkTokens)/stride⌉ for n > chunkTokens, else 1 — the last
+   * chunk always reaches the end of the document (it may be shorter than
+   * `chunkTokens`; only the final chunk can be short).
+   *
+   * Returns (`idCol`, chunk_id, chunk_text, n_tokens).
+   *
+   * Pure per-row explode — ZERO shuffle at any corpus size; output volume
+   * is input × (chunkTokens/stride) overlap factor, which is the
+   * algorithm's output, not a plan artifact.
+   */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be > 0")
+    val nChunks = when(col("n") <= chunkTokens, lit(1L))
+      .otherwise(ceil((col("n") - chunkTokens).cast("double") / stride)
+        .cast("long") + 1L)
+    val chunk = slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+      lit(chunkTokens))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(chunk, " ").as("chunk_text"),
+        size(chunk).as("n_tokens"))
+  }
+
+  /**
+   * Corpus-unigram language-model scoring — the cheap stand-in for the
+   * KenLM-perplexity quality filter (CCNet-style): estimate P(token) =
+   * count(token)/total over the WHOLE corpus, then score each document by
+   * the mean log-probability of its tokens (higher = more typical of the
+   * corpus; filter tails as quality gates). Deterministic and
+   * model-free — the "LM" is the corpus itself.
+   *
+   * Returns (`idCol`, n_tokens, avg_logprob) with avg_logprob rounded to 6
+   * decimals (keeps the cross-engine float compare stable).
+   *
+   * Scale shape: the vocabulary aggregate shuffles (token, count) pairs
+   * once — the same volume as any word-count; the corpus total rides a
+   * 1-row broadcast; the per-token logprob join is vocabulary-sized (text
+   * tokens join against it, planner broadcasts a vocab that fits — real
+   * vocabularies are ≤ 10⁷ rows ≪ corpus); the per-doc mean is one
+   * doc-keyed shuffle of (id, logp) pairs. The full text never shuffles.
+   */
+  def unigramLogProbs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("n"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select(col("t"), log(col("c").cast("double") / col("n")).as("logp"))
+    toks.join(lp, "t")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("logp")), 6).as("avg_logprob"))
+  }
 }

@@ -135,4 +135,48 @@ class CurationOpsSpec extends SparkSpec {
     spark.sql("SELECT graft_word_grams('a b c', 2) AS g").head()
       .getSeq[String](0) shouldBe Seq("a b", "b c")
   }
+
+  test("chunkDocuments: overlapping windows, short-tail last chunk, 1 chunk for short docs") {
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  // 10 toks, chunk 4 stride 2
+      (2L, "a b c"),                           // shorter than one chunk
+      (3L, null.asInstanceOf[String]))         // null text → no chunks
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(df, "doc_id", "text",
+        chunkTokens = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Int)].collect()
+    // doc 1: starts 0,2,4,6 → last chunk [t6..t9] reaches the end exactly
+    out.filter(_._1 == 1L).map(c => (c._2, c._3, c._4)) shouldBe Array(
+      (0L, "t0 t1 t2 t3", 4), (1L, "t2 t3 t4 t5", 4),
+      (2L, "t4 t5 t6 t7", 4), (3L, "t6 t7 t8 t9", 4))
+    out.filter(_._1 == 2L) shouldBe Array((2L, 0L, "a b c", 3))
+    out.count(_._1 == 3L) shouldBe 0
+  }
+
+  test("chunkDocuments: stride not dividing the tail yields one short final chunk") {
+    val out = TextOps.chunkDocuments(
+        Seq((1L, "t0 t1 t2 t3 t4")).toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 4, stride = 3)
+      .orderBy("chunk_id").as[(Long, Long, String, Int)].collect()
+    // n=5: ceil((5-4)/3)+1 = 2 chunks; second starts at 3 → 2 tokens only
+    out.map(c => (c._2, c._3, c._4)) shouldBe Array(
+      (0L, "t0 t1 t2 t3", 4), (1L, "t3 t4", 2))
+  }
+
+  test("unigramLogProbs scores docs by corpus-frequency of their tokens") {
+    // corpus: 8 tokens total; "common" ×4 (p=1/2), others ×1 (p=1/8)
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "rare1 rare2 rare3 rare4"))
+      .toDF("doc_id", "text")
+    val out = TextOps.unigramLogProbs(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    out(0) shouldBe ((1L, 4L,
+      BigDecimal(math.log(0.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    out(1) shouldBe ((2L, 4L,
+      BigDecimal(math.log(0.125)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // the common-token doc is more "typical of the corpus"
+    out(0)._3 should be > out(1)._3
+  }
 }

@@ -275,4 +275,65 @@ class DedupOpsSpec extends SparkSpec {
     sigs(0)._2 shouldBe sigs(1)._2
     sigs(0)._2 should not be sigs(2)._2
   }
+
+  test("simhashNearDupPairs: banding equals the brute-force hamming filter (pigeonhole)") {
+    // fixture slice with real near-dup structure: banding may only prune
+    // candidates the hamming filter would reject anyway
+    val docs = graft.sources.Stores.table(spark, sf0001, "documents")
+      .filter(col("doc_id") < 120)
+    val banded = DedupOps.simhashNearDupPairs(docs, "doc_id", "text",
+        bits = 60, bands = 4, maxHamming = 3)
+      .orderBy("id1", "id2").as[(Long, Long, Long)].collect()
+    val sig = DedupOps.simhashSignatures(docs, "doc_id", "text", bits = 60)
+    val brute = sig.as("a").join(sig.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id1", "id2").as[(Long, Long, Long)].collect()
+    banded shouldBe brute
+    banded.length should be > 0
+  }
+
+  test("simhashNearDupPairs: identical docs pair at hamming 0, disjoint docs don't pair") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhashNearDupPairs(df, "doc_id", "text",
+        bits = 60, bands = 4, maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    pairs shouldBe Array((1L, 2L, 0L))
+  }
+
+  test("segmentDedup drops corpus-wide boilerplate segments, keeps doc-local text") {
+    // "HEADER X Y" opens every doc (boilerplate); bodies are unique
+    val df = Seq(
+      (1L, "HEADER X Y alpha beta gamma"),
+      (2L, "HEADER X Y delta epsilon zeta"),
+      (3L, "HEADER X Y eta theta iota"),
+      (4L, "HEADER X Y"))    // nothing but boilerplate → dropped entirely
+      .toDF("doc_id", "text")
+    val out = DedupOps.segmentDedup(df, "doc_id", "text",
+        segWords = 3, maxDocs = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    out shouldBe Array(
+      (1L, "alpha beta gamma", 1L, 1L),
+      (2L, "delta epsilon zeta", 1L, 1L),
+      (3L, "eta theta iota", 1L, 1L))
+  }
+
+  test("segmentDedup: duplicate segments within ONE doc count once toward the df cap") {
+    val df = Seq(
+      (1L, "rep rep rep rep rep rep rep rep rep"),  // 3 identical segments, 1 doc
+      (2L, "unrelated words entirely here friend yes"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.segmentDedup(df, "doc_id", "text",
+        segWords = 3, maxDocs = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    // doc-frequency of "rep rep rep" is 1 (distinct docs), not 3 → kept
+    out.map(_._1) shouldBe Array(1L, 2L)
+    out(0)._3 shouldBe 3L
+  }
 }
