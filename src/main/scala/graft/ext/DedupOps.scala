@@ -560,25 +560,37 @@ object DedupOps {
    */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           bits: Int, bands: Int, maxHamming: Int,
+                          maxBandDf: Int = Int.MaxValue): DataFrame =
+    hammingNearDupPairs(simhashSignatures(df, idCol, textCol, bits),
+      "id", "simhash", bits, bands, maxHamming, maxBandDf)
+
+  /**
+   * Generic banded Hamming-distance pair join over any (id, 64-bit-or-less
+   * signature) frame — the engine primitive behind [[simhashNearDupPairs]]
+   * (text) and [[MultimodalOps.imageNearDupPairs]] (perceptual image
+   * hashes). Same pigeonhole-exactness and scale contract as documented
+   * there: O(rows × bands) shuffle of (id, signature), never all pairs.
+   */
+  def hammingNearDupPairs(sig: DataFrame, idCol: String, sigCol: String,
+                          bits: Int, bands: Int, maxHamming: Int,
                           maxBandDf: Int = Int.MaxValue): DataFrame = {
     require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
     require(maxHamming < bands,
       s"pigeonhole exactness needs maxHamming=$maxHamming < bands=$bands")
     val width = bits / bands
     val mask = (1L << width) - 1
-    val sig = simhashSignatures(df, idCol, textCol, bits)
-    val banded = sig.select(col("id"), col("simhash"),
+    val banded = sig.select(col(idCol).as("id"), col(sigCol).as("sig"),
         posexplode(array((0 until bands).map { b =>
           // band_key packs (band index, chunk value) into one equi-join key
-          lit(b.toLong << width) + shiftright(col("simhash"), b * width)
+          lit(b.toLong << width) + shiftright(col(sigCol), b * width)
             .bitwiseAND(mask)
         }: _*)).as(Seq("band", "band_key")))
-      .select("id", "simhash", "band_key")
+      .select("id", "sig", "band_key")
     val capped = dropHotKeys(banded, "band_key", maxBandDf)
     capped.as("a").join(capped.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()

@@ -374,6 +374,78 @@ object MultimodalOps {
       } finally if (iis != null) iis.close()
     } catch { case _: java.io.IOException | _: RuntimeException => Seq.empty }
 
+  final case class MediaHash(media_id: Long, ahash: Long, decoded: Boolean)
+
+  /**
+   * 64-bit perceptual AVERAGE-HASH (aHash) per image: decode → bilinear
+   * 8×8 grayscale downsample → bit k set iff cell luma > image mean. Two
+   * images that differ by re-encoding, mild resizing, or small edits land
+   * within a few bits of Hamming distance — the standard cheap
+   * image-near-dup signature (pHash's DCT refines the same idea).
+   * Undecodable payloads get a content-hash fallback with decoded=false so
+   * the operator stays total; near-dup pairing filters them out.
+   *
+   * Per-partition batch map (codec init amortized), ZERO shuffle.
+   */
+  def imageAHash(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val bytes = Option(m.payload).getOrElse(Array.emptyByteArray)
+        decodeImage(bytes) match {
+          case Some(img) => MediaHash(m.media_id, aHashOf(img), decoded = true)
+          case None =>
+            // stable 64-bit content hash keeps the row; never pairs
+            MediaHash(m.media_id,
+              java.util.Arrays.hashCode(bytes).toLong, decoded = false)
+        }
+      }
+    }
+  }
+
+  private[graft] def aHashOf(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val luma = new Array[Int](64)
+    var k = 0
+    while (k < 64) {
+      val rgb = small.getRGB(k % 8, k / 8)
+      luma(k) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+      k += 1
+    }
+    val mean = luma.sum / 64
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (luma(k) > mean) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  /**
+   * Near-duplicate IMAGE pairs: aHash signatures → the generic banded
+   * Hamming join ([[DedupOps.hammingNearDupPairs]] — pigeonhole-exact for
+   * maxHamming < bands, O(images × bands) shuffle of 16-byte rows, the
+   * payloads never shuffle). Returns (id1, id2, hamming). The decode pass
+   * is the cost; everything after runs on 8-byte signatures.
+   */
+  def imageNearDupPairs(spark: SparkSession, media: Dataset[MediaRow],
+                        maxHamming: Int = 6, bands: Int = 8,
+                        maxBandDf: Int = Int.MaxValue): DataFrame = {
+    val sig = imageAHash(spark, media).filter(_.decoded).toDF()
+    graft.ext.DedupOps.hammingNearDupPairs(sig, "media_id", "ahash",
+      bits = 64, bands = bands, maxHamming = maxHamming, maxBandDf = maxBandDf)
+  }
+
   /** Synthesizes a deterministic in-memory media table for tests/demo (no
     * media fixtures ship in /root/testdata). */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

@@ -435,6 +435,58 @@ object Stores {
       .parquet(path)
   }
 
+  /**
+   * Z-ORDER layout write — multi-dimensional data skipping where
+   * [[writeRangeSorted]] covers one dimension: interleave the bits of two
+   * integer-keyed columns into a single Morton code and range-sort on it.
+   * Files then cover compact RECTANGLES of the (a, b) key space instead of
+   * slabs of one key, so parquet min-max stats prune selective scans on
+   * EITHER column (or both) — the standard multi-dim clustering layout
+   * (Delta/Iceberg `ZORDER BY` do exactly this). Each key is first rank-
+   * normalized into `2^bitsPerDim` equi-depth cells via `ntile` (raw values
+   * would let one skewed dimension dominate the interleave). Cost: one
+   * window rank per dimension + one range exchange, paid once at write;
+   * scans stay shuffle-free.
+   *
+   * File cuts are aligned to Morton-PREFIX blocks (z >> k), not sampled z
+   * quantiles: a sampled cut lands mid-quadrant and the straddling file
+   * then unions two z-distant rectangles — blowing its min-max extent up
+   * to a full dimension and killing the skipping property the layout
+   * exists for. Block-aligned cuts keep every file inside one rectangle
+   * by construction (`nFiles` must be a power of two for the alignment).
+   *
+   * At 100 TB the ntile windows over the full corpus are the scale
+   * limiter — production swaps them for approx-quantile cell boundaries
+   * (sampled, driver-sized) with the identical interleave; the layout
+   * contract (rectangular file extents) is unchanged.
+   */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    nFiles: Int, bitsPerDim: Int = 8): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(bitsPerDim >= 1 && bitsPerDim <= 16, "bitsPerDim in [1,16]")
+    require(nFiles > 0 && (nFiles & (nFiles - 1)) == 0,
+      s"nFiles=$nFiles must be a power of two (block-aligned z cuts)")
+    val blockBits = 31 - Integer.numberOfLeadingZeros(nFiles)
+    require(blockBits <= 2 * bitsPerDim, "nFiles exceeds the z-code space")
+    val cells = 1 << bitsPerDim
+    val ranked = df
+      .withColumn("__za", ntile(cells).over(Window.orderBy(col(colA))) - 1)
+      .withColumn("__zb", ntile(cells).over(Window.orderBy(col(colB))) - 1)
+    // Morton interleave: bit i of a → bit 2i, bit i of b → bit 2i+1
+    val z = (0 until bitsPerDim).map { i =>
+      (shiftright(col("__za"), i).bitwiseAND(1).cast("long") * (1L << (2 * i))) +
+      (shiftright(col("__zb"), i).bitwiseAND(1).cast("long") * (1L << (2 * i + 1)))
+    }.reduce(_ + _)
+    ranked.withColumn("__z", z)
+      .withColumn("__zfile", shiftright(col("__z"), 2 * bitsPerDim - blockBits))
+      .repartitionByRange(nFiles, col("__zfile"))
+      .sortWithinPartitions(col("__zfile"), col("__z"))
+      .drop("__za", "__zb", "__z", "__zfile")
+      .write.mode("overwrite").option("compression", ParquetCodec)
+      .parquet(path)
+  }
+
   // -------------------------------------------------------------------------
   // Text formats — CSV / JSON-lines, schema always pinned
   // -------------------------------------------------------------------------
@@ -457,6 +509,16 @@ object Stores {
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC source/sink — Spark's second native columnar format (self-
+    * describing schema, predicate pushdown and column pruning work the same
+    * as parquet). Interop surface for ORC-standardized warehouses; parquet
+    * stays the engine default. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zlib").orc(path)
 
   /** Connectivity probe (DAG:79-84: Mongo ping + PG SELECT 1). The dir
     * check goes through the Hadoop FileSystem API — java.io.File answers

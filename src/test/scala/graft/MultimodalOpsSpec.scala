@@ -249,4 +249,58 @@ class MultimodalOpsSpec extends SparkSpec {
     out(0).feature(0) shouldBe 1.0f +- 1e-5f // dark frame → lowest luma bin
     out(1).feature(7) shouldBe 1.0f +- 1e-5f // bright frame → highest
   }
+
+  /** Gradient PNG with a small square edit at (0,0) — a visual near-dup. */
+  private def editedGradient(w: Int, h: Int, editTo: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png(w, h, 0, gradient = true)))
+    var y = 0
+    while (y < 2) { var x = 0; while (x < 2) { img.setRGB(x, y, editTo); x += 1 }; y += 1 }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("imageAHash: re-encode-stable, edit-tolerant, content-sensitive") {
+    import MultimodalOps.MediaRow
+    val grad = png(64, 64, 0, gradient = true)
+    val gradEdited = editedGradient(64, 64, 0xffffff)
+    val inverse = { // right-to-left gradient: very different hash
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = (63 - x) * 255 / 63; img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos); baos.toByteArray
+    }
+    val ds = Seq(
+      MediaRow(1L, grad, "image", "png"),
+      MediaRow(2L, gradEdited, "image", "png"),
+      MediaRow(3L, inverse, "image", "png"),
+      MediaRow(4L, Array[Byte](1, 2, 3), "image", "png")) // undecodable
+      .toDS()
+    val hashes = MultimodalOps.imageAHash(spark, ds)
+      .collect().sortBy(_.media_id)
+    hashes.map(_.decoded) shouldBe Array(true, true, true, false)
+    val ham = (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b)
+    // small edit moves few bits; mirrored content moves many
+    ham(hashes(0).ahash, hashes(1).ahash) should be <= 4
+    ham(hashes(0).ahash, hashes(2).ahash) should be > 16
+  }
+
+  test("imageNearDupPairs pairs the edited near-dup only, skipping undecodables") {
+    import MultimodalOps.MediaRow
+    val ds = Seq(
+      MediaRow(1L, png(64, 64, 0, gradient = true), "image", "png"),
+      MediaRow(2L, editedGradient(64, 64, 0xffffff), "image", "png"),
+      MediaRow(3L, png(64, 64, 0x102030), "image", "png"),
+      MediaRow(4L, Array[Byte](9, 9), "image", "png"))
+      .toDS()
+    val pairs = MultimodalOps.imageNearDupPairs(spark, ds, maxHamming = 6)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Long)].collect()
+    pairs.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
+    pairs(0)._3 should be <= 6L
+  }
 }

@@ -98,6 +98,60 @@ class SkewAndSourcesSpec extends SparkSpec {
       ev.filter(col("event_id") <= probe).count()
   }
 
+  test("writeZOrdered: files cover compact rectangles of BOTH key dimensions") {
+    val work = Files.createTempDirectory("graft_zorder_").toString
+    val ord = Stores.table(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Stores.writeZOrdered(ord, s"$work/z", "o_orderkey", "o_custkey",
+      nFiles = 16, bitsPerDim = 8)
+
+    val files = new java.io.File(s"$work/z")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    files.length should be >= 8
+    val g = ord.agg(
+      min("o_orderkey"), max("o_orderkey"),
+      min("o_custkey"), max("o_custkey")).head()
+    val spanA = (g.getLong(1) - g.getLong(0)).toDouble
+    val spanB = (g.getLong(3) - g.getLong(2)).toDouble
+    // 16 z-slabs over 8-bit cells = top-2 Morton bits per dim → every file
+    // covers ~1/4 of EACH dimension's range. A single-key range sort would
+    // leave the other dimension's per-file span at ~100%; assert both stay
+    // fragmented (≤ 45% with boundary slack) — the property min-max file
+    // skipping on either predicate column depends on.
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min("o_orderkey"), max("o_orderkey"),
+        min("o_custkey"), max("o_custkey")).head()
+      ((r.getLong(1) - r.getLong(0)) / spanA,
+       (r.getLong(3) - r.getLong(2)) / spanB)
+    }
+    spans.map(_._1).max should be <= 0.45
+    spans.map(_._2).max should be <= 0.45
+    // content intact; point-ish predicates on either column stay correct
+    spark.read.parquet(s"$work/z").count() shouldBe ord.count()
+    val probeKey = g.getLong(0) + (spanA / 8).toLong
+    spark.read.parquet(s"$work/z")
+      .filter(col("o_orderkey") <= probeKey).count() shouldBe
+      ord.filter(col("o_orderkey") <= probeKey).count()
+  }
+
+  test("ORC round-trips and pushes filters into the ORC scan") {
+    val work = Files.createTempDirectory("graft_orc_").toString
+    val ord = Stores.table(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Stores.writeOrc(ord, s"$work/orc")
+    val back = Stores.readOrc(spark, s"$work/orc")
+    back.count() shouldBe ord.count()
+    back.agg(sum("o_totalprice")).head().getDouble(0) shouldBe
+      ord.agg(sum("o_totalprice")).head().getDouble(0)
+    val filtered = back.filter(col("o_orderkey") === 42)
+      .select("o_orderkey", "o_totalprice")
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+    plan should include regex "PushedFilters: \\[.*o_orderkey.*\\]"
+  }
+
   test("CSV and JSON-lines sources round-trip with a pinned schema") {
     val work = Files.createTempDirectory("graft_fmt_").toString
     val ev = Stores.table(spark, sf0001, "events")
