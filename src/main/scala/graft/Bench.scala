@@ -32,22 +32,29 @@ object Bench {
       .foreach(fn => try drain(fn(spark, sfDir)) catch { case _: Throwable => })
     // A failed query records the NEGATED elapsed time — a broken query must
     // stay distinguishable from a fast one in the JSON.
-    // Best-of-2 per query: single-pass timings on a shared box are hostage
-    // to whoever else is on the CPU (one observed run came back 2× inflated
-    // across the board) — the min of two passes discards one-off JIT/GC/
-    // neighbor-noise spikes while remaining an honest full-evaluation time.
+    // Best-of-2 per query, passes INTERLEAVED (all queries pass 1, then all
+    // pass 2): single-pass timings on a shared box are hostage to whoever
+    // else is on the CPU, and noise bursts are time-local — back-to-back
+    // passes of one query sit inside the same burst (observed: a 0.5s query
+    // at 36s in BOTH adjacent passes while isolated re-runs gave 0.9s).
+    // Interleaving puts a whole sweep between a query's passes, so the min
+    // discards JIT/GC/neighbor spikes the adjacent-pass form could not.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt max 1
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to passes).map { _ =>
+    val names = SparkEntry.queries.keys.toSeq
+    val passTimes = (1 to passes).map { _ =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok = try { drain(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (ok) sec else -sec
-      }
+        name -> (if (ok) sec else -sec)
+      }.toMap
+    }
+    val results = names.map { name =>
       // min: fastest clean pass, or the most-negative (failed) one — a
       // query that failed any pass stays visibly negative in the JSON
-      name -> times.min
-    }
+      name -> passTimes.map(_(name)).min
+    }.toMap
     // Continuity metric: the same queries under the round-1 `.count()`
     // methodology (Catalyst prunes to counts — under-measures projection
     // cost, but directly comparable with earlier rounds' totals).
@@ -57,11 +64,17 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       if (ok) sec else -sec
     }.sum
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: keeps the one-line JSON compact enough to survive the
+    // driver's stdout tail window even at 130+ queries (full-precision
+    // floats pushed the line past it); the file below keeps ms too — ±1 ms
+    // is far inside run-to-run noise.
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"agg":"min","queries":$qs,"count_method_total":$countTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","passes":$passes,"agg":"min","queries":$qs,"count_method_total":${r3(countTotal)},"sf":"$sfDir"}"""
     println(json)
     // Stdout tail-truncation loses per-query timings in long runs — persist
     // the full line to a file so every timing stays recoverable per round.
