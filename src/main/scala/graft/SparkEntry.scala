@@ -616,6 +616,58 @@ object SparkEntry {
         segWords = 3, maxDocs = 2)
         .orderBy("doc_id")),
 
+    // per-doc top-3 terms by tf-idf (keyword extraction): df falls out of
+    // the tf aggregate, N rides a 1-row broadcast, per-doc rank window
+    "q_tfidf_topterms" -> ((s, d) =>
+      TextOps.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
+    // dataset-card corpus report: per-language doc/token/char totals
+    "q_corpus_stats" -> ((s, d) =>
+      t(s, d, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(TextOps.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("lang")),
+
+    // INTRA-document segment dedup (self-boilerplate cut): keep the first
+    // occurrence of each 3-word segment within a doc — zero shuffle
+    "q_intradoc_dedup" -> ((s, d) =>
+      TextOps.intraDocDedup(t(s, d, "documents"), "doc_id", "text",
+        segWords = 3)
+        .orderBy("doc_id")),
+
+    // DSIR-style importance weights: log-likelihood ratio of each doc's
+    // tokens under the en-subcorpus LM vs the whole-corpus LM
+    "q_importance_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.importanceWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // blocked fuzzy self-join (entity-resolution primitive): DISTINCT part
+    // names (exact-dedupe first — the standard ER flow; raw names repeat so
+    // raw pairs would be quadratic in the duplicates), blocked on the first
+    // word, levenshtein ≤ 3 within the block
+    "q_blocked_fuzzy_join" -> ((s, d) => {
+      val names = t(s, d, "part").groupBy("p_name")
+        .agg(min("p_partkey").as("name_id"))
+      DedupOps.blockedFuzzyJoin(names, "name_id", "p_name",
+        split(col("p_name"), " ").getItem(0), maxDist = 3)
+        .orderBy("id1", "id2")
+    }),
+
+    // per-stratum percentile gate: keep the top 30% longest docs per
+    // language (per-language cutoffs keep low-resource strata alive)
+    "q_percentile_filter" -> ((s, d) =>
+      SamplingOps.percentileKeep(t(s, d, "documents"), "lang", "n_chars",
+        "doc_id", q = 0.3)
+        .select("doc_id", "lang", "n_chars", "pct_rank")
+        .orderBy("doc_id")),
+
     // SimHash near-dup pairs — banding is pigeonhole-EXACT for
     // hamming ≤ bands−1, so the oracle is the full all-pairs filter
     "q_simhash_near_dups" -> ((s, d) =>
@@ -879,6 +931,32 @@ object SparkEntry {
           (avg(col("cos")) >= 0.5).as("recon_ok"))
     }),
 
+    // PQ coarse-score → full-precision re-rank: recall vs the exact top-k
+    // is provably MONOTONE in the candidate budget (the coarse heap's
+    // candidate set is nested as it grows) — the oracle stipulates the
+    // boolean, the engine computes it for candidates 10 vs 25
+    "q_pq_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+        m = 8, codes = 16, iters = 2, dim = 64)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val exact = SimilarityOps.cosineTopK(queries, emb,
+        "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+      def hits(c: Int) =
+        SimilarityOps.pqRerankTopK(queries, emb, cbs, "vec_id", "embedding",
+            k = 5, candidates = c)
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n"))
+      val h1 = hits(10).withColumnRenamed("n", "n10")
+      val h2 = hits(25).withColumnRenamed("n", "n25")
+      queries.select(col("vec_id").as("query_id"))
+        .join(h1, Seq("query_id"), "left").join(h2, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n25"), lit(0L)) >= coalesce(col("n10"), lit(0L)))
+            .as("recall_monotone"))
+        .orderBy("query_id")
+    }),
+
     // typed UDAF: element-wise vector mean per label (k-means centroid step)
     "q_vector_mean_by_label" -> ((s, d) => {
       val vm = udaf(new graft.functions.VectorAggregators.VectorMean(8))
@@ -990,6 +1068,51 @@ object SparkEntry {
         count(lit(1)).over(w).as("mv_n"))
         .orderBy("event_id")
     }),
+
+    // time-RANGE window frame: trailing 1-hour sum/count per user — the
+    // value-range frame (vs q_moving_window's row frame); frame membership
+    // depends only on the ordering VALUE, so ties need no tie-break
+    "q_range_frame" -> ((s, d) => {
+      val tsec = col("ts").cast("long")
+      val w = Window.partitionBy("user_id").orderBy(tsec)
+        .rangeBetween(-3600, 0)
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"), tsec.as("tsec"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("hr_sum"),
+        count(lit(1)).over(w).as("hr_n"))
+        .orderBy("event_id")
+    }),
+
+    // gap-fill / resample: per-user daily grid, last observation per day,
+    // forward-filled across missing days
+    "q_gap_fill" -> ((s, d) =>
+      TemporalOps.gapFill(t(s, d, "events"), "user_id", "ts", "event_id",
+          "value", "day")
+        .select(col("user_id"), col("bucket").as("day"), col("value_ff"),
+          col("observed"))
+        .orderBy("user_id", "day")),
+
+    // ordered-step conversion funnel: view → click → purchase per user,
+    // each step strictly after the previous one
+    "q_funnel" -> ((s, d) =>
+      TemporalOps.funnel(t(s, d, "events"), "user_id", "ts",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"))
+        .orderBy("user_id")),
+
+    // bivariate statistics: correlation / covariance / least-squares fit of
+    // extended price on quantity, per return flag
+    "q_corr_regr" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("cov_s"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("intercept"))
+        .orderBy("l_returnflag")),
 
     // ---- relational surface: joins & subquery shapes -------------------------
 
@@ -1214,6 +1337,22 @@ object SparkEntry {
           min(col("o_totalprice")).as("lo"),
           max(col("o_totalprice")).as("hi"))
         .orderBy("bucket")),
+
+    // deterministic mode (most frequent value, smallest on count ties — the
+    // built-in `mode` is tie-arbitrary, so the argmax is explicit) + exact
+    // interpolated median per group
+    "q_mode_median" -> ((s, d) => {
+      val counts = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val mode = counts.groupBy("l_returnflag")
+        .agg(max_by(col("l_quantity"),
+          struct(col("cnt"), -col("l_quantity"))).as("mode_qty"))
+      val med = t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          count(lit(1)).as("n"))
+      mode.join(med, "l_returnflag").orderBy("l_returnflag")
+    }),
 
     // approximate percentiles (t-digest-style sketch) — the 100 TB variant
     // of q_percentiles: mergeable sketch, no global sort. The sketch values
@@ -1970,6 +2109,97 @@ object SparkEntry {
          HAVING SUM(CASE WHEN keep THEN 1 ELSE 0 END) > 0
          ORDER BY doc_id""",
 
+    "q_tfidf_topterms" ->
+      """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              tfc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tf GROUP BY doc_id, term),
+              dfc AS (SELECT term, COUNT(*) AS dfreq FROM tfc GROUP BY term),
+              n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              scored AS (SELECT doc_id, term, tf,
+                                tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq) AS raw_score
+                         FROM tfc JOIN dfc USING (term), n),
+              ranked AS (SELECT doc_id, term, tf, ROUND(raw_score, 6) AS score,
+                                CAST(row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY raw_score DESC, term ASC) AS BIGINT) AS rank
+                         FROM scored)
+         SELECT doc_id, term, tf, score, rank
+         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "q_corpus_stats" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_pq_rerank" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_monotone
+         FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
+         ORDER BY query_id""",
+
+    "q_mode_median" ->
+      """WITH counts AS (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+                         FROM lineitem GROUP BY l_returnflag, l_quantity),
+              mode AS (SELECT l_returnflag, l_quantity AS mode_qty
+                       FROM (SELECT l_returnflag, l_quantity,
+                                    row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY cnt DESC, l_quantity ASC) AS rn
+                             FROM counts) WHERE rn = 1),
+              med AS (SELECT l_returnflag,
+                             ROUND(median(l_quantity), 4) AS median_qty,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, mode_qty, median_qty, n
+         FROM mode JOIN med USING (l_returnflag) ORDER BY l_returnflag""",
+
+    "q_intradoc_dedup" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                              generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+              segs AS (SELECT doc_id, CAST((i-1)//3 AS BIGINT) AS seg_idx,
+                              string_agg(tok, ' ' ORDER BY i) AS seg
+                       FROM toks GROUP BY doc_id, (i-1)//3),
+              mark AS (SELECT doc_id, seg_idx, seg,
+                              row_number() OVER (PARTITION BY doc_id, seg ORDER BY seg_idx) AS rn
+                       FROM segs)
+         SELECT doc_id,
+                string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx) AS text_deduped,
+                CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+         FROM mark GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_importance_weights" ->
+      """WITH ct AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+              tt AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents WHERE lang = 'en'),
+              cv AS (SELECT t, COUNT(*) AS cc FROM ct GROUP BY t),
+              tv AS (SELECT t, COUNT(*) AS tc FROM tt GROUP BY t),
+              j AS (SELECT cv.t, cv.cc AS cc, COALESCE(tv.tc, 0) AS tc
+                    FROM cv LEFT JOIN tv ON cv.t = tv.t),
+              tot AS (SELECT SUM(cc) AS nc, SUM(tc) AS nt, COUNT(*) AS nv FROM j),
+              lr AS (SELECT t, ln((tc + 1.0) / (tot.nt + tot.nv))
+                             - ln((cc + 1.0) / (tot.nc + tot.nv)) AS llr
+                     FROM j, tot)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                ROUND(AVG(llr), 6) AS avg_llr
+         FROM ct JOIN lr USING (t) GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_blocked_fuzzy_join" ->
+      """WITH v AS (SELECT MIN(p_partkey) AS id, p_name AS s,
+                           string_split(p_name, ' ')[1] AS block_key
+                    FROM part GROUP BY p_name)
+         SELECT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2,
+                CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM v a JOIN v b ON a.block_key = b.block_key AND a.id < b.id
+         WHERE levenshtein(a.s, b.s) <= 3
+         ORDER BY id1, id2""",
+
+    "q_percentile_filter" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+                           ROUND(percent_rank() OVER (PARTITION BY lang
+                               ORDER BY n_chars DESC, doc_id ASC), 6) AS pct_rank
+                    FROM documents)
+         SELECT doc_id, lang, n_chars, pct_rank
+         FROM r WHERE pct_rank <= 0.3 ORDER BY doc_id""",
+
     "q_simhash_near_dups" ->
       """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
               h AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
@@ -2458,6 +2688,62 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+
+    "q_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value
+                    FROM events)
+         SELECT event_id, user_id, tsec,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hr_sum,
+                CAST(COUNT(*) OVER w AS BIGINT) AS hr_n
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q_gap_fill" ->
+      """WITH o0 AS (SELECT user_id, date_trunc('day', ts) AS day, value,
+                            row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                     FROM events),
+              obs AS (SELECT user_id, day, value FROM o0 WHERE rn = 1),
+              span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY user_id),
+              grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span),
+              j AS (SELECT g.user_id, g.day, o.value, o.value IS NOT NULL AS observed
+                    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day)
+         SELECT user_id, day,
+                last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+                observed
+         FROM j ORDER BY user_id, day""",
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS step_1_ts FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+              s2 AS (SELECT e.user_id, MIN(e.ts) AS step_2_ts FROM events e
+                     JOIN s1 ON e.user_id = s1.user_id
+                     WHERE e.event_type = 'click' AND e.ts > s1.step_1_ts
+                     GROUP BY e.user_id),
+              s3 AS (SELECT e.user_id, MIN(e.ts) AS step_3_ts FROM events e
+                     JOIN s2 ON e.user_id = s2.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts > s2.step_2_ts
+                     GROUP BY e.user_id)
+         SELECT u.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts,
+                CAST((CASE WHEN s1.step_1_ts IS NULL THEN 0 ELSE 1 END)
+                   + (CASE WHEN s2.step_2_ts IS NULL THEN 0 ELSE 1 END)
+                   + (CASE WHEN s3.step_3_ts IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN s1 ON u.user_id = s1.user_id
+         LEFT JOIN s2 ON u.user_id = s2.user_id
+         LEFT JOIN s3 ON u.user_id = s3.user_id
+         ORDER BY u.user_id""",
+
+    "q_corr_regr" ->
+      """SELECT l_returnflag,
+                ROUND(corr(l_quantity, l_extendedprice), 6) AS r,
+                ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+                ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_left_join_count_dist" ->
       """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_cust

@@ -644,4 +644,34 @@ object DedupOps {
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
       .filter(col("n_kept") > 0)
   }
+
+  /**
+   * Blocked fuzzy self-join — the entity-resolution primitive: candidate
+   * pairs come ONLY from rows sharing a blocking key (a cheap deterministic
+   * surrogate: first token, soundex, sorted-prefix …), then the expensive
+   * string distance runs within blocks and pairs with
+   * `levenshtein ≤ maxDist` survive. Emits (id1, id2, s1, s2, dist) with
+   * id1 < id2.
+   *
+   * Scale: the block equi-join shuffles each side once on the blocking key
+   * — never the all-pairs cross join (the defining trick of record
+   * linkage). Within-block cost is O(Σ blockSize²) levenshtein calls;
+   * `maxBlockSize` df-caps degenerate blocks (the empty-key / "the" block)
+   * via the same [[dropHotKeys]] one-exchange pass the LSH tiers use —
+   * dropping a super-hot block is the standard blocking-quality trade,
+   * not a correctness loss (callers re-block hot rows on a finer key).
+   */
+  def blockedFuzzyJoin(df: DataFrame, idCol: String, strCol: String,
+                       blockKey: Column, maxDist: Int,
+                       maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(strCol).as("s"),
+      blockKey.as("block_key"))
+    val capped = dropHotKeys(v, "block_key", maxBlockSize)
+    capped.as("a").join(capped.as("b"),
+        col("a.block_key") === col("b.block_key") && col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.s").as("s1"), col("b.s").as("s2"), col("dist"))
+  }
 }

@@ -269,4 +269,29 @@ object SamplingOps {
       .withColumn("pack_id", floor(col("__cum_before") / budget))
       .drop("__cum_before")
   }
+
+  /**
+   * Per-stratum percentile filter — "keep the top q fraction by score
+   * WITHIN each stratum" (top-30% quality per language is the standard
+   * curation gate: a global cutoff would empty low-resource languages).
+   * Keeps rows whose `percent_rank() ≤ q` in (`scoreCol` desc, `tieCol`
+   * asc) order within `stratumCol`; emits `pct_rank` (rounded to 6dp) for
+   * auditability. Exact semantics: rank 0 (the best row) is always kept;
+   * a single-row stratum has percent_rank 0 and survives.
+   *
+   * Scale: one shuffle on the stratum key + per-stratum local sort — the
+   * same cost class as any per-group ranking; AQE splits skewed strata's
+   * sort spills but the per-stratum order is inherently a sort. At corpus
+   * scales where even that is too much, compute an approximate per-stratum
+   * score threshold (approx_percentile over stratum — one agg, no sort)
+   * and filter; this exact form is the auditable gate.
+   */
+  def percentileKeep(df: DataFrame, stratumCol: String, scoreCol: String,
+                     tieCol: String, q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    df.withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .filter(col("pct_rank") <= q)
+  }
 }

@@ -423,6 +423,49 @@ object SimilarityOps {
     concat(subs: _*)
   }
 
+  /**
+   * PQ coarse-score + full-precision re-rank — the complete
+   * compressed-corpus ANN pipeline stage ([[pqEncode]] is the memory step,
+   * this is the query step): score every corpus row against each query
+   * using only its PQ-RECONSTRUCTED vector (the 8-byte-code approximation),
+   * keep the top `candidates` per query with the bounded heap, then join
+   * those few candidate ids back to the full-precision corpus and re-rank
+   * exactly for the final top `k`.
+   *
+   * Scale: the coarse pass streams the ENCODED corpus (codes are ~32×
+   * smaller than float32 vectors — at 100 TB of embeddings this is the
+   * difference between scanning 3 TB and 100 TB) against broadcast
+   * queries with zero corpus shuffle; the heap bounds the coarse exchange
+   * to |Q|·candidates·partitions buffers; only |Q|·candidates rows ever
+   * touch full-precision vectors again (an id equi-join). Because the
+   * coarse heap's candidate set is NESTED as `candidates` grows (same
+   * ordering, longer prefix), recall against the exact top-k is MONOTONE
+   * in `candidates` — asserted by `q_pq_rerank`'s oracle.
+   */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame,
+                   codebooks: Seq[Seq[Seq[Float]]],
+                   idCol: String, vecCol: String, k: Int,
+                   candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be ≥ k=$k")
+    requireIntegralId(corpus, idCol, "pqRerankTopK")
+    GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val encoded = pqEncode(corpus, idCol, vecCol, codebooks)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        pqReconstruct(col("pq_codes"), codebooks).as("rv"))
+    val coarse = encoded.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosineNative(col("qv"), col("rv")))
+    val cand = heapTopK(coarse, candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = cand
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("cv")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("score", cosineNative(col("qv"), col("cv")))
+    heapTopK(exact, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a,b), a<b, with cosine ≥
     * threshold, via bucketed self-join (exact within bucket — an
     * approximate global answer, like all embedding dedup at scale). */

@@ -360,4 +360,113 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("logp")), 6).as("avg_logprob"))
   }
+
+  /**
+   * INTRA-document segment dedup — the self-boilerplate cut (repeated
+   * nav/footer blocks pasted many times inside ONE page): split each
+   * document into fixed-width `segWords`-word segments, keep only the FIRST
+   * occurrence of each distinct segment, reassemble in order. The
+   * within-doc complement of [[graft.ext.DedupOps.segmentDedup]] (which
+   * counts segments ACROSS the corpus).
+   *
+   * Returns (`idCol`, text_deduped, n_kept, n_dropped).
+   *
+   * Scale: pure per-row higher-order functions — ZERO shuffle at any corpus
+   * size (the corpus-level variant necessarily shuffles; this one never
+   * does). Keep-first runs `array_position` per segment — O(segments²) per
+   * document, bounded by document length, never by corpus size.
+   */
+  def intraDocDedup(df: DataFrame, idCol: String, textCol: String,
+                    segWords: Int): DataFrame = {
+    require(segWords > 0, "segWords must be > 0")
+    val toks = tokens(col(textCol))
+    val nSeg = ceil(size(toks).cast("double") / segWords).cast("long")
+    val segs = transform(sequence(lit(0L), nSeg - 1),
+      i => array_join(slice(toks, (i * segWords + 1).cast("int"), lit(segWords)), " "))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), segs.as("__segs"))
+      .select(col(idCol),
+        filter(col("__segs"),
+          (s, i) => array_position(col("__segs"), s) === (i + 1).cast("long"))
+          .as("__kept"),
+        size(col("__segs")).cast("long").as("__n"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("text_deduped"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
+
+  /**
+   * DSIR-style importance weighting: score every corpus document by how
+   * much more likely its tokens are under a TARGET-domain unigram LM than
+   * under the corpus LM — `avg_llr` = mean over tokens of
+   * `ln p_target(t) − ln p_corpus(t)`, with add-one (Laplace) smoothing
+   * over the UNION vocabulary so target-OOV tokens score finitely. Positive
+   * = looks like the target domain; data-selection keeps the top tail
+   * (Data Selection for LMs via Importance Resampling — the hashed-ngram
+   * variant swaps the feature map, same plan).
+   *
+   * Scale shape mirrors [[unigramLogProbs]]: two vocabulary aggregates
+   * (token-count shuffles — the only wide ops over token volume), a
+   * vocab-sized full-outer join + 1-row broadcast totals for the per-token
+   * log-ratio table, then one doc-keyed aggregate of (id, llr) pairs. The
+   * document text itself never shuffles.
+   */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    val cToks = corpus.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val tToks = target.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("t"))
+    val cv = cToks.groupBy("t").agg(count(lit(1)).as("cc"))
+    val tv = tToks.groupBy("t").agg(count(lit(1)).as("tc"))
+    val joined = cv.join(tv, Seq("t"), "full_outer")
+      .select(col("t"), coalesce(col("cc"), lit(0L)).as("cc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    val totals = joined.agg(sum(col("cc")).as("nc"), sum(col("tc")).as("nt"),
+      count(lit(1)).as("nv"))
+    val llr = joined.crossJoin(broadcast(totals))
+      .select(col("t"),
+        (log((col("tc") + 1).cast("double") / (col("nt") + col("nv"))) -
+          log((col("cc") + 1).cast("double") / (col("nc") + col("nv"))))
+          .as("llr"))
+    cToks.join(llr, "t")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("llr")), 6).as("avg_llr"))
+  }
+
+  /**
+   * Per-document top-k terms by tf-idf — the classic keyword-extraction /
+   * doc-representation primitive (the per-DOC dual of [[bm25TopK]]'s
+   * per-QUERY ranking): `score(d, t) = tf(d,t) · ln(N / df(t))`, ties
+   * broken term-ascending. Returns (`idCol`, term, tf, score, rank ≤ k).
+   *
+   * Scale: term frequencies are one (doc, term) hash agg over the token
+   * explode — the word-count shuffle every exact scheme pays; document
+   * frequencies fall out of the SAME aggregate (tf rows are distinct
+   * (doc, term) pairs — one more (term) agg over vocabulary-sized input,
+   * no second pass over tokens); N rides a 1-row broadcast. The per-doc
+   * top-k is a rank window partitioned by doc id — millions of doc-sized
+   * partitions, no global sort (terms are strings, so the long-id bounded
+   * heap doesn't apply; the window's per-partition input is one document's
+   * vocabulary, inherently bounded).
+   */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tf = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val n = df.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("dfreq")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
+  }
 }

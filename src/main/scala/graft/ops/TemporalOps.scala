@@ -123,4 +123,81 @@ object TemporalOps {
         (max(col(ts)).cast("long") - min(col(ts)).cast("long"))
           .as("duration_s"),
         count(lit(1)).as("n_events"))
+
+  /**
+   * Time-series gap-fill / resample: snap each row to a fixed `interval`
+   * grid bucket, keep the LAST observation per (key, bucket) — by
+   * (`ts`, `tieBreak`) order, fully deterministic — then materialize every
+   * missing grid bucket between each key's first and last observation and
+   * forward-fill the value from the most recent observed bucket
+   * (`observed = false` marks carried rows). The classic sensor/market-data
+   * densification the reference's pandas tier would do with
+   * `resample().ffill()`.
+   *
+   * Scale: one hash agg on (key, bucket) for the last-observation pick
+   * (max_by partial-aggregates map-side), one tiny agg for per-key spans,
+   * `sequence()` explodes the grid NARROWLY from the span row (never a
+   * driver loop), one equi-join on (key, bucket), one window per key for
+   * the fill. Grid volume is bounded by span/interval per key — the only
+   * watch-item at 100× is a key with a years-long span at fine step, which
+   * the caller bounds by choice of `interval`.
+   */
+  def gapFill(df: DataFrame, key: String, ts: String, tieBreak: String,
+              valueCol: String, interval: String): DataFrame = {
+    val bucket = date_trunc(interval, col(ts))
+    val obs = df
+      .groupBy(col(key), bucket.as("bucket"))
+      .agg(max_by(col(valueCol), struct(col(ts), col(tieBreak))).as("obs_value"))
+    val grid = obs.groupBy(col(key))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col(key), explode(sequence(col("b0"), col("b1"),
+        expr(s"INTERVAL 1 ${interval.toUpperCase}"))).as("bucket"))
+    val w = Window.partitionBy(key).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(key, "bucket"), "left")
+      .select(col(key), col("bucket"),
+        last(col("obs_value"), ignoreNulls = true).over(w).as("value_ff"),
+        col("obs_value").isNotNull.as("observed"))
+  }
+
+  /**
+   * Ordered-step funnel: for each `key`, step i's timestamp is the earliest
+   * event matching `steps(i)` that is STRICTLY after step i-1's timestamp
+   * (step 0 is the plain minimum). Emits one row per key present in `df`
+   * with `step_1_ts … step_n_ts` (null once the funnel breaks) and `depth`
+   * = number of steps completed. The standard product-analytics conversion
+   * funnel (view → click → purchase).
+   *
+   * Scale: each step is filter → hash agg on key → equi-join on key — n
+   * aggs + n joins for an n-step funnel, every one partial-aggregated and
+   * AQE-planned; events are filtered to the step's predicate BEFORE any
+   * shuffle, so each pass moves only that step's matching rows, never the
+   * corpus. No window over all events, no per-key sort.
+   */
+  def funnel(df: DataFrame, key: String, ts: String,
+             steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step predicate")
+    val keys = df.select(col(key)).distinct()
+    val stepAggs = steps.zipWithIndex.foldLeft(List.empty[(DataFrame, String)]) {
+      case (acc, (pred, i)) =>
+        val name = s"step_${i + 1}_ts"
+        val stepDf = acc match {
+          case Nil =>
+            df.filter(pred).groupBy(col(key)).agg(min(col(ts)).as(name))
+          case (prev, prevName) :: _ =>
+            df.filter(pred)
+              .join(prev.select(col(key), col(prevName)), key)
+              .filter(col(ts) > col(prevName))
+              .groupBy(col(key)).agg(min(col(ts)).as(name))
+        }
+        (stepDf, name) :: acc
+    }.reverse
+    val joined = stepAggs.foldLeft(keys) { case (acc, (stepDf, _)) =>
+      acc.join(stepDf, Seq(key), "left")
+    }
+    val depth = stepAggs.map { case (_, name) =>
+      when(col(name).isNotNull, 1L).otherwise(0L)
+    }.reduce(_ + _)
+    joined.withColumn("depth", depth)
+  }
 }

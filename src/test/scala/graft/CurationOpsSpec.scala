@@ -179,4 +179,95 @@ class CurationOpsSpec extends SparkSpec {
     // the common-token doc is more "typical of the corpus"
     out(0)._3 should be > out(1)._3
   }
+
+  test("intraDocDedup keeps the first occurrence of each segment, in order") {
+    val df = Seq(
+      // segments of 2: [a b][c d][a b][e f] → drop the repeat, keep order
+      (1L, "a b c d a b e f"),
+      // no repeats → unchanged
+      (2L, "x y z w"),
+      // tail segment shorter than segWords still participates
+      (3L, "p q p q p"))
+      .toDF("doc_id", "text")
+    val out = TextOps.intraDocDedup(df, "doc_id", "text", segWords = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    out(0) shouldBe ((1L, "a b c d e f", 3L, 1L))
+    out(1) shouldBe ((2L, "x y z w", 2L, 0L))
+    // doc 3: [p q][p q][p] → "p q p": the short tail "p" differs from "p q"
+    out(2) shouldBe ((3L, "p q p", 2L, 1L))
+  }
+
+  test("importanceWeights: target-typical docs score positive, off-target negative") {
+    val corpus = Seq(
+      (1L, "alpha alpha beta"),    // mixed
+      (2L, "alpha alpha alpha"),   // pure target-ish
+      (3L, "gamma gamma gamma"))   // never in target
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "alpha alpha alpha alpha"))
+      .toDF("doc_id", "text")
+    val out = TextOps.importanceWeights(corpus, target, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    // alpha: common in target AND corpus → positive llr; gamma: corpus-only
+    // (smoothed floor in the target LM) → negative
+    out.map(_._1) shouldBe Array(1L, 2L, 3L)
+    out(1)._3 should be > 0.0
+    out(2)._3 should be < 0.0
+    out(1)._3 should be > out(0)._3 // purer target-likeness ranks higher
+    // hand-check doc 2: llr(alpha) = ln((4+1)/(4+3)) - ln((5+1)/(9+3))
+    val expected = math.log(5.0 / 7.0) - math.log(6.0 / 12.0)
+    out(1)._3 shouldBe BigDecimal(expected)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("tfidfTopTerms ranks rare-but-frequent-in-doc terms first") {
+    val df = Seq(
+      (1L, "apple apple apple common"),
+      (2L, "banana banana common common"),
+      (3L, "common common common common"))
+      .toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Long, Double, Long)].collect()
+    // doc 1: apple tf=3 df=1 → 3·ln3 ≈ 3.296; common tf=1 df=3 → 0
+    out(0)._2 shouldBe "apple"
+    out(0)._4 shouldBe BigDecimal(3 * math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(1)._2 shouldBe "common" // score 0, still rank 2 of the doc's 2 terms
+    // doc 3 has only one distinct term → one row despite k=2
+    out.count(_._1 == 3L) shouldBe 1
+  }
+
+  test("blockedFuzzyJoin pairs only within blocks and within distance") {
+    val df = Seq(
+      (1L, "small ring"), (2L, "small ring"), (3L, "small king"),
+      (4L, "large ring"),                    // other block: never paired
+      (5L, "small cog"))                     // same block, dist > 2
+      .toDF("id", "name")
+    val out = graft.ext.DedupOps.blockedFuzzyJoin(df, "id", "name",
+        split(col("name"), " ").getItem(0), maxDist = 2)
+      .orderBy("id1", "id2").as[(Long, Long, String, String, Long)].collect()
+    out.map(r => (r._1, r._2, r._5)) shouldBe Array(
+      (1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L))
+  }
+
+  test("blockedFuzzyJoin maxBlockSize df-caps a hot block") {
+    val hot = (1L to 10L).map(i => (i, "hot name"))
+    val df = (hot :+ ((20L, "cold name")) :+ ((21L, "cold namey")))
+      .toDF("id", "name")
+    val out = graft.ext.DedupOps.blockedFuzzyJoin(df, "id", "name",
+        split(col("name"), " ").getItem(0), maxDist = 2, maxBlockSize = 5)
+      .as[(Long, Long, String, String, Long)].collect()
+    // the 10-row "hot" block is dropped; the 2-row "cold" block survives
+    out.map(r => (r._1, r._2)) shouldBe Array((20L, 21L))
+  }
+
+  test("percentileKeep keeps the top-q fraction per stratum, best row always kept") {
+    val df = (1L to 10L).map(i => (i, "en", i.toDouble)) :+ ((11L, "zh", 1.0))
+    val out = graft.ext.SamplingOps.percentileKeep(
+        df.toDF("id", "lang", "score"), "lang", "score", "id", q = 0.3)
+      .orderBy("id").as[(Long, String, Double, Double)].collect()
+    // en: scores 10,9,8 have pct_rank 0, 1/9, 2/9 ≤ 0.3; zh: single row → 0
+    out.map(_._1) shouldBe Array(8L, 9L, 10L, 11L)
+    out.last._4 shouldBe 0.0
+  }
 }

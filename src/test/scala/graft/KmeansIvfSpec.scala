@@ -169,4 +169,38 @@ class KmeansIvfSpec extends SparkSpec {
     full should be > 0.6
     full should be > degenerate
   }
+
+  test("pqRerankTopK with an unpruned candidate budget equals the exact top-k") {
+    val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, codes = 16, iters = 2, dim = 64)
+    val queries = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    // candidates ≥ corpus ⇒ the coarse pass prunes nothing and the
+    // full-precision re-rank IS brute force — exact equality, not a bound
+    val rerank = SimilarityOps.pqRerankTopK(queries, emb, cbs,
+        "vec_id", "embedding", k = 5, candidates = n)
+      .orderBy("query_id", "rank").collect()
+    val exact = SimilarityOps.cosineTopK(queries, emb,
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+    rerank shouldBe exact
+  }
+
+  test("pqRerankTopK recall is monotone in the candidate budget") {
+    val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, codes = 16, iters = 2, dim = 64)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.cosineTopK(queries, emb,
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    def recall(c: Int): Long =
+      SimilarityOps.pqRerankTopK(queries, emb, cbs,
+          "vec_id", "embedding", k = 5, candidates = c)
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+    val r5 = recall(5); val r20 = recall(20); val r80 = recall(80)
+    info(s"hits@5-candidates=$r5, @20=$r20, @80=$r80 (max ${5 * 10})")
+    r20 should be >= r5
+    r80 should be >= r20
+  }
 }

@@ -76,4 +76,65 @@ class TemporalOpsSpec extends SparkSpec {
     out(1).getAs[Long]("n_events") shouldBe 1L
     out(1).getAs[Long]("duration_s") shouldBe 0L
   }
+
+  test("gapFill materializes missing buckets and forward-fills the last observation") {
+    val df = Seq(
+      (1L, 10L, "2024-01-01 09:00:00", 1.0),
+      (2L, 10L, "2024-01-01 10:00:00", 2.0),   // same day, later ts → wins day 1
+      (3L, 10L, "2024-01-04 08:00:00", 7.0),   // days 2-3 missing → filled with 2.0
+      (4L, 11L, "2024-01-02 00:00:00", 5.0))   // single-day user: 1 row, observed
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    val out = TemporalOps.gapFill(df, "user_id", "ts", "event_id", "value", "day")
+      .orderBy("user_id", "bucket")
+      .select("user_id", "value_ff", "observed")
+      .as[(Long, Double, Boolean)].collect()
+    out shouldBe Array(
+      (10L, 2.0, true), (10L, 2.0, false), (10L, 2.0, false), (10L, 7.0, true),
+      (11L, 5.0, true))
+  }
+
+  test("gapFill picks the LAST same-bucket observation by (ts, tieBreak)") {
+    val df = Seq(
+      (5L, 1L, "2024-01-01 10:00:00", 1.0),
+      (9L, 1L, "2024-01-01 10:00:00", 3.0),   // ts tie → larger event_id wins
+      (1L, 1L, "2024-01-01 11:00:00", 9.0))   // latest ts beats both
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    TemporalOps.gapFill(df, "user_id", "ts", "event_id", "value", "day")
+      .head().getAs[Double]("value_ff") shouldBe 9.0
+  }
+
+  test("funnel requires strict step order and reports depth") {
+    val df = Seq(
+      // user 1: full funnel in order
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:05:00", "click"),
+      (3L, 1L, "2024-01-01 10:10:00", "purchase"),
+      // user 2: purchase BEFORE click → funnel stops at depth 2
+      (4L, 2L, "2024-01-01 10:00:00", "view"),
+      (5L, 2L, "2024-01-01 09:00:00", "purchase"),
+      (6L, 2L, "2024-01-01 11:00:00", "click"),
+      // user 3: never viewed → depth 0 even though it clicked
+      (7L, 3L, "2024-01-01 10:00:00", "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    val steps = Seq(col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase")
+    val out = TemporalOps.funnel(df, "user_id", "ts", steps)
+      .orderBy("user_id").select("user_id", "depth")
+      .as[(Long, Long)].collect()
+    out shouldBe Array((1L, 3L), (2L, 2L), (3L, 0L))
+  }
+
+  test("funnel step at the same instant as the previous step does not count") {
+    val df = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:00:00", "click"))  // not strictly after
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    TemporalOps.funnel(df, "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click"))
+      .head().getAs[Long]("depth") shouldBe 1L
+  }
 }
