@@ -632,6 +632,29 @@ object SparkEntry {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy("lang")),
 
+    // keep-BEST-per-cluster dedup: same dup graph as q_dedup_clusters, but
+    // the longest (n_chars) member of each transitive cluster survives
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      DedupOps.keepBestPerCluster(docs, "doc_id", "n_chars", pairs)
+        .select("doc_id", "n_chars", "n_members")
+        .orderBy("doc_id")
+    }),
+
+    // corpus top-20 bigrams via the native WordGrams kernel (codegen'd
+    // per-row n-gram expression → one (bigram, count) shuffle)
+    "q_bigram_top" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "documents")
+        .select(explode(call_function("graft_word_grams",
+          col("text"), lit(2))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
     // INTRA-document segment dedup (self-boilerplate cut): keep the first
     // occurrence of each 3-word segment within a doc — zero shuffle
     "q_intradoc_dedup" -> ((s, d) =>
@@ -667,6 +690,22 @@ object SparkEntry {
         "doc_id", q = 0.3)
         .select("doc_id", "lang", "n_chars", "pct_rank")
         .orderBy("doc_id")),
+
+    // sort-free approximate percentile gate (the 100 TB path of
+    // q_percentile_filter): sketch threshold + filter. Bound-based oracle:
+    // DuckDB computes exact per-stratum counts, the keep-fraction
+    // tolerance boolean is stipulated (sketch rank error ≤ 1/accuracy)
+    "q_percentile_filter_approx" -> ((s, d) => {
+      val kept = SamplingOps.percentileKeepApprox(t(s, d, "documents"),
+          "lang", "n_chars", q = 0.3, accuracy = 10000)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      t(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n"))
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n"),
+          (abs(coalesce(col("n_kept"), lit(0L)) - col("n") * 0.3)
+            <= col("n") * 0.05 + 2).as("keep_frac_ok"))
+        .orderBy("lang")
+    }),
 
     // SimHash near-dup pairs — banding is pigeonhole-EXACT for
     // hamming ≤ bands−1, so the oracle is the full all-pairs filter
@@ -1337,6 +1376,56 @@ object SparkEntry {
           min(col("o_totalprice")).as("lo"),
           max(col("o_totalprice")).as("hi"))
         .orderBy("bucket")),
+
+    // median absolute deviation (robust spread): two exact-percentile
+    // passes — per-group median, then median of |x − med|
+    "q_mad_robust" -> ((s, d) => {
+      val med = t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+      t(s, d, "orders").join(med, "o_orderstatus")
+        .groupBy(col("o_orderstatus"), col("med"))
+        .agg(round(expr("percentile(abs(o_totalprice - med), 0.5)"), 4)
+          .as("mad"), count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), round(col("med"), 4).as("median_price"),
+          col("mad"), col("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // null-safe equality join (<=>): the null-keyed rows MATCH (plain
+    // equality would drop them); explicit NULLS FIRST keeps cross-engine
+    // order identical
+    "q_null_safe_join" -> ((s, d) => {
+      val a = t(s, d, "orders")
+        .groupBy(expr("nullif(o_orderpriority, '1-URGENT')").as("k"))
+        .agg(count(lit(1)).as("n_a"))
+      val b = t(s, d, "orders")
+        .groupBy(expr("nullif(o_orderpriority, '2-HIGH')").as("k"))
+        .agg(count(lit(1)).as("n_b"))
+      a.join(b, a("k") <=> b("k"))
+        .select(a("k").as("k"), col("n_a"), col("n_b"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // z-score outlier detection: mean/std derived from EXACT integer-cent
+    // sums (identical doubles in both engines — no float-agg order drift),
+    // keep |z| > 2.5
+    "q_outlier_zscore" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("vc", round(col("value") * 100).cast(LongType))
+      val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("vc")).as("s1"),
+        sum(col("vc") * col("vc")).as("s2"))
+      val mean = col("s1").cast("double") / col("n") / 100.0
+      val variance = (col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+        (col("n") - 1) / 10000.0
+      ev.join(stats, "event_type")
+        .withColumn("z", (col("value") - mean) / sqrt(variance))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 4).as("z"))
+        .orderBy("event_id")
+    }),
 
     // deterministic mode (most frequent value, smallest on count ties — the
     // built-in `mode` is tie-arbitrary, so the argmax is explicit) + exact
@@ -2146,11 +2235,80 @@ object SparkEntry {
                                         ORDER BY cnt DESC, l_quantity ASC) AS rn
                              FROM counts) WHERE rn = 1),
               med AS (SELECT l_returnflag,
-                             ROUND(median(l_quantity), 4) AS median_qty,
+                             ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
                              CAST(COUNT(*) AS BIGINT) AS n
                       FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, mode_qty, median_qty, n
          FROM mode JOIN med USING (l_returnflag) ORDER BY l_returnflag""",
+
+    "q_dedup_keep_best" ->
+      """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+                     WHERE doc_id % 10 < 3),
+              edges AS (SELECT id1 AS a, id2 AS b FROM e0
+                        UNION ALL SELECT id2 AS a, id1 AS b FROM e0),
+              l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
+              l1 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l0 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l0 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l2 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l1 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l1 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l3 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l2 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l2 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              lab AS (SELECT d.doc_id, d.n_chars, COALESCE(l.label, d.doc_id) AS cl
+                      FROM documents d LEFT JOIN l3 l ON l.id = d.doc_id),
+              best AS (SELECT doc_id, n_chars,
+                              row_number() OVER (PARTITION BY cl
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                              CAST(COUNT(*) OVER (PARTITION BY cl) AS BIGINT) AS n_members
+                       FROM lab)
+         SELECT doc_id, n_chars, n_members
+         FROM best WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_bigram_top" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                           generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+              bg AS (SELECT a.tok || ' ' || b.tok AS bigram
+                     FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+         SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+         FROM bg GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
+
+    "q_mad_robust" ->
+      """WITH med AS (SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+                      FROM orders GROUP BY o_orderstatus)
+         SELECT o.o_orderstatus, ROUND(ANY_VALUE(med), 4) AS median_price,
+                ROUND(quantile_cont(abs(o_totalprice - med), 0.5), 4) AS mad,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders o JOIN med USING (o_orderstatus)
+         GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""",
+
+    "q_null_safe_join" ->
+      """WITH a AS (SELECT nullif(o_orderpriority, '1-URGENT') AS k,
+                           CAST(COUNT(*) AS BIGINT) AS n_a FROM orders GROUP BY 1),
+              b AS (SELECT nullif(o_orderpriority, '2-HIGH') AS k,
+                           CAST(COUNT(*) AS BIGINT) AS n_b FROM orders GROUP BY 1)
+         SELECT a.k AS k, a.n_a, b.n_b
+         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+         ORDER BY k NULLS FIRST""",
+
+    "q_outlier_zscore" ->
+      """WITH ev AS (SELECT event_id, event_type, value,
+                            CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+              st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                            SUM(vc) AS s1, SUM(vc * vc) AS s2
+                     FROM ev GROUP BY event_type),
+              z AS (SELECT event_id, ev.event_type, value,
+                           (value - CAST(s1 AS DOUBLE) / n / 100.0)
+                             / sqrt((CAST(s2 AS DOUBLE)
+                                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                                    / (n - 1) / 10000.0) AS z
+                    FROM ev JOIN st ON ev.event_type = st.event_type)
+         SELECT event_id, event_type, value, ROUND(z, 4) AS z
+         FROM z WHERE abs(z) > 2.5 ORDER BY event_id""",
 
     "q_intradoc_dedup" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
@@ -2191,6 +2349,10 @@ object SparkEntry {
          FROM v a JOIN v b ON a.block_key = b.block_key AND a.id < b.id
          WHERE levenshtein(a.s, b.s) <= 3
          ORDER BY id1, id2""",
+
+    "q_percentile_filter_approx" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS keep_frac_ok
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     "q_percentile_filter" ->
       """WITH r AS (SELECT doc_id, lang, n_chars,

@@ -661,6 +661,39 @@ object DedupOps {
    * dropping a super-hot block is the standard blocking-quality trade,
    * not a correctness loss (callers re-block hot rows on a finer key).
    */
+  /**
+   * Keep the BEST-scoring member of every duplicate cluster — the
+   * production keep rule for near-dup dedup (min-id keep, as in
+   * [[SimilarityOps.semanticDedup]], discards quality information; real
+   * pipelines keep the longest / highest-quality / most-recent member).
+   * `pairs` (id1, id2) are dup edges from any tier (MinHash, SimHash,
+   * embedding); clusters are their transitive closure via
+   * [[connectedComponentsStar]]; within each cluster the row with the
+   * highest `scoreCol` wins, ties toward the smaller id. Rows in no pair
+   * survive as their own singleton cluster (`n_members` = 1).
+   *
+   * Scale: components shuffle O(edges)/round (O(log d) rounds); the keep
+   * step is one (cluster, score-argmax) hash agg — max_by partial-
+   * aggregates map-side, so the exchange carries one candidate per
+   * (cluster, partition) — plus one id equi-join back to the corpus.
+   * Nothing touches all-pairs and nothing collects.
+   */
+  def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+                         pairs: DataFrame): DataFrame = {
+    val clusters = connectedComponentsStar(pairs) // (id, cluster_id)
+    val lab = df
+      .select(col(idCol).cast("long").as("__kb_id"), col(scoreCol).as("__kb_s"))
+      .join(clusters, col("__kb_id") === col("id"), "left")
+      .select(col("__kb_id"), col("__kb_s"),
+        coalesce(col("cluster_id"), col("__kb_id")).as("__kb_cl"))
+    val best = lab.groupBy("__kb_cl").agg(
+      max_by(col("__kb_id"), struct(col("__kb_s"), -col("__kb_id")))
+        .as("__kb_keep"),
+      count(lit(1)).as("n_members"))
+    df.join(best, col(idCol).cast("long") === col("__kb_keep"))
+      .drop("__kb_cl", "__kb_keep")
+  }
+
   def blockedFuzzyJoin(df: DataFrame, idCol: String, strCol: String,
                        blockKey: Column, maxDist: Int,
                        maxBlockSize: Int = Int.MaxValue): DataFrame = {

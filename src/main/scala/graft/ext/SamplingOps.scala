@@ -294,4 +294,27 @@ object SamplingOps {
     df.withColumn("pct_rank", round(percent_rank().over(w), 6))
       .filter(col("pct_rank") <= q)
   }
+
+  /**
+   * The 100 TB form of [[percentileKeep]]: instead of ranking every row
+   * within its stratum (a per-stratum sort), compute each stratum's
+   * approximate (1−q)-quantile score threshold with `approx_percentile`
+   * (ONE mergeable-sketch aggregate — no sort anywhere), broadcast the
+   * per-stratum thresholds back, and keep rows with `score ≥ threshold`.
+   * Keep-fraction error is bounded by the sketch's rank accuracy (1/
+   * `accuracy` relative rank); kept rows are always a top slice by score
+   * (min kept ≥ max dropped within each stratum, by construction — the
+   * sort-free filter can never interleave).
+   */
+  def percentileKeepApprox(df: DataFrame, stratumCol: String,
+                           scoreCol: String, q: Double,
+                           accuracy: Int = 10000): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"q must be in (0,1], got $q")
+    val thr = df.groupBy(stratumCol)
+      .agg(percentile_approx(col(scoreCol), lit(1.0 - q), lit(accuracy))
+        .as("__pk_thr"))
+    df.join(broadcast(thr), stratumCol)
+      .filter(col(scoreCol) >= col("__pk_thr"))
+      .drop("__pk_thr")
+  }
 }

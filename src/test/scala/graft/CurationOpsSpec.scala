@@ -261,6 +261,21 @@ class CurationOpsSpec extends SparkSpec {
     out.map(r => (r._1, r._2)) shouldBe Array((20L, 21L))
   }
 
+  test("percentileKeepApprox: in-tolerance keep fraction, kept rows are a clean top slice") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b", (i * 7 % 101).toDouble))
+      .toDF("id", "stratum", "score")
+    val kept = graft.ext.SamplingOps.percentileKeepApprox(
+      df, "stratum", "score", q = 0.3, accuracy = 10000)
+    val perStratum = kept.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    perStratum.values.foreach { n => n.toDouble shouldBe 30.0 +- 4.0 }
+    // threshold filters can never interleave: min kept ≥ max dropped
+    val dropped = df.join(kept.select("id"), Seq("id"), "left_anti")
+    val minKept = kept.groupBy("stratum").agg(min("score").as("mk"))
+    val maxDrop = dropped.groupBy("stratum").agg(max("score").as("md"))
+    minKept.join(maxDrop, "stratum")
+      .filter(col("mk") < col("md")).count() shouldBe 0L
+  }
+
   test("percentileKeep keeps the top-q fraction per stratum, best row always kept") {
     val df = (1L to 10L).map(i => (i, "en", i.toDouble)) :+ ((11L, "zh", 1.0))
     val out = graft.ext.SamplingOps.percentileKeep(

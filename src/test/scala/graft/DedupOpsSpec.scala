@@ -336,4 +336,19 @@ class DedupOpsSpec extends SparkSpec {
     out.map(_._1) shouldBe Array(1L, 2L)
     out(0)._3 shouldBe 3L
   }
+
+  test("keepBestPerCluster keeps the top-score member transitively, singletons survive") {
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L),   // cluster {1,2,3} via 1-2, 2-3
+      (4L, 7L),                          // singleton
+      (5L, 5L), (6L, 5L))                // cluster {5,6}, score tie → min id
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val out = DedupOps.keepBestPerCluster(docs, "id", "score", pairs)
+      .select("id", "score", "n_members")
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    // doc 3 never shares an edge with 2's cluster-mate 1, but the closure
+    // still ranks it against both; 2 wins on score
+    out shouldBe Array((2L, 99L, 3L), (4L, 7L, 1L), (5L, 5L, 2L))
+  }
 }
