@@ -266,4 +266,87 @@ object StreamingPipeline {
           next
       }
   }
+
+  /**
+   * Streaming NEAR-DUP-GATED corpus ingest — the continuous form of the
+   * training-data admission pipeline: every micro-batch of documents is
+   * (1) deduplicated WITHIN the batch (MinHash pairs → star connected
+   * components → keep the min-id member of each transitive cluster), then
+   * (2) checked against the persisted corpus [[graft.ext.DedupOps.bandIndex]]
+   * ([[graft.ext.DedupOps.incrementalNearDupPairs]] — the corpus is never
+   * re-shingled), and only the survivors are admitted: appended to the
+   * corpus store AND to the band index (both writes land in a
+   * `batch_id=N` subdirectory via OVERWRITE, so a crashed batch replays
+   * idempotently — the foreachBatch at-least-once contract becomes
+   * exactly-once at the directory level, the same discipline as
+   * [[keyedIngestWithQc]]'s dead letters). Rejected rows land under
+   * `rejectPath/batch_id=N` with the same guarantee.
+   *
+   * Scale: per batch, the kernel shingle pass runs over the BATCH only;
+   * the index join shuffles O(batch × bands) 16-byte keys; corpus text is
+   * read once, column-pruned, only for verification candidates. Index
+   * maintenance is append-only — O(admitted), never O(corpus).
+   */
+  def dedupIngest(spark: SparkSession, docs: DataFrame, idCol: String,
+                  textCol: String, corpusPath: String, indexPath: String,
+                  rejectPath: String, checkpoint: String,
+                  n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                  threshold: Double = 0.8): StreamingQuery = {
+    import graft.ext.DedupOps
+    // batch ids restart at 0 under a fresh checkpoint — scope every write
+    // by a checkpoint-derived run tag so a NEW ingest run appends alongside
+    // prior runs while a REPLAYED batch still overwrites its own directory
+    val runTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).take(4).map("%02x".format(_))
+      .mkString
+    docs.writeStream
+      .queryName("graft_dedup_ingest")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          try {
+            val pairs = DedupOps.minhashDedupPairs(b, idCol, textCol,
+              n, numHashes, bands, threshold).select("id1", "id2")
+            val batchKept =
+              if (pairs.isEmpty) b
+              else {
+                val losers = DedupOps.connectedComponentsStar(pairs)
+                  .filter(col("id") =!= col("cluster_id"))
+                  .select(col("id").as("__lose"))
+                b.join(losers, col(idCol) === col("__lose"), "left_anti")
+              }
+            val fs = new org.apache.hadoop.fs.Path(indexPath)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val rejectedVsCorpus =
+              if (fs.exists(new org.apache.hadoop.fs.Path(indexPath))) {
+                val idx = spark.read.parquet(indexPath)
+                  .select("band_key", "id")
+                val ctext = spark.read.parquet(corpusPath)
+                  .select(col(idCol), col(textCol))
+                DedupOps.incrementalNearDupPairs(batchKept, idCol, textCol,
+                    idx, ctext, n, numHashes, bands, threshold)
+                  .select(col("new_id").as(idCol)).distinct()
+              } else batchKept.select(idCol).limit(0)
+            val admitted = batchKept
+              .join(rejectedVsCorpus, Seq(idCol), "left_anti").persist()
+            try {
+              val rejected = b.join(admitted.select(idCol), Seq(idCol),
+                "left_anti")
+              if (!rejected.isEmpty)
+                rejected.write.mode("overwrite")
+                  .parquet(s"$rejectPath/run=$runTag/batch_id=$batchId")
+              admitted.write.mode("overwrite")
+                .parquet(s"$corpusPath/run=$runTag/batch_id=$batchId")
+              DedupOps.bandIndex(admitted, idCol, textCol, n, numHashes,
+                  bands)
+                .write.mode("overwrite")
+                .parquet(s"$indexPath/run=$runTag/batch_id=$batchId")
+            } finally admitted.unpersist(blocking = false)
+          } finally b.unpersist(blocking = false)
+        }
+      }
+      .start()
+  }
 }

@@ -200,4 +200,50 @@ class StreamingPipelineSpec extends SparkSpec {
     streamed.count() shouldBe batch.count()
     streamed.except(batch).count() shouldBe 0L
   }
+
+  test("dedupIngest: in-batch dups collapse, corpus near-dups reject, index grows append-only") {
+    val work = Files.createTempDirectory("graft_dedup_ingest_").toString
+    val corpus = s"$work/corpus"; val index = s"$work/index"
+    val rejects = s"$work/rejects"
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def stream(dir: String) =
+      spark.readStream.schema(docSchema).parquet(dir)
+    def ingest(srcDir: String, cp: String) = {
+      val q = StreamingPipeline.dedupIngest(spark, stream(srcDir),
+        "doc_id", "text", corpus, index, rejects, cp,
+        n = 2, numHashes = 16, bands = 4, threshold = 0.9)
+      q.awaitTermination()
+    }
+
+    // batch 1: two distinct docs — both admitted, index seeded
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/src1")
+    ingest(s"$work/src1", s"$work/cp1")
+    spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().sorted shouldBe Array(1L, 2L)
+
+    // batch 2: doc 3 duplicates corpus doc 1 → rejected against the index;
+    // docs 4 and 5 are identical WITHIN the batch → min-id 4 admitted;
+    // admission is append-only (docs 1-2 untouched)
+    Seq(
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "seven eight nine ten eleven twelve"),
+      (5L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/src2")
+    ingest(s"$work/src2", s"$work/cp2")
+
+    spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().sorted shouldBe Array(1L, 2L, 4L)
+    spark.read.parquet(rejects).select("doc_id")
+      .as[Long].collect().sorted shouldBe Array(3L, 5L)
+    // the band index covers exactly the admitted docs
+    spark.read.parquet(index).select("id").distinct()
+      .as[Long].collect().sorted shouldBe Array(1L, 2L, 4L)
+  }
 }
