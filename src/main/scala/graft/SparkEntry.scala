@@ -596,6 +596,13 @@ object SparkEntry {
         n = 3, threshold = 0.5, maxShingleDf = 50)
         .orderBy("id1", "id2")),
 
+    // asymmetric containment pairs (quote/subset detection — high when a
+    // short doc is wholly inside a long one even though Jaccard is tiny)
+    "q_containment_pairs" -> ((s, d) =>
+      DedupOps.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 50)
+        .orderBy("id_sub", "id_super")),
+
     // sliding-window chunking (RAG indexing / context packing): pure
     // per-row explode, zero shuffle; overlap factor chunk/stride = 2×
     "q_chunk_docs" -> ((s, d) =>
@@ -1154,6 +1161,15 @@ object SparkEntry {
         .orderBy("l_returnflag")),
 
     // ---- relational surface: joins & subquery shapes -------------------------
+
+    // correlated LATERAL subquery: per-group top-n expressed as a lateral
+    // (Catalyst plans DomainJoin→decorrelation; same SQL runs in DuckDB)
+    "q_lateral_join" -> ((s, d) => sqlq(s, d, Seq("nation", "customer"),
+      """SELECT n_name, c_custkey, c_acctbal
+         FROM nation, LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                               WHERE c_nationkey = n_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+         ORDER BY n_name, c_acctbal DESC, c_custkey""")),
 
     // left outer join + two-level agg (TPC-H Q13 shape)
     "q_left_join_count_dist" -> ((s, d) =>
@@ -2138,6 +2154,27 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
 
+    "q_containment_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              sh AS (SELECT DISTINCT doc_id AS id,
+                            CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
+                     FROM grams),
+              sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+              kept AS (SELECT s.id, s.sh FROM sh s
+                       JOIN (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh) d
+                         ON d.sh = s.sh
+                       WHERE d.df <= 50),
+              common AS (SELECT a.id AS id_sub, b.id AS id_super, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM kept a JOIN kept b ON a.sh = b.sh AND a.id <> b.id
+                         GROUP BY a.id, b.id)
+         SELECT id_sub, id_super, ROUND(CAST(c AS DOUBLE) / s1.sz, 4) AS containment
+         FROM common JOIN sizes s1 ON s1.id = id_sub
+         WHERE ROUND(CAST(c AS DOUBLE) / s1.sz, 4) >= 0.5
+         ORDER BY id_sub, id_super""",
+
     "q_ngram_jaccard_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
               grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
@@ -2906,6 +2943,13 @@ object SparkEntry {
                 ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
                 ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_lateral_join" ->
+      """SELECT n_name, c_custkey, c_acctbal
+         FROM nation, LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                               WHERE c_nationkey = n_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+         ORDER BY n_name, c_acctbal DESC, c_custkey""",
 
     "q_left_join_count_dist" ->
       """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_cust

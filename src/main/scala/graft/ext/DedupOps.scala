@@ -110,6 +110,39 @@ object DedupOps {
       .select("id1", "id2", "jaccard")
   }
 
+  /**
+   * ASYMMETRIC containment pairs — the quote/subset detector Jaccard
+   * misses: `containment(A in B) = |shingles(A) ∩ shingles(B)| / |A|`
+   * is ~1.0 when a short document is wholly quoted inside a long one,
+   * while their Jaccard stays near |A|/|B| (tiny). Emits every ORDERED
+   * pair (id_sub, id_super) with containment ≥ threshold — both
+   * directions are reported when two docs mutually contain each other.
+   *
+   * Same inverted-index shape and scale contract as [[jaccardPairs]]:
+   * only docs sharing ≥1 shingle ever meet, |A| rides the exploded rows
+   * (sizes computed BEFORE the df-cap, so capped pairs can only lose
+   * score), hot shingles df-capped via the shared one-exchange pass.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sh = dropHotKeys(
+      spread(df)
+        .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sha"))
+        .select(col("id"), size(col("sha")).cast("bigint").as("sz"),
+          explode(col("sha")).as("sh")),
+      "sh", maxShingleDf)
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_sub"), col("b.id").as("id_super"),
+        col("a.sz").as("sz_sub"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        round(col("common").cast("double") / col("sz_sub"), 4))
+      .filter(col("containment") >= threshold)
+      .select("id_sub", "id_super", "containment")
+  }
+
   /** Spread a FEW-SPLIT input across the cluster before CPU-heavy per-row
     * work — signature cost is O(shingles × hashes) per doc and must not be
     * bound by the source's split count. Conditional: a 100 TB corpus

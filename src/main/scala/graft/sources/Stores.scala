@@ -436,6 +436,28 @@ object Stores {
   }
 
   /**
+   * Parquet BLOOM-FILTER layout write — the point-lookup complement of
+   * [[writeRangeSorted]]'s min-max skipping: min-max stats prune RANGE
+   * predicates but are useless for `key = X` probes on a column whose
+   * values interleave across files (every file's [min,max] straddles X).
+   * A per-row-group bloom filter answers "definitely absent" for equality
+   * probes, so a needle lookup over 100 TB opens row groups instead of
+   * scanning them — the standard trick for id-probe tables (dedup
+   * verification reads, incremental-merge key probes). `ndv` sizes the
+   * filter (~1.2 GB per 10⁹ distinct keys at 1% fpp, split across row
+   * groups). Readers get the skipping for free
+   * (`spark.sql.parquet.filterPushdown` is on by default).
+   */
+  def writeBloomFiltered(df: DataFrame, path: String, bloomCols: Seq[String],
+                         ndv: Long = 1000000L): Unit =
+    bloomCols.foldLeft(
+        df.write.mode("overwrite").option("compression", ParquetCodec)) {
+      (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+
+  /**
    * Z-ORDER layout write — multi-dimensional data skipping where
    * [[writeRangeSorted]] covers one dimension: interleave the bits of two
    * integer-keyed columns into a single Morton code and range-sort on it.

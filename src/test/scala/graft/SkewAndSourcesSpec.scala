@@ -229,4 +229,32 @@ class SkewAndSourcesSpec extends SparkSpec {
     (f1 intersect f2) should not be empty   // the shared sentence ≥ w+k−1 chars
     (f1 intersect f3) shouldBe empty
   }
+
+  test("writeBloomFiltered: footers carry a bloom filter for the declared column only") {
+    val work = Files.createTempDirectory("graft_bloom_").toString
+    val df = Stores.table(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Stores.writeBloomFiltered(df, s"$work/t", Seq("o_orderkey"), ndv = 100000L)
+
+    // same rows back, and the parquet footer has a bloom filter on the
+    // declared column but not on others
+    spark.read.parquet(s"$work/t").count() shouldBe df.count()
+    val part = new java.io.File(s"$work/t").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val rg = reader.getRowGroups.get(0)
+      val byCol = rg.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      reader.getBloomFilterDataReader(rg)
+        .readBloomFilter(byCol("o_orderkey")) should not be null
+      reader.getBloomFilterDataReader(rg)
+        .readBloomFilter(byCol("o_totalprice")) shouldBe null
+    } finally reader.close()
+  }
 }
