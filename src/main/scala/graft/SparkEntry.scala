@@ -1115,6 +1115,50 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // cohort retention: users grouped by first-activity day, distinct
+    // active users per (cohort, day-offset) — output is days² regardless
+    // of corpus size
+    "q_retention_cohorts" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val firsts = ev.groupBy("user_id")
+        .agg(min(date_trunc("day", col("ts"))).as("cohort"))
+      val active = ev.select(col("user_id"),
+        date_trunc("day", col("ts")).as("day")).distinct()
+      active.join(firsts, "user_id")
+        .groupBy(col("cohort"),
+          datediff(col("day"), col("cohort")).cast(LongType).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    }),
+
+    // per-user ordered action journey (sequence features for behavioral
+    // models): chronological event-type string, capped at 20 steps
+    "q_event_sequence" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(slice(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), 1, 20), ">").as("journey"))
+        .orderBy("user_id")),
+
+    // event-type transition matrix (Markov chain estimate): per-user
+    // consecutive pairs → global counts + row-normalized probabilities
+    "q_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wp = Window.partitionBy("prev")
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("curr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(wp), 6))
+        .orderBy("prev", "curr")
+    }),
+
     // time-RANGE window frame: trailing 1-hour sum/count per user — the
     // value-range frame (vs q_moving_window's row frame); frame membership
     // depends only on the ordering VALUE, so ties need no tie-break
@@ -2887,6 +2931,32 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+
+    "q_retention_cohorts" ->
+      """WITH firsts AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort
+                         FROM events GROUP BY user_id),
+              active AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+         SELECT cohort, CAST(datediff('day', cohort, day) AS BIGINT) AS day_offset,
+                CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+         FROM active a JOIN firsts f ON a.user_id = f.user_id
+         GROUP BY cohort, datediff('day', cohort, day)
+         ORDER BY cohort, day_offset""",
+
+    "q_event_sequence" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                array_to_string((list(event_type ORDER BY ts, event_id))[1:20], '>') AS journey
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_markov_transitions" ->
+      """WITH lagged AS (SELECT user_id, event_type AS curr,
+                                lag(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+                         FROM events),
+              counts AS (SELECT prev, curr, CAST(COUNT(*) AS BIGINT) AS n
+                         FROM lagged WHERE prev IS NOT NULL GROUP BY prev, curr)
+         SELECT prev, curr, n,
+                ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev), 6) AS p
+         FROM counts ORDER BY prev, curr""",
 
     "q_range_frame" ->
       """WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value
