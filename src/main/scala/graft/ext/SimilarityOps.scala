@@ -374,13 +374,91 @@ object SimilarityOps {
       : Seq[Seq[Seq[Float]]] = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     val w = dim / m
-    (0 until m).map { s =>
-      val sliced = df.select(col(idCol),
-        slice(col(vecCol), s * w + 1, w).as("__pq_sub"))
-      kmeansCentroids(sliced, idCol, "__pq_sub", codes, iters, w,
-        init = samplePlusPlusCentroids(_, _, _, _))
-        .sortBy(_._1).map(_._2)           // code id = index, id-ordered
+    GraftFunctions.register(df.sparkSession)
+
+    // ONE candidate pool for every subspace: the pool is picked by
+    // fingerprint order of the IDs, which doesn't depend on the subspace —
+    // collect the full vectors once and slice driver-side (the naive
+    // per-subspace loop re-ran this job m times on the same rows).
+    val pool = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        TextOps.fingerprint60(col(idCol).cast("string")).as("fp"))
+      .orderBy(col("fp"), col("id"))
+      .limit(math.max(256, codes))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(pool.nonEmpty, "pqTrainCodebooks on an empty frame")
+
+    def sliceOf(vec: Array[Float], s: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(vec, s * w, (s + 1) * w)
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 1.0 else 1.0 - dot / d
     }
+    // greedy farthest-point per subspace over the shared pool — the same
+    // deterministic k-means++-style seeding as samplePlusPlusCentroids,
+    // driver-side on model-sized data; code id = index in id order
+    def seed(s: Int): Array[Array[Float]] = {
+      val sub = pool.map { case (id, v) => (id, sliceOf(v, s)) }
+      val chosen = scala.collection.mutable.ArrayBuffer(sub.head)
+      val minD = sub.map(p => cosD(p._2, sub.head._2))
+      while (chosen.size < math.min(codes, sub.length)) {
+        var best = -1; var bestD = -1.0; var i = 0
+        while (i < sub.length) {
+          if (!chosen.exists(_._1 == sub(i)._1) &&
+            (minD(i) > bestD ||
+              (minD(i) == bestD && best >= 0 && sub(i)._1 < sub(best)._1))) {
+            best = i; bestD = minD(i)
+          }
+          i += 1
+        }
+        chosen += sub(best)
+        i = 0
+        while (i < sub.length) {
+          val d = cosD(sub(i)._2, sub(best)._2)
+          if (d < minD(i)) minD(i) = d
+          i += 1
+        }
+      }
+      chosen.sortBy(_._1).map(_._2).toArray
+    }
+    val books = (0 until m).map(seed).toArray
+
+    // Lloyd iterations, ALL subspaces in ONE job per round: per row, build
+    // (subspace, nearest-code, subvector) structs and explode — the
+    // groupBy(s, cell) VectorMean shuffles one (w-dim, count) buffer per
+    // (subspace, code, partition). The naive loop ran m jobs per round
+    // over the same corpus; this runs one.
+    val vm = udaf(new graft.functions.VectorAggregators.VectorMean(w))
+    var iter = 0
+    while (iter < iters) {
+      val subEntries = (0 until m).map { s =>
+        val sub = slice(col(vecCol), s * w + 1, w)
+        val entries = books(s).zipWithIndex.map { case (vec, j) =>
+          struct(cosineNative(sub, typedlit(vec.toSeq)).as("cs"),
+            lit(-j).as("nc"))
+        }
+        val code = (-array_max(array(entries: _*)).getField("nc")).cast("int")
+        struct(lit(s).as("s"), code.as("cell"), sub.as("sv"))
+      }
+      val means = df
+        .select(explode(array(subEntries: _*)).as("e"))
+        .groupBy(col("e.s").as("s"), col("e.cell").as("cell"))
+        .agg(vm(col("e.sv")).as("mean"))
+        .collect()
+      means.foreach { r =>
+        // empty cells keep their previous codebook vector
+        books(r.getInt(0))(r.getInt(1)) =
+          r.getSeq[Double](2).map(_.toFloat).toArray
+      }
+      iter += 1
+    }
+    books.map(_.map(_.toSeq).toSeq).toSeq
   }
 
   /**
