@@ -616,6 +616,22 @@ object SparkEntry {
       TextOps.unigramLogProbs(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // corpus-bigram conditional LM scoring (one order above
+    // q_unigram_logprob): unsmoothed exact-integer ratios, text never moves
+    "q_bigram_logprob" -> ((s, d) =>
+      TextOps.bigramLogProbs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // token frequency spectrum (count-of-counts, the Zipf diagnostic):
+    // how many distinct tokens occur exactly f times, lowest 20 f values
+    "q_token_spectrum" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("freq"))
+        .groupBy("freq").agg(count(lit(1)).as("n_tokens"))
+        .orderBy("freq")
+        .limit(20)),
+
     // CCNet-style segment-level dedup: drop 3-word segments shared by > 2
     // docs; counts shuffle 16-byte fingerprints, text shuffles exactly once
     "q_segment_dedup" -> ((s, d) =>
@@ -2261,6 +2277,25 @@ object SparkEntry {
               lp AS (SELECT t, ln(c / (SELECT n FROM tot)) AS logp FROM vocab)
          SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logprob
          FROM tok JOIN lp USING (t) GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                           generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+              bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+                     FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+              c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+              c1 AS (SELECT tok, COUNT(*) AS c1 FROM t GROUP BY tok),
+              lp AS (SELECT c2.bg, ln(CAST(c2.c2 AS DOUBLE) / c1.c1) AS logp
+                     FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.tok)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                ROUND(AVG(logp), 6) AS avg_logprob
+         FROM bg JOIN lp USING (bg) GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_token_spectrum" ->
+      """WITH c AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+              v AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS freq FROM c GROUP BY t)
+         SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_tokens
+         FROM v GROUP BY freq ORDER BY freq LIMIT 20""",
 
     "q_segment_dedup" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

@@ -363,11 +363,13 @@ object SimilarityOps {
    * floats, a pure model artifact (16 codebooks × 16 codes × 8 dims =
    * 2 KB for a 128-dim corpus).
    *
-   * Scale: training runs `m` small k-means jobs over NARROW slices of the
-   * corpus (each pass projects dim/m floats per row, nothing shuffles but
-   * the VectorMean partial buffers); at 100 TB one trains on a
-   * [[SamplingOps.hashSample]] of the corpus instead — same call, sampled
-   * input.
+   * Scale: training runs ONE job per Lloyd round for ALL `m` subspaces —
+   * the shared seeding pool (fingerprint-ordered ids, subspace-independent)
+   * is collected once, and each round assigns every subspace's nearest
+   * code in one projection and aggregates a subspace-exploded VectorMean
+   * (nothing shuffles but the (subspace, code) partial buffers); at 100 TB
+   * one trains on a [[SamplingOps.hashSample]] of the corpus instead —
+   * same call, sampled input.
    */
   def pqTrainCodebooks(df: DataFrame, idCol: String, vecCol: String,
                        m: Int, codes: Int, iters: Int, dim: Int)

@@ -437,6 +437,44 @@ object TextOps {
   }
 
   /**
+   * Corpus-BIGRAM language-model scoring — one order up from
+   * [[unigramLogProbs]] and a step closer to the KenLM-perplexity filter:
+   * each document is scored by the mean conditional log-probability of its
+   * bigrams, `ln P(b|a) = ln(count(a b) / count(a))`, with both counts
+   * estimated from the whole corpus. Every scored bigram is by definition
+   * observed in the corpus (the corpus scores itself), so the unsmoothed
+   * ratio is exact integer arithmetic — identical doubles across engines.
+   * Repetitive/templated text scores high; token-salad tails score low.
+   *
+   * Scale shape: bigram extraction is the per-row codegen
+   * [[graft.functions.WordGrams]] kernel (zero shuffle); the bigram and
+   * unigram vocabulary aggregates are the only token-volume shuffles; the
+   * conditional-probability table is vocabulary-sized (broadcasts when it
+   * fits); the per-doc mean is one doc-keyed aggregate. Text never
+   * shuffles.
+   */
+  def bigramLogProbs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val bgs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(call_function("graft_word_grams", col(textCol), lit(2)))
+          .as("bg"))
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("t"))
+    val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = toks.groupBy("t").agg(count(lit(1)).as("c1"))
+    val lp = c2
+      .withColumn("t", substring_index(col("bg"), " ", 1))
+      .join(c1, "t")
+      .select(col("bg"),
+        log(col("c2").cast("double") / col("c1")).as("logp"))
+    bgs.join(lp, "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 6).as("avg_logprob"))
+  }
+
+  /**
    * Per-document top-k terms by tf-idf — the classic keyword-extraction /
    * doc-representation primitive (the per-DOC dual of [[bm25TopK]]'s
    * per-QUERY ranking): `score(d, t) = tf(d,t) · ln(N / df(t))`, ties

@@ -219,6 +219,20 @@ class CurationOpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("bigramLogProbs scores docs by corpus conditional bigram probabilities") {
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // c1: a=3 b=2 c=1; c2: "a b"=2 "b a"=1 "a c"=1
+    val out = TextOps.bigramLogProbs(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(0) shouldBe ((1L, 3L,
+      r6((math.log(2.0 / 3) + math.log(1.0 / 2) + math.log(2.0 / 3)) / 3)))
+    out(1) shouldBe ((2L, 1L, r6(math.log(1.0 / 3))))
+    // the templated repeat scores higher than the one-off continuation
+    out(0)._3 should be > out(1)._3
+  }
+
   test("tfidfTopTerms ranks rare-but-frequent-in-doc terms first") {
     val df = Seq(
       (1L, "apple apple apple common"),
