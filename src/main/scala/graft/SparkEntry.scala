@@ -1019,6 +1019,26 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // embedding cluster-health report: per-label member count + mean/min
+    // cosine to the label centroid (collapsed/polluted cluster detector)
+    "q_label_dispersion" -> ((s, d) =>
+      SimilarityOps.labelDispersion(t(s, d, "embeddings"), "label",
+          "embedding", dim = 64)
+        .select(col("label").cast(LongType).as("label"), col("n"),
+          col("mean_cos"), col("min_cos"))
+        .orderBy("label")),
+
+    // distribution drift (PSI) between the first and second half of the
+    // event stream, over fixed-width value buckets
+    "q_drift_psi" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      QualityCheck.driftPsi(
+          ev.filter(col("ts") < lit("2024-01-15 00:00:00").cast(TimestampType)),
+          ev.filter(col("ts") >= lit("2024-01-15 00:00:00").cast(TimestampType)),
+          floor(col("value") / 50).cast(LongType))
+        .orderBy("bucket")
+    }),
+
     // typed UDAF: element-wise vector mean per label (k-means centroid step)
     "q_vector_mean_by_label" -> ((s, d) => {
       val vm = udaf(new graft.functions.VectorAggregators.VectorMean(8))
@@ -1129,6 +1149,44 @@ object SparkEntry {
           .cast("double").as("mv_sum"),
         count(lit(1)).over(w).as("mv_n"))
         .orderBy("event_id")
+    }),
+
+    // interval union (gaps-and-islands): each event opens a 30-min activity
+    // interval; overlapping intervals merge and total covered seconds are
+    // reported per user — running-max window + island id + one agg
+    "q_interval_union" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("s").asc, col("e").asc, col("event_id").asc)
+      val prevMaxEnd = max(col("e"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val island = sum(when(prevMaxEnd.isNull || col("s") > prevMaxEnd, 1L)
+        .otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("s"),
+          (col("ts").cast("long") + 1800L).as("e"))
+        .withColumn("island", island)
+        .groupBy("user_id", "island")
+        .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("i_end") - col("i_start")).as("covered_s"))
+        .orderBy("user_id")
+    }),
+
+    // ratio-to-report window: each customer's share of its nation's
+    // account balance total (window sum, no self-join)
+    "q_ratio_to_report" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+      t(s, d, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        // exact decimal sum → double division (decimal/decimal division
+        // scale rules differ across engines; double-over-exact does not)
+        round(col("c_acctbal").cast(DecimalType(18, 2)).cast("double") /
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).over(w)
+            .cast("double"), 8).as("share"))
+        .orderBy("c_custkey")
     }),
 
     // cohort retention: users grouped by first-activity day, distinct
@@ -2288,7 +2346,7 @@ object SparkEntry {
               lp AS (SELECT c2.bg, ln(CAST(c2.c2 AS DOUBLE) / c1.c1) AS logp
                      FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.tok)
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                ROUND(AVG(logp), 6) AS avg_logprob
+                ROUND(AVG(logp), 6) + 0.0 AS avg_logprob
          FROM bg JOIN lp USING (bg) GROUP BY doc_id ORDER BY doc_id""",
 
     "q_token_spectrum" ->
@@ -2453,7 +2511,7 @@ object SparkEntry {
                              - ln((cc + 1.0) / (tot.nc + tot.nv)) AS llr
                      FROM j, tot)
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                ROUND(AVG(llr), 6) AS avg_llr
+                ROUND(AVG(llr), 6) + 0.0 AS avg_llr
          FROM ct JOIN lr USING (t) GROUP BY doc_id ORDER BY doc_id""",
 
     "q_blocked_fuzzy_join" ->
@@ -2871,6 +2929,43 @@ object SparkEntry {
          FROM embeddings e JOIN sz ON e.vec_id = sz.cluster_id
          ORDER BY e.vec_id""",
 
+    "q_label_dispersion" ->
+      """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              cent AS (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c
+                       FROM embeddings, idx GROUP BY label, i),
+              sc AS (SELECT e.vec_id, e.label,
+                            SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.c) AS dot,
+                            SUM(CAST(e.embedding[c.i] AS DOUBLE) * CAST(e.embedding[c.i] AS DOUBLE)) AS nv,
+                            SUM(c.c * c.c) AS nc
+                     FROM embeddings e JOIN cent c ON c.label = e.label
+                     GROUP BY e.vec_id, e.label),
+              cosr AS (SELECT vec_id, label,
+                              ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS cos
+                       FROM sc)
+         SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(CAST(SUM(CAST(cos AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos,
+                ROUND(MIN(cos), 6) AS min_cos
+         FROM cosr GROUP BY label ORDER BY label""",
+
+    "q_drift_psi" ->
+      """WITH ref AS (SELECT CAST(floor(value / 50) AS BIGINT) AS bucket FROM events
+                      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+              cur AS (SELECT CAST(floor(value / 50) AS BIGINT) AS bucket FROM events
+                      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+              p AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS np FROM ref GROUP BY bucket),
+              q AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nq FROM cur GROUP BY bucket),
+              j AS (SELECT COALESCE(p.bucket, q.bucket) AS bucket,
+                           COALESCE(np, 0) AS np, COALESCE(nq, 0) AS nq
+                    FROM p FULL OUTER JOIN q ON p.bucket = q.bucket),
+              tot AS (SELECT SUM(np) AS tp, SUM(nq) AS tq, COUNT(*) AS nb FROM j),
+              sm AS (SELECT bucket, np, nq,
+                            (np + 1.0) / (tot.tp + tot.nb) AS p,
+                            (nq + 1.0) / (tot.tq + tot.nb) AS q
+                     FROM j, tot)
+         SELECT bucket, np, nq, ROUND(p, 8) AS p, ROUND(q, 8) AS q,
+                ROUND((p - q) * ln(p / q), 8) AS psi_term
+         FROM sm ORDER BY bucket""",
+
     "q_vector_mean_by_label" ->
       """SELECT CAST(label AS BIGINT) AS label,
                 ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS m1,
@@ -2966,6 +3061,33 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+
+    "q_interval_union" ->
+      """WITH iv AS (SELECT user_id, event_id,
+                            CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                            CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+                     FROM events),
+              marked AS (SELECT user_id, event_id, s, e,
+                                MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+                         FROM iv),
+              isl AS (SELECT user_id, s, e,
+                             SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                      FROM marked),
+              g AS (SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end
+                    FROM isl GROUP BY user_id, island)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+                CAST(SUM(i_end - i_start) AS BIGINT) AS covered_s
+         FROM g GROUP BY user_id ORDER BY user_id""",
+
+    "q_ratio_to_report" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+                ROUND(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) /
+                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                             OVER (PARTITION BY c_nationkey) AS DOUBLE), 8) AS share
+         FROM customer ORDER BY c_custkey""",
 
     "q_retention_cohorts" ->
       """WITH firsts AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort

@@ -546,6 +546,33 @@ object SimilarityOps {
     heapTopK(exact, k)
   }
 
+  /**
+   * Embedding-space cluster-health report: per label, the member count and
+   * the mean/min cosine of members to their label CENTROID. Collapsed or
+   * polluted clusters show up as low mean (diffuse) or very low min
+   * (outlier members) — the routine diagnostic before trusting labels or
+   * IVF cells built from them.
+   *
+   * Scale: one VectorMean hash agg (label-sized output), centroids
+   * broadcast back (a model artifact), per-row cosine is narrow, final
+   * per-label agg partial+final. The corpus streams twice, shuffles never.
+   */
+  def labelDispersion(df: DataFrame, labelCol: String, vecCol: String,
+                      dim: Int): DataFrame = {
+    val vm = udaf(new graft.functions.VectorAggregators.VectorMean(dim))
+    val cents = df.groupBy(labelCol).agg(vm(col(vecCol)).as("__ld_c"))
+    df.join(broadcast(cents), labelCol)
+      .withColumn("__ld_cos", cosine(col(vecCol), col("__ld_c")))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"),
+        // per-row cosines are exact 6dp decimals — a decimal sum makes the
+        // mean order-independent (a float avg flaked the last digit)
+        round(sum(col("__ld_cos")
+            .cast(org.apache.spark.sql.types.DecimalType(12, 6)))
+          .cast("double") / count(lit(1)), 6).as("mean_cos"),
+        round(min(col("__ld_cos")), 6).as("min_cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a,b), a<b, with cosine ≥
     * threshold, via bucketed self-join (exact within bucket — an
     * approximate global answer, like all embedding dedup at scale). */

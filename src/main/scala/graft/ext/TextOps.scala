@@ -433,7 +433,9 @@ object TextOps {
     cToks.join(llr, "t")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("llr")), 6).as("avg_llr"))
+        // + 0.0 canonicalizes IEEE negative zero (round(-1e-9, 6) is -0.0
+        // here but +0.0 in DuckDB — the hash compare sees "-0" vs "0")
+        (round(avg(col("llr")), 6) + lit(0.0)).as("avg_llr"))
   }
 
   /**
@@ -471,7 +473,8 @@ object TextOps {
     bgs.join(lp, "bg")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("logp")), 6).as("avg_logprob"))
+        // + 0.0: negative-zero canonicalization (see importanceWeights)
+        (round(avg(col("logp")), 6) + lit(0.0)).as("avg_logprob"))
   }
 
   /**

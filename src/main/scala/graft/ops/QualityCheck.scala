@@ -132,6 +132,43 @@ object QualityCheck {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /**
+   * Distribution-drift detection between two dataset snapshots —
+   * population stability index per bucket: with add-one-smoothed bucket
+   * shares `p` (reference) and `q` (current), each bucket contributes
+   * `(p − q) · ln(p/q)`; the summed PSI reads ~<0.1 stable, 0.1-0.25
+   * moderate, >0.25 action. The standard production monitor for "did this
+   * week's data move" — the reference pipeline's count-reconciliation
+   * (DAG:375-422) checks volume; this checks SHAPE. Smoothing over the
+   * union bucket set keeps every term finite and, being exact integer
+   * arithmetic, cross-engine deterministic.
+   *
+   * Returns one row per bucket (p, q, contribution) — ORDER BY bucket and
+   * sum `psi_term` for the index. Scale: two bucket-count aggregates
+   * (partial+final, bucket-sized output) + a bucket-sized full-outer
+   * join + 1-row totals broadcast. The rows themselves never shuffle.
+   */
+  def driftPsi(reference: DataFrame, current: DataFrame,
+               bucket: Column): DataFrame = {
+    val p = reference.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("np"))
+    val q = current.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("nq"))
+    val joined = p.join(q, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("nq"), lit(0L)).as("nq"))
+    val totals = joined.agg(sum(col("np")).as("tp"), sum(col("nq")).as("tq"),
+      count(lit(1)).as("nb"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("np"), col("nq"),
+        ((col("np") + 1).cast("double") / (col("tp") + col("nb"))).as("p"),
+        ((col("nq") + 1).cast("double") / (col("tq") + col("nb"))).as("q"))
+      .select(col("bucket"), col("np"), col("nq"),
+        round(col("p"), 8).as("p"), round(col("q"), 8).as("q"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 8)
+          .as("psi_term"))
+  }
+
   /** Gate semantics of the reference: any violation fails the run hard
     * (DAG:361-362 non-zero soda exit → AirflowException). Returns the report
     * row for logging; throws on violation. */
