@@ -622,6 +622,13 @@ object SparkEntry {
       TextOps.bigramLogProbs(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // corpus collocations by pointwise mutual information — phrase mining:
+    // top bigrams whose parts co-occur far above chance
+    "q_pmi_collocations" -> ((s, d) =>
+      TextOps.pmiCollocations(t(s, d, "documents"), "doc_id", "text",
+          minCount = 3L, k = 30)
+        .orderBy(col("pmi").desc, col("bg").asc)),
+
     // token frequency spectrum (count-of-counts, the Zipf diagnostic):
     // how many distinct tokens occur exactly f times, lowest 20 f values
     "q_token_spectrum" -> ((s, d) =>
@@ -1187,6 +1194,68 @@ object SparkEntry {
           sum(col("c_acctbal").cast(DecimalType(18, 2))).over(w)
             .cast("double"), 8).as("share"))
         .orderBy("c_custkey")
+    }),
+
+    // SCD Type-2 history: each customer's order-priority change stream
+    // collapsed into versioned validity ranges — the warehouse form of the
+    // reference's history-overwriting upsert (CdcOps.scd2History)
+    "q_scd2_history" -> ((s, d) =>
+      graft.ops.CdcOps.scd2History(t(s, d, "orders"),
+          "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+        .orderBy("o_custkey", "version")),
+
+    // snapshot diff (CDC extract): per-customer order aggregates at two
+    // cutoffs → inserts/updates with per-column change attribution
+    "q_snapshot_diff" -> ((s, d) => {
+      def snap(cut: String) = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total_spend"))
+      graft.ops.CdcOps.snapshotDiff(
+          snap("1999-01-01"), snap("2000-01-01"), "o_custkey")
+        .orderBy("o_custkey")
+    }),
+
+    // 2-D skyline / Pareto frontier: parts not dominated on
+    // (cheaper price, larger size) — two-phase distributed skyline
+    "q_skyline" -> ((s, d) =>
+      graft.ops.StatsOps.skyline2D(
+          t(s, d, "part").select(col("p_partkey"),
+            round(col("p_retailprice") * 100).cast(LongType)
+              .as("price_cents"),
+            col("p_size").cast(LongType).as("p_size")),
+          "price_cents", "p_size")
+        .orderBy("p_partkey")),
+
+    // per-group winsorization: clip event values to their event-type's
+    // exact [p05, p95] band — the QC repair action
+    "q_winsorize" -> ((s, d) =>
+      graft.ops.StatsOps.winsorize(
+          t(s, d, "events").select("event_id", "event_type", "value"),
+          "event_type", "value", 0.05, 0.95)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("value_w"))
+        .orderBy("event_id")),
+
+    // mergeable-sketch rollup: per-day HLL sketches of distinct users
+    // union to a per-type total WITHOUT re-scanning events — the
+    // incremental distinct-count shape (bound-based oracle)
+    "q_sketch_rollup" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val daily = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val rolled = daily.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+          count(lit(1)).as("n_days"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      rolled.join(exact, "event_type")
+        .select(col("event_type"), col("n_days"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("within_5pct"))
+        .orderBy("event_type")
     }),
 
     // cohort retention: users grouped by first-activity day, distinct
@@ -2349,6 +2418,25 @@ object SparkEntry {
                 ROUND(AVG(logp), 6) + 0.0 AS avg_logprob
          FROM bg JOIN lp USING (bg) GROUP BY doc_id ORDER BY doc_id""",
 
+    "q_pmi_collocations" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                           generate_subscripts(string_split(text, ' '), 1) AS i
+                    FROM documents WHERE text IS NOT NULL),
+              bg AS (SELECT a.tok || ' ' || b.tok AS bg
+                     FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+              c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS pair_count
+                     FROM bg GROUP BY bg HAVING COUNT(*) >= 3),
+              c1 AS (SELECT tok, COUNT(*) AS c1 FROM t GROUP BY tok),
+              tot AS (SELECT COUNT(*) AS total_toks FROM t)
+         SELECT c2.bg, pair_count,
+                ROUND(ln(CAST(pair_count AS DOUBLE) * total_toks /
+                         (CAST(ca.c1 AS DOUBLE) * cb.c1)), 6) AS pmi
+         FROM c2
+         CROSS JOIN tot
+         JOIN c1 ca ON string_split(c2.bg, ' ')[1] = ca.tok
+         JOIN c1 cb ON string_split(c2.bg, ' ')[2] = cb.tok
+         ORDER BY pmi DESC, bg ASC LIMIT 30""",
+
     "q_token_spectrum" ->
       """WITH c AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
               v AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS freq FROM c GROUP BY t)
@@ -3088,6 +3176,79 @@ object SparkEntry {
                       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
                              OVER (PARTITION BY c_nationkey) AS DOUBLE), 8) AS share
          FROM customer ORDER BY c_custkey""",
+
+    "q_scd2_history" ->
+      """WITH ord AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                             CASE WHEN ROW_NUMBER() OVER w = 1
+                                    OR o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w
+                                  THEN 1 ELSE 0 END AS chg
+                      FROM orders
+                      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)),
+              v AS (SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate ASC, o_orderkey ASC
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+                    FROM ord),
+              c AS (SELECT o_custkey, CAST(version AS BIGINT) AS version,
+                           MIN(o_orderpriority) AS o_orderpriority,
+                           MIN(o_orderdate) AS valid_from
+                    FROM v GROUP BY o_custkey, version)
+         SELECT o_custkey, version, o_orderpriority, valid_from,
+                lead(valid_from) OVER wv AS valid_to,
+                (lead(valid_from) OVER wv IS NULL) AS is_current
+         FROM c WINDOW wv AS (PARTITION BY o_custkey ORDER BY version ASC)
+         ORDER BY o_custkey, version""",
+
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+                    FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+                    GROUP BY o_custkey),
+              b AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+                    FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+                    GROUP BY o_custkey),
+              d AS (SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+                           CASE WHEN a.o_custkey IS NULL THEN 'I'
+                                WHEN b.o_custkey IS NULL THEN 'D'
+                                ELSE 'U' END AS change_type,
+                           CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL
+                                THEN concat_ws(',',
+                                  CASE WHEN a.n_orders IS DISTINCT FROM b.n_orders THEN 'n_orders' END,
+                                  CASE WHEN a.total_spend IS DISTINCT FROM b.total_spend THEN 'total_spend' END)
+                                ELSE '' END AS changed_cols
+                    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+         SELECT * FROM d
+         WHERE NOT (change_type = 'U' AND changed_cols = '')
+         ORDER BY o_custkey""",
+
+    "q_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+                           CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                           CAST(p_size AS BIGINT) AS p_size
+                    FROM part)
+         SELECT p_partkey, price_cents, p_size FROM p a
+         WHERE NOT EXISTS (SELECT 1 FROM p b
+                           WHERE b.price_cents <= a.price_cents
+                             AND b.p_size >= a.p_size
+                             AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+         ORDER BY p_partkey""",
+
+    "q_winsorize" ->
+      """WITH b AS (SELECT event_type,
+                           ROUND(quantile_cont(value, 0.05), 6) AS lo,
+                           ROUND(quantile_cont(value, 0.95), 6) AS hi
+                    FROM events GROUP BY event_type)
+         SELECT event_id, event_type, value,
+                LEAST(GREATEST(value, lo), hi) AS value_w
+         FROM events JOIN b USING (event_type)
+         ORDER BY event_id""",
+
+    "q_sketch_rollup" ->
+      """SELECT event_type,
+                CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                TRUE AS within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_retention_cohorts" ->
       """WITH firsts AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort

@@ -510,4 +510,45 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
   }
+
+  /**
+   * Corpus collocations by pointwise mutual information — phrase / named-
+   * entity mining over the training corpus:
+   * `pmi(a b) = ln( c(a b) · T / (c(a) · c(b)) )` with exact integer
+   * counts (T = total corpus tokens), `minCount` pruning rare pairs whose
+   * PMI is noise, top `k` by (pmi desc, bigram asc). Returns
+   * (bigram, pair_count, pmi).
+   *
+   * Scale: bigram counts ride the zero-shuffle WordGrams codegen kernel —
+   * the (bigram, count) aggregate is the only token-cardinality shuffle;
+   * unigram counts reuse the token explode, T is a 1-row broadcast, and
+   * the two unigram joins run over vocabulary-sized inputs (bigram types ×
+   * 2), never over the corpus. Text itself never shuffles. The ratio is
+   * computed in doubles from exact integers, so ln + round(6) is
+   * cross-engine deterministic (same scheme as [[bigramLogProbs]]).
+   */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+                      minCount: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val live = df.filter(col(textCol).isNotNull)
+    val c2 = live
+      .select(explode(call_function("graft_word_grams", col(textCol),
+        lit(2))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val toks = live.select(explode(tokens(col(textCol))).as("t"))
+    val c1 = toks.groupBy("t").agg(count(lit(1)).as("c1"))
+    val total = toks.agg(count(lit(1)).as("total_toks"))
+    c2
+      .withColumn("a", substring_index(col("bg"), " ", 1))
+      .withColumn("b", substring_index(col("bg"), " ", -1))
+      .join(c1.select(col("t").as("a"), col("c1").as("ca")), "a")
+      .join(c1.select(col("t").as("b"), col("c1").as("cb")), "b")
+      .crossJoin(broadcast(total))
+      .select(col("bg"), col("c2").as("pair_count"),
+        round(log(col("c2").cast("double") * col("total_toks") /
+          (col("ca").cast("double") * col("cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bg").asc)
+      .limit(k)
+  }
 }

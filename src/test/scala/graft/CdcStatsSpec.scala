@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.{CdcOps, StatsOps}
+import org.apache.spark.sql.functions._
+
+/** CDC (SCD2 / snapshot diff) and distribution-shaping (winsorize /
+  * skyline) operators over synthetic frames — covers the shapes the
+  * fixture-backed oracle queries can't hit (deletes, null attribute
+  * versions, dominance edge cases). */
+class CdcStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scd2History collapses runs, versions null values, marks current") {
+    val ev = Seq(
+      // key 1: A A B A — four events, three versions
+      (1L, Option("A"), 10L, 1L), (1L, Option("A"), 20L, 2L),
+      (1L, Option("B"), 30L, 3L), (1L, Option("A"), 40L, 4L),
+      // key 2: null null C — null is a real collapsed version
+      (2L, None, 10L, 5L), (2L, None, 20L, 6L), (2L, Option("C"), 30L, 7L))
+      .toDF("k", "attr", "ts", "seq")
+    val hist = CdcOps.scd2History(ev, "k", "attr", "ts", "seq")
+      .orderBy("k", "version")
+      .select("k", "version", "attr", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    hist shouldBe Array(
+      (1L, 1L, Some("A"), 10L, 30L, false),
+      (1L, 2L, Some("B"), 30L, 40L, false),
+      (1L, 3L, Some("A"), 40L, -1L, true),
+      (2L, 1L, None, 10L, 30L, false),
+      (2L, 2L, Some("C"), 30L, -1L, true))
+  }
+
+  test("snapshotDiff emits I/U/D with per-column attribution") {
+    val before = Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 30))
+      .toDF("k", "s", "n")
+    val after = Seq((1L, "x", 10), (2L, "y2", 20), (4L, "w", 40))
+      .toDF("k", "s", "n")
+    val diff = CdcOps.snapshotDiff(before, after, "k")
+      .orderBy("k").as[(Long, String, String)].collect()
+    // key 1 unchanged → dropped; 2 updated (s only); 3 deleted; 4 inserted
+    diff shouldBe Array((2L, "U", "s"), (3L, "D", ""), (4L, "I", ""))
+  }
+
+  test("snapshotDiff attributes multi-column and null-transition changes") {
+    val before = Seq((1L, Option("x"), Option(10))).toDF("k", "s", "n")
+    val after = Seq((1L, Option.empty[String], Option(11))).toDF("k", "s", "n")
+    CdcOps.snapshotDiff(before, after, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))) shouldBe
+      Array((1L, "U", "s,n"))
+  }
+
+  test("skyline2D matches brute-force dominance on a synthetic cloud") {
+    // deterministic pseudo-random points incl. duplicates and x-ties
+    val pts = (0 until 400).map { i =>
+      val x = (i * 2654435761L) % 97
+      val y = (i * 40503L) % 89
+      (i.toLong, x, y)
+    } ++ Seq((400L, 0L, 88L), (401L, 0L, 88L)) // duplicate frontier points
+    val df = pts.toDF("id", "x", "y").repartition(7)
+    val got = StatsOps.skyline2D(df, "x", "y")
+      .select("id").as[Long].collect().sorted
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 <= x && y2 >= y && (x2 < x || y2 > y)
+      }
+    }.map(_._1).sorted
+    got shouldBe brute.toArray
+    brute.nonEmpty shouldBe true
+  }
+
+  test("winsorize clips to per-group quantile bounds and keeps columns") {
+    val df = (1 to 100).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("id", "grp", "v")
+    val w = StatsOps.winsorize(df, "grp", "v", 0.05, 0.95)
+    w.columns should contain allOf ("id", "grp", "v", "v_w")
+    val vw = w.orderBy("id").select("v_w").as[Double].collect()
+    // percentile(0.05) of 1..100 = 5.95, percentile(0.95) = 95.05
+    vw.min shouldBe 5.95 +- 1e-9
+    vw.max shouldBe 95.05 +- 1e-9
+    vw.count(x => x > 6 && x < 95) shouldBe 88 // interior (7..94) untouched
+  }
+
+  test("pmiCollocations ranks the always-together pair first") {
+    val docs = Seq(
+      (1L, "alpha beta common one"), (2L, "alpha beta common two"),
+      (3L, "alpha beta common three"), (4L, "common four common five"))
+      .toDF("doc_id", "text")
+    val top = graft.ext.TextOps
+      .pmiCollocations(docs, "doc_id", "text", minCount = 3L, k = 5)
+      .collect()
+    top.head.getString(0) shouldBe "alpha beta" // pmi = ln(T·3/9) max
+    top.head.getLong(1) shouldBe 3L
+    top.map(_.getString(0)) should not contain "common one" // c2 < minCount
+  }
+}
