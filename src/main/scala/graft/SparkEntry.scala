@@ -596,6 +596,13 @@ object SparkEntry {
         n = 3, threshold = 0.5, maxShingleDf = 50)
         .orderBy("id1", "id2")),
 
+    // prefix-filtered set-similarity join (AllPairs/PPJoin): identical
+    // output to the inverted-index form, indexing only ~(1-t) of shingles
+    "q_jaccard_prefix" -> ((s, d) =>
+      DedupOps.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 50)
+        .orderBy("id1", "id2")),
+
     // asymmetric containment pairs (quote/subset detection — high when a
     // short doc is wholly inside a long one even though Jaccard is tiny)
     "q_containment_pairs" -> ((s, d) =>
@@ -1257,6 +1264,42 @@ object SparkEntry {
             col("exact_users") * 0.05).as("within_5pct"))
         .orderBy("event_type")
     }),
+
+    // per-node triangle counts (degree-orientation wedge join) over a
+    // deterministic hash-derived graph on the customer id space
+    "q_triangle_counts" -> ((s, d) => {
+      val edges = t(s, d, "orders").select(
+        col("o_custkey").as("src"),
+        (pmod(TextOps.fingerprint60(col("o_orderkey").cast("string")),
+          lit(1000L)) + 1L).as("dst"))
+      graft.ops.GraphOps.triangleCounts(edges, "src", "dst")
+        .orderBy("node")
+    }),
+
+    // incremental aggregate-view maintenance: merge a batch delta into a
+    // persisted per-customer rollup — row-identical to the full recompute
+    "q_incremental_agg" -> ((s, d) => {
+      def agg0(df: DataFrame) = df.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).as("total_spend"))
+      val o = t(s, d, "orders")
+      val cut = lit("1999-01-01").cast("timestamp")
+      graft.ops.CdcOps.mergeAggState(
+          agg0(o.filter(col("o_orderdate") < cut)),
+          agg0(o.filter(col("o_orderdate") >= cut)), Seq("o_custkey"))
+        .select(col("o_custkey"), col("n_orders"),
+          col("total_spend").cast("double"))
+        .orderBy("o_custkey")
+    }),
+
+    // deterministic weighted sampling without replacement (Efraimidis-
+    // Spirakis): 50 docs drawn with probability ∝ length
+    "q_weighted_sample" -> ((s, d) =>
+      SamplingOps.weightedSample(
+          t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+          "doc_id", "n_chars", 50)
+        .orderBy("doc_id")),
 
     // cohort retention: users grouped by first-activity day, distinct
     // active users per (cohort, day-offset) — output is days² regardless
@@ -2386,6 +2429,33 @@ object SparkEntry {
          WHERE ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) >= 0.5
          ORDER BY id1, id2""",
 
+    // the prefix-filtered join is output-identical to the inverted-index
+    // form by construction (candidate superset + exact verification), so
+    // the oracle is the same brute-force statement
+    "q_jaccard_prefix" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              sh AS (SELECT DISTINCT doc_id AS id,
+                            CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
+                     FROM grams),
+              sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+              kept AS (SELECT s.id, s.sh FROM sh s
+                       JOIN (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh) d
+                         ON d.sh = s.sh
+                       WHERE d.df <= 50),
+              common AS (SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
+                         GROUP BY a.id, b.id)
+         SELECT id1, id2,
+                ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) AS jaccard
+         FROM common
+         JOIN sizes s1 ON s1.id = id1
+         JOIN sizes s2 ON s2.id = id2
+         WHERE ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) >= 0.5
+         ORDER BY id1, id2""",
+
     "q_chunk_docs" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
               n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
@@ -3249,6 +3319,35 @@ object SparkEntry {
                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
                 TRUE AS within_5pct
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_triangle_counts" ->
+      """WITH raw AS (SELECT o_custkey AS x,
+                             (CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) + 1 AS y
+                      FROM orders),
+              e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                    FROM raw WHERE x <> y),
+              tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+              nodes AS (SELECT x AS node FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri)
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         FROM nodes GROUP BY node ORDER BY node""",
+
+    "q_incremental_agg" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 0
+           ORDER BY -ln((CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+                        / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) ASC,
+                    doc_id ASC
+           LIMIT 50)
+         ORDER BY doc_id""",
 
     "q_retention_cohorts" ->
       """WITH firsts AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort

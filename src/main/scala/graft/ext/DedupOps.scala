@@ -111,6 +111,58 @@ object DedupOps {
   }
 
   /**
+   * Prefix-filtered set-similarity join (AllPairs/PPJoin family) — the
+   * same output as [[jaccardPairs]], via a smaller index: under the
+   * canonical shingle-hash ordering, a pair with Jaccard ≥ t must share
+   * an element within each side's first |S| − ⌈t·|S|⌉ + 1 shingles
+   * (pigeonhole: an overlap of α elements cannot avoid the first
+   * |S| − α + 1), so only that PREFIX is indexed and self-joined —
+   * ~(1−t)× of the exploded volume the full inverted index shuffles
+   * (5× less at t = 0.8). Candidates are then verified exactly against
+   * the full (df-capped) shingle sets, reproducing jaccardPairs' score
+   * formula bit-for-bit — a spec asserts output equality.
+   *
+   * The per-side overlap bound uses a slightly relaxed threshold
+   * (t − 10⁻³) so pairs whose raw score rounds UP to t at 4 dp (which
+   * jaccardPairs keeps) can never be pruned; float slack 10⁻⁹ guards the
+   * ⌈⌉ boundary. Both only lengthen prefixes — candidate generation
+   * stays a superset, verification keeps output exact.
+   */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double,
+                         maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sh = dropHotKeys(
+      spread(df)
+        .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sha"))
+        .select(col("id"), size(col("sha")).cast("bigint").as("sz"),
+          explode(col("sha")).as("sh")),
+      "sh", maxShingleDf)
+    val wpos = Window.partitionBy("id").orderBy(col("sh").asc)
+    val alpha = ceil(lit(threshold - 0.001) * col("sz") - lit(1e-9))
+    val prefix = sh
+      .withColumn("_pos", row_number().over(wpos))
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy("id")))
+      .filter(col("_pos") <= col("_m") - alpha + 1)
+      .select("id", "sh")
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cands
+      .join(sh.select(col("id").as("id1"), col("sz").as("sz1"),
+        col("sh")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sz").as("sz2"),
+        col("sh")), Seq("id2", "sh"))
+      .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("sz1") + col("sz2") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /**
    * ASYMMETRIC containment pairs — the quote/subset detector Jaccard
    * misses: `containment(A in B) = |shingles(A) ∩ shingles(B)| / |A|`
    * is ~1.0 when a short document is wholly quoted inside a long one,

@@ -33,6 +33,31 @@ object SamplingOps {
     df.filter(hashBucket(col(keyCol), k) === r)
 
   /**
+   * Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+   * Spirakis exponential races): each row draws the uniform
+   * u = (fingerprint60(key) + 1) / 2⁶⁰ ∈ (0, 1] and is ranked by
+   * -ln(u) / weight; the k smallest ranks are distributed exactly like a
+   * sequential weighted draw without replacement. Rows with weight ≤ 0
+   * are excluded (zero mass).
+   *
+   * Scale: scoring is a pure per-row projection of the key fingerprint
+   * (reproducible, partition-invariant, stable as the corpus grows —
+   * a row's rank never changes when other rows arrive); the k-smallest
+   * selection compiles to TakeOrderedAndProject, which keeps k rows per
+   * partition and merges heads — never a global sort of the corpus.
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (fingerprint60(col(keyCol).cast("string")).cast("double") +
+      lit(1.0)) / lit(1152921504606846976.0) // 2^60: exact binary division
+    df.filter(col(weightCol) > 0)
+      .withColumn("_es_rank", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("_es_rank").asc, col(keyCol).asc)
+      .limit(k)
+      .drop("_es_rank")
+  }
+
+  /**
    * Deterministic split assignment over percentage weights (e.g.
    * ("train", 80), ("val", 10), ("test", 10)): the key's bucket in
    * [0, 100) picks the split. Adding documents later never moves an

@@ -95,4 +95,34 @@ object CdcOps {
           .as("changed_cols"))
       .filter(col("change_type") =!= "U" || col("changed_cols") =!= "")
   }
+
+  /**
+   * Incremental aggregate-view maintenance: merge a pre-aggregated batch
+   * delta into a persisted additive aggregate state (identical schemas:
+   * `keys` + measure columns, every measure additive — counts, decimal
+   * sums). Union + one re-aggregation; each measure is summed and cast
+   * back to its declared type, so the state schema is a fixed point under
+   * repeated merges (Spark's sum() widens decimals — unchecked, 38-digit
+   * precision caps after a few merges).
+   *
+   * This is how a 100 TB mart keeps a per-key rollup current: the merge
+   * shuffles |state groups| + |delta groups| rows, never raw history —
+   * the full recompute re-scans everything every refresh. Exactness is
+   * inherited from the measures (decimal sums are order-independent), so
+   * merged state is row-identical to the direct aggregate (spec + oracle
+   * prove it).
+   */
+  def mergeAggState(state: DataFrame, delta: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    require(state.columns.sameElements(delta.columns),
+      s"state schemas differ: ${state.columns.mkString(",")} vs " +
+        delta.columns.mkString(","))
+    val measures = state.columns.filterNot(keys.contains)
+    require(measures.nonEmpty, "no measure columns to merge")
+    val summed = measures.map(m =>
+      sum(col(m)).cast(state.schema(m).dataType).as(m))
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(summed.head, summed.tail: _*)
+  }
 }

@@ -82,6 +82,53 @@ class CdcStatsSpec extends SparkSpec {
     vw.count(x => x > 6 && x < 95) shouldBe 88 // interior (7..94) untouched
   }
 
+  test("mergeAggState equals direct aggregate and keeps schema fixed") {
+    val rows = (1 to 200).map(i =>
+      (i % 7L, 1L, BigDecimal(i).setScale(2)))
+    val full = rows.toDF("k", "n", "s")
+      .select(col("k"), col("n"),
+        col("s").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("s"))
+    def agg0(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum("n").as("n"),
+        sum("s").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("s"))
+    val (p1, p2) = (full.filter($"n" =!= 0 && $"k" < 100 && $"s" < 90),
+      full.filter($"s" >= 90))
+    var state = CdcOps.mergeAggState(agg0(p1), agg0(p2), Seq("k"))
+    state.schema shouldBe agg0(full).schema // fixed point under merging
+    // a second merge with an empty-overlap delta keeps values stable
+    state = CdcOps.mergeAggState(state,
+      agg0(full.filter(lit(false))), Seq("k"))
+    state.orderBy("k").collect() shouldBe agg0(full).orderBy("k").collect()
+  }
+
+  test("triangleCounts matches brute force on a synthetic graph") {
+    // K4 on {1,2,3,4} (4 triangles), a pendant (5), a square {6,7,8,9}
+    // (no triangle), duplicate + reversed + self-loop noise
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L), (7L, 8L), (8L, 9L), (9L, 6L),
+      (2L, 1L), (3L, 1L), (5L, 5L))
+    val got = graft.ops.GraphOps
+      .triangleCounts(edges.toDF("s", "t"), "s", "t")
+      .orderBy("node").as[(Long, Long)].collect()
+    // each K4 vertex sits in C(3,2) = 3 of the 4 triangles
+    got shouldBe Array((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L))
+  }
+
+  test("weightedSample is reproducible and biases toward heavy rows") {
+    val df = (1 to 1000).map { i =>
+      (i.toLong, if (i <= 100) 1000.0 else 1.0)
+    }.toDF("id", "w")
+    val s1 = graft.ext.SamplingOps.weightedSample(df, "id", "w", 100)
+      .select("id").as[Long].collect().sorted
+    val s2 = graft.ext.SamplingOps.weightedSample(df.repartition(13),
+      "id", "w", 100).select("id").as[Long].collect().sorted
+    s2 shouldBe s1 // partition-invariant and reproducible
+    // heavy ids (10% of rows, >99% of mass) dominate the sample
+    s1.count(_ <= 100) should be > 60
+    graft.ext.SamplingOps.weightedSample(df, "id", "w", 100)
+      .columns shouldBe Array("id", "w") // rank column dropped
+  }
+
   test("pmiCollocations ranks the always-together pair first") {
     val docs = Seq(
       (1L, "alpha beta common one"), (2L, "alpha beta common two"),

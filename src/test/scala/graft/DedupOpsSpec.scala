@@ -56,6 +56,30 @@ class DedupOpsSpec extends SparkSpec {
     out shouldBe Array((1L, 2L, 1.0))
   }
 
+  test("jaccardPairsPrefix is output-identical to the inverted-index join") {
+    // real corpus slice: thresholds/caps exercised against genuine text
+    val docs = graft.sources.Stores.table(spark, sf0001, "documents")
+    for (t <- Seq(0.3, 0.5, 0.8); cap <- Seq(Int.MaxValue, 50)) {
+      val full = DedupOps.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = t, maxShingleDf = cap)
+        .orderBy("id1", "id2").as[(Long, Long, Double)].collect()
+      val pref = DedupOps.jaccardPairsPrefix(docs, "doc_id", "text",
+        n = 3, threshold = t, maxShingleDf = cap)
+        .orderBy("id1", "id2").as[(Long, Long, Double)].collect()
+      withClue(s"threshold=$t cap=$cap: ") { pref shouldBe full }
+    }
+    // and on a crafted set with a rounds-up-to-threshold boundary pair
+    val crafted = Seq(
+      (1L, "a b c d e f g h i j k l"), (2L, "a b c d e f g h i j x y"),
+      (3L, "p q r s t u v w"), (4L, "p q r s t u v w")).toDF("doc_id", "text")
+    val t2 = 0.5
+    val full2 = DedupOps.jaccardPairs(crafted, "doc_id", "text", 3, t2)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect()
+    val pref2 = DedupOps.jaccardPairsPrefix(crafted, "doc_id", "text", 3, t2)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect()
+    pref2 shouldBe full2
+  }
+
   test("jaccardPairs df-cap drops hot boilerplate shingles, keeps genuine dups") {
     // 20 docs that share ONLY a boilerplate sentence (df=20 per boilerplate
     // shingle) + one genuine duplicate pair with private content (df=2).
