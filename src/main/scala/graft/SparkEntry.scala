@@ -1301,6 +1301,65 @@ object SparkEntry {
           "doc_id", "n_chars", 50)
         .orderBy("doc_id")),
 
+    // integer-scaled PageRank (5 rounds) over the hash-derived graph —
+    // fixed-point arithmetic makes the iteration cross-engine exact
+    "q_pagerank" -> ((s, d) => {
+      val edges = t(s, d, "orders").select(
+        col("o_custkey").as("src"),
+        (pmod(TextOps.fingerprint60(col("o_orderkey").cast("string")),
+          lit(1000L)) + 1L).as("dst"))
+      graft.ops.GraphOps.pageRankScaled(edges, "src", "dst", 5)
+        .orderBy("node")
+    }),
+
+    // rolling 7-day active users per day (the DAU/WAU product metric):
+    // distinct (user, day) explodes into the 7 windows it serves
+    "q_rolling_active_users" -> ((s, d) => {
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select(col("day")).distinct()
+      ud.select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("o"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("o")).as("day"))
+        .join(days, "day")
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("day")
+    }),
+
+    // seasonal anomaly detection: per (event_type, hour-of-day) baseline
+    // from exact integer-cent sums; events >3σ off their seasonal mean
+    "q_seasonal_anomaly" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("hod", hour(col("ts")).cast(LongType))
+        .withColumn("vc", round(col("value") * 100).cast(LongType))
+      val stats = ev.groupBy("event_type", "hod").agg(
+        count(lit(1)).as("n"), sum(col("vc")).as("s1"),
+        sum(col("vc") * col("vc")).as("s2"))
+      val mean = col("s1").cast("double") / col("n") / 100.0
+      val variance = (col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+        (col("n") - 1) / 10000.0
+      ev.join(stats, Seq("event_type", "hod"))
+        .withColumn("z", (col("value") - mean) / sqrt(variance))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("hod"),
+          col("value"), round(col("z"), 4).as("z"))
+        .orderBy("event_id")
+    }),
+
+    // equi-depth binning (feature discretization): value deciles per
+    // event type with per-bin count and bounds
+    "q_equidepth_bins" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("bin", ntile(10).over(w).cast(LongType))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+        .orderBy("event_type", "bin")
+    }),
+
     // cohort retention: users grouped by first-activity day, distinct
     // active users per (cohort, day-offset) — output is days² regardless
     // of corpus size
@@ -3348,6 +3407,75 @@ object SparkEntry {
                     doc_id ASC
            LIMIT 50)
          ORDER BY doc_id""",
+
+    "q_pagerank" ->
+      """WITH raw AS (SELECT o_custkey AS x,
+                             (CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) + 1 AS y
+                      FROM orders),
+              e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                    FROM raw WHERE x <> y),
+              bi AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+              d AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY u),
+              n AS (SELECT u AS node FROM d),
+              pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM n),
+              c1 AS (SELECT bi.v AS node, SUM(pr0.pr // d.deg) AS s
+                     FROM bi JOIN pr0 ON pr0.node = bi.u JOIN d ON d.u = bi.u GROUP BY bi.v),
+              pr1 AS (SELECT n.node, 150000000000 + (85 * COALESCE(c1.s, 0)) // 100 AS pr
+                      FROM n LEFT JOIN c1 USING (node)),
+              c2 AS (SELECT bi.v AS node, SUM(pr1.pr // d.deg) AS s
+                     FROM bi JOIN pr1 ON pr1.node = bi.u JOIN d ON d.u = bi.u GROUP BY bi.v),
+              pr2 AS (SELECT n.node, 150000000000 + (85 * COALESCE(c2.s, 0)) // 100 AS pr
+                      FROM n LEFT JOIN c2 USING (node)),
+              c3 AS (SELECT bi.v AS node, SUM(pr2.pr // d.deg) AS s
+                     FROM bi JOIN pr2 ON pr2.node = bi.u JOIN d ON d.u = bi.u GROUP BY bi.v),
+              pr3 AS (SELECT n.node, 150000000000 + (85 * COALESCE(c3.s, 0)) // 100 AS pr
+                      FROM n LEFT JOIN c3 USING (node)),
+              c4 AS (SELECT bi.v AS node, SUM(pr3.pr // d.deg) AS s
+                     FROM bi JOIN pr3 ON pr3.node = bi.u JOIN d ON d.u = bi.u GROUP BY bi.v),
+              pr4 AS (SELECT n.node, 150000000000 + (85 * COALESCE(c4.s, 0)) // 100 AS pr
+                      FROM n LEFT JOIN c4 USING (node)),
+              c5 AS (SELECT bi.v AS node, SUM(pr4.pr // d.deg) AS s
+                     FROM bi JOIN pr4 ON pr4.node = bi.u JOIN d ON d.u = bi.u GROUP BY bi.v),
+              pr5 AS (SELECT n.node, 150000000000 + (85 * COALESCE(c5.s, 0)) // 100 AS pr
+                      FROM n LEFT JOIN c5 USING (node))
+         SELECT node, CAST(pr AS BIGINT) AS pr FROM pr5 ORDER BY node""",
+
+    "q_rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+                     FROM events),
+              days AS (SELECT DISTINCT day FROM ud),
+              e AS (SELECT ud.user_id, ud.day + CAST(o.o AS INTEGER) AS day
+                    FROM ud, (SELECT unnest(generate_series(0, 6)) AS o) o)
+         SELECT e.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+         FROM e JOIN days USING (day)
+         GROUP BY e.day ORDER BY e.day""",
+
+    "q_seasonal_anomaly" ->
+      """WITH ev AS (SELECT event_id, event_type,
+                            CAST(hour(ts) AS BIGINT) AS hod, value,
+                            CAST(round(value * 100) AS BIGINT) AS vc
+                     FROM events),
+              st AS (SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n,
+                            SUM(vc) AS s1, SUM(vc * vc) AS s2
+                     FROM ev GROUP BY event_type, hod)
+         SELECT event_id, ev.event_type, ev.hod, value,
+                ROUND((value - CAST(s1 AS DOUBLE) / n / 100.0) /
+                      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                           / (n - 1) / 10000.0), 4) AS z
+         FROM ev JOIN st ON ev.event_type = st.event_type AND ev.hod = st.hod
+         WHERE abs((value - CAST(s1 AS DOUBLE) / n / 100.0) /
+                   sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                        / (n - 1) / 10000.0)) > 3.0
+         ORDER BY event_id""",
+
+    "q_equidepth_bins" ->
+      """WITH b AS (SELECT event_type, value,
+                           CAST(ntile(10) OVER (PARTITION BY event_type
+                                                ORDER BY value ASC, event_id ASC) AS BIGINT) AS bin
+                    FROM events)
+         SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n,
+                MIN(value) AS lo, MAX(value) AS hi
+         FROM b GROUP BY event_type, bin ORDER BY event_type, bin""",
 
     "q_retention_cohorts" ->
       """WITH firsts AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort

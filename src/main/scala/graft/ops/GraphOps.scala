@@ -57,4 +57,49 @@ object GraphOps {
       .select(explode(array(col("apex"), col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /**
+   * PageRank over an undirected edge list, in SCALED-INTEGER fixed-point
+   * arithmetic: ranks live in units of 10⁻¹² (initial rank = 10¹², the
+   * damping step is `0.15·10¹² + (85 · Σ contrib) div 100` with integral
+   * division). Floating-point PageRank is order-of-summation dependent —
+   * a distributed group-sum of doubles is not reproducible run-to-run,
+   * let alone across engines; integer contributions make every iteration
+   * exact, deterministic, and oracle-checkable bit-for-bit. The floor
+   * divisions lose < deg·10⁻¹² per node per round — noise at rank scale.
+   *
+   * Per iteration: one join of ranks onto the (static, cacheable)
+   * degree-annotated directed edge list + one hash agg — the standard
+   * distributed PageRank round, O(edges) shuffle, no driver data. Edges
+   * are canonicalized and doubled (u→v, v→u), so every node has
+   * out-degree ≥ 1 and the dangling-mass term vanishes. Fixed small
+   * `iterations` compose lazily; long runs should adopt the per-round
+   * materialization discipline of `DedupOps.connectedComponentsStar`.
+   */
+  def pageRankScaled(edges: DataFrame, src: String, dst: String,
+                     iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, s"bad iterations $iterations")
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct()
+    val bi = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = bi.groupBy("u").agg(count(lit(1)).as("deg"))
+    val biDeg = bi.join(deg, "u")
+    val nodes = deg.select(col("u").as("node"))
+    var pr = nodes.withColumn("pr", lit(1000000000000L))
+    for (_ <- 1 to iterations) {
+      val contrib = biDeg
+        .join(pr, biDeg("u") === pr("node"))
+        .selectExpr("v AS node", "pr div deg AS c")
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .selectExpr("node",
+          "150000000000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS pr")
+    }
+    pr
+  }
 }

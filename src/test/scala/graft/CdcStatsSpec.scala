@@ -114,6 +114,31 @@ class CdcStatsSpec extends SparkSpec {
     got shouldBe Array((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L))
   }
 
+  test("pageRankScaled: hub dominates, mass conserved, partition-invariant") {
+    // star: hub 1 ↔ leaves 2..21, plus a detached triangle 100-101-102
+    val edges = ((2L to 21L).map(l => (1L, l)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L))).toDF("s", "t")
+    val pr = graft.ops.GraphOps.pageRankScaled(edges, "s", "t", 5)
+      .orderBy("node").as[(Long, Long)].collect()
+    val byNode = pr.toMap
+    // hub collects the leaves' full mass each round
+    byNode(1L) should be > byNode(2L) * 10
+    // symmetric positions rank identically (exact integer arithmetic)
+    byNode(2L) shouldBe byNode(21L)
+    byNode(100L) shouldBe byNode(102L)
+    // triangle nodes hold the symmetric fixed point: 1.0 in rank units
+    byNode(100L) shouldBe 1000000000000L +- 5L
+    // total mass stays ~#nodes (floor divisions only ever lose mass)
+    val total = pr.map(_._2).sum
+    total should be <= 24L * 1000000000000L
+    total should be > (24L * 1000000000000L * 9) / 10
+    // exact integer arithmetic: identical under repartition
+    val pr2 = graft.ops.GraphOps
+      .pageRankScaled(edges.toDF("s", "t").repartition(7), "s", "t", 5)
+      .orderBy("node").as[(Long, Long)].collect()
+    pr2 shouldBe pr
+  }
+
   test("weightedSample is reproducible and biases toward heavy rows") {
     val df = (1 to 1000).map { i =>
       (i.toLong, if (i <= 100) 1000.0 else 1.0)
