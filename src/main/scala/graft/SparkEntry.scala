@@ -1360,6 +1360,41 @@ object SparkEntry {
         .orderBy("event_type", "bin")
     }),
 
+    // banded numeric join |v1-v2| <= eps: eps-bucket + probe-cell ±1
+    // equi-join replaces the BroadcastNestedLoopJoin a theta join becomes
+    "q_band_join" -> ((s, d) => {
+      val p = t(s, d, "part")
+      graft.ops.JoinOps.bandJoin(
+          p.select(col("p_partkey").as("id1"),
+            col("p_retailprice").as("v1")),
+          p.select(col("p_partkey").as("id2"),
+            col("p_retailprice").as("v2")),
+          "v1", "v2", eps = 0.05)
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2", "v1", "v2")
+        .orderBy("id1", "id2")
+    }),
+
+    // longest consecutive-day activity streak per user (gaps-and-islands
+    // by day-minus-rank grouping)
+    "q_user_streaks" -> ((s, d) => {
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+      ud.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("longest_streak"),
+          sum(col("len")).as("n_active_days"))
+        .orderBy("user_id")
+    }),
+
+    // rule-free auto-profiler: per-column row/null/distinct counts in one
+    // aggregation pass (the dataset-card complement to q_qc_profile)
+    "q_profile_columns" -> ((s, d) =>
+      QualityCheck.profileColumns(t(s, d, "customer"))
+        .orderBy("col_name")),
+
     // cohort retention: users grouped by first-activity day, distinct
     // active users per (cohort, day-offset) — output is days² regardless
     // of corpus size
@@ -3476,6 +3511,47 @@ object SparkEntry {
          SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n,
                 MIN(value) AS lo, MAX(value) AS hi
          FROM b GROUP BY event_type, bin ORDER BY event_type, bin""",
+
+    "q_band_join" ->
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+                a.p_retailprice AS v1, b.p_retailprice AS v2
+         FROM part a JOIN part b
+           ON abs(a.p_retailprice - b.p_retailprice) <= 0.05
+          AND a.p_partkey < b.p_partkey
+         ORDER BY id1, id2""",
+
+    "q_user_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+                     FROM events),
+              g AS (SELECT user_id, day,
+                           day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day ASC) AS INTEGER) AS grp
+                    FROM ud),
+              s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp)
+         SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+                CAST(SUM(len) AS BIGINT) AS n_active_days
+         FROM s GROUP BY user_id ORDER BY user_id""",
+
+    "q_profile_columns" ->
+      """WITH p AS (
+           SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
+                  COUNT(*) - COUNT(c_custkey) AS n_nulls,
+                  COUNT(DISTINCT c_custkey) AS n_distinct FROM customer
+           UNION ALL
+           SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name),
+                  COUNT(DISTINCT c_name) FROM customer
+           UNION ALL
+           SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+                  COUNT(DISTINCT c_nationkey) FROM customer
+           UNION ALL
+           SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
+                  COUNT(DISTINCT c_acctbal) FROM customer
+           UNION ALL
+           SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+                  COUNT(DISTINCT c_mktsegment) FROM customer)
+         SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_nulls AS BIGINT) AS n_nulls,
+                CAST(n_distinct AS BIGINT) AS n_distinct
+         FROM p ORDER BY col_name""",
 
     "q_retention_cohorts" ->
       """WITH firsts AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort

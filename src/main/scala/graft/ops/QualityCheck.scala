@@ -182,4 +182,32 @@ object QualityCheck {
         s"quality check failed: ${failed.map { case (k, v) => s"$k=$v" }.mkString(", ")}")
     result
   }
+
+  /**
+   * Rule-free column profiler — the automatic dataset-card complement to
+   * the declared-rules [[report]]: one row per column with row count,
+   * null count, and exact distinct cardinality (long format, so any
+   * schema profiles into the same shape).
+   *
+   * ONE aggregation job over the table; the single result row (2·|cols|
+   * values — metadata-sized, like the centroid collects) melts on the
+   * driver. The multi-`countDistinct` compiles to Catalyst's Expand
+   * (|cols|× the scan in shuffle volume) — at extreme widths swap
+   * `approx_count_distinct` in per column for a sketch-grade profile,
+   * same shape.
+   */
+  def profileColumns(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = df.columns.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      countDistinct(col(c)).as(s"${c}__d"))) :+
+      count(lit(1)).as("__total")
+    val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    val total = row.getAs[Long]("__total")
+    df.columns.toSeq.map { c =>
+      val nonNull = row.getAs[Long](s"${c}__n")
+      (c, total, total - nonNull, row.getAs[Long](s"${c}__d"))
+    }.toDF("col_name", "n_rows", "n_nulls", "n_distinct")
+  }
 }

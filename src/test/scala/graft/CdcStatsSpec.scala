@@ -154,6 +154,35 @@ class CdcStatsSpec extends SparkSpec {
       .columns shouldBe Array("id", "w") // rank column dropped
   }
 
+  test("bandJoin equals the brute-force theta join, including boundaries") {
+    val l = (0 until 200).map(i => (i.toLong, (i * 37 % 101) / 10.0))
+      .toDF("lid", "lv")
+    val r = (0 until 150).map(j => (j.toLong, (j * 53 % 97) / 10.0))
+      .toDF("rid", "rv")
+    val got = graft.ops.JoinOps.bandJoin(l, r, "lv", "rv", eps = 0.3)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted
+    val lv = (0 until 200).map(i => (i.toLong, (i * 37 % 101) / 10.0))
+    val rv = (0 until 150).map(j => (j.toLong, (j * 53 % 97) / 10.0))
+    val brute = (for {
+      (li, x) <- lv; (rj, y) <- rv if math.abs(x - y) <= 0.3
+    } yield (li, rj)).sorted
+    got shouldBe brute.toArray
+    brute.nonEmpty shouldBe true
+    // negative values cross bucket 0 correctly (floor, not truncation)
+    val g2 = graft.ops.JoinOps.bandJoin(
+      Seq((1L, -0.05)).toDF("lid", "lv"), Seq((2L, 0.04)).toDF("rid", "rv"),
+      "lv", "rv", eps = 0.1).count()
+    g2 shouldBe 1L
+  }
+
+  test("profileColumns reports nulls and distincts per column") {
+    val df = Seq((1L, Option("a")), (2L, Option("a")), (3L, None))
+      .toDF("id", "s")
+    val p = graft.ops.QualityCheck.profileColumns(df)
+      .orderBy("col_name").as[(String, Long, Long, Long)].collect()
+    p shouldBe Array(("id", 3L, 0L, 3L), ("s", 3L, 1L, 1L))
+  }
+
   test("pmiCollocations ranks the always-together pair first") {
     val docs = Seq(
       (1L, "alpha beta common one"), (2L, "alpha beta common two"),
