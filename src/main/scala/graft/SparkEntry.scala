@@ -1395,6 +1395,55 @@ object SparkEntry {
       QualityCheck.profileColumns(t(s, d, "customer"))
         .orderBy("col_name")),
 
+    // quantile normalization (feature preprocessing): each value mapped
+    // to its within-group percent rank
+    "q_quantile_normalize" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, d, "events").select(col("event_id"), col("event_type"),
+          col("value"),
+          round(percent_rank().over(w), 6).as("qnorm"))
+        .orderBy("event_id")
+    }),
+
+    // Benford's-law QC: leading-digit distribution of order totals vs the
+    // log10(1+1/d) expectation — the classic fabricated-data screen.
+    // Digits come from exact integer cents, never float log10
+    "q_benford" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("digit",
+          substring(round(col("o_totalprice") * 100).cast(LongType)
+            .cast(StringType), 1, 1).cast(LongType))
+      val total = o.agg(count(lit(1)).as("total"))
+      o.groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("pct"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+            .as("benford_expected"))
+        .orderBy("digit")
+    }),
+
+    // embedding-space distance histogram over a deterministic sample —
+    // the collapsed/anisotropic-space diagnostic (a healthy space spreads
+    // pair cosines; a collapsed one piles near 1.0)
+    "q_embedding_dist_hist" -> ((s, d) => {
+      val sample = t(s, d, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      val pairs = sample.select(col("vec_id").as("a"),
+          col("embedding").as("ea"))
+        .crossJoin(sample.select(col("vec_id").as("b"),
+          col("embedding").as("eb")))
+        .filter(col("a") < col("b"))
+      graft.functions.GraftFunctions.register(s)
+      pairs
+        .select(round(call_function("graft_cosine", col("ea"), col("eb")),
+          6).as("cos"))
+        .select(floor(col("cos") * 10).cast(LongType).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
     // cohort retention: users grouped by first-activity day, distinct
     // active users per (cohort, day-offset) — output is days² regardless
     // of corpus size
@@ -3552,6 +3601,38 @@ object SparkEntry {
                 CAST(n_nulls AS BIGINT) AS n_nulls,
                 CAST(n_distinct AS BIGINT) AS n_distinct
          FROM p ORDER BY col_name""",
+
+    "q_quantile_normalize" ->
+      """SELECT event_id, event_type, value,
+                ROUND(percent_rank() OVER (PARTITION BY event_type
+                                           ORDER BY value ASC, event_id ASC), 6) AS qnorm
+         FROM events ORDER BY event_id""",
+
+    "q_benford" ->
+      """WITH o AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                    FROM orders),
+              tot AS (SELECT COUNT(*) AS total FROM o)
+         SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(CAST(COUNT(*) AS DOUBLE) / total, 6) AS pct,
+                ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+         FROM o CROSS JOIN tot
+         GROUP BY digit, total ORDER BY digit""",
+
+    "q_embedding_dist_hist" ->
+      """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+              pairs AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+                               a.embedding AS ea, b.embedding AS eb
+                        FROM s a JOIN s b ON a.vec_id < b.vec_id),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              dots AS (SELECT ai, bi,
+                              SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+                              SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+                       FROM pairs, idx GROUP BY ai, bi),
+              b AS (SELECT CAST(floor(ROUND(dot / (sqrt(na) * sqrt(nb)), 6) * 10) AS BIGINT) AS bucket
+                    FROM dots)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+         FROM b GROUP BY bucket ORDER BY bucket""",
 
     "q_retention_cohorts" ->
       """WITH firsts AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort
