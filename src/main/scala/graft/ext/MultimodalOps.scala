@@ -446,6 +446,54 @@ object MultimodalOps {
       bits = 64, bands = bands, maxHamming = maxHamming, maxBandDf = maxBandDf)
   }
 
+  /**
+   * 64-bit perceptual ENVELOPE-HASH per audio payload — the aHash idea in
+   * the time domain: decode to PCM, 64 unit-norm RMS energy windows, bit
+   * k set iff window k's energy exceeds the mean window energy. Volume
+   * scaling cancels (unit-norm + mean threshold), so a re-encode or
+   * re-gained copy of the same material lands within a few Hamming bits,
+   * while different material (tones vs silence vs other envelopes)
+   * diverges. Undecodable payloads keep a content-hash row with
+   * decoded=false, like [[imageAHash]]. Per-partition batch map, ZERO
+   * shuffle.
+   */
+  def audioEnvelopeHash(spark: SparkSession,
+                        media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val bytes = Option(m.payload).getOrElse(Array.emptyByteArray)
+        decodeAudio(bytes) match {
+          case Some(samples) =>
+            val bins = rmsWindowFeature(samples, 64)
+            val mean = bins.map(_.toDouble).sum / 64.0
+            var hash = 0L
+            var k = 0
+            while (k < 64) {
+              if (bins(k) > mean) hash |= (1L << k)
+              k += 1
+            }
+            MediaHash(m.media_id, hash, decoded = true)
+          case None =>
+            MediaHash(m.media_id,
+              java.util.Arrays.hashCode(bytes).toLong, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate AUDIO pairs: envelope hashes → the generic banded
+    * Hamming join — identical contract to [[imageNearDupPairs]] (the
+    * payloads never shuffle; everything after the decode pass runs on
+    * 8-byte signatures). */
+  def audioNearDupPairs(spark: SparkSession, media: Dataset[MediaRow],
+                        maxHamming: Int = 6, bands: Int = 8,
+                        maxBandDf: Int = Int.MaxValue): DataFrame = {
+    val sig = audioEnvelopeHash(spark, media).filter(_.decoded).toDF()
+    graft.ext.DedupOps.hammingNearDupPairs(sig, "media_id", "ahash",
+      bits = 64, bands = bands, maxHamming = maxHamming, maxBandDf = maxBandDf)
+  }
+
   /** Synthesizes a deterministic in-memory media table for tests/demo (no
     * media fixtures ship in /root/testdata). */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

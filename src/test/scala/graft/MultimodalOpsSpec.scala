@@ -303,4 +303,49 @@ class MultimodalOpsSpec extends SparkSpec {
     pairs.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
     pairs(0)._3 should be <= 6L
   }
+
+  /** A real WAV whose amplitude follows `pattern` (one sine segment per
+    * entry; 0 = silence) — distinct envelopes for the envelope hash. */
+  private def pulsedWav(pattern: Seq[Int], amp: Double): Array[Byte] = {
+    val rate = 8000f
+    val seg = 1000
+    val n = pattern.length * seg
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val on = pattern(i / seg)
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp * on * 32767)
+        .toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("audioNearDupPairs: re-gained copies pair, different material doesn't") {
+    import MultimodalOps.MediaRow
+    val p1 = Seq(1, 1, 0, 0, 1, 0, 1, 0)
+    val p2 = Seq(0, 0, 1, 1, 0, 1, 0, 1) // complementary envelope
+    val ds = Seq(
+      MediaRow(1L, pulsedWav(p1, 0.4), "audio", "wav"),
+      MediaRow(2L, pulsedWav(p1, 0.1), "audio", "wav"), // 12 dB quieter copy
+      MediaRow(3L, pulsedWav(p2, 0.4), "audio", "wav"),
+      MediaRow(4L, Array[Byte](9, 9, 9), "audio", "wav")) // undecodable
+      .toDS()
+    val hashes = MultimodalOps.audioEnvelopeHash(spark, ds)
+      .collect().sortBy(_.media_id)
+    hashes.map(_.decoded) shouldBe Array(true, true, true, false)
+    val pairs = MultimodalOps.audioNearDupPairs(spark, ds, maxHamming = 6)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Long)].collect()
+    pairs.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
+    pairs(0)._3 should be <= 6L
+  }
 }
