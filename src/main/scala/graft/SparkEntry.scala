@@ -600,7 +600,7 @@ object SparkEntry {
     // output to the inverted-index form, indexing only ~(1-t) of shingles
     "q_jaccard_prefix" -> ((s, d) =>
       DedupOps.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5, maxShingleDf = 50)
+        n = 3, threshold = 0.8, maxShingleDf = 50)
         .orderBy("id1", "id2")),
 
     // asymmetric containment pairs (quote/subset detection — high when a
@@ -2596,7 +2596,7 @@ object SparkEntry {
          FROM common
          JOIN sizes s1 ON s1.id = id1
          JOIN sizes s2 ON s2.id = id2
-         WHERE ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) >= 0.5
+         WHERE ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) >= 0.8
          ORDER BY id1, id2""",
 
     "q_chunk_docs" ->

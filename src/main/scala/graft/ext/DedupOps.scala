@@ -131,18 +131,28 @@ object DedupOps {
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double,
                          maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sh = dropHotKeys(
+    // ONE kernel pass + ONE pinned exchange (same discipline as
+    // jaccardPairs): the index carries each shingle's per-row canonical
+    // rank (position in the hash-sorted array), so the prefix slice, the
+    // df-cap, the candidate self-join, and both verification reads all
+    // hang off the same exchanged subtree — no doc-keyed window shuffle,
+    // no recomputed shingling.
+    val shPos = dropHotKeys(
       spread(df)
         .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sha"))
         .select(col("id"), size(col("sha")).cast("bigint").as("sz"),
-          explode(col("sha")).as("sh")),
+          posexplode(array_sort(col("sha"))).as(Seq("pos", "sh"))),
       "sh", maxShingleDf)
-    val wpos = Window.partitionBy("id").orderBy(col("sh").asc)
+    val sh = shPos.select("id", "sz", "sh")
     val alpha = ceil(lit(threshold - 0.001) * col("sz") - lit(1e-9))
-    val prefix = sh
-      .withColumn("_pos", row_number().over(wpos))
-      .withColumn("_m", count(lit(1)).over(Window.partitionBy("id")))
-      .filter(col("_pos") <= col("_m") - alpha + 1)
+    // Positions count ALL of the doc's shingles while the pigeonhole
+    // bound applies to the df-capped set; dropped hot predecessors only
+    // ever shift a capped element's rank DOWN (rank_capped ≤ pos), so
+    // `pos ≤ sz − α + 1` retains every capped-prefix element — the index
+    // stays a candidate superset. Verification is exact, so extra
+    // candidates cost time, never correctness.
+    val prefix = shPos
+      .filter(col("pos") + 1 <= col("sz") - alpha + 1)
       .select("id", "sh")
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
