@@ -13,6 +13,27 @@ object Bench {
       while (it.hasNext) it.next()
     }
 
+  /** Fixed-work ambient-load probe: a single-thread dependent-LCG busy loop
+    * (~100 ms on an unloaded core, zero allocation, zero I/O) timed
+    * immediately before each measurement pass. The box is shared, and whole
+    * runs have recorded 2–4× inflation from neighbor load; emitting the
+    * probe times alongside the query times makes the bench
+    * self-adjudicating — a reader normalizes recorded seconds by the
+    * calibration spread instead of re-running the bench to decide whether a
+    * "regression" is code or neighbors. */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 60000000) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      i += 1
+    }
+    // data-dependent side effect so the JIT cannot elide the loop
+    if (x == 42L) System.err.print("")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,7 +62,11 @@ object Bench {
     // discards JIT/GC/neighbor spikes the adjacent-pass form could not.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt max 1
     val names = SparkEntry.queries.keys.toSeq
+    // warm the probe's JIT once so pass-1 calibration isn't interpreter time
+    calibrate()
+    val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passTimes = (1 to passes).map { _ =>
+      calibrations += calibrate()
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -58,6 +83,7 @@ object Bench {
     // Continuity metric: the same queries under the round-1 `.count()`
     // methodology (Catalyst prunes to counts — under-measures projection
     // cost, but directly comparable with earlier rounds' totals).
+    calibrations += calibrate()
     val countTotal = SparkEntry.queries.values.map { fn =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
@@ -73,8 +99,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // calibration: fixed-work probe seconds, one before each drain pass and
+    // one before the count-method sweep; spread = max/min. A spread near 1.0
+    // means a quiet box; >>1 flags which passes ran under ambient load.
+    val calJson = calibrations.map(r3).mkString("[", ",", "]")
+    val calSpread =
+      if (calibrations.nonEmpty) calibrations.max / calibrations.min else 1.0
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","passes":$passes,"agg":"min","queries":$qs,"count_method_total":${r3(countTotal)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","passes":$passes,"agg":"min","queries":$qs,"count_method_total":${r3(countTotal)},"calibration":$calJson,"calibration_spread":${r3(calSpread)},"sf":"$sfDir"}"""
     println(json)
     // Stdout tail-truncation loses per-query timings in long runs — persist
     // the full line to a file so every timing stays recoverable per round.

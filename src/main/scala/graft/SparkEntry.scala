@@ -3232,7 +3232,7 @@ object SparkEntry {
 
     "q_label_dispersion" ->
       """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
-              cent AS (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c
+              cent AS (SELECT label, i, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS c
                        FROM embeddings, idx GROUP BY label, i),
               sc AS (SELECT e.vec_id, e.label,
                             SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.c) AS dot,

@@ -741,22 +741,6 @@ object DedupOps {
   }
 
   /**
-   * Blocked fuzzy self-join — the entity-resolution primitive: candidate
-   * pairs come ONLY from rows sharing a blocking key (a cheap deterministic
-   * surrogate: first token, soundex, sorted-prefix …), then the expensive
-   * string distance runs within blocks and pairs with
-   * `levenshtein ≤ maxDist` survive. Emits (id1, id2, s1, s2, dist) with
-   * id1 < id2.
-   *
-   * Scale: the block equi-join shuffles each side once on the blocking key
-   * — never the all-pairs cross join (the defining trick of record
-   * linkage). Within-block cost is O(Σ blockSize²) levenshtein calls;
-   * `maxBlockSize` df-caps degenerate blocks (the empty-key / "the" block)
-   * via the same [[dropHotKeys]] one-exchange pass the LSH tiers use —
-   * dropping a super-hot block is the standard blocking-quality trade,
-   * not a correctness loss (callers re-block hot rows on a finer key).
-   */
-  /**
    * Keep the BEST-scoring member of every duplicate cluster — the
    * production keep rule for near-dup dedup (min-id keep, as in
    * [[SimilarityOps.semanticDedup]], discards quality information; real
@@ -789,6 +773,22 @@ object DedupOps {
       .drop("__kb_cl", "__kb_keep")
   }
 
+  /**
+   * Blocked fuzzy self-join — the entity-resolution primitive: candidate
+   * pairs come ONLY from rows sharing a blocking key (a cheap deterministic
+   * surrogate: first token, soundex, sorted-prefix …), then the expensive
+   * string distance runs within blocks and pairs with
+   * `levenshtein ≤ maxDist` survive. Emits (id1, id2, s1, s2, dist) with
+   * id1 < id2.
+   *
+   * Scale: the block equi-join shuffles each side once on the blocking key
+   * — never the all-pairs cross join (the defining trick of record
+   * linkage). Within-block cost is O(Σ blockSize²) levenshtein calls;
+   * `maxBlockSize` df-caps degenerate blocks (the empty-key / "the" block)
+   * via the same [[dropHotKeys]] one-exchange pass the LSH tiers use —
+   * dropping a super-hot block is the standard blocking-quality trade,
+   * not a correctness loss (callers re-block hot rows on a finer key).
+   */
   def blockedFuzzyJoin(df: DataFrame, idCol: String, strCol: String,
                        blockKey: Column, maxDist: Int,
                        maxBlockSize: Int = Int.MaxValue): DataFrame = {

@@ -560,7 +560,12 @@ object SimilarityOps {
   def labelDispersion(df: DataFrame, labelCol: String, vecCol: String,
                       dim: Int): DataFrame = {
     val vm = udaf(new graft.functions.VectorAggregators.VectorMean(dim))
-    val cents = df.groupBy(labelCol).agg(vm(col(vecCol)).as("__ld_c"))
+    // pin each centroid component to 6dp before the cosines: VectorMean's
+    // double sums are partition-order dependent in their low bits, and a
+    // per-row cosine sitting exactly on a rounding boundary could flip vs
+    // an oracle whose centroid comes from a sequential AVG+ROUND
+    val cents = df.groupBy(labelCol).agg(
+      transform(vm(col(vecCol)), x => round(x, 6)).as("__ld_c"))
     df.join(broadcast(cents), labelCol)
       .withColumn("__ld_cos", cosine(col(vecCol), col("__ld_c")))
       .groupBy(col(labelCol))

@@ -501,14 +501,18 @@ object TextOps {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val n = df.filter(col(textCol).isNotNull)
       .agg(count(lit(1)).as("n_docs"))
+    // rank on the RAW score (rounding only the emitted column): two terms
+    // whose raw scores differ by <1e-6 would round equal and flip the top-k
+    // boundary vs an oracle that orders by the unrounded value
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+      .partitionBy(idCol).orderBy(col("__score_raw").desc, col("term").asc)
     tf.join(dfreq, "term").crossJoin(broadcast(n))
-      .withColumn("score",
-        round(col("tf") * log(col("n_docs").cast("double") / col("dfreq")), 6))
+      .withColumn("__score_raw",
+        col("tf") * log(col("n_docs").cast("double") / col("dfreq")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
+      .select(col(idCol), col("term"), col("tf"),
+        round(col("__score_raw"), 6).as("score"), col("rank"))
   }
 
   /**

@@ -16,12 +16,19 @@ object JoinOps {
    * `|leftVal − rightVal| ≤ eps`. A plain theta join on that predicate
    * gives Catalyst nothing to hash on → BroadcastNestedLoopJoin,
    * O(|L|·|R|) comparisons. Bucketing both sides by `eps`-width cells
-   * and probing each left row's cell ±1 turns it into ONE equi-join
-   * (every qualifying pair lands in exactly one probed bucket, so no
-   * dedup step is needed); the exact band filter then drops the ≤3×
-   * fanout's false candidates. Shuffle is O(3|L| + |R|) bucket-keyed
-   * rows — the 1-D analog of the embedding near-dup bucketing
-   * (`SimilarityOps.cosineNearDupPairs`).
+   * and probing each left row's covering cell range turns it into ONE
+   * equi-join (every qualifying pair lands in exactly one probed bucket,
+   * so no dedup step is needed); the exact band filter then drops the
+   * small fanout's false candidates. Shuffle is O(~3|L| + |R|)
+   * bucket-keyed rows — the 1-D analog of the embedding near-dup
+   * bucketing (`SimilarityOps.cosineNearDupPairs`).
+   *
+   * The probe range is derived as floor((v−eps)/eps)..floor((v+eps)/eps)
+   * rather than cell±1: double division is monotone, so every right value
+   * r with |v−r| ≤ eps (the exact filter's own comparison) has
+   * floor(r/eps) inside that range — a ±1 probe can miss a qualifying
+   * pair when quotient rounding at large magnitudes puts the two floors
+   * two cells apart (e.g. |v1−v2| exactly eps with prices and eps=0.05).
    *
    * Value columns must be distinctly named across the two inputs.
    */
@@ -31,10 +38,10 @@ object JoinOps {
     require(!left.columns.toSet.intersect(right.columns.toSet).exists(_ => true),
       "left/right column names must not overlap")
     val probes = left
-      .withColumn("_b", floor(col(leftVal) / eps).cast("long"))
-      .withColumn("_probe",
-        explode(array(col("_b") - 1, col("_b"), col("_b") + 1)))
-      .drop("_b")
+      .withColumn("_lo", floor((col(leftVal) - eps) / eps).cast("long"))
+      .withColumn("_hi", floor((col(leftVal) + eps) / eps).cast("long"))
+      .withColumn("_probe", explode(sequence(col("_lo"), col("_hi"))))
+      .drop("_lo", "_hi")
     val bucketed = right
       .withColumn("_rb", floor(col(rightVal) / eps).cast("long"))
     probes.join(bucketed, col("_probe") === col("_rb"))

@@ -1,0 +1,87 @@
+package graft
+
+/**
+ * CI plan gate over EVERY `SparkEntry.queries` entry: compiles each query's
+ * physical plan at sf0.001 and asserts the anti-patterns that sink a 100 TB
+ * run can never silently return:
+ *
+ *  - `CartesianProduct` — O(|L|·|R|) with both sides shuffled; never
+ *    acceptable in any query here.
+ *  - `BroadcastNestedLoopJoin` — acceptable ONLY when the broadcast side is
+ *    a bounded scalar / model artifact (a 1-row aggregate, a k-row centroid
+ *    or query set). Those queries are whitelisted BY NAME below; everything
+ *    else must plan an equi-join.
+ *  - `Window` in the ANN top-k family — the bounded-heap aggregate is the
+ *    contract (the exchange carries ≤k-element buffers, not |Q|·|C| ranked
+ *    pairs); a Window node means the heap regressed to a rank window.
+ *
+ * The assertions run on the statically-planned `executedPlan` (no
+ * execution): AQE runtime replanning can turn a shuffle join into a
+ * broadcast join, but never introduces a nested-loop or cartesian node that
+ * the static planner didn't choose, so the static plan is the right (and
+ * cheap) place to pin these.
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose plan legitimately carries a BroadcastNestedLoopJoin:
+    * every entry's broadcast side is a bounded artifact (1-row corpus
+    * aggregate, ≤k centroids, the broadcast query set of a top-k), so the
+    * "nested loop" is a constant-width scalar join, the correct 100 TB
+    * plan. Reviewed per name — add here only with the same justification. */
+  private val bnljAllowed: Set[String] = Set(
+    "q22_dormant_customers", // 1-row scalar subquery (avg acctbal) broadcast
+    "q_benford",             // 1-row total-count broadcast
+    "q_bm25_topk",           // 1-row corpus stats (N, avgdl) broadcasts
+    "q_cosine_topk",         // broadcast query set — the documented top-k shape
+    "q_count_reconcile",     // two 1-row counts joined
+    "q_cross_join",          // the operator IS cross join (3 tiny dims, 125 rows)
+    "q_drift_psi",           // 1-row per-side totals broadcast
+    "q_embedding_dist_hist", // bounded sampled-pair broadcast side
+    "q_importance_weights",  // 1-row target/corpus token totals (DSIR)
+    "q_ivf_topk_probe2",     // ≤c-row centroid broadcast on both sides
+    "q_pmi_collocations",    // 1-row corpus token total broadcast
+    "q_pq_rerank",           // codebook-pool + query-set broadcasts (4 stages)
+    "q_tfidf_topterms",      // 1-row doc-count broadcast
+    "q_unigram_logprob")     // 1-row corpus token total broadcast
+
+  /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
+  private val annHeapOnly: Set[String] = Set(
+    "q_cosine_topk", "q_ann_topk", "q_ivf_topk", "q_ivf_topk_probe2",
+    "q_pq_rerank")
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where whitelisted") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val violations = names.flatMap { name =>
+      val plan = planOf(name)
+      val cart = "CartesianProduct".r.findAllIn(plan).length
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      val bad = Seq(
+        (cart > 0) -> s"$name: CartesianProduct x$cart",
+        (bnlj > 0 && !bnljAllowed(name)) -> s"$name: BroadcastNestedLoopJoin x$bnlj (not whitelisted)")
+      bad.collect { case (true, msg) => msg }
+    }
+    withClue(violations.mkString("plan violations:\n", "\n", "\n")) {
+      violations shouldBe empty
+    }
+  }
+
+  test("ANN top-k family plans the bounded heap, never a rank Window") {
+    val violations = annHeapOnly.toSeq.sorted.flatMap { name =>
+      val plan = planOf(name)
+      val win = "Window".r.findAllIn(plan).length
+      if (win > 0) Some(s"$name: Window x$win in ANN plan") else None
+    }
+    withClue(violations.mkString("ANN window violations:\n", "\n", "\n")) {
+      violations shouldBe empty
+    }
+    // and the heap aggregate is actually present
+    annHeapOnly.toSeq.sorted.foreach { name =>
+      withClue(s"$name missing ObjectHashAggregate (heap) node: ") {
+        planOf(name) should include("ObjectHashAggregate")
+      }
+    }
+  }
+}
