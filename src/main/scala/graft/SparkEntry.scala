@@ -1033,6 +1033,41 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // fused IVF+PQ (IVFADC): coarse-score only the probed cells' PQ codes,
+    // exact re-rank of the bounded candidate set. Recall is provably
+    // monotone in nprobe (probed-cell union nests; candidates=2000 unbinds
+    // the cap at every SF so the final set is the exact top-k within the
+    // union) AND in candidates (the coarse heap's kept set is a nested
+    // prefix under its deterministic order) — the oracle stipulates both
+    // booleans, the engine computes them
+    "q_ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+        m = 8, codes = 16, iters = 2, dim = 64)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val exact = SimilarityOps.cosineTopK(queries, emb,
+        "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+      def hits(nprobe: Int, cand: Int, alias: String) =
+        SimilarityOps.ivfPqTopK(queries, emb, cents, cbs, "vec_id",
+            "embedding", k = 5, nprobe = nprobe, candidates = cand)
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as(alias))
+      val p1 = hits(1, 2000, "np1")
+      val p2 = hits(2, 2000, "np2")
+      val c1 = hits(2, 10, "nc10")
+      val c2 = hits(2, 25, "nc25")
+      queries.select(col("vec_id").as("query_id"))
+        .join(p1, Seq("query_id"), "left").join(p2, Seq("query_id"), "left")
+        .join(c1, Seq("query_id"), "left").join(c2, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("np2"), lit(0L)) >= coalesce(col("np1"), lit(0L)))
+            .as("probe_monotone"),
+          (coalesce(col("nc25"), lit(0L)) >= coalesce(col("nc10"), lit(0L)))
+            .as("cand_monotone"))
+        .orderBy("query_id")
+    }),
+
     // embedding cluster-health report: per-label member count + mean/min
     // cosine to the label centroid (collapsed/polluted cluster detector)
     "q_label_dispersion" -> ((s, d) =>
@@ -3118,6 +3153,12 @@ object SparkEntry {
 
     "q_ivf_topk_probe2" ->
       """SELECT vec_id AS query_id, TRUE AS recall_monotone
+         FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
+         ORDER BY query_id""",
+
+    "q_ivfpq_topk" ->
+      """SELECT vec_id AS query_id, TRUE AS probe_monotone,
+                TRUE AS cand_monotone
          FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
          ORDER BY query_id""",
 

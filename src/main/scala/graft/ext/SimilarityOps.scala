@@ -475,20 +475,28 @@ object SimilarityOps {
    * (struct-max over (score, -code), the [[ivfAssign]] discipline).
    */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-               codebooks: Seq[Seq[Seq[Float]]]): DataFrame = {
+               codebooks: Seq[Seq[Seq[Float]]]): DataFrame =
+    df.select(col(idCol),
+      pqCodeColumn(df, col(vecCol), codebooks).as("pq_codes"))
+
+  /** Column form of PQ encoding (array of per-subspace code ids) — shared
+    * by [[pqEncode]] and the fused [[ivfPqTopK]], which needs the codes in
+    * the same projection as the IVF cell. */
+  def pqCodeColumn(df: DataFrame, vec: Column,
+                   codebooks: Seq[Seq[Seq[Float]]]): Column = {
     GraftFunctions.register(df.sparkSession)
     val m = codebooks.length
     require(m > 0 && codebooks.forall(_.nonEmpty), "empty PQ codebook")
     val w = codebooks.head.head.length
     val codeCols = (0 until m).map { s =>
-      val sub = slice(col(vecCol), s * w + 1, w)
-      val entries = codebooks(s).zipWithIndex.map { case (vec, j) =>
-        struct(cosineNative(sub, typedlit(vec)).as("cs"),
+      val sub = slice(vec, s * w + 1, w)
+      val entries = codebooks(s).zipWithIndex.map { case (v, j) =>
+        struct(cosineNative(sub, typedlit(v)).as("cs"),
           lit(-j).as("nc"))
       }
       (-array_max(array(entries: _*)).getField("nc")).cast("int")
     }
-    df.select(col(idCol), array(codeCols: _*).as("pq_codes"))
+    array(codeCols: _*)
   }
 
   /** PQ reconstruction of an encoded row: concatenate each subspace's
@@ -542,6 +550,60 @@ object SimilarityOps {
       .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).as("cv")), "neighbor_id")
       .join(broadcast(q), "query_id")
+      .withColumn("score", cosineNative(col("qv"), col("cv")))
+    heapTopK(exact, k)
+  }
+
+  /**
+   * Fused IVF+PQ search (IVFADC — the production ANN composition): the
+   * corpus is IVF-cell-assigned AND PQ-encoded in one narrow projection,
+   * the coarse pass scores ONLY the probed cells' PQ codes (the cell
+   * equi-join against the broadcast probe set drops every unprobed cell
+   * before any arithmetic — nprobe/ncells of [[pqRerankTopK]]'s
+   * whole-corpus coarse scan), the bounded heap keeps `candidates` per
+   * query, and only those few rows re-join the full-precision vectors for
+   * the exact final top `k`.
+   *
+   * Scale: one corpus scan, zero corpus shuffle in the coarse pass
+   * (queries ride along broadcast; the per-query heap bounds the coarse
+   * exchange to |Q|·candidates·partitions buffers), and the re-rank is a
+   * |Q|·candidates-row id equi-join. Production stores the encoded corpus
+   * partitioned by `cell` ([[pqEncode]] + [[ivfAssign]] +
+   * `partitionBy("cell")`), so the coarse pass also prunes unprobed cells
+   * at the SCAN; this one-pass form computes cell + codes inline — same
+   * plan from the join down.
+   *
+   * Recall is monotone in BOTH knobs (each is a nested-candidate-set
+   * argument, asserted by `q_ivfpq_topk`'s bound-based oracle): raising
+   * `nprobe` grows the probed cell union (probe list is a prefix of the
+   * centroid ranking), and raising `candidates` extends the coarse heap's
+   * kept prefix under the same deterministic (score desc, id asc) order.
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                centroids: Seq[(Long, Seq[Float])],
+                codebooks: Seq[Seq[Seq[Float]]],
+                idCol: String, vecCol: String, k: Int,
+                nprobe: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be ≥ k=$k")
+    requireIntegralId(corpus, idCol, "ivfPqTopK")
+    GraftFunctions.register(queries.sparkSession)
+    val q = ivfProbeCells(queries, centroids, vecCol, nprobe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"))
+    // cell + reconstructed-code vector in ONE projection over the scan
+    val c = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).cast("long").as("neighbor_id"), col("cell"),
+        pqReconstruct(pqCodeColumn(corpus, col(vecCol), codebooks),
+          codebooks).as("rv"))
+    val coarse = c.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosineNative(col("qv"), col("rv")))
+    val cand = heapTopK(coarse, candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val qFull = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val exact = cand
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("cv")), "neighbor_id")
+      .join(broadcast(qFull), "query_id")
       .withColumn("score", cosineNative(col("qv"), col("cv")))
     heapTopK(exact, k)
   }

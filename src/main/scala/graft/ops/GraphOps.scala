@@ -68,13 +68,21 @@ object GraphOps {
    * exact, deterministic, and oracle-checkable bit-for-bit. The floor
    * divisions lose < deg·10⁻¹² per node per round — noise at rank scale.
    *
-   * Per iteration: one join of ranks onto the (static, cacheable)
-   * degree-annotated directed edge list + one hash agg — the standard
-   * distributed PageRank round, O(edges) shuffle, no driver data. Edges
-   * are canonicalized and doubled (u→v, v→u), so every node has
-   * out-degree ≥ 1 and the dangling-mass term vanishes. Fixed small
-   * `iterations` compose lazily; long runs should adopt the per-round
-   * materialization discipline of `DedupOps.connectedComponentsStar`.
+   * Per iteration: one join of ranks onto the degree-annotated directed
+   * edge list + one hash agg — the standard distributed PageRank round,
+   * O(edges) shuffle, no driver data. Edges are canonicalized and doubled
+   * (u→v, v→u), so every node has out-degree ≥ 1 and the dangling-mass
+   * term vanishes.
+   *
+   * Iterations MATERIALIZE: the edge list + node set are derived once and
+   * cached, and each round's ranks are persisted and rebased onto the
+   * persisted RDD (`LogicalRDD` leaf) — the discipline of
+   * [[graft.ext.DedupOps.connectedComponentsStar]]. A lazily-composed loop
+   * embeds all i−1 predecessor plans inside iteration i's, so total work
+   * is O(iters²) re-executions of the edge join and the plan tree itself
+   * outgrows the driver at high iteration counts; per-round cuts make
+   * every round O(edges) and the plan O(1)-deep regardless of `iterations`.
+   * The returned frame is localCheckpoint-ed so callers own no cache.
    */
   def pageRankScaled(edges: DataFrame, src: String, dst: String,
                      iterations: Int): DataFrame = {
@@ -88,18 +96,37 @@ object GraphOps {
     val bi = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     val deg = bi.groupBy("u").agg(count(lit(1)).as("deg"))
-    val biDeg = bi.join(deg, "u")
-    val nodes = deg.select(col("u").as("node"))
-    var pr = nodes.withColumn("pr", lit(1000000000000L))
+    // static across rounds — cache once instead of re-deriving the
+    // canonicalize + union + degree join every iteration
+    val biDeg = bi.join(deg, "u").persist()
+    val nodes = deg.select(col("u").as("node")).persist()
+    // persist() alone does not truncate the logical plan; rebasing on the
+    // persisted RDD does, while the original stays available as an
+    // explicit unpersist handle
+    def materializeCut(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist()
+      p.count()
+      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+    }
+    var (pr, prHandle) = materializeCut(
+      nodes.withColumn("pr", lit(1000000000000L)))
     for (_ <- 1 to iterations) {
       val contrib = biDeg
         .join(pr, biDeg("u") === pr("node"))
         .selectExpr("v AS node", "pr div deg AS c")
         .groupBy("node").agg(sum(col("c")).as("s"))
-      pr = nodes.join(contrib, Seq("node"), "left")
-        .selectExpr("node",
-          "150000000000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS pr")
+      val (next, nextHandle) = materializeCut(
+        nodes.join(contrib, Seq("node"), "left")
+          .selectExpr("node",
+            "150000000000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS pr"))
+      prHandle.unpersist(blocking = false)
+      pr = next
+      prHandle = nextHandle
     }
-    pr
+    val result = pr.localCheckpoint()
+    prHandle.unpersist(blocking = false)
+    biDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    result
   }
 }

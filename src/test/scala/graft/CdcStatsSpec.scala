@@ -139,6 +139,23 @@ class CdcStatsSpec extends SparkSpec {
     pr2 shouldBe pr
   }
 
+  test("pageRankScaled: 50 iterations stay cheap (per-round persist/rebase)") {
+    // WITHOUT the per-round LogicalRDD rebase, iteration i's plan embeds
+    // all i−1 predecessors — O(iters²) re-executions of the edge join and
+    // a plan tree that outgrows the driver at high iteration counts.
+    // Completing all 50 rounds promptly, with the symmetric triangle still
+    // at its exact integer fixed point and the hub still dominant, proves
+    // each round ran O(edges) off the persisted previous ranks.
+    val edges = ((2L to 21L).map(l => (1L, l)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L))).toDF("s", "t")
+    val pr = graft.ops.GraphOps.pageRankScaled(edges, "s", "t", 50)
+      .orderBy("node").as[(Long, Long)].collect()
+    val byNode = pr.toMap
+    byNode(100L) shouldBe 1000000000000L +- 50L
+    byNode(1L) should be > byNode(2L) * 10
+    byNode(2L) shouldBe byNode(21L)
+  }
+
   test("weightedSample is reproducible and biases toward heavy rows") {
     val df = (1 to 1000).map { i =>
       (i.toLong, if (i <= 100) 1000.0 else 1.0)

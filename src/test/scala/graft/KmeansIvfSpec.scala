@@ -186,6 +186,34 @@ class KmeansIvfSpec extends SparkSpec {
     rerank shouldBe exact
   }
 
+  test("ivfPqTopK: full probe + unpruned candidates equals exact top-k; recall monotone in both knobs") {
+    val cents = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
+      c = 8, iters = 2, dim = 64)
+    val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, codes = 16, iters = 2, dim = 64)
+    val queries = emb.filter(col("vec_id") < 10)
+    val n = emb.count().toInt
+    val exactDf = SimilarityOps.cosineTopK(queries, emb,
+      "vec_id", "embedding", k = 5)
+    // nprobe = ncells and candidates ≥ corpus ⇒ nothing is pruned anywhere:
+    // the fused pipeline degenerates to brute force — exact equality,
+    // including tie order, not a recall bound
+    val full = SimilarityOps.ivfPqTopK(queries, emb, cents, cbs,
+        "vec_id", "embedding", k = 5, nprobe = 8, candidates = n)
+      .orderBy("query_id", "rank").collect()
+    full shouldBe exactDf.orderBy("query_id", "rank").collect()
+
+    val exact = exactDf.select("query_id", "neighbor_id")
+    def recall(nprobe: Int, cand: Int): Long =
+      SimilarityOps.ivfPqTopK(queries, emb, cents, cbs, "vec_id",
+          "embedding", k = 5, nprobe = nprobe, candidates = cand)
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    // nprobe-monotone with the cap unbound (probed-cell unions nest);
+    // candidates-monotone at fixed nprobe (coarse heap prefix nests)
+    recall(2, n) should be >= recall(1, n)
+    recall(2, 25) should be >= recall(2, 10)
+  }
+
   test("pqRerankTopK recall is monotone in the candidate budget") {
     val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
       m = 8, codes = 16, iters = 2, dim = 64)

@@ -39,6 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_embedding_dist_hist", // bounded sampled-pair broadcast side
     "q_importance_weights",  // 1-row target/corpus token totals (DSIR)
     "q_ivf_topk_probe2",     // ≤c-row centroid broadcast on both sides
+    "q_ivfpq_topk",          // exact-baseline cosineTopK's broadcast query set
     "q_pmi_collocations",    // 1-row corpus token total broadcast
     "q_pq_rerank",           // codebook-pool + query-set broadcasts (4 stages)
     "q_tfidf_topterms",      // 1-row doc-count broadcast
@@ -47,7 +48,7 @@ class PlanAuditSpec extends SparkSpec {
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
     "q_cosine_topk", "q_ann_topk", "q_ivf_topk", "q_ivf_topk_probe2",
-    "q_pq_rerank")
+    "q_pq_rerank", "q_ivfpq_topk")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
