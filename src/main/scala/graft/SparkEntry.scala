@@ -859,6 +859,22 @@ object SparkEntry {
         .select("doc_id", "n_chars", "n_tokens")
         .orderBy("doc_id")),
 
+    // token-budget selection under TRAINED subword accounting: a 6-rule
+    // BPE merge table is trained from corpus pair counts (deterministic,
+    // ties pair-asc), then the budget gate runs on subword counts instead
+    // of whitespace words — the oracle replays training with 6 unrolled
+    // rounds and application via the same flat string-replace scheme
+    "q_budget_select_bpe" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val merges = TextOps.bpeTrainMerges(docs, "text", nMerges = 6)
+      SamplingOps.selectByBudgetSharded(
+        docs.withColumn("n_tokens",
+          TextOps.subwordCountBpe(col("text"), merges)),
+        "doc_id", "n_tokens", "n_chars", budget = 20000L, buckets = 64)
+        .select("doc_id", "n_chars", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // deterministic 80/10/10 train/val/test split; rows never migrate
     // between splits as the corpus grows
     "q_dataset_split" -> ((s, d) =>
@@ -2094,7 +2110,42 @@ object SparkEntry {
   private val revenueExpr =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
 
+  /** Unrolled BPE training rounds for the q_budget_select_bpe oracle —
+    * round k counts adjacent token pairs over the vocabulary states
+    * s(k-1) weighted by word frequency, picks the winner by
+    * (count desc, pair asc), and applies it as the same flat string
+    * replace `TextOps.bpeTrainMerges` uses, so the merge table DuckDB
+    * derives is identical to the one the Spark side trains. */
+  private def bpeOracleRounds(n: Int): String =
+    (1 to n).map { k =>
+      s"""p$k AS (SELECT '.' || tk[i] || '.' || tk[i+1] || '.' AS pair, SUM(freq) AS cnt
+                  FROM (SELECT freq, string_split(st, '.') AS tk FROM s${k - 1}) t$k,
+                       unnest(generate_series(2, len(tk)-2)) AS u$k(i)
+                  GROUP BY 1),
+              m$k AS (SELECT pair FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+              s$k AS (SELECT w, freq, replace(st, (SELECT pair FROM m$k),
+                            '.' || replace((SELECT pair FROM m$k), '.', '') || '.') AS st FROM s${k - 1})"""
+    }.mkString(",\n              ")
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_budget_select_bpe" ->
+      (s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents WHERE text IS NOT NULL),
+              v AS (SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+              s0 AS (SELECT w, freq, '.' || regexp_replace(w, '(.)', """ +
+        """'\1.', 'g') AS st FROM v),
+              """ + bpeOracleRounds(6) + s""",
+              wc AS (SELECT w, CAST(len(st) - len(replace(st, '.', '')) - 1 AS BIGINT) AS n_sub FROM s6),
+              docw AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w
+                       FROM documents WHERE text IS NOT NULL),
+              dtok AS (SELECT doc_id, n_chars, SUM(COALESCE(n_sub, 0)) AS n_tokens
+                       FROM docw LEFT JOIN wc USING (w) GROUP BY doc_id, n_chars),
+              c AS (SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+                           COALESCE(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                    FROM dtok)
+         SELECT doc_id, n_chars, n_tokens FROM c WHERE cum < 20000 ORDER BY doc_id"""),
 
     "q_window_filter_extract" ->
       """SELECT event_id, ts, user_id, event_type FROM events

@@ -23,6 +23,40 @@ class CurationOpsSpec extends SparkSpec {
     out(1) shouldBe ((2L, 5L, 0.2, 1.0))
   }
 
+  test("bpeTrainMerges/subwordCountBpe: deterministic greedy-prefix merges, bounded monotone counts, budget rank divergence") {
+    val docs = graft.sources.Stores.table(spark, sf0001, "documents")
+      .filter(col("text").isNotNull)
+    val m6 = TextOps.bpeTrainMerges(docs, "text", 6)
+    m6.length shouldBe 6
+    m6 shouldBe TextOps.bpeTrainMerges(docs, "text", 6)
+    // greedy training is sequential, so a shorter table is a prefix
+    m6.take(3) shouldBe TextOps.bpeTrainMerges(docs, "text", 3)
+    // per doc: word count ≤ subword count ≤ non-space char count
+    docs.select(
+      TextOps.tokenCount(col("text")).cast("long").as("nw"),
+      TextOps.subwordCountBpe(col("text"), m6).as("ns"),
+      org.apache.spark.sql.functions.length(translate(col("text"), " ", ""))
+        .cast("long").as("nc"))
+      .filter(col("ns") < col("nw") || col("ns") > col("nc"))
+      .count() shouldBe 0L
+    // more merge rules never increase a doc's count
+    docs.select((TextOps.subwordCountBpe(col("text"), m6) <=
+        TextOps.subwordCountBpe(col("text"), m6.take(3))).as("ok"))
+      .filter(!col("ok")).count() shouldBe 0L
+    // the point of subword accounting: a many-short-words doc is
+    // word-expensive but subword-cheap, a few-long-words doc the reverse —
+    // under a fixed budget the two RANK in opposite order per scheme
+    val tiny = Seq((1L, "aa aa aa aa aa aa"), (2L, "abcdefghij abcdefghij"))
+      .toDF("doc_id", "text")
+    val tm = TextOps.bpeTrainMerges(tiny, "text", 6)
+    val counts = tiny.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("nw"),
+        TextOps.subwordCountBpe(col("text"), tm).as("ns"))
+      .orderBy("doc_id").collect()
+    counts(0).getLong(1) should be > counts(1).getLong(1)
+    counts(0).getLong(2) should be < counts(1).getLong(2)
+  }
+
   test("qualityFilter keeps only in-bounds, non-degenerate docs") {
     val df = Seq(
       (1L, "one two three four five six seven eight nine ten"),  // ok (10 toks)
