@@ -494,6 +494,87 @@ object MultimodalOps {
       bits = 64, bands = bands, maxHamming = maxHamming, maxBandDf = maxBandDf)
   }
 
+  /** Strip leading/trailing samples whose amplitude is ≤ `frac` of the
+    * clip's peak — the canonicalization that makes silence padding (the
+    * common time shift between otherwise-identical copies) cancel exactly
+    * before any windowing. */
+  private[graft] def trimSilence(samples: Array[Double],
+                                 frac: Double): Array[Double] = {
+    if (samples.isEmpty) return samples
+    var peak = 0.0
+    var i = 0
+    while (i < samples.length) {
+      val a = math.abs(samples(i)); if (a > peak) peak = a; i += 1
+    }
+    val thr = peak * frac
+    var lo = 0
+    while (lo < samples.length && math.abs(samples(lo)) <= thr) lo += 1
+    var hi = samples.length - 1
+    while (hi >= lo && math.abs(samples(hi)) <= thr) hi -= 1
+    if (hi < lo) samples
+    else java.util.Arrays.copyOfRange(samples, lo, hi + 1)
+  }
+
+  /**
+   * SHIFT-TOLERANT audio envelope hash: [[audioEnvelopeHash]] is
+   * volume-invariant but time-shift sensitive — a 0.1 s-padded copy
+   * re-grids all 64 windows and scatters the bits past any useful
+   * maxHamming. Two mitigations compose here: [[trimSilence]] (silence
+   * padding — the common shift — cancels exactly, since the active region
+   * re-aligns), then 256 fine RMS windows MAX-POOLED 4→1 into the 64 bins
+   * (a residual sub-window drift moves energy within a pool instead of
+   * across bin boundaries, so isolated bits flip instead of the whole
+   * hash). Same contract and cost shape as [[audioEnvelopeHash]]: per-
+   * partition batch map, ZERO shuffle, content-hash fallback rows with
+   * decoded=false for undecodable payloads.
+   */
+  def audioEnvelopeHashPooled(spark: SparkSession, media: Dataset[MediaRow],
+                              trimFrac: Double = 0.02): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val bytes = Option(m.payload).getOrElse(Array.emptyByteArray)
+        decodeAudio(bytes) match {
+          case Some(samples) =>
+            val fine = rmsWindowFeature(trimSilence(samples, trimFrac), 256)
+            val bins = new Array[Float](64)
+            var k = 0
+            while (k < 64) {
+              var p = 0; var mx = 0f
+              while (p < 4) {
+                val v = fine(4 * k + p); if (v > mx) mx = v; p += 1
+              }
+              bins(k) = mx
+              k += 1
+            }
+            val mean = bins.map(_.toDouble).sum / 64.0
+            var hash = 0L
+            k = 0
+            while (k < 64) {
+              if (bins(k) > mean) hash |= (1L << k)
+              k += 1
+            }
+            MediaHash(m.media_id, hash, decoded = true)
+          case None =>
+            MediaHash(m.media_id,
+              java.util.Arrays.hashCode(bytes).toLong, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate AUDIO pairs under the shift-tolerant hash — catches
+    * silence-padded / re-gained copies the strict envelope hash scatters;
+    * same banded Hamming join and cost contract as [[audioNearDupPairs]]. */
+  def audioNearDupPairsShiftTolerant(spark: SparkSession,
+                                     media: Dataset[MediaRow],
+                                     maxHamming: Int = 6, bands: Int = 8,
+                                     maxBandDf: Int = Int.MaxValue): DataFrame = {
+    val sig = audioEnvelopeHashPooled(spark, media).filter(_.decoded).toDF()
+    graft.ext.DedupOps.hammingNearDupPairs(sig, "media_id", "ahash",
+      bits = 64, bands = bands, maxHamming = maxHamming, maxBandDf = maxBandDf)
+  }
+
   /** Synthesizes a deterministic in-memory media table for tests/demo (no
     * media fixtures ship in /root/testdata). */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

@@ -195,32 +195,47 @@ object StreamingPipeline {
                 .cast(DecimalType(18, 2)).as("total_value"))
           val root = new org.apache.hadoop.fs.Path(statePath)
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val versions: Seq[Long] =
+          val allDirs: Seq[String] =
             if (!fs.exists(root)) Seq.empty
             else fs.listStatus(root).toSeq.map(_.getPath.getName)
-              .filter(_.startsWith("v=")).map(_.drop(2).toLong)
-          val prev = versions.filter(_ < batchId).sorted.lastOption
+              .filter(_.startsWith("v="))
+          // the rollback point must be the newest COMPLETE predecessor: a
+          // crash between write and prune leaves duplicate v= dirs, and a
+          // crash mid-write leaves a partial one (no _SUCCESS) — replay
+          // rebases only on a version whose write committed
+          val prev = allDirs
+            .filter(n => fs.exists(
+              new org.apache.hadoop.fs.Path(root, s"$n/_SUCCESS")))
+            .map(_.drop(2).toLong).filter(_ < batchId).sorted.lastOption
           val merged = prev match {
             case Some(p) => graft.ops.CdcOps.mergeAggState(
               spark.read.parquet(s"$statePath/v=$p"), delta, Seq("user_id"))
             case None => delta
           }
           merged.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
-          // prune everything but the rollback point and the new version
-          versions.filter(v => v != batchId && !prev.contains(v))
+          // prune everything but the rollback point and the new version —
+          // including the partial/superseded dirs a crash left behind
+          allDirs.map(_.drop(2).toLong)
+            .filter(v => v != batchId && !prev.contains(v))
             .foreach(v => fs.delete(
               new org.apache.hadoop.fs.Path(s"$statePath/v=$v"), true))
         }
       }
       .start()
 
-  /** Newest rollup state version under `statePath` (see [[rollupIngest]]). */
+  /** Newest COMPLETE rollup state version under `statePath` (see
+    * [[rollupIngest]]): versions without a `_SUCCESS` marker are writes a
+    * crash interrupted — readers fall back past them to the last version
+    * that committed, never a partial directory. */
   def latestRollup(spark: SparkSession, statePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
-    require(vs.nonEmpty, s"no rollup state under $statePath")
+      .filter(_.startsWith("v="))
+      .filter(n => fs.exists(
+        new org.apache.hadoop.fs.Path(root, s"$n/_SUCCESS")))
+      .map(_.drop(2).toLong)
+    require(vs.nonEmpty, s"no complete rollup state under $statePath")
     spark.read.parquet(s"$statePath/v=${vs.max}")
   }
 

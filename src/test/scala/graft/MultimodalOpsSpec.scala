@@ -348,4 +348,27 @@ class MultimodalOpsSpec extends SparkSpec {
     pairs.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
     pairs(0)._3 should be <= 6L
   }
+
+  test("audioNearDupPairsShiftTolerant: a ~0.1s silence-padded copy pairs; the strict hash scatters it") {
+    import MultimodalOps.MediaRow
+    val pat = Seq(1, 1, 0, 0, 1, 0, 1)
+    val orig = pulsedWav(pat, 0.4)
+    val padded = pulsedWav(0 +: pat, 0.4) // 0.125 s of leading silence
+    val other = pulsedWav(Seq(0, 0, 1, 1, 0, 1, 0), 0.4)
+    val ds = Seq(
+      MediaRow(1L, orig, "audio", "wav"),
+      MediaRow(2L, padded, "audio", "wav"),
+      MediaRow(3L, other, "audio", "wav")).toDS()
+    // trim cancels the pad exactly (identical active region), max-pooling
+    // absorbs residual grid drift: the padded copy pairs with the original
+    val pairs = MultimodalOps
+      .audioNearDupPairsShiftTolerant(spark, ds, maxHamming = 6)
+      .orderBy("id1", "id2").as[(Long, Long, Long)].collect()
+    pairs.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
+    pairs(0)._3 should be <= 6L
+    // the strict fixed-grid hash re-bins every window across the ~1/8
+    // shift — the same pair lands far outside maxHamming there
+    MultimodalOps.audioNearDupPairs(spark, ds, maxHamming = 6)
+      .as[(Long, Long, Long)].collect() shouldBe empty
+  }
 }

@@ -83,6 +83,65 @@ class StreamingPipelineSpec extends SparkSpec {
     vs.length should be <= 2
   }
 
+  test("rollupIngest: crash between write and prune (stale + partial v= dirs) recovers cleanly") {
+    val work = Files.createTempDirectory("graft_rollup_crash_").toString
+    val srcDir = s"$work/src"
+    val state = s"$work/state"
+    val cp = s"$work/cp"
+    val all = Stores.table(spark, sf0001, "events")
+      .select(StreamingPipeline.eventSchema.fieldNames.map(col).toIndexedSeq: _*)
+    def expected(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .as("total_value"))
+        .orderBy("user_id").collect()
+    val (w1, w2) = (all.filter($"event_id" % 2 === 0),
+      all.filter($"event_id" % 2 === 1))
+    w1.repartition(3).write.mode("overwrite").parquet(srcDir)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(StreamingPipeline.eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      // watermark widened past the fixture span: waves interleave event
+      // time, and the semantics under test are crash recovery, not
+      // late-data eviction
+      StreamingPipeline.rollupIngest(spark, stream, state, cp,
+          watermark = "90 days")
+        .awaitTermination()
+    }
+    run()
+
+    // simulate the two crash artifacts: a STALE complete version the prune
+    // never removed (crash after write, before prune) and a PARTIAL newer
+    // version with no _SUCCESS (crash mid-write)
+    spark.range(1).toDF("junk").write.parquet(s"$state/v=0")
+    val partial = new java.io.File(state, "v=99")
+    partial.mkdirs()
+    Files.write(partial.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+
+    // readers fall back past the partial dir to the last committed version
+    StreamingPipeline.latestRollup(spark, state)
+      .orderBy("user_id").collect() shouldBe expected(w1)
+
+    // resume with the same checkpoint: replay rebases on the newest
+    // COMPLETE predecessor (not the stale v=0, never the partial v=99),
+    // and the final state equals the from-scratch aggregate
+    w2.repartition(2).write.mode("append").parquet(srcDir)
+    run()
+    StreamingPipeline.latestRollup(spark, state)
+      .orderBy("user_id").collect() shouldBe expected(all)
+
+    // every crash artifact was pruned; only rollback point + newest remain
+    val dirs = new java.io.File(state).list().filter(_.startsWith("v=")).toSeq
+    dirs.length should be <= 2
+    dirs.foreach { d =>
+      new java.io.File(s"$state/$d/_SUCCESS").exists() shouldBe true
+    }
+  }
+
   test("keyedIngest: event time is immutable on redelivery (ts not in update set)") {
     val work = Files.createTempDirectory("graft_stream_ts_").toString
     val mart = s"$work/mart"
