@@ -629,6 +629,14 @@ object SparkEntry {
       TextOps.bigramLogProbs(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // CCNet perplexity buckets: per-LANGUAGE head/middle/tail terciles of
+    // bigram-LM fit — the per-stratum rank rides the emitted 6dp score so
+    // rank and display can never disagree across engines
+    "q_perplexity_buckets" -> ((s, d) =>
+      TextOps.perplexityBuckets(t(s, d, "documents"), "doc_id", "text",
+        "lang")
+        .orderBy("doc_id")),
+
     // corpus collocations by pointwise mutual information — phrase mining:
     // top bigrams whose parts co-occur far above chance
     "q_pmi_collocations" -> ((s, d) =>
@@ -651,6 +659,20 @@ object SparkEntry {
     "q_segment_dedup" -> ((s, d) =>
       DedupOps.segmentDedup(t(s, d, "documents"), "doc_id", "text",
         segWords = 3, maxDocs = 2)
+        .orderBy("doc_id")),
+
+    // ExactSubstr span dedup (Lee et al.): maximal cross-doc duplicated
+    // 4-gram spans; gram hashes ride ONE pinned exchange, text never moves
+    "q_dup_spans" -> ((s, d) =>
+      DedupOps.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        n = 4, minDf = 2)
+        .orderBy("doc_id", "span_start")),
+
+    // duplicated-token ratio per doc (the trim/drop gate over q_dup_spans):
+    // clean docs surface with ratio 0 via the left join
+    "q_dup_ratio" -> ((s, d) =>
+      DedupOps.dupTokenRatio(t(s, d, "documents"), "doc_id", "text",
+        n = 4, minDf = 2)
         .orderBy("doc_id")),
 
     // per-doc top-3 terms by tf-idf (keyword extraction): df falls out of
@@ -916,6 +938,25 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("query_id", "rank")
+    }),
+
+    // hybrid retrieval: BM25 lexical + dense cosine top-20 lists fused by
+    // reciprocal-rank fusion — rank-based, so the two score scales need no
+    // normalization; both inputs are bounded top-k artifacts, the fuse
+    // itself shuffles O(lists x k) rows at any corpus size
+    "q_hybrid_rrf" -> ((s, d) => {
+      val lex = TextOps.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+          terms = Seq("dup", "join", "hash"), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast(LongType))
+        .select("doc_id", "rank")
+      val emb = t(s, d, "embeddings")
+      val sem = SimilarityOps.cosineTopK(emb.filter(col("vec_id") === 3), emb,
+          "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").cast(LongType).as("rank"))
+      SimilarityOps.rrfFuse(Seq(lex, sem), "doc_id", "rank", kRrf = 60, k = 15)
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)
     }),
 
     "q_ann_bucket_hist" -> ((s, d) =>
@@ -2717,6 +2758,30 @@ object SparkEntry {
                 ROUND(AVG(logp), 6) + 0.0 AS avg_logprob
          FROM bg JOIN lp USING (bg) GROUP BY doc_id ORDER BY doc_id""",
 
+    "q_perplexity_buckets" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                           generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+              bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+                     FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+              c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+              c1 AS (SELECT tok, COUNT(*) AS c1 FROM t GROUP BY tok),
+              lpt AS (SELECT c2.bg, ln(CAST(c2.c2 AS DOUBLE) / c1.c1) AS logp
+                      FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.tok),
+              lp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                            ROUND(AVG(logp), 6) + 0.0 AS avg_logprob
+                     FROM bg JOIN lpt USING (bg) GROUP BY doc_id),
+              j AS (SELECT d.doc_id, d.lang, lp.n_bigrams, lp.avg_logprob
+                    FROM documents d JOIN lp USING (doc_id)),
+              r AS (SELECT doc_id, lang, n_bigrams, avg_logprob,
+                           ROUND(percent_rank() OVER (PARTITION BY lang
+                               ORDER BY avg_logprob DESC, doc_id ASC), 6) AS pct_rank
+                    FROM j)
+         SELECT doc_id, lang, n_bigrams, avg_logprob, pct_rank,
+                CASE WHEN pct_rank <= 1.0/3 THEN 'head'
+                     WHEN pct_rank <= 2.0/3 THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+         FROM r ORDER BY doc_id""",
+
     "q_pmi_collocations" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
                            generate_subscripts(string_split(text, ' '), 1) AS i
@@ -2758,6 +2823,70 @@ object SparkEntry {
          FROM mark GROUP BY doc_id
          HAVING SUM(CASE WHEN keep THEN 1 ELSE 0 END) > 0
          ORDER BY doc_id""",
+
+    "q_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE text IS NOT NULL),
+              grams AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+                               CAST(j - 1 AS BIGINT) AS pos,
+                               CAST(('0x' || substring(md5(array_to_string(t[j:j+3], ' ')), 1, 15)) AS BIGINT) AS sh
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 3, 1)),
+              dup AS (SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS df
+                                      FROM grams GROUP BY sh) WHERE df >= 2),
+              hits AS (SELECT g.doc_id, g.pos, g.dl FROM grams g JOIN dup USING (sh)),
+              isl AS (SELECT doc_id, pos, dl,
+                             CASE WHEN MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                                    OR pos > MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                                  THEN 1 ELSE 0 END AS ni
+                      FROM hits),
+              isl2 AS (SELECT doc_id, pos, dl,
+                              SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+                       FROM isl),
+              spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                               least(MAX(pos) + 3, MAX(dl) - 1) AS span_end,
+                               CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+                        FROM isl2 GROUP BY doc_id, isle)
+         SELECT doc_id, span_start, span_end,
+                span_end - span_start + 1 AS span_tokens, n_dup_grams
+         FROM spans ORDER BY doc_id, span_start""",
+
+    "q_dup_ratio" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE text IS NOT NULL),
+              grams AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+                               CAST(j - 1 AS BIGINT) AS pos,
+                               CAST(('0x' || substring(md5(array_to_string(t[j:j+3], ' ')), 1, 15)) AS BIGINT) AS sh
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 3, 1)),
+              dup AS (SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS df
+                                      FROM grams GROUP BY sh) WHERE df >= 2),
+              hits AS (SELECT g.doc_id, g.pos, g.dl FROM grams g JOIN dup USING (sh)),
+              isl AS (SELECT doc_id, pos, dl,
+                             CASE WHEN MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                                    OR pos > MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                                  THEN 1 ELSE 0 END AS ni
+                      FROM hits),
+              isl2 AS (SELECT doc_id, pos, dl,
+                              SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+                       FROM isl),
+              spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                               least(MAX(pos) + 3, MAX(dl) - 1) AS span_end
+                        FROM isl2 GROUP BY doc_id, isle),
+              perdoc AS (SELECT doc_id,
+                                CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+                         FROM spans GROUP BY doc_id),
+              alldocs AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                          FROM documents WHERE text IS NOT NULL)
+         SELECT a.doc_id, a.n_tokens, COALESCE(p.dup_tokens, 0) AS dup_tokens,
+                ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / a.n_tokens, 6) AS dup_ratio
+         FROM alldocs a LEFT JOIN perdoc p USING (doc_id) ORDER BY a.doc_id""",
 
     "q_tfidf_topterms" ->
       """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -3170,6 +3299,67 @@ object SparkEntry {
                          FROM scored)
          SELECT query_id, neighbor_id, score, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_hybrid_rrf" ->
+      """WITH corpus AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+           FROM documents WHERE text IS NOT NULL),
+         stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+                   FROM corpus),
+         postings AS (SELECT doc_id, dl, unnest(toks) AS term FROM corpus),
+         tf AS (SELECT doc_id, dl,
+                       SUM(CASE WHEN term = 'dup'  THEN 1 ELSE 0 END) AS tf_0,
+                       SUM(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS tf_1,
+                       SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS tf_2
+                FROM postings WHERE term IN ('dup', 'join', 'hash')
+                GROUP BY doc_id, dl),
+         dfs AS (SELECT COUNT(DISTINCT CASE WHEN term = 'dup'  THEN doc_id END) AS df_0,
+                        COUNT(DISTINCT CASE WHEN term = 'join' THEN doc_id END) AS df_1,
+                        COUNT(DISTINCT CASE WHEN term = 'hash' THEN doc_id END) AS df_2
+                 FROM postings WHERE term IN ('dup', 'join', 'hash')),
+         scored AS (
+           SELECT doc_id, ROUND(0.0
+             + CASE WHEN CAST(tf_0 AS DOUBLE) > 0 THEN
+                 ln(1.0 + (n_docs - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5))
+                 * CAST(tf_0 AS DOUBLE) * 2.2
+                 / (CAST(tf_0 AS DOUBLE) + (0.25 + (dl / avgdl) * 0.75) * 1.2)
+               ELSE 0.0 END
+             + CASE WHEN CAST(tf_1 AS DOUBLE) > 0 THEN
+                 ln(1.0 + (n_docs - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5))
+                 * CAST(tf_1 AS DOUBLE) * 2.2
+                 / (CAST(tf_1 AS DOUBLE) + (0.25 + (dl / avgdl) * 0.75) * 1.2)
+               ELSE 0.0 END
+             + CASE WHEN CAST(tf_2 AS DOUBLE) > 0 THEN
+                 ln(1.0 + (n_docs - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5))
+                 * CAST(tf_2 AS DOUBLE) * 2.2
+                 / (CAST(tf_2 AS DOUBLE) + (0.25 + (dl / avgdl) * 0.75) * 1.2)
+               ELSE 0.0 END, 6) AS bm25
+           FROM tf CROSS JOIN dfs CROSS JOIN stats),
+         lex AS (SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+                 FROM (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+                       ORDER BY bm25 DESC, doc_id ASC LIMIT 20)),
+         q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id = 3),
+         pairs AS (SELECT q.qid, c.vec_id AS cid, q.qe, c.embedding AS ce
+                   FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.qid),
+         idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         dots AS (SELECT qid, cid,
+                         SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+                         SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+                         SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+                  FROM pairs, idx GROUP BY qid, cid),
+         semranked AS (SELECT cid AS doc_id,
+                              CAST(row_number() OVER (ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) DESC, cid ASC) AS BIGINT) AS rank
+                       FROM dots),
+         sem AS (SELECT doc_id, rank FROM semranked WHERE rank <= 20),
+         unioned AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+         fused AS (SELECT doc_id,
+                          ROUND(CAST(SUM(CAST(1.0 / (60 + rank) AS DECIMAL(28,14))) AS DOUBLE), 6) AS rrf_score,
+                          CAST(COUNT(*) AS BIGINT) AS n_lists
+                   FROM unioned GROUP BY doc_id)
+         SELECT doc_id, rrf_score, n_lists FROM fused
+         ORDER BY rrf_score DESC, doc_id ASC LIMIT 15""",
 
     "q_ann_bucket_hist" ->
       """SELECT CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)

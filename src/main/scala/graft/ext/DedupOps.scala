@@ -789,6 +789,96 @@ object DedupOps {
    * dropping a super-hot block is the standard blocking-quality trade,
    * not a correctness loss (callers re-block hot rows on a finer key).
    */
+  /**
+   * EXACT-SUBSTRING duplicated spans — the span-level dedup of Lee et al.,
+   * "Deduplicating Training Data Makes Language Models Better" (ExactSubstr):
+   * instead of dropping whole near-dup documents, find the exact token
+   * ranges that recur across documents (licenses, boilerplate headers,
+   * quoted passages) so a pipeline can cut the span and keep the rest.
+   *
+   * Every word `n`-gram occurrence (position kept, duplicates kept —
+   * [[graft.functions.WordGrams]], the counting kernel) is fingerprinted;
+   * grams whose corpus document-frequency ≥ `minDf` are duplicate hits;
+   * per document, overlapping-or-adjacent hit ranges `[pos, pos+n-1]`
+   * merge into MAXIMAL spans (gaps-and-islands over a running max-end).
+   * The paper's suffix-array machinery finds arbitrary-length repeats;
+   * fixed-`n` gram chaining finds every repeat of length ≥ `n` — the same
+   * spans, because a duplicated region of length L ≥ n contains exactly
+   * its L−n+1 duplicated grams, which chain into one island.
+   *
+   * Returns (`idCol`, span_start, span_end, span_tokens, n_dup_grams),
+   * token positions 0-based inclusive, clamped to document length.
+   *
+   * Scale: gram rows are (id, pos, 8-byte hash) — the TEXT never moves.
+   * ONE pinned gram-level exchange on `sh` serves both the df-aggregation
+   * and the hit join (ReuseExchange; same discipline as [[jaccardPairs]]);
+   * the island window shuffles ONLY duplicate hits — in a clean corpus
+   * orders of magnitude fewer rows than grams — partitioned per document,
+   * never global. The df-agg pre-distincts (id, sh) map-side, so repeated
+   * boilerplate inside one doc adds no shuffle volume.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, minDf: Int = 2): DataFrame = {
+    require(n > 0 && minDf >= 2, "n must be > 0, minDf >= 2")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val grams = spread(df.filter(col(textCol).isNotNull))
+      .select(col(idCol).as("id"),
+        size(tokens(col(textCol))).cast("bigint").as("dl"),
+        posexplode(call_function("graft_word_grams", col(textCol), lit(n)))
+          .as(Seq("pos", "g")))
+      .select(col("id"), col("dl"), col("pos").cast("bigint").as("pos"),
+        TextOps.fingerprint60(col("g")).as("sh"))
+      .repartition(col("sh")) // the ONE gram-level exchange, reused below
+    val dup = grams.select("id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("sh")
+    val hits = grams.join(dup, "sh")
+    val byPos = Window.partitionBy("id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(n - 1))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val isles = hits
+      .withColumn("__new", when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L)
+        .otherwise(0L))
+      .withColumn("__isle",
+        sum(col("__new")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+    isles.groupBy(col("id"), col("__isle"))
+      .agg(min("pos").as("span_start"),
+        least(max(col("pos")) + lit(n - 1), max(col("dl")) - 1).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_dup_grams"))
+  }
+
+  /**
+   * Per-document DUPLICATED-TOKEN RATIO — the corpus-level quality signal
+   * on top of [[duplicateSpans]]: what fraction of each document's tokens
+   * sit inside a cross-document duplicated span. The standard gate feeding
+   * a keep/trim/drop decision (e.g. drop when > 0.8, trim spans when
+   * > 0.2). Zero-span documents are kept with ratio 0 (a LEFT join — the
+   * gate must see clean docs too, not just offenders).
+   *
+   * Returns (`idCol`, n_tokens, dup_tokens, dup_ratio).
+   *
+   * Scale: [[duplicateSpans]]'s contract plus one per-doc sum of span
+   * lengths (hits-only rows) and one id equi-join against a narrow
+   * (id, token-count) projection of the corpus — text never moves here
+   * either.
+   */
+  def dupTokenRatio(df: DataFrame, idCol: String, textCol: String,
+                    n: Int, minDf: Int = 2): DataFrame = {
+    val perDoc = duplicateSpans(df, idCol, textCol, n, minDf)
+      .groupBy(idCol).agg(sum("span_tokens").as("dup_tokens"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), size(tokens(col(textCol))).cast("bigint").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_ratio"))
+  }
+
   def blockedFuzzyJoin(df: DataFrame, idCol: String, strCol: String,
                        blockKey: Column, maxDist: Int,
                        maxBlockSize: Int = Int.MaxValue): DataFrame = {

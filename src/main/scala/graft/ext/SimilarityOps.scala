@@ -688,4 +688,40 @@ object SimilarityOps {
     df.join(sizes, col(idCol).cast("long") === col("__keep_id"))
       .drop("__keep_id")
   }
+
+  /**
+   * RECIPROCAL-RANK FUSION (Cormack et al., SIGIR'09) — the standard
+   * hybrid-retrieval merge: given k ranked lists over one id space
+   * (lexical BM25, dense cosine, …), each hit contributes
+   * `1 / (kRrf + rank)` and documents are re-ranked by the sum. Rank-based
+   * (not score-based), so wildly different score scales fuse without
+   * normalization — which is exactly why it's the production default for
+   * BM25 + embedding retrieval feeding RAG / curation pipelines.
+   *
+   * Inputs need (`idCol`, `rankCol`) with 1-based ranks. Returns
+   * (`idCol`, rrf_score, n_lists) — n_lists = how many input lists carried
+   * the id (the agreement signal), top `k` by score, ties id-ascending.
+   *
+   * Scale: the inputs are ALREADY top-k lists (each a bounded artifact of
+   * its retrieval tier — heap-aggregated, never corpus-sized), so the
+   * union-groupBy here shuffles O(lists × k) rows regardless of corpus
+   * size. The reciprocal terms route through a decimal sum: addition order
+   * across partitions can't wiggle the 6dp score (same discipline as
+   * [[labelDispersion]]).
+   */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              kRrf: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 14)
+    val unioned = rankings
+      .map(_.select(col(idCol), col(rankCol).cast("long").as("__rank")))
+      .reduce(_ unionByName _)
+    unioned.groupBy(idCol)
+      .agg(
+        round(sum((lit(1.0) / (lit(kRrf) + col("__rank"))).cast(dec))
+          .cast("double"), 6).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -345,6 +346,56 @@ object TextOps {
         >= minDistinctRatio)
   }
 
+  /**
+   * GOPHER-RULES QUALITY FILTER (Rae et al., "Scaling Language Models:
+   * Methods, Analysis & Insights from Training Gopher", App. A1.1) — the
+   * canonical rule-based web-text gate, parameterized: token-count bounds,
+   * mean-token-length bounds, symbol-to-word ratio cap (`#`/`...`
+   * artifacts), minimum alphabetic-word fraction, minimum stopword
+   * evidence. Emits the measured features, each rule's verdict, and the
+   * conjunction — pipelines audit WHICH rule killed a doc, not just that
+   * one did (the reason column is how filter regressions get debugged).
+   *
+   * All features compare on their emitted 4dp-rounded values, so rule
+   * verdicts can never disagree with the displayed feature across engines.
+   *
+   * Scale: pure per-row narrow projection — higher-order filters over the
+   * token array, zero shuffle, codegen-friendly, streams at scan speed at
+   * any corpus size.
+   */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 50, maxTokens: Int = 100000,
+                   minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1,
+                   minAlphaRatio: Double = 0.8,
+                   stopwords: Seq[String] = Seq("the", "a", "and", "of"),
+                   minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val n = size(toks)
+    val out = df.filter(t.isNotNull).select(
+      col(idCol),
+      n.cast("long").as("n_tokens"),
+      round((length(t) - (n - lit(1))).cast("double") / n, 4)
+        .as("avg_token_len"),
+      round(size(filter(toks, w => w === "#" || w.contains("...")))
+        .cast("double") / n, 4).as("symbol_ratio"),
+      round(size(filter(toks, w => w.rlike("[A-Za-z]")))
+        .cast("double") / n, 4).as("alpha_ratio"),
+      size(filter(toks, w => w.isin(stopwords.map(lit): _*)))
+        .cast("long").as("n_stop_hits"))
+    out
+      .withColumn("rule_len", col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("rule_avg_len",
+        col("avg_token_len") >= minAvgLen && col("avg_token_len") <= maxAvgLen)
+      .withColumn("rule_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("rule_alpha", col("alpha_ratio") >= minAlphaRatio)
+      .withColumn("rule_stop", col("n_stop_hits") >= minStopHits)
+      .withColumn("keep",
+        col("rule_len") && col("rule_avg_len") && col("rule_symbols") &&
+          col("rule_alpha") && col("rule_stop"))
+  }
+
   /** Canonical text normalization (NFC → lowercase → collapse whitespace →
     * trim) as a native codegen expression — run this BEFORE any dedup
     * tier, or visually-identical docs differing only in accents/case/
@@ -545,7 +596,12 @@ object TextOps {
    */
   def bigramLogProbs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // < 2 tokens -> no bigram: the gram kernel emits a TRUNCATED 1-word
+    // gram for 1-token docs (its corpus-count convention), but a bigram
+    // LM has nothing to condition on — and a SQL positional self-join
+    // oracle produces no row. Filter here, not in the kernel.
     val bgs = df.filter(col(textCol).isNotNull)
+      .filter(size(tokens(col(textCol))) >= 2)
       .select(col(idCol),
         explode(call_function("graft_word_grams", col(textCol), lit(2)))
           .as("bg"))
@@ -563,6 +619,45 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         // + 0.0: negative-zero canonicalization (see importanceWeights)
         (round(avg(col("logp")), 6) + lit(0.0)).as("avg_logprob"))
+  }
+
+  /**
+   * CCNet-STYLE PERPLEXITY BUCKETS — the quality gate of Wenzek et al.,
+   * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+   * Data": score every document with a corpus language model
+   * ([[bigramLogProbs]] here; KenLM 5-gram in the paper — same shape,
+   * higher order) and split each LANGUAGE into head / middle / tail
+   * terciles by LM fit. Per-language, not global: a global cutoff would
+   * put every low-resource language in the tail. Downstream pipelines
+   * keep head+middle, or weight by bucket.
+   *
+   * Ranking uses the EMITTED 6dp-rounded `avg_logprob` (not the raw
+   * double), so rank and displayed score can never disagree across
+   * engines — the tfidfTopTerms lesson, applied from the start. Documents
+   * with fewer than two tokens have no bigrams and no LM score; they are
+   * dropped (CCNet drops unscorable docs too).
+   *
+   * Returns (`idCol`, `langCol`, n_bigrams, avg_logprob, pct_rank,
+   * ppl_bucket) with pct_rank ∈ [0,1] per language, best-fit first.
+   *
+   * Scale: [[bigramLogProbs]]'s contract (token-count shuffles only, text
+   * never moves) plus one per-language rank — the same per-stratum sort
+   * class as [[SamplingOps.percentileKeep]], with the same
+   * approx-threshold escape hatch at corpus sizes where even that sort
+   * is too much.
+   */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame = {
+    val lp = bigramLogProbs(df, idCol, textCol)
+    val w = Window.partitionBy(langCol)
+      .orderBy(col("avg_logprob").desc, col(idCol).asc)
+    df.select(col(idCol), col(langCol))
+      .join(lp, idCol)
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("ppl_bucket",
+        when(col("pct_rank") <= lit(1.0) / 3, "head")
+          .when(col("pct_rank") <= lit(2.0) / 3, "middle")
+          .otherwise("tail"))
   }
 
   /**

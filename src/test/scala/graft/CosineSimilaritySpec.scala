@@ -80,4 +80,20 @@ class CosineSimilaritySpec extends SparkSpec {
     plan should not include "zip_with"
     plan should not include "aggregate("
   }
+
+  test("rrfFuse: shared ids sum reciprocal ranks across lists, ties break id-ascending") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val sem = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("id", "rank")
+    val out = SimilarityOps.rrfFuse(Seq(lex, sem), "id", "rank", kRrf = 60, k = 4)
+      .as[(Long, Double, Long)].collect()
+    // 10: 1/61 + 1/62; 20: 1/62 + 1/61 — EQUAL scores, id asc breaks the tie;
+    // 30: 1/63; 40: 1/63 — equal again
+    val both = BigDecimal(1.0 / 61).setScale(14, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(1.0 / 62).setScale(14, BigDecimal.RoundingMode.HALF_UP)
+    val one3 = (1.0 / 63 * 1e6).round / 1e6
+    out shouldBe Array(
+      (10L, (both * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6, 2L),
+      (20L, (both * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6, 2L),
+      (30L, one3, 1L), (40L, one3, 1L))
+  }
 }

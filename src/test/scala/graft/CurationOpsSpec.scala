@@ -333,4 +333,34 @@ class CurationOpsSpec extends SparkSpec {
     out.map(_._1) shouldBe Array(8L, 9L, 10L, 11L)
     out.last._4 shouldBe 0.0
   }
+
+  test("perplexityBuckets: per-language terciles by bigram-LM fit; 1-token docs drop") {
+    // 7 scoreable en docs split 3/1/3 head/middle/tail by percent_rank
+    // (docs 6/7 average two certain continuations against one mild
+    // surprise -> best fit; the "a b a b" docs carry the rarer "b a"
+    // back-transition; doc 5 carries the rare "b c"); zh has its own
+    // independent terciles; doc 99 has one token -> no bigram
+    val docs = (
+      (1L to 4L).map(i => (i, "en", "a b a b")) ++
+      Seq((5L, "en", "a b c d"), (6L, "en", "c d e f"), (7L, "en", "e f g h"),
+        (20L, "zh", "x y x y"), (21L, "zh", "x z"),
+        (99L, "en", "solo"))).toDF("doc_id", "lang", "text")
+    val out = TextOps.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .orderBy("doc_id")
+      .select("doc_id", "lang", "ppl_bucket")
+      .as[(Long, String, String)].collect()
+    out.map(_._1) should not contain 99L
+    val byId = out.map(o => o._1 -> o._3).toMap
+    // the doc_id tie-break makes the rank a TOTAL order, so the 4 tied
+    // "a b a b" docs still spread: en order 6,7,1,2,3,4,5 -> pct_ranks
+    // 0, 1/6, 2/6, 3/6, 4/6, 5/6, 1. Note 4/6 ROUNDS (6dp) above 2/3,
+    // so the split lands 3/1/3 — the 6dp rank is the bucketing contract
+    // (identical in the SQL oracle), not raw sixths
+    Seq(6L, 7L, 1L).foreach(id => byId(id) shouldBe "head")
+    byId(2L) shouldBe "middle"
+    Seq(3L, 4L, 5L).foreach(id => byId(id) shouldBe "tail")
+    // zh buckets are independent of en's scores
+    byId(20L) shouldBe "head"
+    byId(21L) shouldBe "tail"
+  }
 }

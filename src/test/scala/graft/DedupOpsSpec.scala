@@ -375,4 +375,54 @@ class DedupOpsSpec extends SparkSpec {
     // still ranks it against both; 2 wins on score
     out shouldBe Array((2L, 99L, 3L), (4L, 7L, 1L), (5L, 5L, 2L))
   }
+
+  test("duplicateSpans: chained dup grams merge into one maximal span; within-doc-only repeats don't count") {
+    // docs 1 and 2 share the 6-token run "p q r s t u" (three chained
+    // 4-grams -> ONE span of 6 tokens); doc 3 repeats its own 4-gram twice
+    // but shares it with no other doc (df=1 -> no span); doc 1 additionally
+    // shares an isolated 4-gram "k l m n" with doc 2 far from the run
+    val docs = Seq(
+      (1L, "p q r s t u a1 b1 c1 d1 k l m n e1"),
+      (2L, "x2 k l m n y2 z2 p q r s t u w2"),
+      (3L, "f g h i j3 f g h i j3")).toDF("doc_id", "text")
+    val out = DedupOps.duplicateSpans(docs, "doc_id", "text", n = 4, minDf = 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    out shouldBe Array(
+      (1L, 0L, 5L, 6L, 3L),   // "p q r s t u": grams at 0,1,2 chain
+      (1L, 10L, 13L, 4L, 1L), // isolated "k l m n"
+      (2L, 1L, 4L, 4L, 1L),   // "k l m n" in doc 2
+      (2L, 7L, 12L, 6L, 3L))  // the shared run again
+    // doc 3 absent: its repeat never leaves the document
+  }
+
+  test("duplicateSpans: span_end clamps to doc length when the dup gram is the truncated tail gram") {
+    // a doc SHORTER than n yields one truncated gram (kernel convention);
+    // shared across docs it must clamp, not overrun the doc
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = DedupOps.duplicateSpans(docs, "doc_id", "text", n = 4, minDf = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect()
+    out shouldBe Array((1L, 0L, 1L, 2L, 1L), (2L, 0L, 1L, 2L, 1L))
+  }
+
+  test("dupTokenRatio: clean docs surface with ratio 0, offenders with span share") {
+    val docs = Seq(
+      (1L, "p q r s t u v w"),    // 6 of 8 tokens in the shared span
+      (2L, "p q r s t u x y"),
+      (3L, "only clean tokens here nothing shared")).toDF("doc_id", "text")
+    val out = DedupOps.dupTokenRatio(docs, "doc_id", "text", n = 4, minDf = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    out shouldBe Array(
+      (1L, 8L, 6L, 0.75), (2L, 8L, 6L, 0.75), (3L, 6L, 0L, 0.0))
+  }
+
+  test("duplicateSpans plan: gram kernel is computed behind ONE reused exchange") {
+    val docs = Seq((1L, "p q r s t u"), (2L, "p q r s t u")).toDF("doc_id", "text")
+    val spans = DedupOps.duplicateSpans(docs, "doc_id", "text", n = 4, minDf = 2)
+    spans.collect() // force AQE to finalize
+    val plan = spans.queryExecution.executedPlan.toString
+    // the df-agg branch and the hit-join branch must share the pinned
+    // gram exchange rather than re-running posexplode + md5
+    plan should include("ReusedExchange")
+  }
 }

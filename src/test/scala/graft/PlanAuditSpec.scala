@@ -37,6 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_cross_join",          // the operator IS cross join (3 tiny dims, 125 rows)
     "q_drift_psi",           // 1-row per-side totals broadcast
     "q_embedding_dist_hist", // bounded sampled-pair broadcast side
+    "q_hybrid_rrf",          // fuses q_bm25_topk + q_cosine_topk: inherits
+                             // their 1-row-stats and query-set broadcasts
     "q_importance_weights",  // 1-row target/corpus token totals (DSIR)
     "q_ivf_topk_probe2",     // ≤c-row centroid broadcast on both sides
     "q_ivfpq_topk",          // exact-baseline cosineTopK's broadcast query set
