@@ -579,6 +579,13 @@ object SparkEntry {
           col("stopword_ratio"), col("avg_token_len"))
         .orderBy("doc_id")),
 
+    // Gopher-rules quality gate: every rule's verdict + the conjunction —
+    // pipelines audit WHICH rule killed a doc; pure per-row projection
+    "q_gopher_filter" -> ((s, d) =>
+      TextOps.gopherFilter(t(s, d, "documents"), "doc_id", "text",
+        minTokens = 20, maxTokens = 80, minStopHits = 2)
+        .orderBy("doc_id")),
+
     "q_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
@@ -674,6 +681,14 @@ object SparkEntry {
       DedupOps.dupTokenRatio(t(s, d, "documents"), "doc_id", "text",
         n = 4, minDf = 2)
         .orderBy("doc_id")),
+
+    // per-SOURCE boilerplate mining (CCNet per-domain template report):
+    // segments repeating across >=3 docs of one source; one shuffle keyed
+    // (source, segment fingerprint), representative text rides min()
+    "q_boilerplate_by_source" -> ((s, d) =>
+      DedupOps.boilerplateBySource(t(s, d, "documents"), "doc_id", "text",
+        "source", segWords = 3, minDocs = 3)
+        .orderBy("source", "seg")),
 
     // per-doc top-3 terms by tf-idf (keyword extraction): df falls out of
     // the tf aggregate, N rides a 1-row broadcast, per-doc rank window
@@ -840,6 +855,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // eval-integrity audit: per-eval-doc n-gram leak fraction into the
+    // training corpus — corpus grams semi-filter against the broadcast
+    // eval gram set before anything wide
+    "q_contamination_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.contaminationReport(docs.filter(col("doc_id") >= 20), "text",
+        docs.filter(col("doc_id") < 20), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // deterministic stratified sampling: per-language keep rates (corpus
     // rebalancing — downsample dominant en, keep rare langs whole)
     "q_stratified_sample" -> ((s, d) =>
@@ -856,6 +881,14 @@ object SparkEntry {
       SamplingOps.mixProportions(t(s, d, "documents"), "doc_id", "lang",
         Map("en" -> 2L, "de" -> 1L, "fr" -> 1L))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
+    // mT5/XLM-R temperature sampling: alpha-smoothed per-language target
+    // distribution + the no-upsampling keep rates that realize it — one
+    // stratum count agg, two 1-row broadcast artifacts
+    "q_temperature_mix" -> ((s, d) =>
+      SamplingOps.temperatureMixWeights(t(s, d, "documents"), "lang",
+        alpha = 0.5)
         .orderBy("lang")),
 
     // per-source cap: keep ≤7 docs per source in fingerprint order (the
@@ -2639,6 +2672,34 @@ object SparkEntry {
                 ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len
          FROM documents ORDER BY doc_id""",
 
+    "q_gopher_filter" ->
+      """WITH f AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS avg_token_len,
+                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                      x -> x = '#' OR contains(x, '...'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS symbol_ratio,
+                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS alpha_ratio,
+                CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the', 'a', 'and', 'of'))) AS BIGINT) AS n_stop_hits
+         FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id, n_tokens, avg_token_len, symbol_ratio, alpha_ratio,
+                n_stop_hits,
+                (n_tokens BETWEEN 20 AND 80) AS rule_len,
+                (avg_token_len >= 3.0 AND avg_token_len <= 10.0) AS rule_avg_len,
+                (symbol_ratio <= 0.1) AS rule_symbols,
+                (alpha_ratio >= 0.8) AS rule_alpha,
+                (n_stop_hits >= 2) AS rule_stop,
+                ((n_tokens BETWEEN 20 AND 80)
+                 AND (avg_token_len >= 3.0 AND avg_token_len <= 10.0)
+                 AND (symbol_ratio <= 0.1)
+                 AND (alpha_ratio >= 0.8)
+                 AND (n_stop_hits >= 2)) AS keep
+         FROM f ORDER BY doc_id""",
+
     "q_lang_id" ->
       """SELECT doc_id, lang,
                 CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
@@ -2823,6 +2884,18 @@ object SparkEntry {
          FROM mark GROUP BY doc_id
          HAVING SUM(CASE WHEN keep THEN 1 ELSE 0 END) > 0
          ORDER BY doc_id""",
+
+    "q_boilerplate_by_source" ->
+      """WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+                              generate_subscripts(string_split(text, ' '), 1) AS i
+                       FROM documents WHERE text IS NOT NULL),
+              segs AS (SELECT doc_id, source, (i-1)//3 AS seg_idx,
+                              string_agg(tok, ' ' ORDER BY i) AS seg
+                       FROM toks GROUP BY doc_id, source, (i-1)//3),
+              c AS (SELECT source, seg, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+                    FROM segs GROUP BY source, seg)
+         SELECT source, seg, n_docs FROM c WHERE n_docs >= 3
+         ORDER BY source, seg""",
 
     "q_dup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -3145,6 +3218,27 @@ object SparkEntry {
          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
          ORDER BY doc_id""",
 
+    "q_contamination_report" ->
+      """WITH ev AS (SELECT doc_id, sh FROM (
+                       SELECT DISTINCT doc_id,
+                              CAST(('0x' || substring(md5(array_to_string(t[j:j+2], ' ')), 1, 15)) AS BIGINT) AS sh
+                       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                             WHERE doc_id < 20 AND text IS NOT NULL),
+                            (SELECT unnest(generate_series(1, 4000)) AS j)
+                       WHERE j <= greatest(len(t) - 2, 1))),
+              cg AS (SELECT DISTINCT
+                            CAST(('0x' || substring(md5(array_to_string(t[j:j+2], ' ')), 1, 15)) AS BIGINT) AS sh
+                     FROM (SELECT string_split(text, ' ') AS t FROM documents
+                           WHERE doc_id >= 20 AND text IS NOT NULL),
+                          (SELECT unnest(generate_series(1, 4000)) AS j)
+                     WHERE j <= greatest(len(t) - 2, 1)),
+              g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM ev GROUP BY doc_id),
+              h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+                    FROM ev WHERE sh IN (SELECT sh FROM cg) GROUP BY doc_id)
+         SELECT g.doc_id, g.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+                ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / g.n_grams, 6) AS hit_ratio
+         FROM g LEFT JOIN h USING (doc_id) ORDER BY g.doc_id""",
+
     "q_decontaminate" ->
       """WITH ev AS (SELECT DISTINCT
                             CAST(('0x' || substring(md5(array_to_string(t[j:j+2], ' ')), 1, 15)) AS BIGINT) AS sh
@@ -3171,6 +3265,22 @@ object SparkEntry {
          FROM b
          WHERE bucket < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 ELSE 100 END
          GROUP BY lang ORDER BY lang""",
+
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY lang),
+              t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM c),
+              p AS (SELECT lang, n_docs,
+                           CAST(n_docs AS DOUBLE) / tot AS p_raw,
+                           power(CAST(n_docs AS DOUBLE) / tot, 0.5) AS pa
+                    FROM c CROSS JOIN t),
+              zt AS (SELECT CAST(SUM(CAST(pa AS DECIMAL(28,14))) AS DOUBLE) AS z,
+                            MAX(pa / p_raw) AS rmax
+                     FROM p)
+         SELECT lang, n_docs, ROUND(p_raw, 6) AS p_data,
+                ROUND(pa / z, 6) AS p_sample,
+                ROUND((pa / p_raw) / rmax, 6) AS keep_rate
+         FROM p CROSS JOIN zt ORDER BY lang""",
 
     "q_mix_proportions" ->
       """WITH w(lang, wt) AS (VALUES ('en', 2), ('de', 1), ('fr', 1)),

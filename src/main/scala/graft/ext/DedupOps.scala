@@ -336,6 +336,40 @@ object DedupOps {
   }
 
   /**
+   * CONTAMINATION REPORT — the audit dual of [[decontaminate]]: instead of
+   * dropping training docs, measure per EVAL doc how much of it already
+   * leaks into the training corpus (the table every eval-integrity section
+   * reports: n-gram overlap percentages per benchmark item). Returns
+   * (`evalIdCol`, n_grams, n_hit, hit_ratio) over each eval doc's DISTINCT
+   * word `n`-grams.
+   *
+   * Scale: the corpus gram stream is SEMI-FILTERED against the broadcast
+   * distinct eval-gram set BEFORE any wide op, so the only shuffled corpus
+   * rows are grams that actually match eval grams (≈0 for clean corpora) —
+   * the corpus-side distinct happens after that filter, never on the full
+   * gram universe. Eval-side aggregates are bounded by the eval set.
+   */
+  def contaminationReport(corpus: DataFrame, textCol: String,
+                          evalDocs: DataFrame, evalIdCol: String,
+                          evalTextCol: String, n: Int): DataFrame = {
+    val evalSh = evalDocs.filter(col(evalTextCol).isNotNull)
+      .select(col(evalIdCol), explode(shingleHashes(col(evalTextCol), n)).as("sh"))
+    val evalGramSet = evalSh.select("sh").distinct()
+    val corpusHitGrams = spread(corpus.filter(col(textCol).isNotNull))
+      .select(explode(shingleHashes(col(textCol), n)).as("sh"))
+      .join(broadcast(evalGramSet), "sh")
+      .distinct()
+    val hits = evalSh.join(corpusHitGrams, Seq("sh"), "left_semi")
+      .groupBy(evalIdCol).agg(count(lit(1)).as("n_hit"))
+    evalSh.groupBy(evalIdCol).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq(evalIdCol), "left_outer")
+      .select(col(evalIdCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("hit_ratio"))
+  }
+
+  /**
    * The LSH band index of a corpus (or batch): one (band_key, id) row per
    * doc per band, with the same composite `band:key` form the in-corpus
    * band join uses. Persist this next to the corpus (it's O(docs × bands)
@@ -741,6 +775,40 @@ object DedupOps {
   }
 
   /**
+   * PER-SOURCE BOILERPLATE MINING — the template report behind per-domain
+   * cleaning (CCNet and friends dedup lines per DOMAIN, because nav bars,
+   * footers and cookie banners repeat within a site, not across the web):
+   * fixed-width word segments occurring in ≥ `minDocs` distinct documents
+   * OF THE SAME SOURCE. The output is the removal list a per-source
+   * segment-dedup pass consumes, and the artifact a human audits before
+   * turning that pass on.
+   *
+   * Returns (`sourceCol`, seg, n_docs), one row per (source, segment).
+   *
+   * Scale: ONE shuffle keyed (source, 16-byte segment fingerprint) — the
+   * per-doc pre-distinct and the min(seg) representative both partial-
+   * aggregate map-side, so repeated in-doc boilerplate adds no wire
+   * volume and each distinct segment's text crosses once per partition,
+   * not once per occurrence.
+   */
+  def boilerplateBySource(df: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, segWords: Int,
+                          minDocs: Int): DataFrame = {
+    require(segWords > 0 && minDocs > 1, "segWords > 0, minDocs > 1")
+    val toks = tokens(col(textCol))
+    val nSegs = ceil(size(toks).cast("double") / segWords).cast("int")
+    spread(df.filter(col(textCol).isNotNull))
+      .select(col(sourceCol), col(idCol),
+        explode(transform(sequence(lit(0), nSegs - 1), i =>
+          array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
+          .as("seg"))
+      .groupBy(col(sourceCol), md5(col("seg")).as("__fp"))
+      .agg(count_distinct(col(idCol)).as("n_docs"), min(col("seg")).as("seg"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col(sourceCol), col("seg"), col("n_docs"))
+  }
+
+  /**
    * Keep the BEST-scoring member of every duplicate cluster — the
    * production keep rule for near-dup dedup (min-id keep, as in
    * [[SimilarityOps.semanticDedup]], discards quality information; real
@@ -773,22 +841,6 @@ object DedupOps {
       .drop("__kb_cl", "__kb_keep")
   }
 
-  /**
-   * Blocked fuzzy self-join — the entity-resolution primitive: candidate
-   * pairs come ONLY from rows sharing a blocking key (a cheap deterministic
-   * surrogate: first token, soundex, sorted-prefix …), then the expensive
-   * string distance runs within blocks and pairs with
-   * `levenshtein ≤ maxDist` survive. Emits (id1, id2, s1, s2, dist) with
-   * id1 < id2.
-   *
-   * Scale: the block equi-join shuffles each side once on the blocking key
-   * — never the all-pairs cross join (the defining trick of record
-   * linkage). Within-block cost is O(Σ blockSize²) levenshtein calls;
-   * `maxBlockSize` df-caps degenerate blocks (the empty-key / "the" block)
-   * via the same [[dropHotKeys]] one-exchange pass the LSH tiers use —
-   * dropping a super-hot block is the standard blocking-quality trade,
-   * not a correctness loss (callers re-block hot rows on a finer key).
-   */
   /**
    * EXACT-SUBSTRING duplicated spans — the span-level dedup of Lee et al.,
    * "Deduplicating Training Data Makes Language Models Better" (ExactSubstr):
@@ -879,6 +931,22 @@ object DedupOps {
           col("n_tokens"), 6).as("dup_ratio"))
   }
 
+  /**
+   * Blocked fuzzy self-join — the entity-resolution primitive: candidate
+   * pairs come ONLY from rows sharing a blocking key (a cheap deterministic
+   * surrogate: first token, soundex, sorted-prefix …), then the expensive
+   * string distance runs within blocks and pairs with
+   * `levenshtein ≤ maxDist` survive. Emits (id1, id2, s1, s2, dist) with
+   * id1 < id2.
+   *
+   * Scale: the block equi-join shuffles each side once on the blocking key
+   * — never the all-pairs cross join (the defining trick of record
+   * linkage). Within-block cost is O(Σ blockSize²) levenshtein calls;
+   * `maxBlockSize` df-caps degenerate blocks (the empty-key / "the" block)
+   * via the same [[dropHotKeys]] one-exchange pass the LSH tiers use —
+   * dropping a super-hot block is the standard blocking-quality trade,
+   * not a correctness loss (callers re-block hot rows on a finer key).
+   */
   def blockedFuzzyJoin(df: DataFrame, idCol: String, strCol: String,
                        blockKey: Column, maxDist: Int,
                        maxBlockSize: Int = Int.MaxValue): DataFrame = {

@@ -321,6 +321,43 @@ object SamplingOps {
   }
 
   /**
+   * TEMPERATURE-SAMPLED LANGUAGE MIX (mT5 / XLM-R): multilingual training
+   * corpora are sampled with `p_l ∝ (n_l / N)^α`, α < 1 flattening the
+   * language distribution so low-resource languages aren't drowned by the
+   * head. Emits, per stratum: the data distribution `p_data`, the
+   * α-smoothed target `p_sample`, and `keep_rate` — the per-stratum
+   * downsampling probability that realizes the target WITHOUT upsampling
+   * (rates normalized so the most-upweighted stratum keeps everything;
+   * feed it to hash-based sampling: keep fp60(id) mod M < rate·M).
+   *
+   * Cross-engine determinism: the α-power sum routes through a decimal
+   * accumulator (addition order across partitions can't wiggle the 6dp
+   * output), and all emitted values are 6dp-rounded.
+   *
+   * Scale: one stratum count aggregate + two 1-row broadcast artifacts
+   * (the total and the normalizer) — the corpus streams once, the rest is
+   * arithmetic on #strata rows.
+   */
+  def temperatureMixWeights(df: DataFrame, stratumCol: String,
+                            alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 14)
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("__tot"))
+    val p = counts.crossJoin(broadcast(tot))
+      .withColumn("__p_raw", col("n_docs").cast("double") / col("__tot"))
+      .withColumn("__pa", pow(col("__p_raw"), lit(alpha)))
+    val z = p.agg(
+      sum(col("__pa").cast(dec)).cast("double").as("__z"),
+      max(col("__pa") / col("__p_raw")).as("__rmax"))
+    p.crossJoin(broadcast(z))
+      .select(col(stratumCol), col("n_docs"),
+        round(col("__p_raw"), 6).as("p_data"),
+        round(col("__pa") / col("__z"), 6).as("p_sample"),
+        round((col("__pa") / col("__p_raw")) / col("__rmax"), 6).as("keep_rate"))
+  }
+
+  /**
    * The 100 TB form of [[percentileKeep]]: instead of ranking every row
    * within its stratum (a per-stratum sort), compute each stratum's
    * approximate (1−q)-quantile score threshold with `approx_percentile`

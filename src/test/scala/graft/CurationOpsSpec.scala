@@ -334,6 +334,53 @@ class CurationOpsSpec extends SparkSpec {
     out.last._4 shouldBe 0.0
   }
 
+  test("temperatureMixWeights: alpha=0.5 flattens the language head; keep rates realize the target") {
+    // en 16 docs, de 4: p_data .8/.2 -> p_sample sqrt-smoothed 2/3 / 1/3;
+    // the low-resource stratum keeps everything, the head halves
+    val docs = ((1 to 16).map(i => (i.toLong, "en")) ++
+      (17 to 20).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    val out = graft.ext.SamplingOps.temperatureMixWeights(docs, "lang", 0.5)
+      .orderBy("lang").as[(String, Long, Double, Double, Double)].collect()
+    out shouldBe Array(
+      ("de", 4L, 0.2, 0.333333, 1.0),
+      ("en", 16L, 0.8, 0.666667, 0.5))
+    // invariant: p_data x keep_rate renormalizes to exactly p_sample
+    val realized = out.map(r => r._3 * r._5)
+    val z = realized.sum
+    realized.zip(out.map(_._4)).foreach { case (r, ps) =>
+      math.abs(r / z - ps) should be < 1e-5
+    }
+  }
+
+  test("gopherFilter: each rule fires on its own violation; clean doc keeps") {
+    val clean = (1 to 30).map(_ => "word").mkString(" ") + " the a of"
+    val docs = Seq(
+      (1L, clean),                                     // all rules pass
+      (2L, "the a of word"),                           // too short
+      (3L, (1 to 30).map(_ => "superlongword" * 2).mkString(" ") + " the a"), // avg len > 10
+      (4L, (1 to 28).map(_ => "word").mkString(" ") + " the a # # # #"),      // symbols
+      (5L, (1 to 28).map(_ => "1234").mkString(" ") + " the a"),              // non-alpha
+      (6L, (1 to 30).map(_ => "word").mkString(" ")))  // no stopword evidence
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherFilter(docs, "doc_id", "text",
+        minTokens = 10, maxTokens = 80, minStopHits = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "rule_len", "rule_avg_len", "rule_symbols",
+        "rule_alpha", "rule_stop", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    out.map(r => r._1 -> r._7).toMap shouldBe
+      Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false,
+        6L -> false)
+    val failedRule = out.map(r =>
+      r._1 -> Seq(r._2, r._3, r._4, r._5, r._6).indexOf(false)).toMap
+    failedRule(2L) shouldBe 0 // rule_len
+    failedRule(3L) shouldBe 1 // rule_avg_len
+    failedRule(4L) shouldBe 2 // rule_symbols
+    failedRule(5L) shouldBe 3 // rule_alpha
+    failedRule(6L) shouldBe 4 // rule_stop
+  }
+
   test("perplexityBuckets: per-language terciles by bigram-LM fit; 1-token docs drop") {
     // 7 scoreable en docs split 3/1/3 head/middle/tail by percent_rank
     // (docs 6/7 average two certain continuations against one mild

@@ -376,6 +376,36 @@ class DedupOpsSpec extends SparkSpec {
     out shouldBe Array((2L, 99L, 3L), (4L, 7L, 1L), (5L, 5L, 2L))
   }
 
+  test("boilerplateBySource: templates count within a source, never across sources") {
+    val docs = Seq(
+      (1L, "s1", "nav bar one body text a"),
+      (2L, "s1", "nav bar one other words b"),
+      (3L, "s1", "nav bar one more stuff c"),
+      (4L, "s2", "nav bar one unrelated site d")).toDF("doc_id", "source", "text")
+    // "nav bar one" repeats in 3 s1 docs -> s1 boilerplate; the single s2
+    // occurrence never pools with s1's count
+    val out = DedupOps.boilerplateBySource(docs, "doc_id", "text", "source",
+        segWords = 3, minDocs = 3)
+      .as[(String, String, Long)].collect()
+    out shouldBe Array(("s1", "nav bar one", 3L))
+  }
+
+  test("contaminationReport: per-eval-doc leak fraction; clean eval docs report 0") {
+    val corpus = Seq(
+      (101L, "p q r s extra words here"),
+      (102L, "k l m unrelated tail")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, "p q r s"),    // grams: pqr, qrs — both leak -> 1.0
+      (2L, "p q r zz"),   // grams: pqr (leaks), "q r zz" (doesn't) -> 0.5
+      (3L, "u v w x"))    // nothing leaks -> 0.0
+      .toDF("doc_id", "text")
+    val out = DedupOps.contaminationReport(corpus, "text", eval_, "doc_id",
+        "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    out shouldBe Array(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0))
+  }
+
   test("duplicateSpans: chained dup grams merge into one maximal span; within-doc-only repeats don't count") {
     // docs 1 and 2 share the 6-token run "p q r s t u" (three chained
     // 4-grams -> ONE span of 6 tokens); doc 3 repeats its own 4-gram twice

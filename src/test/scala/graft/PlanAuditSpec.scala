@@ -43,6 +43,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivf_topk_probe2",     // ≤c-row centroid broadcast on both sides
     "q_ivfpq_topk",          // exact-baseline cosineTopK's broadcast query set
     "q_pmi_collocations",    // 1-row corpus token total broadcast
+    "q_temperature_mix",     // 1-row total + 1-row normalizer broadcasts
     "q_pq_rerank",           // codebook-pool + query-set broadcasts (4 stages)
     "q_tfidf_topterms",      // 1-row doc-count broadcast
     "q_unigram_logprob")     // 1-row corpus token total broadcast
