@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{DedupOps, MultimodalOps, SamplingOps, SimilarityOps, TextOps}
+import graft.ext.{ClassifyOps, DedupOps, MultimodalOps, SamplingOps, SimilarityOps, TextOps}
 import graft.ops.{CoreOps, QualityCheck, SkewOps, TemporalOps}
 import graft.sources.Stores
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -644,6 +644,30 @@ object SparkEntry {
         "lang")
         .orderBy("doc_id")),
 
+    // interpolated Kneser-Ney bigram scoring (the KenLM smoothing): absolute
+    // discount + continuation-count unigram backoff, all integer-derived
+    "q_kneser_ney" -> ((s, d) =>
+      TextOps.knLogProbs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // seed-classifier routing (fasttext-shaped): multinomial NB trained on
+    // even-id docs (label = source), scoring odd-id docs — decimal-summed
+    // posteriors so argmax and margin are bit-identical across engines
+    "q_nb_classify" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ClassifyOps.nbClassify(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "source")
+        .orderBy("doc_id")
+    }),
+
+    // the classifier's eval artifact: held-out confusion matrix
+    "q_nb_confusion" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ClassifyOps.nbConfusion(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "source")
+        .orderBy("actual", "predicted")
+    }),
+
     // corpus collocations by pointwise mutual information — phrase mining:
     // top bigrams whose parts co-occur far above chance
     "q_pmi_collocations" -> ((s, d) =>
@@ -679,6 +703,13 @@ object SparkEntry {
     // clean docs surface with ratio 0 via the left join
     "q_dup_ratio" -> ((s, d) =>
       DedupOps.dupTokenRatio(t(s, d, "documents"), "doc_id", "text",
+        n = 4, minDf = 2)
+        .orderBy("doc_id")),
+
+    // APPLY the ExactSubstr cut: remove duplicated-span tokens, reassemble
+    // the rest; spans ride a small array column, text moves once
+    "q_cut_spans" -> ((s, d) =>
+      DedupOps.cutDupSpans(t(s, d, "documents"), "doc_id", "text",
         n = 4, minDf = 2)
         .orderBy("doc_id")),
 
@@ -929,6 +960,31 @@ object SparkEntry {
         .select("doc_id", "n_chars", "n_tokens")
         .orderBy("doc_id")
     }),
+
+    // tokenizer fertility audit: per-language subwords-per-word ratio under
+    // the trained merge table — the number that says how much a word-count
+    // budget misbills each language
+    "q_bpe_fertility" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val merges = TextOps.bpeTrainMerges(docs, "text", nMerges = 6)
+      docs.groupBy("lang")
+        .agg(sum(TextOps.tokenCount(col("text")).cast(LongType))
+            .as("n_words"),
+          sum(TextOps.subwordCountBpe(col("text"), merges)).as("n_subwords"))
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          round(col("n_subwords").cast("double") / col("n_words"), 6)
+            .as("fertility"))
+        .orderBy("lang")
+    }),
+
+    // curriculum interleave: every language spread evenly through the
+    // training order via the (r-0.5)/n lattice key — no all-English prefix
+    "q_curriculum_interleave" -> ((s, d) =>
+      SamplingOps.curriculumInterleave(t(s, d, "documents"), "doc_id",
+        "lang")
+        .select("doc_id", "lang", "pos_in_stratum", "interleave_key",
+          "global_ord")
+        .orderBy("doc_id")),
 
     // deterministic 80/10/10 train/val/test split; rows never migrate
     // between splits as the corpus grows
@@ -2201,6 +2257,45 @@ object SparkEntry {
                             '.' || replace((SELECT pair FROM m$k), '.', '') || '.') AS st FROM s${k - 1})"""
     }.mkString(",\n              ")
 
+  /** Shared WITH-body for the q_nb_* oracles: multinomial NB trained on
+    * even-id docs (label = source), posteriors decimal-summed over
+    * 6dp-rounded per-token log-likelihoods — the exact arithmetic
+    * ClassifyOps.nbClassify performs, replayed in SQL. */
+  private def nbOracleCore: String =
+    """WITH tr AS (SELECT doc_id, source, text FROM documents
+                   WHERE text IS NOT NULL AND doc_id % 2 = 0),
+              sc AS (SELECT doc_id, source, text FROM documents
+                     WHERE text IS NOT NULL AND doc_id % 2 = 1),
+              tt AS (SELECT source AS cls, unnest(string_split(text, ' ')) AS t FROM tr),
+              ct AS (SELECT cls, t, COUNT(*) AS cnt FROM tt GROUP BY cls, t),
+              tot AS (SELECT cls, SUM(cnt) AS tot FROM ct GROUP BY cls),
+              v AS (SELECT COUNT(DISTINCT t) AS v FROM ct),
+              pri AS (SELECT source AS cls, COUNT(*) AS nc FROM tr GROUP BY source),
+              prin AS (SELECT SUM(nc) AS n FROM pri),
+              prior AS (SELECT cls, CAST(ROUND(ln(CAST(nc AS DOUBLE) / n), 6) AS DECIMAL(28,6)) AS prior
+                        FROM pri CROSS JOIN prin),
+              vocab AS (SELECT DISTINCT t FROM ct),
+              mat AS (SELECT tot.cls, vocab.t,
+                             CAST(ROUND(ln(CAST(COALESCE(ct.cnt, 0) + 1 AS DOUBLE) / (tot.tot + v.v)), 6) AS DECIMAL(28,6)) AS lp
+                      FROM vocab CROSS JOIN tot CROSS JOIN v
+                      LEFT JOIN ct ON ct.cls = tot.cls AND ct.t = vocab.t),
+              dtf AS (SELECT doc_id, source AS actual, t, COUNT(*) AS tf
+                      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t FROM sc)
+                      GROUP BY doc_id, source, t),
+              ds AS (SELECT dtf.doc_id, dtf.actual, mat.cls,
+                            CAST(SUM(dtf.tf * mat.lp) AS DECIMAL(28,6)) AS ts
+                     FROM dtf JOIN mat ON dtf.t = mat.t GROUP BY 1, 2, 3),
+              grid AS (SELECT sc.doc_id, sc.source AS actual, prior.cls, prior.prior
+                       FROM sc CROSS JOIN prior),
+              posts AS (SELECT g.doc_id, g.actual, g.cls,
+                               CAST(COALESCE(ds.ts, 0) + g.prior AS DECIMAL(28,6)) AS post
+                        FROM grid g LEFT JOIN ds
+                          ON ds.doc_id = g.doc_id AND ds.cls = g.cls),
+              rk AS (SELECT doc_id, actual, cls, post,
+                            row_number() OVER (PARTITION BY doc_id ORDER BY post DESC, cls ASC) AS rn,
+                            lead(post) OVER (PARTITION BY doc_id ORDER BY post DESC, cls ASC) AS nxt
+                     FROM posts)"""
+
   def oracleSql: Map[String, String] = Map(
 
     "q_budget_select_bpe" ->
@@ -2220,6 +2315,109 @@ object SparkEntry {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
                     FROM dtok)
          SELECT doc_id, n_chars, n_tokens FROM c WHERE cum < 20000 ORDER BY doc_id"""),
+
+    "q_bpe_fertility" ->
+      (s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents WHERE text IS NOT NULL),
+              v AS (SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+              s0 AS (SELECT w, freq, '.' || regexp_replace(w, '(.)', """ +
+        """'\1.', 'g') AS st FROM v),
+              """ + bpeOracleRounds(6) + s""",
+              wc AS (SELECT w, CAST(len(st) - len(replace(st, '.', '')) - 1 AS BIGINT) AS n_sub FROM s6),
+              docw AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                       FROM documents WHERE text IS NOT NULL)
+         SELECT lang, CAST(COUNT(w) AS BIGINT) AS n_words,
+                CAST(SUM(COALESCE(n_sub, 0)) AS BIGINT) AS n_subwords,
+                ROUND(CAST(SUM(COALESCE(n_sub, 0)) AS DOUBLE) / COUNT(w), 6) AS fertility
+         FROM docw LEFT JOIN wc USING (w) GROUP BY lang ORDER BY lang"""),
+
+    "q_kneser_ney" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                           generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+              bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+                     FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+              c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+              ctx AS (SELECT string_split(bg, ' ')[1] AS v, SUM(c2) AS cv, COUNT(*) AS n1f
+                      FROM c2 GROUP BY 1),
+              cont AS (SELECT string_split(bg, ' ')[2] AS w, COUNT(*) AS n1b
+                       FROM c2 GROUP BY 1),
+              bt AS (SELECT COUNT(*) AS bt FROM c2),
+              lp AS (SELECT c2.bg,
+                            ln((greatest(c2.c2 - 0.75, 0.0) +
+                                0.75 * ctx.n1f * (CAST(cont.n1b AS DOUBLE) / bt.bt)) / ctx.cv) AS logp
+                     FROM c2 JOIN ctx ON string_split(c2.bg, ' ')[1] = ctx.v
+                             JOIN cont ON string_split(c2.bg, ' ')[2] = cont.w
+                             CROSS JOIN bt)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                ROUND(AVG(logp), 6) + 0.0 AS avg_logprob_kn
+         FROM bg JOIN lp USING (bg) GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_nb_classify" ->
+      (nbOracleCore + """
+         SELECT doc_id, actual, cls AS predicted, CAST(post AS DOUBLE) AS log_post,
+                COALESCE(CAST(post - nxt AS DOUBLE), 0.0) AS margin
+         FROM rk WHERE rn = 1 ORDER BY doc_id"""),
+
+    "q_nb_confusion" ->
+      (nbOracleCore + """
+         SELECT actual, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM rk WHERE rn = 1 GROUP BY actual, cls ORDER BY actual, predicted"""),
+
+    "q_cut_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE text IS NOT NULL),
+              grams AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+                               CAST(j - 1 AS BIGINT) AS pos,
+                               CAST(('0x' || substring(md5(array_to_string(t[j:j+3], ' ')), 1, 15)) AS BIGINT) AS sh
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 3, 1)),
+              dup AS (SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS df
+                                      FROM grams GROUP BY sh) WHERE df >= 2),
+              hits AS (SELECT g.doc_id, g.pos, g.dl FROM grams g JOIN dup USING (sh)),
+              isl AS (SELECT doc_id, pos, dl,
+                             CASE WHEN MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                                    OR pos > MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                                  THEN 1 ELSE 0 END AS ni
+                      FROM hits),
+              isl2 AS (SELECT doc_id, pos, dl,
+                              SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+                       FROM isl),
+              spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                               least(MAX(pos) + 3, MAX(dl) - 1) AS span_end
+                        FROM isl2 GROUP BY doc_id, isle),
+              tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                            CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS i0
+                     FROM documents WHERE text IS NOT NULL),
+              kept AS (SELECT tk.doc_id, tk.tok, tk.i0 FROM tk
+                       WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                         WHERE s.doc_id = tk.doc_id
+                                           AND tk.i0 BETWEEN s.span_start AND s.span_end)),
+              agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i0) AS text_cut,
+                             CAST(COUNT(*) AS BIGINT) AS n_kept
+                      FROM kept GROUP BY doc_id),
+              lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                       FROM documents WHERE text IS NOT NULL)
+         SELECT l.doc_id, COALESCE(a.text_cut, '') AS text_cut, l.n_tokens,
+                COALESCE(a.n_kept, 0) AS n_tokens_kept,
+                l.n_tokens - COALESCE(a.n_kept, 0) AS n_tokens_cut
+         FROM lens l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id""",
+
+    "q_curriculum_interleave" ->
+      """WITH r AS (SELECT doc_id, lang,
+                           CAST(row_number() OVER (PARTITION BY lang ORDER BY
+                             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+                             doc_id ASC) AS BIGINT) AS r,
+                           COUNT(*) OVER (PARTITION BY lang) AS n
+                    FROM documents),
+              k AS (SELECT doc_id, lang, r AS pos_in_stratum,
+                           (CAST(r AS DOUBLE) - 0.5) / n AS key
+                    FROM r)
+         SELECT doc_id, lang, pos_in_stratum, ROUND(key, 6) AS interleave_key,
+                CAST(row_number() OVER (ORDER BY key ASC, lang ASC, doc_id ASC) AS BIGINT) AS global_ord
+         FROM k ORDER BY doc_id""",
 
     "q_window_filter_extract" ->
       """SELECT event_id, ts, user_id, event_type FROM events

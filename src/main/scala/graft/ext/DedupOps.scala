@@ -932,6 +932,49 @@ object DedupOps {
   }
 
   /**
+   * APPLY the ExactSubstr cut — the second half of Lee et al.'s span
+   * dedup that [[duplicateSpans]] only reports: remove every token
+   * sitting inside a cross-document duplicated span and reassemble the
+   * remainder in order. Documents with no duplicated span pass through
+   * verbatim (a LEFT join — the cut must not drop clean docs); a fully
+   * duplicated document survives as an empty string with
+   * `n_tokens_kept = 0` (the caller's drop gate, not ours — matching the
+   * paper, which cuts spans and leaves document-level policy downstream).
+   *
+   * Returns (`idCol`, text_cut, n_tokens, n_tokens_kept, n_tokens_cut).
+   *
+   * Scale: [[duplicateSpans]]'s contract (text never moves there), plus
+   * ONE id equi-join of the corpus against the per-doc span lists —
+   * spans are offender-docs-only and ride as a small array column; the
+   * cut itself is a per-row higher-order `filter` over the token array
+   * (codegen, zero shuffle). The corpus text moves at most once, and
+   * only to meet its own spans.
+   */
+  def cutDupSpans(df: DataFrame, idCol: String, textCol: String,
+                  n: Int, minDf: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, n, minDf)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val toks = TextOps.tokens(col(textCol))
+    df.filter(col(textCol).isNotNull)
+      .join(spans, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        filter(toks, (t, i) => !exists(coalesce(col("__spans"),
+            array().cast("array<struct<span_start:bigint,span_end:bigint>>")),
+          s => i.cast("long").between(s.getField("span_start"),
+            s.getField("span_end"))))
+          .as("__kept"),
+        size(toks).cast("long").as("n_tokens"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("text_cut"),
+        col("n_tokens"),
+        size(col("__kept")).cast("long").as("n_tokens_kept"),
+        (col("n_tokens") - size(col("__kept"))).cast("long")
+          .as("n_tokens_cut"))
+  }
+
+  /**
    * Blocked fuzzy self-join — the entity-resolution primitive: candidate
    * pairs come ONLY from rows sharing a blocking key (a cheap deterministic
    * surrogate: first token, soundex, sorted-prefix …), then the expensive

@@ -358,6 +358,50 @@ object SamplingOps {
   }
 
   /**
+   * CURRICULUM / PROPORTIONAL-INTERLEAVE ORDERING — the deterministic
+   * "shuffled but stratified" training order: every stratum (language,
+   * source, quality bucket) is spread EVENLY across the whole training
+   * run rather than clumping wherever the files landed, so no epoch
+   * prefix is all-English and no domain starves the tail. Each row gets
+   * a pseudo-random rank `r` inside its stratum (fp60 order — stable
+   * under re-partitioning and corpus growth) and the interleave key
+   * `(r − 0.5) / n_stratum` ∈ (0,1); sorting by the key round-robins
+   * strata proportionally to their size (the low-discrepancy lattice
+   * trick: stratum quantile positions interleave like stratified
+   * sampling strata).
+   *
+   * Returns (`idCol`, stratum, pos_in_stratum, interleave_key,
+   * global_ord) — `global_ord` the 1-based total order (key asc, ties
+   * stratum-then-id asc, exact double arithmetic in any engine).
+   *
+   * Scale: one per-stratum rank window (stratum-partitioned — parallel)
+   * plus the total order. At fixture scale `global_ord` rides a global
+   * row_number (single-partition window — inherent to emitting a total
+   * rank as a COLUMN); at 100 TB you never materialize the rank: write
+   * with `repartitionByRange(interleave_key) + sortWithinPartitions`,
+   * which realizes the same order with a range-partitioned sort and no
+   * single-partition stage — the column here exists for the oracle and
+   * for debugging small runs.
+   */
+  def curriculumInterleave(df: DataFrame, idCol: String,
+                           stratumCol: String): DataFrame = {
+    val byStratum = Window.partitionBy(stratumCol)
+      .orderBy(fingerprint60(col(idCol).cast("string")).asc, col(idCol).asc)
+    val ranked = df
+      .withColumn("__r", row_number().over(byStratum).cast("long"))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(stratumCol)).cast("long"))
+      .withColumn("__key",
+        (col("__r").cast("double") - 0.5) / col("__n"))
+    ranked
+      .withColumn("global_ord", row_number().over(
+        Window.orderBy(col("__key").asc, col(stratumCol).asc,
+          col(idCol).asc)).cast("long"))
+      .select(col(idCol), col(stratumCol), col("__r").as("pos_in_stratum"),
+        round(col("__key"), 6).as("interleave_key"), col("global_ord"))
+  }
+
+  /**
    * The 100 TB form of [[percentileKeep]]: instead of ranking every row
    * within its stratum (a per-stratum sort), compute each stratum's
    * approximate (1−q)-quantile score threshold with `approx_percentile`

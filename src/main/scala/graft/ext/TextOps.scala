@@ -622,6 +622,71 @@ object TextOps {
   }
 
   /**
+   * INTERPOLATED KNESER-NEY bigram scoring — the smoothing actually used
+   * by the KenLM models behind CCNet-style filtering (Kneser & Ney 1995;
+   * Chen & Goodman 1999), one step up in fidelity from
+   * [[bigramLogProbs]]'s unsmoothed MLE: an absolute discount `D` is
+   * subtracted from every observed bigram count and the freed mass is
+   * given to the CONTINUATION unigram model — `P_cont(w) ∝` the number of
+   * distinct contexts `w` follows, not `w`'s raw frequency (the "San
+   * Francisco" insight: "Francisco" is frequent but follows only one
+   * context, so it deserves little novel-context mass):
+   *
+   *   P_KN(w|v) = ( max(c(v w) − D, 0) + D · N1+(v ·) · N1+(· w)/B ) / c(v ·)
+   *
+   * with `c(v ·)` = Σ_w c(v w) (context totals, derived from the bigram
+   * table itself so discount mass balances exactly), `N1+(v ·)` / `N1+(· w)`
+   * the distinct-continuation / distinct-context type counts and `B` the
+   * total distinct bigram types. Every quantity is integer-derived, so the
+   * probability is the same double in any engine. The corpus scores
+   * itself (every scored bigram is observed), but unlike the MLE form the
+   * smoothed score now separates "frequent because templated" from
+   * "frequent in one context only" — the discriminative gap KN exists for.
+   *
+   * Returns (`idCol`, n_bigrams, avg_logprob_kn) over docs with ≥2
+   * tokens, best-fit highest.
+   *
+   * Scale: identical shape to [[bigramLogProbs]] — the gram kernel is
+   * per-row codegen, the only token-volume shuffles are the bigram and
+   * context/continuation aggregates (all map-side partial), the smoothed
+   * probability table is bigram-vocabulary-sized, and `B` rides a 1-row
+   * broadcast. Text never shuffles.
+   */
+  def knLogProbs(df: DataFrame, idCol: String, textCol: String,
+                 discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val bgs = df.filter(col(textCol).isNotNull)
+      .filter(size(tokens(col(textCol))) >= 2)
+      .select(col(idCol),
+        explode(call_function("graft_word_grams", col(textCol), lit(2)))
+          .as("bg"))
+    val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
+    // context stats fall out of the bigram table: c2 rows are distinct
+    // bigrams, so count(*) per context IS N1+(v ·), and sum(c2) is c(v ·)
+    val ctx = c2.groupBy(substring_index(col("bg"), " ", 1).as("v"))
+      .agg(sum(col("c2")).as("cv"), count(lit(1)).as("n1f"))
+    val cont = c2.groupBy(substring_index(col("bg"), " ", -1).as("w"))
+      .agg(count(lit(1)).as("n1b"))
+    val types = c2.agg(count(lit(1)).as("bt"))
+    val lp = c2
+      .withColumn("v", substring_index(col("bg"), " ", 1))
+      .withColumn("w", substring_index(col("bg"), " ", -1))
+      .join(ctx, "v").join(cont, "w").crossJoin(broadcast(types))
+      .select(col("bg"),
+        log((greatest(col("c2") - lit(discount), lit(0.0)) +
+          lit(discount) * col("n1f") *
+            (col("n1b").cast("double") / col("bt"))) /
+          col("cv")).as("logp"))
+    bgs.join(lp, "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        // + 0.0: negative-zero canonicalization (see importanceWeights)
+        (round(avg(col("logp")), 6) + lit(0.0)).as("avg_logprob_kn"))
+  }
+
+  /**
    * CCNet-STYLE PERPLEXITY BUCKETS — the quality gate of Wenzek et al.,
    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
    * Data": score every document with a corpus language model

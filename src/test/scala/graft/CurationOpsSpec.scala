@@ -267,6 +267,67 @@ class CurationOpsSpec extends SparkSpec {
     out(0)._3 should be > out(1)._3
   }
 
+  test("knLogProbs: absolute discount caps novel-context bigrams below MLE certainty") {
+    // bigrams: "a b"×2, "a c"×1, "d b"×1 → ctx a:(cv=3,n1f=2) d:(cv=1,n1f=1);
+    // cont b:n1b=2, c:n1b=1; B=3 types
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d b"),
+      (5L, "solo"), (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.knLogProbs(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // P(b|a) = (2-.75 + .75·2·(2/3))/3 = 0.75; P(c|a) = (.25 + .5)/3 = 0.25
+    out(0) shouldBe ((1L, 1L, r6(math.log(0.75))))
+    out(2) shouldBe ((3L, 1L, r6(math.log(0.25))))
+    // the "Francisco" case: "d b" is MLE-certain (P=1) but KN discounts the
+    // once-seen context to (1-.75 + .75·1·(2/3))/1 = 0.75
+    out(3) shouldBe ((4L, 1L, r6(math.log(0.75))))
+    // <2-token and null docs are unscorable and drop
+    out.map(_._1) shouldBe Array(1L, 2L, 3L, 4L)
+  }
+
+  test("nbClassify: separable seed routes held-out docs; OOV-only doc falls back to priors") {
+    val train = Seq(
+      (2L, "apple apple fruit", "food"), (4L, "apple pear", "food"),
+      (6L, "rock stone", "geo"))
+      .toDF("doc_id", "text", "source")
+    val score = Seq(
+      (1L, "apple apple", "food"),   // food tokens → food
+      (3L, "stone rock rock", "geo"), // geo tokens → geo
+      (5L, "zzz qqq", "geo"))         // all-OOV → prior argmax (food: 2 docs)
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.ClassifyOps.nbClassify(train, score,
+        "doc_id", "text", "source")
+      .orderBy("doc_id")
+      .as[(Long, String, String, Double, Double)].collect()
+    out.map(r => (r._1, r._3)) shouldBe
+      Array((1L, "food"), (3L, "geo"), (5L, "food"))
+    // confident calls carry positive margins; OOV margin is the prior gap
+    all(out.map(_._5)) should be > 0.0
+    out(2)._5 shouldBe BigDecimal(math.log(2.0 / 3) - math.log(1.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 2e-6
+    val conf = graft.ext.ClassifyOps.nbConfusion(train, score,
+        "doc_id", "text", "source")
+      .orderBy("actual", "predicted").as[(String, String, Long)].collect()
+    conf shouldBe Array(("food", "food", 1L), ("geo", "food", 1L),
+      ("geo", "geo", 1L))
+  }
+
+  test("bpe fertility: longer-word language bills more subwords per word") {
+    val docs = Seq(
+      (1L, "aa bb aa bb", "short"),
+      (2L, "incomprehensibilities floccinaucinihilipilification", "long"))
+      .toDF("doc_id", "text", "lang")
+    val m = graft.ext.TextOps.bpeTrainMerges(docs, "text", 2)
+    val fert = docs.groupBy("lang")
+      .agg((sum(graft.ext.TextOps.subwordCountBpe(col("text"), m))
+          .cast("double") /
+        sum(graft.ext.TextOps.tokenCount(col("text")))).as("fertility"))
+      .orderBy("lang").as[(String, Double)].collect()
+    fert.map(_._1) shouldBe Array("long", "short")
+    fert(0)._2 should be > fert(1)._2
+  }
+
   test("tfidfTopTerms ranks rare-but-frequent-in-doc terms first") {
     val df = Seq(
       (1L, "apple apple apple common"),

@@ -426,6 +426,23 @@ class DedupOpsSpec extends SparkSpec {
     // doc 3 absent: its repeat never leaves the document
   }
 
+  test("cutDupSpans: duplicated spans excise, clean docs pass verbatim, full dups empty out") {
+    val docs = Seq(
+      (1L, "p q r s t u a1 b1 c1 d1 k l m n e1"), // two spans cut
+      (2L, "x2 k l m n y2 z2 p q r s t u w2"),
+      (3L, "clean words that never repeat anywhere"), // untouched
+      (4L, "p q r s t u"))                            // fully duplicated
+      .toDF("doc_id", "text")
+    val out = DedupOps.cutDupSpans(docs, "doc_id", "text", n = 4, minDf = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long, Long)].collect()
+    out(0) shouldBe ((1L, "a1 b1 c1 d1 e1", 15L, 5L, 10L))
+    out(1) shouldBe ((2L, "x2 y2 z2 w2", 14L, 4L, 10L))
+    out(2) shouldBe ((3L, "clean words that never repeat anywhere", 6L, 6L, 0L))
+    out(3) shouldBe ((4L, "", 6L, 0L, 6L))
+    // conservation: kept + cut = total, always
+    all(out.map(r => r._4 + r._5 == r._3)) shouldBe true
+  }
+
   test("duplicateSpans: span_end clamps to doc length when the dup gram is the truncated tail gram") {
     // a doc SHORTER than n yields one truncated gram (kernel convention);
     // shared across docs it must clamp, not overrun the doc

@@ -43,6 +43,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivf_topk_probe2",     // ≤c-row centroid broadcast on both sides
     "q_ivfpq_topk",          // exact-baseline cosineTopK's broadcast query set
     "q_pmi_collocations",    // 1-row corpus token total broadcast
+    "q_kneser_ney",          // 1-row bigram-type-count broadcast
+    "q_nb_classify",         // K-row prior/total + 1-row vocab-size broadcasts
+    "q_nb_confusion",        // same model artifacts as q_nb_classify
     "q_temperature_mix",     // 1-row total + 1-row normalizer broadcasts
     "q_pq_rerank",           // codebook-pool + query-set broadcasts (4 stages)
     "q_tfidf_topterms",      // 1-row doc-count broadcast

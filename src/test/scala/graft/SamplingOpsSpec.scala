@@ -198,4 +198,24 @@ class SamplingOpsSpec extends SparkSpec {
       }.toSet
     keptIds shouldBe expected
   }
+
+  test("curriculumInterleave: strata spread proportionally through the global order") {
+    // 4 'big' rows (keys .125 .375 .625 .875) merge with 2 'small' rows
+    // (.25 .75) into the lattice order b s b b s b — no all-big prefix
+    val docs = ((1 to 4).map(i => (i.toLong, "big")) ++
+      Seq((5L, "small"), (6L, "small"))).toDF("doc_id", "lang")
+    val out = SamplingOps.curriculumInterleave(docs, "doc_id", "lang")
+      .orderBy("global_ord")
+      .as[(Long, String, Long, Double, Long)].collect()
+    out.map(_._5) shouldBe Array(1L, 2L, 3L, 4L, 5L, 6L)
+    out.map(_._2) shouldBe Array("big", "small", "big", "big", "small", "big")
+    out.map(_._4) shouldBe Array(0.125, 0.25, 0.375, 0.625, 0.75, 0.875)
+    // within a stratum the order is the fp60 pseudo-random rank, and the
+    // whole assignment is stable under re-partitioning
+    val again = SamplingOps.curriculumInterleave(docs.repartition(7),
+        "doc_id", "lang")
+      .orderBy("global_ord")
+      .as[(Long, String, Long, Double, Long)].collect()
+    again shouldBe out
+  }
 }
