@@ -668,6 +668,33 @@ object SparkEntry {
         .orderBy("actual", "predicted")
     }),
 
+    // selective-classification calibration: routed volume + accuracy at
+    // each candidate margin threshold — the operating-point table
+    "q_nb_threshold_sweep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ClassifyOps.nbThresholdSweep(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "source",
+        thresholds = Seq(0.0, 0.5, 1.0, 2.0, 4.0, 8.0))
+        .orderBy("threshold")
+    }),
+
+    // per-domain curation scorecard: gopher keep rate + token volume per
+    // source — the crawl-health report per-domain cleaning starts from
+    "q_domain_scorecard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.gopherFilter(docs, "doc_id", "text",
+          minTokens = 20, maxTokens = 80, minStopHits = 2)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("keep_rate"),
+          round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
+            .as("avg_tokens"))
+        .orderBy("source")
+    }),
+
     // corpus collocations by pointwise mutual information — phrase mining:
     // top bigrams whose parts co-occur far above chance
     "q_pmi_collocations" -> ((s, d) =>
@@ -1222,6 +1249,13 @@ object SparkEntry {
         .select(col("label").cast(LongType).as("label"), col("n"),
           col("mean_cos"), col("min_cos"))
         .orderBy("label")),
+
+    // Johnson-Lindenstrauss 64→8 sign projection: deterministic md5-parity
+    // matrix baked as literals, decimal-folded components — zero shuffle
+    "q_random_projection" -> ((s, d) =>
+      SimilarityOps.randomProject(t(s, d, "embeddings"), "vec_id",
+        "embedding", dIn = 64, dOut = 8)
+        .orderBy("vec_id", "j")),
 
     // distribution drift (PSI) between the first and second half of the
     // event stream, over fixed-width value buckets
@@ -2362,6 +2396,49 @@ object SparkEntry {
       (nbOracleCore + """
          SELECT actual, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
          FROM rk WHERE rn = 1 GROUP BY actual, cls ORDER BY actual, predicted"""),
+
+    "q_nb_threshold_sweep" ->
+      (nbOracleCore + """,
+              doc AS (SELECT doc_id, actual, cls AS predicted,
+                             COALESCE(CAST(post - nxt AS DOUBLE), 0.0) AS margin
+                      FROM rk WHERE rn = 1),
+              tgrid AS (SELECT unnest([0.0, 0.5, 1.0, 2.0, 4.0, 8.0]) AS threshold),
+              stot AS (SELECT COUNT(*) AS n FROM doc)
+         SELECT g.threshold,
+                CAST(SUM(CASE WHEN d.margin >= g.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_routed,
+                CAST(SUM(CASE WHEN d.margin >= g.threshold AND d.actual = d.predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                ROUND(CAST(SUM(CASE WHEN d.margin >= g.threshold THEN 1 ELSE 0 END) AS DOUBLE) / MAX(stot.n), 6) AS coverage,
+                ROUND(CAST(SUM(CASE WHEN d.margin >= g.threshold AND d.actual = d.predicted THEN 1 ELSE 0 END) AS DOUBLE)
+                      / NULLIF(SUM(CASE WHEN d.margin >= g.threshold THEN 1 ELSE 0 END), 0), 6) AS accuracy
+         FROM doc d CROSS JOIN tgrid g CROSS JOIN stot
+         GROUP BY g.threshold ORDER BY g.threshold"""),
+
+    "q_domain_scorecard" ->
+      """WITH f AS (SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS avg_token_len,
+                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                      x -> x = '#' OR contains(x, '...'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS symbol_ratio,
+                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS alpha_ratio,
+                CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the', 'a', 'and', 'of'))) AS BIGINT) AS n_stop_hits
+         FROM documents WHERE text IS NOT NULL),
+              k AS (SELECT doc_id, source, n_tokens,
+                           ((n_tokens BETWEEN 20 AND 80)
+                            AND (avg_token_len >= 3.0 AND avg_token_len <= 10.0)
+                            AND (symbol_ratio <= 0.1)
+                            AND (alpha_ratio >= 0.8)
+                            AND (n_stop_hits >= 2)) AS keep
+                    FROM f)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
+                ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+         FROM k GROUP BY source ORDER BY source""",
 
     "q_cut_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -3819,6 +3896,20 @@ object SparkEntry {
          SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, sz.n_members
          FROM embeddings e JOIN sz ON e.vec_id = sz.cluster_id
          ORDER BY e.vec_id""",
+
+    "q_random_projection" ->
+      """WITH idx AS (SELECT unnest(generate_series(0, 7)) AS j),
+              ii AS (SELECT unnest(generate_series(0, 63)) AS i),
+              m AS (SELECT j, i,
+                           CASE WHEN CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                                THEN 1 ELSE -1 END AS s
+                    FROM idx CROSS JOIN ii),
+              terms AS (SELECT e.vec_id, m.j,
+                               CAST(ROUND(CAST(e.embedding[m.i + 1] AS DOUBLE) * m.s, 6) AS DECIMAL(18,6)) AS term
+                        FROM embeddings e CROSS JOIN m)
+         SELECT vec_id, CAST(j AS BIGINT) AS j,
+                ROUND(CAST(SUM(term) AS DOUBLE) / sqrt(8.0), 6) + 0.0 AS value
+         FROM terms GROUP BY vec_id, j ORDER BY vec_id, j""",
 
     "q_label_dispersion" ->
       """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),

@@ -117,4 +117,41 @@ object ClassifyOps {
     nbClassify(train, heldOut, idCol, textCol, labelCol)
       .groupBy(col("actual"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /**
+   * SELECTIVE-CLASSIFICATION threshold sweep — the calibration table a
+   * curation team reads to pick the routing margin: at each candidate
+   * threshold, how many held-out docs the classifier would route
+   * (margin ≥ t) and how accurate it is on the routed slice. Monotone
+   * coverage, (usually) rising accuracy — the knee is the operating
+   * point. Returns (threshold, n_routed, n_correct, coverage, accuracy)
+   * for every threshold in the grid, including empty slices
+   * (accuracy NULL there — no routed docs to be right about).
+   *
+   * Scale: one pass over the doc-level scores ([[nbClassify]]'s
+   * contract) crossed with the tiny broadcast grid — conditional sums,
+   * so the aggregate shuffles |grid| rows per partition, never docs.
+   */
+  def nbThresholdSweep(train: DataFrame, heldOut: DataFrame, idCol: String,
+                       textCol: String, labelCol: String,
+                       thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val scored = nbClassify(train, heldOut, idCol, textCol, labelCol)
+    val grid = scored.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    val total = scored.agg(count(lit(1)).as("__n"))
+    scored.crossJoin(broadcast(grid))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("margin") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_routed"),
+        sum(when(col("margin") >= col("threshold") &&
+            col("actual") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .crossJoin(broadcast(total))
+      .select(col("threshold"), col("n_routed"), col("n_correct"),
+        round(col("n_routed").cast("double") / col("__n"), 6).as("coverage"),
+        round(col("n_correct").cast("double") /
+          nullif(col("n_routed"), lit(0L)), 6).as("accuracy"))
+  }
 }

@@ -724,4 +724,58 @@ object SimilarityOps {
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Deterministic ±1 Johnson-Lindenstrauss sign: entry (j, i) is +1 iff
+    * the 60-bit md5 fingerprint of "j:i" is even — derivable identically
+    * in any engine (the fp60 scheme every sampling op already uses). */
+  private[ext] def jlSign(j: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+  }
+
+  /**
+   * JOHNSON-LINDENSTRAUSS random projection (Achlioptas 2003 sign
+   * variant): project `dIn`-dim embeddings to `dOut` dims through a
+   * deterministic ±1 matrix scaled by 1/√dOut — pairwise distances are
+   * preserved in expectation, so the projection feeds LSH bucketing /
+   * coarse ANN at a fraction of the arithmetic and shuffle width. The
+   * matrix derives from md5 parity of "(j:i)" (no RNG, no seed state):
+   * any engine — and any future run — rebuilds the identical matrix, the
+   * same growth-stability property the fp60 samplers guarantee.
+   *
+   * Returns (`idCol`, j, value): the projected vector exploded to
+   * (dimension, value) rows, `value` 6dp.
+   *
+   * Cross-engine determinism: each term (±v_i, 6dp-rounded) routes
+   * through a DECIMAL fold, so the component sum is exact and
+   * order-independent — float summation order can't wiggle the output
+   * (the labelDispersion discipline, applied per component).
+   *
+   * Scale: the matrix is a dOut×dIn literal baked into the expression (a
+   * model artifact like PQ codebooks — zero shuffle, zero join); the
+   * projection itself is a per-row codegen'd higher-order fold. Corpus
+   * never shuffles; output width shrinks by dIn/dOut before anything
+   * wide downstream.
+   */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    dIn: Int, dOut: Int): DataFrame = {
+    require(dIn > 0 && dOut > 0 && dOut <= dIn,
+      s"need 0 < dOut <= dIn, got dIn=$dIn dOut=$dOut")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val scale = math.sqrt(dOut.toDouble)
+    val proj = (0 until dOut).map { j =>
+      val signs = array((0 until dIn).map(i => lit(jlSign(j, i))): _*)
+      val terms = zip_with(col(vecCol), signs,
+        (a, s) => round(a.cast("double") * s, 6).cast(dec))
+      val sum = aggregate(terms, lit(0).cast(dec),
+        (acc, x) => (acc + x).cast(dec))
+      // + 0.0: negative-zero canonicalization (a −1e-7 component rounds
+      // to −0.0 here but +0.0 in engines that canonicalize)
+      round(sum.cast("double") / scale, 6) + lit(0.0)
+    }
+    df.select(col(idCol), posexplode(array(proj: _*)).as(Seq("j", "value")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("value"))
+  }
 }

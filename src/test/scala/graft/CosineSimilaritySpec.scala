@@ -96,4 +96,39 @@ class CosineSimilaritySpec extends SparkSpec {
       (20L, (both * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6, 2L),
       (30L, one3, 1L), (40L, one3, 1L))
   }
+
+  test("randomProject: deterministic JL sign projection — linear, partition-invariant, norm-preserving in expectation") {
+    import org.apache.spark.sql.functions._
+    val vecs = (1 to 8).map { k =>
+      (k.toLong, (0 until 64).map(i =>
+        (math.sin(k * 64 + i) * 2).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = graft.ext.SimilarityOps
+      .randomProject(df, "vec_id", "embedding", dIn = 64, dOut = 8)
+      .orderBy("vec_id", "j").as[(Long, Long, Double)].collect()
+    out.length shouldBe 8 * 8
+    // partition-invariance: the decimal fold is order-independent
+    val again = graft.ext.SimilarityOps
+      .randomProject(df.repartition(13), "vec_id", "embedding", 64, 8)
+      .orderBy("vec_id", "j").as[(Long, Long, Double)].collect()
+    again shouldBe out
+    // linearity: proj(2v) = 2·proj(v) within the 6dp term rounding
+    val doubled = vecs.map { case (id, v) => (id, v.map(_ * 2)) }
+      .toDF("vec_id", "embedding")
+    val out2 = graft.ext.SimilarityOps
+      .randomProject(doubled, "vec_id", "embedding", 64, 8)
+      .orderBy("vec_id", "j").as[(Long, Long, Double)].collect()
+    out.zip(out2).foreach { case ((_, _, a), (_, _, b)) =>
+      b shouldBe (2 * a) +- 1e-4
+    }
+    // E[||Pv||²] = ||v||² under the 1/√dOut scaling: the mean ratio over
+    // 8 deterministic vectors sits well inside JL concentration bounds
+    val norms = vecs.map { case (id, v) =>
+      val p2 = out.filter(_._1 == id).map(r => r._3 * r._3).sum
+      p2 / v.map(x => x.toDouble * x).sum
+    }
+    val meanRatio = norms.sum / norms.length
+    meanRatio should (be > 0.5 and be < 2.0)
+  }
 }

@@ -313,6 +313,24 @@ class CurationOpsSpec extends SparkSpec {
       ("geo", "geo", 1L))
   }
 
+  test("nbThresholdSweep: coverage shrinks with the margin bar; empty slice has no accuracy") {
+    val train = Seq(
+      (2L, "apple apple fruit", "food"), (4L, "apple pear", "food"),
+      (6L, "rock stone", "geo")).toDF("doc_id", "text", "source")
+    val score = Seq(
+      (1L, "apple apple", "food"), (3L, "stone rock rock", "geo"),
+      (5L, "zzz qqq", "geo")).toDF("doc_id", "text", "source")
+    val out = graft.ext.ClassifyOps.nbThresholdSweep(train, score,
+        "doc_id", "text", "source", thresholds = Seq(0.0, 10.0))
+      .orderBy("threshold")
+      .as[(Double, Long, Long, Double, Option[Double])].collect()
+    // margin >= 0 routes everything: docs 1/3 predicted right, the OOV
+    // doc 5 falls to the food prior and is wrong -> 2/3 accuracy
+    out(0) shouldBe ((0.0, 3L, 2L, 1.0, Some(0.666667)))
+    // nothing clears a 10-nat margin: empty slice, NULL accuracy
+    out(1) shouldBe ((10.0, 0L, 0L, 0.0, None))
+  }
+
   test("bpe fertility: longer-word language bills more subwords per word") {
     val docs = Seq(
       (1L, "aa bb aa bb", "short"),

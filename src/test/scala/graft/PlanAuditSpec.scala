@@ -46,6 +46,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_kneser_ney",          // 1-row bigram-type-count broadcast
     "q_nb_classify",         // K-row prior/total + 1-row vocab-size broadcasts
     "q_nb_confusion",        // same model artifacts as q_nb_classify
+    "q_nb_threshold_sweep",  // + tiny threshold-grid and 1-row total broadcasts
     "q_temperature_mix",     // 1-row total + 1-row normalizer broadcasts
     "q_pq_rerank",           // codebook-pool + query-set broadcasts (4 stages)
     "q_tfidf_topterms",      // 1-row doc-count broadcast
