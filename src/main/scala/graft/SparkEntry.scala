@@ -1013,6 +1013,18 @@ object SparkEntry {
           "global_ord")
         .orderBy("doc_id")),
 
+    // dynamic-batching padding audit: power-of-two length buckets with
+    // per-bucket pad-token waste — integer comparison chain, no float log2
+    "q_length_buckets" -> ((s, d) =>
+      SamplingOps.lengthBuckets(t(s, d, "documents"), "text")
+        .orderBy("bucket")),
+
+    // estimator-quality audit: MinHash+LSH pairs vs exact Jaccard truth —
+    // the recall/precision row that justifies the bands/hashes setting
+    "q_lsh_recall_audit" -> ((s, d) =>
+      DedupOps.lshRecallAudit(t(s, d, "documents"), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.4, maxDf = 50)),
+
     // deterministic 80/10/10 train/val/test split; rows never migrate
     // between splits as the corpus grows
     "q_dataset_split" -> ((s, d) =>
@@ -2364,6 +2376,70 @@ object SparkEntry {
                 CAST(SUM(COALESCE(n_sub, 0)) AS BIGINT) AS n_subwords,
                 ROUND(CAST(SUM(COALESCE(n_sub, 0)) AS DOUBLE) / COUNT(w), 6) AS fertility
          FROM docw LEFT JOIN wc USING (w) GROUP BY lang ORDER BY lang"""),
+
+    "q_length_buckets" ->
+      (s"""WITH l AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                    FROM documents WHERE text IS NOT NULL),
+              b AS (SELECT n, CASE ${(0 to 20).map(b => s"WHEN n <= ${1L << b} THEN $b").mkString(" ")} ELSE 20 END AS bucket FROM l)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(POWER(2, bucket) AS BIGINT) AS cap,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n) AS BIGINT) AS total_tokens,
+                CAST(COUNT(*) * CAST(POWER(2, bucket) AS BIGINT) AS BIGINT) AS padded_tokens,
+                ROUND(CAST(COUNT(*) * CAST(POWER(2, bucket) AS BIGINT) - SUM(n) AS DOUBLE) /
+                      (COUNT(*) * CAST(POWER(2, bucket) AS BIGINT)), 6) AS waste_ratio
+         FROM b GROUP BY bucket ORDER BY bucket"""),
+
+    "q_lsh_recall_audit" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              sh AS (SELECT DISTINCT doc_id AS id,
+                            CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
+                     FROM grams),
+              sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+              seeds AS (SELECT unnest(generate_series(0, 15)) AS i),
+              sigs AS (SELECT id, i,
+                              MIN(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
+                       FROM sh, seeds GROUP BY id, i),
+              banded AS (SELECT id, CAST(i // 4 AS INT) AS band,
+                                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
+                         FROM sigs GROUP BY id, CAST(i // 4 AS INT)),
+              bandedk AS (SELECT bd.id, bd.band, bd.band_key FROM banded bd
+                          JOIN (SELECT band, band_key, COUNT(*) AS df
+                                FROM banded GROUP BY band, band_key) d
+                            ON d.band = bd.band AND d.band_key = bd.band_key
+                          WHERE d.df <= 50),
+              cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                        FROM bandedk a JOIN bandedk b
+                          ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+              commonf AS (SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS c
+                          FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                          GROUP BY a.id, b.id),
+              est AS (SELECT c.id1, c.id2 FROM cands c
+                      JOIN commonf cm ON cm.id1 = c.id1 AND cm.id2 = c.id2
+                      JOIN sizes s1 ON s1.id = c.id1
+                      JOIN sizes s2 ON s2.id = c.id2
+                      WHERE ROUND(CAST(cm.c AS DOUBLE) / (s1.sz + s2.sz - cm.c), 4) >= 0.4),
+              kept AS (SELECT s.id, s.sh FROM sh s
+                       JOIN (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh) d
+                         ON d.sh = s.sh
+                       WHERE d.df <= 50),
+              commonk AS (SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS c
+                          FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
+                          GROUP BY a.id, b.id),
+              tru AS (SELECT id1, id2 FROM commonk
+                      JOIN sizes s1 ON s1.id = id1
+                      JOIN sizes s2 ON s2.id = id2
+                      WHERE ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) >= 0.4)
+         SELECT CAST((SELECT COUNT(*) FROM tru) AS BIGINT) AS n_true,
+                CAST((SELECT COUNT(*) FROM est) AS BIGINT) AS n_est,
+                CAST((SELECT COUNT(*) FROM tru JOIN est USING (id1, id2)) AS BIGINT) AS n_hit,
+                ROUND(CAST((SELECT COUNT(*) FROM tru JOIN est USING (id1, id2)) AS DOUBLE)
+                      / NULLIF((SELECT COUNT(*) FROM tru), 0), 6) AS recall,
+                ROUND(CAST((SELECT COUNT(*) FROM tru JOIN est USING (id1, id2)) AS DOUBLE)
+                      / NULLIF((SELECT COUNT(*) FROM est), 0), 6) AS prec""",
 
     "q_kneser_ney" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

@@ -932,6 +932,43 @@ object DedupOps {
   }
 
   /**
+   * LSH ESTIMATOR-QUALITY AUDIT — before trusting MinHash+LSH dedup at
+   * corpus scale, measure it against exact n-gram Jaccard on a slice:
+   * recall says what fraction of true near-dup pairs the banding scheme
+   * surfaces (banding misses borderline pairs by design — this is the
+   * number that justifies the bands/hashes setting), precision says what
+   * the verification step's full-shingle Jaccard admits that the
+   * df-capped exact pipeline would not. One row:
+   * (n_true, n_est, n_hit, recall, prec).
+   *
+   * Scale: both arms are the production pipelines themselves (banded /
+   * inverted-index — never all-pairs); the comparison is a pair-key
+   * full-outer join + conditional sums over pair sets that are tiny by
+   * construction. Run it on a sampled slice at 100 TB — the estimate of
+   * recall needs thousands of pairs, not the corpus.
+   */
+  def lshRecallAudit(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, numHashes: Int, bands: Int, threshold: Double,
+                     maxDf: Int): DataFrame = {
+    val tru = jaccardPairs(df, idCol, textCol, n, threshold, maxDf)
+      .select(col("id1"), col("id2"), lit(1L).as("__t"))
+    val est = minhashDedupPairs(df, idCol, textCol, n, numHashes, bands,
+        threshold, maxDf)
+      .select(col("id1"), col("id2"), lit(1L).as("__e"))
+    tru.join(est, Seq("id1", "id2"), "full_outer")
+      .agg(
+        sum(coalesce(col("__t"), lit(0L))).as("n_true"),
+        sum(coalesce(col("__e"), lit(0L))).as("n_est"),
+        sum(when(col("__t").isNotNull && col("__e").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_est"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          nullif(col("n_true"), lit(0L)), 6).as("recall"),
+        round(col("n_hit").cast("double") /
+          nullif(col("n_est"), lit(0L)), 6).as("prec"))
+  }
+
+  /**
    * APPLY the ExactSubstr cut — the second half of Lee et al.'s span
    * dedup that [[duplicateSpans]] only reports: remove every token
    * sitting inside a cross-document duplicated span and reassemble the

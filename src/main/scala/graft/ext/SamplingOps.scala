@@ -402,6 +402,44 @@ object SamplingOps {
   }
 
   /**
+   * LENGTH-BUCKETED BATCHING audit — the padding-waste table behind
+   * dynamic batching: group documents into power-of-two token-length
+   * buckets (bucket b holds lengths in (2^(b−1), 2^b], the pad-to-cap
+   * batching scheme) and report how many pad tokens each bucket burns.
+   * `waste_ratio` ≈ 0 means the bucket packs tight; a tail bucket with
+   * high waste is the signal to split it or re-pack. Lengths beyond
+   * 2^maxBucket clamp into the top bucket (documented, not dropped).
+   *
+   * Bucket assignment is a literal integer comparison chain — no
+   * float log2 (whose exactness at powers of two is engine-dependent) —
+   * so the same doc lands in the same bucket in any engine.
+   *
+   * Returns (bucket, cap, n_docs, total_tokens, padded_tokens,
+   * waste_ratio), one row per non-empty bucket.
+   *
+   * Scale: one narrow per-row projection + one ≤maxBucket-cardinality
+   * hash aggregate. Text never moves; the shuffle carries bucket ids.
+   */
+  def lengthBuckets(df: DataFrame, textCol: String,
+                    maxBucket: Int = 20): DataFrame = {
+    require(maxBucket >= 1 && maxBucket <= 62, "maxBucket in [1, 62]")
+    val n = TextOps.tokenCount(col(textCol)).cast("long")
+    val bucket = (1 to maxBucket)
+      .foldLeft(when(n <= 1L, lit(0))) { (acc, b) =>
+        acc.when(n <= (1L << b), lit(b))
+      }.otherwise(lit(maxBucket))
+    df.filter(col(textCol).isNotNull)
+      .select(bucket.cast("long").as("bucket"), n.as("__n"))
+      .withColumn("cap", pow(lit(2.0), col("bucket")).cast("long"))
+      .groupBy("bucket", "cap")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("total_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("cap"))
+      .withColumn("waste_ratio",
+        round((col("padded_tokens") - col("total_tokens")).cast("double") /
+          col("padded_tokens"), 6))
+  }
+
+  /**
    * The 100 TB form of [[percentileKeep]]: instead of ranking every row
    * within its stratum (a per-stratum sort), compute each stratum's
    * approximate (1−q)-quantile score threshold with `approx_percentile`

@@ -426,6 +426,30 @@ class DedupOpsSpec extends SparkSpec {
     // doc 3 absent: its repeat never leaves the document
   }
 
+  test("lshRecallAudit: identical pairs score perfect; one all-matching band misses moderate similarity") {
+    val near = Seq(
+      (1L, "p q r s t u v w"), (2L, "p q r s t u v w"), // identical pair
+      (3L, "completely different words here now"))
+      .toDF("doc_id", "text")
+    val perfect = DedupOps.lshRecallAudit(near, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.4, maxDf = 50)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+    perfect shouldBe ((1L, 1L, 1L, Some(1.0), Some(1.0)))
+    // bands=1 demands all 16 minhashes agree: a ~0.45-Jaccard pair is a
+    // true near-dup the banding cannot surface — the audit reports the miss
+    val partial = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h zz yy xx ww"),
+      (3L, "totally unrelated filler text")).toDF("doc_id", "text")
+    val audited = DedupOps.lshRecallAudit(partial, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 1, threshold = 0.3, maxDf = 50)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+    audited._1 shouldBe 1L          // exact Jaccard sees the pair
+    audited._2 shouldBe 0L          // one 16-wide band does not
+    audited._4 shouldBe Some(0.0)   // recall 0 — the knob-justifying signal
+    audited._5 shouldBe None        // no estimated pairs → no precision
+  }
+
   test("cutDupSpans: duplicated spans excise, clean docs pass verbatim, full dups empty out") {
     val docs = Seq(
       (1L, "p q r s t u a1 b1 c1 d1 k l m n e1"), // two spans cut

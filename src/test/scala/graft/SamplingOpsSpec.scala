@@ -199,6 +199,21 @@ class SamplingOpsSpec extends SparkSpec {
     keptIds shouldBe expected
   }
 
+  test("lengthBuckets: power-of-two caps, exact padding accounting") {
+    val docs = Seq("w", "w w", "w w w", "w w w w", "w w w w w",
+      "w w w w w w w w w").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = SamplingOps.lengthBuckets(docs, "text")
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    out shouldBe Array(
+      (0L, 1L, 1L, 1L, 1L, 0.0),      // len 1 pads to 1 — no waste
+      (1L, 2L, 1L, 2L, 2L, 0.0),      // len 2
+      (2L, 4L, 2L, 7L, 8L, 0.125),    // lens 3,4 pad to 4
+      (3L, 8L, 1L, 5L, 8L, 0.375),    // len 5 pads to 8
+      (4L, 16L, 1L, 9L, 16L, 0.4375)) // len 9 pads to 16
+  }
+
   test("curriculumInterleave: strata spread proportionally through the global order") {
     // 4 'big' rows (keys .125 .375 .625 .875) merge with 2 'small' rows
     // (.25 .75) into the lattice order b s b b s b — no all-big prefix
