@@ -644,6 +644,28 @@ object SparkEntry {
         "lang")
         .orderBy("doc_id")),
 
+    // signed feature hashing (the hashing trick): text → sparse fixed-dim
+    // count vectors with NO vocabulary pass — zero-shuffle per-row folds
+    "q_feature_hashing" -> ((s, d) =>
+      TextOps.featureHashVector(t(s, d, "documents"), "doc_id", "text",
+        dim = 16)
+        .orderBy("doc_id", "bin")),
+
+    // cross-source duplication matrix: which sources copy from which —
+    // near-dup pairs annotated by (source, source), unordered-normalized
+    "q_cross_source_dups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, threshold = 0.4, maxBandDf = 50)
+        .join(src.withColumnsRenamed(Map("doc_id" -> "id1", "source" -> "s1")), "id1")
+        .join(src.withColumnsRenamed(Map("doc_id" -> "id2", "source" -> "s2")), "id2")
+        .select(least(col("s1"), col("s2")).as("source_a"),
+          greatest(col("s1"), col("s2")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // interpolated Kneser-Ney bigram scoring (the KenLM smoothing): absolute
     // discount + continuation-count unigram backoff, all integer-derived
     "q_kneser_ney" -> ((s, d) =>
@@ -2376,6 +2398,58 @@ object SparkEntry {
                 CAST(SUM(COALESCE(n_sub, 0)) AS BIGINT) AS n_subwords,
                 ROUND(CAST(SUM(COALESCE(n_sub, 0)) AS DOUBLE) / COUNT(w), 6) AS fertility
          FROM docw LEFT JOIN wc USING (w) GROUP BY lang ORDER BY lang"""),
+
+    "q_feature_hashing" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                     FROM documents WHERE text IS NOT NULL),
+              b AS (SELECT doc_id,
+                           CAST(CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 16 AS BIGINT) AS bin,
+                           CASE WHEN CAST(('0x' || substring(md5('s:' || t), 1, 15)) AS BIGINT) % 2 = 0
+                                THEN 1 ELSE -1 END AS sg
+                    FROM tk)
+         SELECT doc_id, bin, CAST(SUM(sg) AS BIGINT) AS value
+         FROM b GROUP BY doc_id, bin HAVING SUM(sg) <> 0
+         ORDER BY doc_id, bin""",
+
+    "q_cross_source_dups" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              sh AS (SELECT DISTINCT doc_id AS id,
+                            CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
+                     FROM grams),
+              seeds AS (SELECT unnest(generate_series(0, 15)) AS i),
+              sigs AS (SELECT id, i,
+                              MIN(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
+                       FROM sh, seeds GROUP BY id, i),
+              banded AS (SELECT id, CAST(i // 4 AS INT) AS band,
+                                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
+                         FROM sigs GROUP BY id, CAST(i // 4 AS INT)),
+              bandedk AS (SELECT bd.id, bd.band, bd.band_key FROM banded bd
+                          JOIN (SELECT band, band_key, COUNT(*) AS df
+                                FROM banded GROUP BY band, band_key) d
+                            ON d.band = bd.band AND d.band_key = bd.band_key
+                          WHERE d.df <= 50),
+              cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                        FROM bandedk a JOIN bandedk b
+                          ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+              sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+              common AS (SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                         GROUP BY a.id, b.id),
+              pairs AS (SELECT c.id1, c.id2 FROM cands c
+                        JOIN common cm ON cm.id1 = c.id1 AND cm.id2 = c.id2
+                        JOIN sizes s1 ON s1.id = c.id1
+                        JOIN sizes s2 ON s2.id = c.id2
+                        WHERE ROUND(CAST(cm.c AS DOUBLE) / (s1.sz + s2.sz - cm.c), 4) >= 0.4)
+         SELECT least(d1.source, d2.source) AS source_a,
+                greatest(d1.source, d2.source) AS source_b,
+                CAST(COUNT(*) AS BIGINT) AS n_pairs
+         FROM pairs p
+         JOIN documents d1 ON d1.doc_id = p.id1
+         JOIN documents d2 ON d2.doc_id = p.id2
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_length_buckets" ->
       (s"""WITH l AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n

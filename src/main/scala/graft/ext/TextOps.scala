@@ -622,6 +622,40 @@ object TextOps {
   }
 
   /**
+   * SIGNED FEATURE HASHING (the hashing trick, Weinberger et al. 2009) —
+   * text → fixed-`dim` integer count vector with no vocabulary pass:
+   * each token lands in bin `fp60(token) mod dim` with sign
+   * `±1 = parity of fp60("s:" + token)`, and the signed counts sum per
+   * bin (the sign makes collisions cancel in expectation — the unbiased
+   * variant). The bridge from the text stack to the vector stack: its
+   * output feeds [[SimilarityOps.randomProject]], LSH bucketing, or a
+   * linear classifier without ever building a vocabulary.
+   *
+   * Returns SPARSE rows (`idCol`, bin, value), zero bins omitted
+   * (including collision-cancelled zeros — both engines drop them).
+   *
+   * Scale: ZERO shuffle — binning and the per-bin signed sums are
+   * higher-order array folds inside the scan stage (dim × doc-length
+   * work per row, bounded by the document); no vocabulary aggregate, no
+   * (token, count) exchange, unlike every exact-vocabulary scheme.
+   */
+  def featureHashVector(df: DataFrame, idCol: String, textCol: String,
+                        dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim in [2, 4096], got $dim")
+    val binned = transform(tokens(col(textCol)), t => struct(
+      pmod(fingerprint60(t), lit(dim.toLong)).cast("int").as("bin"),
+      when(pmod(fingerprint60(concat(lit("s:"), t)), lit(2L)) === 0L, 1L)
+        .otherwise(-1L).as("sg")))
+    val vec = transform(sequence(lit(0), lit(dim - 1)), j =>
+      aggregate(binned, lit(0L), (acc, x) =>
+        acc + when(x.getField("bin") === j, x.getField("sg")).otherwise(0L)))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(vec).as(Seq("bin", "value")))
+      .filter(col("value") =!= 0L)
+      .select(col(idCol), col("bin").cast("long").as("bin"), col("value"))
+  }
+
+  /**
    * INTERPOLATED KNESER-NEY bigram scoring — the smoothing actually used
    * by the KenLM models behind CCNet-style filtering (Kneser & Ney 1995;
    * Chen & Goodman 1999), one step up in fidelity from

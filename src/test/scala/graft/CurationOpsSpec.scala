@@ -267,6 +267,26 @@ class CurationOpsSpec extends SparkSpec {
     out(0)._3 should be > out(1)._3
   }
 
+  test("featureHashVector: additive in concatenation, repeat tokens double, zeros dropped") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "beta"),
+      (4L, "alpha alpha")).toDF("doc_id", "text")
+    val out = TextOps.featureHashVector(docs, "doc_id", "text", dim = 16)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+      .map { case (d, rs) => d -> rs.map(r => r._2 -> r._3).toMap }
+      .withDefaultValue(Map.empty[Long, Long])
+    // vec("alpha beta") = vec("alpha") + vec("beta"), binwise — including
+    // the collision-cancellation case where the merged vector is empty
+    val merged = (byDoc(2L).keySet ++ byDoc(3L).keySet).map { b =>
+      b -> (byDoc(2L).getOrElse(b, 0L) + byDoc(3L).getOrElse(b, 0L))
+    }.filter(_._2 != 0L).toMap
+    byDoc(1L) shouldBe merged
+    // a repeated token doubles its signed contribution
+    byDoc(4L) shouldBe byDoc(2L).map { case (b, v) => b -> (2 * v) }
+    // every |value| is bounded by the token count landing in the bin
+    all(out.map(r => math.abs(r._3))) should be <= 2L
+  }
+
   test("knLogProbs: absolute discount caps novel-context bigrams below MLE certainty") {
     // bigrams: "a b"×2, "a c"×1, "d b"×1 → ctx a:(cv=3,n1f=2) d:(cv=1,n1f=1);
     // cont b:n1b=2, c:n1b=1; B=3 types
