@@ -1035,6 +1035,13 @@ object SparkEntry {
           "global_ord")
         .orderBy("doc_id")),
 
+    // water-filling budget split: max-min-fair per-language char budget —
+    // small languages survive whole, the head pays the whole cut
+    "q_waterfill_mix" -> ((s, d) =>
+      SamplingOps.waterfillAllocation(t(s, d, "documents"), "lang",
+        "n_chars", budget = 60000L)
+        .orderBy("lang")),
+
     // dynamic-batching padding audit: power-of-two length buckets with
     // per-bucket pad-token waste — integer comparison chain, no float log2
     "q_length_buckets" -> ((s, d) =>
@@ -2398,6 +2405,24 @@ object SparkEntry {
                 CAST(SUM(COALESCE(n_sub, 0)) AS BIGINT) AS n_subwords,
                 ROUND(CAST(SUM(COALESCE(n_sub, 0)) AS DOUBLE) / COUNT(w), 6) AS fertility
          FROM docw LEFT JOIN wc USING (w) GROUP BY lang ORDER BY lang"""),
+
+    "q_waterfill_mix" ->
+      """WITH t AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+                    FROM documents GROUP BY lang),
+              r AS (SELECT lang, n_tokens,
+                           CAST(row_number() OVER (ORDER BY n_tokens ASC, lang ASC) AS BIGINT) AS k,
+                           CAST(SUM(n_tokens) OVER (ORDER BY n_tokens ASC, lang ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+                           CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS kk
+                    FROM t),
+              f AS (SELECT r.*, ((p - n_tokens) + (kk - k + 1) * n_tokens <= 60000) AS fullf FROM r),
+              a AS (SELECT CAST(SUM(CASE WHEN fullf THEN n_tokens ELSE 0 END) AS BIGINT) AS pf,
+                           CAST(SUM(CASE WHEN fullf THEN 1 ELSE 0 END) AS BIGINT) AS nf FROM f)
+         SELECT lang, n_tokens,
+                CASE WHEN fullf THEN CAST(n_tokens AS DOUBLE)
+                     ELSE ROUND(CAST(60000 - a.pf AS DOUBLE) / (kk - a.nf), 6) END AS alloc_tokens,
+                fullf AS fully_allocated
+         FROM f CROSS JOIN a ORDER BY lang""",
 
     "q_feature_hashing" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t

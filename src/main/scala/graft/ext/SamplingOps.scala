@@ -402,6 +402,58 @@ object SamplingOps {
   }
 
   /**
+   * WATER-FILLING BUDGET ALLOCATION — split a fixed training-token
+   * budget across strata (sources, languages) with the proportional-fair
+   * cap: every stratum keeps everything it has UNLESS it exceeds the
+   * water level `c`, chosen so `Σ_s min(T_s, c) = budget`. Small sources
+   * survive whole; the head pays the entire cut — the max-min-fair mix
+   * rule (the PaLM/LLaMA-style per-source capping dual of
+   * [[temperatureMixWeights]], which fixes target PROPORTIONS instead of
+   * a total). Feed `alloc_tokens` to per-stratum budget selection
+   * ([[selectByBudgetSharded]] filtered per stratum) to realize it.
+   *
+   * Returns (`stratumCol`, n_tokens, alloc_tokens, fully_allocated) —
+   * `alloc_tokens` = T_s for unsaturated strata, the 6dp water level for
+   * capped ones. When the whole corpus fits the budget every stratum is
+   * fully allocated (no cap exists).
+   *
+   * The saturation set is found with the standard sorted-prefix
+   * argument: strata sorted by size ascending, stratum k is UNcapped iff
+   * granting every stratum ≥ k a cap of T_k still fits the budget — a
+   * monotone (prefix) condition, so two windows over |strata| rows
+   * decide it. All arithmetic is integer-derived → cross-engine exact.
+   *
+   * Scale: one stratum-count aggregate over the corpus, then windows
+   * over |strata| rows (a model-sized frame; the "sort" orders dozens of
+   * strata, not documents) and two 1-row broadcast artifacts. The corpus
+   * streams once and never shuffles wide.
+   */
+  def waterfillAllocation(df: DataFrame, stratumCol: String,
+                          weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val totals = df.groupBy(stratumCol)
+      .agg(sum(col(weightCol)).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens").asc, col(stratumCol).asc)
+    val ranked = totals
+      .withColumn("__k", row_number().over(w).cast("long"))
+      .withColumn("__p", sum(col("n_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(totals.agg(count(lit(1)).cast("long").as("__kk"))))
+      .withColumn("__fullf",
+        (col("__p") - col("n_tokens")) +
+          (col("__kk") - col("__k") + 1L) * col("n_tokens") <= budget)
+    val fullAgg = ranked.agg(
+      sum(when(col("__fullf"), col("n_tokens")).otherwise(0L)).as("__pf"),
+      sum(when(col("__fullf"), 1L).otherwise(0L)).as("__nf"))
+    ranked.crossJoin(broadcast(fullAgg))
+      .select(col(stratumCol), col("n_tokens"),
+        when(col("__fullf"), col("n_tokens").cast("double"))
+          .otherwise(round((lit(budget) - col("__pf")).cast("double") /
+            (col("__kk") - col("__nf")), 6)).as("alloc_tokens"),
+        col("__fullf").as("fully_allocated"))
+  }
+
+  /**
    * LENGTH-BUCKETED BATCHING audit — the padding-waste table behind
    * dynamic batching: group documents into power-of-two token-length
    * buckets (bucket b holds lengths in (2^(b−1), 2^b], the pad-to-cap

@@ -48,6 +48,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_nb_confusion",        // same model artifacts as q_nb_classify
     "q_nb_threshold_sweep",  // + tiny threshold-grid and 1-row total broadcasts
     "q_temperature_mix",     // 1-row total + 1-row normalizer broadcasts
+    "q_waterfill_mix",       // 1-row stratum-count + 1-row saturation broadcasts
     "q_pq_rerank",           // codebook-pool + query-set broadcasts (4 stages)
     "q_tfidf_topterms",      // 1-row doc-count broadcast
     "q_unigram_logprob")     // 1-row corpus token total broadcast

@@ -199,6 +199,28 @@ class SamplingOpsSpec extends SparkSpec {
     keptIds shouldBe expected
   }
 
+  test("waterfillAllocation: small strata survive whole, the head absorbs the cut; no cap when all fit") {
+    // strata totals 10 / 20 / 100, budget 60: cap solves 10+20+c=60 → c=30
+    val docs = (Seq.fill(1)(("s", 10L)) ++ Seq.fill(2)(("m", 10L)) ++
+      Seq.fill(10)(("l", 10L))).zipWithIndex
+      .map { case ((g, w), i) => (i.toLong, g, w) }
+      .toDF("doc_id", "lang", "w")
+    val out = SamplingOps.waterfillAllocation(docs, "lang", "w", budget = 60L)
+      .orderBy("lang").as[(String, Long, Double, Boolean)].collect()
+    out shouldBe Array(
+      ("l", 100L, 30.0, false),
+      ("m", 20L, 20.0, true),
+      ("s", 10L, 10.0, true))
+    // conservation: allocations spend exactly the budget when capped
+    out.map(_._3).sum shouldBe 60.0
+    // generous budget: everyone fully allocated, allocation = holdings
+    val all = SamplingOps.waterfillAllocation(docs, "lang", "w", budget = 500L)
+      .orderBy("lang").as[(String, Long, Double, Boolean)].collect()
+    all shouldBe Array(
+      ("l", 100L, 100.0, true), ("m", 20L, 20.0, true),
+      ("s", 10L, 10.0, true))
+  }
+
   test("lengthBuckets: power-of-two caps, exact padding accounting") {
     val docs = Seq("w", "w w", "w w w", "w w w w", "w w w w w",
       "w w w w w w w w w").zipWithIndex
