@@ -644,6 +644,37 @@ object SparkEntry {
         "lang")
         .orderBy("doc_id")),
 
+    // batch BM25 retrieval: 20 queries (each doc's first-5-token set)
+    // scored in ONE corpus scan; bounded-heap per-query top-3
+    "q_bm25_batch" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val qt = docs.filter(col("text").isNotNull && col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 5)))
+            .as("term"))
+      TextOps.bm25BatchTopK(docs, "doc_id", "text", qt, k = 3)
+        .orderBy("qid", "rnk")
+    }),
+
+    // self-retrieval MRR: can each doc retrieve ITSELF from its own first
+    // 5 words — the retrievability sanity eval for the BM25 index
+    "q_self_retrieval_mrr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val qt = docs.filter(col("text").isNotNull && col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 5)))
+            .as("term"))
+      val dec = DecimalType(18, 6)
+      val hits = TextOps.bm25BatchTopK(docs, "doc_id", "text", qt, k = 10)
+        .filter(col("doc_id") === col("qid"))
+      val nq = qt.select("qid").distinct().agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(hits.agg(count(lit(1)).as("n_hit"),
+          sum(round(lit(1.0) / col("rnk"), 6).cast(dec)).as("__rr")))
+        .select(col("n_queries"), col("n_hit"),
+          coalesce(round(col("__rr").cast("double") / col("n_queries"), 6),
+            lit(0.0)).as("mrr"))
+    }),
+
     // signed feature hashing (the hashing trick): text → sparse fixed-dim
     // count vectors with NO vocabulary pass — zero-shuffle per-row folds
     "q_feature_hashing" -> ((s, d) =>
@@ -2371,7 +2402,52 @@ object SparkEntry {
                             lead(post) OVER (PARTITION BY doc_id ORDER BY post DESC, cls ASC) AS nxt
                      FROM posts)"""
 
+  /** Shared WITH-body for the q_bm25_batch / q_self_retrieval_mrr
+    * oracles: inverted-index batch BM25 with 6dp-rounded decimal-summed
+    * per-(query, doc) scores — the arithmetic chain of q_bm25_topk. */
+  private def bm25BatchOracleCore: String =
+    """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                              CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+                       FROM documents WHERE text IS NOT NULL),
+              stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+                        FROM corpus),
+              q AS (SELECT DISTINCT doc_id AS qid, unnest(toks[1:5]) AS term
+                    FROM corpus WHERE doc_id < 20),
+              post0 AS (SELECT doc_id, dl, unnest(toks) AS term FROM corpus),
+              qterm AS (SELECT DISTINCT term FROM q),
+              postings AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                           FROM post0 JOIN qterm USING (term)
+                           GROUP BY doc_id, dl, term),
+              dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft
+                      FROM postings GROUP BY term),
+              contrib AS (SELECT q.qid, p.doc_id,
+                                 CAST(ROUND(ln(1.0 + (s.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+                                      * p.tf * 2.2
+                                      / (p.tf + (0.25 + (p.dl / s.avgdl) * 0.75) * 1.2), 6) AS DECIMAL(18,6)) AS c
+                          FROM q JOIN postings p USING (term)
+                               JOIN dfs d USING (term) CROSS JOIN stats s),
+              ds AS (SELECT qid, doc_id, CAST(SUM(c) AS DECIMAL(18,6)) AS sc
+                     FROM contrib GROUP BY qid, doc_id),
+              rk AS (SELECT qid, doc_id, CAST(sc AS DOUBLE) AS bm25,
+                            CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id ASC) AS BIGINT) AS rnk
+                     FROM ds)"""
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_bm25_batch" ->
+      (bm25BatchOracleCore + """
+         SELECT qid, doc_id, bm25, rnk FROM rk WHERE rnk <= 3
+         ORDER BY qid, rnk"""),
+
+    "q_self_retrieval_mrr" ->
+      (bm25BatchOracleCore + """,
+              hit AS (SELECT qid, rnk FROM rk WHERE doc_id = qid AND rnk <= 10),
+              nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries FROM q)
+         SELECT nq.n_queries,
+                CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+                COALESCE(ROUND(CAST((SELECT SUM(CAST(ROUND(1.0 / rnk, 6) AS DECIMAL(18,6))) FROM hit) AS DOUBLE)
+                               / nq.n_queries, 6), 0.0) AS mrr
+         FROM nq"""),
 
     "q_budget_select_bpe" ->
       (s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w

@@ -622,6 +622,72 @@ object TextOps {
   }
 
   /**
+   * BATCH BM25 top-k retrieval — the multi-query face of [[bm25TopK]]:
+   * score a whole QUERY SET (`queryTerms`: one (qid, term) row per
+   * distinct query term) against the corpus in one plan, keep each
+   * query's top `k` docs. This is the shape retrieval evals and RAG
+   * batch-indexing actually run — one query at a time re-scans the
+   * corpus per query; this scans it once for all of them.
+   *
+   * Returns (qid, doc_id, bm25, rnk ≤ k), ties (score desc, doc asc).
+   *
+   * Cross-engine determinism: each (query term, doc) BM25 contribution
+   * is 6dp-rounded then DECIMAL-summed per (qid, doc) — partition order
+   * cannot wiggle the score (the fold-over-literal-columns trick of the
+   * single-query form doesn't exist here, so the decimal route replaces
+   * it); the arithmetic chain is pinned to [[bm25TopK]]'s exactly.
+   *
+   * Scale: postings semi-join against the broadcast distinct query-term
+   * set BEFORE aggregating — only terms some query mentions shuffle; the
+   * scoring join is posting-list-sized (the inverted-index contract:
+   * Σ_q Σ_t df(t), never |Q|×|C|); the per-query top-k is the bounded
+   * heap ([[graft.functions.VectorAggregators.TopKByScore]]) — map-side
+   * pruned to k per partition, never a corpus-wide rank window.
+   */
+  def bm25BatchTopK(df: DataFrame, idCol: String, textCol: String,
+                    queryTerms: DataFrame, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val corpus = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = corpus.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = queryTerms
+      .select(col("qid").cast("long").as("qid"), col("term")).distinct()
+    val qterm = qt.select("term").distinct()
+    val postings = corpus
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qterm), "term")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("dft"))
+    val contrib = qt.join(postings, "term")
+      .join(broadcast(dfs), "term").crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        round(log(lit(1.0) +
+            (col("n_docs") - col("dft") + 0.5) / (col("dft") + 0.5)) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") +
+            (lit(1.0 - b) + (col("dl") / col("avgdl")) * b) * k1), 6)
+          .cast(dec).as("c"))
+    val scored = contrib.groupBy("qid", "doc_id")
+      .agg(sum(col("c")).cast(dec).as("sc"))
+      .select(col("qid").as("query_id"), col("doc_id").as("neighbor_id"),
+        col("sc").cast("double").as("score"))
+    val topk = udaf(new graft.functions.VectorAggregators.TopKByScore(k))
+    scored.filter(col("score").isNotNull)
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("topk"))
+      .select(col("query_id").as("qid"), posexplode(col("topk")))
+      .select(col("qid"), col("col._2").as("doc_id"),
+        col("col._1").as("bm25"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /**
    * SIGNED FEATURE HASHING (the hashing trick, Weinberger et al. 2009) —
    * text → fixed-`dim` integer count vector with no vocabulary pass:
    * each token lands in bin `fp60(token) mod dim` with sign

@@ -267,6 +267,32 @@ class CurationOpsSpec extends SparkSpec {
     out(0)._3 should be > out(1)._3
   }
 
+  test("bm25BatchTopK: agrees with the single-query ranker; distinctive queries self-retrieve at rank 1") {
+    val docs = Seq(
+      (1L, "apple pie recipe with apple and sugar"),
+      (2L, "apple tree orchard"),
+      (3L, "stone wall construction stone"),
+      (4L, "filler words about nothing relevant")).toDF("doc_id", "text")
+    val qt = Seq((1L, "apple"), (1L, "pie"), (3L, "stone"), (3L, "wall"))
+      .toDF("qid", "term")
+    val batch = TextOps.bm25BatchTopK(docs, "doc_id", "text", qt, k = 3)
+      .orderBy("qid", "rnk")
+      .as[(Long, Long, Double, Long)].collect()
+    // each distinctive query finds its own doc first
+    batch.filter(_._4 == 1L).map(r => (r._1, r._2)) shouldBe
+      Array((1L, 1L), (3L, 3L))
+    // the batch ranking matches the single-query operator (same docs in
+    // the same order; scores equal up to per-term rounding placement)
+    val single = TextOps.bm25TopK(docs, "doc_id", "text",
+        terms = Seq("apple", "pie"), k = 3)
+      .as[(Long, Double)].collect()
+    val q1 = batch.filter(_._1 == 1L)
+    q1.map(_._2) shouldBe single.map(_._1)
+    q1.map(_._3).zip(single.map(_._2)).foreach { case (a, b) =>
+      a shouldBe b +- 1e-5
+    }
+  }
+
   test("featureHashVector: additive in concatenation, repeat tokens double, zeros dropped") {
     val docs = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "beta"),
       (4L, "alpha alpha")).toDF("doc_id", "text")

@@ -43,6 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivf_topk_probe2",     // ≤c-row centroid broadcast on both sides
     "q_ivfpq_topk",          // exact-baseline cosineTopK's broadcast query set
     "q_pmi_collocations",    // 1-row corpus token total broadcast
+    "q_bm25_batch",          // 1-row corpus-stats broadcast
+    "q_self_retrieval_mrr",  // 1-row corpus-stats + 1-row query-count broadcasts
     "q_kneser_ney",          // 1-row bigram-type-count broadcast
     "q_nb_classify",         // K-row prior/total + 1-row vocab-size broadcasts
     "q_nb_confusion",        // same model artifacts as q_nb_classify
