@@ -644,6 +644,29 @@ object SparkEntry {
         "lang")
         .orderBy("doc_id")),
 
+    // character-entropy quality signal: random blobs high, repeated spam
+    // near 0 — per-row sorted-distinct decimal fold, zero shuffle
+    "q_char_entropy" -> ((s, d) =>
+      TextOps.charEntropy(t(s, d, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // near-dup degree distribution: how many docs have 0, 1, 2… dup
+    // partners — the corpus-health histogram behind dedup planning
+    "q_dup_degree_hist" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.4, maxBandDf = 50)
+      val deg = pairs.select(col("id1").as("id"))
+        .unionAll(pairs.select(col("id2").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      docs.select(col("doc_id").cast(LongType).as("id"))
+        .join(deg, Seq("id"), "left_outer")
+        .select(coalesce(col("degree"), lit(0L)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    }),
+
     // batch BM25 retrieval: 20 queries (each doc's first-5-token set)
     // scored in ONE corpus scan; bounded-heap per-query top-3
     "q_bm25_batch" -> ((s, d) => {
@@ -2433,6 +2456,59 @@ object SparkEntry {
                      FROM ds)"""
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+                     FROM documents
+                     WHERE doc_id < 100 AND text IS NOT NULL AND length(text) > 0),
+              cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM ch GROUP BY doc_id, c),
+              tot AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nn,
+                             CAST(COUNT(*) AS BIGINT) AS nd
+                      FROM cnt GROUP BY doc_id)
+         SELECT t.doc_id, t.nn AS n_chars, t.nd AS n_distinct,
+                CAST(SUM(CAST(ROUND(-(CAST(c.n AS DOUBLE) / t.nn) * ln(CAST(c.n AS DOUBLE) / t.nn), 6) AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+         FROM cnt c JOIN tot t USING (doc_id)
+         GROUP BY t.doc_id, t.nn, t.nd ORDER BY t.doc_id""",
+
+    "q_dup_degree_hist" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              sh AS (SELECT DISTINCT doc_id AS id,
+                            CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
+                     FROM grams),
+              seeds AS (SELECT unnest(generate_series(0, 15)) AS i),
+              sigs AS (SELECT id, i,
+                              MIN(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
+                       FROM sh, seeds GROUP BY id, i),
+              banded AS (SELECT id, CAST(i // 4 AS INT) AS band,
+                                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
+                         FROM sigs GROUP BY id, CAST(i // 4 AS INT)),
+              bandedk AS (SELECT bd.id, bd.band, bd.band_key FROM banded bd
+                          JOIN (SELECT band, band_key, COUNT(*) AS df
+                                FROM banded GROUP BY band, band_key) d
+                            ON d.band = bd.band AND d.band_key = bd.band_key
+                          WHERE d.df <= 50),
+              cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                        FROM bandedk a JOIN bandedk b
+                          ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+              sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+              common AS (SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                         GROUP BY a.id, b.id),
+              pairs AS (SELECT c.id1, c.id2 FROM cands c
+                        JOIN common cm ON cm.id1 = c.id1 AND cm.id2 = c.id2
+                        JOIN sizes s1 ON s1.id = c.id1
+                        JOIN sizes s2 ON s2.id = c.id2
+                        WHERE ROUND(CAST(cm.c AS DOUBLE) / (s1.sz + s2.sz - cm.c), 4) >= 0.4),
+              deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+                      FROM (SELECT id1 AS id FROM pairs UNION ALL SELECT id2 AS id FROM pairs)
+                      GROUP BY id)
+         SELECT COALESCE(deg.degree, 0) AS degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM documents d LEFT JOIN deg ON deg.id = d.doc_id
+         GROUP BY 1 ORDER BY 1""",
 
     "q_bm25_batch" ->
       (bm25BatchOracleCore + """

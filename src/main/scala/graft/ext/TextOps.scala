@@ -622,6 +622,44 @@ object TextOps {
   }
 
   /**
+   * CHARACTER-ENTROPY quality signal — the information-theoretic member
+   * of the quality family: Shannon entropy (nats) of each document's
+   * character distribution. Random-key/base64 blobs score near
+   * ln(alphabet) (high), repeated-character spam scores near 0, natural
+   * language sits in a recognizable band — the cheap gzip-compressibility
+   * proxy pipelines gate on when a real compressor is too slow.
+   *
+   * Returns (`idCol`, n_chars, n_distinct, entropy) over docs with ≥1
+   * character.
+   *
+   * Cross-engine determinism: one term per DISTINCT character,
+   * 6dp-rounded and decimal-summed in sorted-character order — the same
+   * exact multiset of decimals in any engine, however it parallelizes.
+   *
+   * Scale: ZERO shuffle — the character histogram and entropy fold are
+   * per-row higher-order functions inside the scan stage
+   * (O(distinct × length) per doc, bounded by the document; the explode→
+   * two-aggregate formulation would shuffle O(total chars) for a value
+   * each row already owns).
+   */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val chars = regexp_extract_all(col(textCol), lit("[\\s\\S]"), lit(0))
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), chars.as("__ch"))
+      .select(col(idCol), col("__ch"),
+        array_sort(array_distinct(col("__ch"))).as("__d"),
+        size(col("__ch")).cast("long").as("n_chars"))
+      .select(col(idCol), col("n_chars"),
+        size(col("__d")).cast("long").as("n_distinct"),
+        aggregate(col("__d"), lit(0).cast(dec), (acc, x) => {
+          val p = size(filter(col("__ch"), c => c === x)).cast("double") /
+            col("n_chars")
+          (acc + round(-(p * log(p)), 6).cast(dec)).cast(dec)
+        }).cast("double").as("entropy"))
+  }
+
+  /**
    * BATCH BM25 top-k retrieval — the multi-query face of [[bm25TopK]]:
    * score a whole QUERY SET (`queryTerms`: one (qid, term) row per
    * distinct query term) against the corpus in one plan, keep each

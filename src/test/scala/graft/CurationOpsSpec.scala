@@ -267,6 +267,19 @@ class CurationOpsSpec extends SparkSpec {
     out(0)._3 should be > out(1)._3
   }
 
+  test("charEntropy: spam at 0, uniform alphabet at ln(k); empty/null docs drop") {
+    val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aaab"), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    out.map(_._1) shouldBe Array(1L, 2L, 3L)
+    out(0) shouldBe ((1L, 4L, 1L, 0.0))
+    // uniform over 4 chars: 4 × round(-(0.25·ln 0.25), 6) = 1.386296 ≈ ln 4
+    out(1) shouldBe ((2L, 4L, 4L, 1.386296))
+    // skewed 3:1 mix: 0.215762 + 0.346574
+    out(2) shouldBe ((3L, 4L, 2L, 0.562336))
+  }
+
   test("bm25BatchTopK: agrees with the single-query ranker; distinctive queries self-retrieve at rank 1") {
     val docs = Seq(
       (1L, "apple pie recipe with apple and sugar"),
