@@ -79,4 +79,33 @@ object CoreOpsProperties extends Properties("CoreOps") {
       val expected = !ts.before(s) && ts.before(e)
       Prop(kept == expected) :| s"ts=$ts kept=$kept expected=$expected"
     }
+
+  private val strataGen: Gen[List[(String, Long)]] = for {
+    k <- Gen.chooseNum(1, 6)
+    sizes <- Gen.listOfN(k, Gen.chooseNum(1L, 200L))
+  } yield sizes.zipWithIndex.map { case (w, i) => (s"s$i", w) }
+
+  property("waterfillAllocation: feasible, fair, budget-exhausting") =
+    forAll(strataGen, Gen.chooseNum(1L, 800L)) { (strata, budget) =>
+      val rows = strata.zipWithIndex.map { case ((g, w), i) => (i.toLong, g, w) }
+      val out = graft.ext.SamplingOps
+        .waterfillAllocation(rows.toDF("id", "g", "w"), "g", "w", budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3)))
+      val totals = strata.toMap
+      val spendEach = out.map(_._3)
+      val feasible = out.forall { case (g, t, a, _) =>
+        t == totals(g) && a >= 0.0 && a <= t + 1e-6 }
+      // allocations spend min(budget, ΣT) within the 6dp cap rounding
+      val spent = spendEach.sum
+      val want = math.min(budget.toDouble, totals.values.sum.toDouble)
+      val exhaustive = math.abs(spent - want) <= 1e-4 * out.length
+      // max-min fairness: every capped stratum gets ≥ any full stratum's
+      // holding (the water level never sits below a fully-kept stratum)
+      val caps = out.filter(!_._4).map(_._3)
+      val fulls = out.filter(_._4).map(_._3)
+      val fair = caps.isEmpty || fulls.isEmpty || caps.min >= fulls.max - 1e-6
+      Prop(feasible && exhaustive && fair) :|
+        s"out=${out.toList} budget=$budget spent=$spent want=$want"
+    }
 }
