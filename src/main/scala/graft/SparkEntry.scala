@@ -644,6 +644,20 @@ object SparkEntry {
         "lang")
         .orderBy("doc_id")),
 
+    // blocklist phrase gate: which ban-list phrases hit each doc (the
+    // audit needs the reason, not just the verdict) — zero shuffle
+    "q_blocklist_filter" -> ((s, d) =>
+      TextOps.blocklistFilter(t(s, d, "documents"), "doc_id", "text",
+        phrases = Seq("slow scan", "spark", "vector"))
+        .orderBy("doc_id")),
+
+    // code-switching detector: per-segment language ID → per-doc label
+    // mix, dominant language + fraction — zero-shuffle per-row folds
+    "q_lang_mix_segments" -> ((s, d) =>
+      TextOps.langMixBySegment(t(s, d, "documents"), "doc_id", "text",
+        segWords = 10)
+        .orderBy("doc_id")),
+
     // character-entropy quality signal: random blobs high, repeated spam
     // near 0 — per-row sorted-distinct decimal fold, zero shuffle
     "q_char_entropy" -> ((s, d) =>
@@ -2456,6 +2470,45 @@ object SparkEntry {
                      FROM ds)"""
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_blocklist_filter" ->
+      """WITH m AS (SELECT doc_id,
+                           list_sort(list_filter(['slow scan', 'spark', 'vector'],
+                             p -> contains(text, p))) AS mp
+                    FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id, CAST(len(mp) AS BIGINT) AS n_hits,
+                COALESCE(array_to_string(mp, ','), '') AS matched_phrases,
+                (len(mp) = 0) AS keep
+         FROM m ORDER BY doc_id""",
+
+    "q_lang_mix_segments" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                              generate_subscripts(string_split(text, ' '), 1) AS i
+                       FROM documents WHERE text IS NOT NULL),
+              segs AS (SELECT doc_id, (i - 1) // 10 AS sidx,
+                              string_agg(tok, ' ' ORDER BY i) AS seg
+                       FROM toks GROUP BY doc_id, (i - 1) // 10),
+              lab AS (SELECT doc_id, sidx,
+                             CASE WHEN regexp_matches(seg, '[一-鿿]') THEN 'zh'
+                                  WHEN len(list_filter(string_split(seg, ' '), x -> x IN ('the','and','of','is'))) > 0 THEN 'en'
+                                  WHEN len(list_filter(string_split(seg, ' '), x -> x IN ('el','la','los','es','y'))) > 0 THEN 'es'
+                                  WHEN len(list_filter(string_split(seg, ' '), x -> x IN ('le','les','et','est'))) > 0 THEN 'fr'
+                                  WHEN len(list_filter(string_split(seg, ' '), x -> x IN ('der','die','das','und','ist'))) > 0 THEN 'de'
+                                  ELSE 'unknown' END AS lab
+                      FROM segs),
+              cnt AS (SELECT doc_id, lab, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM lab GROUP BY doc_id, lab),
+              tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS ns,
+                             CAST(COUNT(*) AS BIGINT) AS nl
+                      FROM cnt GROUP BY doc_id),
+              dom AS (SELECT doc_id, lab, c,
+                             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lab ASC) AS rn
+                      FROM cnt)
+         SELECT t.doc_id, t.ns AS n_segments, t.nl AS n_langs,
+                d.lab AS dominant_lang,
+                ROUND(CAST(d.c AS DOUBLE) / t.ns, 6) AS dominant_frac
+         FROM tot t JOIN dom d ON d.doc_id = t.doc_id AND d.rn = 1
+         ORDER BY t.doc_id""",
 
     "q_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c

@@ -267,6 +267,35 @@ class CurationOpsSpec extends SparkSpec {
     out(0)._3 should be > out(1)._3
   }
 
+  test("blocklistFilter: reports which phrases hit; clean docs keep") {
+    val docs = Seq(
+      (1L, "a fast spark based engine"),
+      (2L, "the slow scan path with spark inside"),
+      (3L, "perfectly clean content here")).toDF("doc_id", "text")
+    val out = TextOps.blocklistFilter(docs, "doc_id", "text",
+        phrases = Seq("slow scan", "spark", "vector"))
+      .orderBy("doc_id").as[(Long, Long, String, Boolean)].collect()
+    out shouldBe Array(
+      (1L, 1L, "spark", false),
+      (2L, 2L, "slow scan,spark", false),
+      (3L, 0L, "", true))
+  }
+
+  test("langMixBySegment: code-switched docs surface as multi-label; ties break label-ascending") {
+    val en10 = "the " + (1 to 9).map(_ => "word").mkString(" ")
+    val de10 = "der " + (1 to 9).map(_ => "wort").mkString(" ")
+    val docs = Seq(
+      (1L, s"$en10 $de10"),      // one en segment + one de segment
+      (2L, s"$en10 $en10 $de10"), // en dominates 2/3
+      (3L, en10))                 // monolingual
+      .toDF("doc_id", "text")
+    val out = TextOps.langMixBySegment(docs, "doc_id", "text", segWords = 10)
+      .orderBy("doc_id").as[(Long, Long, Long, String, Double)].collect()
+    out(0) shouldBe ((1L, 2L, 2L, "de", 0.5)) // 1-1 tie → label asc
+    out(1) shouldBe ((2L, 3L, 2L, "en", 0.666667))
+    out(2) shouldBe ((3L, 1L, 1L, "en", 1.0))
+  }
+
   test("charEntropy: spam at 0, uniform alphabet at ln(k); empty/null docs drop") {
     val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aaab"), (4L, ""),
       (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
