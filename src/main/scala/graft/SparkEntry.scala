@@ -823,6 +823,13 @@ object SparkEntry {
         n = 4, minDf = 2)
         .orderBy("doc_id")),
 
+    // MOSS-tier winnowing pairs: docs sharing >= 10 winnowed char-8-gram
+    // fingerprints — catches copied passages whole-doc Jaccard dilutes
+    "q_winnow_pairs" -> ((s, d) =>
+      DedupOps.winnowNearDupPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 8, w = 16, minShared = 10, maxFpDf = 20)
+        .orderBy("id1", "id2")),
+
     // APPLY the ExactSubstr cut: remove duplicated-span tokens, reassemble
     // the rest; spans ride a small array column, text moves once
     "q_cut_spans" -> ((s, d) =>
@@ -952,6 +959,28 @@ object SparkEntry {
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"), max(col("id")).as("max_member"))
         .orderBy("cluster_id")
+    }),
+
+    // cluster-level BAN propagation (governance): a seed blocklist of docs
+    // expands to every member of any dup cluster touching a seed — the
+    // takedown workflow (banning one copy must ban them all)
+    "q_cluster_ban" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      val clusters = DedupOps.connectedComponentsStar(pairs)
+      val seeds = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").cast(LongType).as("id"))
+      val seedClusters = clusters.join(seeds, "id")
+        .select("cluster_id").distinct()
+      val viaCluster = clusters.join(seedClusters, Seq("cluster_id"))
+        .select("id")
+      val banned = viaCluster.unionByName(seeds).distinct()
+      banned.join(seeds.withColumn("__s", lit(1)), Seq("id"), "left_outer")
+        .select(col("id").as("doc_id"),
+          when(col("__s").isNotNull, "seed").otherwise("cluster")
+            .as("banned_via"))
+        .orderBy("doc_id")
     }),
 
     // Gopher-style repetition signals: top n-gram share + distinct-token ratio
@@ -2471,6 +2500,24 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
 
+    "q_winnow_pairs" ->
+      """WITH pos AS (
+           SELECT doc_id, i,
+                  CAST(('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15)) AS BIGINT) AS h
+           FROM documents, (SELECT unnest(generate_series(1, 2000)) AS i)
+           WHERE i <= length(text) - 8 + 1),
+              wmin AS (SELECT doc_id,
+                              MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+                       FROM pos),
+              f AS (SELECT DISTINCT doc_id AS id, fp FROM wmin),
+              dfc AS (SELECT fp, COUNT(*) AS df FROM f GROUP BY fp),
+              kept AS (SELECT f.id, f.fp FROM f JOIN dfc USING (fp) WHERE df <= 20)
+         SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+         GROUP BY a.id, b.id HAVING COUNT(*) >= 10
+         ORDER BY id1, id2""",
+
     "q_blocklist_filter" ->
       """WITH m AS (SELECT doc_id,
                            list_sort(list_filter(['slow scan', 'spark', 'vector'],
@@ -3828,6 +3875,32 @@ object SparkEntry {
          SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
                 CAST(MAX(id) AS BIGINT) AS max_member
          FROM l3 GROUP BY label ORDER BY cluster_id""",
+
+    "q_cluster_ban" ->
+      """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+                     WHERE doc_id % 10 < 3),
+              edges AS (SELECT id1 AS a, id2 AS b FROM e0
+                        UNION ALL SELECT id2 AS a, id1 AS b FROM e0),
+              l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
+              l1 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l0 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l0 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l2 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l1 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l1 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l3 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l2 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l2 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              seeds AS (SELECT doc_id AS id FROM documents WHERE doc_id % 50 = 0),
+              sc AS (SELECT DISTINCT l3.label FROM l3 JOIN seeds USING (id)),
+              viac AS (SELECT l3.id FROM l3 JOIN sc USING (label)),
+              banned AS (SELECT id FROM viac UNION SELECT id FROM seeds)
+         SELECT b.id AS doc_id,
+                CASE WHEN s.id IS NOT NULL THEN 'seed' ELSE 'cluster' END AS banned_via
+         FROM banned b LEFT JOIN seeds s ON s.id = b.id ORDER BY doc_id""",
 
     "q_repetition_score" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

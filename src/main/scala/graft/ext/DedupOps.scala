@@ -932,6 +932,40 @@ object DedupOps {
   }
 
   /**
+   * WINNOWING near-dup pairs — the MOSS tier: document pairs sharing at
+   * least `minShared` winnowed character-k-gram fingerprints
+   * ([[TextOps.winnowFingerprints]]). The winnowing guarantee (any
+   * shared substring of length ≥ k+w−1 contributes a shared
+   * fingerprint) makes this the LOCAL-similarity tier: it catches
+   * copied passages and light edits that whole-document Jaccard dilutes
+   * away, and it's character-level, so token-boundary games don't
+   * evade it — the plagiarism-detection complement to MinHash (global
+   * resemblance) and SimHash (global Hamming).
+   *
+   * Returns (id1, id2, n_shared), id1 < id2.
+   *
+   * Scale: winnowing compresses each doc ~w× before anything wide; the
+   * inverted-index self-join runs over the compressed fingerprint
+   * stream with the same ONE pinned exchange + `maxFpDf` hot-key cap as
+   * every other pair tier (a fingerprint in more than `maxFpDf` docs is
+   * corpus boilerplate, not evidence). Never all-pairs.
+   */
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int, minShared: Int,
+                         maxFpDf: Int = Int.MaxValue): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val fp = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("id"),
+        col("fingerprint").as("__fp"))
+    val kept = dropHotKeys(fp, "__fp", maxFpDf)
+    kept.as("a").join(kept.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
    * LSH ESTIMATOR-QUALITY AUDIT — before trusting MinHash+LSH dedup at
    * corpus scale, measure it against exact n-gram Jaccard on a slice:
    * recall says what fraction of true near-dup pairs the banding scheme

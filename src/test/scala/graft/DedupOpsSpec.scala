@@ -426,6 +426,22 @@ class DedupOpsSpec extends SparkSpec {
     // doc 3 absent: its repeat never leaves the document
   }
 
+  test("winnowNearDupPairs: a shared passage pairs its docs; unrelated docs never pair") {
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"unique prefix one $passage unique suffix alpha"),
+      (2L, s"other beginning here $passage completely different tail"),
+      (3L, "nothing in common with the others whatsoever in any way"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.winnowNearDupPairs(docs, "doc_id", "text",
+        k = 8, w = 16, minShared = 2, maxFpDf = 50)
+      .orderBy("id1", "id2").as[(Long, Long, Long)].collect()
+    // the winnowing guarantee: a shared substring of length >= k+w-1 (23)
+    // contributes shared fingerprints — the 60-char passage yields several
+    out.map(r => (r._1, r._2)) shouldBe Array((1L, 2L))
+    out.head._3 should be >= 2L
+  }
+
   test("lshRecallAudit: identical pairs score perfect; one all-matching band misses moderate similarity") {
     val near = Seq(
       (1L, "p q r s t u v w"), (2L, "p q r s t u v w"), // identical pair
