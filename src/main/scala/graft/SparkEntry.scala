@@ -823,6 +823,23 @@ object SparkEntry {
         n = 4, minDf = 2)
         .orderBy("doc_id")),
 
+    // normalize-then-dedup: case/whitespace variants collapse to one kept
+    // doc — the standard exact-dedup KEY (raw-byte hashing misses these)
+    "q_normalized_dedup" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+      val variants = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("  ")).as("text"))
+      base.unionByName(variants)
+        .select(col("doc_id"), TextOps.normalizeText(col("text")).as("__n"))
+        .groupBy(md5(col("__n")).as("__fp"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_variants"))
+        .select("keep_id", "n_variants")
+        .orderBy("keep_id")
+    }),
+
     // MOSS-tier winnowing pairs: docs sharing >= 10 winnowed char-8-gram
     // fingerprints — catches copied passages whole-doc Jaccard dilutes
     "q_winnow_pairs" -> ((s, d) =>
@@ -2499,6 +2516,21 @@ object SparkEntry {
                      FROM ds)"""
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_normalized_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL AND doc_id < 50),
+              allv AS (SELECT doc_id, text FROM base
+                       UNION ALL
+                       SELECT doc_id + 100000 AS doc_id,
+                              '  ' || upper(text) || '  ' AS text FROM base),
+              norm AS (SELECT doc_id,
+                              trim(regexp_replace(lower(nfc_normalize(text)),
+                                '\s+', ' ', 'g')) AS n
+                       FROM allv)
+         SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                CAST(COUNT(*) AS BIGINT) AS n_variants
+         FROM norm GROUP BY md5(n) ORDER BY keep_id""",
 
     "q_winnow_pairs" ->
       """WITH pos AS (
