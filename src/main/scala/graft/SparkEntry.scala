@@ -823,6 +823,33 @@ object SparkEntry {
         n = 4, minDf = 2)
         .orderBy("doc_id")),
 
+    // Zipf slope: OLS fit of ln(freq) on ln(rank) over the top-200 head —
+    // natural corpora sit near −1; template/spam corpora flatten. Decimal
+    // sums make the fit bit-identical across engines
+    "q_zipf_slope" -> ((s, d) => {
+      val dec = DecimalType(28, 6)
+      val vocab = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("t").asc).limit(200)
+      val ranked = vocab.withColumn("r",
+        row_number().over(Window.orderBy(col("freq").desc, col("t").asc))
+          .cast("long"))
+      val sums = ranked.select(
+          round(log(col("r").cast("double")), 6).cast(dec).as("x"),
+          round(log(col("freq").cast("double")), 6).cast(dec).as("y"))
+        .agg(count(lit(1)).cast("long").as("n_terms"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      sums.select(col("n_terms"),
+        round((col("n_terms") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_terms") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("slope"))
+    }),
+
     // normalize-then-dedup: case/whitespace variants collapse to one kept
     // doc — the standard exact-dedup KEY (raw-byte hashing misses these)
     "q_normalized_dedup" -> ((s, d) => {
@@ -2516,6 +2543,26 @@ object SparkEntry {
                      FROM ds)"""
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_zipf_slope" ->
+      """WITH v AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS freq
+                    FROM (SELECT unnest(string_split(text, ' ')) AS t
+                          FROM documents WHERE text IS NOT NULL)
+                    GROUP BY t ORDER BY freq DESC, t ASC LIMIT 200),
+              rk AS (SELECT freq,
+                            CAST(row_number() OVER (ORDER BY freq DESC, t ASC) AS BIGINT) AS r
+                     FROM v),
+              xy AS (SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(28,6)) AS x,
+                            CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(28,6)) AS y
+                     FROM rk),
+              s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                           SUM(x) AS sx, SUM(y) AS sy,
+                           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                    FROM xy)
+         SELECT n_terms,
+                ROUND((n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+         FROM s""",
 
     "q_normalized_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents
