@@ -431,6 +431,93 @@ object MultimodalOps {
     hash
   }
 
+  final case class MediaDctHash(media_id: Long, phash: Long, decoded: Boolean)
+
+  /**
+   * 63-bit DCT perceptual hash (pHash) per image — the frequency-domain
+   * refinement of [[imageAHash]]: decode → bilinear 32×32 grayscale →
+   * 2-D DCT-II → the low-frequency 8×8 block minus the DC term → bit k
+   * set iff that AC coefficient exceeds the block median. Dropping DC
+   * makes the signature invariant to GLOBAL brightness/contrast shifts
+   * that move every aHash luma (and its mean) nonlinearly after
+   * clipping; low-frequency-only makes it robust to blur/re-encode
+   * noise. Same contract as aHash otherwise: undecodable payloads get a
+   * content-hash fallback with decoded=false, pairing filters them.
+   *
+   * Per-partition batch map (codec init amortized), ZERO shuffle; the
+   * DCT computes only the needed 8×8 block — 64 coefficients × 1024
+   * pixels per image, not a full 32×32 transform.
+   */
+  def imagePHash(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaDctHash] = {
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val bytes = Option(m.payload).getOrElse(Array.emptyByteArray)
+        decodeImage(bytes) match {
+          case Some(img) => MediaDctHash(m.media_id, pHashOf(img), decoded = true)
+          case None =>
+            MediaDctHash(m.media_id,
+              java.util.Arrays.hashCode(bytes).toLong, decoded = false)
+        }
+      }
+    }
+  }
+
+  private[graft] def pHashOf(img: java.awt.image.BufferedImage): Long = {
+    val n = 32
+    val small = new java.awt.image.BufferedImage(
+      n, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, n, n, null)
+    } finally g.dispose()
+    val luma = new Array[Double](n * n)
+    var k = 0
+    while (k < n * n) {
+      val rgb = small.getRGB(k % n, k / n)
+      luma(k) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000.0
+      k += 1
+    }
+    // DCT-II, low-frequency 8×8 block only (fixed loop order — bit-stable)
+    val coeffs = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < n) {
+          var x = 0
+          while (x < n) {
+            s += luma(y * n + x) *
+              math.cos((2 * y + 1) * u * math.Pi / (2.0 * n)) *
+              math.cos((2 * x + 1) * v * math.Pi / (2.0 * n))
+            x += 1
+          }
+          y += 1
+        }
+        // quantize: numerically-zero coefficients (flat images, separable
+        // gradients) must not contribute noise bits around the median
+        coeffs(u * 8 + v) = math.rint(s * 1e6) / 1e6
+        v += 1
+      }
+      u += 1
+    }
+    val ac = coeffs.drop(1) // 63 AC coefficients; DC carries brightness
+    val med = ac.sorted.apply(31)
+    var hash = 0L
+    k = 0
+    while (k < 63) {
+      if (ac(k) > med) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
   /**
    * Near-duplicate IMAGE pairs: aHash signatures → the generic banded
    * Hamming join ([[DedupOps.hammingNearDupPairs]] — pigeonhole-exact for

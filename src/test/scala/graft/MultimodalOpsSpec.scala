@@ -289,6 +289,50 @@ class MultimodalOpsSpec extends SparkSpec {
     ham(hashes(0).ahash, hashes(2).ahash) should be > 16
   }
 
+  test("imagePHash: brightness-shift invariant where content changes are not") {
+    import MultimodalOps.MediaRow
+    // gradient capped at 180 so a +60 lift never clips — a PURE DC shift
+    // (clipping would flatten the bright side, i.e. change content)
+    def cappedGrad(lift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = x * 180 / 63 + lift
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos); baos.toByteArray
+    }
+    val grad = cappedGrad(0)
+    val brighter = cappedGrad(60)
+    val texture = { // deterministic dense-spectrum content
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = (128 + 90 * math.sin(0.37 * x * y + 0.11 * x)).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos); baos.toByteArray
+    }
+    val ds = Seq(
+      MediaRow(1L, grad, "image", "png"),
+      MediaRow(2L, brighter, "image", "png"),
+      MediaRow(3L, texture, "image", "png"),
+      MediaRow(4L, Array[Byte](1, 2), "image", "png"))
+      .toDS()
+    val hs = MultimodalOps.imagePHash(spark, ds).collect().sortBy(_.media_id)
+    hs.map(_.decoded) shouldBe Array(true, true, true, false)
+    val ham = (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b)
+    // the DC-free spectrum barely moves under a global brightness lift...
+    ham(hs(0).phash, hs(1).phash) should be <= 4
+    // ...but genuinely different content rewrites the spectrum
+    ham(hs(0).phash, hs(2).phash) should be > 16
+    // determinism: same payload, same hash
+    MultimodalOps.imagePHash(spark, ds).collect().sortBy(_.media_id)
+      .map(_.phash) shouldBe hs.map(_.phash)
+  }
+
   test("imageNearDupPairs pairs the edited near-dup only, skipping undecodables") {
     import MultimodalOps.MediaRow
     val ds = Seq(
