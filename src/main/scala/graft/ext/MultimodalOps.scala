@@ -533,6 +533,17 @@ object MultimodalOps {
       bits = 64, bands = bands, maxHamming = maxHamming, maxBandDf = maxBandDf)
   }
 
+  /** [[imageNearDupPairs]] on the DCT signature ([[imagePHash]]) — same
+    * banded-Hamming contract; catches brightness/contrast-shifted copies
+    * the spatial aHash scatters. */
+  def imagePHashNearDupPairs(spark: SparkSession, media: Dataset[MediaRow],
+                             maxHamming: Int = 6, bands: Int = 8,
+                             maxBandDf: Int = Int.MaxValue): DataFrame = {
+    val sig = imagePHash(spark, media).filter(_.decoded).toDF()
+    graft.ext.DedupOps.hammingNearDupPairs(sig, "media_id", "phash",
+      bits = 64, bands = bands, maxHamming = maxHamming, maxBandDf = maxBandDf)
+  }
+
   /**
    * 64-bit perceptual ENVELOPE-HASH per audio payload — the aHash idea in
    * the time domain: decode to PCM, 64 unit-norm RMS energy windows, bit

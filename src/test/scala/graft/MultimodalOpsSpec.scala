@@ -333,6 +333,41 @@ class MultimodalOpsSpec extends SparkSpec {
       .map(_.phash) shouldBe hs.map(_.phash)
   }
 
+  test("imagePHashNearDupPairs pairs the brightness-shifted copy the aHash path scatters") {
+    import MultimodalOps.MediaRow
+    def cappedGrad(lift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = x * 180 / 63 + lift
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos); baos.toByteArray
+    }
+    val texture = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = (128 + 90 * math.sin(0.37 * x * y + 0.11 * x)).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos); baos.toByteArray
+    }
+    val ds = Seq(
+      MediaRow(1L, cappedGrad(0), "image", "png"),
+      MediaRow(2L, cappedGrad(60), "image", "png"), // pure DC lift of 1
+      MediaRow(3L, texture, "image", "png"),
+      MediaRow(4L, Array[Byte](9, 9), "image", "png")) // undecodable
+      .toDS()
+    val pairs = MultimodalOps.imagePHashNearDupPairs(spark, ds, maxHamming = 6)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Long)].collect()
+    pairs.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
+    pairs(0)._3 should be <= 6L
+  }
+
   test("imageNearDupPairs pairs the edited near-dup only, skipping undecodables") {
     import MultimodalOps.MediaRow
     val ds = Seq(
