@@ -65,16 +65,24 @@ object Stores {
     }
   }
 
-  /** Parquet TIMESTAMP(NANOS) columns (events.ts fixture) are rejected by
-    * Spark 4 unless read as raw longs (`spark.sql.legacy.parquet.nanosAsLong`,
-    * set by our entry points). Convert ns-longs back to µs timestamps here —
-    * floor division, identical to DuckDB's ns→µs truncation, so oracle
-    * comparisons agree. Metadata-driven: only columns that arrived as
-    * TIMESTAMP(NANOS) are touched (they surface as LongType named ts). */
+  /** Timestamp physical-type normalization, schema-driven so either fixture
+    * generation works:
+    *  - TIMESTAMP(NANOS) columns are rejected by Spark 4 unless read as raw
+    *    longs (`spark.sql.legacy.parquet.nanosAsLong`, set by our entry
+    *    points); convert ns-longs back to µs timestamps — floor division,
+    *    identical to DuckDB's ns→µs truncation, so oracle comparisons agree.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ
+    *    under Spark 4's NTZ inference; cast to the session-TZ TIMESTAMP the
+    *    whole engine (and every oracle) is written against. The session TZ is
+    *    pinned to UTC by all entry points, so the wall-clock values are
+    *    bit-identical to DuckDB's naive reading of the same parquet. */
   private def normalizeNanoTs(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
         acc.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        acc.withColumn(f.name,
+          col(f.name).cast(org.apache.spark.sql.types.TimestampType))
       else acc
     }
 

@@ -34,8 +34,7 @@ class IntervalJoinPlanSpec extends SparkSpec {
       .select("event_id", "window_id").orderBy("event_id", "window_id").collect()
     // same join WITHOUT the rewrite registered → Spark's BNLJ reference
     val naiveSession = spark.newSession()
-    val ev2 = naiveSession.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev2 = Stores.table(naiveSession, sf0001, "events")
       .select("event_id", "ts")
     val iv2 = naiveSession.range(0, 30).select(
       col("id").as("window_id"),
