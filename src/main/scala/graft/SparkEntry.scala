@@ -1709,6 +1709,44 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // clustering-quality audit: per-cluster modularity terms of the
+    // connected-component dedup clusters against their own dup graph —
+    // disconnected chain components score near the disjoint-clique bound
+    "q_modularity" -> ((s, d) => {
+      val pairs = t(s, d, "documents")
+        .filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      val clusters = DedupOps.connectedComponentsStar(pairs)
+      graft.ops.GraphOps.modularity(pairs, "id1", "id2",
+          clusters, "id", "cluster_id")
+        .orderBy("cluster")
+    }),
+
+    // bounded k-core peel (3 rounds, k=3) of the hash-derived graph:
+    // strip the low-degree fringe before expensive graph analytics
+    "q_kcore" -> ((s, d) => {
+      val edges = t(s, d, "orders").select(
+        col("o_custkey").as("src"),
+        (pmod(TextOps.fingerprint60(col("o_orderkey").cast("string")),
+          lit(1000L)) + 1L).as("dst"))
+      graft.ops.GraphOps.kCoreBounded(edges, "src", "dst", k = 3, rounds = 3)
+        .orderBy("node")
+    }),
+
+    // rendezvous (HRW) shard placement: per-shard doc counts at N=16 plus
+    // how many of each shard's docs move when a 17th shard joins — HRW
+    // moves ONLY the new shard's winners (≈1/17), never reshuffles the rest
+    "q_rendezvous_shard" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          graft.ops.ShardOps.rendezvousShard(col("doc_id"), 16).as("shard"),
+          graft.ops.ShardOps.rendezvousShard(col("doc_id"), 17).as("s17"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s17") =!= col("shard"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .orderBy("shard")),
+
     // rolling 7-day active users per day (the DAU/WAU product metric):
     // distinct (user, day) explodes into the 7 windows it serves
     "q_rolling_active_users" -> ((s, d) => {
@@ -4736,6 +4774,79 @@ object SparkEntry {
               pr5 AS (SELECT n.node, 150000000000 + (85 * COALESCE(c5.s, 0)) // 100 AS pr
                       FROM n LEFT JOIN c5 USING (node))
          SELECT node, CAST(pr AS BIGINT) AS pr FROM pr5 ORDER BY node""",
+
+    "q_modularity" ->
+      """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+                     WHERE doc_id % 10 < 3),
+              e AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+                    FROM e0 WHERE id1 <> id2),
+              edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+              l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
+              l1 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l0 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l0 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l2 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l1 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l1 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l3 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l2 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l2 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+              deg AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS d
+                      FROM edges GROUP BY a),
+              asg AS (SELECT id AS n, label AS c FROM l3),
+              intra AS (SELECT x.c AS cluster, CAST(COUNT(*) AS BIGINT) AS e_c
+                        FROM e JOIN asg x ON x.n = e.a
+                             JOIN asg y ON y.n = e.b
+                        WHERE x.c = y.c GROUP BY x.c),
+              ds AS (SELECT c AS cluster, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                            CAST(SUM(d) AS BIGINT) AS d_c
+                     FROM asg JOIN deg ON deg.n = asg.n GROUP BY c)
+         SELECT ds.cluster, ds.n_nodes,
+                CAST(COALESCE(intra.e_c, 0) AS BIGINT) AS e_c, ds.d_c,
+                CAST(COALESCE(intra.e_c, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+                - CAST(ds.d_c * ds.d_c AS DOUBLE)
+                  / CAST(4 * mm.m * mm.m AS DOUBLE) AS q_term
+         FROM ds LEFT JOIN intra USING (cluster) CROSS JOIN mm
+         ORDER BY cluster""",
+
+    "q_kcore" ->
+      """WITH raw AS (SELECT o_custkey AS x,
+                             (CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) + 1 AS y
+                      FROM orders),
+              e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                    FROM raw WHERE x <> y),
+              bi AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+              s1 AS (SELECT u AS n FROM bi GROUP BY u HAVING COUNT(*) >= 3),
+              s2 AS (SELECT u AS n FROM bi
+                     WHERE u IN (SELECT n FROM s1) AND v IN (SELECT n FROM s1)
+                     GROUP BY u HAVING COUNT(*) >= 3),
+              s3 AS (SELECT u AS n FROM bi
+                     WHERE u IN (SELECT n FROM s2) AND v IN (SELECT n FROM s2)
+                     GROUP BY u HAVING COUNT(*) >= 3)
+         SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM bi
+         WHERE u IN (SELECT n FROM s3) AND v IN (SELECT n FROM s3)
+         GROUP BY u ORDER BY node""",
+
+    "q_rendezvous_shard" ->
+      """WITH sc AS (SELECT doc_id, s,
+                            (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)
+                             % 2147483648) * 16 + s AS sc16,
+                            (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)
+                             % 2147483648) * 17 + s AS sc17
+                     FROM documents,
+                          (SELECT unnest(generate_series(0, 16)) AS s) sh),
+              a AS (SELECT doc_id,
+                           CAST(MAX(CASE WHEN s < 16 THEN sc16 END) % 16 AS BIGINT) AS shard,
+                           CAST(MAX(sc17) % 17 AS BIGINT) AS s17
+                    FROM sc GROUP BY doc_id)
+         SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN s17 <> shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         FROM a GROUP BY shard ORDER BY shard""",
 
     "q_rolling_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

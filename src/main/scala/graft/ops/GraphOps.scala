@@ -84,6 +84,118 @@ object GraphOps {
    * every round O(edges) and the plan O(1)-deep regardless of `iterations`.
    * The returned frame is localCheckpoint-ed so callers own no cache.
    */
+  /**
+   * Per-cluster modularity terms of a node→cluster assignment against an
+   * undirected edge list — the standard quality score for a dedup
+   * clustering (how much denser are clusters than a random graph with the
+   * same degrees). For cluster c: term = e_c/m − (d_c/(2m))², where e_c =
+   * intra-cluster edges, d_c = Σ member degrees, m = total edges; total
+   * modularity Q = Σ terms, emitted per-cluster so hot/weak clusters are
+   * visible individually.
+   *
+   * Arithmetic is cross-engine exact: e_c, d_c, m are integers, each term
+   * is two correctly-rounded IEEE divisions and one subtraction of the
+   * exact integer inputs — no accumulation-order dependence anywhere, so
+   * the doubles match any engine bit-for-bit without rounding tricks.
+   *
+   * Shape: canonical edges are derived once; one self-contained degree
+   * aggregation, two node-keyed joins to attach cluster labels to edge
+   * endpoints, one groupBy per side, and the scalar m rides a broadcast
+   * single-row cross join — O(edges) shuffle, nothing driver-side.
+   * Unassigned nodes (not in `assign`) are excluded from every sum, and
+   * an edge counts as intra-cluster only when BOTH endpoints carry the
+   * same label.
+   */
+  def modularity(edges: DataFrame, src: String, dst: String,
+                 assign: DataFrame, nodeCol: String,
+                 clusterCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct()
+    val asg = assign.select(col(nodeCol).as("n"), col(clusterCol).as("c"))
+      .distinct()
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val intra = e
+      .join(asg.select(col("n").as("a"), col("c").as("ca")), "a")
+      .join(asg.select(col("n").as("b"), col("c").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cluster")).agg(count(lit(1)).as("e_c"))
+    val degSum = asg.join(deg, "n")
+      .groupBy(col("c").as("cluster"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_c"))
+    degSum.join(intra, Seq("cluster"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .join(broadcast(m))
+      .select(col("cluster"), col("n_nodes"), col("e_c"), col("d_c"),
+        (col("e_c").cast("double") / col("m").cast("double") -
+          (col("d_c") * col("d_c")).cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"))
+          .as("q_term"))
+  }
+
+  /**
+   * Bounded-iteration k-core peel over an undirected edge list: `rounds`
+   * times, drop every node whose degree among current survivors is < k;
+   * emit the survivors with their degree inside the final survivor set.
+   * With rounds ≥ the peel depth this IS the k-core; bounding the rounds
+   * keeps the operator oracle-checkable (the check unrolls the same fixed
+   * peels) and the cost predictable — the production pattern for "strip
+   * low-engagement fringe off the dup graph before expensive clustering".
+   *
+   * Each round is one broadcast-or-shuffle semi-join of the static doubled
+   * edge list against the (shrinking) survivor set plus one count
+   * aggregation — O(edges) per round. Survivor sets are persisted and
+   * plan-rebased per round ([[graft.ext.DedupOps.connectedComponentsStar]]
+   * discipline): without the cut, round i's plan embeds all i−1
+   * predecessors and the loop degenerates to O(rounds²) edge scans.
+   */
+  def kCoreBounded(edges: DataFrame, src: String, dst: String,
+                   k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 50,
+      s"bad k=$k rounds=$rounds")
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct()
+    val bi = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    def materializeCut(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist()
+      p.count()
+      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+    }
+    var (s, sHandle) = materializeCut(bi.select(col("u").as("n")).distinct())
+    for (_ <- 1 to rounds) {
+      val surv = bi
+        .join(s.select(col("n").as("u")), "u")
+        .join(s.select(col("n").as("v")), "v")
+        .groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("n")
+      val (next, nextHandle) = materializeCut(surv)
+      sHandle.unpersist(blocking = false)
+      s = next
+      sHandle = nextHandle
+    }
+    val out = bi
+      .join(s.select(col("n").as("u")), "u")
+      .join(s.select(col("n").as("v")), "v")
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    sHandle.unpersist(blocking = false)
+    bi.unpersist(blocking = false)
+    out
+  }
+
   def pageRankScaled(edges: DataFrame, src: String, dst: String,
                      iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"bad iterations $iterations")

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.ext.TextOps
+
+/**
+ * Rendezvous (highest-random-weight) sharding — the consistent placement
+ * scheme for a corpus spread over N storage/serving shards. Unlike
+ * `hash(key) % N`, growing N → N+1 moves only the keys the NEW shard wins
+ * (≈ 1/(N+1) of the corpus); a mod-N reshard moves ≈ N/(N+1) of it. At
+ * 100 TB that's the difference between streaming ~6 TB to a new node and
+ * rewriting the whole corpus.
+ *
+ * The per-(key, shard) weight rides the codebase's cross-engine hash,
+ * [[TextOps.fingerprint60]] of `key ‖ ':' ‖ shard` (the
+ * [[graft.ext.DedupOps]] minhash idiom) — a plain arithmetic LCG mix was
+ * tried first and is degenerate here: for keys below the modulus the
+ * score stays monotone in the shard index and every key lands on the
+ * last shard. The fingerprint is folded to 31 bits and stretched to
+ * `· N + s`, which makes scores injective across shards (distinct mod
+ * N), so argmax needs no tie-break rule and the winner is recoverable
+ * as `max_score mod N`. The whole assignment is therefore ONE
+ * zero-shuffle codegen'd projection (`array_max` over a
+ * `transform`-built score array) — no explode, no aggregation, no join
+ * — and an engine-independent oracle replays the identical md5
+ * arithmetic.
+ */
+object ShardOps {
+
+  /** Highest-random-weight score max for `key` over shards 0..n−1. */
+  private def rendezvousMax(key: Column, nShards: Int): Column =
+    array_max(transform(sequence(lit(0), lit(nShards - 1)), s =>
+      pmod(TextOps.fingerprint60(
+          concat(key.cast("string"), lit(":"), s.cast("string"))),
+        lit(2147483648L)) * nShards + s.cast(LongType)))
+
+  /** The shard in 0..n−1 that wins the rendezvous for `key`. */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"bad nShards $nShards")
+    pmod(rendezvousMax(key, nShards), lit(nShards.toLong))
+  }
+}

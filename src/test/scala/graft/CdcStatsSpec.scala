@@ -156,6 +156,70 @@ class CdcStatsSpec extends SparkSpec {
     byNode(2L) shouldBe byNode(21L)
   }
 
+  test("modularity: disjoint cliques score the clique bound, one-blob scores zero") {
+    // two disjoint triangles; m = 6
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("s", "t")
+    val perfect = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "b")).toDF("n", "c")
+    val got = graft.ops.GraphOps.modularity(edges, "s", "t", perfect, "n", "c")
+      .orderBy("cluster")
+      .select("cluster", "n_nodes", "e_c", "d_c", "q_term")
+      .as[(String, Long, Long, Long, Double)].collect()
+    // per cluster: e_c/m − (d_c/2m)² = 3/6 − (6/12)² = 0.25
+    got shouldBe Array(("a", 3L, 3L, 6L, 0.25), ("b", 3L, 3L, 6L, 0.25))
+    // everything in ONE cluster → Q = 1 − 1 = 0 (no structure found)
+    val blob = perfect.select($"n", lit("x").as("c"))
+    val q0 = graft.ops.GraphOps.modularity(edges, "s", "t", blob, "n", "c")
+      .select("q_term").as[Double].collect()
+    q0 shouldBe Array(0.0)
+    // unassigned nodes drop out of every sum
+    val partial = perfect.filter($"c" === "a")
+    val qa = graft.ops.GraphOps.modularity(edges, "s", "t", partial, "n", "c")
+      .select("cluster", "e_c", "d_c").as[(String, Long, Long)].collect()
+    qa shouldBe Array(("a", 3L, 6L))
+  }
+
+  test("kCoreBounded peels the fringe; emitted degree is inside the final set") {
+    // K4 {1,2,3,4} with a tail 4—5—6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "t")
+    // one k=2 round: only 6 (deg 1) peels; 5 survives the TEST at deg 2
+    // but its emitted degree drops to 1 (its neighbor 6 is gone)
+    val r1 = graft.ops.GraphOps.kCoreBounded(edges, "s", "t", k = 2, rounds = 1)
+      .orderBy("node").as[(Long, Long)].collect()
+    r1 shouldBe Array((1L, 3L), (2L, 3L), (3L, 3L), (4L, 4L), (5L, 1L))
+    // two rounds reach the true 2-core (the K4 + nothing)
+    val r2 = graft.ops.GraphOps.kCoreBounded(edges, "s", "t", k = 2, rounds = 2)
+      .orderBy("node").as[(Long, Long)].collect()
+    r2 shouldBe Array((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L))
+    // k=3 strips the tail in one round, K4 is already the 3-core
+    val r3 = graft.ops.GraphOps.kCoreBounded(edges, "s", "t", k = 3, rounds = 1)
+      .orderBy("node").as[(Long, Long)].collect()
+    r3 shouldBe Array((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L))
+  }
+
+  test("rendezvousShard: in-range, well-dispersed, minimal movement on grow") {
+    import graft.ops.ShardOps
+    val keys = spark.range(0, 500).select($"id".as("k"))
+    val assigned = keys.select($"k",
+        ShardOps.rendezvousShard($"k", 16).as("s16"),
+        ShardOps.rendezvousShard($"k", 17).as("s17"))
+      .as[(Long, Long, Long)].collect()
+    all(assigned.map(_._2)) should (be >= 0L and be < 16L)
+    all(assigned.map(_._3)) should (be >= 0L and be < 17L)
+    // every shard owns something, nobody owns a wildly outsized share
+    val byShard = assigned.groupBy(_._2).map { case (_, v) => v.length }
+    byShard.size shouldBe 16
+    byShard.max.toDouble should be < 3.0 * (500.0 / 16)
+    // HRW contract: a key moves ONLY to the newly added shard
+    val moved = assigned.filter(t => t._3 != t._2)
+    all(moved.map(_._3)) shouldBe 16L
+    // and only ~1/17 of keys move (mod-N resharding would move ~16/17)
+    moved.length.toDouble should be < 2.0 * (500.0 / 17)
+    moved.length should be > 0
+  }
+
   test("weightedSample is reproducible and biases toward heavy rows") {
     val df = (1 to 1000).map { i =>
       (i.toLong, if (i <= 100) 1000.0 else 1.0)

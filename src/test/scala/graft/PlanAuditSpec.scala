@@ -40,6 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_hybrid_rrf",          // fuses q_bm25_topk + q_cosine_topk: inherits
                              // their 1-row-stats and query-set broadcasts
     "q_importance_weights",  // 1-row target/corpus token totals (DSIR)
+    "q_modularity",          // 1-row total-edge-count broadcast
     "q_ivf_topk_probe2",     // ≤c-row centroid broadcast on both sides
     "q_ivfpq_topk",          // exact-baseline cosineTopK's broadcast query set
     "q_pmi_collocations",    // 1-row corpus token total broadcast
