@@ -1222,6 +1222,17 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("sh"))
         .orderBy("doc_id", "pos")),
 
+    // minhash top-k RETRIEVAL: the k nearest corpus docs per query doc by
+    // exact Jaccard, candidates from LSH band collisions; ranks on the RAW
+    // score (single IEEE division of exact set sizes), rounds for display
+    "q_minhash_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.minhashTopK(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 100).select("doc_id"),
+          n = 3, numHashes = 16, bands = 4, k = 5, maxBandDf = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_minhash_lsh_pairs" -> ((s, d) =>
       DedupOps.minhashDedupPairs(t(s, d, "documents"), "doc_id", "text",
         n = 3, numHashes = 16, bands = 4, threshold = 0.4, maxBandDf = 50)
@@ -1730,6 +1741,36 @@ object SparkEntry {
         (pmod(TextOps.fingerprint60(col("o_orderkey").cast("string")),
           lit(1000L)) + 1L).as("dst"))
       graft.ops.GraphOps.kCoreBounded(edges, "src", "dst", k = 3, rounds = 3)
+        .orderBy("node")
+    }),
+
+    // placement-quality audit: conductance of the 16-shard rendezvous
+    // placement against the dup graph — phi ≈ how many dup edges each
+    // shard's boundary cuts (dup-oblivious placement scatters clusters)
+    "q_shard_conductance" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      val assign = docs.select(col("doc_id").as("n"),
+        graft.ops.ShardOps.rendezvousShard(col("doc_id"), 16).as("shard"))
+      graft.ops.GraphOps.conductance(pairs, "id1", "id2",
+          assign, "n", "shard")
+        .orderBy("cluster")
+    }),
+
+    // personalized PageRank (3 rounds): proximity to a seed set over the
+    // hash-derived graph — the "expand known-bad docs through the dup
+    // graph" primitive, same exact integer fixed point as q_pagerank
+    "q_ppr_seeds" -> ((s, d) => {
+      val edges = t(s, d, "orders").select(
+        col("o_custkey").as("src"),
+        (pmod(TextOps.fingerprint60(col("o_orderkey").cast("string")),
+          lit(1000L)) + 1L).as("dst"))
+      val seeds = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node")))
+        .distinct().filter(col("node") % 97 === 0)
+      graft.ops.GraphOps.personalizedPageRankScaled(
+          edges, "src", "dst", seeds, "node", 3)
         .orderBy("node")
     }),
 
@@ -4200,6 +4241,52 @@ object SparkEntry {
                          FROM shd)
          SELECT doc_id, pos, sh FROM ranked ORDER BY doc_id, pos""",
 
+    "q_minhash_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              sh AS (SELECT DISTINCT doc_id AS id,
+                            CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
+                     FROM grams),
+              seeds AS (SELECT unnest(generate_series(0, 15)) AS i),
+              sigs AS (SELECT id, i,
+                              MIN(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
+                       FROM sh, seeds GROUP BY id, i),
+              banded AS (SELECT id, CAST(i // 4 AS INT) AS band,
+                                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
+                         FROM sigs GROUP BY id, CAST(i // 4 AS INT)),
+              bandedk AS (SELECT bd.id, bd.band, bd.band_key FROM banded bd
+                          JOIN (SELECT band, band_key, COUNT(*) AS df
+                                FROM banded GROUP BY band, band_key) d
+                            ON d.band = bd.band AND d.band_key = bd.band_key
+                          WHERE d.df <= 50),
+              cands AS (SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id
+                        FROM bandedk a JOIN bandedk b
+                          ON a.band = b.band AND a.band_key = b.band_key
+                             AND a.id <> b.id
+                        WHERE a.id < 100),
+              sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+              common AS (SELECT a.id AS i1, b.id AS i2, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                         GROUP BY a.id, b.id),
+              scored AS (SELECT c.query_id, c.neighbor_id,
+                                CAST(COALESCE(cm.c, 0) AS DOUBLE)
+                                / (s1.sz + s2.sz - COALESCE(cm.c, 0)) AS raw
+                         FROM cands c
+                         LEFT JOIN common cm
+                           ON cm.i1 = least(c.query_id, c.neighbor_id)
+                          AND cm.i2 = greatest(c.query_id, c.neighbor_id)
+                         JOIN sizes s1 ON s1.id = c.query_id
+                         JOIN sizes s2 ON s2.id = c.neighbor_id),
+              rk AS (SELECT query_id, neighbor_id, raw,
+                            CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY raw DESC, neighbor_id ASC) AS INT) AS rank
+                     FROM scored)
+         SELECT query_id, neighbor_id, ROUND(raw, 4) AS jaccard, rank
+         FROM rk WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
     "q_minhash_lsh_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
               grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
@@ -4831,6 +4918,68 @@ object SparkEntry {
          FROM bi
          WHERE u IN (SELECT n FROM s3) AND v IN (SELECT n FROM s3)
          GROUP BY u ORDER BY node""",
+
+    "q_shard_conductance" ->
+      """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+                     WHERE doc_id % 10 < 3),
+              e AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+                    FROM e0 WHERE id1 <> id2),
+              mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+              bi AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+              deg AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS d
+                      FROM bi GROUP BY a),
+              asg AS (SELECT doc_id AS n,
+                             CAST(MAX((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)
+                                       % 2147483648) * 16 + s) % 16 AS BIGINT) AS c
+                      FROM documents,
+                           (SELECT unnest(generate_series(0, 15)) AS s) sh
+                      GROUP BY doc_id),
+              lab AS (SELECT e.a, e.b, x.c AS ca, y.c AS cb
+                      FROM e LEFT JOIN asg x ON x.n = e.a
+                           LEFT JOIN asg y ON y.n = e.b),
+              cuts AS (SELECT ca AS cluster FROM lab
+                       WHERE ca IS NOT NULL AND (cb IS NULL OR cb <> ca)
+                       UNION ALL
+                       SELECT cb FROM lab
+                       WHERE cb IS NOT NULL AND (ca IS NULL OR ca <> cb)),
+              cutc AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cut_c
+                       FROM cuts GROUP BY cluster),
+              vol AS (SELECT c AS cluster, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                             CAST(SUM(d) AS BIGINT) AS vol_c
+                      FROM asg JOIN deg ON deg.n = asg.n GROUP BY c)
+         SELECT vol.cluster, vol.n_nodes,
+                CAST(COALESCE(cutc.cut_c, 0) AS BIGINT) AS cut_c, vol.vol_c,
+                CAST(COALESCE(cutc.cut_c, 0) AS DOUBLE)
+                / CAST(least(vol.vol_c, 2 * mm.m - vol.vol_c) AS DOUBLE) AS phi
+         FROM vol LEFT JOIN cutc USING (cluster) CROSS JOIN mm
+         ORDER BY cluster""",
+
+    "q_ppr_seeds" ->
+      """WITH raw AS (SELECT o_custkey AS x,
+                             (CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) + 1 AS y
+                      FROM orders),
+              e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                    FROM raw WHERE x <> y),
+              bi AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+              d AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY u),
+              sn AS (SELECT u AS node,
+                            CASE WHEN u % 97 = 0 THEN 1 ELSE 0 END AS is_seed
+                     FROM d),
+              pr0 AS (SELECT node, CAST(is_seed * 1000000000000 AS BIGINT) AS pr
+                      FROM sn),
+              c1 AS (SELECT bi.v AS node, SUM(pr0.pr // d.deg) AS s
+                     FROM bi JOIN pr0 ON pr0.node = bi.u JOIN d ON d.u = bi.u GROUP BY bi.v),
+              pr1 AS (SELECT sn.node, sn.is_seed * 150000000000 + (85 * COALESCE(c1.s, 0)) // 100 AS pr
+                      FROM sn LEFT JOIN c1 USING (node)),
+              c2 AS (SELECT bi.v AS node, SUM(pr1.pr // d.deg) AS s
+                     FROM bi JOIN pr1 ON pr1.node = bi.u JOIN d ON d.u = bi.u GROUP BY bi.v),
+              pr2 AS (SELECT sn.node, sn.is_seed * 150000000000 + (85 * COALESCE(c2.s, 0)) // 100 AS pr
+                      FROM sn LEFT JOIN c2 USING (node)),
+              c3 AS (SELECT bi.v AS node, SUM(pr2.pr // d.deg) AS s
+                     FROM bi JOIN pr2 ON pr2.node = bi.u JOIN d ON d.u = bi.u GROUP BY bi.v),
+              pr3 AS (SELECT sn.node, sn.is_seed * 150000000000 + (85 * COALESCE(c3.s, 0)) // 100 AS pr
+                      FROM sn LEFT JOIN c3 USING (node))
+         SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3 ORDER BY node""",
 
     "q_rendezvous_shard" ->
       """WITH sc AS (SELECT doc_id, s,

@@ -391,6 +391,52 @@ object DedupOps {
   }
 
   /**
+   * MinHash-LSH top-k RETRIEVAL: for each query doc, the k most-similar
+   * corpus docs by exact n-gram Jaccard, with candidates restricted to
+   * LSH band collisions — the set-similarity counterpart of
+   * [[graft.ext.SimilarityOps.cosineTopK]] ("find the near-copies of
+   * THESE docs" rather than "find all near-dup pairs"). Queries must be
+   * members of `docs` (identified by `queryIds`): bands and the hot-key
+   * cap are computed ONCE over the whole corpus, so a query sees exactly
+   * the candidates the pair pipeline would pair it with.
+   *
+   * Ranking is on the RAW Jaccard — a single IEEE division of exact
+   * integer set sizes, bit-identical across engines — with the emitted
+   * score rounded separately (ranking on a rounded score lets sub-1e-4
+   * raw gaps collapse into engine-dependent tie orders). Per-query top-k
+   * rides the bounded-heap aggregator ([[SimilarityOps.heapTopK]]): the
+   * shuffle carries |Q|·k·partitions heap entries, never the full scored
+   * candidate set.
+   */
+  def minhashTopK(docs: DataFrame, idCol: String, textCol: String,
+                  queryIds: DataFrame, n: Int, numHashes: Int, bands: Int,
+                  k: Int, maxBandDf: Int = Int.MaxValue): DataFrame = {
+    val banded = bandIndex(docs, idCol, textCol, n, numHashes, bands,
+      maxBandDf)
+    val qids = queryIds.select(col(queryIds.columns.head).as("id"))
+    val qb = banded.join(qids, Seq("id"), "left_semi")
+    val cands = qb.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
+      .distinct()
+    val withText = docs.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), n).as("sh"))
+    val scored = cands
+      .join(withText.withColumnsRenamed(
+        Map("id" -> "query_id", "sh" -> "sh1")), "query_id")
+      .join(withText.withColumnsRenamed(
+        Map("id" -> "neighbor_id", "sh" -> "sh2")), "neighbor_id")
+      .withColumn("__i",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("score",
+        col("__i") / (size(col("sh1")) + size(col("sh2")) - col("__i")))
+    SimilarityOps.heapTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 4).as("jaccard"), col("rank"))
+  }
+
+  /**
    * Incremental NEAR-dup detection — the approximate counterpart of
    * [[dedupIncremental]], and the production shape for daily batches
    * against a 100 TB corpus: the new batch's band keys (one narrow kernel

@@ -72,7 +72,7 @@ object SimilarityOps {
    * ordering put nulls last, but the heap's input encoder would decode
    * them as 0.0 and mis-rank them above negative scores.
    */
-  private def heapTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[ext] def heapTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.VectorAggregators.TopKByScore(k))
     scored.filter(col("score").isNotNull)
       .groupBy("query_id")

@@ -140,6 +140,118 @@ object GraphOps {
   }
 
   /**
+   * Per-cluster conductance against an undirected edge list — the
+   * complement of [[modularity]]: how leaky is each cluster's boundary.
+   * For cluster c: cut_c = edges with exactly one endpoint labeled c,
+   * vol_c = Σ member degrees, conductance = cut_c / min(vol_c, 2m −
+   * vol_c). Near-0 = watertight cluster; near-1 = the "cluster" is mostly
+   * boundary. Integer cut/vol with one IEEE division keeps the double
+   * cross-engine exact. Same O(edges) join shape as [[modularity]]; an
+   * edge with an unlabeled endpoint counts toward the labeled side's cut
+   * (it leaves the cluster — where it lands doesn't matter).
+   */
+  def conductance(edges: DataFrame, src: String, dst: String,
+                  assign: DataFrame, nodeCol: String,
+                  clusterCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct()
+    val asg = assign.select(col(nodeCol).as("n"), col(clusterCol).as("c"))
+      .distinct()
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val labeled = e
+      .join(asg.select(col("n").as("a"), col("c").as("ca")), Seq("a"), "left")
+      .join(asg.select(col("n").as("b"), col("c").as("cb")), Seq("b"), "left")
+    // an edge leaving cluster x contributes one cut to x from EACH labeled
+    // endpoint whose partner differs (a fully-internal edge contributes 0)
+    val cut = labeled
+      .select(explode(array(
+        when(col("ca").isNotNull &&
+          !(col("cb").isNotNull && col("cb") === col("ca")), col("ca")),
+        when(col("cb").isNotNull &&
+          !(col("ca").isNotNull && col("ca") === col("cb")), col("cb"))))
+        .as("cluster"))
+      .filter(col("cluster").isNotNull)
+      .groupBy("cluster").agg(count(lit(1)).as("cut_c"))
+    val vol = asg.join(deg, "n")
+      .groupBy(col("c").as("cluster"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("vol_c"))
+    vol.join(cut, Seq("cluster"), "left")
+      .na.fill(0L, Seq("cut_c"))
+      .join(broadcast(m))
+      .select(col("cluster"), col("n_nodes"), col("cut_c"), col("vol_c"),
+        (col("cut_c").cast("double") /
+          least(col("vol_c"), lit(2L) * col("m") - col("vol_c"))
+            .cast("double")).as("phi"))
+  }
+
+  /**
+   * Personalized PageRank (seeded teleport) in the same scaled-integer
+   * fixed point as [[pageRankScaled]]: rank mass teleports back to the
+   * SEED set each round instead of spreading uniformly, so scores measure
+   * dup-graph proximity to the seeds — the expansion primitive behind
+   * "given these known-bad/known-gold docs, rank everything by how close
+   * it sits in the duplicate graph". Initial rank 10¹² on seeds, 0
+   * elsewhere; round: pr = [seed]·0.15·10¹² + 0.85·Σ contrib (integer
+   * div). Same per-round persist/rebase discipline — O(edges) per round,
+   * O(1)-deep plans at any iteration count.
+   */
+  def personalizedPageRankScaled(edges: DataFrame, src: String, dst: String,
+                                 seeds: DataFrame, seedCol: String,
+                                 iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, s"bad iterations $iterations")
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct()
+    val bi = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = bi.groupBy("u").agg(count(lit(1)).as("deg"))
+    val biDeg = bi.join(deg, "u").persist()
+    val nodes = deg.select(col("u").as("node"))
+      .join(seeds.select(col(seedCol).as("node")).distinct()
+          .withColumn("__seed", lit(1)),
+        Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed").isNotNull, 1L).otherwise(0L).as("is_seed"))
+      .persist()
+    def materializeCut(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist()
+      p.count()
+      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+    }
+    var (pr, prHandle) = materializeCut(
+      nodes.withColumn("pr", col("is_seed") * lit(1000000000000L))
+        .select("node", "pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = biDeg
+        .join(pr, biDeg("u") === pr("node"))
+        .selectExpr("v AS node", "pr div deg AS c")
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      val (next, nextHandle) = materializeCut(
+        nodes.join(contrib, Seq("node"), "left")
+          .selectExpr("node",
+            "is_seed * 150000000000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS pr"))
+      prHandle.unpersist(blocking = false)
+      pr = next
+      prHandle = nextHandle
+    }
+    val result = pr.localCheckpoint()
+    prHandle.unpersist(blocking = false)
+    biDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    result
+  }
+
+  /**
    * Bounded-iteration k-core peel over an undirected edge list: `rounds`
    * times, drop every node whose degree among current survivors is < k;
    * emit the survivors with their degree inside the final survivor set.

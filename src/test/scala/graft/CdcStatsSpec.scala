@@ -199,6 +199,57 @@ class CdcStatsSpec extends SparkSpec {
     r3 shouldBe Array((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L))
   }
 
+  test("conductance: watertight clusters score 0, a split clique leaks") {
+    // two disjoint triangles, perfectly clustered → cut 0, phi 0
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("s", "t")
+    val perfect = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "b")).toDF("n", "c")
+    val got = graft.ops.GraphOps
+      .conductance(edges, "s", "t", perfect, "n", "c")
+      .orderBy("cluster")
+      .select("cluster", "n_nodes", "cut_c", "vol_c", "phi")
+      .as[(String, Long, Long, Long, Double)].collect()
+    got shouldBe Array(("a", 3L, 0L, 6L, 0.0), ("b", 3L, 0L, 6L, 0.0))
+    // split one triangle across clusters: {1} vs {2,3} — node 1's two
+    // edges both leave it: cut=2, vol=2, phi=1 (pure boundary)
+    val split = Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("n", "c")
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "t")
+    val got2 = graft.ops.GraphOps
+      .conductance(tri, "s", "t", split, "n", "c")
+      .orderBy("cluster")
+      .select("cluster", "cut_c", "vol_c", "phi")
+      .as[(String, Long, Long, Double)].collect()
+    // y: cut=2, min(vol, 2m−vol) = min(4, 2) = 2 → phi = 1 as well
+    got2 shouldBe Array(("x", 2L, 2L, 1.0), ("y", 2L, 4L, 1.0))
+    // an edge to an UNLABELED node still counts as leaving the cluster
+    val dangling = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val partial = Seq((1L, "a"), (2L, "a")).toDF("n", "c")
+    val got3 = graft.ops.GraphOps
+      .conductance(dangling, "s", "t", partial, "n", "c")
+      .select("cut_c", "vol_c").as[(Long, Long)].collect()
+    got3 shouldBe Array((1L, 3L))
+  }
+
+  test("personalizedPageRank: mass stays near seeds, zero off-component") {
+    // barbell: seed triangle 1-2-3, bridge 3—4, far triangle 4-5-6,
+    // plus a detached pair 100—101 (no seed → rank 0 forever)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (100L, 101L)).toDF("s", "t")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val pr = graft.ops.GraphOps
+      .personalizedPageRankScaled(edges, "s", "t", seeds, "node", 5)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    pr(100L) shouldBe 0L
+    pr(101L) shouldBe 0L
+    // the seed holds the most mass; proximity decays over the bridge
+    pr(1L) should be > pr(2L)
+    pr(2L) should be > pr(5L)
+    pr(5L) should be > 0L
+    // symmetric positions tie exactly (integer arithmetic)
+    pr(5L) shouldBe pr(6L)
+  }
+
   test("rendezvousShard: in-range, well-dispersed, minimal movement on grow") {
     import graft.ops.ShardOps
     val keys = spark.range(0, 500).select($"id".as("k"))

@@ -47,6 +47,39 @@ class DedupOpsSpec extends SparkSpec {
     out shouldBe Array((1L, 2L, 1.0))
   }
 
+  test("minhashTopK retrieves nearest neighbors ranked by exact jaccard") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base),
+      (2L, base),                                     // exact dup of 1
+      (3L, base + " with a small tail appended here"), // near dup of 1
+      (4L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.minhashTopK(df, "doc_id", "text",
+        Seq(Tuple1(1L)).toDF("doc_id"),
+        n = 3, numHashes = 16, bands = 4, k = 5)
+      .orderBy("rank")
+      .select("query_id", "neighbor_id", "jaccard", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    // self never returned; the exact dup outranks the near dup; the
+    // unrelated doc shares no band so it is never a candidate
+    out.head shouldBe ((1L, 2L, 1.0, 1))
+    if (out.length > 1) {
+      out(1)._2 shouldBe 3L
+      out(1)._3 should (be > 0.5 and be < 1.0)
+      out(1)._4 shouldBe 2
+    }
+    out.map(_._2) should not contain 1L
+    out.map(_._2) should not contain 4L
+    // k caps the result even with more candidates
+    val k1 = DedupOps.minhashTopK(df, "doc_id", "text",
+        Seq(Tuple1(1L)).toDF("doc_id"),
+        n = 3, numHashes = 16, bands = 4, k = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    k1.length shouldBe 1
+    k1.head._2 shouldBe 2L
+  }
+
   test("jaccardPairs computes exact n-gram jaccard above threshold") {
     val df = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "z y x w v"))

@@ -41,6 +41,7 @@ class PlanAuditSpec extends SparkSpec {
                              // their 1-row-stats and query-set broadcasts
     "q_importance_weights",  // 1-row target/corpus token totals (DSIR)
     "q_modularity",          // 1-row total-edge-count broadcast
+    "q_shard_conductance",   // 1-row total-edge-count broadcast
     "q_ivf_topk_probe2",     // ≤c-row centroid broadcast on both sides
     "q_ivfpq_topk",          // exact-baseline cosineTopK's broadcast query set
     "q_pmi_collocations",    // 1-row corpus token total broadcast
@@ -59,7 +60,7 @@ class PlanAuditSpec extends SparkSpec {
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
     "q_cosine_topk", "q_ann_topk", "q_ivf_topk", "q_ivf_topk_probe2",
-    "q_pq_rerank", "q_ivfpq_topk")
+    "q_pq_rerank", "q_ivfpq_topk", "q_minhash_topk")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
