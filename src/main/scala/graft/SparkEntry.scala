@@ -1222,6 +1222,55 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("sh"))
         .orderBy("doc_id", "pos")),
 
+    // split-LEAKAGE audit: near-dup pairs whose members landed in
+    // DIFFERENT train/val/test splits — the eval-contamination failure a
+    // dup-unaware hash split produces (its fix: split by dup-cluster id)
+    "q_split_leakage" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.9, maxBandDf = 50)
+      val splits = SamplingOps.assignSplits(docs, "doc_id",
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(splits.withColumnsRenamed(
+          Map("doc_id" -> "id1", "split" -> "split1")), "id1")
+        .join(splits.withColumnsRenamed(
+          Map("doc_id" -> "id2", "split" -> "split2")), "id2")
+        .filter(col("split1") =!= col("split2"))
+        .select("id1", "id2", "split1", "split2", "jaccard")
+        .orderBy("id1", "id2")
+    }),
+
+    // the FIX for q_split_leakage: split by dup-CLUSTER id (connected
+    // components of the dup graph), so no near-dup pair can straddle a
+    // split boundary — n_leaked_pairs is structurally zero
+    "q_cluster_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      val clusters = DedupOps.connectedComponentsStar(pairs)
+      val keyed = docs.join(clusters, docs("doc_id") === clusters("id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("skey"))
+      val split = SamplingOps.assignSplits(keyed, "skey",
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select(col("doc_id"), col("split"))
+      val leaked = pairs
+        .join(split.withColumnsRenamed(
+          Map("doc_id" -> "id1", "split" -> "split1")), "id1")
+        .join(split.withColumnsRenamed(
+          Map("doc_id" -> "id2", "split" -> "split2")), "id2")
+        .filter(col("split1") =!= col("split2"))
+        .groupBy(col("split1").as("split"))
+        .agg(count(lit(1)).as("n_leaked_pairs"))
+      split.groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .join(leaked, Seq("split"), "left")
+        .na.fill(0L, Seq("n_leaked_pairs"))
+        .orderBy("split")
+    }),
+
     // minhash top-k RETRIEVAL: the k nearest corpus docs per query doc by
     // exact Jaccard, candidates from LSH band collisions; ranks on the RAW
     // score (single IEEE division of exact set sizes), rounds for display
@@ -4240,6 +4289,86 @@ object SparkEntry {
                                 sh
                          FROM shd)
          SELECT doc_id, pos, sh FROM ranked ORDER BY doc_id, pos""",
+
+    "q_cluster_split" ->
+      """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+                     WHERE doc_id % 10 < 3),
+              edges AS (SELECT id1 AS a, id2 AS b FROM e0
+                        UNION ALL SELECT id2 AS a, id1 AS b FROM e0),
+              l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
+              l1 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l0 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l0 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l2 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l1 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l1 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l3 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l2 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l2 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              sp AS (SELECT doc_id,
+                            CASE WHEN bucket < 80 THEN 'train'
+                                 WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+                     FROM (SELECT documents.doc_id,
+                                  CAST(('0x' || substring(md5(CAST(COALESCE(l3.label, documents.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+                           FROM documents LEFT JOIN l3 ON l3.id = documents.doc_id) d),
+              leaked AS (SELECT s1.split, CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs
+                         FROM e0 JOIN sp s1 ON s1.doc_id = e0.id1
+                              JOIN sp s2 ON s2.doc_id = e0.id2
+                         WHERE s1.split <> s2.split GROUP BY s1.split)
+         SELECT sp.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COALESCE(MIN(leaked.n_leaked_pairs), 0) AS BIGINT) AS n_leaked_pairs
+         FROM sp LEFT JOIN leaked USING (split)
+         GROUP BY sp.split ORDER BY sp.split""",
+
+    "q_split_leakage" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              sh AS (SELECT DISTINCT doc_id AS id,
+                            CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
+                     FROM grams),
+              seeds AS (SELECT unnest(generate_series(0, 15)) AS i),
+              sigs AS (SELECT id, i,
+                              MIN(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
+                       FROM sh, seeds GROUP BY id, i),
+              banded AS (SELECT id, CAST(i // 4 AS INT) AS band,
+                                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
+                         FROM sigs GROUP BY id, CAST(i // 4 AS INT)),
+              bandedk AS (SELECT bd.id, bd.band, bd.band_key FROM banded bd
+                          JOIN (SELECT band, band_key, COUNT(*) AS df
+                                FROM banded GROUP BY band, band_key) d
+                            ON d.band = bd.band AND d.band_key = bd.band_key
+                          WHERE d.df <= 50),
+              cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                        FROM bandedk a JOIN bandedk b
+                          ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+              sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+              common AS (SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                         GROUP BY a.id, b.id),
+              pairs AS (SELECT c.id1, c.id2,
+                               ROUND(CAST(cm.c AS DOUBLE) / (s1.sz + s2.sz - cm.c), 4) AS jaccard
+                        FROM cands c
+                        JOIN common cm ON cm.id1 = c.id1 AND cm.id2 = c.id2
+                        JOIN sizes s1 ON s1.id = c.id1
+                        JOIN sizes s2 ON s2.id = c.id2
+                        WHERE ROUND(CAST(cm.c AS DOUBLE) / (s1.sz + s2.sz - cm.c), 4) >= 0.9),
+              sp AS (SELECT doc_id,
+                            CASE WHEN bucket < 80 THEN 'train'
+                                 WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+                     FROM (SELECT doc_id,
+                                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+                           FROM documents))
+         SELECT p.id1, p.id2, s1.split AS split1, s2.split AS split2, p.jaccard
+         FROM pairs p
+         JOIN sp s1 ON s1.doc_id = p.id1
+         JOIN sp s2 ON s2.doc_id = p.id2
+         WHERE s1.split <> s2.split
+         ORDER BY p.id1, p.id2""",
 
     "q_minhash_topk" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
