@@ -1222,6 +1222,14 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("sh"))
         .orderBy("doc_id", "pos")),
 
+    // join PRE-FLIGHT: exact |orders ⋈ lineitem| cardinality + worst-key
+    // fan-out from key-count aggregates alone — the go/no-go gate before
+    // a blowup-prone join (counts shuffle |keys| rows, not |rows|)
+    "q_join_preflight" -> ((s, d) =>
+      graft.ops.JoinOps.joinPreflight(
+        t(s, d, "orders"), "o_orderkey",
+        t(s, d, "lineitem"), "l_orderkey")),
+
     // split-LEAKAGE audit: near-dup pairs whose members landed in
     // DIFFERENT train/val/test splits — the eval-contamination failure a
     // dup-unaware hash split produces (its fix: split by dup-cluster id)
@@ -4289,6 +4297,23 @@ object SparkEntry {
                                 sh
                          FROM shd)
          SELECT doc_id, pos, sh FROM ranked ORDER BY doc_id, pos""",
+
+    "q_join_preflight" ->
+      """WITH cl AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cl
+                     FROM orders GROUP BY 1),
+              cr AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cr
+                     FROM lineitem GROUP BY 1),
+              lt AS (SELECT CAST(SUM(cl) AS BIGINT) AS left_rows,
+                            CAST(COUNT(*) AS BIGINT) AS left_keys FROM cl),
+              rt AS (SELECT CAST(SUM(cr) AS BIGINT) AS right_rows,
+                            CAST(COUNT(*) AS BIGINT) AS right_keys FROM cr),
+              mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS matched_keys,
+                            CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT) AS est_join_rows,
+                            CAST(COALESCE(MAX(cl * cr), 0) AS BIGINT) AS max_key_fanout
+                     FROM cl JOIN cr USING (k))
+         SELECT lt.left_rows, lt.left_keys, rt.right_rows, rt.right_keys,
+                mt.matched_keys, mt.est_join_rows, mt.max_key_fanout
+         FROM lt CROSS JOIN rt CROSS JOIN mt""",
 
     "q_cluster_split" ->
       """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents

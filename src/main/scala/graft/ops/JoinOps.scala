@@ -48,4 +48,38 @@ object JoinOps {
       .filter(abs(col(leftVal) - col(rightVal)) <= eps)
       .drop("_probe", "_rb")
   }
+
+  /**
+   * Join PRE-FLIGHT audit: the exact output cardinality and worst-key
+   * fan-out of `left ⋈ right` on an equi-key, computed WITHOUT running
+   * the join — |L ⋈ R| = Σ_k cntL(k)·cntR(k) over the per-side key-count
+   * aggregates. At 100 TB the counts shuffle |keys| rows instead of the
+   * join's |rows|, so this is the cheap go/no-go gate before a blowup-
+   * prone join: `est_join_rows` says whether the output fits the cluster,
+   * `max_key_fanout` says whether ONE hot key will own the job (→ salt it
+   * — [[graft.ext.DedupOps]]'s df caps and `q_salted_join` are the
+   * mitigations this audit routes to).
+   *
+   * Returns one row: left/right row and distinct-key counts, matched key
+   * count, exact join cardinality, and the largest single-key product.
+   * All exact integers — cross-engine identical.
+   */
+  def joinPreflight(left: DataFrame, leftKey: String,
+                    right: DataFrame, rightKey: String): DataFrame = {
+    val cl = left.groupBy(col(leftKey).as("k"))
+      .agg(count(lit(1)).as("cl"))
+    val cr = right.groupBy(col(rightKey).as("k"))
+      .agg(count(lit(1)).as("cr"))
+    val lTot = cl.agg(sum(col("cl")).as("left_rows"),
+      count(lit(1)).as("left_keys"))
+    val rTot = cr.agg(sum(col("cr")).as("right_rows"),
+      count(lit(1)).as("right_keys"))
+    val matched = cl.join(cr, "k")
+      .agg(count(lit(1)).as("matched_keys"),
+        coalesce(sum(col("cl") * col("cr")), lit(0L)).as("est_join_rows"),
+        coalesce(max(col("cl") * col("cr")), lit(0L)).as("max_key_fanout"))
+    lTot.join(broadcast(rTot)).join(broadcast(matched))
+      .select("left_rows", "left_keys", "right_rows", "right_keys",
+        "matched_keys", "est_join_rows", "max_key_fanout")
+  }
 }

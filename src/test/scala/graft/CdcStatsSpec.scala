@@ -286,6 +286,24 @@ class CdcStatsSpec extends SparkSpec {
       .columns shouldBe Array("id", "w") // rank column dropped
   }
 
+  test("joinPreflight predicts the exact join cardinality and fan-out") {
+    val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (9L, "x"))
+      .toDF("k", "lv")
+    val r = Seq((1L, 10), (1L, 20), (1L, 30), (2L, 40), (7L, 50))
+      .toDF("k2", "rv")
+    val got = graft.ops.JoinOps.joinPreflight(l, "k", r, "k2")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val actual = l.join(r, l("k") === r("k2")).count()
+    // key 1: 2×3=6, key 2: 1×1=1 → 7 rows, worst key fan-out 6
+    got shouldBe Array((5L, 4L, 5L, 3L, 2L, actual, 6L))
+    actual shouldBe 7L
+    // disjoint key sets: zero estimate, zero fan-out, no nulls
+    val none = graft.ops.JoinOps.joinPreflight(
+        l.filter($"k" === 9L), "k", r.filter($"k2" === 7L), "k2")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    none shouldBe Array((1L, 1L, 1L, 1L, 0L, 0L, 0L))
+  }
+
   test("bandJoin equals the brute-force theta join, including boundaries") {
     val l = (0 until 200).map(i => (i.toLong, (i * 37 % 101) / 10.0))
       .toDF("lid", "lv")
