@@ -1222,6 +1222,42 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("sh"))
         .orderBy("doc_id", "pos")),
 
+    // time-DECAYED activity score per user (half-life 7 days from the
+    // corpus max ts): the recency-weighted engagement metric — one agg,
+    // no window; per-event weights rounded 6dp then decimal-summed so the
+    // float exp() never feeds an order-dependent double sum
+    "q_decayed_activity" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val ref = ev.agg(max(col("ts")).as("ref"))
+      ev.join(broadcast(ref))
+        .withColumn("dt_secs",
+          unix_timestamp(col("ref")) - unix_timestamp(col("ts")))
+        .withColumn("w",
+          round(exp((-(col("dt_secs").cast("double") / 86400.0)) *
+            log(lit(2.0)) / 7.0), 6).cast(DecimalType(28, 6)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("w")).cast("double").as("decayed_score"))
+        .orderBy("user_id")
+    }),
+
+    // categorical-dependence audit: per-(lang, source) pointwise mutual
+    // information — are sources language-specialized or independent?
+    // PMI ≈ 0 everywhere ⇒ independent; exact integer count ratios
+    "q_category_pmi" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n"))
+      val cx = docs.groupBy("lang").agg(count(lit(1)).as("cx"))
+      val cy = docs.groupBy("source").agg(count(lit(1)).as("cy"))
+      docs.groupBy("lang", "source").agg(count(lit(1)).as("cxy"))
+        .join(cx, "lang").join(cy, "source").join(broadcast(n))
+        .withColumn("q", (col("cxy") * col("n")).cast("double") /
+          (col("cx") * col("cy")).cast("double"))
+        .select(col("lang"), col("source"), col("cxy").as("n_docs"),
+          round(log(col("q")), 6).as("pmi"))
+        .orderBy("lang", "source")
+    }),
+
     // join PRE-FLIGHT: exact |orders ⋈ lineitem| cardinality + worst-key
     // fan-out from key-count aggregates alone — the go/no-go gate before
     // a blowup-prone join (counts shuffle |keys| rows, not |rows|)
@@ -4297,6 +4333,29 @@ object SparkEntry {
                                 sh
                          FROM shd)
          SELECT doc_id, pos, sh FROM ranked ORDER BY doc_id, pos""",
+
+    "q_decayed_activity" ->
+      """WITH r AS (SELECT MAX(ts) AS ref FROM events),
+              w AS (SELECT user_id,
+                           CAST(ROUND(exp(-(CAST(date_diff('second', ts, r.ref) AS DOUBLE) / 86400.0) * ln(2) / 7.0), 6) AS DECIMAL(28,6)) AS w
+                    FROM events CROSS JOIN r)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(w) AS DOUBLE) AS decayed_score
+         FROM w GROUP BY user_id ORDER BY user_id""",
+
+    "q_category_pmi" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+              cx AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cx
+                     FROM documents GROUP BY lang),
+              cy AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cy
+                     FROM documents GROUP BY source),
+              cxy AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cxy
+                      FROM documents GROUP BY lang, source)
+         SELECT cxy.lang, cxy.source, cxy.cxy AS n_docs,
+                ROUND(ln(CAST(cxy.cxy * n.n AS DOUBLE)
+                         / CAST(cx.cx * cy.cy AS DOUBLE)), 6) AS pmi
+         FROM cxy JOIN cx USING (lang) JOIN cy USING (source) CROSS JOIN n
+         ORDER BY cxy.lang, cxy.source""",
 
     "q_join_preflight" ->
       """WITH cl AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cl

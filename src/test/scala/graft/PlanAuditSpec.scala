@@ -40,6 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_hybrid_rrf",          // fuses q_bm25_topk + q_cosine_topk: inherits
                              // their 1-row-stats and query-set broadcasts
     "q_importance_weights",  // 1-row target/corpus token totals (DSIR)
+    "q_category_pmi",        // 1-row corpus-count broadcast
+    "q_decayed_activity",    // 1-row reference-timestamp broadcast
     "q_join_preflight",      // three 1-row count aggregates joined
     "q_modularity",          // 1-row total-edge-count broadcast
     "q_shard_conductance",   // 1-row total-edge-count broadcast
