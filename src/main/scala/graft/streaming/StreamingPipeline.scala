@@ -323,6 +323,53 @@ object StreamingPipeline {
       }
   }
 
+  final case class MgSummary(key: String, item: String, lower_count: Long)
+
+  /**
+   * Streaming HEAVY HITTERS via `flatMapGroupsWithState`: a Misra-Gries
+   * summary of the items seen under each key, maintained ACROSS
+   * micro-batches in O(m) state per key — the streaming form of
+   * [[graft.ext.TextOps.approxTopKWords]]'s candidate stage (Misra-Gries
+   * is a one-pass streaming algorithm; keeping its table in group state
+   * IS the textbook deployment). Every item whose true frequency exceeds
+   * n/m is guaranteed present, where n = that key's total items so far;
+   * per-item counts are lower bounds (each decrement round subtracts at
+   * most 1 from everything). State is O(keys × m) FOREVER — not
+   * O(events), not O(distinct items) — which is what makes a trending
+   * tracker over an unbounded 100 TB/day stream feasible.
+   *
+   * Each batch emits the key's full current summary (item, lower-bound
+   * count); downstream dedups on the latest batch or feeds an alert
+   * sink. Items are extracted from the event via `item`.
+   */
+  def streamingHeavyHitters(events: DataFrame, m: Int,
+                            item: StreamEvent => String): Dataset[MgSummary] = {
+    require(m >= 1, s"bad summary size $m")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[StreamEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Map[String, Long], MgSummary](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (etype, batch, state) =>
+          var counts = state.getOption.getOrElse(Map.empty[String, Long])
+          batch.foreach { e =>
+            val it = item(e)
+            counts.get(it) match {
+              case Some(c) => counts = counts.updated(it, c + 1L)
+              case None if counts.size < m => counts = counts.updated(it, 1L)
+              case None =>
+                // decrement-all round: amortized O(1) per input item
+                counts = counts.view.mapValues(_ - 1L)
+                  .filter(_._2 > 0L).toMap
+            }
+          }
+          state.update(counts)
+          counts.iterator.map { case (i, c) => MgSummary(etype, i, c) }
+      }
+  }
+
   /**
    * Per-user running profile via `mapGroupsWithState` — the custom-state
    * escape hatch for semantics tumbling windows can't express (lifetime

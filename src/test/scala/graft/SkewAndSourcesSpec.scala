@@ -192,6 +192,49 @@ class SkewAndSourcesSpec extends SparkSpec {
     streamed.except(batch).count() shouldBe 0L
   }
 
+  test("streamingHeavyHitters keeps guaranteed-heavy items in O(m) state") {
+    val work = Files.createTempDirectory("graft_hh_").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // skewed synthetic stream: users 1 and 2 dominate the click traffic,
+    // a long tail of users 10..89 appears 3× each
+    val rows = ((1 to 300).map(i => (i.toLong, 1L)) ++
+      (1 to 120).map(i => (1000L + i, 2L)) ++
+      (for (u <- 10 to 89; r <- 1 to 3) yield ((u * 100 + r).toLong, u.toLong)))
+      .map { case (eid, uid) => (eid, t0, uid, "click", 1.0, "{}") }
+    val ev = rows.toDF(StreamingPipeline.eventSchema.fieldNames.toIndexedSeq: _*)
+    ev.write.mode("overwrite").parquet(s"$work/src")
+    val truth = ev
+      .groupBy(col("user_id").cast("string").as("item"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val n = truth.values.sum
+    val m = 20
+
+    val q = StreamingPipeline.streamingHeavyHitters(
+        StreamingPipeline.readEventStream(spark, s"$work/src"), m,
+        _.user_id.toString)
+      .writeStream.format("memory").queryName("graft_hh")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("graft_hh").filter(col("key") === "click")
+      .groupBy("item").agg(max(col("lower_count")).as("lb"))
+      .as[(String, Long)].collect().toMap
+    got.size should be <= m
+    // every item with true count > n/m MUST be present (MG guarantee)
+    truth.filter(_._2 > n / m).keys.foreach { heavy =>
+      withClue(s"guaranteed-heavy item $heavy missing: ") {
+        got.contains(heavy) shouldBe true
+      }
+    }
+    // reported counts are lower bounds on the truth
+    got.foreach { case (item, lb) =>
+      lb should be <= truth.getOrElse(item, 0L)
+    }
+  }
+
   test("thresholdAlerts emits each crossing user exactly once (flatMapGroupsWithState)") {
     val work = Files.createTempDirectory("graft_alerts_").toString
     val ev = Stores.table(spark, sf0001, "events")
