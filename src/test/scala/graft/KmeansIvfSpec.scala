@@ -214,6 +214,30 @@ class KmeansIvfSpec extends SparkSpec {
     recall(2, 25) should be >= recall(2, 10)
   }
 
+  test("AnnIndexStore: persisted-index top-k equals in-memory ivfTopK; scan is partition-pruned") {
+    import graft.ext.AnnIndexStore
+    val work = java.nio.file.Files.createTempDirectory("graft_annidx_").toString
+    val cents = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
+      c = 4, iters = 2, dim = 64)
+    AnnIndexStore.save(s"$work/idx", emb, "vec_id", "embedding", cents)
+    // layout: cell-partitioned corpus + centroid artifact
+    new java.io.File(s"$work/idx/cells").list().count(_.startsWith("cell=")) should be >= 2
+    AnnIndexStore.loadCentroids(spark, s"$work/idx") shouldBe cents.sortBy(_._1)
+
+    val queries = emb.filter(col("vec_id") < 5)
+    val fromIndex = AnnIndexStore.topK(spark, s"$work/idx", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val direct = SimilarityOps.ivfTopK(queries, emb, cents,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    fromIndex.orderBy("query_id", "rank").collect() shouldBe
+      direct.orderBy("query_id", "rank").collect()
+
+    // the probed-cell literal filter reaches the scan as a partition filter
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("cell")
+  }
+
   test("pqRerankTopK recall is monotone in the candidate budget") {
     val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
       m = 8, codes = 16, iters = 2, dim = 64)
