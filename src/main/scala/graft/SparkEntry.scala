@@ -1222,6 +1222,27 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("sh"))
         .orderBy("doc_id", "pos")),
 
+    // the END-TO-END curation chain in ONE lazy DAG — quality gate →
+    // normalized exact dedup → decontamination — proving the operators
+    // compose without materialization barriers; Catalyst sees the whole
+    // pipeline and prunes documents' unused columns at the single scan
+    "q_curation_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keepIds = TextOps.gopherFilter(docs, "doc_id", "text",
+          minTokens = 20, maxTokens = 80, minStopHits = 2)
+        .filter(col("keep")).select("doc_id")
+      val gated = docs.join(keepIds, "doc_id")
+      val keepMin = gated
+        .select(col("doc_id"), md5(TextOps.normalizeText(col("text"))).as("__fp"))
+        .groupBy("__fp").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = gated.join(keepMin, "doc_id")
+      DedupOps.decontaminate(deduped.filter(col("doc_id") >= 20),
+          "doc_id", "text", docs.filter(col("doc_id") < 20), "text", n = 3)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // time-DECAYED activity score per user (half-life 7 days from the
     // corpus max ts): the recency-weighted engagement metric — one agg,
     // no window; per-event weights rounded 6dp then decimal-summed so the
@@ -4333,6 +4354,51 @@ object SparkEntry {
                                 sh
                          FROM shd)
          SELECT doc_id, pos, sh FROM ranked ORDER BY doc_id, pos""",
+
+    "q_curation_pipeline" ->
+      """WITH f AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS avg_token_len,
+                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                      x -> x = '#' OR contains(x, '...'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS symbol_ratio,
+                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS alpha_ratio,
+                CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the', 'a', 'and', 'of'))) AS BIGINT) AS n_stop_hits
+                     FROM documents WHERE text IS NOT NULL),
+              gated AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+                        FROM documents d JOIN f ON f.doc_id = d.doc_id
+                        WHERE (f.n_tokens BETWEEN 20 AND 80)
+                          AND (f.avg_token_len >= 3.0 AND f.avg_token_len <= 10.0)
+                          AND (f.symbol_ratio <= 0.1)
+                          AND (f.alpha_ratio >= 0.8)
+                          AND (f.n_stop_hits >= 2)),
+              keepmin AS (SELECT MIN(doc_id) AS doc_id
+                          FROM (SELECT doc_id,
+                                       md5(trim(regexp_replace(lower(nfc_normalize(text)),
+                                         '\s+', ' ', 'g'))) AS fp
+                                FROM gated)
+                          GROUP BY fp),
+              dedup AS (SELECT g.* FROM gated g JOIN keepmin USING (doc_id)),
+              ev AS (SELECT DISTINCT
+                            CAST(('0x' || substring(md5(array_to_string(t[j:j+2], ' ')), 1, 15)) AS BIGINT) AS sh
+                     FROM (SELECT string_split(text, ' ') AS t FROM documents
+                           WHERE doc_id < 20 AND text IS NOT NULL),
+                          (SELECT unnest(generate_series(1, 4000)) AS j)
+                     WHERE j <= greatest(len(t) - 2, 1)),
+              cg AS (SELECT doc_id,
+                            CAST(('0x' || substring(md5(array_to_string(t[j:j+2], ' ')), 1, 15)) AS BIGINT) AS sh
+                     FROM (SELECT doc_id, string_split(text, ' ') AS t FROM dedup
+                           WHERE doc_id >= 20 AND text IS NOT NULL),
+                          (SELECT unnest(generate_series(1, 4000)) AS j)
+                     WHERE j <= greatest(len(t) - 2, 1)),
+              bad AS (SELECT DISTINCT doc_id FROM cg JOIN ev USING (sh))
+         SELECT doc_id, lang, source, n_chars FROM dedup
+         WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
 
     "q_decayed_activity" ->
       """WITH r AS (SELECT MAX(ts) AS ref FROM events),
