@@ -1222,6 +1222,30 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("sh"))
         .orderBy("doc_id", "pos")),
 
+    // margin-based pair MINING (the bitext/parallel-data score): best
+    // cross-label neighbor normalized by its top-4 neighborhood mean —
+    // margin ≈ 1 means "no better than the neighborhood", reject
+    "q_margin_mining" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.marginTopPairs(
+          emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+          "vec_id", "embedding", k = 4)
+        .orderBy("query_id")
+    }),
+
+    // k-ANONYMIZED export: (lang, source) cells under 5 docs collapse
+    // into a suppressed bucket before the counts leave the platform —
+    // the standard small-cell disclosure rule
+    "q_kanon_export" -> ((s, d) => {
+      val cells = t(s, d, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("source",
+          when(col("n") < 5, lit("__suppressed")).otherwise(col("source")))
+        .groupBy("lang", "source").agg(sum(col("n")).as("n_docs"))
+        .orderBy("lang", "source")
+    }),
+
     // the END-TO-END curation chain in ONE lazy DAG — quality gate →
     // normalized exact dedup → decontamination — proving the operators
     // compose without materialization barriers; Catalyst sees the whole
@@ -4354,6 +4378,43 @@ object SparkEntry {
                                 sh
                          FROM shd)
          SELECT doc_id, pos, sh FROM ranked ORDER BY doc_id, pos""",
+
+    "q_margin_mining" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE label = 0),
+              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE label = 1),
+              pairs AS (SELECT q.qid, c.cid, q.qe, c.ce
+                        FROM q CROSS JOIN c WHERE c.cid <> q.qid),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              dots AS (SELECT qid, cid,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+                              SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+                       FROM pairs, idx GROUP BY qid, cid),
+              scored AS (SELECT qid, cid,
+                                ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) AS score
+                         FROM dots),
+              rk AS (SELECT qid, cid, score,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, cid ASC) AS r
+                     FROM scored),
+              top AS (SELECT * FROM rk WHERE r <= 4),
+              agg AS (SELECT qid,
+                             CAST(MIN(CASE WHEN r = 1 THEN cid END) AS BIGINT) AS neighbor_id,
+                             MIN(CASE WHEN r = 1 THEN score END) AS best,
+                             CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS ssum,
+                             CAST(COUNT(*) AS BIGINT) AS n_cands
+                      FROM top GROUP BY qid)
+         SELECT qid AS query_id, neighbor_id, best AS best_cos,
+                ROUND(best * n_cands / ssum, 6) AS margin, n_cands
+         FROM agg ORDER BY query_id""",
+
+    "q_kanon_export" ->
+      """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+                        FROM documents GROUP BY lang, source)
+         SELECT lang,
+                CASE WHEN n < 5 THEN '__suppressed' ELSE source END AS source,
+                CAST(SUM(n) AS BIGINT) AS n_docs
+         FROM cells GROUP BY 1, 2 ORDER BY lang, source""",
 
     "q_curation_pipeline" ->
       """WITH f AS (SELECT doc_id,

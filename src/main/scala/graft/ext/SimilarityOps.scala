@@ -110,6 +110,36 @@ object SimilarityOps {
     heapTopK(scored, k)
   }
 
+  /**
+   * Margin-based nearest-neighbor MINING (Artetxe & Schwenk ratio margin,
+   * the CCMatrix/LASER bitext-mining score): for each query, its best
+   * corpus neighbor with the best cosine NORMALIZED by the mean of the
+   * top-k cosines — absolute-threshold mining over-fires in dense
+   * hubs and under-fires in sparse regions; the margin self-calibrates
+   * per query (margin ≈ 1 ⇒ the "match" is no better than the
+   * neighborhood average ⇒ reject). Rides [[cosineTopK]]'s bounded heap,
+   * then one |Q|-sized aggregation; the mean runs over decimal-cast
+   * 6dp scores (exact — a double AVG would be partition-order
+   * dependent; DuckDB's decimal AVG also returns double, so the oracle
+   * uses SUM·n/best like this operator).
+   */
+  def marginTopPairs(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    cosineTopK(queries, corpus, idCol, vecCol, k)
+      .groupBy("query_id")
+      .agg(max(struct(col("score").cast(dec).as("s"),
+          (-col("neighbor_id")).as("nn"))).as("best"),
+        sum(col("score").cast(dec)).as("ssum"),
+        count(lit(1)).as("n_cands"))
+      .select(col("query_id"),
+        (-col("best.nn")).as("neighbor_id"),
+        col("best.s").cast("double").as("best_cos"),
+        round(col("best.s").cast("double") * col("n_cands") /
+          col("ssum").cast("double"), 6).as("margin"),
+        col("n_cands"))
+  }
+
   /** Sign-LSH bucket id from `nBits` fixed "hyperplanes". For oracle
     * reproducibility the hyperplanes are axis-aligned (bit b = sign of
     * dimension b·stride); production would use seeded random Gaussian

@@ -43,6 +43,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_category_pmi",        // 1-row corpus-count broadcast
     "q_decayed_activity",    // 1-row reference-timestamp broadcast
     "q_join_preflight",      // three 1-row count aggregates joined
+    "q_margin_mining",       // cosineTopK's broadcast query set
     "q_modularity",          // 1-row total-edge-count broadcast
     "q_shard_conductance",   // 1-row total-edge-count broadcast
     "q_ivf_topk_probe2",     // ≤c-row centroid broadcast on both sides
