@@ -1222,6 +1222,49 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("sh"))
         .orderBy("doc_id", "pos")),
 
+    // per-GROUP top-k via the bounded heap — the scale form of the
+    // PARTITION BY rank window (map-side pruning to k per partition,
+    // never a full-corpus rank shuffle); bit-identical to the window
+    "q_group_topk" -> ((s, d) =>
+      SamplingOps.groupTopK(t(s, d, "documents"),
+          "lang", "doc_id", "n_chars", k = 3)
+        .orderBy("lang", "rank")),
+
+    // per-label centroid similarity matrix: which label slices of the
+    // embedding space have collapsed into each other (drift/mislabeling)
+    "q_centroid_matrix" -> ((s, d) => {
+      val vm = udaf(new graft.functions.VectorAggregators.VectorMean(8))
+      val cents = t(s, d, "embeddings")
+        .select(col("label").cast(LongType).as("label"),
+          slice(col("embedding"), 1, 8).as("v8"))
+        .groupBy("label").agg(vm(col("v8")).as("m"))
+        .select(col("label"),
+          transform(col("m"), x => round(x, 6)).as("c"))
+      cents.as("a").join(cents.as("b"), col("a.label") < col("b.label"))
+        .select(col("a.label").as("label1"), col("b.label").as("label2"),
+          SimilarityOps.cosine(col("a.c"), col("b.c")).as("cos_sim"))
+        .orderBy("label1", "label2")
+    }),
+
+    // Hill tail-index estimator over doc lengths: alpha ≈ 1 means a
+    // heavy Zipf-like tail (a few giant docs own the token budget),
+    // large alpha means thin tails — the length-cap planning diagnostic
+    "q_hill_tail" -> ((s, d) => {
+      val dec = DecimalType(28, 6)
+      val top = t(s, d, "documents").filter(col("n_chars") > 0)
+        .select(col("n_chars").cast("double").as("x"), col("doc_id"))
+        .orderBy(col("x").desc, col("doc_id").asc).limit(101)
+      val ranked = top.withColumn("r", row_number()
+        .over(Window.orderBy(col("x").desc, col("doc_id").asc)).cast("long"))
+      val xref = ranked.filter(col("r") === 101).select(col("x").as("xref"))
+      ranked.filter(col("r") <= 100).join(broadcast(xref))
+        .select(round(log(col("x") / col("xref")), 6).cast(dec).as("lx"))
+        .agg(count(lit(1)).as("k"), sum(col("lx")).as("s"))
+        .select(col("k"),
+          round(col("k").cast("double") / col("s").cast("double"), 6)
+            .as("alpha"))
+    }),
+
     // margin-based pair MINING (the bitext/parallel-data score): best
     // cross-label neighbor normalized by its top-4 neighborhood mean —
     // margin ≈ 1 means "no better than the neighborhood", reject
@@ -4378,6 +4421,51 @@ object SparkEntry {
                                 sh
                          FROM shd)
          SELECT doc_id, pos, sh FROM ranked ORDER BY doc_id, pos""",
+
+    "q_group_topk" ->
+      """WITH rk AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS nc,
+                            CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rank
+                     FROM documents)
+         SELECT lang, doc_id, nc AS n_chars, rank FROM rk
+         WHERE rank <= 3 ORDER BY lang, rank""",
+
+    "q_centroid_matrix" ->
+      """WITH c AS (SELECT CAST(label AS BIGINT) AS label,
+                           [ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6),
+                            ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 6),
+                            ROUND(AVG(CAST(embedding[3] AS DOUBLE)), 6),
+                            ROUND(AVG(CAST(embedding[4] AS DOUBLE)), 6),
+                            ROUND(AVG(CAST(embedding[5] AS DOUBLE)), 6),
+                            ROUND(AVG(CAST(embedding[6] AS DOUBLE)), 6),
+                            ROUND(AVG(CAST(embedding[7] AS DOUBLE)), 6),
+                            ROUND(AVG(CAST(embedding[8] AS DOUBLE)), 6)] AS c
+                    FROM embeddings GROUP BY 1),
+              p AS (SELECT a.label AS label1, b.label AS label2,
+                           a.c AS ca, b.c AS cb
+                    FROM c a JOIN c b ON a.label < b.label),
+              idx AS (SELECT unnest(generate_series(1, 8)) AS i),
+              d AS (SELECT label1, label2,
+                           SUM(ca[i] * cb[i]) AS dot,
+                           SUM(ca[i] * ca[i]) AS na,
+                           SUM(cb[i] * cb[i]) AS nb
+                    FROM p, idx GROUP BY 1, 2)
+         SELECT label1, label2,
+                ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+         FROM d ORDER BY label1, label2""",
+
+    "q_hill_tail" ->
+      """WITH top AS (SELECT CAST(n_chars AS DOUBLE) AS x, doc_id
+                      FROM documents WHERE n_chars > 0
+                      ORDER BY x DESC, doc_id ASC LIMIT 101),
+              rk AS (SELECT x, row_number() OVER (ORDER BY x DESC, doc_id ASC) AS r
+                     FROM top),
+              xr AS (SELECT x AS xref FROM rk WHERE r = 101),
+              lx AS (SELECT CAST(ROUND(ln(rk.x / xr.xref), 6) AS DECIMAL(28,6)) AS lx
+                     FROM rk CROSS JOIN xr WHERE rk.r <= 100)
+         SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(lx) AS DOUBLE), 6) AS alpha
+         FROM lx""",
 
     "q_margin_mining" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE label = 0),

@@ -283,6 +283,26 @@ object SamplingOps {
    * 100 TB the shard count scales with the cluster; a global single-window
    * pack would serialize on one partition.
    */
+  /**
+   * Per-GROUP top-k rows by score through the bounded-heap aggregator —
+   * the 100 TB form of `row_number() OVER (PARTITION BY g ORDER BY s
+   * DESC) <= k`: the rank window shuffles EVERY row to its group's
+   * partition; the heap's map-side partial aggregation prunes to k per
+   * partition first, so the exchange carries |groups|·k·partitions heap
+   * entries. Tie order (score desc, id asc) matches the window form
+   * exactly ([[SimilarityOps.heapTopK]]'s contract), so results are
+   * bit-identical to the rank filter. Ids must be integral (heap
+   * entries ride as longs — fingerprint string ids first).
+   */
+  def groupTopK(df: DataFrame, groupCol: String, idCol: String,
+                scoreCol: String, k: Int): DataFrame =
+    SimilarityOps.heapTopK(
+        df.select(col(groupCol).as("query_id"),
+          col(idCol).cast("long").as("neighbor_id"),
+          col(scoreCol).cast("double").as("score")), k)
+      .select(col("query_id").as(groupCol), col("neighbor_id").as(idCol),
+        col("score").as(scoreCol), col("rank"))
+
   def packByBudget(df: DataFrame, keyCol: String, weightCol: String,
                    budget: Long, nShards: Int): DataFrame = {
     val shard = hashBucket(col(keyCol), nShards)

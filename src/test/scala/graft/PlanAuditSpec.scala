@@ -43,6 +43,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_category_pmi",        // 1-row corpus-count broadcast
     "q_decayed_activity",    // 1-row reference-timestamp broadcast
     "q_join_preflight",      // three 1-row count aggregates joined
+    "q_hill_tail",           // 1-row reference order statistic broadcast
     "q_margin_mining",       // cosineTopK's broadcast query set
     "q_modularity",          // 1-row total-edge-count broadcast
     "q_shard_conductance",   // 1-row total-edge-count broadcast
@@ -64,7 +65,7 @@ class PlanAuditSpec extends SparkSpec {
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
     "q_cosine_topk", "q_ann_topk", "q_ivf_topk", "q_ivf_topk_probe2",
-    "q_pq_rerank", "q_ivfpq_topk", "q_minhash_topk")
+    "q_pq_rerank", "q_ivfpq_topk", "q_minhash_topk", "q_group_topk")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
