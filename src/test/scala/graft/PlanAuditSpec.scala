@@ -43,6 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_category_pmi",        // 1-row corpus-count broadcast
     "q_decayed_activity",    // 1-row reference-timestamp broadcast
     "q_join_preflight",      // three 1-row count aggregates joined
+    "q_centroid_matrix",     // |labels|-row centroid artifact theta-joined
+                             // against itself (label1 < label2) — bounded
     "q_hill_tail",           // 1-row reference order statistic broadcast
     "q_margin_mining",       // cosineTopK's broadcast query set
     "q_modularity",          // 1-row total-edge-count broadcast
