@@ -1,0 +1,109 @@
+package graft
+
+import graft.ext.{SamplingOps, SimilarityOps}
+import graft.ops.{GraphOps, ShardOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Cross-cutting properties of the round-8 operators: window-equivalence
+ * for the heap top-k, invariants of the graph-quality metrics, and the
+ * rendezvous movement bound at several shard counts.
+ */
+class SessionOpsPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupTopK is row-identical to the rank-window form") {
+    // deterministic pseudo-random scores with ties across 7 groups
+    val df = spark.range(0, 2000).select(
+      (col("id") % 7).cast("string").as("g"),
+      col("id").as("k"),
+      ((col("id") * 37 % 101) / 10.0).as("s"))
+    val heap = SamplingOps.groupTopK(df, "g", "k", "s", k = 5)
+      .select("g", "k", "s", "rank")
+    val win = df.withColumn("rank",
+        row_number().over(Window.partitionBy("g")
+          .orderBy(col("s").desc, col("k").asc)).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("g"), col("k"), col("s").cast("double").as("s"), col("rank"))
+    heap.orderBy("g", "rank").collect() shouldBe
+      win.orderBy("g", "rank").collect()
+  }
+
+  test("modularity: total Q of the true clustering beats a random cut and is ≤ 1") {
+    // ring of 4 cliques of 5, one bridge edge between consecutive cliques
+    val cliques = for {
+      c <- 0 until 4; i <- 0 until 5; j <- i + 1 until 5
+    } yield (c * 5 + i.toLong, c * 5 + j.toLong)
+    val bridges = (0 until 4).map(c => (c * 5 + 4L, ((c + 1) % 4) * 5L))
+    val edges = (cliques ++ bridges).toDF("s", "t")
+    val nodes = (0L until 20L).toDF("n")
+    val byClique = nodes.select($"n", (($"n" / 5).cast("long")).as("c"))
+    val random = nodes.select($"n", ($"n" % 2).as("c"))
+    def q(assign: org.apache.spark.sql.DataFrame): Double =
+      GraphOps.modularity(edges, "s", "t", assign, "n", "c")
+        .agg(sum($"q_term")).as[Double].collect().head
+    val qTrue = q(byClique)
+    val qRand = q(random)
+    qTrue should be > qRand
+    qTrue should (be > 0.5 and be <= 1.0)
+  }
+
+  test("kCoreBounded reaches a fixed point once rounds cover the peel depth") {
+    // chain 1-2-3-...-10 hanging off a K5 core: k=2 peels the chain one
+    // node per round (depth 9), K5 never shrinks
+    val k5 = for (i <- 0 until 5; j <- i + 1 until 5) yield (i.toLong, j.toLong)
+    val chain = (0 until 9).map(i => (100L + i, 101L + i)) :+ (0L, 100L)
+    val edges = (k5 ++ chain).toDF("s", "t")
+    val deep = GraphOps.kCoreBounded(edges, "s", "t", k = 2, rounds = 12)
+      .orderBy("node").as[(Long, Long)].collect()
+    val deeper = GraphOps.kCoreBounded(edges, "s", "t", k = 2, rounds = 13)
+      .orderBy("node").as[(Long, Long)].collect()
+    deep shouldBe deeper // fixed point
+    deep.map(_._1).toSet shouldBe Set(0L, 1L, 2L, 3L, 4L)
+    all(deep.map(_._2)) shouldBe 4L
+  }
+
+  test("rendezvousShard movement stays ~1/(N+1) across shard counts") {
+    val keys = spark.range(0, 2000)
+    for (n <- Seq(4, 8, 24)) {
+      val moved = keys.select(
+          ShardOps.rendezvousShard($"id", n).as("a"),
+          ShardOps.rendezvousShard($"id", n + 1).as("b"))
+        .filter($"a" =!= $"b")
+      // every move lands on the new shard...
+      moved.filter($"b" =!= n).count() shouldBe 0L
+      // ...and the moved fraction is within 2x of the ideal 1/(n+1)
+      val frac = moved.count().toDouble / 2000.0
+      withClue(s"n=$n moved frac $frac: ") {
+        frac should (be > 0.3 / (n + 1) and be < 2.0 / (n + 1))
+      }
+    }
+  }
+
+  test("marginTopPairs: a planted duplicate scores a higher margin than diffuse queries") {
+    // corpus: 8 vectors on DISTINCT axes (mutually near-orthogonal);
+    // queries: an exact copy of corpus vec 100 and a uniform vector
+    // equidistant from everything
+    val dim = 8
+    def unit(i: Int): Seq[Float] =
+      Seq.tabulate(dim)(d => if (d == i) 1.0f else 0.0f)
+    val corpus = (0 until 8).map(i => (100L + i,
+      unit(i).zipWithIndex.map { case (v, d) =>
+        v + 0.01f * ((i * 31 + d * 7) % 10) }.toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = Seq(
+      (1L, corpus.filter($"vec_id" === 100L).select("embedding")
+        .as[Seq[Float]].collect().head),
+      (2L, Seq.fill(dim)(1.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.marginTopPairs(queries, corpus,
+        "vec_id", "embedding", k = 4)
+      .orderBy("query_id")
+      .as[(Long, Long, Double, Double, Long)].collect()
+    out.length shouldBe 2
+    out(0)._2 shouldBe 100L           // the planted dup is the best match
+    out(0)._3 shouldBe 1.0 +- 1e-6    // cosine 1 with itself
+    out(0)._4 should be > out(1)._4   // dup margin beats the diffuse query
+  }
+}
