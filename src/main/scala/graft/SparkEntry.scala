@@ -1222,6 +1222,36 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("sh"))
         .orderBy("doc_id", "pos")),
 
+    // SemDeDup OPERATING-POINT sweep: pair volume and touched-doc count
+    // at several cosine thresholds, all from ONE bucketed pair pass —
+    // the "how aggressive can we afford to dedup" planning table
+    "q_semdedup_sweep" -> ((s, d) => {
+      val pairs = SimilarityOps.cosineNearDupPairs(t(s, d, "embeddings"),
+        "vec_id", "embedding", threshold = 0.2, nBits = 4, stride = 8)
+      val swept = pairs.select(col("id1"), col("id2"), col("score"),
+          explode(typedlit(Seq(0.2, 0.4, 0.6, 0.8))).as("threshold"))
+        .filter(col("score") >= col("threshold"))
+      val np = swept.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+      val nd = swept
+        .select(col("threshold"),
+          explode(array(col("id1"), col("id2"))).as("id"))
+        .distinct()
+        .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+      np.join(nd, "threshold").orderBy("threshold")
+    }),
+
+    // dup-cluster SIZE distribution: how big do transitive dup groups
+    // get (the blowup detector for keep-one dedup planning)
+    "q_cluster_size_hist" -> ((s, d) => {
+      val pairs = t(s, d, "documents")
+        .filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      DedupOps.connectedComponentsStar(pairs)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // per-GROUP top-k via the bounded heap — the scale form of the
     // PARTITION BY rank window (map-side pruning to k per partition,
     // never a full-corpus rank shuffle); bit-identical to the window
@@ -4421,6 +4451,61 @@ object SparkEntry {
                                 sh
                          FROM shd)
          SELECT doc_id, pos, sh FROM ranked ORDER BY doc_id, pos""",
+
+    "q_semdedup_sweep" ->
+      """WITH v AS (SELECT vec_id, embedding,
+                           CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                              + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+                              + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+                              + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
+                    FROM embeddings),
+              pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                               a.embedding AS ae, b.embedding AS be
+                        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              dots AS (SELECT id1, id2,
+                              SUM(CAST(ae[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)) AS na,
+                              SUM(CAST(be[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS nb
+                       FROM pairs, idx GROUP BY id1, id2),
+              sc AS (SELECT id1, id2, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS score
+                     FROM dots
+                     WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.2),
+              th AS (SELECT CAST(unnest([0.2, 0.4, 0.6, 0.8]) AS DOUBLE) AS threshold),
+              swept AS (SELECT th.threshold, sc.id1, sc.id2
+                        FROM sc CROSS JOIN th WHERE sc.score >= th.threshold),
+              np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                     FROM swept GROUP BY threshold),
+              nd AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_docs
+                     FROM (SELECT DISTINCT threshold, id
+                           FROM (SELECT threshold, id1 AS id FROM swept
+                                 UNION ALL SELECT threshold, id2 FROM swept))
+                     GROUP BY threshold)
+         SELECT np.threshold, np.n_pairs, nd.n_docs
+         FROM np JOIN nd USING (threshold) ORDER BY np.threshold""",
+
+    "q_cluster_size_hist" ->
+      """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+                     WHERE doc_id % 10 < 3),
+              edges AS (SELECT id1 AS a, id2 AS b FROM e0
+                        UNION ALL SELECT id2 AS a, id1 AS b FROM e0),
+              l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
+              l1 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l0 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l0 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l2 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l1 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l1 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l3 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l2 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l2 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                     FROM l3 GROUP BY label)
+         SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
 
     "q_group_topk" ->
       """WITH rk AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS nc,
