@@ -1222,6 +1222,26 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("sh"))
         .orderBy("doc_id", "pos")),
 
+    // LAST-TOUCH attribution: each purchase credits the user's most
+    // recent click/view at-or-before it (ties → latest event_id) — the
+    // marketing-analytics composition of the as-of join
+    "q_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast(LongType).as("vc"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts").as("tts"),
+          col("event_id").as("tid"), col("event_type").as("touch_type"))
+      graft.ops.TemporalOps.asofJoin(purchases, touches, "user_id",
+          "ts", "tts", "tid", Seq("touch_type"))
+        .groupBy(coalesce(col("asof_touch_type"), lit("none"))
+          .as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          (sum(col("vc")).cast("double") / 100.0).as("total_value"))
+        .orderBy("touch_type")
+    }),
+
     // SemDeDup OPERATING-POINT sweep: pair volume and touched-doc count
     // at several cosine thresholds, all from ONE bucketed pair pass —
     // the "how aggressive can we afford to dedup" planning table
@@ -4451,6 +4471,23 @@ object SparkEntry {
                                 sh
                          FROM shd)
          SELECT doc_id, pos, sh FROM ranked ORDER BY doc_id, pos""",
+
+    "q_attribution" ->
+      """WITH p AS (SELECT user_id, ts, event_id,
+                           CAST(ROUND(value * 100) AS BIGINT) AS vc
+                    FROM events WHERE event_type = 'purchase'),
+              tch AS (SELECT user_id, ts AS tts, event_id AS tid,
+                             event_type AS touch_type
+                      FROM events WHERE event_type IN ('click', 'view')),
+              att AS (SELECT p.event_id, p.vc,
+                             (SELECT t.touch_type FROM tch t
+                              WHERE t.user_id = p.user_id AND t.tts <= p.ts
+                              ORDER BY t.tts DESC, t.tid DESC LIMIT 1) AS touch_type
+                      FROM p)
+         SELECT COALESCE(touch_type, 'none') AS touch_type,
+                CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                CAST(SUM(vc) AS DOUBLE) / 100.0 AS total_value
+         FROM att GROUP BY 1 ORDER BY 1""",
 
     "q_semdedup_sweep" ->
       """WITH v AS (SELECT vec_id, embedding,
