@@ -1222,6 +1222,30 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("sh"))
         .orderBy("doc_id", "pos")),
 
+    // dedup DECISION AUDIT: per-doc keep/drop provenance — exact-dup
+    // evidence wins over near-dup evidence, survivors are 'unique'; the
+    // governance table behind "why is my document gone"
+    "q_dedup_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val exactKeep = docs
+        .select(col("doc_id"), md5(col("text")).as("__fp"))
+        .withColumn("keeper",
+          min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+      val nearEvidence = DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, threshold = 0.9, maxBandDf = 50)
+        .groupBy(col("id2").as("doc_id"))
+        .agg(min(col("id1")).as("near_of"))
+      exactKeep.join(nearEvidence, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("keeper") =!= col("doc_id"), lit("exact_dup"))
+            .when(col("near_of").isNotNull, lit("near_dup"))
+            .otherwise(lit("unique")).as("status"),
+          when(col("keeper") =!= col("doc_id"), col("keeper"))
+            .otherwise(col("near_of")).as("evidence_id"))
+        .orderBy("doc_id")
+    }),
+
     // LAST-TOUCH attribution: each purchase credits the user's most
     // recent click/view at-or-before it (ties → latest event_id) — the
     // marketing-analytics composition of the as-of join
@@ -4471,6 +4495,53 @@ object SparkEntry {
                                 sh
                          FROM shd)
          SELECT doc_id, pos, sh FROM ranked ORDER BY doc_id, pos""",
+
+    "q_dedup_audit" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+              ek AS (SELECT doc_id,
+                            MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                     FROM base),
+              toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              sh AS (SELECT DISTINCT doc_id AS id,
+                            CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
+                     FROM grams),
+              seeds AS (SELECT unnest(generate_series(0, 15)) AS i),
+              sigs AS (SELECT id, i,
+                              MIN(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
+                       FROM sh, seeds GROUP BY id, i),
+              banded AS (SELECT id, CAST(i // 4 AS INT) AS band,
+                                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
+                         FROM sigs GROUP BY id, CAST(i // 4 AS INT)),
+              bandedk AS (SELECT bd.id, bd.band, bd.band_key FROM banded bd
+                          JOIN (SELECT band, band_key, COUNT(*) AS df
+                                FROM banded GROUP BY band, band_key) d
+                            ON d.band = bd.band AND d.band_key = bd.band_key
+                          WHERE d.df <= 50),
+              cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                        FROM bandedk a JOIN bandedk b
+                          ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+              sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+              common AS (SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                         GROUP BY a.id, b.id),
+              pairs AS (SELECT c.id1, c.id2
+                        FROM cands c
+                        JOIN common cm ON cm.id1 = c.id1 AND cm.id2 = c.id2
+                        JOIN sizes s1 ON s1.id = c.id1
+                        JOIN sizes s2 ON s2.id = c.id2
+                        WHERE ROUND(CAST(cm.c AS DOUBLE) / (s1.sz + s2.sz - cm.c), 4) >= 0.9),
+              ne AS (SELECT id2 AS doc_id, CAST(MIN(id1) AS BIGINT) AS near_of
+                     FROM pairs GROUP BY id2)
+         SELECT ek.doc_id,
+                CASE WHEN ek.keeper <> ek.doc_id THEN 'exact_dup'
+                     WHEN ne.near_of IS NOT NULL THEN 'near_dup'
+                     ELSE 'unique' END AS status,
+                CASE WHEN ek.keeper <> ek.doc_id THEN ek.keeper
+                     ELSE ne.near_of END AS evidence_id
+         FROM ek LEFT JOIN ne USING (doc_id) ORDER BY ek.doc_id""",
 
     "q_attribution" ->
       """WITH p AS (SELECT user_id, ts, event_id,
