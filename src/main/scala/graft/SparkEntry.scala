@@ -1222,6 +1222,24 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("sh"))
         .orderBy("doc_id", "pos")),
 
+    // split PARITY audit: per-split language proportions vs the corpus —
+    // a hash split should be exchangeable; ratios far from 1 mean the
+    // split is confounded with content (leakage's quieter sibling)
+    "q_split_parity" -> ((s, d) => {
+      val sp = SamplingOps.assignSplits(t(s, d, "documents"), "doc_id",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      val splitTot = sp.groupBy("split").agg(count(lit(1)).as("n_split"))
+      val langTot = sp.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val tot = sp.agg(count(lit(1)).as("n"))
+      sp.groupBy("split", "lang").agg(count(lit(1)).as("n_cell"))
+        .join(splitTot, "split").join(langTot, "lang").join(broadcast(tot))
+        .select(col("split"), col("lang"), col("n_cell"),
+          round((col("n_cell") * col("n")).cast("double") /
+            (col("n_split") * col("n_lang")).cast("double"), 6)
+            .as("parity_ratio"))
+        .orderBy("split", "lang")
+    }),
+
     // dedup DECISION AUDIT: per-doc keep/drop provenance — exact-dup
     // evidence wins over near-dup evidence, survivors are 'unique'; the
     // governance table behind "why is my document gone"
@@ -4495,6 +4513,26 @@ object SparkEntry {
                                 sh
                          FROM shd)
          SELECT doc_id, pos, sh FROM ranked ORDER BY doc_id, pos""",
+
+    "q_split_parity" ->
+      """WITH sp AS (SELECT doc_id, lang,
+                            CASE WHEN bucket < 80 THEN 'train'
+                                 WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+                     FROM (SELECT doc_id, lang,
+                                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+                           FROM documents)),
+              st AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_split
+                     FROM sp GROUP BY split),
+              lt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+                     FROM sp GROUP BY lang),
+              tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sp),
+              cell AS (SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_cell
+                       FROM sp GROUP BY split, lang)
+         SELECT cell.split, cell.lang, cell.n_cell,
+                ROUND(CAST(cell.n_cell * tt.n AS DOUBLE)
+                      / CAST(st.n_split * lt.n_lang AS DOUBLE), 6) AS parity_ratio
+         FROM cell JOIN st USING (split) JOIN lt USING (lang) CROSS JOIN tt
+         ORDER BY cell.split, cell.lang""",
 
     "q_dedup_audit" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

@@ -47,6 +47,7 @@ class PlanAuditSpec extends SparkSpec {
                              // against itself (label1 < label2) — bounded
     "q_hill_tail",           // 1-row reference order statistic broadcast
     "q_margin_mining",       // cosineTopK's broadcast query set
+    "q_split_parity",        // 1-row corpus-count broadcast
     "q_modularity",          // 1-row total-edge-count broadcast
     "q_shard_conductance",   // 1-row total-edge-count broadcast
     "q_ivf_topk_probe2",     // ≤c-row centroid broadcast on both sides
