@@ -651,6 +651,14 @@ object SparkEntry {
         phrases = Seq("slow scan", "spark", "vector"))
         .orderBy("doc_id")),
 
+    // the same gate on the Aho-Corasick automaton expression: ONE pass
+    // over the text bytes regardless of phrase count (spec-proven
+    // output-identical to the literal fold; thousands-of-phrases form)
+    "q_blocklist_filter_ac" -> ((s, d) =>
+      TextOps.blocklistFilterAC(t(s, d, "documents"), "doc_id", "text",
+        phrases = Seq("slow scan", "spark", "vector"))
+        .orderBy("doc_id")),
+
     // code-switching detector: per-segment language ID → per-doc label
     // mix, dominant language + fraction — zero-shuffle per-row folds
     "q_lang_mix_segments" -> ((s, d) =>
@@ -2950,6 +2958,16 @@ object SparkEntry {
          ORDER BY id1, id2""",
 
     "q_blocklist_filter" ->
+      """WITH m AS (SELECT doc_id,
+                           list_sort(list_filter(['slow scan', 'spark', 'vector'],
+                             p -> contains(text, p))) AS mp
+                    FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id, CAST(len(mp) AS BIGINT) AS n_hits,
+                COALESCE(array_to_string(mp, ','), '') AS matched_phrases,
+                (len(mp) = 0) AS keep
+         FROM m ORDER BY doc_id""",
+
+    "q_blocklist_filter_ac" ->
       """WITH m AS (SELECT doc_id,
                            list_sort(list_filter(['slow scan', 'spark', 'vector'],
                              p -> contains(text, p))) AS mp

@@ -653,6 +653,26 @@ object TextOps {
   }
 
   /**
+   * [[blocklistFilter]] on the Aho–Corasick automaton
+   * ([[graft.functions.MultiPhraseHits]]): ONE pass over the text bytes
+   * regardless of phrase count, vs the literal fold's scan-per-phrase —
+   * the form for production ban lists in the thousands. Output-identical
+   * to [[blocklistFilter]] (spec-proven), so callers switch on list
+   * size alone.
+   */
+  def blocklistFilterAC(df: DataFrame, idCol: String, textCol: String,
+                        phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val hits = graft.functions.MultiPhraseHits(col(textCol), phrases)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), hits.as("__m"))
+      .select(col(idCol),
+        size(col("__m")).cast("long").as("n_hits"),
+        array_join(col("__m"), ",").as("matched_phrases"),
+        (size(col("__m")) === 0).as("keep"))
+  }
+
+  /**
    * SEGMENT-LEVEL LANGUAGE MIX — the code-switching detector: documents
    * that flip language mid-page (boilerplate in English wrapping content
    * in German, spam mixing scripts) poison monolingual training sets,

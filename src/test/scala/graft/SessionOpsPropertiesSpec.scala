@@ -81,6 +81,35 @@ class SessionOpsPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("blocklistFilterAC is output-identical to the literal-fold form") {
+    val docs = Seq(
+      (1L, "ushers walk home"),            // 'she', 'he', 'hers' overlap
+      (2L, "nothing banned here at all!"), // 'he' inside 'here'
+      (3L, "clean text"),
+      (4L, "she said he heard hers"),
+      (5L, "HE is case sensitive"))
+      .toDF("doc_id", "text")
+    // overlapping phrases + a duplicate listed twice + multi-byte UTF-8
+    val phrases = Seq("he", "she", "hers", "hers", "héllo", "walk")
+    val ac = graft.ext.TextOps
+      .blocklistFilterAC(docs, "doc_id", "text", phrases)
+      .orderBy("doc_id").collect()
+    val lit = graft.ext.TextOps
+      .blocklistFilter(docs, "doc_id", "text", phrases)
+      .orderBy("doc_id").collect()
+    ac shouldBe lit
+    // the classic AC case: 'ushers' hits she, he, hers (twice — listed
+    // twice) and the doc also hits 'walk'
+    ac.head.getString(2) shouldBe "he,hers,hers,she,walk"
+    // scale shape: a 2000-phrase list still matches correctly in one pass
+    val big = (0 until 2000).map(i => s"zq${i}x") :+ "walk"
+    val acBig = graft.ext.TextOps
+      .blocklistFilterAC(docs, "doc_id", "text", big)
+      .orderBy("doc_id").collect()
+    acBig.head.getString(2) shouldBe "walk"
+    acBig(2).getBoolean(3) shouldBe true // doc 3 clean
+  }
+
   test("marginTopPairs: a planted duplicate scores a higher margin than diffuse queries") {
     // corpus: 8 vectors on DISTINCT axes (mutually near-orthogonal);
     // queries: an exact copy of corpus vec 100 and a uniform vector
