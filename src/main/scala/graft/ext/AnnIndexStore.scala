@@ -36,6 +36,22 @@ object AnnIndexStore {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incremental index growth: assign ONLY the new rows against the
+    * persisted centroids and append them into their cell partitions —
+    * O(batch), never O(corpus); the daily-ingest path. Results after
+    * append are identical to a full rebuild under the same centroids
+    * (spec-proven), because assignment is per-row and cells are
+    * append-only. Re-train + full rebuild remains the move when drift
+    * makes the frozen centroids a bad partition of the new data. */
+  def append(path: String, newRows: DataFrame, idCol: String,
+             vecCol: String): Unit = {
+    val centroids = loadCentroids(newRows.sparkSession, path)
+    SimilarityOps.ivfAssign(newRows, centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
+
   /** The persisted centroid artifact, in [[SimilarityOps.ivfAssign]]'s
     * in-memory shape (bounded by c — a model, not data). */
   def loadCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Float])] =

@@ -238,6 +238,26 @@ class KmeansIvfSpec extends SparkSpec {
     plan should include("cell")
   }
 
+  test("AnnIndexStore.append grows the index identically to a full rebuild") {
+    import graft.ext.AnnIndexStore
+    val work = java.nio.file.Files.createTempDirectory("graft_annapp_").toString
+    val cents = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
+      c = 4, iters = 2, dim = 64)
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndexStore.save(s"$work/inc", half1, "vec_id", "embedding", cents)
+    AnnIndexStore.append(s"$work/inc", half2, "vec_id", "embedding")
+    AnnIndexStore.save(s"$work/full", emb, "vec_id", "embedding", cents)
+    val queries = emb.filter(col("vec_id") < 5)
+    val inc = AnnIndexStore.topK(spark, s"$work/inc", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val full = AnnIndexStore.topK(spark, s"$work/full", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    inc.orderBy("query_id", "rank").collect() shouldBe
+      full.orderBy("query_id", "rank").collect()
+    inc.count() should be > 0L
+  }
+
   test("pqRerankTopK recall is monotone in the candidate budget") {
     val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
       m = 8, codes = 16, iters = 2, dim = 64)
