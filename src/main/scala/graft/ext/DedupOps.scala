@@ -608,6 +608,44 @@ object DedupOps {
    * [[connectedComponents]]: eager rounds, rolling release,
    * localCheckpoint on return so callers own nothing.
    */
+  /**
+   * INCREMENTAL connected-components maintenance: fold a batch of new
+   * dup pairs into an existing (id, cluster_id) assignment WITHOUT
+   * re-clustering the corpus. New-pair endpoints contract to their
+   * current cluster roots (their own id if unseen), the full CC runs
+   * only on that contracted graph — O(batch) edges over touched
+   * clusters, not O(corpus) — and the resulting root→root mapping
+   * (bounded by touched clusters, broadcast) remaps the big assignment
+   * in one narrow join. Labels stay "min member id" exactly as a full
+   * [[connectedComponentsStar]] recompute would produce (spec-proven):
+   * old roots are their clusters' min ids, so the min over contracted
+   * nodes IS the merged cluster's global min.
+   */
+  def mergeComponents(assignment: DataFrame, newPairs: DataFrame): DataFrame = {
+    val asg = assignment.select(col("id"), col("cluster_id"))
+    val p = newPairs.select(col("id1"), col("id2"))
+    val contracted = p
+      .join(asg.withColumnsRenamed(
+        Map("id" -> "id1", "cluster_id" -> "r1")), Seq("id1"), "left")
+      .join(asg.withColumnsRenamed(
+        Map("id" -> "id2", "cluster_id" -> "r2")), Seq("id2"), "left")
+      .select(coalesce(col("r1"), col("id1")).as("id1"),
+        coalesce(col("r2"), col("id2")).as("id2"))
+    val rootMap = connectedComponentsStar(contracted)
+    val remapped = asg
+      .join(broadcast(rootMap.select(col("id").as("cluster_id"),
+        col("cluster_id").as("__newc"))), Seq("cluster_id"), "left")
+      .select(col("id"),
+        coalesce(col("__newc"), col("cluster_id")).as("cluster_id"))
+    val fresh = p.select(col("id1").as("id"))
+      .unionByName(p.select(col("id2").as("id"))).distinct()
+      .join(asg.select("id"), Seq("id"), "left_anti")
+      .join(broadcast(rootMap.select(col("id"),
+        col("cluster_id").as("__newc"))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__newc"), col("id")).as("cluster_id"))
+    remapped.unionByName(fresh)
+  }
+
   def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val nodes = pairs.select(col("id1").as("id"))
       .unionByName(pairs.select(col("id2").as("id"))).distinct()

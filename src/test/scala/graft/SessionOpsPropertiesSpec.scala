@@ -81,6 +81,32 @@ class SessionOpsPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("mergeComponents equals full re-clustering on the union of pairs") {
+    import graft.ext.DedupOps
+    // batch 1: two chains {1-2-3}, {10-11} and a pair {20-21}
+    val pairs1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id1", "id2")
+    val asg1 = DedupOps.connectedComponentsStar(pairs1)
+    // batch 2: bridges the two chains (3-10), extends a cluster with a
+    // brand-new node (21-22), and adds a disjoint new pair (30-31) —
+    // plus a new node SMALLER than every old root in its merged cluster
+    // (0-20): the merged label must become 0, not 20
+    val pairs2 = Seq((3L, 10L), (21L, 22L), (30L, 31L), (0L, 20L))
+      .toDF("id1", "id2")
+    val merged = DedupOps.mergeComponents(asg1, pairs2)
+      .orderBy("id").as[(Long, Long)].collect()
+    val full = DedupOps
+      .connectedComponentsStar(pairs1.unionByName(pairs2))
+      .orderBy("id").as[(Long, Long)].collect()
+    merged shouldBe full
+    val byId = merged.toMap
+    byId(11L) shouldBe 1L // bridged chains share the global min label
+    byId(20L) shouldBe 0L // label dropped to the smaller NEW id
+    byId(22L) shouldBe 0L // the extension rides along
+    byId(0L) shouldBe 0L
+    byId(31L) shouldBe 30L
+  }
+
   test("blocklistFilterAC is output-identical to the literal-fold form") {
     val docs = Seq(
       (1L, "ushers walk home"),            // 'she', 'he', 'hers' overlap
