@@ -469,19 +469,17 @@ object SimilarityOps {
     val vm = udaf(new graft.functions.VectorAggregators.VectorMean(w))
     var iter = 0
     while (iter < iters) {
-      val subEntries = (0 until m).map { s =>
-        val sub = slice(col(vecCol), s * w + 1, w)
-        val entries = books(s).zipWithIndex.map { case (vec, j) =>
-          struct(cosineNative(sub, typedlit(vec.toSeq)).as("cs"),
-            lit(-j).as("nc"))
-        }
-        val code = (-array_max(array(entries: _*)).getField("nc")).cast("int")
-        struct(lit(s).as("s"), code.as("cell"), sub.as("sv"))
-      }
+      // per-row codes from the native PqEncode kernel (one reference-
+      // object call — the struct-argmax form blew the 64 KB codegen
+      // limit at 8×16 and ran interpreted), then posexplode recovers
+      // (subspace, code) and the subvector slices positionally
+      val bookSnapshot: Seq[Seq[Seq[Float]]] =
+        books.map(_.map(_.toSeq).toSeq).toSeq
       val means = df
-        .select(explode(array(subEntries: _*)).as("e"))
-        .groupBy(col("e.s").as("s"), col("e.cell").as("cell"))
-        .agg(vm(col("e.sv")).as("mean"))
+        .select(col(vecCol).as("__v"),
+          posexplode(graft.functions.PqEncode(col(vecCol), bookSnapshot)))
+        .groupBy(col("pos").as("s"), col("col").as("cell"))
+        .agg(vm(slice(col("__v"), col("pos") * w + 1, lit(w))).as("mean"))
         .collect()
       means.foreach { r =>
         // empty cells keep their previous codebook vector
@@ -511,9 +509,24 @@ object SimilarityOps {
 
   /** Column form of PQ encoding (array of per-subspace code ids) — shared
     * by [[pqEncode]] and the fused [[ivfPqTopK]], which needs the codes in
-    * the same projection as the IVF cell. */
+    * the same projection as the IVF cell. Runs on the native
+    * [[graft.functions.PqEncode]] expression: the former declarative
+    * struct-argmax built m×codes cosine structs in ONE projection, whose
+    * generated function blew Janino's 64 KB method limit at 8×16 and
+    * silently fell back to interpreted eval — the codebooks now ride a
+    * reference object and encode is one fused loop per row (spec-proven
+    * bit-identical to the declarative form, NaN/tie ordering included). */
   def pqCodeColumn(df: DataFrame, vec: Column,
                    codebooks: Seq[Seq[Seq[Float]]]): Column = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "empty PQ codebook")
+    graft.functions.PqEncode(vec, codebooks)
+  }
+
+  /** The pre-native declarative encode — kept for the equivalence spec
+    * that pins [[pqCodeColumn]]'s semantics to the struct-argmax contract. */
+  private[graft] def pqCodeColumnDeclarative(df: DataFrame, vec: Column,
+      codebooks: Seq[Seq[Seq[Float]]]): Column = {
     GraftFunctions.register(df.sparkSession)
     val m = codebooks.length
     require(m > 0 && codebooks.forall(_.nonEmpty), "empty PQ codebook")

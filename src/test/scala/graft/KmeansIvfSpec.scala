@@ -258,6 +258,29 @@ class KmeansIvfSpec extends SparkSpec {
     inc.count() should be > 0L
   }
 
+  test("native PqEncode is bit-identical to the declarative struct-argmax encode") {
+    val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, codes = 16, iters = 1, dim = 64)
+    val native = emb.select(col("vec_id"),
+      SimilarityOps.pqCodeColumn(emb, col("embedding"), cbs).as("c"))
+    val declarative = emb.select(col("vec_id"),
+      SimilarityOps.pqCodeColumnDeclarative(emb, col("embedding"), cbs).as("c"))
+    native.orderBy("vec_id").collect() shouldBe
+      declarative.orderBy("vec_id").collect()
+    // tie + zero-subvector (NaN cosine) edge cases follow the same
+    // struct-argmax ordering: NaN ranks greatest, ties pick the smaller id
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Seq.fill(8)(0.0f) ++ Seq.fill(56)(1.0f)),  // zero first subspace
+      (2L, Seq.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val n2 = edge.select(col("vec_id"),
+      SimilarityOps.pqCodeColumn(edge, col("embedding"), cbs).as("c"))
+    val d2 = edge.select(col("vec_id"),
+      SimilarityOps.pqCodeColumnDeclarative(edge, col("embedding"), cbs).as("c"))
+    n2.orderBy("vec_id").collect() shouldBe d2.orderBy("vec_id").collect()
+  }
+
   test("pqRerankTopK recall is monotone in the candidate budget") {
     val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
       m = 8, codes = 16, iters = 2, dim = 64)
