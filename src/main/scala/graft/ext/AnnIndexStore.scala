@@ -23,33 +23,43 @@ import org.apache.spark.sql.functions._
 object AnnIndexStore {
 
   /** Build and persist the index: assign each corpus row to its nearest
-    * centroid and write rows partitioned by cell, centroids beside them. */
+    * centroid and write rows partitioned by (ingest batch, cell) — the
+    * base build is batch 0; streaming/batch appends land in their own
+    * `b=` partitions so a replayed batch OVERWRITES itself instead of
+    * duplicating (the exactly-once-at-directory-level discipline of
+    * [[graft.streaming.StreamingPipeline]] ingest). Cell pruning is
+    * unaffected: `cell` stays a partition column at the leaf level. */
   def save(path: String, corpus: DataFrame, idCol: String, vecCol: String,
            centroids: Seq[(Long, Seq[Float])]): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    SimilarityOps.ivfAssign(corpus, centroids, idCol, vecCol)
-      .select(col(idCol), col(vecCol), col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/cells")
+    writeBatch(path, corpus, idCol, vecCol, centroids, batchId = 0L)
     centroids.toDF("cid", "vec")
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  /** Incremental index growth: assign ONLY the new rows against the
-    * persisted centroids and append them into their cell partitions —
-    * O(batch), never O(corpus); the daily-ingest path. Results after
-    * append are identical to a full rebuild under the same centroids
-    * (spec-proven), because assignment is per-row and cells are
-    * append-only. Re-train + full rebuild remains the move when drift
-    * makes the frozen centroids a bad partition of the new data. */
-  def append(path: String, newRows: DataFrame, idCol: String,
-             vecCol: String): Unit = {
-    val centroids = loadCentroids(newRows.sparkSession, path)
-    SimilarityOps.ivfAssign(newRows, centroids, idCol, vecCol)
+  private def writeBatch(path: String, rows: DataFrame, idCol: String,
+                         vecCol: String, centroids: Seq[(Long, Seq[Float])],
+                         batchId: Long): Unit =
+    SimilarityOps.ivfAssign(rows, centroids, idCol, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/cells")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/b=$batchId")
+
+  /** Incremental index growth: assign ONLY the new rows against the
+    * persisted centroids and land them in their own `b=batchId` ingest
+    * partition — O(batch), never O(corpus); the daily/streaming-ingest
+    * path. Results after append are identical to a full rebuild under
+    * the same centroids (spec-proven), and a REPLAYED batch id
+    * overwrites its own partition instead of duplicating, so
+    * at-least-once delivery becomes exactly-once at the directory level.
+    * Re-train + full rebuild remains the move when drift makes the
+    * frozen centroids a bad partition of the new data. */
+  def append(path: String, newRows: DataFrame, idCol: String,
+             vecCol: String, batchId: Long = 1L): Unit = {
+    require(batchId > 0, "batchId 0 is the base build")
+    val centroids = loadCentroids(newRows.sparkSession, path)
+    writeBatch(path, newRows, idCol, vecCol, centroids, batchId)
   }
 
   /** The persisted centroid artifact, in [[SimilarityOps.ivfAssign]]'s

@@ -323,6 +323,34 @@ object StreamingPipeline {
       }
   }
 
+  /**
+   * Streaming ANN-index maintenance: each micro-batch of embedding rows
+   * assigns against the persisted index's FROZEN centroids and lands in
+   * its own `b=batchId+1` ingest partition
+   * ([[graft.ext.AnnIndexStore.append]]) — O(batch) work, and a replayed
+   * micro-batch overwrites its own partition, so foreachBatch's
+   * at-least-once replay is exactly-once at the directory level (the
+   * [[keyedIngest]] discipline applied to the vector index). Queries via
+   * [[graft.ext.AnnIndexStore.topK]] see every committed batch with cell
+   * pruning intact. Centroid drift is the operator's retrain signal —
+   * rebuild with fresh centroids when new data stops fitting the frozen
+   * partition.
+   */
+  def annIngest(spark: SparkSession, vectors: DataFrame, indexPath: String,
+                checkpoint: String, idCol: String,
+                vecCol: String): StreamingQuery =
+    vectors
+      .writeStream
+      .queryName("graft_ann_ingest")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.AnnIndexStore.append(indexPath, batch, idCol, vecCol,
+            batchId = batchId + 1)
+      }
+      .start()
+
   final case class MgSummary(key: String, item: String, lower_count: Long)
 
   /**

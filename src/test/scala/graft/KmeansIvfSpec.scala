@@ -220,8 +220,9 @@ class KmeansIvfSpec extends SparkSpec {
     val cents = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
       c = 4, iters = 2, dim = 64)
     AnnIndexStore.save(s"$work/idx", emb, "vec_id", "embedding", cents)
-    // layout: cell-partitioned corpus + centroid artifact
-    new java.io.File(s"$work/idx/cells").list().count(_.startsWith("cell=")) should be >= 2
+    // layout: batch-scoped, cell-partitioned corpus + centroid artifact
+    new java.io.File(s"$work/idx/cells/b=0").list()
+      .count(_.startsWith("cell=")) should be >= 2
     AnnIndexStore.loadCentroids(spark, s"$work/idx") shouldBe cents.sortBy(_._1)
 
     val queries = emb.filter(col("vec_id") < 5)
@@ -256,6 +257,43 @@ class KmeansIvfSpec extends SparkSpec {
     inc.orderBy("query_id", "rank").collect() shouldBe
       full.orderBy("query_id", "rank").collect()
     inc.count() should be > 0L
+  }
+
+  test("annIngest streams batches into the index exactly-once; replay does not duplicate") {
+    import graft.ext.AnnIndexStore
+    import graft.streaming.StreamingPipeline
+    val work = java.nio.file.Files.createTempDirectory("graft_annstream_").toString
+    val cents = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
+      c = 4, iters = 2, dim = 64)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val incoming = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    AnnIndexStore.save(s"$work/idx", base, "vec_id", "embedding", cents)
+    incoming.write.mode("overwrite").parquet(s"$work/src")
+
+    val stream = spark.readStream
+      .schema(incoming.schema).parquet(s"$work/src")
+    val q = StreamingPipeline.annIngest(spark, stream, s"$work/idx",
+      s"$work/cp", "vec_id", "embedding")
+    q.awaitTermination()
+
+    AnnIndexStore.save(s"$work/full", emb, "vec_id", "embedding", cents)
+    val queries = emb.filter(col("vec_id") < 5)
+    val streamed = AnnIndexStore.topK(spark, s"$work/idx", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val full = AnnIndexStore.topK(spark, s"$work/full", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    streamed.orderBy("query_id", "rank").collect() shouldBe
+      full.orderBy("query_id", "rank").collect()
+
+    // crash-replay: re-appending the SAME batch id overwrites, no dupes
+    AnnIndexStore.append(s"$work/idx", incoming, "vec_id", "embedding",
+      batchId = 1L)
+    val replayed = AnnIndexStore.topK(spark, s"$work/idx", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    replayed.orderBy("query_id", "rank").collect() shouldBe
+      full.orderBy("query_id", "rank").collect()
+    spark.read.parquet(s"$work/idx/cells").count() shouldBe emb.count()
   }
 
   test("native PqEncode is bit-identical to the declarative struct-argmax encode") {
