@@ -1272,6 +1272,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // behavioral PATH MINING: the most common event-type trigrams along
+    // user timelines ((ts, event_id)-ordered) — funnel discovery without
+    // pre-declaring the funnel
+    "q_event_trigrams" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val seqs = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            e => e.getField("event_type")), " ").as("path"))
+      seqs
+        .select(explode(call_function("graft_word_grams",
+          col("path"), lit(3))).as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram").asc).limit(15)
+    }),
+
+    // inter-arrival telemetry: per event type, the median and p95 gap
+    // (seconds) between a user's consecutive events of that type
+    "q_interarrival" -> ((s, d) => {
+      val w = Window.partitionBy("event_type", "user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap",
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap, 0.5)").as("p50_gap"),
+          expr("percentile(gap, 0.95)").as("p95_gap"))
+        .orderBy("event_type")
+    }),
+
     // LAST-TOUCH attribution: each purchase credits the user's most
     // recent click/view at-or-before it (ties → latest event_id) — the
     // marketing-analytics composition of the as-of join
@@ -4551,6 +4587,30 @@ object SparkEntry {
                       / CAST(st.n_split * lt.n_lang AS DOUBLE), 6) AS parity_ratio
          FROM cell JOIN st USING (split) JOIN lt USING (lang) CROSS JOIN tt
          ORDER BY cell.split, cell.lang""",
+
+    "q_event_trigrams" ->
+      """WITH ordered AS (SELECT user_id, event_type,
+                                 row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS i
+                          FROM events),
+              tg AS (SELECT a.event_type || ' ' || b.event_type || ' ' || c.event_type AS trigram
+                     FROM ordered a
+                     JOIN ordered b ON b.user_id = a.user_id AND b.i = a.i + 1
+                     JOIN ordered c ON c.user_id = a.user_id AND c.i = a.i + 2)
+         SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+         FROM tg GROUP BY trigram ORDER BY n DESC, trigram ASC LIMIT 15""",
+
+    "q_interarrival" ->
+      """WITH g AS (SELECT event_type,
+                           date_diff('second',
+                             lag(ts) OVER (PARTITION BY event_type, user_id
+                               ORDER BY ts, event_id), ts) AS gap
+                    FROM events),
+              f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                quantile_cont(gap, 0.5) AS p50_gap,
+                quantile_cont(gap, 0.95) AS p95_gap
+         FROM f GROUP BY event_type ORDER BY event_type""",
 
     "q_dedup_audit" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
