@@ -2091,6 +2091,16 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // capacity-AWARE rendezvous: a 4:2:1:1 weighted cluster — the
+    // double-capacity shard owns ~double the docs, and re-weighting one
+    // shard never moves keys between bystanders
+    "q_weighted_shard" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(graft.ops.ShardOps.weightedRendezvousShard(col("doc_id"),
+          Seq(4.0, 2.0, 1.0, 1.0)).as("shard"))
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"))
+        .orderBy("shard")),
+
     // rendezvous (HRW) shard placement: per-shard doc counts at N=16 plus
     // how many of each shard's docs move when a 17th shard joins — HRW
     // moves ONLY the new shard's winners (≈1/17), never reshuffles the rest
@@ -5717,6 +5727,21 @@ object SparkEntry {
               pr3 AS (SELECT sn.node, sn.is_seed * 150000000000 + (85 * COALESCE(c3.s, 0)) // 100 AS pr
                       FROM sn LEFT JOIN c3 USING (node))
          SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3 ORDER BY node""",
+
+    "q_weighted_shard" ->
+      """WITH sw AS (SELECT * FROM (VALUES (0, 4.0), (1, 2.0), (2, 1.0), (3, 1.0)) AS t(s, w)),
+              sc AS (SELECT doc_id, s,
+                            ROUND(w / -ln(CAST((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483648) + 1 AS DOUBLE)
+                                          / 2147483649.0), 9) AS score
+                     FROM documents, sw),
+              a AS (SELECT doc_id, CAST(s AS BIGINT) AS shard
+                    FROM (SELECT doc_id, s,
+                                 row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, s ASC) AS r
+                          FROM sc)
+                    WHERE r = 1)
+         SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM a GROUP BY shard ORDER BY shard""",
 
     "q_rendezvous_shard" ->
       """WITH sc AS (SELECT doc_id, s,

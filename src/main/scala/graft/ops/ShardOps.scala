@@ -42,4 +42,29 @@ object ShardOps {
     require(nShards >= 1, s"bad nShards $nShards")
     pmod(rendezvousMax(key, nShards), lit(nShards.toLong))
   }
+
+  /**
+   * CAPACITY-AWARE rendezvous: shard s wins with probability
+   * w_s / Σw (the standard weighted-HRW score `w_s / −ln(u_s)`, with
+   * u_s the key-shard fingerprint mapped into (0, 1]) — heterogeneous
+   * clusters where a double-capacity node should own double the keys.
+   * Keeps every rendezvous property: adding or RE-WEIGHTING one shard
+   * moves only keys into/out of that shard, never between bystanders.
+   * Scores round to 9 dp before the argmax so a last-ulp `ln`
+   * difference between engines can't flip near-ties; exact ties break
+   * to the smaller shard id. Same zero-shuffle single-projection shape
+   * as [[rendezvousShard]].
+   */
+  def weightedRendezvousShard(key: Column, weights: Seq[Double]): Column = {
+    require(weights.nonEmpty && weights.forall(_ > 0), s"bad weights $weights")
+    val n = weights.length
+    val entries = weights.zipWithIndex.map { case (w, s) =>
+      val u = (pmod(TextOps.fingerprint60(
+          concat(key.cast("string"), lit(":"), lit(s.toString))),
+        lit(2147483648L)) + lit(1L)).cast("double") / lit(2147483649.0)
+      struct(round(lit(w) / -log(u), 9).as("sc"),
+        lit(-s).cast("int").as("ns"))
+    }
+    (-array_max(array(entries: _*)).getField("ns")).cast("long")
+  }
 }

@@ -136,6 +136,31 @@ class SessionOpsPropertiesSpec extends SparkSpec {
     acBig(2).getBoolean(3) shouldBe true // doc 3 clean
   }
 
+  test("weightedRendezvousShard: shares track weights; re-weighting moves keys only in/out of the changed shard") {
+    val keys = spark.range(0, 4000)
+    val w = Seq(4.0, 2.0, 1.0, 1.0)
+    val counts = keys
+      .select(ShardOps.weightedRendezvousShard($"id", w).as("s"))
+      .groupBy("s").count().as[(Long, Long)].collect().toMap
+    counts.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    // expected shares 1/2, 1/4, 1/8, 1/8 — each within a loose 25% band
+    val exp = Map(0L -> 2000.0, 1L -> 1000.0, 2L -> 500.0, 3L -> 500.0)
+    exp.foreach { case (s, e) =>
+      withClue(s"shard $s got ${counts(s)}, expected ~$e: ") {
+        counts(s).toDouble should (be > e * 0.75 and be < e * 1.25)
+      }
+    }
+    // double shard 2's capacity: keys may move INTO shard 2 but never
+    // between the untouched shards
+    val moved = keys.select(
+        ShardOps.weightedRendezvousShard($"id", w).as("a"),
+        ShardOps.weightedRendezvousShard($"id",
+          Seq(4.0, 2.0, 2.0, 1.0)).as("b"))
+      .filter($"a" =!= $"b")
+    moved.filter($"b" =!= 2L).count() shouldBe 0L
+    moved.count() should be > 0L
+  }
+
   test("marginTopPairs: a planted duplicate scores a higher margin than diffuse queries") {
     // corpus: 8 vectors on DISTINCT axes (mutually near-orthogonal);
     // queries: an exact copy of corpus vec 100 and a uniform vector
