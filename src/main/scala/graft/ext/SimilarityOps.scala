@@ -190,10 +190,24 @@ object SimilarityOps {
    */
   def ivfAssign(df: DataFrame, centroids: Seq[(Long, Seq[Float])],
                 idCol: String, vecCol: String): DataFrame = {
+    // nearest cell via the native reference-object kernel
+    // ([[graft.functions.CentroidTopCells]]) — the former struct-argmax
+    // was linear in expression count but still crossed Janino's 64 KB
+    // method limit at production centroid counts (hundreds+), silently
+    // dropping the stage to interpreted eval; spec-proven identical.
+    // (registration stays: downstream scorers resolve graft_cosine by name)
     GraftFunctions.register(df.sparkSession)
-    // argmax as array_max over (score, -cid) structs: linear expression size
-    // (one cosine per centroid). A when-chain fold would re-reference its
-    // accumulator 3× per level — exponential tree growth that stalls codegen.
+    df.withColumn("cell",
+      element_at(graft.functions.CentroidTopCells(col(vecCol),
+        centroids, 1), 1))
+  }
+
+  /** The pre-native declarative assignment — kept for the equivalence
+    * spec pinning [[ivfAssign]] to the struct-argmax contract. */
+  private[graft] def ivfAssignDeclarative(df: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      idCol: String, vecCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val entries = centroids.map { case (cid, vec) =>
       struct(cosineNative(col(vecCol), typedlit(vec)).as("cs"),
         lit(-cid).as("ncid"))
@@ -321,13 +335,24 @@ object SimilarityOps {
    */
   def ivfProbeCells(df: DataFrame, centroids: Seq[(Long, Seq[Float])],
                     vecCol: String, nprobe: Int): DataFrame = {
+    // top-nprobe cells from the same native kernel as [[ivfAssign]] —
+    // best score first, ties toward the smaller cell id (identical to
+    // the former reverse(array_sort(struct(cs, -cid))) ranking)
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("cell",
+      explode(graft.functions.CentroidTopCells(col(vecCol),
+        centroids, nprobe)))
+  }
+
+  /** The pre-native declarative probe — kept for the equivalence spec. */
+  private[graft] def ivfProbeCellsDeclarative(df: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      vecCol: String, nprobe: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val entries = centroids.map { case (cid, vec) =>
       struct(cosineNative(col(vecCol), typedlit(vec)).as("cs"),
         lit(-cid).as("ncid"))
     }
-    // struct ordering is lexicographic (cs, ncid); sort + reverse = best
-    // score first, ties toward the smaller cell id (larger ncid)
     val ranked = reverse(array_sort(array(entries: _*)))
     df.withColumn("cell",
       explode(transform(slice(ranked, 1, nprobe), e => -e.getField("ncid"))))

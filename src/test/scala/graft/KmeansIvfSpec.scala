@@ -296,6 +296,25 @@ class KmeansIvfSpec extends SparkSpec {
     spark.read.parquet(s"$work/idx/cells").count() shouldBe emb.count()
   }
 
+  test("native CentroidTopCells matches the declarative assign and probe rankings") {
+    val cents = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
+      c = 6, iters = 2, dim = 64)
+    val nAssign = SimilarityOps.ivfAssign(emb, cents, "vec_id", "embedding")
+      .select("vec_id", "cell").orderBy("vec_id").collect()
+    val dAssign = SimilarityOps
+      .ivfAssignDeclarative(emb, cents, "vec_id", "embedding")
+      .select("vec_id", "cell").orderBy("vec_id").collect()
+    nAssign shouldBe dAssign
+    for (np <- Seq(1, 2, 4)) {
+      val nProbe = SimilarityOps.ivfProbeCells(emb, cents, "embedding", np)
+        .select("vec_id", "cell").orderBy("vec_id", "cell").collect()
+      val dProbe = SimilarityOps
+        .ivfProbeCellsDeclarative(emb, cents, "embedding", np)
+        .select("vec_id", "cell").orderBy("vec_id", "cell").collect()
+      withClue(s"nprobe=$np: ") { nProbe shouldBe dProbe }
+    }
+  }
+
   test("native PqEncode is bit-identical to the declarative struct-argmax encode") {
     val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
       m = 8, codes = 16, iters = 1, dim = 64)
