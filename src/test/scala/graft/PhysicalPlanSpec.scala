@@ -90,6 +90,10 @@ class PhysicalPlanSpec extends SparkSpec {
     val ivfPlan = planOf(ivf)
     ivfPlan should include("ObjectHashAggregate")
     ivfPlan should not include "Window"
+    // cell assignment/probing stay on the native reference-object kernel
+    // (the declarative struct-per-centroid form silently drops the stage
+    // to interpreted eval past ~hundreds of cells)
+    ivfPlan should include("graft_centroid_cells")
 
     // heap output ≡ the window form it replaced (same bucket candidates,
     // same (score desc, id asc) tie order)

@@ -105,4 +105,20 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("PQ/IVF queries ride the native kernels, not the declarative argmax") {
+    // the struct-per-centroid/code forms cross Janino's 64 KB method
+    // limit at production sizes and silently drop to interpreted eval —
+    // these plans must carry the reference-object expressions
+    Seq("q_pq_quantize", "q_pq_rerank", "q_ivfpq_topk").foreach { name =>
+      withClue(s"$name missing graft_pq_encode: ") {
+        planOf(name) should include("graft_pq_encode")
+      }
+    }
+    Seq("q_ivf_topk", "q_ivf_topk_probe2", "q_ivfpq_topk").foreach { name =>
+      withClue(s"$name missing graft_centroid_cells: ") {
+        planOf(name) should include("graft_centroid_cells")
+      }
+    }
+  }
 }
