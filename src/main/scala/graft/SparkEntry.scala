@@ -1401,6 +1401,14 @@ object SparkEntry {
             .as("alpha"))
     }),
 
+    // SPECTRAL diagnostic: top principal direction of the embedding
+    // corpus by 2-round power iteration — anisotropy/collapse detection
+    // and the "remove the top PC" preprocessing signal
+    "q_top_eigenvector" -> ((s, d) =>
+      SimilarityOps.powerIterationTopPC(
+          t(s, d, "embeddings"), "embedding", dim = 64, iters = 2)
+        .orderBy("dim")),
+
     // margin-based pair MINING (the bitext/parallel-data score): best
     // cross-label neighbor normalized by its top-4 neighborhood mean —
     // margin ≈ 1 means "no better than the neighborhood", reject
@@ -4785,6 +4793,30 @@ object SparkEntry {
          SELECT CAST(COUNT(*) AS BIGINT) AS k,
                 ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(lx) AS DOUBLE), 6) AS alpha
          FROM lx""",
+
+    "q_top_eigenvector" ->
+      """WITH x AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE embedding IS NOT NULL),
+              jj AS (SELECT unnest(generate_series(1, 64)) AS j),
+              w1 AS (SELECT vec_id, ROUND(SUM(CAST(embedding[j] AS DOUBLE) * 0.125), 6) AS w
+                     FROM x, jj GROUP BY vec_id),
+              s1 AS (SELECT j, SUM(CAST(ROUND(CAST(embedding[j] AS DOUBLE) * w, 9) AS DECIMAL(28,9))) AS s
+                     FROM x JOIN w1 USING (vec_id), jj GROUP BY j),
+              n1 AS (SELECT SQRT(CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+                     FROM s1),
+              v1 AS (SELECT j, ROUND(CAST(s AS DOUBLE) / nrm, 6) AS vj
+                     FROM s1, n1),
+              w2 AS (SELECT vec_id, ROUND(SUM(CAST(embedding[j] AS DOUBLE) * vj), 6) AS w
+                     FROM x, v1 WHERE v1.j BETWEEN 1 AND 64
+                     GROUP BY vec_id),
+              s2 AS (SELECT v1.j, SUM(CAST(ROUND(CAST(embedding[j] AS DOUBLE) * w2.w, 9) AS DECIMAL(28,9))) AS s
+                     FROM x JOIN w2 USING (vec_id), v1 GROUP BY v1.j),
+              n2 AS (SELECT SQRT(CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+                     FROM s2),
+              v2 AS (SELECT j, ROUND(CAST(s AS DOUBLE) / nrm, 6) AS vj
+                     FROM s2, n2)
+         SELECT CAST(j AS BIGINT) AS dim, vj AS component
+         FROM v2 ORDER BY dim""",
 
     "q_margin_mining" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE label = 0),

@@ -140,6 +140,67 @@ object SimilarityOps {
         col("n_cands"))
   }
 
+  /**
+   * Top principal direction of the embedding corpus by POWER ITERATION —
+   * the spectral anisotropy diagnostic (a dominant component explaining
+   * most variance means the embedding space has collapsed toward a line;
+   * it is also the classic "remove the top PC" preprocessing signal for
+   * similarity quality). Each round is one narrow per-row dot against the
+   * broadcast-literal direction plus ONE posexplode + groupBy(dim)
+   * aggregation — O(rows·dim) shuffle of small numbers, and only the
+   * 64-value direction (a model artifact) ever reaches the driver.
+   *
+   * Cross-engine determinism, the same discipline as the LM/stats suite:
+   * per-row projections round to 6 dp (the only point where float-sum
+   * order could differ between engines); per-dimension contributions are
+   * products of IDENTICAL doubles (exact on both engines), rounded to
+   * 9 dp and decimal-summed, so the aggregation is order-free; the
+   * normalizer squares exact values and decimal-sums again. An unrolled
+   * SQL oracle replays every round bit-for-bit.
+   */
+  def powerIterationTopPC(df: DataFrame, vecCol: String, dim: Int,
+                          iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"bad iters $iters")
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    var v: Seq[Double] = Seq.fill(dim)(
+      BigDecimal(1.0 / math.sqrt(dim.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val rows = df.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("__x")).persist()
+    try {
+      var it = 0
+      while (it < iters) {
+        val vLit = typedlit(v)
+        val proj = rows.withColumn("__w",
+          round(aggregate(
+            zip_with(col("__x"), vLit,
+              (a, b) => a.cast("double") * b),
+            lit(0.0), (acc, e) => acc + e), 6))
+        val s = proj
+          .select(posexplode(col("__x")), col("__w"))
+          .groupBy(col("pos"))
+          .agg(sum(round(col("col").cast("double") * col("__w"), 9)
+            .cast(dec9)).as("s"))
+          .orderBy("pos")
+          .collect()
+          .map(r => r.getDecimal(1).doubleValue())
+        val norm = {
+          val sq = s.map(x =>
+            BigDecimal(x * x).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+          math.sqrt(sq.sum.toDouble)
+        }
+        v = s.map(x =>
+          BigDecimal(x / norm).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble).toSeq
+        it += 1
+      }
+    } finally rows.unpersist(blocking = false)
+    val spark = df.sparkSession
+    import spark.implicits._
+    v.zipWithIndex.map { case (c, j) => (j.toLong + 1L, c) }
+      .toDF("dim", "component")
+  }
+
   /** Sign-LSH bucket id from `nBits` fixed "hyperplanes". For oracle
     * reproducibility the hyperplanes are axis-aligned (bit b = sign of
     * dimension b·stride); production would use seeded random Gaussian

@@ -136,6 +136,34 @@ class SessionOpsPropertiesSpec extends SparkSpec {
     acBig(2).getBoolean(3) shouldBe true // doc 3 clean
   }
 
+  test("powerIterationTopPC recovers a planted dominant direction") {
+    // 200 vectors stretched along axis 3 (amplitude ±10) with small
+    // deterministic noise elsewhere — the top PC must align with axis 3
+    val dim = 8
+    val rows = (0 until 200).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      Tuple1(Seq.tabulate(dim)(d =>
+        if (d == 3) 10.0f * sign
+        else 0.05f * (((i * 13 + d * 7) % 11) - 5)))
+    }.toDF("embedding")
+    val pc = graft.ext.SimilarityOps
+      .powerIterationTopPC(rows, "embedding", dim, iters = 3)
+      .orderBy("dim").as[(Long, Double)].collect()
+    pc.length shouldBe dim
+    val comps = pc.map(_._2)
+    // unit norm (to rounding) and dominated by axis 3 (dim index 4)
+    math.abs(comps.map(c => c * c).sum - 1.0) should be < 1e-3
+    math.abs(comps(3)) should be > 0.99
+    comps.zipWithIndex.filter(_._2 != 3).foreach { case (c, _) =>
+      math.abs(c) should be < 0.1
+    }
+    // deterministic: identical on a repartitioned input
+    val pc2 = graft.ext.SimilarityOps
+      .powerIterationTopPC(rows.repartition(7), "embedding", dim, iters = 3)
+      .orderBy("dim").as[(Long, Double)].collect()
+    pc2 shouldBe pc
+  }
+
   test("weightedRendezvousShard: shares track weights; re-weighting moves keys only in/out of the changed shard") {
     val keys = spark.range(0, 4000)
     val w = Seq(4.0, 2.0, 1.0, 1.0)
