@@ -1409,6 +1409,28 @@ object SparkEntry {
           t(s, d, "embeddings"), "embedding", dim = 64, iters = 2)
         .orderBy("dim")),
 
+    // the APPLY side of q_top_eigenvector: project out the top PC and
+    // report per-vector projection + residual norm — the all-but-the-top
+    // variance each embedding keeps after anisotropy removal
+    "q_pc_residual" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val u = SimilarityOps.powerIterationTopPC(emb, "embedding", 64, 2)
+        .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+      val uLit = typedlit(u)
+      val proj = round(aggregate(
+        zip_with(col("embedding"), uLit, (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, e) => acc + e), 6)
+      emb.select(col("vec_id"), proj.as("proj"))
+        .join(emb, "vec_id")
+        .select(col("vec_id"), col("proj"),
+          round(sqrt(aggregate(
+            zip_with(col("embedding"), uLit, (a, b) =>
+              (a.cast("double") - col("proj") * b) *
+                (a.cast("double") - col("proj") * b)),
+            lit(0.0), (acc, e) => acc + e)), 6).as("res_norm"))
+        .orderBy("vec_id")
+    }),
+
     // margin-based pair MINING (the bitext/parallel-data score): best
     // cross-label neighbor normalized by its top-4 neighborhood mean —
     // margin ≈ 1 means "no better than the neighborhood", reject
@@ -4817,6 +4839,35 @@ object SparkEntry {
                      FROM s2, n2)
          SELECT CAST(j AS BIGINT) AS dim, vj AS component
          FROM v2 ORDER BY dim""",
+
+    "q_pc_residual" ->
+      """WITH x AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE embedding IS NOT NULL),
+              jj AS (SELECT unnest(generate_series(1, 64)) AS j),
+              w1 AS (SELECT vec_id, ROUND(SUM(CAST(embedding[j] AS DOUBLE) * 0.125), 6) AS w
+                     FROM x, jj GROUP BY vec_id),
+              s1 AS (SELECT j, SUM(CAST(ROUND(CAST(embedding[j] AS DOUBLE) * w, 9) AS DECIMAL(28,9))) AS s
+                     FROM x JOIN w1 USING (vec_id), jj GROUP BY j),
+              n1 AS (SELECT SQRT(CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+                     FROM s1),
+              v1 AS (SELECT j, ROUND(CAST(s AS DOUBLE) / nrm, 6) AS vj
+                     FROM s1, n1),
+              w2 AS (SELECT vec_id, ROUND(SUM(CAST(embedding[j] AS DOUBLE) * vj), 6) AS w
+                     FROM x, v1 GROUP BY vec_id),
+              s2 AS (SELECT v1.j, SUM(CAST(ROUND(CAST(embedding[j] AS DOUBLE) * w2.w, 9) AS DECIMAL(28,9))) AS s
+                     FROM x JOIN w2 USING (vec_id), v1 GROUP BY v1.j),
+              n2 AS (SELECT SQRT(CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+                     FROM s2),
+              v2 AS (SELECT j, ROUND(CAST(s AS DOUBLE) / nrm, 6) AS vj
+                     FROM s2, n2),
+              p AS (SELECT vec_id, ROUND(SUM(CAST(embedding[j] AS DOUBLE) * vj), 6) AS proj
+                    FROM x, v2 GROUP BY vec_id),
+              r AS (SELECT x.vec_id,
+                           ROUND(SQRT(SUM((CAST(embedding[j] AS DOUBLE) - p.proj * vj)
+                                          * (CAST(embedding[j] AS DOUBLE) - p.proj * vj))), 6) AS res_norm
+                    FROM x JOIN p USING (vec_id), v2 GROUP BY x.vec_id)
+         SELECT p.vec_id, p.proj, r.res_norm
+         FROM p JOIN r USING (vec_id) ORDER BY p.vec_id""",
 
     "q_margin_mining" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE label = 0),
