@@ -1409,6 +1409,31 @@ object SparkEntry {
           t(s, d, "embeddings"), "embedding", dim = 64, iters = 2)
         .orderBy("dim")),
 
+    // scalar collapse metric: share of the corpus's second moment lying
+    // along the top principal direction — near 1 means the embedding
+    // space has degenerated toward a line (similarity scores saturate)
+    "q_pc1_share" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val u = SimilarityOps.powerIterationTopPC(emb, "embedding", 64, 2)
+        .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+      val uLit = typedlit(u)
+      val dec = DecimalType(28, 9)
+      val proj = round(aggregate(
+        zip_with(col("embedding"), uLit, (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, e) => acc + e), 6)
+      val norm2 = round(aggregate(
+        transform(col("embedding"), a => a.cast("double") * a.cast("double")),
+        lit(0.0), (acc, e) => acc + e), 6)
+      emb.filter(col("embedding").isNotNull)
+        .select(round(proj * proj, 9).cast(dec).as("p2"),
+          norm2.cast(dec).as("t2"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("p2")).as("ps"), sum(col("t2")).as("ts"))
+        .select(col("n_vecs"),
+          round(col("ps").cast("double") / col("ts").cast("double"), 6)
+            .as("pc1_share"))
+    }),
+
     // the APPLY side of q_top_eigenvector: project out the top PC and
     // report per-vector projection + residual norm — the all-but-the-top
     // variance each embedding keeps after anisotropy removal
@@ -4839,6 +4864,38 @@ object SparkEntry {
                      FROM s2, n2)
          SELECT CAST(j AS BIGINT) AS dim, vj AS component
          FROM v2 ORDER BY dim""",
+
+    "q_pc1_share" ->
+      """WITH x AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE embedding IS NOT NULL),
+              jj AS (SELECT unnest(generate_series(1, 64)) AS j),
+              w1 AS (SELECT vec_id, ROUND(SUM(CAST(embedding[j] AS DOUBLE) * 0.125), 6) AS w
+                     FROM x, jj GROUP BY vec_id),
+              s1 AS (SELECT j, SUM(CAST(ROUND(CAST(embedding[j] AS DOUBLE) * w, 9) AS DECIMAL(28,9))) AS s
+                     FROM x JOIN w1 USING (vec_id), jj GROUP BY j),
+              n1 AS (SELECT SQRT(CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+                     FROM s1),
+              v1 AS (SELECT j, ROUND(CAST(s AS DOUBLE) / nrm, 6) AS vj
+                     FROM s1, n1),
+              w2 AS (SELECT vec_id, ROUND(SUM(CAST(embedding[j] AS DOUBLE) * vj), 6) AS w
+                     FROM x, v1 GROUP BY vec_id),
+              s2 AS (SELECT v1.j, SUM(CAST(ROUND(CAST(embedding[j] AS DOUBLE) * w2.w, 9) AS DECIMAL(28,9))) AS s
+                     FROM x JOIN w2 USING (vec_id), v1 GROUP BY v1.j),
+              n2 AS (SELECT SQRT(CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+                     FROM s2),
+              v2 AS (SELECT j, ROUND(CAST(s AS DOUBLE) / nrm, 6) AS vj
+                     FROM s2, n2),
+              p AS (SELECT vec_id, ROUND(SUM(CAST(embedding[j] AS DOUBLE) * vj), 6) AS proj
+                    FROM x, v2 GROUP BY vec_id),
+              t AS (SELECT vec_id, ROUND(SUM(CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)), 6) AS norm2
+                    FROM x, jj GROUP BY vec_id),
+              agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                             SUM(CAST(ROUND(proj * proj, 9) AS DECIMAL(28,9))) AS ps,
+                             SUM(CAST(norm2 AS DECIMAL(28,9))) AS ts
+                      FROM p JOIN t USING (vec_id))
+         SELECT n_vecs,
+                ROUND(CAST(ps AS DOUBLE) / CAST(ts AS DOUBLE), 6) AS pc1_share
+         FROM agg""",
 
     "q_pc_residual" ->
       """WITH x AS (SELECT vec_id, embedding FROM embeddings
