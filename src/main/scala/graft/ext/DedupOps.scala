@@ -910,8 +910,16 @@ object DedupOps {
    * Nothing touches all-pairs and nothing collects.
    */
   def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
-                         pairs: DataFrame): DataFrame = {
-    val clusters = connectedComponentsStar(pairs) // (id, cluster_id)
+                         pairs: DataFrame): DataFrame =
+    keepBestByAssignment(df, idCol, scoreCol, connectedComponentsStar(pairs))
+
+  /** [[keepBestPerCluster]] against a PRECOMPUTED (id, cluster_id)
+    * assignment — the [[ClusterStore]] consumer form: the cluster artifact
+    * is built once per ingest wave and every keep/ban/split question reads
+    * it, instead of re-running connected components per query. */
+  def keepBestByAssignment(df: DataFrame, idCol: String, scoreCol: String,
+                           assignment: DataFrame): DataFrame = {
+    val clusters = assignment.select(col("id"), col("cluster_id"))
     val lab = df
       .select(col(idCol).cast("long").as("__kb_id"), col(scoreCol).as("__kb_s"))
       .join(clusters, col("__kb_id") === col("id"), "left")
@@ -923,6 +931,41 @@ object DedupOps {
       count(lit(1)).as("n_members"))
     df.join(best, col(idCol).cast("long") === col("__kb_keep"))
       .drop("__kb_cl", "__kb_keep")
+  }
+
+  /**
+   * RARE-SHINGLE co-occurrence edges — the dup-EVIDENCE graph: an edge
+   * links two docs that share at least one `n`-gram whose corpus document
+   * frequency lies in [`minDf`, `maxDf`]. Low-df shingles are exactly the
+   * content that is distinctive yet repeated — quoted passages, shared
+   * templates, partial copies — so this graph is the raw material graph
+   * analytics over a dedup corpus run on (PageRank centrality of
+   * boilerplate hubs, k-core of template families, triangle-dense clique
+   * detection), a strictly denser companion to the verified near-dup pair
+   * graph (which at high thresholds is near-degree-1).
+   *
+   * Scale: per-doc shingling is the zero-shuffle [[shingleHashes]] kernel;
+   * ONE pinned exchange on the shingle hash serves the df aggregation, the
+   * rarity semi-join, and both self-join sides (ReuseExchange — the
+   * [[dropHotKeys]] discipline); `maxDf` caps the per-shingle clique at
+   * maxDf·(maxDf−1)/2 pairs, so the edge count is linear in the number of
+   * rare shingles — never quadratic in any document neighborhood. The text
+   * itself moves nowhere: rows are (id, 8-byte hash).
+   */
+  def rareShingleEdges(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDf: Int = 2, maxDf: Int = 5): DataFrame = {
+    require(minDf >= 2 && maxDf >= minDf, "need 2 <= minDf <= maxDf")
+    val sh = spread(docs.filter(col(textCol).isNotNull))
+      .select(col(idCol).cast("long").as("id"),
+        explode(shingleHashes(col(textCol), n)).as("sh"))
+    val exchanged = sh.repartition(col("sh"))
+    val rare = exchanged.groupBy("sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(minDf, maxDf)).select("sh")
+    val keyed = exchanged.join(rare, Seq("sh"), "left_semi")
+    keyed.as("a").join(keyed.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
   }
 
   /**

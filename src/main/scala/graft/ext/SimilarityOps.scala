@@ -807,7 +807,17 @@ object SimilarityOps {
                     stride: Int = 8): DataFrame = {
     requireIntegralId(df, idCol, "semanticDedup")
     val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, nBits, stride)
-    val clusters = DedupOps.connectedComponentsStar(pairs) // (id, cluster_id = component min)
+    semanticDedupByAssignment(df, idCol,
+      DedupOps.connectedComponentsStar(pairs))
+  }
+
+  /** [[semanticDedup]]'s keep step against a PRECOMPUTED (id, cluster_id)
+    * assignment — the [[graft.ext.ClusterStore]] consumer form: the
+    * embedding near-dup graph is clustered once per ingest wave, and this
+    * reads the persisted labels instead of re-running LSH + components. */
+  def semanticDedupByAssignment(df: DataFrame, idCol: String,
+                                assignment: DataFrame): DataFrame = {
+    val clusters = assignment.select(col("id"), col("cluster_id"))
     // every doc gets a cluster (singletons label themselves); cluster_id is
     // the min member id, so the representative row is id == cluster_id
     val sizes = df.select(col(idCol).cast("long").as("__sd_id"))

@@ -43,12 +43,27 @@ object TextOps {
    *
    * Scale: ONE corpus-token-cardinality shuffle builds the weighted
    * vocabulary; every training round then aggregates the vocabulary-sized
-   * frame (persisted, rebased per round) and collects a single winning
-   * pair — a model artifact, like centroids. Returns merge rules in
+   * frame (persisted, rebased per round) and collects a bounded winning-
+   * pair set — a model artifact, like centroids. Returns merge rules in
    * priority order, for [[subwordCountBpe]].
+   *
+   * Production merge counts (32k) make round count the wall-clock driver,
+   * so two standard levers are first-class:
+   *   - TRAIN ON A SAMPLE: pass a deterministic hash-sample of the corpus
+   *     ([[SamplingOps.hashSample]]) as `df` — pair statistics concentrate
+   *     (vocabulary frequencies are corpus-scale counts), so a modest
+   *     sample reproduces full-corpus merges up to rare-tail ties; the
+   *     sample fraction, not the corpus, then prices the vocabulary build.
+   *   - BATCHED ROUNDS (`batch` > 1): each round selects up to `batch`
+   *     token-DISJOINT pairs from the ranked top-8·batch prefix and
+   *     applies them together — disjoint merges commute with sequential
+   *     application, and Spark jobs per table drop to ~2·nMerges/batch.
+   *     batch = 1 preserves exact classic greedy BPE.
    */
-  def bpeTrainMerges(df: DataFrame, textCol: String, nMerges: Int): Seq[String] = {
+  def bpeTrainMerges(df: DataFrame, textCol: String, nMerges: Int,
+                     batch: Int = 1): Seq[String] = {
     require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    require(batch >= 1, s"batch must be positive, got $batch")
     var vocab = df.filter(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
@@ -60,9 +75,10 @@ object TextOps {
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
+      val b = math.min(batch, nMerges - merges.length)
       // tokens of ".a.b.c." split on '.' sit at 1-based positions
       // 2..size-1 (leading/trailing empties kept by both engines)
-      val top = vocab
+      val pairCounts = vocab
         .select(col("freq"), split(col("st"), "\\.").as("tk"))
         .filter(size(col("tk")) >= 4)
         .select(col("freq"), explode(expr(
@@ -70,15 +86,46 @@ object TextOps {
             "concat('.', element_at(tk, i), '.', element_at(tk, i + 1), '.'))"))
           .as("pair"))
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      val selected: Seq[String] =
+        if (b == 1) {
+          // single-round argmax as ONE hash aggregate: min_by over
+          // (−cnt, pair) partial-aggregates map-side — no ordering of the
+          // pair universe, the exchange carries one candidate per partition
+          val row = pairCounts.agg(min_by(col("pair"),
+            struct((-col("cnt")).as("nc"), col("pair").as("p"))).as("pair"))
+            .head()
+          if (row.isNullAt(0)) Nil else Seq(row.getString(0))
+        } else {
+          // batched rounds: take the top-K ranked prefix (K = 8·batch —
+          // TakeOrderedAndProject, k rows per partition + driver merge,
+          // never a global sort) and keep, in rank order, pairs whose two
+          // tokens are disjoint from EVERY higher-ranked prefix pair
+          // (selected or not — the rule is a per-pair predicate, so an
+          // engine-independent oracle replays it with one anti-join).
+          // Disjoint merges commute: applying them together in one pass
+          // equals applying them sequentially, because a merge (a,b)→ab
+          // cannot create or destroy adjacencies of tokens outside {a,b}.
+          val k = 8 * b
+          val ranked = pairCounts.orderBy(col("cnt").desc, col("pair").asc)
+            .limit(k).select("pair").collect().map(_.getString(0))
+          val sel = scala.collection.mutable.ArrayBuffer.empty[String]
+          val blocked = scala.collection.mutable.Set.empty[String]
+          for (p <- ranked) {
+            val parts = p.split("\\.", -1)
+            val (t1, t2) = (parts(1), parts(2))
+            if (sel.length < b && !blocked(t1) && !blocked(t2)) sel += p
+            blocked += t1; blocked += t2
+          }
+          sel.toSeq
+        }
+      if (selected.isEmpty) exhausted = true
       else {
-        val pair = top(0).getString(0)
-        merges += pair
+        merges ++= selected
         val next = vocab.select(col("freq"),
-          call_function("replace", col("st"), lit(pair),
-            lit("." + pair.replace(".", "") + ".")).as("st")).persist()
+          selected.foldLeft(col("st")) { (st, m) =>
+            call_function("replace", st, lit(m),
+              lit("." + m.replace(".", "") + "."))
+          }.as("st")).persist()
         next.count()
         vocab.unpersist(blocking = false)
         vocab = next
