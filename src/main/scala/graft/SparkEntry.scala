@@ -3255,7 +3255,12 @@ object SparkEntry {
               s0 AS (SELECT w, freq, '.' || regexp_replace(w, '(.)', """ +
         """'\1.', 'g') AS st FROM v),
               """ + bpeOracleRounds(6, batch = 3) + s""",
-              wc AS (SELECT w, CAST(len(st) - len(replace(st, '.', '')) - 1 AS BIGINT) AS n_sub FROM s2),
+              fv AS (SELECT DISTINCT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+                     FROM documents WHERE text IS NOT NULL) WHERE w <> ''),
+              f0 AS (SELECT w, '.' || regexp_replace(w, '(.)', """ +
+        """'\1.', 'g') AS st FROM fv),
+              """ + bpeOracleApplyRounds(6, batch = 3) + s""",
+              wc AS (SELECT w, CAST(len(st) - len(replace(st, '.', '')) - 1 AS BIGINT) AS n_sub FROM f2),
               docw AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w
                        FROM documents WHERE text IS NOT NULL),
               dtok AS (SELECT doc_id, n_chars, SUM(COALESCE(n_sub, 0)) AS n_tokens
@@ -3268,12 +3273,18 @@ object SparkEntry {
 
     "q_bpe_fertility" ->
       (s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
-                    FROM documents WHERE text IS NOT NULL),
+                    FROM documents WHERE text IS NOT NULL
+                      AND CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0),
               v AS (SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w),
               s0 AS (SELECT w, freq, '.' || regexp_replace(w, '(.)', """ +
         """'\1.', 'g') AS st FROM v),
-              """ + bpeOracleRounds(6) + s""",
-              wc AS (SELECT w, CAST(len(st) - len(replace(st, '.', '')) - 1 AS BIGINT) AS n_sub FROM s6),
+              """ + bpeOracleRounds(6, batch = 3) + s""",
+              fv AS (SELECT DISTINCT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+                     FROM documents WHERE text IS NOT NULL) WHERE w <> ''),
+              f0 AS (SELECT w, '.' || regexp_replace(w, '(.)', """ +
+        """'\1.', 'g') AS st FROM fv),
+              """ + bpeOracleApplyRounds(6, batch = 3) + s""",
+              wc AS (SELECT w, CAST(len(st) - len(replace(st, '.', '')) - 1 AS BIGINT) AS n_sub FROM f2),
               docw AS (SELECT lang, unnest(string_split(text, ' ')) AS w
                        FROM documents WHERE text IS NOT NULL)
          SELECT lang, CAST(COUNT(w) AS BIGINT) AS n_words,

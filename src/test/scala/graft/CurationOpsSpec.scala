@@ -57,6 +57,38 @@ class CurationOpsSpec extends SparkSpec {
     counts(0).getLong(2) should be < counts(1).getLong(2)
   }
 
+  test("bpeTrainMerges batched+sampled: disjoint rounds, greedy top-1 kept, sample reproduces full-trained counts within 5%") {
+    val docs = graft.sources.Stores.table(spark, sf0001, "documents")
+      .filter(col("text").isNotNull)
+    val full = TextOps.bpeTrainMerges(docs, "text", 6)
+    val batched = TextOps.bpeTrainMerges(docs, "text", 6, batch = 3)
+    batched.length shouldBe 6
+    batched shouldBe TextOps.bpeTrainMerges(docs, "text", 6, batch = 3)
+    // the round winner is always greedy's winner
+    batched.head shouldBe full.head
+    // within each batched round the selected pairs are token-disjoint
+    // (the commutation precondition for one-pass application)
+    for (round <- batched.grouped(3)) {
+      val toks = round.flatMap { p =>
+        val parts = p.split("\\.", -1); Seq(parts(1), parts(2))
+      }
+      toks.distinct.length shouldBe toks.length
+    }
+    // training on the deterministic half-corpus hash sample reproduces
+    // full-corpus-trained token accounting within 5% — the lever that
+    // makes 32k-merge training affordable (pair statistics concentrate)
+    val sampled = TextOps.bpeTrainMerges(
+      graft.ext.SamplingOps.hashSample(docs, "doc_id", k = 2, r = 0),
+      "text", 6, batch = 3)
+    sampled.length shouldBe 6
+    val totals = docs.select(
+        sum(TextOps.subwordCountBpe(col("text"), full)).as("tf"),
+        sum(TextOps.subwordCountBpe(col("text"), sampled)).as("ts"))
+      .head()
+    val (tf, ts) = (totals.getLong(0).toDouble, totals.getLong(1).toDouble)
+    math.abs(tf - ts) / tf should be <= 0.05
+  }
+
   test("qualityFilter keeps only in-bounds, non-degenerate docs") {
     val df = Seq(
       (1L, "one two three four five six seven eight nine ten"),  // ok (10 toks)
