@@ -1851,6 +1851,40 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // measured IVF operating curve: recall@5 vs exact cosine truth per
+    // nprobe — the ABSOLUTE numbers a user tuning nprobe reads (the
+    // monotone oracles bound only relative behavior); the oracle replays
+    // assignment, multi-probe, in-cell top-k and the recall division
+    "q_ann_recall_audit" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      SimilarityOps.annRecallAudit(
+          emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), emb, cents,
+          Nil, "vec_id", "embedding", k = 5,
+          grid = Seq((1, 0), (2, 0), (4, 0), (8, 0)))
+        .orderBy("nprobe")
+    }),
+
+    // the IVF+PQ tier's recall audit, bound-based (codebooks are trained,
+    // so SQL can't replay the numbers): measured recall stays in [0,1] at
+    // pruned budgets and is EXACTLY 1.0 at full probe + unpruned
+    // candidates, where the coarse tier passes the whole corpus to the
+    // exact rerank — the curve's provable fixed point
+    "q_ann_recall_audit_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+        m = 8, codes = 16, iters = 2, dim = 64)
+      SimilarityOps.annRecallAudit(
+          emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), emb, cents,
+          cbs, "vec_id", "embedding", k = 5,
+          grid = Seq((1, 10), (2, 25), (8, 100000)))
+        .select(col("nprobe"), col("candidates"), col("n_true"),
+          (col("recall") >= 0.0 && col("recall") <= 1.0).as("recall_in_range"),
+          (col("nprobe") < 8 || col("recall") === 1.0).as("full_recall_one"))
+        .orderBy("nprobe")
+    }),
+
     // embedding cluster-health report: per-label member count + mean/min
     // cosine to the label centroid (collapsed/polluted cluster detector)
     "q_label_dispersion" -> ((s, d) =>
@@ -5409,6 +5443,64 @@ object SparkEntry {
       """SELECT vec_id AS query_id, TRUE AS recall_monotone
          FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
          ORDER BY query_id""",
+
+    "q_ann_recall_audit" ->
+      """WITH cen AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              vc AS (SELECT v.vec_id, cen.cid,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS dot,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS nv,
+                            SUM(CAST(cen.ce[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS nc
+                     FROM embeddings v, cen, idx GROUP BY v.vec_id, cen.cid),
+              scored_c AS (SELECT vec_id, cid, ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS cs FROM vc),
+              crank AS (SELECT vec_id, cid,
+                               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+                        FROM scored_c),
+              assign AS (SELECT vec_id, cid AS cell FROM crank WHERE rn = 1),
+              probes AS (SELECT unnest([1, 2, 4, 8]) AS np),
+              qprobe AS (SELECT vec_id AS qid, cid AS cell, rn FROM crank
+                         WHERE vec_id >= 10 AND vec_id < 20),
+              qe AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                     WHERE vec_id >= 10 AND vec_id < 20),
+              alld AS (SELECT q.qid, c.vec_id AS nid,
+                              ROUND(SUM(CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+                                    / (sqrt(SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                                       * sqrt(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))), 6) AS score
+                       FROM qe q CROSS JOIN embeddings c, idx
+                       WHERE c.vec_id <> q.qid
+                       GROUP BY q.qid, c.vec_id),
+              truth AS (SELECT qid, nid FROM (
+                          SELECT qid, nid,
+                                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk
+                          FROM alld) WHERE rk <= 5),
+              tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+              cand AS (SELECT p.np, q.qid, a.vec_id AS nid
+                       FROM probes p
+                       JOIN qprobe q ON q.rn <= p.np
+                       JOIN assign a ON a.cell = q.cell
+                       WHERE a.vec_id <> q.qid),
+              annk AS (SELECT np, qid, nid FROM (
+                         SELECT cand.np, cand.qid, cand.nid,
+                                row_number() OVER (PARTITION BY cand.np, cand.qid
+                                  ORDER BY s.score DESC, cand.nid ASC) AS rk
+                         FROM cand JOIN alld s ON s.qid = cand.qid AND s.nid = cand.nid)
+                       WHERE rk <= 5),
+              hits AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS n_hit
+                       FROM annk JOIN truth ON truth.qid = annk.qid AND truth.nid = annk.nid
+                       GROUP BY np)
+         SELECT CAST(p.np AS BIGINT) AS nprobe, CAST(0 AS BIGINT) AS candidates,
+                tt.n_true, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+                ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tt.n_true, 6) AS recall
+         FROM probes p LEFT JOIN hits h ON h.np = p.np CROSS JOIN tt
+         ORDER BY nprobe""",
+
+    "q_ann_recall_audit_pq" ->
+      """SELECT CAST(nprobe AS BIGINT) AS nprobe, CAST(candidates AS BIGINT) AS candidates,
+                CAST(n_true AS BIGINT) AS n_true, recall_in_range, full_recall_one
+         FROM (VALUES (1, 10, 50, TRUE, TRUE), (2, 25, 50, TRUE, TRUE),
+                      (8, 100000, 50, TRUE, TRUE))
+              AS t(nprobe, candidates, n_true, recall_in_range, full_recall_one)
+         ORDER BY nprobe""",
 
     "q_ivfpq_topk" ->
       """SELECT vec_id AS query_id, TRUE AS probe_monotone,

@@ -738,6 +738,47 @@ object SimilarityOps {
   }
 
   /**
+   * Measured ANN operating curve — recall@k of the IVF tier (and, with
+   * `candidates` > 0, the fused IVF+PQ tier) against brute-force cosine
+   * truth, one row per (nprobe, candidates) grid point. The monotone
+   * oracles (`q_ivf_topk_probe2`, `q_ivfpq_topk`) bound RELATIVE
+   * behavior; this is the ABSOLUTE number a user tuning nprobe/candidates
+   * reads: "nprobe=2 buys 0.94 recall at ~2/8 of the scan". At full probe
+   * (nprobe = ncells) and unpruned candidates the candidate set is the
+   * whole corpus and recall is exactly 1.0 (spec-asserted) — the curve's
+   * fixed point.
+   *
+   * Scale: truth is a bounded k·|Q| artifact (heap top-k, then
+   * localCheckpoint so the grid reuses it without re-scoring the corpus);
+   * each grid point costs one ANN query batch + a semi-join against
+   * truth and aggregates to ONE row. Nothing corpus-sized is collected.
+   */
+  def annRecallAudit(queries: DataFrame, corpus: DataFrame,
+                     centroids: Seq[(Long, Seq[Float])],
+                     codebooks: Seq[Seq[Seq[Float]]],
+                     idCol: String, vecCol: String, k: Int,
+                     grid: Seq[(Int, Int)]): DataFrame = {
+    require(grid.nonEmpty, "empty audit grid")
+    val truth = cosineTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    grid.map { case (np, cand) =>
+      val ann =
+        if (cand <= 0) ivfTopK(queries, corpus, centroids, idCol, vecCol,
+          k, nprobe = np)
+        else ivfPqTopK(queries, corpus, centroids, codebooks, idCol,
+          vecCol, k, nprobe = np, candidates = cand)
+      val hits = ann.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      hits.crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .select(lit(np.toLong).as("nprobe"), lit(cand.toLong).as("candidates"),
+          col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            nullif(col("n_true"), lit(0L)), 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * Embedding-space cluster-health report: per label, the member count and
    * the mean/min cosine of members to their label CENTROID. Collapsed or
    * polluted clusters show up as low mean (diffuse) or very low min

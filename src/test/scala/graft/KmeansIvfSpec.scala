@@ -296,6 +296,33 @@ class KmeansIvfSpec extends SparkSpec {
     spark.read.parquet(s"$work/idx/cells").count() shouldBe emb.count()
   }
 
+  test("annRecallAudit: recall exactly 1.0 at full probe/unpruned budget, monotone in nprobe, measured not stipulated") {
+    val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 4)
+    val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, codes = 16, iters = 2, dim = 64)
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+    // IVF tier: nprobe sweep up to full probe (4 cells)
+    val ivf = SimilarityOps.annRecallAudit(queries, emb, cents, Nil,
+        "vec_id", "embedding", k = 3,
+        grid = Seq((1, 0), (2, 0), (4, 0)))
+      .orderBy("nprobe")
+      .select("nprobe", "n_true", "n_hit", "recall")
+      .collect()
+    ivf.map(_.getLong(0)) shouldBe Array(1L, 2L, 4L)
+    all(ivf.map(_.getLong(1))) shouldBe 15L // 5 queries × k=3 truth rows
+    // monotone in nprobe, and the full-probe fixed point is exact
+    ivf.map(_.getLong(2)).sliding(2).foreach { w => w(0) should be <= w(1) }
+    ivf.last.getDouble(3) shouldBe 1.0
+    // PQ tier: unpruned candidates + full probe also hits the fixed point
+    val pq = SimilarityOps.annRecallAudit(queries, emb, cents, cbs,
+        "vec_id", "embedding", k = 3,
+        grid = Seq((1, 5), (4, 100000)))
+      .orderBy("nprobe").select("recall").collect()
+    pq.last.getDouble(0) shouldBe 1.0
+    // the pruned point is a measurement, not a stipulation: in [0, 1]
+    pq.head.getDouble(0) should (be >= 0.0 and be <= 1.0)
+  }
+
   test("native CentroidTopCells matches the declarative assign and probe rankings") {
     val cents = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
       c = 6, iters = 2, dim = 64)
