@@ -467,42 +467,119 @@ object StreamingPipeline {
         if (!batch.isEmpty) {
           val b = batch.persist()
           try {
-            val pairs = DedupOps.minhashDedupPairs(b, idCol, textCol,
-              n, numHashes, bands, threshold).select("id1", "id2")
-            val batchKept =
-              if (pairs.isEmpty) b
-              else {
-                val losers = DedupOps.connectedComponentsStar(pairs)
-                  .filter(col("id") =!= col("cluster_id"))
-                  .select(col("id").as("__lose"))
-                b.join(losers, col(idCol) === col("__lose"), "left_anti")
-              }
-            val fs = new org.apache.hadoop.fs.Path(indexPath)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val rejectedVsCorpus =
-              if (fs.exists(new org.apache.hadoop.fs.Path(indexPath))) {
-                val idx = spark.read.parquet(indexPath)
-                  .select("band_key", "id")
-                val ctext = spark.read.parquet(corpusPath)
-                  .select(col(idCol), col(textCol))
-                DedupOps.incrementalNearDupPairs(batchKept, idCol, textCol,
-                    idx, ctext, n, numHashes, bands, threshold)
-                  .select(col("new_id").as(idCol)).distinct()
-              } else batchKept.select(idCol).limit(0)
-            val admitted = batchKept
-              .join(rejectedVsCorpus, Seq(idCol), "left_anti").persist()
+            val admitted = admitDedupBatch(spark, b, batchId, runTag,
+              idCol, textCol, corpusPath, indexPath, rejectPath,
+              n, numHashes, bands, threshold)
+            admitted.unpersist(blocking = false)
+            ()
+          } finally b.unpersist(blocking = false)
+        }
+      }
+      .start()
+  }
+
+  /** The per-batch admission core of [[dedupIngest]]: collapse in-batch
+    * duplicate clusters to their min-id member, reject near-dups of the
+    * already-admitted corpus via the persisted band index, then write
+    * rejects, the admitted corpus rows, and the band-index contribution —
+    * each into its `run=/batch_id=` directory (replay overwrites itself).
+    * Returns the admitted rows STILL PERSISTED so a caller can feed
+    * further exactly-once sinks in the same micro-batch; the caller owns
+    * the unpersist. */
+  private def admitDedupBatch(spark: SparkSession, b: DataFrame,
+                              batchId: Long, runTag: String, idCol: String,
+                              textCol: String, corpusPath: String,
+                              indexPath: String, rejectPath: String,
+                              n: Int, numHashes: Int, bands: Int,
+                              threshold: Double): DataFrame = {
+    import graft.ext.DedupOps
+    val pairs = DedupOps.minhashDedupPairs(b, idCol, textCol,
+      n, numHashes, bands, threshold).select("id1", "id2")
+    val batchKept =
+      if (pairs.isEmpty) b
+      else {
+        val losers = DedupOps.connectedComponentsStar(pairs)
+          .filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("__lose"))
+        b.join(losers, col(idCol) === col("__lose"), "left_anti")
+      }
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rejectedVsCorpus =
+      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath))) {
+        val idx = spark.read.parquet(indexPath)
+          .select("band_key", "id")
+        val ctext = spark.read.parquet(corpusPath)
+          .select(col(idCol), col(textCol))
+        DedupOps.incrementalNearDupPairs(batchKept, idCol, textCol,
+            idx, ctext, n, numHashes, bands, threshold)
+          .select(col("new_id").as(idCol)).distinct()
+      } else batchKept.select(idCol).limit(0)
+    val admitted = batchKept
+      .join(rejectedVsCorpus, Seq(idCol), "left_anti").persist()
+    val rejected = b.join(admitted.select(idCol), Seq(idCol), "left_anti")
+    if (!rejected.isEmpty)
+      rejected.write.mode("overwrite")
+        .parquet(s"$rejectPath/run=$runTag/batch_id=$batchId")
+    admitted.write.mode("overwrite")
+      .parquet(s"$corpusPath/run=$runTag/batch_id=$batchId")
+    DedupOps.bandIndex(admitted, idCol, textCol, n, numHashes, bands)
+      .write.mode("overwrite")
+      .parquet(s"$indexPath/run=$runTag/batch_id=$batchId")
+    admitted
+  }
+
+  /**
+   * CURATED streaming ingest — lexical dedup admission AND ANN index
+   * growth fused in ONE foreachBatch: each micro-batch is deduplicated
+   * against itself and the admitted corpus exactly as [[dedupIngest]]
+   * does, and the ADMITTED rows' embeddings are then appended to the
+   * persisted IVF index ([[graft.ext.AnnIndexStore.append]]) inside the
+   * same batch scope. The two sinks therefore advance in lockstep: a doc
+   * is searchable iff it was admitted, and a replayed micro-batch
+   * overwrites BOTH its corpus/band-index directories and its `b=`
+   * index partition — at-least-once replay stays exactly-once at the
+   * directory level for every artifact.
+   *
+   * The ANN index must exist before streaming starts
+   * ([[graft.ext.AnnIndexStore.save]] — the base build freezes the
+   * centroid model the appends assign against). Post-stream index state
+   * is row-identical to a batch rebuild over (base ∪ admitted) under the
+   * same centroids — spec-proven.
+   *
+   * Scale: the admission cost is [[dedupIngest]]'s (O(batch) shingles,
+   * O(batch × bands) index join); the ANN append is one narrow
+   * assignment pass over admitted rows against broadcast centroids.
+   */
+  def dedupAnnIngest(spark: SparkSession, docs: DataFrame, idCol: String,
+                     textCol: String, vecCol: String, corpusPath: String,
+                     indexPath: String, rejectPath: String,
+                     annIndexPath: String, checkpoint: String,
+                     n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                     threshold: Double = 0.8): StreamingQuery = {
+    val runTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).take(4).map("%02x".format(_))
+      .mkString
+    // the ANN index partitions on a LONG batch id (no run= level), so the
+    // run scope is folded into the id's high bits: a replayed batch under
+    // the same checkpoint lands on its own partition (exactly-once), a
+    // NEW run appends alongside prior runs instead of overwriting b=1
+    val runBase = java.lang.Long.parseLong(runTag, 16) << 24
+    docs.writeStream
+      .queryName("graft_dedup_ann_ingest")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          try {
+            val admitted = admitDedupBatch(spark, b, batchId, runTag,
+              idCol, textCol, corpusPath, indexPath, rejectPath,
+              n, numHashes, bands, threshold)
             try {
-              val rejected = b.join(admitted.select(idCol), Seq(idCol),
-                "left_anti")
-              if (!rejected.isEmpty)
-                rejected.write.mode("overwrite")
-                  .parquet(s"$rejectPath/run=$runTag/batch_id=$batchId")
-              admitted.write.mode("overwrite")
-                .parquet(s"$corpusPath/run=$runTag/batch_id=$batchId")
-              DedupOps.bandIndex(admitted, idCol, textCol, n, numHashes,
-                  bands)
-                .write.mode("overwrite")
-                .parquet(s"$indexPath/run=$runTag/batch_id=$batchId")
+              if (!admitted.isEmpty)
+                graft.ext.AnnIndexStore.append(annIndexPath, admitted,
+                  idCol, vecCol, batchId = runBase + batchId + 1)
             } finally admitted.unpersist(blocking = false)
           } finally b.unpersist(blocking = false)
         }

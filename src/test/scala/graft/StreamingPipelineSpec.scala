@@ -352,4 +352,54 @@ class StreamingPipelineSpec extends SparkSpec {
     spark.read.parquet(index).select("id").distinct()
       .as[Long].collect().sorted shouldBe Array(1L, 2L, 4L)
   }
+
+  test("dedupAnnIngest: ANN index grows with exactly the admitted set, equal to a batch rebuild under the same centroids") {
+    import graft.ext.{AnnIndexStore, SimilarityOps}
+    val work = Files.createTempDirectory("graft_dedup_ann_").toString
+    val corpus = s"$work/corpus"; val index = s"$work/index"
+    val rejects = s"$work/rejects"; val ann = s"$work/ann"
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+    // base build: the pre-stream corpus freezes the centroid model
+    val base = Seq((100L, Seq(0.9f, 0.1f, 0f, 0f)))
+      .toDF("doc_id", "vec")
+    AnnIndexStore.save(ann, base, "doc_id", "vec", cents)
+
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    // doc 3 duplicates doc 1's text in-batch → only 1 and 2 admitted
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", Seq(0.1f, 0.9f, 0f, 0f)),
+      (2L, "one two three four five six", Seq(0.7f, 0.7f, 0f, 0f)),
+      (3L, "alpha beta gamma delta epsilon zeta", Seq(0.2f, 0.8f, 0f, 0f)))
+      .toDF("doc_id", "text", "vec")
+      .write.mode("overwrite").parquet(s"$work/src")
+    val q = StreamingPipeline.dedupAnnIngest(spark,
+      spark.readStream.schema(docSchema).parquet(s"$work/src"),
+      "doc_id", "text", "vec", corpus, index, rejects, ann, s"$work/cp",
+      n = 2, numHashes = 16, bands = 4, threshold = 0.9)
+    q.awaitTermination()
+
+    val admitted = spark.read.parquet(corpus)
+    admitted.select("doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L)
+    // the searchable set advanced in lockstep with admission: index state
+    // row-identical to a batch build over base ∪ admitted, same centroids
+    val got = spark.read.parquet(s"$ann/cells")
+      .select(col("doc_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().sorted
+    val expected = SimilarityOps.ivfAssign(
+        base.unionByName(admitted.select("doc_id", "vec")), cents,
+        "doc_id", "vec")
+      .select(col("doc_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().sorted
+    got shouldBe expected
+    // the rejected doc never became searchable
+    got.map(_._1) should not contain 3L
+  }
 }
