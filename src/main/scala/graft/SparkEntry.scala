@@ -2124,6 +2124,63 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // mergeable QUANTILE sketch — the percentile sibling of
+    // q_sketch_rollup's HLL: per-type p50/p90 estimated from a
+    // 1024-sample bottom-k-by-hash sketch (bit-deterministic under any
+    // merge order), audited against the exact CDF: |rank(est)/n − p| ≤
+    // 0.05 (bound-based oracle)
+    "q_quantile_sketch" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val sk = graft.ops.SketchOps.sketch(ev, "event_id", "value",
+        Seq("event_type"), k = 1024)
+      val est = Seq(0.5, 0.9).map(p => sk.select(col("event_type"),
+          lit(p).as("p"),
+          graft.ops.SketchOps.sketchQuantile(col("sk_pairs"), p).as("est")))
+        .reduce(_ unionByName _)
+      graft.ops.SketchOps.rankErrorAudit(ev, "value", Seq("event_type"),
+          est, eps = 0.05)
+        .join(sk.select(col("event_type"), col("sk_n").as("n_rows")),
+          "event_type")
+        .select(col("event_type"), col("p"), col("n_rows"),
+          col("within_eps"))
+        .orderBy("event_type", "p")
+    }),
+
+    // quantile-sketch ROLLUP: per-(type, day) sketches merged to per-type
+    // WITHOUT re-scanning events — and because "bottom-k of a union ==
+    // bottom-k of the bottom-ks", the merged sketch is BIT-IDENTICAL to a
+    // direct corpus sketch (checked in-query), not merely within
+    // tolerance; the p50 estimate is then CDF-audited like
+    // q_quantile_sketch
+    "q_quantile_rollup" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val daily = graft.ops.SketchOps.sketch(
+        ev.withColumn("day", date_trunc("day", col("ts"))),
+        "event_id", "value", Seq("event_type", "day"), k = 1024)
+      val merged = graft.ops.SketchOps.mergeSketches(daily,
+        Seq("event_type"), k = 1024)
+      val direct = graft.ops.SketchOps.sketch(ev, "event_id", "value",
+        Seq("event_type"), k = 1024)
+      val est = merged.select(col("event_type"), lit(0.5).as("p"),
+        graft.ops.SketchOps.sketchQuantile(col("sk_pairs"), 0.5).as("est"))
+      val audit = graft.ops.SketchOps.rankErrorAudit(ev, "value",
+        Seq("event_type"), est, eps = 0.05)
+      val eq = merged
+        .select(col("event_type"), col("sk_n").as("mn"),
+          col("sk_pairs").as("mp"))
+        .join(direct.select(col("event_type"), col("sk_n").as("dn"),
+          col("sk_pairs").as("dp")), "event_type")
+        .select(col("event_type"), (col("mn") === col("dn") &&
+          col("mp") === col("dp")).as("rollup_equals_direct"))
+      val days = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      audit.join(eq, "event_type").join(days, "event_type")
+        .join(merged.select(col("event_type"), col("sk_n").as("n_rows")),
+          "event_type")
+        .select(col("event_type"), col("n_days"), col("n_rows"),
+          col("within_eps"), col("rollup_equals_direct"))
+        .orderBy("event_type")
+    }),
+
     // per-node triangle counts (degree-orientation wedge join) over the
     // persisted rare-shingle dup-EVIDENCE graph — shared-template cliques
     // are exactly where triangles concentrate
@@ -5863,6 +5920,24 @@ object SparkEntry {
                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
                 TRUE AS within_5pct
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // bound-based like q_sketch_rollup: the oracle computes the exact
+    // sides and stipulates the sketch estimate satisfied its declared
+    // rank-error bound (and, for the rollup, that merged == direct)
+    "q_quantile_sketch" ->
+      """SELECT event_type, p, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                TRUE AS within_eps
+         FROM events, (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS p) ps
+         WHERE value IS NOT NULL
+         GROUP BY event_type, p ORDER BY event_type, p""",
+
+    "q_quantile_rollup" ->
+      """SELECT event_type,
+                CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                TRUE AS within_eps, TRUE AS rollup_equals_direct
+         FROM events WHERE value IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
 
     "q_triangle_counts" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

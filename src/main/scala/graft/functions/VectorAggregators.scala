@@ -147,6 +147,51 @@ object VectorAggregators {
       ExpressionEncoderHolder.seqLongPair
   }
 
+  /**
+   * Bounded bottom-k-by-hash VALUE sample — the mergeable quantile-sketch
+   * state ([[graft.ops.SketchOps]]). Keeps the k (hash, value) pairs with
+   * the smallest hashes; because "k smallest of a fixed hash order" is a
+   * pure function of the input SET, merge is exactly commutative and
+   * associative, so the sketch is BIT-DETERMINISTIC under any partitioning
+   * or merge order — unlike KLL/t-digest, whose compaction is
+   * arrival-order dependent and would make a cross-run oracle flaky.
+   * `reduce` prunes map-side, so the shuffle carries ≤ k·partitions pairs
+   * per group regardless of corpus size. Ties (equal hashes from distinct
+   * keys) break on value asc — still a total, deterministic order.
+   */
+  final class BottomKSample(k: Int)
+      extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+
+    private val ord: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
+      override def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Double.compare(a._2, b._2)
+      }
+    }
+    private val pruneAt = math.max(4 * k, 64)
+
+    override def zero: Seq[(Long, Double)] = Vector.empty
+
+    override def reduce(b: Seq[(Long, Double)],
+                        a: (Long, Double)): Seq[(Long, Double)] = {
+      val nb = b :+ a
+      if (nb.length >= pruneAt) nb.sorted(ord).take(k) else nb
+    }
+
+    override def merge(x: Seq[(Long, Double)],
+                       y: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      (x ++ y).sorted(ord).take(k)
+
+    override def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      b.sorted(ord).take(k)
+
+    override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+      ExpressionEncoderHolder.seqHashVal
+
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      ExpressionEncoderHolder.seqHashVal
+  }
+
   private object ExpressionEncoderHolder {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val arrayDouble: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
@@ -155,5 +200,7 @@ object VectorAggregators {
       ExpressionEncoder[Seq[(Double, Long)]]()
     val seqLongPair: Encoder[Seq[(Long, Long)]] =
       ExpressionEncoder[Seq[(Long, Long)]]()
+    val seqHashVal: Encoder[Seq[(Long, Double)]] =
+      ExpressionEncoder[Seq[(Long, Double)]]()
   }
 }

@@ -56,7 +56,11 @@ object ShardOps {
    * as [[rendezvousShard]].
    */
   def weightedRendezvousShard(key: Column, weights: Seq[Double]): Column = {
-    require(weights.nonEmpty && weights.forall(_ > 0), s"bad weights $weights")
+    // weight 0 = drained shard: its score is exactly 0, below every live
+    // shard's strictly-positive score, so it can never win — keys rehome
+    // to survivors with no bystander movement
+    require(weights.exists(_ > 0) && weights.forall(_ >= 0),
+      s"bad weights $weights")
     val n = weights.length
     val entries = weights.zipWithIndex.map { case (w, s) =>
       val u = (pmod(TextOps.fingerprint60(

@@ -193,35 +193,93 @@ object StreamingPipeline {
             .agg(count(lit(1)).as("n_events"),
               sum(col("value").cast(DecimalType(18, 2)))
                 .cast(DecimalType(18, 2)).as("total_value"))
-          val root = new org.apache.hadoop.fs.Path(statePath)
-          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val allDirs: Seq[String] =
-            if (!fs.exists(root)) Seq.empty
-            else fs.listStatus(root).toSeq.map(_.getPath.getName)
-              .filter(_.startsWith("v="))
-          // the rollback point must be the newest COMPLETE predecessor: a
-          // crash between write and prune leaves duplicate v= dirs, and a
-          // crash mid-write leaves a partial one (no _SUCCESS) — replay
-          // rebases only on a version whose write committed
-          val prev = allDirs
-            .filter(n => fs.exists(
-              new org.apache.hadoop.fs.Path(root, s"$n/_SUCCESS")))
-            .map(_.drop(2).toLong).filter(_ < batchId).sorted.lastOption
-          val merged = prev match {
-            case Some(p) => graft.ops.CdcOps.mergeAggState(
-              spark.read.parquet(s"$statePath/v=$p"), delta, Seq("user_id"))
+          commitVersioned(spark, statePath, batchId) {
+            case Some(prev) =>
+              graft.ops.CdcOps.mergeAggState(prev, delta, Seq("user_id"))
             case None => delta
           }
-          merged.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
-          // prune everything but the rollback point and the new version —
-          // including the partial/superseded dirs a crash left behind
-          allDirs.map(_.drop(2).toLong)
-            .filter(v => v != batchId && !prev.contains(v))
-            .foreach(v => fs.delete(
-              new org.apache.hadoop.fs.Path(s"$statePath/v=$v"), true))
         }
       }
       .start()
+
+  /**
+   * Crash-safe VERSIONED-state commit shared by the incremental-state
+   * ingests ([[rollupIngest]], [[quantileIngest]]): rebase the batch onto
+   * the newest COMPLETE predecessor version via `merge`, overwrite
+   * `v=batchId`, prune superseded/partial versions. The rollback point
+   * must be the newest COMPLETE predecessor: a crash between write and
+   * prune leaves duplicate v= dirs, and a crash mid-write leaves a
+   * partial one (no _SUCCESS) — replay rebases only on a version whose
+   * write committed.
+   */
+  private def commitVersioned(spark: SparkSession, statePath: String,
+      batchId: Long)(merge: Option[DataFrame] => DataFrame): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val allDirs: Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v="))
+    val prev = allDirs
+      .filter(n => fs.exists(
+        new org.apache.hadoop.fs.Path(root, s"$n/_SUCCESS")))
+      .map(_.drop(2).toLong).filter(_ < batchId).sorted.lastOption
+    val merged = merge(prev.map(p => spark.read.parquet(s"$statePath/v=$p")))
+    merged.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+    // prune everything but the rollback point and the new version —
+    // including the partial/superseded dirs a crash left behind
+    allDirs.map(_.drop(2).toLong)
+      .filter(v => v != batchId && !prev.contains(v))
+      .foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$statePath/v=$v"), true))
+  }
+
+  /**
+   * Streaming incremental QUANTILE maintenance — the percentile sibling of
+   * [[rollupIngest]], riding [[graft.ops.SketchOps]]' mergeable bottom-k
+   * sketch: each micro-batch reduces to per-type k-sized sketches, merged
+   * into the versioned state. Because the sketch merge is exactly
+   * commutative/associative ("bottom-k of bottom-ks == direct bottom-k"),
+   * the state after ANY sequence of batches, resumes, and replays is
+   * BIT-IDENTICAL to a single batch sketch over the admitted event set —
+   * the strongest replay guarantee an approximate aggregate can offer
+   * (spec-proven). Per batch this pays O(batch) + a |types|·k merge; event
+   * history is never re-scanned.
+   */
+  def quantileIngest(spark: SparkSession, events: DataFrame,
+                     statePath: String, checkpoint: String, k: Int = 1024,
+                     watermark: String = "1 hour"): StreamingQuery =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .queryName("graft_quantile_ingest")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ops.SketchOps.sketch(batch, "event_id", "value",
+            Seq("event_type"), k)
+          commitVersioned(spark, statePath, batchId) {
+            case Some(prev) => graft.ops.SketchOps.mergeSketches(
+              prev.unionByName(delta), Seq("event_type"), k)
+            case None => delta
+          }
+        }
+      }
+      .start()
+
+  /** Per-type quantile estimates from the newest COMPLETE sketch state
+    * (see [[quantileIngest]]): |types| rows read, no event scan. */
+  def latestQuantiles(spark: SparkSession, statePath: String,
+                      probs: Seq[Double]): DataFrame = {
+    val st = latestRollup(spark, statePath)
+    probs.map(p => st.select(col("event_type"), lit(p).as("p"),
+        graft.ops.SketchOps.sketchQuantile(
+          col(graft.ops.SketchOps.PairsCol), p).as("est"),
+        col(graft.ops.SketchOps.NCol).as("n_rows")))
+      .reduce(_ unionByName _)
+  }
 
   /** Newest COMPLETE rollup state version under `statePath` (see
     * [[rollupIngest]]): versions without a `_SUCCESS` marker are writes a

@@ -62,6 +62,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_temperature_mix",     // 1-row total + 1-row normalizer broadcasts
     "q_waterfill_mix",       // 1-row stratum-count + 1-row saturation broadcasts
     "q_pq_rerank",           // codebook-pool + query-set broadcasts (4 stages)
+    "q_ann_recall_audit",    // per-grid-point 1-row n_hit × n_true joins
+    "q_ann_recall_audit_pq", // same, over the IVF+PQ grid
     "q_tfidf_topterms",      // 1-row doc-count broadcast
     "q_unigram_logprob")     // 1-row corpus token total broadcast
 

@@ -187,6 +187,18 @@ class SessionOpsPropertiesSpec extends SparkSpec {
       .filter($"a" =!= $"b")
     moved.filter($"b" =!= 2L).count() shouldBe 0L
     moved.count() should be > 0L
+    // remove shard 2 entirely (weight 0): ONLY keys that lived on shard 2
+    // move, and they redistribute across the survivors — the minimal-
+    // disruption guarantee a 1000-node cluster drain depends on
+    val drained = keys.select(
+        ShardOps.weightedRendezvousShard($"id", w).as("a"),
+        ShardOps.weightedRendezvousShard($"id",
+          Seq(4.0, 2.0, 0.0, 1.0)).as("b"))
+    drained.filter($"a" =!= $"b" && $"a" =!= 2L).count() shouldBe 0L
+    drained.filter($"b" === 2L).count() shouldBe 0L
+    val rehomed = drained.filter($"a" === 2L)
+      .groupBy("b").count().as[(Long, Long)].collect().toMap
+    rehomed.keySet shouldBe Set(0L, 1L, 3L)
   }
 
   test("marginTopPairs: a planted duplicate scores a higher margin than diffuse queries") {

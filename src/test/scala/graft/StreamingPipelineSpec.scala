@@ -142,6 +142,52 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("quantileIngest: sketch state across batches/resumes is BIT-identical to one direct sketch") {
+    val work = Files.createTempDirectory("graft_qsk_").toString
+    val srcDir = s"$work/src"
+    val state = s"$work/state"
+    val cp = s"$work/cp"
+    val all = Stores.table(spark, sf0001, "events")
+      .select(StreamingPipeline.eventSchema.fieldNames.map(col).toIndexedSeq: _*)
+    def direct(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.SketchOps.sketch(df, "event_id", "value",
+        Seq("event_type"), k = 64).orderBy("event_type").collect()
+    val (w1, w2) = (all.filter($"event_id" % 2 === 0),
+      all.filter($"event_id" % 2 === 1))
+    w1.repartition(3).write.mode("overwrite").parquet(srcDir)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(StreamingPipeline.eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      // watermark widened past the fixture span (state semantics under
+      // test, not late-data eviction) — same as the rollupIngest specs
+      StreamingPipeline.quantileIngest(spark, stream, state, cp, k = 64,
+          watermark = "90 days")
+        .awaitTermination()
+    }
+    run()
+    // not merely within tolerance: the merge is exactly associative, so
+    // multi-micro-batch state must equal the one-shot sketch bit-for-bit
+    StreamingPipeline.latestRollup(spark, state)
+      .orderBy("event_type").collect() shouldBe direct(w1)
+
+    // wave 2 resumes the same checkpoint; only new files are absorbed
+    w2.repartition(2).write.mode("append").parquet(srcDir)
+    run()
+    StreamingPipeline.latestRollup(spark, state)
+      .orderBy("event_type").collect() shouldBe direct(all)
+
+    // the quantile read costs |types|·|probs| rows, no event scan
+    val est = StreamingPipeline.latestQuantiles(spark, state,
+        Seq(0.5, 0.9))
+      .as[(String, Double, Double, Long)].collect()
+    val nTypes = all.select("event_type").distinct().count()
+    est.length shouldBe nTypes * 2
+    val (lo, hi) = (all.agg(min($"value")).head().getDouble(0),
+      all.agg(max($"value")).head().getDouble(0))
+    est.forall(e => e._3 >= lo && e._3 <= hi) shouldBe true
+  }
+
   test("keyedIngest: event time is immutable on redelivery (ts not in update set)") {
     val work = Files.createTempDirectory("graft_stream_ts_").toString
     val mart = s"$work/mart"
