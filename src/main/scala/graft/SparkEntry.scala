@@ -88,6 +88,29 @@ object SparkEntry {
         "embedding", threshold = 0.4, nBits = 4, stride = 8)
     }
 
+  /** Persisted BM25 postings index over `documents` (same memoized
+    * build-once economics as the cluster stores). */
+  private def lexStore(s: SparkSession, d: String): String =
+    storeRoots.computeIfAbsent(s"$d#lex", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_lexidx_").toString + "/idx"
+      graft.ext.LexIndexStore.build(p, t(s, d, "documents"),
+        "doc_id", "text", nBuckets = 64)
+      p
+    })
+
+  /** Persisted IVF index over `embeddings` (8 deterministic centroids —
+    * the q_ivf_topk model, store-shaped). */
+  private def annStore(s: SparkSession, d: String): String =
+    storeRoots.computeIfAbsent(s"$d#ann", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_annidx_").toString + "/idx"
+      val emb = t(s, d, "embeddings")
+      graft.ext.AnnIndexStore.save(p, emb, "vec_id", "embedding",
+        SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8))
+      p
+    })
+
   /** Flagship: the full reference pipeline (extract→transform→load→QC→
     * reconcile) on sf0.001, returning its 1-row summary. Driver smoke-checks
     * rows>0. */
@@ -749,6 +772,22 @@ object SparkEntry {
           explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 5)))
             .as("term"))
       TextOps.bm25BatchTopK(docs, "doc_id", "text", qt, k = 3)
+        .orderBy("qid", "rnk")
+    }),
+
+    // the same retrieval against the PERSISTED postings index
+    // (LexIndexStore): corpus tokenized once into tb=-bucketed postings,
+    // each query batch reads only its terms' buckets (directory pruning —
+    // the lexical analog of the ANN store's cell pruning); results are
+    // bit-identical to q_bm25_batch by construction, so the full-hash
+    // oracle is shared
+    "q_bm25_index_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val qt = docs.filter(col("text").isNotNull && col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 5)))
+            .as("term"))
+      graft.ext.LexIndexStore.topK(s, lexStore(s, d), qt, k = 3)
         .orderBy("qid", "rnk")
     }),
 
@@ -1710,6 +1749,39 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("query_id", "rank")
+    }),
+
+    // the PERSISTED-index face of q_ivf_topk (AnnIndexStore): probed
+    // cells arrive as a literal partition filter, so the scan physically
+    // skips unprobed cell= directories; results are bit-identical to the
+    // in-memory operator at equal parameters, so the oracle is shared
+    "q_ann_store_topk" -> ((s, d) =>
+      graft.ext.AnnIndexStore.topK(s, annStore(s, d),
+          t(s, d, "embeddings")
+            .filter(col("vec_id") >= 10 && col("vec_id") < 20),
+          "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("query_id", "rank")),
+
+    // HYBRID retrieval entirely off persisted artifacts: BM25 ranks from
+    // the postings index (LexIndexStore, bucket-pruned) fused via RRF
+    // with cosine ranks from the IVF index at full probe (nprobe = cells
+    // ⇒ exact top-k — the recall audit's provable fixed point). The
+    // whole query path never touches raw documents or embeddings.
+    "q_hybrid_store_rrf" -> ((s, d) => {
+      import s.implicits._
+      val qt = Seq((0L, "dup"), (0L, "join"), (0L, "hash"))
+        .toDF("qid", "term")
+      val lex = graft.ext.LexIndexStore.topK(s, lexStore(s, d), qt, k = 20)
+        .select(col("doc_id"), col("rnk").as("rank"))
+      val sem = graft.ext.AnnIndexStore.topK(s, annStore(s, d),
+          t(s, d, "embeddings").filter(col("vec_id") === 3),
+          "vec_id", "embedding", k = 20, nprobe = 8)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").cast(LongType).as("rank"))
+      SimilarityOps.rrfFuse(Seq(lex, sem), "doc_id", "rank",
+          kRrf = 60, k = 15)
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)
     }),
 
     // multi-probe IVF: recall against the exact top-k is provably monotone
@@ -3324,6 +3396,13 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
 
     "q_bm25_batch" ->
+      (bm25BatchOracleCore + """
+         SELECT qid, doc_id, bm25, rnk FROM rk WHERE rnk <= 3
+         ORDER BY qid, rnk"""),
+
+    // the index-backed path must reproduce the batch operator exactly,
+    // so it shares its oracle verbatim
+    "q_bm25_index_topk" ->
       (bm25BatchOracleCore + """
          SELECT qid, doc_id, bm25, rnk FROM rk WHERE rnk <= 3
          ORDER BY qid, rnk"""),
@@ -5564,6 +5643,89 @@ object SparkEntry {
                 TRUE AS cand_monotone
          FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
          ORDER BY query_id""",
+
+    // the persisted-index path must reproduce the in-memory IVF operator
+    // exactly, so it shares q_ivf_topk's oracle verbatim
+    "q_ann_store_topk" ->
+      """WITH cen AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              vc AS (SELECT v.vec_id, cen.cid,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS dot,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS nv,
+                            SUM(CAST(cen.ce[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS nc
+                     FROM embeddings v, cen, idx GROUP BY v.vec_id, cen.cid),
+              scored_c AS (SELECT vec_id, cid, ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS cs FROM vc),
+              assign AS (SELECT vec_id, cid AS cell FROM (
+                           SELECT vec_id, cid,
+                                  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+                           FROM scored_c) WHERE rn = 1),
+              q AS (SELECT a.vec_id AS qid, e.embedding AS qe, a.cell
+                    FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+                    WHERE a.vec_id >= 10 AND a.vec_id < 20),
+              c AS (SELECT a.vec_id AS nid, e.embedding AS ne, a.cell
+                    FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+              pairs AS (SELECT q.qid, c.nid, q.qe, c.ne FROM q JOIN c USING (cell)
+                        WHERE c.nid <> q.qid),
+              dots AS (SELECT qid, nid,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+                              SUM(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nc
+                       FROM pairs, idx GROUP BY qid, nid),
+              ranked AS (SELECT qid AS query_id, nid AS neighbor_id,
+                                ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) AS score,
+                                CAST(row_number() OVER (PARTITION BY qid ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) DESC, nid ASC) AS BIGINT) AS rank
+                         FROM dots)
+         SELECT query_id, neighbor_id, score, rank FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // hybrid off persisted artifacts: batch-BM25 chain (round-per-term,
+    // decimal-summed — the LexIndexStore arithmetic) + exact cosine (the
+    // IVF index at full probe) + the RRF fold of q_hybrid_rrf
+    "q_hybrid_store_rrf" ->
+      """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                                CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+                         FROM documents WHERE text IS NOT NULL),
+              stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+                        FROM corpus),
+              q AS (SELECT unnest(['dup', 'join', 'hash']) AS term),
+              post0 AS (SELECT doc_id, dl, unnest(toks) AS term FROM corpus),
+              postings AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                           FROM post0 JOIN q USING (term)
+                           GROUP BY doc_id, dl, term),
+              dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft
+                      FROM postings GROUP BY term),
+              contrib AS (SELECT p.doc_id,
+                                 CAST(ROUND(ln(1.0 + (s.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+                                      * p.tf * 2.2
+                                      / (p.tf + (0.25 + (p.dl / s.avgdl) * 0.75) * 1.2), 6) AS DECIMAL(18,6)) AS c
+                          FROM q JOIN postings p USING (term)
+                               JOIN dfs d USING (term) CROSS JOIN stats s),
+              ds AS (SELECT doc_id, CAST(SUM(c) AS DECIMAL(18,6)) AS sc
+                     FROM contrib GROUP BY doc_id),
+              lexrk AS (SELECT doc_id,
+                               CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS BIGINT) AS rank
+                        FROM ds),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+              dots AS (SELECT c.vec_id AS doc_id,
+                              SUM(CAST(qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS nq,
+                              SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS nc
+                       FROM qe CROSS JOIN embeddings c, idx
+                       WHERE c.vec_id <> 3
+                       GROUP BY c.vec_id),
+              semrk AS (SELECT doc_id,
+                               CAST(row_number() OVER (ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) DESC, doc_id ASC) AS BIGINT) AS rank
+                        FROM dots),
+              unioned AS (SELECT doc_id, rank FROM lexrk WHERE rank <= 20
+                          UNION ALL
+                          SELECT doc_id, rank FROM semrk WHERE rank <= 20),
+              fused AS (SELECT doc_id,
+                               ROUND(CAST(SUM(CAST(1.0 / (60 + rank) AS DECIMAL(28,14))) AS DOUBLE), 6) AS rrf_score,
+                               CAST(COUNT(*) AS BIGINT) AS n_lists
+                        FROM unioned GROUP BY doc_id)
+         SELECT doc_id, rrf_score, n_lists FROM fused
+         ORDER BY rrf_score DESC, doc_id ASC LIMIT 15""",
 
     "q_ivf_topk" ->
       """WITH cen AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),

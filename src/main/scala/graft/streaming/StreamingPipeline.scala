@@ -603,7 +603,12 @@ object StreamingPipeline {
    * ([[graft.ext.AnnIndexStore.save]] — the base build freezes the
    * centroid model the appends assign against). Post-stream index state
    * is row-identical to a batch rebuild over (base ∪ admitted) under the
-   * same centroids — spec-proven.
+   * same centroids — spec-proven. With `lexIndexPath` set, the persisted
+   * BM25 postings index ([[graft.ext.LexIndexStore]], pre-built over the
+   * base corpus) grows with the same admitted set in the same batch
+   * scope — all three artifacts (dedup band index, ANN cells, postings)
+   * advance in lockstep, and its post-stream query results equal a batch
+   * rebuild over (base ∪ admitted) bit-for-bit (spec-proven).
    *
    * Scale: the admission cost is [[dedupIngest]]'s (O(batch) shingles,
    * O(batch × bands) index join); the ANN append is one narrow
@@ -614,7 +619,8 @@ object StreamingPipeline {
                      indexPath: String, rejectPath: String,
                      annIndexPath: String, checkpoint: String,
                      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                     threshold: Double = 0.8): StreamingQuery = {
+                     threshold: Double = 0.8,
+                     lexIndexPath: Option[String] = None): StreamingQuery = {
     val runTag = java.security.MessageDigest.getInstance("MD5")
       .digest(checkpoint.getBytes("UTF-8")).take(4).map("%02x".format(_))
       .mkString
@@ -635,9 +641,17 @@ object StreamingPipeline {
               idCol, textCol, corpusPath, indexPath, rejectPath,
               n, numHashes, bands, threshold)
             try {
-              if (!admitted.isEmpty)
+              if (!admitted.isEmpty) {
                 graft.ext.AnnIndexStore.append(annIndexPath, admitted,
                   idCol, vecCol, batchId = runBase + batchId + 1)
+                // optional third artifact: the BM25 postings index grows
+                // with the same admitted set in the same batch scope —
+                // admitted ⇒ retrievable lexically AND semantically, and
+                // a replay overwrites the same b= partition everywhere
+                lexIndexPath.foreach(lp =>
+                  graft.ext.LexIndexStore.append(lp, admitted, idCol,
+                    textCol, batchId = runBase + batchId + 1))
+              }
             } finally admitted.unpersist(blocking = false)
           } finally b.unpersist(blocking = false)
         }

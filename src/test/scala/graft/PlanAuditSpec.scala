@@ -54,6 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivfpq_topk",          // exact-baseline cosineTopK's broadcast query set
     "q_pmi_collocations",    // 1-row corpus token total broadcast
     "q_bm25_batch",          // 1-row corpus-stats broadcast
+    "q_bm25_index_topk",     // same 1-row stats broadcast, index-backed
+    "q_hybrid_store_rrf",    // inherits the index-backed BM25 stats join
     "q_self_retrieval_mrr",  // 1-row corpus-stats + 1-row query-count broadcasts
     "q_kneser_ney",          // 1-row bigram-type-count broadcast
     "q_nb_classify",         // K-row prior/total + 1-row vocab-size broadcasts

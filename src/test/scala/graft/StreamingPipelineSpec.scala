@@ -400,15 +400,20 @@ class StreamingPipelineSpec extends SparkSpec {
   }
 
   test("dedupAnnIngest: ANN index grows with exactly the admitted set, equal to a batch rebuild under the same centroids") {
-    import graft.ext.{AnnIndexStore, SimilarityOps}
+    import graft.ext.{AnnIndexStore, LexIndexStore, SimilarityOps, TextOps}
     val work = Files.createTempDirectory("graft_dedup_ann_").toString
     val corpus = s"$work/corpus"; val index = s"$work/index"
     val rejects = s"$work/rejects"; val ann = s"$work/ann"
+    val lex = s"$work/lex"
     val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
-    // base build: the pre-stream corpus freezes the centroid model
+    // base build: the pre-stream corpus freezes the centroid model, and
+    // seeds the lexical postings index
     val base = Seq((100L, Seq(0.9f, 0.1f, 0f, 0f)))
       .toDF("doc_id", "vec")
+    val baseText = Seq((100L, "base corpus document words"))
+      .toDF("doc_id", "text")
     AnnIndexStore.save(ann, base, "doc_id", "vec", cents)
+    LexIndexStore.build(lex, baseText, "doc_id", "text", nBuckets = 8)
 
     val docSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -428,7 +433,8 @@ class StreamingPipelineSpec extends SparkSpec {
     val q = StreamingPipeline.dedupAnnIngest(spark,
       spark.readStream.schema(docSchema).parquet(s"$work/src"),
       "doc_id", "text", "vec", corpus, index, rejects, ann, s"$work/cp",
-      n = 2, numHashes = 16, bands = 4, threshold = 0.9)
+      n = 2, numHashes = 16, bands = 4, threshold = 0.9,
+      lexIndexPath = Some(lex))
     q.awaitTermination()
 
     val admitted = spark.read.parquet(corpus)
@@ -447,5 +453,20 @@ class StreamingPipelineSpec extends SparkSpec {
     got shouldBe expected
     // the rejected doc never became searchable
     got.map(_._1) should not contain 3L
+
+    // the POSTINGS index advanced in the same lockstep: store-backed BM25
+    // equals the batch operator over base ∪ admitted, bit-for-bit, and
+    // the rejected doc is not retrievable
+    val allText = baseText
+      .unionByName(admitted.select(col("doc_id"), col("text")))
+    val lexQt = allText.select(col("doc_id").as("qid"),
+      explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 4)))
+        .as("term"))
+    val lexGot = LexIndexStore.topK(spark, lex, lexQt, k = 3)
+      .orderBy("qid", "rnk")
+    lexGot.collect() shouldBe
+      TextOps.bm25BatchTopK(allText, "doc_id", "text", lexQt, k = 3)
+        .orderBy("qid", "rnk").collect()
+    lexGot.select("doc_id").as[Long].collect() should not contain 3L
   }
 }
