@@ -1763,6 +1763,14 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("query_id", "rank")),
 
+    // index-health audit of the persisted IVF store: per-cell member
+    // counts and shares — drift concentrates new rows in few cells until
+    // probing them IS a corpus scan; this is the measured "time to
+    // retrain+swap" signal (AnnIndexStore.retrain)
+    "q_ann_cell_balance" -> ((s, d) =>
+      graft.ext.AnnIndexStore.cellSizes(s, annStore(s, d))
+        .orderBy("cell")),
+
     // HYBRID retrieval entirely off persisted artifacts: BM25 ranks from
     // the postings index (LexIndexStore, bucket-pruned) fused via RRF
     // with cosine ranks from the IVF index at full probe (nprobe = cells
@@ -5677,6 +5685,24 @@ object SparkEntry {
                          FROM dots)
          SELECT query_id, neighbor_id, score, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_ann_cell_balance" ->
+      """WITH cen AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              vc AS (SELECT v.vec_id, cen.cid,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS dot,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS nv,
+                            SUM(CAST(cen.ce[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS nc
+                     FROM embeddings v, cen, idx GROUP BY v.vec_id, cen.cid),
+              scored_c AS (SELECT vec_id, cid, ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS cs FROM vc),
+              assign AS (SELECT vec_id, cid AS cell FROM (
+                           SELECT vec_id, cid,
+                                  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+                           FROM scored_c) WHERE rn = 1)
+         SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+                ROUND(CAST(COUNT(*) AS DOUBLE)
+                      / (SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings), 6) AS share
+         FROM assign GROUP BY cell ORDER BY cell""",
 
     // hybrid off persisted artifacts: batch-BM25 chain (round-per-term,
     // decimal-summed — the LexIndexStore arithmetic) + exact cosine (the

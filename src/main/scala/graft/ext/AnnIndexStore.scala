@@ -62,6 +62,82 @@ object AnnIndexStore {
     writeBatch(path, newRows, idCol, vecCol, centroids, batchId)
   }
 
+  // ---- retrain + atomic swap ----------------------------------------------
+
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def mv(fs: org.apache.hadoop.fs.FileSystem,
+                 a: String, b: String): Unit =
+    require(fs.rename(hp(a), hp(b)), s"rename $a -> $b failed")
+
+  /** Root-level commit marker for the whole index TREE: the parquet
+    * `_SUCCESS` files only mark individual sub-writes, so the swap needs
+    * its own "every sub-artifact committed" witness. */
+  private val Marker = "_INDEX_SUCCESS"
+
+  /**
+   * RE-TRAIN + crash-safe swap — the drift path [[append]] explicitly
+   * defers to: when frozen centroids stop partitioning new data well
+   * (see `cellSizes` / `q_ann_cell_balance`), rebuild the whole index
+   * under NEW centroids beside the live one and swap it in by the
+   * rename-aside discipline of [[graft.sources.Stores]] marts (write
+   * `.retrain` → live→`.preretrain` → `.retrain`→live → drop backup) —
+   * at every instant a complete index exists at the path or a recoverable
+   * neighbor, never a half-rebuilt mix of old and new cells.
+   * [[recoverRetrain]] repairs any crash point on next access; a
+   * replayed retrain is idempotent (it rebuilds from the same inputs).
+   */
+  def retrain(path: String, corpus: DataFrame, idCol: String,
+              vecCol: String, centroids: Seq[(Long, Seq[Float])]): Unit = {
+    val spark = corpus.sparkSession
+    val fs = hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRetrain(spark, path)
+    val tmp = path + ".retrain"
+    val bak = path + ".preretrain"
+    fs.delete(hp(tmp), true)
+    save(tmp, corpus, idCol, vecCol, centroids)
+    fs.create(hp(s"$tmp/$Marker")).close()
+    fs.delete(hp(bak), true)
+    if (fs.exists(hp(path))) mv(fs, path, bak)
+    mv(fs, tmp, path)
+    fs.delete(hp(bak), true)
+  }
+
+  /** Recover the [[retrain]] swap after a crash — same invariants as the
+    * mart swap: live present → drop the superseded backup; live missing
+    * with a MARKED tmp → the rebuild committed, promote it; live missing
+    * with only a backup → restore it. An UNMARKED tmp is an interrupted
+    * rebuild: never promoted (dropped on the next retrain). */
+  def recoverRetrain(spark: SparkSession, path: String): Unit = {
+    val fs = hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (tmp, bak) = (path + ".retrain", path + ".preretrain")
+    if (fs.exists(hp(path))) {
+      fs.delete(hp(bak), true)
+    } else if (fs.exists(hp(s"$tmp/$Marker"))) {
+      mv(fs, tmp, path)
+      fs.delete(hp(bak), true)
+    } else if (fs.exists(hp(bak))) {
+      mv(fs, bak, path)
+      fs.delete(hp(tmp), true)
+    }
+  }
+
+  /**
+   * Index-health audit: member count and share per cell. A balanced index
+   * keeps query cost ≈ nprobe/c of the corpus; drift concentrates new
+   * rows in few cells until probing them IS a corpus scan — this is the
+   * measured "time to [[retrain]]" signal. One |cells|-row aggregate over
+   * the index (cell is a partition column: the scan reads directory
+   * names + row counts, not vectors).
+   */
+  def cellSizes(spark: SparkSession, path: String): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val total = cells.count()
+    cells.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_members"))
+      .withColumn("share",
+        round(col("n_members").cast("double") / total, 6))
+  }
+
   /** The persisted centroid artifact, in [[SimilarityOps.ivfAssign]]'s
     * in-memory shape (bounded by c — a model, not data). */
   def loadCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Float])] =

@@ -259,6 +259,51 @@ class KmeansIvfSpec extends SparkSpec {
     inc.count() should be > 0L
   }
 
+  test("AnnIndexStore.retrain swaps in a rebuild under new centroids; every crash point recovers") {
+    import graft.ext.AnnIndexStore
+    val work = java.nio.file.Files.createTempDirectory("graft_annrt_").toString
+    val idx = s"$work/idx"
+    val oldC = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 4)
+    val newC = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
+      c = 8, iters = 2, dim = 64)
+    AnnIndexStore.save(idx, emb, "vec_id", "embedding", oldC)
+    AnnIndexStore.retrain(idx, emb, "vec_id", "embedding", newC)
+    // swapped index == a fresh build under the new centroids; no residue
+    AnnIndexStore.save(s"$work/fresh", emb, "vec_id", "embedding", newC)
+    val queries = emb.filter(col("vec_id") < 5)
+    AnnIndexStore.topK(spark, idx, queries, "vec_id", "embedding",
+        k = 3, nprobe = 2).orderBy("query_id", "rank").collect() shouldBe
+      AnnIndexStore.topK(spark, s"$work/fresh", queries, "vec_id",
+        "embedding", k = 3, nprobe = 2)
+        .orderBy("query_id", "rank").collect()
+    new java.io.File(s"$idx.retrain").exists() shouldBe false
+    new java.io.File(s"$idx.preretrain").exists() shouldBe false
+
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def crash(prep: () => Unit): Unit = { prep(); AnnIndexStore.recoverRetrain(spark, idx) }
+    // crash between live→bak and tmp→live: MARKED tmp promotes
+    crash { () =>
+      fs.rename(new org.apache.hadoop.fs.Path(idx),
+        new org.apache.hadoop.fs.Path(s"$idx.retrain"))
+      fs.create(new org.apache.hadoop.fs.Path(s"$idx.retrain/_INDEX_SUCCESS")).close()
+    }
+    AnnIndexStore.loadCentroids(spark, idx) shouldBe newC.sortBy(_._1)
+    // crash mid-rebuild: live gone, UNMARKED tmp never promotes, bak restores
+    crash { () =>
+      fs.rename(new org.apache.hadoop.fs.Path(idx),
+        new org.apache.hadoop.fs.Path(s"$idx.preretrain"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx.retrain/cells"))
+    }
+    AnnIndexStore.loadCentroids(spark, idx) shouldBe newC.sortBy(_._1)
+    // crash after swap, before backup drop: live wins, backup pruned
+    crash { () =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx.preretrain/cells"))
+    }
+    new java.io.File(s"$idx.preretrain").exists() shouldBe false
+    AnnIndexStore.loadCentroids(spark, idx) shouldBe newC.sortBy(_._1)
+  }
+
   test("annIngest streams batches into the index exactly-once; replay does not duplicate") {
     import graft.ext.AnnIndexStore
     import graft.streaming.StreamingPipeline

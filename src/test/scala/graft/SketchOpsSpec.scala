@@ -55,6 +55,20 @@ class SketchOpsSpec extends SparkSpec {
     audit.map(_._2) shouldBe sorted
   }
 
+  test("k >= group size: the sample IS the group and quantiles are exact order statistics") {
+    val df = mk(300).withColumn("g", lit("all"))
+    val sk = SketchOps.sketch(df, "k", "v", Seq("g"), k = 512)
+    val (n, pairs) = pairsOf(sk)("all")
+    n shouldBe 300L
+    pairs.length shouldBe 300
+    val vals = df.select("v").as[Double].collect().sorted
+    for (p <- Seq(0.0, 0.1, 0.5, 0.9, 1.0)) {
+      val est = sk.select(SketchOps.sketchQuantile(col(SketchOps.PairsCol), p))
+        .head().getDouble(0)
+      est shouldBe vals(math.max(1, math.ceil(p * 300).toInt) - 1)
+    }
+  }
+
   test("persisted sketches survive parquet and APPEND like any additive artifact") {
     val work = java.nio.file.Files.createTempDirectory("graft_sk_").toString
     val df = mk(4000).withColumn("day", col("k") % 3)
