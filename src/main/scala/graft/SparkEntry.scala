@@ -111,6 +111,20 @@ object SparkEntry {
       p
     })
 
+  /** Persisted IVF+PQ (IVFADC) index — the annStore centroids plus
+    * trained codebooks, codes materialized at write. */
+  private def annPqStore(s: SparkSession, d: String): String =
+    storeRoots.computeIfAbsent(s"$d#annpq", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_annpq_").toString + "/idx"
+      val emb = t(s, d, "embeddings")
+      graft.ext.AnnIndexStore.save(p, emb, "vec_id", "embedding",
+        SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8),
+        SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+          m = 8, codes = 16, iters = 2, dim = 64))
+      p
+    })
+
   /** Flagship: the full reference pipeline (extract→transform→load→QC→
     * reconcile) on sf0.001, returning its 1-row summary. Driver smoke-checks
     * rows>0. */
@@ -1762,6 +1776,26 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("query_id", "rank")),
+
+    // the persisted IVFADC tier at its provable fixed point: full probe +
+    // unpruned candidates hands the whole corpus to the exact rerank, so
+    // the store-backed PQ path must recover the exact top-k — the stored
+    // codes' coarse phase reads m bytes/row (column pruning), never the
+    // raw vectors (bound-based oracle, the q_ivfpq_topk scheme)
+    "q_ann_store_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val exact = SimilarityOps.cosineTopK(queries, emb,
+          "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      graft.ext.AnnIndexStore.topKPq(s, annPqStore(s, d), queries,
+          "vec_id", "embedding", k = 5, nprobe = 8, candidates = 100000)
+        .select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        .select(col("query_id"), (col("n_hit") === 5L).as("recall_exact"))
+        .orderBy("query_id")
+    }),
 
     // index-health audit of the persisted IVF store: per-cell member
     // counts and shares — drift concentrates new rows in few cells until
@@ -5685,6 +5719,11 @@ object SparkEntry {
                          FROM dots)
          SELECT query_id, neighbor_id, score, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_ann_store_pq" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_exact
+         FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
+         ORDER BY query_id""",
 
     "q_ann_cell_balance" ->
       """WITH cen AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),

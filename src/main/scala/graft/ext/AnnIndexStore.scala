@@ -30,21 +30,36 @@ object AnnIndexStore {
     * [[graft.streaming.StreamingPipeline]] ingest). Cell pruning is
     * unaffected: `cell` stays a partition column at the leaf level. */
   def save(path: String, corpus: DataFrame, idCol: String, vecCol: String,
-           centroids: Seq[(Long, Seq[Float])]): Unit = {
+           centroids: Seq[(Long, Seq[Float])],
+           codebooks: Seq[Seq[Seq[Float]]] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    writeBatch(path, corpus, idCol, vecCol, centroids, batchId = 0L)
+    writeBatch(path, corpus, idCol, vecCol, centroids, codebooks,
+      batchId = 0L)
     centroids.toDF("cid", "vec")
       .write.mode("overwrite").parquet(s"$path/centroids")
+    if (codebooks.nonEmpty)
+      codebooks.zipWithIndex
+        .flatMap { case (cb, s) => cb.zipWithIndex.map { case (v, j) =>
+          (s, j, v) } }
+        .toDF("s", "j", "vec")
+        .write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
   private def writeBatch(path: String, rows: DataFrame, idCol: String,
                          vecCol: String, centroids: Seq[(Long, Seq[Float])],
-                         batchId: Long): Unit =
-    SimilarityOps.ivfAssign(rows, centroids, idCol, vecCol)
-      .select(col(idCol), col(vecCol), col("cell"))
+                         codebooks: Seq[Seq[Seq[Float]]],
+                         batchId: Long): Unit = {
+    val assigned = SimilarityOps.ivfAssign(rows, centroids, idCol, vecCol)
+    val cols =
+      if (codebooks.isEmpty) Seq(col(idCol), col(vecCol), col("cell"))
+      else Seq(col(idCol), col(vecCol),
+        SimilarityOps.pqCodeColumn(rows, col(vecCol), codebooks)
+          .as("pq_codes"), col("cell"))
+    assigned.select(cols: _*)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/b=$batchId")
+  }
 
   /** Incremental index growth: assign ONLY the new rows against the
     * persisted centroids and land them in their own `b=batchId` ingest
@@ -53,13 +68,30 @@ object AnnIndexStore {
     * the same centroids (spec-proven), and a REPLAYED batch id
     * overwrites its own partition instead of duplicating, so
     * at-least-once delivery becomes exactly-once at the directory level.
-    * Re-train + full rebuild remains the move when drift makes the
-    * frozen centroids a bad partition of the new data. */
+    * If the index carries PQ codes, the new rows are encoded under the
+    * same frozen codebooks. Re-train + full rebuild ([[retrain]]) remains
+    * the move when drift makes the frozen models a bad fit for new data
+    * (watch [[cellSizes]]). */
   def append(path: String, newRows: DataFrame, idCol: String,
              vecCol: String, batchId: Long = 1L): Unit = {
     require(batchId > 0, "batchId 0 is the base build")
-    val centroids = loadCentroids(newRows.sparkSession, path)
-    writeBatch(path, newRows, idCol, vecCol, centroids, batchId)
+    val spark = newRows.sparkSession
+    writeBatch(path, newRows, idCol, vecCol, loadCentroids(spark, path),
+      loadCodebooks(spark, path), batchId)
+  }
+
+  /** The persisted PQ codebook artifact in [[SimilarityOps.pqEncode]]'s
+    * nested shape (m × codes × subdim — a model, not data); empty for a
+    * coarse-only index. */
+  def loadCodebooks(spark: SparkSession,
+                    path: String): Seq[Seq[Seq[Float]]] = {
+    val fs = hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp(s"$path/codebooks"))) Nil
+    else spark.read.parquet(s"$path/codebooks")
+      .select("s", "j", "vec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
   }
 
   // ---- retrain + atomic swap ----------------------------------------------
@@ -87,14 +119,15 @@ object AnnIndexStore {
    * replayed retrain is idempotent (it rebuilds from the same inputs).
    */
   def retrain(path: String, corpus: DataFrame, idCol: String,
-              vecCol: String, centroids: Seq[(Long, Seq[Float])]): Unit = {
+              vecCol: String, centroids: Seq[(Long, Seq[Float])],
+              codebooks: Seq[Seq[Seq[Float]]] = Nil): Unit = {
     val spark = corpus.sparkSession
     val fs = hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverRetrain(spark, path)
     val tmp = path + ".retrain"
     val bak = path + ".preretrain"
     fs.delete(hp(tmp), true)
-    save(tmp, corpus, idCol, vecCol, centroids)
+    save(tmp, corpus, idCol, vecCol, centroids, codebooks)
     fs.create(hp(s"$tmp/$Marker")).close()
     fs.delete(hp(bak), true)
     if (fs.exists(hp(path))) mv(fs, path, bak)
@@ -157,6 +190,54 @@ object AnnIndexStore {
    * [[SimilarityOps.ivfTopK]], so results match the in-memory operator
    * bit-for-bit at equal parameters.
    */
+  /**
+   * Fused IVF+PQ (IVFADC) top-k against the PERSISTED index — requires a
+   * [[save]] with codebooks. Coarse phase: score cosine(query,
+   * PQ-reconstructed vector) over the probed cells using the STORED
+   * `pq_codes` — parquet column pruning means this scan reads m bytes
+   * per row, not the 4·dim raw vector (at 100 TB the coarse IO drops
+   * ~32× on a 64-dim float corpus at m=8); partition pruning drops
+   * unprobed cells as in [[topK]]. Rerank: only the ≤ |Q|·candidates
+   * survivors' raw vectors are read, by id, for exact cosine. Results
+   * are bit-identical to the in-memory [[SimilarityOps.ivfPqTopK]] at
+   * equal parameters (spec-proven): the stored codes were produced by
+   * the same frozen codebooks the in-memory form encodes with at query
+   * time.
+   */
+  def topKPq(spark: SparkSession, path: String, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             nprobe: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be ≥ k=$k")
+    GraftFunctions.register(spark)
+    val centroids = loadCentroids(spark, path)
+    val codebooks = loadCodebooks(spark, path)
+    require(codebooks.nonEmpty,
+      s"$path carries no PQ codebooks — build with save(…, codebooks)")
+    val q = SimilarityOps.ivfProbeCells(queries, centroids, vecCol, nprobe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"))
+    val probed = q.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probed: _*))
+    val coarse = cells
+      .select(col(idCol).cast("long").as("neighbor_id"), col("cell"),
+        SimilarityOps.pqReconstruct(col("pq_codes"), codebooks).as("rv"))
+      .join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", SimilarityOps.cosineNative(col("qv"), col("rv")))
+    val cand = SimilarityOps.heapTopK(coarse, candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val qFull = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val exact = cand
+      .join(spark.read.parquet(s"$path/cells")
+        .select(col(idCol).cast("long").as("neighbor_id"),
+          col(vecCol).as("cv")), "neighbor_id")
+      .join(broadcast(qFull), "query_id")
+      .withColumn("score", SimilarityOps.cosineNative(col("qv"), col("cv")))
+    SimilarityOps.heapTopK(exact, k)
+  }
+
   def topK(spark: SparkSession, path: String, queries: DataFrame,
            idCol: String, vecCol: String, k: Int,
            nprobe: Int = 1): DataFrame = {

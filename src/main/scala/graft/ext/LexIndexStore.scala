@@ -63,6 +63,72 @@ object LexIndexStore {
   private def nBucketsOf(spark: SparkSession, path: String): Int =
     spark.read.parquet(s"$path/meta").head().getInt(0)
 
+  /**
+   * COMPACT the ingest batches: a long-running append stream accretes one
+   * `b=` directory per micro-batch, and at 100 TB the file count — not
+   * the data — becomes the scan-planning cost (every query lists every
+   * batch's files in its pruned buckets). Compaction rewrites the union
+   * of all batches into a single fresh `b=0` under a sibling directory
+   * and swaps it in with the rename-aside discipline of
+   * [[graft.sources.Stores.compact]] (never delete-then-rename — a crash
+   * at any instant leaves a complete postings tree live or recoverable
+   * via [[recoverCompact]]). Query results are unchanged by construction:
+   * postings rows are per-(doc, term) facts independent of which batch
+   * carried them, and df/N/avgdl re-derive from the same union
+   * (spec-proven identical). Appends resume after compaction with fresh
+   * batch ids > 0.
+   */
+  def compact(path: String, spark: SparkSession): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    recoverCompact(spark, path)
+    val nBuckets = nBucketsOf(spark, path)
+    val tmp = path + ".compact"
+    val bak = path + ".precompact"
+    fs.delete(hp(tmp), true)
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$tmp/meta")
+    spark.read.parquet(s"$path/postings")
+      .select("term", "doc_id", "tf", "dl", "tb")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$tmp/postings/b=0")
+    spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$tmp/stats/b=0")
+    fs.create(hp(s"$tmp/$Marker")).close()
+    fs.delete(hp(bak), true)
+    require(fs.rename(hp(path), hp(bak)), s"rename $path -> $bak failed")
+    require(fs.rename(hp(tmp), hp(path)), s"rename $tmp -> $path failed")
+    fs.delete(hp(bak), true)
+  }
+
+  /** Root commit marker for the compacted tree (the swap needs an
+    * all-sub-writes-committed witness; parquet `_SUCCESS` files only mark
+    * individual sub-writes). */
+  private val Marker = "_INDEX_SUCCESS"
+
+  /** Recover the [[compact]] swap after a crash — the
+    * [[graft.ext.AnnIndexStore.recoverRetrain]] invariants: live present
+    * → drop the superseded backup; live missing with a MARKED tmp →
+    * promote; live missing with only a backup → restore. */
+  def recoverCompact(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val (tmp, bak) = (path + ".compact", path + ".precompact")
+    if (fs.exists(hp(path))) {
+      fs.delete(hp(bak), true)
+    } else if (fs.exists(hp(s"$tmp/$Marker"))) {
+      require(fs.rename(hp(tmp), hp(path)), s"rename $tmp -> $path failed")
+      fs.delete(hp(bak), true)
+    } else if (fs.exists(hp(bak))) {
+      require(fs.rename(hp(bak), hp(path)), s"rename $bak -> $path failed")
+      fs.delete(hp(tmp), true)
+    }
+  }
+
   private def writeBatch(path: String, docs: DataFrame, idCol: String,
                          textCol: String, nBuckets: Int,
                          batchId: Long): Unit = {

@@ -259,6 +259,41 @@ class KmeansIvfSpec extends SparkSpec {
     inc.count() should be > 0L
   }
 
+  test("AnnIndexStore.topKPq: persisted IVFADC equals the in-memory fused operator; coarse scan reads codes, not vectors") {
+    import graft.ext.AnnIndexStore
+    val work = java.nio.file.Files.createTempDirectory("graft_annpq_").toString
+    val cents = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
+      c = 4, iters = 2, dim = 64)
+    val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, codes = 16, iters = 2, dim = 64)
+    AnnIndexStore.save(s"$work/idx", emb, "vec_id", "embedding", cents, cbs)
+    AnnIndexStore.loadCodebooks(spark, s"$work/idx") shouldBe cbs
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = AnnIndexStore.topKPq(spark, s"$work/idx", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2, candidates = 10)
+    got.orderBy("query_id", "rank").collect() shouldBe
+      SimilarityOps.ivfPqTopK(queries, emb, cents, cbs,
+          "vec_id", "embedding", k = 3, nprobe = 2, candidates = 10)
+        .orderBy("query_id", "rank").collect()
+    // the ADC IO contract: some scan reads pq_codes WITHOUT the raw
+    // vector column (coarse), and the raw vectors are read only for the
+    // rerank join — the ~32x coarse-IO reduction at scale
+    val schemas = "ReadSchema: [^\\n]*".r
+      .findAllIn(got.queryExecution.executedPlan.toString).toList
+    schemas.exists(s =>
+      s.contains("pq_codes") && !s.contains("embedding")) shouldBe true
+
+    // PQ append under the frozen models == full rebuild
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndexStore.save(s"$work/inc", half1, "vec_id", "embedding", cents, cbs)
+    AnnIndexStore.append(s"$work/inc", half2, "vec_id", "embedding")
+    AnnIndexStore.topKPq(spark, s"$work/inc", queries, "vec_id",
+        "embedding", k = 3, nprobe = 2, candidates = 10)
+      .orderBy("query_id", "rank").collect() shouldBe
+      got.orderBy("query_id", "rank").collect()
+  }
+
   test("AnnIndexStore.retrain swaps in a rebuild under new centroids; every crash point recovers") {
     import graft.ext.AnnIndexStore
     val work = java.nio.file.Files.createTempDirectory("graft_annrt_").toString

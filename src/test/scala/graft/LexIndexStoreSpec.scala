@@ -5,6 +5,7 @@ import graft.sources.Stores
 import org.apache.spark.sql.functions._
 
 class LexIndexStoreSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val docs = Stores.table(spark, sf0001, "documents")
   private lazy val qt = docs
@@ -37,6 +38,46 @@ class LexIndexStoreSpec extends SparkSpec {
     LexIndexStore.append(s"$work/idx", late, "doc_id", "text", batchId = 1)
     LexIndexStore.topK(spark, s"$work/idx", qt, k = 4)
       .orderBy("qid", "rnk").collect() shouldBe expAll
+  }
+
+  test("compact folds the ingest batches into one b=0; results and appends unchanged; crash recovers") {
+    val work = java.nio.file.Files.createTempDirectory("graft_lexc_").toString
+    val idx = s"$work/idx"
+    val (a, b, c) = (docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+    LexIndexStore.build(idx, a, "doc_id", "text", nBuckets = 8)
+    LexIndexStore.append(idx, b, "doc_id", "text", batchId = 1)
+    LexIndexStore.append(idx, c, "doc_id", "text", batchId = 2)
+    val exp = LexIndexStore.topK(spark, idx, qt, k = 4)
+      .orderBy("qid", "rnk").collect()
+
+    LexIndexStore.compact(idx, spark)
+    new java.io.File(s"$idx/postings").list()
+      .filter(_.startsWith("b=")).toSeq shouldBe Seq("b=0")
+    LexIndexStore.topK(spark, idx, qt, k = 4)
+      .orderBy("qid", "rnk").collect() shouldBe exp
+    new java.io.File(s"$idx.compact").exists() shouldBe false
+    new java.io.File(s"$idx.precompact").exists() shouldBe false
+
+    // crash between live→bak and tmp→live: the MARKED tmp promotes
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(s"$idx.compact"))
+    LexIndexStore.recoverCompact(spark, idx)
+    LexIndexStore.topK(spark, idx, qt, k = 4)
+      .orderBy("qid", "rnk").collect() shouldBe exp
+
+    // appends resume after compaction with fresh batch ids
+    val extra = Seq((100000L, "wholly novel appended document text"))
+      .toDF("doc_id", "text")
+    LexIndexStore.append(idx, extra, "doc_id", "text", batchId = 7)
+    LexIndexStore.topK(spark, idx, qt, k = 4)
+      .orderBy("qid", "rnk").collect() shouldBe
+      TextOps.bm25BatchTopK(docs.select("doc_id", "text").unionByName(extra),
+          "doc_id", "text", qt, k = 4)
+        .orderBy("qid", "rnk").collect()
   }
 
   test("query scan is pruned to the query terms' tb= buckets") {

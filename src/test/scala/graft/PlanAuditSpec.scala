@@ -56,6 +56,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25_batch",          // 1-row corpus-stats broadcast
     "q_bm25_index_topk",     // same 1-row stats broadcast, index-backed
     "q_hybrid_store_rrf",    // inherits the index-backed BM25 stats join
+    "q_ann_store_pq",        // exact-baseline cosineTopK's broadcast query set
     "q_self_retrieval_mrr",  // 1-row corpus-stats + 1-row query-count broadcasts
     "q_kneser_ney",          // 1-row bigram-type-count broadcast
     "q_nb_classify",         // K-row prior/total + 1-row vocab-size broadcasts
