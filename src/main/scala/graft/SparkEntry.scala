@@ -1826,6 +1826,56 @@ object SparkEntry {
         .orderBy(col("rrf_score").desc, col("doc_id").asc)
     }),
 
+    // k-NN label vote: each query takes the majority label of its 5
+    // nearest labeled-seed neighbors (ties → more votes, then smaller
+    // label) — label propagation by embedding proximity, the model-free
+    // complement of q_nb_classify
+    "q_knn_classify" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.knnClassify(
+          emb.filter(col("vec_id") < 20),
+          emb.filter(col("vec_id") >= 100),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id")
+    }),
+
+    // typicality selection: the 2 best-fitting members of every IVF cell
+    // (highest cosine to their own centroid) — cluster exemplars for
+    // labeling seeds / human review / coreset stand-ins
+    "q_cell_prototypes" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      SimilarityOps.cellPrototypes(emb, cents, "vec_id", "embedding", m = 2)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("cell", "rank")
+    }),
+
+    // the complement: the 10 corpus rows the centroid model explains
+    // WORST (lowest cosine to their nearest centroid) — novel topics /
+    // encoder failures / between-cluster garbage; the row-level half of
+    // the q_ann_cell_balance retrain signal
+    "q_embedding_outliers" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      SimilarityOps.embeddingOutliers(emb, cents, "vec_id", "embedding",
+          k = 10)
+        .orderBy(col("score").asc, col("vec_id").asc)
+    }),
+
+    // embedding-space distribution drift between two snapshot waves over
+    // a FROZEN cell model: per-cell population PSI (the q_drift_psi
+    // statistic lifted into semantic space) — says WHERE the new wave's
+    // mass moved, the retrain/remix trigger
+    "q_embedding_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      SimilarityOps.embeddingDriftPsi(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          cents, "vec_id", "embedding")
+        .orderBy("bucket")
+    }),
+
     // multi-probe IVF: recall against the exact top-k is provably monotone
     // in nprobe (candidate sets nest: any exact-top-k member among the
     // candidates always survives to the IVF top-k), so the bound-based
@@ -5823,6 +5873,94 @@ object SparkEntry {
                          FROM dots)
          SELECT query_id, neighbor_id, score, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // brute-force 5-NN among the labeled seed (vec_id >= 100), then the
+    // majority vote with (votes desc, label asc) tie-break
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+              c AS (SELECT vec_id AS nid, embedding AS ne, label FROM embeddings WHERE vec_id >= 100),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              dots AS (SELECT qid, nid,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+                              SUM(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nc
+                       FROM q, c, idx GROUP BY qid, nid),
+              ranked AS (SELECT qid, nid,
+                                row_number() OVER (PARTITION BY qid ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) DESC, nid ASC) AS rn
+                         FROM dots),
+              nn AS (SELECT r.qid, c.label FROM ranked r JOIN c ON c.nid = r.nid WHERE r.rn <= 5),
+              votes AS (SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS votes FROM nn GROUP BY qid, label),
+              best AS (SELECT qid, label, votes,
+                              row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS brn
+                       FROM votes)
+         SELECT qid AS query_id, CAST(label AS INTEGER) AS predicted_label, votes
+         FROM best WHERE brn = 1 ORDER BY query_id""",
+
+    // q_ivf_topk's assignment replay, keeping the winning cosine as the
+    // affinity score, then top-2 per cell
+    "q_cell_prototypes" ->
+      """WITH cen AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              vc AS (SELECT v.vec_id, cen.cid,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS dot,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS nv,
+                            SUM(CAST(cen.ce[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS nc
+                     FROM embeddings v, cen, idx GROUP BY v.vec_id, cen.cid),
+              scored_c AS (SELECT vec_id, cid, ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS cs FROM vc),
+              assign AS (SELECT vec_id, cid AS cell, cs AS score FROM (
+                           SELECT vec_id, cid, cs,
+                                  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+                           FROM scored_c) WHERE rn = 1),
+              ranked AS (SELECT cell, vec_id, score,
+                                CAST(row_number() OVER (PARTITION BY cell ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+                         FROM assign)
+         SELECT cell, vec_id, score, rank FROM ranked
+         WHERE rank <= 2 ORDER BY cell, rank""",
+
+    // same assignment replay, global bottom-10 by own-centroid affinity
+    "q_embedding_outliers" ->
+      """WITH cen AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              vc AS (SELECT v.vec_id, cen.cid,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS dot,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS nv,
+                            SUM(CAST(cen.ce[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS nc
+                     FROM embeddings v, cen, idx GROUP BY v.vec_id, cen.cid),
+              scored_c AS (SELECT vec_id, cid, ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS cs FROM vc),
+              assign AS (SELECT vec_id, cid AS cell, cs AS score FROM (
+                           SELECT vec_id, cid, cs,
+                                  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+                           FROM scored_c) WHERE rn = 1)
+         SELECT vec_id, cell, score FROM assign
+         ORDER BY score ASC, vec_id ASC LIMIT 10""",
+
+    // same assignment replay split by snapshot parity, then the
+    // add-one-smoothed PSI over the union cell set (q_drift_psi's math)
+    "q_embedding_drift" ->
+      """WITH cen AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              vc AS (SELECT v.vec_id, cen.cid,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS dot,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS nv,
+                            SUM(CAST(cen.ce[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS nc
+                     FROM embeddings v, cen, idx GROUP BY v.vec_id, cen.cid),
+              scored_c AS (SELECT vec_id, cid, ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS cs FROM vc),
+              assign AS (SELECT vec_id, cid AS cell FROM (
+                           SELECT vec_id, cid,
+                                  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+                           FROM scored_c) WHERE rn = 1),
+              ref AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS np FROM assign WHERE vec_id % 2 = 0 GROUP BY cell),
+              cur AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS nq FROM assign WHERE vec_id % 2 = 1 GROUP BY cell),
+              joined AS (SELECT COALESCE(ref.cell, cur.cell) AS bucket,
+                                COALESCE(np, 0) AS np, COALESCE(nq, 0) AS nq
+                         FROM ref FULL OUTER JOIN cur ON ref.cell = cur.cell),
+              tot AS (SELECT SUM(np) AS tp, SUM(nq) AS tq, COUNT(*) AS nb FROM joined)
+         SELECT bucket, np, nq,
+                ROUND(CAST(np + 1 AS DOUBLE) / (tp + nb), 8) AS p,
+                ROUND(CAST(nq + 1 AS DOUBLE) / (tq + nb), 8) AS q,
+                ROUND((CAST(np + 1 AS DOUBLE) / (tp + nb) - CAST(nq + 1 AS DOUBLE) / (tq + nb))
+                      * LN((CAST(np + 1 AS DOUBLE) / (tp + nb)) / (CAST(nq + 1 AS DOUBLE) / (tq + nb))), 8) AS psi_term
+         FROM joined, tot ORDER BY bucket""",
 
     "q_embedding_near_dups" ->
       """WITH v AS (SELECT vec_id, embedding,

@@ -958,4 +958,139 @@ object SimilarityOps {
     df.select(col(idCol), posexplode(array(proj: _*)).as(Seq("j", "value")))
       .select(col(idCol), col("j").cast("long").as("j"), col("value"))
   }
+
+  /**
+   * Per-row affinity to the row's OWN (nearest) centroid: assigns each
+   * vector to its cell ([[ivfAssign]], native kernel) and scores the
+   * vector against that cell's centroid. The shared substrate of the
+   * typicality family: [[cellPrototypes]] keeps the best-fitting members
+   * per cell, [[embeddingOutliers]] surfaces the worst-fitting rows
+   * corpus-wide.
+   *
+   * Returns the input columns plus (`cell`, `score`) — score is the
+   * 6dp-rounded cosine to the assigned centroid.
+   *
+   * Scale: assignment is a zero-shuffle per-row kernel; the centroid
+   * lookup is a broadcast join against an ncells-row model artifact —
+   * the corpus never shuffles and no score but the argmax one is kept.
+   */
+  def centroidAffinity(df: DataFrame, centroids: Seq[(Long, Seq[Float])],
+                       idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.toDF("cell", "__cvec"))
+    ivfAssign(df, centroids, idCol, vecCol)
+      .join(cents, "cell")
+      .withColumn("score", cosineNative(col(vecCol), col("__cvec")))
+      .drop("__cvec")
+  }
+
+  /**
+   * PROTOTYPE selection — the m most typical members of every IVF cell
+   * (highest cosine to their own centroid). The "show me what this
+   * region of embedding space looks like" primitive: prototypes seed
+   * labeling runs, summarize clusters for human review, and act as the
+   * compressed stand-in corpus for cheap downstream sweeps (the
+   * coreset-by-typicality shape).
+   *
+   * Returns (`cell`, `idCol`, `score`, `rank`) with rank 1..m per cell,
+   * ties (score desc, id asc) — bit-identical to the window-rank form.
+   *
+   * Scale: [[centroidAffinity]] is narrow; the per-cell top-m rides the
+   * bounded-heap group top-k ([[SamplingOps.groupTopK]]) — map-side
+   * pruning to m per partition, so the shuffle carries
+   * ncells·m·partitions entries, never the corpus.
+   */
+  def cellPrototypes(df: DataFrame, centroids: Seq[(Long, Seq[Float])],
+                     idCol: String, vecCol: String, m: Int): DataFrame =
+    SamplingOps.groupTopK(
+        centroidAffinity(df, centroids, idCol, vecCol)
+          .select(col("cell"), col(idCol), col("score")),
+        "cell", idCol, "score", m)
+
+  /**
+   * Embedding-space OUTLIER mining — the k corpus rows LEAST similar to
+   * their own nearest centroid: rows no trained cell explains (novel
+   * topics the index under-serves, encoder failures, garbage documents
+   * whose vectors land between clusters). The complement of
+   * [[cellPrototypes]], and the data-side half of the retrain signal:
+   * `AnnIndexStore.cellSizes` says cells drifted, this says WHICH rows
+   * the current centroid model fails.
+   *
+   * Returns (`idCol`, `cell`, `score`) — the k lowest scores, ties
+   * id-ascending.
+   *
+   * Scale: narrow affinity pass + a global bottom-k that compiles to
+   * TakeOrderedAndProject (per-partition heap, k rows to the driver —
+   * a model-sized artifact, never a sort of the corpus).
+   */
+  def embeddingOutliers(df: DataFrame, centroids: Seq[(Long, Seq[Float])],
+                        idCol: String, vecCol: String, k: Int): DataFrame =
+    centroidAffinity(df, centroids, idCol, vecCol)
+      .select(col(idCol), col("cell"), col("score"))
+      .orderBy(col("score").asc, col(idCol).asc)
+      .limit(k)
+
+  /**
+   * k-NEAREST-NEIGHBOR label vote — propagate labels from a labeled seed
+   * corpus onto unlabeled queries: each query takes the majority label of
+   * its k nearest labeled neighbors by cosine (ties: more votes win, then
+   * the smaller label — deterministic cross-engine). The standard
+   * semi-supervised router for corpus curation: a small human-labeled
+   * seed classifies the whole corpus by embedding proximity, the
+   * model-free complement of [[graft.ext.ClassifyOps.nbClassify]].
+   *
+   * Returns (`query_id`, `predicted_label`, `votes`) — votes = how many
+   * of the k neighbors carried the winning label (the confidence signal;
+   * votes ≈ k/nLabels means the vote was noise).
+   *
+   * Scale: neighbor search is [[cosineTopK]] (broadcast queries, bounded
+   * heap — the corpus never shuffles); the |Q|·k neighbor list then
+   * BROADCASTS into the label lookup join, so the big labeled corpus
+   * streams map-side. Vote counting and the argmax are |Q|·nLabels-sized
+   * — `max_by` over a struct, no window, no second corpus pass.
+   */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = cosineTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val labels = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).cast("int").as("__nlabel"))
+    labels.join(broadcast(nn), "neighbor_id")
+      .groupBy("query_id", "__nlabel")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("query_id")
+      .agg(max(struct(col("votes"), (-col("__nlabel")).as("__neg")))
+        .as("__best"))
+      .select(col("query_id"),
+        (-col("__best.__neg")).cast("int").as("predicted_label"),
+        col("__best.votes").as("votes"))
+  }
+
+  /**
+   * Embedding-DISTRIBUTION drift between two corpus snapshots, measured
+   * over a frozen IVF cell model: assign both snapshots to the same
+   * centroids ([[ivfAssign]]) and compare per-cell population shares via
+   * the add-one-smoothed PSI ([[graft.ops.QualityCheck.driftPsi]] — the
+   * same statistic the relational drift gate uses, lifted into embedding
+   * space). This is how an ingest pipeline notices the new crawl wave
+   * lives in a different region of semantic space than the corpus the
+   * index/classifier/mixture weights were tuned on — per-cell, so the
+   * report says WHERE the mass moved, not just that it did.
+   *
+   * Returns driftPsi's shape keyed by cell: (`bucket`, np, nq, p, q,
+   * psi_term), 8dp. Σ psi_term is the headline PSI (>0.2 ⇒ retrain by
+   * the usual rule of thumb).
+   *
+   * Scale: two zero-shuffle assignment passes + one ncells-sized
+   * aggregate each — snapshots never join row-to-row, so the cost is two
+   * corpus scans regardless of snapshot sizes.
+   */
+  def embeddingDriftPsi(reference: DataFrame, current: DataFrame,
+                        centroids: Seq[(Long, Seq[Float])],
+                        idCol: String, vecCol: String): DataFrame =
+    graft.ops.QualityCheck.driftPsi(
+      ivfAssign(reference, centroids, idCol, vecCol),
+      ivfAssign(current, centroids, idCol, vecCol),
+      col("cell"))
 }

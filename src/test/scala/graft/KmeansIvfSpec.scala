@@ -462,4 +462,82 @@ class KmeansIvfSpec extends SparkSpec {
     r20 should be >= r5
     r80 should be >= r20
   }
+
+  test("centroidAffinity: score is the MAX cosine over all centroids") {
+    val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+    // the assigned cell is the cosine argmax, so the affinity score must
+    // equal greatest(cosine to every centroid) row by row
+    val expected = greatest(cents.map { case (_, v) =>
+      SimilarityOps.cosine(col("embedding"), typedlit(v))
+    }: _*)
+    SimilarityOps.centroidAffinity(emb, cents, "vec_id", "embedding")
+      .filter(col("score") =!= expected)
+      .count() shouldBe 0L
+  }
+
+  test("cellPrototypes is bit-identical to the window-rank form") {
+    import org.apache.spark.sql.expressions.Window
+    val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+    val aff = SimilarityOps.centroidAffinity(emb, cents, "vec_id", "embedding")
+    val w = Window.partitionBy("cell")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val windowForm = aff
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("cell", "vec_id", "score", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val heapForm = SimilarityOps.cellPrototypes(emb, cents,
+        "vec_id", "embedding", m = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    heapForm shouldBe windowForm
+  }
+
+  test("embeddingOutliers returns the global bottom-k by affinity") {
+    val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+    val all = SimilarityOps.centroidAffinity(emb, cents, "vec_id", "embedding")
+      .select("vec_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = all.sortBy { case (id, s) => (s, id) }.take(10)
+      .map(_._1).toSeq
+    val got = SimilarityOps.embeddingOutliers(emb, cents,
+        "vec_id", "embedding", k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    got shouldBe expected
+  }
+
+  test("knnClassify: majority vote, ties break to the smaller label") {
+    import spark.implicits._
+    // corpus angles ordered 1 > 2 > 3 > 4 > 5 from the query direction;
+    // ids 6,7 are orthogonal noise that must never enter the top-5
+    def v(eps: Float): Array[Float] = Array(1f, eps, 0f, 0f)
+    val corpus = Seq(
+      (1L, v(0.1f), 2), (2L, v(0.2f), 1), (3L, v(0.3f), 2),
+      (4L, v(0.4f), 1), (5L, v(0.5f), 2),
+      (6L, Array(0f, 0f, 1f, 0f), 0), (7L, Array(0f, 0f, 0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, v(0f))).toDF("vec_id", "embedding")
+    val at5 = SimilarityOps.knnClassify(queries, corpus,
+      "vec_id", "embedding", "label", k = 5).collect()
+    at5.length shouldBe 1
+    at5.head.getLong(0) shouldBe 100L
+    at5.head.getInt(1) shouldBe 2   // labels {2,1,2,1,2} → 3 votes for 2
+    at5.head.getLong(2) shouldBe 3L
+    val at4 = SimilarityOps.knnClassify(queries, corpus,
+      "vec_id", "embedding", "label", k = 4).collect()
+    at4.head.getInt(1) shouldBe 1   // {2,1,2,1} → 2-2 tie → smaller label
+    at4.head.getLong(2) shouldBe 2L
+  }
+
+  test("embeddingDriftPsi: identical snapshots drift by exactly zero") {
+    val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+    val out = SimilarityOps.embeddingDriftPsi(emb, emb, cents,
+      "vec_id", "embedding").collect()
+    out.length should be > 0
+    out.foreach { r =>
+      r.getLong(1) shouldBe r.getLong(2)          // np == nq per cell
+      r.getDouble(5) shouldBe 0.0                 // psi_term
+    }
+  }
 }
