@@ -2345,6 +2345,82 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // KMV set-sketch overlap: how many customers do consecutive order
+    // years SHARE — per-year bottom-k-distinct-hash sketches, then a
+    // per-row array intersect; exacts are emitted alongside and the
+    // estimates are bound-checked (the q_approx_distinct oracle scheme:
+    // booleans stipulated TRUE, exact values hash-compared)
+    "q_kmv_overlap" -> ((s, d) => {
+      val k = 256
+      val o = t(s, d, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_custkey"))
+      val sk = graft.ops.SketchOps.setSketch(o, "o_custkey", Seq("yr"), k)
+      val skPairs = sk.select(col("yr").as("yr_a"), col("kmv_hashes").as("ha"))
+        .join(sk.select((col("yr") - 1).as("yr_a"),
+          col("kmv_hashes").as("hb")), "yr_a")
+      // exact distinct + overlap via one distinct pass and a year+1 self-join
+      val dv = o.distinct()
+      val ex = dv.groupBy("yr").agg(count(lit(1)).as("nd"))
+      val inter = dv.select(col("yr").as("yr_a"), col("o_custkey"))
+        .join(dv.select((col("yr") - 1).as("yr_a"), col("o_custkey")),
+          Seq("yr_a", "o_custkey"))
+        .groupBy("yr_a").agg(count(lit(1)).as("exact_inter"))
+      val est = skPairs.select(col("yr_a"),
+        graft.ops.SketchOps.kmvJaccard(col("ha"), col("hb"), k).as("est_j"),
+        graft.ops.SketchOps.kmvDistinct(
+          slice(array_sort(array_union(col("ha"), col("hb"))), 1, k), k)
+          .as("est_u"))
+      est
+        .join(ex.select(col("yr").as("yr_a"), col("nd").as("na")), "yr_a")
+        .join(ex.select((col("yr") - 1).as("yr_a"), col("nd").as("nb")),
+          "yr_a")
+        .join(inter, Seq("yr_a"), "left")
+        .select(col("yr_a"), (col("yr_a") + 1).as("yr_b"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+          (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L)))
+            .as("exact_union"),
+          col("est_j"), col("est_u"))
+        .withColumn("exact_jacc",
+          round(col("exact_inter").cast("double") / col("exact_union"), 6))
+        .select(col("yr_a"), col("yr_b"), col("exact_inter"),
+          col("exact_union"), col("exact_jacc"),
+          (abs(col("est_j") - col("exact_jacc")) <= 0.1).as("jacc_ok"),
+          (abs(col("est_u") - col("exact_union")) <=
+            col("exact_union") * 0.2).as("union_ok"))
+        .orderBy("yr_a")
+    }),
+
+    // the set-sketch MERGE face: monthly customer sketches merged to the
+    // year equal the direct yearly sketch BIT-identically — the members
+    // OVERLAP across months (a repeat customer counts once), exactly
+    // where the additive quantile-sketch rollup would double-count;
+    // distinct estimate bound-checked against the exact count
+    "q_kmv_rollup" -> ((s, d) => {
+      val k = 256
+      val o = t(s, d, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"), col("o_custkey"))
+      val monthly = graft.ops.SketchOps.setSketch(o, "o_custkey",
+        Seq("yr", "mo"), k)
+      val merged = graft.ops.SketchOps.mergeSetSketches(monthly,
+        Seq("yr"), k)
+      val direct = graft.ops.SketchOps.setSketch(o, "o_custkey",
+        Seq("yr"), k)
+      val ex = o.select("yr", "o_custkey").distinct()
+        .groupBy("yr").agg(count(lit(1)).as("exact_distinct"))
+      val months = monthly.groupBy("yr").agg(count(lit(1)).as("n_months"))
+      merged.select(col("yr"), col("kmv_hashes").as("mh"))
+        .join(direct.select(col("yr"), col("kmv_hashes").as("dh")), "yr")
+        .join(ex, "yr").join(months, "yr")
+        .select(col("yr"), col("n_months"), col("exact_distinct"),
+          (col("mh") === col("dh")).as("rollup_equals_direct"),
+          (abs(graft.ops.SketchOps.kmvDistinct(col("mh"), k) -
+            col("exact_distinct")) <= col("exact_distinct") * 0.2)
+            .as("within_eps"))
+        .orderBy("yr")
+    }),
+
     // per-node triangle counts (degree-orientation wedge join) over the
     // persisted rare-shingle dup-EVIDENCE graph — shared-template cliques
     // are exactly where triangles concentrate
@@ -6295,6 +6371,38 @@ object SparkEntry {
          FROM events, (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS p) ps
          WHERE value IS NOT NULL
          GROUP BY event_type, p ORDER BY event_type, p""",
+
+    // exact year-pair customer overlap; the KMV estimate booleans are
+    // stipulated TRUE (bound-based oracle, the q_approx_distinct scheme)
+    "q_kmv_overlap" ->
+      """WITH o AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, o_custkey FROM orders),
+              dv AS (SELECT DISTINCT yr, o_custkey FROM o),
+              ex AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS nd FROM dv GROUP BY yr),
+              inter AS (SELECT a.yr AS yr_a, CAST(COUNT(*) AS BIGINT) AS exact_inter
+                        FROM dv a JOIN dv b ON b.yr = a.yr + 1 AND b.o_custkey = a.o_custkey
+                        GROUP BY a.yr),
+              pairs AS (SELECT a.yr AS yr_a, a.yr + 1 AS yr_b, a.nd AS na, b.nd AS nb
+                        FROM ex a JOIN ex b ON b.yr = a.yr + 1)
+         SELECT p.yr_a, p.yr_b,
+                COALESCE(i.exact_inter, 0) AS exact_inter,
+                p.na + p.nb - COALESCE(i.exact_inter, 0) AS exact_union,
+                ROUND(CAST(COALESCE(i.exact_inter, 0) AS DOUBLE)
+                      / (p.na + p.nb - COALESCE(i.exact_inter, 0)), 6) AS exact_jacc,
+                TRUE AS jacc_ok, TRUE AS union_ok
+         FROM pairs p LEFT JOIN inter i ON i.yr_a = p.yr_a
+         ORDER BY p.yr_a""",
+
+    // exact per-year distincts; merge-equals-direct and the distinct
+    // bound are stipulated TRUE (bit-determinism + KMV error bound)
+    "q_kmv_rollup" ->
+      """WITH o AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo, o_custkey
+                    FROM orders),
+              ex AS (SELECT yr, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct FROM o GROUP BY yr),
+              months AS (SELECT yr, CAST(COUNT(DISTINCT mo) AS BIGINT) AS n_months FROM o GROUP BY yr)
+         SELECT e.yr, m.n_months, e.exact_distinct,
+                TRUE AS rollup_equals_direct, TRUE AS within_eps
+         FROM ex e JOIN months m ON m.yr = e.yr ORDER BY e.yr""",
 
     "q_quantile_rollup" ->
       """SELECT event_type,

@@ -192,6 +192,43 @@ object VectorAggregators {
       ExpressionEncoderHolder.seqHashVal
   }
 
+  /**
+   * KMV (k-minimum-values) SET sketch: the k smallest DISTINCT hashes of
+   * the input. Unlike [[BottomKSample]] (a row sample keyed by a unique
+   * id), this is a sketch of the key SET itself — duplicates collapse
+   * inside the aggregator, so the state is a pure function of the
+   * distinct key set. That purity is the whole contract: merging
+   * sketches of OVERLAPPING sets is exactly the sketch of their union
+   * (bottom-k of a set union), where additive sketches double-count.
+   * Bit-deterministic under any partitioning or merge tree; supports
+   * distinct-count, union, intersection, and Jaccard estimation
+   * ([[graft.ops.SketchOps]] estimator columns).
+   */
+  final class KmvSetSketch(k: Int)
+      extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+    private val pruneAt = math.max(4 * k, 64)
+    private def prune(b: Seq[Long]): Seq[Long] = b.distinct.sorted.take(k)
+
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(b: Seq[Long], a: Long): Seq[Long] = {
+      val nb = b :+ a
+      if (nb.length >= pruneAt) prune(nb) else nb
+    }
+
+    override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
+      prune(x ++ y)
+
+    override def finish(b: Seq[Long]): Seq[Long] = prune(b)
+
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoderHolder.seqLong
+
+    override def outputEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoderHolder.seqLong
+  }
+
   private object ExpressionEncoderHolder {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val arrayDouble: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
@@ -202,5 +239,6 @@ object VectorAggregators {
       ExpressionEncoder[Seq[(Long, Long)]]()
     val seqHashVal: Encoder[Seq[(Long, Double)]] =
       ExpressionEncoder[Seq[(Long, Double)]]()
+    val seqLong: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 }

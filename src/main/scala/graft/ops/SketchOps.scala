@@ -96,6 +96,77 @@ object SketchOps {
    * `estimates`: (groupCols…, p, est). Returns (groupCols…, p, est_rank
    * = exact CDF position rounded 6dp, within_eps boolean).
    */
+  /** Set-sketch column name appended by [[setSketch]] / [[mergeSetSketches]]. */
+  val KmvCol = "kmv_hashes"
+
+  /**
+   * KMV SET sketch per group: the k smallest distinct `xxhash64(key)`
+   * values ([[graft.functions.VectorAggregators.KmvSetSketch]]) — a
+   * bounded stand-in for the group's distinct KEY SET that answers
+   * distinct-count, union, intersection, and Jaccard questions
+   * ([[kmvDistinct]], [[kmvJaccard]]) without ever shuffling the keys
+   * themselves. The audience-overlap / cross-slice-dedup primitive:
+   * "how many customers do these two years share" at 100 TB is two
+   * persisted k-long arrays and a per-row array intersect.
+   *
+   * Unlike [[sketch]] (disjoint-input additive n), the state is a pure
+   * function of the distinct key set, so sketches of OVERLAPPING slices
+   * merge exactly: merge = bottom-k of the set union. Duplicates
+   * collapse inside the aggregator — no pre-distinct shuffle.
+   *
+   * Scale: full partial aggregation, ≤ k·partitions hashes shuffle per
+   * group; estimation error is O(1/√k).
+   */
+  def setSketch(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                k: Int = 256): DataFrame = {
+    require(k > 1, s"bad sketch size k=$k")
+    val kmv = udaf(new graft.functions.VectorAggregators.KmvSetSketch(k))
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmv(xxhash64(col(keyCol))).as(KmvCol))
+  }
+
+  /**
+   * Merge set sketches to a coarser grouping — valid for OVERLAPPING
+   * member sets (a customer active in every month counts once in the
+   * year), and bit-identical to a direct [[setSketch]] at the coarse
+   * grain: both are the bottom-k of the same distinct hash set.
+   */
+  def mergeSetSketches(df: DataFrame, groupCols: Seq[String],
+                       k: Int = 256): DataFrame = {
+    val kmv = udaf(new graft.functions.VectorAggregators.KmvSetSketch(k))
+    df.select(groupCols.map(col) :+ explode(col(KmvCol)).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmv(col("__h")).as(KmvCol))
+  }
+
+  /**
+   * Distinct-count estimate from a set sketch: exact size while the
+   * sketch is unsaturated (< k hashes — it holds the whole set), else
+   * the classic KMV estimator (k−1)/u_k with u_k = the k-th smallest
+   * hash normalized to (0, 1]. Native column arithmetic; deterministic
+   * for a given key set.
+   */
+  def kmvDistinct(hashes: Column, k: Int): Column = {
+    val uk = (element_at(hashes, k).cast("double") -
+      lit(Long.MinValue.toDouble)) / lit(math.pow(2.0, 64))
+    when(size(hashes) < k, size(hashes).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / uk)
+  }
+
+  /**
+   * Jaccard estimate between two set sketches: the fraction of the
+   * merged bottom-k present in BOTH input sketches (the standard KMV
+   * coincidence estimator; std error ≈ √(J(1−J)/k)). Intersection
+   * size ≈ this × [[kmvDistinct]] of the merged sketch.
+   */
+  def kmvJaccard(a: Column, b: Column, k: Int): Column = {
+    val merged = slice(array_sort(array_union(a, b)), 1, k)
+    when(size(merged) === 0, lit(0.0))
+      .otherwise(size(array_intersect(array_intersect(merged, a), b))
+        .cast("double") / size(merged))
+  }
+
   def rankErrorAudit(df: DataFrame, valueCol: String, groupCols: Seq[String],
                      estimates: DataFrame, eps: Double): DataFrame = {
     val est = broadcast(estimates)

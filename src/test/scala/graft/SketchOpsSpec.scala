@@ -82,4 +82,69 @@ class SketchOpsSpec extends SparkSpec {
     val direct = pairsOf(SketchOps.sketch(df, "k", "v", Seq("g"), k = 64))
     merged shouldBe direct
   }
+
+  private def kmvOf(df: DataFrame): Map[String, Seq[Long]] =
+    df.select(col("g"), col(SketchOps.KmvCol))
+      .as[(String, Seq[Long])].collect().toMap
+
+  test("setSketch: partition-invariant, duplicates collapse, sorted") {
+    // every key appears 3× IN ITS GROUP (g derives from the folded key)
+    // — the sketch must equal the distinct-input one
+    val dup = mk(3000).select((col("k") % 1000).as("k"))
+      .withColumn("g", (col("k") % 7).cast("string"))
+    val a = kmvOf(SketchOps.setSketch(dup.repartition(3), "k", Seq("g"), 64))
+    val b = kmvOf(SketchOps.setSketch(dup.repartition(13), "k", Seq("g"), 64))
+    val d = kmvOf(SketchOps.setSketch(dup.distinct(), "k", Seq("g"), 64))
+    a shouldBe b
+    a shouldBe d
+    a.values.foreach { h =>
+      h shouldBe h.sorted
+      h.distinct.length shouldBe h.length
+    }
+  }
+
+  test("mergeSetSketches over OVERLAPPING slices equals the direct sketch") {
+    // slices share members (the folded key repeats across days, g derives
+    // from the key so repeats stay in-group) — the KMV merge must still
+    // equal the direct set sketch bit-identically
+    val df = mk(3000).select((col("k") % 500).as("k"),
+      (col("k") % 3).as("day"))
+      .withColumn("g", (col("k") % 7).cast("string"))
+    val daily = SketchOps.setSketch(df, "k", Seq("g", "day"), k = 64)
+    val merged = kmvOf(SketchOps.mergeSetSketches(daily, Seq("g"), k = 64))
+    val direct = kmvOf(SketchOps.setSketch(df, "k", Seq("g"), k = 64))
+    merged shouldBe direct
+  }
+
+  test("kmvDistinct: exact below k, within 3/sqrt(k) relative error above") {
+    val k = 256
+    val small = spark.range(0, 100).select(col("id").as("k"), lit("a").as("g"))
+    val est0 = SketchOps.setSketch(small, "k", Seq("g"), k)
+      .select(SketchOps.kmvDistinct(col(SketchOps.KmvCol), k))
+      .head().getDouble(0)
+    est0 shouldBe 100.0
+    val big = spark.range(0, 50000).select(col("id").as("k"), lit("a").as("g"))
+    val est = SketchOps.setSketch(big, "k", Seq("g"), k)
+      .select(SketchOps.kmvDistinct(col(SketchOps.KmvCol), k))
+      .head().getDouble(0)
+    math.abs(est - 50000.0) / 50000.0 should be < 3.0 / math.sqrt(k)
+  }
+
+  test("kmvJaccard: 1 on identical sets, 0 on disjoint, accurate between") {
+    val k = 256
+    def sk(lo: Long, hi: Long) =
+      SketchOps.setSketch(
+        spark.range(lo, hi).select(col("id").as("k"), lit("a").as("g")),
+        "k", Seq("g"), k)
+        .select(col(SketchOps.KmvCol)).head().getSeq[Long](0)
+    val a = sk(0, 10000)
+    val b = sk(5000, 15000) // true J = 5000/15000 = 1/3
+    val c = sk(20000, 30000)
+    def j(x: Seq[Long], y: Seq[Long]): Double =
+      spark.range(1).select(SketchOps.kmvJaccard(
+        typedlit(x), typedlit(y), k)).head().getDouble(0)
+    j(a, a) shouldBe 1.0
+    j(a, c) shouldBe 0.0
+    math.abs(j(a, b) - 1.0 / 3) should be < 4 * math.sqrt(1.0 / 3 * 2 / 3 / k)
+  }
 }
