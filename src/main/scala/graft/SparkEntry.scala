@@ -1876,6 +1876,20 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // contrastive training-pair mining: per anchor, its best same-cell
+    // partner at cosine ≥ 0.3 (positive) × up to 2 HARD negatives in
+    // [0.15, 0.3) from a 64-row deterministic per-cell pool — the
+    // (anchor, pos, neg) triplets an embedding trainer consumes
+    "q_contrastive_pairs" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      SimilarityOps.contrastivePairs(emb, cents, "vec_id", "embedding",
+          posThreshold = 0.3, negLo = 0.15, negHi = 0.3,
+          maxNegs = 2, poolSize = 64)
+        .withColumn("neg_rank", col("neg_rank").cast(LongType))
+        .orderBy("anchor_id", "neg_rank")
+    }),
+
     // multi-probe IVF: recall against the exact top-k is provably monotone
     // in nprobe (candidate sets nest: any exact-top-k member among the
     // candidates always survives to the IVF top-k), so the bound-based
@@ -5949,6 +5963,52 @@ object SparkEntry {
                          FROM dots)
          SELECT query_id, neighbor_id, score, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // assignment replay → fp60-mod-2^48-ordered 64-row per-cell pool →
+    // within-cell cosine → positive band rn=1 × negative band rn<=2
+    "q_contrastive_pairs" ->
+      """WITH cen AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              vc AS (SELECT v.vec_id, cen.cid,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS dot,
+                            SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS nv,
+                            SUM(CAST(cen.ce[i] AS DOUBLE) * CAST(cen.ce[i] AS DOUBLE)) AS nc
+                     FROM embeddings v, cen, idx GROUP BY v.vec_id, cen.cid),
+              scored_c AS (SELECT vec_id, cid, ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS cs FROM vc),
+              assign AS (SELECT vec_id, cid AS cell FROM (
+                           SELECT vec_id, cid,
+                                  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+                           FROM scored_c) WHERE rn = 1),
+              pool AS (SELECT cell, vec_id AS cand_id FROM (
+                         SELECT cell, vec_id,
+                                row_number() OVER (PARTITION BY cell
+                                  ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 281474976710656 ASC,
+                                           vec_id ASC) AS prn
+                         FROM assign) WHERE prn <= 64),
+              cp AS (SELECT a.vec_id AS anchor_id, p.cand_id, ea.embedding AS ae, ec.embedding AS ce2
+                     FROM assign a JOIN pool p ON p.cell = a.cell AND p.cand_id <> a.vec_id
+                     JOIN embeddings ea ON ea.vec_id = a.vec_id
+                     JOIN embeddings ec ON ec.vec_id = p.cand_id),
+              dots AS (SELECT anchor_id, cand_id,
+                              SUM(CAST(ae[i] AS DOUBLE) * CAST(ce2[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)) AS na,
+                              SUM(CAST(ce2[i] AS DOUBLE) * CAST(ce2[i] AS DOUBLE)) AS nc2
+                       FROM cp, idx GROUP BY anchor_id, cand_id),
+              scored AS (SELECT anchor_id, cand_id,
+                                ROUND(dot / (sqrt(na) * sqrt(nc2)), 6) AS score
+                         FROM dots),
+              pos AS (SELECT anchor_id, cand_id AS pos_id, score AS pos_score FROM (
+                        SELECT anchor_id, cand_id, score,
+                               row_number() OVER (PARTITION BY anchor_id ORDER BY score DESC, cand_id ASC) AS rn
+                        FROM scored WHERE score >= 0.3) WHERE rn = 1),
+              neg AS (SELECT anchor_id, cand_id AS neg_id, score AS neg_score,
+                             CAST(rn AS BIGINT) AS neg_rank FROM (
+                        SELECT anchor_id, cand_id, score,
+                               row_number() OVER (PARTITION BY anchor_id ORDER BY score DESC, cand_id ASC) AS rn
+                        FROM scored WHERE score >= 0.15 AND score < 0.3) WHERE rn <= 2)
+         SELECT p.anchor_id, p.pos_id, p.pos_score, n.neg_id, n.neg_score, n.neg_rank
+         FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+         ORDER BY p.anchor_id, n.neg_rank""",
 
     // brute-force 5-NN among the labeled seed (vec_id >= 100), then the
     // majority vote with (votes desc, label asc) tie-break

@@ -1093,4 +1093,67 @@ object SimilarityOps {
       ivfAssign(reference, centroids, idCol, vecCol),
       ivfAssign(current, centroids, idCol, vecCol),
       col("cell"))
+
+  /**
+   * CONTRASTIVE training-pair mining — the (anchor, positive, hard
+   * negative) triplets an embedding-model trainer consumes: per anchor,
+   * the best same-cell partner with cosine ≥ `posThreshold` (the
+   * positive) joined with up to `maxNegs` partners in [`negLo`,
+   * `negHi`) (HARD negatives — random negatives are trivially easy,
+   * same-cell near-misses are the ones that sharpen the margin).
+   * Anchors lacking either side are dropped — a training pair needs
+   * both.
+   *
+   * Candidates come from a per-cell deterministic POOL of `poolSize`
+   * rows in fingerprint-hash order (uniform like a random sample,
+   * growth-stable, engine-reproducible — the fp60 sampler discipline;
+   * the hash rides mod 2⁴⁸ so its double cast is exact and heap order
+   * matches an integer sort bit-for-bit). At test SF the pool usually
+   * covers whole cells, at 100 TB it caps the quadratic term.
+   *
+   * Returns (anchor_id, pos_id, pos_score, neg_id, neg_score,
+   * neg_rank), ranks 1..maxNegs, ties (score desc, id asc).
+   *
+   * Scale: assignment is the zero-shuffle kernel; the pool is bounded
+   * (≤ ncells·poolSize rows) and BROADCASTS into the candidate join, so
+   * the corpus never shuffles; per-anchor selection rides the bounded
+   * heap (never a rank window over all candidates). Candidate volume is
+   * |corpus|·poolSize — linear in the corpus with a constant the caller
+   * controls.
+   */
+  def contrastivePairs(df: DataFrame, centroids: Seq[(Long, Seq[Float])],
+                       idCol: String, vecCol: String,
+                       posThreshold: Double, negLo: Double, negHi: Double,
+                       maxNegs: Int, poolSize: Int): DataFrame = {
+    requireIntegralId(df, idCol, "contrastivePairs")
+    GraftFunctions.register(df.sparkSession)
+    val assigned = ivfAssign(df, centroids, idCol, vecCol)
+      .select(col(idCol).cast("long").as("anchor_id"),
+        col(vecCol).as("__av"), col("cell"))
+    val fpr = (lit(0L) - pmod(
+      graft.ext.TextOps.fingerprint60(col("anchor_id").cast("string")),
+      lit(1L << 48))).cast("double")
+    val pool = SamplingOps.groupTopK(
+        assigned.select(col("cell"), col("anchor_id").as("cand_id"),
+          fpr.as("__r")),
+        "cell", "cand_id", "__r", poolSize)
+      .select(col("cell"), col("cand_id"))
+      .join(assigned.select(col("anchor_id").as("cand_id"),
+        col("__av").as("__cv")), "cand_id")
+    val cands = assigned.join(broadcast(pool), "cell")
+      .filter(col("anchor_id") =!= col("cand_id"))
+      .withColumn("score", cosineNative(col("__av"), col("__cv")))
+      .select(col("anchor_id"), col("cand_id"), col("score"))
+    val pos = SamplingOps.groupTopK(
+        cands.filter(col("score") >= posThreshold),
+        "anchor_id", "cand_id", "score", 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"),
+        col("score").as("pos_score"))
+    val neg = SamplingOps.groupTopK(
+        cands.filter(col("score") >= negLo && col("score") < negHi),
+        "anchor_id", "cand_id", "score", maxNegs)
+      .select(col("anchor_id"), col("cand_id").as("neg_id"),
+        col("score").as("neg_score"), col("rank").as("neg_rank"))
+    pos.join(neg, "anchor_id")
+  }
 }

@@ -530,6 +530,24 @@ class KmeansIvfSpec extends SparkSpec {
     at4.head.getLong(2) shouldBe 2L
   }
 
+  test("contrastivePairs: positive + hard negatives per anchor, both required") {
+    import spark.implicits._
+    // cell 0 = axis 0: ids 10,11 are near-dups (cos .995), 12 a near-miss
+    // (cos .74/.81), 13 lands in cell 1 with no partner
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+    val df = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)), (11L, Array(1f, 0.1f, 0f, 0f)),
+      (12L, Array(1f, 0.9f, 0f, 0f)), (13L, Array(1f, 3f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.contrastivePairs(df, cents, "vec_id", "embedding",
+        posThreshold = 0.9, negLo = 0.5, negHi = 0.9,
+        maxNegs = 2, poolSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getInt(5))).toSet
+    // anchor 12 has no positive, anchor 13 no candidates — both dropped
+    out shouldBe Set((10L, 11L, 12L, 1), (11L, 10L, 12L, 1))
+  }
+
   test("embeddingDriftPsi: identical snapshots drift by exactly zero") {
     val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
     val out = SimilarityOps.embeddingDriftPsi(emb, emb, cents,
