@@ -149,11 +149,22 @@ object QualityCheck {
    * join + 1-row totals broadcast. The rows themselves never shuffle.
    */
   def driftPsi(reference: DataFrame, current: DataFrame,
-               bucket: Column): DataFrame = {
-    val p = reference.groupBy(bucket.as("bucket"))
-      .agg(count(lit(1)).as("np"))
-    val q = current.groupBy(bucket.as("bucket"))
-      .agg(count(lit(1)).as("nq"))
+               bucket: Column): DataFrame =
+    driftPsiCounts(
+      reference.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("np")),
+      current.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("nq")))
+
+  /**
+   * [[driftPsi]] from PRE-AGGREGATED bucket counts — `reference` as
+   * (bucket, np), `current` as (bucket, nq). The face consumed when the
+   * histograms already exist as artifacts (a persisted reference profile,
+   * the streaming cell-count state of
+   * [[graft.streaming.StreamingPipeline.driftIngest]]) — the PSI then
+   * costs a bucket-sized join, no corpus scan at all.
+   */
+  def driftPsiCounts(reference: DataFrame, current: DataFrame): DataFrame = {
+    val p = reference.select(col("bucket"), col("np").cast("long").as("np"))
+    val q = current.select(col("bucket"), col("nq").cast("long").as("nq"))
     val joined = p.join(q, Seq("bucket"), "full_outer")
       .select(col("bucket"), coalesce(col("np"), lit(0L)).as("np"),
         coalesce(col("nq"), lit(0L)).as("nq"))

@@ -302,6 +302,55 @@ object StreamingPipeline {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /**
+   * Streaming embedding-space DRIFT monitor — the streaming face of
+   * [[graft.ext.SimilarityOps.embeddingDriftPsi]]: each micro-batch of
+   * vectors assigns to the FROZEN centroid model (the zero-shuffle
+   * kernel), reduces to a per-cell count delta, and merges into the
+   * versioned state via the additive [[graft.ops.CdcOps.mergeAggState]]
+   * — the [[rollupIngest]] crash-safety contract (batch N rebuilds
+   * `v=N` from the newest complete predecessor, so foreachBatch replays
+   * never double-count). In-batch duplicate ids collapse; the stream is
+   * expected id-unique across batches (run it downstream of
+   * [[dedupIngest]]'s admitted set, where that holds by construction).
+   *
+   * "Where has the ingest wave's semantic mass moved" is then
+   * [[latestDrift]]: a cell-sized PSI join against any reference
+   * histogram — no stream history re-scan, ever.
+   */
+  def driftIngest(spark: SparkSession, vectors: DataFrame, statePath: String,
+                  checkpoint: String, centroids: Seq[(Long, Seq[Float])],
+                  idCol: String, vecCol: String): StreamingQuery =
+    vectors
+      .writeStream
+      .queryName("graft_drift_ingest")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ext.SimilarityOps
+            .ivfAssign(batch.dropDuplicates(idCol), centroids, idCol, vecCol)
+            .groupBy("cell").agg(count(lit(1)).as("n"))
+          commitVersioned(spark, statePath, batchId) {
+            case Some(prev) =>
+              graft.ops.CdcOps.mergeAggState(prev, delta, Seq("cell"))
+            case None => delta
+          }
+        }
+      }
+      .start()
+
+  /** Per-cell PSI of the streamed corpus (newest complete [[driftIngest]]
+    * state) against a reference (cell, n) histogram — the
+    * [[graft.ops.QualityCheck.driftPsiCounts]] shape: a cell-sized join,
+    * no vector scan. */
+  def latestDrift(spark: SparkSession, statePath: String,
+                  referenceCounts: DataFrame): DataFrame =
+    graft.ops.QualityCheck.driftPsiCounts(
+      referenceCounts.select(col("cell").as("bucket"), col("n").as("np")),
+      latestRollup(spark, statePath)
+        .select(col("cell").as("bucket"), col("n").as("nq")))
+
   /** Native streaming session windows: per-user sessions close after
     * `gap` of event-time silence past the watermark. The engine-managed
     * streaming analog of [[graft.ops.TemporalOps.sessionize]] (same

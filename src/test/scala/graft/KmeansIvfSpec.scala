@@ -376,6 +376,41 @@ class KmeansIvfSpec extends SparkSpec {
     spark.read.parquet(s"$work/idx/cells").count() shouldBe emb.count()
   }
 
+  test("driftIngest: streamed cell counts equal batch assignment; PSI equals the batch operator") {
+    import graft.streaming.StreamingPipeline
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_driftstream_").toString
+    val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+    val ref = emb.filter(col("vec_id") % 2 === 0)
+    val cur = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    // wave 1 streams, then wave 2 arrives and the SAME checkpoint resumes
+    cur.filter(col("vec_id") % 4 === 1).write.parquet(s"$work/src")
+    def run(): Unit = StreamingPipeline.driftIngest(spark,
+      spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/src"),
+      s"$work/state", s"$work/cp", cents, "vec_id", "embedding")
+      .awaitTermination()
+    run()
+    cur.filter(col("vec_id") % 4 === 3).write.mode("append")
+      .parquet(s"$work/src")
+    run()
+    val state = StreamingPipeline.latestRollup(spark, s"$work/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val direct = SimilarityOps.ivfAssign(cur, cents, "vec_id", "embedding")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    state shouldBe direct
+    // the streamed-state PSI is row-identical to the batch operator
+    val refCounts = SimilarityOps.ivfAssign(ref, cents, "vec_id", "embedding")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val streamedPsi = StreamingPipeline.latestDrift(spark, s"$work/state",
+      refCounts).orderBy("bucket").collect()
+    val batchPsi = SimilarityOps.embeddingDriftPsi(ref, cur, cents,
+      "vec_id", "embedding").orderBy("bucket").collect()
+    streamedPsi shouldBe batchPsi
+  }
+
   test("annRecallAudit: recall exactly 1.0 at full probe/unpruned budget, monotone in nprobe, measured not stipulated") {
     val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 4)
     val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
