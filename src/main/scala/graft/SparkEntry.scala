@@ -1876,6 +1876,19 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // Fellegi–Sunter record-linkage scoring: within-block candidate
+    // pairs earn a log-likelihood match score — agreement on a RARE
+    // field (frequency-estimated u) is worth far more than on a common
+    // one; score > 0 ≈ likelier-than-chance match
+    "q_linkage_scores" -> ((s, d) => {
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"),
+        col("p_size"), col("p_type"),
+        split(col("p_name"), " ").getItem(0).as("p_w1"))
+      DedupOps.linkageScores(p, "p_partkey", Seq("p_brand", "p_size"),
+          Seq("p_type", "p_w1"), m = 0.9, maxBlockSize = 1000)
+        .orderBy("id1", "id2")
+    }),
+
     // contrastive training-pair mining: per anchor, its best same-cell
     // partner at cosine ≥ 0.3 (positive) × up to 2 HARD negatives in
     // [0.15, 0.3) from a 64-row deterministic per-cell pool — the
@@ -5963,6 +5976,33 @@ object SparkEntry {
                          FROM dots)
          SELECT query_id, neighbor_id, score, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // frequency-estimated u per field → log-likelihood weights → scored
+    // within-block pairs; (1 - 0.9) is written as the subtraction so both
+    // engines compute the identical IEEE double
+    "q_linkage_scores" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_size, p_type, string_split(p_name, ' ')[1] AS w1 FROM part),
+              nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM p),
+              s1 AS (SELECT SUM(c * c) AS s FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY p_type)),
+              s2 AS (SELECT SUM(c * c) AS s FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY w1)),
+              w AS (SELECT LN(0.9 / (CAST(s1.s AS DOUBLE) / (nn * nn))) AS wa1,
+                           LN((1 - 0.9) / (1 - CAST(s1.s AS DOUBLE) / (nn * nn))) AS wd1,
+                           LN(0.9 / (CAST(s2.s AS DOUBLE) / (nn * nn))) AS wa2,
+                           LN((1 - 0.9) / (1 - CAST(s2.s AS DOUBLE) / (nn * nn))) AS wd2
+                    FROM s1, s2, nr),
+              ok AS (SELECT p_brand, p_size FROM p GROUP BY p_brand, p_size HAVING COUNT(*) <= 1000),
+              pb AS (SELECT p.* FROM p JOIN ok ON ok.p_brand = p.p_brand AND ok.p_size = p.p_size),
+              pairs AS (SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+                               a.p_type AS t1, b.p_type AS t2, a.w1 AS x1, b.w1 AS x2
+                        FROM pb a JOIN pb b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+                                           AND a.p_partkey < b.p_partkey)
+         SELECT id1, id2,
+                CAST((CASE WHEN t1 IS NOT DISTINCT FROM t2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN x1 IS NOT DISTINCT FROM x2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+                ROUND((CASE WHEN t1 IS NOT DISTINCT FROM t2 THEN wa1 ELSE wd1 END)
+                    + (CASE WHEN x1 IS NOT DISTINCT FROM x2 THEN wa2 ELSE wd2 END), 6) AS score
+         FROM pairs, w
+         ORDER BY id1, id2""",
 
     // assignment replay → fp60-mod-2^48-ordered 64-row per-cell pool →
     // within-cell cosine → positive band rn=1 × negative band rn<=2

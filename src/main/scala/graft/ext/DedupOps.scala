@@ -1201,4 +1201,72 @@ object DedupOps {
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.s").as("s1"), col("b.s").as("s2"), col("dist"))
   }
+
+  /**
+   * FELLEGI–SUNTER record-linkage scoring — the probabilistic tier above
+   * [[blockedFuzzyJoin]]'s single-field distance gate: every within-block
+   * candidate pair gets a log-likelihood-ratio match score summed over
+   * the comparison `fields`. A field agreement contributes ln(m/u_f),
+   * a disagreement ln((1−m)/(1−u_f)), where `m` is the assumed
+   * agreement probability among true matches (the classic 0.9 default)
+   * and u_f — the probability two RANDOM records agree on field f — is
+   * ESTIMATED from the data as Σ_v share_v² over f's value distribution
+   * (the standard frequency-based u). Rare fields thus earn high
+   * agreement weight, near-constant fields earn almost none — exactly
+   * the calibration a hand-tuned "+1 per matching field" score lacks.
+   *
+   * Emits (id1, id2, n_agree, score) for ALL within-block pairs (id1 <
+   * id2, ids cast long); callers threshold `score` (> 0 ≈ "more likely
+   * match than chance"). Null fields compare null-safely (null = null
+   * agrees). Deterministic: u_f derives from exact integer counts, the
+   * per-pair sum is a fixed-order expression over ≤ |fields| doubles,
+   * and the score rounds to 6dp.
+   *
+   * Scale: one count aggregate per field (value-cardinality sized) folds
+   * into a 1-row broadcast weight artifact; pairs come from the same
+   * hot-capped block equi-join as [[blockedFuzzyJoin]] — each side
+   * shuffles once on the block key, never an all-pairs join; scoring is
+   * a per-row projection.
+   */
+  def linkageScores(df: DataFrame, idCol: String, blockCols: Seq[String],
+                    fields: Seq[String], m: Double = 0.9,
+                    maxBlockSize: Int = 1000): DataFrame = {
+    require(fields.nonEmpty, "linkageScores needs comparison fields")
+    require(m > 0 && m < 1, s"bad m=$m")
+    // 1-row weight artifact: u_f = Σ_v n_v² / N² per field, then the
+    // agree/disagree log-likelihood weights
+    val nRows = df.agg(count(lit(1)).as("__n"))
+    val weights = fields.map { f =>
+        df.groupBy(col(f)).agg(count(lit(1)).as("__c"))
+          .agg(sum(col("__c") * col("__c")).as(s"__s_$f"))
+      }
+      .foldLeft(nRows)((acc, w) => acc.crossJoin(w))
+    val weighted = fields.foldLeft(weights) { (acc, f) =>
+      val u = col(s"__s_$f").cast("double") / (col("__n") * col("__n"))
+      acc.withColumn(s"__wa_$f", log(lit(m) / u))
+        .withColumn(s"__wd_$f", log(lit(1 - m) / (lit(1.0) - u)))
+    }
+    val v = df.select((col(idCol).cast("long").as("__id") +:
+      blockCols.map(col)) ++ fields.map(col): _*)
+    val capped = {
+      val sized = v.groupBy(blockCols.map(col): _*)
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBlockSize)
+        .select(blockCols.map(col): _*)
+      v.join(sized, blockCols, "left_semi")
+    }
+    val a = capped.select((col("__id").as("id1") +: blockCols.map(col)) ++
+      fields.map(f => col(f).as(s"__a_$f")): _*)
+    val b = capped.select((col("__id").as("id2") +: blockCols.map(col)) ++
+      fields.map(f => col(f).as(s"__b_$f")): _*)
+    val score = fields.map(f =>
+      when(col(s"__a_$f") <=> col(s"__b_$f"), col(s"__wa_$f"))
+        .otherwise(col(s"__wd_$f"))).reduce(_ + _)
+    val nAgree = fields.map(f =>
+      when(col(s"__a_$f") <=> col(s"__b_$f"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, blockCols).filter(col("id1") < col("id2"))
+      .crossJoin(broadcast(weighted))
+      .select(col("id1"), col("id2"), nAgree.as("n_agree"),
+        round(score, 6).as("score"))
+  }
 }

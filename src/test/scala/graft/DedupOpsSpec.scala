@@ -545,4 +545,34 @@ class DedupOpsSpec extends SparkSpec {
     // gram exchange rather than re-running posexplode + md5
     plan should include("ReusedExchange")
   }
+
+  test("linkageScores: rare-field agreement outweighs common-field agreement") {
+    import spark.implicits._
+    // field `com` is near-constant (u ≈ 1 → tiny agreement weight),
+    // field `rare` is distinct per entity (u small → big weight)
+    val df = Seq(
+      (1L, "b1", "X", "r1"), (2L, "b1", "X", "r1"),   // rare+common agree
+      (3L, "b1", "X", "r2"), (4L, "b1", "Y", "r3"),   // 3-1: common only
+      (5L, "b2", "X", "r4"), (6L, "b2", "X", "r5"),   // common only
+      (7L, "b2", "X", null), (8L, "b2", "X", null))   // null <=> null agrees
+      .toDF("id", "blk", "com", "rare")
+    val out = DedupOps.linkageScores(df, "id", Seq("blk"),
+        Seq("com", "rare"), m = 0.9, maxBlockSize = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    out((1L, 2L))._1 shouldBe 2L
+    out((3L, 4L))._1 shouldBe 0L
+    out((5L, 6L))._1 shouldBe 1L
+    out((7L, 8L))._1 shouldBe 2L                      // null-safe agreement
+    // full agreement on (common + rare) ≫ common-only ≫ none
+    out((1L, 2L))._2 should be > out((5L, 6L))._2
+    out((5L, 6L))._2 should be > out((3L, 4L))._2
+    // rare-field agreement is worth more than common-field agreement:
+    // (1,3) agree on common only; (7,8) agree on rare(null) + common
+    out((7L, 8L))._2 should be > out((1L, 3L))._2
+    // block cap: a 2-member cap drops the 4-member block b1 entirely
+    val capped = DedupOps.linkageScores(df, "id", Seq("blk"),
+      Seq("com", "rare"), m = 0.9, maxBlockSize = 2)
+    capped.count() shouldBe 0L
+  }
 }

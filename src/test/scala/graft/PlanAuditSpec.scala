@@ -68,7 +68,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_recall_audit",    // per-grid-point 1-row n_hit × n_true joins
     "q_ann_recall_audit_pq", // same, over the IVF+PQ grid
     "q_tfidf_topterms",      // 1-row doc-count broadcast
-    "q_unigram_logprob")     // 1-row corpus token total broadcast
+    "q_unigram_logprob",     // 1-row corpus token total broadcast
+    "q_embedding_drift",     // driftPsi's 1-row smoothing-totals broadcast
+    "q_knn_classify",        // cosineTopK's broadcast query set
+    "q_linkage_scores")      // 1-row u-weight artifact built from per-field
+                             // scalar aggs (2 builds + 1 scoring join)
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
