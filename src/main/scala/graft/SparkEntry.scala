@@ -2490,6 +2490,15 @@ object SparkEntry {
           "id1", "id2", 5)
         .orderBy("node")),
 
+    // synchronous label-propagation communities (3 rounds, ties →
+    // smaller label) over the dup-evidence graph — the DENSITY view:
+    // a bridge edge fuses CC clusters but is outvoted here
+    "q_label_prop" -> ((s, d) =>
+      graft.ops.GraphOps.labelPropagation(
+          graft.ext.ClusterStore.pairs(s, evidenceStore(s, d)),
+          "id1", "id2", 3)
+        .orderBy("node")),
+
     // clustering-quality audit: per-cluster modularity terms of the
     // connected-component dedup clusters against their own dup graph —
     // disconnected chain components score near the disjoint-clique bound
@@ -6586,6 +6595,44 @@ object SparkEntry {
               pr5 AS (SELECT n.node, 150000000000 + (85 * COALESCE(c5.s, 0)) // 100 AS pr
                       FROM n LEFT JOIN c5 USING (node))
          SELECT node, CAST(pr AS BIGINT) AS pr FROM pr5 ORDER BY node""",
+
+    // same rare-shingle dup-evidence edges, then 3 unrolled synchronous
+    // LPA rounds: per-node neighbor-label vote, argmax (count desc,
+    // label asc)
+    "q_label_prop" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE text IS NOT NULL),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              shg AS (SELECT DISTINCT doc_id AS id,
+                             CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
+                      FROM grams),
+              rare AS (SELECT sh FROM shg GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 5),
+              e AS (SELECT DISTINCT a.id AS a, b.id AS b
+                    FROM shg a JOIN rare r ON r.sh = a.sh JOIN shg b ON b.sh = a.sh
+                    WHERE a.id < b.id),
+              bi AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+              l0 AS (SELECT DISTINCT v AS node, v AS label FROM bi),
+              v1 AS (SELECT bi.v AS node, l0.label, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM bi JOIN l0 ON l0.node = bi.u GROUP BY bi.v, l0.label),
+              l1 AS (SELECT node, label FROM (
+                       SELECT node, label,
+                              row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                       FROM v1) WHERE rn = 1),
+              v2 AS (SELECT bi.v AS node, l1.label, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM bi JOIN l1 ON l1.node = bi.u GROUP BY bi.v, l1.label),
+              l2 AS (SELECT node, label FROM (
+                       SELECT node, label,
+                              row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                       FROM v2) WHERE rn = 1),
+              v3 AS (SELECT bi.v AS node, l2.label, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM bi JOIN l2 ON l2.node = bi.u GROUP BY bi.v, l2.label),
+              l3 AS (SELECT node, label FROM (
+                       SELECT node, label,
+                              row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                       FROM v3) WHERE rn = 1)
+         SELECT node, label FROM l3 ORDER BY node""",
 
     "q_modularity" ->
       """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents

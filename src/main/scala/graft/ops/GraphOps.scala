@@ -353,4 +353,66 @@ object GraphOps {
     nodes.unpersist(blocking = false)
     result
   }
+
+  /**
+   * Synchronous LABEL-PROPAGATION community detection (Raghavan et al.)
+   * over an undirected edge list, bounded rounds: every node starts
+   * labeled with its own id; each round every node simultaneously adopts
+   * its most frequent NEIGHBOR label, ties to the smaller label. Where
+   * min-label connected components track pure CONNECTIVITY (one bridge
+   * edge fuses two template families forever), LPA tracks DENSITY — the
+   * bridge is outvoted by each family's internal edges, so the
+   * communities [[modularity]] scores highly actually emerge. Community
+   * labels after `rounds` rounds are the deliverable; convergence is not
+   * asserted (classic LPA may oscillate on bipartite structures —
+   * bounded synchronous rounds are the deterministic production form).
+   *
+   * Deterministic: votes are exact integer counts, the adopt step is a
+   * `max_by (count, −label)` argmax (ties → smaller label), rounds are
+   * fixed — partition-invariant and replayable by SQL round-unrolling.
+   *
+   * Scale: per round one neighbor-label equi-join + two hash
+   * aggregations — O(edges) per round; per-round persist/rebase keeps
+   * the plan constant-depth (the [[pageRankScaled]] discipline).
+   */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"bad rounds $rounds")
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct()
+    val bi = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    val nodes = bi.select(col("v").as("node")).distinct().persist()
+    def materializeCut(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist()
+      p.count()
+      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+    }
+    var (labels, handle) = materializeCut(
+      nodes.withColumn("label", col("node")))
+    for (_ <- 1 to rounds) {
+      // every node appears as some v (bi is symmetric), so the vote
+      // covers the whole node set — no keep-old-label branch needed
+      val (next, nextHandle) = materializeCut(
+        bi.join(labels, bi("u") === labels("node"))
+          .select(col("v").as("node"), col("label"))
+          .groupBy("node", "label").agg(count(lit(1)).as("c"))
+          .groupBy("node")
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("b"))
+          .select(col("node"), (-col("b.nl")).as("label")))
+      handle.unpersist(blocking = false)
+      labels = next
+      handle = nextHandle
+    }
+    val result = labels.localCheckpoint()
+    handle.unpersist(blocking = false)
+    bi.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    result
+  }
 }

@@ -345,4 +345,25 @@ class CdcStatsSpec extends SparkSpec {
     top.head.getLong(1) shouldBe 3L
     top.map(_.getString(0)) should not contain "common one" // c2 < minCount
   }
+
+  test("labelPropagation splits bridged triangles that CC fuses") {
+    import spark.implicits._
+    // two triangles joined by ONE bridge edge 3-4: connectivity says one
+    // cluster, density says two communities — LPA must find two
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "t")
+    val out = graft.ops.GraphOps.labelPropagation(edges, "s", "t", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L)
+    // partition invariance
+    val out2 = graft.ops.GraphOps
+      .labelPropagation(edges.repartition(7), "s", "t", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out2 shouldBe out
+    // CC on the same graph: one cluster — the contrast LPA exists for
+    val cc = graft.ext.DedupOps.connectedComponents(
+      edges.toDF("id1", "id2"), iterations = 5)
+    cc.select("cluster_id").distinct().count() shouldBe 1L
+  }
 }
