@@ -938,6 +938,13 @@ object SparkEntry {
     // Zipf slope: OLS fit of ln(freq) on ln(rank) over the top-200 head —
     // natural corpora sit near −1; template/spam corpora flatten. Decimal
     // sums make the fit bit-identical across engines
+    // distinct-n diversity per language: the fraction of unigram/bigram
+    // occurrences that are distinct types — template corpora and
+    // mode-collapsed generations drive the ratios toward 0
+    "q_distinct_ngrams" -> ((s, d) =>
+      TextOps.ngramDiversity(t(s, d, "documents"), "text", Seq("lang"))
+        .orderBy("lang")),
+
     "q_zipf_slope" -> ((s, d) => {
       val dec = DecimalType(28, 6)
       val vocab = t(s, d, "documents").filter(col("text").isNotNull)
@@ -3443,6 +3450,25 @@ object SparkEntry {
                      FROM ds)"""
 
   def oracleSql: Map[String, String] = Map(
+
+    // positional bigram join (≥2-token docs only, matching the kernel's
+    // filtered Spark side); type/occurrence rollups per language
+    "q_distinct_ngrams" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,
+                           generate_subscripts(string_split(text, ' '), 1) AS i
+                    FROM documents WHERE text IS NOT NULL),
+              u AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n1, CAST(COUNT(*) AS BIGINT) AS d1
+                    FROM (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY lang, tok)
+                    GROUP BY lang),
+              bg AS (SELECT a.lang, a.tok || ' ' || b.tok AS g
+                     FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+              b AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n2, CAST(COUNT(*) AS BIGINT) AS d2
+                    FROM (SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY lang, g)
+                    GROUP BY lang)
+         SELECT u.lang, u.n1, u.d1, ROUND(CAST(u.d1 AS DOUBLE) / u.n1, 6) AS distinct1,
+                b.n2, b.d2, ROUND(CAST(b.d2 AS DOUBLE) / b.n2, 6) AS distinct2
+         FROM u JOIN b ON b.lang = u.lang
+         ORDER BY u.lang""",
 
     "q_zipf_slope" ->
       """WITH v AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS freq

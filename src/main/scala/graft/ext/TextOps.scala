@@ -203,6 +203,45 @@ object TextOps {
   def fingerprint60(c: Column): Column =
     graft.functions.Fingerprint60(c)
 
+  /**
+   * DISTINCT-n DIVERSITY — the corpus self-repetition metric of the
+   * distinct-1/distinct-2 family: per stratum, the fraction of unigram
+   * and bigram OCCURRENCES that are distinct TYPES. Natural text sits in
+   * a recognizable band; template/boilerplate corpora and mode-collapsed
+   * generated text drive the ratios toward 0 (few types, many
+   * occurrences) — the cheap corpus-level "is this slice repeating
+   * itself" gate next to [[TextOps.repetitionStats]]' per-doc view and
+   * the Zipf-slope diagnostic.
+   *
+   * Returns per stratum: (n1, d1, distinct1 = d1/n1, n2, d2, distinct2),
+   * ratios 6dp. Docs with < 2 tokens contribute no bigrams (the
+   * positional-join convention, matching the SQL oracle).
+   *
+   * Scale: one (stratum, gram) shuffle per n — gram counts partial-
+   * aggregate map-side, the stratum rollup is |types|-sized, text never
+   * moves; bigrams ride the zero-shuffle WordGrams codegen kernel.
+   */
+  def ngramDiversity(df: DataFrame, textCol: String,
+                     stratumCols: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val g = stratumCols.map(col)
+    val base = df.filter(col(textCol).isNotNull)
+    def roll(grams: DataFrame, n: String, d: String, r: String) =
+      grams.groupBy(g :+ col("g"): _*).agg(count(lit(1)).as("c"))
+        .groupBy(g: _*)
+        .agg(sum(col("c")).as(n), count(lit(1)).as(d))
+        .withColumn(r, round(col(d).cast("double") / col(n), 6))
+    val uni = roll(
+      base.select(g :+ explode(tokens(col(textCol))).as("g"): _*),
+      "n1", "d1", "distinct1")
+    val bi = roll(
+      base.filter(size(tokens(col(textCol))) >= 2)
+        .select(g :+ explode(call_function("graft_word_grams",
+          col(textCol), lit(2))).as("g"): _*),
+      "n2", "d2", "distinct2")
+    uni.join(bi, stratumCols)
+  }
+
   def fingerprintHex(c: Column): Column = md5(c)
 
   /** Per-document text stats frame: doc id, token/char/subword counts,

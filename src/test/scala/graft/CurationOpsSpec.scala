@@ -609,4 +609,18 @@ class CurationOpsSpec extends SparkSpec {
     byId(20L) shouldBe "head"
     byId(21L) shouldBe "tail"
   }
+
+  test("ngramDiversity: templated slice scores far below the varied slice") {
+    import spark.implicits._
+    val df = Seq(
+      ("tpl", "a b a b a b"), ("tpl", "a b a b a b"),
+      ("var", "q w e r t y"), ("var", "u i o p s d"))
+      .toDF("lang", "text")
+    val out = graft.ext.TextOps.ngramDiversity(df, "text", Seq("lang"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    out("tpl") shouldBe ((12L, 2L, 0.166667, 10L, 2L, 0.2))
+    out("var") shouldBe ((12L, 12L, 1.0, 10L, 10L, 1.0))
+  }
 }
