@@ -2506,6 +2506,19 @@ object SparkEntry {
           "id1", "id2", 3)
         .orderBy("node")),
 
+    // clustering-churn audit: Rand/ARI pair-counting agreement between
+    // the chain graph's connectivity clustering (ClusterStore CC) and
+    // its 3-round LPA communities — bipartite paths split under
+    // synchronous LPA, so agreement is deterministically < 1
+    "q_cluster_agreement" -> ((s, d) => {
+      val root = chainStore(s, d)
+      graft.ops.GraphOps.clusterAgreement(
+        graft.ext.ClusterStore.assignment(s, root), "id", "cluster_id",
+        graft.ops.GraphOps.labelPropagation(
+          graft.ext.ClusterStore.pairs(s, root), "id1", "id2", 3),
+        "node", "label")
+    }),
+
     // clustering-quality audit: per-cluster modularity terms of the
     // connected-component dedup clusters against their own dup graph —
     // disconnected chain components score near the disjoint-clique bound
@@ -6659,6 +6672,63 @@ object SparkEntry {
                               row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
                        FROM v3) WHERE rn = 1)
          SELECT node, label FROM l3 ORDER BY node""",
+
+    // chain CC (3 min-label rounds, converged) × 3 unrolled LPA rounds →
+    // contingency-table Rand / Adjusted Rand, all-integer until the two
+    // final divisions
+    "q_cluster_agreement" ->
+      """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+                     WHERE doc_id % 10 < 3),
+              e AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+                    FROM e0 WHERE id1 <> id2),
+              edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+              l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
+              l1 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l0 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l0 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l2 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l1 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l1 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l3 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l2 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l2 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              p0 AS (SELECT DISTINCT a AS node, a AS label FROM edges),
+              w1 AS (SELECT edges.a AS node, p0.label, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM edges JOIN p0 ON p0.node = edges.b GROUP BY edges.a, p0.label),
+              p1 AS (SELECT node, label FROM (
+                       SELECT node, label,
+                              row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                       FROM w1) WHERE rn = 1),
+              w2 AS (SELECT edges.a AS node, p1.label, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM edges JOIN p1 ON p1.node = edges.b GROUP BY edges.a, p1.label),
+              p2 AS (SELECT node, label FROM (
+                       SELECT node, label,
+                              row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                       FROM w2) WHERE rn = 1),
+              w3 AS (SELECT edges.a AS node, p2.label, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM edges JOIN p2 ON p2.node = edges.b GROUP BY edges.a, p2.label),
+              p3 AS (SELECT node, label FROM (
+                       SELECT node, label,
+                              row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                       FROM w3) WHERE rn = 1),
+              j AS (SELECT l3.id, l3.label AS ca, p3.label AS cb
+                    FROM l3 JOIN p3 ON p3.node = l3.id),
+              cs AS (SELECT CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS sij FROM (
+                       SELECT CAST(COUNT(*) AS BIGINT) AS nij FROM j GROUP BY ca, cb)),
+              asums AS (SELECT CAST(SUM((na * (na - 1)) // 2) AS BIGINT) AS sa FROM (
+                          SELECT CAST(COUNT(*) AS BIGINT) AS na FROM j GROUP BY ca)),
+              bsums AS (SELECT CAST(SUM((nb * (nb - 1)) // 2) AS BIGINT) AS sb FROM (
+                          SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM j GROUP BY cb)),
+              tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS n_pairs FROM j)
+         SELECT n, n_pairs, sij, sa, sb,
+                ROUND(CAST(n_pairs + 2 * sij - sa - sb AS DOUBLE) / n_pairs, 6) AS rand_index,
+                ROUND((CAST(sij AS DOUBLE) - CAST(sa AS DOUBLE) * sb / n_pairs)
+                      / (CAST(sa + sb AS DOUBLE) / 2 - CAST(sa AS DOUBLE) * sb / n_pairs), 6) AS adjusted_rand
+         FROM tot, cs, asums, bsums""",
 
     "q_modularity" ->
       """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents

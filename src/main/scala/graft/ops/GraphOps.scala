@@ -415,4 +415,51 @@ object GraphOps {
     nodes.unpersist(blocking = false)
     result
   }
+
+  /**
+   * Pair-counting AGREEMENT between two clusterings of the same id set —
+   * Rand index and Adjusted Rand Index from the contingency table. The
+   * clustering-churn audit: compare a ClusterStore version against its
+   * successor ("did the re-cluster move anything material"), or CC
+   * (connectivity) against [[labelPropagation]] (density) to measure how
+   * much bridge-merging the connectivity view does.
+   *
+   * One row: (n, n_pairs, sij = Σ C(n_ij,2), sa = Σ C(a_i,2), sb =
+   * Σ C(b_j,2), rand_index, adjusted_rand), indices 6dp. ARI is 1 for
+   * identical clusterings, ~0 for independent ones; NaN only on
+   * degenerate inputs (n < 2 or both clusterings trivial).
+   *
+   * Deterministic: all C(·,2) terms are exact integer arithmetic
+   * (`div`, no doubles until the two final index divisions, fixed
+   * expression order).
+   *
+   * Scale: one id equi-join + a contingency aggregate bounded by the
+   * co-cluster-pair cardinality; the C(·,2) sums reduce to a 1-row
+   * artifact — pairs are COUNTED via the contingency identity, never
+   * materialized (the naive pairs-within-cluster join is quadratic).
+   */
+  def clusterAgreement(a: DataFrame, aId: String, aCl: String,
+                       b: DataFrame, bId: String, bCl: String): DataFrame = {
+    val j = a.select(col(aId).as("id"), col(aCl).as("ca"))
+      .join(b.select(col(bId).as("id"), col(bCl).as("cb")), "id")
+    def c2(name: String) = expr(s"($name * ($name - 1)) div 2")
+    val sij = j.groupBy("ca", "cb").agg(count(lit(1)).as("nij"))
+      .agg(sum(c2("nij")).as("sij"))
+    val sa = j.groupBy("ca").agg(count(lit(1)).as("na"))
+      .agg(sum(c2("na")).as("sa"))
+    val sb = j.groupBy("cb").agg(count(lit(1)).as("nb"))
+      .agg(sum(c2("nb")).as("sb"))
+    j.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(sij)).crossJoin(broadcast(sa))
+      .crossJoin(broadcast(sb))
+      .withColumn("n_pairs", c2("n"))
+      .select(col("n"), col("n_pairs"), col("sij"), col("sa"), col("sb"),
+        round((col("n_pairs") + lit(2L) * col("sij") - col("sa") -
+          col("sb")).cast("double") / col("n_pairs"), 6).as("rand_index"),
+        round((col("sij").cast("double") -
+          col("sa").cast("double") * col("sb") / col("n_pairs")) /
+          ((col("sa") + col("sb")).cast("double") / 2 -
+            col("sa").cast("double") * col("sb") / col("n_pairs")), 6)
+          .as("adjusted_rand"))
+  }
 }

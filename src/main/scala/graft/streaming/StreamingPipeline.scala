@@ -269,6 +269,53 @@ object StreamingPipeline {
       }
       .start()
 
+  /**
+   * Streaming DISTINCT-COUNT maintenance on the KMV set sketch
+   * ([[graft.ops.SketchOps.setSketch]]): per micro-batch, the batch's
+   * per-group bottom-k distinct key hashes merge into the versioned
+   * state. Because the KMV state is a pure function of the key SET
+   * (bottom-k of a set union), the merge is IDEMPOTENT — re-delivering
+   * overlapping or duplicate batches cannot inflate the state, a
+   * guarantee the additive [[rollupIngest]]/[[quantileIngest]] states
+   * need version-rebasing to approximate. The versioned commit still
+   * provides crash-atomicity; at-least-once sources are additionally
+   * safe by construction (spec-proven: re-merging an already-ingested
+   * batch leaves the state bit-identical).
+   *
+   * [[latestDistinct]] answers "distinct keys per group so far" from
+   * |groups| k-long arrays — no stream history re-scan.
+   */
+  def distinctIngest(spark: SparkSession, events: DataFrame,
+                     statePath: String, checkpoint: String,
+                     keyCol: String = "user_id",
+                     groupCol: String = "event_type",
+                     k: Int = 256): StreamingQuery =
+    events
+      .writeStream
+      .queryName("graft_distinct_ingest")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ops.SketchOps.setSketch(batch, keyCol,
+            Seq(groupCol), k)
+          commitVersioned(spark, statePath, batchId) {
+            case Some(prev) => graft.ops.SketchOps.mergeSetSketches(
+              prev.unionByName(delta), Seq(groupCol), k)
+            case None => delta
+          }
+        }
+      }
+      .start()
+
+  /** Per-group distinct-count estimates from the newest COMPLETE
+    * [[distinctIngest]] state: |groups| rows read, no event scan. */
+  def latestDistinct(spark: SparkSession, statePath: String,
+                     k: Int = 256): DataFrame =
+    latestRollup(spark, statePath)
+      .withColumn("est_distinct", graft.ops.SketchOps.kmvDistinct(
+        col(graft.ops.SketchOps.KmvCol), k))
+
   /** Per-type quantile estimates from the newest COMPLETE sketch state
     * (see [[quantileIngest]]): |types| rows read, no event scan. */
   def latestQuantiles(spark: SparkSession, statePath: String,

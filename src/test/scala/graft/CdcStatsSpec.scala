@@ -366,4 +366,24 @@ class CdcStatsSpec extends SparkSpec {
       edges.toDF("id1", "id2"), iterations = 5)
     cc.select("cluster_id").distinct().count() shouldBe 1L
   }
+
+  test("clusterAgreement: Rand/ARI exact on hand-computed contingencies") {
+    import spark.implicits._
+    val a = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("id", "c")
+    val same = graft.ops.GraphOps.clusterAgreement(a, "id", "c",
+      a.toDF("id", "c"), "id", "c").head()
+    same.getAs[Double]("rand_index") shouldBe 1.0
+    same.getAs[Double]("adjusted_rand") shouldBe 1.0
+    // split one cluster: contingency (1,1,2) → RI 5/6, ARI 4/7
+    val b = Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, 12L)).toDF("id", "c")
+    val split = graft.ops.GraphOps.clusterAgreement(a, "id", "c",
+      b, "id", "c").head()
+    split.getAs[Long]("n") shouldBe 4L
+    split.getAs[Long]("n_pairs") shouldBe 6L
+    split.getAs[Long]("sij") shouldBe 1L
+    split.getAs[Long]("sa") shouldBe 2L
+    split.getAs[Long]("sb") shouldBe 1L
+    split.getAs[Double]("rand_index") shouldBe 0.833333
+    split.getAs[Double]("adjusted_rand") shouldBe 0.571429
+  }
 }

@@ -188,6 +188,53 @@ class StreamingPipelineSpec extends SparkSpec {
     est.forall(e => e._3 >= lo && e._3 <= hi) shouldBe true
   }
 
+  test("distinctIngest: KMV state equals one direct sketch; duplicate redelivery is a no-op") {
+    val work = Files.createTempDirectory("graft_kmvstream_").toString
+    val srcDir = s"$work/src"
+    val state = s"$work/state"
+    val all = Stores.table(spark, sf0001, "events")
+      .select(StreamingPipeline.eventSchema.fieldNames.map(col).toIndexedSeq: _*)
+    def direct(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.SketchOps.setSketch(df, "user_id", Seq("event_type"),
+        k = 64).orderBy("event_type").collect()
+    val (w1, w2) = (all.filter($"event_id" % 2 === 0),
+      all.filter($"event_id" % 2 === 1))
+    w1.repartition(3).write.mode("overwrite").parquet(srcDir)
+    def run(cp: String): Unit =
+      StreamingPipeline.distinctIngest(spark,
+        spark.readStream.schema(StreamingPipeline.eventSchema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        state, cp, "user_id", "event_type", k = 64)
+        .awaitTermination()
+    run(s"$work/cp")
+    StreamingPipeline.latestRollup(spark, state)
+      .orderBy("event_type").collect() shouldBe direct(w1)
+    w2.repartition(2).write.mode("append").parquet(srcDir)
+    run(s"$work/cp")
+    val afterAll = StreamingPipeline.latestRollup(spark, state)
+      .orderBy("event_type").collect()
+    afterAll shouldBe direct(all)
+    // AT-LEAST-ONCE tolerance: a FRESH checkpoint redelivers every file —
+    // the KMV union is idempotent, so the state stays bit-identical
+    // (an additive state would double-count here)
+    run(s"$work/cp_replay")
+    StreamingPipeline.latestRollup(spark, state)
+      .orderBy("event_type").collect() shouldBe afterAll
+    // the distinct read costs |types| rows, no event scan; estimates are
+    // exact here (sketch unsaturated at this SF)
+    val est = StreamingPipeline.latestDistinct(spark, state, k = 64)
+      .select($"event_type", $"est_distinct").as[(String, Double)]
+      .collect().toMap
+    val exact = all.groupBy("event_type")
+      .agg(countDistinct($"user_id").cast("double").as("d"))
+      .as[(String, Double)].collect().toMap
+    est.keySet shouldBe exact.keySet
+    est.foreach { case (t, e) =>
+      assert(math.abs(e - exact(t)) / exact(t) < 3.0 / math.sqrt(64),
+        s"type $t: est $e vs exact ${exact(t)}")
+    }
+  }
+
   test("keyedIngest: event time is immutable on redelivery (ts not in update set)") {
     val work = Files.createTempDirectory("graft_stream_ts_").toString
     val mart = s"$work/mart"
