@@ -56,6 +56,20 @@ object SparkEntry {
       p
     })
 
+  /** Trained BPE merge table (6 rules, half-corpus hash sample, batched
+    * rounds) — memoized per sf dir like the stores: a production
+    * pipeline trains the tokenizer ONCE per corpus wave and every
+    * consumer (budget gate, fertility audit) reads the artifact. */
+  private val bpeMergeTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def trainedBpeMerges(s: SparkSession, d: String): Seq[String] =
+    bpeMergeTables.computeIfAbsent(d, _ => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      TextOps.bpeTrainMerges(
+        SamplingOps.hashSample(docs, "doc_id", k = 2, r = 0), "text",
+        nMerges = 6, batch = 3)
+    })
+
   /** Synthetic chain dup graph (multi-hop components) — the CC fixture. */
   private def chainStore(s: SparkSession, d: String): String =
     store("chain", d) {
@@ -1255,9 +1269,7 @@ object SparkEntry {
     // the sampled, batched training via the same flat string-replace scheme
     "q_budget_select_bpe" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("text").isNotNull)
-      val merges = TextOps.bpeTrainMerges(
-        SamplingOps.hashSample(docs, "doc_id", k = 2, r = 0), "text",
-        nMerges = 6, batch = 3)
+      val merges = trainedBpeMerges(s, d)
       SamplingOps.selectByBudgetSharded(
         docs.withColumn("n_tokens",
           TextOps.subwordCountBpe(col("text"), merges)),
@@ -1271,9 +1283,7 @@ object SparkEntry {
     // budget misbills each language
     "q_bpe_fertility" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("text").isNotNull)
-      val merges = TextOps.bpeTrainMerges(
-        SamplingOps.hashSample(docs, "doc_id", k = 2, r = 0), "text",
-        nMerges = 6, batch = 3)
+      val merges = trainedBpeMerges(s, d)
       docs.groupBy("lang")
         .agg(sum(TextOps.tokenCount(col("text")).cast(LongType))
             .as("n_words"),
