@@ -135,6 +135,57 @@ object AnnIndexStore {
     fs.delete(hp(bak), true)
   }
 
+  /**
+   * COMPACT the ingest batches — the [[graft.ext.LexIndexStore.compact]]
+   * discipline for the ANN tier: a long-running [[append]] stream
+   * accretes one `b=` directory per micro-batch, and at 100 TB the FILE
+   * COUNT (every probed cell × every batch) — not the data — becomes
+   * the scan-planning cost. Rewrites the union of all batches into a
+   * single fresh `b=0` beside the live tree and swaps it in with the
+   * marker-gated rename-aside (never delete-then-rename; any crash
+   * point leaves a complete index live or recoverable via
+   * [[recoverCompact]]). Results are unchanged by construction: index
+   * rows are per-id facts independent of which batch carried them, and
+   * the centroid/codebook artifacts are copied verbatim. Appends resume
+   * after with fresh batch ids > 0.
+   */
+  def compact(path: String, spark: SparkSession): Unit = {
+    val fs = hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(spark, path)
+    val tmp = path + ".compact"
+    val bak = path + ".precompact"
+    fs.delete(hp(tmp), true)
+    spark.read.parquet(s"$path/cells").drop("b")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$tmp/cells/b=0")
+    spark.read.parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+    if (fs.exists(hp(s"$path/codebooks")))
+      spark.read.parquet(s"$path/codebooks")
+        .write.mode("overwrite").parquet(s"$tmp/codebooks")
+    fs.create(hp(s"$tmp/$Marker")).close()
+    fs.delete(hp(bak), true)
+    mv(fs, path, bak)
+    mv(fs, tmp, path)
+    fs.delete(hp(bak), true)
+  }
+
+  /** Recover the [[compact]] swap after a crash — the [[recoverRetrain]]
+    * invariants over the `.compact`/`.precompact` neighbors. */
+  def recoverCompact(spark: SparkSession, path: String): Unit = {
+    val fs = hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (tmp, bak) = (path + ".compact", path + ".precompact")
+    if (fs.exists(hp(path))) {
+      fs.delete(hp(bak), true)
+    } else if (fs.exists(hp(s"$tmp/$Marker"))) {
+      mv(fs, tmp, path)
+      fs.delete(hp(bak), true)
+    } else if (fs.exists(hp(bak))) {
+      mv(fs, bak, path)
+      fs.delete(hp(tmp), true)
+    }
+  }
+
   /** Recover the [[retrain]] swap after a crash — same invariants as the
     * mart swap: live present → drop the superseded backup; live missing
     * with a MARKED tmp → the rebuild committed, promote it; live missing

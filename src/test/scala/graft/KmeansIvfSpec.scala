@@ -411,6 +411,51 @@ class KmeansIvfSpec extends SparkSpec {
     streamedPsi shouldBe batchPsi
   }
 
+  test("AnnIndexStore.compact folds ingest batches: results and PQ tier unchanged, appends resume, crash recovers") {
+    import graft.ext.AnnIndexStore
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_anncompact_").toString
+    val idx = s"$work/idx"
+    val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 4)
+    val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, codes = 16, iters = 1, dim = 64)
+    val w0 = emb.filter(col("vec_id") % 3 === 0)
+    val w1 = emb.filter(col("vec_id") % 3 === 1)
+    val w2 = emb.filter(col("vec_id") % 3 === 2)
+    AnnIndexStore.save(idx, w0, "vec_id", "embedding", cents, cbs)
+    AnnIndexStore.append(idx, w1, "vec_id", "embedding", batchId = 1L)
+    val queries = emb.filter(col("vec_id") < 5)
+    def res() = AnnIndexStore.topK(spark, idx, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    def resPq() = AnnIndexStore.topKPq(spark, idx, queries,
+      "vec_id", "embedding", k = 3, nprobe = 4, candidates = 10000)
+      .orderBy("query_id", "rank").collect()
+    val (before, beforePq) = (res(), resPq())
+    AnnIndexStore.compact(idx, spark)
+    new java.io.File(s"$idx/cells").listFiles.map(_.getName)
+      .filter(_.startsWith("b=")).toSeq shouldBe Seq("b=0")
+    res() shouldBe before
+    resPq() shouldBe beforePq
+    // appends resume after compaction and still equal a full rebuild
+    AnnIndexStore.append(idx, w2, "vec_id", "embedding", batchId = 3L)
+    AnnIndexStore.save(s"$work/full", emb, "vec_id", "embedding", cents, cbs)
+    val full = AnnIndexStore.topK(spark, s"$work/full", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    res() shouldBe full
+    // crash after the tmp tree is MARKED but before the swap completes:
+    // recovery must promote the marked tmp
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(s"$idx.compact")) shouldBe true
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx.compact/_INDEX_SUCCESS")) shouldBe true
+    AnnIndexStore.recoverCompact(spark, idx)
+    res() shouldBe full
+  }
+
   test("annRecallAudit: recall exactly 1.0 at full probe/unpruned budget, monotone in nprobe, measured not stipulated") {
     val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 4)
     val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
