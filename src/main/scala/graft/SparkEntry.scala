@@ -1597,6 +1597,14 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    // l-diversity release audit — k-anonymity's sharper sibling: a cell
+    // can hold many rows yet leak exactly because every row shares one
+    // sensitive value; cells need ≥ 3 distinct balances to pass
+    "q_ldiversity" -> ((s, d) =>
+      QualityCheck.lDiversity(t(s, d, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", l = 3)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     // the END-TO-END curation chain in ONE lazy DAG — quality gate →
     // normalized exact dedup → decontamination — proving the operators
     // compose without materialization barriers; Catalyst sees the whole
@@ -1854,6 +1862,20 @@ object SparkEntry {
           emb.filter(col("vec_id") >= 100),
           "vec_id", "embedding", "label", k = 5)
         .orderBy("query_id")
+    }),
+
+    // the kNN router's confusion matrix over a labeled held-out slice —
+    // the eval face of q_knn_classify (the nbConfusion analog)
+    "q_knn_confusion" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      SimilarityOps.knnClassify(queries, emb.filter(col("vec_id") >= 100),
+          "vec_id", "embedding", "label", k = 5)
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .groupBy("true_label", "predicted_label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "predicted_label")
     }),
 
     // typicality selection: the 2 best-fitting members of every IVF cell
@@ -2195,6 +2217,15 @@ object SparkEntry {
       TemporalOps.sessionStats(t(s, d, "events"), "user_id", "ts", "event_id",
           gapSeconds = 3600L)
         .orderBy("user_id", "session_id")),
+
+    // telemetry debounce: keep only the first event of every sub-4h
+    // burst per user (suppressed events still reset the timer) — click
+    // storms and duplicate beacons collapse to one representative row
+    "q_debounce" -> ((s, d) =>
+      TemporalOps.debounce(t(s, d, "events"), "user_id", "ts", "event_id",
+          gapSeconds = 14400L)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")),
 
     // Spark-native session_window in batch mode (gap-merged sessions);
     // oracle rebuilds the same semantics via lag + running sum
@@ -5462,6 +5493,14 @@ object SparkEntry {
                 ROUND(best * n_cands / ssum, 6) AS margin, n_cands
          FROM agg ORDER BY query_id""",
 
+    "q_ldiversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive,
+                COUNT(DISTINCT c_acctbal) >= 3 AS diverse
+         FROM customer GROUP BY c_nationkey, c_mktsegment
+         ORDER BY c_nationkey, c_mktsegment""",
+
     "q_kanon_export" ->
       """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
                         FROM documents GROUP BY lang, source)
@@ -6108,6 +6147,31 @@ object SparkEntry {
          FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
          ORDER BY p.anchor_id, n.neg_rank""",
 
+    // q_knn_classify's brute-force replay over the vec_id < 50 slice,
+    // joined to true labels and rolled to the confusion matrix
+    "q_knn_confusion" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS true_label FROM embeddings WHERE vec_id < 50),
+              c AS (SELECT vec_id AS nid, embedding AS ne, label FROM embeddings WHERE vec_id >= 100),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              dots AS (SELECT qid, nid,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+                              SUM(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nc
+                       FROM q, c, idx GROUP BY qid, nid),
+              ranked AS (SELECT qid, nid,
+                                row_number() OVER (PARTITION BY qid ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) DESC, nid ASC) AS rn
+                         FROM dots),
+              nn AS (SELECT r.qid, c.label FROM ranked r JOIN c ON c.nid = r.nid WHERE r.rn <= 5),
+              votes AS (SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS votes FROM nn GROUP BY qid, label),
+              best AS (SELECT qid, label, votes,
+                              row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS brn
+                       FROM votes)
+         SELECT q.true_label, CAST(b.label AS INTEGER) AS predicted_label,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM best b JOIN q ON q.qid = b.qid WHERE b.brn = 1
+         GROUP BY q.true_label, b.label
+         ORDER BY true_label, predicted_label""",
+
     // brute-force 5-NN among the labeled seed (vec_id >= 100), then the
     // majority vote with (votes desc, label asc) tie-break
     "q_knn_classify" ->
@@ -6371,6 +6435,18 @@ object SparkEntry {
           AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'
          ORDER BY purchase_id, click_id""",
+
+    // lag-gap keep rule in epoch seconds; suppressed events still reset
+    // the timer (the lag is over ALL events, not kept ones)
+    "q_debounce" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, ts,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                           lag(CAST(floor(epoch(ts)) AS BIGINT))
+                             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS ptsec
+                    FROM events)
+         SELECT event_id, user_id, event_type FROM e
+         WHERE ptsec IS NULL OR tsec - ptsec > 14400
+         ORDER BY event_id""",
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),

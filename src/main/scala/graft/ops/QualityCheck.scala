@@ -180,6 +180,31 @@ object QualityCheck {
           .as("psi_term"))
   }
 
+  /**
+   * L-DIVERSITY audit — the release-gate complement of the k-anonymized
+   * export: per quasi-identifier cell, the count of DISTINCT sensitive
+   * values. A cell can be k-anonymous (many rows) yet leak exactly
+   * (every row shares one sensitive value) — l-diversity catches that:
+   * cells with fewer than `l` distinct sensitive values fail. Returns
+   * (quasiCols…, n_rows, n_sensitive, diverse) for every cell; gate on
+   * `diverse` before rows leave the platform.
+   *
+   * Scale: one two-level aggregate — (quasi, sensitive) pre-distinct
+   * then the cell rollup — both partial-aggregating; output is
+   * cell-cardinality sized.
+   */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 1, s"bad l=$l")
+    val g = quasiCols.map(col)
+    val pre = df.groupBy(g :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    pre.groupBy(g: _*)
+      .agg(sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
+
   /** Gate semantics of the reference: any violation fails the run hard
     * (DAG:361-362 non-zero soda exit → AirflowException). Returns the report
     * row for logging; throws on violation. */

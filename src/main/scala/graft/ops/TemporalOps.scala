@@ -92,6 +92,31 @@ object TemporalOps {
   }
 
   /**
+   * DEBOUNCE — keep only the FIRST event of every burst: an event is
+   * suppressed when it lands within `gapSeconds` of its key's previous
+   * event (suppressed events still reset the timer, so a long chain of
+   * sub-gap events collapses to its head — exactly the first-of-each-
+   * [[sessionize]]-session). The telemetry-cleanup primitive: repeated
+   * click storms, retry storms, and duplicate beacons reduce to one
+   * representative row before anything downstream counts them.
+   *
+   * Returns the input rows that survive, schema unchanged.
+   *
+   * Scale: one hash shuffle on the key + a per-key local sort (the same
+   * single window spec as [[sessionize]]); the keep decision is a lag
+   * comparison — no second shuffle, no self-join.
+   */
+  def debounce(df: DataFrame, key: String, ts: String, tieBreak: String,
+               gapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(key).orderBy(col(ts).asc,
+      col(tieBreak).asc)
+    val prevTs = lag(col(ts), 1).over(order)
+    df.withColumn("__keep", prevTs.isNull ||
+        col(ts).cast("long") - prevTs.cast("long") > gapSeconds)
+      .filter(col("__keep")).drop("__keep")
+  }
+
+  /**
    * Point-in-interval join WITHOUT an equi-key: rows of `points` matched to
    * every `intervals` row with `start <= point <= end`. Declared as the
    * plain range-predicate join; [[graft.plans.RewriteIntervalJoin]]

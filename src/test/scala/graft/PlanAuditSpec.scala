@@ -71,8 +71,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_unigram_logprob",     // 1-row corpus token total broadcast
     "q_embedding_drift",     // driftPsi's 1-row smoothing-totals broadcast
     "q_knn_classify",        // cosineTopK's broadcast query set
-    "q_linkage_scores")      // 1-row u-weight artifact built from per-field
+    "q_linkage_scores",      // 1-row u-weight artifact built from per-field
                              // scalar aggs (2 builds + 1 scoring join)
+    "q_cluster_agreement",   // three 1-row C(n,2)-sum artifacts joined
+    "q_knn_confusion")       // cosineTopK's broadcast query set
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(

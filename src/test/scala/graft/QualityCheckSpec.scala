@@ -94,4 +94,16 @@ class QualityCheckSpec extends SparkSpec {
     val scans = rep.queryExecution.executedPlan.collectLeaves().size
     scans shouldBe 1
   }
+
+  test("lDiversity flags the k-anonymous-but-leaky cell") {
+    // cell A: 4 rows but ONE sensitive value (k-anonymous, zero
+    // diversity); cell B: 3 rows, 3 values
+    val df = Seq(("A", 10.0), ("A", 10.0), ("A", 10.0), ("A", 10.0),
+      ("B", 1.0), ("B", 2.0), ("B", 3.0)).toDF("cell", "bal")
+    val out = QualityCheck.lDiversity(df, Seq("cell"), "bal", l = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    out("A") shouldBe ((4L, 1L, false))
+    out("B") shouldBe ((3L, 3L, true))
+  }
 }

@@ -137,4 +137,17 @@ class TemporalOpsSpec extends SparkSpec {
         Seq(col("event_type") === "view", col("event_type") === "click"))
       .head().getAs[Long]("depth") shouldBe 1L
   }
+
+  test("debounce: bursts collapse to their head; suppressed events reset the timer") {
+    // user 1: events at t=0,5,10,30 with gap 8 — 5 and 10 are suppressed
+    // (each within 8s of its PREDECESSOR, kept or not), 30 survives
+    // (gap to 10 is 20); user 2: a lone event always survives
+    val df = Seq((1L, 1L, 0L), (2L, 1L, 5L), (3L, 1L, 10L),
+      (4L, 1L, 30L), (5L, 2L, 3L))
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("ts", col("sec").cast(TimestampType))
+    val kept = TemporalOps.debounce(df, "user_id", "ts", "event_id",
+      gapSeconds = 8L).select("event_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 4L, 5L)
+  }
 }
