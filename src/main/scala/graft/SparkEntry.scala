@@ -1597,6 +1597,21 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    // chi-square independence test: order priority × status contingency
+    // — the experiment-analysis statistic; decimal-summed 8dp terms so
+    // partition order can't wiggle it
+    "q_chi_square" -> ((s, d) =>
+      graft.ops.StatsOps.chiSquareIndependence(t(s, d, "orders"),
+        "o_orderpriority", "o_orderstatus")),
+
+    // two-sample Kolmogorov-Smirnov: do purchase and view events draw
+    // their (dollar-binned) values from the same distribution — max CDF
+    // gap + WHERE it occurs
+    "q_ks_test" -> ((s, d) =>
+      graft.ops.StatsOps.ksStatistic(
+        t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
+        "vbin", "event_type", "purchase", "view")),
+
     // l-diversity release audit — k-anonymity's sharper sibling: a cell
     // can hold many rows yet leak exactly because every row shares one
     // sensitive value; cells need ≥ 3 distinct balances to pass
@@ -5492,6 +5507,44 @@ object SparkEntry {
          SELECT qid AS query_id, neighbor_id, best AS best_cos,
                 ROUND(best * n_cands / ssum, 6) AS margin, n_cands
          FROM agg ORDER BY query_id""",
+
+    // every marginal cell participates (empty cells contribute
+    // (0 - e)^2 / e), matching the operator's ra x rb cross
+    "q_chi_square" ->
+      """WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b, CAST(COUNT(*) AS BIGINT) AS o
+                      FROM orders GROUP BY 1, 2),
+              ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY a),
+              rb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS rb FROM obs GROUP BY b),
+              tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+              cells AS (SELECT ra.a, rb.b, ra.ra, rb.rb, COALESCE(obs.o, 0) AS o
+                        FROM ra CROSS JOIN rb
+                        LEFT JOIN obs ON obs.a = ra.a AND obs.b = rb.b),
+              terms AS (SELECT n,
+                               CAST(ROUND((o - CAST(ra AS DOUBLE) * rb / n)
+                                          * (o - CAST(ra AS DOUBLE) * rb / n)
+                                          / (CAST(ra AS DOUBLE) * rb / n), 8) AS DECIMAL(20,8)) AS t
+                        FROM cells CROSS JOIN tot)
+         SELECT n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+                CAST(((SELECT COUNT(*) FROM ra) - 1) * ((SELECT COUNT(*) FROM rb) - 1) AS BIGINT) AS dof,
+                CAST(SUM(t) AS DOUBLE) AS chi2
+         FROM terms GROUP BY n""",
+
+    "q_ks_test" ->
+      """WITH f AS (SELECT ROUND(value, 0) AS v, event_type AS g FROM events
+                    WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+              c AS (SELECT v, CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                           CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                    FROM f GROUP BY v),
+              tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+              cum AS (SELECT v, na, nb,
+                             SUM(ca) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+                             SUM(cb) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+                      FROM c CROSS JOIN tot),
+              dd AS (SELECT v, na, nb,
+                            ROUND(ABS(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb), 8) AS d
+                     FROM cum)
+         SELECT na AS n_a, nb AS n_b, d AS ks_stat, v AS at_v
+         FROM dd ORDER BY d DESC, v ASC LIMIT 1""",
 
     "q_ldiversity" ->
       """SELECT c_nationkey, c_mktsegment,

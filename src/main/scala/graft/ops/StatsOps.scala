@@ -57,6 +57,90 @@ object StatsOps {
    * strictly exceeds every strictly-cheaper row's y (RANGE frame ending at
    * -1) and equals the max y at its own x (same-x domination).
    */
+  /**
+   * CHI-SQUARE test of independence between two categorical columns —
+   * the experiment-analysis primitive ("does variant correlate with
+   * outcome"): observed cell counts vs the independence expectation
+   * e = rowTotal·colTotal/n, statistic Σ (o−e)²/e. Emits one row
+   * (n, n_cells, dof, chi2); the caller compares chi2 against the
+   * χ²(dof) critical value (p-values need the incomplete gamma, which
+   * is NOT cross-engine reproducible — the statistic is).
+   *
+   * Deterministic: all counts exact integers; each cell's term rounds
+   * to 8dp and sums through DECIMAL, so partition order can't wiggle
+   * the statistic.
+   *
+   * Scale: one (a, b) cell aggregate (contingency-sized) + two marginal
+   * rollups + a 1-row total broadcast — the corpus streams once.
+   */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 8)
+    val obs = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy("__a").agg(sum(col("o")).as("ra"))
+    val rb = obs.groupBy("__b").agg(sum(col("o")).as("rb"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    val dof = ra.agg(count(lit(1)).as("ka"))
+      .crossJoin(broadcast(rb.agg(count(lit(1)).as("kb"))))
+      .select(col("ka"), col("kb"),
+        (((col("ka") - 1) * (col("kb") - 1))).as("dof"))
+    // EVERY marginal cell participates — an observed-pairs-only sum
+    // silently drops the (0 − e)²/e terms of empty cells, understating
+    // the statistic exactly where dependence is strongest
+    val cells = ra.crossJoin(rb)
+      .join(obs, Seq("__a", "__b"), "left")
+      .select(col("ra"), col("rb"), coalesce(col("o"), lit(0L)).as("o"))
+    val e = col("ra").cast("double") * col("rb") / col("n")
+    cells.crossJoin(broadcast(tot))
+      .select(col("n"),
+        round((col("o") - e) * (col("o") - e) / e, 8).cast(dec).as("__t"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("__t")).cast("double").as("chi2"))
+      .crossJoin(broadcast(dof))
+      .select(col("n"), col("n_cells"), col("dof"), col("chi2"))
+  }
+
+  /**
+   * Two-sample KOLMOGOROV–SMIRNOV statistic — max |F_A(v) − F_B(v)| over
+   * the observed support: the exact "are these two slices drawn from the
+   * same distribution" number for numeric columns (the distribution
+   * complement of [[QualityCheck.driftPsi]]'s binned shape test; KS
+   * needs no binning choice). Emits one row (n_a, n_b, ks_stat, at_v =
+   * the smallest value attaining the max — the WHERE of the divergence).
+   *
+   * Deterministic: CDF steps are exact-integer-count ratios rounded to
+   * 8dp before the max; the argmax value ties to the smallest v.
+   *
+   * Scale: one distinct-value aggregate + a cumulative window over the
+   * SORTED DISTINCT support. The window is a single global order — fine
+   * for integer-cent/binned columns (bounded support); pre-round/bin
+   * continuous doubles first, exactly as any production KS does.
+   */
+  def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    val counts = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(tot))
+      .select(col("v"), col("na"), col("nb"),
+        sum(col("ca")).over(w).as("cca"), sum(col("cb")).over(w).as("ccb"))
+      .select(col("v"), col("na"), col("nb"),
+        round(abs(col("cca").cast("double") / col("na") -
+          col("ccb").cast("double") / col("nb")), 8).as("d"))
+      .orderBy(col("d").desc, col("v").asc)
+      .limit(1)
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("d").as("ks_stat"), col("v").as("at_v"))
+  }
+
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     def pass(d: DataFrame, part: Column): DataFrame = {
       val tagged = d.withColumn("_p", part)

@@ -367,6 +367,37 @@ class CdcStatsSpec extends SparkSpec {
     cc.select("cluster_id").distinct().count() shouldBe 1L
   }
 
+  test("chiSquareIndependence: zero on independence, large on determinism") {
+    import spark.implicits._
+    // perfectly independent 2×2 (all cells 25): chi2 exactly 0
+    val indep = (0 until 100).map(i =>
+      (if (i % 2 == 0) "a1" else "a2", if (i / 2 % 2 == 0) "b1" else "b2"))
+      .toDF("a", "b")
+    val z = graft.ops.StatsOps.chiSquareIndependence(indep, "a", "b").head()
+    z.getAs[Long]("n") shouldBe 100L
+    z.getAs[Long]("dof") shouldBe 1L
+    z.getAs[Double]("chi2") shouldBe 0.0
+    // perfectly dependent (b = a): chi2 = n
+    val dep = (0 until 100).map(i =>
+      (if (i % 2 == 0) "a1" else "a2", if (i % 2 == 0) "b1" else "b2"))
+      .toDF("a", "b")
+    graft.ops.StatsOps.chiSquareIndependence(dep, "a", "b")
+      .head().getAs[Double]("chi2") shouldBe 100.0
+  }
+
+  test("ksStatistic: identical samples give 0, disjoint supports give 1") {
+    import spark.implicits._
+    val same = (1 to 50).flatMap(i =>
+      Seq((i.toDouble, "x"), (i.toDouble, "y"))).toDF("v", "g")
+    val s0 = graft.ops.StatsOps.ksStatistic(same, "v", "g", "x", "y").head()
+    s0.getAs[Double]("ks_stat") shouldBe 0.0
+    val apart = ((1 to 50).map(i => (i.toDouble, "x")) ++
+      (101 to 150).map(i => (i.toDouble, "y"))).toDF("v", "g")
+    val s1 = graft.ops.StatsOps.ksStatistic(apart, "v", "g", "x", "y").head()
+    s1.getAs[Double]("ks_stat") shouldBe 1.0
+    s1.getAs[Double]("at_v") shouldBe 50.0 // smallest v attaining the max
+  }
+
   test("clusterAgreement: Rand/ARI exact on hand-computed contingencies") {
     import spark.implicits._
     val a = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("id", "c")
