@@ -1597,6 +1597,14 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    // Wilson 95% interval around each priority's fulfilled-rate — the
+    // confidence band a rate dashboard shows; stays in [0,1] at small n
+    "q_conversion_wilson" -> ((s, d) =>
+      graft.ops.StatsOps.wilsonInterval(
+          t(s, d, "orders").withColumn("ok", col("o_orderstatus") === "F"),
+          "o_orderpriority", "ok", z = 1.96)
+        .orderBy("o_orderpriority")),
+
     // chi-square independence test: order priority × status contingency
     // — the experiment-analysis statistic; decimal-summed 8dp terms so
     // partition order can't wiggle it
@@ -5507,6 +5515,25 @@ object SparkEntry {
          SELECT qid AS query_id, neighbor_id, best AS best_cos,
                 ROUND(best * n_cands / ssum, 6) AS margin, n_cands
          FROM agg ORDER BY query_id""",
+
+    // the Wilson formula replayed with the operator's exact expression
+    // shape (same literal z, same operation order)
+    "q_conversion_wilson" ->
+      """WITH a AS (SELECT o_orderpriority,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k
+                    FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, n, k,
+                ROUND(CAST(k AS DOUBLE) / n, 6) AS rate,
+                ROUND((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+                       - 1.96 * sqrt(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n
+                                     + 1.96 * 1.96 / (4 * n * n)))
+                      / (1 + 1.96 * 1.96 / n), 6) AS lo,
+                ROUND((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+                       + 1.96 * sqrt(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n
+                                     + 1.96 * 1.96 / (4 * n * n)))
+                      / (1 + 1.96 * 1.96 / n), 6) AS hi
+         FROM a ORDER BY o_orderpriority""",
 
     // every marginal cell participates (empty cells contribute
     // (0 - e)^2 / e), matching the operator's ra x rb cross

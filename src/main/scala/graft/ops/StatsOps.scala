@@ -141,6 +141,36 @@ object StatsOps {
         col("d").as("ks_stat"), col("v").as("at_v"))
   }
 
+  /**
+   * WILSON score interval for per-group success rates — the confidence
+   * band an experiment dashboard puts around a conversion rate. Unlike
+   * the naive normal interval, Wilson stays inside [0, 1] and behaves at
+   * small n / extreme p — the standard choice for rate reporting.
+   *
+   * `successCol` must be boolean. Emits (groupCol, n, k, rate, lo, hi),
+   * rate/bounds 6dp. Deterministic: k and n are exact integers and the
+   * interval is one fixed-order double expression per group row.
+   *
+   * Scale: one partial+final aggregate; the arithmetic runs on the
+   * |groups|-row result.
+   */
+  def wilsonInterval(df: DataFrame, groupCol: String, successCol: String,
+                     z: Double = 1.96): DataFrame = {
+    val agg = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("k"))
+    val n = col("n"); val k = col("k")
+    val p = k.cast("double") / n
+    val denom = lit(1.0) + lit(z) * lit(z) / n
+    val center = p + lit(z) * lit(z) / (lit(2L) * n)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      lit(z) * lit(z) / (lit(4L) * n * n))
+    agg.select(col(groupCol), n, k,
+      round(p, 6).as("rate"),
+      round((center - half) / denom, 6).as("lo"),
+      round((center + half) / denom, 6).as("hi"))
+  }
+
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     def pass(d: DataFrame, part: Column): DataFrame = {
       val tagged = d.withColumn("_p", part)

@@ -398,6 +398,23 @@ class CdcStatsSpec extends SparkSpec {
     s1.getAs[Double]("at_v") shouldBe 50.0 // smallest v attaining the max
   }
 
+  test("wilsonInterval: brackets the rate, pinned at the extremes") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => ("half", i <= 50)) ++
+      (1 to 20).map(_ => ("none", false)) ++
+      (1 to 20).map(_ => ("all", true))).toDF("g", "ok")
+    val out = graft.ops.StatsOps.wilsonInterval(df, "g", "ok")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val (n, k, rate, lo, hi) = out("half")
+    (n, k, rate) shouldBe ((100L, 50L, 0.5))
+    lo should (be > 0.39 and be < rate)
+    hi should (be < 0.61 and be > rate)
+    out("none")._4 shouldBe 0.0 // k=0 → lo exactly 0
+    out("all")._5 shouldBe 1.0  // k=n → hi exactly 1
+  }
+
   test("clusterAgreement: Rand/ARI exact on hand-computed contingencies") {
     import spark.implicits._
     val a = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("id", "c")
