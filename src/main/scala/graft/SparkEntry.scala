@@ -694,6 +694,17 @@ object SparkEntry {
           TextOps.langIdHeuristic(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // the lang-ID heuristic's confusion matrix against the labeled
+    // fixture — which languages it mistakes for which (the eval face,
+    // like q_knn_confusion / q_nb_confusion)
+    "q_langid_confusion" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang").as("true_lang"),
+          TextOps.langIdHeuristic(col("text")).as("predicted_lang"))
+        .groupBy("true_lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "predicted_lang")),
+
     // ---- [EXT] dedup ---------------------------------------------------------
 
     "q_dedup_exact_content" -> ((s, d) =>
@@ -4522,6 +4533,17 @@ object SparkEntry {
                      WHEN len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist'))) > 0 THEN 'de'
                      ELSE 'unknown' END AS lang_pred
          FROM documents ORDER BY doc_id""",
+
+    "q_langid_confusion" ->
+      """SELECT lang AS true_lang,
+                CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                     WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','is'))) > 0 THEN 'en'
+                     WHEN len(list_filter(string_split(text, ' '), x -> x IN ('el','la','los','es','y'))) > 0 THEN 'es'
+                     WHEN len(list_filter(string_split(text, ' '), x -> x IN ('le','les','et','est'))) > 0 THEN 'fr'
+                     WHEN len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist'))) > 0 THEN 'de'
+                     ELSE 'unknown' END AS predicted_lang,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1, 2 ORDER BY true_lang, predicted_lang""",
 
     "q_dedup_exact_content" ->
       """SELECT md5(text) AS fingerprint, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
