@@ -960,9 +960,6 @@ object SparkEntry {
         n = 4, minDf = 2)
         .orderBy("doc_id")),
 
-    // Zipf slope: OLS fit of ln(freq) on ln(rank) over the top-200 head —
-    // natural corpora sit near −1; template/spam corpora flatten. Decimal
-    // sums make the fit bit-identical across engines
     // distinct-n diversity per language: the fraction of unigram/bigram
     // occurrences that are distinct types — template corpora and
     // mode-collapsed generations drive the ratios toward 0
@@ -970,6 +967,9 @@ object SparkEntry {
       TextOps.ngramDiversity(t(s, d, "documents"), "text", Seq("lang"))
         .orderBy("lang")),
 
+    // Zipf slope: OLS fit of ln(freq) on ln(rank) over the top-200 head —
+    // natural corpora sit near −1; template/spam corpora flatten. Decimal
+    // sums make the fit bit-identical across engines
     "q_zipf_slope" -> ((s, d) => {
       val dec = DecimalType(28, 6)
       val vocab = t(s, d, "documents").filter(col("text").isNotNull)

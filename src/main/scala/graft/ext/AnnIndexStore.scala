@@ -123,6 +123,8 @@ object AnnIndexStore {
               codebooks: Seq[Seq[Seq[Float]]] = Nil): Unit = {
     val spark = corpus.sparkSession
     val fs = hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover the sibling compact swap too — see [[compact]]
+    recoverCompact(spark, path)
     recoverRetrain(spark, path)
     val tmp = path + ".retrain"
     val bak = path + ".preretrain"
@@ -151,6 +153,10 @@ object AnnIndexStore {
    */
   def compact(path: String, spark: SparkSession): Unit = {
     val fs = hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // both swap mechanisms share the live path — recover BOTH before
+    // touching it (a marked .retrain from a crashed swap must promote
+    // before compaction reads the live tree)
+    recoverRetrain(spark, path)
     recoverCompact(spark, path)
     val tmp = path + ".compact"
     val bak = path + ".precompact"
@@ -171,12 +177,17 @@ object AnnIndexStore {
   }
 
   /** Recover the [[compact]] swap after a crash — the [[recoverRetrain]]
-    * invariants over the `.compact`/`.precompact` neighbors. */
+    * invariants over the `.compact`/`.precompact` neighbors. Live present
+    * deletes the tmp TOO (not just the backup): a marked-but-unswapped
+    * tmp left by a crash is a STALE snapshot once the live tree takes
+    * appends — promoting it later (e.g. after an unrelated retrain crash
+    * empties the live path) would silently roll the index back. */
   def recoverCompact(spark: SparkSession, path: String): Unit = {
     val fs = hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (tmp, bak) = (path + ".compact", path + ".precompact")
     if (fs.exists(hp(path))) {
       fs.delete(hp(bak), true)
+      fs.delete(hp(tmp), true)
     } else if (fs.exists(hp(s"$tmp/$Marker"))) {
       mv(fs, tmp, path)
       fs.delete(hp(bak), true)
@@ -196,6 +207,7 @@ object AnnIndexStore {
     val (tmp, bak) = (path + ".retrain", path + ".preretrain")
     if (fs.exists(hp(path))) {
       fs.delete(hp(bak), true)
+      fs.delete(hp(tmp), true)
     } else if (fs.exists(hp(s"$tmp/$Marker"))) {
       mv(fs, tmp, path)
       fs.delete(hp(bak), true)

@@ -227,17 +227,17 @@ object TextOps {
     val g = stratumCols.map(col)
     val base = df.filter(col(textCol).isNotNull)
     def roll(grams: DataFrame, n: String, d: String, r: String) =
-      grams.groupBy(g :+ col("g"): _*).agg(count(lit(1)).as("c"))
+      grams.groupBy(g :+ col("__g"): _*).agg(count(lit(1)).as("__c"))
         .groupBy(g: _*)
-        .agg(sum(col("c")).as(n), count(lit(1)).as(d))
+        .agg(sum(col("__c")).as(n), count(lit(1)).as(d))
         .withColumn(r, round(col(d).cast("double") / col(n), 6))
     val uni = roll(
-      base.select(g :+ explode(tokens(col(textCol))).as("g"): _*),
+      base.select(g :+ explode(tokens(col(textCol))).as("__g"): _*),
       "n1", "d1", "distinct1")
     val bi = roll(
       base.filter(size(tokens(col(textCol))) >= 2)
         .select(g :+ explode(call_function("graft_word_grams",
-          col(textCol), lit(2))).as("g"): _*),
+          col(textCol), lit(2))).as("__g"): _*),
       "n2", "d2", "distinct2")
     uni.join(bi, stratumCols)
   }

@@ -189,6 +189,12 @@ object QualityCheck {
    * (quasiCols…, n_rows, n_sensitive, diverse) for every cell; gate on
    * `diverse` before rows leave the platform.
    *
+   * NULL sensitive values carry no diversity: rows with a null
+   * sensitive value are EXCLUDED from both counts (a null is an absent
+   * disclosure, not a second value — counting it would pass exactly the
+   * leaky cell this audit exists to catch; matches SQL
+   * `COUNT(DISTINCT …)` semantics).
+   *
    * Scale: one two-level aggregate — (quasi, sensitive) pre-distinct
    * then the cell rollup — both partial-aggregating; output is
    * cell-cardinality sized.
@@ -197,7 +203,8 @@ object QualityCheck {
                  sensitiveCol: String, l: Int): DataFrame = {
     require(l >= 1, s"bad l=$l")
     val g = quasiCols.map(col)
-    val pre = df.groupBy(g :+ col(sensitiveCol).as("__s"): _*)
+    val pre = df.filter(col(sensitiveCol).isNotNull)
+      .groupBy(g :+ col(sensitiveCol).as("__s"): _*)
       .agg(count(lit(1)).as("__c"))
     pre.groupBy(g: _*)
       .agg(sum(col("__c")).as("n_rows"),

@@ -100,7 +100,11 @@ object TemporalOps {
    * click storms, retry storms, and duplicate beacons reduce to one
    * representative row before anything downstream counts them.
    *
-   * Returns the input rows that survive, schema unchanged.
+   * Returns the input rows that survive, schema unchanged. Rows with a
+   * NULL timestamp (and the rows immediately after them in sort order)
+   * are always KEPT: a null gap is not evidence of a burst, and a bare
+   * null-propagating filter would silently DELETE the neighbor of every
+   * null-ts row.
    *
    * Scale: one hash shuffle on the key + a per-key local sort (the same
    * single window spec as [[sessionize]]); the keep decision is a lag
@@ -111,8 +115,8 @@ object TemporalOps {
     val order = Window.partitionBy(key).orderBy(col(ts).asc,
       col(tieBreak).asc)
     val prevTs = lag(col(ts), 1).over(order)
-    df.withColumn("__keep", prevTs.isNull ||
-        col(ts).cast("long") - prevTs.cast("long") > gapSeconds)
+    df.withColumn("__keep", coalesce(prevTs.isNull ||
+        col(ts).cast("long") - prevTs.cast("long") > gapSeconds, lit(true)))
       .filter(col("__keep")).drop("__keep")
   }
 

@@ -297,24 +297,35 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // k rides the state (`sk_k`): the estimator's saturation test
+          // needs the k the sketches were BUILT with — trusting a reader
+          // parameter to match would silently return array sizes as
+          // estimates on any mismatch
           val delta = graft.ops.SketchOps.setSketch(batch, keyCol,
             Seq(groupCol), k)
           commitVersioned(spark, statePath, batchId) {
-            case Some(prev) => graft.ops.SketchOps.mergeSetSketches(
-              prev.unionByName(delta), Seq(groupCol), k)
-            case None => delta
+            case Some(prev) =>
+              val prevK = prev.select("sk_k").head().getInt(0)
+              require(prevK == k,
+                s"distinctIngest k=$k differs from the state's k=$prevK")
+              graft.ops.SketchOps.mergeSetSketches(
+                  prev.drop("sk_k").unionByName(delta), Seq(groupCol), k)
+                .withColumn("sk_k", lit(k))
+            case None => delta.withColumn("sk_k", lit(k))
           }
         }
       }
       .start()
 
   /** Per-group distinct-count estimates from the newest COMPLETE
-    * [[distinctIngest]] state: |groups| rows read, no event scan. */
-  def latestDistinct(spark: SparkSession, statePath: String,
-                     k: Int = 256): DataFrame =
-    latestRollup(spark, statePath)
-      .withColumn("est_distinct", graft.ops.SketchOps.kmvDistinct(
-        col(graft.ops.SketchOps.KmvCol), k))
+    * [[distinctIngest]] state: |groups| rows read, no event scan. The
+    * sketch size k is read from the state itself (`sk_k`). */
+  def latestDistinct(spark: SparkSession, statePath: String): DataFrame = {
+    val st = latestRollup(spark, statePath)
+    val k = st.select("sk_k").head().getInt(0)
+    st.withColumn("est_distinct", graft.ops.SketchOps.kmvDistinct(
+      col(graft.ops.SketchOps.KmvCol), k))
+  }
 
   /** Per-type quantile estimates from the newest COMPLETE sketch state
     * (see [[quantileIngest]]): |types| rows read, no event scan. */

@@ -454,6 +454,15 @@ class KmeansIvfSpec extends SparkSpec {
       s"$idx.compact/_INDEX_SUCCESS")) shouldBe true
     AnnIndexStore.recoverCompact(spark, idx)
     res() shouldBe full
+    // crash BEFORE the swap leaves a marked tmp beside a live tree that
+    // then takes appends — recovery must DELETE the now-stale snapshot,
+    // or a later live-missing state would silently roll the index back
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx.compact/cells"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$idx.compact/_INDEX_SUCCESS")).close()
+    AnnIndexStore.recoverCompact(spark, idx)
+    new java.io.File(s"$idx.compact").exists() shouldBe false
+    res() shouldBe full
   }
 
   test("annRecallAudit: recall exactly 1.0 at full probe/unpruned budget, monotone in nprobe, measured not stipulated") {

@@ -98,12 +98,16 @@ class QualityCheckSpec extends SparkSpec {
   test("lDiversity flags the k-anonymous-but-leaky cell") {
     // cell A: 4 rows but ONE sensitive value (k-anonymous, zero
     // diversity); cell B: 3 rows, 3 values
-    val df = Seq(("A", 10.0), ("A", 10.0), ("A", 10.0), ("A", 10.0),
-      ("B", 1.0), ("B", 2.0), ("B", 3.0)).toDF("cell", "bal")
+    val df = Seq(("A", Some(10.0)), ("A", Some(10.0)), ("A", Some(10.0)),
+      ("A", Some(10.0)), ("B", Some(1.0)), ("B", Some(2.0)),
+      ("B", Some(3.0)),
+      // NULLs carry no diversity — cell C must NOT pass on {42, null, null}
+      ("C", Some(42.0)), ("C", None), ("C", None)).toDF("cell", "bal")
     val out = QualityCheck.lDiversity(df, Seq("cell"), "bal", l = 2)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
     out("A") shouldBe ((4L, 1L, false))
     out("B") shouldBe ((3L, 3L, true))
+    out("C") shouldBe ((1L, 1L, false))
   }
 }

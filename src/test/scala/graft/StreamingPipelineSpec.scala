@@ -207,22 +207,22 @@ class StreamingPipelineSpec extends SparkSpec {
         state, cp, "user_id", "event_type", k = 64)
         .awaitTermination()
     run(s"$work/cp")
-    StreamingPipeline.latestRollup(spark, state)
+    StreamingPipeline.latestRollup(spark, state).drop("sk_k")
       .orderBy("event_type").collect() shouldBe direct(w1)
     w2.repartition(2).write.mode("append").parquet(srcDir)
     run(s"$work/cp")
-    val afterAll = StreamingPipeline.latestRollup(spark, state)
+    val afterAll = StreamingPipeline.latestRollup(spark, state).drop("sk_k")
       .orderBy("event_type").collect()
     afterAll shouldBe direct(all)
     // AT-LEAST-ONCE tolerance: a FRESH checkpoint redelivers every file —
     // the KMV union is idempotent, so the state stays bit-identical
     // (an additive state would double-count here)
     run(s"$work/cp_replay")
-    StreamingPipeline.latestRollup(spark, state)
+    StreamingPipeline.latestRollup(spark, state).drop("sk_k")
       .orderBy("event_type").collect() shouldBe afterAll
-    // the distinct read costs |types| rows, no event scan; estimates are
-    // exact here (sketch unsaturated at this SF)
-    val est = StreamingPipeline.latestDistinct(spark, state, k = 64)
+    // the distinct read costs |types| rows, no event scan (k comes from
+    // the state itself); estimates are exact here (sketch unsaturated)
+    val est = StreamingPipeline.latestDistinct(spark, state)
       .select($"event_type", $"est_distinct").as[(String, Double)]
       .collect().toMap
     val exact = all.groupBy("event_type")

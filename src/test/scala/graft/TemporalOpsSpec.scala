@@ -149,5 +149,17 @@ class TemporalOpsSpec extends SparkSpec {
     val kept = TemporalOps.debounce(df, "user_id", "ts", "event_id",
       gapSeconds = 8L).select("event_id").collect().map(_.getLong(0)).toSet
     kept shouldBe Set(1L, 4L, 5L)
+    // null timestamps never suppress: the null-ts row AND its follower
+    // survive (a null gap is not burst evidence)
+    val withNull = df.unionByName(
+      Seq((6L, 3L)).toDF("event_id", "user_id")
+        .withColumn("sec", lit(null).cast("long"))
+        .withColumn("ts", lit(null).cast(TimestampType))
+        .select("event_id", "user_id", "sec", "ts"))
+      .unionByName(Seq((7L, 3L, 100L)).toDF("event_id", "user_id", "sec")
+        .withColumn("ts", col("sec").cast(TimestampType)))
+    val kept2 = TemporalOps.debounce(withNull, "user_id", "ts", "event_id",
+      gapSeconds = 8L).select("event_id").collect().map(_.getLong(0)).toSet
+    kept2 shouldBe Set(1L, 4L, 5L, 6L, 7L)
   }
 }
