@@ -119,7 +119,10 @@ object LexIndexStore {
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
     val (tmp, bak) = (path + ".compact", path + ".precompact")
     if (fs.exists(hp(path))) {
+      // delete the tmp too: a marked-but-unswapped snapshot goes stale
+      // the moment the live tree takes appends (AnnIndexStore discipline)
       fs.delete(hp(bak), true)
+      fs.delete(hp(tmp), true)
     } else if (fs.exists(hp(s"$tmp/$Marker"))) {
       require(fs.rename(hp(tmp), hp(path)), s"rename $tmp -> $path failed")
       fs.delete(hp(bak), true)
