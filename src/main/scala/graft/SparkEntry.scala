@@ -2555,6 +2555,14 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // exactly 20 docs per language in fingerprint order — the eval-set
+    // construction sampler (count-exact where hash/stratified keep rates)
+    "q_stratified_topk" -> ((s, d) =>
+      SamplingOps.samplePerStratum(t(s, d, "documents"), "lang",
+          "doc_id", k = 20)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("lang", "rank")),
+
     // deterministic weighted sampling without replacement (Efraimidis-
     // Spirakis): 50 docs drawn with probability ∝ length
     "q_weighted_sample" -> ((s, d) =>
@@ -6774,6 +6782,17 @@ object SparkEntry {
       """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // per-language rank over fp60 mod 2^48 (the heap's exact-double
+    // ordering), ties id-ascending
+    "q_stratified_topk" ->
+      """SELECT lang, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 281474976710656 ASC,
+                             doc_id ASC) AS rn
+           FROM documents)
+         WHERE rn <= 20 ORDER BY lang, rank""",
 
     "q_weighted_sample" ->
       """SELECT doc_id, lang, n_chars FROM (

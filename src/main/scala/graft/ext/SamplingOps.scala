@@ -294,6 +294,32 @@ object SamplingOps {
    * bit-identical to the rank filter. Ids must be integral (heap
    * entries ride as longs — fingerprint string ids first).
    */
+  /**
+   * Deterministic k-PER-STRATUM sample — the eval-set construction
+   * primitive ("exactly 200 docs per language"): the k smallest rows of
+   * each stratum in fingerprint-hash order (uniform like a random draw,
+   * engine-reproducible; the fp rides mod 2⁴⁸ so its double cast is
+   * exact and the heap order matches an integer sort bit-for-bit).
+   * Complements [[hashSample]]/[[stratifiedSample]]: those keep a RATE
+   * (membership stable as the corpus grows), this keeps a COUNT — a
+   * fixed k over a growing stratum necessarily rotates members, so use
+   * the rate forms for anything that must not churn.
+   *
+   * Returns (stratumCol, keyCol, rank) with rank 1..k per stratum.
+   *
+   * Scale: rides [[groupTopK]]'s bounded heap — map-side pruning to k
+   * per partition, never a rank window over the corpus.
+   */
+  def samplePerStratum(df: DataFrame, stratumCol: String, keyCol: String,
+                       k: Int): DataFrame =
+    groupTopK(
+        df.select(col(stratumCol), col(keyCol),
+          (lit(0L) - pmod(
+            graft.ext.TextOps.fingerprint60(col(keyCol).cast("string")),
+            lit(1L << 48))).cast("double").as("__r")),
+        stratumCol, keyCol, "__r", k)
+      .select(col(stratumCol), col(keyCol), col("rank"))
+
   def groupTopK(df: DataFrame, groupCol: String, idCol: String,
                 scoreCol: String, k: Int): DataFrame =
     SimilarityOps.heapTopK(
