@@ -30,6 +30,23 @@ class AggregatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("KmvSetSketch: any split/merge order, with duplicates, equals distinct-sorted-take-k") {
+    val agg = new graft.functions.VectorAggregators.KmvSetSketch(8)
+    (1 to 25).foreach { trial =>
+      val n = 1 + rng.nextInt(300)
+      // small value domain → plenty of duplicates across partitions
+      val items = Seq.fill(n)(rng.nextLong() % 40)
+      val expected = items.distinct.sorted.take(8)
+      val parts = items.groupBy(_ => rng.nextInt(1 + rng.nextInt(6))).values.toSeq
+      val partials = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(partials.foldLeft(agg.zero)(agg.merge)) shouldBe expected
+      agg.finish(partials.reverse.foldLeft(agg.zero)(agg.merge)) shouldBe expected
+      // idempotence: re-merging an already-included partial is a no-op
+      val full = partials.foldLeft(agg.zero)(agg.merge)
+      agg.finish(agg.merge(full, partials.head)) shouldBe expected
+    }
+  }
+
   test("IntervalJoinExec equals the naive O(n·m) join on random intervals") {
     GraftPlanner.register(spark)
     (1 to 3).foreach { trial =>

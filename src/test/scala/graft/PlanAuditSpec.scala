@@ -81,7 +81,8 @@ class PlanAuditSpec extends SparkSpec {
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
     "q_cosine_topk", "q_ann_topk", "q_ivf_topk", "q_ivf_topk_probe2",
-    "q_pq_rerank", "q_ivfpq_topk", "q_minhash_topk", "q_group_topk")
+    "q_pq_rerank", "q_ivfpq_topk", "q_minhash_topk", "q_group_topk",
+    "q_cell_prototypes", "q_stratified_topk", "q_contrastive_pairs")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
