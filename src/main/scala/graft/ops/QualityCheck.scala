@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /**
@@ -130,6 +130,27 @@ object QualityCheck {
     val aggs = count(lit(1)).as("n_rows") +:
       rules.map(r => coalesce(r.violations, lit(0L)).as(r.name))
     df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * ZERO-EXTRA-PASS QC via Spark's CollectMetrics (`Dataset.observe`):
+   * attach the same violation aggregates [[report]] computes to the
+   * frame itself — they accumulate as a side-product of whatever action
+   * the caller already runs (the mart write, the count), so the QC gate
+   * costs NO second scan of the data. [[report]] is the standalone
+   * audit; this is the production-write form: at 100 TB a dedicated QC
+   * pass is a full extra read of the table.
+   *
+   * Returns the instrumented frame and the [[Observation]]; after ONE
+   * action on the frame, `observation.get` yields the metrics map
+   * (`n_rows` + one count per rule, same names/semantics as [[report]]).
+   */
+  def observed(df: DataFrame, rules: Seq[Rule],
+               name: String = "qc"): (DataFrame, Observation) = {
+    val obs = Observation(name)
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map(r => coalesce(r.violations, lit(0L)).as(r.name))
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
   }
 
   /**

@@ -488,6 +488,53 @@ object StreamingPipeline {
       }
   }
 
+  final case class PatternMatch(user_id: Long, a_ts: java.sql.Timestamp,
+                                b_ts: java.sql.Timestamp, gap_seconds: Long)
+
+  /**
+   * Streaming A→B-WITHIN-T pattern detection — the CEP primitive
+   * ("purchase within an hour of a click"), the streaming face of the
+   * batch [[graft.ops.TemporalOps]] funnel: per key, the state carries
+   * the LATEST `aType` timestamp; every `bType` event emits a match when
+   * it lands within `withinSeconds` of that A — including when A arrived
+   * BATCHES earlier (the state is what crosses the batch boundary, the
+   * thing a per-batch join cannot do). Within a batch, events process in
+   * (ts, event_id) order regardless of arrival order, so results are
+   * deterministic under any micro-batch slicing (spec-proven: one batch
+   * vs. split batches emit identically).
+   *
+   * Scale: state is ONE long per key forever; each micro-batch shuffles
+   * once on the key. A later A replaces the state (latest-A semantics);
+   * B events never clear it, so a burst of Bs after one A all match —
+   * the "every conversion after the touchpoint" attribution shape.
+   */
+  def patternDetect(events: DataFrame, aType: String, bType: String,
+                    withinSeconds: Long): Dataset[PatternMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[StreamEvent]
+      .filter(e => e.event_type == aType || e.event_type == bType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, PatternMatch](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (userId, batch, state) =>
+          var lastA: Option[Long] = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[PatternMatch]()
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (e.event_type == aType) lastA = Some(e.ts.getTime)
+            else lastA.foreach { a =>
+              val gapMs = e.ts.getTime - a
+              if (gapMs >= 0 && gapMs <= withinSeconds * 1000L)
+                out += PatternMatch(userId, new java.sql.Timestamp(a),
+                  e.ts, gapMs / 1000L)
+            }
+          }
+          lastA.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /**
    * Streaming ANN-index maintenance: each micro-batch of embedding rows
    * assigns against the persisted index's FROZEN centroids and lands in

@@ -95,6 +95,17 @@ class QualityCheckSpec extends SparkSpec {
     scans shouldBe 1
   }
 
+  test("observed: QC metrics accumulate as a side-product of the write") {
+    val df = Seq((1L, "a"), (2L, null), (3L, "c")).toDF("id", "v")
+    val rules = Seq(NotNull("v"))
+    val (inst, obs) = QualityCheck.observed(df, rules)
+    val out = java.nio.file.Files.createTempDirectory("graft_obs_").toString
+    inst.write.mode("overwrite").parquet(s"$out/t")   // the ONLY action
+    obs.get shouldBe Map("n_rows" -> 3L, "not_null_v" -> 1L)
+    // identical numbers to the standalone (second-scan) report
+    QualityCheck.report(df, rules).head().toSeq shouldBe Seq(3L, 1L)
+  }
+
   test("lDiversity flags the k-anonymous-but-leaky cell") {
     // cell A: 4 rows but ONE sensitive value (k-anonymous, zero
     // diversity); cell B: 3 rows, 3 values

@@ -257,6 +257,39 @@ class SkewAndSourcesSpec extends SparkSpec {
     alerted.except(expected).count() shouldBe 0L
   }
 
+  test("patternDetect: A→B within T matches across batches, deterministic under slicing") {
+    def ev(id: Long, user: Long, tp: String, sec: Long) =
+      (id, new java.sql.Timestamp(1700000000000L + sec * 1000L),
+        user, tp, 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // user1: click@0 → purchase@100 (match) and purchase@5000 (beyond T);
+    // user2: purchase with no prior A; user3: click in batch 1, purchase
+    // in batch 2 — the state must carry A across the boundary
+    val f1 = Seq(ev(1, 1, "click", 0), ev(2, 1, "purchase", 100),
+      ev(3, 2, "purchase", 10), ev(4, 3, "click", 50)).toDF(cols: _*)
+    val f2 = Seq(ev(5, 3, "purchase", 200),
+      ev(6, 1, "purchase", 5000)).toDF(cols: _*)
+    def run(dir: String, sink: String, perTrigger: Option[Int]): Set[(Long, Long)] = {
+      val src = perTrigger.foldLeft(
+        spark.readStream.schema(StreamingPipeline.eventSchema))(
+        (r, n) => r.option("maxFilesPerTrigger", n)).parquet(dir)
+      StreamingPipeline.patternDetect(src, "click", "purchase", 3600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      spark.table(sink).select("user_id", "gap_seconds")
+        .as[(Long, Long)].collect().toSet
+    }
+    val work = Files.createTempDirectory("graft_cep_").toString
+    f1.coalesce(1).write.parquet(s"$work/src")
+    f2.coalesce(1).write.mode("append").parquet(s"$work/src")
+    val split = run(s"$work/src", "graft_cep_split", Some(1))
+    split shouldBe Set((1L, 100L), (3L, 150L))
+    val single = run(s"$work/src", "graft_cep_one", None)
+    single shouldBe split
+  }
+
   test("winnowing fingerprints: shared long substrings share a fingerprint") {
     import graft.ext.TextOps
     val common = "this exact sentence appears verbatim in both documents"
