@@ -535,6 +535,64 @@ object StreamingPipeline {
       }
   }
 
+  final case class FunnelCompletion(user_id: Long,
+                                    start_ts: java.sql.Timestamp,
+                                    end_ts: java.sql.Timestamp,
+                                    total_seconds: Long)
+
+  /**
+   * Streaming MULTI-STEP funnel detection — [[patternDetect]]'s n-step
+   * generalization: a completion fires when a key's events hit every
+   * `steps` type in order with at most `withinSeconds` between
+   * CONSECUTIVE steps. A fresh first-step event RESTARTS progress (the
+   * newest attempt wins — standard funnel semantics); completion resets
+   * the state so the next full pass counts again. In-batch events
+   * process in (ts, event_id) order, and the (stage, lastTs, startTs)
+   * state crosses micro-batch boundaries — a funnel spanning days of
+   * batches still completes.
+   *
+   * Scale: state is (int, long, long) per key forever; one key shuffle
+   * per micro-batch.
+   */
+  def funnelDetect(events: DataFrame, steps: Seq[String],
+                   withinSeconds: Long): Dataset[FunnelCompletion] = {
+    require(steps.size >= 2, "funnelDetect needs at least 2 steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepSet = steps.toSet
+    events.as[StreamEvent]
+      .filter(e => stepSet.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Long, Long), FunnelCompletion](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (userId, batch, state) =>
+          // (completed stages, last-step ms, first-step ms)
+          var (stage, lastMs, startMs) = state.getOption.getOrElse((0, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelCompletion]()
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val ms = e.ts.getTime
+            val advances = stage < steps.size &&
+              e.event_type == steps(stage) &&
+              (stage == 0 || ms - lastMs <= withinSeconds * 1000L)
+            if (advances) {
+              if (stage == 0) startMs = ms
+              stage += 1; lastMs = ms
+              if (stage == steps.size) {
+                out += FunnelCompletion(userId,
+                  new java.sql.Timestamp(startMs),
+                  new java.sql.Timestamp(ms), (ms - startMs) / 1000L)
+                stage = 0
+              }
+            } else if (e.event_type == steps.head) {
+              stage = 1; lastMs = ms; startMs = ms // newest attempt wins
+            }
+          }
+          state.update((stage, lastMs, startMs))
+          out.iterator
+      }
+  }
+
   /**
    * Streaming ANN-index maintenance: each micro-batch of embedding rows
    * assigns against the persisted index's FROZEN centroids and lands in

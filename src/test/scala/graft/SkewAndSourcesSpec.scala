@@ -290,6 +290,39 @@ class SkewAndSourcesSpec extends SparkSpec {
     single shouldBe split
   }
 
+  test("funnelDetect: ordered steps within gaps, restart-on-first-step, cross-batch state") {
+    def ev(id: Long, user: Long, tp: String, sec: Long) =
+      (id, new java.sql.Timestamp(1700000000000L + sec * 1000L),
+        user, tp, 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // user1 completes view→click→purchase with gaps ≤ 60; user2's click
+    // comes 100s after the view (too late), and a LATER view restarts —
+    // the second attempt completes; user3 spans the batch boundary
+    val f1 = Seq(
+      ev(1, 1, "view", 0), ev(2, 1, "click", 30), ev(3, 1, "purchase", 80),
+      ev(4, 2, "view", 0), ev(5, 2, "click", 100),
+      ev(6, 2, "view", 150), ev(7, 2, "click", 170),
+      ev(8, 3, "view", 10), ev(9, 3, "click", 40)).toDF(cols: _*)
+    val f2 = Seq(
+      ev(10, 2, "purchase", 200),
+      ev(11, 3, "purchase", 90)).toDF(cols: _*)
+    val work = Files.createTempDirectory("graft_funnelcep_").toString
+    f1.coalesce(1).write.parquet(s"$work/src")
+    f2.coalesce(1).write.mode("append").parquet(s"$work/src")
+    StreamingPipeline.funnelDetect(
+        spark.readStream.schema(StreamingPipeline.eventSchema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/src"),
+        Seq("view", "click", "purchase"), withinSeconds = 60L)
+      .writeStream.format("memory").queryName("graft_funnel_cep")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val got = spark.table("graft_funnel_cep")
+      .select("user_id", "total_seconds")
+      .as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 80L), (2L, 50L), (3L, 80L))
+  }
+
   test("winnowing fingerprints: shared long substrings share a fingerprint") {
     import graft.ext.TextOps
     val common = "this exact sentence appears verbatim in both documents"
