@@ -48,13 +48,15 @@ object SparkEntry {
   // order-independent: each store is a pure function of the fixture tables.
   private val storeRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def store(name: String, d: String)(pairs: => DataFrame): String =
+  private def artifact(name: String, d: String)(build: String => Unit): String =
     storeRoots.computeIfAbsent(s"$d#$name", _ => {
       val p = java.nio.file.Files
-        .createTempDirectory(s"graft_cstore_${name}_").toString + "/store"
-      graft.ext.ClusterStore.build(p, pairs)
+        .createTempDirectory(s"graft_store_${name}_").toString + "/store"
+      build(p)
       p
     })
+  private def store(name: String, d: String)(pairs: => DataFrame): String =
+    artifact(name, d)(p => graft.ext.ClusterStore.build(p, pairs))
 
   /** Trained BPE merge table (6 rules, half-corpus hash sample, batched
     * rounds) — memoized per sf dir like the stores: a production
@@ -105,39 +107,28 @@ object SparkEntry {
   /** Persisted BM25 postings index over `documents` (same memoized
     * build-once economics as the cluster stores). */
   private def lexStore(s: SparkSession, d: String): String =
-    storeRoots.computeIfAbsent(s"$d#lex", _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_lexidx_").toString + "/idx"
-      graft.ext.LexIndexStore.build(p, t(s, d, "documents"),
-        "doc_id", "text", nBuckets = 64)
-      p
-    })
+    artifact("lex", d)(p => graft.ext.LexIndexStore.build(p,
+      t(s, d, "documents"), "doc_id", "text", nBuckets = 64))
 
   /** Persisted IVF index over `embeddings` (8 deterministic centroids —
     * the q_ivf_topk model, store-shaped). */
   private def annStore(s: SparkSession, d: String): String =
-    storeRoots.computeIfAbsent(s"$d#ann", _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_annidx_").toString + "/idx"
+    artifact("ann", d) { p =>
       val emb = t(s, d, "embeddings")
       graft.ext.AnnIndexStore.save(p, emb, "vec_id", "embedding",
         SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8))
-      p
-    })
+    }
 
   /** Persisted IVF+PQ (IVFADC) index — the annStore centroids plus
     * trained codebooks, codes materialized at write. */
   private def annPqStore(s: SparkSession, d: String): String =
-    storeRoots.computeIfAbsent(s"$d#annpq", _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_annpq_").toString + "/idx"
+    artifact("annpq", d) { p =>
       val emb = t(s, d, "embeddings")
       graft.ext.AnnIndexStore.save(p, emb, "vec_id", "embedding",
         SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8),
         SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
           m = 8, codes = 16, iters = 2, dim = 64))
-      p
-    })
+    }
 
   /** Flagship: the full reference pipeline (extract→transform→load→QC→
     * reconcile) on sf0.001, returning its 1-row summary. Driver smoke-checks

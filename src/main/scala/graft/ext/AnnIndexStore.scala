@@ -97,9 +97,6 @@ object AnnIndexStore {
   // ---- retrain + atomic swap ----------------------------------------------
 
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
-  private def mv(fs: org.apache.hadoop.fs.FileSystem,
-                 a: String, b: String): Unit =
-    require(fs.rename(hp(a), hp(b)), s"rename $a -> $b failed")
 
   /** Root-level commit marker for the whole index TREE: the parquet
     * `_SUCCESS` files only mark individual sub-writes, so the swap needs
@@ -122,19 +119,13 @@ object AnnIndexStore {
               vecCol: String, centroids: Seq[(Long, Seq[Float])],
               codebooks: Seq[Seq[Seq[Float]]] = Nil): Unit = {
     val spark = corpus.sparkSession
-    val fs = hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // recover the sibling compact swap too — see [[compact]]
     recoverCompact(spark, path)
     recoverRetrain(spark, path)
-    val tmp = path + ".retrain"
-    val bak = path + ".preretrain"
-    fs.delete(hp(tmp), true)
-    save(tmp, corpus, idCol, vecCol, centroids, codebooks)
-    fs.create(hp(s"$tmp/$Marker")).close()
-    fs.delete(hp(bak), true)
-    if (fs.exists(hp(path))) mv(fs, path, bak)
-    mv(fs, tmp, path)
-    fs.delete(hp(bak), true)
+    graft.sources.TreeSwap.swap(spark, path, ".retrain", ".preretrain",
+        Marker) { tmp =>
+      save(tmp, corpus, idCol, vecCol, centroids, codebooks)
+    }
   }
 
   /**
@@ -158,64 +149,34 @@ object AnnIndexStore {
     // before compaction reads the live tree)
     recoverRetrain(spark, path)
     recoverCompact(spark, path)
-    val tmp = path + ".compact"
-    val bak = path + ".precompact"
-    fs.delete(hp(tmp), true)
-    spark.read.parquet(s"$path/cells").drop("b")
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$tmp/cells/b=0")
-    spark.read.parquet(s"$path/centroids")
-      .write.mode("overwrite").parquet(s"$tmp/centroids")
-    if (fs.exists(hp(s"$path/codebooks")))
-      spark.read.parquet(s"$path/codebooks")
-        .write.mode("overwrite").parquet(s"$tmp/codebooks")
-    fs.create(hp(s"$tmp/$Marker")).close()
-    fs.delete(hp(bak), true)
-    mv(fs, path, bak)
-    mv(fs, tmp, path)
-    fs.delete(hp(bak), true)
-  }
-
-  /** Recover the [[compact]] swap after a crash — the [[recoverRetrain]]
-    * invariants over the `.compact`/`.precompact` neighbors. Live present
-    * deletes the tmp TOO (not just the backup): a marked-but-unswapped
-    * tmp left by a crash is a STALE snapshot once the live tree takes
-    * appends — promoting it later (e.g. after an unrelated retrain crash
-    * empties the live path) would silently roll the index back. */
-  def recoverCompact(spark: SparkSession, path: String): Unit = {
-    val fs = hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (tmp, bak) = (path + ".compact", path + ".precompact")
-    if (fs.exists(hp(path))) {
-      fs.delete(hp(bak), true)
-      fs.delete(hp(tmp), true)
-    } else if (fs.exists(hp(s"$tmp/$Marker"))) {
-      mv(fs, tmp, path)
-      fs.delete(hp(bak), true)
-    } else if (fs.exists(hp(bak))) {
-      mv(fs, bak, path)
-      fs.delete(hp(tmp), true)
+    graft.sources.TreeSwap.swap(spark, path, ".compact", ".precompact",
+        Marker) { tmp =>
+      spark.read.parquet(s"$path/cells").drop("b")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmp/cells/b=0")
+      spark.read.parquet(s"$path/centroids")
+        .write.mode("overwrite").parquet(s"$tmp/centroids")
+      if (fs.exists(hp(s"$path/codebooks")))
+        spark.read.parquet(s"$path/codebooks")
+          .write.mode("overwrite").parquet(s"$tmp/codebooks")
     }
   }
+
+  /** Recover the [[compact]] swap after a crash —
+    * [[graft.sources.TreeSwap.recover]]'s invariants over the
+    * `.compact`/`.precompact` neighbors. */
+  def recoverCompact(spark: SparkSession, path: String): Unit =
+    graft.sources.TreeSwap.recover(spark, path, ".compact", ".precompact",
+      Marker)
 
   /** Recover the [[retrain]] swap after a crash — same invariants as the
     * mart swap: live present → drop the superseded backup; live missing
     * with a MARKED tmp → the rebuild committed, promote it; live missing
     * with only a backup → restore it. An UNMARKED tmp is an interrupted
     * rebuild: never promoted (dropped on the next retrain). */
-  def recoverRetrain(spark: SparkSession, path: String): Unit = {
-    val fs = hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (tmp, bak) = (path + ".retrain", path + ".preretrain")
-    if (fs.exists(hp(path))) {
-      fs.delete(hp(bak), true)
-      fs.delete(hp(tmp), true)
-    } else if (fs.exists(hp(s"$tmp/$Marker"))) {
-      mv(fs, tmp, path)
-      fs.delete(hp(bak), true)
-    } else if (fs.exists(hp(bak))) {
-      mv(fs, bak, path)
-      fs.delete(hp(tmp), true)
-    }
-  }
+  def recoverRetrain(spark: SparkSession, path: String): Unit =
+    graft.sources.TreeSwap.recover(spark, path, ".retrain", ".preretrain",
+      Marker)
 
   /**
    * Index-health audit: member count and share per cell. A balanced index

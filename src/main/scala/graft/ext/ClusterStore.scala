@@ -1,6 +1,5 @@
 package graft.ext
 
-import graft.sources.Stores
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,15 +24,15 @@ import org.apache.spark.sql.functions._
  *     read the same artifact generation as the labels;
  *   - `meta/`        1 row (version: long, n_pairs: long, n_nodes: long).
  *
- * Every table is written through [[Stores.martOverwrite]] — the crash-safe
- * write-tmp → live→bak → tmp→live rename swap (never delete-then-rename),
- * so readers always see a complete previous or next version and
- * [[recover]] promotes whichever survives a crash. `meta` is written LAST:
- * its `version` is the commit record, so a crash mid-[[append]] leaves
- * meta at the old version with assignment/pairs each independently intact
- * (either generation — both are complete, consistent frames); re-running
- * the append converges because [[DedupOps.mergeComponents]] is idempotent
- * on already-merged pairs and the pair union dedups.
+ * Commits swap the WHOLE store root atomically: all three tables write
+ * beside the live tree under `path.next/`, a root `_STORE_SUCCESS`
+ * marker witnesses that every sub-write committed, and one rename-aside
+ * (live→`.prev`, `.next`→live, drop `.prev`) makes the new generation
+ * visible. Per-table swaps would let a crash between renames publish a
+ * generation-N+1 assignment beside generation-N pairs — and every audit
+ * JOINS the two, so cross-table consistency is the invariant that
+ * matters. [[recover]] repairs any crash point (live wins and stale
+ * neighbors drop; a marked `.next` promotes whole; `.prev` restores).
  */
 object ClusterStore {
 
@@ -81,17 +80,29 @@ object ClusterStore {
       // is (id1, id2)
       val base = pairs(spark, path)
       val shared = base.columns.intersect(np.columns).toSeq
-      val unioned = base.select(shared.map(col): _*)
+      // deterministic edge reducer: a re-delivered edge with a NEW score
+      // (re-verified pair after a text update) must not leave the kept
+      // row to shuffle order — extra columns resolve to their MAX (the
+      // strongest evidence), exactly reproducible under any partitioning
+      val both = base.select(shared.map(col): _*)
         .unionByName(np.select(shared.map(col): _*))
-        .dropDuplicates("id1", "id2")
+      val extras = shared.filterNot(c => c == "id1" || c == "id2")
+      val unioned =
+        if (extras.isEmpty) both.distinct()
+        else both.groupBy("id1", "id2")
+          .agg(max(col(extras.head)).as(extras.head),
+            extras.tail.map(c => max(col(c)).as(c)): _*)
       commit(spark, path, merged, unioned, version(spark, path) + 1)
     } finally np.unpersist(blocking = false)
   }
 
-  /** Commit discipline: data tables first, the version record last. Each
-    * martOverwrite write PLANS a read of the live table it replaces
-    * (merge/union against current state) — safe because the swap only
-    * renames after the tmp write has fully materialized. */
+  private val Marker = "_STORE_SUCCESS"
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Commit discipline: the THREE tables publish as ONE atomic root swap
+    * — write all of them under `path.next/`, mark the root, rename
+    * aside. A consumer can never observe an assignment generation joined
+    * against a different pairs generation. */
   private def commit(spark: SparkSession, path: String, asg: DataFrame,
                      pairs: DataFrame, newVersion: Long): Unit = {
     import spark.implicits._
@@ -102,23 +113,26 @@ object ClusterStore {
     val pairsM = pairs.localCheckpoint()
     val nPairs = pairsM.count()
     val nNodes = asgM.count()
-    Stores.martOverwrite(asgM, asgPath(path))
-    Stores.martOverwrite(pairsM, pairsPath(path))
-    Stores.martOverwrite(
-      Seq((newVersion, nPairs, nNodes)).toDF("version", "n_pairs", "n_nodes"),
-      metaPath(path))
+    graft.sources.TreeSwap.swap(spark, path, ".next", ".prev",
+        Marker) { tmp =>
+      asgM.write.parquet(s"$tmp/assignment")
+      pairsM.write.parquet(s"$tmp/pairs")
+      Seq((newVersion, nPairs, nNodes)).toDF("version", "n_pairs", "n_nodes")
+        .write.parquet(s"$tmp/meta")
+    }
   }
 
-  def exists(spark: SparkSession, path: String): Boolean =
-    Stores.martExists(spark, metaPath(path))
-
-  /** Recover all three swap sites after a crash (promote complete tmp /
-    * restore bak — [[Stores.recoverMart]] semantics per table). */
-  def recover(spark: SparkSession, path: String): Unit = {
-    Stores.recoverMart(spark, asgPath(path))
-    Stores.recoverMart(spark, pairsPath(path))
-    Stores.recoverMart(spark, metaPath(path))
+  def exists(spark: SparkSession, path: String): Boolean = {
+    recover(spark, path)
+    val fs = hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hp(metaPath(path)))
   }
+
+  /** Recover the root swap after a crash —
+    * [[graft.sources.TreeSwap.recover]]'s invariants over the
+    * `.next`/`.prev` neighbors. */
+  def recover(spark: SparkSession, path: String): Unit =
+    graft.sources.TreeSwap.recover(spark, path, ".next", ".prev", Marker)
 
   /** The committed (id, cluster_id) table; cluster_id = component min. */
   def assignment(spark: SparkSession, path: String): DataFrame =

@@ -79,29 +79,21 @@ object LexIndexStore {
    * batch ids > 0.
    */
   def compact(path: String, spark: SparkSession): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
     recoverCompact(spark, path)
     val nBuckets = nBucketsOf(spark, path)
-    val tmp = path + ".compact"
-    val bak = path + ".precompact"
-    fs.delete(hp(tmp), true)
     import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets")
-      .write.mode("overwrite").parquet(s"$tmp/meta")
-    spark.read.parquet(s"$path/postings")
-      .select("term", "doc_id", "tf", "dl", "tb")
-      .write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$tmp/postings/b=0")
-    spark.read.parquet(s"$path/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$tmp/stats/b=0")
-    fs.create(hp(s"$tmp/$Marker")).close()
-    fs.delete(hp(bak), true)
-    require(fs.rename(hp(path), hp(bak)), s"rename $path -> $bak failed")
-    require(fs.rename(hp(tmp), hp(path)), s"rename $tmp -> $path failed")
-    fs.delete(hp(bak), true)
+    graft.sources.TreeSwap.swap(spark, path, ".compact", ".precompact",
+        Marker) { tmp =>
+      Seq(nBuckets).toDF("n_buckets")
+        .write.mode("overwrite").parquet(s"$tmp/meta")
+      spark.read.parquet(s"$path/postings")
+        .select("term", "doc_id", "tf", "dl", "tb")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$tmp/postings/b=0")
+      spark.read.parquet(s"$path/stats")
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+        .write.mode("overwrite").parquet(s"$tmp/stats/b=0")
+    }
   }
 
   /** Root commit marker for the compacted tree (the swap needs an
@@ -113,43 +105,34 @@ object LexIndexStore {
     * [[graft.ext.AnnIndexStore.recoverRetrain]] invariants: live present
     * → drop the superseded backup; live missing with a MARKED tmp →
     * promote; live missing with only a backup → restore. */
-  def recoverCompact(spark: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
-    val (tmp, bak) = (path + ".compact", path + ".precompact")
-    if (fs.exists(hp(path))) {
-      // delete the tmp too: a marked-but-unswapped snapshot goes stale
-      // the moment the live tree takes appends (AnnIndexStore discipline)
-      fs.delete(hp(bak), true)
-      fs.delete(hp(tmp), true)
-    } else if (fs.exists(hp(s"$tmp/$Marker"))) {
-      require(fs.rename(hp(tmp), hp(path)), s"rename $tmp -> $path failed")
-      fs.delete(hp(bak), true)
-    } else if (fs.exists(hp(bak))) {
-      require(fs.rename(hp(bak), hp(path)), s"rename $bak -> $path failed")
-      fs.delete(hp(tmp), true)
-    }
-  }
+  def recoverCompact(spark: SparkSession, path: String): Unit =
+    graft.sources.TreeSwap.recover(spark, path, ".compact", ".precompact",
+      Marker)
 
   private def writeBatch(path: String, docs: DataFrame, idCol: String,
                          textCol: String, nBuckets: Int,
                          batchId: Long): Unit = {
+    // persisted across the two actions: the stats aggregate and the
+    // postings write would otherwise each re-tokenize the input — at
+    // index-build sizes that doubles the dominant cost
     val corpus = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
         TextOps.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
-    corpus.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl").cast("long")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$path/stats/b=$batchId")
-    corpus.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("tb",
-        pmod(TextOps.fingerprint60(col("term")),
-          lit(nBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$path/postings/b=$batchId")
+      .persist()
+    try {
+      corpus.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast("long")).as("sum_dl"))
+        .write.mode("overwrite").parquet(s"$path/stats/b=$batchId")
+      corpus.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .withColumn("tb",
+          pmod(TextOps.fingerprint60(col("term")),
+            lit(nBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$path/postings/b=$batchId")
+    } finally corpus.unpersist(blocking = false)
   }
 
   /**

@@ -105,7 +105,11 @@ object TextOps {
           // Disjoint merges commute: applying them together in one pass
           // equals applying them sequentially, because a merge (a,b)→ab
           // cannot create or destroy adjacencies of tokens outside {a,b}.
-          val k = 8 * b
+          // K is 8·batch — the CONFIGURED batch, not this round's
+          // possibly-smaller remainder b: the oracle replays a fixed
+          // prefix per round, and a shrunken final-round prefix could
+          // select different merges
+          val k = 8 * batch
           val ranked = pairCounts.orderBy(col("cnt").desc, col("pair").asc)
             .limit(k).select("pair").collect().map(_.getString(0))
           val sel = scala.collection.mutable.ArrayBuffer.empty[String]

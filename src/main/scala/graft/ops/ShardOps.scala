@@ -56,9 +56,11 @@ object ShardOps {
    * as [[rendezvousShard]].
    */
   def weightedRendezvousShard(key: Column, weights: Seq[Double]): Column = {
-    // weight 0 = drained shard: its score is exactly 0, below every live
-    // shard's strictly-positive score, so it can never win — keys rehome
-    // to survivors with no bystander movement
+    // weight 0 = drained shard: its score is the LITERAL −1, strictly
+    // below anything a live shard can produce — a live shard's tiny
+    // positive score can 9dp-ROUND to 0.0, and a drained shard at 0.0
+    // would then win the smaller-id tie-break, routing keys to a node
+    // declared to have no capacity
     require(weights.exists(_ > 0) && weights.forall(_ >= 0),
       s"bad weights $weights")
     val n = weights.length
@@ -66,8 +68,8 @@ object ShardOps {
       val u = (pmod(TextOps.fingerprint60(
           concat(key.cast("string"), lit(":"), lit(s.toString))),
         lit(2147483648L)) + lit(1L)).cast("double") / lit(2147483649.0)
-      struct(round(lit(w) / -log(u), 9).as("sc"),
-        lit(-s).cast("int").as("ns"))
+      val sc = if (w == 0) lit(-1.0) else round(lit(w) / -log(u), 9)
+      struct(sc.as("sc"), lit(-s).cast("int").as("ns"))
     }
     (-array_max(array(entries: _*)).getField("ns")).cast("long")
   }

@@ -61,19 +61,47 @@ class ClusterStoreSpec extends SparkSpec {
       Seq((5L, 5L), (6L, 5L), (7L, 5L))
   }
 
-  test("crash mid-swap: leftover tmp is recoverable, reads stay complete") {
+  test("crash mid-swap: the whole store generation recovers ATOMICALLY") {
     val path = tmp()
     ClusterStore.build(path, pairsDf((1L, 2L), (2L, 3L)))
     val v1 = sortedRows(ClusterStore.assignment(spark, path))
-    // simulate a crash that left the live assignment renamed away with a
-    // complete .tmp successor (the window between live→bak and tmp→live)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val asg = new org.apache.hadoop.fs.Path(s"$path/assignment")
-    val tmpDir = new org.apache.hadoop.fs.Path(s"$path/assignment.tmp")
-    fs.rename(asg, tmpDir) shouldBe true
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    // crash between live→prev and next→live: the MARKED next (which
+    // carries assignment + pairs + meta together) promotes WHOLE — no
+    // window where one table is new-generation and another old
+    fs.rename(hp(path), hp(s"$path.next")) shouldBe true
+    fs.exists(hp(s"$path.next/_STORE_SUCCESS")) shouldBe true
     ClusterStore.recover(spark, path)
     sortedRows(ClusterStore.assignment(spark, path)) shouldBe v1
+    ClusterStore.version(spark, path) shouldBe 1L
+    // a stale MARKED .next beside a live store must be dropped, never
+    // later promoted over newer live data
+    fs.mkdirs(hp(s"$path.next/assignment"))
+    fs.create(hp(s"$path.next/_STORE_SUCCESS")).close()
+    ClusterStore.recover(spark, path)
+    new java.io.File(s"$path.next").exists() shouldBe false
+    sortedRows(ClusterStore.assignment(spark, path)) shouldBe v1
+    // crash mid-write: live renamed to .prev, an UNMARKED partial next —
+    // the backup restores
+    fs.rename(hp(path), hp(s"$path.prev")) shouldBe true
+    fs.delete(hp(s"$path.prev/_STORE_SUCCESS"), false)
+    fs.mkdirs(hp(s"$path.next/assignment"))
+    ClusterStore.recover(spark, path)
+    sortedRows(ClusterStore.assignment(spark, path)) shouldBe v1
+  }
+
+  test("append resolves a re-delivered edge's score to the MAX, deterministically") {
+    val path = tmp()
+    ClusterStore.build(path,
+      Seq((1L, 2L, 0.41)).toDF("id1", "id2", "jaccard"))
+    ClusterStore.append(path,
+      Seq((1L, 2L, 0.93), (2L, 3L, 0.5)).toDF("id1", "id2", "jaccard"))
+    ClusterStore.pairs(spark, path)
+      .select("id1", "id2", "jaccard")
+      .as[(Long, Long, Double)].collect().sorted shouldBe
+      Array((1L, 2L, 0.93), (2L, 3L, 0.5))
   }
 
   test("keepBestByAssignment over the store equals keepBestPerCluster") {

@@ -199,6 +199,12 @@ class SessionOpsPropertiesSpec extends SparkSpec {
     val rehomed = drained.filter($"a" === 2L)
       .groupBy("b").count().as[(Long, Long)].collect().toMap
     rehomed.keySet shouldBe Set(0L, 1L, 3L)
+    // regression: a live shard whose tiny score 9dp-ROUNDS to 0.0 must
+    // still beat the drained shard (the drained score is a literal −1,
+    // not 0 — at 0 the smaller-id tie-break routed keys to the drain)
+    keys.select(ShardOps.weightedRendezvousShard($"id",
+        Seq(0.0, 1e-12)).as("s"))
+      .filter($"s" === 0L).count() shouldBe 0L
   }
 
   test("marginTopPairs: a planted duplicate scores a higher margin than diffuse queries") {
