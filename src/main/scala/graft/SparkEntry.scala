@@ -2529,6 +2529,36 @@ object SparkEntry {
           graft.ext.ClusterStore.pairs(s, evidenceStore(s, d)), "id1", "id2")
         .orderBy("node")),
 
+    // RFM segmentation: per-customer recency/frequency/monetary rollup
+    // + deterministic ntile(5) scores (ties broken by custkey, 5 = best
+    // on every axis) — the classic CRM cut. Windows rank the CUSTOMER
+    // aggregate (not orders); at extreme customer counts the quintile
+    // bounds come from approx_percentile + a broadcast filter instead
+    // (the percentileKeepApprox pattern)
+    "q_rfm" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val per = o.groupBy("o_custkey").agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("mon"))
+      val mx = o.agg(max(col("o_orderdate")).as("mx"))
+      per.crossJoin(broadcast(mx))
+        .select(col("o_custkey"),
+          datediff(col("mx"), col("last_order")).cast("long")
+            .as("recency_days"),
+          col("frequency"), col("mon").cast("double").as("monetary"))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          ntile(5).over(Window.orderBy(col("recency_days").desc,
+            col("o_custkey").asc)).cast("long").as("r_score"),
+          ntile(5).over(Window.orderBy(col("frequency").asc,
+            col("o_custkey").asc)).cast("long").as("f_score"),
+          ntile(5).over(Window.orderBy(col("monetary").asc,
+            col("o_custkey").asc)).cast("long").as("m_score"))
+        .orderBy("o_custkey")
+    }),
+
     // incremental aggregate-view maintenance: merge a batch delta into a
     // persisted per-customer rollup — row-identical to the full recompute
     "q_incremental_agg" -> ((s, d) => {
@@ -6768,6 +6798,22 @@ object SparkEntry {
                         UNION ALL SELECT z FROM tri)
          SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
          FROM nodes GROUP BY node ORDER BY node""",
+
+    "q_rfm" ->
+      """WITH per AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
+                             CAST(COUNT(*) AS BIGINT) AS frequency,
+                             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+                      FROM orders GROUP BY o_custkey),
+              mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+              base AS (SELECT o_custkey,
+                              CAST(date_diff('day', CAST(last_order AS DATE), CAST(mx AS DATE)) AS BIGINT) AS recency_days,
+                              frequency, monetary
+                       FROM per, mx)
+         SELECT o_custkey, recency_days, frequency, monetary,
+                CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey ASC) AS BIGINT) AS r_score,
+                CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS BIGINT) AS f_score,
+                CAST(ntile(5) OVER (ORDER BY monetary ASC, o_custkey ASC) AS BIGINT) AS m_score
+         FROM base ORDER BY o_custkey""",
 
     "q_incremental_agg" ->
       """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
