@@ -2529,6 +2529,31 @@ object SparkEntry {
           graft.ext.ClusterStore.pairs(s, evidenceStore(s, d)), "id1", "id2")
         .orderBy("node")),
 
+    // market-basket LIFT: which part categories co-occur in one order
+    // beyond chance — lift = P(a,b)/(P(a)P(b)) over order baskets, the
+    // transactional sibling of q_pmi_collocations; within-order pairs
+    // only (baskets are small), all-integer counts into one division
+    "q_basket_lift" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"),
+          split(col("p_type"), " ").getItem(0).as("ptype"))
+        .distinct()
+      val single = li.groupBy("ptype").agg(count(lit(1)).as("na"))
+      val tot = li.select("ok").distinct().agg(count(lit(1)).as("n"))
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.ptype") < col("b.ptype"))
+        .groupBy(col("a.ptype").as("t1"), col("b.ptype").as("t2"))
+        .agg(count(lit(1)).as("nab"))
+        .join(single.select(col("ptype").as("t1"), col("na")), "t1")
+        .join(single.select(col("ptype").as("t2"), col("na").as("nb")), "t2")
+        .crossJoin(broadcast(tot))
+        .select(col("t1"), col("t2"), col("nab"),
+          round((col("nab") * col("n")).cast("double") /
+            (col("na") * col("nb")), 6).as("lift"))
+        .orderBy("t1", "t2")
+    }),
+
     // RFM segmentation: per-customer recency/frequency/monetary rollup
     // + deterministic ntile(5) scores (ties broken by custkey, 5 = best
     // on every axis) — the classic CRM cut. Windows rank the CUSTOMER
@@ -6798,6 +6823,21 @@ object SparkEntry {
                         UNION ALL SELECT z FROM tri)
          SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
          FROM nodes GROUP BY node ORDER BY node""",
+
+    "q_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l.l_orderkey AS ok, string_split(p.p_type, ' ')[1] AS ptype
+                     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+              single AS (SELECT ptype, CAST(COUNT(*) AS BIGINT) AS na FROM li GROUP BY ptype),
+              tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM li),
+              pr AS (SELECT a.ptype AS t1, b.ptype AS t2, CAST(COUNT(*) AS BIGINT) AS nab
+                     FROM li a JOIN li b ON a.ok = b.ok AND a.ptype < b.ptype
+                     GROUP BY a.ptype, b.ptype)
+         SELECT pr.t1, pr.t2, pr.nab,
+                ROUND(CAST(pr.nab * n AS DOUBLE) / (s1.na * s2.na), 6) AS lift
+         FROM pr JOIN single s1 ON s1.ptype = pr.t1
+                 JOIN single s2 ON s2.ptype = pr.t2
+                 CROSS JOIN tot
+         ORDER BY pr.t1, pr.t2""",
 
     "q_rfm" ->
       """WITH per AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
