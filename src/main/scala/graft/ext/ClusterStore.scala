@@ -82,16 +82,19 @@ object ClusterStore {
       val shared = base.columns.intersect(np.columns).toSeq
       // deterministic edge reducer: a re-delivered edge with a NEW score
       // (re-verified pair after a text update) must not leave the kept
-      // row to shuffle order — extra columns resolve to their MAX (the
-      // strongest evidence), exactly reproducible under any partitioning
+      // row to shuffle order — the lexicographically-largest DELIVERY
+      // wins whole (max over the packed extras struct), so the kept row
+      // is always one that actually arrived, never a per-column chimera
+      // mixing fields of different deliveries; extras must be orderable
       val both = base.select(shared.map(col): _*)
         .unionByName(np.select(shared.map(col): _*))
       val extras = shared.filterNot(c => c == "id1" || c == "id2")
       val unioned =
         if (extras.isEmpty) both.distinct()
         else both.groupBy("id1", "id2")
-          .agg(max(col(extras.head)).as(extras.head),
-            extras.tail.map(c => max(col(c)).as(c)): _*)
+          .agg(max(struct(extras.map(col): _*)).as("__m"))
+          .select(col("id1") +: col("id2") +:
+            extras.map(e => col(s"__m.$e").as(e)): _*)
       commit(spark, path, merged, unioned, version(spark, path) + 1)
     } finally np.unpersist(blocking = false)
   }

@@ -144,10 +144,21 @@ object QualityCheck {
    * Returns the instrumented frame and the [[Observation]]; after ONE
    * action on the frame, `observation.get` yields the metrics map
    * (`n_rows` + one count per rule, same names/semantics as [[report]]).
+   *
+   * [[Unique]] rules are REJECTED up front: CollectMetrics forbids
+   * distinct aggregates, so uniqueness cannot ride the write — run it
+   * through [[report]] (its one extra pass is exactly what a distinct
+   * count costs anyway). The default observation name is unique per
+   * call, so two instrumented frames can meet in one plan.
    */
+  private val obsNames = new java.util.concurrent.atomic.AtomicLong()
   def observed(df: DataFrame, rules: Seq[Rule],
-               name: String = "qc"): (DataFrame, Observation) = {
-    val obs = Observation(name)
+               name: String = ""): (DataFrame, Observation) = {
+    require(!rules.exists(_.isInstanceOf[Unique]),
+      "Unique needs a distinct aggregate, which CollectMetrics forbids — " +
+        "check uniqueness via report() instead")
+    val obs = Observation(
+      if (name.nonEmpty) name else s"qc_${obsNames.incrementAndGet()}")
     val aggs = count(lit(1)).as("n_rows") +:
       rules.map(r => coalesce(r.violations, lit(0L)).as(r.name))
     (df.observe(obs, aggs.head, aggs.tail: _*), obs)

@@ -508,6 +508,16 @@ object StreamingPipeline {
    * B events never clear it, so a burst of Bs after one A all match —
    * the "every conversion after the touchpoint" attribution shape.
    */
+  /** Full-microsecond event time (Timestamp.getTime alone truncates to
+    * ms — emitted timestamps would stop matching the source events). */
+  private def toMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   def patternDetect(events: DataFrame, aType: String, bType: String,
                     withinSeconds: Long): Dataset[PatternMatch] = {
     val spark = events.sparkSession
@@ -521,13 +531,19 @@ object StreamingPipeline {
         (userId, batch, state) =>
           var lastA: Option[Long] = state.getOption
           val out = scala.collection.mutable.ArrayBuffer[PatternMatch]()
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            if (e.event_type == aType) lastA = Some(e.ts.getTime)
+          batch.toSeq.sortBy(e => (toMicros(e.ts), e.event_id)).foreach { e =>
+            val us = toMicros(e.ts)
+            if (e.event_type == aType)
+              // max, not overwrite: a LATE-arriving older A in a later
+              // micro-batch must not roll the latest-A state back (the
+              // A side is then slicing-invariant; a late B that arrives
+              // after a NEWER A is dropped by the gap >= 0 guard)
+              lastA = Some(math.max(lastA.getOrElse(Long.MinValue), us))
             else lastA.foreach { a =>
-              val gapMs = e.ts.getTime - a
-              if (gapMs >= 0 && gapMs <= withinSeconds * 1000L)
-                out += PatternMatch(userId, new java.sql.Timestamp(a),
-                  e.ts, gapMs / 1000L)
+              val gapUs = us - a
+              if (gapUs >= 0 && gapUs <= withinSeconds * 1000000L)
+                out += PatternMatch(userId, fromMicros(a), e.ts,
+                  gapUs / 1000000L)
             }
           }
           lastA.foreach(state.update)
@@ -567,28 +583,35 @@ object StreamingPipeline {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
         (userId, batch, state) =>
-          // (completed stages, last-step ms, first-step ms)
-          var (stage, lastMs, startMs) = state.getOption.getOrElse((0, 0L, 0L))
+          // (completed stages, last-step us, first-step us)
+          var (stage, lastUs, startUs) = state.getOption.getOrElse((0, 0L, 0L))
           val out = scala.collection.mutable.ArrayBuffer[FunnelCompletion]()
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val ms = e.ts.getTime
+          batch.toSeq.sortBy(e => (toMicros(e.ts), e.event_id)).foreach { e =>
+            val us = toMicros(e.ts)
+            // the gap needs BOTH bounds: a late-arriving event with a
+            // timestamp BEFORE the previous step must not "advance" the
+            // funnel backwards in event time
             val advances = stage < steps.size &&
               e.event_type == steps(stage) &&
-              (stage == 0 || ms - lastMs <= withinSeconds * 1000L)
+              (stage == 0 ||
+                (us >= lastUs && us - lastUs <= withinSeconds * 1000000L))
             if (advances) {
-              if (stage == 0) startMs = ms
-              stage += 1; lastMs = ms
+              if (stage == 0) startUs = us
+              stage += 1; lastUs = us
               if (stage == steps.size) {
-                out += FunnelCompletion(userId,
-                  new java.sql.Timestamp(startMs),
-                  new java.sql.Timestamp(ms), (ms - startMs) / 1000L)
+                out += FunnelCompletion(userId, fromMicros(startUs),
+                  fromMicros(us), (us - startUs) / 1000000L)
                 stage = 0
               }
-            } else if (e.event_type == steps.head) {
-              stage = 1; lastMs = ms; startMs = ms // newest attempt wins
+            } else if (e.event_type == steps.head &&
+                (stage == 0 || us >= lastUs)) {
+              stage = 1; lastUs = us; startUs = us // newest attempt wins
             }
           }
-          state.update((stage, lastMs, startMs))
+          // no progress → no state row: a stream of dead-end step events
+          // must not grow O(all keys) state under NoTimeout
+          if (stage == 0) { if (state.exists) state.remove() }
+          else state.update((stage, lastUs, startUs))
           out.iterator
       }
   }

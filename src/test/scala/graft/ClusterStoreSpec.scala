@@ -104,6 +104,20 @@ class ClusterStoreSpec extends SparkSpec {
       Array((1L, 2L, 0.93), (2L, 3L, 0.5))
   }
 
+  test("append keeps one actual DELIVERY whole — never a per-column chimera") {
+    val path = tmp()
+    ClusterStore.build(path,
+      Seq((1L, 2L, 0.9, 10L)).toDF("id1", "id2", "jaccard", "seen"))
+    ClusterStore.append(path,
+      Seq((1L, 2L, 0.4, 99L)).toDF("id1", "id2", "jaccard", "seen"))
+    // per-column max would fabricate (0.9, 99); the struct max keeps the
+    // lexicographically-larger delivery intact
+    ClusterStore.pairs(spark, path)
+      .select("id1", "id2", "jaccard", "seen")
+      .as[(Long, Long, Double, Long)].collect().toSeq shouldBe
+      Seq((1L, 2L, 0.9, 10L))
+  }
+
   test("keepBestByAssignment over the store equals keepBestPerCluster") {
     val path = tmp()
     val docs = Seq((1L, 10), (2L, 30), (3L, 20), (4L, 5), (9L, 7))

@@ -104,6 +104,16 @@ class QualityCheckSpec extends SparkSpec {
     obs.get shouldBe Map("n_rows" -> 3L, "not_null_v" -> 1L)
     // identical numbers to the standalone (second-scan) report
     QualityCheck.report(df, rules).head().toSeq shouldBe Seq(3L, 1L)
+    // Unique needs a distinct aggregate — CollectMetrics forbids it
+    an[IllegalArgumentException] should be thrownBy
+      QualityCheck.observed(df, Seq(Unique("id")))
+    // two instrumented frames may meet in ONE plan (default names unique)
+    val (x, ox) = QualityCheck.observed(df, rules)
+    val (y, oy) = QualityCheck.observed(df, rules)
+    x.join(y.withColumnRenamed("v", "v2"), "id")
+      .write.mode("overwrite").parquet(s"$out/j")
+    ox.get("n_rows") shouldBe 3L
+    oy.get("n_rows") shouldBe 3L
   }
 
   test("lDiversity flags the k-anonymous-but-leaky cell") {

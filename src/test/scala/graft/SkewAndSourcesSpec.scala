@@ -266,9 +266,12 @@ class SkewAndSourcesSpec extends SparkSpec {
     // user2: purchase with no prior A; user3: click in batch 1, purchase
     // in batch 2 — the state must carry A across the boundary
     val f1 = Seq(ev(1, 1, "click", 0), ev(2, 1, "purchase", 100),
-      ev(3, 2, "purchase", 10), ev(4, 3, "click", 50)).toDF(cols: _*)
+      ev(3, 2, "purchase", 10), ev(4, 3, "click", 50),
+      ev(12, 4, "click", 1100)).toDF(cols: _*)
     val f2 = Seq(ev(5, 3, "purchase", 200),
-      ev(6, 1, "purchase", 5000)).toDF(cols: _*)
+      ev(6, 1, "purchase", 5000),
+      // user 4: a LATE older click must not roll the latest-A state back
+      ev(13, 4, "click", 1050), ev(14, 4, "purchase", 1130)).toDF(cols: _*)
     def run(dir: String, sink: String, perTrigger: Option[Int]): Set[(Long, Long)] = {
       val src = perTrigger.foldLeft(
         spark.readStream.schema(StreamingPipeline.eventSchema))(
@@ -285,7 +288,7 @@ class SkewAndSourcesSpec extends SparkSpec {
     f1.coalesce(1).write.parquet(s"$work/src")
     f2.coalesce(1).write.mode("append").parquet(s"$work/src")
     val split = run(s"$work/src", "graft_cep_split", Some(1))
-    split shouldBe Set((1L, 100L), (3L, 150L))
+    split shouldBe Set((1L, 100L), (3L, 150L), (4L, 30L))
     val single = run(s"$work/src", "graft_cep_one", None)
     single shouldBe split
   }
@@ -302,10 +305,15 @@ class SkewAndSourcesSpec extends SparkSpec {
       ev(1, 1, "view", 0), ev(2, 1, "click", 30), ev(3, 1, "purchase", 80),
       ev(4, 2, "view", 0), ev(5, 2, "click", 100),
       ev(6, 2, "view", 150), ev(7, 2, "click", 170),
-      ev(8, 3, "view", 10), ev(9, 3, "click", 40)).toDF(cols: _*)
+      ev(8, 3, "view", 10), ev(9, 3, "click", 40),
+      ev(20, 4, "view", 300), ev(21, 4, "click", 330)).toDF(cols: _*)
     val f2 = Seq(
       ev(10, 2, "purchase", 200),
-      ev(11, 3, "purchase", 90)).toDF(cols: _*)
+      ev(11, 3, "purchase", 90),
+      // user 4 progressed to click@330 in no batch — add it in f1 below?
+      // (covered separately: a LATE purchase BEFORE the last step must
+      // not complete the funnel backwards in event time)
+      ev(22, 4, "purchase", 250)).toDF(cols: _*)
     val work = Files.createTempDirectory("graft_funnelcep_").toString
     f1.coalesce(1).write.parquet(s"$work/src")
     f2.coalesce(1).write.mode("append").parquet(s"$work/src")
