@@ -2529,6 +2529,22 @@ object SparkEntry {
           graft.ext.ClusterStore.pairs(s, evidenceStore(s, d)), "id1", "id2")
         .orderBy("node")),
 
+    // Gini concentration per priority class: how unevenly order value
+    // is distributed — the "do five customers carry this segment" /
+    // "do three domains dominate the corpus" number
+    "q_gini" -> ((s, d) =>
+      graft.ops.StatsOps.gini(t(s, d, "orders"), "o_orderpriority",
+          "o_totalprice")
+        .orderBy("o_orderpriority")),
+
+    // time-weighted average value per user: each sample weighted by how
+    // long it stayed current — the TWAP/telemetry-gauge mean the naive
+    // row average misstates on irregular samples
+    "q_twap" -> ((s, d) =>
+      TemporalOps.timeWeightedAvg(t(s, d, "events"), "user_id", "ts",
+          "value", "event_id")
+        .orderBy("user_id")),
+
     // market-basket LIFT: which part categories co-occur in one order
     // beyond chance — lift = P(a,b)/(P(a)P(b)) over order baskets, the
     // transactional sibling of q_pmi_collocations; within-order pairs
@@ -6823,6 +6839,41 @@ object SparkEntry {
                         UNION ALL SELECT z FROM tri)
          SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
          FROM nodes GROUP BY node ORDER BY node""",
+
+    // rank-formula Gini over integer cents; tie order among equal values
+    // cannot move the sum, so no cross-engine tie hazard
+    "q_gini" ->
+      """WITH x AS (SELECT o_orderpriority AS g,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+                    FROM orders WHERE o_totalprice IS NOT NULL),
+              r AS (SELECT g, x,
+                           CAST(row_number() OVER (PARTITION BY g ORDER BY x ASC) AS BIGINT) AS i
+                    FROM x),
+              a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(i * x) AS six
+                    FROM r GROUP BY g)
+         SELECT g AS o_orderpriority, n, CAST(sx AS DOUBLE) / 100 AS total,
+                CASE WHEN n = 1 OR sx = 0 THEN 0.0
+                     ELSE ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                                / CAST(n * sx AS DOUBLE), 6) END AS gini
+         FROM a ORDER BY o_orderpriority""",
+
+    // lead-gap weights in floored epoch seconds, cents × seconds summed
+    // exactly; the last sample carries no weight
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+              w AS (SELECT user_id, v,
+                           lead(tsec) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - tsec AS w
+                    FROM e),
+              f AS (SELECT user_id, v, w FROM w WHERE w IS NOT NULL),
+              a AS (SELECT user_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_samples,
+                           SUM(w) AS span, SUM(v * w) AS vw
+                    FROM f GROUP BY user_id)
+         SELECT user_id, n_samples, CAST(span AS BIGINT) AS span_seconds,
+                ROUND(CAST(vw AS DOUBLE) / CAST(span AS DOUBLE) / 100, 6) AS twa
+         FROM a WHERE span > 0 ORDER BY user_id""",
 
     "q_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l.l_orderkey AS ok, string_split(p.p_type, ' ')[1] AS ptype

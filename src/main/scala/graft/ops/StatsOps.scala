@@ -171,6 +171,50 @@ object StatsOps {
       round((center + half) / denom, 6).as("hi"))
   }
 
+  /**
+   * GINI coefficient per group — how CONCENTRATED a (non-negative)
+   * quantity is: 0 = perfectly even, →1 = one member owns everything.
+   * The corpus-health number behind "is our training data dominated by
+   * three domains" and the revenue-concentration number behind "do five
+   * customers carry this segment". Uses the rank formula
+   * G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over ascending values.
+   *
+   * Returns (groupCol, n, total, gini) — total is the exact integer-
+   * cent sum cast back to double, gini 6dp; single-member groups emit
+   * gini 0.
+   *
+   * Deterministic: values route through integer cents; Σ i·xᵢ is
+   * invariant to tie ORDER among equal values (equal x at swapped ranks
+   * contribute the same sum), so no cross-engine tie hazard exists; the
+   * two sums ride DECIMAL.
+   *
+   * Scale: one shuffle on the group + a per-group ranking — the same
+   * cost class as any per-group percentile; at extreme group sizes the
+   * binned approximation (Lorenz curve from an equi-depth histogram)
+   * drops in.
+   */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 0)
+    val cents = (col(valueCol).cast(
+      org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("long")
+    val w = Window.partitionBy(groupCol).orderBy(col("__x").asc)
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), cents.as("__x"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+    ranked.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum((col("__i") * col("__x")).cast(dec)).as("__six"))
+      .select(col(groupCol), col("n"),
+        (col("__sx").cast("double") / 100).as("total"),
+        when(col("n") === 1 || col("__sx") === 0, lit(0.0))
+          .otherwise(round(
+            (lit(2) * col("__six") - (col("n") + 1) * col("__sx"))
+              .cast("double") /
+              (col("n") * col("__sx")).cast("double"), 6)).as("gini"))
+  }
+
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     def pass(d: DataFrame, part: Column): DataFrame = {
       val tagged = d.withColumn("_p", part)

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Temporal operators beyond vanilla Spark joins: as-of join and
@@ -118,6 +119,44 @@ object TemporalOps {
     df.withColumn("__keep", coalesce(prevTs.isNull ||
         col(ts).cast("long") - prevTs.cast("long") > gapSeconds, lit(true)))
       .filter(col("__keep")).drop("__keep")
+  }
+
+  /**
+   * TIME-WEIGHTED average per key over irregular samples — the TWAP/
+   * telemetry-gauge mean: each sample's value is weighted by how long it
+   * was CURRENT (until the next sample), so a gauge that sat at 100 for
+   * an hour and 0 for a second averages ≈100, where the naive row mean
+   * would say 50. The last sample carries no weight (nothing observed
+   * after it); keys with < 2 samples emit no row (no elapsed time).
+   *
+   * Returns (key, n_samples, span_seconds, twa) — twa 6dp, value cents ×
+   * elapsed seconds decimal-summed so partition order can't wiggle it.
+   *
+   * Scale: one key shuffle + per-key sort (the sessionize window spec) +
+   * one aggregation.
+   */
+  def timeWeightedAvg(df: DataFrame, key: String, ts: String,
+                      valueCol: String, tieBreak: String): DataFrame = {
+    val dec = DecimalType(28, 0)
+    val order = Window.partitionBy(key).orderBy(col(ts).asc,
+      col(tieBreak).asc)
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+    val weighted = df
+      .filter(col(ts).isNotNull && col(valueCol).isNotNull)
+      .select(col(key), col(ts), col(tieBreak), cents.as("__v"))
+      .withColumn("__next", lead(col(ts), 1).over(order))
+      .filter(col("__next").isNotNull)
+      .withColumn("__w",
+        col("__next").cast("long") - col(ts).cast("long"))
+    weighted.groupBy(key)
+      .agg((count(lit(1)) + 1).as("n_samples"),
+        sum(col("__w").cast(dec)).as("__span"),
+        sum((col("__v") * col("__w")).cast(dec)).as("__vw"))
+      .filter(col("__span") > 0)
+      .select(col(key), col("n_samples"),
+        col("__span").cast("long").as("span_seconds"),
+        round(col("__vw").cast("double") /
+          col("__span").cast("double") / 100, 6).as("twa"))
   }
 
   /**

@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.{CdcOps, StatsOps}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** CDC (SCD2 / snapshot diff) and distribution-shaping (winsorize /
   * skyline) operators over synthetic frames — covers the shapes the
@@ -413,6 +414,34 @@ class CdcStatsSpec extends SparkSpec {
     hi should (be < 0.61 and be > rate)
     out("none")._4 shouldBe 0.0 // k=0 → lo exactly 0
     out("all")._5 shouldBe 1.0  // k=n → hi exactly 1
+  }
+
+  test("gini: 0 on perfect equality, (n-1)/n when one member owns everything") {
+    import spark.implicits._
+    val df = Seq(("eq", 5.0), ("eq", 5.0), ("eq", 5.0), ("eq", 5.0),
+      ("one", 0.0), ("one", 0.0), ("one", 0.0), ("one", 12.0),
+      ("solo", 7.0)).toDF("g", "v")
+    val out = graft.ops.StatsOps.gini(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    out("eq") shouldBe ((4L, 20.0, 0.0))
+    out("one") shouldBe ((4L, 12.0, 0.75)) // (2·4x − 5x)/4x
+    out("solo") shouldBe ((1L, 7.0, 0.0))
+  }
+
+  test("timeWeightedAvg: long-lived samples dominate; last sample carries no weight") {
+    import spark.implicits._
+    // gauge at 100 for 100 s, then 0 for 1 s, then the final sample
+    val df = Seq((1L, 1L, 0L, 100.0), (2L, 1L, 100L, 0.0),
+      (3L, 1L, 101L, 50.0), (4L, 2L, 0L, 9.0)) // user 2: single sample
+      .toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", col("sec").cast(TimestampType))
+    val out = graft.ops.TemporalOps.timeWeightedAvg(df, "user_id", "ts",
+        "value", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    out(1L) shouldBe ((3L, 101L, math.rint(10000.0 / 101 * 1e6) / 1e6))
+    out.contains(2L) shouldBe false // no elapsed time observed
   }
 
   test("clusterAgreement: Rand/ARI exact on hand-computed contingencies") {
