@@ -2529,6 +2529,14 @@ object SparkEntry {
           graft.ext.ClusterStore.pairs(s, evidenceStore(s, d)), "id1", "id2")
         .orderBy("node")),
 
+    // per-source language entropy + evenness: the "is this crawl domain
+    // monolingual" corpus-balance audit (entropy weighs category
+    // membership where gini weighs a quantity)
+    "q_source_lang_entropy" -> ((s, d) =>
+      graft.ops.StatsOps.categoricalEntropy(t(s, d, "documents"),
+          "source", "lang")
+        .orderBy("source")),
+
     // Gini concentration per priority class: how unevenly order value
     // is distributed — the "do five customers carry this segment" /
     // "do three domains dominate the corpus" number
@@ -6839,6 +6847,23 @@ object SparkEntry {
                         UNION ALL SELECT z FROM tri)
          SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
          FROM nodes GROUP BY node ORDER BY node""",
+
+    // exact-count p terms rounded 8dp and decimal-summed; evenness
+    // normalizes by ln(n_cats), pinned to 1 for single-category groups
+    "q_source_lang_entropy" ->
+      """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS k
+                    FROM documents WHERE lang IS NOT NULL GROUP BY source, lang),
+              n AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n FROM c GROUP BY source),
+              t AS (SELECT c.source, n.n,
+                           CAST(ROUND(-(CAST(c.k AS DOUBLE) / n.n) * LN(CAST(c.k AS DOUBLE) / n.n), 8) AS DECIMAL(20,8)) AS t
+                    FROM c JOIN n ON n.source = c.source),
+              a AS (SELECT source, n, CAST(COUNT(*) AS BIGINT) AS n_cats,
+                           CAST(SUM(t) AS DOUBLE) AS h
+                    FROM t GROUP BY source, n)
+         SELECT source, n, n_cats, ROUND(h, 6) AS entropy,
+                CASE WHEN n_cats = 1 THEN 1.0
+                     ELSE ROUND(h / LN(CAST(n_cats AS DOUBLE)), 6) END AS evenness
+         FROM a ORDER BY source""",
 
     // rank-formula Gini over integer cents; tie order among equal values
     // cannot move the sum, so no cross-engine tie hazard

@@ -215,6 +215,48 @@ object StatsOps {
               (col("n") * col("__sx")).cast("double"), 6)).as("gini"))
   }
 
+  /**
+   * CATEGORICAL entropy per group — the balance/diversity audit: per
+   * group, the Shannon entropy (nats) of its category distribution plus
+   * the ln(k)-normalized EVENNESS in [0, 1]. "Is this crawl domain
+   * monolingual", "does this user do one thing or many" — the
+   * distributional complement of [[gini]]'s concentration-of-mass view
+   * (gini weighs a quantity, entropy weighs category membership).
+   *
+   * Returns (groupCol, n, n_cats, entropy, evenness), 6dp; single-
+   * category groups emit entropy 0 and evenness 1 (a one-category
+   * distribution is maximally even over its support).
+   *
+   * Deterministic: category counts are exact integers; each −p·ln(p)
+   * term rounds to 8dp and sums through DECIMAL, so partition order
+   * can't wiggle the sum (the charEntropy discipline, per group).
+   *
+   * Scale: one (group, category) aggregate + a group rollup — both
+   * partial-aggregating, output group-cardinality sized.
+   */
+  def categoricalEntropy(df: DataFrame, groupCol: String,
+                         catCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 8)
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(col(groupCol), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__k"))
+    val withN = counts
+      .withColumn("__n", sum(col("__k")).over(
+        Window.partitionBy(groupCol)))
+    val p = col("__k").cast("double") / col("__n")
+    withN
+      .select(col(groupCol), col("__n"),
+        round(-p * log(p), 8).cast(dec).as("__t"))
+      .groupBy(groupCol, "__n")
+      .agg(count(lit(1)).as("n_cats"),
+        sum(col("__t")).cast("double").as("__h"))
+      .select(col(groupCol), col("__n").as("n"), col("n_cats"),
+        round(col("__h"), 6).as("entropy"),
+        when(col("n_cats") === 1, lit(1.0))
+          .otherwise(round(col("__h") /
+            log(col("n_cats").cast("double")), 6)).as("evenness"))
+  }
+
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     def pass(d: DataFrame, part: Column): DataFrame = {
       val tagged = d.withColumn("_p", part)

@@ -444,6 +444,21 @@ class CdcStatsSpec extends SparkSpec {
     out.contains(2L) shouldBe false // no elapsed time observed
   }
 
+  test("categoricalEntropy: 0/1 on pure groups, ln(k)/1 on uniform ones") {
+    import spark.implicits._
+    val df = Seq(("pure", "a"), ("pure", "a"), ("pure", "a"),
+      ("uni", "a"), ("uni", "b"), ("uni", "c"), ("uni", "d"))
+      .toDF("g", "c")
+    val out = graft.ops.StatsOps.categoricalEntropy(df, "g", "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    out("pure") shouldBe ((3L, 1L, 0.0, 1.0))
+    val (n, k, h, e) = out("uni")
+    (n, k) shouldBe ((4L, 4L))
+    h shouldBe (math.log(4.0) +- 1e-6)
+    e shouldBe 1.0 +- 1e-6
+  }
+
   test("clusterAgreement: Rand/ARI exact on hand-computed contingencies") {
     import spark.implicits._
     val a = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("id", "c")
