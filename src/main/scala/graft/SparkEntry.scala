@@ -2537,6 +2537,29 @@ object SparkEntry {
           "source", "lang")
         .orderBy("source")),
 
+    // CR-10 concentration ratio: the share of each priority's total
+    // order value held by its 10 largest orders — gini's headline-number
+    // sibling (one interpretable share instead of a coefficient)
+    "q_top_share" -> ((s, d) => {
+      val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("__x").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), cents.as("__x"))
+        .withColumn("__rn", row_number().over(w))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("__x").cast(DecimalType(28, 0))).as("__tot"),
+          sum(when(col("__rn") <= 10, col("__x")).otherwise(0L)
+            .cast(DecimalType(28, 0))).as("__top"))
+        .select(col("o_orderpriority"), col("n"),
+          (col("__tot").cast("double") / 100).as("total"),
+          round(col("__top").cast("double") /
+            col("__tot").cast("double"), 6).as("top10_share"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Gini concentration per priority class: how unevenly order value
     // is distributed — the "do five customers carry this segment" /
     // "do three domains dominate the corpus" number
@@ -6864,6 +6887,22 @@ object SparkEntry {
                 CASE WHEN n_cats = 1 THEN 1.0
                      ELSE ROUND(h / LN(CAST(n_cats AS DOUBLE)), 6) END AS evenness
          FROM a ORDER BY source""",
+
+    "q_top_share" ->
+      """WITH x AS (SELECT o_orderpriority, o_orderkey,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+                    FROM orders),
+              r AS (SELECT o_orderpriority, x,
+                           row_number() OVER (PARTITION BY o_orderpriority
+                             ORDER BY x DESC, o_orderkey ASC) AS rn
+                    FROM x),
+              a AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(x) AS tot,
+                           SUM(CASE WHEN rn <= 10 THEN x ELSE 0 END) AS top
+                    FROM r GROUP BY o_orderpriority)
+         SELECT o_orderpriority, n, CAST(tot AS DOUBLE) / 100 AS total,
+                ROUND(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS top10_share
+         FROM a ORDER BY o_orderpriority""",
 
     // rank-formula Gini over integer cents; tie order among equal values
     // cannot move the sum, so no cross-engine tie hazard
