@@ -459,6 +459,23 @@ class CdcStatsSpec extends SparkSpec {
     e shouldBe 1.0 +- 1e-6
   }
 
+  test("gini and ksStatistic stay inside their theoretical bounds on random inputs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260814L)
+    (1 to 5).foreach { _ =>
+      val n = 5 + rng.nextInt(40)
+      val vals = Seq.fill(n)(("g", rng.nextInt(1000).toDouble / 4))
+      val g = graft.ops.StatsOps.gini(vals.toDF("g", "v"), "g", "v")
+        .head().getAs[Double]("gini")
+      g should (be >= 0.0 and be <= 1.0 - 1.0 / n + 1e-9)
+      val ks = graft.ops.StatsOps.ksStatistic(
+        (Seq.fill(n)((rng.nextInt(50).toDouble, "x")) ++
+          Seq.fill(n)((rng.nextInt(50).toDouble, "y"))).toDF("v", "g"),
+        "v", "g", "x", "y").head().getAs[Double]("ks_stat")
+      ks should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   test("clusterAgreement: Rand/ARI exact on hand-computed contingencies") {
     import spark.implicits._
     val a = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("id", "c")
