@@ -2541,12 +2541,12 @@ object SparkEntry {
     // order value held by its 10 largest orders — gini's headline-number
     // sibling (one interpretable share instead of a coefficient)
     "q_top_share" -> ((s, d) => {
-      val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
-        .cast("long")
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("__x").desc, col("o_orderkey").asc)
       t(s, d, "orders")
-        .select(col("o_orderpriority"), col("o_orderkey"), cents.as("__x"))
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          graft.ops.StatsOps.cents(col("o_totalprice")).as("__x"))
+        .filter(col("__x").isNotNull)
         .withColumn("__rn", row_number().over(w))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
@@ -2555,8 +2555,9 @@ object SparkEntry {
             .cast(DecimalType(28, 0))).as("__top"))
         .select(col("o_orderpriority"), col("n"),
           (col("__tot").cast("double") / 100).as("total"),
-          round(col("__top").cast("double") /
-            col("__tot").cast("double"), 6).as("top10_share"))
+          when(col("__tot") === 0, lit(0.0))
+            .otherwise(round(col("__top").cast("double") /
+              col("__tot").cast("double"), 6)).as("top10_share"))
         .orderBy("o_orderpriority")
     }),
 
@@ -6901,7 +6902,8 @@ object SparkEntry {
                            SUM(CASE WHEN rn <= 10 THEN x ELSE 0 END) AS top
                     FROM r GROUP BY o_orderpriority)
          SELECT o_orderpriority, n, CAST(tot AS DOUBLE) / 100 AS total,
-                ROUND(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS top10_share
+                CASE WHEN tot = 0 THEN 0.0
+                     ELSE ROUND(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 6) END AS top10_share
          FROM a ORDER BY o_orderpriority""",
 
     // rank-formula Gini over integer cents; tie order among equal values
@@ -6929,7 +6931,7 @@ object SparkEntry {
                            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
                     FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
               w AS (SELECT user_id, v,
-                           lead(tsec) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - tsec AS w
+                           lead(tsec) OVER (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC) - tsec AS w
                     FROM e),
               f AS (SELECT user_id, v, w FROM w WHERE w IS NOT NULL),
               a AS (SELECT user_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_samples,

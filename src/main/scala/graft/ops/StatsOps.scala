@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
 object StatsOps {
 
   /**
+   * Money/metric quantization to exact integer cents — THE determinism
+   * contract the money-summing oracles rely on, shared so the guard
+   * lives once. NaN and |v| > 1e15 return NULL instead of throwing:
+   * Spark 4 runs ANSI mode by default, where the bare DECIMAL(18,2)
+   * cast of a NaN or out-of-range double kills the whole job — one bad
+   * gauge reading must cost one row, not the query. Callers filter the
+   * null (dirty-row-skip semantics).
+   */
+  private[graft] def cents(c: Column): Column =
+    when(!isnan(c) && c.between(-1e15, 1e15),
+      (c.cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long"))
+      .otherwise(lit(null))
+
+  /**
    * Winsorize `valueCol` per `group`: clip to the exact [`lo`, `hi`]
    * quantiles of the group's own distribution (bounds rounded to 6 dp so
    * the clipped value is reproducible across engines). Appends
@@ -195,17 +210,18 @@ object StatsOps {
    */
   def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 0)
-    val cents = (col(valueCol).cast(
-      org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
-      .cast("long")
     val w = Window.partitionBy(groupCol).orderBy(col("__x").asc)
-    val ranked = df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol), cents.as("__x"))
+    val ranked = df
+      .select(col(groupCol), cents(col(valueCol)).as("__x"))
+      .filter(col("__x").isNotNull)
       .withColumn("__i", row_number().over(w).cast("long"))
+    // rank × cents multiplies IN decimal — the long product overflows
+    // (and under ANSI, throws) at big-group × big-value combinations
+    // the decimal sum is supposed to survive
     ranked.groupBy(groupCol)
       .agg(count(lit(1)).as("n"),
         sum(col("__x").cast(dec)).as("__sx"),
-        sum((col("__i") * col("__x")).cast(dec)).as("__six"))
+        sum(col("__i").cast(dec) * col("__x").cast(dec)).as("__six"))
       .select(col(groupCol), col("n"),
         (col("__sx").cast("double") / 100).as("total"),
         when(col("n") === 1 || col("__sx") === 0, lit(0.0))

@@ -138,20 +138,26 @@ object TemporalOps {
   def timeWeightedAvg(df: DataFrame, key: String, ts: String,
                       valueCol: String, tieBreak: String): DataFrame = {
     val dec = DecimalType(28, 0)
-    val order = Window.partitionBy(key).orderBy(col(ts).asc,
-      col(tieBreak).asc)
-    val cents = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+    // order by FLOORED seconds (+ tie-break), not the raw timestamp: the
+    // weights are floored-second gaps, and sub-second timestamp precision
+    // differs across engines (parquet ns vs Spark µs) — raw-ts ordering
+    // would pair different weights to different values on sub-µs ties
     val weighted = df
-      .filter(col(ts).isNotNull && col(valueCol).isNotNull)
-      .select(col(key), col(ts), col(tieBreak), cents.as("__v"))
-      .withColumn("__next", lead(col(ts), 1).over(order))
+      .filter(col(ts).isNotNull)
+      .select(col(key), col(ts).cast("long").as("__t"), col(tieBreak),
+        graft.ops.StatsOps.cents(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__next", lead(col("__t"), 1).over(
+        Window.partitionBy(key).orderBy(col("__t").asc,
+          col(tieBreak).asc)))
       .filter(col("__next").isNotNull)
-      .withColumn("__w",
-        col("__next").cast("long") - col(ts).cast("long"))
+      .withColumn("__w", col("__next") - col("__t"))
     weighted.groupBy(key)
       .agg((count(lit(1)) + 1).as("n_samples"),
         sum(col("__w").cast(dec)).as("__span"),
-        sum((col("__v") * col("__w")).cast(dec)).as("__vw"))
+        // multiply IN decimal: the long cents × seconds product can
+        // overflow (and under ANSI, throw) on valid inputs
+        sum(col("__v").cast(dec) * col("__w").cast(dec)).as("__vw"))
       .filter(col("__span") > 0)
       .select(col(key), col("n_samples"),
         col("__span").cast("long").as("span_seconds"),

@@ -427,6 +427,12 @@ class CdcStatsSpec extends SparkSpec {
     out("eq") shouldBe ((4L, 20.0, 0.0))
     out("one") shouldBe ((4L, 12.0, 0.75)) // (2·4x − 5x)/4x
     out("solo") shouldBe ((1L, 7.0, 0.0))
+    // a NaN / out-of-decimal-range reading costs ONE ROW, not the query
+    // (Spark 4 ANSI mode would otherwise throw on the cents cast)
+    val dirty = Seq(("d", 5.0), ("d", Double.NaN), ("d", 1e17), ("d", 5.0))
+      .toDF("g", "v")
+    graft.ops.StatsOps.gini(dirty, "g", "v")
+      .head().getAs[Long]("n") shouldBe 2L
   }
 
   test("timeWeightedAvg: long-lived samples dominate; last sample carries no weight") {
