@@ -2445,6 +2445,46 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // cross-source VOCABULARY overlap on KMV sketches: which crawl
+    // domains share wordlists (template/mirror detection at the vocab
+    // level) — per-source token-set sketches, per-pair array intersects;
+    // exacts alongside, estimate bound-checked (q_kmv_overlap scheme)
+    "q_vocab_overlap" -> ((s, d) => {
+      val k = 256
+      val toks = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val sk = graft.ops.SketchOps.setSketch(toks, "tok", Seq("source"), k)
+      val est = sk.select(col("source").as("src_a"),
+          col("kmv_hashes").as("ha"))
+        .join(sk.select(col("source").as("src_b"),
+          col("kmv_hashes").as("hb")), col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          graft.ops.SketchOps.kmvJaccard(col("ha"), col("hb"), k)
+            .as("est_j"))
+      val dv = toks.distinct()
+      val nd = dv.groupBy("source").agg(count(lit(1)).as("nd"))
+      val inter = dv.as("a").join(dv.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      est
+        .join(nd.select(col("source").as("src_a"), col("nd").as("na")),
+          "src_a")
+        .join(nd.select(col("source").as("src_b"), col("nd").as("nb")),
+          "src_b")
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+          (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L)))
+            .as("exact_union"), col("est_j"))
+        .withColumn("exact_jacc",
+          round(col("exact_inter").cast("double") / col("exact_union"), 6))
+        .select(col("src_a"), col("src_b"), col("exact_inter"),
+          col("exact_union"), col("exact_jacc"),
+          (abs(col("est_j") - col("exact_jacc")) <= 0.1).as("jacc_ok"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // KMV set-sketch overlap: how many customers do consecutive order
     // years SHARE — per-year bottom-k-distinct-hash sketches, then a
     // per-row array intersect; exacts are emitted alongside and the
@@ -6809,6 +6849,28 @@ object SparkEntry {
          FROM events, (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS p) ps
          WHERE value IS NOT NULL
          GROUP BY event_type, p ORDER BY event_type, p""",
+
+    // exact per-source-pair vocabulary overlap; the KMV boolean is
+    // stipulated TRUE (bound-based oracle)
+    "q_vocab_overlap" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                       FROM documents WHERE text IS NOT NULL),
+              dv AS (SELECT DISTINCT source, tok FROM toks),
+              nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM dv GROUP BY source),
+              inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                               CAST(COUNT(*) AS BIGINT) AS exact_inter
+                        FROM dv a JOIN dv b ON b.tok = a.tok AND a.source < b.source
+                        GROUP BY a.source, b.source),
+              pairs AS (SELECT a.source AS src_a, b.source AS src_b, a.nd AS na, b.nd AS nb
+                        FROM nd a JOIN nd b ON a.source < b.source)
+         SELECT p.src_a, p.src_b,
+                COALESCE(i.exact_inter, 0) AS exact_inter,
+                p.na + p.nb - COALESCE(i.exact_inter, 0) AS exact_union,
+                ROUND(CAST(COALESCE(i.exact_inter, 0) AS DOUBLE)
+                      / (p.na + p.nb - COALESCE(i.exact_inter, 0)), 6) AS exact_jacc,
+                TRUE AS jacc_ok
+         FROM pairs p LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+         ORDER BY p.src_a, p.src_b""",
 
     // exact year-pair customer overlap; the KMV estimate booleans are
     // stipulated TRUE (bound-based oracle, the q_approx_distinct scheme)

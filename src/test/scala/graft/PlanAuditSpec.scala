@@ -78,7 +78,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_chi_square",          // 1-row total + 1-row dof broadcasts
     "q_ks_test",             // 1-row group-total broadcast
     "q_rfm",                 // 1-row corpus-max-date broadcast
-    "q_basket_lift")         // 1-row basket-total broadcast
+    "q_basket_lift",         // 1-row basket-total broadcast
+    "q_vocab_overlap")       // |sources|-row sketch table theta-joined
+                             // against itself (src_a < src_b) — bounded
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
