@@ -79,6 +79,21 @@ object SparkEntry {
         .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
     }
 
+  /** The SAME chain graph built INCREMENTALLY: base store from the
+    * decade-opening edges only, then ONE append folding in the rest —
+    * the batch exercises both growth modes (node 10k+3 is brand-new;
+    * edge (10k+1, 10k+2) merges two existing clusters). The
+    * mergeComponents contract says labels after append are
+    * row-identical to a full rebuild, so its consumer shares
+    * `q_dedup_clusters`' full-pair-set oracle verbatim. */
+  private def chainIncrStore(s: SparkSession, d: String): String =
+    artifact("chain_incr", d) { p =>
+      val edges = t(s, d, "documents").filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      graft.ext.ClusterStore.build(p, edges.filter(col("id1") % 10 === 0))
+      graft.ext.ClusterStore.append(p, edges.filter(col("id1") % 10 =!= 0))
+    }
+
   /** Verified MinHash near-dup pairs at the catch-all 0.4 threshold, with
     * exact-Jaccard scores — consumers gate on `jaccard` (band candidates
     * are threshold-independent, so filtering the 0.4 table at 0.9 is
@@ -1130,6 +1145,16 @@ object SparkEntry {
     // operator takes any (id1, id2) pair frame, e.g. minhashDedupPairs)
     "q_dedup_clusters" -> ((s, d) =>
       graft.ext.ClusterStore.assignment(s, chainStore(s, d))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"), max(col("id")).as("max_member"))
+        .orderBy("cluster_id")),
+
+    // the INCREMENTAL store path under the same oracle: base build from a
+    // pair subset + ClusterStore.append of the rest must emit labels
+    // row-identical to clustering the full pair set (mergeComponents
+    // contract) — so this shares q_dedup_clusters' oracle verbatim
+    "q_dedup_clusters_incr" -> ((s, d) =>
+      graft.ext.ClusterStore.assignment(s, chainIncrStore(s, d))
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"), max(col("id")).as("max_member"))
         .orderBy("cluster_id")),
@@ -5151,6 +5176,31 @@ object SparkEntry {
                 CAST(MAX(id) AS BIGINT) AS max_member
          FROM l3 GROUP BY label ORDER BY cluster_id""",
 
+    // the incremental (build-subset + append-rest) store path must equal a
+    // full rebuild over the unioned pair set, so it shares
+    // q_dedup_clusters' full-graph oracle verbatim
+    "q_dedup_clusters_incr" ->
+      """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+                     WHERE doc_id % 10 < 3),
+              edges AS (SELECT id1 AS a, id2 AS b FROM e0
+                        UNION ALL SELECT id2 AS a, id1 AS b FROM e0),
+              l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
+              l1 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l0 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l0 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l2 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l1 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l1 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id)),
+              l3 AS (SELECT l.id, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+                     FROM l2 l LEFT JOIN (SELECT e.a AS id, MIN(x.label) AS m
+                                          FROM edges e JOIN l2 x ON x.id = e.b
+                                          GROUP BY e.a) n USING (id))
+         SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                CAST(MAX(id) AS BIGINT) AS max_member
+         FROM l3 GROUP BY label ORDER BY cluster_id""",
+
     "q_cluster_ban" ->
       """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
                      WHERE doc_id % 10 < 3),
@@ -5703,7 +5753,9 @@ object SparkEntry {
     // (0 - e)^2 / e), matching the operator's ra x rb cross
     "q_chi_square" ->
       """WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b, CAST(COUNT(*) AS BIGINT) AS o
-                      FROM orders GROUP BY 1, 2),
+                      FROM orders
+                      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+                      GROUP BY 1, 2),
               ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY a),
               rb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS rb FROM obs GROUP BY b),
               tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
@@ -5733,7 +5785,7 @@ object SparkEntry {
                       FROM c CROSS JOIN tot),
               dd AS (SELECT v, na, nb,
                             ROUND(ABS(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb), 8) AS d
-                     FROM cum)
+                     FROM cum WHERE na > 0 AND nb > 0)
          SELECT na AS n_a, nb AS n_b, d AS ks_stat, v AS at_v
          FROM dd ORDER BY d DESC, v ASC LIMIT 1""",
 

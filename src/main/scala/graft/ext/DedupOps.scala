@@ -118,7 +118,10 @@ object DedupOps {
    * (pigeonhole: an overlap of α elements cannot avoid the first
    * |S| − α + 1), so only that PREFIX is indexed and self-joined —
    * ~(1−t)× of the exploded volume the full inverted index shuffles
-   * (5× less at t = 0.8). Candidates are then verified exactly against
+   * (5× less at t = 0.8), with the PPJoin LENGTH filter
+   * (min(sz) ≥ t·max(sz), a necessary condition of j ≥ t) applied in
+   * the self-join condition so size-incompatible collisions never
+   * reach verification. Candidates are then verified exactly against
    * the full (df-capped) shingle sets, reproducing jaccardPairs' score
    * formula bit-for-bit — a spec asserts output equality.
    *
@@ -153,18 +156,34 @@ object DedupOps {
     // candidates cost time, never correctness.
     val prefix = shPos
       .filter(col("pos") + 1 <= col("sz") - alpha + 1)
-      .select("id", "sh")
+      .select("id", "sz", "sh")
+    // PPJoin LENGTH GATE, free on columns already riding the index rows:
+    // j = c/(s1+s2−c) ≥ t with c ≤ min(s1,s2) forces min ≥ t·max, so
+    // size-incompatible collisions are dropped AT CANDIDATE GENERATION —
+    // before the distinct() and both verification joins ever see them.
+    // Same relaxed t−10⁻³ as the prefix bound (round-up-to-t pairs
+    // survive); necessary-condition only, so output stays exact.
+    val tRelax = lit(threshold - 0.001)
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          col("b.sz") >= tRelax * col("a.sz") &&
+          col("a.sz") >= tRelax * col("b.sz"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    // Exact verification WITHOUT re-exploding (same trick as
+    // [[containmentPairs]]): each side's capped shingle set rides the
+    // candidate row as ONE array value, common = |array_intersect| —
+    // shuffle volume is C·(two doc arrays), not C·|A| exploded rows.
+    val docArr = sh.groupBy(col("id"), col("sz"))
+      .agg(collect_list(col("sh")).as("sha"))
     cands
-      .join(sh.select(col("id").as("id1"), col("sz").as("sz1"),
-        col("sh")), "id1")
-      .join(sh.select(col("id").as("id2"), col("sz").as("sz2"),
-        col("sh")), Seq("id2", "sh"))
-      .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
-      .agg(count(lit(1)).as("common"))
+      .join(docArr.select(col("id").as("id1"), col("sz").as("sz1"),
+        col("sha").as("__sa")), "id1")
+      .join(docArr.select(col("id").as("id2"), col("sz").as("sz2"),
+        col("sha").as("__sb")), "id2")
+      .select(col("id1"), col("id2"), col("sz1"), col("sz2"),
+        size(array_intersect(col("__sa"), col("__sb")))
+          .cast("bigint").as("common"))
       .withColumn("jaccard",
         round(col("common").cast("double") /
           (col("sz1") + col("sz2") - col("common")), 4))
@@ -180,14 +199,76 @@ object DedupOps {
    * pair (id_sub, id_super) with containment ≥ threshold — both
    * directions are reported when two docs mutually contain each other.
    *
-   * Same inverted-index shape and scale contract as [[jaccardPairs]]:
-   * only docs sharing ≥1 shingle ever meet, |A| rides the exploded rows
-   * (sizes computed BEFORE the df-cap, so capped pairs can only lose
-   * score), hot shingles df-capped via the shared one-exchange pass.
+   * PREFIX-FILTERED on the subset side (the asymmetric pigeonhole):
+   * containment ≥ t needs overlap α ≥ ⌈t·|A|⌉, and α shared elements
+   * cannot all avoid A's first |A| − α + 1 canonical-order shingles —
+   * so only that prefix of the SUBSET side is indexed against the
+   * fully-indexed superset side, cutting candidate volume ~t-fold with
+   * identical output (the [[jaccardPairsPrefix]] discipline, one-sided
+   * because |B| is unbounded by the score). Candidates are verified
+   * exactly against the full (df-capped) shingle sets, reproducing the
+   * full-index score bit-for-bit — a spec asserts output equality at
+   * multiple thresholds. Same relaxed t − 10⁻³ / 10⁻⁹ slack as the
+   * sibling so round-up-to-t pairs survive; positions count ALL
+   * shingles while the bound applies to the df-capped set — dropped hot
+   * predecessors only shift a capped element's rank DOWN, so the
+   * pos-based slice stays a candidate superset.
+   *
+   * Scale contract as [[jaccardPairs]]: only docs sharing ≥1 shingle
+   * ever meet, |A| rides the exploded rows (sizes computed BEFORE the
+   * df-cap, so capped pairs can only lose score), hot shingles
+   * df-capped via the shared one-exchange pass.
    */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
                        maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val shPos = dropHotKeys(
+      spread(df)
+        .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sha"))
+        .select(col("id"), size(col("sha")).cast("bigint").as("sz"),
+          posexplode(array_sort(col("sha"))).as(Seq("pos", "sh"))),
+      "sh", maxShingleDf)
+    val sh = shPos.select("id", "sz", "sh")
+    val alpha = ceil(lit(threshold - 0.001) * col("sz") - lit(1e-9))
+    val prefixSub = shPos
+      .filter(col("pos") + 1 <= col("sz") - alpha + 1)
+      .select("id", "sh")
+    val cands = prefixSub.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_sub"), col("b.id").as("id_super"))
+      .distinct()
+    // Exact verification WITHOUT re-exploding: each doc's capped shingle
+    // set rides its candidate rows as ONE array value and common =
+    // |array_intersect| — shuffle volume is C·(two doc arrays), never the
+    // C·|A| exploded rows of a per-shingle verify join (at moderate
+    // thresholds the explode-verify form costs more than the prefix saves)
+    val docArr = sh.groupBy(col("id"), col("sz"))
+      .agg(collect_list(col("sh")).as("sha"))
+    cands
+      .join(docArr.select(col("id").as("id_sub"), col("sz").as("sz_sub"),
+        col("sha").as("__sa")), "id_sub")
+      .join(docArr.select(col("id").as("id_super"), col("sha").as("__sb")),
+        "id_super")
+      .select(col("id_sub"), col("id_super"), col("sz_sub"),
+        size(array_intersect(col("__sa"), col("__sb")))
+          .cast("bigint").as("common"))
+      .withColumn("containment",
+        round(col("common").cast("double") / col("sz_sub"), 4))
+      .filter(col("containment") >= threshold)
+      .select("id_sub", "id_super", "containment")
+  }
+
+  /**
+   * The un-prefix-filtered full-inverted-index containment join — the
+   * reference form [[containmentPairs]] must reproduce bit-for-bit
+   * (its identity spec compares the two at multiple thresholds/caps).
+   * Kept `private[graft]`: ~1/t× the candidate work of the prefix form,
+   * never the production path.
+   */
+  private[graft] def containmentPairsFullIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sh = dropHotKeys(
       spread(df)
         .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sha"))

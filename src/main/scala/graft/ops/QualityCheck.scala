@@ -221,10 +221,12 @@ object QualityCheck {
    * (quasiCols…, n_rows, n_sensitive, diverse) for every cell; gate on
    * `diverse` before rows leave the platform.
    *
-   * NULL sensitive values carry no diversity: rows with a null
-   * sensitive value are EXCLUDED from both counts (a null is an absent
-   * disclosure, not a second value — counting it would pass exactly the
-   * leaky cell this audit exists to catch; matches SQL
+   * NULL sensitive values carry no DIVERSITY but do carry RELEASE
+   * volume: `n_rows` counts every row in the cell (they all leave the
+   * platform if the cell passes), while nulls are excluded from
+   * `n_sensitive` only (a null is an absent disclosure, not a second
+   * value — counting it toward diversity would pass exactly the leaky
+   * cell this audit exists to catch; matches SQL `COUNT(*)` vs
    * `COUNT(DISTINCT …)` semantics).
    *
    * Scale: one two-level aggregate — (quasi, sensitive) pre-distinct
@@ -235,12 +237,12 @@ object QualityCheck {
                  sensitiveCol: String, l: Int): DataFrame = {
     require(l >= 1, s"bad l=$l")
     val g = quasiCols.map(col)
-    val pre = df.filter(col(sensitiveCol).isNotNull)
+    val pre = df
       .groupBy(g :+ col(sensitiveCol).as("__s"): _*)
       .agg(count(lit(1)).as("__c"))
     pre.groupBy(g: _*)
       .agg(sum(col("__c")).as("n_rows"),
-        count(lit(1)).as("n_sensitive"))
+        count(col("__s")).as("n_sensitive"))
       .withColumn("diverse", col("n_sensitive") >= l)
   }
 

@@ -85,13 +85,21 @@ object StatsOps {
    * to 8dp and sums through DECIMAL, so partition order can't wiggle
    * the statistic.
    *
+   * NULL categories are EXCLUDED (both columns must be non-null): a
+   * null is an absent observation, not a category. Keeping the
+   * null-keyed groups would inflate the marginals/dof/n while the
+   * null-unsafe grid join could never match them back — silently
+   * distorting the statistic on any nullable input.
+   *
    * Scale: one (a, b) cell aggregate (contingency-sized) + two marginal
    * rollups + a 1-row total broadcast — the corpus streams once.
    */
   def chiSquareIndependence(df: DataFrame, aCol: String,
                             bCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(20, 8)
-    val obs = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+    val obs = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("o"))
     val ra = obs.groupBy("__a").agg(sum(col("o")).as("ra"))
     val rb = obs.groupBy("__b").agg(sum(col("o")).as("rb"))
@@ -145,6 +153,10 @@ object StatsOps {
     val w = Window.orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts.crossJoin(broadcast(tot))
+      // an EMPTY sample (misspelled group value, empty slice) has no CDF —
+      // emit no row rather than the Infinity/NaN a bare division yields
+      // (the degenerate-input convention clusterAgreement documents)
+      .filter(col("na") > 0 && col("nb") > 0)
       .select(col("v"), col("na"), col("nb"),
         sum(col("ca")).over(w).as("cca"), sum(col("cb")).over(w).as("ccb"))
       .select(col("v"), col("na"), col("nb"),
@@ -175,11 +187,15 @@ object StatsOps {
       .agg(count(lit(1)).as("n"),
         sum(when(col(successCol), 1L).otherwise(0L)).as("k"))
     val n = col("n"); val k = col("k")
-    val p = k.cast("double") / n
-    val denom = lit(1.0) + lit(z) * lit(z) / n
-    val center = p + lit(z) * lit(z) / (lit(2L) * n)
-    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
-      lit(z) * lit(z) / (lit(4L) * n * n))
+    // all arithmetic in DOUBLE: the long product 4·n·n overflows (and
+    // under ANSI, throws) above ~1.5e9-row groups — the same overflow
+    // discipline that routes gini's rank×cents through DECIMAL
+    val nD = n.cast("double")
+    val p = k.cast("double") / nD
+    val denom = lit(1.0) + lit(z) * lit(z) / nD
+    val center = p + lit(z) * lit(z) / (lit(2.0) * nD)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(z) * lit(z) / (lit(4.0) * nD * nD))
     agg.select(col(groupCol), n, k,
       round(p, 6).as("rate"),
       round((center - half) / denom, 6).as("lo"),

@@ -386,6 +386,23 @@ class CdcStatsSpec extends SparkSpec {
       .head().getAs[Double]("chi2") shouldBe 100.0
   }
 
+  test("chiSquareIndependence: null categories excluded, not a phantom level") {
+    import spark.implicits._
+    // same independent 2×2 plus null-keyed noise rows: identical result —
+    // a null is an absent observation, not a third category (nulls in the
+    // marginals but not the grid join would silently distort the statistic)
+    val indep = (0 until 100).map(i =>
+      (if (i % 2 == 0) "a1" else "a2", if (i / 2 % 2 == 0) "b1" else "b2"))
+    val noisy = (indep.map { case (a, b) => (Option(a), Option(b)) } ++
+      Seq((None: Option[String], Some("b1")), (Some("a1"), None),
+        (None: Option[String], None: Option[String]))).toDF("a", "b")
+    val z = graft.ops.StatsOps.chiSquareIndependence(noisy, "a", "b").head()
+    z.getAs[Long]("n") shouldBe 100L
+    z.getAs[Long]("n_cells") shouldBe 4L
+    z.getAs[Long]("dof") shouldBe 1L
+    z.getAs[Double]("chi2") shouldBe 0.0
+  }
+
   test("ksStatistic: identical samples give 0, disjoint supports give 1") {
     import spark.implicits._
     val same = (1 to 50).flatMap(i =>
@@ -397,6 +414,30 @@ class CdcStatsSpec extends SparkSpec {
     val s1 = graft.ops.StatsOps.ksStatistic(apart, "v", "g", "x", "y").head()
     s1.getAs[Double]("ks_stat") shouldBe 1.0
     s1.getAs[Double]("at_v") shouldBe 50.0 // smallest v attaining the max
+  }
+
+  test("ksStatistic: an empty sample yields no row, never Infinity/NaN") {
+    import spark.implicits._
+    val oneSided = (1 to 20).map(i => (i.toDouble, "x")).toDF("v", "g")
+    // group "y" has no rows (misspelled group value / empty slice)
+    graft.ops.StatsOps.ksStatistic(oneSided, "v", "g", "x", "y")
+      .count() shouldBe 0L
+    graft.ops.StatsOps.ksStatistic(oneSided, "v", "g", "nope", "also")
+      .count() shouldBe 0L
+  }
+
+  test("wilsonInterval: huge-n group stays finite (no long overflow)") {
+    import spark.implicits._
+    // n is fed via a pre-aggregated path in prod; here simulate the
+    // arithmetic hazard directly: 2e9 rows would overflow 4L*n*n — the
+    // operator must route through double. We can't materialize 2e9 rows,
+    // so assert the expression shape survives the largest group the
+    // fixture can afford and that bounds stay ordered and inside [0,1].
+    val df = (1 to 100000).map(i => ("g", i % 3 == 0)).toDF("g", "ok")
+    val r = graft.ops.StatsOps.wilsonInterval(df, "g", "ok").head()
+    val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+    lo should (be >= 0.0 and be <= hi)
+    hi should be <= 1.0
   }
 
   test("wilsonInterval: brackets the rate, pinned at the extremes") {

@@ -113,6 +113,37 @@ class DedupOpsSpec extends SparkSpec {
     pref2 shouldBe full2
   }
 
+  test("containmentPairs (subset-side prefix) is output-identical to the full index") {
+    // real corpus slice across thresholds and df-caps, then a crafted
+    // quote-inside-long-doc set with a rounds-up-to-threshold boundary
+    val docs = graft.sources.Stores.table(spark, sf0001, "documents")
+    for (t <- Seq(0.3, 0.5, 0.8); cap <- Seq(Int.MaxValue, 50)) {
+      val full = DedupOps.containmentPairsFullIndex(docs, "doc_id", "text",
+        n = 3, threshold = t, maxShingleDf = cap)
+        .orderBy("id_sub", "id_super").as[(Long, Long, Double)].collect()
+      val pref = DedupOps.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = t, maxShingleDf = cap)
+        .orderBy("id_sub", "id_super").as[(Long, Long, Double)].collect()
+      withClue(s"threshold=$t cap=$cap: ") { pref shouldBe full }
+    }
+    val short = "the quick brown fox jumps over the lazy dog"
+    val crafted = Seq(
+      (1L, short),                                      // wholly quoted in 2
+      (2L, s"a long article begins here $short and then continues on"),
+      (3L, "completely unrelated content with nothing shared at all"),
+      (4L, "the quick brown fox jumps over the lazy cat")) // partial overlap
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.7, 0.95)) {
+      val full = DedupOps.containmentPairsFullIndex(
+        crafted, "doc_id", "text", 3, t)
+        .orderBy("id_sub", "id_super").as[(Long, Long, Double)].collect()
+      val pref = DedupOps.containmentPairs(crafted, "doc_id", "text", 3, t)
+        .orderBy("id_sub", "id_super").as[(Long, Long, Double)].collect()
+      withClue(s"threshold=$t: ") { pref shouldBe full }
+      if (t <= 0.7) full.map(p => (p._1, p._2)) should contain ((1L, 2L))
+    }
+  }
+
   test("jaccardPairs df-cap drops hot boilerplate shingles, keeps genuine dups") {
     // 20 docs that share ONLY a boilerplate sentence (df=20 per boilerplate
     // shingle) + one genuine duplicate pair with private content (df=2).

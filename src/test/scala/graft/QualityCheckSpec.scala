@@ -123,12 +123,13 @@ class QualityCheckSpec extends SparkSpec {
       ("A", Some(10.0)), ("B", Some(1.0)), ("B", Some(2.0)),
       ("B", Some(3.0)),
       // NULLs carry no diversity — cell C must NOT pass on {42, null, null}
+      // — but they DO count toward release volume (n_rows = all 3 rows)
       ("C", Some(42.0)), ("C", None), ("C", None)).toDF("cell", "bal")
     val out = QualityCheck.lDiversity(df, Seq("cell"), "bal", l = 2)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
     out("A") shouldBe ((4L, 1L, false))
     out("B") shouldBe ((3L, 3L, true))
-    out("C") shouldBe ((1L, 1L, false))
+    out("C") shouldBe ((3L, 1L, false))
   }
 }
