@@ -16,11 +16,17 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.isEmpty) Seq("q_minby_maxby") else args.toSeq
+    // drain, not count: count() lets Catalyst prune every column, so a
+    // projection-heavy query measures ~nothing (the Bench.drain discipline)
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreachPartition { it =>
+        while (it.hasNext) it.next()
+      }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      fn(spark, d).count() // warm
+      drain(fn(spark, d)) // warm
       val t0 = System.nanoTime()
-      fn(spark, d).count()
+      drain(fn(spark, d))
       println(s"== $name: ${(System.nanoTime() - t0) / 1e9}s")
     }
     spark.stop()

@@ -133,6 +133,52 @@ private[graft] object HashKernel extends Serializable {
     Array(grams.length.toLong, maxC.toLong)
   }
 
+  /** Per-segment language-ID labels in ONE pass — the kernel form of
+    * `transform(segments, s => TextOps.langIdHeuristic(s))`, which expands
+    * the full five-language decision tree (a regex + four stopword-set
+    * scans) per segment as interpreted expression nodes. Semantics are
+    * bit-identical to the expression tree (spec-proven): tokens =
+    * split(" ", -1) (Spark `split(text, " ")`, trailing empties kept);
+    * segment i = tokens[i·segWords, min((i+1)·segWords, len)); label
+    * precedence = any CJK char → "zh", else first stopword-family hit
+    * en → es → fr → de, else "unknown". The families are disjoint literal
+    * sets, so flag order within a segment cannot matter. */
+  def segmentLangIds(text: String, segWords: Int): Array[String] = {
+    val toks = text.split(" ", -1)
+    val nSeg = (toks.length + segWords - 1) / segWords
+    val out = new Array[String](nSeg)
+    var s = 0
+    while (s < nSeg) {
+      val start = s * segWords
+      val end = math.min(start + segWords, toks.length)
+      var zh = false; var en = false; var es = false
+      var fr = false; var de = false
+      var i = start
+      while (i < end && !zh) {
+        val t = toks(i)
+        var j = 0
+        while (j < t.length && !zh) {
+          val c = t.charAt(j)
+          if (c >= 0x4e00.toChar && c <= 0x9fff.toChar) zh = true
+          j += 1
+        }
+        if (!zh) t match {
+          case "the" | "and" | "of" | "is"             => en = true
+          case "el" | "la" | "los" | "es" | "y"        => es = true
+          case "le" | "les" | "et" | "est"             => fr = true
+          case "der" | "die" | "das" | "und" | "ist"   => de = true
+          case _                                        =>
+        }
+        i += 1
+      }
+      out(s) =
+        if (zh) "zh" else if (en) "en" else if (es) "es"
+        else if (fr) "fr" else if (de) "de" else "unknown"
+      s += 1
+    }
+    out
+  }
+
   /** Character k-gram hashes in position order (1 char step): hash at
     * position i (0-based) = fp60(text[i, i+k)). Rolling-fingerprint base
     * layer for winnowing; length < k → empty. */

@@ -775,19 +775,20 @@ object TextOps {
    * Returns (`idCol`, n_segments, n_langs, dominant_lang,
    * dominant_frac).
    *
-   * Scale: ZERO shuffle — segmentation, per-segment ID, and the
-   * dominant-label selection are per-row higher-order folds (the
-   * explode→window formulation would shuffle O(segments) rows for a
-   * value each row already owns).
+   * Scale: ZERO shuffle — segmentation + per-segment ID run as ONE
+   * native codegen kernel pass over the text
+   * ([[graft.functions.SegmentLangIds]]; the former
+   * transform(segments, langIdHeuristic) tree expanded an interpreted
+   * regex + four stopword scans per segment — spec-proven
+   * label-identical), and the dominant-label selection is a per-row
+   * higher-order fold over the small label array (the explode→window
+   * formulation would shuffle O(segments) rows for a value each row
+   * already owns).
    */
   def langMixBySegment(df: DataFrame, idCol: String, textCol: String,
                        segWords: Int): DataFrame = {
     require(segWords > 0, "segWords must be > 0")
-    val toks = tokens(col(textCol))
-    val nSeg = ceil(size(toks).cast("double") / segWords).cast("int")
-    val segs = transform(sequence(lit(0), nSeg - 1), i =>
-      array_join(slice(toks, i * segWords + 1, lit(segWords)), " "))
-    val labs = transform(segs, s => langIdHeuristic(s))
+    val labs = graft.functions.SegmentLangIds(col(textCol), segWords)
     val dlabs = array_sort(array_distinct(labs))
     // dominant = max count, ties label-asc: sort (−count, label) and
     // take the head — struct array_sort orders by fields left-to-right
@@ -802,6 +803,23 @@ object TextOps {
         col("__dom").getField("lab").as("dominant_lang"),
         round((-col("__dom").getField("nc")).cast("double") /
           size(col("__labs")), 6).as("dominant_frac"))
+  }
+
+  /** The pre-kernel expression-tree form of [[langMixBySegment]]'s
+    * labeling (split → slice → array_join → [[langIdHeuristic]] per
+    * segment) — kept `private[graft]` as the reference the
+    * [[graft.functions.SegmentLangIds]] kernel's identity spec compares
+    * against. Returns (`idCol`, labels) rows. */
+  private[graft] def segmentLangIdsHof(df: DataFrame, idCol: String,
+                                       textCol: String,
+                                       segWords: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nSeg = ceil(size(toks).cast("double") / segWords).cast("int")
+    val segs = transform(sequence(lit(0), nSeg - 1), i =>
+      array_join(slice(toks, i * segWords + 1, lit(segWords)), " "))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        transform(segs, s => langIdHeuristic(s)).as("labels"))
   }
 
   /**

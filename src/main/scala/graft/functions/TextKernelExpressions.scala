@@ -209,6 +209,39 @@ object NormalizeText {
     ColumnBridge.column(NormalizeText(ColumnBridge.expression(c)))
 }
 
+/** `graft_segment_lang_ids(text, segWords)` — one language-ID label per
+  * `segWords`-word segment in a single kernel pass (see
+  * [[graft.ext.HashKernel.segmentLangIds]]): the per-row form of
+  * `transform(segments, s => langIdHeuristic(s))`, whose interpreted
+  * regex + four-stopword-scan tree per segment dominated the
+  * code-switching query's CPU. */
+case class SegmentLangIds(child: Expression, segWords: Int)
+    extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_segment_lang_ids"
+  override protected def expectedInput: DataType = StringType
+
+  override protected def withNewChildInternal(newChild: Expression): SegmentLangIds =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SegmentLangIds.kernel(input.asInstanceOf[UTF8String], segWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SegmentLangIds$$.MODULE$$.kernel($c, $segWords)")
+}
+
+object SegmentLangIds {
+  def kernel(s: UTF8String, segWords: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.ext.HashKernel.segmentLangIds(s.toString, segWords)
+        .map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+
+  def apply(c: Column, segWords: Int): Column =
+    ColumnBridge.column(SegmentLangIds(ColumnBridge.expression(c), segWords))
+}
+
 /** `graft_char_kgrams(text, k)` — character k-gram hashes in position
   * order, the winnowing base layer (see [[graft.ext.HashKernel.charKgrams]]). */
 case class CharKgrams(child: Expression, k: Int) extends TextKernelExpression {

@@ -328,6 +328,33 @@ class CurationOpsSpec extends SparkSpec {
     out(2) shouldBe ((3L, 1L, 1L, "en", 1.0))
   }
 
+  test("SegmentLangIds kernel labels are identical to the expression-tree form") {
+    // real corpus slice + crafted edge cases: CJK overriding stopwords,
+    // multi/trailing spaces (split(' ', -1) keeps empty tokens), empty
+    // string (one '' token → one unknown segment), all five languages,
+    // segment boundaries that split a stopword family across segments
+    val corpus = graft.sources.Stores.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val crafted = Seq(
+      (1001L, "the cat sat 世界 on the mat"),   // zh beats en in segment 1
+      (1002L, "der hund  und   die katze"),      // doubled spaces
+      (1003L, "le chat est la "),                // trailing space, fr beats es? (la is es!)
+      (1004L, ""),                               // one empty segment
+      (1005L, "y"),                              // single es stopword
+      (1006L, "nothing matches here at all"),
+      (1007L, "the " + "x ".repeat(30) + "und")) // family split across segments
+      .toDF("doc_id", "text")
+    for (df <- Seq(corpus, crafted); segWords <- Seq(3, 10)) {
+      val hof = TextOps.segmentLangIdsHof(df, "doc_id", "text", segWords)
+        .orderBy("doc_id").as[(Long, Seq[String])].collect()
+      val kern = df.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.SegmentLangIds(col("text"), segWords).as("labels"))
+        .orderBy("doc_id").as[(Long, Seq[String])].collect()
+      withClue(s"segWords=$segWords: ") { kern shouldBe hof }
+    }
+  }
+
   test("charEntropy: spam at 0, uniform alphabet at ln(k); empty/null docs drop") {
     val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aaab"), (4L, ""),
       (5L, null.asInstanceOf[String])).toDF("doc_id", "text")

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+import graft.ext.{AnnIndexStore, ClusterStore, DedupOps, IngestOps,
+  LexIndexStore, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/**
+ * The batch ingest wave's contract: the admission report is exact, and
+ * EVERY persisted artifact the wave advances (corpus, band index, cluster
+ * assignment, ANN cells, BM25 postings) ends up identical to a batch
+ * rebuild over (base ∪ admitted) — the batch-side extension of
+ * StreamingPipelineSpec's `dedupAnnIngest` lockstep proof.
+ */
+class IngestWaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ingestWave: report exact; clusters/ANN/lex equal batch rebuilds over base ∪ admitted") {
+    val work = Files.createTempDirectory("graft_wave_").toString
+    val st = IngestOps.WaveStores(s"$work/corpus", s"$work/bandidx",
+      s"$work/clusters", s"$work/ann", s"$work/lex", s"$work/report")
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+
+    // base corpus (admitted as-is): two near-dup docs so the base cluster
+    // store is non-trivial
+    val baseTxt = "the quick brown fox jumps over the lazy dog today"
+    val base = Seq(
+      (10L, baseTxt, Seq(0.9f, 0.1f, 0f, 0f)),
+      (11L, baseTxt, Seq(0.8f, 0.2f, 0f, 0f)))
+      .toDF("doc_id", "text", "embedding")
+    base.drop("embedding").write.parquet(s"${st.corpusPath}/wave=0")
+    DedupOps.bandIndex(base, "doc_id", "text", n = 3, numHashes = 16,
+        bands = 4)
+      .write.parquet(s"${st.bandIndexPath}/wave=0")
+    ClusterStore.build(st.clusterPath,
+      DedupOps.minhashDedupPairs(base, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.9))
+    AnnIndexStore.save(st.annPath, base, "doc_id", "embedding", cents)
+    LexIndexStore.build(st.lexPath, base, "doc_id", "text", nBuckets = 8)
+
+    // the wave: one per disposition (plus a second admit)
+    val txt102 = "alpha beta gamma delta epsilon the zeta omega kappa iota"
+    val wave = Seq(
+      (101L, "xx", Seq(0.5f, 0.5f, 0f, 0f)),       // fails the gate
+      (102L, txt102, Seq(0.1f, 0.9f, 0f, 0f)),      // admitted
+      (103L, txt102, Seq(0.2f, 0.8f, 0f, 0f)),      // in-batch dup of 102
+      (104L, baseTxt, Seq(0.7f, 0.3f, 0f, 0f)),     // dup of the corpus
+      (105L, "one mango two melon three apple four grape the banana",
+        Seq(0.6f, 0.6f, 0f, 0f)))                   // admitted
+      .toDF("doc_id", "text", "embedding")
+
+    val report = IngestOps.ingestWave(spark, wave, "doc_id", "text",
+      "embedding", st, waveId = 1,
+      n = 3, numHashes = 16, bands = 4, threshold = 0.9,
+      minTokens = 5, maxTokens = 80, minStopHits = 1)
+
+    // ---- the report: every wave doc exactly once, dispositions exact ----
+    report.orderBy("doc_id").as[(Long, String)].collect() shouldBe Array(
+      (101L, "rejected_quality"),
+      (102L, "admitted"),
+      (103L, "rejected_batch_dup"),
+      (104L, "rejected_corpus_dup"),
+      (105L, "admitted"))
+
+    // ---- corpus + band index advanced with exactly the admitted set ----
+    val corpusIds = spark.read.parquet(st.corpusPath)
+      .select("doc_id").as[Long].collect().sorted
+    corpusIds shouldBe Array(10L, 11L, 102L, 105L)
+    spark.read.parquet(st.bandIndexPath).select("id").distinct()
+      .as[Long].collect().sorted shouldBe Array(10L, 11L, 102L, 105L)
+
+    // ---- cluster store equals a fresh build over ALL dup evidence ----
+    // (base pairs ∪ in-batch pairs ∪ batch×corpus pairs — rejected docs
+    // included: the takedown consumers need the whole component)
+    val rebuilt = s"$work/clusters_rebuilt"
+    ClusterStore.build(rebuilt, ClusterStore.pairs(spark, st.clusterPath))
+    val gotAsg = ClusterStore.assignment(spark, st.clusterPath)
+      .orderBy("id").as[(Long, Long)].collect()
+    val wantAsg = ClusterStore.assignment(spark, rebuilt)
+      .orderBy("id").as[(Long, Long)].collect()
+    gotAsg shouldBe wantAsg
+    gotAsg.toMap.apply(104L) shouldBe 10L  // joined the corpus-dup cluster
+    gotAsg.toMap.apply(103L) shouldBe 102L // joined the in-batch cluster
+    // the evidence edge set is exactly the three families
+    ClusterStore.pairs(spark, st.clusterPath)
+      .select("id1", "id2").as[(Long, Long)].collect().sorted shouldBe
+      Array((10L, 11L), (10L, 104L), (11L, 104L), (102L, 103L))
+
+    // ---- ANN cells equal a batch build over base ∪ admitted ----
+    val admitted = wave.filter(col("doc_id").isin(102L, 105L))
+    val gotCells = spark.read.parquet(s"${st.annPath}/cells")
+      .select(col("doc_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().sorted
+    val wantCells = SimilarityOps.ivfAssign(
+        base.unionByName(admitted), cents, "doc_id", "embedding")
+      .select(col("doc_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().sorted
+    gotCells shouldBe wantCells
+    gotCells.map(_._1) should not contain 103L
+
+    // ---- BM25 postings equal the batch operator over base ∪ admitted ----
+    val allText = base.drop("embedding")
+      .unionByName(admitted.drop("embedding"))
+    val qt = allText.select(col("doc_id").as("qid"),
+      explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 4)))
+        .as("term"))
+    val lexGot = LexIndexStore.topK(spark, st.lexPath, qt, k = 3)
+      .orderBy("qid", "rnk")
+    lexGot.collect() shouldBe
+      TextOps.bm25BatchTopK(allText, "doc_id", "text", qt, k = 3)
+        .orderBy("qid", "rnk").collect()
+    lexGot.select("doc_id").as[Long].collect() should not contain 104L
+  }
+
+  test("ingestWave replay: re-running the same wave id leaves every artifact unchanged") {
+    val work = Files.createTempDirectory("graft_wave_replay_").toString
+    val st = IngestOps.WaveStores(s"$work/corpus", s"$work/bandidx",
+      s"$work/clusters", s"$work/ann", s"$work/lex", s"$work/report")
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+    val base = Seq((10L, "the solid base document with plenty words here",
+      Seq(0.9f, 0.1f, 0f, 0f))).toDF("doc_id", "text", "embedding")
+    base.drop("embedding").write.parquet(s"${st.corpusPath}/wave=0")
+    DedupOps.bandIndex(base, "doc_id", "text", 3, 16, 4)
+      .write.parquet(s"${st.bandIndexPath}/wave=0")
+    // base store needs ≥1 edge (nodes need not be corpus docs)
+    ClusterStore.build(st.clusterPath,
+      Seq((9L, 10L)).toDF("id1", "id2"))
+    AnnIndexStore.save(st.annPath, base, "doc_id", "embedding", cents)
+    LexIndexStore.build(st.lexPath, base, "doc_id", "text", nBuckets = 8)
+
+    val wave = Seq(
+      (201L, "alpha beta gamma delta epsilon the zeta omega kappa iota",
+        Seq(0.1f, 0.9f, 0f, 0f)))
+      .toDF("doc_id", "text", "embedding")
+    def run() = IngestOps.ingestWave(spark, wave, "doc_id", "text",
+      "embedding", st, waveId = 1, n = 3, numHashes = 16, bands = 4,
+      threshold = 0.9, minTokens = 5, maxTokens = 80, minStopHits = 1)
+      .orderBy("doc_id").as[(Long, String)].collect()
+
+    val first = run()
+    val corpus1 = spark.read.parquet(st.corpusPath)
+      .select("doc_id").as[Long].collect().sorted
+    val cells1 = spark.read.parquet(s"${st.annPath}/cells")
+      .select(col("doc_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().sorted
+    // at-least-once redelivery: same wave id overwrites itself everywhere
+    val second = run()
+    second shouldBe first
+    spark.read.parquet(st.corpusPath).select("doc_id")
+      .as[Long].collect().sorted shouldBe corpus1
+    spark.read.parquet(s"${st.annPath}/cells")
+      .select(col("doc_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().sorted shouldBe cells1
+  }
+}
