@@ -108,4 +108,31 @@ object CoreOpsProperties extends Properties("CoreOps") {
       Prop(feasible && exhaustive && fair) :|
         s"out=${out.toList} budget=$budget spent=$spent want=$want"
     }
+
+  // words chosen to hit every lang family, the CJK override, non-matches,
+  // and the empty token that split(' ', -1) keeps for doubled spaces
+  private val langWordGen: Gen[String] = Gen.oneOf(
+    "the", "and", "el", "la", "le", "est", "der", "und", "ist", "y",
+    "世界", "中文x", "zzz", "word", "", "a.b", "UPPER")
+
+  private val langTextGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 25)
+    ws <- Gen.listOfN(n, langWordGen)
+  } yield ws.mkString(" ")
+
+  property("SegmentLangIds kernel ≡ expression tree on random code-switched text") =
+    forAll(Gen.listOfN(8, langTextGen), Gen.chooseNum(1, 7)) {
+      (texts, segWords) =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "text")
+        val hof = graft.ext.TextOps
+          .segmentLangIdsHof(df, "id", "text", segWords)
+          .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+        val kern = df
+          .select(col("id"),
+            graft.functions.SegmentLangIds(col("text"), segWords)
+              .as("labels"))
+          .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+        Prop(kern == hof) :| s"segWords=$segWords kern=$kern hof=$hof"
+    }
 }
