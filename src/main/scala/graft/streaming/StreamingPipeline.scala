@@ -760,7 +760,7 @@ object StreamingPipeline {
         if (!batch.isEmpty) {
           val b = batch.persist()
           try {
-            val admitted = admitDedupBatch(spark, b, batchId, runTag,
+            val (admitted, _) = admitDedupBatch(spark, b, batchId, runTag,
               idCol, textCol, corpusPath, indexPath, rejectPath,
               n, numHashes, bands, threshold)
             admitted.unpersist(blocking = false)
@@ -776,18 +776,21 @@ object StreamingPipeline {
     * already-admitted corpus via the persisted band index, then write
     * rejects, the admitted corpus rows, and the band-index contribution —
     * each into its `run=/batch_id=` directory (replay overwrites itself).
-    * Returns the admitted rows STILL PERSISTED so a caller can feed
+    * Returns (admitted rows STILL PERSISTED — so a caller can feed
     * further exactly-once sinks in the same micro-batch; the caller owns
-    * the unpersist. */
+    * the unpersist) and (the batch's verified dup EVIDENCE — in-batch
+    * pairs plus batch×corpus pairs in canonical (min, max) order — for
+    * callers growing a [[graft.ext.ClusterStore]] in the same lockstep). */
   private def admitDedupBatch(spark: SparkSession, b: DataFrame,
                               batchId: Long, runTag: String, idCol: String,
                               textCol: String, corpusPath: String,
                               indexPath: String, rejectPath: String,
                               n: Int, numHashes: Int, bands: Int,
-                              threshold: Double): DataFrame = {
+                              threshold: Double): (DataFrame, DataFrame) = {
     import graft.ext.DedupOps
-    val pairs = DedupOps.minhashDedupPairs(b, idCol, textCol,
-      n, numHashes, bands, threshold).select("id1", "id2")
+    val batchPairs = DedupOps.minhashDedupPairs(b, idCol, textCol,
+      n, numHashes, bands, threshold)
+    val pairs = batchPairs.select("id1", "id2")
     val batchKept =
       if (pairs.isEmpty) b
       else {
@@ -798,16 +801,18 @@ object StreamingPipeline {
       }
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rejectedVsCorpus =
-      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath))) {
+    val crossPairs =
+      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath))) Some {
         val idx = spark.read.parquet(indexPath)
           .select("band_key", "id")
         val ctext = spark.read.parquet(corpusPath)
           .select(col(idCol), col(textCol))
         DedupOps.incrementalNearDupPairs(batchKept, idCol, textCol,
-            idx, ctext, n, numHashes, bands, threshold)
-          .select(col("new_id").as(idCol)).distinct()
-      } else batchKept.select(idCol).limit(0)
+          idx, ctext, n, numHashes, bands, threshold)
+      } else None
+    val rejectedVsCorpus = crossPairs
+      .map(_.select(col("new_id").as(idCol)).distinct())
+      .getOrElse(batchKept.select(idCol).limit(0))
     val admitted = batchKept
       .join(rejectedVsCorpus, Seq(idCol), "left_anti").persist()
     val rejected = b.join(admitted.select(idCol), Seq(idCol), "left_anti")
@@ -819,7 +824,14 @@ object StreamingPipeline {
     DedupOps.bandIndex(admitted, idCol, textCol, n, numHashes, bands)
       .write.mode("overwrite")
       .parquet(s"$indexPath/run=$runTag/batch_id=$batchId")
-    admitted
+    val evidence = crossPairs.foldLeft(
+      batchPairs.select("id1", "id2", "jaccard")) { (acc, cp) =>
+      acc.unionByName(cp.select(
+        least(col("new_id"), col("corpus_id")).as("id1"),
+        greatest(col("new_id"), col("corpus_id")).as("id2"),
+        col("jaccard")))
+    }
+    (admitted, evidence)
   }
 
   /**
@@ -843,7 +855,13 @@ object StreamingPipeline {
    * base corpus) grows with the same admitted set in the same batch
    * scope — all three artifacts (dedup band index, ANN cells, postings)
    * advance in lockstep, and its post-stream query results equal a batch
-   * rebuild over (base ∪ admitted) bit-for-bit (spec-proven).
+   * rebuild over (base ∪ admitted) bit-for-bit (spec-proven). With
+   * `clusterPath` set, the persisted dup-cluster assignment
+   * ([[graft.ext.ClusterStore]]) grows too, fed each batch's verified
+   * evidence (in-batch pairs + batch×corpus pairs) — the streaming twin
+   * of [[graft.ext.IngestOps.ingestWave]]'s five-artifact lockstep;
+   * post-stream labels equal clustering the full evidence set
+   * (spec-proven).
    *
    * Scale: the admission cost is [[dedupIngest]]'s (O(batch) shingles,
    * O(batch × bands) index join); the ANN append is one narrow
@@ -855,7 +873,8 @@ object StreamingPipeline {
                      annIndexPath: String, checkpoint: String,
                      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                      threshold: Double = 0.8,
-                     lexIndexPath: Option[String] = None): StreamingQuery = {
+                     lexIndexPath: Option[String] = None,
+                     clusterPath: Option[String] = None): StreamingQuery = {
     val runTag = java.security.MessageDigest.getInstance("MD5")
       .digest(checkpoint.getBytes("UTF-8")).take(4).map("%02x".format(_))
       .mkString
@@ -872,10 +891,23 @@ object StreamingPipeline {
         if (!batch.isEmpty) {
           val b = batch.persist()
           try {
-            val admitted = admitDedupBatch(spark, b, batchId, runTag,
-              idCol, textCol, corpusPath, indexPath, rejectPath,
+            val (admitted, evidence) = admitDedupBatch(spark, b, batchId,
+              runTag, idCol, textCol, corpusPath, indexPath, rejectPath,
               n, numHashes, bands, threshold)
             try {
+              // optional fourth artifact: the dup-cluster assignment grows
+              // with the batch's verified evidence (in-batch + vs-corpus
+              // pairs) in the same scope — the consumers of clusters (ban
+              // propagation, leakage audits) see the same generation the
+              // admission decided against. Append is idempotent on edge
+              // sets, so an at-least-once replay cannot corrupt labels.
+              clusterPath.foreach { cp =>
+                if (!evidence.isEmpty) {
+                  if (graft.ext.ClusterStore.exists(spark, cp))
+                    graft.ext.ClusterStore.append(cp, evidence)
+                  else graft.ext.ClusterStore.build(cp, evidence)
+                }
+              }
               if (!admitted.isEmpty) {
                 graft.ext.AnnIndexStore.append(annIndexPath, admitted,
                   idCol, vecCol, batchId = runBase + batchId + 1)

@@ -477,11 +477,12 @@ class StreamingPipelineSpec extends SparkSpec {
       (3L, "alpha beta gamma delta epsilon zeta", Seq(0.2f, 0.8f, 0f, 0f)))
       .toDF("doc_id", "text", "vec")
       .write.mode("overwrite").parquet(s"$work/src")
+    val clusters = s"$work/clusters"
     val q = StreamingPipeline.dedupAnnIngest(spark,
       spark.readStream.schema(docSchema).parquet(s"$work/src"),
       "doc_id", "text", "vec", corpus, index, rejects, ann, s"$work/cp",
       n = 2, numHashes = 16, bands = 4, threshold = 0.9,
-      lexIndexPath = Some(lex))
+      lexIndexPath = Some(lex), clusterPath = Some(clusters))
     q.awaitTermination()
 
     val admitted = spark.read.parquet(corpus)
@@ -515,5 +516,19 @@ class StreamingPipelineSpec extends SparkSpec {
       TextOps.bm25BatchTopK(allText, "doc_id", "text", lexQt, k = 3)
         .orderBy("qid", "rnk").collect()
     lexGot.select("doc_id").as[Long].collect() should not contain 3L
+
+    // the FOURTH lockstep artifact: the dup-cluster store carries the
+    // batch's verified evidence (the in-batch 1~3 pair — rejected docs
+    // included, ban/leakage consumers need the whole component) and its
+    // labels equal a fresh clustering of the same evidence
+    import graft.ext.ClusterStore
+    ClusterStore.pairs(spark, clusters).select("id1", "id2")
+      .as[(Long, Long)].collect().sorted shouldBe Array((1L, 3L))
+    val rebuilt = s"$work/clusters_rebuilt"
+    ClusterStore.build(rebuilt, ClusterStore.pairs(spark, clusters))
+    ClusterStore.assignment(spark, clusters)
+      .orderBy("id").as[(Long, Long)].collect() shouldBe
+      ClusterStore.assignment(spark, rebuilt)
+        .orderBy("id").as[(Long, Long)].collect()
   }
 }
