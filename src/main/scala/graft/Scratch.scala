@@ -22,9 +22,15 @@ object Scratch {
       df.queryExecution.toRdd.foreachPartition { it =>
         while (it.hasNext) it.next()
       }
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      drain(fn(spark, d)) // warm
+      if (explain) { println(s"==== $name plan:"); fn(spark, d).explain("formatted") }
+      val warm = fn(spark, d)
+      drain(warm) // warm
+      // post-execution: AQE's FINAL plan, where runtime stage reuse shows
+      if (explain) println(s"==== $name executed:\n" +
+        warm.queryExecution.executedPlan.toString.take(8000))
       val t0 = System.nanoTime()
       drain(fn(spark, d))
       println(s"== $name: ${(System.nanoTime() - t0) / 1e9}s")

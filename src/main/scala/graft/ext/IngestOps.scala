@@ -73,6 +73,42 @@ object IngestOps {
    * verification candidates, column-pruned. Store appends are O(admitted)
    * — nothing here is O(corpus) except the one narrow index probe.
    */
+  private val Marker = "_STORE_SUCCESS"
+
+  /**
+   * COMPACT a wave-partitioned artifact root (`corpusPath` /
+   * `bandIndexPath` / `reportPath`): a long-running ingest accretes one
+   * `wave=` directory per wave, and at 100 TB the FILE COUNT — not the
+   * data — becomes the cost (every wave's probe lists every prior wave's
+   * files). Rewrites the union of all waves into a single fresh `wave=0`
+   * and swaps it in with the shared [[graft.sources.TreeSwap]] rename-
+   * aside discipline (crash at any instant leaves a complete root live
+   * or recoverable — [[ingestWave]] recovers on entry). Contents are
+   * unchanged by construction: rows are per-doc facts independent of
+   * which wave carried them.
+   *
+   * CONTRACT: compaction retires the folded waves' replay scope — a wave
+   * id folded into `wave=0` no longer overwrites its original directory
+   * on redelivery (the [[graft.ext.LexIndexStore.compact]] rule). Compact
+   * only after the folded waves' delivery is settled, and issue fresh
+   * wave ids afterwards.
+   */
+  def compactWaves(spark: SparkSession, path: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    graft.sources.TreeSwap.recover(spark, path, ".compact", ".precompact",
+      Marker)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hp).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // mergeSchema: wave batches may have evolved additively; a sampled
+    // footer would permanently drop evolved columns in the rewrite
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+      .drop("wave").coalesce(nFiles)
+    graft.sources.TreeSwap.swap(spark, path, ".compact", ".precompact",
+      Marker) { tmp => df.write.parquet(s"$tmp/wave=0") }
+  }
+
   def ingestWave(spark: SparkSession, batch: DataFrame, idCol: String,
                  textCol: String, vecCol: String, stores: WaveStores,
                  waveId: Long,
@@ -81,6 +117,10 @@ object IngestOps {
                  minTokens: Int = 20, maxTokens: Int = 80,
                  minStopHits: Int = 2): DataFrame = {
     require(waveId > 0, "waveId 0 is the base build")
+    // repair any crashed compaction before reading the roots it swaps
+    Seq(stores.corpusPath, stores.bandIndexPath, stores.reportPath).foreach(
+      graft.sources.TreeSwap.recover(spark, _, ".compact", ".precompact",
+        Marker))
     // one batch scan feeds every stage — persist the (small) wave, not
     // the corpus
     val b = batch.persist()

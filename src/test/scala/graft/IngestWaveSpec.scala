@@ -159,6 +159,58 @@ class IngestWaveSpec extends SparkSpec {
       .as[Long].collect().sorted shouldBe Array(10L, 201L, 302L)
   }
 
+  test("compactWaves folds wave dirs into one; admission decisions are unchanged after") {
+    val work = Files.createTempDirectory("graft_wave_compact_").toString
+    val st = IngestOps.WaveStores(s"$work/corpus", s"$work/bandidx",
+      s"$work/clusters", s"$work/ann", s"$work/lex", s"$work/report")
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+    val base = Seq((10L, "the solid base document with plenty words here",
+      Seq(0.9f, 0.1f, 0f, 0f))).toDF("doc_id", "text", "embedding")
+    base.drop("embedding").write.parquet(s"${st.corpusPath}/wave=0")
+    DedupOps.bandIndex(base, "doc_id", "text", 3, 16, 4)
+      .write.parquet(s"${st.bandIndexPath}/wave=0")
+    ClusterStore.build(st.clusterPath, Seq((9L, 10L)).toDF("id1", "id2"))
+    AnnIndexStore.save(st.annPath, base, "doc_id", "embedding", cents)
+    LexIndexStore.build(st.lexPath, base, "doc_id", "text", nBuckets = 8)
+
+    val txt201 = "alpha beta gamma delta epsilon the zeta omega kappa iota"
+    def run(wave: org.apache.spark.sql.DataFrame, id: Long) =
+      IngestOps.ingestWave(spark, wave, "doc_id", "text", "embedding", st,
+        waveId = id, n = 3, numHashes = 16, bands = 4, threshold = 0.9,
+        minTokens = 5, maxTokens = 80, minStopHits = 1)
+        .orderBy("doc_id").as[(Long, String)].collect()
+
+    run(Seq((201L, txt201, Seq(0.1f, 0.9f, 0f, 0f)))
+      .toDF("doc_id", "text", "embedding"), id = 1)
+    val corpusBefore = spark.read.parquet(st.corpusPath)
+      .select("doc_id").as[Long].collect().sorted
+    val idxBefore = spark.read.parquet(st.bandIndexPath)
+      .select("band_key", "id").as[(String, Long)].collect().sorted
+
+    IngestOps.compactWaves(spark, st.corpusPath)
+    IngestOps.compactWaves(spark, st.bandIndexPath)
+
+    // contents byte-equal (modulo the retired wave column), ONE wave dir
+    spark.read.parquet(st.corpusPath).select("doc_id")
+      .as[Long].collect().sorted shouldBe corpusBefore
+    spark.read.parquet(st.bandIndexPath).select("band_key", "id")
+      .as[(String, Long)].collect().sorted shouldBe idxBefore
+    val waves = new java.io.File(st.corpusPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    waves shouldBe Array("wave=0")
+
+    // the compacted index still rejects a dup of the folded admission,
+    // and a fresh wave id appends cleanly beside wave=0
+    run(Seq(
+      (301L, txt201, Seq(0.2f, 0.8f, 0f, 0f)),
+      (302L, "one mango two melon three apple four grape the banana",
+        Seq(0.6f, 0.6f, 0f, 0f)))
+      .toDF("doc_id", "text", "embedding"), id = 2) shouldBe Array(
+      (301L, "rejected_corpus_dup"), (302L, "admitted"))
+    spark.read.parquet(st.corpusPath).select("doc_id")
+      .as[Long].collect().sorted shouldBe Array(10L, 201L, 302L)
+  }
+
   test("ingestWave replay: re-running the same wave id leaves every artifact unchanged") {
     val work = Files.createTempDirectory("graft_wave_replay_").toString
     val st = IngestOps.WaveStores(s"$work/corpus", s"$work/bandidx",
