@@ -46,7 +46,9 @@ class IngestWaveSpec extends SparkSpec {
       (103L, txt102, Seq(0.2f, 0.8f, 0f, 0f)),      // in-batch dup of 102
       (104L, baseTxt, Seq(0.7f, 0.3f, 0f, 0f)),     // dup of the corpus
       (105L, "one mango two melon three apple four grape the banana",
-        Seq(0.6f, 0.6f, 0f, 0f)))                   // admitted
+        Seq(0.6f, 0.6f, 0f, 0f)),                   // admitted
+      (106L, null.asInstanceOf[String],
+        Seq(0.4f, 0.6f, 0f, 0f)))                   // null text: no admission
       .toDF("doc_id", "text", "embedding")
 
     val report = IngestOps.ingestWave(spark, wave, "doc_id", "text",
@@ -60,7 +62,8 @@ class IngestWaveSpec extends SparkSpec {
       (102L, "admitted"),
       (103L, "rejected_batch_dup"),
       (104L, "rejected_corpus_dup"),
-      (105L, "admitted"))
+      (105L, "admitted"),
+      (106L, "rejected_quality")) // no text, no admission — never an NPE
 
     // ---- corpus + band index advanced with exactly the admitted set ----
     val corpusIds = spark.read.parquet(st.corpusPath)
