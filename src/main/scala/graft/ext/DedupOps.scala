@@ -232,9 +232,14 @@ object DedupOps {
     val alpha = ceil(lit(threshold - 0.001) * col("sz") - lit(1e-9))
     val prefixSub = shPos
       .filter(col("pos") + 1 <= col("sz") - alpha + 1)
-      .select("id", "sh")
+      .select("id", "sz", "sh")
+    // one-sided LENGTH gate: containment ≥ t needs overlap ⌈t·|A|⌉ and
+    // overlap ≤ |B|, so a superset smaller than t·|A| can never qualify —
+    // free on columns already riding the index rows (|B| has no UPPER
+    // bound from the score, so only this direction applies)
     val cands = prefixSub.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id") &&
+          col("b.sz") >= lit(threshold - 0.001) * col("a.sz"))
       .select(col("a.id").as("id_sub"), col("b.id").as("id_super"))
       .distinct()
     // Exact verification WITHOUT re-exploding: each doc's capped shingle
