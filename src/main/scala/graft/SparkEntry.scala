@@ -101,34 +101,44 @@ object SparkEntry {
     * in-batch near-dup → vs-corpus near-dup → lockstep appends +
     * admission report. The report is the oracle surface; artifact
     * equality vs batch rebuilds is IngestWaveSpec's job. */
+  private def buildWave(s: SparkSession, d: String, p: String,
+                        semanticThreshold: Option[Double]): Unit = {
+    val docs = t(s, d, "documents")
+    val withVec = docs.join(
+      t(s, d, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding")),
+      Seq("doc_id"), "left")
+    val base = withVec.filter(col("doc_id") < 100)
+    val wave = withVec.filter(col("doc_id") >= 100)
+    val st = graft.ext.IngestOps.WaveStores(
+      s"$p/corpus", s"$p/bandidx", s"$p/clusters", s"$p/ann",
+      s"$p/lex", s"$p/report")
+    base.drop("embedding").write.parquet(s"${st.corpusPath}/wave=0")
+    DedupOps.bandIndex(base, "doc_id", "text", n = 3, numHashes = 16,
+        bands = 4)
+      .write.parquet(s"${st.bandIndexPath}/wave=0")
+    graft.ext.ClusterStore.build(st.clusterPath,
+      DedupOps.minhashDedupPairs(base, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.4))
+    graft.ext.AnnIndexStore.save(st.annPath,
+      base.filter(col("embedding").isNotNull), "doc_id", "embedding",
+      SimilarityOps.takeCentroids(t(s, d, "embeddings"), "vec_id",
+        "embedding", 8))
+    graft.ext.LexIndexStore.build(st.lexPath, base, "doc_id", "text")
+    graft.ext.IngestOps.ingestWave(s, wave, "doc_id", "text",
+      "embedding", st, waveId = 1,
+      semanticThreshold = semanticThreshold)
+    ()
+  }
+
   private def waveStore(s: SparkSession, d: String): String =
-    artifact("ingest_wave", d) { p =>
-      val docs = t(s, d, "documents")
-      val withVec = docs.join(
-        t(s, d, "embeddings")
-          .select(col("vec_id").as("doc_id"), col("embedding")),
-        Seq("doc_id"), "left")
-      val base = withVec.filter(col("doc_id") < 100)
-      val wave = withVec.filter(col("doc_id") >= 100)
-      val st = graft.ext.IngestOps.WaveStores(
-        s"$p/corpus", s"$p/bandidx", s"$p/clusters", s"$p/ann",
-        s"$p/lex", s"$p/report")
-      base.drop("embedding").write.parquet(s"${st.corpusPath}/wave=0")
-      DedupOps.bandIndex(base, "doc_id", "text", n = 3, numHashes = 16,
-          bands = 4)
-        .write.parquet(s"${st.bandIndexPath}/wave=0")
-      graft.ext.ClusterStore.build(st.clusterPath,
-        DedupOps.minhashDedupPairs(base, "doc_id", "text",
-          n = 3, numHashes = 16, bands = 4, threshold = 0.4))
-      graft.ext.AnnIndexStore.save(st.annPath,
-        base.filter(col("embedding").isNotNull), "doc_id", "embedding",
-        SimilarityOps.takeCentroids(t(s, d, "embeddings"), "vec_id",
-          "embedding", 8))
-      graft.ext.LexIndexStore.build(st.lexPath, base, "doc_id", "text")
-      graft.ext.IngestOps.ingestWave(s, wave, "doc_id", "text",
-        "embedding", st, waveId = 1)
-      ()
-    }
+    artifact("ingest_wave", d)(buildWave(s, d, _, None))
+
+  /** The same wave with the SemDeDup gate armed: survivors of the text
+    * gates must ALSO clear cosine < 0.4 against every already-admitted
+    * embedding (sign-LSH bucket candidates, exact 6dp verify). */
+  private def waveSemStore(s: SparkSession, d: String): String =
+    artifact("ingest_wave_sem", d)(buildWave(s, d, _, Some(0.4)))
 
   /** Verified MinHash near-dup pairs at the catch-all 0.4 threshold, with
     * exact-Jaccard scores — consumers gate on `jaccard` (band candidates
@@ -1202,6 +1212,13 @@ object SparkEntry {
     // gates; artifact-vs-rebuild equality is IngestWaveSpec's proof
     "q_ingest_wave" -> ((s, d) =>
       s.read.parquet(s"${waveStore(s, d)}/report/wave=1")
+        .orderBy("doc_id")),
+
+    // the wave with the SemDeDup gate armed: a fourth disposition —
+    // cosine ≥ 0.4 vs any already-admitted embedding (sign-LSH bucket
+    // candidates, exact 6dp verify) rejects survivors of the text gates
+    "q_ingest_wave_semantic" -> ((s, d) =>
+      s.read.parquet(s"${waveSemStore(s, d)}/report/wave=1")
         .orderBy("doc_id")),
 
     // cluster-level BAN propagation (governance): a seed blocklist of docs
@@ -5319,6 +5336,104 @@ object SparkEntry {
                 CASE WHEN doc_id NOT IN (SELECT doc_id FROM gids) THEN 'rejected_quality'
                      WHEN doc_id IN (SELECT doc_id FROM blosers) THEN 'rejected_batch_dup'
                      WHEN doc_id IN (SELECT doc_id FROM xlosers) THEN 'rejected_corpus_dup'
+                     ELSE 'admitted' END AS disposition
+         FROM batch ORDER BY doc_id""",
+
+    // the same replay with the SemDeDup gate appended: survivors of the
+    // text gates are bucket-joined (4-bit sign LSH, stride 8 — the
+    // q_ann_bucket_hist construction) against the base embeddings and
+    // rejected when the exact 6dp cosine reaches 0.4
+    "q_ingest_wave_semantic" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 100),
+              f AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS avg_token_len,
+                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                      x -> x = '#' OR contains(x, '...'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS symbol_ratio,
+                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS alpha_ratio,
+                CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the', 'a', 'and', 'of'))) AS BIGINT) AS n_stop_hits
+                    FROM batch WHERE text IS NOT NULL),
+              gids AS (SELECT doc_id FROM f
+                       WHERE (n_tokens BETWEEN 20 AND 80)
+                         AND (avg_token_len >= 3.0 AND avg_token_len <= 10.0)
+                         AND (symbol_ratio <= 0.1) AND (alpha_ratio >= 0.8)
+                         AND (n_stop_hits >= 2)),
+              pop AS (SELECT doc_id, text FROM documents
+                      WHERE text IS NOT NULL
+                        AND (doc_id < 100 OR doc_id IN (SELECT doc_id FROM gids))),
+              toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM pop),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              sh AS (SELECT DISTINCT doc_id AS id,
+                            CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
+                     FROM grams),
+              seeds AS (SELECT unnest(generate_series(0, 15)) AS i),
+              sigs AS (SELECT id, i,
+                              MIN(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
+                       FROM sh, seeds GROUP BY id, i),
+              banded AS (SELECT id, CAST(i // 4 AS INT) AS band,
+                                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
+                         FROM sigs GROUP BY id, CAST(i // 4 AS INT)),
+              sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+              bc AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+                     WHERE a.id >= 100 AND b.id >= 100),
+              bcommon AS (SELECT c.id1, c.id2, CAST(COUNT(*) AS BIGINT) AS cm
+                          FROM bc c JOIN sh a ON a.id = c.id1
+                          JOIN sh b ON b.id = c.id2 AND b.sh = a.sh
+                          GROUP BY c.id1, c.id2),
+              blosers AS (SELECT DISTINCT c.id2 AS doc_id
+                          FROM bcommon c JOIN sizes s1 ON s1.id = c.id1
+                          JOIN sizes s2 ON s2.id = c.id2
+                          WHERE ROUND(CAST(c.cm AS DOUBLE) / (s1.sz + s2.sz - c.cm), 4) >= 0.4),
+              kept AS (SELECT doc_id FROM gids
+                       WHERE doc_id NOT IN (SELECT doc_id FROM blosers)),
+              xc AS (SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.band_key = b.band_key
+                     WHERE a.id IN (SELECT doc_id FROM kept) AND b.id < 100),
+              xcommon AS (SELECT c.new_id, c.corpus_id, CAST(COUNT(*) AS BIGINT) AS cm
+                          FROM xc c JOIN sh a ON a.id = c.new_id
+                          JOIN sh b ON b.id = c.corpus_id AND b.sh = a.sh
+                          GROUP BY c.new_id, c.corpus_id),
+              xlosers AS (SELECT DISTINCT c.new_id AS doc_id
+                          FROM xcommon c JOIN sizes s1 ON s1.id = c.new_id
+                          JOIN sizes s2 ON s2.id = c.corpus_id
+                          WHERE ROUND(CAST(c.cm AS DOUBLE) / (s1.sz + s2.sz - c.cm), 4) >= 0.4),
+              kept2 AS (SELECT doc_id FROM kept
+                        WHERE doc_id NOT IN (SELECT doc_id FROM xlosers)),
+              vb AS (SELECT vec_id AS id, embedding AS v,
+                            (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                          + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+                          + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+                          + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS bucket
+                     FROM embeddings),
+              qv AS (SELECT * FROM vb
+                     WHERE id >= 100 AND id IN (SELECT doc_id FROM kept2)),
+              cv AS (SELECT * FROM vb WHERE id < 100),
+              sidx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              scand AS (SELECT q.id AS new_id, c.id AS corpus_id,
+                               q.v AS qvec, c.v AS cvec
+                        FROM qv q JOIN cv c ON q.bucket = c.bucket),
+              sdots AS (SELECT new_id, corpus_id,
+                               SUM(CAST(qvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)) AS dot,
+                               SUM(CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)) AS nq,
+                               SUM(CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)) AS nc
+                        FROM scand, sidx GROUP BY new_id, corpus_id),
+              slosers AS (SELECT DISTINCT new_id AS doc_id FROM sdots
+                          WHERE ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) >= 0.4)
+         SELECT doc_id,
+                CASE WHEN doc_id NOT IN (SELECT doc_id FROM gids) THEN 'rejected_quality'
+                     WHEN doc_id IN (SELECT doc_id FROM blosers) THEN 'rejected_batch_dup'
+                     WHEN doc_id IN (SELECT doc_id FROM xlosers) THEN 'rejected_corpus_dup'
+                     WHEN doc_id IN (SELECT doc_id FROM slosers) THEN 'rejected_semantic_dup'
                      ELSE 'admitted' END AS disposition
          FROM batch ORDER BY doc_id""",
 

@@ -50,7 +50,16 @@ object IngestOps {
    *   3. `rejected_corpus_dup` — near-dups an already-admitted corpus
    *      doc via the PERSISTED band index (the batch is banded once;
    *      the corpus is never re-shingled);
-   *   4. `admitted` — everything else.
+   *   4. `rejected_semantic_dup` — only with `semanticThreshold` set:
+   *      the SemDeDup gate — 6dp cosine ≥ τ against an already-admitted
+   *      embedding, candidates from the sign-LSH bucket join
+   *      ([[SimilarityOps.cosineNearDupPairsIncremental]]) over the ANN
+   *      store's cell rows (current wave's `b=` partition pruned, same
+   *      replay discipline as the text path). Docs without an embedding
+   *      skip this gate — no vector, no semantic evidence. Semantic
+   *      pairs do NOT feed the lexical evidence store (different score
+   *      semantics; run the SemDeDup clustering on its own store);
+   *   5. `admitted` — everything else.
    *
    * Artifact writes (all scoped by `waveId`, so a replayed wave
    * overwrites itself — at-least-once redelivery stays exactly-once at
@@ -115,7 +124,9 @@ object IngestOps {
                  n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.4,
                  minTokens: Int = 20, maxTokens: Int = 80,
-                 minStopHits: Int = 2): DataFrame = {
+                 minStopHits: Int = 2,
+                 semanticThreshold: Option[Double] = None,
+                 nBits: Int = 4, stride: Int = 8): DataFrame = {
     require(waveId > 0, "waveId 0 is the base build")
     // repair any crashed compaction before reading the roots it swaps
     Seq(stores.corpusPath, stores.bandIndexPath, stores.reportPath).foreach(
@@ -153,7 +164,22 @@ object IngestOps {
       val crossPairs = DedupOps.incrementalNearDupPairs(batchKept, idCol,
         textCol, corpusIndex, corpusText, n, numHashes, bands, threshold)
       val corpusLosers = crossPairs.select(col("new_id").as(idCol)).distinct()
-      val admitted = batchKept.join(corpusLosers, Seq(idCol), "left_anti")
+      val batchKept2 = batchKept.join(corpusLosers, Seq(idCol), "left_anti")
+
+      // optional SemDeDup gate: bucket-join the survivors' embeddings
+      // against the already-admitted ANN rows, exact cosine ≥ τ rejects
+      val semanticLosers = semanticThreshold match {
+        case Some(tau) =>
+          val corpusVecs = spark.read.parquet(s"${stores.annPath}/cells")
+            .filter(col("b") =!= waveId)
+            .select(col(idCol), col(vecCol))
+          SimilarityOps.cosineNearDupPairsIncremental(
+              batchKept2.filter(col(vecCol).isNotNull), corpusVecs,
+              idCol, vecCol, tau, nBits, stride)
+            .select(col("new_id").as(idCol)).distinct()
+        case None => batchKept2.select(idCol).limit(0)
+      }
+      val admitted = batchKept2.join(semanticLosers, Seq(idCol), "left_anti")
         .persist()
 
       try {
@@ -183,10 +209,12 @@ object IngestOps {
           .join(gatedIds.withColumn("__g", lit(1)), Seq(idCol), "left")
           .join(batchLosers.withColumn("__b", lit(1)), Seq(idCol), "left")
           .join(corpusLosers.withColumn("__c", lit(1)), Seq(idCol), "left")
+          .join(semanticLosers.withColumn("__s", lit(1)), Seq(idCol), "left")
           .select(col(idCol),
             when(col("__g").isNull, "rejected_quality")
               .when(col("__b").isNotNull, "rejected_batch_dup")
               .when(col("__c").isNotNull, "rejected_corpus_dup")
+              .when(col("__s").isNotNull, "rejected_semantic_dup")
               .otherwise("admitted").as("disposition"))
         report.write.mode("overwrite")
           .parquet(s"${stores.reportPath}/wave=$waveId")

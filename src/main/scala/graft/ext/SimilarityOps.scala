@@ -813,6 +813,36 @@ object SimilarityOps {
   /** Embedding-cosine near-duplicate pairs: all (a,b), a<b, with cosine ≥
     * threshold, via bucketed self-join (exact within bucket — an
     * approximate global answer, like all embedding dedup at scale). */
+  /**
+   * Incremental embedding near-dup detection — batch × corpus, the
+   * SemDeDup ADMISSION face of [[cosineNearDupPairs]] (the self-join
+   * form): both sides bucket by sign-LSH, only bucket-collided
+   * (new, corpus) pairs pay the exact 6dp cosine, and pairs scoring ≥
+   * `threshold` emit (new_id, corpus_id, cosine). Never all-pairs: the
+   * bucket equi-join shuffles each side once on the bucket id (the
+   * batch side broadcasts under AQE when small). At 100 TB persist the
+   * corpus-side bucket column beside the vectors (one narrow map at
+   * ingest); recomputing it — as here — is a per-row projection, no
+   * pairwise work either way. Ids must be globally unique across batch
+   * and corpus (the [[graft.ext.DedupOps.incrementalNearDupPairs]]
+   * contract; equal ids are treated as the same document).
+   */
+  def cosineNearDupPairsIncremental(newRows: DataFrame, corpus: DataFrame,
+                                    idCol: String, vecCol: String,
+                                    threshold: Double, nBits: Int = 4,
+                                    stride: Int = 8): DataFrame = {
+    GraftFunctions.register(newRows.sparkSession)
+    val a = newRows.select(col(idCol).as("new_id"), col(vecCol).as("__va"),
+      signLshBucket(col(vecCol), nBits, stride).as("bucket"))
+    val b = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__vb"),
+      signLshBucket(col(vecCol), nBits, stride).as("bucket"))
+    a.join(b, "bucket")
+      .filter(col("new_id") =!= col("corpus_id"))
+      .withColumn("cosine", cosineNative(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("new_id", "corpus_id", "cosine")
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nBits: Int = 4,
                          stride: Int = 8): DataFrame = {

@@ -214,6 +214,53 @@ class IngestWaveSpec extends SparkSpec {
       .as[Long].collect().sorted shouldBe Array(10L, 201L, 302L)
   }
 
+  test("ingestWave semantic gate: a cosine near-dup of an admitted embedding is rejected; no-vector docs skip the gate") {
+    import graft.ext.SimilarityOps
+    val work = Files.createTempDirectory("graft_wave_sem_").toString
+    val st = IngestOps.WaveStores(s"$work/corpus", s"$work/bandidx",
+      s"$work/clusters", s"$work/ann", s"$work/lex", s"$work/report")
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+    val base = Seq((10L, "the solid base document with plenty words here",
+      Seq(0.9f, 0.1f, 0f, 0f))).toDF("doc_id", "text", "embedding")
+    base.drop("embedding").write.parquet(s"${st.corpusPath}/wave=0")
+    DedupOps.bandIndex(base, "doc_id", "text", 3, 16, 4)
+      .write.parquet(s"${st.bandIndexPath}/wave=0")
+    ClusterStore.build(st.clusterPath, Seq((9L, 10L)).toDF("id1", "id2"))
+    AnnIndexStore.save(st.annPath, base, "doc_id", "embedding", cents)
+    LexIndexStore.build(st.lexPath, base, "doc_id", "text", nBuckets = 8)
+
+    val wave = Seq(
+      // different TEXT (passes every lexical gate) but near-identical
+      // embedding to the admitted base doc → semantic rejection
+      (501L, "alpha beta gamma delta epsilon the zeta omega kappa iota",
+        Some(Seq(0.89f, 0.11f, 0f, 0f))),
+      // different text AND far embedding → admitted
+      (502L, "one mango two melon three apple four grape the banana",
+        Some(Seq(-0.5f, 0.5f, 0f, 0f))),
+      // no embedding at all: the gate cannot apply — admitted
+      (503L, "this third unique sentence has the right shape to pass",
+        None: Option[Seq[Float]]))
+      .toDF("doc_id", "text", "embedding")
+    val report = IngestOps.ingestWave(spark, wave, "doc_id", "text",
+      "embedding", st, waveId = 1, n = 3, numHashes = 16, bands = 4,
+      threshold = 0.9, minTokens = 5, maxTokens = 80, minStopHits = 1,
+      // stride 1 keeps the sign-LSH probe inside the 4-dim test vectors
+      semanticThreshold = Some(0.9), nBits = 4, stride = 1)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    report shouldBe Array(
+      (501L, "rejected_semantic_dup"),
+      (502L, "admitted"),
+      (503L, "admitted"))
+    // the rejected embedding never became searchable; the admitted did
+    spark.read.parquet(s"${st.annPath}/cells").select("doc_id")
+      .as[Long].collect().sorted shouldBe Array(10L, 502L)
+    // sanity: the gate's verdict matches the standalone incremental op
+    SimilarityOps.cosineNearDupPairsIncremental(
+        wave.filter(col("embedding").isNotNull), base,
+        "doc_id", "embedding", threshold = 0.9, nBits = 4, stride = 1)
+      .select("new_id").as[Long].collect() shouldBe Array(501L)
+  }
+
   test("ingestWave replay: re-running the same wave id leaves every artifact unchanged") {
     val work = Files.createTempDirectory("graft_wave_replay_").toString
     val st = IngestOps.WaveStores(s"$work/corpus", s"$work/bandidx",
