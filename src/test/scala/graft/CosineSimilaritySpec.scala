@@ -131,4 +131,32 @@ class CosineSimilaritySpec extends SparkSpec {
     val meanRatio = norms.sum / norms.length
     meanRatio should (be > 0.5 and be < 2.0)
   }
+
+  test("cosineNearDupPairsIncremental equals the self-join form restricted to batch x corpus") {
+    import spark.implicits._
+    val emb = graft.sources.Stores.table(spark, sf0001, "embeddings")
+    val batch = emb.filter(col("vec_id") >= 100)
+    val corpus = emb.filter(col("vec_id") < 100)
+    for (t <- Seq(0.2, 0.35)) {
+      // the self-join form over the union, restricted to (batch, corpus)
+      // pairs in either orientation, re-keyed to (new_id, corpus_id)
+      val full = graft.ext.SimilarityOps
+        .cosineNearDupPairs(emb, "vec_id", "embedding", threshold = t)
+        .filter((col("id1") >= 100 && col("id2") < 100) ||
+          (col("id1") < 100 && col("id2") >= 100))
+        .select(
+          when(col("id1") >= 100, col("id1")).otherwise(col("id2")).as("new_id"),
+          when(col("id1") < 100, col("id1")).otherwise(col("id2")).as("corpus_id"),
+          col("score").as("cosine"))
+        .orderBy("new_id", "corpus_id")
+        .as[(Long, Long, Double)].collect()
+      val incr = graft.ext.SimilarityOps
+        .cosineNearDupPairsIncremental(batch, corpus, "vec_id", "embedding",
+          threshold = t)
+        .orderBy("new_id", "corpus_id")
+        .as[(Long, Long, Double)].collect()
+      withClue(s"threshold=$t: ") { incr shouldBe full }
+      withClue(s"threshold=$t nonempty: ") { incr.length should be > 0 }
+    }
+  }
 }
