@@ -140,6 +140,42 @@ object SparkEntry {
   private def waveSemStore(s: SparkSession, d: String): String =
     artifact("ingest_wave_sem", d)(buildWave(s, d, _, Some(0.4)))
 
+  /** TWO sequential waves over the same stores (base < 100; wave 1 =
+    * [100, 300); wave 2 = [300, ∞)) — the sequencing path under oracle
+    * coverage: wave 2's corpus near-dup gate must see base ∪ wave-1
+    * admissions through the accreted band index. */
+  private def waveSeqStore(s: SparkSession, d: String): String =
+    artifact("ingest_wave_seq", d) { p =>
+      val docs = t(s, d, "documents")
+      val withVec = docs.join(
+        t(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"), "left")
+      val base = withVec.filter(col("doc_id") < 100)
+      val st = graft.ext.IngestOps.WaveStores(
+        s"$p/corpus", s"$p/bandidx", s"$p/clusters", s"$p/ann",
+        s"$p/lex", s"$p/report")
+      base.drop("embedding").write.parquet(s"${st.corpusPath}/wave=0")
+      DedupOps.bandIndex(base, "doc_id", "text", n = 3, numHashes = 16,
+          bands = 4)
+        .write.parquet(s"${st.bandIndexPath}/wave=0")
+      graft.ext.ClusterStore.build(st.clusterPath,
+        DedupOps.minhashDedupPairs(base, "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, threshold = 0.4))
+      graft.ext.AnnIndexStore.save(st.annPath,
+        base.filter(col("embedding").isNotNull), "doc_id", "embedding",
+        SimilarityOps.takeCentroids(t(s, d, "embeddings"), "vec_id",
+          "embedding", 8))
+      graft.ext.LexIndexStore.build(st.lexPath, base, "doc_id", "text")
+      graft.ext.IngestOps.ingestWave(s,
+        withVec.filter(col("doc_id") >= 100 && col("doc_id") < 300),
+        "doc_id", "text", "embedding", st, waveId = 1)
+      graft.ext.IngestOps.ingestWave(s,
+        withVec.filter(col("doc_id") >= 300),
+        "doc_id", "text", "embedding", st, waveId = 2)
+      ()
+    }
+
   /** Verified MinHash near-dup pairs at the catch-all 0.4 threshold, with
     * exact-Jaccard scores — consumers gate on `jaccard` (band candidates
     * are threshold-independent, so filtering the 0.4 table at 0.9 is
@@ -1219,6 +1255,16 @@ object SparkEntry {
     // candidates, exact 6dp verify) rejects survivors of the text gates
     "q_ingest_wave_semantic" -> ((s, d) =>
       s.read.parquet(s"${waveSemStore(s, d)}/report/wave=1")
+        .orderBy("doc_id")),
+
+    // TWO sequential waves, both reports: wave 2's corpus gate must see
+    // base ∪ wave-1 admissions through the accreted band index — the
+    // sequencing contract under full oracle replay (shingle/band state is
+    // population-independent at cap=∞, so one CTE chain serves both)
+    "q_ingest_wave_seq" -> ((s, d) =>
+      s.read.parquet(s"${waveSeqStore(s, d)}/report")
+        .select(col("doc_id"), col("disposition"),
+          col("wave").cast(LongType).as("wave"))
         .orderBy("doc_id")),
 
     // cluster-level BAN propagation (governance): a seed blocklist of docs
@@ -5436,6 +5482,120 @@ object SparkEntry {
                      WHEN doc_id IN (SELECT doc_id FROM slosers) THEN 'rejected_semantic_dup'
                      ELSE 'admitted' END AS disposition
          FROM batch ORDER BY doc_id""",
+
+    // two-stage replay of the sequential waves; shingles/bands/sizes are
+    // per-doc facts (cap = ∞ ⇒ population-independent), so ONE chain
+    // serves both waves and only the id-set restrictions differ
+    "q_ingest_wave_seq" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE text IS NOT NULL),
+              grams AS (SELECT doc_id, array_to_string(t[j:j+2], ' ') AS g
+                        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS j)
+                        WHERE j <= greatest(len(t) - 2, 1)),
+              sh AS (SELECT DISTINCT doc_id AS id,
+                            CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS sh
+                     FROM grams),
+              seeds AS (SELECT unnest(generate_series(0, 15)) AS i),
+              sigs AS (SELECT id, i,
+                              MIN(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
+                       FROM sh, seeds GROUP BY id, i),
+              banded AS (SELECT id, CAST(i // 4 AS INT) AS band,
+                                md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
+                         FROM sigs GROUP BY id, CAST(i // 4 AS INT)),
+              sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+              f AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS avg_token_len,
+                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                      x -> x = '#' OR contains(x, '...'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS symbol_ratio,
+                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS alpha_ratio,
+                CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the', 'a', 'and', 'of'))) AS BIGINT) AS n_stop_hits
+                    FROM documents WHERE doc_id >= 100 AND text IS NOT NULL),
+              gids AS (SELECT doc_id FROM f
+                       WHERE (n_tokens BETWEEN 20 AND 80)
+                         AND (avg_token_len >= 3.0 AND avg_token_len <= 10.0)
+                         AND (symbol_ratio <= 0.1) AND (alpha_ratio >= 0.8)
+                         AND (n_stop_hits >= 2)),
+              g1 AS (SELECT doc_id FROM gids WHERE doc_id < 300),
+              g2 AS (SELECT doc_id FROM gids WHERE doc_id >= 300),
+              bc1 AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                      FROM banded a JOIN banded b
+                        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+                      WHERE a.id IN (SELECT doc_id FROM g1)
+                        AND b.id IN (SELECT doc_id FROM g1)),
+              bcom1 AS (SELECT c.id1, c.id2, CAST(COUNT(*) AS BIGINT) AS cm
+                        FROM bc1 c JOIN sh a ON a.id = c.id1
+                        JOIN sh b ON b.id = c.id2 AND b.sh = a.sh
+                        GROUP BY c.id1, c.id2),
+              blos1 AS (SELECT DISTINCT c.id2 AS doc_id
+                        FROM bcom1 c JOIN sizes s1 ON s1.id = c.id1
+                        JOIN sizes s2 ON s2.id = c.id2
+                        WHERE ROUND(CAST(c.cm AS DOUBLE) / (s1.sz + s2.sz - c.cm), 4) >= 0.4),
+              kept1 AS (SELECT doc_id FROM g1
+                        WHERE doc_id NOT IN (SELECT doc_id FROM blos1)),
+              xc1 AS (SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
+                      FROM banded a JOIN banded b
+                        ON a.band = b.band AND a.band_key = b.band_key
+                      WHERE a.id IN (SELECT doc_id FROM kept1) AND b.id < 100),
+              xcom1 AS (SELECT c.new_id, c.corpus_id, CAST(COUNT(*) AS BIGINT) AS cm
+                        FROM xc1 c JOIN sh a ON a.id = c.new_id
+                        JOIN sh b ON b.id = c.corpus_id AND b.sh = a.sh
+                        GROUP BY c.new_id, c.corpus_id),
+              xlos1 AS (SELECT DISTINCT c.new_id AS doc_id
+                        FROM xcom1 c JOIN sizes s1 ON s1.id = c.new_id
+                        JOIN sizes s2 ON s2.id = c.corpus_id
+                        WHERE ROUND(CAST(c.cm AS DOUBLE) / (s1.sz + s2.sz - c.cm), 4) >= 0.4),
+              adm1 AS (SELECT doc_id FROM kept1
+                       WHERE doc_id NOT IN (SELECT doc_id FROM xlos1)),
+              bc2 AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                      FROM banded a JOIN banded b
+                        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+                      WHERE a.id IN (SELECT doc_id FROM g2)
+                        AND b.id IN (SELECT doc_id FROM g2)),
+              bcom2 AS (SELECT c.id1, c.id2, CAST(COUNT(*) AS BIGINT) AS cm
+                        FROM bc2 c JOIN sh a ON a.id = c.id1
+                        JOIN sh b ON b.id = c.id2 AND b.sh = a.sh
+                        GROUP BY c.id1, c.id2),
+              blos2 AS (SELECT DISTINCT c.id2 AS doc_id
+                        FROM bcom2 c JOIN sizes s1 ON s1.id = c.id1
+                        JOIN sizes s2 ON s2.id = c.id2
+                        WHERE ROUND(CAST(c.cm AS DOUBLE) / (s1.sz + s2.sz - c.cm), 4) >= 0.4),
+              kept2 AS (SELECT doc_id FROM g2
+                        WHERE doc_id NOT IN (SELECT doc_id FROM blos2)),
+              xc2 AS (SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
+                      FROM banded a JOIN banded b
+                        ON a.band = b.band AND a.band_key = b.band_key
+                      WHERE a.id IN (SELECT doc_id FROM kept2)
+                        AND (b.id < 100 OR b.id IN (SELECT doc_id FROM adm1))),
+              xcom2 AS (SELECT c.new_id, c.corpus_id, CAST(COUNT(*) AS BIGINT) AS cm
+                        FROM xc2 c JOIN sh a ON a.id = c.new_id
+                        JOIN sh b ON b.id = c.corpus_id AND b.sh = a.sh
+                        GROUP BY c.new_id, c.corpus_id),
+              xlos2 AS (SELECT DISTINCT c.new_id AS doc_id
+                        FROM xcom2 c JOIN sizes s1 ON s1.id = c.new_id
+                        JOIN sizes s2 ON s2.id = c.corpus_id
+                        WHERE ROUND(CAST(c.cm AS DOUBLE) / (s1.sz + s2.sz - c.cm), 4) >= 0.4)
+         SELECT doc_id,
+                CASE WHEN doc_id NOT IN (SELECT doc_id FROM g1) THEN 'rejected_quality'
+                     WHEN doc_id IN (SELECT doc_id FROM blos1) THEN 'rejected_batch_dup'
+                     WHEN doc_id IN (SELECT doc_id FROM xlos1) THEN 'rejected_corpus_dup'
+                     ELSE 'admitted' END AS disposition,
+                CAST(1 AS BIGINT) AS wave
+         FROM documents WHERE doc_id >= 100 AND doc_id < 300
+         UNION ALL
+         SELECT doc_id,
+                CASE WHEN doc_id NOT IN (SELECT doc_id FROM g2) THEN 'rejected_quality'
+                     WHEN doc_id IN (SELECT doc_id FROM blos2) THEN 'rejected_batch_dup'
+                     WHEN doc_id IN (SELECT doc_id FROM xlos2) THEN 'rejected_corpus_dup'
+                     ELSE 'admitted' END AS disposition,
+                CAST(2 AS BIGINT) AS wave
+         FROM documents WHERE doc_id >= 300
+         ORDER BY doc_id""",
 
     "q_cluster_ban" ->
       """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
