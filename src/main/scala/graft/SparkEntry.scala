@@ -1755,6 +1755,91 @@ object SparkEntry {
         t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
         "vbin", "event_type", "purchase", "view")),
 
+    // Spearman rank correlation: quantity vs line price — monotone
+    // association robust to the price column's heavy tail; doubled
+    // fractional ranks keep every moment exact-integer
+    "q_spearman" -> ((s, d) =>
+      graft.ops.StatsOps.spearmanCorr(
+        t(s, d, "lineitem"), "l_quantity", "l_extendedprice")),
+
+    // Mann-Whitney U: do purchase events sit at systematically higher
+    // values than views — the nonparametric shift test, tie-corrected z
+    "q_mann_whitney" -> ((s, d) =>
+      graft.ops.StatsOps.mannWhitneyU(
+        t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
+        "vbin", "event_type", "purchase", "view")),
+
+    // mutual information (nats) of the same contingency chi-square
+    // tests: dependence MAGNITUDE where chi2 gives significance
+    "q_mutual_info" -> ((s, d) =>
+      graft.ops.StatsOps.mutualInformation(t(s, d, "orders"),
+        "o_orderpriority", "o_orderstatus")),
+
+    // Cramér's V effect size from the same single chi-square pass —
+    // the ka/kb columns exist exactly so this needs no second scan
+    "q_cramers_v" -> ((s, d) =>
+      graft.ops.StatsOps.chiSquareIndependence(t(s, d, "orders"),
+          "o_orderpriority", "o_orderstatus")
+        .select(col("n"),
+          round(sqrt(col("chi2") /
+            (col("n") * (least(col("ka"), col("kb")) - 1))), 6)
+            .as("cramers_v"))),
+
+    // per-event-type OLS trendline of value over epoch seconds — exact
+    // integer moments (cents × seconds in DECIMAL), one double fit per
+    // group row
+    "q_ols_trend" -> ((s, d) =>
+      graft.ops.StatsOps.olsTrend(
+          t(s, d, "events").withColumn("xs", unix_timestamp(col("ts"))),
+          "event_type", "xs", "value")
+        .orderBy("event_type")),
+
+    // MAD robust outlier audit per event type: median/MAD and the count
+    // beyond 3 "robust sigmas" — the detector outliers can't drag
+    "q_mad_outliers" -> ((s, d) =>
+      graft.ops.StatsOps.madOutliers(t(s, d, "events"),
+          "event_type", "value", k = 3.0)
+        .orderBy("event_type")),
+
+    // exact ROC-AUC by rank-sum: does event value rank purchases above
+    // the rest — ties count half via fractional ranks, no curve built
+    "q_roc_auc" -> ((s, d) =>
+      graft.ops.EvalOps.rocAuc(
+        t(s, d, "events")
+          .withColumn("score", round(col("value"), 1))
+          .withColumn("y", col("event_type") === "purchase"),
+        "score", "y")),
+
+    // Brier score of a fixed logistic score against the purchase
+    // outcome — the strictly-proper rule punishing miscalibration too
+    "q_brier" -> ((s, d) =>
+      graft.ops.EvalOps.brierScore(
+        t(s, d, "events")
+          .withColumn("p", round(lit(1.0) /
+            (lit(1.0) + exp(-((col("value") - 50.0) / 25.0))), 6))
+          .withColumn("y", col("event_type") === "purchase"),
+        "p", "y")),
+
+    // reliability table of the same logistic score: per-bin mean
+    // prediction vs realized positive rate — the calibration diagram
+    "q_calibration_bins" -> ((s, d) =>
+      graft.ops.EvalOps.calibrationBins(
+        t(s, d, "events")
+          .withColumn("p", round(lit(1.0) /
+            (lit(1.0) + exp(-((col("value") - 50.0) / 25.0))), 6))
+          .withColumn("y", col("event_type") === "purchase"),
+        "p", "y", bins = 10)),
+
+    // Cohen's kappa between two binary raters (status=F vs high
+    // priority): agreement beyond chance, all-integer until one divide
+    "q_cohen_kappa" -> ((s, d) =>
+      graft.ops.EvalOps.cohenKappa(
+        t(s, d, "orders")
+          .withColumn("a", col("o_orderstatus") === "F")
+          .withColumn("b",
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        "a", "b")),
+
     // l-diversity release audit — k-anonymity's sharper sibling: a cell
     // can hold many rows yet leak exactly because every row shares one
     // sensitive value; cells need ≥ 3 distinct balances to pass
@@ -6164,6 +6249,8 @@ object SparkEntry {
                                           / (CAST(ra AS DOUBLE) * rb / n), 8) AS DECIMAL(20,8)) AS t
                         FROM cells CROSS JOIN tot)
          SELECT n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+                CAST((SELECT COUNT(*) FROM ra) AS BIGINT) AS ka,
+                CAST((SELECT COUNT(*) FROM rb) AS BIGINT) AS kb,
                 CAST(((SELECT COUNT(*) FROM ra) - 1) * ((SELECT COUNT(*) FROM rb) - 1) AS BIGINT) AS dof,
                 CAST(SUM(t) AS DOUBLE) AS chi2
          FROM terms GROUP BY n""",
@@ -6184,6 +6271,226 @@ object SparkEntry {
                      FROM cum WHERE na > 0 AND nb > 0)
          SELECT na AS n_a, nb AS n_b, d AS ks_stat, v AS at_v
          FROM dd ORDER BY d DESC, v ASC LIMIT 1""",
+
+    // doubled fractional ranks (2·avgRank = 2·cntLess + ties + 1) keep
+    // every moment exact-integer (HUGEINT here, DECIMAL(38,0) in Spark);
+    // the one double division happens on the final row
+    "q_spearman" ->
+      """WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+                       WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+              cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY x),
+              rx AS (SELECT x, COALESCE(SUM(c) OVER (ORDER BY x ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + c + 1 AS r2 FROM cx),
+              cy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY y),
+              ry AS (SELECT y, COALESCE(SUM(c) OVER (ORDER BY y ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + c + 1 AS r2 FROM cy),
+              j AS (SELECT CAST(rx.r2 AS HUGEINT) AS rxv, CAST(ry.r2 AS HUGEINT) AS ryv
+                    FROM base JOIN rx ON base.x = rx.x JOIN ry ON base.y = ry.y),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(rxv) AS sx, SUM(ryv) AS sy,
+                           SUM(rxv * rxv) AS sxx, SUM(ryv * ryv) AS syy,
+                           SUM(rxv * ryv) AS sxy
+                    FROM j)
+         SELECT n,
+                CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                     THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                                SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+                                     CAST(n * syy - sy * sy AS DOUBLE)), 8)
+                END AS rho
+         FROM m""",
+
+    "q_mann_whitney" ->
+      """WITH f AS (SELECT ROUND(value, 0) AS v, event_type AS g FROM events
+                    WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+              c AS (SELECT v, CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                           CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                    FROM f GROUP BY v),
+              r AS (SELECT ca, cb, ca + cb AS t,
+                           COALESCE(SUM(ca + cb) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + (ca + cb) + 1 AS r2
+                    FROM c),
+              m AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+                           SUM(CAST(ca AS HUGEINT) * CAST(r2 AS HUGEINT)) AS ra2,
+                           SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS ties
+                    FROM r),
+              u AS (SELECT na, nb, ties,
+                           CAST(ra2 - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2.0 AS ua,
+                           CAST(CAST(na AS HUGEINT) * nb * 2 - (ra2 - CAST(na AS HUGEINT) * (na + 1)) AS DOUBLE) / 2.0 AS ub,
+                           CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+                             (CAST(na + nb + 1 AS DOUBLE) -
+                              CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))) AS varu
+                    FROM m WHERE na > 0 AND nb > 0)
+         SELECT na AS n_a, nb AS n_b, ua AS u_a, ub AS u_b,
+                CASE WHEN varu > 0
+                     THEN ROUND((ua - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) / SQRT(varu), 8)
+                END AS z
+         FROM u""",
+
+    // observed cells only: 0·ln 0 = 0, so empty grid cells add nothing
+    // (unlike chi2's (0-e)^2/e); clamp at 0 so per-term rounding can't
+    // leak a cross-engine -0.0
+    "q_mutual_info" ->
+      """WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b, CAST(COUNT(*) AS BIGINT) AS o
+                      FROM orders
+                      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+                      GROUP BY 1, 2),
+              ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY a),
+              rb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS rb FROM obs GROUP BY b),
+              tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+              terms AS (SELECT n,
+                               CAST(ROUND(CAST(o AS DOUBLE) / n *
+                                          LN(CAST(o AS DOUBLE) * n / (CAST(ra AS DOUBLE) * rb)), 8)
+                                    AS DECIMAL(20,8)) AS t
+                        FROM obs JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot)
+         SELECT n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+                GREATEST(ROUND(CAST(SUM(t) AS DOUBLE), 6), 0.0) AS mi
+         FROM terms GROUP BY n""",
+
+    "q_cramers_v" ->
+      """WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b, CAST(COUNT(*) AS BIGINT) AS o
+                      FROM orders
+                      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+                      GROUP BY 1, 2),
+              ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY a),
+              rb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS rb FROM obs GROUP BY b),
+              tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+              cells AS (SELECT ra.a, rb.b, ra.ra, rb.rb, COALESCE(obs.o, 0) AS o
+                        FROM ra CROSS JOIN rb
+                        LEFT JOIN obs ON obs.a = ra.a AND obs.b = rb.b),
+              terms AS (SELECT n,
+                               CAST(ROUND((o - CAST(ra AS DOUBLE) * rb / n)
+                                          * (o - CAST(ra AS DOUBLE) * rb / n)
+                                          / (CAST(ra AS DOUBLE) * rb / n), 8) AS DECIMAL(20,8)) AS t
+                        FROM cells CROSS JOIN tot),
+              chi AS (SELECT n, CAST(SUM(t) AS DOUBLE) AS chi2,
+                             CAST((SELECT COUNT(*) FROM ra) AS BIGINT) AS ka,
+                             CAST((SELECT COUNT(*) FROM rb) AS BIGINT) AS kb
+                      FROM terms GROUP BY n)
+         SELECT n, ROUND(SQRT(chi2 / (n * (LEAST(ka, kb) - 1))), 6) AS cramers_v
+         FROM chi""",
+
+    // exact integer moments in HUGEINT (DECIMAL(38,0) in Spark); slope
+    // fitted in cents-per-second then scaled back to value units
+    "q_ols_trend" ->
+      """WITH base AS (SELECT event_type AS g,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS x,
+                              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+                       FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+              m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                           SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                           SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                           SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+                    FROM base GROUP BY g),
+              d AS (SELECT g, n,
+                           n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+                           n * sxy - sx * sy AS num, sx, sy
+                    FROM m)
+         SELECT g AS event_type, n,
+                CASE WHEN dx > 0
+                     THEN ROUND(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) / 100.0, 8)
+                END AS slope,
+                CASE WHEN dx > 0
+                     THEN ROUND((CAST(sy AS DOUBLE) - CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                / CAST(n AS DOUBLE) / 100.0, 8)
+                END AS intercept,
+                CASE WHEN dx > 0 AND dy > 0
+                     THEN ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+                                (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 8)
+                END AS r2
+         FROM d ORDER BY event_type""",
+
+    // median/MAD via interpolated quantile_cont = Spark's percentile();
+    // both rounded 6dp BEFORE deviations so the outlier threshold
+    // compares identical doubles in both engines
+    "q_mad_outliers" ->
+      """WITH base AS (SELECT event_type AS g, value AS v FROM events
+                       WHERE value IS NOT NULL),
+              med AS (SELECT g, ROUND(quantile_cont(v, 0.5), 6) AS med
+                      FROM base GROUP BY g),
+              dev AS (SELECT base.g, base.v, med.med, ABS(base.v - med.med) AS d
+                      FROM base JOIN med ON base.g = med.g),
+              mad AS (SELECT g, ROUND(quantile_cont(d, 0.5), 6) AS mad
+                      FROM dev GROUP BY g)
+         SELECT dev.g AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                dev.med, mad.mad,
+                CAST(SUM(CASE WHEN dev.d > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM dev JOIN mad ON dev.g = mad.g
+         GROUP BY dev.g, dev.med, mad.mad
+         ORDER BY event_type""",
+
+    // rank-sum AUC: doubled fractional ranks over the score histogram,
+    // AUC = 2U+ / (2 n+ n-) with ties counting half
+    "q_roc_auc" ->
+      """WITH f AS (SELECT ROUND(value, 1) AS v, (event_type = 'purchase') AS y FROM events
+                    WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              c AS (SELECT v, CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                           CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cn
+                    FROM f GROUP BY v),
+              r AS (SELECT cp, cn,
+                           COALESCE(SUM(cp + cn) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + (cp + cn) + 1 AS r2
+                    FROM c),
+              m AS (SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn,
+                           SUM(CAST(cp AS HUGEINT) * CAST(r2 AS HUGEINT)) AS rp2
+                    FROM r)
+         SELECT np AS n_pos, nn AS n_neg,
+                ROUND(CAST(rp2 - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE) /
+                      (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE) * 2.0), 8) AS auc
+         FROM m WHERE np > 0 AND nn > 0""",
+
+    // the logistic score is rounded to 6dp BEFORE any aggregation, so
+    // both engines square and sum identical doubles
+    "q_brier" ->
+      """WITH f AS (SELECT ROUND(1.0 / (1.0 + EXP(-((value - 50.0) / 25.0))), 6) AS p,
+                           (event_type = 'purchase') AS y
+                    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              t AS (SELECT CAST(ROUND((p - (CASE WHEN y THEN 1.0 ELSE 0.0 END))
+                                      * (p - (CASE WHEN y THEN 1.0 ELSE 0.0 END)), 8)
+                                 AS DECIMAL(28,8)) AS t
+                    FROM f)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(CAST(SUM(t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 8) AS brier
+         FROM t""",
+
+    "q_calibration_bins" ->
+      """WITH f AS (SELECT ROUND(1.0 / (1.0 + EXP(-((value - 50.0) / 25.0))), 6) AS p,
+                           (event_type = 'purchase') AS y
+                    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              b AS (SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+                           CAST(ROUND(p, 8) AS DECIMAL(28,8)) AS pp,
+                           CASE WHEN y THEN 1 ELSE 0 END AS yy
+                    FROM f),
+              g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, SUM(pp) AS sp,
+                           CAST(SUM(yy) AS BIGINT) AS pos
+                    FROM b GROUP BY bin),
+              o AS (SELECT bin, n,
+                           ROUND(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_pred,
+                           ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos
+                    FROM g)
+         SELECT bin, n, mean_pred, frac_pos,
+                ROUND(mean_pred - frac_pos, 6) AS gap
+         FROM o ORDER BY bin""",
+
+    // kappa in the all-integer form (diag·n − Σ ra·rb)/(n² − Σ ra·rb);
+    // the marginal-product join runs over labels BOTH raters use
+    "q_cohen_kappa" ->
+      """WITH f AS (SELECT (o_orderstatus = 'F') AS a,
+                           (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS b
+                    FROM orders
+                    WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
+              obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM f GROUP BY a, b),
+              ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY a),
+              rb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS rb FROM obs GROUP BY b),
+              s AS (SELECT COALESCE(SUM(CAST(ra.ra AS HUGEINT) * CAST(rb.rb AS HUGEINT)), 0) AS s
+                    FROM ra JOIN rb ON ra.a = rb.b),
+              d AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS diag
+                    FROM obs)
+         SELECT n,
+                ROUND(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+                ROUND(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+                CASE WHEN CAST(n AS HUGEINT) * n - s > 0
+                     THEN ROUND(CAST(CAST(diag AS HUGEINT) * n - s AS DOUBLE) /
+                                CAST(CAST(n AS HUGEINT) * n - s AS DOUBLE), 8)
+                     WHEN diag = n THEN 1.0 END AS kappa
+         FROM d CROSS JOIN s WHERE n > 0""",
 
     "q_ldiversity" ->
       """SELECT c_nationkey, c_mktsegment,

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Model-evaluation metrics — the numbers that decide whether a quality
+ * classifier is good enough to gate corpus admission: ranking power
+ * (ROC-AUC), probability honesty (Brier, reliability bins), and
+ * rater agreement (Cohen's kappa). Extends the reference's QC surface
+ * (`/root/reference/dag_mgo_pg_schedule_etl_qc.py:333-369` checks data,
+ * not models) to the model-audit side a training-data pipeline needs
+ * before trusting a learned filter ([[graft.ext.ClassifyOps]] trains
+ * and sweeps; this scores).
+ *
+ * Shared discipline: every metric reduces to exact-integer (or
+ * per-row-rounded DECIMAL) sums with at most one double expression on
+ * the final aggregated row — partition order can never wiggle a score.
+ */
+object EvalOps {
+
+  /**
+   * Exact ROC-AUC by rank-sum — the Mann–Whitney identity
+   * AUC = U⁺/(n⁺·n⁻): the probability a random positive outranks a
+   * random negative, with tied scores counting ½ (fractional average
+   * ranks, exactly the trapezoidal ROC convention). No curve is
+   * materialized and no threshold chosen — AUC of the raw scores.
+   * Emits one row (n_pos, n_neg, auc), 8dp; a single-class input emits
+   * no row (no ranking question to answer).
+   *
+   * Deterministic by construction: doubled ranks (see
+   * [[StatsOps.doubledRanks]]) keep the rank-sum exact-integer in
+   * DECIMAL; the one double division runs on the final row. Exact at
+   * any n that fits DECIMAL(38,0) sums (n ≲ 1e18).
+   *
+   * Scale: one support-sized score histogram + a cumulative window over
+   * the SORTED DISTINCT support + a one-row reduce — the corpus streams
+   * once and is never sorted. Pre-round unbounded continuous scores
+   * (the [[StatsOps.ksStatistic]] convention) to bound the support.
+   */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__v"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("cp"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("cn"))
+      .withColumn("__t", col("cp") + col("cn"))
+    val ranked = StatsOps.doubledRanks(counts, "__v", "__t")
+    val m = ranked.agg(
+      sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+      sum(col("cp").cast(dec) * col("__r2").cast(dec)).as("rp2"))
+    val np = col("np"); val nn = col("nn")
+    // 2U⁺ = 2R⁺ − n⁺(n⁺+1), exact; AUC = 2U⁺ / (2·n⁺·n⁻)
+    val u2 = col("rp2") - (np.cast(dec) * (np + 1).cast(dec))
+    m.filter(np > 0 && nn > 0)
+      .select(np.as("n_pos"), nn.as("n_neg"),
+        round(u2.cast("double") /
+          (np.cast("double") * nn.cast("double") * 2.0), 8).as("auc"))
+  }
+
+  /**
+   * BRIER score — mean squared gap between predicted probability and
+   * the 0/1 outcome: the strictly-proper scoring rule that punishes
+   * both bad ranking AND bad calibration (an always-0.5 model scores
+   * 0.25; a perfect one 0). Emits one row (n, brier), 8dp.
+   *
+   * Deterministic: each (p − y)² rounds to 8dp and sums through
+   * DECIMAL; one double division at the end.
+   *
+   * Scale: one partial+final aggregate, no shuffle beyond it.
+   */
+  def brierScore(df: DataFrame, probCol: String,
+                 labelCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+    val y = when(col(labelCol), 1.0).otherwise(0.0)
+    df.filter(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .select(round((col(probCol) - y) * (col(probCol) - y), 8)
+        .cast(dec).as("__t"))
+      .agg(count(lit(1)).as("n"), sum(col("__t")).as("__s"))
+      .filter(col("n") > 0)
+      .select(col("n"),
+        round(col("__s").cast("double") / col("n").cast("double"), 8)
+          .as("brier"))
+  }
+
+  /**
+   * RELIABILITY (calibration) bins — the table behind a reliability
+   * diagram: bucket predictions into `bins` equal-width probability
+   * bins and compare each bin's mean predicted probability against its
+   * realized positive rate. A calibrated model sits on the diagonal;
+   * the gap column is the per-bin calibration error a dashboard plots
+   * (and Σ n·|gap|/N is ECE, one SUM away). p = 1.0 folds into the top
+   * bin (half-open bins, closed at 1). Emits (bin, n, mean_pred,
+   * frac_pos, gap) per non-empty bin, 6dp, ordered by bin.
+   *
+   * Deterministic: per-row probabilities round to 8dp into a DECIMAL
+   * sum (float adds never reorder); counts exact.
+   *
+   * Scale: one |bins|-row aggregate; the corpus streams once.
+   */
+  def calibrationBins(df: DataFrame, probCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+    val base = df.filter(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(floor(col(probCol) * bins).cast("long"), lit(bins - 1L))
+          .as("bin"),
+        round(col(probCol), 8).cast(dec).as("__p"),
+        when(col(labelCol), 1L).otherwise(0L).as("__y"))
+    base.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("__sp"),
+        sum(col("__y")).as("__pos"))
+      .select(col("bin"), col("n"),
+        round(col("__sp").cast("double") / col("n").cast("double"), 6)
+          .as("mean_pred"),
+        round(col("__pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"))
+      .withColumn("gap", round(col("mean_pred") - col("frac_pos"), 6))
+      .orderBy("bin")
+  }
+
+  /**
+   * COHEN'S KAPPA — agreement between two categorical raters beyond
+   * chance: κ = (pₒ − pₑ)/(1 − pₑ), which reduces to the all-integer
+   * form (diag·n − Σ rᵃ·rᵇ)/(n² − Σ rᵃ·rᵇ) — the annotation-QC number
+   * ("do these two labelers actually agree or just both say 'good' a
+   * lot"). NULL in either column excludes the row (the chi² contract).
+   * Emits one row (n, po, pe, kappa), po/pe 6dp, κ 8dp. Degenerate
+   * chance-perfect inputs (pₑ = 1, i.e. both raters constant): κ is 1
+   * if they agree on the constant, NULL otherwise (0/0 has no value).
+   *
+   * Deterministic by construction: diag, marginal products, and n are
+   * exact integers in DECIMAL; each emitted ratio is one double
+   * division on the final row.
+   *
+   * Scale: one (a, b) cell aggregate + marginal rollups — identical
+   * shape to [[StatsOps.chiSquareIndependence]]; the corpus streams
+   * once.
+   */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val obs = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy("__a").agg(sum(col("o")).as("ra"))
+    val rb = obs.groupBy("__b").agg(sum(col("o")).as("rb"))
+    // Σ rᵃ·rᵇ over the label pairs BOTH raters use — categories only
+    // one rater emits contribute 0 to pₑ (their partner marginal is 0),
+    // so the inner join over shared labels is exact
+    val s = ra.join(rb, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("ra").cast(dec) * col("rb").cast(dec)),
+        lit(0).cast(dec)).as("s"))
+    val diag = obs
+      .agg(sum(col("o")).as("n"),
+        sum(when(col("__a") === col("__b"), col("o")).otherwise(0L))
+          .as("diag"))
+    val n2 = col("n").cast(dec) * col("n").cast(dec)
+    val dn = col("diag").cast(dec) * col("n").cast(dec)
+    diag.crossJoin(broadcast(s))
+      .filter(col("n") > 0)
+      .select(col("n"),
+        round(col("diag").cast("double") / col("n").cast("double"), 6)
+          .as("po"),
+        round(col("s").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), 6).as("pe"),
+        when(n2 - col("s") > 0,
+          round((dn - col("s")).cast("double") /
+            (n2 - col("s")).cast("double"), 8))
+          .otherwise(when(col("diag") === col("n"), lit(1.0))
+            .otherwise(lit(null).cast("double"))).as("kappa"))
+  }
+}

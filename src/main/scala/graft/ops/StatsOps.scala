@@ -122,7 +122,11 @@ object StatsOps {
       .agg(count(lit(1)).as("n_cells"),
         sum(col("__t")).cast("double").as("chi2"))
       .crossJoin(broadcast(dof))
-      .select(col("n"), col("n_cells"), col("dof"), col("chi2"))
+      // ka/kb ride along so effect-size derivations (Cramér's V divides
+      // by min(ka−1, kb−1), which dof alone cannot recover) need no
+      // second pass over the data
+      .select(col("n"), col("n_cells"), col("ka"), col("kb"),
+        col("dof"), col("chi2"))
   }
 
   /**
@@ -287,6 +291,247 @@ object StatsOps {
         when(col("n_cats") === 1, lit(1.0))
           .otherwise(round(col("__h") /
             log(col("n_cats").cast("double")), 6)).as("evenness"))
+  }
+
+  /**
+   * DOUBLED fractional (average) rank per distinct value — an exact
+   * INTEGER: the average rank of a tied value v is cntLess + (t+1)/2
+   * (t = v's multiplicity), so 2·avgRank = 2·cntLess + t + 1 stays
+   * integral and every downstream moment can sum exactly. Built from the
+   * distinct-value histogram (the [[ksStatistic]] discipline): the corpus
+   * streams once into a support-sized aggregate; the cumulative window
+   * orders the SORTED DISTINCT support, never the corpus.
+   */
+  private[graft] def doubledRanks(counts: DataFrame, vCol: String,
+                                  cCol: String): DataFrame = {
+    val w = Window.orderBy(col(vCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts.withColumn("__r2",
+      coalesce(sum(col(cCol)).over(w), lit(0L)) * 2 + col(cCol) + 1)
+  }
+
+  /**
+   * SPEARMAN rank correlation between two numeric columns — "do these
+   * move together monotonically", robust to outliers and any monotone
+   * rescaling (the right correlation for heavy-tailed quality scores,
+   * token counts, prices). Ties get fractional average ranks (the
+   * standard tie treatment). Emits one row (n, rho), rho 8dp; a constant
+   * column (zero rank variance) emits rho NULL rather than NaN.
+   *
+   * Deterministic BY CONSTRUCTION, not by rounding: doubled ranks are
+   * exact integers, so all five moments (Σx, Σy, Σx², Σy², Σxy) sum
+   * exactly in DECIMAL(38,0) — partition order cannot wiggle them; the
+   * single double division happens once on the final row. Exact while
+   * n·Σx² = 4n⁴ fits DECIMAL(38): n ≲ 1.5e9 non-null rows — beyond
+   * that, pre-bin values (the KS convention) to shrink rank magnitudes.
+   *
+   * Scale: one support-sized histogram + cumulative window per column
+   * (sorted distinct support, not corpus), two rank-map joins back to
+   * the rows, one partial+final aggregate. No corpus-wide sort.
+   */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val base = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def rankMap(c: String, out: String) =
+      doubledRanks(
+        base.groupBy(col(c).as(c)).agg(count(lit(1)).as("__c")), c, "__c")
+        .select(col(c), col("__r2").as(out))
+    val joined = base
+      .join(rankMap("__x", "__rx"), "__x")
+      .join(rankMap("__y", "__ry"), "__y")
+    val rx = col("__rx").cast(dec); val ry = col("__ry").cast(dec)
+    val m = joined.agg(count(lit(1)).as("n"),
+      sum(rx).as("sx"), sum(ry).as("sy"),
+      sum(rx * rx).as("sxx"), sum(ry * ry).as("syy"),
+      sum(rx * ry).as("sxy"))
+    val nD = col("n").cast(dec)
+    val dx = nD * col("sxx") - col("sx") * col("sx")
+    val dy = nD * col("syy") - col("sy") * col("sy")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    m.select(col("n"),
+      when(dx > 0 && dy > 0,
+        round(num.cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double")), 8))
+        .otherwise(lit(null).cast("double")).as("rho"))
+  }
+
+  /**
+   * MANN–WHITNEY U rank-sum test — "does one slice stochastically
+   * dominate the other", the nonparametric two-sample location test
+   * (where [[ksStatistic]] asks about the whole distribution shape, U
+   * asks specifically about shift). Fractional ranks over the COMBINED
+   * sample; emits one row (n_a, n_b, u_a, u_b, z) with the tie-corrected
+   * normal approximation z (8dp) — the caller compares |z| to 1.96.
+   * U_a + U_b = n_a·n_b always (the classic identity). Empty samples
+   * emit no row; an all-tied sample (zero variance) emits z NULL.
+   *
+   * Deterministic by construction: doubled ranks and tie terms are exact
+   * integers summed in DECIMAL; the one double expression (z) runs on the
+   * final single row.
+   *
+   * Scale: one support-sized histogram + one cumulative window over the
+   * sorted distinct support + a one-row reduce. Pre-bin unbounded
+   * continuous values (the KS convention).
+   */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("__t", col("ca") + col("cb"))
+    val ranked = doubledRanks(counts, "__v", "__t")
+    val m = ranked.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      // 2·R_A = Σ_v ca_v · r2_v — exact; and the tie-correction mass
+      // Σ (t³ − t), also exact in decimal
+      sum(col("ca").cast(dec) * col("__r2").cast(dec)).as("ra2"),
+      sum(col("__t").cast(dec) * col("__t").cast(dec) *
+        col("__t").cast(dec) - col("__t").cast(dec)).as("ties"))
+    val na = col("na"); val nb = col("nb")
+    val n = na + nb
+    // 2·U_A = 2·R_A − n_a(n_a+1): still exact-integer in decimal
+    val ua2 = col("ra2") - (na.cast(dec) * (na + 1).cast(dec))
+    val ub2 = (na.cast(dec) * nb.cast(dec)) * 2 - ua2
+    val uaD = ua2.cast("double") / 2.0
+    // tie-corrected variance of U: n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))
+    val varU = na.cast("double") * nb.cast("double") / 12.0 *
+      ((n + 1).cast("double") -
+        col("ties").cast("double") / (n.cast("double") * (n - 1).cast("double")))
+    m.filter(na > 0 && nb > 0)
+      .select(na.as("n_a"), nb.as("n_b"),
+        uaD.as("u_a"), (ub2.cast("double") / 2.0).as("u_b"),
+        when(varU > 0,
+          round((uaD - na.cast("double") * nb.cast("double") / 2.0) /
+            sqrt(varU), 8))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /**
+   * MUTUAL INFORMATION (nats) between two categorical columns — "how many
+   * nats does knowing a tell you about b": the magnitude companion to
+   * [[chiSquareIndependence]]'s significance test, and the standard
+   * feature-vs-label dependence score when picking stratification keys.
+   * Only OBSERVED cells contribute (0·ln 0 = 0 — empty cells add nothing,
+   * unlike chi²'s (0−e)²/e). NULL in either column excludes the row (a
+   * null is an absent observation, not a category — the chi² contract).
+   * Emits one row (n, n_cells, mi), mi 6dp clamped at 0 (per-term 8dp
+   * rounding could otherwise leak a −0.000001 on exact independence,
+   * and −0.0 vs 0.0 is a cross-engine hash break).
+   *
+   * Deterministic: counts exact; each (o/n)·ln(o·n/(ra·rb)) term rounds
+   * to 8dp and sums through DECIMAL.
+   *
+   * Scale: identical shape to chi² — one cell aggregate + two marginal
+   * rollups + a one-row total; the corpus streams once.
+   */
+  def mutualInformation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 8)
+    val obs = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy("__a").agg(sum(col("o")).as("ra"))
+    val rb = obs.groupBy("__b").agg(sum(col("o")).as("rb"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    val p = col("o").cast("double") / col("n")
+    val term = p * log(col("o").cast("double") * col("n") /
+      (col("ra").cast("double") * col("rb")))
+    obs.join(ra, "__a").join(rb, "__b").crossJoin(broadcast(tot))
+      .select(col("n"), round(term, 8).cast(dec).as("__t"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_cells"),
+        greatest(round(sum(col("__t")).cast("double"), 6), lit(0.0)).as("mi"))
+      .select(col("n"), col("n_cells"), col("mi"))
+  }
+
+  /**
+   * Per-group ORDINARY LEAST SQUARES trend — slope/intercept/r² of
+   * `yCol` (money-scale, quantized to exact cents) against `xCol`
+   * (integral: epoch seconds, day numbers, sequence indices): "is this
+   * segment's revenue growing and how fast", the dashboard trendline as
+   * a single aggregate instead of a fitted model. Emits (group, n,
+   * slope, intercept, r2); slope/intercept in original y units per x
+   * unit, 8dp; a single point or zero x-variance emits NULL fit columns.
+   *
+   * Deterministic by construction (the [[spearmanCorr]] discipline): x
+   * and y-cents are exact integers, all five moments sum in
+   * DECIMAL(38,0), and the per-group double arithmetic runs once on the
+   * aggregated row. Dirty y values (NaN, |y| > 1e13) drop their row —
+   * the [[cents]] contract.
+   *
+   * Scale: one partial+final aggregate, output |groups| rows; the
+   * corpus streams once, no sort, no window.
+   */
+  def olsTrend(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .select(col(groupCol), col(xCol).cast("long").as("__x"),
+        cents(col(yCol)).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val x = col("__x").cast(dec); val y = col("__y").cast(dec)
+    val m = base.groupBy(groupCol).agg(count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val nD = col("n").cast(dec)
+    val dx = nD * col("sxx") - col("sx") * col("sx")
+    val dy = nD * col("syy") - col("sy") * col("sy")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    // slope in cents-per-x, then /100 back to y units; intercept
+    // likewise: (Σy − slope·Σx)/n computed in double on the final row
+    val slopeC = num.cast("double") / dx.cast("double")
+    m.select(col(groupCol), col("n"),
+      when(dx > 0, round(slopeC / 100.0, 8))
+        .otherwise(lit(null).cast("double")).as("slope"),
+      when(dx > 0,
+        round((col("sy").cast("double") - slopeC * col("sx").cast("double")) /
+          col("n").cast("double") / 100.0, 8))
+        .otherwise(lit(null).cast("double")).as("intercept"),
+      when(dx > 0 && dy > 0,
+        round(num.cast("double") * num.cast("double") /
+          (dx.cast("double") * dy.cast("double")), 8))
+        .otherwise(lit(null).cast("double")).as("r2"))
+  }
+
+  /**
+   * MAD robust outlier audit per group — median absolute deviation, the
+   * outlier detector that (unlike mean/stddev z-scores) is not itself
+   * dragged by the outliers it hunts. Per group: median, MAD, and the
+   * count of rows with |v − med| > k · 1.4826 · MAD (1.4826 ≈ the
+   * normal-consistency constant, so k reads as "k sigmas"). Emits
+   * (group, n, med, mad, n_outliers), med/mad 6dp. An all-identical
+   * group has MAD 0 — every deviating row would be an outlier, of which
+   * there are none, so n_outliers = 0 falls out naturally.
+   *
+   * Scale: two exact-percentile aggregates (group-sized outputs) + one
+   * counting pass with the |groups|-row maps broadcast back — the
+   * corpus streams twice, never sorts. For corpora where exact
+   * percentile is too wide, `percentile_approx` drops in unchanged
+   * (the winsorize note).
+   */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val base = df.select(col(groupCol), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val med = base.groupBy(groupCol)
+      .agg(round(expr("percentile(__v, 0.5)"), 6).as("med"))
+    val dev = base.join(broadcast(med), Seq(groupCol))
+      .withColumn("__d", abs(col("__v") - col("med")))
+    val mad = dev.groupBy(groupCol)
+      .agg(round(expr("percentile(__d, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__d") > lit(k) * 1.4826 * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col(groupCol), col("n"), col("med"), col("mad"),
+        col("n_outliers"))
   }
 
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {

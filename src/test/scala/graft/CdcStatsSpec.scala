@@ -542,4 +542,153 @@ class CdcStatsSpec extends SparkSpec {
     split.getAs[Double]("rand_index") shouldBe 0.833333
     split.getAs[Double]("adjusted_rand") shouldBe 0.571429
   }
+
+  test("spearmanCorr: ±1 on monotone data, invariant under monotone rescale") {
+    import spark.implicits._
+    val xs = Seq(1.0, 3.0, 7.0, 12.0, 40.0, 41.0, 99.0)
+    val up = xs.map(x => (x, math.exp(x / 10))).toDF("x", "y")
+    graft.ops.StatsOps.spearmanCorr(up, "x", "y")
+      .head().getAs[Double]("rho") shouldBe 1.0
+    val down = xs.map(x => (x, -x * x)).toDF("x", "y")
+    graft.ops.StatsOps.spearmanCorr(down, "x", "y")
+      .head().getAs[Double]("rho") shouldBe -1.0
+    // rank correlation depends only on orderings: any increasing
+    // transform of either column leaves rho bit-identical
+    val rng = new scala.util.Random(7L)
+    val noisy = Seq.fill(60)((rng.nextInt(20).toDouble, rng.nextInt(20).toDouble))
+    val raw = graft.ops.StatsOps.spearmanCorr(noisy.toDF("x", "y"), "x", "y")
+      .head().getAs[Double]("rho")
+    val warped = graft.ops.StatsOps.spearmanCorr(
+      noisy.map { case (x, y) => (x * x * x, math.log1p(y)) }.toDF("x", "y"),
+      "x", "y").head().getAs[Double]("rho")
+    warped shouldBe raw
+  }
+
+  test("spearmanCorr: fractional tie ranks exact; constant column gives NULL") {
+    import spark.implicits._
+    // x = [1,2,2,3] vs y in the same tie pattern: rho exactly 1
+    val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0))
+      .toDF("x", "y")
+    graft.ops.StatsOps.spearmanCorr(tied, "x", "y")
+      .head().getAs[Double]("rho") shouldBe 1.0
+    // same tie structure but the tied block disagrees order-free: the
+    // hand value for ranks [1,2.5,2.5,4] vs [4,2.5,2.5,1] is -1
+    val anti = Seq((1.0, 40.0), (2.0, 20.0), (2.0, 20.0), (3.0, 10.0))
+      .toDF("x", "y")
+    graft.ops.StatsOps.spearmanCorr(anti, "x", "y")
+      .head().getAs[Double]("rho") shouldBe -1.0
+    val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    val r = graft.ops.StatsOps.spearmanCorr(const, "x", "y").head()
+    r.isNullAt(r.fieldIndex("rho")) shouldBe true
+  }
+
+  test("mannWhitneyU: U identity, disjoint supports, ties and empties") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11L)
+    val mixed = (Seq.fill(30)((rng.nextInt(15).toDouble, "a")) ++
+      Seq.fill(20)((rng.nextInt(15).toDouble, "b"))).toDF("v", "g")
+    val m = graft.ops.StatsOps.mannWhitneyU(mixed, "v", "g", "a", "b").head()
+    // the classic identity: U_a + U_b = n_a·n_b, exactly
+    m.getAs[Double]("u_a") + m.getAs[Double]("u_b") shouldBe
+      (m.getAs[Long]("n_a") * m.getAs[Long]("n_b")).toDouble
+    // all of a below all of b: U_a = 0 and z strongly negative
+    val apart = (Seq.fill(12)((1.0, "a")) ++ Seq.fill(12)((9.0, "b")))
+      .toDF("v", "g")
+    val d = graft.ops.StatsOps.mannWhitneyU(apart, "v", "g", "a", "b").head()
+    d.getAs[Double]("u_a") shouldBe 0.0
+    d.getAs[Double]("z") should be < -3.0
+    // every value tied: zero variance → z NULL, U_a = n_a·n_b/2
+    val flat = (Seq.fill(5)((7.0, "a")) ++ Seq.fill(5)((7.0, "b")))
+      .toDF("v", "g")
+    val f = graft.ops.StatsOps.mannWhitneyU(flat, "v", "g", "a", "b").head()
+    f.getAs[Double]("u_a") shouldBe 12.5
+    f.isNullAt(f.fieldIndex("z")) shouldBe true
+    // an absent group emits no row (the ksStatistic convention)
+    graft.ops.StatsOps.mannWhitneyU(apart, "v", "g", "a", "nope")
+      .count() shouldBe 0L
+  }
+
+  test("mutualInformation: 0 on independence, ln k on determinism, symmetric") {
+    import spark.implicits._
+    val indep = (0 until 100).map(i =>
+      (if (i % 2 == 0) "a1" else "a2", if (i / 2 % 2 == 0) "b1" else "b2"))
+      .toDF("a", "b")
+    val z = graft.ops.StatsOps.mutualInformation(indep, "a", "b").head()
+    z.getAs[Long]("n") shouldBe 100L
+    z.getAs[Double]("mi") shouldBe 0.0
+    // b determined by a over 2 uniform values: MI = ln 2
+    val dep = (0 until 100).map(i =>
+      (if (i % 2 == 0) "a1" else "a2", if (i % 2 == 0) "b1" else "b2"))
+      .toDF("a", "b")
+    graft.ops.StatsOps.mutualInformation(dep, "a", "b")
+      .head().getAs[Double]("mi") shouldBe (math.log(2.0) +- 1e-5)
+    // MI is symmetric in its arguments
+    val rng = new scala.util.Random(13L)
+    val noisy = Seq.fill(200)(
+      (s"a${rng.nextInt(3)}", s"b${rng.nextInt(4)}")).toDF("a", "b")
+    graft.ops.StatsOps.mutualInformation(noisy, "a", "b")
+      .head().getAs[Double]("mi") shouldBe
+      graft.ops.StatsOps.mutualInformation(
+        noisy.select(col("b").as("a"), col("a").as("b")), "a", "b")
+        .head().getAs[Double]("mi")
+  }
+
+  test("olsTrend: recovers an exact line, NULLs on degenerate x") {
+    import spark.implicits._
+    // y = 2.5·x + 40 exactly: slope/intercept recovered, r² = 1
+    val line = Seq.tabulate(20)(i => ("g", i.toLong * 10, 2.5 * (i * 10) + 40))
+      .toDF("g", "x", "y")
+    val fit = graft.ops.StatsOps.olsTrend(line, "g", "x", "y").head()
+    fit.getAs[Long]("n") shouldBe 20L
+    fit.getAs[Double]("slope") shouldBe 2.5
+    fit.getAs[Double]("intercept") shouldBe 40.0
+    fit.getAs[Double]("r2") shouldBe 1.0
+    // flat y: slope 0, r² NULL (zero y-variance), intercept = mean
+    val flat = Seq(("g", 1L, 7.0), ("g", 2L, 7.0), ("g", 3L, 7.0))
+      .toDF("g", "x", "y")
+    val f = graft.ops.StatsOps.olsTrend(flat, "g", "x", "y").head()
+    f.getAs[Double]("slope") shouldBe 0.0
+    f.getAs[Double]("intercept") shouldBe 7.0
+    f.isNullAt(f.fieldIndex("r2")) shouldBe true
+    // single point / constant x: no fit at all
+    val pt = Seq(("g", 5L, 1.0), ("g", 5L, 9.0)).toDF("g", "x", "y")
+    val p = graft.ops.StatsOps.olsTrend(pt, "g", "x", "y").head()
+    p.isNullAt(p.fieldIndex("slope")) shouldBe true
+    p.isNullAt(p.fieldIndex("intercept")) shouldBe true
+  }
+
+  test("madOutliers: robust to the outlier it flags; MAD-0 group flags none") {
+    import spark.implicits._
+    // 11 values near 10 plus one at 1000: classic mean/σ would be dragged;
+    // MAD flags exactly the one planted outlier
+    val vals = (Seq.fill(11)(10.0) ++ Seq(9.0, 11.0, 1000.0)).map(("g", _))
+    val r = graft.ops.StatsOps.madOutliers(vals.toDF("g", "v"), "g", "v")
+      .head()
+    r.getAs[Long]("n") shouldBe 14L
+    r.getAs[Double]("med") shouldBe 10.0
+    r.getAs[Double]("mad") shouldBe 0.0 +- 1e-9
+    // MAD 0: threshold 0, every deviation > 0 flags — 9.0, 11.0, 1000.0
+    r.getAs[Long]("n_outliers") shouldBe 3L
+    // spread group: only the planted point exceeds 3 robust sigmas
+    val spread = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 500.0))
+      .map(("g", _))
+    val s = graft.ops.StatsOps.madOutliers(spread.toDF("g", "v"), "g", "v")
+      .head()
+    s.getAs[Double]("med") shouldBe 5.5
+    s.getAs[Long]("n_outliers") shouldBe 1L
+  }
+
+  test("chiSquare ka/kb ride along; Cramér's V hits 1 on perfect dependence") {
+    import spark.implicits._
+    val dep = (0 until 100).map(i =>
+      (if (i % 2 == 0) "a1" else "a2", if (i % 2 == 0) "b1" else "b2"))
+      .toDF("a", "b")
+    val r = graft.ops.StatsOps.chiSquareIndependence(dep, "a", "b").head()
+    r.getAs[Long]("ka") shouldBe 2L
+    r.getAs[Long]("kb") shouldBe 2L
+    // V = sqrt(chi2 / (n·(min(ka,kb)−1))) = sqrt(100/100) = 1
+    math.sqrt(r.getAs[Double]("chi2") /
+      (r.getAs[Long]("n") *
+        (math.min(r.getAs[Long]("ka"), r.getAs[Long]("kb")) - 1))) shouldBe 1.0
+  }
 }
