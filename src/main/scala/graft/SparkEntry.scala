@@ -1848,6 +1848,39 @@ object SparkEntry {
           Seq("c_nationkey", "c_mktsegment"), "c_acctbal", l = 3)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // t-closeness — the skew rung of the release ladder: per-cell
+    // ordered EMD of the (100-banded) balance distribution vs the
+    // global one, exact-integer running sums until one divide
+    "q_tcloseness" -> ((s, d) =>
+      QualityCheck.tCloseness(
+          t(s, d, "customer").withColumn("band",
+            round(col("c_acctbal"), -2)),
+          Seq("c_nationkey", "c_mktsegment"), "band", t = 0.15)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // ε-DP noisy counts: Laplace(1/ε) noise from a per-key PRF
+    // (md5-parity fingerprint → inverse CDF) — reruns release
+    // IDENTICAL values instead of averaging the noise away
+    "q_dp_counts" -> ((s, d) =>
+      QualityCheck.dpNoisyCounts(t(s, d, "orders"),
+          "o_orderpriority", epsilon = 0.5)
+        .orderBy("o_orderpriority")),
+
+    // functional-dependency discovery: does user determine event type —
+    // per user, distinct types and the verdict (single-event users hold,
+    // multi-behavior users violate: the mixed-answer profiling shape)
+    "q_fd_check" -> ((s, d) =>
+      QualityCheck.functionalDependency(t(s, d, "events"),
+          "user_id", "event_type")
+        .orderBy("user_id")),
+
+    // CUSUM change-point over the daily event-value series: the level-
+    // shift detector that integrates small same-direction deviations a
+    // per-point z-score never flags; exact-integer running sums
+    "q_cusum" -> ((s, d) =>
+      graft.ops.TemporalOps.cusumChangePoint(
+        t(s, d, "events"), "ts", "value")),
+
     // the END-TO-END curation chain in ONE lazy DAG — quality gate →
     // normalized exact dedup → decontamination — proving the operators
     // compose without materialization barriers; Catalyst sees the whole
@@ -6499,6 +6532,78 @@ object SparkEntry {
                 COUNT(DISTINCT c_acctbal) >= 3 AS diverse
          FROM customer GROUP BY c_nationkey, c_mktsegment
          ORDER BY c_nationkey, c_mktsegment""",
+
+    // ordered EMD kept in exact integer units of 1/(n_cell·N): running
+    // sums of (c·N − g·n) in HUGEINT, |·| summed, one divide per cell
+    "q_tcloseness" ->
+      """WITH base AS (SELECT c_nationkey, c_mktsegment, ROUND(c_acctbal, -2) AS v
+                       FROM customer WHERE c_acctbal IS NOT NULL),
+              gv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS g FROM base GROUP BY v),
+              tot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt, CAST(COUNT(*) AS BIGINT) AS m FROM gv),
+              cells AS (SELECT c_nationkey, c_mktsegment, v, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM base GROUP BY 1, 2, 3),
+              ct AS (SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS n
+                     FROM cells GROUP BY 1, 2),
+              grid AS (SELECT ct.c_nationkey, ct.c_mktsegment, ct.n, gv.v, gv.g,
+                              COALESCE(cells.c, 0) AS c
+                       FROM ct CROSS JOIN gv
+                       LEFT JOIN cells ON cells.c_nationkey = ct.c_nationkey
+                                      AND cells.c_mktsegment = ct.c_mktsegment
+                                      AND cells.v = gv.v),
+              s AS (SELECT c_nationkey, c_mktsegment, n, m, gt,
+                           SUM(CAST(c AS HUGEINT) * gt - CAST(g AS HUGEINT) * n)
+                             OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY v ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+                    FROM grid CROSS JOIN tot),
+              e AS (SELECT c_nationkey, c_mktsegment, n, m, gt, SUM(ABS(st)) AS sa
+                    FROM s GROUP BY 1, 2, 3, 4, 5),
+              o AS (SELECT c_nationkey, c_mktsegment, n AS n_rows,
+                           CASE WHEN m > 1
+                                THEN ROUND(CAST(sa AS DOUBLE) / (CAST(m - 1 AS DOUBLE) * n * gt), 8)
+                                ELSE 0.0 END AS emd
+                    FROM e)
+         SELECT c_nationkey, c_mktsegment, n_rows, emd, (emd <= 0.15) AS pass
+         FROM o ORDER BY c_nationkey, c_mktsegment""",
+
+    // per-key PRF noise: u = (fp60(key‖release)+½)/2⁶⁰ through the
+    // Laplace inverse CDF with scale 1/ε = 2.0 — deterministic release
+    "q_dp_counts" ->
+      """WITH c AS (SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM orders GROUP BY 1),
+              u AS (SELECT g, n,
+                           (CAST(CAST(('0x' || substring(md5(g || ':r1'), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+                             / 1152921504606846976.0 AS u
+                    FROM c)
+         SELECT g AS o_orderpriority,
+                ROUND(n + (-2.0 * SIGN(u - 0.5)) * LN(1.0 - 2.0 * ABS(u - 0.5)), 6) AS noisy_n,
+                CAST(0.5 AS DOUBLE) AS epsilon
+         FROM u ORDER BY o_orderpriority""",
+
+    "q_fd_check" ->
+      """WITH pre AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+         SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_rows,
+                CAST(COUNT(event_type) AS BIGINT) AS n_dep,
+                COUNT(event_type) <= 1 AS holds
+         FROM pre GROUP BY user_id ORDER BY user_id""",
+
+    // deviations kept in integer units of 1/n_days (s·n − T) so every
+    // running sum is exact; peak day ties to the earliest
+    "q_cusum" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+                               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
+                        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                        GROUP BY 1),
+              tot AS (SELECT CAST(SUM(s) AS HUGEINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+              c AS (SELECT d, n,
+                           SUM(CAST(s AS HUGEINT) * n - t)
+                             OVER (ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+                    FROM daily CROSS JOIN tot)
+         SELECT d AS at_day, n AS n_days,
+                ROUND(CAST(ABS(cusum) AS DOUBLE) /
+                      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100.0, 6) AS cusum_peak,
+                CASE WHEN cusum < 0 THEN 'up' ELSE 'down' END AS direction
+         FROM c ORDER BY ABS(cusum) DESC, d ASC LIMIT 1""",
 
     "q_kanon_export" ->
       """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n

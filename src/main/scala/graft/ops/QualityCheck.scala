@@ -246,6 +246,122 @@ object QualityCheck {
       .withColumn("diverse", col("n_sensitive") >= l)
   }
 
+  /**
+   * FUNCTIONAL-DEPENDENCY profiler — "does X determine Y in this data":
+   * per determinant value, the row count and the number of DISTINCT
+   * dependent values; `holds` iff at most one. The schema-discovery
+   * companion to the declared [[Rule]] checks — run it on a candidate
+   * key→attribute pair before hard-coding the dependency into an upsert
+   * or join ("is brand→manufacturer actually clean in this feed").
+   * NULL determinants are excluded (no identity to determine BY); NULL
+   * dependents carry no value and don't count toward `n_dep` (the
+   * [[lDiversity]] null contract).
+   *
+   * Scale: one two-level aggregate — (det, dep) pre-distinct then the
+   * det rollup — both partial-aggregating, output |determinants| rows.
+   */
+  def functionalDependency(df: DataFrame, detCol: String,
+                           depCol: String): DataFrame = {
+    val pre = df.filter(col(detCol).isNotNull)
+      .groupBy(col(detCol), col(depCol).as("__dep"))
+      .agg(count(lit(1)).as("__c"))
+    pre.groupBy(col(detCol))
+      .agg(sum(col("__c")).as("n_rows"),
+        count(col("__dep")).as("n_dep"))
+      .withColumn("holds", col("n_dep") <= 1)
+  }
+
+  /**
+   * T-CLOSENESS audit — the third rung of the release ladder after
+   * k-anonymity (cell size) and [[lDiversity]] (distinct sensitive
+   * values): a cell can pass both yet still leak by SKEW — 90% of its
+   * rows sharing one salary band reveals plenty even with l distinct
+   * bands present. t-closeness bounds, per quasi-identifier cell, the
+   * ORDERED earth-mover's distance between the cell's sensitive-value
+   * distribution and the whole table's: EMD = (1/(m−1))·Σᵢ|Σ_{j≤i}
+   * (pⱼ−qⱼ)| over the m sorted distinct sensitive values. Cells with
+   * EMD > t fail. Emits (quasiCols…, n_rows, emd, pass), emd 8dp; a
+   * single-value support (m = 1) has distance 0 by definition.
+   *
+   * Deterministic by construction: the running sums are kept in the
+   * integer units of 1/(n_cell·N) — Σ(cⱼ·N − gⱼ·n_cell) — so every
+   * cumulative step and the |·| total are exact DECIMAL integers; one
+   * double division per cell row at the end.
+   *
+   * Scale: two support-sized aggregates + a (cells × support) grid
+   * with a per-cell cumulative window. The grid is |cells|·m rows —
+   * bin continuous sensitive values first (the ksStatistic convention)
+   * so m stays bounded; the corpus itself streams once and never
+   * sorts.
+   */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    require(t > 0 && t <= 1, s"bad t=$t")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = quasiCols.map(col)
+    val base = df.select(g :+ col(sensitiveCol).as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val gv = base.groupBy(col("__v")).agg(count(lit(1)).as("__g"))
+    val tot = gv.agg(sum(col("__g")).as("__gt"), count(lit(1)).as("__m"))
+    val cells = base.groupBy(g :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cellTot = cells.groupBy(g: _*).agg(sum(col("__c")).as("__n"))
+    val grid = cellTot.crossJoin(broadcast(gv))
+      .join(cells, quasiCols :+ "__v", "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v").asc)
+      .rowsBetween(Long.MinValue, 0)
+    val stepped = grid.crossJoin(broadcast(tot))
+      .withColumn("__d",
+        col("__c").cast(dec) * col("__gt").cast(dec) -
+          col("__g").cast(dec) * col("__n").cast(dec))
+      .withColumn("__s", sum(col("__d")).over(w))
+    stepped
+      .groupBy(g ++ Seq(col("__n"), col("__m"), col("__gt")): _*)
+      .agg(sum(abs(col("__s"))).as("__sa"))
+      .select(g ++ Seq(col("__n").as("n_rows"),
+        when(col("__m") > 1,
+          round(col("__sa").cast("double") /
+            ((col("__m") - 1).cast("double") * col("__n") * col("__gt")), 8))
+          .otherwise(lit(0.0)).as("emd")): _*)
+      .withColumn("pass", col("emd") <= t)
+  }
+
+  /**
+   * DIFFERENTIALLY-PRIVATE noisy counts — per-group counts released
+   * with Laplace(1/ε) noise, the standard ε-DP mechanism for a count
+   * query (sensitivity 1). The noise draw is a PER-KEY PRF, not an
+   * ambient RNG: u = (fp60(group‖releaseId)+½)/2⁶⁰ ∈ (0,1) through the
+   * Laplace inverse CDF −(1/ε)·sgn(u−½)·ln(1−2|u−½|) — the same
+   * reproducible-randomness discipline as the weighted-sampling races
+   * ([[graft.ext.SamplingOps.weightedSample]]): reruns and stragglers
+   * release identical values, and a re-released count re-uses its noise
+   * instead of averaging it away. The flip side is real and documented:
+   * DISTINCT releaseIds spend fresh ε each (sequential composition) —
+   * rotate the id only when a new release is intended.
+   *
+   * Deterministic: the fingerprint is cross-engine md5-parity and the
+   * one double expression is fixed-order; rounded 6dp.
+   *
+   * Scale: one partial+final count aggregate plus a per-group scalar
+   * projection — no extra shuffle, output |groups| rows.
+   */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                    releaseId: String = "r1"): DataFrame = {
+    require(epsilon > 0, s"bad epsilon=$epsilon")
+    val scale = 1.0 / epsilon
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val u = (graft.ext.TextOps.fingerprint60(
+      concat(col(groupCol).cast("string"), lit(":" + releaseId)))
+      .cast("double") + 0.5) / math.pow(2, 60)
+    val c = u - 0.5
+    val noise = (lit(-scale) * signum(c)) * log(lit(1.0) - lit(2.0) * abs(c))
+    counts.select(col(groupCol),
+      round(col("__n") + noise, 6).as("noisy_n"),
+      lit(epsilon).as("epsilon"))
+  }
+
   /** Gate semantics of the reference: any violation fails the run hard
     * (DAG:361-362 non-zero soda exit → AirflowException). Returns the report
     * row for logging; throws on violation. */

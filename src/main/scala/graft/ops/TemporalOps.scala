@@ -274,4 +274,56 @@ object TemporalOps {
     }.reduce(_ + _)
     joined.withColumn("depth", depth)
   }
+
+  /**
+   * CUSUM change-point detection over a daily series — "did this metric's
+   * LEVEL shift, and when": cumulative sum of deviations from the global
+   * mean, S_i = Σ_{j≤i}(v_j − v̄); the day attaining max |S_i| is the
+   * classic CUSUM change-point estimate (the cumulative deviation pivots
+   * there), and its magnitude — normalized per day, in value units — is
+   * the shift evidence a monitor alarms on. The complement of
+   * `q_seasonal_anomaly`'s POINT outliers: CUSUM integrates many small
+   * same-direction deviations a per-point z-score never flags.
+   *
+   * Emits one row (at_day, n_days, cusum_peak, direction): the earliest
+   * day attaining the max, the series length, max|S|/n_days in value
+   * units (6dp), and 'up' if the pivot ends a below-mean run (level
+   * shifted up afterward) — i.e. S at the pivot is negative — else
+   * 'down'. Empty input emits no row.
+   *
+   * Deterministic by construction: daily totals are exact cents; the
+   * deviations are kept in units of 1/n_days — d_i = v_i·n − T (T = the
+   * grand total) — so every running sum is an exact DECIMAL integer;
+   * ties on |S| break to the earliest day.
+   *
+   * Scale: the corpus pre-aggregates to ONE row per day (partial agg,
+   * single shuffle); the cumulative window runs over the day-count-sized
+   * series — the [[graft.ops.StatsOps.ksStatistic]] bounded-support
+   * discipline.
+   */
+  def cusumChangePoint(df: DataFrame, ts: String,
+                       valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = df
+      .filter(col(ts).isNotNull)
+      .select(date_trunc("day", col(ts)).as("__d"),
+        graft.ops.StatsOps.cents(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__d")).agg(sum(col("__v").cast(dec)).as("__s"))
+    val tot = daily.agg(sum(col("__s")).as("__t"),
+      count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__d").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("__dev", col("__s") * col("__n") - col("__t"))
+      .withColumn("__cusum", sum(col("__dev")).over(w))
+      .orderBy(abs(col("__cusum")).desc, col("__d").asc)
+      .limit(1)
+      .select(col("__d").as("at_day"), col("__n").as("n_days"),
+        round(abs(col("__cusum")).cast("double") /
+          (col("__n").cast("double") * col("__n").cast("double")) / 100.0, 6)
+          .as("cusum_peak"),
+        when(col("__cusum") < 0, lit("up")).otherwise(lit("down"))
+          .as("direction"))
+  }
 }

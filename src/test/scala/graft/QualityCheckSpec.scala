@@ -132,4 +132,76 @@ class QualityCheckSpec extends SparkSpec {
     out("B") shouldBe ((3L, 3L, true))
     out("C") shouldBe ((3L, 1L, false))
   }
+
+  test("tCloseness: skewed-but-diverse cells score exact hand-computed EMD") {
+    // two values split 50/50 globally; cell A all 1s, cell B all 2s —
+    // both cells are l-diverse-looking at cell level? no: each holds one
+    // value, but the POINT is the EMD: |S₁| = ½ → EMD = ½ for both
+    val polar = (Seq.fill(6)(("A", 1.0)) ++ Seq.fill(6)(("B", 2.0)))
+      .toDF("cell", "v")
+    val p = QualityCheck.tCloseness(polar, Seq("cell"), "v", t = 0.3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    p("A") shouldBe ((6L, 0.5, false))
+    p("B") shouldBe ((6L, 0.5, false))
+    // three-value support, two cells of different shape vs the global mix
+    val skewOut = QualityCheck.tCloseness(
+      (Seq.fill(3)(("skew", 0.0)) ++
+        (1 to 3).flatMap(_ => Seq(("flat", 0.0), ("flat", 50.0), ("flat", 100.0))))
+        .toDF("cell", "v"),
+      Seq("cell"), "v", t = 0.45)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    // global: 0→6, 50→3, 100→3 (N=12). skew cell (n=3, all 0):
+    // S₁ = 3·12−6·3 = 18; S₂ = 18−9 = 9; S₃ = 0 (units 1/(3·12));
+    // EMD = (18+9)/(2·36) = 0.375
+    skewOut("skew")._1 shouldBe 0.375
+    skewOut("skew")._2 shouldBe true
+    // flat cell (n=9, props 1/3 each vs global ½,¼,¼): S₁ = 9·12−6·9 =
+    // 54... sign negative: 36−54 = −18; |−18|+|−9|+0 = 27 → 27/(2·108) = 0.125
+    skewOut("flat")._1 shouldBe 0.125
+    // single-value support: m = 1 → EMD 0 by definition
+    val mono = Seq(("X", 7.0), ("Y", 7.0)).toDF("cell", "v")
+    QualityCheck.tCloseness(mono, Seq("cell"), "v", t = 0.01)
+      .collect().foreach { r =>
+        r.getDouble(2) shouldBe 0.0; r.getBoolean(3) shouldBe true
+      }
+  }
+
+  test("functionalDependency: verdict per determinant, null contract") {
+    val df = Seq(
+      (Some("b1"), Some("m1")), (Some("b1"), Some("m1")),
+      (Some("b2"), Some("m1")), (Some("b2"), Some("m2")),   // violation
+      (None: Option[String], Some("m3")),                    // null det: excluded
+      (Some("b3"), None: Option[String]))                    // null dep: no value
+      .toDF("det", "dep")
+    val out = QualityCheck.functionalDependency(df, "det", "dep")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    out.keySet shouldBe Set("b1", "b2", "b3")
+    out("b1") shouldBe ((2L, 1L, true))
+    out("b2") shouldBe ((2L, 2L, false))
+    out("b3") shouldBe ((1L, 0L, true))
+  }
+
+  test("dpNoisyCounts: deterministic per release, fresh noise per releaseId, bounded") {
+    val df = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(9)("c"))
+      .toDF("g")
+    val r1 = QualityCheck.dpNoisyCounts(df, "g", epsilon = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r1b = QualityCheck.dpNoisyCounts(df, "g", epsilon = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    r1 shouldBe r1b // rerun releases IDENTICAL values — the PRF contract
+    // a different releaseId draws fresh noise (spends fresh ε)
+    val r2 = QualityCheck.dpNoisyCounts(df, "g", epsilon = 0.5, releaseId = "r2")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    r1 should not equal r2
+    // |noise| ≤ (1/ε)·ln(2⁶⁰) ≈ 41.6/ε — the PRF's worst draw is bounded
+    val truth = Map("a" -> 40.0, "b" -> 25.0, "c" -> 9.0)
+    r1.foreach { case (g, v) =>
+      math.abs(v - truth(g)) should be <= 42.0 / 0.5
+    }
+    // noise is actually present (not all three counts released exactly)
+    truth.exists { case (g, n) => math.abs(r1(g) - n) > 1e-6 } shouldBe true
+  }
 }

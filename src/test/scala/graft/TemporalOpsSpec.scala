@@ -162,4 +162,34 @@ class TemporalOpsSpec extends SparkSpec {
       gapSeconds = 8L).select("event_id").collect().map(_.getLong(0)).toSet
     kept2 shouldBe Set(1L, 4L, 5L, 6L, 7L)
   }
+
+  test("cusumChangePoint: pivots on the level shift with exact magnitude") {
+    import spark.implicits._
+    // 6 days at 10, then 6 days at 20: mean 15, CUSUM most extreme at the
+    // LAST day of the old level — |S₆| = 6·5 = 30 dollars of integrated
+    // deviation, per-day-normalized 30/12 = 2.5, direction 'up'
+    val rows = (1 to 12).map { day =>
+      (f"2024-01-$day%02d 08:30:00", if (day <= 6) 10.0 else 20.0)
+    }
+    val df = rows.toDF("tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val r = TemporalOps.cusumChangePoint(df, "ts", "value").head()
+    r.getAs[java.sql.Timestamp]("at_day").toString should startWith("2024-01-06")
+    r.getAs[Long]("n_days") shouldBe 12L
+    r.getAs[Double]("cusum_peak") shouldBe 2.5
+    r.getAs[String]("direction") shouldBe "up"
+    // mirrored series (high first): same magnitude, direction 'down'
+    val mirrored = rows.map { case (ts, v) => (ts, 30.0 - v) }
+      .toDF("tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val m = TemporalOps.cusumChangePoint(mirrored, "ts", "value").head()
+    m.getAs[Double]("cusum_peak") shouldBe 2.5
+    m.getAs[String]("direction") shouldBe "down"
+    // flat series: zero cusum everywhere; earliest day wins the tie
+    val flat = rows.map { case (ts, _) => (ts, 7.0) }.toDF("tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val f = TemporalOps.cusumChangePoint(flat, "ts", "value").head()
+    f.getAs[Double]("cusum_peak") shouldBe 0.0
+    f.getAs[java.sql.Timestamp]("at_day").toString should startWith("2024-01-01")
+  }
 }
