@@ -1881,6 +1881,37 @@ object SparkEntry {
       graft.ops.TemporalOps.cusumChangePoint(
         t(s, d, "events"), "ts", "value")),
 
+    // EWMA control baseline: per day, the exponentially-weighted average
+    // and the one-step-ahead residual — recursion unrolled into rounded
+    // weighted terms so the float pow() never feeds a float sum
+    "q_ewma_baseline" -> ((s, d) =>
+      graft.ops.TemporalOps.ewmaBaseline(
+        t(s, d, "events"), "ts", "value", alpha = 0.3)),
+
+    // Theil-Sen robust slope: median of all pairwise day slopes — the
+    // trend one corrupted day cannot drag; quadratic in DAYS, not data
+    "q_theil_sen" -> ((s, d) =>
+      graft.ops.TemporalOps.theilSenSlope(
+        t(s, d, "events"), "ts", "value")),
+
+    // trimmed mean per priority: drop the 5% tails, average the body —
+    // robust location between mean and median; kept set reproducible
+    // via 6dp-rounded bounds, kept values summed as exact cents
+    "q_trimmed_mean" -> ((s, d) =>
+      graft.ops.StatsOps.trimmedMean(t(s, d, "orders"),
+          "o_orderpriority", "o_totalprice", lo = 0.05, hi = 0.95)
+        .orderBy("o_orderpriority")),
+
+    // sweep-line peak concurrency over 30-min event sessions: +1/-1
+    // deltas fold to a boundary-second aggregate, running sum over the
+    // sorted support, earliest peak wins — the capacity-planning number
+    "q_peak_concurrency" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("s", unix_timestamp(col("ts")))
+        .withColumn("e", col("s") + 1800L)
+      graft.ops.TemporalOps.peakConcurrency(ev, "s", "e")
+    }),
+
     // the END-TO-END curation chain in ONE lazy DAG — quality gate →
     // normalized exact dedup → decontamination — proving the operators
     // compose without materialization barriers; Catalyst sees the whole
@@ -6604,6 +6635,74 @@ object SparkEntry {
                       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100.0, 6) AS cusum_peak,
                 CASE WHEN cusum < 0 THEN 'up' ELSE 'down' END AS direction
          FROM c ORDER BY ABS(cusum) DESC, d ASC LIMIT 1""",
+
+    // the (1.0 - 0.3) forms are deliberate: both engines then fold the
+    // SAME double for the decay base (the literal 0.7 is a different
+    // double than 1.0 - 0.3) — weight parity to the bit before rounding
+    "q_ewma_baseline" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+                               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
+                        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                        GROUP BY 1),
+              idx AS (SELECT d, s, CAST(ROW_NUMBER() OVER (ORDER BY d ASC) AS BIGINT) AS i FROM daily),
+              terms AS (SELECT a.d, a.i, a.s,
+                               CAST(ROUND((CASE WHEN b.i = 1 THEN POWER(1.0 - 0.3, a.i - 1)
+                                                ELSE 0.3 * POWER(1.0 - 0.3, a.i - b.i) END)
+                                          * CAST(b.s AS DOUBLE) / 100.0, 6) AS DECIMAL(28,6)) AS t
+                        FROM idx a JOIN idx b ON b.i <= a.i),
+              ew AS (SELECT d, i, s, SUM(t) AS e FROM terms GROUP BY 1, 2, 3),
+              fin AS (SELECT d, s, e, LAG(e, 1) OVER (ORDER BY i ASC) AS prev FROM ew)
+         SELECT d AS day, ROUND(CAST(s AS DOUBLE) / 100.0, 6) AS actual,
+                ROUND(CAST(e AS DOUBLE), 6) AS ewma,
+                ROUND(CAST(s AS DOUBLE) / 100.0 - CAST(prev AS DOUBLE), 6) AS resid
+         FROM fin ORDER BY day""",
+
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+                               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
+                        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                        GROUP BY 1),
+              mn AS (SELECT MIN(d) AS d0 FROM daily),
+              idx AS (SELECT CAST(datediff('day', d0, d) AS BIGINT) AS i, s
+                      FROM daily CROSS JOIN mn),
+              pairs AS (SELECT CAST(b.s - a.s AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope
+                        FROM idx a JOIN idx b ON b.i > a.i),
+              agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                             quantile_cont(slope, 0.5) AS med
+                      FROM pairs)
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+                n_pairs, ROUND(med / 100.0, 8) AS slope
+         FROM agg WHERE n_pairs > 0""",
+
+    "q_trimmed_mean" ->
+      """WITH base AS (SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+                       WHERE o_totalprice IS NOT NULL),
+              b AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                           ROUND(quantile_cont(v, 0.05), 6) AS lo,
+                           ROUND(quantile_cont(v, 0.95), 6) AS hi
+                    FROM base GROUP BY g),
+              kept AS (SELECT base.g, b.n,
+                              CAST(CAST(base.v AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                       FROM base JOIN b ON base.g = b.g
+                       WHERE base.v >= b.lo AND base.v <= b.hi)
+         SELECT g AS o_orderpriority, n, CAST(COUNT(*) AS BIGINT) AS n_used,
+                ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS tmean
+         FROM kept GROUP BY g, n ORDER BY o_orderpriority""",
+
+    // half-open [s, e): both deltas land on the boundary before the
+    // count is read, so back-to-back sessions never double-count
+    "q_peak_concurrency" ->
+      """WITH iv AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                            CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+                     FROM events WHERE ts IS NOT NULL),
+              d AS (SELECT s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+                    UNION ALL
+                    SELECT e AS t, CAST(-1 AS BIGINT) AS delta FROM iv),
+              g AS (SELECT t, CAST(SUM(delta) AS BIGINT) AS delta FROM d GROUP BY t),
+              c AS (SELECT t, SUM(delta) OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+                    FROM g)
+         SELECT t AS at_sec, CAST(conc AS BIGINT) AS peak
+         FROM c ORDER BY conc DESC, t ASC LIMIT 1""",
 
     "q_kanon_export" ->
       """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n

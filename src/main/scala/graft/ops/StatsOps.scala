@@ -500,6 +500,42 @@ object StatsOps {
   }
 
   /**
+   * TRIMMED mean per group — the mean of values inside the group's own
+   * [`lo`, `hi`] quantile band: the robust location estimate between
+   * the raw mean (dragged by any outlier) and the median (ignores all
+   * magnitude). Where [[winsorize]] CLIPS the tails into the bounds,
+   * the trim DROPS them. Emits (group, n, n_used, tmean), tmean 6dp;
+   * bounds round to 6dp before filtering so the kept set is
+   * reproducible across engines.
+   *
+   * Deterministic: kept values sum as exact cents; one double division
+   * per group row.
+   *
+   * Scale: one per-group percentile agg (|groups| rows broadcast back)
+   * + one counting pass — the winsorize shape; `percentile_approx`
+   * drops in at extreme widths.
+   */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad quantile range [$lo,$hi]")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 0)
+    val base = df.select(col(groupCol), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val bounds = base.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      round(expr(s"percentile(__v, $lo)"), 6).as("__lo"),
+      round(expr(s"percentile(__v, $hi)"), 6).as("__hi"))
+    base.join(broadcast(bounds), Seq(groupCol))
+      .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(cents(col("__v")).cast(dec)).as("__s"))
+      .select(col(groupCol), col("n"), col("n_used"),
+        round(col("__s").cast("double") / col("n_used").cast("double")
+          / 100.0, 6).as("tmean"))
+  }
+
+  /**
    * MAD robust outlier audit per group — median absolute deviation, the
    * outlier detector that (unlike mean/stddev z-scores) is not itself
    * dragged by the outliers it hunts. Per group: median, MAD, and the

@@ -301,6 +301,139 @@ object TemporalOps {
    * series — the [[graft.ops.StatsOps.ksStatistic]] bounded-support
    * discipline.
    */
+  /**
+   * PEAK CONCURRENCY by sweep-line — "how many intervals were open at
+   * once, and when did the maximum happen": each [start, end) interval
+   * contributes +1 at start and −1 at end; the running sum over the
+   * sorted distinct boundary times is the concurrency curve and its max
+   * the capacity-planning number. Half-open semantics: an interval
+   * ending exactly when another starts does NOT overlap it (both deltas
+   * land on the same boundary before the count is read). Emits one row
+   * (at_sec, peak) — the EARLIEST epoch second attaining the max.
+   * Degenerate intervals (end ≤ start) are dropped.
+   *
+   * Deterministic: all counts are exact integers; ties on the peak
+   * break to the earliest boundary.
+   *
+   * Scale: the corpus folds into a (boundary-second, net-delta)
+   * aggregate — support-sized, not row-sized (concurrent systems share
+   * boundaries; pre-bucket to coarser grain if they don't) — and the
+   * cumulative window runs over that sorted support (the
+   * [[graft.ops.StatsOps.ksStatistic]] discipline).
+   */
+  def peakConcurrency(df: DataFrame, startCol: String,
+                      endCol: String): DataFrame = {
+    val iv = df
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e"))
+      .filter(col("__e") > col("__s"))
+    val deltas = iv
+      .select(explode(array(
+        struct(col("__s").as("__t"), lit(1L).as("__d")),
+        struct(col("__e").as("__t"), lit(-1L).as("__d")))).as("__x"))
+      .select(col("__x.__t").as("__t"), col("__x.__d").as("__d"))
+      .groupBy(col("__t")).agg(sum(col("__d")).as("__delta"))
+    val w = Window.orderBy(col("__t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas.withColumn("__c", sum(col("__delta")).over(w))
+      .orderBy(col("__c").desc, col("__t").asc)
+      .limit(1)
+      .select(col("__t").as("at_sec"), col("__c").as("peak"))
+  }
+
+  /**
+   * EWMA control baseline over the daily series — per day, the
+   * exponentially-weighted moving average of the daily totals and the
+   * one-step-ahead residual (today's actual minus YESTERDAY's EWMA):
+   * the classic EWMA control chart, where a residual spike is the
+   * alarm. Day 1 seeds the average (residual NULL — no forecast
+   * existed). Emits (day, actual, ewma, resid), dollars 6dp, ordered.
+   *
+   * Determinism: the recursion is unrolled into the explicit weight
+   * form ewmaᵢ = Σⱼ wᵢⱼ·vⱼ (wᵢⱼ = α(1−α)^(i−j), seed weight
+   * (1−α)^(i−1)); each weighted term rounds to 6dp into a DECIMAL sum,
+   * so the float pow() never feeds an order-dependent double add (the
+   * q_decayed_activity discipline).
+   *
+   * Scale: the corpus pre-aggregates to one exact-cents row per day;
+   * the unrolled form is a days×days triangular grid — quadratic in
+   * DAYS, not data, and days are bounded by the caller's window (a year
+   * is 366 rows → 67k grid cells). The grid join shuffles day-count
+   * rows only.
+   */
+  def ewmaBaseline(df: DataFrame, ts: String, valueCol: String,
+                   alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bad alpha=$alpha")
+    val dec = DecimalType(28, 6)
+    val daily = df
+      .filter(col(ts).isNotNull)
+      .select(date_trunc("day", col(ts)).as("__d"),
+        graft.ops.StatsOps.cents(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__d")).agg(sum(col("__v")).as("__s"))
+    val idx = daily.withColumn("__i",
+      row_number().over(Window.orderBy(col("__d").asc)).cast("long"))
+    val j = idx.select(col("__i").as("__j"), col("__s").as("__vj"))
+    val terms = idx.join(j, col("__j") <= col("__i"))
+      .withColumn("__w",
+        when(col("__j") === 1, pow(lit(1.0 - alpha), col("__i") - 1))
+          .otherwise(lit(alpha) *
+            pow(lit(1.0 - alpha), col("__i") - col("__j"))))
+      .withColumn("__t",
+        round(col("__w") * col("__vj").cast("double") / 100.0, 6).cast(dec))
+    val ew = terms.groupBy(col("__d"), col("__i"), col("__s"))
+      .agg(sum(col("__t")).as("__e"))
+    ew.withColumn("__prev",
+        lag(col("__e"), 1).over(Window.orderBy(col("__i").asc)))
+      .select(col("__d").as("day"),
+        round(col("__s").cast("double") / 100.0, 6).as("actual"),
+        round(col("__e").cast("double"), 6).as("ewma"),
+        round(col("__s").cast("double") / 100.0 -
+          col("__prev").cast("double"), 6).as("resid"))
+      .orderBy("day")
+  }
+
+  /**
+   * THEIL–SEN robust slope of the daily series — the median of all
+   * pairwise day-to-day slopes: the trend estimate one corrupted day
+   * cannot drag (up to ~29% outliers tolerated), the robust companion
+   * of [[graft.ops.StatsOps.olsTrend]]'s least-squares fit. Emits one
+   * row (n_days, n_pairs, slope) — slope in value units per day, 8dp;
+   * a single-day series emits no row (no pair to slope).
+   *
+   * Determinism: day indices and daily cents are exact; each pairwise
+   * slope is one double division computed identically everywhere, and
+   * the interpolated median of that multiset is order-independent.
+   *
+   * Scale: quadratic in DAYS, not data (the [[ewmaBaseline]] bound) —
+   * the corpus pre-aggregates to one row per day and the pair join is
+   * a triangular day×day grid.
+   */
+  def theilSenSlope(df: DataFrame, ts: String,
+                    valueCol: String): DataFrame = {
+    val daily = df
+      .filter(col(ts).isNotNull)
+      .select(date_trunc("day", col(ts)).as("__d"),
+        graft.ops.StatsOps.cents(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__d")).agg(sum(col("__v")).as("__s"))
+    val mn = daily.agg(min(col("__d")).as("__d0"))
+    val idx = daily.crossJoin(broadcast(mn))
+      .select(datediff(col("__d"), col("__d0")).cast("long").as("__i"),
+        col("__s"))
+    val b = idx.select(col("__i").as("__j"), col("__s").as("__sj"))
+    val slopes = idx.join(b, col("__j") > col("__i"))
+      .select(((col("__sj") - col("__s")).cast("double") /
+        (col("__j") - col("__i")).cast("double")).as("__slope"))
+    slopes.agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(__slope, 0.5)").as("__med"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .filter(col("n_pairs") > 0)
+      .select(col("n_days"), col("n_pairs"),
+        round(col("__med") / 100.0, 8).as("slope"))
+  }
+
   def cusumChangePoint(df: DataFrame, ts: String,
                        valueCol: String): DataFrame = {
     val dec = DecimalType(38, 0)

@@ -657,6 +657,23 @@ class CdcStatsSpec extends SparkSpec {
     p.isNullAt(p.fieldIndex("intercept")) shouldBe true
   }
 
+  test("trimmedMean: drops the tails the raw mean is dragged by") {
+    import spark.implicits._
+    // 1..10 at [5%, 95%]: bounds 1.45/9.55 keep 2..9 → mean 5.5 (= the
+    // untrimmed mean here — symmetric trim of symmetric data)
+    val sym = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val s = graft.ops.StatsOps.trimmedMean(sym, "g", "v", 0.05, 0.95).head()
+    s.getAs[Long]("n") shouldBe 10L
+    s.getAs[Long]("n_used") shouldBe 8L
+    s.getAs[Double]("tmean") shouldBe 5.5
+    // [1,2,3,4,100] at [10%, 90%]: the spike falls outside the band —
+    // tmean 3.0 where the raw mean is 22
+    val spiked = Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _)).toDF("g", "v")
+    val t = graft.ops.StatsOps.trimmedMean(spiked, "g", "v", 0.1, 0.9).head()
+    t.getAs[Long]("n_used") shouldBe 3L
+    t.getAs[Double]("tmean") shouldBe 3.0
+  }
+
   test("madOutliers: robust to the outlier it flags; MAD-0 group flags none") {
     import spark.implicits._
     // 11 values near 10 plus one at 1000: classic mean/σ would be dragged;

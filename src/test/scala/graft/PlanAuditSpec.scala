@@ -79,8 +79,19 @@ class PlanAuditSpec extends SparkSpec {
     "q_ks_test",             // 1-row group-total broadcast
     "q_rfm",                 // 1-row corpus-max-date broadcast
     "q_basket_lift",         // 1-row basket-total broadcast
-    "q_vocab_overlap")       // |sources|-row sketch table theta-joined
+    "q_vocab_overlap",       // |sources|-row sketch table theta-joined
                              // against itself (src_a < src_b) — bounded
+    "q_mutual_info",         // 1-row corpus-total broadcast (chi² shape)
+    "q_cramers_v",           // chi²'s 1-row total + dof broadcasts
+    "q_cohen_kappa",         // two 1-row artifacts (diag, Σ ra·rb) joined
+    "q_tcloseness",          // 1-row support-size/total broadcast over the
+                             // bounded cells×support grid
+    "q_cusum",               // 1-row grand-total broadcast over the
+                             // day-count-sized series
+    "q_ewma_baseline",       // day-count-sized triangular self-join (i ≤ j)
+                             // — quadratic in DAYS, not data; bounded
+    "q_theil_sen")           // same day×day triangular join (i < j) + 1-row
+                             // min-day and day-count broadcasts
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(

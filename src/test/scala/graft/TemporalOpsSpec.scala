@@ -192,4 +192,64 @@ class TemporalOpsSpec extends SparkSpec {
     f.getAs[Double]("cusum_peak") shouldBe 0.0
     f.getAs[java.sql.Timestamp]("at_day").toString should startWith("2024-01-01")
   }
+
+  test("peakConcurrency: sweep-line count, half-open boundaries, earliest tie") {
+    import spark.implicits._
+    // [0,10) [5,15) [8,12): all three open during [8,10) → peak 3 at t=8
+    val iv = Seq((0L, 10L), (5L, 15L), (8L, 12L)).toDF("s", "e")
+    val r = TemporalOps.peakConcurrency(iv, "s", "e").head()
+    r.getAs[Long]("peak") shouldBe 3L
+    r.getAs[Long]("at_sec") shouldBe 8L
+    // half-open: [0,10) and [10,20) never overlap — peak stays 1, and
+    // the earliest boundary attaining it wins the tie
+    val chain = Seq((0L, 10L), (10L, 20L)).toDF("s", "e")
+    val c = TemporalOps.peakConcurrency(chain, "s", "e").head()
+    c.getAs[Long]("peak") shouldBe 1L
+    c.getAs[Long]("at_sec") shouldBe 0L
+    // degenerate intervals (end <= start) are dropped entirely
+    val degen = Seq((5L, 5L), (7L, 3L), (1L, 2L)).toDF("s", "e")
+    val dd = TemporalOps.peakConcurrency(degen, "s", "e").head()
+    dd.getAs[Long]("peak") shouldBe 1L
+    dd.getAs[Long]("at_sec") shouldBe 1L
+  }
+
+  test("ewmaBaseline: unrolled recursion matches the hand recursion exactly") {
+    import spark.implicits._
+    // α = 0.5 over [10, 20, 30]: e = [10, 15, 22.5];
+    // resid = actual − YESTERDAY's ewma: [null, 10, 15]
+    val df = Seq(("2024-02-01 09:00:00", 10.0), ("2024-02-02 09:00:00", 20.0),
+      ("2024-02-03 09:00:00", 30.0)).toDF("tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = TemporalOps.ewmaBaseline(df, "ts", "value", alpha = 0.5)
+      .collect()
+    out.map(_.getAs[Double]("actual")).toSeq shouldBe Seq(10.0, 20.0, 30.0)
+    out.map(_.getAs[Double]("ewma")).toSeq shouldBe Seq(10.0, 15.0, 22.5)
+    out.head.isNullAt(out.head.fieldIndex("resid")) shouldBe true
+    out.drop(1).map(_.getAs[Double]("resid")).toSeq shouldBe Seq(10.0, 15.0)
+    // multiple events per day fold into the daily total first
+    val doubled = df.union(df)
+    TemporalOps.ewmaBaseline(doubled, "ts", "value", alpha = 0.5)
+      .collect().map(_.getAs[Double]("ewma")).toSeq shouldBe
+      Seq(20.0, 30.0, 45.0)
+  }
+
+  test("theilSenSlope: one corrupted day cannot drag the trend") {
+    import spark.implicits._
+    // clean +2/day for four days, then a 100-spike: OLS would chase the
+    // spike; the pairwise-slope median stays exactly 2
+    val rows = Seq(10.0, 12.0, 14.0, 16.0, 100.0).zipWithIndex.map {
+      case (v, i) => (f"2024-03-${i + 1}%02d 12:00:00", v)
+    }
+    val df = rows.toDF("tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val r = TemporalOps.theilSenSlope(df, "ts", "value").head()
+    r.getAs[Long]("n_days") shouldBe 5L
+    r.getAs[Long]("n_pairs") shouldBe 10L
+    r.getAs[Double]("slope") shouldBe 2.0
+    // single day: no pair, no row
+    TemporalOps.theilSenSlope(
+      Seq(("2024-03-01 12:00:00", 5.0)).toDF("tss", "value")
+        .withColumn("ts", to_timestamp(col("tss"))),
+      "ts", "value").count() shouldBe 0L
+  }
 }
