@@ -1902,6 +1902,27 @@ object SparkEntry {
           "o_orderpriority", "o_totalprice", lo = 0.05, hi = 0.95)
         .orderBy("o_orderpriority")),
 
+    // Ed-Join fuzzy dictionary match: all part-name pairs within 2
+    // edits via the q-gram prefix filter + length gate, exact
+    // levenshtein verification — the dictionary stays 64 entries at
+    // any SF while row-level pairs would explode quadratically
+    "q_edit_pairs" -> ((s, d) =>
+      graft.ext.DedupOps.editDistancePairs(
+        t(s, d, "part"), "p_name", maxDistance = 2)),
+
+    // first-order journey structure: P(next | current) from consecutive
+    // event pairs per user — the matrix view the fixed-path funnel loses
+    "q_transition_matrix" -> ((s, d) =>
+      graft.ops.TemporalOps.transitionMatrix(
+        t(s, d, "events"), "user_id", "ts", "event_type", "event_id")),
+
+    // the k most common FULL user journeys, deterministic tie order —
+    // what the first-order matrix aggregates away
+    "q_top_paths" -> ((s, d) =>
+      graft.ops.TemporalOps.topPaths(
+        t(s, d, "events"), "user_id", "ts", "event_type", "event_id",
+        k = 15)),
+
     // sweep-line peak concurrency over 30-min event sessions: +1/-1
     // deltas fold to a boundary-second aggregate, running sum over the
     // sorted support, earliest peak wins — the capacity-planning number
@@ -6688,6 +6709,41 @@ object SparkEntry {
          SELECT g AS o_orderpriority, n, CAST(COUNT(*) AS BIGINT) AS n_used,
                 ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS tmean
          FROM kept GROUP BY g, n ORDER BY o_orderpriority""",
+
+    // brute force over the 64-name dictionary with the same length
+    // gate — the prefix filter is Spark-internal (exact verification
+    // makes candidates invisible in the output)
+    "q_edit_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+         SELECT a.s AS s1, b.s AS s2,
+                CAST(levenshtein(a.s, b.s) AS BIGINT) AS ed
+         FROM n a JOIN n b
+           ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+         WHERE levenshtein(a.s, b.s) <= 2
+         ORDER BY s1, s2""",
+
+    "q_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id
+                    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+              p AS (SELECT event_type AS from_state,
+                           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC) AS to_state
+                    FROM e),
+              c AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+              t AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+         SELECT c.from_state, c.to_state, c.n,
+                ROUND(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+         FROM c JOIN t USING (from_state) ORDER BY from_state, to_state""",
+
+    "q_top_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id
+                    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+              j AS (SELECT user_id, string_agg(event_type, '>' ORDER BY tsec ASC, event_id ASC) AS path
+                    FROM e GROUP BY user_id)
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+         FROM j GROUP BY path ORDER BY n DESC, path ASC LIMIT 15""",
 
     // half-open [s, e): both deltas land on the boundary before the
     // count is read, so back-to-back sessions never double-count

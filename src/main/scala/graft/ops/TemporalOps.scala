@@ -302,6 +302,81 @@ object TemporalOps {
    * discipline.
    */
   /**
+   * MARKOV TRANSITION matrix over per-key event sequences — "after a
+   * user does a, what do they do next": counts and conditional
+   * probabilities P(next = b | current = a) from consecutive event
+   * pairs within each key's (floored-second, tie-break)-ordered stream.
+   * The journey-analytics complement of [[funnel]]'s fixed-order
+   * matching: the funnel asks "did they follow THIS path", the matrix
+   * reports ALL the paths' first-order structure. Each key's last event
+   * has no successor and contributes nothing. Emits (from_state,
+   * to_state, n, p), p 6dp, ordered.
+   *
+   * Deterministic: ordering uses floored epoch seconds + the caller's
+   * tie-break (the [[timeWeightedAvg]] discipline — sub-second parquet
+   * precision differs across engines); counts exact, one double
+   * division per matrix cell.
+   *
+   * Scale: one key shuffle + per-key sort (the sessionize shape), then
+   * a states²-bounded aggregate; the totals join runs on matrix-sized
+   * rows (broadcast).
+   */
+  def transitionMatrix(df: DataFrame, key: String, ts: String,
+                       stateCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t").asc, col(tieBreak).asc)
+    val pairs = df
+      .filter(col(ts).isNotNull && col(stateCol).isNotNull)
+      .select(col(key), col(ts).cast("long").as("__t"), col(tieBreak),
+        col(stateCol).as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+    val counts = pairs.groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_state").agg(sum(col("n")).as("__tot"))
+    counts.join(broadcast(totals), "from_state")
+      .select(col("from_state"), col("to_state"), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("p"))
+      .orderBy("from_state", "to_state")
+  }
+
+  /**
+   * TOP-K event PATHS — the most common full journeys: each key's
+   * ordered event-type sequence joined into one path string, then the
+   * k most frequent paths with deterministic (count desc, path asc)
+   * tie order. The clickstream "what do users actually do" report —
+   * [[transitionMatrix]] aggregated to first order loses exactly what
+   * this keeps.
+   *
+   * Ordering inside a path uses floored epoch seconds + tie-break (the
+   * cross-engine contract); path strings join with `sep`, so state
+   * values must not contain it.
+   *
+   * Scale: one per-key aggregate (collect_list is bounded by the
+   * per-key event count — cap upstream with [[debounce]] or windowing
+   * for hot keys), one path-count aggregate, and a k-row
+   * TakeOrderedAndProject — never a global sort of the paths.
+   */
+  def topPaths(df: DataFrame, key: String, ts: String, stateCol: String,
+               tieBreak: String, k: Int, sep: String = ">"): DataFrame = {
+    require(k > 0, s"bad k=$k")
+    val path = array_join(
+      transform(
+        array_sort(collect_list(struct(col("__t"), col(tieBreak),
+          col(stateCol).as("__state")))),
+        x => x.getField("__state")),
+      sep)
+    df.filter(col(ts).isNotNull && col(stateCol).isNotNull)
+      .select(col(key), col(ts).cast("long").as("__t"), col(tieBreak),
+        col(stateCol))
+      .groupBy(col(key)).agg(path.as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /**
    * PEAK CONCURRENCY by sweep-line — "how many intervals were open at
    * once, and when did the maximum happen": each [start, end) interval
    * contributes +1 at start and −1 at end; the running sum over the

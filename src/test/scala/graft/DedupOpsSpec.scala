@@ -606,4 +606,50 @@ class DedupOpsSpec extends SparkSpec {
       Seq("com", "rare"), m = 0.9, maxBlockSize = 2)
     capped.count() shouldBe 0L
   }
+
+  test("editDistancePairs: known edits found, beyond-k dropped, short strings kept") {
+    import spark.implicits._
+    val dict = Seq("red widget", "red widgett", "rad widget", "blue bolt",
+      "blue boltz", "completely different", "ax", "axe", "x")
+      .map(Tuple1(_)).toDF("s")
+    val out = DedupOps.editDistancePairs(dict, "s", maxDistance = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // substitution, insertion, and the 2-edit chain all surface
+    out(("red widget", "red widgett")) shouldBe 1L
+    out(("rad widget", "red widget")) shouldBe 1L
+    out(("rad widget", "red widgett")) shouldBe 2L
+    out(("blue bolt", "blue boltz")) shouldBe 1L
+    // sub-q-length strings still pair (sentinel padding carries grams)
+    out(("ax", "axe")) shouldBe 1L
+    out(("ax", "x")) shouldBe 1L
+    out(("axe", "x")) shouldBe 2L
+    // nothing pairs with the distant string
+    out.keys.flatMap(p => Seq(p._1, p._2)) should not contain
+      "completely different"
+  }
+
+  test("editDistancePairs equals brute force on random dictionaries") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29L)
+    def word() = Seq.fill(3 + rng.nextInt(6))(
+      ('a' + rng.nextInt(4)).toChar).mkString // tiny alphabet → many near-dups
+    (1 to 3).foreach { _ =>
+      val dict = Seq.fill(40)(word()).distinct
+      val df = dict.map(Tuple1(_)).toDF("s")
+      for (k <- Seq(1, 2)) {
+        val fast = DedupOps.editDistancePairs(df, "s", maxDistance = k)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .toSet
+        val a = df.select(col("s").as("s1"))
+        val brute = a.crossJoin(df.select(col("s").as("s2")))
+          .filter(col("s1") < col("s2"))
+          .withColumn("ed", levenshtein(col("s1"), col("s2")).cast("long"))
+          .filter(col("ed") <= k)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .toSet
+        fast shouldBe brute
+      }
+    }
+  }
 }

@@ -193,6 +193,49 @@ class TemporalOpsSpec extends SparkSpec {
     f.getAs[java.sql.Timestamp]("at_day").toString should startWith("2024-01-01")
   }
 
+  test("transitionMatrix: branching probabilities exact; last events silent") {
+    import spark.implicits._
+    // users: A = x→y, B = x→z, C = x→y — from x: y 2/3, z 1/3; the
+    // terminal y/z events have no successor and contribute nothing
+    val ev = Seq(
+      ("A", 10L, 1L, "x"), ("A", 20L, 2L, "y"),
+      ("B", 10L, 3L, "x"), ("B", 20L, 4L, "z"),
+      ("C", 10L, 5L, "x"), ("C", 20L, 6L, "y"))
+      .toDF("u", "sec", "eid", "st")
+      .withColumn("ts", col("sec").cast(TimestampType))
+    val m = TemporalOps.transitionMatrix(ev, "u", "ts", "st", "eid")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    m.keySet shouldBe Set(("x", "y"), ("x", "z"))
+    m(("x", "y")) shouldBe ((2L, 0.666667))
+    m(("x", "z")) shouldBe ((1L, 0.333333))
+    // same-second events order by the tie-break, not arrival order
+    val tied = Seq(("A", 10L, 2L, "b"), ("A", 10L, 1L, "a"))
+      .toDF("u", "sec", "eid", "st")
+      .withColumn("ts", col("sec").cast(TimestampType))
+    TemporalOps.transitionMatrix(tied, "u", "ts", "st", "eid")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("a", "b"))
+  }
+
+  test("topPaths: full journeys ranked, deterministic tie order") {
+    import spark.implicits._
+    val ev = (
+      // three users walk a>b, two walk just a, one walks b>a
+      Seq("u1", "u2", "u3").flatMap(u =>
+        Seq((u, 10L, 1L, "a"), (u, 20L, 2L, "b"))) ++
+      Seq(("u4", 10L, 3L, "a"), ("u5", 10L, 4L, "a")) ++
+      Seq(("u6", 10L, 5L, "b"), ("u6", 20L, 6L, "a")))
+      .toDF("u", "sec", "eid", "st")
+      .withColumn("ts", col("sec").cast(TimestampType))
+    val top = TemporalOps.topPaths(ev, "u", "ts", "st", "eid", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    top shouldBe Seq(("a>b", 3L), ("a", 2L), ("b>a", 1L))
+    // k truncates after the deterministic (n desc, path asc) order
+    TemporalOps.topPaths(ev, "u", "ts", "st", "eid", k = 1)
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("a>b")
+  }
+
   test("peakConcurrency: sweep-line count, half-open boundaries, earliest tie") {
     import spark.implicits._
     // [0,10) [5,15) [8,12): all three open during [8,10) → peak 3 at t=8
