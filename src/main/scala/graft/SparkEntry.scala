@@ -1902,6 +1902,49 @@ object SparkEntry {
           "o_orderpriority", "o_totalprice", lo = 0.05, hi = 0.95)
         .orderBy("o_orderpriority")),
 
+    // which cells drive the chi-square: standardized residuals
+    // (o - e)/sqrt(e) per contingency cell, empty cells included
+    "q_chi_residuals" -> ((s, d) =>
+      graft.ops.StatsOps.chiSquareResiduals(t(s, d, "orders"),
+        "o_orderpriority", "o_orderstatus")),
+
+    // shuffle-key skew diagnosis BEFORE choosing plain/AQE/salted join:
+    // per-key count distribution + the heaviest key
+    "q_skew_report" -> ((s, d) =>
+      graft.ops.SkewOps.skewReport(t(s, d, "lineitem"), "l_orderkey")),
+
+    // CUPED variance-reduced A/B readout: deterministic hash arms, pre/
+    // post split at the corpus time midpoint, theta from exact pooled
+    // cents moments rounded BEFORE the adjustment touches doubles
+    "q_cuped" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("tsec", unix_timestamp(col("ts")))
+        .withColumn("__c",
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+      val mid = ev.agg(floor((min(col("tsec")) + max(col("tsec"))) / 2.0)
+        .cast("long").as("__mid"))
+      val units = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(
+          (sum(when(col("tsec") < col("__mid"), col("__c")).otherwise(0L))
+            .cast("double") / 100.0).as("pre"),
+          (sum(when(col("tsec") >= col("__mid"), col("__c")).otherwise(0L))
+            .cast("double") / 100.0).as("post"))
+        .withColumn("arm",
+          when(pmod(graft.ext.TextOps.fingerprint60(
+            concat(col("user_id").cast("string"), lit(":ab"))), lit(2L)) === 0L,
+            "A").otherwise("B"))
+      graft.ops.StatsOps.cupedAdjust(units, "arm", "pre", "post")
+    }),
+
+    // gaps-and-islands: per user, total active days + the longest run
+    // of consecutive days (earliest such run on ties) — the streak
+    // metric, via the day-index minus row-number trick
+    "q_streaks" -> ((s, d) =>
+      graft.ops.TemporalOps.activityStreaks(
+        t(s, d, "events"), "user_id", "ts")),
+
     // Ed-Join fuzzy dictionary match: all part-name pairs within 2
     // edits via the q-gram prefix filter + length gate, exact
     // levenshtein verification — the dictionary stays 64 entries at
@@ -6709,6 +6752,103 @@ object SparkEntry {
          SELECT g AS o_orderpriority, n, CAST(COUNT(*) AS BIGINT) AS n_used,
                 ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS tmean
          FROM kept GROUP BY g, n ORDER BY o_orderpriority""",
+
+    "q_chi_residuals" ->
+      """WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b, CAST(COUNT(*) AS BIGINT) AS o
+                      FROM orders
+                      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+                      GROUP BY 1, 2),
+              ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY a),
+              rb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS rb FROM obs GROUP BY b),
+              tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+              cells AS (SELECT ra.a, rb.b, ra.ra, rb.rb, COALESCE(obs.o, 0) AS o
+                        FROM ra CROSS JOIN rb
+                        LEFT JOIN obs ON obs.a = ra.a AND obs.b = rb.b)
+         SELECT a AS o_orderpriority, b AS o_orderstatus, o,
+                ROUND(CAST(ra AS DOUBLE) * rb / n, 4) AS expected,
+                ROUND((o - CAST(ra AS DOUBLE) * rb / n) /
+                      SQRT(CAST(ra AS DOUBLE) * rb / n), 4) AS std_residual
+         FROM cells CROSS JOIN tot
+         ORDER BY o_orderpriority, o_orderstatus""",
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+              top AS (SELECT k AS top_key FROM c ORDER BY c DESC, k ASC LIMIT 1),
+              s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+                           quantile_cont(c, 0.5) AS med, quantile_cont(c, 0.99) AS p99,
+                           CAST(MAX(c) AS BIGINT) AS max_count
+                    FROM c)
+         SELECT n_keys, n_rows,
+                ROUND(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 4) AS mean_count,
+                ROUND(med, 4) AS median_count, ROUND(p99, 4) AS p99_count,
+                max_count,
+                ROUND(CAST(max_count AS DOUBLE) /
+                      (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 4) AS skew_ratio,
+                top_key
+         FROM s CROSS JOIN top""",
+
+    // theta rounds to 8dp BEFORE the adjustment multiplies it — both
+    // engines then walk the identical double path; moments in HUGEINT
+    "q_cuped" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+              mid AS (SELECT CAST(floor((MIN(tsec) + MAX(tsec)) / 2.0) AS BIGINT) AS m FROM e),
+              u AS (SELECT user_id,
+                           CAST(SUM(CASE WHEN tsec < m THEN c ELSE 0 END) AS DOUBLE) / 100.0 AS pre,
+                           CAST(SUM(CASE WHEN tsec >= m THEN c ELSE 0 END) AS DOUBLE) / 100.0 AS post
+                    FROM e CROSS JOIN mid GROUP BY user_id),
+              ua AS (SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT) % 2 = 0
+                                 THEN 'A' ELSE 'B' END AS arm,
+                            CAST(CAST(pre AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+                            CAST(CAST(post AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+                     FROM u),
+              pooled AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                                SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                                SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                                SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                                SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+                         FROM ua),
+              arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_units,
+                              SUM(CAST(x AS HUGEINT)) AS ax, SUM(CAST(y AS HUGEINT)) AS ay
+                       FROM ua GROUP BY arm),
+              dd AS (SELECT arm, n_units, ax, ay, n, sx,
+                            n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+                            n * sxy - sx * sy AS num
+                     FROM arms CROSS JOIN pooled)
+         SELECT arm, n_units,
+                ROUND(CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE) / 100.0, 6) AS mean_post,
+                CASE WHEN dx > 0
+                     THEN ROUND((CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE)
+                                 - ROUND(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE), 8)
+                                   * (CAST(ax AS DOUBLE) / CAST(n_units AS DOUBLE)
+                                      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6)
+                     ELSE ROUND(CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE) / 100.0, 6) END AS mean_adj,
+                CASE WHEN dx > 0
+                     THEN ROUND(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE), 8) END AS theta,
+                CASE WHEN dx > 0 AND dy > 0
+                     THEN ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+                                (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) END AS var_reduction
+         FROM dd ORDER BY arm""",
+
+    "q_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                       FROM events WHERE ts IS NOT NULL),
+              idx AS (SELECT user_id, d,
+                             CAST(datediff('day', DATE '1970-01-01', CAST(d AS DATE)) AS BIGINT) AS i
+                      FROM days),
+              runs AS (SELECT user_id, d, i,
+                              i - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i ASC) AS r
+                       FROM idx),
+              rr AS (SELECT user_id, r, CAST(COUNT(*) AS BIGINT) AS len, MIN(d) AS start
+                     FROM runs GROUP BY 1, 2),
+              pk AS (SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+                            CAST(MAX(len) AS BIGINT) AS longest_streak
+                     FROM rr GROUP BY 1)
+         SELECT pk.user_id, n_active_days, longest_streak, MIN(rr.start) AS streak_start
+         FROM pk JOIN rr ON pk.user_id = rr.user_id AND rr.len = pk.longest_streak
+         GROUP BY 1, 2, 3 ORDER BY pk.user_id""",
 
     // brute force over the 64-name dictionary with the same length
     // gate — the prefix filter is Spark-internal (exact verification

@@ -90,4 +90,47 @@ object SkewOps {
         graft.functions.ColumnBridge.expression(xxhash64(col(bigKey)))))
     big.filter(might).join(small, col(bigKey) === col(smallKey))
   }
+
+  /**
+   * SKEW diagnosis report for a prospective shuffle key — the numbers
+   * an operator reads BEFORE choosing between a plain join, AQE skew
+   * handling, or [[saltedJoin]]: key cardinality, rows, mean/median/p99/
+   * max per-key counts, the skew ratio max/mean (a hot key's reducer
+   * runs that many times longer than the average), and the heaviest key
+   * itself. One row out; NULL keys excluded (they never co-locate in an
+   * equi-join anyway).
+   *
+   * Deterministic: counts exact; percentiles interpolate over exact
+   * integers; ratios round 4dp; the top key ties to the smallest key
+   * string.
+   *
+   * Scale: one (key, count) aggregate — the same partial-aggregating
+   * shuffle the diagnosed join would pay, minus its build side — then a
+   * key-cardinality-sized rollup. Run it on a sample for quick looks;
+   * exact is affordable because counts compress map-side.
+   */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val top = counts
+      .orderBy(col("__c").desc, col("__k").asc)
+      .limit(1).select(col("__k").as("__top"))
+    counts.agg(
+        count(lit(1)).as("n_keys"), sum(col("__c")).as("n_rows"),
+        expr("percentile(__c, 0.5)").as("__med"),
+        expr("percentile(__c, 0.99)").as("__p99"),
+        max(col("__c")).as("max_count"))
+      .crossJoin(broadcast(top))
+      .select(col("n_keys"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("n_keys").cast("double"), 4)
+          .as("mean_count"),
+        round(col("__med"), 4).as("median_count"),
+        round(col("__p99"), 4).as("p99_count"),
+        col("max_count"),
+        round(col("max_count").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")), 4)
+          .as("skew_ratio"),
+        col("__top").as("top_key"))
+  }
 }

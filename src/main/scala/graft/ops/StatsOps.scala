@@ -130,6 +130,39 @@ object StatsOps {
   }
 
   /**
+   * STANDARDIZED RESIDUALS per contingency cell — the drill-down behind
+   * [[chiSquareIndependence]]'s single number: which (a, b) cells
+   * actually drive the dependence, via (o − e)/√e per cell (|residual|
+   * ≳ 2 reads as "this cell deviates significantly"). Every marginal
+   * cell participates including empty ones (the chi² contract — an
+   * expected-but-absent combination IS a finding). Emits (a, b, o,
+   * expected 4dp, std_residual 4dp), ordered.
+   *
+   * Scale: identical shape to chi² — cell aggregate + marginal rollups
+   * + 1-row total; output is grid-sized.
+   */
+  def chiSquareResiduals(df: DataFrame, aCol: String,
+                         bCol: String): DataFrame = {
+    val obs = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy("__a").agg(sum(col("o")).as("ra"))
+    val rb = obs.groupBy("__b").agg(sum(col("o")).as("rb"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    val cells = ra.crossJoin(rb)
+      .join(obs, Seq("__a", "__b"), "left")
+      .select(col("__a"), col("__b"), col("ra"), col("rb"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val e = col("ra").cast("double") * col("rb") / col("n")
+    cells.crossJoin(broadcast(tot))
+      .select(col("__a").as(aCol), col("__b").as(bCol), col("o"),
+        round(e, 4).as("expected"),
+        round((col("o") - e) / sqrt(e), 4).as("std_residual"))
+      .orderBy(aCol, bCol)
+  }
+
+  /**
    * Two-sample KOLMOGOROV–SMIRNOV statistic — max |F_A(v) − F_B(v)| over
    * the observed support: the exact "are these two slices drawn from the
    * same distribution" number for numeric columns (the distribution
@@ -500,7 +533,67 @@ object StatsOps {
   }
 
   /**
-   * TRIMMED mean per group — the mean of values inside the group's own
+   * CUPED variance-reduced experiment readout — the modern A/B-test
+   * adjustment: each unit's post-period metric is shifted by
+   * θ·(pre − pre̅) where θ = cov(pre, post)/var(pre), which removes the
+   * pre-existing between-unit variance the randomization froze in and
+   * leaves the treatment effect untouched (E[adjustment] = 0 per arm
+   * under randomization). Input is the PER-UNIT frame (one row per
+   * unit: arm, pre-period metric, post-period metric — aggregate
+   * events to units upstream). Emits one row per arm: (arm, n_units,
+   * mean_post, mean_adj, theta, var_reduction) — mean_adj is the
+   * number to diff between arms; var_reduction = ρ²(pre, post) is the
+   * fraction of metric variance CUPED removed (how much smaller the
+   * confidence interval got). Constant pre (zero variance) degrades
+   * gracefully: θ/var_reduction NULL, mean_adj = mean_post.
+   *
+   * Deterministic by construction: all five pooled moments and the
+   * per-arm sums are exact integer cents in DECIMAL(38,0); θ rounds to
+   * 8dp FIRST and the adjusted mean is computed from the rounded θ, so
+   * both engines share the exact same double path.
+   *
+   * Scale: one pooled moment aggregate + one per-arm aggregate over
+   * the unit frame (already |units| rows), θ math on |arms| rows.
+   */
+  def cupedAdjust(df: DataFrame, armCol: String, preCol: String,
+                  postCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .select(col(armCol).as("arm"), cents(col(preCol)).as("__x"),
+        cents(col(postCol)).as("__y"))
+      .filter(col("arm").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+    val x = col("__x").cast(dec); val y = col("__y").cast(dec)
+    val pooled = base.agg(count(lit(1)).as("n"), sum(x).as("sx"),
+      sum(y).as("sy"), sum(x * x).as("sxx"), sum(y * y).as("syy"),
+      sum(x * y).as("sxy"))
+    val arms = base.groupBy("arm").agg(count(lit(1)).as("n_units"),
+      sum(x).as("ax"), sum(y).as("ay"))
+    val nD = col("n").cast(dec)
+    val dx = nD * col("sxx") - col("sx") * col("sx")
+    val dy = nD * col("syy") - col("sy") * col("sy")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val thetaR = round(num.cast("double") / dx.cast("double"), 8)
+    val meanPost = col("ay").cast("double") / col("n_units").cast("double")
+    val meanPreArm = col("ax").cast("double") / col("n_units").cast("double")
+    val meanPrePool = col("sx").cast("double") / col("n").cast("double")
+    arms.crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_units"),
+        round(meanPost / 100.0, 6).as("mean_post"),
+        when(dx > 0,
+          round((meanPost - thetaR * (meanPreArm - meanPrePool)) / 100.0, 6))
+          .otherwise(round(meanPost / 100.0, 6)).as("mean_adj"),
+        when(dx > 0, thetaR)
+          .otherwise(lit(null).cast("double")).as("theta"),
+        when(dx > 0 && dy > 0,
+          round(num.cast("double") * num.cast("double") /
+            (dx.cast("double") * dy.cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("var_reduction"))
+      .orderBy("arm")
+  }
+
+  /**
+   * TRIMMED mean per group — the mean of values inside the per-group
    * [`lo`, `hi`] quantile band: the robust location estimate between
    * the raw mean (dragged by any outlier) and the median (ignores all
    * magnitude). Where [[winsorize]] CLIPS the tails into the bounds,

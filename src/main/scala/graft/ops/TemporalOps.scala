@@ -302,6 +302,44 @@ object TemporalOps {
    * discipline.
    */
   /**
+   * ACTIVITY STREAKS — the classic gaps-and-islands analysis per key:
+   * maximal runs of CONSECUTIVE active days, via the day-index minus
+   * row-number trick (consecutive days share the difference, so the
+   * difference IS the run id — no iterative chasing). Emits one row
+   * per key: (key, n_active_days, longest_streak, streak_start), the
+   * start being the EARLIEST day among longest runs (deterministic
+   * tie). The engagement metric behind "7-day streak" product
+   * features, and the daily-granularity sibling of [[sessionize]]'s
+   * second-granularity gap grouping.
+   *
+   * Scale: events collapse to DISTINCT (key, day) first — the rest
+   * runs on active-day-sized rows; one key shuffle + per-key sort (the
+   * sessionize shape), then two key-sized aggregates and a key-sized
+   * self-join for the tie-broken start day.
+   */
+  def activityStreaks(df: DataFrame, key: String, ts: String): DataFrame = {
+    val days = df.filter(col(ts).isNotNull)
+      .select(col(key), date_trunc("day", col(ts)).as("__d"))
+      .distinct()
+      .withColumn("__i",
+        datediff(col("__d"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(key).orderBy(col("__i").asc)
+    val runs = days
+      .withColumn("__r", col("__i") - row_number().over(w))
+      .groupBy(col(key), col("__r"))
+      .agg(count(lit(1)).as("__len"), min(col("__d")).as("__start"))
+    val perKey = runs.groupBy(key)
+      .agg(sum(col("__len")).as("n_active_days"),
+        max(col("__len")).as("longest_streak"))
+    perKey.join(runs.select(col(key), col("__len"), col("__start")),
+        Seq(key))
+      .filter(col("__len") === col("longest_streak"))
+      .groupBy(col(key), col("n_active_days"), col("longest_streak"))
+      .agg(min(col("__start")).as("streak_start"))
+      .orderBy(key)
+  }
+
+  /**
    * MARKOV TRANSITION matrix over per-key event sequences — "after a
    * user does a, what do they do next": counts and conditional
    * probabilities P(next = b | current = a) from consecutive event

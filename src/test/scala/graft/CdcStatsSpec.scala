@@ -657,6 +657,82 @@ class CdcStatsSpec extends SparkSpec {
     p.isNullAt(p.fieldIndex("intercept")) shouldBe true
   }
 
+  test("chiSquareResiduals: residuals localize the dependence, empty cells report") {
+    import spark.implicits._
+    // b = a on 2 uniform values: diagonal cells over-observed (+√(n/4)
+    // over e = n/4 → residual +5), off-diagonal EMPTY cells at −5
+    val dep = (0 until 100).map(i =>
+      (if (i % 2 == 0) "a1" else "a2", if (i % 2 == 0) "b1" else "b2"))
+      .toDF("a", "b")
+    val out = graft.ops.StatsOps.chiSquareResiduals(dep, "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    out.size shouldBe 4
+    out(("a1", "b1")) shouldBe ((50L, 25.0, 5.0))
+    out(("a1", "b2")) shouldBe ((0L, 25.0, -5.0))
+    out(("a2", "b1")) shouldBe ((0L, 25.0, -5.0))
+    out(("a2", "b2")) shouldBe ((50L, 25.0, 5.0))
+    // residuals² sum to the chi² statistic (here n = 100)
+    out.values.map(v => v._3 * v._3).sum shouldBe 100.0
+  }
+
+  test("skewReport: hot key surfaced with exact ratio and deterministic tie") {
+    import spark.implicits._
+    // key "h" holds 8 of 14 rows over 4 keys: mean 3.5, skew 8/3.5
+    val df = (Seq.fill(8)("h") ++ Seq.fill(2)("a") ++ Seq.fill(2)("b") ++
+      Seq.fill(2)("c")).toDF("k")
+    val r = graft.ops.SkewOps.skewReport(df, "k").head()
+    r.getAs[Long]("n_keys") shouldBe 4L
+    r.getAs[Long]("n_rows") shouldBe 14L
+    r.getAs[Double]("mean_count") shouldBe 3.5
+    r.getAs[Double]("median_count") shouldBe 2.0
+    r.getAs[Long]("max_count") shouldBe 8L
+    r.getAs[Double]("skew_ratio") shouldBe (8.0 / 3.5 +- 1e-4)
+    r.getAs[String]("top_key") shouldBe "h"
+    // count ties break to the SMALLEST key string
+    val tied = (Seq.fill(3)("z") ++ Seq.fill(3)("a")).toDF("k")
+    graft.ops.SkewOps.skewReport(tied, "k")
+      .head().getAs[String]("top_key") shouldBe "a"
+  }
+
+  test("cupedAdjust: recovers theta=1 on additive effects, exact adjusted means") {
+    import spark.implicits._
+    // post = pre + 2 in arm A, pre + 7 in arm B: theta is exactly 1,
+    // arms share mean pre → adjustment is 0 and the lift diff stays 5
+    val units = Seq(
+      ("A", 10.0, 12.0), ("A", 20.0, 22.0), ("A", 30.0, 32.0),
+      ("B", 10.0, 17.0), ("B", 20.0, 27.0), ("B", 30.0, 37.0))
+      .toDF("arm", "pre", "post")
+    val out = graft.ops.StatsOps.cupedAdjust(units, "arm", "pre", "post")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    out("A") shouldBe ((3L, 22.0, 22.0, 1.0, 0.914286))
+    out("B") shouldBe ((3L, 27.0, 27.0, 1.0, 0.914286))
+    // imbalanced pre between arms: the adjustment moves the means but
+    // the θ-corrected gap equals raw gap + θ·(pre_B − pre_A)
+    val skewed = Seq(
+      ("A", 10.0, 12.0), ("A", 20.0, 22.0),
+      ("B", 20.0, 27.0), ("B", 30.0, 37.0))
+      .toDF("arm", "pre", "post")
+    val s = graft.ops.StatsOps.cupedAdjust(skewed, "arm", "pre", "post")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    // pooled slope absorbs the arm confound: num = 4·2210 − 80·98 =
+    // 1000, dx = 4·1800 − 80² = 800 → θ = 1.25
+    s("A")._2 shouldBe 1.25
+    // A: 17 − 1.25·(15 − 20) = 23.25; B: 32 − 1.25·(25 − 20) = 25.75
+    s("A")._1 shouldBe 23.25
+    s("B")._1 shouldBe 25.75
+    // constant pre: zero variance → theta NULL, mean_adj = mean_post
+    val flat = Seq(("A", 5.0, 10.0), ("B", 5.0, 20.0)).toDF("arm", "pre", "post")
+    val f = graft.ops.StatsOps.cupedAdjust(flat, "arm", "pre", "post")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.isNullAt(4))).toMap
+    f("A") shouldBe ((10.0, true))
+    f("B") shouldBe ((20.0, true))
+  }
+
   test("trimmedMean: drops the tails the raw mean is dragged by") {
     import spark.implicits._
     // 1..10 at [5%, 95%]: bounds 1.45/9.55 keep 2..9 → mean 5.5 (= the

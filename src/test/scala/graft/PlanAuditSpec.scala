@@ -90,8 +90,13 @@ class PlanAuditSpec extends SparkSpec {
                              // day-count-sized series
     "q_ewma_baseline",       // day-count-sized triangular self-join (i ≤ j)
                              // — quadratic in DAYS, not data; bounded
-    "q_theil_sen")           // same day×day triangular join (i < j) + 1-row
+    "q_theil_sen",           // same day×day triangular join (i < j) + 1-row
                              // min-day and day-count broadcasts
+    "q_cuped",               // 1-row time-midpoint + 1-row pooled-moment
+                             // broadcasts (the experiment-readout shape)
+    "q_chi_residuals",       // chi²'s marginal grid (ra×rb, |levels|²-
+                             // bounded) + 1-row total broadcast
+    "q_skew_report")         // 1-row summary × 1-row top-key broadcast
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(

@@ -193,6 +193,25 @@ class TemporalOpsSpec extends SparkSpec {
     f.getAs[java.sql.Timestamp]("at_day").toString should startWith("2024-01-01")
   }
 
+  test("activityStreaks: islands found, earliest longest run wins ties") {
+    import spark.implicits._
+    def at(day: Int) = f"2024-05-$day%02d 13:00:00"
+    // u1: days {1,2,3, 5,6, 10} → 6 active, longest 3 starting day 1;
+    // u2: {1,2, 5,6} → tie of two 2-runs, EARLIEST start reported;
+    // duplicate events inside one day count once
+    val ev = (Seq(1, 2, 3, 5, 6, 10).map(d => ("u1", at(d))) ++
+      Seq(1, 2, 5, 6).map(d => ("u2", at(d))) ++
+      Seq(("u2", "2024-05-01 23:59:00")))
+      .toDF("u", "tss").withColumn("ts", to_timestamp(col("tss")))
+    val out = TemporalOps.activityStreaks(ev, "u", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          r.getAs[java.sql.Timestamp]("streak_start").toString.take(10)))
+      .toMap
+    out("u1") shouldBe ((6L, 3L, "2024-05-01"))
+    out("u2") shouldBe ((4L, 2L, "2024-05-01"))
+  }
+
   test("transitionMatrix: branching probabilities exact; last events silent") {
     import spark.implicits._
     // users: A = x→y, B = x→z, C = x→y — from x: y 2/3, z 1/3; the
