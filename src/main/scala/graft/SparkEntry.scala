@@ -1902,6 +1902,58 @@ object SparkEntry {
           "o_orderpriority", "o_totalprice", lo = 0.05, hi = 0.95)
         .orderBy("o_orderpriority")),
 
+    // odds ratio + Woolf CI + relative risk for the high-priority ×
+    // fulfilled 2×2 — one aggregation pass, four conditional sums
+    "q_odds_ratio" -> ((s, d) =>
+      graft.ops.StatsOps.oddsRatio(
+        t(s, d, "orders")
+          .withColumn("exposed",
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .withColumn("outcome", col("o_orderstatus") === "F"),
+        "exposed", "outcome")),
+
+    // expected calibration error: the Σ n·|gap|/N scalar over the same
+    // reliability bins q_calibration_bins reports — ONE number for the
+    // dashboard where the bins are the diagram
+    "q_ece" -> ((s, d) => {
+      val bins = graft.ops.EvalOps.calibrationBins(
+        t(s, d, "events")
+          .withColumn("p", round(lit(1.0) /
+            (lit(1.0) + exp(-((col("value") - 50.0) / 25.0))), 6))
+          .withColumn("y", col("event_type") === "purchase"),
+        "p", "y", bins = 10)
+      bins.agg(sum(col("n")).as("n"),
+          // n·|gap| is exact at 6dp — DECIMAL product+sum, no float adds
+          sum(col("n").cast(DecimalType(12, 0)) *
+            abs(col("gap")).cast(DecimalType(8, 6))).as("__w"))
+        .select(col("n"),
+          round(col("__w").cast("double") / col("n").cast("double"), 6)
+            .as("ece"))
+    }),
+
+    // Kaplan-Meier user-lifetime curve: duration = first→last active
+    // day, censored if still active in the corpus' final week — the
+    // churn curve a naive fraction-surviving gets wrong under censoring
+    "q_kaplan_meier" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val spans = ev.groupBy("user_id").agg(
+        min(date_trunc("day", col("ts"))).as("__first"),
+        max(date_trunc("day", col("ts"))).as("__last"))
+      val maxd = spans.agg(max(col("__last")).as("__maxd"))
+      val units = spans.crossJoin(broadcast(maxd))
+        .select(
+          datediff(col("__last"), col("__first")).cast("long")
+            .as("duration"),
+          (datediff(col("__maxd"), col("__last")) >= 7).as("churned"))
+      graft.ops.StatsOps.kaplanMeier(units, "duration", "churned")
+    }),
+
+    // cohort LTV: cumulative revenue per user by days-since-first-
+    // activity — the revenue companion of q_retention_cohorts
+    "q_cohort_ltv" -> ((s, d) =>
+      graft.ops.TemporalOps.cohortLtv(
+        t(s, d, "events"), "user_id", "ts", "value")),
+
     // which cells drive the chi-square: standardized residuals
     // (o - e)/sqrt(e) per contingency cell, empty cells included
     "q_chi_residuals" -> ((s, d) =>
@@ -6752,6 +6804,98 @@ object SparkEntry {
          SELECT g AS o_orderpriority, n, CAST(COUNT(*) AS BIGINT) AS n_used,
                 ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS tmean
          FROM kept GROUP BY g, n ORDER BY o_orderpriority""",
+
+    "q_odds_ratio" ->
+      """WITH f AS (SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS e,
+                           (o_orderstatus = 'F') AS o
+                    FROM orders
+                    WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+              c AS (SELECT CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                           CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                           CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                           CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+                    FROM f)
+         SELECT a, b, c, d,
+                CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                     THEN ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6) END AS odds_ratio,
+                CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                     THEN ROUND(EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                                    - 1.96 * SQRT(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6) END AS or_lo,
+                CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                     THEN ROUND(EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                                    + 1.96 * SQRT(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6) END AS or_hi,
+                CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                     THEN ROUND((CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)), 6) END AS relative_risk
+         FROM c""",
+
+    "q_ece" ->
+      """WITH f AS (SELECT ROUND(1.0 / (1.0 + EXP(-((value - 50.0) / 25.0))), 6) AS p,
+                           (event_type = 'purchase') AS y
+                    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              b AS (SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+                           CAST(ROUND(p, 8) AS DECIMAL(28,8)) AS pp,
+                           CASE WHEN y THEN 1 ELSE 0 END AS yy
+                    FROM f),
+              g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, SUM(pp) AS sp,
+                           CAST(SUM(yy) AS BIGINT) AS pos
+                    FROM b GROUP BY bin),
+              o AS (SELECT bin, n,
+                           ROUND(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_pred,
+                           ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos
+                    FROM g),
+              gaps AS (SELECT n, ROUND(mean_pred - frac_pos, 6) AS gap FROM o)
+         SELECT CAST(SUM(n) AS BIGINT) AS n,
+                ROUND(CAST(SUM(CAST(n AS DECIMAL(12,0)) * CAST(ABS(gap) AS DECIMAL(8,6))) AS DOUBLE)
+                      / CAST(SUM(n) AS DOUBLE), 6) AS ece
+         FROM gaps""",
+
+    // ln() never sees the everyone-dies zero factor (CASE guards inside
+    // the window) and the absorbing MIN(factor)=0 forces survival 0
+    "q_kaplan_meier" ->
+      """WITH u AS (SELECT user_id, MIN(date_trunc('day', ts)) AS f, MAX(date_trunc('day', ts)) AS l
+                    FROM events WHERE ts IS NOT NULL GROUP BY 1),
+              mx AS (SELECT MAX(l) AS maxd FROM u),
+              units AS (SELECT CAST(datediff('day', CAST(f AS DATE), CAST(l AS DATE)) AS BIGINT) AS t,
+                               (datediff('day', CAST(l AS DATE), CAST(maxd AS DATE)) >= 7) AS ev
+                        FROM u CROSS JOIN mx),
+              c AS (SELECT t, CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+                           CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+                    FROM units GROUP BY t),
+              tot AS (SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS n FROM c),
+              r AS (SELECT t, n_events, n_censored,
+                           n - COALESCE(SUM(n_events + n_censored)
+                                 OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+                    FROM c CROSS JOIN tot),
+              f AS (SELECT t, n_risk, n_events, n_censored,
+                           ROUND(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE), 8) AS fac
+                    FROM r),
+              s AS (SELECT t, n_risk, n_events, n_censored,
+                           MIN(fac) OVER wc AS minf,
+                           SUM(ROUND(LN(CASE WHEN fac > 0 THEN fac ELSE 1 END), 8)) OVER wc AS lnsum
+                    FROM f
+                    WINDOW wc AS (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+                CASE WHEN minf = 0 THEN 0.0 ELSE ROUND(EXP(lnsum), 6) END AS survival
+         FROM s ORDER BY t""",
+
+    "q_cohort_ltv" ->
+      """WITH coh AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort
+                      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+              sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM coh GROUP BY 1),
+              rev AS (SELECT c.cohort,
+                             CAST(datediff('day', CAST(c.cohort AS DATE),
+                                           CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT) AS age,
+                             SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS r
+                      FROM events e JOIN coh c ON e.user_id = c.user_id
+                      WHERE e.ts IS NOT NULL AND e.value IS NOT NULL
+                      GROUP BY 1, 2),
+              cum AS (SELECT cohort, age,
+                             SUM(r) OVER (PARTITION BY cohort ORDER BY age ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+                      FROM rev)
+         SELECT cum.cohort AS cohort, age, cohort_users,
+                ROUND(CAST(cr AS DOUBLE) / CAST(cohort_users AS DOUBLE) / 100.0, 6) AS ltv_per_user
+         FROM cum JOIN sizes ON cum.cohort = sizes.cohort
+         ORDER BY cum.cohort, age""",
 
     "q_chi_residuals" ->
       """WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b, CAST(COUNT(*) AS BIGINT) AS o

@@ -533,6 +533,106 @@ object StatsOps {
   }
 
   /**
+   * ODDS RATIO for a 2×2 exposure/outcome table — the epidemiology/
+   * experimentation effect measure: OR = (a·d)/(b·c) with the Woolf
+   * log-scale 95% interval exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)), the
+   * standard CI for a 2×2. Also emits the relative risk
+   * (a/(a+b))/(c/(c+d)) — the measure people usually MEAN when they say
+   * odds ratio. Both boolean columns; NULLs excluded (the chi²
+   * contract). Emits one row (a, b, c, d, odds_ratio, or_lo, or_hi,
+   * relative_risk), ratios 6dp; any empty cell makes the ratio columns
+   * NULL (division by zero has no estimate — the caller adds the
+   * Haldane 0.5 upstream if they want one).
+   *
+   * Deterministic: four exact cell counts; fixed-order double
+   * expressions on the single output row.
+   *
+   * Scale: ONE aggregation pass — four conditional sums.
+   */
+  def oddsRatio(df: DataFrame, exposedCol: String,
+                outcomeCol: String): DataFrame = {
+    val base = df.filter(col(exposedCol).isNotNull && col(outcomeCol).isNotNull)
+    val cells = base.agg(
+      sum(when(col(exposedCol) && col(outcomeCol), 1L).otherwise(0L)).as("a"),
+      sum(when(col(exposedCol) && !col(outcomeCol), 1L).otherwise(0L)).as("b"),
+      sum(when(!col(exposedCol) && col(outcomeCol), 1L).otherwise(0L)).as("c"),
+      sum(when(!col(exposedCol) && !col(outcomeCol), 1L).otherwise(0L)).as("d"))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val orr = col("a").cast("double") * col("d") /
+      (col("b").cast("double") * col("c"))
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+      lit(1.0) / col("c") + lit(1.0) / col("d"))
+    val rr = (col("a").cast("double") / (col("a") + col("b"))) /
+      (col("c").cast("double") / (col("c") + col("d")))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      when(ok, round(orr, 6)).otherwise(lit(null).cast("double"))
+        .as("odds_ratio"),
+      when(ok, round(exp(log(orr) - lit(1.96) * se), 6))
+        .otherwise(lit(null).cast("double")).as("or_lo"),
+      when(ok, round(exp(log(orr) + lit(1.96) * se), 6))
+        .otherwise(lit(null).cast("double")).as("or_hi"),
+      when(ok, round(rr, 6)).otherwise(lit(null).cast("double"))
+        .as("relative_risk"))
+  }
+
+  /**
+   * KAPLAN–MEIER survival estimator — the right-censoring-aware
+   * lifetime curve: S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over the observed
+   * event times, where censored units (still alive when observation
+   * stopped) leave the at-risk set WITHOUT counting as deaths — the
+   * estimator a naive "fraction surviving past t" gets wrong the
+   * moment any unit is censored. Input is the per-unit frame
+   * (duration, eventObserved: true = the terminal event happened,
+   * false = censored at that duration). Emits one row per distinct
+   * duration with ≥1 observed event or censoring: (t, n_risk,
+   * n_events, n_censored, survival 6dp), ordered by t.
+   *
+   * Determinism: counts exact; each step factor 1 − d/n rounds to 8dp,
+   * the cumulative product runs as exp(Σ round(ln(factor), 8)) over the
+   * SORTED DISTINCT durations (a fixed order both engines share), and
+   * an absorbing-zero guard handles the everyone-dies time (ln(0) never
+   * evaluates — the factor-0 row forces survival 0 from there on).
+   *
+   * Convention: deaths at t leave the curve AT t (S drops at event
+   * times); censorings at t are still at risk at t and leave after —
+   * the standard KM tie rule.
+   *
+   * Scale: one duration histogram (support-sized) + a cumulative window
+   * over the sorted support — the ksStatistic discipline; the unit
+   * frame streams once.
+   */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val counts = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col(eventCol), 0L).otherwise(1L)).as("n_censored"))
+    val tot = counts.agg(sum(col("n_events") + col("n_censored")).as("__n"))
+    val wPrev = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val risk = counts.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("__n") - coalesce(sum(col("n_events") + col("n_censored"))
+          .over(wPrev), lit(0L)))
+      .withColumn("__f",
+        round(lit(1.0) - col("n_events").cast("double") /
+          col("n_risk").cast("double"), 8))
+    risk
+      .withColumn("__minf", min(col("__f")).over(wCum))
+      .withColumn("survival",
+        when(col("__minf") === 0.0, lit(0.0))
+          .otherwise(round(exp(sum(
+            round(log(when(col("__f") > 0, col("__f")).otherwise(1.0)), 8))
+            .over(wCum)), 6)))
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+        col("survival"))
+      .orderBy("t")
+  }
+
+  /**
    * CUPED variance-reduced experiment readout — the modern A/B-test
    * adjustment: each unit's post-period metric is shifted by
    * θ·(pre − pre̅) where θ = cov(pre, post)/var(pre), which removes the

@@ -302,6 +302,50 @@ object TemporalOps {
    * discipline.
    */
   /**
+   * COHORT LTV curve — cumulative revenue per user by cohort age: users
+   * grouped by first-activity day, each cohort's per-day revenue
+   * accumulated over days-since-cohort and divided by cohort size. The
+   * "does month-2 revenue justify the acquisition cost" curve; the
+   * revenue companion of `q_retention_cohorts`' headcount view. Emits
+   * (cohort, age, cohort_users, ltv_per_user 6dp), ordered; cohort
+   * membership comes from ANY activity (null-value events still place
+   * a user), revenue from valued events only.
+   *
+   * Deterministic: revenue sums as exact cents in DECIMAL; one double
+   * division per (cohort, age) row.
+   *
+   * Scale: a per-key first-day aggregate, a (cohort, age) rollup —
+   * days²-bounded output regardless of corpus size — and a per-cohort
+   * cumulative window over that bounded grid.
+   */
+  def cohortLtv(df: DataFrame, key: String, ts: String,
+                valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cohorts = df.filter(col(ts).isNotNull)
+      .groupBy(col(key))
+      .agg(min(date_trunc("day", col(ts))).as("cohort"))
+    val sizes = cohorts.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_users"))
+    val rev = df
+      .filter(col(ts).isNotNull)
+      .select(col(key), date_trunc("day", col(ts)).as("__d"),
+        graft.ops.StatsOps.cents(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .join(cohorts, key)
+      .groupBy(col("cohort"),
+        datediff(col("__d"), col("cohort")).cast("long").as("age"))
+      .agg(sum(col("__v").cast(dec)).as("__r"))
+    val w = Window.partitionBy("cohort").orderBy(col("age").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.withColumn("__cum", sum(col("__r")).over(w))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("age"), col("cohort_users"),
+        round(col("__cum").cast("double") /
+          col("cohort_users").cast("double") / 100.0, 6).as("ltv_per_user"))
+      .orderBy("cohort", "age")
+  }
+
+  /**
    * ACTIVITY STREAKS — the classic gaps-and-islands analysis per key:
    * maximal runs of CONSECUTIVE active days, via the day-index minus
    * row-number trick (consecutive days share the difference, so the

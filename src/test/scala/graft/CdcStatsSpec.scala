@@ -657,6 +657,50 @@ class CdcStatsSpec extends SparkSpec {
     p.isNullAt(p.fieldIndex("intercept")) shouldBe true
   }
 
+  test("oddsRatio: textbook 2×2, CI brackets, empty cell degrades to NULL") {
+    import spark.implicits._
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    val r = graft.ops.StatsOps.oddsRatio(rows.toDF("e", "o"), "e", "o")
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe
+      ((20L, 5L, 10L, 15L))
+    r.getAs[Double]("odds_ratio") shouldBe 6.0
+    r.getAs[Double]("relative_risk") shouldBe 2.0
+    r.getAs[Double]("or_lo") should (be > 0.0 and be < 6.0)
+    r.getAs[Double]("or_hi") should be > 6.0
+    // an empty cell: no estimate, not an Infinity
+    val degenerate = (Seq.fill(5)((true, true)) ++
+      Seq.fill(5)((false, false))).toDF("e", "o")
+    val g = graft.ops.StatsOps.oddsRatio(degenerate, "e", "o").head()
+    g.isNullAt(g.fieldIndex("odds_ratio")) shouldBe true
+    g.isNullAt(g.fieldIndex("relative_risk")) shouldBe true
+  }
+
+  test("kaplanMeier: censoring leaves the risk set without counting as death") {
+    import spark.implicits._
+    // 10 units: 2 die at t=1; 1 censored at 2; 2 die at 3; 1 dies at 5;
+    // 4 censored at 6 — the textbook staircase
+    val units = (Seq.fill(2)((1L, true)) ++ Seq((2L, false)) ++
+      Seq.fill(2)((3L, true)) ++ Seq((5L, true)) ++
+      Seq.fill(4)((6L, false))).toDF("dur", "ev")
+    val out = graft.ops.StatsOps.kaplanMeier(units, "dur", "ev")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    out(1L) shouldBe ((10L, 2L, 0L, 0.8))
+    out(2L) shouldBe ((8L, 0L, 1L, 0.8))        // censoring: no drop
+    out(3L) shouldBe ((7L, 2L, 0L, 0.571429))   // 0.8 · 5/7
+    out(5L) shouldBe ((5L, 1L, 0L, 0.457143))   // · 4/5
+    out(6L) shouldBe ((4L, 0L, 4L, 0.457143))
+    // everyone observed dying: the curve hits EXACTLY zero (absorbing
+    // guard, not exp(ln 0))
+    val doomed = Seq((1L, true), (2L, true), (2L, true)).toDF("dur", "ev")
+    val d = graft.ops.StatsOps.kaplanMeier(doomed, "dur", "ev")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    d(1L) shouldBe 0.666667
+    d(2L) shouldBe 0.0
+  }
+
   test("chiSquareResiduals: residuals localize the dependence, empty cells report") {
     import spark.implicits._
     // b = a on 2 uniform values: diagonal cells over-observed (+√(n/4)

@@ -96,7 +96,9 @@ class PlanAuditSpec extends SparkSpec {
                              // broadcasts (the experiment-readout shape)
     "q_chi_residuals",       // chi²'s marginal grid (ra×rb, |levels|²-
                              // bounded) + 1-row total broadcast
-    "q_skew_report")         // 1-row summary × 1-row top-key broadcast
+    "q_skew_report",         // 1-row summary × 1-row top-key broadcast
+    "q_kaplan_meier")        // 1-row corpus-max-day + 1-row at-risk-total
+                             // broadcasts over the duration histogram
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(

@@ -193,6 +193,28 @@ class TemporalOpsSpec extends SparkSpec {
     f.getAs[java.sql.Timestamp]("at_day").toString should startWith("2024-01-01")
   }
 
+  test("cohortLtv: cumulative per-user revenue by cohort age; null-value users count") {
+    import spark.implicits._
+    // cohort day1: u1 (10 @day1, 20 @day3), u2 (30 @day1), u4 (activity
+    // but no valued events — still a cohort member); cohort day2: u3 (5)
+    val ev = Seq(
+      ("u1", "2024-07-01 09:00:00", Some(10.0)),
+      ("u1", "2024-07-03 09:00:00", Some(20.0)),
+      ("u2", "2024-07-01 10:00:00", Some(30.0)),
+      ("u4", "2024-07-01 11:00:00", None: Option[Double]),
+      ("u3", "2024-07-02 09:00:00", Some(5.0)))
+      .toDF("u", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = TemporalOps.cohortLtv(ev, "u", "ts", "value")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("cohort").toString
+        .take(10), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // day-1 cohort has THREE users; 40/3 at age 0, 60/3 at age 2
+    out(("2024-07-01", 0L)) shouldBe ((3L, 13.333333))
+    out(("2024-07-01", 2L)) shouldBe ((3L, 20.0))
+    out(("2024-07-02", 0L)) shouldBe ((1L, 5.0))
+    out.size shouldBe 3
+  }
+
   test("activityStreaks: islands found, earliest longest run wins ties") {
     import spark.implicits._
     def at(day: Int) = f"2024-05-$day%02d 13:00:00"
