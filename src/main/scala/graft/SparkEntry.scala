@@ -1902,6 +1902,41 @@ object SparkEntry {
           "o_orderpriority", "o_totalprice", lo = 0.05, hi = 0.95)
         .orderBy("o_orderpriority")),
 
+    // Lorenz curve at deciles: share of total order value held by the
+    // bottom 10%…100% — gini's curve view, exact-integer interpolation
+    // inside tied-value blocks so row tie order can never matter
+    "q_lorenz" -> ((s, d) =>
+      graft.ops.StatsOps.lorenzCurve(
+        t(s, d, "orders").select(col("o_totalprice")), "o_totalprice",
+        buckets = 10)),
+
+    // Goh-Barabási burstiness of each user's event cadence: -1 regular
+    // clock, ~0 Poisson, →1 bursty — exact floored-second gaps
+    "q_burstiness" -> ((s, d) =>
+      graft.ops.TemporalOps.burstiness(
+        t(s, d, "events"), "user_id", "ts", "event_id")),
+
+    // funnel latency percentiles: how long view→click and click→
+    // purchase take for converting users — composes the q_funnel chain
+    "q_funnel_latency" -> ((s, d) => {
+      val f = TemporalOps.funnel(t(s, d, "events"), "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))
+      f.filter(col("step_2_ts").isNotNull)
+        .select(
+          (unix_timestamp(col("step_2_ts")) -
+            unix_timestamp(col("step_1_ts"))).as("g12"),
+          when(col("step_3_ts").isNotNull,
+            unix_timestamp(col("step_3_ts")) -
+              unix_timestamp(col("step_2_ts"))).as("g23"))
+        .agg(count(lit(1)).as("n_click"),
+          round(expr("percentile(g12, 0.5)"), 4).as("p50_view_click"),
+          round(expr("percentile(g12, 0.9)"), 4).as("p90_view_click"),
+          count(col("g23")).as("n_purchase"),
+          round(expr("percentile(g23, 0.5)"), 4).as("p50_click_purchase"),
+          round(expr("percentile(g23, 0.9)"), 4).as("p90_click_purchase"))
+    }),
+
     // odds ratio + Woolf CI + relative risk for the high-priority ×
     // fulfilled 2×2 — one aggregation pass, four conditional sums
     "q_odds_ratio" -> ((s, d) =>
@@ -6804,6 +6839,71 @@ object SparkEntry {
          SELECT g AS o_orderpriority, n, CAST(COUNT(*) AS BIGINT) AS n_used,
                 ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS tmean
          FROM kept GROUP BY g, n ORDER BY o_orderpriority""",
+
+    // bottom-k mass = cumValue(v-) + (k - cumCount(v-))·v — exact
+    // integer interpolation inside the tied-value block holding k
+    "q_lorenz" ->
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+              cum AS (SELECT v, c,
+                             COALESCE(SUM(c) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ccp,
+                             COALESCE(SUM(CAST(c AS HUGEINT) * v) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cvp
+                      FROM c),
+              tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, SUM(CAST(c AS HUGEINT) * v) AS tv FROM c),
+              grid AS (SELECT CAST(range + 1 AS BIGINT) AS decile FROM range(10)),
+              hit AS (SELECT decile, (decile * n) // 10 AS k, v, c, ccp, cvp, n, tv
+                      FROM cum CROSS JOIN tot CROSS JOIN grid
+                      WHERE ccp < (decile * n) // 10 AND (decile * n) // 10 <= ccp + c)
+         SELECT decile,
+                ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pop_share,
+                CASE WHEN tv = 0 THEN NULL
+                     ELSE ROUND(CAST(cvp + CAST(k - ccp AS HUGEINT) * v AS DOUBLE) /
+                                CAST(tv AS DOUBLE), 6) END AS value_share
+         FROM hit ORDER BY decile""",
+
+    "q_burstiness" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id
+                    FROM events WHERE ts IS NOT NULL),
+              g AS (SELECT user_id,
+                           LEAD(tsec) OVER (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC) - tsec AS g
+                    FROM e),
+              f AS (SELECT user_id, CAST(g AS HUGEINT) AS g FROM g WHERE g IS NOT NULL),
+              m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                           SUM(g) AS sg, SUM(g * g) AS sgg
+                    FROM f GROUP BY user_id HAVING COUNT(*) >= 2),
+              s AS (SELECT user_id, n_gaps,
+                           CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+                           SQRT(GREATEST(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                                         - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                                           * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0)) AS sigma
+                    FROM m)
+         SELECT user_id, n_gaps, ROUND(mu, 6) AS mean_gap,
+                CASE WHEN sigma + mu > 0 THEN ROUND((sigma - mu) / (sigma + mu), 6) END AS burstiness
+         FROM s ORDER BY user_id""",
+
+    "q_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+              s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                     JOIN s1 ON e.user_id = s1.user_id
+                     WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     GROUP BY e.user_id),
+              s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                     JOIN s2 ON e.user_id = s2.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     GROUP BY e.user_id),
+              g AS (SELECT CAST(floor(epoch(s2.t2)) AS BIGINT) - CAST(floor(epoch(s1.t1)) AS BIGINT) AS g12,
+                           CAST(floor(epoch(s3.t3)) AS BIGINT) - CAST(floor(epoch(s2.t2)) AS BIGINT) AS g23
+                    FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+                    LEFT JOIN s3 ON s2.user_id = s3.user_id)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_click,
+                ROUND(quantile_cont(g12, 0.5), 4) AS p50_view_click,
+                ROUND(quantile_cont(g12, 0.9), 4) AS p90_view_click,
+                CAST(COUNT(g23) AS BIGINT) AS n_purchase,
+                ROUND(quantile_cont(g23, 0.5), 4) AS p50_click_purchase,
+                ROUND(quantile_cont(g23, 0.9), 4) AS p90_click_purchase
+         FROM g""",
 
     "q_odds_ratio" ->
       """WITH f AS (SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS e,

@@ -533,6 +533,64 @@ object StatsOps {
   }
 
   /**
+   * LORENZ CURVE at a decile grid — [[gini]]'s curve view: for each
+   * grid point p, the share of total value held by the bottom
+   * ⌊p·N⌋ rows when sorted ascending by value. The "bottom 50% of
+   * customers hold 9% of the balance" table a concentration dashboard
+   * plots; gini is twice the area between this curve and the diagonal.
+   * Emits (decile, pop_share, value_share), 6dp, ordered; negative
+   * values are accepted (the curve can dip below zero — standard for
+   * net-balance data).
+   *
+   * Deterministic BY CONSTRUCTION: built from the distinct-cent-value
+   * histogram — bottom-k mass = cumValue(v⁻) + (k − cumCount(v⁻))·v is
+   * exact integer arithmetic, and k = ⌊p·N⌋ is exact — so ROW-level tie
+   * order never matters (a row-ranked ntile would make decile
+   * membership of tied values partition-dependent).
+   *
+   * Scale: one support-sized histogram + a cumulative window over the
+   * sorted distinct support (the [[ksStatistic]] discipline) + a
+   * |grid|-row range probe (grid broadcasts).
+   */
+  def lorenzCurve(df: DataFrame, valueCol: String,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"bad buckets=$buckets")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = df
+      .select(cents(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val wPrev = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = counts
+      .withColumn("__ccPrev", coalesce(sum(col("__c")).over(wPrev), lit(0L)))
+      .withColumn("__cvPrev",
+        coalesce(sum(col("__c").cast(dec) * col("__v").cast(dec)).over(wPrev),
+          lit(0).cast(dec)))
+    val tot = counts.agg(sum(col("__c")).as("__n"),
+      sum(col("__c").cast(dec) * col("__v").cast(dec)).as("__tv"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = (1 to buckets).map(_.toLong).toDF("decile")
+    // ⌊p·N⌋ in exact INTEGER division (a double path would wobble past
+    // 2^53); deciles whose k is 0 (N < buckets) emit no row
+    val k = expr(s"(decile * __n) div $buckets")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(grid))
+      // the row whose cumulative count block CONTAINS k: bottom-k mass
+      // interpolates inside one tied-value block with exact integers
+      .filter(col("__ccPrev") < k && k <= col("__ccPrev") + col("__c"))
+      .select(col("decile"),
+        round(k.cast("double") / col("__n").cast("double"), 6)
+          .as("pop_share"),
+        when(col("__tv") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("__cvPrev") + (k - col("__ccPrev")).cast(dec) *
+              col("__v").cast(dec)).cast("double") /
+              col("__tv").cast("double"), 6)).as("value_share"))
+      .orderBy("decile")
+  }
+
+  /**
    * ODDS RATIO for a 2×2 exposure/outcome table — the epidemiology/
    * experimentation effect measure: OR = (a·d)/(b·c) with the Woolf
    * log-scale 95% interval exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)), the

@@ -302,6 +302,49 @@ object TemporalOps {
    * discipline.
    */
   /**
+   * BURSTINESS of per-key event timing — the Goh–Barabási coefficient
+   * B = (σ − μ)/(σ + μ) over each key's inter-event gaps: −1 for a
+   * perfectly regular clock, → 0 for Poisson arrivals, → 1 for extreme
+   * bursts. The behavioral-timing feature (bot vs human cadence, sensor
+   * health) that plain event counts can't see. Keys need ≥ `minGaps`
+   * gaps (default 2 — a single gap has no spread); emits (key, n_gaps,
+   * mean_gap, burstiness), 6dp, ordered by key.
+   *
+   * Deterministic: gaps are exact floored-second integers ordered by
+   * (second, tie-break) — the [[timeWeightedAvg]] discipline — and the
+   * three moments sum exactly in DECIMAL; σ/μ/B are fixed-order doubles
+   * on the per-key row. Population σ via E[g²] − E[g]²; an all-equal
+   * gap set hits σ = 0 → B = −1 exactly.
+   *
+   * Scale: one key shuffle + per-key sort (the sessionize shape) + one
+   * partial+final moment aggregate.
+   */
+  def burstiness(df: DataFrame, key: String, ts: String, tieBreak: String,
+                 minGaps: Int = 2): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(key).orderBy(col("__t").asc, col(tieBreak).asc)
+    val gaps = df.filter(col(ts).isNotNull)
+      .select(col(key), col(ts).cast("long").as("__t"), col(tieBreak))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .withColumn("__g", (col("__next") - col("__t")).cast(dec))
+    val m = gaps.groupBy(key)
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__g")).as("__sg"),
+        sum(col("__g") * col("__g")).as("__sgg"))
+      .filter(col("n_gaps") >= minGaps)
+    val mu = col("__sg").cast("double") / col("n_gaps").cast("double")
+    // clamp the E[g²] − μ² float cancellation at 0 so near-constant
+    // large gaps can't sqrt a -1e-12 into NaN
+    val sigma = sqrt(greatest(
+      col("__sgg").cast("double") / col("n_gaps").cast("double") - mu * mu,
+      lit(0.0)))
+    m.select(col(key), col("n_gaps"), round(mu, 6).as("mean_gap"),
+        when(sigma + mu > 0, round((sigma - mu) / (sigma + mu), 6))
+          .otherwise(lit(null).cast("double")).as("burstiness"))
+      .orderBy(key)
+  }
+
+  /**
    * COHORT LTV curve — cumulative revenue per user by cohort age: users
    * grouped by first-activity day, each cohort's per-day revenue
    * accumulated over days-since-cohort and divided by cohort size. The

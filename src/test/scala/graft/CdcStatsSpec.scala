@@ -657,6 +657,26 @@ class CdcStatsSpec extends SparkSpec {
     p.isNullAt(p.fieldIndex("intercept")) shouldBe true
   }
 
+  test("lorenzCurve: exact shares on 1..10; ties sit on the equality line") {
+    import spark.implicits._
+    // values 1..10: bottom-k share = Σ(1..k)/55, pop_share = k/10
+    val vals = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("v")
+    val out = graft.ops.StatsOps.lorenzCurve(vals, "v", buckets = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    out.size shouldBe 10
+    out(1L) shouldBe ((0.1, math.rint(1.0 / 55 * 1e6) / 1e6))
+    out(5L) shouldBe ((0.5, math.rint(15.0 / 55 * 1e6) / 1e6))
+    out(10L) shouldBe ((1.0, 1.0))
+    // all-equal values: the curve IS the diagonal, even though every
+    // row is tied (a row-ranked ntile would be partition-dependent)
+    val flat = Seq.fill(4)(Tuple1(7.0)).toDF("v")
+    graft.ops.StatsOps.lorenzCurve(flat, "v", buckets = 4)
+      .collect().foreach { r =>
+        r.getDouble(2) shouldBe r.getDouble(1)
+      }
+  }
+
   test("oddsRatio: textbook 2×2, CI brackets, empty cell degrades to NULL") {
     import spark.implicits._
     val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++

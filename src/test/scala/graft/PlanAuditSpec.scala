@@ -97,8 +97,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_chi_residuals",       // chi²'s marginal grid (ra×rb, |levels|²-
                              // bounded) + 1-row total broadcast
     "q_skew_report",         // 1-row summary × 1-row top-key broadcast
-    "q_kaplan_meier")        // 1-row corpus-max-day + 1-row at-risk-total
+    "q_kaplan_meier",        // 1-row corpus-max-day + 1-row at-risk-total
                              // broadcasts over the duration histogram
+    "q_lorenz")              // 1-row totals + 10-row decile grid broadcast
+                             // over the value histogram
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(

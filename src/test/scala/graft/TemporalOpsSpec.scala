@@ -193,6 +193,29 @@ class TemporalOpsSpec extends SparkSpec {
     f.getAs[java.sql.Timestamp]("at_day").toString should startWith("2024-01-01")
   }
 
+  test("burstiness: -1 on a regular clock, positive on bursts, minGaps gate") {
+    import spark.implicits._
+    // u1 ticks every 10s (σ = 0 → B = −1); u2 bursts 1,1,1 then a 97s
+    // silence (B > 0); u3 has one gap only → filtered
+    val ev = (Seq(0L, 10L, 20L, 30L).map(t => ("u1", t)) ++
+      Seq(0L, 1L, 2L, 3L, 100L).map(t => ("u2", t)) ++
+      Seq(0L, 5L).map(t => ("u3", t))).zipWithIndex
+      .map { case ((u, t), i) => (u, t, i.toLong) }
+      .toDF("u", "sec", "eid")
+      .withColumn("ts", col("sec").cast(TimestampType))
+    val out = TemporalOps.burstiness(ev, "u", "ts", "eid")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    out.keySet shouldBe Set("u1", "u2")
+    out("u1") shouldBe ((3L, 10.0, -1.0))
+    val (n2, mu2, b2) = out("u2")
+    n2 shouldBe 4L
+    mu2 shouldBe 25.0
+    // σ² = (1+1+1+9409)/4 − 625 = 1728; B = (√1728 − 25)/(√1728 + 25)
+    val sigma = math.sqrt(1728.0)
+    b2 shouldBe (math.rint((sigma - 25) / (sigma + 25) * 1e6) / 1e6)
+  }
+
   test("cohortLtv: cumulative per-user revenue by cohort age; null-value users count") {
     import spark.implicits._
     // cohort day1: u1 (10 @day1, 20 @day3), u2 (30 @day1), u4 (activity
