@@ -1902,6 +1902,49 @@ object SparkEntry {
           "o_orderpriority", "o_totalprice", lo = 0.05, hi = 0.95)
         .orderBy("o_orderpriority")),
 
+    // median survival: the first duration where the KM curve crosses
+    // 0.5 — "half the users churn within N days", composed on the same
+    // curve q_kaplan_meier reports
+    "q_median_survival" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val spans = ev.groupBy("user_id").agg(
+        min(date_trunc("day", col("ts"))).as("__first"),
+        max(date_trunc("day", col("ts"))).as("__last"))
+      val maxd = spans.agg(max(col("__last")).as("__maxd"))
+      val units = spans.crossJoin(broadcast(maxd))
+        .select(
+          datediff(col("__last"), col("__first")).cast("long")
+            .as("duration"),
+          (datediff(col("__maxd"), col("__last")) >= 7).as("churned"))
+      graft.ops.StatsOps.kaplanMeier(units, "duration", "churned")
+        // total answer: the first crossing if the curve reaches 0.5,
+        // else the curve END with crossed=false ("median not reached" —
+        // itself the finding when most units are censored)
+        .withColumn("crossed", col("survival") <= 0.5)
+        .orderBy(col("crossed").desc,
+          when(col("crossed"), col("t")).otherwise(-col("t")).asc)
+        .limit(1)
+        .select(col("t").as("median_survival"), col("survival"),
+          col("crossed"))
+    }),
+
+    // Bowley quartile skewness + IQR per event type: the robust shape
+    // report (quartiles can't be dragged by the tail the way moments are)
+    "q_quartile_shape" -> ((s, d) =>
+      t(s, d, "events").filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.25)"), 6).as("q1"),
+          round(expr("percentile(value, 0.5)"), 6).as("q2"),
+          round(expr("percentile(value, 0.75)"), 6).as("q3"))
+        .withColumn("iqr", round(col("q3") - col("q1"), 6))
+        .withColumn("bowley_skew",
+          when(col("iqr") > 0,
+            round((col("q3") + col("q1") - lit(2.0) * col("q2")) /
+              (col("q3") - col("q1")), 6))
+            .otherwise(lit(null).cast("double")))
+        .orderBy("event_type")),
+
     // Lorenz curve at deciles: share of total order value held by the
     // bottom 10%…100% — gini's curve view, exact-integer interpolation
     // inside tied-value blocks so row tie order can never matter
@@ -6839,6 +6882,46 @@ object SparkEntry {
          SELECT g AS o_orderpriority, n, CAST(COUNT(*) AS BIGINT) AS n_used,
                 ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS tmean
          FROM kept GROUP BY g, n ORDER BY o_orderpriority""",
+
+    "q_median_survival" ->
+      """WITH u AS (SELECT user_id, MIN(date_trunc('day', ts)) AS f, MAX(date_trunc('day', ts)) AS l
+                    FROM events WHERE ts IS NOT NULL GROUP BY 1),
+              mx AS (SELECT MAX(l) AS maxd FROM u),
+              units AS (SELECT CAST(datediff('day', CAST(f AS DATE), CAST(l AS DATE)) AS BIGINT) AS t,
+                               (datediff('day', CAST(l AS DATE), CAST(maxd AS DATE)) >= 7) AS ev
+                        FROM u CROSS JOIN mx),
+              c AS (SELECT t, CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+                           CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+                    FROM units GROUP BY t),
+              tot AS (SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS n FROM c),
+              r AS (SELECT t, n_events,
+                           n - COALESCE(SUM(n_events + n_censored)
+                                 OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+                    FROM c CROSS JOIN tot),
+              f AS (SELECT t, ROUND(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE), 8) AS fac
+                    FROM r),
+              s AS (SELECT t, MIN(fac) OVER wc AS minf,
+                           SUM(ROUND(LN(CASE WHEN fac > 0 THEN fac ELSE 1 END), 8)) OVER wc AS lnsum
+                    FROM f
+                    WINDOW wc AS (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              k AS (SELECT t, CASE WHEN minf = 0 THEN 0.0 ELSE ROUND(EXP(lnsum), 6) END AS survival FROM s)
+         SELECT t AS median_survival, survival, (survival <= 0.5) AS crossed
+         FROM k
+         ORDER BY (survival <= 0.5) DESC,
+                  (CASE WHEN survival <= 0.5 THEN t ELSE -t END) ASC
+         LIMIT 1""",
+
+    "q_quartile_shape" ->
+      """WITH q AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                           ROUND(quantile_cont(value, 0.25), 6) AS q1,
+                           ROUND(quantile_cont(value, 0.5), 6) AS q2,
+                           ROUND(quantile_cont(value, 0.75), 6) AS q3
+                    FROM events WHERE value IS NOT NULL GROUP BY event_type)
+         SELECT event_type, n, q1, q2, q3,
+                ROUND(q3 - q1, 6) AS iqr,
+                CASE WHEN ROUND(q3 - q1, 6) > 0
+                     THEN ROUND((q3 + q1 - 2.0 * q2) / (q3 - q1), 6) END AS bowley_skew
+         FROM q ORDER BY event_type""",
 
     // bottom-k mass = cumValue(v-) + (k - cumCount(v-))·v — exact
     // integer interpolation inside the tied-value block holding k

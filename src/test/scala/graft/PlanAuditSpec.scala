@@ -99,8 +99,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_skew_report",         // 1-row summary × 1-row top-key broadcast
     "q_kaplan_meier",        // 1-row corpus-max-day + 1-row at-risk-total
                              // broadcasts over the duration histogram
-    "q_lorenz")              // 1-row totals + 10-row decile grid broadcast
+    "q_lorenz",              // 1-row totals + 10-row decile grid broadcast
                              // over the value histogram
+    "q_median_survival")     // the q_kaplan_meier shape (1-row max-day +
+                             // at-risk-total broadcasts), crossed at 0.5
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
