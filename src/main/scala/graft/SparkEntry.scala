@@ -1945,6 +1945,166 @@ object SparkEntry {
             .otherwise(lit(null).cast("double")))
         .orderBy("event_type")),
 
+    // weighted quartiles: the quantity-aware unit-price distribution per
+    // return flag — each line item counts once PER UNIT SHIPPED, and all
+    // three crossings are decided in exact integer cumulative-weight
+    // arithmetic (no double ever enters the quantile decision)
+    "q_weighted_quartiles" -> ((s, d) =>
+      graft.ops.StatsOps.weightedQuartiles(
+          t(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
+          "l_quantity")
+        .orderBy("l_returnflag")),
+
+    // multi-source BFS: hop distance from the %50==0 seed docs through
+    // the chain dup graph, 4 hops deep — the takedown blast-radius
+    // primitive ("everything within k dup hops of a known-bad doc");
+    // unreached nodes are absent, which IS the answer for them
+    "q_bfs_hops" -> ((s, d) => {
+      val edges = t(s, d, "documents")
+        .filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      val nodes = edges.select(col("id1").as("node"))
+        .unionAll(edges.select(col("id2").as("node"))).distinct()
+      graft.ops.GraphOps.bfsHops(edges, "id1", "id2",
+          nodes.filter(col("node") % 50 === 0), "node", rounds = 4)
+        .orderBy("node")
+    }),
+
+    // Jensen–Shannon divergence between the en and de unigram
+    // distributions — the symmetric, bounded ([0, ln 2]) cross-corpus
+    // distance where PSI/KL blow up on disjoint support; one
+    // vocab-sized shuffle, text never moves
+    "q_jsd_langs" -> ((s, d) =>
+      TextOps.jsDivergence(t(s, d, "documents"), "text", "lang",
+        "en", "de")),
+
+    // Z-order layout audit: Morton-interleave (custkey, order-day) and
+    // roll up per 256×256 grid cell — each cell's min/max on BOTH
+    // dimensions stays box-bounded, the property that lets a scan
+    // filtered on either dimension prune files after a z-sort
+    "q_zorder_cells" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as("day"))
+        .select(col("o_custkey"), col("day"),
+          graft.ops.ShardOps.zOrderKey(col("o_custkey"), col("day"), 16)
+            .as("z"))
+        .groupBy(shiftright(col("z"), 16).as("cell"))
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_custkey").as("cust_lo"), max("o_custkey").as("cust_hi"),
+          min("day").as("day_lo"), max("day").as("day_hi"))
+        .orderBy("cell")),
+
+    // small-files compaction advisor: per order-month row counts → files
+    // needed at a 1000-row target and mean file fill — the layout report
+    // a 100 TB writer reads before compacting (integer div, no doubles
+    // until the final fill ratio)
+    "q_compaction_plan" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("n_files", expr("(n_rows + 999) div 1000"))
+        .withColumn("fill", round(col("n_rows").cast("double") /
+          (col("n_files") * lit(1000.0)), 6))
+        .orderBy("month")),
+
+    // fuzzy name matching on the native Jaro-Winkler codegen kernel:
+    // near-identical part names within first-token blocks (pair
+    // generation blocked, never all-pairs — the blockedFuzzyJoin
+    // contract with the record-linkage scorer)
+    "q_jaro_winkler" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name")).distinct()
+        .select(col("p_name"),
+          substring_index(col("p_name"), " ", 1).as("__blk"))
+      val a = names.select(col("__blk"), col("p_name").as("name_a"))
+      val b = names.select(col("__blk"), col("p_name").as("name_b"))
+      a.join(b, "__blk").filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          round(graft.functions.JaroWinkler(col("name_a"),
+            col("name_b")), 6).as("jw"))
+        .filter(col("jw") >= 0.9)
+        .orderBy(col("jw").desc, col("name_a").asc, col("name_b").asc)
+    }),
+
+    // QQ plot at deciles: view-value vs purchase-value quantiles side by
+    // side — WHERE two distributions diverge, where q_ks_test says
+    // only how much; exact interpolated percentiles, 1-row broadcasts
+    "q_qq_points" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+      val ps = "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"
+      def qs(tp: String, out: String) =
+        ev.filter(col("event_type") === tp)
+          .agg(expr(s"percentile(value, $ps)").as(out))
+      qs("view", "qa").crossJoin(broadcast(qs("purchase", "qb")))
+        .select(posexplode(arrays_zip(col("qa"), col("qb"))))
+        .select(((col("pos") + 1).cast("double") / 10.0).as("p"),
+          round(col("col.qa"), 6).as("q_view"),
+          round(col("col.qb"), 6).as("q_purchase"))
+        .withColumn("diff", round(col("q_view") - col("q_purchase"), 6))
+        .orderBy("p")
+    }),
+
+    // direct-standardization treatment effect: hash-assigned arms
+    // compared WITHIN each priority stratum, stratum diffs weighted by
+    // stratum share — the confounder-adjusted readout beside q_cuped's
+    // variance reduction; exact-cents means, one pinned double chain
+    "q_standardized_effect" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_totalprice").isNotNull)
+        .select(col("o_orderpriority").as("stratum"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("__c"),
+          when(pmod(graft.ext.TextOps.fingerprint60(
+              concat(col("o_orderkey").cast("string"), lit(":arm"))),
+            lit(2L)) === 0L, 1L).otherwise(0L).as("__t"))
+      val cells = o.groupBy("stratum")
+        .agg(sum(when(col("__t") === 1L, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("__t") === 0L, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("__t") === 1L, col("__c")).otherwise(0L)).as("__st"),
+          sum(when(col("__t") === 0L, col("__c")).otherwise(0L)).as("__sc"))
+      val tot = cells.agg(sum(col("n_t") + col("n_c")).as("__n"))
+      cells.crossJoin(broadcast(tot))
+        .filter(col("n_t") > 0 && col("n_c") > 0)
+        .select(col("stratum"), col("n_t"), col("n_c"),
+          round(col("__st").cast("double") / col("n_t") / 100.0, 6)
+            .as("mean_t"),
+          round(col("__sc").cast("double") / col("n_c") / 100.0, 6)
+            .as("mean_c"),
+          round((col("n_t") + col("n_c")).cast("double") / col("__n"), 6)
+            .as("weight"),
+          round(((col("n_t") + col("n_c")).cast("double") / col("__n")) *
+            (col("__st").cast("double") / col("n_t") / 100.0 -
+              col("__sc").cast("double") / col("n_c") / 100.0), 6)
+            .as("contribution"))
+        .orderBy("stratum")
+    }),
+
+    // degree assortativity of the chain dup graph: do hubs attach to
+    // hubs (r > 0) or to the fringe (r < 0, template-hub signature)? —
+    // the one-number structure audit beside q_dup_degree_hist
+    "q_degree_assortativity" -> ((s, d) =>
+      graft.ops.GraphOps.degreeAssortativity(
+        t(s, d, "documents").filter(col("doc_id") % 10 < 3)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2")),
+        "id1", "id2")),
+
+    // Wald SPRT over the daily urgent-order rate: cumulative LLR of
+    // H1 (25%) vs H0 (15%) with the always-valid decision at each day —
+    // continuous monitoring without the peeking penalty
+    "q_sprt_monitor" -> ((s, d) =>
+      graft.ops.TemporalOps.sprtMonitor(
+          t(s, d, "orders").select(col("o_orderdate").as("ts"),
+            (col("o_orderpriority") === lit("1-URGENT")).as("success")),
+          "ts", "success", p0 = 0.15, p1 = 0.25)
+        .orderBy("day")),
+
+    // Church-Gale word burstiness: mean occurrences per CONTAINING doc —
+    // topical/template words repeat inside the docs they touch where
+    // function words spread evenly; the cross-doc boilerplate signal
+    "q_word_burstiness" -> ((s, d) =>
+      TextOps.wordBurstiness(t(s, d, "documents"), "doc_id", "text",
+        minDf = 5L, k = 25)),
+
     // Lorenz curve at deciles: share of total order value held by the
     // bottom 10%…100% — gini's curve view, exact-integer interpolation
     // inside tied-value blocks so row tie order can never matter
@@ -6922,6 +7082,214 @@ object SparkEntry {
                 CASE WHEN ROUND(q3 - q1, 6) > 0
                      THEN ROUND((q3 + q1 - 2.0 * q2) / (q3 - q1), 6) END AS bowley_skew
          FROM q ORDER BY event_type""",
+
+    // crossings decided in integer cumulative-weight arithmetic; the
+    // (group, value) histogram pre-aggregate mirrors the Spark plan
+    "q_weighted_quartiles" ->
+      """WITH h AS (SELECT l_returnflag, l_extendedprice AS v,
+                           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                    FROM lineitem
+                    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+                      AND l_quantity > 0
+                    GROUP BY 1, 2),
+              c AS (SELECT l_returnflag, v, w,
+                           CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+                           CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+                    FROM h)
+         SELECT l_returnflag, MAX(tw) AS total_weight,
+                MIN(CASE WHEN cw * 4 >= tw THEN v END) AS w_q1,
+                MIN(CASE WHEN cw * 2 >= tw THEN v END) AS w_median,
+                MIN(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS w_q3
+         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // 4 unrolled BFS rounds: each round is MIN over (previous frontier
+    // + 1 via an edge, previous distances) — the min-label CC pattern
+    // with hop counts
+    "q_bfs_hops" ->
+      """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+                     WHERE doc_id % 10 < 3),
+              e AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+                    FROM e0 WHERE id1 <> id2),
+              bi AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+              seeds AS (SELECT DISTINCT v AS node FROM bi WHERE v % 50 = 0),
+              h0 AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM seeds),
+              h1 AS (SELECT node, MIN(hop) AS hop FROM (
+                       SELECT bi.v AS node, h0.hop + 1 AS hop FROM bi JOIN h0 ON h0.node = bi.u
+                       UNION ALL SELECT node, hop FROM h0) GROUP BY node),
+              h2 AS (SELECT node, MIN(hop) AS hop FROM (
+                       SELECT bi.v AS node, h1.hop + 1 AS hop FROM bi JOIN h1 ON h1.node = bi.u
+                       UNION ALL SELECT node, hop FROM h1) GROUP BY node),
+              h3 AS (SELECT node, MIN(hop) AS hop FROM (
+                       SELECT bi.v AS node, h2.hop + 1 AS hop FROM bi JOIN h2 ON h2.node = bi.u
+                       UNION ALL SELECT node, hop FROM h2) GROUP BY node),
+              h4 AS (SELECT node, MIN(hop) AS hop FROM (
+                       SELECT bi.v AS node, h3.hop + 1 AS hop FROM bi JOIN h3 ON h3.node = bi.u
+                       UNION ALL SELECT node, hop FROM h3) GROUP BY node)
+         SELECT node, hop FROM h4 ORDER BY node""",
+
+    // per-word JSD terms 8dp-rounded then DECIMAL-summed (order-
+    // invariant), the exact arithmetic chain of the Spark plan
+    "q_jsd_langs" ->
+      """WITH tok AS (SELECT lang AS g, unnest(string_split(text, ' ')) AS w
+                      FROM documents WHERE text IS NOT NULL AND lang IN ('en', 'de')),
+              c AS (SELECT w,
+                           CAST(SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                           CAST(SUM(CASE WHEN g = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                    FROM tok GROUP BY w),
+              tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+                             CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+                             CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+                             CAST(COUNT(*) AS BIGINT) AS vocab FROM c),
+              terms AS (SELECT na, nb, vocab_a, vocab_b, vocab,
+                               CAST(ROUND(CASE WHEN ca > 0
+                                 THEN (CAST(ca AS DOUBLE) / na) * LN((CAST(ca AS DOUBLE) / na) /
+                                      ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0))
+                                 ELSE 0.0 END, 8) AS DECIMAL(20,8)) AS ta,
+                               CAST(ROUND(CASE WHEN cb > 0
+                                 THEN (CAST(cb AS DOUBLE) / nb) * LN((CAST(cb AS DOUBLE) / nb) /
+                                      ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0))
+                                 ELSE 0.0 END, 8) AS DECIMAL(20,8)) AS tb
+                        FROM c CROSS JOIN tot WHERE na > 0 AND nb > 0)
+         SELECT na AS n_a, nb AS n_b, vocab_a, vocab_b, vocab,
+                ROUND(CAST(SUM(ta) + SUM(tb) AS DOUBLE) / 2.0, 6) AS jsd_nats
+         FROM terms GROUP BY na, nb, vocab_a, vocab_b, vocab""",
+
+    // bit-exact Morton interleave replay: disjoint bit positions make
+    // the shift/mask/add chain identical in any engine
+    "q_zorder_cells" -> s"""
+         WITH b AS (SELECT o_custkey,
+                           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                           (CAST(o_custkey AS BIGINT) & 65535) AS x,
+                           (CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) & 65535) AS y
+                    FROM orders),
+              z AS (SELECT o_custkey, day,
+                           (${(0 until 16).map(i =>
+                             s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+                             .mkString(" + ")}) AS z
+                    FROM b)
+         SELECT (z >> 16) AS cell, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                MIN(o_custkey) AS cust_lo, MAX(o_custkey) AS cust_hi,
+                MIN(day) AS day_lo, MAX(day) AS day_hi
+         FROM z GROUP BY 1 ORDER BY cell""",
+
+    "q_compaction_plan" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST((COUNT(*) + 999) // 1000 AS BIGINT) AS n_files,
+                ROUND(CAST(COUNT(*) AS DOUBLE) /
+                      (((COUNT(*) + 999) // 1000) * 1000.0), 6) AS fill
+         FROM orders GROUP BY 1 ORDER BY month""",
+
+    // DuckDB's jaro_winkler_similarity implements the identical standard
+    // definition (probe-verified: window, transposition halving, 0.7
+    // boost threshold, prefix cap 4, empty-string → 0.0)
+    "q_jaro_winkler" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+              blk AS (SELECT p_name, string_split(p_name, ' ')[1] AS b FROM names)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+                ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+         FROM blk a JOIN blk b ON a.b = b.b AND a.p_name < b.p_name
+         WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+         ORDER BY jw DESC, name_a ASC, name_b ASC""",
+
+    "q_qq_points" ->
+      """WITH a AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qa
+                    FROM events WHERE value IS NOT NULL AND event_type = 'view'),
+              b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qb
+                    FROM events WHERE value IS NOT NULL AND event_type = 'purchase'),
+              g AS (SELECT unnest(generate_series(1, 9)) AS i)
+         SELECT CAST(i AS DOUBLE) / 10.0 AS p,
+                ROUND(qa[i], 6) AS q_view, ROUND(qb[i], 6) AS q_purchase,
+                ROUND(ROUND(qa[i], 6) - ROUND(qb[i], 6), 6) AS diff
+         FROM g CROSS JOIN a CROSS JOIN b ORDER BY p""",
+
+    // same md5 arm fingerprint as q_cuped; means from exact cents, the
+    // contribution chain pinned to the Spark operand order
+    "q_standardized_effect" ->
+      """WITH o AS (SELECT o_orderpriority AS stratum,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                           CASE WHEN CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':arm'), 1, 15)) AS BIGINT) % 2 = 0
+                                THEN 1 ELSE 0 END AS t
+                    FROM orders WHERE o_totalprice IS NOT NULL),
+              cells AS (SELECT stratum,
+                               CAST(SUM(t) AS BIGINT) AS n_t,
+                               CAST(SUM(1 - t) AS BIGINT) AS n_c,
+                               CAST(SUM(CASE WHEN t = 1 THEN c ELSE 0 END) AS BIGINT) AS st,
+                               CAST(SUM(CASE WHEN t = 0 THEN c ELSE 0 END) AS BIGINT) AS sc
+                        FROM o GROUP BY stratum),
+              tot AS (SELECT CAST(SUM(n_t + n_c) AS BIGINT) AS n FROM cells)
+         SELECT stratum, n_t, n_c,
+                ROUND(CAST(st AS DOUBLE) / n_t / 100.0, 6) AS mean_t,
+                ROUND(CAST(sc AS DOUBLE) / n_c / 100.0, 6) AS mean_c,
+                ROUND(CAST(n_t + n_c AS DOUBLE) / n, 6) AS weight,
+                ROUND((CAST(n_t + n_c AS DOUBLE) / n) *
+                      (CAST(st AS DOUBLE) / n_t / 100.0 -
+                       CAST(sc AS DOUBLE) / n_c / 100.0), 6) AS contribution
+         FROM cells CROSS JOIN tot
+         WHERE n_t > 0 AND n_c > 0
+         ORDER BY stratum""",
+
+    // Newman's r over the symmetric directed edge list: exact-integer
+    // moments, one double correlation at the end
+    "q_degree_assortativity" ->
+      """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+                     WHERE doc_id % 10 < 3),
+              e AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+                    FROM e0 WHERE id1 <> id2),
+              bi AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+              deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY u),
+              pairs AS (SELECT d1.deg AS du, d2.deg AS dv
+                        FROM bi JOIN deg d1 ON d1.node = bi.u JOIN deg d2 ON d2.node = bi.v),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                           SUM(CAST(du AS HUGEINT)) AS sx, SUM(CAST(dv AS HUGEINT)) AS sy,
+                           SUM(CAST(du AS HUGEINT) * du) AS sxx,
+                           SUM(CAST(dv AS HUGEINT) * dv) AS syy,
+                           SUM(CAST(du AS HUGEINT) * dv) AS sxy
+                    FROM pairs),
+              nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+         SELECT n_nodes, CAST(m // 2 AS BIGINT) AS n_edges,
+                CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0
+                     THEN ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+                                sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+                                     CAST(m * syy - sy * sy AS DOUBLE)), 6)
+                END AS assortativity
+         FROM m CROSS JOIN nn""",
+
+    // the two LLR factors and both Wald bounds are the same double
+    // expressions in both engines; decision compares the ROUNDED llr
+    "q_sprt_monitor" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+                               CAST(COUNT(*) AS BIGINT) AS n0,
+                               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS k0
+                        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+              c AS (SELECT day,
+                           CAST(SUM(n0) OVER w AS BIGINT) AS n,
+                           CAST(SUM(k0) OVER w AS BIGINT) AS k
+                    FROM daily
+                    WINDOW w AS (ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              l AS (SELECT day, n, k,
+                           ROUND(CAST(k AS DOUBLE) * LN(0.25 / 0.15) +
+                                 CAST(n - k AS DOUBLE) *
+                                   LN((1.0 - 0.25) / (1.0 - 0.15)), 6) AS llr
+                    FROM c)
+         SELECT day, n, k, llr,
+                CASE WHEN llr >= LN((1.0 - 0.05) / 0.05) THEN 'accept_h1'
+                     WHEN llr <= LN(0.05 / (1.0 - 0.05)) THEN 'accept_h0'
+                     ELSE 'continue' END AS decision
+         FROM l ORDER BY day""",
+
+    "q_word_burstiness" ->
+      """WITH pd AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                           FROM documents WHERE text IS NOT NULL)
+                     GROUP BY doc_id, word),
+              w AS (SELECT word, CAST(SUM(c) AS BIGINT) AS cf,
+                           CAST(COUNT(*) AS BIGINT) AS df
+                    FROM pd GROUP BY word)
+         SELECT word, cf, df, ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness
+         FROM w WHERE df >= 5
+         ORDER BY burstiness DESC, word ASC LIMIT 25""",
 
     // bottom-k mass = cumValue(v-) + (k - cumCount(v-))·v — exact
     // integer interpolation inside the tied-value block holding k

@@ -1145,4 +1145,97 @@ object TextOps {
       .orderBy(col("pmi").desc, col("bg").asc)
       .limit(k)
   }
+
+  /**
+   * WORD BURSTINESS — per word, mean occurrences per CONTAINING document
+   * (collection frequency / document frequency). Church & Gale's
+   * contagion signal: function words score ≈ their per-doc rate
+   * everywhere, while topical/template words are "bursty" — rare across
+   * docs but repeated heavily inside the docs they touch. High
+   * burstiness at high df flags boilerplate candidates the per-doc
+   * repetition score can't see (it looks inside ONE doc; this compares
+   * across them), and is the classic tf-weighting diagnostic.
+   *
+   * Top `k` by (cf/df desc, word asc) among words with df ≥ `minDf`
+   * (singleton-df words are trivially bursty and pure noise). Emits
+   * (word, cf, df, burstiness 6dp).
+   *
+   * Scale: the (doc, word) pre-aggregate is the inverted-index shuffle
+   * every df computation pays (pairs, never text); the word rollup
+   * partial-aggregates; top-k bounds the output. Two shuffles total,
+   * text never moves.
+   */
+  def wordBurstiness(df: DataFrame, idCol: String, textCol: String,
+                     minDf: Long, k: Int): DataFrame = {
+    require(minDf >= 1 && k > 0, s"bad minDf=$minDf k=$k")
+    val perDoc = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__c"))
+    perDoc.groupBy("word")
+      .agg(sum(col("__c")).as("cf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("word"), col("cf"), col("df"),
+        round(col("cf").cast("double") / col("df"), 6).as("burstiness"))
+      .orderBy(col("burstiness").desc, col("word").asc)
+      .limit(k)
+  }
+
+  /**
+   * JENSEN–SHANNON divergence between the unigram distributions of two
+   * document slices — the SYMMETRIC, bounded ([0, ln 2]) distribution
+   * distance drift monitoring wants where PSI/KL blow up on
+   * non-overlapping support: "how far has this source's vocabulary
+   * drifted from that one's" as one comparable number. JSD(P,Q) =
+   * ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2; a word absent from one
+   * side contributes only through the other's term (never a division
+   * by zero), which is exactly why JSD is the cross-corpus metric.
+   *
+   * One row: (n_a, n_b tokens, vocab_a, vocab_b, vocab union, jsd_nats
+   * 6dp). 0 = identical distributions, ln 2 ≈ 0.6931 = disjoint.
+   *
+   * Cross-engine determinism: token counts are exact integers; each
+   * word's p·ln(p/m) contribution is computed in one pinned double
+   * expression, 8dp-rounded, DECIMAL-summed (order-invariant), and only
+   * the final ½-scaling returns to double (the [[charEntropy]] scheme).
+   *
+   * Scale: ONE token-universe shuffle (the vocab count aggregate,
+   * partial-aggregating); the per-word arithmetic runs on the
+   * vocabulary-sized table and reduces to a 1-row artifact. Text never
+   * shuffles; nothing is ever |A|×|B|.
+   */
+  def jsDivergence(df: DataFrame, textCol: String, groupCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 8)
+    val counts = df
+      .filter((col(groupCol) === groupA || col(groupCol) === groupB) &&
+        col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w")
+      .agg(sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_a"),
+      sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_b"),
+      count(lit(1)).as("vocab"))
+    val p = col("ca").cast("double") / col("na")
+    val q = col("cb").cast("double") / col("nb")
+    val m = (p + q) / lit(2.0)
+    counts.crossJoin(broadcast(tot))
+      // empty slices have no distribution — emit nothing, not NaN (the
+      // ksStatistic degenerate-input convention)
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("na"), col("nb"), col("vocab_a"), col("vocab_b"),
+        col("vocab"),
+        round(when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0)), 8)
+          .cast(dec).as("__ta"),
+        round(when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0)), 8)
+          .cast(dec).as("__tb"))
+      .groupBy("na", "nb", "vocab_a", "vocab_b", "vocab")
+      .agg(sum(col("__ta")).as("__sa"), sum(col("__tb")).as("__sb"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("vocab_a"), col("vocab_b"), col("vocab"),
+        round((col("__sa") + col("__sb")).cast("double") / 2.0, 6)
+          .as("jsd_nats"))
+  }
 }

@@ -125,6 +125,16 @@ object GraftFunctions {
       CosineSimilarity(children.head, children(1))
     })
 
+  val jaroWinklerName = "graft_jaro_winkler"
+
+  private def jaroWinklerEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(jaroWinklerName),
+    new ExpressionInfo(classOf[JaroWinkler].getName, jaroWinklerName),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, s"$jaroWinklerName expects 2 arguments")
+      JaroWinkler(children.head, children(1))
+    })
+
   val fp60Name = "graft_fp60"
 
   private def fp60Entry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -163,7 +173,7 @@ object GraftFunctions {
     * without requiring the `spark.sql.extensions` config. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    (Seq(cosineEntry, fp60Entry) ++ kernelEntries).foreach {
+    (Seq(cosineEntry, fp60Entry, jaroWinklerEntry) ++ kernelEntries).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id)) {
           registry.registerFunction(id, info, builder)
@@ -185,6 +195,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.fp60Name),
       new ExpressionInfo(classOf[Fingerprint60].getName, GraftFunctions.fp60Name),
       (children: Seq[Expression]) => Fingerprint60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.jaroWinklerName),
+      new ExpressionInfo(classOf[JaroWinkler].getName, GraftFunctions.jaroWinklerName),
+      (children: Seq[Expression]) => JaroWinkler(children.head, children(1))))
     ext.injectOptimizerRule(_ => graft.plans.RewriteIntervalJoin)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }

@@ -462,4 +462,121 @@ object GraphOps {
             col("sa").cast("double") * col("sb") / col("n_pairs")), 6)
           .as("adjusted_rand"))
   }
+
+  /**
+   * Bounded multi-source BFS — hop distance from a SEED SET through an
+   * undirected graph, `rounds` hops deep. The blast-radius primitive:
+   * "every doc within 3 dup-graph hops of a known-bad seed" (takedown
+   * expansion), or "how far does this template family reach". Where
+   * [[personalizedPageRankScaled]] scores proximity continuously, this
+   * answers the hard reachability question with the exact hop count.
+   *
+   * Emits (node, hop) for every node REACHED within `rounds` hops —
+   * hop 0 for the seeds themselves (seeds outside the edge set are
+   * kept: an isolated seed is still distance 0 from itself); unreached
+   * nodes are absent, which IS the answer for them.
+   *
+   * Deterministic: hops are exact integers and each round is a
+   * min-aggregate — partition- and tie-order-invariant, replayable by
+   * SQL round-unrolling.
+   *
+   * Scale: per round one frontier-neighbor equi-join + a min
+   * aggregate — O(edges) per round like [[labelPropagation]]; the
+   * per-round persist/rebase keeps the plan constant-depth, and state
+   * is one (node, hop) row per reached node, never per path.
+   */
+  def bfsHops(edges: DataFrame, src: String, dst: String,
+              seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"bad rounds $rounds")
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct()
+    val bi = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    def materializeCut(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist()
+      p.count()
+      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+    }
+    var (dist, handle) = materializeCut(
+      seeds.select(col(seedCol).as("node")).distinct()
+        .filter(col("node").isNotNull)
+        .withColumn("hop", lit(0L)))
+    for (_ <- 1 to rounds) {
+      val (next, nextHandle) = materializeCut(
+        bi.join(dist, bi("u") === dist("node"))
+          .select(col("v").as("node"), (col("hop") + 1).as("hop"))
+          .unionAll(dist.select(col("node"), col("hop")))
+          .groupBy("node").agg(min(col("hop")).as("hop")))
+      handle.unpersist(blocking = false)
+      dist = next
+      handle = nextHandle
+    }
+    val result = dist.localCheckpoint()
+    handle.unpersist(blocking = false)
+    bi.unpersist(blocking = false)
+    result
+  }
+
+  /**
+   * DEGREE ASSORTATIVITY — Pearson correlation of the degrees at the two
+   * ends of every edge (Newman's r): do high-degree nodes attach to each
+   * other (r > 0, a social-network signature) or to the fringe (r < 0,
+   * hub-and-spoke — the shape a boilerplate template hub imposes on a
+   * dup graph)? The one-number STRUCTURE audit beside the degree
+   * histogram: the histogram says hubs exist, assortativity says what
+   * they connect to — disassortative dup graphs mean cluster sizes are
+   * hub-driven and keep-best selection inherits a few giant families.
+   *
+   * One row: (n_nodes, n_edges, assortativity 6dp) over the symmetric
+   * directed edge list (each undirected edge contributes both
+   * directions — the standard estimator; r is NULL on degenerate
+   * graphs where either endpoint degree sequence is constant).
+   *
+   * Deterministic: degrees are exact integers; the five moments sum in
+   * DECIMAL(38,0) (order-invariant), and only the final correlation
+   * divides in doubles — one pinned expression.
+   *
+   * Scale: one degree aggregate + two degree equi-joins back to the
+   * edge list + a 1-row moment rollup — O(edges), no windows, nothing
+   * quadratic; the degree table broadcasts when it fits.
+   */
+  def degreeAssortativity(edges: DataFrame, src: String,
+                          dst: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct()
+    val bi = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = bi.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val pairs = bi
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val m = pairs.agg(
+      count(lit(1)).as("m"),
+      sum(col("du").cast(dec)).as("sx"),
+      sum(col("dv").cast(dec)).as("sy"),
+      sum((col("du") * col("du")).cast(dec)).as("sxx"),
+      sum((col("dv") * col("dv")).cast(dec)).as("syy"),
+      sum((col("du") * col("dv")).cast(dec)).as("sxy"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val dx = (col("m").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val dy = (col("m").cast(dec) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    val num = (col("m").cast(dec) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    m.crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
+        when(dx > 0 && dy > 0,
+          round(num / sqrt(dx * dy), 6)).as("assortativity"))
+  }
 }

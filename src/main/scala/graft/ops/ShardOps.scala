@@ -73,4 +73,35 @@ object ShardOps {
     }
     (-array_max(array(entries: _*)).getField("ns")).cast("long")
   }
+
+  /**
+   * Z-ORDER (Morton) interleave of two bucketized dimensions — the
+   * multi-dimensional LAYOUT key: sort/partition 100 TB of parquet by
+   * `zOrderKey(custkey_bucket, day_bucket, 16)` and a scan filtered on
+   * EITHER dimension prunes most files, where a plain
+   * `ORDER BY custkey, day` clusters only the leading column (a
+   * date-range scan then touches every file). This is the data-layout
+   * primitive behind Delta/Iceberg Z-ordering, as a pure codegen'd
+   * column any writer can sort by.
+   *
+   * Inputs are masked to the low `bits` bits (caller pre-buckets each
+   * dimension into 0..2^bits−1; values beyond the mask wrap — bucket
+   * first). Bit i of x lands at position 2i, of y at 2i+1, so a prefix
+   * of the key (`z >> 2k`) is a 2^(bits−k) × 2^(bits−k) grid cell:
+   * every key prefix bounds BOTH dimensions at once.
+   *
+   * Deterministic and zero-shuffle: a fixed chain of shift/mask/add
+   * terms on exact longs — disjoint bit positions make the adds exact,
+   * and an engine-independent oracle replays the identical arithmetic.
+   */
+  def zOrderKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bad bits $bits")
+    val mask = (1L << bits) - 1
+    val xm = x.cast(LongType).bitwiseAND(lit(mask))
+    val ym = y.cast(LongType).bitwiseAND(lit(mask))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
 }

@@ -821,6 +821,50 @@ object StatsOps {
         col("n_outliers"))
   }
 
+  /**
+   * WEIGHTED quartiles per group — the quantity-aware distribution
+   * report: "the median unit SHIPPED cost X" (each row weighted by how
+   * many units it represents), not "the median line item cost X". The
+   * weighted q-quantile is the smallest value whose cumulative weight
+   * reaches q of the total — computed at q = 1/4, 1/2, 3/4 in ONE pass
+   * so the three crossings can never disagree about the underlying CDF.
+   *
+   * `weightCol` must be integral-valued and positive (quantities,
+   * counts, token budgets); rows with null value/weight or weight ≤ 0
+   * are excluded. Emits (groupCol, total_weight, w_q1, w_median, w_q3).
+   *
+   * Deterministic: weights are exact longs and each crossing test is
+   * the integer comparison 4·cumW ≥ k·totW — no double ever enters the
+   * quantile decision, so tie order and partitioning cannot matter.
+   *
+   * Scale: the (group, value) histogram pre-aggregate bounds the window
+   * input by the distinct-value support (the [[ksStatistic]]
+   * discipline), then one partitioned cumulative window + a final
+   * group rollup — a single shuffle on the group key.
+   */
+  def weightedQuartiles(df: DataFrame, groupCol: String, valueCol: String,
+                        weightCol: String): DataFrame = {
+    val h = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val cumW = Window.partitionBy(groupCol).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    h.select(col(groupCol), col("__v"),
+        sum(col("__w")).over(cumW).as("__cw"),
+        sum(col("__w")).over(totW).as("__tw"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__tw")).as("total_weight"),
+        min(when(col("__cw") * 4 >= col("__tw"), col("__v"))).as("w_q1"),
+        min(when(col("__cw") * 2 >= col("__tw"), col("__v")))
+          .as("w_median"),
+        min(when(col("__cw") * 4 >= col("__tw") * 3, col("__v")))
+          .as("w_q3"))
+  }
+
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     def pass(d: DataFrame, part: Column): DataFrame = {
       val tagged = d.withColumn("_p", part)

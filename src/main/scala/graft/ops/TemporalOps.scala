@@ -659,4 +659,54 @@ object TemporalOps {
         when(col("__cusum") < 0, lit("up")).otherwise(lit("down"))
           .as("direction"))
   }
+
+  /**
+   * SPRT sequential monitor — Wald's sequential probability ratio test
+   * over a daily Bernoulli stream: per day, the CUMULATIVE
+   * log-likelihood ratio of H1 (rate = p1) against H0 (rate = p0) and
+   * the decision it implies at the (α, β) error bounds. The
+   * always-valid experiment/SLA monitor: where a fixed-horizon test
+   * peeks illegally, SPRT's thresholds ln((1−β)/α) / ln(β/(1−α)) keep
+   * both error rates honest under CONTINUOUS monitoring, and the test
+   * stops on average far earlier ("the release is bad — stop the
+   * rollout on day 3, not day 30").
+   *
+   * Emits one row per day: (day, n, k cumulative trials/successes, llr
+   * 6dp, decision ∈ accept_h1 | accept_h0 | continue). The llr is
+   * k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) on exact cumulative integer
+   * counts — the two ln factors are constants, so the chain is
+   * cross-engine deterministic.
+   *
+   * Scale: one day-grain aggregate (partial-aggregating, day-count-
+   * sized output), then a cumulative window over the day series —
+   * never a shuffle of the underlying trials.
+   */
+  def sprtMonitor(df: DataFrame, ts: String, successCol: String,
+                  p0: Double, p1: Double, alpha: Double = 0.05,
+                  beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"bad rates p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"bad errors alpha=$alpha beta=$beta")
+    val daily = df.filter(col(ts).isNotNull)
+      .groupBy(date_trunc("day", col(ts)).as("day"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("__k"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c1 = math.log(p1 / p0)
+    val c0 = math.log((1.0 - p1) / (1.0 - p0))
+    val upper = math.log((1.0 - beta) / alpha)
+    val lower = math.log(beta / (1.0 - alpha))
+    daily
+      .select(col("day"), sum(col("__n")).over(w).as("n"),
+        sum(col("__k")).over(w).as("k"))
+      .select(col("day"), col("n"), col("k"),
+        round(col("k").cast("double") * lit(c1) +
+          (col("n") - col("k")).cast("double") * lit(c0), 6).as("llr"))
+      .withColumn("decision",
+        when(col("llr") >= lit(upper), lit("accept_h1"))
+          .when(col("llr") <= lit(lower), lit("accept_h0"))
+          .otherwise(lit("continue")))
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GraphOps, TemporalOps}
+import graft.ext.TextOps
+
+/** sprtMonitor, degreeAssortativity, wordBurstiness. */
+class MonitorAndStructureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, i: Int) =
+    Timestamp.valueOf(f"2024-01-$day%02d 00:00:${i % 60}%02d")
+
+  test("sprtMonitor: an H1-rate stream crosses the upper bound and stays") {
+    // 40 trials/day at 50% success under H0 10% vs H1 50%: the LLR climbs
+    // fast — decision reaches accept_h1 and the cumulative form never
+    // un-decides on this stream
+    val rows = for (d <- 1 to 5; i <- 0 until 40)
+      yield (ts(d, i), i % 2 == 0)
+    val got = TemporalOps.sprtMonitor(rows.toDF("t", "ok"), "t", "ok",
+        p0 = 0.1, p1 = 0.5)
+      .orderBy("day").collect()
+    got.length shouldBe 5
+    got.head.getAs[Long]("n") shouldBe 40L
+    got.head.getAs[Long]("k") shouldBe 20L
+    got.head.getAs[String]("decision") shouldBe "accept_h1"
+    got.last.getAs[Long]("n") shouldBe 200L
+    // llr matches the closed form on exact integer counts
+    val expect = BigDecimal(20 * math.log(0.5 / 0.1) +
+      20 * math.log(0.5 / 0.9)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.head.getAs[Double]("llr") shouldBe expect
+  }
+
+  test("sprtMonitor: an H0-rate stream crosses the lower bound") {
+    // 0 successes in 100 trials under H0 10% vs H1 50%
+    val rows = for (d <- 1 to 2; i <- 0 until 50)
+      yield (ts(d, i), false)
+    val got = TemporalOps.sprtMonitor(rows.toDF("t", "ok"), "t", "ok",
+        p0 = 0.1, p1 = 0.5)
+      .orderBy("day").collect()
+    got.last.getAs[String]("decision") shouldBe "accept_h0"
+    got.last.getAs[Double]("llr") should be < 0.0
+  }
+
+  test("sprtMonitor: an on-the-fence stream keeps monitoring") {
+    // exactly the geometric mean of the hypotheses' likelihoods would sit
+    // at 0; a tiny sample at an in-between rate stays 'continue'
+    val rows = (0 until 10).map(i => (ts(1, i), i < 3))
+    val got = TemporalOps.sprtMonitor(rows.toDF("t", "ok"), "t", "ok",
+        p0 = 0.1, p1 = 0.5)
+      .collect()
+    got.head.getAs[String]("decision") shouldBe "continue"
+  }
+
+  test("degreeAssortativity: a star is perfectly disassortative") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "t")
+    val r = GraphOps.degreeAssortativity(edges, "s", "t").head()
+    r.getAs[Long]("n_nodes") shouldBe 4L
+    r.getAs[Long]("n_edges") shouldBe 3L
+    r.getAs[Double]("assortativity") shouldBe -1.0
+  }
+
+  test("degreeAssortativity: regular graphs have no degree variance → null") {
+    // triangle: every degree 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    val r = GraphOps.degreeAssortativity(edges, "s", "t").head()
+    r.isNullAt(r.fieldIndex("assortativity")) shouldBe true
+  }
+
+  test("degreeAssortativity: degree-homogeneous components score 1") {
+    // K3 ∪ K2: every edge joins equal-degree endpoints, but degree
+    // VARIES across the graph (2 vs 1) — perfectly assortative
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L)).toDF("s", "t")
+    val r = GraphOps.degreeAssortativity(edges, "s", "t").head()
+    r.getAs[Long]("n_edges") shouldBe 4L
+    r.getAs[Double]("assortativity") shouldBe 1.0
+  }
+
+  test("degreeAssortativity: bridged cliques match the hand computation") {
+    // K4 + K4 bridged at (0, 10): bridge endpoints have degree 4, their
+    // other edges attach to degree-3 clique-mates → mildly
+    // disassortative; moments by hand: m=26, num=−12, dx=dy=144
+    def k4(off: Long) = for {
+      i <- 0L to 3L; j <- (i + 1) to 3L
+    } yield (off + i, off + j)
+    val edges = (k4(0) ++ k4(10) :+ (0L, 10L)).toDF("s", "t")
+    val r = GraphOps.degreeAssortativity(edges, "s", "t").head()
+    r.getAs[Long]("n_edges") shouldBe 13L
+    r.getAs[Double]("assortativity") shouldBe
+      BigDecimal(-12.0 / 144.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("wordBurstiness: bursty words outrank even spreaders; minDf gates") {
+    val docs = Seq(
+      (1L, "the spam spam spam"),
+      (2L, "the spam spam spam"),
+      (3L, "the rare"),
+      (4L, "the unique unique unique unique")) // df=1 → gated at minDf=2
+    val got = TextOps.wordBurstiness(docs.toDF("id", "text"), "id", "text",
+        minDf = 2L, k = 10)
+      .as[(String, Long, Long, Double)].collect()
+    got.map(_._1) shouldBe Array("spam", "the")
+    got(0) shouldBe (("spam", 6L, 2L, 3.0))
+    got(1) shouldBe (("the", 4L, 4L, 1.0))
+  }
+}

@@ -101,8 +101,15 @@ class PlanAuditSpec extends SparkSpec {
                              // broadcasts over the duration histogram
     "q_lorenz",              // 1-row totals + 10-row decile grid broadcast
                              // over the value histogram
-    "q_median_survival")     // the q_kaplan_meier shape (1-row max-day +
+    "q_median_survival",     // the q_kaplan_meier shape (1-row max-day +
                              // at-risk-total broadcasts), crossed at 0.5
+    "q_jsd_langs",           // 1-row token/vocab-totals broadcast over
+                             // the vocabulary-sized count table
+    "q_qq_points",           // two 1-row decile-array artifacts zipped
+    "q_standardized_effect", // 1-row stratum-total broadcast over the
+                             // |strata|-row cell table
+    "q_degree_assortativity") // two 1-row artifacts (moments × node
+                             // count) joined
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
