@@ -2105,6 +2105,22 @@ object SparkEntry {
       TextOps.wordBurstiness(t(s, d, "documents"), "doc_id", "text",
         minDf = 5L, k = 25)),
 
+    // deterministic per-epoch training shuffle: order by a per-epoch key
+    // fingerprint — every worker reproduces the permutation with no
+    // shared state, each epoch reshuffles, resume-mid-epoch is a WHERE
+    // on the last key; top-50 heads of two epochs as the audit
+    "q_epoch_shuffle" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def epoch(n: Int) = docs
+        .select(lit(n.toLong).as("epoch"), col("doc_id"),
+          graft.ext.TextOps.fingerprint60(
+            concat(col("doc_id").cast("string"), lit(s":epoch:$n")))
+            .as("shuffle_key"))
+        .orderBy(col("shuffle_key").asc, col("doc_id").asc).limit(50)
+      epoch(1).unionAll(epoch(2))
+        .orderBy("epoch", "shuffle_key", "doc_id")
+    }),
+
     // Lorenz curve at deciles: share of total order value held by the
     // bottom 10%…100% — gini's curve view, exact-integer interpolation
     // inside tied-value blocks so row tie order can never matter
@@ -7290,6 +7306,19 @@ object SparkEntry {
          SELECT word, cf, df, ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness
          FROM w WHERE df >= 5
          ORDER BY burstiness DESC, word ASC LIMIT 25""",
+
+    // the md5 fingerprint idiom of q_cuped's arm assignment, keyed per
+    // epoch — the permutation is a pure function of (doc_id, epoch)
+    "q_epoch_shuffle" ->
+      """WITH e1 AS (SELECT CAST(1 AS BIGINT) AS epoch, doc_id,
+                            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':epoch:1'), 1, 15)) AS BIGINT) AS shuffle_key
+                     FROM documents ORDER BY shuffle_key ASC, doc_id ASC LIMIT 50),
+              e2 AS (SELECT CAST(2 AS BIGINT) AS epoch, doc_id,
+                            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':epoch:2'), 1, 15)) AS BIGINT) AS shuffle_key
+                     FROM documents ORDER BY shuffle_key ASC, doc_id ASC LIMIT 50)
+         SELECT epoch, doc_id, shuffle_key
+         FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+         ORDER BY epoch, shuffle_key, doc_id""",
 
     // bottom-k mass = cumValue(v-) + (k - cumCount(v-))·v — exact
     // integer interpolation inside the tied-value block holding k

@@ -720,6 +720,59 @@ object StreamingPipeline {
       }
   }
 
+  final case class SprtState(n: Long, k: Long)
+  final case class SprtReadout(key: String, n: Long, k: Long,
+                               llr: Double, decision: String)
+
+  /**
+   * Streaming SPRT monitor — the continuous form of
+   * [[graft.ops.TemporalOps.sprtMonitor]]: per key (event type), the
+   * cumulative (trials, successes) state lives in `mapGroupsWithState`
+   * and every micro-batch emits the current Wald log-likelihood ratio of
+   * H1 (rate p1) against H0 (rate p0) with the always-valid decision at
+   * the (α, β) bounds. This is what sequential testing is FOR — the
+   * monitor watches the stream continuously and both error rates stay
+   * honest at every peek, so "stop the rollout now" fires as early as
+   * the evidence allows.
+   *
+   * Arithmetic is pinned to the batch op exactly: exact integer (n, k)
+   * state (order-independent, so redelivery-safe under AvailableNow
+   * replays of whole batches), the two constant ln factors, HALF_UP
+   * 6dp rounding, decision on the ROUNDED llr — the parity spec asserts
+   * the final streaming readout equals the batch op's last row on the
+   * same events. State is two longs per key, FOREVER — O(keys), not
+   * O(events).
+   */
+  def streamingSprtMonitor(events: DataFrame, p0: Double, p1: Double,
+                           alpha: Double = 0.05, beta: Double = 0.05)(
+      success: StreamEvent => Boolean): Dataset[SprtReadout] = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"bad rates p0=$p0 p1=$p1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val c1 = math.log(p1 / p0)
+    val c0 = math.log((1.0 - p1) / (1.0 - p0))
+    val upper = math.log((1.0 - beta) / alpha)
+    val lower = math.log(beta / (1.0 - alpha))
+    events.as[StreamEvent]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[SprtState, SprtReadout](
+        GroupStateTimeout.NoTimeout) { (key, batch, state) =>
+        var s = state.getOption.getOrElse(SprtState(0L, 0L))
+        batch.foreach { e =>
+          s = SprtState(s.n + 1L, s.k + (if (success(e)) 1L else 0L))
+        }
+        state.update(s)
+        val llr = BigDecimal(s.k.toDouble * c1 + (s.n - s.k).toDouble * c0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val decision =
+          if (llr >= upper) "accept_h1"
+          else if (llr <= lower) "accept_h0"
+          else "continue"
+        SprtReadout(key, s.n, s.k, llr, decision)
+      }
+  }
+
   /**
    * Streaming NEAR-DUP-GATED corpus ingest — the continuous form of the
    * training-data admission pipeline: every micro-batch of documents is

@@ -95,6 +95,60 @@ class MonitorAndStructureSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("streamingSprtMonitor final readout equals the batch op (parity)") {
+    import graft.streaming.StreamingPipeline
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_sprt_").toString
+    // two keys with opposite rates: 'click' runs hot (H1-ish), 'view'
+    // runs cold (H0-ish) — delivered across several source files so the
+    // cumulative state crosses micro-batches
+    val rows = (for (d <- 1 to 4; i <- 0 until 30) yield {
+      val hot = i % 2 == 0
+      (d * 1000L + i, ts(d, i), i.toLong, if (hot) "click" else "view",
+        if (i % (if (hot) 2 else 10) == 0) 1.0 else 0.0, "{}")
+    })
+    val ev = rows.toDF(
+      StreamingPipeline.eventSchema.fieldNames.toIndexedSeq: _*)
+    ev.write.mode("overwrite").parquet(s"$work/src")
+
+    val q = StreamingPipeline.streamingSprtMonitor(
+        StreamingPipeline.readEventStream(spark, s"$work/src"),
+        p0 = 0.1, p1 = 0.5)(_.value > 0.5)
+      .writeStream.format("memory").queryName("graft_sprt")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // latest streaming readout per key = the row with the max n
+    val streamed = spark.table("graft_sprt")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(col("n").desc)))
+      .filter(col("rn") === 1)
+      .select("key", "n", "k", "llr", "decision")
+      .as[(String, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+
+    for (key <- Seq("click", "view")) {
+      val batchLast = TemporalOps.sprtMonitor(
+          ev.filter(col("event_type") === key)
+            .select(col("ts").as("t"), (col("value") > 0.5).as("ok")),
+          "t", "ok", p0 = 0.1, p1 = 0.5)
+        .orderBy(col("day").desc).limit(1).collect().head
+      val s = streamed(key)
+      withClue(s"key $key: ") {
+        s._2 shouldBe batchLast.getAs[Long]("n")
+        s._3 shouldBe batchLast.getAs[Long]("k")
+        s._4 shouldBe batchLast.getAs[Double]("llr")
+        s._5 shouldBe batchLast.getAs[String]("decision")
+      }
+    }
+    // and the two keys actually decide differently on this stream
+    streamed("click")._5 shouldBe "accept_h1"
+    streamed("view")._5 shouldBe "accept_h0"
+  }
+
   test("wordBurstiness: bursty words outrank even spreaders; minDf gates") {
     val docs = Seq(
       (1L, "the spam spam spam"),
