@@ -2105,6 +2105,17 @@ object SparkEntry {
       TextOps.wordBurstiness(t(s, d, "documents"), "doc_id", "text",
         minDf = 5L, k = 25)),
 
+    // MMR diversity re-rank: top-8 relevance pool per query, 3 greedy
+    // picks at λ=0.7 — each pick penalized by its max similarity to the
+    // already-selected set; the dup-cluster-proof retrieval finisher
+    // (plain top-k fills all slots with one answer restated)
+    "q_mmr_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.mmrRerank(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", pool = 8, k = 3, lambda = 0.7)
+        .orderBy("query_id", "pick")
+    }),
+
     // deterministic per-epoch training shuffle: order by a per-epoch key
     // fingerprint — every worker reproduces the permutation with no
     // shared state, each epoch reshuffles, resume-mid-epoch is a WHERE
@@ -7306,6 +7317,67 @@ object SparkEntry {
          SELECT word, cf, df, ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness
          FROM w WHERE df >= 5
          ORDER BY burstiness DESC, word ASC LIMIT 25""",
+
+    // 3 unrolled greedy MMR rounds over the top-8 cosine pool: rel and
+    // every pairwise sim 6dp-rounded before any decision, the λ-blend
+    // written as 0.7·rel − (1.0 − 0.7)·ms to pin the same doubles
+    "q_mmr_rerank" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              pairs AS (SELECT q.qid, c.vec_id AS cid, q.qe, c.embedding AS ce
+                        FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.qid),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              dots AS (SELECT qid, cid,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+                              SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+                       FROM pairs, idx GROUP BY qid, cid),
+              scored AS (SELECT qid, cid, ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) AS rel FROM dots),
+              pool AS (SELECT qid, cid, rel FROM (
+                         SELECT qid, cid, rel,
+                                row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
+                         FROM scored) WHERE rn <= 8),
+              poolv AS (SELECT p.qid, p.cid, p.rel, e.embedding AS ce
+                        FROM pool p JOIN embeddings e ON e.vec_id = p.cid),
+              simd AS (SELECT x.qid, x.cid AS c1, y.cid AS c2,
+                              SUM(CAST(ROUND(CAST(x.ce[i] AS DOUBLE) * CAST(y.ce[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS dot,
+                              SUM(CAST(ROUND(CAST(x.ce[i] AS DOUBLE) * CAST(x.ce[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS n1,
+                              SUM(CAST(ROUND(CAST(y.ce[i] AS DOUBLE) * CAST(y.ce[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS n2
+                       FROM poolv x JOIN poolv y ON x.qid = y.qid AND x.cid <> y.cid, idx
+                       GROUP BY x.qid, x.cid, y.cid),
+              sims AS (SELECT qid, c1, c2,
+                              ROUND(CAST(dot AS DOUBLE) /
+                                    (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))), 6) AS sim
+                       FROM simd),
+              s1 AS (SELECT qid, cid, rel, rel AS mmr, CAST(1 AS INTEGER) AS pick FROM (
+                       SELECT qid, cid, rel,
+                              row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
+                       FROM pool) WHERE rn = 1),
+              m2 AS (SELECT p.qid, p.cid, p.rel,
+                            ROUND(0.7 * p.rel - (1.0 - 0.7) * MAX(s.sim), 6) AS mmr
+                     FROM pool p
+                     JOIN s1 ON s1.qid = p.qid AND p.cid <> s1.cid
+                     JOIN sims s ON s.qid = p.qid AND s.c1 = p.cid AND s.c2 = s1.cid
+                     GROUP BY p.qid, p.cid, p.rel),
+              s2 AS (SELECT qid, cid, rel, mmr, CAST(2 AS INTEGER) AS pick FROM (
+                       SELECT qid, cid, rel, mmr,
+                              row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid ASC) AS rn
+                       FROM m2) WHERE rn = 1),
+              sel12 AS (SELECT qid, cid FROM s1 UNION ALL SELECT qid, cid FROM s2),
+              m3 AS (SELECT p.qid, p.cid, p.rel,
+                            ROUND(0.7 * p.rel - (1.0 - 0.7) * MAX(s.sim), 6) AS mmr
+                     FROM pool p
+                     JOIN sims s ON s.qid = p.qid AND s.c1 = p.cid
+                     JOIN sel12 w ON w.qid = s.qid AND w.cid = s.c2
+                     WHERE NOT EXISTS (SELECT 1 FROM sel12 z
+                                       WHERE z.qid = p.qid AND z.cid = p.cid)
+                     GROUP BY p.qid, p.cid, p.rel),
+              s3 AS (SELECT qid, cid, rel, mmr, CAST(3 AS INTEGER) AS pick FROM (
+                       SELECT qid, cid, rel, mmr,
+                              row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid ASC) AS rn
+                       FROM m3) WHERE rn = 1)
+         SELECT qid AS query_id, cid AS neighbor_id, rel, mmr, pick
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+         ORDER BY query_id, pick""",
 
     // the md5 fingerprint idiom of q_cuped's arm assignment, keyed per
     // epoch — the permutation is a pure function of (doc_id, epoch)

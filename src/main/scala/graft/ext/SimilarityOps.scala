@@ -1186,4 +1186,99 @@ object SimilarityOps {
         col("score").as("neg_score"), col("rank").as("neg_rank"))
     pos.join(neg, "anchor_id")
   }
+
+  /**
+   * MMR (Maximal Marginal Relevance) DIVERSITY re-rank — the retrieval
+   * finisher plain top-k lacks: a dense dup cluster fills all k slots
+   * with one answer restated k times; MMR greedily picks
+   * argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), so each pick is
+   * penalized by its similarity to what's ALREADY selected. The RAG
+   * context-packing and eval-set-diversification primitive (λ = 1 is
+   * plain relevance; λ ~ 0.7 the usual operating point).
+   *
+   * Two stages: (1) the relevance POOL — [[cosineTopK]]'s bounded-heap
+   * top-`pool` per query (the corpus-sized work, done once); (2) `k`
+   * greedy rounds over the pool only. Pick 1 is pure relevance (empty
+   * S has nothing to be redundant with; `mmr` = `rel` there). Emits
+   * (query_id, neighbor_id, rel, mmr, pick 1..k), ties (score desc,
+   * id asc) at every argmax.
+   *
+   * Determinism: rel and every pairwise sim are 6dp-rounded BEFORE any
+   * decision; the λ-blend is one pinned double expression on rounded
+   * inputs; argmax ties break on id — the greedy path is replayable by
+   * SQL round-unrolling.
+   *
+   * Scale: the pool join + per-round work is |Q|·pool·k rows — corpus
+   * cost is exactly one cosineTopK (corpus never shuffles, heap-pruned
+   * exchange); each round joins the remaining pool against the ≤ k-row
+   * selected set per query (broadcast) and localCheckpoints the tiny
+   * selection, keeping plans constant-depth.
+   */
+  /** Cosine with DECIMAL-summed components — bit-exact in ANY engine at
+    * any summation order (each product is one double multiply of the
+    * same floats, 9dp-rounded, then an order-invariant decimal sum),
+    * where the double-sum forms are 1-ulp noisy across engines and can
+    * flip a 6dp rounding boundary. Interpreted HOF (CodegenFallback) —
+    * reserve for POOL-sized pair sets (MMR's pairwise sims), not corpus
+    * scans. */
+  private[ext] def cosineDecimal(a: Column, b: Column): Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 9)
+    def d(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) =>
+        round(p.cast("double") * q.cast("double"), 9).cast(dec)),
+      lit(0).cast(dec), (acc, v) => (acc + v).cast(dec)).cast("double")
+    round(d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b))), 6)
+  }
+
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, pool: Int, k: Int,
+                lambda: Double): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got pool=$pool k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"bad lambda $lambda")
+    val cands = cosineTopK(queries, corpus, idCol, vecCol, pool)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("rel"))
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("cv")), "neighbor_id")
+      .persist()
+    var selected = cands.groupBy("query_id")
+      .agg(max(struct(col("rel"), (-col("neighbor_id")).as("ni"))).as("b"))
+      .select(col("query_id"), (-col("b.ni")).as("neighbor_id"),
+        col("b.rel").as("rel"), col("b.rel").as("mmr"),
+        lit(1).as("pick"))
+      .localCheckpoint()
+    for (step <- 2 to k) {
+      val selVec = selected.select(col("query_id"),
+          col("neighbor_id").as("sel_id"))
+        .join(cands.select(col("query_id"),
+          col("neighbor_id").as("sel_id"), col("cv").as("sv")),
+          Seq("query_id", "sel_id"))
+      val remaining = cands.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      // the redundancy weight via EXACT decimal subtraction: Scala's
+      // double 1.0−0.7 is 0.3+1ulp while a SQL oracle's (1.0 − 0.7) is
+      // decimal-exact 0.3 — a 1-ulp constant gap that flips 6dp rounding
+      // boundaries (observed); BigDecimal pins both engines to the same
+      // nearest-to-0.3 double
+      val wNeg = (BigDecimal(1) - BigDecimal(lambda)).toDouble
+      val next = remaining.join(broadcast(selVec), "query_id")
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          cosineDecimal(col("cv"), col("sv")).as("sim"))
+        .groupBy("query_id", "neighbor_id", "rel")
+        .agg(max(col("sim")).as("max_sim"))
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          round(lit(lambda) * col("rel") -
+            lit(wNeg) * col("max_sim"), 6).as("mmr"))
+        .groupBy("query_id")
+        .agg(max(struct(col("mmr"), (-col("neighbor_id")).as("ni"),
+          col("rel"))).as("b"))
+        .select(col("query_id"), (-col("b.ni")).as("neighbor_id"),
+          col("b.rel").as("rel"), col("b.mmr").as("mmr"),
+          lit(step).as("pick"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    cands.unpersist(blocking = false)
+    selected
+  }
 }

@@ -108,8 +108,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_qq_points",           // two 1-row decile-array artifacts zipped
     "q_standardized_effect", // 1-row stratum-total broadcast over the
                              // |strata|-row cell table
-    "q_degree_assortativity") // two 1-row artifacts (moments × node
+    "q_degree_assortativity", // two 1-row artifacts (moments × node
                              // count) joined
+    "q_mmr_rerank")          // cosineTopK's broadcast query set; greedy
+                             // rounds run on checkpointed pool-sized frames
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
