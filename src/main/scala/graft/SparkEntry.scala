@@ -2116,6 +2116,44 @@ object SparkEntry {
         .orderBy("query_id", "pick")
     }),
 
+    // the persisted-index deployment of q_mmr_rerank: pool from the
+    // AnnIndexStore at full probe (= exact), vectors from the index's
+    // own cells table — raw corpus never read; bit-identical to the
+    // in-memory operator, so the oracle is shared verbatim
+    "q_mmr_store" -> ((s, d) =>
+      graft.ext.AnnIndexStore.mmrTopK(s, annStore(s, d),
+          t(s, d, "embeddings").filter(col("vec_id") < 5),
+          "vec_id", "embedding", pool = 8, k = 3, lambda = 0.7,
+          nprobe = 8)
+        .orderBy("query_id", "pick")),
+
+    // MASE: is the weekly pattern in daily order volume real forecasting
+    // signal — seasonal-naive absolute error scaled by the plain-naive
+    // baseline over the same days (< 1 = seasonality helps)
+    "q_mase" -> ((s, d) =>
+      graft.ops.TemporalOps.maseReport(
+        t(s, d, "orders").select(col("o_orderdate").as("ts")), "ts",
+        season = 7)),
+
+    // one-to-one record linkage: Jaro-Winkler blocked pairs, then keep
+    // only MUTUAL best matches — without this one golden record absorbs
+    // every near-match in its block and the merge manufactures a
+    // mega-entity
+    "q_mutual_best_match" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name")).distinct()
+        .select(col("p_name"),
+          substring_index(col("p_name"), " ", 1).as("__blk"))
+      val a = names.select(col("__blk"), col("p_name").as("name_a"))
+      val b = names.select(col("__blk"), col("p_name").as("name_b"))
+      val pairs = a.join(b, "__blk").filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          round(graft.functions.JaroWinkler(col("name_a"),
+            col("name_b")), 6).as("jw"))
+        .filter(col("jw") >= 0.85)
+      DedupOps.mutualBestMatch(pairs, "name_a", "name_b", "jw")
+        .orderBy("name_a", "name_b")
+    }),
+
     // deterministic per-epoch training shuffle: order by a per-epoch key
     // fingerprint — every worker reproduces the permutation with no
     // shared state, each epoch reshuffles, resume-mid-epoch is a WHERE
@@ -4341,6 +4379,66 @@ object SparkEntry {
               rk AS (SELECT qid, doc_id, CAST(sc AS DOUBLE) AS bm25,
                             CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id ASC) AS BIGINT) AS rnk
                      FROM ds)"""
+
+  /** Shared DuckDB oracle for q_mmr_rerank AND its persisted-index
+    * deployment q_mmr_store (bit-identical at full probe). */
+  private val mmrRerankOracle: String =
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              pairs AS (SELECT q.qid, c.vec_id AS cid, q.qe, c.embedding AS ce
+                        FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.qid),
+              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+              dots AS (SELECT qid, cid,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+                              SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+                              SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+                       FROM pairs, idx GROUP BY qid, cid),
+              scored AS (SELECT qid, cid, ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) AS rel FROM dots),
+              pool AS (SELECT qid, cid, rel FROM (
+                         SELECT qid, cid, rel,
+                                row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
+                         FROM scored) WHERE rn <= 8),
+              poolv AS (SELECT p.qid, p.cid, p.rel, e.embedding AS ce
+                        FROM pool p JOIN embeddings e ON e.vec_id = p.cid),
+              simd AS (SELECT x.qid, x.cid AS c1, y.cid AS c2,
+                              SUM(CAST(ROUND(CAST(x.ce[i] AS DOUBLE) * CAST(y.ce[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS dot,
+                              SUM(CAST(ROUND(CAST(x.ce[i] AS DOUBLE) * CAST(x.ce[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS n1,
+                              SUM(CAST(ROUND(CAST(y.ce[i] AS DOUBLE) * CAST(y.ce[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS n2
+                       FROM poolv x JOIN poolv y ON x.qid = y.qid AND x.cid <> y.cid, idx
+                       GROUP BY x.qid, x.cid, y.cid),
+              sims AS (SELECT qid, c1, c2,
+                              ROUND(CAST(dot AS DOUBLE) /
+                                    (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))), 6) AS sim
+                       FROM simd),
+              s1 AS (SELECT qid, cid, rel, rel AS mmr, CAST(1 AS INTEGER) AS pick FROM (
+                       SELECT qid, cid, rel,
+                              row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
+                       FROM pool) WHERE rn = 1),
+              m2 AS (SELECT p.qid, p.cid, p.rel,
+                            ROUND(0.7 * p.rel - (1.0 - 0.7) * MAX(s.sim), 6) AS mmr
+                     FROM pool p
+                     JOIN s1 ON s1.qid = p.qid AND p.cid <> s1.cid
+                     JOIN sims s ON s.qid = p.qid AND s.c1 = p.cid AND s.c2 = s1.cid
+                     GROUP BY p.qid, p.cid, p.rel),
+              s2 AS (SELECT qid, cid, rel, mmr, CAST(2 AS INTEGER) AS pick FROM (
+                       SELECT qid, cid, rel, mmr,
+                              row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid ASC) AS rn
+                       FROM m2) WHERE rn = 1),
+              sel12 AS (SELECT qid, cid FROM s1 UNION ALL SELECT qid, cid FROM s2),
+              m3 AS (SELECT p.qid, p.cid, p.rel,
+                            ROUND(0.7 * p.rel - (1.0 - 0.7) * MAX(s.sim), 6) AS mmr
+                     FROM pool p
+                     JOIN sims s ON s.qid = p.qid AND s.c1 = p.cid
+                     JOIN sel12 w ON w.qid = s.qid AND w.cid = s.c2
+                     WHERE NOT EXISTS (SELECT 1 FROM sel12 z
+                                       WHERE z.qid = p.qid AND z.cid = p.cid)
+                     GROUP BY p.qid, p.cid, p.rel),
+              s3 AS (SELECT qid, cid, rel, mmr, CAST(3 AS INTEGER) AS pick FROM (
+                       SELECT qid, cid, rel, mmr,
+                              row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid ASC) AS rn
+                       FROM m3) WHERE rn = 1)
+         SELECT qid AS query_id, cid AS neighbor_id, rel, mmr, pick
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+         ORDER BY query_id, pick"""
 
   def oracleSql: Map[String, String] = Map(
 
@@ -7321,63 +7419,52 @@ object SparkEntry {
     // 3 unrolled greedy MMR rounds over the top-8 cosine pool: rel and
     // every pairwise sim 6dp-rounded before any decision, the λ-blend
     // written as 0.7·rel − (1.0 − 0.7)·ms to pin the same doubles
-    "q_mmr_rerank" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-              pairs AS (SELECT q.qid, c.vec_id AS cid, q.qe, c.embedding AS ce
-                        FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.qid),
-              idx AS (SELECT unnest(generate_series(1, 64)) AS i),
-              dots AS (SELECT qid, cid,
-                              SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
-                              SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
-                              SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
-                       FROM pairs, idx GROUP BY qid, cid),
-              scored AS (SELECT qid, cid, ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) AS rel FROM dots),
-              pool AS (SELECT qid, cid, rel FROM (
-                         SELECT qid, cid, rel,
-                                row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
-                         FROM scored) WHERE rn <= 8),
-              poolv AS (SELECT p.qid, p.cid, p.rel, e.embedding AS ce
-                        FROM pool p JOIN embeddings e ON e.vec_id = p.cid),
-              simd AS (SELECT x.qid, x.cid AS c1, y.cid AS c2,
-                              SUM(CAST(ROUND(CAST(x.ce[i] AS DOUBLE) * CAST(y.ce[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS dot,
-                              SUM(CAST(ROUND(CAST(x.ce[i] AS DOUBLE) * CAST(x.ce[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS n1,
-                              SUM(CAST(ROUND(CAST(y.ce[i] AS DOUBLE) * CAST(y.ce[i] AS DOUBLE), 9) AS DECIMAL(20,9))) AS n2
-                       FROM poolv x JOIN poolv y ON x.qid = y.qid AND x.cid <> y.cid, idx
-                       GROUP BY x.qid, x.cid, y.cid),
-              sims AS (SELECT qid, c1, c2,
-                              ROUND(CAST(dot AS DOUBLE) /
-                                    (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))), 6) AS sim
-                       FROM simd),
-              s1 AS (SELECT qid, cid, rel, rel AS mmr, CAST(1 AS INTEGER) AS pick FROM (
-                       SELECT qid, cid, rel,
-                              row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
-                       FROM pool) WHERE rn = 1),
-              m2 AS (SELECT p.qid, p.cid, p.rel,
-                            ROUND(0.7 * p.rel - (1.0 - 0.7) * MAX(s.sim), 6) AS mmr
-                     FROM pool p
-                     JOIN s1 ON s1.qid = p.qid AND p.cid <> s1.cid
-                     JOIN sims s ON s.qid = p.qid AND s.c1 = p.cid AND s.c2 = s1.cid
-                     GROUP BY p.qid, p.cid, p.rel),
-              s2 AS (SELECT qid, cid, rel, mmr, CAST(2 AS INTEGER) AS pick FROM (
-                       SELECT qid, cid, rel, mmr,
-                              row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid ASC) AS rn
-                       FROM m2) WHERE rn = 1),
-              sel12 AS (SELECT qid, cid FROM s1 UNION ALL SELECT qid, cid FROM s2),
-              m3 AS (SELECT p.qid, p.cid, p.rel,
-                            ROUND(0.7 * p.rel - (1.0 - 0.7) * MAX(s.sim), 6) AS mmr
-                     FROM pool p
-                     JOIN sims s ON s.qid = p.qid AND s.c1 = p.cid
-                     JOIN sel12 w ON w.qid = s.qid AND w.cid = s.c2
-                     WHERE NOT EXISTS (SELECT 1 FROM sel12 z
-                                       WHERE z.qid = p.qid AND z.cid = p.cid)
-                     GROUP BY p.qid, p.cid, p.rel),
-              s3 AS (SELECT qid, cid, rel, mmr, CAST(3 AS INTEGER) AS pick FROM (
-                       SELECT qid, cid, rel, mmr,
-                              row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid ASC) AS rn
-                       FROM m3) WHERE rn = 1)
-         SELECT qid AS query_id, cid AS neighbor_id, rel, mmr, pick
-         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
-         ORDER BY query_id, pick""",
+    // (DuckDB folds (1.0 − 0.7) in DECIMAL → exactly the double the
+    // Spark side derives via BigDecimal(1) − BigDecimal(λ))
+    "q_mmr_rerank" -> mmrRerankOracle,
+
+    // the store-backed path is bit-identical at full probe — same oracle
+    "q_mmr_store" -> mmrRerankOracle,
+
+
+    "q_mase" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+              l AS (SELECT day, n,
+                           lag(n, 7) OVER (ORDER BY day ASC) AS s,
+                           lag(n, 1) OVER (ORDER BY day ASC) AS p
+                    FROM daily),
+              f AS (SELECT * FROM l WHERE s IS NOT NULL AND p IS NOT NULL),
+              a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                           CAST(SUM(ABS(n - s)) AS BIGINT) AS es,
+                           CAST(SUM(ABS(n - p)) AS BIGINT) AS ep FROM f)
+         SELECT n_days,
+                ROUND(CAST(es AS DOUBLE) / n_days, 6) AS mae_seasonal,
+                ROUND(CAST(ep AS DOUBLE) / n_days, 6) AS mae_naive,
+                CASE WHEN ep > 0 THEN ROUND(CAST(es AS DOUBLE) / ep, 6) END AS mase
+         FROM a""",
+
+    // directed best = one window argmax per side; survivors are pairs
+    // whose two directions agree
+    "q_mutual_best_match" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+              blk AS (SELECT p_name, string_split(p_name, ' ')[1] AS b FROM names),
+              pairs AS (SELECT a.p_name AS na, b.p_name AS nb,
+                               ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+                        FROM blk a JOIN blk b ON a.b = b.b AND a.p_name < b.p_name
+                        WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.85),
+              directed AS (SELECT na AS x, nb AS y, jw FROM pairs
+                           UNION ALL SELECT nb, na, jw FROM pairs),
+              best AS (SELECT x, y AS besty FROM (
+                         SELECT x, y,
+                                row_number() OVER (PARTITION BY x ORDER BY jw DESC, y ASC) AS rn
+                         FROM directed) WHERE rn = 1)
+         SELECT p.na AS name_a, p.nb AS name_b, p.jw AS jw
+         FROM pairs p
+         JOIN best b1 ON b1.x = p.na AND b1.besty = p.nb
+         JOIN best b2 ON b2.x = p.nb AND b2.besty = p.na
+         ORDER BY name_a, name_b""",
 
     // the md5 fingerprint idiom of q_cuped's arm assignment, keyed per
     // epoch — the permutation is a pure function of (doc_id, epoch)

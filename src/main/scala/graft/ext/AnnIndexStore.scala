@@ -280,4 +280,29 @@ object AnnIndexStore {
       .withColumn("score", SimilarityOps.cosineNative(col("qv"), col("cv")))
     SimilarityOps.heapTopK(scored, k)
   }
+
+  /**
+   * MMR diversity re-rank off the PERSISTED index — the deployment form
+   * of [[graft.ext.SimilarityOps.mmrRerank]]: the relevance pool comes
+   * from [[topK]] (partition-pruned cell scan, bounded heap), candidate
+   * vectors join back from the index's own `cells` table (column-pruned,
+   * cell-filtered — raw corpus never read), and the shared greedy stage
+   * ([[graft.ext.SimilarityOps.mmrGreedy]]) runs on the pool-sized
+   * frames. At `nprobe` = nlist the pool is the exact top-`pool`, so
+   * results are bit-identical to the in-memory operator at equal
+   * parameters — which is why `q_mmr_store` shares `q_mmr_rerank`'s
+   * oracle verbatim.
+   */
+  def mmrTopK(spark: SparkSession, path: String, queries: DataFrame,
+              idCol: String, vecCol: String, pool: Int, k: Int,
+              lambda: Double, nprobe: Int = 1): DataFrame = {
+    require(pool >= k && k >= 1, s"need pool >= k >= 1, got pool=$pool k=$k")
+    val cands = topK(spark, path, queries, idCol, vecCol, pool, nprobe)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("rel"))
+      .join(spark.read.parquet(s"$path/cells")
+        .select(col(idCol).cast("long").as("neighbor_id"),
+          col(vecCol).as("cv")), "neighbor_id")
+    SimilarityOps.mmrGreedy(cands, k, lambda)
+  }
 }

@@ -1437,4 +1437,45 @@ object DedupOps {
       .filter(col("ed") <= maxDistance)
       .orderBy("s1", "s2")
   }
+
+  /**
+   * MUTUAL BEST MATCH — one-to-one record linkage from a scored
+   * candidate-pair table: keep (a, b) only when b is a's highest-scoring
+   * candidate AND a is b's (ties → smaller counterpart). This is the
+   * standard greedy-free assignment step after scoring
+   * ([[linkageScores]], Jaro-Winkler, cosine): without it one golden
+   * record absorbs every near-match in its block and the merge
+   * manufactures a mega-entity. Symmetric-best is the scalable relaxation
+   * of optimal bipartite matching — it never chains (a→b→c), needs no
+   * sequential greedy pass, and is the rule ER systems actually deploy.
+   *
+   * `pairs` carries (aCol, bCol, scoreCol) with each unordered pair in
+   * ONE row. Emits (aCol, bCol, scoreCol) for the surviving pairs.
+   *
+   * Deterministic: both argmaxes are `min(struct(−score, counterpart))`
+   * aggregates on the caller's (pre-rounded) scores — the negated-score
+   * form keeps the smaller-counterpart tie-break for ANY ordered id
+   * type (strings included, where the −id trick can't apply).
+   *
+   * Scale: the pair table unions into a directed view (2·pairs rows),
+   * one hash aggregate per side, one equi-join back — O(pairs), no
+   * windows, nothing quadratic beyond the candidate generation the
+   * caller already bounded (blocked/banded, never all-pairs).
+   */
+  def mutualBestMatch(pairs: DataFrame, aCol: String, bCol: String,
+                      scoreCol: String): DataFrame = {
+    val directed = pairs
+      .select(col(aCol).as("__x"), col(bCol).as("__y"),
+        col(scoreCol).as("__s"))
+      .unionAll(pairs.select(col(bCol).as("__x"), col(aCol).as("__y"),
+        col(scoreCol).as("__s")))
+    val best = directed.groupBy("__x")
+      .agg(min(struct((-col("__s")).as("ns"), col("__y"))).as("b"))
+      .select(col("__x"), col("b.__y").as("__besty"))
+    pairs
+      .join(best.select(col("__x").as(aCol), col("__besty").as(bCol)),
+        Seq(aCol, bCol), "left_semi")
+      .join(best.select(col("__besty").as(aCol), col("__x").as(bCol)),
+        Seq(aCol, bCol), "left_semi")
+  }
 }

@@ -1234,13 +1234,24 @@ object SimilarityOps {
                 vecCol: String, pool: Int, k: Int,
                 lambda: Double): DataFrame = {
     require(k >= 1 && pool >= k, s"need pool >= k >= 1, got pool=$pool k=$k")
+    mmrGreedy(
+      cosineTopK(queries, corpus, idCol, vecCol, pool)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 6).as("rel"))
+        .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+          col(vecCol).as("cv")), "neighbor_id"),
+      k, lambda)
+  }
+
+  /** The greedy MMR selection stage over a prepared candidate pool
+    * (query_id, neighbor_id, rel 6dp, cv) — shared by [[mmrRerank]] and
+    * the persisted-index deployment
+    * [[graft.ext.AnnIndexStore.mmrTopK]]. */
+  private[ext] def mmrGreedy(pool: DataFrame, k: Int,
+                             lambda: Double): DataFrame = {
+    require(k >= 1, s"bad k $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"bad lambda $lambda")
-    val cands = cosineTopK(queries, corpus, idCol, vecCol, pool)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("score"), 6).as("rel"))
-      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("cv")), "neighbor_id")
-      .persist()
+    val cands = pool.persist()
     var selected = cands.groupBy("query_id")
       .agg(max(struct(col("rel"), (-col("neighbor_id")).as("ni"))).as("b"))
       .select(col("query_id"), (-col("b.ni")).as("neighbor_id"),

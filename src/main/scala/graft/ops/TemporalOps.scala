@@ -709,4 +709,47 @@ object TemporalOps {
           .when(col("llr") <= lit(lower), lit("accept_h0"))
           .otherwise(lit("continue")))
   }
+
+  /**
+   * MASE readout — Mean Absolute Scaled Error of the SEASONAL-NAIVE
+   * forecast (y_{t−season}) against the plain naive baseline (y_{t−1})
+   * over a daily count series: mase < 1 means the seasonal pattern is
+   * real forecasting signal ("Mondays predict Mondays better than
+   * yesterday does"), mase ≥ 1 means the apparent weekly shape is
+   * noise. The scale-free forecast-quality number (Hyndman & Koehler) —
+   * unlike MAPE it survives zero-count days, and "scaled" means it
+   * compares across series of any magnitude.
+   *
+   * One row: (n_days, mae_seasonal, mae_naive, mase 6dp). Deterministic:
+   * daily counts and both absolute-error sums are exact integers; two
+   * mean divisions + one ratio in pinned double order.
+   *
+   * Scale: one day-grain aggregate (partial-aggregating), two lag
+   * windows over the day-count-sized series, a 1-row rollup — events
+   * never shuffle.
+   */
+  def maseReport(df: DataFrame, ts: String, season: Int = 7): DataFrame = {
+    require(season >= 2, s"bad season $season")
+    val daily = df.filter(col(ts).isNotNull)
+      .groupBy(date_trunc("day", col(ts)).as("day"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("day").asc)
+    daily
+      .select(col("day"), col("__n"),
+        lag(col("__n"), season).over(w).as("__s"),
+        lag(col("__n"), 1).over(w).as("__p"))
+      // score only days where BOTH forecasts exist — same denominator
+      .filter(col("__s").isNotNull && col("__p").isNotNull)
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("__n") - col("__s"))).as("__es"),
+        sum(abs(col("__n") - col("__p"))).as("__ep"))
+      .select(col("n_days"),
+        round(col("__es").cast("double") / col("n_days"), 6)
+          .as("mae_seasonal"),
+        round(col("__ep").cast("double") / col("n_days"), 6)
+          .as("mae_naive"),
+        when(col("__ep") > 0,
+          round(col("__es").cast("double") / col("__ep"), 6))
+          .as("mase"))
+  }
 }

@@ -149,6 +149,40 @@ class MonitorAndStructureSpec extends SparkSpec {
     streamed("view")._5 shouldBe "accept_h0"
   }
 
+  test("mutualBestMatch: the hub cannot absorb its whole block") {
+    import graft.ext.DedupOps
+    // A's best is B and vice versa; C's best is A, but A prefers B — so
+    // (A,C) dies and C stays unmatched rather than chaining onto the hub
+    val pairs = Seq(("A", "B", 0.9), ("A", "C", 0.8), ("B", "C", 0.7))
+      .toDF("x", "y", "s")
+    val got = DedupOps.mutualBestMatch(pairs, "x", "y", "s")
+      .as[(String, String, Double)].collect()
+    got shouldBe Array(("A", "B", 0.9))
+  }
+
+  test("mutualBestMatch: score ties break to the smaller counterpart") {
+    import graft.ext.DedupOps
+    val pairs = Seq(("A", "C", 0.9), ("A", "B", 0.9)).toDF("x", "y", "s")
+    val got = DedupOps.mutualBestMatch(pairs, "x", "y", "s")
+      .as[(String, String, Double)].collect()
+    // A's best ties → B (smaller); B's best is A; C loses its only edge
+    got shouldBe Array(("A", "B", 0.9))
+  }
+
+  test("maseReport: an exact weekly cycle scores mase 0") {
+    // counts cycle with period 7 → the seasonal-naive forecast is exact
+    val rows = for (d <- 0 until 28; i <- 0 until (1 + d % 7))
+      yield Tuple1(Timestamp.valueOf(
+        f"2024-01-${d + 1}%02d 00:00:${i % 60}%02d"))
+    val r = graft.ops.TemporalOps.maseReport(rows.toDF("t"), "t",
+      season = 7).head()
+    r.getAs[Long]("n_days") shouldBe 21L
+    r.getAs[Double]("mae_seasonal") shouldBe 0.0
+    r.getAs[Double]("mase") shouldBe 0.0
+    // the naive baseline is NOT exact on a sawtooth
+    r.getAs[Double]("mae_naive") should be > 0.0
+  }
+
   test("wordBurstiness: bursty words outrank even spreaders; minDf gates") {
     val docs = Seq(
       (1L, "the spam spam spam"),

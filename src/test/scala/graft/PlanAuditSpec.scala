@@ -110,8 +110,9 @@ class PlanAuditSpec extends SparkSpec {
                              // |strata|-row cell table
     "q_degree_assortativity", // two 1-row artifacts (moments × node
                              // count) joined
-    "q_mmr_rerank")          // cosineTopK's broadcast query set; greedy
+    "q_mmr_rerank",          // cosineTopK's broadcast query set; greedy
                              // rounds run on checkpointed pool-sized frames
+    "q_mmr_store")           // same shape off the persisted index
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
