@@ -2127,6 +2127,75 @@ object SparkEntry {
           nprobe = 8)
         .orderBy("query_id", "pick")),
 
+    // difference-in-differences: hash arms × corpus-midpoint pre/post —
+    // the parallel-trends experiment readout beside q_cuped (variance
+    // reduction) and q_standardized_effect (confounder adjustment);
+    // ONE conditional-aggregation pass, exact-cents means, pinned chain
+    "q_did_readout" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .withColumn("tsec", unix_timestamp(col("ts")))
+        .withColumn("__c",
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+      val mid = ev.agg(floor((min(col("tsec")) + max(col("tsec"))) / 2.0)
+        .cast("long").as("__mid"))
+      val tagged = ev.crossJoin(broadcast(mid)).select(
+        (pmod(graft.ext.TextOps.fingerprint60(
+          concat(col("user_id").cast("string"), lit(":ab"))),
+          lit(2L)) === 0L).as("__a"),
+        (col("tsec") >= col("__mid")).as("__post"), col("__c"))
+      def cell(a: Boolean, post: Boolean,
+               c: org.apache.spark.sql.Column) =
+        sum(when(col("__a") === a && col("__post") === post, c)
+          .otherwise(0L))
+      val m = tagged.agg(
+        cell(true, false, lit(1L)).as("n_a_pre"),
+        cell(true, true, lit(1L)).as("n_a_post"),
+        cell(false, false, lit(1L)).as("n_b_pre"),
+        cell(false, true, lit(1L)).as("n_b_post"),
+        cell(true, false, col("__c")).as("__sap"),
+        cell(true, true, col("__c")).as("__saq"),
+        cell(false, false, col("__c")).as("__sbp"),
+        cell(false, true, col("__c")).as("__sbq"))
+      def mean(s: String, n: String) =
+        col(s).cast("double") / col(n) / 100.0
+      m.filter(col("n_a_pre") > 0 && col("n_a_post") > 0 &&
+          col("n_b_pre") > 0 && col("n_b_post") > 0)
+        .select(col("n_a_pre"), col("n_a_post"), col("n_b_pre"),
+          col("n_b_post"),
+          round(mean("__sap", "n_a_pre"), 6).as("mean_a_pre"),
+          round(mean("__saq", "n_a_post"), 6).as("mean_a_post"),
+          round(mean("__sbp", "n_b_pre"), 6).as("mean_b_pre"),
+          round(mean("__sbq", "n_b_post"), 6).as("mean_b_post"),
+          round((mean("__saq", "n_a_post") - mean("__sap", "n_a_pre")) -
+            (mean("__sbq", "n_b_post") - mean("__sbp", "n_b_pre")), 6)
+            .as("did"))
+    }),
+
+    // out-of-order audit: per order, steps where the ship date runs
+    // BACKWARD against line-number order — the monotonicity health
+    // signal that decides whether as-of joins and sessionizers can
+    // trust a sequence column; worst 25 offenders, total tie order
+    "q_monotonic_audit" -> ((s, d) => {
+      // l_linenumber repeats within an order in this fixture — the
+      // shipdate tiebreak makes the comparison chain order-invariant
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_linenumber").asc, col("l_shipdate").asc)
+      t(s, d, "lineitem").filter(col("l_shipdate").isNotNull)
+        .select(col("l_orderkey"),
+          (col("l_shipdate") < lag(col("l_shipdate"), 1).over(w))
+            .as("__back"))
+        .filter(col("__back").isNotNull)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(when(col("__back"), 1L).otherwise(0L)).as("n_backward"))
+        .filter(col("n_backward") > 0)
+        .withColumn("backward_pct",
+          round(col("n_backward").cast("double") / col("n_steps"), 6))
+        .orderBy(col("backward_pct").desc, col("l_orderkey").asc)
+        .limit(25)
+    }),
+
     // MASE: is the weekly pattern in daily order volume real forecasting
     // signal — seasonal-naive absolute error scaled by the plain-naive
     // baseline over the same days (< 1 = seasonality helps)
@@ -7426,6 +7495,50 @@ object SparkEntry {
     // the store-backed path is bit-identical at full probe — same oracle
     "q_mmr_store" -> mmrRerankOracle,
 
+
+    // the q_cuped md5-arm + midpoint-split fixture; four conditional
+    // cells in one pass, the DiD chain mirroring the Spark operand order
+    "q_did_readout" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+              mid AS (SELECT CAST(floor((MIN(tsec) + MAX(tsec)) / 2.0) AS BIGINT) AS m FROM e),
+              tg AS (SELECT (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT) % 2 = 0) AS a,
+                            (tsec >= m) AS post, c
+                     FROM e CROSS JOIN mid),
+              agg AS (SELECT
+                        CAST(SUM(CASE WHEN a AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_a_pre,
+                        CAST(SUM(CASE WHEN a AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_a_post,
+                        CAST(SUM(CASE WHEN NOT a AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_b_pre,
+                        CAST(SUM(CASE WHEN NOT a AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_b_post,
+                        CAST(SUM(CASE WHEN a AND NOT post THEN c ELSE 0 END) AS BIGINT) AS sap,
+                        CAST(SUM(CASE WHEN a AND post THEN c ELSE 0 END) AS BIGINT) AS saq,
+                        CAST(SUM(CASE WHEN NOT a AND NOT post THEN c ELSE 0 END) AS BIGINT) AS sbp,
+                        CAST(SUM(CASE WHEN NOT a AND post THEN c ELSE 0 END) AS BIGINT) AS sbq
+                      FROM tg)
+         SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+                ROUND(CAST(sap AS DOUBLE) / n_a_pre / 100.0, 6) AS mean_a_pre,
+                ROUND(CAST(saq AS DOUBLE) / n_a_post / 100.0, 6) AS mean_a_post,
+                ROUND(CAST(sbp AS DOUBLE) / n_b_pre / 100.0, 6) AS mean_b_pre,
+                ROUND(CAST(sbq AS DOUBLE) / n_b_post / 100.0, 6) AS mean_b_post,
+                ROUND((CAST(saq AS DOUBLE) / n_a_post / 100.0
+                       - CAST(sap AS DOUBLE) / n_a_pre / 100.0)
+                      - (CAST(sbq AS DOUBLE) / n_b_post / 100.0
+                         - CAST(sbp AS DOUBLE) / n_b_pre / 100.0), 6) AS did
+         FROM agg
+         WHERE n_a_pre > 0 AND n_a_post > 0 AND n_b_pre > 0 AND n_b_post > 0""",
+
+    "q_monotonic_audit" ->
+      """WITH s AS (SELECT l_orderkey,
+                           (l_shipdate < lag(l_shipdate, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC, l_shipdate ASC)) AS back
+                    FROM lineitem WHERE l_shipdate IS NOT NULL),
+              g AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_steps,
+                           CAST(SUM(CASE WHEN back THEN 1 ELSE 0 END) AS BIGINT) AS n_backward
+                    FROM s WHERE back IS NOT NULL GROUP BY l_orderkey)
+         SELECT l_orderkey, n_steps, n_backward,
+                ROUND(CAST(n_backward AS DOUBLE) / n_steps, 6) AS backward_pct
+         FROM g WHERE n_backward > 0
+         ORDER BY backward_pct DESC, l_orderkey ASC LIMIT 25""",
 
     "q_mase" ->
       """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
