@@ -2127,6 +2127,49 @@ object SparkEntry {
           nprobe = 8)
         .orderBy("query_id", "pick")),
 
+    // Heaps-law vocabulary growth: per 100-doc ingest batch, new-word
+    // count and cumulative vocabulary vs cumulative tokens — the corpus
+    // curve that says whether a crawl is still finding new language or
+    // re-crawling the same pages (flattening = diminishing returns)
+    "q_vocab_growth" -> ((s, d) => {
+      val toks = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(expr("doc_id div 100").as("batch"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+      val newPerBatch = toks.groupBy("w").agg(min(col("batch")).as("fb"))
+        .groupBy(col("fb").as("batch")).agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy(col("batch").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.groupBy("batch").agg(count(lit(1)).as("n_tokens"))
+        .join(newPerBatch, Seq("batch"), "left")
+        .na.fill(0L, Seq("n_new"))
+        .select(col("batch"), col("n_tokens"), col("n_new"),
+          sum(col("n_new")).over(w).as("cum_vocab"),
+          sum(col("n_tokens")).over(w).as("cum_tokens"))
+        .orderBy("batch")
+    }),
+
+    // quantile treatment effects: the hash-arm value distributions
+    // compared at each decile — a mean-only readout hides an effect
+    // that lifts the tail while leaving the median alone
+    "q_qte_deciles" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(graft.ext.TextOps.fingerprint60(
+              concat(col("user_id").cast("string"), lit(":ab"))),
+            lit(2L)) === 0L, "A").otherwise("B"))
+      val ps = "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"
+      def qs(a: String, out: String) =
+        ev.filter(col("arm") === a)
+          .agg(expr(s"percentile(value, $ps)").as(out))
+      qs("A", "qa").crossJoin(broadcast(qs("B", "qb")))
+        .select(posexplode(arrays_zip(col("qa"), col("qb"))))
+        .select(((col("pos") + 1).cast("double") / 10.0).as("p"),
+          round(col("col.qa"), 6).as("q_a"),
+          round(col("col.qb"), 6).as("q_b"))
+        .withColumn("qte", round(col("q_a") - col("q_b"), 6))
+        .orderBy("p")
+    }),
+
     // difference-in-differences: hash arms × corpus-midpoint pre/post —
     // the parallel-trends experiment readout beside q_cuped (variance
     // reduction) and q_standardized_effect (confounder adjustment);
@@ -7495,6 +7538,36 @@ object SparkEntry {
     // the store-backed path is bit-identical at full probe — same oracle
     "q_mmr_store" -> mmrRerankOracle,
 
+
+    "q_vocab_growth" ->
+      """WITH toks AS (SELECT doc_id // 100 AS batch,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents WHERE text IS NOT NULL),
+              np AS (SELECT fb AS batch, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+                       SELECT w, MIN(batch) AS fb FROM toks GROUP BY w) GROUP BY fb),
+              tp AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                     FROM toks GROUP BY batch)
+         SELECT tp.batch, tp.n_tokens, COALESCE(np.n_new, 0) AS n_new,
+                CAST(SUM(COALESCE(np.n_new, 0)) OVER w AS BIGINT) AS cum_vocab,
+                CAST(SUM(tp.n_tokens) OVER w AS BIGINT) AS cum_tokens
+         FROM tp LEFT JOIN np USING (batch)
+         WINDOW w AS (ORDER BY tp.batch ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY batch""",
+
+    "q_qte_deciles" ->
+      """WITH e AS (SELECT value,
+                           CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT) % 2 = 0
+                                THEN 'A' ELSE 'B' END AS arm
+                    FROM events WHERE value IS NOT NULL),
+              a AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qa
+                    FROM e WHERE arm = 'A'),
+              b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qb
+                    FROM e WHERE arm = 'B'),
+              g AS (SELECT unnest(generate_series(1, 9)) AS i)
+         SELECT CAST(i AS DOUBLE) / 10.0 AS p,
+                ROUND(qa[i], 6) AS q_a, ROUND(qb[i], 6) AS q_b,
+                ROUND(ROUND(qa[i], 6) - ROUND(qb[i], 6), 6) AS qte
+         FROM g CROSS JOIN a CROSS JOIN b ORDER BY p""",
 
     // the q_cuped md5-arm + midpoint-split fixture; four conditional
     // cells in one pass, the DiD chain mirroring the Spark operand order

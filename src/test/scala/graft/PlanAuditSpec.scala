@@ -113,7 +113,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_mmr_rerank",          // cosineTopK's broadcast query set; greedy
                              // rounds run on checkpointed pool-sized frames
     "q_mmr_store",           // same shape off the persisted index
-    "q_did_readout")         // q_cuped's 1-row time-midpoint broadcast
+    "q_did_readout",         // q_cuped's 1-row time-midpoint broadcast
+    "q_qte_deciles")         // two 1-row decile-array artifacts zipped
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
