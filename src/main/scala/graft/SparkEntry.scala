@@ -2127,6 +2127,13 @@ object SparkEntry {
           nprobe = 8)
         .orderBy("query_id", "pick")),
 
+    // windowed skip-gram PMI: collocations within 3 positions through
+    // the zero-shuffle kernel — adjacent-bigram PMI misses pairs with
+    // an intervening token; true-pair-total normalization
+    "q_skipgram_pmi" -> ((s, d) =>
+      TextOps.skipgramPmi(t(s, d, "documents"), "text", window = 3,
+        minCount = 10L, k = 20)),
+
     // Heaps-law vocabulary growth: per 100-doc ingest batch, new-word
     // count and cumulative vocabulary vs cumulative tokens — the corpus
     // curve that says whether a crawl is still finding new language or
@@ -7538,6 +7545,29 @@ object SparkEntry {
     // the store-backed path is bit-identical at full probe — same oracle
     "q_mmr_store" -> mmrRerankOracle,
 
+
+    // position self-join replays the kernel's window pairs; the PMI
+    // chain mirrors the Spark operand order on exact integers
+    "q_skipgram_pmi" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                            generate_subscripts(string_split(text, ' '), 1) AS i
+                     FROM documents WHERE text IS NOT NULL),
+              prs AS (SELECT a.t || ' ' || b.t AS pr
+                      FROM tk a JOIN tk b
+                        ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3),
+              totp AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_pairs FROM prs),
+              c2 AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS c2 FROM prs
+                     GROUP BY pr HAVING COUNT(*) >= 10),
+              c1 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c1 FROM tk GROUP BY t),
+              tott AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_toks FROM tk)
+         SELECT c2.pr AS pair, c2.c2 AS pair_count,
+                ROUND(LN(CAST(c2.c2 AS DOUBLE) * total_toks * total_toks /
+                         (CAST(total_pairs AS DOUBLE) * ca.c1 * cb.c1)), 6) AS pmi
+         FROM c2
+         JOIN c1 ca ON ca.t = string_split(c2.pr, ' ')[1]
+         JOIN c1 cb ON cb.t = string_split(c2.pr, ' ')[2]
+         CROSS JOIN tott CROSS JOIN totp
+         ORDER BY pmi DESC, pair ASC LIMIT 20""",
 
     "q_vocab_growth" ->
       """WITH toks AS (SELECT doc_id // 100 AS batch,

@@ -1147,6 +1147,52 @@ object TextOps {
   }
 
   /**
+   * WINDOWED skip-gram PMI — collocations over co-occurrence pairs
+   * within `window` positions, not just adjacent bigrams: "New York
+   * Times" survives an intervening token, and the word2vec/GloVe
+   * context statistics are exactly these pairs. PMI normalizes by the
+   * TRUE pair total: ln(P(a,b) / (P(a)·P(b))) with P(a,b) = c₂/pairs,
+   * P(·) = c₁/tokens — ln(c₂·T²/(Π·ca·cb)) on exact integers.
+   *
+   * Top `k` by (pmi desc, pair asc) among pairs with count ≥
+   * `minCount`. Deterministic: all counts exact, one pinned double
+   * expression per surviving pair (the [[pmiCollocations]] scheme).
+   *
+   * Scale: pair generation is the zero-shuffle
+   * [[graft.functions.SkipGramPairs]] kernel (ONE text pass, never a
+   * position self-join); the pair aggregate shuffles (pair, count) —
+   * window× a word count's volume, minCount-pruned before the
+   * vocabulary joins; unigram joins are vocabulary-sized.
+   */
+  def skipgramPmi(df: DataFrame, textCol: String, window: Int,
+                  minCount: Long, k: Int): DataFrame = {
+    require(k > 0 && minCount >= 1, s"bad k=$k minCount=$minCount")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val live = df.filter(col(textCol).isNotNull)
+    val prs = live.select(explode(call_function("graft_skipgram_pairs",
+      col(textCol), lit(window))).as("pr"))
+    val totP = prs.agg(count(lit(1)).as("total_pairs"))
+    val c2 = prs.groupBy("pr").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val toks = live.select(explode(tokens(col(textCol))).as("t"))
+    val c1 = toks.groupBy("t").agg(count(lit(1)).as("c1"))
+    val totT = toks.agg(count(lit(1)).as("total_toks"))
+    c2
+      .withColumn("a", substring_index(col("pr"), " ", 1))
+      .withColumn("b", substring_index(col("pr"), " ", -1))
+      .join(c1.select(col("t").as("a"), col("c1").as("ca")), "a")
+      .join(c1.select(col("t").as("b"), col("c1").as("cb")), "b")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totP))
+      .select(col("pr").as("pair"), col("c2").as("pair_count"),
+        round(log(col("c2").cast("double") * col("total_toks") *
+          col("total_toks") /
+          (col("total_pairs").cast("double") * col("ca") * col("cb"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /**
    * WORD BURSTINESS — per word, mean occurrences per CONTAINING document
    * (collection frequency / document frequency). Church & Gale's
    * contagion signal: function words score ≈ their per-doc rate

@@ -162,6 +162,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => CharKgrams(c.head, intLit("graft_char_kgrams", c(1)))),
     ("graft_word_grams", classOf[WordGrams].getName,
       (c: Seq[Expression]) => WordGrams(c.head, intLit("graft_word_grams", c(1)))),
+    ("graft_skipgram_pairs", classOf[SkipGramPairs].getName,
+      (c: Seq[Expression]) => SkipGramPairs(c.head, intLit("graft_skipgram_pairs", c(1)))),
     ("graft_shingle_explode", classOf[ShingleExplode].getName,
       (c: Seq[Expression]) => ShingleExplode(c.head, intLit("graft_shingle_explode", c(1))))
   ).map { case (name, cls, builder) =>

@@ -153,6 +153,53 @@ object WordGrams {
     ColumnBridge.column(WordGrams(ColumnBridge.expression(c), n))
 }
 
+/** `graft_skipgram_pairs(text, window)` — ordered co-occurrence pairs
+  * "a b" for every token pair within `window` positions (a before b),
+  * duplicates kept: the word2vec/GloVe context-pair generator and the
+  * windowed-PMI counting form. Adjacent bigrams miss collocations with
+  * an intervening token ("New … York Times" survives "New York Times
+  * Square" noise only under a window); the kernel emits all
+  * Σ min(window, n−i−1) pairs in ONE text pass so pair generation never
+  * explodes positions into a self-join. */
+case class SkipGramPairs(child: Expression, window: Int)
+    extends TextKernelExpression {
+  require(window >= 1 && window <= 16, s"bad window $window")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_skipgram_pairs"
+  override protected def expectedInput: DataType = StringType
+
+  override protected def withNewChildInternal(newChild: Expression): SkipGramPairs =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SkipGramPairs.kernel(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SkipGramPairs$$.MODULE$$.kernel($c, $window)")
+}
+
+object SkipGramPairs {
+  def kernel(s: UTF8String, window: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val out = Array.newBuilder[Any]
+    var i = 0
+    while (i < toks.length) {
+      var j = i + 1
+      val hi = math.min(toks.length - 1, i + window)
+      while (j <= hi) {
+        out += UTF8String.fromString(toks(i) + " " + toks(j))
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+  }
+
+  def apply(c: Column, window: Int): Column =
+    ColumnBridge.column(SkipGramPairs(ColumnBridge.expression(c), window))
+}
+
 /** `graft_repetition_stats(text, n)` — `[total n-grams, max single-gram
   * count]` in one kernel pass (see [[graft.ext.HashKernel.repetitionStats]]):
   * the per-row form of top-gram-share repetition scoring, so the statistic

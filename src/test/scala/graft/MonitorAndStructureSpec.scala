@@ -183,6 +183,32 @@ class MonitorAndStructureSpec extends SparkSpec {
     r.getAs[Double]("mae_naive") should be > 0.0
   }
 
+  test("SkipGramPairs kernel matches the positional reference; window=1 = bigrams") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def kernel(s: String, w: Int): Seq[String] =
+      graft.functions.SkipGramPairs.kernel(UTF8String.fromString(s), w)
+        .toSeq[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString)
+    def ref(s: String, w: Int): Seq[String] = {
+      val t = s.split(" ", -1)
+      for {
+        i <- t.indices
+        j <- (i + 1) to math.min(t.length - 1, i + w)
+      } yield s"${t(i)} ${t(j)}"
+    }
+    val rnd = new scala.util.Random(99)
+    def sentence() = Seq.fill(rnd.nextInt(12))(
+      ('a' + rnd.nextInt(3)).toChar.toString * (1 + rnd.nextInt(2)))
+      .mkString(" ")
+    for (_ <- 1 to 300; w <- Seq(1, 2, 3)) {
+      val s = sentence()
+      kernel(s, w) shouldBe ref(s, w)
+    }
+    // window=1 degenerates to adjacent bigrams (the WordGrams(2) set)
+    val s = "x y z x y"
+    kernel(s, 1) shouldBe Seq("x y", "y z", "z x", "x y")
+  }
+
   test("wordBurstiness: bursty words outrank even spreaders; minDf gates") {
     val docs = Seq(
       (1L, "the spam spam spam"),
