@@ -2127,6 +2127,100 @@ object SparkEntry {
           nprobe = 8)
         .orderBy("query_id", "pick")),
 
+    // split-conformal prediction interval: per-priority mean model on
+    // splits {0,1,2}, q̂ from split 3's ⌈(n+1)·0.9⌉-th absolute
+    // residual, coverage measured on held-out split 4 — distribution-
+    // free uncertainty with an exact-integer rank threshold
+    "q_conformal_interval" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_totalprice").isNotNull)
+        .select(col("o_orderpriority").as("grp"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"),
+          pmod(graft.ext.TextOps.fingerprint60(
+            concat(col("o_orderkey").cast("string"), lit(":cf"))),
+            lit(5L)).as("split"))
+      graft.ops.StatsOps.conformalInterval(o, "grp", "cents", "split",
+        trainSplits = Seq(0L, 1L, 2L), calSplit = 3L, testSplit = 4L)
+    }),
+
+    // minimum detectable effect at 80% power / 5% α: what lift could
+    // this experiment even see — the pre-registration number read
+    // BEFORE launching; exact-cents moments, one constant z-sum literal
+    "q_mde_readout" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      t(s, d, "orders").filter(col("o_totalprice").isNotNull)
+        .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("c"),
+          (pmod(graft.ext.TextOps.fingerprint60(
+            concat(col("o_orderkey").cast("string"), lit(":arm"))),
+            lit(2L)) === 0L).as("__a"))
+        .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+          count(lit(1)).as("n"),
+          sum(col("c").cast(dec38)).as("__sx"),
+          sum((col("c").cast(dec38) * col("c"))).as("__sxx"))
+        .select(col("n_a"), col("n_b"),
+          ((col("n").cast(dec38) * col("__sxx") -
+            col("__sx") * col("__sx")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1))).as("__var"),
+          (col("__sx").cast("double") / col("n")).as("__mean"),
+          least(col("n_a"), col("n_b")).as("__ne"))
+        // z_{0.025} + z_{0.20} as ONE literal: both engines parse the
+        // same decimal string to the same double (a two-term sum would
+        // decimal-fold in SQL but double-fold here — 1-ulp hazard)
+        .select(col("n_a"), col("n_b"),
+          round(sqrt(col("__var")) / 100.0, 6).as("sigma"),
+          round(lit(2.8015852186) *
+            sqrt(col("__var") * 2.0 / col("__ne")) / 100.0, 6)
+            .as("mde_abs"),
+          round(lit(2.8015852186) *
+            sqrt(col("__var") * 2.0 / col("__ne")) / col("__mean"), 6)
+            .as("mde_rel"))
+    }),
+
+    // two-proportion z-test: purchase-rate difference between hash
+    // arms with the pooled-variance z and the Wald CI of the diff —
+    // the conversion readout q_conversion_wilson's per-arm bands
+    // can't give directly
+    "q_two_proportion" -> ((s, d) =>
+      t(s, d, "events")
+        .select((col("event_type") === lit("purchase")).as("__s"),
+          (pmod(graft.ext.TextOps.fingerprint60(
+            concat(col("user_id").cast("string"), lit(":ab"))),
+            lit(2L)) === 0L).as("__a"))
+        .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("__a") && col("__s"), 1L).otherwise(0L)).as("k_a"),
+          sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("k_b"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+          round(col("k_a").cast("double") / col("n_a"), 6).as("p_a"),
+          round(col("k_b").cast("double") / col("n_b"), 6).as("p_b"),
+          round((col("k_a").cast("double") / col("n_a") -
+            col("k_b").cast("double") / col("n_b")) /
+            sqrt(((col("k_a") + col("k_b")).cast("double") /
+              (col("n_a") + col("n_b"))) *
+              (lit(1.0) - (col("k_a") + col("k_b")).cast("double") /
+                (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
+            .as("z"),
+          round((col("k_a").cast("double") / col("n_a") -
+            col("k_b").cast("double") / col("n_b")) - lit(1.96) *
+            sqrt(col("k_a").cast("double") / col("n_a") *
+              (lit(1.0) - col("k_a").cast("double") / col("n_a")) /
+              col("n_a") +
+              col("k_b").cast("double") / col("n_b") *
+                (lit(1.0) - col("k_b").cast("double") / col("n_b")) /
+                col("n_b")), 6).as("diff_lo"),
+          round((col("k_a").cast("double") / col("n_a") -
+            col("k_b").cast("double") / col("n_b")) + lit(1.96) *
+            sqrt(col("k_a").cast("double") / col("n_a") *
+              (lit(1.0) - col("k_a").cast("double") / col("n_a")) /
+              col("n_a") +
+              col("k_b").cast("double") / col("n_b") *
+                (lit(1.0) - col("k_b").cast("double") / col("n_b")) /
+                col("n_b")), 6).as("diff_hi"))),
+
     // windowed skip-gram PMI: collocations within 3 positions through
     // the zero-shuffle kernel — adjacent-bigram PMI misses pairs with
     // an intervening token; true-pair-total normalization
@@ -7545,6 +7639,83 @@ object SparkEntry {
     // the store-backed path is bit-identical at full probe — same oracle
     "q_mmr_store" -> mmrRerankOracle,
 
+
+    // model means, half-up cents residuals, exact-integer rank
+    // threshold, coverage ratio — the whole chain mirrored
+    "q_conformal_interval" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                           CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':cf'), 1, 15)) AS BIGINT) % 5 AS split
+                    FROM orders WHERE o_totalprice IS NOT NULL),
+              model AS (SELECT grp, CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS pred
+                        FROM o WHERE split IN (0, 1, 2) GROUP BY grp),
+              calr AS (SELECT CAST(ROUND(ABS(o.cents - m.pred), 0) AS BIGINT) AS r
+                       FROM o JOIN model m USING (grp) WHERE split = 3),
+              calh AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS c FROM calr GROUP BY r),
+              ncal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_cal FROM calh),
+              cum AS (SELECT r, CAST(SUM(c) OVER (ORDER BY r ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                      FROM calh),
+              kq AS (SELECT n_cal, ((n_cal + 1) * 9 + 9) // 10 AS k_rank FROM ncal),
+              qh AS (SELECT n_cal, k_rank,
+                            COALESCE(MIN(CASE WHEN cum >= k_rank THEN r END), MAX(r)) AS q_hat_cents
+                     FROM cum CROSS JOIN kq GROUP BY n_cal, k_rank),
+              tst AS (SELECT CAST(ROUND(ABS(o.cents - m.pred), 0) AS BIGINT) AS r
+                      FROM o JOIN model m USING (grp) WHERE split = 4)
+         SELECT q.n_cal, CAST(COUNT(*) AS BIGINT) AS n_test,
+                CAST(q.k_rank AS BIGINT) AS k_rank, q.q_hat_cents,
+                ROUND(CAST(SUM(CASE WHEN t.r <= q.q_hat_cents THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*), 6) AS coverage,
+                ROUND(CAST(9 AS DOUBLE) / 10, 6) AS target
+         FROM tst t CROSS JOIN qh q GROUP BY q.n_cal, q.k_rank, q.q_hat_cents""",
+
+    // exact decimal moments; the single z-sum literal parses to the
+    // same double in both engines
+    "q_mde_readout" ->
+      """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                           (CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':arm'), 1, 15)) AS BIGINT) % 2 = 0) AS a
+                    FROM orders WHERE o_totalprice IS NOT NULL),
+              m AS (SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                           CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(CAST(c AS HUGEINT)) AS sx,
+                           SUM(CAST(c AS HUGEINT) * c) AS sxx
+                    FROM o),
+              v AS (SELECT n_a, n_b,
+                           CAST(n * sxx - sx * sx AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * (n - 1)) AS var,
+                           CAST(sx AS DOUBLE) / n AS mean,
+                           LEAST(n_a, n_b) AS ne
+                    FROM m)
+         SELECT n_a, n_b,
+                ROUND(sqrt(var) / 100.0, 6) AS sigma,
+                ROUND(2.8015852186 * sqrt(var * 2.0 / ne) / 100.0, 6) AS mde_abs,
+                ROUND(2.8015852186 * sqrt(var * 2.0 / ne) / mean, 6) AS mde_rel
+         FROM v""",
+
+    "q_two_proportion" ->
+      """WITH e AS (SELECT (event_type = 'purchase') AS s,
+                           (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT) % 2 = 0) AS a
+                    FROM events),
+              m AS (SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                           CAST(SUM(CASE WHEN a AND s THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+                           CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                           CAST(SUM(CASE WHEN NOT a AND s THEN 1 ELSE 0 END) AS BIGINT) AS k_b
+                    FROM e)
+         SELECT n_a, k_a, n_b, k_b,
+                ROUND(CAST(k_a AS DOUBLE) / n_a, 6) AS p_a,
+                ROUND(CAST(k_b AS DOUBLE) / n_b, 6) AS p_b,
+                ROUND((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
+                      / sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                             * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                             * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+                ROUND((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b) - 1.96 *
+                      sqrt(CAST(k_a AS DOUBLE) / n_a * (1.0 - CAST(k_a AS DOUBLE) / n_a) / n_a
+                           + CAST(k_b AS DOUBLE) / n_b * (1.0 - CAST(k_b AS DOUBLE) / n_b) / n_b), 6) AS diff_lo,
+                ROUND((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b) + 1.96 *
+                      sqrt(CAST(k_a AS DOUBLE) / n_a * (1.0 - CAST(k_a AS DOUBLE) / n_a) / n_a
+                           + CAST(k_b AS DOUBLE) / n_b * (1.0 - CAST(k_b AS DOUBLE) / n_b) / n_b), 6) AS diff_hi
+         FROM m WHERE n_a > 0 AND n_b > 0""",
 
     // position self-join replays the kernel's window pairs; the PMI
     // chain mirrors the Spark operand order on exact integers

@@ -865,6 +865,83 @@ object StatsOps {
           .as("w_q3"))
   }
 
+  /**
+   * SPLIT-CONFORMAL prediction interval — distribution-free uncertainty
+   * for ANY point predictor: fit on train, take q̂ = the
+   * ⌈(n_cal+1)·cover⌉-th smallest absolute calibration residual, and
+   * |y − ŷ| ≤ q̂ is guaranteed ≥ cover coverage on exchangeable data
+   * regardless of model or distribution (Vovk; the modern ML-serving
+   * uncertainty standard). The model here is the per-group mean — the
+   * point is the CALIBRATION machinery, which applies unchanged to any
+   * predictor whose ŷ rides a column.
+   *
+   * `df` carries (groupCol, centsCol exact long, splitCol long);
+   * `trainSplits` fit the group means, `calSplit` calibrates q̂,
+   * `testSplit` measures held-out empirical coverage. `coverNum/
+   * coverDen` is the target (e.g. 9/10) kept RATIONAL so the rank
+   * threshold k = ⌈(n+1)·num/den⌉ is exact integer arithmetic.
+   *
+   * One row: (n_cal, n_test, k_rank, q_hat_cents, coverage 6dp,
+   * target). Deterministic: residuals are half-up-rounded cents
+   * (|long − pinned-double mean| → one round), q̂ is an exact order
+   * statistic via cumulative counts over the sorted residual support
+   * (the [[ksStatistic]] discipline), never an interpolating
+   * percentile; coverage is an integer ratio.
+   *
+   * Scale: one group aggregate (model), two filtered passes that
+   * partial-aggregate to a residual histogram + a 1-row rollup; the
+   * only window runs over the residual SUPPORT. The model broadcast is
+   * |groups| rows.
+   */
+  def conformalInterval(df: DataFrame, groupCol: String, centsCol: String,
+                        splitCol: String, trainSplits: Seq[Long],
+                        calSplit: Long, testSplit: Long,
+                        coverNum: Int = 9, coverDen: Int = 10): DataFrame = {
+    require(coverNum > 0 && coverNum < coverDen,
+      s"bad coverage $coverNum/$coverDen")
+    require(!trainSplits.contains(calSplit) &&
+      !trainSplits.contains(testSplit) && calSplit != testSplit,
+      "train/cal/test splits must be disjoint")
+    val model = df.filter(col(splitCol).isin(trainSplits: _*))
+      .groupBy(groupCol)
+      .agg(sum(col(centsCol)).as("__sc"), count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        (col("__sc").cast("double") / col("__n")).as("__pred"))
+    def residuals(split: Long) = df.filter(col(splitCol) === split)
+      .join(broadcast(model), groupCol)
+      .select(round(abs(col(centsCol) - col("__pred")), 0)
+        .cast("long").as("__r"))
+    val calH = residuals(calSplit).groupBy("__r")
+      .agg(count(lit(1)).as("__c"))
+    val nCal = calH.agg(sum(col("__c")).as("n_cal"),
+      count(lit(1)).as("__support"))
+    val w = Window.orderBy(col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // k = ⌈(n+1)·num/den⌉ in pure integers; q̂ = first residual whose
+    // cumulative count reaches k (clamped to the max when k > n)
+    val qHat = calH
+      .select(col("__r"), sum(col("__c")).over(w).as("__cum"))
+      .crossJoin(broadcast(nCal))
+      .select(col("__r"), col("__cum"), col("n_cal"),
+        expr(s"((n_cal + 1) * $coverNum + ${coverDen - 1}) div $coverDen")
+          .as("k_rank"))
+      .groupBy("n_cal", "k_rank")
+      .agg(coalesce(min(when(col("__cum") >= col("k_rank"), col("__r"))),
+        max(col("__r"))).as("q_hat_cents"))
+    val test = residuals(testSplit)
+      .crossJoin(broadcast(qHat))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("k_rank")).as("k_rank"),
+        max(col("q_hat_cents")).as("q_hat_cents"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("__r") <= col("q_hat_cents"), 1L).otherwise(0L))
+          .as("__covered"))
+    test.select(col("n_cal"), col("n_test"), col("k_rank"),
+      col("q_hat_cents"),
+      round(col("__covered").cast("double") / col("n_test"), 6)
+        .as("coverage"),
+      round(lit(coverNum).cast("double") / coverDen, 6).as("target"))
+  }
+
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     def pass(d: DataFrame, part: Column): DataFrame = {
       val tagged = d.withColumn("_p", part)

@@ -209,6 +209,39 @@ class MonitorAndStructureSpec extends SparkSpec {
     kernel(s, 1) shouldBe Seq("x y", "y z", "z x", "x y")
   }
 
+  test("conformalInterval: q-hat is the exact rank statistic; coverage holds") {
+    import graft.ops.StatsOps
+    // one group, cents 0..999 spread over splits by value mod 5 — the
+    // residual distribution is identical across splits, so held-out
+    // coverage must land within sampling noise of the 90% target
+    val rows = (0 until 1000).map(i => ("g", i.toLong * 10, (i % 5).toLong))
+    val r = StatsOps.conformalInterval(rows.toDF("grp", "cents", "split"),
+      "grp", "cents", "split", Seq(0L, 1L, 2L), 3L, 4L).head()
+    val nCal = r.getAs[Long]("n_cal")
+    nCal shouldBe 200L
+    r.getAs[Long]("k_rank") shouldBe ((nCal + 1) * 9 + 9) / 10
+    r.getAs[Double]("target") shouldBe 0.9
+    r.getAs[Double]("coverage") should be >= 0.85
+    r.getAs[Double]("coverage") should be <= 0.95
+    // q̂ is a real calibration residual magnitude, not an interpolation
+    (r.getAs[Long]("q_hat_cents") % 1 == 0) shouldBe true
+  }
+
+  test("conformalInterval: k > n clamps q-hat to the max residual") {
+    import graft.ops.StatsOps
+    // 4 calibration rows: k = ceil(5·0.9) = 5 > 4 → q̂ = max residual
+    val rows = Seq(("g", 0L, 0L), ("g", 100L, 0L),
+      ("g", 0L, 3L), ("g", 10L, 3L), ("g", 90L, 3L), ("g", 100L, 3L),
+      ("g", 50L, 4L))
+    val r = StatsOps.conformalInterval(rows.toDF("grp", "cents", "split"),
+      "grp", "cents", "split", Seq(0L), 3L, 4L).head()
+    r.getAs[Long]("n_cal") shouldBe 4L
+    r.getAs[Long]("k_rank") shouldBe 5L
+    // train mean = 50 → cal residuals {50, 40, 40, 50} → max 50
+    r.getAs[Long]("q_hat_cents") shouldBe 50L
+    r.getAs[Double]("coverage") shouldBe 1.0  // |50-50| = 0 ≤ 50
+  }
+
   test("wordBurstiness: bursty words outrank even spreaders; minDf gates") {
     val docs = Seq(
       (1L, "the spam spam spam"),

@@ -114,7 +114,11 @@ class PlanAuditSpec extends SparkSpec {
                              // rounds run on checkpointed pool-sized frames
     "q_mmr_store",           // same shape off the persisted index
     "q_did_readout",         // q_cuped's 1-row time-midpoint broadcast
-    "q_qte_deciles")         // two 1-row decile-array artifacts zipped
+    "q_qte_deciles",         // two 1-row decile-array artifacts zipped
+    "q_conformal_interval",  // 1-row n_cal and q-hat artifacts over the
+                             // residual histogram
+    "q_skipgram_pmi")        // 1-row token-total + pair-total broadcasts
+                             // (the q_pmi_collocations shape)
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
