@@ -2127,6 +2127,60 @@ object SparkEntry {
           nprobe = 8)
         .orderBy("query_id", "pick")),
 
+    // nDCG@10 of BM25 self-retrieval: graded position credit where MRR
+    // rewards only the reciprocal rank — with one relevant doc per
+    // query, dcg = 1/log2(rank+1) and the ideal is 1
+    "q_ndcg_self" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val qt = docs.filter(col("text").isNotNull && col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 5)))
+            .as("term"))
+      val dec = DecimalType(18, 6)
+      val hits = TextOps.bm25BatchTopK(docs, "doc_id", "text", qt, k = 10)
+        .filter(col("doc_id") === col("qid"))
+      val nq = qt.select("qid").distinct()
+        .agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(hits.agg(count(lit(1)).as("n_hit"),
+          sum(round(lit(1.0) / log2(col("rnk") + 1), 6).cast(dec))
+            .as("__g")))
+        .select(col("n_queries"), col("n_hit"),
+          coalesce(round(col("__g").cast("double") / col("n_queries"), 6),
+            lit(0.0)).as("ndcg"))
+    }),
+
+    // McNemar's paired test: did the same USERS convert differently
+    // pre vs post midpoint — the within-subject readout an unpaired
+    // two-proportion test dilutes; χ² = (b−c)²/(b+c) on the
+    // discordant-pair counts
+    "q_mcnemar" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .withColumn("tsec", unix_timestamp(col("ts")))
+      val mid = ev.agg(floor((min(col("tsec")) + max(col("tsec"))) / 2.0)
+        .cast("long").as("__mid"))
+      ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("tsec") < col("__mid"), 1L).otherwise(0L)).as("pre"),
+          max(when(col("event_type") === "purchase" &&
+            col("tsec") >= col("__mid"), 1L).otherwise(0L)).as("post"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("pre") === 1L && col("post") === 1L, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("pre") === 0L && col("post") === 0L, 1L)
+            .otherwise(0L)).as("n_neither"),
+          sum(when(col("pre") === 1L && col("post") === 0L, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("pre") === 0L && col("post") === 1L, 1L)
+            .otherwise(0L)).as("c"))
+        .select(col("n_users"), col("n_both"), col("n_neither"),
+          col("b"), col("c"),
+          when(col("b") + col("c") > 0,
+            round((col("b") - col("c")).cast("double") *
+              (col("b") - col("c")) / (col("b") + col("c")), 6))
+            .as("mcnemar_chi2"))
+    }),
+
     // split-conformal prediction interval: per-priority mean model on
     // splits {0,1,2}, q̂ from split 3's ⌈(n+1)·0.9⌉-th absolute
     // residual, coverage measured on held-out split 4 — distribution-
@@ -7639,6 +7693,37 @@ object SparkEntry {
     // the store-backed path is bit-identical at full probe — same oracle
     "q_mmr_store" -> mmrRerankOracle,
 
+
+    "q_ndcg_self" ->
+      (bm25BatchOracleCore + """,
+              hit AS (SELECT qid, rnk FROM rk WHERE doc_id = qid AND rnk <= 10),
+              nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries FROM q)
+         SELECT nq.n_queries,
+                CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+                COALESCE(ROUND(CAST((SELECT SUM(CAST(ROUND(1.0 / log2(rnk + 1), 6) AS DECIMAL(18,6))) FROM hit) AS DOUBLE)
+                               / nq.n_queries, 6), 0.0) AS ndcg
+         FROM nq"""),
+
+    "q_mcnemar" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+                    FROM events WHERE ts IS NOT NULL),
+              mid AS (SELECT CAST(floor((MIN(tsec) + MAX(tsec)) / 2.0) AS BIGINT) AS m FROM e),
+              u AS (SELECT user_id,
+                           MAX(CASE WHEN event_type = 'purchase' AND tsec < m THEN 1 ELSE 0 END) AS pre,
+                           MAX(CASE WHEN event_type = 'purchase' AND tsec >= m THEN 1 ELSE 0 END) AS post
+                    FROM e CROSS JOIN mid GROUP BY user_id),
+              agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                             CAST(SUM(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+                             CAST(SUM(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+                             CAST(SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                             CAST(SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+                      FROM u)
+         SELECT n_users, n_both, n_neither, b, c,
+                CASE WHEN b + c > 0
+                     THEN ROUND(CAST(b - c AS DOUBLE) * (b - c) / (b + c), 6)
+                END AS mcnemar_chi2
+         FROM agg""",
 
     // model means, half-up cents residuals, exact-integer rank
     // threshold, coverage ratio — the whole chain mirrored

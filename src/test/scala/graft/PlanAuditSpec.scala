@@ -117,8 +117,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_qte_deciles",         // two 1-row decile-array artifacts zipped
     "q_conformal_interval",  // 1-row n_cal and q-hat artifacts over the
                              // residual histogram
-    "q_skipgram_pmi")        // 1-row token-total + pair-total broadcasts
+    "q_skipgram_pmi",        // 1-row token-total + pair-total broadcasts
                              // (the q_pmi_collocations shape)
+    "q_ndcg_self",           // q_self_retrieval_mrr's 1-row artifacts
+    "q_mcnemar")             // q_cuped's 1-row time-midpoint broadcast
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
