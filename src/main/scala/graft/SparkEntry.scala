@@ -2127,6 +2127,58 @@ object SparkEntry {
           nprobe = 8)
         .orderBy("query_id", "pick")),
 
+    // join fan-out histogram: lineitems-per-order distribution — the
+    // cardinality profile read before sizing a join (a fat tail here is
+    // tomorrow's skewed shuffle partition)
+    "q_fanout_profile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("fanout"))
+        .groupBy("fanout").agg(count(lit(1)).as("n_orders"))
+        .orderBy("fanout")),
+
+    // Bloom-filter sizing advisor: exact distinct join keys → optimal
+    // bits/key, total bits, and hash count at 1% FPP — the numbers
+    // q_bloom_prune_join's filter is built from
+    "q_bloom_advisor" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg(countDistinct(col("l_orderkey")).as("n_keys"))
+        .select(col("n_keys"),
+          round(-log(lit(0.01)) / (log(lit(2.0)) * log(lit(2.0))), 6)
+            .as("bits_per_key"),
+          ceil(col("n_keys") *
+            (-log(lit(0.01)) / (log(lit(2.0)) * log(lit(2.0)))))
+            .cast("long").as("m_bits"),
+          round(-log(lit(0.01)) / log(lit(2.0)), 0).cast("long")
+            .as("k_hashes"))),
+
+    // z-order effectiveness audit: for a 30-day scan, the fraction of
+    // layout units touched under the Morton-cell layout vs a
+    // customer-sorted layout — the measured pruning win the z-sort buys
+    // (a date predicate hits every customer-sorted file)
+    "q_zorder_effect" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as("day"))
+        .select(col("o_custkey"), col("day"),
+          shiftright(graft.ops.ShardOps.zOrderKey(col("o_custkey"),
+            col("day"), 16), 16).as("zcell"),
+          expr("o_custkey div 64").as("kbucket"))
+      base.agg(
+          countDistinct(col("zcell")).as("z_files_total"),
+          countDistinct(when(col("day").between(600, 629), col("zcell")))
+            .as("z_files_touched"),
+          countDistinct(col("kbucket")).as("lex_files_total"),
+          countDistinct(when(col("day").between(600, 629), col("kbucket")))
+            .as("lex_files_touched"))
+        .select(col("z_files_total"), col("z_files_touched"),
+          col("lex_files_total"), col("lex_files_touched"),
+          round(col("z_files_touched").cast("double") /
+            col("z_files_total"), 6).as("z_touch_frac"),
+          round(col("lex_files_touched").cast("double") /
+            col("lex_files_total"), 6).as("lex_touch_frac"))
+    }),
+
     // nDCG@10 of BM25 self-retrieval: graded position credit where MRR
     // rewards only the reciprocal rank — with one relevant doc per
     // query, dcg = 1/log2(rank+1) and the ideal is 1
@@ -7693,6 +7745,42 @@ object SparkEntry {
     // the store-backed path is bit-identical at full probe — same oracle
     "q_mmr_store" -> mmrRerankOracle,
 
+
+    "q_fanout_profile" ->
+      """SELECT fanout, CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS fanout
+               FROM lineitem GROUP BY l_orderkey)
+         GROUP BY fanout ORDER BY fanout""",
+
+    "q_bloom_advisor" ->
+      """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+                ROUND(-LN(0.01) / (LN(2.0) * LN(2.0)), 6) AS bits_per_key,
+                CAST(CEIL(COUNT(DISTINCT l_orderkey) *
+                          (-LN(0.01) / (LN(2.0) * LN(2.0)))) AS BIGINT) AS m_bits,
+                CAST(ROUND(-LN(0.01) / LN(2.0), 0) AS BIGINT) AS k_hashes
+         FROM lineitem""",
+
+    "q_zorder_effect" -> s"""
+         WITH b AS (SELECT o_custkey,
+                           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                           (CAST(o_custkey AS BIGINT) & 65535) AS x,
+                           (CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) & 65535) AS y
+                    FROM orders),
+              z AS (SELECT o_custkey, day,
+                           ((${(0 until 16).map(i =>
+                             s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+                             .mkString(" + ")}) >> 16) AS zcell,
+                           o_custkey // 64 AS kbucket
+                    FROM b)
+         SELECT CAST(COUNT(DISTINCT zcell) AS BIGINT) AS z_files_total,
+                CAST(COUNT(DISTINCT CASE WHEN day BETWEEN 600 AND 629 THEN zcell END) AS BIGINT) AS z_files_touched,
+                CAST(COUNT(DISTINCT kbucket) AS BIGINT) AS lex_files_total,
+                CAST(COUNT(DISTINCT CASE WHEN day BETWEEN 600 AND 629 THEN kbucket END) AS BIGINT) AS lex_files_touched,
+                ROUND(CAST(COUNT(DISTINCT CASE WHEN day BETWEEN 600 AND 629 THEN zcell END) AS DOUBLE)
+                      / COUNT(DISTINCT zcell), 6) AS z_touch_frac,
+                ROUND(CAST(COUNT(DISTINCT CASE WHEN day BETWEEN 600 AND 629 THEN kbucket END) AS DOUBLE)
+                      / COUNT(DISTINCT kbucket), 6) AS lex_touch_frac
+         FROM z""",
 
     "q_ndcg_self" ->
       (bm25BatchOracleCore + """,
