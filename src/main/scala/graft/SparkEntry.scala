@@ -2127,6 +2127,22 @@ object SparkEntry {
           nprobe = 8)
         .orderBy("query_id", "pick")),
 
+    // ranking-churn audit: Average Overlap (Webber's RBO building
+    // block) between two sources' top-30 word rankings — position-
+    // aware agreement where plain set overlap treats rank 1 and rank
+    // 30 alike; harmonic weights are shared driver literals
+    "q_rank_overlap" -> ((s, d) => {
+      def topWords(src: String) = t(s, d, "documents")
+        .filter(col("source") === src && col("text").isNotNull)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc).limit(30)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("word").asc)))
+      graft.ops.EvalOps.averageOverlap(topWords("src0"),
+        topWords("src1"), "word", "rank", depth = 30)
+    }),
+
     // join fan-out histogram: lineitems-per-order distribution — the
     // cardinality profile read before sizing a join (a fat tail here is
     // tomorrow's skewed shuffle partition)
@@ -7745,6 +7761,25 @@ object SparkEntry {
     // the store-backed path is bit-identical at full probe — same oracle
     "q_mmr_store" -> mmrRerankOracle,
 
+
+    // the per-item identity Σ_d X_d/d = Σ_items (H_D − H_{m−1}) with the
+    // SAME 12dp harmonic literals the Spark plan carries
+    "q_rank_overlap" -> (s"""
+         WITH wa AS (SELECT word, row_number() OVER (ORDER BY n DESC, word ASC) AS rank FROM (
+                       SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                         SELECT unnest(string_split(text, ' ')) AS word FROM documents
+                         WHERE source = 'src0' AND text IS NOT NULL)
+                       GROUP BY word ORDER BY n DESC, word ASC LIMIT 30)),
+              wb AS (SELECT word, row_number() OVER (ORDER BY n DESC, word ASC) AS rank FROM (
+                       SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                         SELECT unnest(string_split(text, ' ')) AS word FROM documents
+                         WHERE source = 'src1' AND text IS NOT NULL)
+                       GROUP BY word ORDER BY n DESC, word ASC LIMIT 30)),
+              j AS (SELECT greatest(wa.rank, wb.rank) AS m FROM wa JOIN wb USING (word)),
+              tw AS (SELECT ${graft.ops.EvalOps.harmonicWeightSqlCase("m", 30)} AS w FROM j)
+         SELECT CAST(30 AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_common,
+                COALESCE(ROUND(CAST(SUM(w) AS DOUBLE) / 30, 6), 0.0) AS avg_overlap
+         FROM tw"""),
 
     "q_fanout_profile" ->
       """SELECT fanout, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -172,4 +172,68 @@ object EvalOps {
           .otherwise(when(col("diag") === col("n"), lit(1.0))
             .otherwise(lit(null).cast("double"))).as("kappa"))
   }
+
+  /**
+   * AVERAGE OVERLAP between two top-`depth` rankings — Webber's
+   * intersection metric, the building block under RBO: AO =
+   * (1/D)·Σ_{d=1..D} |A_d ∩ B_d|/d, the depth-averaged prefix
+   * agreement. The ranking-churn audit: did the top terms / top
+   * retrieval results / top customers actually change between two
+   * sources, snapshots, or model versions — position-aware where plain
+   * set overlap treats rank 1 and rank D alike. 1 = identical
+   * rankings, 0 = disjoint.
+   *
+   * Inputs carry (idCol, rankCol with ranks 1..depth — each side's
+   * top-`depth` list). One row: (depth, n_common, avg_overlap 6dp).
+   *
+   * Deterministic BY CONSTRUCTION, not by luck: the per-item identity
+   * Σ_d X_d/d = Σ_items (H_D − H_{m−1}) (m = the item's max rank; it
+   * counts toward every prefix d ≥ m) turns the depth sum into one
+   * weight per common item, and those harmonic weights are DRIVER
+   * literals — the same 12dp-rounded decimals ride this plan and the
+   * SQL oracle ([[harmonicWeightSqlCase]]), so both engines sum an
+   * identical multiset of decimals in any order.
+   *
+   * Scale: one equi-join of two depth-sized lists + a 1-row aggregate;
+   * the weight lookup is a literal CASE chain, zero shuffle.
+   */
+  def averageOverlap(a: DataFrame, b: DataFrame, idCol: String,
+                     rankCol: String, depth: Int): DataFrame = {
+    val w = harmonicWeights(depth)
+    val dec = org.apache.spark.sql.types.DecimalType(20, 12)
+    val joined = a
+      .select(col(idCol).as("__id"), col(rankCol).as("__ra"))
+      .filter(col("__ra") <= depth)
+      .join(b.select(col(idCol).as("__id"), col(rankCol).as("__rb"))
+        .filter(col("__rb") <= depth), "__id")
+      .select(greatest(col("__ra"), col("__rb")).as("__m"))
+    val weight = w.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (wm, i)) => when(col("__m") === (i + 1), lit(wm))
+        .otherwise(acc)
+    }
+    joined.select(weight.cast(dec).as("__w"))
+      .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("__s"))
+      .select(lit(depth).cast("long").as("depth"), col("n_common"),
+        coalesce(round(col("__s").cast("double") / depth, 6), lit(0.0))
+          .as("avg_overlap"))
+  }
+
+  /** The 12dp harmonic tail weights H_D − H_{m−1} for m = 1..depth —
+    * shared verbatim by [[averageOverlap]] and its SQL oracle. */
+  private[graft] def harmonicWeights(depth: Int): Seq[Double] = {
+    require(depth >= 1 && depth <= 1000, s"bad depth $depth")
+    val h = new Array[Double](depth + 1)
+    var k = 1
+    while (k <= depth) { h(k) = h(k - 1) + 1.0 / k; k += 1 }
+    (1 to depth).map(m => BigDecimal(h(depth) - h(m - 1))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** `CASE m WHEN 1 THEN <w1> …` replaying [[harmonicWeights]]'s exact
+    * literals in SQL. */
+  private[graft] def harmonicWeightSqlCase(mExpr: String,
+                                           depth: Int): String =
+    harmonicWeights(depth).zipWithIndex.map { case (wm, i) =>
+      s"WHEN $mExpr = ${i + 1} THEN CAST(${BigDecimal(wm)} AS DECIMAL(20,12))"
+    }.mkString("CASE ", " ", " END")
 }

@@ -242,6 +242,26 @@ class MonitorAndStructureSpec extends SparkSpec {
     r.getAs[Double]("coverage") shouldBe 1.0  // |50-50| = 0 ≤ 50
   }
 
+  test("averageOverlap: identity → 1, disjoint → 0, brute force agrees") {
+    import graft.ops.EvalOps
+    def lst(ids: Seq[String]) =
+      ids.zipWithIndex.map { case (w, i) => (w, i + 1) }.toDF("id", "rank")
+    val a = lst(Seq("w", "x", "y", "z"))
+    EvalOps.averageOverlap(a, lst(Seq("w", "x", "y", "z")), "id", "rank", 4)
+      .head().getAs[Double]("avg_overlap") shouldBe 1.0
+    EvalOps.averageOverlap(a, lst(Seq("p", "q", "r", "s")), "id", "rank", 4)
+      .head().getAs[Double]("avg_overlap") shouldBe 0.0
+    // brute force: AO = (1/D)·Σ_d |A_d ∩ B_d|/d on the reversed list
+    val b = Seq("z", "y", "x", "w")
+    val ao = (1 to 4).map { d =>
+      Seq("w", "x", "y", "z").take(d).toSet
+        .intersect(b.take(d).toSet).size.toDouble / d
+    }.sum / 4
+    val got = EvalOps.averageOverlap(a, lst(b), "id", "rank", 4)
+      .head().getAs[Double]("avg_overlap")
+    got shouldBe (ao +- 1e-6)
+  }
+
   test("wordBurstiness: bursty words outrank even spreaders; minDf gates") {
     val docs = Seq(
       (1L, "the spam spam spam"),
