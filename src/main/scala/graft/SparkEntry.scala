@@ -2127,6 +2127,30 @@ object SparkEntry {
           nprobe = 8)
         .orderBy("query_id", "pick")),
 
+    // disparate-impact audit of the quality gate: per-language keep
+    // rates and the four-fifths-rule ratio against the best-treated
+    // language — does the curation filter silently dress down one
+    // language's corpus share (the responsible-curation check)
+    "q_parity_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = TextOps.gopherFilter(docs, "doc_id", "text",
+          minTokens = 20, maxTokens = 80, minStopHits = 2)
+        .select(col("doc_id"), col("keep"))
+      val rates = docs.filter(col("text").isNotNull)
+        .select("doc_id", "lang").join(kept, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("keep_rate",
+          round(col("n_kept").cast("double") / col("n"), 6))
+      val best = rates.agg(max(col("keep_rate")).as("__best"))
+      rates.crossJoin(broadcast(best))
+        .select(col("lang"), col("n"), col("n_kept"), col("keep_rate"),
+          round(col("keep_rate") / col("__best"), 6).as("impact_ratio"))
+        .withColumn("flag_disparate", col("impact_ratio") < 0.8)
+        .orderBy("lang")
+    }),
+
     // ranking-churn audit: Average Overlap (Webber's RBO building
     // block) between two sources' top-30 word rankings — position-
     // aware agreement where plain set overlap treats rank 1 and rank
@@ -7761,6 +7785,41 @@ object SparkEntry {
     // the store-backed path is bit-identical at full probe — same oracle
     "q_mmr_store" -> mmrRerankOracle,
 
+
+    // the q_gopher_filter rule chain, rolled up per language with the
+    // four-fifths impact ratio on 6dp-rounded rates
+    "q_parity_audit" ->
+      """WITH f AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS avg_token_len,
+                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                      x -> x = '#' OR contains(x, '...'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS symbol_ratio,
+                ROUND(CAST(len(list_filter(string_split(text, ' '),
+                      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS alpha_ratio,
+                CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the', 'a', 'and', 'of'))) AS BIGINT) AS n_stop_hits
+               FROM documents WHERE text IS NOT NULL),
+              k AS (SELECT doc_id,
+                           ((n_tokens BETWEEN 20 AND 80)
+                            AND (avg_token_len >= 3.0 AND avg_token_len <= 10.0)
+                            AND (symbol_ratio <= 0.1)
+                            AND (alpha_ratio >= 0.8)
+                            AND (n_stop_hits >= 2)) AS keep
+                    FROM f),
+              rates AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n,
+                               CAST(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                               ROUND(CAST(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END) AS DOUBLE)
+                                     / COUNT(*), 6) AS keep_rate
+                        FROM documents d JOIN k USING (doc_id)
+                        WHERE d.text IS NOT NULL GROUP BY d.lang),
+              best AS (SELECT MAX(keep_rate) AS best FROM rates)
+         SELECT lang, n, n_kept, keep_rate,
+                ROUND(keep_rate / best, 6) AS impact_ratio,
+                (ROUND(keep_rate / best, 6) < 0.8) AS flag_disparate
+         FROM rates CROSS JOIN best ORDER BY lang""",
 
     // the per-item identity Σ_d X_d/d = Σ_items (H_D − H_{m−1}) with the
     // SAME 12dp harmonic literals the Spark plan carries

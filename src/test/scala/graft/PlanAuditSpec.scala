@@ -120,7 +120,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_skipgram_pmi",        // 1-row token-total + pair-total broadcasts
                              // (the q_pmi_collocations shape)
     "q_ndcg_self",           // q_self_retrieval_mrr's 1-row artifacts
-    "q_mcnemar")             // q_cuped's 1-row time-midpoint broadcast
+    "q_mcnemar",             // q_cuped's 1-row time-midpoint broadcast
+    "q_parity_audit")        // 1-row best-rate broadcast over the
+                             // |langs|-row rate table
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
