@@ -2486,6 +2486,40 @@ object SparkEntry {
         .limit(25)
     }),
 
+    // seasonality strength: day-of-week variance decomposition of daily
+    // order counts — SS_between/SS_total (η²) says how much of the
+    // volume variance the weekly cycle explains, the WHY behind
+    // q_mase's seasonal-forecast verdict; exact integer sums until the
+    // final ratio
+    "q_seasonality_strength" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      val daily = t(s, d, "orders").filter(col("o_orderdate").isNotNull)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("__n"))
+        .select(dayofweek(col("day")).as("dow"), col("__n"))
+      val cells = daily.groupBy("dow")
+        .agg(count(lit(1)).as("__k"), sum(col("__n").cast(dec38)).as("__s"),
+          sum((col("__n").cast(dec38) * col("__n"))).as("__ss"))
+      // SS decomposition on exact integers scaled by N = Σk (so no
+      // per-group mean division): N²·SS_b = N·Σ(s_g²·N/k) − N·(Σs)²
+      // is messy — use the standard form with ONE double per term:
+      // SS_between = Σ_g s_g²/k_g − (Σs)²/N, SS_total = Σss − (Σs)²/N
+      val tot = cells.agg(sum(col("__k")).as("n_days"),
+        sum(col("__s")).as("__st"), sum(col("__ss")).as("__sst"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("n_days"), col("__st"), col("__sst"),
+          round((col("__s") * col("__s")).cast("double") /
+            col("__k"), 8).cast(DecimalType(28, 8)).as("__bg"))
+        .groupBy("n_days", "__st", "__sst")
+        .agg(sum(col("__bg")).as("__b"))
+        .select(col("n_days"),
+          round((col("__b").cast("double") -
+            (col("__st") * col("__st")).cast("double") / col("n_days")) /
+            ((col("__sst")).cast("double") -
+              (col("__st") * col("__st")).cast("double") / col("n_days")),
+            6).as("eta_sq"))
+    }),
+
     // MASE: is the weekly pattern in daily order volume real forecasting
     // signal — seasonal-naive absolute error scaled by the plain-naive
     // baseline over the same days (< 1 = seasonality helps)
@@ -8080,6 +8114,27 @@ object SparkEntry {
                 ROUND(CAST(n_backward AS DOUBLE) / n_steps, 6) AS backward_pct
          FROM g WHERE n_backward > 0
          ORDER BY backward_pct DESC, l_orderkey ASC LIMIT 25""",
+
+    // dow labels differ across engines (Sunday = 1 vs 0) but dow is
+    // only a grouping key — the partition is identical
+    "q_seasonality_strength" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+              dw AS (SELECT dayofweek(day) AS dow, n FROM daily),
+              cells AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS k,
+                               SUM(CAST(n AS HUGEINT)) AS s,
+                               SUM(CAST(n AS HUGEINT) * n) AS ss
+                        FROM dw GROUP BY dow),
+              tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n_days,
+                             SUM(s) AS st, SUM(ss) AS sst FROM cells),
+              bg AS (SELECT n_days, st, sst,
+                            SUM(CAST(ROUND(CAST(s * s AS DOUBLE) / k, 8) AS DECIMAL(28,8))) AS b
+                     FROM cells CROSS JOIN tot GROUP BY n_days, st, sst)
+         SELECT n_days,
+                ROUND((CAST(b AS DOUBLE) - CAST(st * st AS DOUBLE) / n_days) /
+                      (CAST(sst AS DOUBLE) - CAST(st * st AS DOUBLE) / n_days), 6) AS eta_sq
+         FROM bg""",
 
     "q_mase" ->
       """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,

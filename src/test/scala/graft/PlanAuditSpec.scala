@@ -121,8 +121,10 @@ class PlanAuditSpec extends SparkSpec {
                              // (the q_pmi_collocations shape)
     "q_ndcg_self",           // q_self_retrieval_mrr's 1-row artifacts
     "q_mcnemar",             // q_cuped's 1-row time-midpoint broadcast
-    "q_parity_audit")        // 1-row best-rate broadcast over the
+    "q_parity_audit",        // 1-row best-rate broadcast over the
                              // |langs|-row rate table
+    "q_seasonality_strength") // 1-row grand-total broadcast over the
+                             // 7-row day-of-week cells
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
