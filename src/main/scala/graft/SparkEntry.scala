@@ -2127,6 +2127,18 @@ object SparkEntry {
           nprobe = 8)
         .orderBy("query_id", "pick")),
 
+    // robust per-label prototypes: 3 Weiszfeld rounds toward the
+    // geometric median of each label's embeddings — the mean is dragged
+    // by every mislabeled vector, the median moves O(1/n); same 8-dim
+    // face as q_vector_mean_by_label for the side-by-side
+    "q_geometric_median" -> ((s, d) =>
+      SimilarityOps.geometricMedian(
+          t(s, d, "embeddings")
+            .select(col("label").cast(LongType).as("label"),
+              col("embedding")),
+          "label", "embedding", dims = 8, rounds = 3)
+        .orderBy("label")),
+
     // disparate-impact audit of the quality gate: per-language keep
     // rates and the four-fifths-rule ratio against the best-treated
     // language — does the curation filter silently dress down one
@@ -4772,6 +4784,45 @@ object SparkEntry {
               rk AS (SELECT qid, doc_id, CAST(sc AS DOUBLE) AS bm25,
                             CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id ASC) AS BIGINT) AS rnk
                      FROM ds)"""
+
+  /** Generated DuckDB oracle for q_geometric_median: `rounds` unrolled
+    * Weiszfeld updates over `dims` components replaying
+    * [[graft.ext.SimilarityOps.geometricMedian]]'s exact round/decimal
+    * discipline (9dp decimal sums, 6dp re-entry, left-associated
+    * distance chain, dd > 0 guard). */
+  private def geoMedianOracle(dims: Int, rounds: Int): String = {
+    val xs = (1 to dims)
+      .map(i => s"CAST(embedding[$i] AS DOUBLE) AS x$i").mkString(", ")
+    val m0 = (1 to dims).map(i =>
+      s"ROUND(CAST(SUM(CAST(ROUND(x$i, 9) AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS m$i")
+      .mkString(", ")
+    val distChain = (1 to dims)
+      .map(i => s"((x$i - m$i) * (x$i - m$i))").mkString(" + ")
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "m0" else s"mm${r - 1}"
+      val csums = (1 to dims).map(i =>
+        s"SUM(CAST(ROUND(x$i / dd, 9) AS DECIMAL(28,9))) AS t$i")
+        .mkString(", ")
+      val msel = (1 to dims).map(i =>
+        s"COALESCE(ROUND(CAST(t$i AS DOUBLE) / CAST(tw AS DOUBLE), 6), p.m$i) AS m$i")
+        .mkString(", ")
+      s"""c$r AS (SELECT label, $csums,
+                         SUM(CAST(ROUND(1.0 / dd, 9) AS DECIMAL(28,9))) AS tw
+                  FROM (SELECT b.label, ${(1 to dims).map(i => s"b.x$i").mkString(", ")},
+                               sqrt($distChain) AS dd
+                        FROM b JOIN $prev USING (label))
+                  WHERE dd > 0 GROUP BY label),
+              mm$r AS (SELECT p.label, $msel
+                       FROM $prev p LEFT JOIN c$r USING (label))"""
+    }.mkString(",\n              ")
+    s"""WITH b AS (SELECT CAST(label AS BIGINT) AS label, $xs
+                    FROM embeddings
+                    WHERE embedding IS NOT NULL AND len(embedding) >= $dims),
+              m0 AS (SELECT label, $m0 FROM b GROUP BY label),
+              $roundCtes
+         SELECT label, ${(1 to dims).map(i => s"m$i").mkString(", ")}
+         FROM mm$rounds ORDER BY label"""
+  }
 
   /** Shared DuckDB oracle for q_mmr_rerank AND its persisted-index
     * deployment q_mmr_store (bit-identical at full probe). */
@@ -7819,6 +7870,10 @@ object SparkEntry {
     // the store-backed path is bit-identical at full probe — same oracle
     "q_mmr_store" -> mmrRerankOracle,
 
+
+    // 3 unrolled Weiszfeld rounds; every sum decimal-routed, every
+    // re-entry 6dp — both engines walk the identical trajectory
+    "q_geometric_median" -> geoMedianOracle(8, 3),
 
     // the q_gopher_filter rule chain, rolled up per language with the
     // four-fifths impact ratio on 6dp-rounded rates

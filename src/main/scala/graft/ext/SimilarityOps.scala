@@ -1230,6 +1230,76 @@ object SimilarityOps {
     round(d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b))), 6)
   }
 
+  /**
+   * GEOMETRIC MEDIAN per label (bounded Weiszfeld rounds) — the ROBUST
+   * prototype: the mean of a label's embeddings is dragged by every
+   * mislabeled or outlier vector (the exact rows
+   * [[embeddingOutliers]] flags), while the geometric median
+   * (argmin Σ‖x − m‖) moves O(1/n) under a single corruption. Use it
+   * wherever [[graft.functions.VectorAggregators.VectorMean]]
+   * prototypes feed routing/dedup and label noise is real.
+   *
+   * Emits (label, m1..m`dims`) after `rounds` Weiszfeld updates from
+   * the component-mean start: m ← Σ(x/‖x−m‖) / Σ(1/‖x−m‖), points
+   * coinciding with the current estimate skipped (the standard
+   * guard). Bounded rounds, not convergence — deterministic and
+   * SQL-replayable like every iterative operator here.
+   *
+   * Cross-engine exact: components and weights are 9dp-rounded then
+   * DECIMAL-summed (order-invariant); each round's estimate re-enters
+   * as 6dp doubles, so both engines walk the identical trajectory; the
+   * distance chain is a fixed left-associated expression, never an
+   * aggregation.
+   *
+   * Scale: per round one |labels|-row broadcast join + one
+   * partial-aggregating component sum — O(rows·dims) per round, no
+   * shuffle of vectors beyond the label hash; `dims` is capped because
+   * columns, not arrays, carry the state.
+   */
+  def geometricMedian(df: DataFrame, labelCol: String, vecCol: String,
+                      dims: Int, rounds: Int): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"bad dims $dims")
+    require(rounds >= 1 && rounds <= 10, s"bad rounds $rounds")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val base = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) >= dims)
+      .select(col(labelCol).as("label") +: (1 to dims).map(i =>
+        element_at(col(vecCol), i).cast("double").as(s"x$i")): _*)
+      .persist()
+    val sums = (1 to dims).map(i =>
+      sum(round(col(s"x$i"), 9).cast(dec)).as(s"s$i"))
+    var m = base.groupBy("label")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("label") +: (1 to dims).map(i =>
+        round(col(s"s$i").cast("double") / col("n"), 6).as(s"m$i")): _*)
+    for (_ <- 1 to rounds) {
+      val j = base.join(broadcast(m), "label")
+      val dist = sqrt((1 to dims).map(i =>
+        (col(s"x$i") - col(s"m$i")) * (col(s"x$i") - col(s"m$i")))
+        .reduce(_ + _))
+      val contrib = j.filter(dist > 0)
+        .select(col("label") +: ((1 to dims).map(i =>
+          round(col(s"x$i") / dist, 9).cast(dec).as(s"c$i")) :+
+          round(lit(1.0) / dist, 9).cast(dec).as("cw")): _*)
+      val tsums = (1 to dims).map(i =>
+        sum(col(s"c$i")).as(s"t$i")) :+ sum(col("cw")).as("tw")
+      val upd = contrib.groupBy("label")
+        .agg(tsums.head, tsums.tail: _*)
+        .select(col("label") +: (1 to dims).map(i =>
+          round(col(s"t$i").cast("double") / col("tw").cast("double"), 6)
+            .as(s"u$i")): _*)
+      // a label whose every point coincides with the estimate has no
+      // dd > 0 contributions — it KEEPS the estimate (it IS the
+      // median), rather than vanishing from the output
+      m = m.join(upd, Seq("label"), "left")
+        .select(col("label") +: (1 to dims).map(i =>
+          coalesce(col(s"u$i"), col(s"m$i")).as(s"m$i")): _*)
+    }
+    val result = m.localCheckpoint()
+    base.unpersist(blocking = false)
+    result
+  }
+
   def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, pool: Int, k: Int,
                 lambda: Double): DataFrame = {

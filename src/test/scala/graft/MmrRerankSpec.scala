@@ -45,6 +45,32 @@ class MmrRerankSpec extends SparkSpec {
     got.map(_._2) shouldBe Array(10L, 12L, 13L)
   }
 
+  test("geometricMedian resists the outlier that drags the mean") {
+    // 30 points near (1,1) plus one at (1000, 1000): the mean lands
+    // ~(33, 33); the geometric median stays inside the cluster
+    val rows = (1 to 30).map(i =>
+      (0L, Array(1.0f + (i % 3) * 0.01f, 1.0f - (i % 5) * 0.01f))) :+
+      (0L, Array(1000f, 1000f))
+    val m = SimilarityOps.geometricMedian(rows.toDF("label", "embedding"),
+      "label", "embedding", dims = 2, rounds = 5).head()
+    val (m1, m2) = (m.getAs[Double]("m1"), m.getAs[Double]("m2"))
+    m1 should be < 1.1
+    m1 should be > 0.9
+    m2 should be < 1.1
+    m2 should be > 0.9
+    // the mean, for contrast, is dragged past 30
+    val mean = rows.map(_._2(0).toDouble).sum / rows.length
+    mean should be > 30.0
+  }
+
+  test("geometricMedian of identical points is that point, immediately") {
+    val rows = Seq.fill(7)((1L, Array(2.5f, -3.25f)))
+    val m = SimilarityOps.geometricMedian(rows.toDF("label", "embedding"),
+      "label", "embedding", dims = 2, rounds = 3).head()
+    m.getAs[Double]("m1") shouldBe 2.5
+    m.getAs[Double]("m2") shouldBe -3.25
+  }
+
   test("picks are distinct, pool-bounded, and numbered 1..k") {
     val queries = corpus.filter(col("vec_id") <= 10)
     val got = SimilarityOps.mmrRerank(queries, corpus, "vec_id",
