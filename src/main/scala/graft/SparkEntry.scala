@@ -2127,6 +2127,24 @@ object SparkEntry {
           nprobe = 8)
         .orderBy("query_id", "pick")),
 
+    // clamped per-user credit ledger: purchases add cents, errors cost
+    // a flat fee, balance clamped to [0, 20000] — the non-associative
+    // fold NO window function can express (earlier clamping absorbs
+    // unknown mass), carried by mapGroups sequential state
+    "q_clamped_balance" -> ((s, d) =>
+      graft.ops.TemporalOps.clampedBalance(
+          t(s, d, "events")
+            .filter(col("ts").isNotNull &&
+              col("event_type").isin("purchase", "error"))
+            .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"),
+              col("event_id"),
+              when(col("event_type") === "purchase",
+                coalesce((col("value").cast(DecimalType(18, 2)) * 100)
+                  .cast("long"), lit(0L)))
+                .otherwise(lit(-500L)).as("delta")),
+          "user_id", "tsec", "event_id", "delta", lo = 0L, hi = 20000L)
+        .orderBy("user_id")),
+
     // robust per-label prototypes: 3 Weiszfeld rounds toward the
     // geometric median of each label's embeddings — the mean is dragged
     // by every mislabeled vector, the median moves O(1/n); same 8-dim
@@ -7874,6 +7892,36 @@ object SparkEntry {
     // 3 unrolled Weiszfeld rounds; every sum decimal-routed, every
     // re-entry 6dp — both engines walk the identical trajectory
     "q_geometric_median" -> geoMedianOracle(8, 3),
+
+    // the non-associative fold replayed by a recursive CTE stepping
+    // each key's rows in (tsec, event_id) order
+    "q_clamped_balance" ->
+      """WITH RECURSIVE
+              e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id,
+                           CASE WHEN event_type = 'purchase'
+                                THEN COALESCE(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0)
+                                ELSE -500 END AS delta
+                    FROM events WHERE ts IS NOT NULL AND event_type IN ('purchase', 'error')),
+              s AS (SELECT user_id, delta,
+                           row_number() OVER (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC) AS rn
+                    FROM e),
+              mx AS (SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n FROM s GROUP BY user_id),
+              r AS (SELECT mx.user_id AS user_id, CAST(0 AS BIGINT) AS rn,
+                           CAST(0 AS BIGINT) AS bal,
+                           CAST(0 AS BIGINT) AS nhi, CAST(0 AS BIGINT) AS nlo
+                    FROM mx
+                    UNION ALL
+                    SELECT r.user_id, r.rn + 1,
+                           CASE WHEN r.bal + s.delta > 20000 THEN 20000
+                                WHEN r.bal + s.delta < 0 THEN 0
+                                ELSE r.bal + s.delta END,
+                           r.nhi + CASE WHEN r.bal + s.delta > 20000 THEN 1 ELSE 0 END,
+                           r.nlo + CASE WHEN r.bal + s.delta < 0 THEN 1 ELSE 0 END
+                    FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         SELECT r.user_id AS user_id, mx.n AS n_events, r.bal AS final_balance,
+                r.nhi AS n_clamped_hi, r.nlo AS n_clamped_lo
+         FROM r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n
+         ORDER BY r.user_id""",
 
     // the q_gopher_filter rule chain, rolled up per language with the
     // four-fifths impact ratio on 6dp-rounded rates

@@ -711,6 +711,56 @@ object TemporalOps {
   }
 
   /**
+   * CLAMPED running balance — per key, fold the ordered deltas through
+   * balance ← clamp(balance + δ, lo, hi) and report the final state:
+   * the inventory / credit-ledger / token-bucket semantic. This is the
+   * operator WINDOW FUNCTIONS CANNOT EXPRESS: the clamp makes the fold
+   * non-associative (a prefix sum can't know how much earlier clamping
+   * absorbed), so there is no partial aggregation and no window trick —
+   * it is the batch face of the custom sequential state
+   * `mapGroupsWithState` carries in streaming, here via `mapGroups`
+   * over each key's ordered rows.
+   *
+   * Emits (key, n_events, final_balance, n_clamped_hi, n_clamped_lo);
+   * the balance starts at clamp(0). Ordering is (ordCol, tieCol) —
+   * both long-sortable, tie-broken exactly.
+   *
+   * Deterministic: integer deltas, integer clamp, total order.
+   *
+   * Scale: one key shuffle; each key's rows fold IN MEMORY inside its
+   * group (per-entity event streams are small — the same contract as
+   * sessionize's window sort, minus the window). State per key is
+   * three longs; the streaming twin keeps only those forever.
+   */
+  def clampedBalance(df: DataFrame, keyCol: String, ordCol: String,
+                     tieCol: String, deltaCol: String,
+                     lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"bad bounds [$lo, $hi]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val start = math.min(hi, math.max(lo, 0L))
+    df.select(col(keyCol).cast("long"), col(ordCol).cast("long"),
+        col(tieCol).cast("long"), col(deltaCol).cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var bal = start
+        var nhi = 0L
+        var nlo = 0L
+        rows.foreach { r =>
+          val raw = bal + r._4
+          if (raw > hi) { nhi += 1; bal = hi }
+          else if (raw < lo) { nlo += 1; bal = lo }
+          else bal = raw
+        }
+        (k, rows.length.toLong, bal, nhi, nlo)
+      }
+      .toDF(keyCol, "n_events", "final_balance", "n_clamped_hi",
+        "n_clamped_lo")
+  }
+
+  /**
    * MASE readout — Mean Absolute Scaled Error of the SEASONAL-NAIVE
    * forecast (y_{t−season}) against the plain naive baseline (y_{t−1})
    * over a daily count series: mase < 1 means the seasonal pattern is

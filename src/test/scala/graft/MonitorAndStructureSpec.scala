@@ -169,6 +169,25 @@ class MonitorAndStructureSpec extends SparkSpec {
     got shouldBe Array(("A", "B", 0.9))
   }
 
+  test("clampedBalance: the non-associative fold clamps at both bounds") {
+    import graft.ops.TemporalOps
+    // key 1: +80 → clamp hi (100); +30 absorbed; −150 → clamp lo (0);
+    // +20 → 20. Unclamped prefix sum would say −20: the clamp changed
+    // HISTORY, which is exactly why no window can express this.
+    val rows = Seq(
+      (1L, 1L, 1L, 80L), (1L, 2L, 1L, 30L), (1L, 3L, 1L, -150L),
+      (1L, 4L, 1L, 20L),
+      // key 2: ordering matters — tie on ord broken by tie col
+      (2L, 1L, 2L, -50L), (2L, 1L, 1L, 120L))
+    val got = TemporalOps.clampedBalance(rows.toDF("k", "o", "t", "d"),
+        "k", "o", "t", "d", lo = 0L, hi = 100L)
+      .orderBy("k").as[(Long, Long, Long, Long, Long)].collect()
+    got(0) shouldBe ((1L, 4L, 20L, 1L, 1L))
+    // key 2: +120 → clamp hi (100), then −50 → 50 (reverse order would
+    // give clamp-lo then 100)
+    got(1) shouldBe ((2L, 2L, 50L, 1L, 0L))
+  }
+
   test("maseReport: an exact weekly cycle scores mase 0") {
     // counts cycle with period 7 → the seasonal-naive forecast is exact
     val rows = for (d <- 0 until 28; i <- 0 until (1 + d % 7))
