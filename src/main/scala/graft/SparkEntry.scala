@@ -2127,6 +2127,59 @@ object SparkEntry {
           nprobe = 8)
         .orderBy("query_id", "pick")),
 
+    // OHLC daily bars over purchase values: open/close by exact
+    // (ts, event_id) argmin/argmax, high/low/volume — the bar
+    // aggregation every time-series dashboard starts from
+    "q_ohlc_daily" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(date_trunc("day", col("ts")).as("day"),
+          unix_timestamp(col("ts")).as("tsec"), col("event_id"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("__c"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_trades"),
+          min(struct(col("tsec"), col("event_id"), col("__c"))).as("__o"),
+          max(struct(col("tsec"), col("event_id"), col("__c"))).as("__cl"),
+          max(col("__c")).as("__hi"), min(col("__c")).as("__lo"),
+          sum(col("__c")).as("__vol"))
+        .select(col("day"), col("n_trades"),
+          round(col("__o.__c").cast("double") / 100.0, 6).as("open"),
+          round(col("__hi").cast("double") / 100.0, 6).as("high"),
+          round(col("__lo").cast("double") / 100.0, 6).as("low"),
+          round(col("__cl.__c").cast("double") / 100.0, 6).as("close"),
+          round(col("__vol").cast("double") / 100.0, 6).as("volume"))
+        .orderBy("day")
+        .limit(200)),
+
+    // journey predictability: entropy RATE of the event-type Markov
+    // chain — H(next|cur) = Σ p(cur)·H(next|cur) from exact transition
+    // counts; 0 = deterministic journeys, ln(K) = uniform chaos
+    "q_entropy_rate" -> ((s, d) => {
+      val dec = DecimalType(20, 8)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tsec").asc, col("event_id").asc)
+      val steps = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"),
+          col("event_id"), col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val cells = steps.groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      val rows = cells.groupBy("cur").agg(sum(col("n")).as("nr"))
+      val tot = cells.agg(sum(col("n")).as("nt"))
+      cells.join(rows, "cur").crossJoin(broadcast(tot))
+        .select(col("nt"),
+          round((col("n").cast("double") / col("nt")) *
+            -log(col("n").cast("double") / col("nr")), 8).cast(dec)
+            .as("__t"))
+        .groupBy("nt")
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(col("__t")).cast("double"), 6).as("entropy_rate"))
+        .select(col("nt").as("n_steps"), col("n_cells"),
+          col("entropy_rate"))
+    }),
+
     // clamped per-user credit ledger: purchases add cents, errors cost
     // a flat fee, balance clamped to [0, 20000] — the non-associative
     // fold NO window function can express (earlier clamping absorbs
@@ -7892,6 +7945,52 @@ object SparkEntry {
     // 3 unrolled Weiszfeld rounds; every sum decimal-routed, every
     // re-entry 6dp — both engines walk the identical trajectory
     "q_geometric_median" -> geoMedianOracle(8, 3),
+
+    // open/close via row_number in the exact struct-min order (event_id
+    // unique, so the value tiebreak is never reached)
+    "q_ohlc_daily" ->
+      """WITH p AS (SELECT date_trunc('day', ts) AS day,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM events WHERE event_type = 'purchase'
+                      AND ts IS NOT NULL AND value IS NOT NULL),
+              o AS (SELECT day, c AS oc FROM (
+                      SELECT day, c, row_number() OVER (PARTITION BY day
+                        ORDER BY tsec ASC, event_id ASC, c ASC) AS rn FROM p)
+                    WHERE rn = 1),
+              cl AS (SELECT day, c AS cc FROM (
+                      SELECT day, c, row_number() OVER (PARTITION BY day
+                        ORDER BY tsec DESC, event_id DESC, c DESC) AS rn FROM p)
+                    WHERE rn = 1),
+              a AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_trades,
+                           MAX(c) AS hi, MIN(c) AS lo,
+                           CAST(SUM(c) AS BIGINT) AS vol
+                    FROM p GROUP BY day)
+         SELECT a.day, a.n_trades,
+                ROUND(CAST(o.oc AS DOUBLE) / 100.0, 6) AS open,
+                ROUND(CAST(a.hi AS DOUBLE) / 100.0, 6) AS high,
+                ROUND(CAST(a.lo AS DOUBLE) / 100.0, 6) AS low,
+                ROUND(CAST(cl.cc AS DOUBLE) / 100.0, 6) AS close,
+                ROUND(CAST(a.vol AS DOUBLE) / 100.0, 6) AS volume
+         FROM a JOIN o USING (day) JOIN cl USING (day)
+         ORDER BY day LIMIT 200""",
+
+    "q_entropy_rate" ->
+      """WITH s AS (SELECT user_id, event_type AS cur,
+                           lead(event_type, 1) OVER (PARTITION BY user_id
+                             ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) AS nxt
+                    FROM events WHERE ts IS NOT NULL),
+              cells AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+                        FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+              r AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS nr FROM cells GROUP BY cur),
+              t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells),
+              terms AS (SELECT nt,
+                               CAST(ROUND((CAST(n AS DOUBLE) / nt) *
+                                          -LN(CAST(n AS DOUBLE) / nr), 8) AS DECIMAL(20,8)) AS tm
+                        FROM cells JOIN r USING (cur) CROSS JOIN t)
+         SELECT nt AS n_steps, CAST(COUNT(*) AS BIGINT) AS n_cells,
+                ROUND(CAST(SUM(tm) AS DOUBLE), 6) AS entropy_rate
+         FROM terms GROUP BY nt""",
 
     // the non-associative fold replayed by a recursive CTE stepping
     // each key's rows in (tsec, event_id) order

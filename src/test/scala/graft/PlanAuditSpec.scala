@@ -123,8 +123,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_mcnemar",             // q_cuped's 1-row time-midpoint broadcast
     "q_parity_audit",        // 1-row best-rate broadcast over the
                              // |langs|-row rate table
-    "q_seasonality_strength") // 1-row grand-total broadcast over the
+    "q_seasonality_strength", // 1-row grand-total broadcast over the
                              // 7-row day-of-week cells
+    "q_entropy_rate")        // 1-row transition-total broadcast over the
+                             // states²-bounded cell table
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
