@@ -2153,6 +2153,48 @@ object SparkEntry {
         .orderBy("day")
         .limit(200)),
 
+    // realized volatility of the daily close series: stdev of log
+    // returns (+ the √252 annualization) — the risk number OHLC bars
+    // feed; returns 8dp-rounded then decimal-summed moments
+    "q_volatility" -> ((s, d) => {
+      val dec = DecimalType(20, 8)
+      val decSq = DecimalType(24, 10)
+      val closes = t(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(date_trunc("day", col("ts")).as("day"),
+          unix_timestamp(col("ts")).as("tsec"), col("event_id"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("__c"))
+        .groupBy("day")
+        .agg(max(struct(col("tsec"), col("event_id"), col("__c")))
+          .as("__cl"))
+        .select(col("day"), col("__cl.__c").as("c"))
+      val w = Window.orderBy(col("day").asc)
+      closes.withColumn("__p", lag(col("c"), 1).over(w))
+        .filter(col("__p").isNotNull && col("__p") > 0 && col("c") > 0)
+        .select(round(log(col("c").cast("double") / col("__p")), 8)
+          .cast(dec).as("__r"))
+        .select(col("__r"),
+          round(col("__r").cast("double") * col("__r").cast("double"), 10)
+            .cast(decSq).as("__r2"))
+        .agg(count(lit(1)).as("n_returns"), sum(col("__r")).as("__s"),
+          sum(col("__r2")).as("__ss"))
+        .filter(col("n_returns") > 1)
+        .select(col("n_returns"),
+          round(sqrt((col("n_returns").cast("double") *
+            col("__ss").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double")) /
+            (col("n_returns").cast("double") *
+              (col("n_returns") - 1))), 6).as("daily_vol"),
+          round(sqrt((col("n_returns").cast("double") *
+            col("__ss").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double")) /
+            (col("n_returns").cast("double") *
+              (col("n_returns") - 1))) * sqrt(lit(252.0)), 6)
+            .as("annualized_vol"))
+    }),
+
     // journey predictability: entropy RATE of the event-type Markov
     // chain — H(next|cur) = Σ p(cur)·H(next|cur) from exact transition
     // counts; 0 = deterministic journeys, ln(K) = uniform chaos
@@ -7974,6 +8016,31 @@ object SparkEntry {
                 ROUND(CAST(a.vol AS DOUBLE) / 100.0, 6) AS volume
          FROM a JOIN o USING (day) JOIN cl USING (day)
          ORDER BY day LIMIT 200""",
+
+    "q_volatility" ->
+      """WITH p AS (SELECT date_trunc('day', ts) AS day,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM events WHERE event_type = 'purchase'
+                      AND ts IS NOT NULL AND value IS NOT NULL),
+              cl AS (SELECT day, c FROM (
+                       SELECT day, c, row_number() OVER (PARTITION BY day
+                         ORDER BY tsec DESC, event_id DESC, c DESC) AS rn FROM p)
+                     WHERE rn = 1),
+              r AS (SELECT CAST(ROUND(LN(CAST(c AS DOUBLE) / p0), 8) AS DECIMAL(20,8)) AS r
+                    FROM (SELECT day, c, lag(c, 1) OVER (ORDER BY day ASC) AS p0 FROM cl)
+                    WHERE p0 IS NOT NULL AND p0 > 0 AND c > 0),
+              r2 AS (SELECT r, CAST(ROUND(CAST(r AS DOUBLE) * CAST(r AS DOUBLE), 10) AS DECIMAL(24,10)) AS rr FROM r),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_returns,
+                           SUM(r) AS s, SUM(rr) AS ss FROM r2)
+         SELECT n_returns,
+                ROUND(sqrt((CAST(n_returns AS DOUBLE) * CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                           / (CAST(n_returns AS DOUBLE) * (n_returns - 1))), 6) AS daily_vol,
+                ROUND(sqrt((CAST(n_returns AS DOUBLE) * CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                           / (CAST(n_returns AS DOUBLE) * (n_returns - 1))) * sqrt(252.0), 6) AS annualized_vol
+         FROM m WHERE n_returns > 1""",
 
     "q_entropy_rate" ->
       """WITH s AS (SELECT user_id, event_type AS cur,

@@ -773,6 +773,51 @@ object StreamingPipeline {
       }
   }
 
+  final case class BalanceState(n: Long, bal: Long, nhi: Long, nlo: Long)
+  final case class BalanceReadout(key: Long, n_events: Long,
+                                  final_balance: Long, n_clamped_hi: Long,
+                                  n_clamped_lo: Long)
+
+  /**
+   * Streaming CLAMPED BALANCE — the continuous twin of
+   * [[graft.ops.TemporalOps.clampedBalance]]: the non-associative
+   * ledger fold balance ← clamp(balance + δ) lives in
+   * `mapGroupsWithState` (four longs per key, FOREVER — the batch op
+   * re-folds history, the stream never has to), emitting each key's
+   * running readout every micro-batch. Within a batch, rows fold in
+   * (ts, event_id) order — the same total order as the batch op, so
+   * on an in-order stream the final readouts are spec-proven EQUAL.
+   *
+   * δ is derived per event by `delta`; keys by `user_id`. This is the
+   * operator class checkpointed state exists for: no window, batch or
+   * streaming, can reconstruct a clamped balance without replaying
+   * history.
+   */
+  def streamingClampedBalance(events: DataFrame, lo: Long, hi: Long)(
+      delta: StreamEvent => Long): Dataset[BalanceReadout] = {
+    require(lo <= hi, s"bad bounds [$lo, $hi]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val start = math.min(hi, math.max(lo, 0L))
+    events.as[StreamEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[BalanceState, BalanceReadout](
+        GroupStateTimeout.NoTimeout) { (key, batch, state) =>
+        var s = state.getOption.getOrElse(BalanceState(0L, start, 0L, 0L))
+        batch.toArray
+          .sortBy(e => (e.ts.getTime, e.event_id))
+          .foreach { e =>
+            val raw = s.bal + delta(e)
+            s =
+              if (raw > hi) BalanceState(s.n + 1, hi, s.nhi + 1, s.nlo)
+              else if (raw < lo) BalanceState(s.n + 1, lo, s.nhi, s.nlo + 1)
+              else BalanceState(s.n + 1, raw, s.nhi, s.nlo)
+          }
+        state.update(s)
+        BalanceReadout(key, s.n, s.bal, s.nhi, s.nlo)
+      }
+  }
+
   /**
    * Streaming NEAR-DUP-GATED corpus ingest — the continuous form of the
    * training-data admission pipeline: every micro-batch of documents is

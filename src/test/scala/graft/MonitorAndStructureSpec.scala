@@ -188,6 +188,51 @@ class MonitorAndStructureSpec extends SparkSpec {
     got(1) shouldBe ((2L, 2L, 50L, 1L, 0L))
   }
 
+  test("streamingClampedBalance final readout equals the batch fold") {
+    import graft.streaming.StreamingPipeline
+    import graft.ops.TemporalOps
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_bal_").toString
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 400).map { i =>
+      (i.toLong, ts(1 + i % 20, i), (i % 7).toLong, "purchase",
+        (rnd.nextInt(300) - 100).toDouble, "{}")
+    }
+    val ev = rows.toDF(
+      StreamingPipeline.eventSchema.fieldNames.toIndexedSeq: _*)
+    ev.write.mode("overwrite").parquet(s"$work/src")
+
+    val q = StreamingPipeline.streamingClampedBalance(
+        StreamingPipeline.readEventStream(spark, s"$work/src"),
+        lo = 0L, hi = 150L)(e => e.value.toLong)
+      .writeStream.format("memory").queryName("graft_bal")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("graft_bal")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1)
+      .select("key", "n_events", "final_balance", "n_clamped_hi",
+        "n_clamped_lo")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+
+    val batch = TemporalOps.clampedBalance(
+        ev.select(col("user_id"), unix_timestamp(col("ts")).as("o"),
+          col("event_id"), col("value").cast("long").as("delta")),
+        "user_id", "o", "event_id", "delta", lo = 0L, hi = 150L)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+
+    streamed shouldBe batch
+    // and the bounds actually bit on this stream
+    batch.map(_._4).sum should be > 0L
+    batch.map(_._5).sum should be > 0L
+  }
+
   test("maseReport: an exact weekly cycle scores mase 0") {
     // counts cycle with period 7 → the seasonal-naive forecast is exact
     val rows = for (d <- 0 until 28; i <- 0 until (1 + d % 7))
