@@ -2153,6 +2153,31 @@ object SparkEntry {
         .orderBy("day")
         .limit(200)),
 
+    // maximum drawdown of the daily close series: the deepest
+    // peak-to-trough dip vs the running max — volatility says how
+    // rough the ride is, drawdown says how bad the worst stretch was;
+    // exact integer series, one double ratio per day
+    "q_drawdown" -> ((s, d) => {
+      val w = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(date_trunc("day", col("ts")).as("day"),
+          unix_timestamp(col("ts")).as("tsec"), col("event_id"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("__c"))
+        .groupBy("day")
+        .agg(max(struct(col("tsec"), col("event_id"), col("__c")))
+          .as("__cl"))
+        .select(col("day"), col("__cl.__c").as("c"))
+        .select(col("day"), col("c"), max(col("c")).over(w).as("__peak"))
+        .select(count(lit(1)).as("n_days"),
+          round(min(col("c").cast("double") / col("__peak") - lit(1.0)),
+            6).as("max_drawdown"),
+          max(col("__peak")).as("peak_cents"))
+    }),
+
     // realized volatility of the daily close series: stdev of log
     // returns (+ the √252 annualization) — the risk number OHLC bars
     // feed; returns 8dp-rounded then decimal-summed moments
@@ -8016,6 +8041,25 @@ object SparkEntry {
                 ROUND(CAST(a.vol AS DOUBLE) / 100.0, 6) AS volume
          FROM a JOIN o USING (day) JOIN cl USING (day)
          ORDER BY day LIMIT 200""",
+
+    "q_drawdown" ->
+      """WITH p AS (SELECT date_trunc('day', ts) AS day,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM events WHERE event_type = 'purchase'
+                      AND ts IS NOT NULL AND value IS NOT NULL),
+              cl AS (SELECT day, c FROM (
+                       SELECT day, c, row_number() OVER (PARTITION BY day
+                         ORDER BY tsec DESC, event_id DESC, c DESC) AS rn FROM p)
+                     WHERE rn = 1),
+              dd AS (SELECT day, c,
+                            MAX(c) OVER (ORDER BY day ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+                     FROM cl)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                ROUND(MIN(CAST(c AS DOUBLE) / peak - 1.0), 6) AS max_drawdown,
+                CAST(MAX(peak) AS BIGINT) AS peak_cents
+         FROM dd""",
 
     "q_volatility" ->
       """WITH p AS (SELECT date_trunc('day', ts) AS day,
