@@ -2153,6 +2153,18 @@ object SparkEntry {
         .orderBy("day")
         .limit(200)),
 
+    // isotonic recalibration of the sigmoid score: the monotone rate
+    // curve closest to the observed bin rates — the FIX beside
+    // q_calibration_bins' diagnosis and q_ece's scalar; minimax
+    // closed form replaces PAV's sequential loop
+    "q_isotonic_calibration" -> ((s, d) =>
+      graft.ops.EvalOps.isotonicCalibration(
+        t(s, d, "events")
+          .withColumn("p", round(lit(1.0) /
+            (lit(1.0) + exp(-((col("value") - 50.0) / 25.0))), 6))
+          .withColumn("y", col("event_type") === "purchase"),
+        "p", "y", bins = 10)),
+
     // maximum drawdown of the daily close series: the deepest
     // peak-to-trough dip vs the running max — volatility says how
     // rough the ride is, drawdown says how bad the worst stretch was;
@@ -8041,6 +8053,35 @@ object SparkEntry {
                 ROUND(CAST(a.vol AS DOUBLE) / 100.0, 6) AS volume
          FROM a JOIN o USING (day) JOIN cl USING (day)
          ORDER BY day LIMIT 200""",
+
+    // iso(i) = min_{k≥i} max_{j≤i} mean(j..k) over integer prefix sums
+    "q_isotonic_calibration" ->
+      """WITH src AS (SELECT ROUND(1.0 / (1.0 + exp(-((value - 50.0) / 25.0))), 6) AS p,
+                             (event_type = 'purchase') AS y
+                      FROM events),
+              g AS (SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS k
+                    FROM src WHERE p IS NOT NULL GROUP BY 1),
+              cum AS (SELECT bin, n, k,
+                             CAST(SUM(n) OVER wc AS BIGINT) AS cn,
+                             CAST(SUM(k) OVER wc AS BIGINT) AS ck,
+                             row_number() OVER (ORDER BY bin) AS pos
+                      FROM g
+                      WINDOW wc AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              grid AS (SELECT hi.pos AS kpos, lo.pos AS jpos,
+                              CAST(hi.ck - (lo.ck - lo.k) AS DOUBLE) /
+                                (hi.cn - (lo.cn - lo.n)) AS mean
+                       FROM cum hi JOIN cum lo ON lo.pos <= hi.pos),
+              m AS (SELECT kpos, jpos AS ipos,
+                           MAX(mean) OVER (PARTITION BY kpos ORDER BY jpos ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+                    FROM grid),
+              iso AS (SELECT ipos, MIN(mx) AS iso FROM m GROUP BY ipos)
+         SELECT c.bin, c.n, c.k,
+                ROUND(CAST(c.k AS DOUBLE) / c.n, 6) AS rate,
+                ROUND(iso.iso, 6) AS calibrated
+         FROM cum c JOIN iso ON iso.ipos = c.pos ORDER BY c.bin""",
 
     "q_drawdown" ->
       """WITH p AS (SELECT date_trunc('day', ts) AS day,

@@ -174,6 +174,70 @@ object EvalOps {
   }
 
   /**
+   * ISOTONIC CALIBRATION over score bins — the FIX beside
+   * [[calibrationBins]]' diagnosis and the ECE scalar: fit the
+   * monotone-nondecreasing rate curve closest (L²) to the observed
+   * per-bin rates, the standard recalibration map (isotonic regression
+   * beats Platt scaling off sigmoid-shaped miscalibration and assumes
+   * nothing). A model can then serve `calibrated` instead of its raw
+   * score.
+   *
+   * Emits per present bin: (bin, n, k, rate raw, calibrated 6dp —
+   * monotone in bin). Fitted via the MINIMAX characterization
+   * iso(i) = min_{k ≥ i} max_{j ≤ i} mean(y over bins j..k), which is
+   * closed-form over the bin grid — the sequential
+   * pool-adjacent-violators loop replays as two windows and a min,
+   * so it is partition-invariant and SQL-replayable where PAV's
+   * while-loop is neither.
+   *
+   * Deterministic: bin counts are exact integers; every block mean is
+   * one double division of integer prefix-sums; minimax compares
+   * identical doubles in both engines.
+   *
+   * Scale: one bin aggregate over the corpus (partial-aggregating,
+   * `bins`-bounded output); the grid is bins² TINY rows (broadcast
+   * nested loop by construction) — never a corpus-sized join.
+   */
+  def isotonicCalibration(df: DataFrame, probCol: String,
+                          labelCol: String, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 50, s"bad bins $bins")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+    val wc = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = df.filter(col(probCol).isNotNull)
+      .select(least(floor(col(probCol) * bins), lit(bins - 1))
+        .cast("long").as("bin"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+      .select(col("bin"), col("n"), col("k"),
+        sum(col("n")).over(wc).as("cn"), sum(col("k")).over(wc).as("ck"),
+        row_number().over(w).as("pos"))
+    val lo = cum.select(col("pos").as("jpos"),
+      (col("cn") - col("n")).as("cnj"), (col("ck") - col("k")).as("ckj"))
+    val hi = cum.select(col("pos").as("kpos"), col("cn").as("cnk"),
+      col("ck").as("ckk"))
+    val grid = hi.join(broadcast(lo), col("jpos") <= col("kpos"))
+      .select(col("kpos"), col("jpos"),
+        ((col("ckk") - col("ckj")).cast("double") /
+          (col("cnk") - col("cnj"))).as("mean"))
+    val wMax = org.apache.spark.sql.expressions.Window
+      .partitionBy("kpos").orderBy(col("jpos").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val iso = grid
+      .select(col("kpos"), col("jpos").as("ipos"),
+        max(col("mean")).over(wMax).as("mx"))
+      .groupBy("ipos").agg(min(col("mx")).as("__iso"))
+    cum.join(iso, cum("pos") === iso("ipos"))
+      .select(col("bin"), col("n"), col("k"),
+        round(col("k").cast("double") / col("n"), 6).as("rate"),
+        round(col("__iso"), 6).as("calibrated"))
+      .orderBy("bin")
+  }
+
+  /**
    * AVERAGE OVERLAP between two top-`depth` rankings — Webber's
    * intersection metric, the building block under RBO: AO =
    * (1/D)·Σ_{d=1..D} |A_d ∩ B_d|/d, the depth-averaged prefix

@@ -306,6 +306,39 @@ class MonitorAndStructureSpec extends SparkSpec {
     r.getAs[Double]("coverage") shouldBe 1.0  // |50-50| = 0 ≤ 50
   }
 
+  test("isotonicCalibration pools adjacent violators exactly (PAV)") {
+    import graft.ops.EvalOps
+    // bins 0/1/2 rates 0.1 / 0.5 / 0.3 with equal mass: PAV pools bins
+    // 1 and 2 to (0.5+0.3)/2 = 0.4; bin 0 stays. Scores placed at bin
+    // centers of a 10-bin grid via p = (bin + 0.5)/10, but only bins
+    // 0..2 populated.
+    def rows(bin: Int, k: Int, n: Int) = (1 to n).map(i =>
+      ((bin + 0.5) / 10.0, i <= k))
+    val df = (rows(0, 1, 10) ++ rows(1, 5, 10) ++ rows(2, 3, 10))
+      .toDF("p", "y")
+    val got = EvalOps.isotonicCalibration(df, "p", "y", bins = 10)
+      .orderBy("bin").as[(Long, Long, Long, Double, Double)].collect()
+    got.map(_._5) shouldBe Array(0.1, 0.4, 0.4)
+    // already-monotone input is returned unchanged
+    val mono = (rows(0, 1, 10) ++ rows(1, 3, 10) ++ rows(2, 7, 10))
+      .toDF("p", "y")
+    EvalOps.isotonicCalibration(mono, "p", "y", bins = 10)
+      .orderBy("bin").as[(Long, Long, Long, Double, Double)].collect()
+      .map(_._5) shouldBe Array(0.1, 0.3, 0.7)
+  }
+
+  test("isotonicCalibration output is monotone on random inputs") {
+    import graft.ops.EvalOps
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 2000).map(_ =>
+      (rnd.nextDouble(), rnd.nextDouble() < 0.3)).toDF("p", "y")
+    val cal = EvalOps.isotonicCalibration(df, "p", "y", bins = 10)
+      .orderBy("bin").select("calibrated").as[Double].collect()
+    cal.sliding(2).foreach { w =>
+      if (w.length == 2) w(1) should be >= w(0)
+    }
+  }
+
   test("averageOverlap: identity → 1, disjoint → 0, brute force agrees") {
     import graft.ops.EvalOps
     def lst(ids: Seq[String]) =

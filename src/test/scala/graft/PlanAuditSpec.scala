@@ -125,8 +125,10 @@ class PlanAuditSpec extends SparkSpec {
                              // |langs|-row rate table
     "q_seasonality_strength", // 1-row grand-total broadcast over the
                              // 7-row day-of-week cells
-    "q_entropy_rate")        // 1-row transition-total broadcast over the
+    "q_entropy_rate",        // 1-row transition-total broadcast over the
                              // states²-bounded cell table
+    "q_isotonic_calibration") // the bins²-bounded minimax grid is a
+                             // broadcast theta-join by construction
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
