@@ -2153,6 +2153,67 @@ object SparkEntry {
         .orderBy("day")
         .limit(200)),
 
+    // dataset-card numeric moments: every numeric column's
+    // n/nulls/mean/std/min/max in ONE stacked pass — the moments
+    // companion of q_profile_columns' counts; exact-cents moments
+    "q_numeric_profile" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      def cents(c: org.apache.spark.sql.Column) =
+        (c.cast(DecimalType(18, 2)) * 100).cast("long")
+      t(s, d, "lineitem")
+        .select(expr("stack(4, 'l_quantity', l_quantity, " +
+          "'l_extendedprice', l_extendedprice, 'l_discount', l_discount, " +
+          "'l_tax', l_tax) AS (column_name, v)"))
+        .groupBy("column_name")
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_present"),
+          sum(cents(col("v")).cast(dec38)).as("__s"),
+          sum(cents(col("v")).cast(dec38) * cents(col("v"))).as("__ss"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .filter(col("n_present") > 1)
+        .select(col("column_name"), col("n_rows"), col("n_present"),
+          round(col("__s").cast("double") / col("n_present") / 100.0, 6)
+            .as("mean"),
+          round(sqrt((col("n_present").cast(dec38) * col("__ss") -
+            col("__s") * col("__s")).cast("double") /
+            (col("n_present").cast("double") * (col("n_present") - 1))) /
+            100.0, 6).as("std"),
+          col("min_v"), col("max_v"))
+        .orderBy("column_name")
+    }),
+
+    // the measure step of the diagnose→fix→measure calibration loop:
+    // in-sample ECE of the raw score vs of the isotonic-calibrated
+    // score — Σ n·|bin rate − prediction|/N over the same bins
+    "q_recalibration_gain" -> ((s, d) => {
+      val dec = DecimalType(20, 8)
+      val iso = graft.ops.EvalOps.isotonicCalibration(
+        t(s, d, "events")
+          .withColumn("p", round(lit(1.0) /
+            (lit(1.0) + exp(-((col("value") - 50.0) / 25.0))), 6))
+          .withColumn("y", col("event_type") === "purchase"),
+        "p", "y", bins = 10)
+      // raw prediction per bin = the bin-center probability; the
+      // calibrated prediction = the isotonic fit — both scored against
+      // the same observed rates
+      iso
+        .select(col("n"), col("k"),
+          round(abs(col("k").cast("double") / col("n") -
+            (col("bin").cast("double") + 0.5) / 10.0), 8).as("__eraw"),
+          round(abs(col("k").cast("double") / col("n") -
+            col("calibrated")), 8).as("__ecal"))
+        .select(col("n"), col("k"),
+          round(col("n") * col("__eraw"), 8).cast(dec).as("__wraw"),
+          round(col("n") * col("__ecal"), 8).cast(dec).as("__wcal"))
+        .agg(sum(col("n")).as("n_rows"),
+          sum(col("__wraw")).as("__sraw"),
+          sum(col("__wcal")).as("__scal"))
+        .select(col("n_rows"),
+          round(col("__sraw").cast("double") / col("n_rows"), 6)
+            .as("ece_raw"),
+          round(col("__scal").cast("double") / col("n_rows"), 6)
+            .as("ece_calibrated"))
+    }),
+
     // isotonic recalibration of the sigmoid score: the monotone rate
     // curve closest to the observed bin rates — the FIX beside
     // q_calibration_bins' diagnosis and q_ece's scalar; minimax
@@ -8053,6 +8114,62 @@ object SparkEntry {
                 ROUND(CAST(a.vol AS DOUBLE) / 100.0, 6) AS volume
          FROM a JOIN o USING (day) JOIN cl USING (day)
          ORDER BY day LIMIT 200""",
+
+    "q_numeric_profile" ->
+      """WITH s AS (SELECT 'l_quantity' AS column_name, l_quantity AS v FROM lineitem
+                    UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                    UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+                    UNION ALL SELECT 'l_tax', l_tax FROM lineitem),
+              a AS (SELECT column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                           CAST(COUNT(v) AS BIGINT) AS n_present,
+                           SUM(CAST(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS sx,
+                           SUM(CAST(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+                               * CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS ss,
+                           MIN(v) AS min_v, MAX(v) AS max_v
+                    FROM s GROUP BY column_name)
+         SELECT column_name, n_rows, n_present,
+                ROUND(CAST(sx AS DOUBLE) / n_present / 100.0, 6) AS mean,
+                ROUND(sqrt(CAST(n_present * ss - sx * sx AS DOUBLE)
+                           / (CAST(n_present AS DOUBLE) * (n_present - 1))) / 100.0, 6) AS std,
+                min_v, max_v
+         FROM a WHERE n_present > 1 ORDER BY column_name""",
+
+    // the isotonic CTE chain + both ECEs over the same bins
+    "q_recalibration_gain" ->
+      """WITH src AS (SELECT ROUND(1.0 / (1.0 + exp(-((value - 50.0) / 25.0))), 6) AS p,
+                             (event_type = 'purchase') AS y
+                      FROM events),
+              g AS (SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS k
+                    FROM src WHERE p IS NOT NULL GROUP BY 1),
+              cum AS (SELECT bin, n, k,
+                             CAST(SUM(n) OVER wc AS BIGINT) AS cn,
+                             CAST(SUM(k) OVER wc AS BIGINT) AS ck,
+                             row_number() OVER (ORDER BY bin) AS pos
+                      FROM g
+                      WINDOW wc AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              grid AS (SELECT hi.pos AS kpos, lo.pos AS jpos,
+                              CAST(hi.ck - (lo.ck - lo.k) AS DOUBLE) /
+                                (hi.cn - (lo.cn - lo.n)) AS mean
+                       FROM cum hi JOIN cum lo ON lo.pos <= hi.pos),
+              m AS (SELECT kpos, jpos AS ipos,
+                           MAX(mean) OVER (PARTITION BY kpos ORDER BY jpos ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+                    FROM grid),
+              iso AS (SELECT ipos, MIN(mx) AS iso FROM m GROUP BY ipos),
+              fit AS (SELECT c.bin, c.n, c.k, ROUND(iso.iso, 6) AS calibrated
+                      FROM cum c JOIN iso ON iso.ipos = c.pos),
+              e AS (SELECT n, k,
+                           CAST(ROUND(n * ROUND(ABS(CAST(k AS DOUBLE) / n
+                             - (CAST(bin AS DOUBLE) + 0.5) / 10.0), 8), 8) AS DECIMAL(20,8)) AS wraw,
+                           CAST(ROUND(n * ROUND(ABS(CAST(k AS DOUBLE) / n
+                             - calibrated), 8), 8) AS DECIMAL(20,8)) AS wcal
+                    FROM fit)
+         SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                ROUND(CAST(SUM(wraw) AS DOUBLE) / SUM(n), 6) AS ece_raw,
+                ROUND(CAST(SUM(wcal) AS DOUBLE) / SUM(n), 6) AS ece_calibrated
+         FROM e""",
 
     // iso(i) = min_{k≥i} max_{j≤i} mean(j..k) over integer prefix sums
     "q_isotonic_calibration" ->

@@ -127,8 +127,9 @@ class PlanAuditSpec extends SparkSpec {
                              // 7-row day-of-week cells
     "q_entropy_rate",        // 1-row transition-total broadcast over the
                              // states²-bounded cell table
-    "q_isotonic_calibration") // the bins²-bounded minimax grid is a
+    "q_isotonic_calibration", // the bins²-bounded minimax grid is a
                              // broadcast theta-join by construction
+    "q_recalibration_gain")  // same grid, scored to the two ECEs
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
