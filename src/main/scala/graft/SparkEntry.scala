@@ -2153,6 +2153,38 @@ object SparkEntry {
         .orderBy("day")
         .limit(200)),
 
+    // cumulative gains / lift curve by descending score bin: what
+    // share of all conversions the top-p scored slice captures — the
+    // business-value view beside q_roc_auc's threshold-free ranking
+    // quality; bin histogram + a 10-row window, never a corpus sort
+    "q_gains_curve" -> ((s, d) => {
+      val bins = t(s, d, "events")
+        .withColumn("p", round(lit(1.0) /
+          (lit(1.0) + exp(-((col("value") - 50.0) / 25.0))), 6))
+        .withColumn("y", col("event_type") === "purchase")
+        .filter(col("p").isNotNull)
+        .groupBy(least(floor(col("p") * 10), lit(9)).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("k"))
+      val w = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = bins.agg(sum(col("n")).as("__nt"), sum(col("k")).as("__kt"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("k"),
+          sum(col("n")).over(w).as("__cn"),
+          sum(col("k")).over(w).as("__ck"), col("__nt"), col("__kt"))
+        .filter(col("__kt") > 0)
+        .select(col("bin"), col("n"), col("k"),
+          round(col("__cn").cast("double") / col("__nt"), 6)
+            .as("cum_pop_share"),
+          round(col("__ck").cast("double") / col("__kt"), 6)
+            .as("cum_capture_share"),
+          round((col("__ck").cast("double") / col("__kt")) /
+            (col("__cn").cast("double") / col("__nt")), 6).as("lift"))
+        .orderBy(col("bin").desc)
+    }),
+
     // dataset-card numeric moments: every numeric column's
     // n/nulls/mean/std/min/max in ONE stacked pass — the moments
     // companion of q_profile_columns' counts; exact-cents moments
@@ -8114,6 +8146,27 @@ object SparkEntry {
                 ROUND(CAST(a.vol AS DOUBLE) / 100.0, 6) AS volume
          FROM a JOIN o USING (day) JOIN cl USING (day)
          ORDER BY day LIMIT 200""",
+
+    "q_gains_curve" ->
+      """WITH src AS (SELECT ROUND(1.0 / (1.0 + exp(-((value - 50.0) / 25.0))), 6) AS p,
+                             (event_type = 'purchase') AS y
+                      FROM events),
+              g AS (SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS k
+                    FROM src WHERE p IS NOT NULL GROUP BY 1),
+              t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(k) AS BIGINT) AS kt FROM g),
+              c AS (SELECT bin, n, k,
+                           CAST(SUM(n) OVER w AS BIGINT) AS cn,
+                           CAST(SUM(k) OVER w AS BIGINT) AS ck,
+                           nt, kt
+                    FROM g CROSS JOIN t
+                    WINDOW w AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT bin, n, k,
+                ROUND(CAST(cn AS DOUBLE) / nt, 6) AS cum_pop_share,
+                ROUND(CAST(ck AS DOUBLE) / kt, 6) AS cum_capture_share,
+                ROUND((CAST(ck AS DOUBLE) / kt) / (CAST(cn AS DOUBLE) / nt), 6) AS lift
+         FROM c WHERE kt > 0 ORDER BY bin DESC""",
 
     "q_numeric_profile" ->
       """WITH s AS (SELECT 'l_quantity' AS column_name, l_quantity AS v FROM lineitem

@@ -129,7 +129,9 @@ class PlanAuditSpec extends SparkSpec {
                              // states²-bounded cell table
     "q_isotonic_calibration", // the bins²-bounded minimax grid is a
                              // broadcast theta-join by construction
-    "q_recalibration_gain")  // same grid, scored to the two ECEs
+    "q_recalibration_gain",  // same grid, scored to the two ECEs
+    "q_gains_curve")         // 1-row population/positive-totals broadcast
+                             // over the 10-bin histogram
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
