@@ -2153,6 +2153,61 @@ object SparkEntry {
         .orderBy("day")
         .limit(200)),
 
+    // discrete hazard curve: per duration, the conditional churn
+    // probability d/n_risk — WHEN the risk concentrates, where the KM
+    // curve shows only the cumulative survivor fraction; composed on
+    // the same censoring-aware risk set
+    "q_hazard_curve" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val spans = ev.groupBy("user_id").agg(
+        min(date_trunc("day", col("ts"))).as("__first"),
+        max(date_trunc("day", col("ts"))).as("__last"))
+      val maxd = spans.agg(max(col("__last")).as("__maxd"))
+      val units = spans.crossJoin(broadcast(maxd))
+        .select(
+          datediff(col("__last"), col("__first")).cast("long")
+            .as("duration"),
+          (datediff(col("__maxd"), col("__last")) >= 7).as("churned"))
+      graft.ops.StatsOps.kaplanMeier(units, "duration", "churned")
+        .select(col("t"), col("n_risk"), col("n_events"),
+          round(col("n_events").cast("double") / col("n_risk"), 6)
+            .as("hazard"))
+        .orderBy("t")
+    }),
+
+    // precision-recall points by descending score-bin threshold: the
+    // eval face that stays honest under class imbalance where ROC
+    // flatters; cum precision/recall/F1 from the same bin histogram
+    "q_pr_curve" -> ((s, d) => {
+      val bins = t(s, d, "events")
+        .withColumn("p", round(lit(1.0) /
+          (lit(1.0) + exp(-((col("value") - 50.0) / 25.0))), 6))
+        .withColumn("y", col("event_type") === "purchase")
+        .filter(col("p").isNotNull)
+        .groupBy(least(floor(col("p") * 10), lit(9)).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("k"))
+      val w = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = bins.agg(sum(col("k")).as("__kt"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), sum(col("n")).over(w).as("__cn"),
+          sum(col("k")).over(w).as("__ck"), col("__kt"))
+        .filter(col("__kt") > 0)
+        .select(col("bin"),
+          round(col("__ck").cast("double") / col("__cn"), 6)
+            .as("precision"),
+          round(col("__ck").cast("double") / col("__kt"), 6).as("recall"),
+          when(col("__ck") > 0,
+            round(lit(2.0) * (col("__ck").cast("double") / col("__cn")) *
+              (col("__ck").cast("double") / col("__kt")) /
+              (col("__ck").cast("double") / col("__cn") +
+                col("__ck").cast("double") / col("__kt")), 6))
+            .as("f1"))
+        .orderBy(col("bin").desc)
+    }),
+
     // cumulative gains / lift curve by descending score bin: what
     // share of all conversions the top-p scored slice captures — the
     // business-value view beside q_roc_auc's threshold-free ranking
@@ -8146,6 +8201,48 @@ object SparkEntry {
                 ROUND(CAST(a.vol AS DOUBLE) / 100.0, 6) AS volume
          FROM a JOIN o USING (day) JOIN cl USING (day)
          ORDER BY day LIMIT 200""",
+
+    "q_hazard_curve" ->
+      """WITH u AS (SELECT user_id, MIN(date_trunc('day', ts)) AS f, MAX(date_trunc('day', ts)) AS l
+                    FROM events WHERE ts IS NOT NULL GROUP BY 1),
+              mx AS (SELECT MAX(l) AS maxd FROM u),
+              units AS (SELECT CAST(datediff('day', CAST(f AS DATE), CAST(l AS DATE)) AS BIGINT) AS t,
+                               (datediff('day', CAST(l AS DATE), CAST(maxd AS DATE)) >= 7) AS ev
+                        FROM u CROSS JOIN mx),
+              c AS (SELECT t, CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+                           CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+                    FROM units GROUP BY t),
+              tot AS (SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS n FROM c),
+              r AS (SELECT t, n_events,
+                           n - COALESCE(SUM(n_events + n_censored)
+                             OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+                    FROM c CROSS JOIN tot)
+         SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+                ROUND(CAST(n_events AS DOUBLE) / n_risk, 6) AS hazard
+         FROM r ORDER BY t""",
+
+    "q_pr_curve" ->
+      """WITH src AS (SELECT ROUND(1.0 / (1.0 + exp(-((value - 50.0) / 25.0))), 6) AS p,
+                             (event_type = 'purchase') AS y
+                      FROM events),
+              g AS (SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS k
+                    FROM src WHERE p IS NOT NULL GROUP BY 1),
+              t AS (SELECT CAST(SUM(k) AS BIGINT) AS kt FROM g),
+              c AS (SELECT bin,
+                           CAST(SUM(n) OVER w AS BIGINT) AS cn,
+                           CAST(SUM(k) OVER w AS BIGINT) AS ck, kt
+                    FROM g CROSS JOIN t
+                    WINDOW w AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT bin,
+                ROUND(CAST(ck AS DOUBLE) / cn, 6) AS precision,
+                ROUND(CAST(ck AS DOUBLE) / kt, 6) AS recall,
+                CASE WHEN ck > 0
+                     THEN ROUND(2.0 * (CAST(ck AS DOUBLE) / cn) * (CAST(ck AS DOUBLE) / kt)
+                                / (CAST(ck AS DOUBLE) / cn + CAST(ck AS DOUBLE) / kt), 6)
+                END AS f1
+         FROM c WHERE kt > 0 ORDER BY bin DESC""",
 
     "q_gains_curve" ->
       """WITH src AS (SELECT ROUND(1.0 / (1.0 + exp(-((value - 50.0) / 25.0))), 6) AS p,

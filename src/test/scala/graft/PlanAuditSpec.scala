@@ -130,8 +130,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_isotonic_calibration", // the bins²-bounded minimax grid is a
                              // broadcast theta-join by construction
     "q_recalibration_gain",  // same grid, scored to the two ECEs
-    "q_gains_curve")         // 1-row population/positive-totals broadcast
+    "q_gains_curve",         // 1-row population/positive-totals broadcast
                              // over the 10-bin histogram
+    "q_pr_curve",            // same 10-bin histogram shape
+    "q_hazard_curve")        // q_kaplan_meier's 1-row broadcasts
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
