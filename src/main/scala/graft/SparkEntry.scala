@@ -2153,6 +2153,42 @@ object SparkEntry {
         .orderBy("day")
         .limit(200)),
 
+    // Neyman-optimal sample allocation: for a 1000-row measurement
+    // budget, allocate n_h ∝ N_h·σ_h per stratum — variance-optimal
+    // where proportional allocation ignores within-stratum spread; the
+    // design step BEFORE samplePerStratum draws the rows
+    "q_neyman_allocation" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      val cells = t(s, d, "orders").filter(col("o_totalprice").isNotNull)
+        .select(col("o_orderpriority").as("stratum"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("__c"))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n_pop"),
+          sum(col("__c").cast(dec38)).as("__s"),
+          sum(col("__c").cast(dec38) * col("__c")).as("__ss"))
+        .filter(col("n_pop") > 1)
+        .select(col("stratum"), col("n_pop"),
+          sqrt((col("n_pop").cast(dec38) * col("__ss") -
+            col("__s") * col("__s")).cast("double") /
+            (col("n_pop").cast("double") * (col("n_pop") - 1)))
+            .as("__sigma"))
+        .select(col("stratum"), col("n_pop"),
+          round(col("__sigma") / 100.0, 6).as("sigma"),
+          // 6dp-round the weight BEFORE the total: a raw double Σ over
+          // strata is summation-order dependent across engines
+          round(col("n_pop") * col("__sigma"), 6)
+            .cast(DecimalType(28, 6)).as("__w"))
+      val tot = cells.agg(sum(col("__w")).as("__wt"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("stratum"), col("n_pop"), col("sigma"),
+          round(col("__w").cast("double") / col("__wt").cast("double"), 6)
+            .as("alloc_share"),
+          round(lit(1000.0) * col("__w").cast("double") /
+            col("__wt").cast("double"), 0).cast("long").as("alloc_n"))
+        .orderBy("stratum")
+    }),
+
     // discrete hazard curve: per duration, the conditional churn
     // probability d/n_risk — WHEN the risk concentrates, where the KM
     // curve shows only the cumulative survivor fraction; composed on
@@ -8201,6 +8237,29 @@ object SparkEntry {
                 ROUND(CAST(a.vol AS DOUBLE) / 100.0, 6) AS volume
          FROM a JOIN o USING (day) JOIN cl USING (day)
          ORDER BY day LIMIT 200""",
+
+    // σ from exact decimal moments; weights and shares in one pinned
+    // double chain; allocation rounded half-up like the Spark plan
+    "q_neyman_allocation" ->
+      """WITH o AS (SELECT o_orderpriority AS stratum,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM orders WHERE o_totalprice IS NOT NULL),
+              cells AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_pop,
+                               SUM(CAST(c AS HUGEINT)) AS s,
+                               SUM(CAST(c AS HUGEINT) * c) AS ss
+                        FROM o GROUP BY stratum),
+              v AS (SELECT stratum, n_pop,
+                           sqrt(CAST(n_pop * ss - s * s AS DOUBLE)
+                                / (CAST(n_pop AS DOUBLE) * (n_pop - 1))) AS sigma0
+                    FROM cells WHERE n_pop > 1),
+              w AS (SELECT stratum, n_pop, ROUND(sigma0 / 100.0, 6) AS sigma,
+                           CAST(ROUND(n_pop * sigma0, 6) AS DECIMAL(28,6)) AS wgt
+                    FROM v),
+              t AS (SELECT SUM(wgt) AS wt FROM w)
+         SELECT stratum, n_pop, sigma,
+                ROUND(CAST(wgt AS DOUBLE) / CAST(wt AS DOUBLE), 6) AS alloc_share,
+                CAST(ROUND(1000.0 * CAST(wgt AS DOUBLE) / CAST(wt AS DOUBLE), 0) AS BIGINT) AS alloc_n
+         FROM w CROSS JOIN t ORDER BY stratum""",
 
     "q_hazard_curve" ->
       """WITH u AS (SELECT user_id, MIN(date_trunc('day', ts)) AS f, MAX(date_trunc('day', ts)) AS l

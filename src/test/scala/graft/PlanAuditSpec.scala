@@ -133,7 +133,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_gains_curve",         // 1-row population/positive-totals broadcast
                              // over the 10-bin histogram
     "q_pr_curve",            // same 10-bin histogram shape
-    "q_hazard_curve")        // q_kaplan_meier's 1-row broadcasts
+    "q_hazard_curve",        // q_kaplan_meier's 1-row broadcasts
+    "q_neyman_allocation")   // 1-row weight-total broadcast over the
+                             // |strata|-row cells
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
