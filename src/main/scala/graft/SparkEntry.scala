@@ -2153,6 +2153,38 @@ object SparkEntry {
         .orderBy("day")
         .limit(200)),
 
+    // distribution-free 95% CI for the median: order-statistic ranks
+    // from the binomial normal approximation — no variance estimate,
+    // no normality assumption, just ranks into the exact value
+    // histogram (the sign-test inversion)
+    "q_median_ci" -> ((s, d) => {
+      val h = t(s, d, "orders").filter(col("o_totalprice").isNotNull)
+        .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.select(col("v"), sum(col("c")).over(w).as("cw"))
+      val tot = cum.agg(max(col("cw")).as("n"))
+      val ranks = tot.select(col("n"),
+        floor((col("n").cast("double") -
+          lit(1.96) * sqrt(col("n").cast("double"))) / 2.0).cast("long")
+          .as("r_lo"),
+        ceil(lit(1.0) + (col("n").cast("double") +
+          lit(1.96) * sqrt(col("n").cast("double"))) / 2.0).cast("long")
+          .as("r_hi"),
+        ((col("n") + 1) / 2).cast("long").as("r_med"))
+      cum.crossJoin(broadcast(ranks))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cw") >= col("r_med"), col("v"))).as("__med"),
+          min(when(col("cw") >= col("r_lo"), col("v"))).as("__lo"),
+          min(when(col("cw") >= col("r_hi"), col("v"))).as("__hi"))
+        .select(col("n"),
+          round(col("__med").cast("double") / 100.0, 6).as("median"),
+          round(col("__lo").cast("double") / 100.0, 6).as("ci_lo"),
+          round(col("__hi").cast("double") / 100.0, 6).as("ci_hi"))
+    }),
+
     // Neyman-optimal sample allocation: for a 1000-row measurement
     // budget, allocate n_h ∝ N_h·σ_h per stratum — variance-optimal
     // where proportional allocation ignores within-stratum spread; the
@@ -8237,6 +8269,25 @@ object SparkEntry {
                 ROUND(CAST(a.vol AS DOUBLE) / 100.0, 6) AS volume
          FROM a JOIN o USING (day) JOIN cl USING (day)
          ORDER BY day LIMIT 200""",
+
+    "q_median_ci" ->
+      """WITH h AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+              cum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+                      FROM h),
+              t AS (SELECT CAST(MAX(cw) AS BIGINT) AS n FROM cum),
+              rk AS (SELECT n,
+                            CAST(FLOOR((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT) AS r_lo,
+                            CAST(CEIL(1.0 + (CAST(n AS DOUBLE) + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT) AS r_hi,
+                            (n + 1) // 2 AS r_med
+                     FROM t)
+         SELECT rk.n AS n,
+                ROUND(CAST(MIN(CASE WHEN cw >= r_med THEN v END) AS DOUBLE) / 100.0, 6) AS median,
+                ROUND(CAST(MIN(CASE WHEN cw >= r_lo THEN v END) AS DOUBLE) / 100.0, 6) AS ci_lo,
+                ROUND(CAST(MIN(CASE WHEN cw >= r_hi THEN v END) AS DOUBLE) / 100.0, 6) AS ci_hi
+         FROM cum CROSS JOIN rk GROUP BY rk.n""",
 
     // σ from exact decimal moments; weights and shares in one pinned
     // double chain; allocation rounded half-up like the Spark plan

@@ -134,8 +134,10 @@ class PlanAuditSpec extends SparkSpec {
                              // over the 10-bin histogram
     "q_pr_curve",            // same 10-bin histogram shape
     "q_hazard_curve",        // q_kaplan_meier's 1-row broadcasts
-    "q_neyman_allocation")   // 1-row weight-total broadcast over the
+    "q_neyman_allocation",   // 1-row weight-total broadcast over the
                              // |strata|-row cells
+    "q_median_ci")           // 1-row rank-thresholds broadcast over the
+                             // value histogram
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
