@@ -201,6 +201,51 @@ object SparkEntry {
         "embedding", threshold = 0.4, nBits = 4, stride = 8)
     }
 
+  /** Nested-DOCUMENT parquet source (memoized like the stores): one row
+    * per user with a nested `profile` struct and an array-of-structs of
+    * the user's events, canonically ordered by event_id — the document
+    * shape the reference reads from Mongo (DAG:94-132), materialized so
+    * queries and plan audits exercise nested predicate pushdown + nested
+    * schema pruning against a REAL columnar source. */
+  private def nestedDocStore(s: SparkSession, d: String): String =
+    artifact("nesteddoc", d) { p =>
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id"), col("ts"),
+          struct(col("event_id"), col("event_type"), col("value"),
+            col("ts")).as("__e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("__e"))).as("events"),
+          count(lit(1)).as("__n"), min(col("ts")).as("__first"))
+        .select(col("user_id"),
+          struct(col("__n").as("n_events"), col("__first").as("first_ts"))
+            .as("profile"),
+          col("events"))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** Shared [[graft.ops.GraphOps.PreparedGraph]] artifacts — the
+    * iterative graph family (PageRank, PPR, k-core, LPA, BFS) all start
+    * from the same canonicalize+distinct+double+degree derivation over a
+    * given edge fixture, so the artifact is memoized per (sf dir, graph)
+    * like the stores: the first graph analysis pays the edge shuffle and
+    * cache, every later one reuses the in-memory canonical graph. */
+  private val preparedGraphs = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.GraphOps.PreparedGraph]()
+  private def preparedGraph(key: String, edges: => DataFrame,
+                            src: String, dst: String)
+      : graft.ops.GraphOps.PreparedGraph =
+    preparedGraphs.computeIfAbsent(key,
+      _ => graft.ops.GraphOps.prepared(edges, src, dst))
+  /** The evidence-graph artifact (the dense dup graph the analytics
+    * suite runs on). */
+  private def evidenceGraph(s: SparkSession, d: String)
+      : graft.ops.GraphOps.PreparedGraph = {
+    val root = evidenceStore(s, d)
+    preparedGraph(s"$root#g",
+      graft.ext.ClusterStore.pairs(s, root), "id1", "id2")
+  }
+
   /** Persisted BM25 postings index over `documents` (same memoized
     * build-once economics as the cluster stores). */
   private def lexStore(s: SparkSession, d: String): String =
@@ -1965,7 +2010,8 @@ object SparkEntry {
         .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
       val nodes = edges.select(col("id1").as("node"))
         .unionAll(edges.select(col("id2").as("node"))).distinct()
-      graft.ops.GraphOps.bfsHops(edges, "id1", "id2",
+      graft.ops.GraphOps.bfsHops(
+          preparedGraph(s"$d#chain_g", edges, "id1", "id2"),
           nodes.filter(col("node") % 50 === 0), "node", rounds = 4)
         .orderBy("node")
     }),
@@ -4181,18 +4227,14 @@ object SparkEntry {
     // dup-evidence graph (boilerplate-hub centrality) — fixed-point
     // arithmetic makes the iteration cross-engine exact
     "q_pagerank" -> ((s, d) =>
-      graft.ops.GraphOps.pageRankScaled(
-          graft.ext.ClusterStore.pairs(s, evidenceStore(s, d)),
-          "id1", "id2", 5)
+      graft.ops.GraphOps.pageRankScaled(evidenceGraph(s, d), 5)
         .orderBy("node")),
 
     // synchronous label-propagation communities (3 rounds, ties →
     // smaller label) over the dup-evidence graph — the DENSITY view:
     // a bridge edge fuses CC clusters but is outvoted here
     "q_label_prop" -> ((s, d) =>
-      graft.ops.GraphOps.labelPropagation(
-          graft.ext.ClusterStore.pairs(s, evidenceStore(s, d)),
-          "id1", "id2", 3)
+      graft.ops.GraphOps.labelPropagation(evidenceGraph(s, d), 3)
         .orderBy("node")),
 
     // clustering-churn audit: Rand/ARI pair-counting agreement between
@@ -4204,7 +4246,8 @@ object SparkEntry {
       graft.ops.GraphOps.clusterAgreement(
         graft.ext.ClusterStore.assignment(s, root), "id", "cluster_id",
         graft.ops.GraphOps.labelPropagation(
-          graft.ext.ClusterStore.pairs(s, root), "id1", "id2", 3),
+          preparedGraph(s"$root#g",
+            graft.ext.ClusterStore.pairs(s, root), "id1", "id2"), 3),
         "node", "label")
     }),
 
@@ -4222,9 +4265,7 @@ object SparkEntry {
     // bounded k-core peel (3 rounds, k=3) of the dup-evidence graph:
     // strip the low-degree fringe, keep the dense template families
     "q_kcore" -> ((s, d) =>
-      graft.ops.GraphOps.kCoreBounded(
-          graft.ext.ClusterStore.pairs(s, evidenceStore(s, d)),
-          "id1", "id2", k = 3, rounds = 3)
+      graft.ops.GraphOps.kCoreBounded(evidenceGraph(s, d), k = 3, rounds = 3)
         .orderBy("node")),
 
     // placement-quality audit: conductance of the 16-shard rendezvous
@@ -4249,7 +4290,7 @@ object SparkEntry {
         .unionAll(edges.select(col("id2").as("node")))
         .distinct().filter(col("node") % 97 === 0)
       graft.ops.GraphOps.personalizedPageRankScaled(
-          edges, "id1", "id2", seeds, "node", 3)
+          evidenceGraph(s, d), seeds, "node", 3)
         .orderBy("node")
     }),
 
@@ -4926,6 +4967,29 @@ object SparkEntry {
           size(map_keys(m)).cast(LongType).as("n_keys"),
           m.getItem("k").cast(LongType).as("k_val"))
         .orderBy("event_id")
+    }),
+
+    // nested-DOCUMENT source round trip (DAG:94-132's document model): a
+    // parquet source whose rows are user documents — a nested `profile`
+    // struct plus an ARRAY OF STRUCTS of the user's events — read back
+    // with a nested-field predicate and exploded. The filter on
+    // profile.n_events and the leaf-only projection reach the parquet
+    // scan (PlanAuditSpec pins PushedFilters + the pruned ReadSchema —
+    // the engine-side equivalent of Mongo applying find(query,
+    // projection) server-side); the oracle recomputes the explode
+    // relationally from the flat events table.
+    "q_nested_explode" -> ((s, d) => {
+      val p = nestedDocStore(s, d)
+      s.read.parquet(p)
+        .filter(col("profile.n_events") >= 60)
+        .select(col("user_id"), col("profile.n_events").as("n_events"),
+          posexplode(col("events")))
+        .select(col("user_id"), col("n_events"),
+          col("pos").cast(LongType).as("idx"),
+          col("col.event_id").as("event_id"),
+          col("col.event_type").as("event_type"),
+          col("col.value").as("value"))
+        .orderBy("user_id", "idx")
     }),
 
     // ---- [EXT] multimodal binary columns -------------------------------------
@@ -8402,7 +8466,7 @@ object SparkEntry {
               g AS (SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
                            CAST(COUNT(*) AS BIGINT) AS n,
                            CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS k
-                    FROM src WHERE p IS NOT NULL GROUP BY 1),
+                    FROM src WHERE p IS NOT NULL AND y IS NOT NULL GROUP BY 1),
               cum AS (SELECT bin, n, k,
                              CAST(SUM(n) OVER wc AS BIGINT) AS cn,
                              CAST(SUM(k) OVER wc AS BIGINT) AS ck,
@@ -8439,7 +8503,7 @@ object SparkEntry {
               g AS (SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
                            CAST(COUNT(*) AS BIGINT) AS n,
                            CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS k
-                    FROM src WHERE p IS NOT NULL GROUP BY 1),
+                    FROM src WHERE p IS NOT NULL AND y IS NOT NULL GROUP BY 1),
               cum AS (SELECT bin, n, k,
                              CAST(SUM(n) OVER wc AS BIGINT) AS cn,
                              CAST(SUM(k) OVER wc AS BIGINT) AS ck,
@@ -11251,6 +11315,22 @@ object SparkEntry {
                 CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
                 CAST(props ->> 'k' AS BIGINT) AS k_val
          FROM events WHERE event_id < 100 ORDER BY event_id""",
+
+    // the explode of a canonically-ordered collect_list is relationally
+    // just the base rows with their per-key rank — event_id is unique, so
+    // row_number ordered by it reproduces sort_array's struct order
+    "q_nested_explode" ->
+      """WITH g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM events
+                    WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                    GROUP BY user_id)
+         SELECT e.user_id, g.n AS n_events,
+                CAST(row_number() OVER (PARTITION BY e.user_id
+                  ORDER BY e.event_id) - 1 AS BIGINT) AS idx,
+                e.event_id, e.event_type, e.value
+         FROM events e JOIN g USING (user_id)
+         WHERE e.event_id IS NOT NULL AND g.n >= 60
+         ORDER BY user_id, idx""",
 
     "q_multimodal_payload" ->
       """SELECT doc_id AS media_id,

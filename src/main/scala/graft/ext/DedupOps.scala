@@ -133,7 +133,18 @@ object DedupOps {
    */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double,
-                         maxShingleDf: Int = Int.MaxValue): DataFrame = {
+                         maxShingleDf: Int = Int.MaxValue): DataFrame =
+    jaccardPairsPrefixDiag(df, idCol, textCol, n, threshold, maxShingleDf,
+      positional = true)._2
+
+  /** Diagnostic form: also returns the candidate-pair frame (pre-
+    * verification), and can disable the PPJoin+ positional bound — lets a
+    * spec MEASURE the candidate cut the bound buys while asserting output
+    * identity through the exact same code path the public op runs. */
+  private[graft] def jaccardPairsPrefixDiag(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleDf: Int,
+      positional: Boolean): (DataFrame, DataFrame) = {
     // ONE kernel pass + ONE pinned exchange (same discipline as
     // jaccardPairs): the index carries each shingle's per-row canonical
     // rank (position in the hash-sorted array), so the prefix slice, the
@@ -156,7 +167,7 @@ object DedupOps {
     // candidates cost time, never correctness.
     val prefix = shPos
       .filter(col("pos") + 1 <= col("sz") - alpha + 1)
-      .select("id", "sz", "sh")
+      .select("id", "sz", "pos", "sh")
     // PPJoin LENGTH GATE, free on columns already riding the index rows:
     // j = c/(s1+s2−c) ≥ t with c ≤ min(s1,s2) forces min ≥ t·max, so
     // size-incompatible collisions are dropped AT CANDIDATE GENERATION —
@@ -164,10 +175,31 @@ object DedupOps {
     // Same relaxed t−10⁻³ as the prefix bound (round-up-to-t pairs
     // survive); necessary-condition only, so output stays exact.
     val tRelax = lit(threshold - 0.001)
+    // PPJoin+ POSITIONAL upper bound, also free on riding columns: both
+    // arrays are sorted by the SAME global hash order, so their common
+    // elements form one subsequence visited in the same order on both
+    // sides — at a collision sitting at (0-based) canonical ranks
+    // (pa, pb), at most min(pa, pb) common elements can precede it and at
+    // most min(s1−pa, s2−pb) can sit at-or-after it (including itself).
+    // Every collision of a TRUE pair therefore bounds overlap from above
+    // by min(pa,pb) + min(s1−pa, s2−pb); requiring that bound ≥ the
+    // j ≥ t overlap minimum α = ⌈t·(s1+s2)/(1+t)⌉ drops collisions that
+    // PROVE the pair impossible while every collision of a qualifying
+    // pair passes — candidates stay a superset, output stays exact.
+    // (Capped-set safety as the prefix bound: capped common elements
+    // before full-array rank pa number ≤ pa, and capped remainders are
+    // ≤ the full remainders, so the bound still majorizes capped common.)
+    val alphaPair = ceil(tRelax * (col("a.sz") + col("b.sz")) /
+      (lit(1.0) + tRelax) - lit(1e-9))
+    val baseCond =
+      col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+        col("b.sz") >= tRelax * col("a.sz") &&
+        col("a.sz") >= tRelax * col("b.sz")
+    val posCond = least(col("a.pos"), col("b.pos")) +
+      least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >=
+      alphaPair
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
-          col("b.sz") >= tRelax * col("a.sz") &&
-          col("a.sz") >= tRelax * col("b.sz"))
+        if (positional) baseCond && posCond else baseCond)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     // Exact verification WITHOUT re-exploding (same trick as
@@ -176,7 +208,7 @@ object DedupOps {
     // shuffle volume is C·(two doc arrays), not C·|A| exploded rows.
     val docArr = sh.groupBy(col("id"), col("sz"))
       .agg(collect_list(col("sh")).as("sha"))
-    cands
+    val result = cands
       .join(docArr.select(col("id").as("id1"), col("sz").as("sz1"),
         col("sha").as("__sa")), "id1")
       .join(docArr.select(col("id").as("id2"), col("sz").as("sz2"),
@@ -189,6 +221,7 @@ object DedupOps {
           (col("sz1") + col("sz2") - col("common")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+    (cands, result)
   }
 
   /**
@@ -221,7 +254,17 @@ object DedupOps {
    */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
-                       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+                       maxShingleDf: Int = Int.MaxValue): DataFrame =
+    containmentPairsDiag(df, idCol, textCol, n, threshold, maxShingleDf,
+      positional = true)._2
+
+  /** Diagnostic form ([[jaccardPairsPrefixDiag]] contract): candidate
+    * frame + result, with the positional bound toggleable for the spec's
+    * candidate-cut measurement. */
+  private[graft] def containmentPairsDiag(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleDf: Int,
+      positional: Boolean): (DataFrame, DataFrame) = {
     val shPos = dropHotKeys(
       spread(df)
         .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sha"))
@@ -229,17 +272,31 @@ object DedupOps {
           posexplode(array_sort(col("sha"))).as(Seq("pos", "sh"))),
       "sh", maxShingleDf)
     val sh = shPos.select("id", "sz", "sh")
+    val shP = shPos.select("id", "sz", "pos", "sh")
     val alpha = ceil(lit(threshold - 0.001) * col("sz") - lit(1e-9))
     val prefixSub = shPos
       .filter(col("pos") + 1 <= col("sz") - alpha + 1)
-      .select("id", "sz", "sh")
+      .select("id", "sz", "pos", "sh")
     // one-sided LENGTH gate: containment ≥ t needs overlap ⌈t·|A|⌉ and
     // overlap ≤ |B|, so a superset smaller than t·|A| can never qualify —
     // free on columns already riding the index rows (|B| has no UPPER
-    // bound from the score, so only this direction applies)
-    val cands = prefixSub.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id") &&
-          col("b.sz") >= lit(threshold - 0.001) * col("a.sz"))
+    // bound from the score, so only this direction applies). Plus the
+    // PPJoin+ POSITIONAL bound ([[jaccardPairsPrefix]] has the proof):
+    // a collision at canonical ranks (pa, pb) caps the overlap at
+    // min(pa, pb) + min(|A|−pa, |B|−pb); requiring that ≥ the
+    // containment-≥-t overlap minimum ⌈t·|A|⌉ drops provably-impossible
+    // collisions while every collision of a qualifying pair passes —
+    // candidates stay a superset, exact verification keeps output equal.
+    val tRelax = lit(threshold - 0.001)
+    val alphaSub = ceil(tRelax * col("a.sz") - lit(1e-9))
+    val baseCond =
+      col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id") &&
+        col("b.sz") >= tRelax * col("a.sz")
+    val posCond = least(col("a.pos"), col("b.pos")) +
+      least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >=
+      alphaSub
+    val cands = prefixSub.as("a").join(shP.as("b"),
+        if (positional) baseCond && posCond else baseCond)
       .select(col("a.id").as("id_sub"), col("b.id").as("id_super"))
       .distinct()
     // Exact verification WITHOUT re-exploding: each doc's capped shingle
@@ -249,7 +306,7 @@ object DedupOps {
     // thresholds the explode-verify form costs more than the prefix saves)
     val docArr = sh.groupBy(col("id"), col("sz"))
       .agg(collect_list(col("sh")).as("sha"))
-    cands
+    val result = cands
       .join(docArr.select(col("id").as("id_sub"), col("sz").as("sz_sub"),
         col("sha").as("__sa")), "id_sub")
       .join(docArr.select(col("id").as("id_super"), col("sha").as("__sb")),
@@ -261,6 +318,7 @@ object DedupOps {
         round(col("common").cast("double") / col("sz_sub"), 4))
       .filter(col("containment") >= threshold)
       .select("id_sub", "id_super", "containment")
+    (cands, result)
   }
 
   /**

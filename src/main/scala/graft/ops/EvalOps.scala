@@ -205,7 +205,11 @@ object EvalOps {
     val wc = w.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = df.filter(col(probCol).isNotNull)
+    // null contract shared with calibrationBins/brierScore/rocAuc: rows with
+    // a null LABEL are excluded too — the fit must be estimated over the
+    // same population the diagnosis scored, or a recalibration readout
+    // compares an isotonic map against bin rates it was never fitted to
+    val cum = df.filter(col(probCol).isNotNull && col(labelCol).isNotNull)
       .select(least(floor(col(probCol) * bins), lit(bins - 1))
         .cast("long").as("bin"),
         when(col(labelCol), 1L).otherwise(0L).as("y"))

@@ -13,6 +13,65 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   /**
+   * Persisted canonical-graph artifact shared across the iterative graph
+   * family ([[pageRankScaled]], [[personalizedPageRankScaled]],
+   * [[kCoreBounded]], [[labelPropagation]], [[bfsHops]]). Every one of
+   * those operators starts from the SAME derivation — canonicalize (lower
+   * id first, drop self-loops/nulls), distinct, double to a symmetric
+   * (u, v) list, degree-count — and a user running several graph analyses
+   * over one dup graph should pay that edge shuffle ONCE: prepare the
+   * graph, hand the artifact to each analysis, `unpersist()` when done.
+   * The single-DataFrame overloads remain and simply wrap a one-shot
+   * artifact, so one-off calls cost exactly what they used to.
+   *
+   * `deg`/`biDeg`/`nodes` are LAZY: an operator that only walks the
+   * symmetric edge list (BFS, k-core) never computes or caches degrees.
+   */
+  final class PreparedGraph private[GraphOps] (
+      edges: DataFrame, src: String, dst: String) {
+    private val handles =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    private def reg(df: DataFrame): DataFrame =
+      handles.synchronized { val p = df.persist(); handles += p; p }
+    /** Symmetric doubled canonical edge list (u, v). */
+    private[graft] val bi: DataFrame = reg {
+      val e = edges
+        .select(least(col(src), col(dst)).as("a"),
+          greatest(col(src), col(dst)).as("b"))
+        .filter(col("a") =!= col("b") && col("a").isNotNull &&
+          col("b").isNotNull)
+        .distinct()
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    }
+    /** (u, deg) — undirected degree (bi is symmetric). */
+    private[graft] lazy val deg: DataFrame =
+      reg(bi.groupBy("u").agg(count(lit(1)).as("deg")))
+    /** bi with the SOURCE endpoint's degree riding each row. */
+    private[graft] lazy val biDeg: DataFrame = reg(bi.join(deg, "u"))
+    /** Every node (each appears as some u in the symmetric list). */
+    private[graft] lazy val nodes: DataFrame =
+      reg(deg.select(col("u").as("node")))
+    /** Release every cache this artifact materialized. */
+    def unpersist(): Unit = handles.synchronized {
+      handles.foreach(_.unpersist(blocking = false)); handles.clear()
+    }
+  }
+
+  /** Build the shared artifact; see [[PreparedGraph]]. */
+  def prepared(edges: DataFrame, src: String, dst: String): PreparedGraph =
+    new PreparedGraph(edges, src, dst)
+
+  /** One-shot wrapper: run `body` against a throwaway artifact, release
+    * it after the result has been cut loose (every family member ends in
+    * `localCheckpoint`, so unpersisting afterwards is safe). */
+  private def withPrepared(edges: DataFrame, src: String, dst: String)(
+      body: PreparedGraph => DataFrame): DataFrame = {
+    val g = prepared(edges, src, dst)
+    try body(g) finally g.unpersist()
+  }
+
+  /**
    * Per-node triangle counts over an undirected edge list. Edges are
    * canonicalized (lower id first, self-loops and duplicates dropped);
    * emits (node, n_triangles) for every node in at least one triangle.
@@ -204,19 +263,18 @@ object GraphOps {
    */
   def personalizedPageRankScaled(edges: DataFrame, src: String, dst: String,
                                  seeds: DataFrame, seedCol: String,
+                                 iterations: Int): DataFrame =
+    withPrepared(edges, src, dst)(
+      personalizedPageRankScaled(_, seeds, seedCol, iterations))
+
+  /** [[personalizedPageRankScaled]] off a shared [[PreparedGraph]]; only
+    * the per-call seed flag is cached here (seeds vary per analysis, the
+    * graph does not). */
+  def personalizedPageRankScaled(g: PreparedGraph,
+                                 seeds: DataFrame, seedCol: String,
                                  iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"bad iterations $iterations")
-    val e = edges
-      .select(least(col(src), col(dst)).as("a"),
-        greatest(col(src), col(dst)).as("b"))
-      .filter(col("a") =!= col("b") && col("a").isNotNull &&
-        col("b").isNotNull)
-      .distinct()
-    val bi = e.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-    val deg = bi.groupBy("u").agg(count(lit(1)).as("deg"))
-    val biDeg = bi.join(deg, "u").persist()
-    val nodes = deg.select(col("u").as("node"))
+    val nodes = g.nodes
       .join(seeds.select(col(seedCol).as("node")).distinct()
           .withColumn("__seed", lit(1)),
         Seq("node"), "left")
@@ -232,8 +290,8 @@ object GraphOps {
       nodes.withColumn("pr", col("is_seed") * lit(1000000000000L))
         .select("node", "pr"))
     for (_ <- 1 to iterations) {
-      val contrib = biDeg
-        .join(pr, biDeg("u") === pr("node"))
+      val contrib = g.biDeg
+        .join(pr, g.biDeg("u") === pr("node"))
         .selectExpr("v AS node", "pr div deg AS c")
         .groupBy("node").agg(sum(col("c")).as("s"))
       val (next, nextHandle) = materializeCut(
@@ -246,7 +304,6 @@ object GraphOps {
     }
     val result = pr.localCheckpoint()
     prHandle.unpersist(blocking = false)
-    biDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     result
   }
@@ -268,26 +325,24 @@ object GraphOps {
    * predecessors and the loop degenerates to O(rounds²) edge scans.
    */
   def kCoreBounded(edges: DataFrame, src: String, dst: String,
-                   k: Int, rounds: Int): DataFrame = {
+                   k: Int, rounds: Int): DataFrame =
+    withPrepared(edges, src, dst)(kCoreBounded(_, k, rounds))
+
+  /** [[kCoreBounded]] off a shared [[PreparedGraph]] — walks only the
+    * symmetric edge list; the artifact's lazy degree frames stay unbuilt
+    * unless some other family member needs them. */
+  def kCoreBounded(g: PreparedGraph, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 50,
       s"bad k=$k rounds=$rounds")
-    val e = edges
-      .select(least(col(src), col(dst)).as("a"),
-        greatest(col(src), col(dst)).as("b"))
-      .filter(col("a") =!= col("b") && col("a").isNotNull &&
-        col("b").isNotNull)
-      .distinct()
-    val bi = e.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      .persist()
     def materializeCut(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist()
       p.count()
       (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
     }
-    var (s, sHandle) = materializeCut(bi.select(col("u").as("n")).distinct())
+    var (s, sHandle) =
+      materializeCut(g.bi.select(col("u").as("n")).distinct())
     for (_ <- 1 to rounds) {
-      val surv = bi
+      val surv = g.bi
         .join(s.select(col("n").as("u")), "u")
         .join(s.select(col("n").as("v")), "v")
         .groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
@@ -298,32 +353,24 @@ object GraphOps {
       s = next
       sHandle = nextHandle
     }
-    val out = bi
+    val out = g.bi
       .join(s.select(col("n").as("u")), "u")
       .join(s.select(col("n").as("v")), "v")
       .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     sHandle.unpersist(blocking = false)
-    bi.unpersist(blocking = false)
     out
   }
 
   def pageRankScaled(edges: DataFrame, src: String, dst: String,
-                     iterations: Int): DataFrame = {
+                     iterations: Int): DataFrame =
+    withPrepared(edges, src, dst)(pageRankScaled(_, iterations))
+
+  /** [[pageRankScaled]] off a shared [[PreparedGraph]] — the static
+    * canonicalize + union + degree frame is the artifact's cache, paid
+    * once across the whole graph-query family. */
+  def pageRankScaled(g: PreparedGraph, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"bad iterations $iterations")
-    val e = edges
-      .select(least(col(src), col(dst)).as("a"),
-        greatest(col(src), col(dst)).as("b"))
-      .filter(col("a") =!= col("b") && col("a").isNotNull &&
-        col("b").isNotNull)
-      .distinct()
-    val bi = e.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-    val deg = bi.groupBy("u").agg(count(lit(1)).as("deg"))
-    // static across rounds — cache once instead of re-deriving the
-    // canonicalize + union + degree join every iteration
-    val biDeg = bi.join(deg, "u").persist()
-    val nodes = deg.select(col("u").as("node")).persist()
     // persist() alone does not truncate the logical plan; rebasing on the
     // persisted RDD does, while the original stays available as an
     // explicit unpersist handle
@@ -333,14 +380,14 @@ object GraphOps {
       (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
     }
     var (pr, prHandle) = materializeCut(
-      nodes.withColumn("pr", lit(1000000000000L)))
+      g.nodes.withColumn("pr", lit(1000000000000L)))
     for (_ <- 1 to iterations) {
-      val contrib = biDeg
-        .join(pr, biDeg("u") === pr("node"))
+      val contrib = g.biDeg
+        .join(pr, g.biDeg("u") === pr("node"))
         .selectExpr("v AS node", "pr div deg AS c")
         .groupBy("node").agg(sum(col("c")).as("s"))
       val (next, nextHandle) = materializeCut(
-        nodes.join(contrib, Seq("node"), "left")
+        g.nodes.join(contrib, Seq("node"), "left")
           .selectExpr("node",
             "150000000000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS pr"))
       prHandle.unpersist(blocking = false)
@@ -349,8 +396,6 @@ object GraphOps {
     }
     val result = pr.localCheckpoint()
     prHandle.unpersist(blocking = false)
-    biDeg.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
     result
   }
 
@@ -376,30 +421,24 @@ object GraphOps {
    * the plan constant-depth (the [[pageRankScaled]] discipline).
    */
   def labelPropagation(edges: DataFrame, src: String, dst: String,
-                       rounds: Int): DataFrame = {
+                       rounds: Int): DataFrame =
+    withPrepared(edges, src, dst)(labelPropagation(_, rounds))
+
+  /** [[labelPropagation]] off a shared [[PreparedGraph]]. */
+  def labelPropagation(g: PreparedGraph, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50, s"bad rounds $rounds")
-    val e = edges
-      .select(least(col(src), col(dst)).as("a"),
-        greatest(col(src), col(dst)).as("b"))
-      .filter(col("a") =!= col("b") && col("a").isNotNull &&
-        col("b").isNotNull)
-      .distinct()
-    val bi = e.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      .persist()
-    val nodes = bi.select(col("v").as("node")).distinct().persist()
     def materializeCut(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist()
       p.count()
       (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
     }
     var (labels, handle) = materializeCut(
-      nodes.withColumn("label", col("node")))
+      g.nodes.withColumn("label", col("node")))
     for (_ <- 1 to rounds) {
       // every node appears as some v (bi is symmetric), so the vote
       // covers the whole node set — no keep-old-label branch needed
       val (next, nextHandle) = materializeCut(
-        bi.join(labels, bi("u") === labels("node"))
+        g.bi.join(labels, g.bi("u") === labels("node"))
           .select(col("v").as("node"), col("label"))
           .groupBy("node", "label").agg(count(lit(1)).as("c"))
           .groupBy("node")
@@ -411,8 +450,6 @@ object GraphOps {
     }
     val result = labels.localCheckpoint()
     handle.unpersist(blocking = false)
-    bi.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
     result
   }
 
@@ -486,17 +523,13 @@ object GraphOps {
    * is one (node, hop) row per reached node, never per path.
    */
   def bfsHops(edges: DataFrame, src: String, dst: String,
+              seeds: DataFrame, seedCol: String, rounds: Int): DataFrame =
+    withPrepared(edges, src, dst)(bfsHops(_, seeds, seedCol, rounds))
+
+  /** [[bfsHops]] off a shared [[PreparedGraph]]. */
+  def bfsHops(g: PreparedGraph,
               seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50, s"bad rounds $rounds")
-    val e = edges
-      .select(least(col(src), col(dst)).as("a"),
-        greatest(col(src), col(dst)).as("b"))
-      .filter(col("a") =!= col("b") && col("a").isNotNull &&
-        col("b").isNotNull)
-      .distinct()
-    val bi = e.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      .persist()
     def materializeCut(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist()
       p.count()
@@ -508,7 +541,7 @@ object GraphOps {
         .withColumn("hop", lit(0L)))
     for (_ <- 1 to rounds) {
       val (next, nextHandle) = materializeCut(
-        bi.join(dist, bi("u") === dist("node"))
+        g.bi.join(dist, g.bi("u") === dist("node"))
           .select(col("v").as("node"), (col("hop") + 1).as("hop"))
           .unionAll(dist.select(col("node"), col("hop")))
           .groupBy("node").agg(min(col("hop")).as("hop")))
@@ -518,7 +551,6 @@ object GraphOps {
     }
     val result = dist.localCheckpoint()
     handle.unpersist(blocking = false)
-    bi.unpersist(blocking = false)
     result
   }
 

@@ -110,7 +110,8 @@ object Pipeline {
                    retryDelayMs: Long = 5L * 60 * 1000,
                    timeoutMs: Long = 60L * 60 * 1000,
                    sleep: Long => Unit = Thread.sleep,
-                   clock: () => Long = () => System.currentTimeMillis)
+                   clock: () => Long = () => System.currentTimeMillis,
+                   onFailure: (Int, Throwable) => Unit = (_, _) => ())
                   (body: => T): T = {
     val deadline = clock() + timeoutMs
     var attempt = 0
@@ -124,6 +125,13 @@ object Pipeline {
         case scala.util.control.NonFatal(e) =>
           lastErr = e
           attempt += 1
+          // alerting seam (the reference's `email_on_failure`, DAG:428-429):
+          // fires once per FAILED ATTEMPT with its 1-based ordinal, before
+          // the retry sleep, so a pager hook sees flapping as it happens
+          // rather than only the final give-up. A throwing hook must never
+          // mask the pipeline error or cancel remaining retries.
+          try onFailure(attempt, e)
+          catch { case scala.util.control.NonFatal(_) => () }
           if (attempt <= maxRetries) sleep(retryDelayMs)
       }
     }
@@ -141,8 +149,9 @@ object Pipeline {
       workDir: String,
       maxRetries: Int = 2,
       retryDelayMs: Long = 5L * 60 * 1000,
-      timeoutMs: Long = 60L * 60 * 1000): Result =
-    withRetry(maxRetries, retryDelayMs, timeoutMs) {
+      timeoutMs: Long = 60L * 60 * 1000,
+      onFailure: (Int, Throwable) => Unit = (_, _) => ()): Result =
+    withRetry(maxRetries, retryDelayMs, timeoutMs, onFailure = onFailure) {
       run(spark, sfDir, start, end, runId, workDir)
     }
 

@@ -624,6 +624,54 @@ object Stores {
     if (jdbcDriverPresent(target.driver)) jdbcRead(spark, target)
     else spark.read.parquet(fallbackPath)
 
+  /** Keyed PARTIAL-UPDATE upsert against a live JDBC table — the
+    * reference's `INSERT ... ON CONFLICT (key) DO UPDATE SET <subset>`
+    * (DAG:279-316), kept SERVER-SIDE the way the reference keeps it:
+    * Spark ships ONLY the update rows (staged through `format("jdbc")`
+    * into `<table>_updates`), then one `MERGE INTO` statement runs inside
+    * the database. At 100 TB-mart scale this is the only sane shape — a
+    * read-merge-overwrite round trip would pull the whole mart through
+    * the driver's JDBC pipe twice and drop the table between; here the
+    * mart never leaves the server and non-update columns keep their
+    * target values exactly as `ON CONFLICT DO UPDATE SET` leaves them.
+    *
+    * Identifier discipline: Spark's JDBC writer quotes COLUMN names at
+    * CREATE (case-sensitive in Derby/Postgres), while the `dbtable` name
+    * passes through unquoted — the MERGE text below mirrors that (quoted
+    * columns, as-is table names). Update rows with a NULL key are dropped
+    * first: `ON t.k = u.k` can never match them and the reference's
+    * conflict target is a PK. */
+  def jdbcUpsert(updates: DataFrame, target: JdbcTarget, key: String,
+                 updateCols: Seq[String]): Unit = {
+    require(updateCols.nonEmpty && !updateCols.contains(key),
+      s"bad update set ${updateCols.mkString(",")} for key $key")
+    val cols = updates.columns.toIndexedSeq
+    require(cols.contains(key) && updateCols.forall(cols.contains),
+      s"update set/key must be update columns: ${cols.mkString(",")}")
+    val stage = target.copy(table = target.table + "_updates")
+    updates.filter(col(key).isNotNull)
+      .write.format("jdbc")
+      .option("url", stage.url).option("dbtable", stage.table)
+      .option("driver", stage.driver)
+      .option("user", stage.user).option("password", stage.password)
+      .mode("overwrite").save()
+    def q(c: String) = "\"" + c + "\""
+    val sql =
+      s"""MERGE INTO ${target.table} t USING ${stage.table} u
+         |ON t.${q(key)} = u.${q(key)}
+         |WHEN MATCHED THEN UPDATE SET ${
+           updateCols.map(c => s"${q(c)} = u.${q(c)}").mkString(", ")}
+         |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
+         |VALUES (${cols.map(c => s"u.${q(c)}").mkString(", ")})""".stripMargin
+    Class.forName(target.driver)
+    val conn = java.sql.DriverManager.getConnection(
+      target.url, target.user, target.password)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(sql) finally st.close()
+    } finally conn.close()
+  }
+
   // -------------------------------------------------------------------------
   // External connectors — jar-gated document-store source
   // -------------------------------------------------------------------------

@@ -804,8 +804,14 @@ object StreamingPipeline {
       .mapGroupsWithState[BalanceState, BalanceReadout](
         GroupStateTimeout.NoTimeout) { (key, batch, state) =>
         var s = state.getOption.getOrElse(BalanceState(0L, start, 0L, 0L))
+        // FLOORED-second + event_id — the batch twin's exact total order
+        // (clampedBalance folds in (unix_timestamp(ts), event_id) order).
+        // Sorting by raw millis would visit same-second events whose
+        // millisecond order disagrees with event_id order differently,
+        // and a clamp fold is non-associative: the parity contract would
+        // silently become data-dependent (the timeWeightedAvg discipline).
         batch.toArray
-          .sortBy(e => (e.ts.getTime, e.event_id))
+          .sortBy(e => (e.ts.getTime / 1000L, e.event_id))
           .foreach { e =>
             val raw = s.bal + delta(e)
             s =

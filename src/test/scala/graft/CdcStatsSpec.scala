@@ -140,6 +140,50 @@ class CdcStatsSpec extends SparkSpec {
     pr2 shouldBe pr
   }
 
+  test("PreparedGraph: one shared canonical-edge cache feeds the whole " +
+    "iterative family with identical results") {
+    import graft.ops.GraphOps
+    // star + detached triangle + chain — exercises hubs, isolation, depth
+    val edges = ((2L to 21L).map(l => (1L, l)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L),
+        (30L, 31L), (31L, 32L), (32L, 33L))).toDF("s", "t")
+    val seeds = Seq(1L, 30L).toDF("node")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().toSeq
+    // edges-form baselines FIRST: each one wraps a throwaway artifact over
+    // the SAME canonical plan, and its end-of-call unpersist would evict
+    // the shared entry out from under a live artifact built earlier
+    // (CacheManager keys by canonicalized plan, not by Dataset identity)
+    val base = (
+      sorted(GraphOps.pageRankScaled(edges, "s", "t", 5)),
+      sorted(GraphOps.personalizedPageRankScaled(
+        edges, "s", "t", seeds, "node", 3)),
+      sorted(GraphOps.kCoreBounded(edges, "s", "t", k = 2, rounds = 2)),
+      sorted(GraphOps.labelPropagation(edges, "s", "t", 3)),
+      sorted(GraphOps.bfsHops(edges, "s", "t", seeds, "node", 3)))
+    val g = GraphOps.prepared(edges, "s", "t")
+    try {
+      sorted(GraphOps.pageRankScaled(g, 5)) shouldBe base._1
+      sorted(GraphOps.personalizedPageRankScaled(
+        g, seeds, "node", 3)) shouldBe base._2
+      sorted(GraphOps.kCoreBounded(g, k = 2, rounds = 2)) shouldBe base._3
+      sorted(GraphOps.labelPropagation(g, 3)) shouldBe base._4
+      sorted(GraphOps.bfsHops(g, seeds, "node", 3)) shouldBe base._5
+      // plan assertion: after the family ran, any consumer planned over
+      // the artifact answers from the cache — one materialized
+      // canonicalize+distinct+double exchange shared by the family, not
+      // five private re-derivations. (Probed through FRESH dependent
+      // frames: a persisted df's own pre-built QueryExecution never
+      // re-substitutes the cache it itself registered.)
+      val biConsumer = g.bi.groupBy("u").count()
+        .queryExecution.executedPlan.toString
+      biConsumer should include("InMemoryTableScan")
+      val degConsumer = g.deg.filter(col("deg") > 1)
+        .queryExecution.executedPlan.toString
+      degConsumer should include("InMemoryTableScan")
+    } finally g.unpersist()
+  }
+
   test("pageRankScaled: 50 iterations stay cheap (per-round persist/rebase)") {
     // WITHOUT the per-round LogicalRDD rebase, iteration i's plan embeds
     // all i−1 predecessors — O(iters²) re-executions of the edge join and

@@ -144,6 +144,37 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("PPJoin+ positional bound cuts candidates without changing output") {
+    val docs = graft.sources.Stores.table(spark, sf0001, "documents")
+    // jaccard: same code path with the positional conjunct on/off —
+    // candidates must shrink (or stay equal), verified output must not move
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val (cOn, rOn) = DedupOps.jaccardPairsPrefixDiag(
+        docs, "doc_id", "text", 3, t, Int.MaxValue, positional = true)
+      val (cOff, rOff) = DedupOps.jaccardPairsPrefixDiag(
+        docs, "doc_id", "text", 3, t, Int.MaxValue, positional = false)
+      val (nOn, nOff) = (cOn.count(), cOff.count())
+      info(f"jaccard t=$t: candidates $nOff%d -> $nOn%d " +
+        f"(${100.0 * (nOff - nOn) / math.max(nOff, 1L)}%.1f%% cut)")
+      nOn should be <= nOff
+      rOn.orderBy("id1", "id2").as[(Long, Long, Double)].collect() shouldBe
+        rOff.orderBy("id1", "id2").as[(Long, Long, Double)].collect()
+    }
+    // containment: one-sided form, same contract
+    for (t <- Seq(0.4, 0.7)) {
+      val (cOn, rOn) = DedupOps.containmentPairsDiag(
+        docs, "doc_id", "text", 3, t, Int.MaxValue, positional = true)
+      val (cOff, rOff) = DedupOps.containmentPairsDiag(
+        docs, "doc_id", "text", 3, t, Int.MaxValue, positional = false)
+      val (nOn, nOff) = (cOn.count(), cOff.count())
+      info(f"containment t=$t: candidates $nOff%d -> $nOn%d " +
+        f"(${100.0 * (nOff - nOn) / math.max(nOff, 1L)}%.1f%% cut)")
+      nOn should be <= nOff
+      rOn.orderBy("id_sub", "id_super").as[(Long, Long, Double)].collect() shouldBe
+        rOff.orderBy("id_sub", "id_super").as[(Long, Long, Double)].collect()
+    }
+  }
+
   test("jaccardPairs df-cap drops hot boilerplate shingles, keeps genuine dups") {
     // 20 docs that share ONLY a boilerplate sentence (df=20 per boilerplate
     // shingle) + one genuine duplicate pair with private content (df=2).

@@ -233,6 +233,49 @@ class MonitorAndStructureSpec extends SparkSpec {
     batch.map(_._5).sum should be > 0L
   }
 
+  test("streamingClampedBalance parity: same-second events where millis " +
+    "order disagrees with event_id order") {
+    import graft.streaming.StreamingPipeline
+    import graft.ops.TemporalOps
+    // Both events land in the SAME floored second, but millisecond order
+    // (id 2 at .100 before id 1 at .900) disagrees with event_id order.
+    // The clamp fold is non-associative: id-order gives +120→clamp hi 100,
+    // −50→50; millis-order gives −50→clamp lo 0, +120→clamp hi 100. The
+    // batch op folds in (unix_timestamp, event_id) order, so the stream
+    // must too — a raw-millis sort would diverge exactly here.
+    val base = java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_bal_tie_").toString
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(base + 900), 7L, "purchase", 120.0, "{}"),
+      (2L, new java.sql.Timestamp(base + 100), 7L, "purchase", -50.0, "{}"))
+    val ev = rows.toDF(
+      StreamingPipeline.eventSchema.fieldNames.toIndexedSeq: _*)
+    ev.write.mode("overwrite").parquet(s"$work/src")
+
+    val q = StreamingPipeline.streamingClampedBalance(
+        StreamingPipeline.readEventStream(spark, s"$work/src"),
+        lo = 0L, hi = 100L)(e => e.value.toLong)
+      .writeStream.format("memory").queryName("graft_bal_tie")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("graft_bal_tie")
+      .select("key", "n_events", "final_balance", "n_clamped_hi",
+        "n_clamped_lo")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    streamed shouldBe Array((7L, 2L, 50L, 1L, 0L))
+
+    val batch = TemporalOps.clampedBalance(
+        ev.select(col("user_id"), unix_timestamp(col("ts")).as("o"),
+          col("event_id"), col("value").cast("long").as("delta")),
+        "user_id", "o", "event_id", "delta", lo = 0L, hi = 100L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    streamed shouldBe batch
+  }
+
   test("maseReport: an exact weekly cycle scores mase 0") {
     // counts cycle with period 7 → the seasonal-naive forecast is exact
     val rows = for (d <- 0 until 28; i <- 0 until (1 + d % 7))

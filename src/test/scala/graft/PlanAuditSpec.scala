@@ -181,6 +181,53 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("nested-document source: predicate pushdown + nested schema pruning reach the scan") {
+    // The reference pushes find(query, projection) INTO Mongo (DAG:94-132)
+    // so the server never ships unselected fields or unmatched documents.
+    // The engine-side contract on a nested columnar source is the same,
+    // enforced by Catalyst: a filter on a nested leaf lands in the scan's
+    // PushedFilters, and the ReadSchema carries ONLY the selected leaves —
+    // unread struct fields (profile.first_ts here) never leave the file.
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_nested_").toString
+    Seq((1L, 3L, "2024-01-01", Seq((10L, "a", 1.0), (11L, "b", 2.0))),
+        (2L, 1L, "2024-02-02", Seq((20L, "c", 3.0))))
+      .toDF("user_id", "n", "f", "ev")
+      .select(col("user_id"),
+        struct(col("n").as("n_events"), col("f").as("first_ts")).as("profile"),
+        transform(col("ev"), e => struct(e.getField("_1").as("event_id"),
+          e.getField("_2").as("event_type"), e.getField("_3").as("value")))
+          .as("events"))
+      .write.parquet(s"$work/docs")
+
+    val q = spark.read.parquet(s"$work/docs")
+      .filter(col("profile.n_events") >= 2)
+      .select(col("user_id"), col("profile.n_events").as("n_events"),
+        explode(col("events.event_id")).as("event_id"))
+    val plan = q.queryExecution.executedPlan.toString
+
+    // nested PREDICATE pushdown: the profile.n_events filter reaches the
+    // parquet scan (server-side find(query) analog)
+    plan should include("PushedFilters")
+    plan should include regex "PushedFilters: \\[[^\\]]*profile\\.n_events"
+    // nested SCHEMA pruning: only the read leaves survive in ReadSchema
+    // (projection analog) — the unread profile.first_ts and the unread
+    // array-element leaves must be pruned out of the scan
+    val readSchema =
+      "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    readSchema should include("n_events")
+    // (`not` is shadowed by functions._ here — assert via boolean)
+    readSchema.contains("first_ts") shouldBe false
+    readSchema.contains("event_type") shouldBe false
+
+    // and the result itself is right (filter kept user 1 only)
+    q.orderBy("event_id").as[(Long, Long, Long)].collect() shouldBe
+      Array((1L, 3L, 10L), (1L, 3L, 11L))
+  }
+
   test("PQ/IVF queries ride the native kernels, not the declarative argmax") {
     // the struct-per-centroid/code forms cross Janino's 64 KB method
     // limit at production sizes and silently drop to interpreted eval —

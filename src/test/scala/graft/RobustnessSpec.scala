@@ -196,6 +196,42 @@ class RobustnessSpec extends SparkSpec {
     calls shouldBe 2                      // third attempt is past the deadline
   }
 
+  test("withRetry: onFailure fires once per failed attempt (email_on_failure analog)") {
+    val alerts = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    var calls = 0
+    // succeed on the 3rd attempt → exactly 2 alerts, 1-based ordinals
+    val out = Pipeline.withRetry(maxRetries = 2, retryDelayMs = 1L,
+      timeoutMs = 10000L, sleep = _ => (), clock = () => 0L,
+      onFailure = (a, e) => alerts.append((a, e.getMessage))) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException(s"boom #$calls")
+      "ok"
+    }
+    out shouldBe "ok"
+    alerts.toSeq shouldBe Seq((1, "boom #1"), (2, "boom #2"))
+
+    // exhaustion: the FINAL failed attempt alerts too, before the give-up
+    alerts.clear()
+    intercept[IllegalStateException] {
+      Pipeline.withRetry(maxRetries = 1, retryDelayMs = 1L,
+        timeoutMs = 10000L, sleep = _ => (), clock = () => 0L,
+        onFailure = (a, e) => alerts.append((a, e.getMessage))) {
+        throw new RuntimeException("always")
+      }
+    }
+    alerts.toSeq shouldBe Seq((1, "always"), (2, "always"))
+
+    // a THROWING hook neither masks the pipeline error nor cancels retries
+    var hookCalls = 0
+    Pipeline.withRetry(maxRetries = 1, retryDelayMs = 1L,
+      timeoutMs = 10000L, sleep = _ => (), clock = () => 0L,
+      onFailure = (_, _) => { hookCalls += 1; throw new RuntimeException("pager down") }) {
+      if (hookCalls == 0) throw new RuntimeException("transient")
+      "recovered"
+    } shouldBe "recovered"
+    hookCalls shouldBe 1
+  }
+
   test("JDBC seam: absent driver falls back to parquet; present driver takes jdbc") {
     val work = Files.createTempDirectory("graft_jdbc_").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
