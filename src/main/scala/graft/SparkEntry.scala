@@ -224,6 +224,20 @@ object SparkEntry {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** Shared [[graft.ext.DedupOps.ShingleIndex]] over `documents` (3-gram,
+    * df-cap 50) — the whole set-similarity family (full inverted-index
+    * Jaccard, prefix Jaccard, containment) starts from the same kernel
+    * shingle pass, so it is memoized per sf dir like the stores: the
+    * first similarity query pays the shingle kernel + df-cap exchange,
+    * every later one reads the cache. */
+  private val shingleIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ext.DedupOps.ShingleIndex]()
+  private def docShingleIndex(s: SparkSession, d: String)
+      : graft.ext.DedupOps.ShingleIndex =
+    shingleIndexes.computeIfAbsent(d, _ =>
+      DedupOps.shingleIndex(t(s, d, "documents"), "doc_id", "text",
+        n = 3, maxShingleDf = 50))
+
   /** Shared [[graft.ops.GraphOps.PreparedGraph]] artifacts — the
     * iterative graph family (PageRank, PPR, k-core, LPA, BFS) all start
     * from the same canonicalize+distinct+double+degree derivation over a
@@ -845,23 +859,52 @@ object SparkEntry {
         .select("fingerprint", "keep_id", "n_dups").orderBy("keep_id")),
 
     "q_ngram_jaccard_pairs" -> ((s, d) =>
-      DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5, maxShingleDf = 50)
+      DedupOps.jaccardPairs(docShingleIndex(s, d), threshold = 0.5)
         .orderBy("id1", "id2")),
 
     // prefix-filtered set-similarity join (AllPairs/PPJoin): identical
     // output to the inverted-index form, indexing only ~(1-t) of shingles
     "q_jaccard_prefix" -> ((s, d) =>
-      DedupOps.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8, maxShingleDf = 50)
+      DedupOps.jaccardPairsPrefix(docShingleIndex(s, d), threshold = 0.8)
         .orderBy("id1", "id2")),
 
     // asymmetric containment pairs (quote/subset detection — high when a
     // short doc is wholly inside a long one even though Jaccard is tiny)
     "q_containment_pairs" -> ((s, d) =>
-      DedupOps.containmentPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5, maxShingleDf = 50)
+      DedupOps.containmentPairs(docShingleIndex(s, d), threshold = 0.5)
         .orderBy("id_sub", "id_super")),
+
+    // URL canonicalization + URL-keyed dedup — the cheapest dedup tier of
+    // a web corpus (needs no content at all): scheme/case/default-port/
+    // www./tracking-param/param-order/trailing-slash variants collapse to
+    // one canonical key, which then groups. Canonicalization is a pure
+    // zero-shuffle column chain (UrlOps); the only shuffle is the final
+    // key groupBy. Fixture URLs are synthesized deterministically from
+    // doc_id (4 messy variants per page; the oracle builds the identical
+    // strings and replays the identical surgery).
+    "q_url_canonicalize" -> ((s, d) => {
+      val k = expr("doc_id div 4").cast(StringType)
+      val host = concat(lit("h"), expr("(doc_id div 4) % 20").cast(StringType))
+      val raw = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("https://WWW."), host, lit(".Example.COM/articles/"),
+            k, lit("/?utm_source=rss&ref=tw&b=2&a=1#top")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTPS://"), host, lit(".EXAMPLE.com:443/articles/"), k))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://"), host, lit(".example.com/articles/"),
+            k, lit("?a=1&b=2")))
+        .otherwise(
+          concat(lit("http://"), host, lit(".example.com:80/articles/"),
+            k, lit("/")))
+        .as("url"))
+      raw
+        .select(col("doc_id"),
+          graft.ext.UrlOps.canonicalizeUrl(col("url")).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_id"))
+        .orderBy("keep_id")
+    }),
 
     // sliding-window chunking (RAG indexing / context packing): pure
     // per-row explode, zero shuffle; overlap factor chunk/stride = 2×
@@ -6347,6 +6390,48 @@ object SparkEntry {
          FROM common JOIN sizes s1 ON s1.id = id_sub
          WHERE ROUND(CAST(c AS DOUBLE) / s1.sz, 4) >= 0.5
          ORDER BY id_sub, id_super""",
+
+    // identical synthesized URLs + the identical canonicalization surgery
+    // (scheme/host lowercase, www. strip, default-port drop, tracking-param
+    // filter + param sort, trailing-slash collapse, fragment strip)
+    "q_url_canonicalize" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 'https://WWW.h' || ((doc_id // 4) % 20) || '.Example.COM/articles/' || (doc_id // 4) || '/?utm_source=rss&ref=tw&b=2&a=1#top'
+                    WHEN 1 THEN 'HTTPS://h' || ((doc_id // 4) % 20) || '.EXAMPLE.com:443/articles/' || (doc_id // 4)
+                    WHEN 2 THEN 'https://h' || ((doc_id // 4) % 20) || '.example.com/articles/' || (doc_id // 4) || '?a=1&b=2'
+                    ELSE 'http://h' || ((doc_id // 4) % 20) || '.example.com:80/articles/' || (doc_id // 4) || '/'
+                  END AS url
+           FROM documents),
+         parts AS (
+           SELECT doc_id,
+                  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+                  regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS afterhost,
+                  regexp_extract(url, '\?([^#]*)', 1) AS rawq
+           FROM raw),
+         comp AS (
+           SELECT doc_id, scheme,
+                  regexp_replace(regexp_replace(lower(hostport), ':[0-9]*$', ''), '^www\.', '') AS host,
+                  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                  regexp_replace(regexp_extract(afterhost, '^([^?#]*)', 1), '/+$', '') AS path1,
+                  list_sort(list_filter(string_split(rawq, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$'))) AS kept
+           FROM parts),
+         c AS (
+           SELECT doc_id,
+                  scheme || '://' || host ||
+                  CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                            AND NOT (scheme = 'https' AND port = '443')
+                       THEN ':' || port ELSE '' END ||
+                  CASE WHEN path1 = '' THEN '/' ELSE path1 END ||
+                  CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+                    AS canonical_url
+           FROM comp)
+         SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+                CAST(MIN(doc_id) AS BIGINT) AS keep_id
+         FROM c GROUP BY canonical_url ORDER BY keep_id""",
 
     "q_ngram_jaccard_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -86,18 +86,64 @@ object DedupOps {
     * `maxShingleDf` are dropped BEFORE the self-join (hot-boilerplate guard,
     * see [[dropHotKeys]]); set sizes |A|,|B| are computed before the cap, so
     * capped pairs can only lose score, never gain. */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double,
-                   maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    // set size rides along each exploded shingle row (it's functionally
-    // dependent on the id), so |A| and |B| fall out of the pair groupBy —
-    // no separate sizes aggregation and no two joins back
-    val sh = dropHotKeys(
+  /** The exploded positional shingle frame (id, sz, pos, sh) every
+    * set-similarity join in this family starts from: per-doc canonical
+    * (hash-sorted) shingle set with the set size and each element's
+    * canonical rank riding the exploded rows, df-capped. */
+  private def shinglePositions(df: DataFrame, idCol: String, textCol: String,
+                               n: Int, maxShingleDf: Int): DataFrame =
+    dropHotKeys(
       spread(df)
         .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sha"))
         .select(col("id"), size(col("sha")).cast("bigint").as("sz"),
-          explode(col("sha")).as("sh")),
+          posexplode(array_sort(col("sha"))).as(Seq("pos", "sh"))),
       "sh", maxShingleDf)
+
+  /**
+   * Persisted SHINGLE-INDEX artifact shared across the set-similarity
+   * family ([[jaccardPairs]], [[jaccardPairsPrefix]],
+   * [[containmentPairs]]) — each of those starts from the SAME kernel
+   * shingle pass + explode + df-cap exchange, and a user running several
+   * similarity analyses over one corpus should pay that pass ONCE (the
+   * [[graft.ops.GraphOps.PreparedGraph]] economics, on text). Build the
+   * index, hand it to each join, `unpersist()` when done. The
+   * per-DataFrame overloads remain and cost exactly what they used to
+   * (plan-level exchange reuse inside one query, nothing persisted).
+   *
+   * Cache-eviction caveat (same as PreparedGraph): Spark's CacheManager
+   * keys by canonicalized plan, so building and releasing a SECOND index
+   * over the same frame evicts the shared entry — one artifact per
+   * corpus, released by its owner.
+   */
+  final class ShingleIndex private[DedupOps] (
+      private[graft] val shPos: DataFrame, val n: Int, val maxDf: Int) {
+    def unpersist(): Unit = { shPos.unpersist(blocking = false); () }
+  }
+
+  /** Build the shared artifact; see [[ShingleIndex]]. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, maxShingleDf: Int = Int.MaxValue): ShingleIndex =
+    new ShingleIndex(
+      shinglePositions(df, idCol, textCol, n, maxShingleDf).persist(),
+      n, maxShingleDf)
+
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double,
+                   maxShingleDf: Int = Int.MaxValue): DataFrame =
+    jaccardPairsCore(
+      shinglePositions(df, idCol, textCol, n, maxShingleDf), threshold)
+
+  /** [[jaccardPairs]] off a shared [[ShingleIndex]] — the kernel shingle
+    * pass is the artifact's cache, paid once across the family. */
+  def jaccardPairs(ix: ShingleIndex, threshold: Double): DataFrame =
+    jaccardPairsCore(ix.shPos, threshold)
+
+  private def jaccardPairsCore(shPos: DataFrame,
+                               threshold: Double): DataFrame = {
+    // set size rides along each exploded shingle row (it's functionally
+    // dependent on the id), so |A| and |B| fall out of the pair groupBy —
+    // no separate sizes aggregation and no two joins back
+    val sh = shPos.select("id", "sz", "sh")
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
@@ -137,6 +183,10 @@ object DedupOps {
     jaccardPairsPrefixDiag(df, idCol, textCol, n, threshold, maxShingleDf,
       positional = true)._2
 
+  /** [[jaccardPairsPrefix]] off a shared [[ShingleIndex]]. */
+  def jaccardPairsPrefix(ix: ShingleIndex, threshold: Double): DataFrame =
+    jaccardPairsPrefixCore(ix.shPos, threshold, positional = true)._2
+
   /** Diagnostic form: also returns the candidate-pair frame (pre-
     * verification), and can disable the PPJoin+ positional bound — lets a
     * spec MEASURE the candidate cut the bound buys while asserting output
@@ -144,19 +194,21 @@ object DedupOps {
   private[graft] def jaccardPairsPrefixDiag(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleDf: Int,
+      positional: Boolean): (DataFrame, DataFrame) =
+    jaccardPairsPrefixCore(
+      shinglePositions(df, idCol, textCol, n, maxShingleDf),
+      threshold, positional)
+
+  private def jaccardPairsPrefixCore(
+      shPos: DataFrame, threshold: Double,
       positional: Boolean): (DataFrame, DataFrame) = {
     // ONE kernel pass + ONE pinned exchange (same discipline as
     // jaccardPairs): the index carries each shingle's per-row canonical
     // rank (position in the hash-sorted array), so the prefix slice, the
     // df-cap, the candidate self-join, and both verification reads all
     // hang off the same exchanged subtree — no doc-keyed window shuffle,
-    // no recomputed shingling.
-    val shPos = dropHotKeys(
-      spread(df)
-        .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sha"))
-        .select(col("id"), size(col("sha")).cast("bigint").as("sz"),
-          posexplode(array_sort(col("sha"))).as(Seq("pos", "sh"))),
-      "sh", maxShingleDf)
+    // no recomputed shingling. (Off a persisted ShingleIndex, "the same
+    // exchanged subtree" becomes "the same cache", shared across queries.)
     val sh = shPos.select("id", "sz", "sh")
     val alpha = ceil(lit(threshold - 0.001) * col("sz") - lit(1e-9))
     // Positions count ALL of the doc's shingles while the pigeonhole
@@ -258,19 +310,24 @@ object DedupOps {
     containmentPairsDiag(df, idCol, textCol, n, threshold, maxShingleDf,
       positional = true)._2
 
+  /** [[containmentPairs]] off a shared [[ShingleIndex]]. */
+  def containmentPairs(ix: ShingleIndex, threshold: Double): DataFrame =
+    containmentPairsCore(ix.shPos, threshold, positional = true)._2
+
   /** Diagnostic form ([[jaccardPairsPrefixDiag]] contract): candidate
     * frame + result, with the positional bound toggleable for the spec's
     * candidate-cut measurement. */
   private[graft] def containmentPairsDiag(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleDf: Int,
+      positional: Boolean): (DataFrame, DataFrame) =
+    containmentPairsCore(
+      shinglePositions(df, idCol, textCol, n, maxShingleDf),
+      threshold, positional)
+
+  private def containmentPairsCore(
+      shPos: DataFrame, threshold: Double,
       positional: Boolean): (DataFrame, DataFrame) = {
-    val shPos = dropHotKeys(
-      spread(df)
-        .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sha"))
-        .select(col("id"), size(col("sha")).cast("bigint").as("sz"),
-          posexplode(array_sort(col("sha"))).as(Seq("pos", "sh"))),
-      "sh", maxShingleDf)
     val sh = shPos.select("id", "sz", "sh")
     val shP = shPos.select("id", "sz", "pos", "sh")
     val alpha = ceil(lit(threshold - 0.001) * col("sz") - lit(1e-9))

@@ -1268,10 +1268,13 @@ object SimilarityOps {
       .persist()
     val sums = (1 to dims).map(i =>
       sum(round(col(s"x$i"), 9).cast(dec)).as(s"s$i"))
+    // checkpointed for the same reason as the loop below: round 1 reads
+    // the seed estimate twice
     var m = base.groupBy("label")
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("label") +: (1 to dims).map(i =>
         round(col(s"s$i").cast("double") / col("n"), 6).as(s"m$i")): _*)
+      .localCheckpoint()
     for (_ <- 1 to rounds) {
       val j = base.join(broadcast(m), "label")
       val dist = sqrt((1 to dims).map(i =>
@@ -1290,14 +1293,19 @@ object SimilarityOps {
             .as(s"u$i")): _*)
       // a label whose every point coincides with the estimate has no
       // dd > 0 contributions — it KEEPS the estimate (it IS the
-      // median), rather than vanishing from the output
+      // median), rather than vanishing from the output.
+      // Per-round localCheckpoint (the graph-family discipline): each
+      // round reads m TWICE (the broadcast to the points and the
+      // keep-on-degenerate join), so without the cut the plan doubles
+      // per round and round r re-executes ~2^r copies of the point
+      // aggregate; m is |labels| rows, so the cut is ~free.
       m = m.join(upd, Seq("label"), "left")
         .select(col("label") +: (1 to dims).map(i =>
           coalesce(col(s"u$i"), col(s"m$i")).as(s"m$i")): _*)
+        .localCheckpoint()
     }
-    val result = m.localCheckpoint()
     base.unpersist(blocking = false)
-    result
+    m
   }
 
   def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * URL normalization — the key-engineering step in front of every
+ * web-corpus dedup: crawls reach the same page through scheme/case/port/
+ * tracking-param/trailing-slash variants, and URL-keyed dedup (the tier
+ * BEFORE any content hashing: it needs no fetch at all) only works if
+ * those variants collapse to one canonical key first. The reference's
+ * document pipeline (DAG:94-132) keys documents by source fields the
+ * same way; this is that discipline applied to the web-native id.
+ *
+ * Everything here is a pure COLUMN expression chain (regexp/split/sort/
+ * concat built-ins) — zero shuffle, fully inside whole-stage codegen, so
+ * canonicalization at 100 TB is a free projection riding the scan. The
+ * rules are the conservative RFC-3986-style set every crawler applies:
+ *
+ *  - scheme and host lowercased (case-insensitive by spec); path and
+ *    query left case-sensitive (significant by spec)
+ *  - fragment stripped (never sent to the server)
+ *  - default ports dropped (`:80` for http, `:443` for https)
+ *  - leading `www.` stripped from the host (the classic duplicate host)
+ *  - tracking params dropped (`utm_*`, `gclid`, `fbclid`, `ref`) and the
+ *    surviving query params SORTED (order is almost never significant,
+ *    and unordered-equal queries are the second-biggest variant source)
+ *  - trailing slashes collapsed off the path; empty path → `/`
+ *
+ * Deterministic: one fixed expression chain per rule, replayable
+ * verbatim in SQL — the oracle runs the identical surgery.
+ */
+object UrlOps {
+
+  /** Tracking query params to drop: `utm_*` plus the common click ids. */
+  private val TrackingParam = "^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$"
+
+  /** Lowercased scheme (`http`, `https`, …); "" when the value has no
+    * `scheme://` prefix. */
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+
+  /** Canonical host: lowercased, default-port-free, `www.`-stripped. */
+  def urlHost(url: Column): Column = {
+    val hostPort = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    regexp_replace(
+      regexp_replace(lower(hostPort), ":[0-9]*$", ""),
+      "^www\\.", "")
+  }
+
+  /** Path with trailing slashes collapsed; "" / bare host → "/". The
+    * path keeps its case (case-SENSITIVE per RFC 3986). */
+  def urlPath(url: Column): Column = {
+    val afterHost =
+      regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    val path = regexp_extract(afterHost, "^([^?#]*)", 1)
+    val trimmed = regexp_replace(path, "/+$", "")
+    when(trimmed === "", lit("/")).otherwise(trimmed)
+  }
+
+  /** Canonical query: tracking params dropped, survivors sorted, ""
+    * when nothing survives (no leading `?`). */
+  def urlQuery(url: Column): Column = {
+    val raw = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = filter(split(raw, "&"),
+      p => p =!= "" && !p.rlike(TrackingParam))
+    when(size(kept) > 0, concat(lit("?"), concat_ws("&", array_sort(kept))))
+      .otherwise(lit(""))
+  }
+
+  /** The full canonical URL (see the object doc for the rule set).
+    * Values without a `scheme://` prefix canonicalize to NULL — refusing
+    * to guess beats inventing a scheme, and null keys fall out of any
+    * downstream dedup groupBy. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = urlScheme(url)
+    val host = urlHost(url)
+    val port = regexp_extract(
+      regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1),
+      ":([0-9]+)$", 1)
+    val keepPort =
+      port =!= "" &&
+        !(scheme === "http" && port === "80") &&
+        !(scheme === "https" && port === "443")
+    when(scheme === "", lit(null).cast("string")).otherwise(
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        urlPath(url), urlQuery(url)))
+  }
+}

@@ -175,6 +175,38 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("ShingleIndex: one shared shingle cache feeds the set-similarity " +
+    "family with identical results") {
+    val docs = graft.sources.Stores.table(spark, sf0001, "documents")
+    // per-DataFrame baselines FIRST (the PreparedGraph eviction caveat:
+    // CacheManager keys by canonicalized plan, and a throwaway index over
+    // the same frame would evict the shared one if built after it)
+    val fullBase = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5, 50)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect()
+    val prefBase = DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8, 50)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect()
+    val contBase = DedupOps.containmentPairs(docs, "doc_id", "text", 3, 0.5, 50)
+      .orderBy("id_sub", "id_super").as[(Long, Long, Double)].collect()
+
+    val ix = DedupOps.shingleIndex(docs, "doc_id", "text", 3, 50)
+    try {
+      DedupOps.jaccardPairs(ix, 0.5)
+        .orderBy("id1", "id2").as[(Long, Long, Double)]
+        .collect() shouldBe fullBase
+      DedupOps.jaccardPairsPrefix(ix, 0.8)
+        .orderBy("id1", "id2").as[(Long, Long, Double)]
+        .collect() shouldBe prefBase
+      DedupOps.containmentPairs(ix, 0.5)
+        .orderBy("id_sub", "id_super").as[(Long, Long, Double)]
+        .collect() shouldBe contBase
+      // index-form consumers answer from ONE materialized shingle cache —
+      // the kernel pass + df-cap exchange ran once for the whole family
+      DedupOps.jaccardPairs(ix, 0.5)
+        .queryExecution.executedPlan.toString should
+        include("InMemoryTableScan")
+    } finally ix.unpersist()
+  }
+
   test("jaccardPairs df-cap drops hot boilerplate shingles, keeps genuine dups") {
     // 20 docs that share ONLY a boilerplate sentence (df=20 per boilerplate
     // shingle) + one genuine duplicate pair with private content (df=2).
