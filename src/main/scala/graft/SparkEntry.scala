@@ -2180,6 +2180,21 @@ object SparkEntry {
     // Wald SPRT over the daily urgent-order rate: cumulative LLR of
     // H1 (25%) vs H0 (15%) with the always-valid decision at each day —
     // continuous monitoring without the peeking penalty
+    // autocorrelation of the daily event-count series, lags 1..14 — the
+    // periodicity diagnostic beside MASE's verdict and η²'s magnitude:
+    // weekly cycle = lag-7 spike, trend = slow decay; gap days are real
+    // zeros on the contiguous day grid
+    "q_acf" -> ((s, d) =>
+      graft.ops.TemporalOps.acf(t(s, d, "events"), "ts", maxLag = 14)),
+
+    // cross-correlation of click vs purchase daily counts at lags −7..7:
+    // does click volume LEAD purchase volume and by how many days —
+    // the bivariate twin of q_acf, same contiguous-grid + exact-integer
+    // products discipline
+    "q_xcf" -> ((s, d) =>
+      graft.ops.TemporalOps.crossCorrelation(t(s, d, "events"), "ts",
+        "event_type", "click", "purchase", maxLag = 7)),
+
     "q_sprt_monitor" -> ((s, d) =>
       graft.ops.TemporalOps.sprtMonitor(
           t(s, d, "orders").select(col("o_orderdate").as("ts"),
@@ -2795,6 +2810,19 @@ object SparkEntry {
     // arms with the pooled-variance z and the Wald CI of the diff —
     // the conversion readout q_conversion_wilson's per-arm bands
     // can't give directly
+    // Welch two-sample t on the metric MEAN between the same hash arms
+    // the two-proportion z tests on rates — unequal variances assumed
+    // (always true in practice); exact-cents moments, one pinned double
+    // chain, Welch–Satterthwaite df
+    "q_welch_ttest" -> ((s, d) =>
+      graft.ops.StatsOps.welchTTest(
+        t(s, d, "events")
+          .select(col("value"),
+            (pmod(graft.ext.TextOps.fingerprint60(
+              concat(col("user_id").cast("string"), lit(":ab"))),
+              lit(2L)) === 0L).as("arm")),
+        "arm", "value")),
+
     "q_two_proportion" -> ((s, d) =>
       t(s, d, "events")
         .select((col("event_type") === lit("purchase")).as("__s"),
@@ -8342,6 +8370,82 @@ object SparkEntry {
 
     // the two LLR factors and both Wald bounds are the same double
     // expressions in both engines; decision compares the ROUNDED llr
+    // the identical products-identity algebra: per-lag integer sums, one
+    // double combination per row (m = S/n shared by every term)
+    "q_acf" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                               CAST(COUNT(*) AS BIGINT) AS y
+                        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+              b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+              grid AS (SELECT CAST(unnest(generate_series(0,
+                         datediff('day', d0, d1))) AS BIGINT) AS idx FROM b),
+              s AS (SELECT g.idx, COALESCE(d.y, 0) AS y
+                    FROM grid g LEFT JOIN
+                      (SELECT datediff('day', (SELECT d0 FROM b), day) AS idx, y
+                       FROM daily) d USING (idx)),
+              t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(y) AS BIGINT) AS sm,
+                           SUM(CAST(y AS HUGEINT) * y) AS syy
+                    FROM s),
+              p AS (SELECT ll.l AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                           CAST(SUM(a.y) AS BIGINT) AS sa,
+                           CAST(SUM(bb.y) AS BIGINT) AS sb,
+                           SUM(CAST(a.y AS HUGEINT) * bb.y) AS sab
+                    FROM s a
+                    CROSS JOIN (SELECT unnest(generate_series(1, 14)) AS l) ll
+                    JOIN s bb ON bb.idx = a.idx + ll.l
+                    GROUP BY ll.l)
+         SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+                CASE WHEN (CAST(syy AS DOUBLE) - (CAST(sm AS DOUBLE) / n) * sm) > 0.0
+                     THEN ROUND((CAST(sab AS DOUBLE)
+                                 - (CAST(sm AS DOUBLE) / n) * (sa + sb)
+                                 + n_pairs * (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n))
+                                / (CAST(syy AS DOUBLE) - (CAST(sm AS DOUBLE) / n) * sm), 6)
+                END AS acf
+         FROM p CROSS JOIN t ORDER BY lag""",
+
+    // same products identity as q_acf, bivariate: per-lag integer sums,
+    // one double combination per row against full-series sd normalization
+    "q_xcf" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+                        FROM events
+                        WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+                        GROUP BY 1),
+              b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+              grid AS (SELECT CAST(unnest(generate_series(0,
+                         datediff('day', d0, d1))) AS BIGINT) AS idx FROM b),
+              s AS (SELECT g.idx, COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+                    FROM grid g LEFT JOIN
+                      (SELECT datediff('day', (SELECT d0 FROM b), day) AS idx, x, y
+                       FROM daily) d USING (idx)),
+              t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(x) AS BIGINT) AS sx,
+                           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                           CAST(SUM(y) AS BIGINT) AS sy,
+                           SUM(CAST(y AS HUGEINT) * y) AS syy
+                    FROM s),
+              p AS (SELECT ll.l AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                           CAST(SUM(a.x) AS BIGINT) AS sa,
+                           CAST(SUM(bb.y) AS BIGINT) AS sb,
+                           SUM(CAST(a.x AS HUGEINT) * bb.y) AS sab
+                    FROM s a
+                    CROSS JOIN (SELECT unnest(generate_series(-7, 7)) AS l) ll
+                    JOIN s bb ON bb.idx = a.idx + ll.l
+                    GROUP BY ll.l)
+         SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+                CASE WHEN (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * sx) > 0.0
+                      AND (CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) / n) * sy) > 0.0
+                     THEN ROUND((CAST(sab AS DOUBLE)
+                                 - (CAST(sy AS DOUBLE) / n) * sa
+                                 - (CAST(sx AS DOUBLE) / n) * sb
+                                 + n_pairs * (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                                / sqrt((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * sx)
+                                       * (CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) / n) * sy)), 6)
+                END AS xcf
+         FROM p CROSS JOIN t ORDER BY lag""",
+
     "q_sprt_monitor" ->
       """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
                                CAST(COUNT(*) AS BIGINT) AS n0,
@@ -8872,6 +8976,44 @@ object SparkEntry {
                 ROUND(sqrt(var) / 100.0, 6) AS sigma,
                 ROUND(2.8015852186 * sqrt(var * 2.0 / ne) / 100.0, 6) AS mde_abs,
                 ROUND(2.8015852186 * sqrt(var * 2.0 / ne) / mean, 6) AS mde_rel
+         FROM v""",
+
+    // the identical cents moments and the identical Welch double chain,
+    // division for division
+    "q_welch_ttest" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                           (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT) % 2 = 0) AS a
+                    FROM events),
+              f AS (SELECT a, c FROM e WHERE a IS NOT NULL AND c IS NOT NULL),
+              m AS (SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                           SUM(CASE WHEN a THEN CAST(c AS HUGEINT) ELSE 0 END) AS s_a,
+                           SUM(CASE WHEN a THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q_a,
+                           CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                           SUM(CASE WHEN NOT a THEN CAST(c AS HUGEINT) ELSE 0 END) AS s_b,
+                           SUM(CASE WHEN NOT a THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q_b
+                    FROM f),
+              w AS (SELECT n_a, n_b,
+                           CAST(s_a AS DOUBLE) / n_a / 100.0 AS ma,
+                           CAST(s_b AS DOUBLE) / n_b / 100.0 AS mb,
+                           (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)
+                             / (n_a - 1.0) / 10000.0 AS va,
+                           (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)
+                             / (n_b - 1.0) / 10000.0 AS vb
+                    FROM m),
+              v AS (SELECT *, va / n_a + vb / n_b AS sesq FROM w)
+         SELECT n_a, n_b,
+                CASE WHEN n_a > 0 THEN ROUND(ma, 6) END AS mean_a,
+                CASE WHEN n_b > 0 THEN ROUND(mb, 6) END AS mean_b,
+                CASE WHEN n_a >= 2 AND n_b >= 2 THEN ROUND(ma - mb, 6) END AS diff,
+                CASE WHEN n_a >= 2 AND n_b >= 2 AND (va > 0.0 OR vb > 0.0)
+                     THEN ROUND(sqrt(sesq), 6) END AS se,
+                CASE WHEN n_a >= 2 AND n_b >= 2 AND (va > 0.0 OR vb > 0.0)
+                     THEN ROUND((ma - mb) / sqrt(sesq), 6) END AS t,
+                CASE WHEN n_a >= 2 AND n_b >= 2 AND (va > 0.0 OR vb > 0.0)
+                     THEN ROUND(sesq * sesq /
+                       (va * va / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1.0))
+                        + vb * vb / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1.0))), 6)
+                END AS df_welch
          FROM v""",
 
     "q_two_proportion" ->

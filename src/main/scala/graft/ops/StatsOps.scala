@@ -751,6 +751,63 @@ object StatsOps {
   }
 
   /**
+   * WELCH'S two-sample t-test — the continuous-outcome A/B readout
+   * beside [[graft.SparkEntry]]'s two-proportion z (rates) and
+   * [[cupedAdjust]] (variance reduction): does the metric MEAN differ
+   * between arms, without assuming equal variances (Welch beats
+   * Student's t whenever arm sizes or spreads differ, which is always).
+   * Emits one row: (n_a, n_b, mean_a, mean_b, diff, se, t,
+   * df_welch) — t 6dp, df via Welch–Satterthwaite. Degenerate inputs
+   * (an arm with < 2 rows, or both variances zero) emit NULL t/df
+   * rather than Infinity/NaN (the [[ksStatistic]] convention).
+   *
+   * Deterministic: per-arm n/Σc/Σc² are exact integer cents in
+   * DECIMAL(38,0); means, the two variance terms, se, t and df are ONE
+   * pinned double chain both engines replay division-for-division.
+   *
+   * Scale: one conditional-aggregation pass (partial-aggregating, no
+   * shuffle beyond the 1-row rollup) — the same shape as reconcile.
+   */
+  def welchTTest(df: DataFrame, armCol: String,
+                 valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .select(col(armCol).cast("boolean").as("__a"),
+        cents(col(valueCol)).cast(dec).as("__c"))
+      .filter(col("__a").isNotNull && col("__c").isNotNull)
+    def side(flag: Column, tag: String) = Seq(
+      sum(when(flag, lit(1L)).otherwise(0L)).as(s"n_$tag"),
+      sum(when(flag, col("__c")).otherwise(lit(0).cast(dec))).as(s"s_$tag"),
+      sum(when(flag, col("__c") * col("__c"))
+        .otherwise(lit(0).cast(dec))).as(s"q_$tag"))
+    val aggs = side(col("__a"), "a") ++ side(!col("__a"), "b")
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    def stats(tag: String): (Column, Column, Column) = {
+      val n = col(s"n_$tag").cast("double")
+      val s = col(s"s_$tag").cast("double")
+      val q = col(s"q_$tag").cast("double")
+      // mean in value units; sample variance over cents² / 100²
+      val mean = s / n / 100.0
+      val variance = (q - s * s / n) / (n - 1.0) / 10000.0
+      (n, mean, variance)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val seSq = va / na + vb / nb
+    val dfW = seSq * seSq /
+      (va * va / (na * na * (na - 1.0)) + vb * vb / (nb * nb * (nb - 1.0)))
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L
+    val okVar = ok && (va > 0.0 || vb > 0.0)
+    m.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0, round(ma, 6)).as("mean_a"),
+      when(col("n_b") > 0, round(mb, 6)).as("mean_b"),
+      when(ok, round(ma - mb, 6)).as("diff"),
+      when(okVar, round(sqrt(seSq), 6)).as("se"),
+      when(okVar, round((ma - mb) / sqrt(seSq), 6)).as("t"),
+      when(okVar, round(dfW, 6)).as("df_welch"))
+  }
+
+  /**
    * TRIMMED mean per group — the mean of values inside the per-group
    * [`lo`, `hi`] quantile band: the robust location estimate between
    * the raw mean (dragged by any outlier) and the median (ignores all

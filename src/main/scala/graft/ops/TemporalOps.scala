@@ -711,6 +711,129 @@ object TemporalOps {
   }
 
   /**
+   * AUTOCORRELATION function of the daily count series — r_k for lags
+   * 1..`maxLag`: the periodicity DIAGNOSTIC beside [[maseReport]]'s
+   * verdict and the seasonality-strength η² — a weekly cycle shows as
+   * the lag-7 spike, a trend as slow decay, white noise as ≈0
+   * everywhere. Gap days count as ZERO (they are real observations of
+   * "nothing happened"); the series is the contiguous [min day, max
+   * day] grid, so lags never misalign across gaps.
+   *
+   * Emits (lag, n_pairs, acf 6dp), the standard biased estimator
+   * r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)² with the GLOBAL mean — via
+   * the products identity: every per-lag aggregate (Σy_t·y_{t+k},
+   * Σy_t, Σy_{t+k}, pair count) is an exact integer, and only the
+   * final combination numerator_k = sab − m·(sa+sb) + c·m² (m = S/n)
+   * runs in doubles, one pinned chain per lag — so both engines agree
+   * bit-for-bit without decimal-routing any (y−ȳ) float.
+   *
+   * Scale: one day-grain aggregate (partial-aggregating), a day-grid
+   * explode, and ONE equi-join of the (grid × maxLag)-row exploded
+   * frame back to the grid on the shifted index — day-count-sized
+   * everything, events never shuffle; the totals ride a 1-row
+   * broadcast.
+   */
+  def acf(df: DataFrame, ts: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366, s"bad maxLag $maxLag")
+    val daily = df.filter(col(ts).isNotNull)
+      .groupBy(date_trunc("day", col(ts)).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dailyIdx = daily.crossJoin(broadcast(bounds))
+      .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+        col("y"))
+    val series = bounds
+      .select(explode(sequence(lit(0L),
+        datediff(col("d1"), col("d0")).cast("long"))).as("idx"))
+      .join(dailyIdx, Seq("idx"), "left")
+      .select(col("idx"), coalesce(col("y"), lit(0L)).as("y"))
+    val totals = series.agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+      sum(col("y") * col("y")).as("syy"))
+    val pairs = series
+      .select(col("idx"), col("y").as("ya"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .select(col("lag"), (col("idx") + col("lag")).as("idxb"), col("ya"))
+      .join(series.select(col("idx").as("idxb"), col("y").as("yb")), "idxb")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ya")).as("sa"),
+        sum(col("yb")).as("sb"), sum(col("ya") * col("yb")).as("sab"))
+    val m = col("s").cast("double") / col("n").cast("double")
+    val denom = col("syy").cast("double") - m * col("s").cast("double")
+    pairs.crossJoin(broadcast(totals))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        when(denom > 0.0,
+          round((col("sab").cast("double") -
+            m * (col("sa") + col("sb")).cast("double") +
+            col("n_pairs").cast("double") * m * m) / denom, 6))
+          .otherwise(lit(null).cast("double")).as("acf"))
+      .orderBy("lag")
+  }
+
+  /**
+   * CROSS-CORRELATION between two event streams' daily counts — r_k for
+   * lags −`maxLag`..+`maxLag`: does stream A LEAD stream B (marketing
+   * clicks today → purchases in k days shows as a positive-lag peak), or
+   * lag it (negative-lag peak)? The bivariate twin of [[acf]]: same
+   * contiguous day grid with real zeros, same products identity so every
+   * per-lag aggregate is an exact integer and only one pinned double
+   * chain runs per output row. Positive lag k correlates x_t with
+   * y_{t+k} (x leads by k).
+   *
+   * Emits (lag, n_pairs, xcf 6dp); NULL when either series is constant
+   * (zero variance — the [[acf]] degenerate convention). Normalization
+   * is by the full-series standard deviations (the standard CCF
+   * estimator), so |r| can stay < 1 strictly.
+   *
+   * Scale: identical to [[acf]] — day-grain aggregates, a day-grid
+   * explode, one equi-join on the shifted index; events never shuffle.
+   */
+  def crossCorrelation(df: DataFrame, ts: String, typeCol: String,
+                       typeA: String, typeB: String,
+                       maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366, s"bad maxLag $maxLag")
+    val daily = df
+      .filter(col(ts).isNotNull &&
+        (col(typeCol) === typeA || col(typeCol) === typeB))
+      .groupBy(date_trunc("day", col(ts)).as("day"))
+      .agg(sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("x"),
+        sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("y"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dailyIdx = daily.crossJoin(broadcast(bounds))
+      .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+        col("x"), col("y"))
+    val series = bounds
+      .select(explode(sequence(lit(0L),
+        datediff(col("d1"), col("d0")).cast("long"))).as("idx"))
+      .join(dailyIdx, Seq("idx"), "left")
+      .select(col("idx"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val totals = series.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+    val pairs = series
+      .select(col("idx"), col("x").as("xa"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .select(col("lag"), (col("idx") + col("lag")).as("idxb"), col("xa"))
+      .join(series.select(col("idx").as("idxb"), col("y").as("yb")), "idxb")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("xa")).as("sa"),
+        sum(col("yb")).as("sb"), sum(col("xa") * col("yb")).as("sab"))
+    val nD = col("n").cast("double")
+    val mx = col("sx").cast("double") / nD
+    val my = col("sy").cast("double") / nD
+    val dx = col("sxx").cast("double") - mx * col("sx").cast("double")
+    val dy = col("syy").cast("double") - my * col("sy").cast("double")
+    pairs.crossJoin(broadcast(totals))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        when(dx > 0.0 && dy > 0.0,
+          round((col("sab").cast("double") - my * col("sa").cast("double") -
+            mx * col("sb").cast("double") +
+            col("n_pairs").cast("double") * mx * my) / sqrt(dx * dy), 6))
+          .otherwise(lit(null).cast("double")).as("xcf"))
+      .orderBy("lag")
+  }
+
+  /**
    * CLAMPED running balance — per key, fold the ordered deltas through
    * balance ← clamp(balance + δ, lo, hi) and report the final state:
    * the inventory / credit-ledger / token-bucket semantic. This is the

@@ -841,6 +841,35 @@ class CdcStatsSpec extends SparkSpec {
     f("B") shouldBe ((20.0, true))
   }
 
+  test("welchTTest: textbook unequal-variance case, exact df and t") {
+    import spark.implicits._
+    // A = {1,2,3}: n=3, mean 2, var 1; B = {2,4}: n=2, mean 3, var 2
+    // se² = 1/3 + 2/2 = 4/3; t = −1/√(4/3) = −0.866025
+    // df = (4/3)² / (1²/(9·2) + 2²/(4·1)) = (16/9)/(19/18) = 1.684211
+    val df = Seq((true, 1.0), (true, 2.0), (true, 3.0),
+      (false, 2.0), (false, 4.0)).toDF("arm", "v")
+    val r = graft.ops.StatsOps.welchTTest(df, "arm", "v").head()
+    r.getLong(0) shouldBe 3L
+    r.getLong(1) shouldBe 2L
+    r.getDouble(2) shouldBe 2.0
+    r.getDouble(3) shouldBe 3.0
+    r.getDouble(4) shouldBe -1.0
+    r.getDouble(5) shouldBe 1.154701
+    r.getDouble(6) shouldBe -0.866025
+    r.getDouble(7) shouldBe 1.684211
+    // degenerate: a single-row arm cannot estimate variance → NULL t/df
+    val tiny = Seq((true, 1.0), (true, 2.0), (false, 5.0)).toDF("arm", "v")
+    val rt = graft.ops.StatsOps.welchTTest(tiny, "arm", "v").head()
+    rt.isNullAt(6) shouldBe true
+    rt.isNullAt(7) shouldBe true
+    // both arms constant: zero variance → NULL rather than Infinity
+    val const = Seq((true, 2.0), (true, 2.0), (false, 5.0), (false, 5.0))
+      .toDF("arm", "v")
+    val rc = graft.ops.StatsOps.welchTTest(const, "arm", "v").head()
+    rc.getDouble(4) shouldBe -3.0
+    rc.isNullAt(6) shouldBe true
+  }
+
   test("trimmedMean: drops the tails the raw mean is dragged by") {
     import spark.implicits._
     // 1..10 at [5%, 95%]: bounds 1.45/9.55 keep 2..9 → mean 5.5 (= the

@@ -136,8 +136,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_hazard_curve",        // q_kaplan_meier's 1-row broadcasts
     "q_neyman_allocation",   // 1-row weight-total broadcast over the
                              // |strata|-row cells
-    "q_median_ci")           // 1-row rank-thresholds broadcast over the
+    "q_median_ci",           // 1-row rank-thresholds broadcast over the
                              // value histogram
+    "q_acf",                 // 1-row day-bounds + series-totals broadcasts
+                             // over the day-count-sized grid
+    "q_xcf")                 // same shape, bivariate
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(

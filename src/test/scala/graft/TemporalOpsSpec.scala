@@ -359,4 +359,53 @@ class TemporalOpsSpec extends SparkSpec {
         .withColumn("ts", to_timestamp(col("tss"))),
       "ts", "value").count() shouldBe 0L
   }
+
+  test("acf: alternating series, gap days as zeros, constant series NULL") {
+    def daySeries(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (1 to c).map(i => f"2024-03-${d + 1}%02d 0$i:00:00")
+      }.toDF("tss").withColumn("ts", to_timestamp(col("tss")))
+    // 10 alternating days 1,3,1,3,… (mean 2): r₁ = −9/10, r₂ = +8/10
+    val alt = TemporalOps.acf(
+        daySeries(Seq(1, 3, 1, 3, 1, 3, 1, 3, 1, 3)), "ts", maxLag = 3)
+      .as[(Long, Long, Double)].collect()
+    alt(0) shouldBe ((1L, 9L, -0.9))
+    alt(1) shouldBe ((2L, 8L, 0.8))
+    alt(2) shouldBe ((3L, 7L, -0.7))
+    // a MISSING day is a real zero on the contiguous grid: days 1 and 3
+    // have 2 events each, day 2 none → series (2, 0, 2), mean 4/3:
+    // r₁ = (2·(2/3)·(−4/3)) / (2·(2/3)² + (4/3)²) = −16/9 / (8/3) = −2/3
+    val gap = (Seq("2024-03-01 01:00:00", "2024-03-01 02:00:00",
+        "2024-03-03 01:00:00", "2024-03-03 02:00:00"))
+      .toDF("tss").withColumn("ts", to_timestamp(col("tss")))
+    val g = TemporalOps.acf(gap, "ts", maxLag = 1)
+      .as[(Long, Long, Double)].collect()
+    g shouldBe Array((1L, 2L, -0.666667))
+    // constant series: zero variance → NULL, never NaN
+    val c = TemporalOps.acf(daySeries(Seq(2, 2, 2, 2)), "ts", maxLag = 2)
+    c.count() shouldBe 2L
+    c.filter(col("acf").isNotNull).count() shouldBe 0L
+  }
+
+  test("crossCorrelation: hand-computed alternating click/purchase series") {
+    // clicks on days 1,3 — purchases on days 2,4: x=(1,0,1,0), y=(0,1,0,1)
+    // means 0.5/0.5, dx=dy=1; r₀ = −1 (perfectly out of phase),
+    // r₊₁ = r₋₁ = 0.75 (the one-day shift aligns them, edge terms damp)
+    val ev = Seq(
+      ("2024-03-01 10:00:00", "click"), ("2024-03-02 10:00:00", "purchase"),
+      ("2024-03-03 10:00:00", "click"), ("2024-03-04 10:00:00", "purchase"))
+      .toDF("tss", "event_type").withColumn("ts", to_timestamp(col("tss")))
+    val r = TemporalOps.crossCorrelation(ev, "ts", "event_type",
+        "click", "purchase", maxLag = 1)
+      .as[(Long, Long, Double)].collect()
+    r shouldBe Array((-1L, 3L, 0.75), (0L, 4L, -1.0), (1L, 3L, 0.75))
+    // one constant side → NULL (zero variance), never NaN
+    val flat = Seq(
+      ("2024-03-01 10:00:00", "click"), ("2024-03-02 10:00:00", "click"),
+      ("2024-03-01 11:00:00", "purchase"), ("2024-03-02 11:00:00", "purchase"))
+      .toDF("tss", "event_type").withColumn("ts", to_timestamp(col("tss")))
+    TemporalOps.crossCorrelation(flat, "ts", "event_type",
+        "click", "purchase", maxLag = 1)
+      .filter(col("xcf").isNotNull).count() shouldBe 0L
+  }
 }
