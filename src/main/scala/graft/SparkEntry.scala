@@ -6441,7 +6441,7 @@ object SparkEntry {
            FROM raw),
          comp AS (
            SELECT doc_id, scheme,
-                  regexp_replace(regexp_replace(lower(hostport), ':[0-9]*$', ''), '^www\.', '') AS host,
+                  regexp_replace(regexp_replace(lower(hostport), ':[0-9]*$', ''), '^(www\.)+', '') AS host,
                   regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
                   regexp_replace(regexp_extract(afterhost, '^([^?#]*)', 1), '/+$', '') AS path1,
                   list_sort(list_filter(string_split(rawq, '&'),

@@ -43,9 +43,14 @@ object UrlOps {
   /** Canonical host: lowercased, default-port-free, `www.`-stripped. */
   def urlHost(url: Column): Column = {
     val hostPort = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    // ALL leading `www.` repetitions, not just one: one-strip would make
+    // canonicalization non-idempotent (www.www.e.com → www.e.com →
+    // e.com on a second pass) — and a key function MUST be idempotent,
+    // or re-canonicalizing stored keys silently re-partitions them
+    // (property spec: canonicalize ∘ canonicalize = canonicalize)
     regexp_replace(
       regexp_replace(lower(hostPort), ":[0-9]*$", ""),
-      "^www\\.", "")
+      "^(www\\.)+", "")
   }
 
   /** Path with trailing slashes collapsed; "" / bare host → "/". The

@@ -48,6 +48,46 @@ class UrlOpsSpec extends SparkSpec {
     out shouldBe Array(true, true, true)
   }
 
+  test("canonicalizeUrl is IDEMPOTENT on randomized messy URLs") {
+    // a key function must be a projection: canonicalize ∘ canonicalize =
+    // canonicalize, or re-canonicalizing stored keys re-partitions them.
+    // 400 seeded random URLs over the rule-triggering alphabet (mixed
+    // case, www. repetitions incl. www.www., default and odd ports,
+    // tracking + real params in shuffled order, trailing slashes,
+    // fragments).
+    val rnd = new scala.util.Random(11)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    val urls = Seq.fill(400) {
+      val scheme = pick(Seq("http", "HTTP", "https", "HTTPS"))
+      val www = pick(Seq("", "www.", "WWW.", "www.www."))
+      val host = pick(Seq("Example.com", "sub.Example.ORG", "e.co"))
+      val port = pick(Seq("", ":80", ":443", ":8080"))
+      val path = pick(Seq("", "/", "/A/b", "/a/b/", "/a//", "/x.y/Z"))
+      val params = rnd.shuffle(Seq("a=1", "B=2", "utm_source=x",
+        "ref=tw", "gclid=9", "z=Z")).take(rnd.nextInt(5))
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val frag = pick(Seq("", "#top", "#a/b?c=1"))
+      s"$scheme://$www$host$port$path$q$frag"
+    }
+    val once = urls.toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    val twice = once.toSeq.toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    twice.toSeq shouldBe once.toSeq
+    // and every canonical key is free of the variant sources
+    all(once.toSeq) should fullyMatch regex
+      "https?://[^A-Z:]+(:[0-9]+)?(/[^?#]*)?(\\?[^#]*)?"
+    once.toSeq.foreach { c =>
+      c should not include "#"
+      // DEFAULT-for-scheme ports only: http://…:443 is non-default and
+      // correctly survives
+      (c.startsWith("http://") && c.contains(":80/")) shouldBe false
+      (c.startsWith("https://") && c.contains(":443/")) shouldBe false
+      c should not include "://www."
+      c should not include "utm_"
+    }
+  }
+
   test("component extractors agree with the composed form") {
     val u = "HTTPS://WWW.Shop.Example.com:443/Items/7/?ref=x&size=XL#top"
     val row = Seq(u).toDF("url").select(
