@@ -2823,6 +2823,18 @@ object SparkEntry {
               lit(2L)) === 0L).as("arm")),
         "arm", "value")),
 
+    // the per-SEGMENT Welch table beside the headline: where does the
+    // arm effect localize (or reverse — Simpson hunting); one Welch row
+    // per event_type, same exact-cents moments and pinned chain
+    "q_welch_by_segment" -> ((s, d) =>
+      graft.ops.StatsOps.welchTTestBy(
+        t(s, d, "events").filter(col("event_type").isNotNull)
+          .select(col("event_type"), col("value"),
+            (pmod(graft.ext.TextOps.fingerprint60(
+              concat(col("user_id").cast("string"), lit(":ab"))),
+              lit(2L)) === 0L).as("arm")),
+        "event_type", "arm", "value")),
+
     "q_two_proportion" -> ((s, d) =>
       t(s, d, "events")
         .select((col("event_type") === lit("purchase")).as("__s"),
@@ -8977,6 +8989,46 @@ object SparkEntry {
                 ROUND(2.8015852186 * sqrt(var * 2.0 / ne) / 100.0, 6) AS mde_abs,
                 ROUND(2.8015852186 * sqrt(var * 2.0 / ne) / mean, 6) AS mde_rel
          FROM v""",
+
+    // the headline chain GROUP BY'd per segment
+    "q_welch_by_segment" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(round(value * 100) AS BIGINT) AS c,
+                           (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT) % 2 = 0) AS a
+                    FROM events WHERE event_type IS NOT NULL),
+              f AS (SELECT event_type, a, c FROM e WHERE a IS NOT NULL AND c IS NOT NULL),
+              m AS (SELECT event_type,
+                           CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                           SUM(CASE WHEN a THEN CAST(c AS HUGEINT) ELSE 0 END) AS s_a,
+                           SUM(CASE WHEN a THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q_a,
+                           CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                           SUM(CASE WHEN NOT a THEN CAST(c AS HUGEINT) ELSE 0 END) AS s_b,
+                           SUM(CASE WHEN NOT a THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q_b
+                    FROM f GROUP BY event_type),
+              w AS (SELECT event_type, n_a, n_b,
+                           CAST(s_a AS DOUBLE) / n_a / 100.0 AS ma,
+                           CAST(s_b AS DOUBLE) / n_b / 100.0 AS mb,
+                           (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)
+                             / (n_a - 1.0) / 10000.0 AS va,
+                           (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)
+                             / (n_b - 1.0) / 10000.0 AS vb
+                    FROM m),
+              v AS (SELECT *, va / n_a + vb / n_b AS sesq FROM w)
+         SELECT event_type,
+                n_a, n_b,
+                CASE WHEN n_a > 0 THEN ROUND(ma, 6) END AS mean_a,
+                CASE WHEN n_b > 0 THEN ROUND(mb, 6) END AS mean_b,
+                CASE WHEN n_a >= 2 AND n_b >= 2 THEN ROUND(ma - mb, 6) END AS diff,
+                CASE WHEN n_a >= 2 AND n_b >= 2 AND (va > 0.0 OR vb > 0.0)
+                     THEN ROUND(sqrt(sesq), 6) END AS se,
+                CASE WHEN n_a >= 2 AND n_b >= 2 AND (va > 0.0 OR vb > 0.0)
+                     THEN ROUND((ma - mb) / sqrt(sesq), 6) END AS t,
+                CASE WHEN n_a >= 2 AND n_b >= 2 AND (va > 0.0 OR vb > 0.0)
+                     THEN ROUND(sesq * sesq /
+                       (va * va / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1.0))
+                        + vb * vb / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1.0))), 6)
+                END AS df_welch
+         FROM v ORDER BY event_type""",
 
     // the identical cents moments and the identical Welch double chain,
     // division for division

@@ -769,11 +769,28 @@ object StatsOps {
    * shuffle beyond the 1-row rollup) — the same shape as reconcile.
    */
   def welchTTest(df: DataFrame, armCol: String,
-                 valueCol: String): DataFrame = {
+                 valueCol: String): DataFrame =
+    welchCore(df, Nil, armCol, valueCol)
+
+  /**
+   * [[welchTTest]] per SEGMENT — the "which segments moved" readout: one
+   * Welch row per group (the experiment headline is the ungrouped form;
+   * the per-segment table is where the effect localizes or reverses —
+   * Simpson's-inversion hunting). Same moments, same pinned chain, same
+   * degenerate-input NULLs; still ONE partial-aggregating pass, output
+   * |segments| rows ordered by segment.
+   */
+  def welchTTestBy(df: DataFrame, segCol: String, armCol: String,
+                   valueCol: String): DataFrame =
+    welchCore(df, Seq(segCol), armCol, valueCol)
+
+  private def welchCore(df: DataFrame, segCols: Seq[String], armCol: String,
+                        valueCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val base = df
-      .select(col(armCol).cast("boolean").as("__a"),
-        cents(col(valueCol)).cast(dec).as("__c"))
+      .select(segCols.map(c => col(c).as(s"__seg_$c")) ++ Seq(
+        col(armCol).cast("boolean").as("__a"),
+        cents(col(valueCol)).cast(dec).as("__c")): _*)
       .filter(col("__a").isNotNull && col("__c").isNotNull)
     def side(flag: Column, tag: String) = Seq(
       sum(when(flag, lit(1L)).otherwise(0L)).as(s"n_$tag"),
@@ -781,7 +798,11 @@ object StatsOps {
       sum(when(flag, col("__c") * col("__c"))
         .otherwise(lit(0).cast(dec))).as(s"q_$tag"))
     val aggs = side(col("__a"), "a") ++ side(!col("__a"), "b")
-    val m = base.agg(aggs.head, aggs.tail: _*)
+    val grouped =
+      if (segCols.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+      else base.groupBy(segCols.map(c => col(s"__seg_$c")): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    val m = grouped
     def stats(tag: String): (Column, Column, Column) = {
       val n = col(s"n_$tag").cast("double")
       val s = col(s"s_$tag").cast("double")
@@ -798,13 +819,15 @@ object StatsOps {
       (va * va / (na * na * (na - 1.0)) + vb * vb / (nb * nb * (nb - 1.0)))
     val ok = col("n_a") >= 2L && col("n_b") >= 2L
     val okVar = ok && (va > 0.0 || vb > 0.0)
-    m.select(col("n_a"), col("n_b"),
+    val out = m.select(segCols.map(c => col(s"__seg_$c").as(c)) ++ Seq(
+      col("n_a"), col("n_b"),
       when(col("n_a") > 0, round(ma, 6)).as("mean_a"),
       when(col("n_b") > 0, round(mb, 6)).as("mean_b"),
       when(ok, round(ma - mb, 6)).as("diff"),
       when(okVar, round(sqrt(seSq), 6)).as("se"),
       when(okVar, round((ma - mb) / sqrt(seSq), 6)).as("t"),
-      when(okVar, round(dfW, 6)).as("df_welch"))
+      when(okVar, round(dfW, 6)).as("df_welch")): _*)
+    if (segCols.isEmpty) out else out.orderBy(segCols.map(col): _*)
   }
 
   /**

@@ -870,6 +870,23 @@ class CdcStatsSpec extends SparkSpec {
     rc.isNullAt(6) shouldBe true
   }
 
+  test("welchTTestBy: each segment row equals the ungrouped test on that slice") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      (s"seg${i % 3}", i % 2 == 0, rnd.nextInt(1000) / 10.0)
+    }
+    val df = rows.toDF("seg", "arm", "v")
+    val by = graft.ops.StatsOps.welchTTestBy(df, "seg", "arm", "v")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    by.keySet shouldBe Set("seg0", "seg1", "seg2")
+    for (g <- by.keySet) {
+      val solo = graft.ops.StatsOps.welchTTest(
+        df.filter(col("seg") === g), "arm", "v").head().toSeq
+      by(g) shouldBe solo
+    }
+  }
+
   test("trimmedMean: drops the tails the raw mean is dragged by") {
     import spark.implicits._
     // 1..10 at [5%, 95%]: bounds 1.45/9.55 keep 2..9 → mean 5.5 (= the
