@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
  *
  *  - scheme and host lowercased (case-insensitive by spec); path and
  *    query left case-sensitive (significant by spec)
- *  - fragment stripped (never sent to the server)
+ *  - fragment stripped (never sent to the server) — stripped FIRST, so a
+ *    `?` inside a fragment (`/a#x?y=1`) is never mistaken for a query
+ *  - userinfo (`user[:pass]@`) STRIPPED — crawler convention: credentials
+ *    never identify a page, and keeping them would both leak secrets into
+ *    dedup keys and split one page across per-user variants
  *  - default ports dropped (`:80` for http, `:443` for https)
  *  - leading `www.` stripped from the host (the classic duplicate host)
  *  - tracking params dropped (`utm_*`, `gclid`, `fbclid`, `ref`) and the
@@ -40,16 +44,21 @@ object UrlOps {
   def urlScheme(url: Column): Column =
     lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
 
-  /** Canonical host: lowercased, default-port-free, `www.`-stripped. */
+  /** Canonical host: userinfo-stripped, lowercased, default-port-free,
+    * `www.`-stripped. */
   def urlHost(url: Column): Column = {
     val hostPort = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo ends at the LAST '@' (the host itself cannot contain '@',
+    // RFC 3986 §3.2.2) — greedy `^.*@` inside the already-extracted
+    // authority strips it even from malformed multi-'@' values
+    val noUser = regexp_replace(hostPort, "^.*@", "")
     // ALL leading `www.` repetitions, not just one: one-strip would make
     // canonicalization non-idempotent (www.www.e.com → www.e.com →
     // e.com on a second pass) — and a key function MUST be idempotent,
     // or re-canonicalizing stored keys silently re-partitions them
     // (property spec: canonicalize ∘ canonicalize = canonicalize)
     regexp_replace(
-      regexp_replace(lower(hostPort), ":[0-9]*$", ""),
+      regexp_replace(lower(noUser), ":[0-9]*$", ""),
       "^(www\\.)+", "")
   }
 
@@ -66,7 +75,10 @@ object UrlOps {
   /** Canonical query: tracking params dropped, survivors sorted, ""
     * when nothing survives (no leading `?`). */
   def urlQuery(url: Column): Column = {
-    val raw = regexp_extract(url, "\\?([^#]*)", 1)
+    // fragment FIRST: a '?' that only appears inside the fragment
+    // (`/a#x?y=1`) is fragment content, not a query — so the query is
+    // extracted from the pre-'#' span only
+    val raw = regexp_extract(regexp_extract(url, "^([^#]*)", 1), "\\?(.*)$", 1)
     val kept = filter(split(raw, "&"),
       p => p =!= "" && !p.rlike(TrackingParam))
     when(size(kept) > 0, concat(lit("?"), concat_ws("&", array_sort(kept))))

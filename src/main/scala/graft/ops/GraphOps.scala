@@ -26,6 +26,18 @@ object GraphOps {
    *
    * `deg`/`biDeg`/`nodes` are LAZY: an operator that only walks the
    * symmetric edge list (BFS, k-core) never computes or caches degrees.
+   *
+   * CACHE-EVICTION CAVEAT (CacheManager keys by CANONICALIZED plan, not
+   * by DataFrame handle): two PreparedGraphs built over plan-identical
+   * `edges` share one cache entry, and `unpersist()` on EITHER — which
+   * includes the throwaway artifact inside every one-shot overload —
+   * evicts it for BOTH. The one-shot overloads stay persist+unpersist
+   * because the iterative family re-reads `bi` every round (a one-shot
+   * PageRank without the cache recomputes the edge shuffle per
+   * iteration, which is strictly worse); so the rule for callers is:
+   * while a shared PreparedGraph is live, route ALL graph calls over
+   * that edges frame through it rather than through one-shot overloads.
+   * CdcStatsSpec probes the eviction behavior first-hand.
    */
   final class PreparedGraph private[GraphOps] (
       edges: DataFrame, src: String, dst: String) {
@@ -58,13 +70,17 @@ object GraphOps {
     }
   }
 
-  /** Build the shared artifact; see [[PreparedGraph]]. */
+  /** Build the shared artifact; see [[PreparedGraph]] — including its
+    * cache-eviction caveat: don't mix one-shot overload calls over the
+    * same edges frame with a live shared artifact. */
   def prepared(edges: DataFrame, src: String, dst: String): PreparedGraph =
     new PreparedGraph(edges, src, dst)
 
   /** One-shot wrapper: run `body` against a throwaway artifact, release
     * it after the result has been cut loose (every family member ends in
-    * `localCheckpoint`, so unpersisting afterwards is safe). */
+    * `localCheckpoint`, so unpersisting afterwards is safe). The
+    * unpersist can evict a LIVE shared artifact's caches when both were
+    * built over plan-identical edges — see the [[PreparedGraph]] caveat. */
   private def withPrepared(edges: DataFrame, src: String, dst: String)(
       body: PreparedGraph => DataFrame): DataFrame = {
     val g = prepared(edges, src, dst)

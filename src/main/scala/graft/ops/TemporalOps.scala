@@ -746,7 +746,12 @@ object TemporalOps {
       .select(explode(sequence(lit(0L),
         datediff(col("d1"), col("d0")).cast("long"))).as("idx"))
       .join(dailyIdx, Seq("idx"), "left")
-      .select(col("idx"), coalesce(col("y"), lit(0L)).as("y"))
+      // DECIMAL(38,0), the welchCore discipline: the oracle runs these
+      // products/sums in HUGEINT, and a BIGINT Σy·y would silently wrap
+      // (non-ANSI Spark) once a daily count passes ~3e9 — decimal either
+      // holds exactly or surfaces as NULL on both engines, never wraps
+      .select(col("idx"),
+        coalesce(col("y"), lit(0L)).cast("decimal(38,0)").as("y"))
     val totals = series.agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
       sum(col("y") * col("y")).as("syy"))
     val pairs = series
@@ -805,8 +810,10 @@ object TemporalOps {
       .select(explode(sequence(lit(0L),
         datediff(col("d1"), col("d0")).cast("long"))).as("idx"))
       .join(dailyIdx, Seq("idx"), "left")
-      .select(col("idx"), coalesce(col("x"), lit(0L)).as("x"),
-        coalesce(col("y"), lit(0L)).as("y"))
+      // DECIMAL(38,0) for the same overflow-impossible reason as [[acf]]
+      .select(col("idx"),
+        coalesce(col("x"), lit(0L)).cast("decimal(38,0)").as("x"),
+        coalesce(col("y"), lit(0L)).cast("decimal(38,0)").as("y"))
     val totals = series.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
       sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))

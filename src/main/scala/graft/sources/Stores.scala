@@ -628,7 +628,8 @@ object Stores {
     * reference's `INSERT ... ON CONFLICT (key) DO UPDATE SET <subset>`
     * (DAG:279-316), kept SERVER-SIDE the way the reference keeps it:
     * Spark ships ONLY the update rows (staged through `format("jdbc")`
-    * into `<table>_updates`), then one `MERGE INTO` statement runs inside
+    * into a run-scoped `<table>_updates_<runId>` staging table, dropped
+    * after the merge), then one `MERGE INTO` statement runs inside
     * the database. At 100 TB-mart scale this is the only sane shape — a
     * read-merge-overwrite round trip would pull the whole mart through
     * the driver's JDBC pipe twice and drop the table between; here the
@@ -638,17 +639,37 @@ object Stores {
     * Identifier discipline: Spark's JDBC writer quotes COLUMN names at
     * CREATE (case-sensitive in Derby/Postgres), while the `dbtable` name
     * passes through unquoted — the MERGE text below mirrors that (quoted
-    * columns, as-is table names). Update rows with a NULL key are dropped
-    * first: `ON t.k = u.k` can never match them and the reference's
-    * conflict target is a PK. */
+    * columns, as-is table names) — and because these names are
+    * interpolated into SQL text, every table/key/column name is first
+    * validated against a strict `[A-Za-z][A-Za-z0-9_]*` pattern (no
+    * quoting trick survives that alphabet). Update rows with a NULL key
+    * are dropped first: `ON t.k = u.k` can never match them and the
+    * reference's conflict target is a PK.
+    *
+    * Staging is RUN-SCOPED: each call stages into a unique
+    * `<table>_updates_<runId>` table and DROPs it in a finally block, so
+    * concurrent upserts against the same target never clobber each
+    * other's staging rows and no stale staging table lingers after the
+    * MERGE (success or failure). Pass `runId` explicitly to make the
+    * staging name deterministic (e.g. the pipeline's run id, giving
+    * at-most-once staging per logical run); the default draws a fresh
+    * unique suffix per call. */
   def jdbcUpsert(updates: DataFrame, target: JdbcTarget, key: String,
-                 updateCols: Seq[String]): Unit = {
+                 updateCols: Seq[String], runId: String = ""): Unit = {
     require(updateCols.nonEmpty && !updateCols.contains(key),
       s"bad update set ${updateCols.mkString(",")} for key $key")
     val cols = updates.columns.toIndexedSeq
     require(cols.contains(key) && updateCols.forall(cols.contains),
       s"update set/key must be update columns: ${cols.mkString(",")}")
-    val stage = target.copy(table = target.table + "_updates")
+    val ident = "[A-Za-z][A-Za-z0-9_]*".r
+    (target.table +: key +: cols).foreach { n =>
+      require(ident.matches(n), s"unsafe SQL identifier: '$n'")
+    }
+    val suffix =
+      if (runId.nonEmpty) {
+        require(ident.matches(runId), s"unsafe runId: '$runId'"); runId
+      } else java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val stage = target.copy(table = s"${target.table}_updates_$suffix")
     updates.filter(col(key).isNotNull)
       .write.format("jdbc")
       .option("url", stage.url).option("dbtable", stage.table)
@@ -669,7 +690,15 @@ object Stores {
     try {
       val st = conn.createStatement()
       try st.executeUpdate(sql) finally st.close()
-    } finally conn.close()
+    } finally {
+      // best-effort staging cleanup: the MERGE outcome (committed or
+      // thrown) is already decided; a failed DROP must not mask it
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE ${stage.table}") finally st.close()
+      } catch { case _: java.sql.SQLException => () }
+      conn.close()
+    }
   }
 
   // -------------------------------------------------------------------------

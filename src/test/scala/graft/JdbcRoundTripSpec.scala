@@ -97,10 +97,39 @@ class JdbcRoundTripSpec extends SparkSpec {
       (4L, "ins-s4", 4.0, "2024-01-04"))    // pure insert takes all cols
 
     // idempotent replay: the same MERGE lands on the same rows (the
-    // retry-safety the reference leans on ON CONFLICT for)
-    Stores.jdbcUpsert(updates, mart, key = "id", updateCols = Seq("s", "v"))
+    // retry-safety the reference leans on ON CONFLICT for) — replayed
+    // under an explicit deterministic run id (the at-most-once-per-run
+    // staging name a pipeline would use)
+    Stores.jdbcUpsert(updates, mart, key = "id", updateCols = Seq("s", "v"),
+      runId = "run_12_replay")
     Stores.readJdbcOrParquet(spark, mart, "unused")
       .orderBy("id").as[(Long, String, Double, String)].collect() shouldBe back
+
+    // run-scoped staging is DROPPED after every merge — nothing lingers
+    // for a concurrent upsert to clobber (Derby uppercases unquoted names)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT COUNT(*) FROM SYS.SYSTABLES WHERE TABLENAME LIKE 'MART_UPDATES%'")
+      rs.next()
+      rs.getInt(1) shouldBe 0
+    } finally conn.close()
+  }
+
+  test("jdbcUpsert refuses unsafe SQL identifiers before touching the db") {
+    val updates = Seq((1L, "a")).toDF("id", "s")
+    // table, key, column, and runId names are all interpolated into the
+    // MERGE text, so each is validated against [A-Za-z][A-Za-z0-9_]*
+    an[IllegalArgumentException] should be thrownBy Stores.jdbcUpsert(
+      updates, Stores.JdbcTarget("jdbc:derby:memory:x", "mart; DROP TABLE m", driver),
+      key = "id", updateCols = Seq("s"))
+    an[IllegalArgumentException] should be thrownBy Stores.jdbcUpsert(
+      updates.withColumnRenamed("s", "s\"bad"),
+      Stores.JdbcTarget("jdbc:derby:memory:x", "mart", driver),
+      key = "id", updateCols = Seq("s\"bad"))
+    an[IllegalArgumentException] should be thrownBy Stores.jdbcUpsert(
+      updates, Stores.JdbcTarget("jdbc:derby:memory:x", "mart", driver),
+      key = "id", updateCols = Seq("s"), runId = "run-1; --")
   }
 
   test("absent-driver targets still fall back to parquet (gate unchanged)") {
