@@ -122,8 +122,7 @@ object SparkEntry {
         n = 3, numHashes = 16, bands = 4, threshold = 0.4))
     graft.ext.AnnIndexStore.save(st.annPath,
       base.filter(col("embedding").isNotNull), "doc_id", "embedding",
-      SimilarityOps.takeCentroids(t(s, d, "embeddings"), "vec_id",
-        "embedding", 8))
+      embCentroids(s, d))
     graft.ext.LexIndexStore.build(st.lexPath, base, "doc_id", "text")
     graft.ext.IngestOps.ingestWave(s, wave, "doc_id", "text",
       "embedding", st, waveId = 1,
@@ -164,8 +163,7 @@ object SparkEntry {
           n = 3, numHashes = 16, bands = 4, threshold = 0.4))
       graft.ext.AnnIndexStore.save(st.annPath,
         base.filter(col("embedding").isNotNull), "doc_id", "embedding",
-        SimilarityOps.takeCentroids(t(s, d, "embeddings"), "vec_id",
-          "embedding", 8))
+        embCentroids(s, d))
       graft.ext.LexIndexStore.build(st.lexPath, base, "doc_id", "text")
       graft.ext.IngestOps.ingestWave(s,
         withVec.filter(col("doc_id") >= 100 && col("doc_id") < 300),
@@ -224,6 +222,15 @@ object SparkEntry {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** documents (sans text) exported ONCE per sf dir as JSON-lines — the
+    * document store the custom DataSource V2 connector
+    * ([[graft.sources.DocsDataSource]], `format("graft-docs")`) fronts. */
+  private def docsJsonStore(s: SparkSession, d: String): String =
+    artifact("docsjson", d) { p =>
+      t(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+        .write.json(p)
+    }
+
   /** Shared [[graft.ext.DedupOps.ShingleIndex]] over `documents` (3-gram,
     * df-cap 50) — the whole set-similarity family (full inverted-index
     * Jaccard, prefix Jaccard, containment) starts from the same kernel
@@ -237,6 +244,44 @@ object SparkEntry {
     shingleIndexes.computeIfAbsent(d, _ =>
       DedupOps.shingleIndex(t(s, d, "documents"), "doc_id", "text",
         n = 3, maxShingleDf = 50))
+
+  /** Shared WINNOW fingerprint artifact over `documents` (char-8-gram,
+    * window 16 — the MOSS parameters both winnow queries use): the
+    * per-doc fingerprint profile and the near-dup pair join start from
+    * the same O(total characters) rolling-hash + window-min pass, so it
+    * is memoized per sf dir like the shingle index. (It CANNOT share the
+    * ShingleIndex itself: winnowing is character-level positional —
+    * every occurrence, window minima over the position sequence — while
+    * the shingle index holds word-gram SET ranks; see SCALE.md.) */
+  private val winnowFps =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def docWinnowFingerprints(s: SparkSession, d: String): DataFrame =
+    winnowFps.computeIfAbsent(d, _ =>
+      TextOps.winnowFingerprints(t(s, d, "documents"), "doc_id", "text",
+        k = 8, w = 16).persist())
+
+  /** Trained ANN model artifacts over `embeddings` — the 8 coarse IVF
+    * centroids and the m=8 × 16-code PQ codebooks — memoized per sf dir
+    * (the docShingleIndex economics applied to trained models): a
+    * production pipeline trains ONCE per corpus wave, and the whole ANN
+    * family (ivf/ivfpq top-k, recall audits, PQ encode/rerank, cell
+    * prototypes/outliers/drift, contrastive mining, index-store builds)
+    * reads the same trained artifact instead of re-running the seeding
+    * and Lloyd jobs per query. Both are bounded MODEL artifacts (8
+    * centroid rows / 8×16 subspace codewords), never data — driver-side
+    * caching is exactly their documented contract. */
+  private val centroidModels = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Seq[Float])]]()
+  private def embCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Float])] =
+    centroidModels.computeIfAbsent(d, _ =>
+      SimilarityOps.takeCentroids(t(s, d, "embeddings"), "vec_id",
+        "embedding", 8))
+  private val pqCodebookModels = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Seq[Seq[Float]]]]()
+  private def embPqCodebooks(s: SparkSession, d: String): Seq[Seq[Seq[Float]]] =
+    pqCodebookModels.computeIfAbsent(d, _ =>
+      SimilarityOps.pqTrainCodebooks(t(s, d, "embeddings"), "vec_id",
+        "embedding", m = 8, codes = 16, iters = 2, dim = 64))
 
   /** Shared [[graft.ops.GraphOps.PreparedGraph]] artifacts — the
     * iterative graph family (PageRank, PPR, k-core, LPA, BFS) all start
@@ -272,7 +317,7 @@ object SparkEntry {
     artifact("ann", d) { p =>
       val emb = t(s, d, "embeddings")
       graft.ext.AnnIndexStore.save(p, emb, "vec_id", "embedding",
-        SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8))
+        embCentroids(s, d))
     }
 
   /** Persisted IVF+PQ (IVFADC) index — the annStore centroids plus
@@ -281,9 +326,8 @@ object SparkEntry {
     artifact("annpq", d) { p =>
       val emb = t(s, d, "embeddings")
       graft.ext.AnnIndexStore.save(p, emb, "vec_id", "embedding",
-        SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8),
-        SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
-          m = 8, codes = 16, iters = 2, dim = 64))
+        embCentroids(s, d),
+        embPqCodebooks(s, d))
     }
 
   /** Flagship: the full reference pipeline (extract→transform→load→QC→
@@ -906,6 +950,24 @@ object SparkEntry {
         .orderBy("keep_id")
     }),
 
+    // the custom DataSource V2 document connector — format("graft-docs"),
+    // SupportsPushDownFilters + SupportsPushDownRequiredColumns over
+    // JSON-lines: the reference's server-side find(query, projection)
+    // seam (DAG:94-132) made executable. The filter and the projection
+    // are evaluated INSIDE the custom scan (plan-asserted in
+    // DocsConnectorSpec: no post-scan Filter node, pruned ReadSchema);
+    // the oracle reads the same rows straight from parquet
+    "q_docstore_scan" -> ((s, d) =>
+      s.read.format("graft-docs")
+        .option("path", docsJsonStore(s, d))
+        .option("schema",
+          "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .load()
+        .filter(col("doc_id") >= 100 && col("n_chars") >= 200)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "source")),
+
     // sliding-window chunking (RAG indexing / context packing): pure
     // per-row explode, zero shuffle; overlap factor chunk/stride = 2×
     "q_chunk_docs" -> ((s, d) =>
@@ -1190,8 +1252,8 @@ object SparkEntry {
     // MOSS-tier winnowing pairs: docs sharing >= 10 winnowed char-8-gram
     // fingerprints — catches copied passages whole-doc Jaccard dilutes
     "q_winnow_pairs" -> ((s, d) =>
-      DedupOps.winnowNearDupPairs(t(s, d, "documents"), "doc_id", "text",
-        k = 8, w = 16, minShared = 10, maxFpDf = 20)
+      DedupOps.winnowNearDupPairs(docWinnowFingerprints(s, d), "doc_id",
+        minShared = 10, maxFpDf = 20)
         .orderBy("id1", "id2")),
 
     // APPLY the ExactSubstr cut: remove duplicated-span tokens, reassemble
@@ -3408,7 +3470,7 @@ object SparkEntry {
     // shuffle), scoring only within the query's cell
     "q_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      val cents = embCentroids(s, d)
       SimilarityOps.ivfTopK(
         emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), emb, cents,
         "vec_id", "embedding", k = 5)
@@ -3509,7 +3571,7 @@ object SparkEntry {
     // labeling seeds / human review / coreset stand-ins
     "q_cell_prototypes" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      val cents = embCentroids(s, d)
       SimilarityOps.cellPrototypes(emb, cents, "vec_id", "embedding", m = 2)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("cell", "rank")
@@ -3521,7 +3583,7 @@ object SparkEntry {
     // the q_ann_cell_balance retrain signal
     "q_embedding_outliers" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      val cents = embCentroids(s, d)
       SimilarityOps.embeddingOutliers(emb, cents, "vec_id", "embedding",
           k = 10)
         .orderBy(col("score").asc, col("vec_id").asc)
@@ -3533,7 +3595,7 @@ object SparkEntry {
     // mass moved, the retrain/remix trigger
     "q_embedding_drift" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      val cents = embCentroids(s, d)
       SimilarityOps.embeddingDriftPsi(
           emb.filter(col("vec_id") % 2 === 0),
           emb.filter(col("vec_id") % 2 === 1),
@@ -3560,7 +3622,7 @@ object SparkEntry {
     // (anchor, pos, neg) triplets an embedding trainer consumes
     "q_contrastive_pairs" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      val cents = embCentroids(s, d)
       SimilarityOps.contrastivePairs(emb, cents, "vec_id", "embedding",
           posThreshold = 0.3, negLo = 0.15, negHi = 0.3,
           maxNegs = 2, poolSize = 64)
@@ -3574,7 +3636,7 @@ object SparkEntry {
     // oracle is a literal TRUE per query — same scheme as q_approx_distinct
     "q_ivf_topk_probe2" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      val cents = embCentroids(s, d)
       val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
       val exact = SimilarityOps.cosineTopK(emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), emb,
         "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
@@ -3633,8 +3695,7 @@ object SparkEntry {
     // codebook lands ~0) — DuckDB stipulates the booleans, the count is real
     "q_pq_quantize" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
-        m = 8, codes = 16, iters = 2, dim = 64)
+      val cbs = embPqCodebooks(s, d)
       SimilarityOps.pqEncode(emb, "vec_id", "embedding", cbs)
         .join(emb, "vec_id")
         .select(col("vec_id"), col("pq_codes"),
@@ -3652,8 +3713,7 @@ object SparkEntry {
     // boolean, the engine computes it for candidates 10 vs 25
     "q_pq_rerank" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
-        m = 8, codes = 16, iters = 2, dim = 64)
+      val cbs = embPqCodebooks(s, d)
       val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
       val exact = SimilarityOps.cosineTopK(queries, emb,
         "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
@@ -3681,9 +3741,8 @@ object SparkEntry {
     // booleans, the engine computes them
     "q_ivfpq_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
-      val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
-        m = 8, codes = 16, iters = 2, dim = 64)
+      val cents = embCentroids(s, d)
+      val cbs = embPqCodebooks(s, d)
       val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
       val exact = SimilarityOps.cosineTopK(queries, emb,
         "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
@@ -3713,7 +3772,7 @@ object SparkEntry {
     // assignment, multi-probe, in-cell top-k and the recall division
     "q_ann_recall_audit" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
+      val cents = embCentroids(s, d)
       SimilarityOps.annRecallAudit(
           emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), emb, cents,
           Nil, "vec_id", "embedding", k = 5,
@@ -3728,9 +3787,8 @@ object SparkEntry {
     // exact rerank — the curve's provable fixed point
     "q_ann_recall_audit_pq" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = SimilarityOps.takeCentroids(emb, "vec_id", "embedding", 8)
-      val cbs = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
-        m = 8, codes = 16, iters = 2, dim = 64)
+      val cents = embCentroids(s, d)
+      val cbs = embPqCodebooks(s, d)
       SimilarityOps.annRecallAudit(
           emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), emb, cents,
           cbs, "vec_id", "embedding", k = 5,
@@ -5155,8 +5213,7 @@ object SparkEntry {
     // ---- [EXT] winnowing document fingerprints (MOSS scheme) -----------------
 
     "q_winnow_fingerprints" -> ((s, d) =>
-      TextOps.winnowFingerprints(t(s, d, "documents"), "doc_id", "text",
-          k = 8, w = 16)
+      docWinnowFingerprints(s, d)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fingerprints"),
           min(col("fingerprint")).as("min_fp"),
@@ -6432,8 +6489,9 @@ object SparkEntry {
          ORDER BY id_sub, id_super""",
 
     // identical synthesized URLs + the identical canonicalization surgery
-    // (scheme/host lowercase, www. strip, default-port drop, tracking-param
-    // filter + param sort, trailing-slash collapse, fragment strip)
+    // (scheme/host lowercase, userinfo strip, www. strip, default-port
+    // drop, tracking-param filter + param sort, trailing-slash collapse,
+    // fragment-FIRST strip so a '?' inside a fragment never reads as query)
     "q_url_canonicalize" ->
       """WITH raw AS (
            SELECT doc_id,
@@ -6449,11 +6507,11 @@ object SparkEntry {
                   lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
                   regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS hostport,
                   regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS afterhost,
-                  regexp_extract(url, '\?([^#]*)', 1) AS rawq
+                  regexp_extract(regexp_extract(url, '^([^#]*)', 1), '\?(.*)$', 1) AS rawq
            FROM raw),
          comp AS (
            SELECT doc_id, scheme,
-                  regexp_replace(regexp_replace(lower(hostport), ':[0-9]*$', ''), '^(www\.)+', '') AS host,
+                  regexp_replace(regexp_replace(regexp_replace(lower(hostport), '^.*@', ''), ':[0-9]*$', ''), '^(www\.)+', '') AS host,
                   regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
                   regexp_replace(regexp_extract(afterhost, '^([^?#]*)', 1), '/+$', '') AS path1,
                   list_sort(list_filter(string_split(rawq, '&'),
@@ -6472,6 +6530,17 @@ object SparkEntry {
          SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
                 CAST(MIN(doc_id) AS BIGINT) AS keep_id
          FROM c GROUP BY canonical_url ORDER BY keep_id""",
+
+    // the connector ships exactly the parquet rows' values (the JSONL
+    // export is a lossless integer/string round trip), so the oracle is
+    // the plain relational form over the same fixture table
+    "q_docstore_scan" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         WHERE doc_id >= 100 AND n_chars >= 200
+         GROUP BY lang, source
+         ORDER BY lang, source""",
 
     "q_ngram_jaccard_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -194,14 +194,16 @@ object DedupOps {
   private[graft] def jaccardPairsPrefixDiag(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleDf: Int,
-      positional: Boolean): (DataFrame, DataFrame) =
+      positional: Boolean,
+      overlapKernel: Boolean = true): (DataFrame, DataFrame) =
     jaccardPairsPrefixCore(
       shinglePositions(df, idCol, textCol, n, maxShingleDf),
-      threshold, positional)
+      threshold, positional, overlapKernel)
 
   private def jaccardPairsPrefixCore(
       shPos: DataFrame, threshold: Double,
-      positional: Boolean): (DataFrame, DataFrame) = {
+      positional: Boolean,
+      overlapKernel: Boolean = true): (DataFrame, DataFrame) = {
     // ONE kernel pass + ONE pinned exchange (same discipline as
     // jaccardPairs): the index carries each shingle's per-row canonical
     // rank (position in the hash-sorted array), so the prefix slice, the
@@ -256,18 +258,36 @@ object DedupOps {
       .distinct()
     // Exact verification WITHOUT re-exploding (same trick as
     // [[containmentPairs]]): each side's capped shingle set rides the
-    // candidate row as ONE array value, common = |array_intersect| —
-    // shuffle volume is C·(two doc arrays), not C·|A| exploded rows.
+    // candidate row as ONE array value — shuffle volume is C·(two doc
+    // arrays), not C·|A| exploded rows. Arrays are re-sorted at doc-array
+    // build time (once per DOC, not per pair — the exploded rows lost
+    // their canonical order in the groupBy shuffle) so the merge kernel
+    // below sees its sorted-input precondition.
     val docArr = sh.groupBy(col("id"), col("sz"))
-      .agg(collect_list(col("sh")).as("sha"))
+      .agg(array_sort(collect_list(col("sh"))).as("sha"))
+    // EARLY-EXIT overlap kernel ([[graft.functions.OverlapGeCount]]):
+    // common = |A∩B| exactly whenever it can still qualify, −1 the moment
+    // the sorted-merge's remaining-length bound proves overlap < α — the
+    // SAME relaxed pigeonhole minimum the candidate stage uses, so every
+    // round-up-to-t pair keeps its exact count and the −1 rows are
+    // exactly rows the score filter dropped anyway (their jaccard column
+    // goes negative). Below-threshold candidates — the bulk — stop after
+    // a short prefix instead of paying a full array_intersect walk plus
+    // an intersection-array allocation per pair. `overlapKernel=false`
+    // keeps the array_intersect form for the output-identity spec.
+    val alphaVerify = ceil(tRelax * (col("sz1") + col("sz2")) /
+      (lit(1.0) + tRelax) - lit(1e-9)).cast("long")
+    val commonCol =
+      if (overlapKernel)
+        graft.functions.OverlapGeCount(col("__sa"), col("__sb"), alphaVerify)
+      else size(array_intersect(col("__sa"), col("__sb"))).cast("bigint")
     val result = cands
       .join(docArr.select(col("id").as("id1"), col("sz").as("sz1"),
         col("sha").as("__sa")), "id1")
       .join(docArr.select(col("id").as("id2"), col("sz").as("sz2"),
         col("sha").as("__sb")), "id2")
       .select(col("id1"), col("id2"), col("sz1"), col("sz2"),
-        size(array_intersect(col("__sa"), col("__sb")))
-          .cast("bigint").as("common"))
+        commonCol.as("common"))
       .withColumn("jaccard",
         round(col("common").cast("double") /
           (col("sz1") + col("sz2") - col("common")), 4))
@@ -320,14 +340,16 @@ object DedupOps {
   private[graft] def containmentPairsDiag(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleDf: Int,
-      positional: Boolean): (DataFrame, DataFrame) =
+      positional: Boolean,
+      overlapKernel: Boolean = true): (DataFrame, DataFrame) =
     containmentPairsCore(
       shinglePositions(df, idCol, textCol, n, maxShingleDf),
-      threshold, positional)
+      threshold, positional, overlapKernel)
 
   private def containmentPairsCore(
       shPos: DataFrame, threshold: Double,
-      positional: Boolean): (DataFrame, DataFrame) = {
+      positional: Boolean,
+      overlapKernel: Boolean = true): (DataFrame, DataFrame) = {
     val sh = shPos.select("id", "sz", "sh")
     val shP = shPos.select("id", "sz", "pos", "sh")
     val alpha = ceil(lit(threshold - 0.001) * col("sz") - lit(1e-9))
@@ -357,20 +379,29 @@ object DedupOps {
       .select(col("a.id").as("id_sub"), col("b.id").as("id_super"))
       .distinct()
     // Exact verification WITHOUT re-exploding: each doc's capped shingle
-    // set rides its candidate rows as ONE array value and common =
-    // |array_intersect| — shuffle volume is C·(two doc arrays), never the
-    // C·|A| exploded rows of a per-shingle verify join (at moderate
-    // thresholds the explode-verify form costs more than the prefix saves)
+    // set rides its candidate rows as ONE array value — shuffle volume is
+    // C·(two doc arrays), never the C·|A| exploded rows of a per-shingle
+    // verify join (at moderate thresholds the explode-verify form costs
+    // more than the prefix saves). Common is counted by the EARLY-EXIT
+    // sorted-merge kernel ([[graft.functions.OverlapGeCount]], proof and
+    // −1 convention at the [[jaccardPairsPrefix]] twin): α here is the
+    // one-sided containment minimum ⌈(t−10⁻³)·|A|⌉ the candidate stage
+    // already uses, so kernel-cut rows are exactly the rows the score
+    // filter dropped. Arrays re-sorted once per DOC (groupBy dropped the
+    // canonical order) to meet the merge precondition.
     val docArr = sh.groupBy(col("id"), col("sz"))
-      .agg(collect_list(col("sh")).as("sha"))
+      .agg(array_sort(collect_list(col("sh"))).as("sha"))
+    val alphaVerify = ceil(tRelax * col("sz_sub") - lit(1e-9)).cast("long")
     val result = cands
       .join(docArr.select(col("id").as("id_sub"), col("sz").as("sz_sub"),
         col("sha").as("__sa")), "id_sub")
       .join(docArr.select(col("id").as("id_super"), col("sha").as("__sb")),
         "id_super")
       .select(col("id_sub"), col("id_super"), col("sz_sub"),
-        size(array_intersect(col("__sa"), col("__sb")))
-          .cast("bigint").as("common"))
+        (if (overlapKernel)
+          graft.functions.OverlapGeCount(col("__sa"), col("__sb"), alphaVerify)
+        else size(array_intersect(col("__sa"), col("__sb"))).cast("bigint"))
+          .as("common"))
       .withColumn("containment",
         round(col("common").cast("double") / col("sz_sub"), 4))
       .filter(col("containment") >= threshold)
@@ -1280,9 +1311,22 @@ object DedupOps {
    */
   def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                          k: Int, w: Int, minShared: Int,
-                         maxFpDf: Int = Int.MaxValue): DataFrame = {
+                         maxFpDf: Int = Int.MaxValue): DataFrame =
+    winnowNearDupPairs(
+      TextOps.winnowFingerprints(df, idCol, textCol, k, w),
+      idCol, minShared, maxFpDf)
+
+  /** [[winnowNearDupPairs]] off PRECOMPUTED
+    * [[TextOps.winnowFingerprints]] output — the shared-artifact form
+    * (the ShingleIndex economics applied to the winnow tier): a user
+    * running both the per-doc fingerprint profile and the pair join over
+    * one corpus pays the O(total characters) winnow pass ONCE (persist
+    * the fingerprint frame, hand it to both). Expects the exact
+    * winnowFingerprints schema (`idCol`, `fingerprint`). */
+  def winnowNearDupPairs(fingerprints: DataFrame, idCol: String,
+                         minShared: Int, maxFpDf: Int): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
-    val fp = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
+    val fp = fingerprints
       .select(col(idCol).cast("long").as("id"),
         col("fingerprint").as("__fp"))
     val kept = dropHotKeys(fp, "__fp", maxFpDf)

@@ -165,7 +165,9 @@ object GraftFunctions {
     ("graft_skipgram_pairs", classOf[SkipGramPairs].getName,
       (c: Seq[Expression]) => SkipGramPairs(c.head, intLit("graft_skipgram_pairs", c(1)))),
     ("graft_shingle_explode", classOf[ShingleExplode].getName,
-      (c: Seq[Expression]) => ShingleExplode(c.head, intLit("graft_shingle_explode", c(1))))
+      (c: Seq[Expression]) => ShingleExplode(c.head, intLit("graft_shingle_explode", c(1)))),
+    ("graft_overlap_ge", classOf[OverlapGeCount].getName,
+      (c: Seq[Expression]) => OverlapGeCount(c(0), c(1), c(2)))
   ).map { case (name, cls, builder) =>
     (FunctionIdentifier(name), new ExpressionInfo(cls, name), builder)
   }

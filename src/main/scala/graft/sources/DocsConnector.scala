@@ -1,0 +1,303 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `format("graft-docs")` — an in-process DataSource V2 DOCUMENT-STORE
+ * connector over JSON-lines files, the executable analog of the
+ * reference's Mongo source seam (DAG:94-132,
+ * `collection.find(query, projection)`): the reference pushes its filter
+ * (`query`) and projection server-side so the store ships only matching
+ * documents' requested fields, and THIS is the Spark seam a production
+ * Mongo/Elastic/Cosmos connector plugs into —
+ * [[SupportsPushDownFilters]] receives Catalyst's translated predicates
+ * (the `query` document) and [[SupportsPushDownRequiredColumns]] the
+ * pruned schema (the `projection` document). Here the "server" is the
+ * scan itself: pushed filters are evaluated DURING the line scan, before
+ * any row materializes into Spark, and only pruned columns are ever
+ * converted — so a plan assertion can prove the filter/projection reached
+ * the source, not a post-scan Filter node (DocsConnectorSpec).
+ *
+ * Contract:
+ *  - `path`: a JSON-lines file or a directory of them (`part-*`,
+ *    `*.json`, `*.jsonl`; underscore/dot metadata files skipped);
+ *  - `schema`: REQUIRED DDL, e.g. `"doc_id BIGINT, lang STRING"` — the
+ *    schema-pinned discipline every other source in this engine follows
+ *    (no sampling-based inference: at 100 TB a schema sniff is a full
+ *    scan, and drift should fail loudly, not re-infer silently). A
+ *    reader-supplied `.schema(…)` is also honored
+ *    (`supportsExternalMetadata`). Supported leaf types: BIGINT/INT/
+ *    DOUBLE/STRING/BOOLEAN; absent or null JSON fields read as null.
+ *  - Pushed: EqualTo / GreaterThan(OrEqual) / LessThan(OrEqual) / In /
+ *    IsNull / IsNotNull / StringStartsWith on top-level columns —
+ *    exactly the operator set a Mongo find() query expresses natively.
+ *    Anything else is returned as a residual for Spark to evaluate
+ *    post-scan (correctness never depends on the store's capabilities).
+ *
+ * Scale: one [[InputPartition]] per file — the natural parallel unit of
+ * newline-delimited JSON (a production connector over a document STORE
+ * partitions by shard/chunk ranges through the same seam; a 100 TB
+ * JSONL lake arrives as many thousands of files, so per-file splits
+ * already saturate the cluster). Filters cut rows at the line scan, so
+ * partition output is post-filter — the connector ships only matching
+ * rows into the exchange, like the reference's server-side find().
+ */
+class DocsDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-docs"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val ddl = options.get("schema")
+    require(ddl != null,
+      "graft-docs is schema-pinned: pass .option(\"schema\", \"<DDL>\") " +
+        "or .schema(...) — inference would full-scan the store")
+    StructType.fromDDL(ddl)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null, "graft-docs requires .option(\"path\", ...)")
+    DocsConnector.validateSchema(schema)
+    new DocsTable(path, schema)
+  }
+}
+
+private[graft] class DocsTable(path: String, docSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-docs:$path"
+  override def schema(): StructType = docSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocsScanBuilder(path, docSchema)
+}
+
+private[graft] class DocsScanBuilder(path: String, docSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = docSchema
+
+  /** Accept the filters the document store can evaluate server-side;
+    * everything else goes back to Spark as a residual. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(DocsConnector.supported(docSchema, _))
+    pushed = sup
+    unsup
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Catalyst hands the post-pushdown required columns (the projection
+    // document); fields keep the table schema's types
+    required = requiredSchema
+  }
+
+  override def build(): Scan = new DocsScan(path, docSchema, required, pushed)
+}
+
+/** The scan carries BOTH schemas: `docSchema` to parse/filter each line
+  * (a pushed filter may reference a column the projection dropped) and
+  * `required` to materialize only requested fields. */
+private[graft] class DocsScan(path: String, docSchema: StructType,
+                                required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftDocsScan path=$path, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    DocsConnector.listFiles(path).map(f => DocsInputPartition(f)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsReaderFactory(docSchema, required, pushed)
+}
+
+private[graft] case class DocsInputPartition(file: String)
+    extends InputPartition
+
+private[graft] class DocsReaderFactory(docSchema: StructType,
+                                         required: StructType,
+                                         pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new DocsPartitionReader(
+      p.asInstanceOf[DocsInputPartition].file, docSchema, required, pushed)
+}
+
+/** Streams one JSON-lines file: parse → pushed-filter gate → project.
+  * Rows failing a pushed filter never materialize an [[InternalRow]] —
+  * the "server-side find()" the connector models. */
+private[graft] class DocsPartitionReader(file: String,
+                                           docSchema: StructType,
+                                           required: StructType,
+                                           pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val in = new BufferedReader(new InputStreamReader(
+    new java.io.FileInputStream(file), StandardCharsets.UTF_8))
+  private val fullFields = docSchema.fields
+  private val reqIdx = required.fields.map(f => docSchema.fieldIndex(f.name))
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = in.readLine()
+    while (line != null) {
+      if (line.nonEmpty) {
+        val node = mapper.readTree(line)
+        val vals = new Array[Any](fullFields.length)
+        var i = 0
+        while (i < fullFields.length) {
+          vals(i) = DocsConnector.extract(node, fullFields(i))
+          i += 1
+        }
+        if (pushed.forall(DocsConnector.eval(_, docSchema, vals))) {
+          val proj = new Array[Any](reqIdx.length)
+          var j = 0
+          while (j < reqIdx.length) {
+            proj(j) = DocsConnector.toCatalyst(
+              vals(reqIdx(j)), required.fields(j).dataType)
+            j += 1
+          }
+          current = InternalRow.fromSeq(proj.toIndexedSeq)
+          return true
+        }
+      }
+      line = in.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+private[graft] object DocsConnector {
+
+  def validateSchema(schema: StructType): Unit = schema.fields.foreach { f =>
+    f.dataType match {
+      case LongType | IntegerType | DoubleType | StringType | BooleanType =>
+      case other => throw new IllegalArgumentException(
+        s"graft-docs supports BIGINT/INT/DOUBLE/STRING/BOOLEAN leaves; " +
+          s"'${f.name}' is ${other.simpleString}")
+    }
+  }
+
+  /** Files of a JSON-lines dataset under `path` (or `path` itself),
+    * deterministic order; metadata files (_SUCCESS, .crc) skipped. */
+  def listFiles(path: String): Seq[String] = {
+    val root = new java.io.File(path)
+    require(root.exists(), s"graft-docs path does not exist: $path")
+    if (root.isFile) Seq(root.getPath)
+    else root.listFiles().toSeq
+      .filter(f => f.isFile && {
+        val n = f.getName
+        !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".crc")
+      })
+      .map(_.getPath).sorted
+  }
+
+  /** JSON leaf → JVM value in the field's declared type (null-safe). */
+  def extract(node: JsonNode, field: StructField): Any = {
+    val v = node.get(field.name)
+    if (v == null || v.isNull) null
+    else field.dataType match {
+      case LongType => v.asLong()
+      case IntegerType => v.asInt()
+      case DoubleType => v.asDouble()
+      case BooleanType => v.asBoolean()
+      case StringType => v.asText()
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+  }
+
+  /** JVM value → Catalyst internal value. */
+  def toCatalyst(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => UTF8String.fromString(v.asInstanceOf[String])
+      case _ => v
+    }
+
+  /** Is this source filter evaluable here (a Mongo-find-expressible
+    * predicate on a top-level column)? */
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _) => schema.fieldNames.contains(a)
+    case GreaterThan(a, _) => schema.fieldNames.contains(a)
+    case GreaterThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case LessThan(a, _) => schema.fieldNames.contains(a)
+    case LessThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case In(a, _) => schema.fieldNames.contains(a)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case StringStartsWith(a, _) => schema.fieldNames.contains(a)
+    case _ => false
+  }
+
+  /** SQL three-valued semantics collapsed to keep/drop: a comparison on
+    * a null field drops the row (exactly what the post-scan Filter would
+    * have done), IsNull keeps it. */
+  def eval(f: Filter, schema: StructType, vals: Array[Any]): Boolean = {
+    def v(name: String): Any = vals(schema.fieldIndex(name))
+    f match {
+      case EqualTo(a, lit) => cmp(v(a), lit).contains(0)
+      case GreaterThan(a, lit) => cmp(v(a), lit).exists(_ > 0)
+      case GreaterThanOrEqual(a, lit) => cmp(v(a), lit).exists(_ >= 0)
+      case LessThan(a, lit) => cmp(v(a), lit).exists(_ < 0)
+      case LessThanOrEqual(a, lit) => cmp(v(a), lit).exists(_ <= 0)
+      case In(a, lits) => lits.exists(l => cmp(v(a), l).contains(0))
+      case IsNull(a) => v(a) == null
+      case IsNotNull(a) => v(a) != null
+      case StringStartsWith(a, p) => v(a) match {
+        case s: String => s.startsWith(p)
+        case _ => false
+      }
+      case other => throw new IllegalStateException(
+        s"unpushable filter reached eval: $other")
+    }
+  }
+
+  /** None when either side is null (comparison is unknown → drop). */
+  private def cmp(field: Any, lit: Any): Option[Int] =
+    (field, lit) match {
+      case (null, _) | (_, null) => None
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
+      case (a: Number, b: Number) =>
+        // a double-vs-long comparison compares as double — lossless for
+        // the magnitudes JSON carries and matches Spark's widened cast
+        if (isIntegral(a) && isIntegral(b))
+          Some(java.lang.Long.compare(a.longValue(), b.longValue()))
+        else Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+      case _ => None
+    }
+
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+}

@@ -88,6 +88,46 @@ object StreamingPipeline {
       .start()
 
   /**
+   * Streaming micro-batch → RDBMS mart: the reference's ACTUAL production
+   * loop (30-min scheduled window → `INSERT … ON CONFLICT DO UPDATE SET
+   * <subset>` into Postgres, DAG:440 + 279-316) composed end-to-end from
+   * the two independently proven seams — watermark-bounded keyed dedup
+   * in-stream, then a per-micro-batch SERVER-SIDE `MERGE INTO` through
+   * [[graft.sources.Stores.jdbcUpsert]] (only the micro-batch ships over
+   * JDBC; the mart never leaves the database).
+   *
+   * Exactly-once per key under replays, by composition: in-horizon
+   * redelivery is absorbed by `dropDuplicatesWithinWatermark`, and a
+   * foreachBatch replay after a crash re-runs a MERGE that is idempotent
+   * on the key — the same rows land (the batch-leg proof is
+   * JdbcRoundTripSpec's replay test; the composition is
+   * StreamingPipelineSpec's). Staging is batch-scoped
+   * (`runId = "b<batchId>"`), so a replayed batch reuses — and re-drops —
+   * its own staging table instead of colliding with a neighbor's.
+   *
+   * The target table must exist (the reference pre-creates it with
+   * idempotent DDL, DAG:211-268 — [[graft.sources.Stores]]' mart setup);
+   * `ts` belongs OUT of `updateCols` for the same event-time-immutability
+   * contract as [[keyedIngest]].
+   */
+  def keyedIngestJdbc(events: DataFrame, target: Stores.JdbcTarget,
+                      key: String, updateCols: Seq[String], checkpoint: String,
+                      watermark: String = "1 hour"): StreamingQuery =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(key)
+      .writeStream
+      .queryName("graft_keyed_ingest_jdbc")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          Stores.jdbcUpsert(batch, target, key, updateCols,
+            runId = s"b$batchId")
+      }
+      .start()
+
+  /**
    * Keyed ingestion with an in-stream quality gate — the streaming analog of
    * the batch pipeline's task-5 quarantine ([[graft.pipeline.Pipeline.run]],
    * DAG:333-369): each micro-batch is row-tagged by
@@ -810,8 +850,11 @@ object StreamingPipeline {
         // millisecond order disagrees with event_id order differently,
         // and a clamp fold is non-associative: the parity contract would
         // silently become data-dependent (the timeWeightedAvg discipline).
+        // floorDiv, not /: unix_timestamp FLOORS, while `/` truncates
+        // toward zero — for pre-1970 timestamps (negative millis) the two
+        // disagree and would bucket same-second events differently.
         batch.toArray
-          .sortBy(e => (e.ts.getTime / 1000L, e.event_id))
+          .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L), e.event_id))
           .foreach { e =>
             val raw = s.bal + delta(e)
             s =

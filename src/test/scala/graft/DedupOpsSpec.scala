@@ -175,6 +175,71 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("early-exit overlap kernel is output-identical to array_intersect " +
+    "verification at multiple thresholds") {
+    // same code path with only the verification expression toggled:
+    // graft_overlap_ge's sorted-merge (early-exits when the remaining-
+    // length bound proves overlap < α, returning −1) vs the
+    // size(array_intersect(…)) walk — survivors must carry the SAME exact
+    // common count (identical scores), cut rows must be exactly the rows
+    // the score filter drops
+    val docs = graft.sources.Stores.table(spark, sf0001, "documents")
+    for (t <- Seq(0.3, 0.5, 0.8); cap <- Seq(Int.MaxValue, 50)) {
+      val (_, rKernel) = DedupOps.jaccardPairsPrefixDiag(
+        docs, "doc_id", "text", 3, t, cap, positional = true,
+        overlapKernel = true)
+      val (_, rExact) = DedupOps.jaccardPairsPrefixDiag(
+        docs, "doc_id", "text", 3, t, cap, positional = true,
+        overlapKernel = false)
+      withClue(s"jaccard t=$t cap=$cap: ") {
+        rKernel.orderBy("id1", "id2").as[(Long, Long, Double)]
+          .collect() shouldBe
+          rExact.orderBy("id1", "id2").as[(Long, Long, Double)].collect()
+      }
+    }
+    for (t <- Seq(0.4, 0.5, 0.7); cap <- Seq(Int.MaxValue, 50)) {
+      val (_, rKernel) = DedupOps.containmentPairsDiag(
+        docs, "doc_id", "text", 3, t, cap, positional = true,
+        overlapKernel = true)
+      val (_, rExact) = DedupOps.containmentPairsDiag(
+        docs, "doc_id", "text", 3, t, cap, positional = true,
+        overlapKernel = false)
+      withClue(s"containment t=$t cap=$cap: ") {
+        rKernel.orderBy("id_sub", "id_super").as[(Long, Long, Double)]
+          .collect() shouldBe
+          rExact.orderBy("id_sub", "id_super").as[(Long, Long, Double)]
+          .collect()
+      }
+    }
+  }
+
+  test("graft_overlap_ge: unit semantics (exact count, −1 cut, bounds)") {
+    import graft.functions.OverlapGeCount
+    val rows = Seq(
+      // (a, b, min) — sorted distinct arrays, the library precondition
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 5L, 9L), 1L, 2L),   // exact 2 ≥ 1
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 5L, 9L), 2L, 2L),   // boundary: = min
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 5L, 9L), 3L, -1L),  // provably short
+      (Seq(1L, 2L), Seq(3L, 4L), 1L, -1L),              // disjoint, cut
+      (Seq(1L, 2L), Seq(3L, 4L), 0L, 0L),               // min ≤ 0: exact
+      (Seq.empty[Long], Seq(1L), 0L, 0L),               // empty side
+      (Seq.empty[Long], Seq(1L), 1L, -1L),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3L, 3L))       // full overlap
+    rows.zipWithIndex.foreach { case ((a, b, m, want), i) =>
+      val got = Seq((a, b, m)).toDF("a", "b", "m")
+        .select(OverlapGeCount(col("a"), col("b"), col("m")).as("c"))
+        .as[Long].head()
+      withClue(s"case $i ($a ∩ $b, min=$m): ") { got shouldBe want }
+    }
+    // null propagation: null array or null min → null result
+    Seq((Some(Seq(1L)), None: Option[Seq[Long]], Some(1L)),
+      (None: Option[Seq[Long]], Some(Seq(1L)), Some(1L)),
+      (Some(Seq(1L)), Some(Seq(1L)), None: Option[Long]))
+      .toDF("a", "b", "m")
+      .select(OverlapGeCount(col("a"), col("b"), col("m")).as("c"))
+      .collect().map(_.isNullAt(0)) shouldBe Array(true, true, true)
+  }
+
   test("ShingleIndex: one shared shingle cache feeds the set-similarity " +
     "family with identical results") {
     val docs = graft.sources.Stores.table(spark, sf0001, "documents")
@@ -567,6 +632,24 @@ class DedupOpsSpec extends SparkSpec {
     // contributes shared fingerprints — the 60-char passage yields several
     out.map(r => (r._1, r._2)) shouldBe Array((1L, 2L))
     out.head._3 should be >= 2L
+  }
+
+  test("winnowNearDupPairs off a precomputed fingerprint artifact is " +
+    "output-identical to the one-shot form") {
+    // the shared-artifact seam (SparkEntry memoizes winnowFingerprints
+    // across q_winnow_fingerprints and q_winnow_pairs): handing the
+    // precomputed frame in must change nothing but where the winnow pass
+    // is paid
+    val docs = graft.sources.Stores.table(spark, sf0001, "documents")
+    val oneShot = DedupOps.winnowNearDupPairs(docs, "doc_id", "text",
+        k = 8, w = 16, minShared = 10, maxFpDf = 20)
+      .orderBy("id1", "id2").as[(Long, Long, Long)].collect()
+    val fp = graft.ext.TextOps.winnowFingerprints(
+      docs, "doc_id", "text", k = 8, w = 16)
+    DedupOps.winnowNearDupPairs(fp, "doc_id", minShared = 10, maxFpDf = 20)
+      .orderBy("id1", "id2").as[(Long, Long, Long)]
+      .collect() shouldBe oneShot
+    oneShot.length should be > 0
   }
 
   test("lshRecallAudit: identical pairs score perfect; one all-matching band misses moderate similarity") {

@@ -1,0 +1,128 @@
+package graft
+
+import graft.sources.DocsScan
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/**
+ * The custom DataSource V2 seam, proven end-to-end: `format("graft-docs")`
+ * resolves through the ServiceLoader registration (a deployment adds no
+ * code), Catalyst pushes filters INTO the custom scan via
+ * `SupportsPushDownFilters` (no post-scan Filter node remains when the
+ * predicate is fully supported) and prunes columns via
+ * `SupportsPushDownRequiredColumns` — the engine-side executable analog of
+ * the reference's server-side `collection.find(query, projection)`
+ * (DAG:94-132).
+ */
+class DocsConnectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ddl =
+    "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+
+  /** documents (sans text) exported once as JSON-lines — the document
+    * store the connector fronts. */
+  private lazy val dir: String = {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_docs_src_").toString + "/docs"
+    graft.sources.Stores.table(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+      .coalesce(2).write.json(p)
+    p
+  }
+
+  private def docs: DataFrame = spark.read.format("graft-docs")
+    .option("path", dir).option("schema", ddl).load()
+
+  private def native: DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    spark.read.schema(StructType.fromDDL(ddl)).json(dir)
+  }
+
+  private def docsScanOf(df: DataFrame): DocsScan = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    scans should have size 1
+    scans.head shouldBe a[DocsScan]
+    scans.head.asInstanceOf[DocsScan]
+  }
+
+  private def filterNodes(df: DataFrame): Seq[FilterExec] =
+    df.queryExecution.executedPlan.collect { case f: FilterExec => f }
+
+  test("format(\"graft-docs\") resolves by short name and round-trips the corpus") {
+    docs.count() shouldBe native.count()
+    docs.orderBy("doc_id").as[(Long, String, String, Long)].collect() shouldBe
+      native.orderBy("doc_id").as[(Long, String, String, Long)].collect()
+  }
+
+  test("supported predicates are FULLY pushed into the custom scan — no post-scan Filter") {
+    val q = docs
+      .filter(col("doc_id") >= 100L && col("lang") === "en")
+      .select(col("doc_id"), col("n_chars"))
+    // the filter reached the scan, not a FilterExec above it
+    withClue(s"plan:\n${q.queryExecution.executedPlan}\n") {
+      filterNodes(q) shouldBe empty
+    }
+    val scan = docsScanOf(q)
+    scan.description() should include("GreaterThanOrEqual(doc_id,100)")
+    scan.description() should include("EqualTo(lang,en)")
+    // and the result matches the native reader on the same predicate
+    val expect = native.filter(col("doc_id") >= 100L && col("lang") === "en")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    expect.length should be > 0
+    q.orderBy("doc_id").as[(Long, Long)].collect() shouldBe expect
+  }
+
+  test("column pruning reaches the scan: ReadSchema carries ONLY selected columns") {
+    val q = docs.filter(col("n_chars") >= 50L).select(col("doc_id"))
+    val scan = docsScanOf(q)
+    // doc_id selected; n_chars only FILTERED on (pushed) — pruned from read
+    scan.readSchema().fieldNames.toSeq shouldBe Seq("doc_id")
+    q.count() shouldBe native.filter(col("n_chars") >= 50L).count()
+  }
+
+  test("unsupported predicates come back as residuals — Spark filters post-scan, result still exact") {
+    val q = docs.filter(col("lang").endsWith("n")) // StringEndsWith: not pushed
+    withClue(s"plan:\n${q.queryExecution.executedPlan}\n") {
+      filterNodes(q) should not be empty
+    }
+    docsScanOf(q).description() should not include "EndsWith"
+    q.orderBy("doc_id").as[(Long, String, String, Long)].collect() shouldBe
+      native.filter(col("lang").endsWith("n"))
+        .orderBy("doc_id").as[(Long, String, String, Long)].collect()
+  }
+
+  test("null / missing fields and In / StartsWith semantics at the scan") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_docs_nulls_").resolve("d.jsonl")
+    java.nio.file.Files.write(p, java.util.Arrays.asList(
+      """{"doc_id": 1, "lang": "en", "source": "web", "n_chars": 10}""",
+      """{"doc_id": 2, "lang": null, "source": "webinar", "n_chars": 20}""",
+      """{"doc_id": 3, "source": "print", "n_chars": 30}""", // lang absent
+      """{"doc_id": 4, "lang": "de", "source": "web", "n_chars": null}"""))
+    def d = spark.read.format("graft-docs")
+      .option("path", p.toString).option("schema", ddl).load()
+
+    // IsNull keeps null AND absent; comparisons on null drop the row
+    d.filter(col("lang").isNull).select("doc_id")
+      .as[Long].collect().sorted shouldBe Array(2L, 3L)
+    d.filter(col("n_chars") > 5L).count() shouldBe 3L // null n_chars drops
+    d.filter(col("lang").isin("en", "de")).select("doc_id")
+      .as[Long].collect().sorted shouldBe Array(1L, 4L)
+    val sw = d.filter(col("source").startsWith("web"))
+    filterNodes(sw) shouldBe empty // StartsWith is pushed
+    sw.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 4L)
+  }
+
+  test("schema-pinned: a schemaless read refuses loudly") {
+    val e = intercept[Exception] {
+      spark.read.format("graft-docs").option("path", dir).load()
+    }
+    e.getMessage should include("schema-pinned")
+  }
+}
