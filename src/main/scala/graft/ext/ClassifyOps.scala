@@ -114,7 +114,14 @@ object ClassifyOps {
    */
   def nbConfusion(train: DataFrame, heldOut: DataFrame, idCol: String,
                   textCol: String, labelCol: String): DataFrame =
-    nbClassify(train, heldOut, idCol, textCol, labelCol)
+    nbConfusion(nbClassify(train, heldOut, idCol, textCol, labelCol))
+
+  /** [[nbConfusion]] off a PRE-SCORED frame ([[nbClassify]] output) — the
+    * shared-artifact form: the classify/confusion/threshold-sweep family
+    * reads one scored table instead of retraining + rescoring per
+    * consumer (the trained-ANN-model economics on classifier scores). */
+  def nbConfusion(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("actual"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
 
@@ -134,9 +141,15 @@ object ClassifyOps {
    */
   def nbThresholdSweep(train: DataFrame, heldOut: DataFrame, idCol: String,
                        textCol: String, labelCol: String,
+                       thresholds: Seq[Double]): DataFrame =
+    nbThresholdSweep(
+      nbClassify(train, heldOut, idCol, textCol, labelCol), thresholds)
+
+  /** [[nbThresholdSweep]] off a PRE-SCORED frame — see [[nbConfusion]]'s
+    * shared-artifact rationale. */
+  def nbThresholdSweep(scored: DataFrame,
                        thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
-    val scored = nbClassify(train, heldOut, idCol, textCol, labelCol)
     val grid = scored.sparkSession.range(1)
       .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
     val total = scored.agg(count(lit(1)).as("__n"))

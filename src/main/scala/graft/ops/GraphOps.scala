@@ -627,4 +627,52 @@ object GraphOps {
         when(dx > 0 && dy > 0,
           round(num / sqrt(dx * dy), 6)).as("assortativity"))
   }
+
+  /**
+   * ADAMIC–ADAR link prediction — for every NON-adjacent node pair at
+   * distance 2, the classic common-neighbor score
+   * `aa = Σ_w 1/ln(deg(w))` over their common neighbors w (rare shared
+   * neighbors are strong evidence, hub co-membership is weak). On a dup
+   * graph this ranks the pairs the pairwise tiers MISSED: two docs that
+   * never collided directly but share near-dup neighbors are the
+   * transitive-duplicate candidates worth re-verifying — the
+   * link-prediction face of connected components (CC merges what IS
+   * connected; this scores what PROBABLY SHOULD be).
+   *
+   * Emits (u, v, n_common, aa_score 6dp), u < v, existing edges
+   * excluded. Deterministic: per-center terms 6dp-rounded then
+   * DECIMAL-summed (order-invariant), one final double round.
+   *
+   * Scale: wedge enumeration per CENTER node — volume Σ deg(w)², with
+   * `maxCenterDegree` capping hub centers exactly like the df-caps on
+   * the shingle tiers (a hub's 1/ln(deg) term is the weakest evidence
+   * in the formula AND its wedge volume is quadratic — dropping it cuts
+   * the blowup while biasing scores DOWN only, never inventing a pair).
+   * Two hash joins + one hash agg + one anti-join; never all-pairs.
+   */
+  def adamicAdar(edges: DataFrame, src: String, dst: String,
+                 maxCenterDegree: Int = Int.MaxValue): DataFrame = {
+    require(maxCenterDegree >= 2, s"maxCenterDegree $maxCenterDegree < 2")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct()
+    val bi = e.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+    val deg = bi.groupBy("w").agg(count(lit(1)).as("d"))
+    val adj = bi.join(deg.filter(col("d") <= maxCenterDegree), "w")
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("u"), col("y.n").as("v"),
+        round(lit(1.0) / log(col("x.d").cast("double")), 6).cast(dec)
+          .as("__term"))
+    wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(col("__term")).cast("double"), 6).as("aa_score"))
+      .join(e.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+  }
 }

@@ -44,6 +44,9 @@ import org.apache.spark.unsafe.types.UTF8String
  *    exactly the operator set a Mongo find() query expresses natively.
  *    Anything else is returned as a residual for Spark to evaluate
  *    post-scan (correctness never depends on the store's capabilities).
+ *  - LIMIT pushdown ([[SupportsPushDownLimit]], the `find().limit(n)`
+ *    analog): each partition reader stops after n post-filter rows —
+ *    a per-partition superset, Spark's own Limit takes the final n.
  *
  * Scale: one [[InputPartition]] per file — the natural parallel unit of
  * newline-delimited JSON (a production connector over a document STORE
@@ -88,10 +91,18 @@ private[graft] class DocsTable(path: String, docSchema: StructType)
 
 private[graft] class DocsScanBuilder(path: String, docSchema: StructType)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = docSchema
+  private var limit: Int = -1
+
+  /** The `find(query).limit(n)` analog: each partition reader stops
+    * after `n` post-filter rows (a per-partition superset of the global
+    * answer — Spark's own Limit still takes the final n, so returning
+    * `true` here only cuts the rows the store ships, never correctness). */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   /** Accept the filters the document store can evaluate server-side;
     * everything else goes back to Spark as a residual. */
@@ -109,14 +120,16 @@ private[graft] class DocsScanBuilder(path: String, docSchema: StructType)
     required = requiredSchema
   }
 
-  override def build(): Scan = new DocsScan(path, docSchema, required, pushed)
+  override def build(): Scan =
+    new DocsScan(path, docSchema, required, pushed, limit)
 }
 
 /** The scan carries BOTH schemas: `docSchema` to parse/filter each line
   * (a pushed filter may reference a column the projection dropped) and
   * `required` to materialize only requested fields. */
 private[graft] class DocsScan(path: String, docSchema: StructType,
-                                required: StructType, pushed: Array[Filter])
+                              required: StructType, pushed: Array[Filter],
+                              limit: Int = -1)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -124,6 +137,7 @@ private[graft] class DocsScan(path: String, docSchema: StructType,
   override def description(): String =
     s"GraftDocsScan path=$path, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"PushedLimit: ${if (limit >= 0) limit.toString else "none"}, " +
       s"ReadSchema: ${required.catalogString}"
 
   override def toBatch: Batch = this
@@ -132,28 +146,31 @@ private[graft] class DocsScan(path: String, docSchema: StructType,
     DocsConnector.listFiles(path).map(f => DocsInputPartition(f)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocsReaderFactory(docSchema, required, pushed)
+    new DocsReaderFactory(docSchema, required, pushed, limit)
 }
 
 private[graft] case class DocsInputPartition(file: String)
     extends InputPartition
 
 private[graft] class DocsReaderFactory(docSchema: StructType,
-                                         required: StructType,
-                                         pushed: Array[Filter])
+                                       required: StructType,
+                                       pushed: Array[Filter],
+                                       limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new DocsPartitionReader(
-      p.asInstanceOf[DocsInputPartition].file, docSchema, required, pushed)
+      p.asInstanceOf[DocsInputPartition].file, docSchema, required, pushed,
+      limit)
 }
 
 /** Streams one JSON-lines file: parse → pushed-filter gate → project.
   * Rows failing a pushed filter never materialize an [[InternalRow]] —
   * the "server-side find()" the connector models. */
 private[graft] class DocsPartitionReader(file: String,
-                                           docSchema: StructType,
-                                           required: StructType,
-                                           pushed: Array[Filter])
+                                         docSchema: StructType,
+                                         required: StructType,
+                                         pushed: Array[Filter],
+                                         limit: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -162,8 +179,12 @@ private[graft] class DocsPartitionReader(file: String,
   private val fullFields = docSchema.fields
   private val reqIdx = required.fields.map(f => docSchema.fieldIndex(f.name))
   private var current: InternalRow = _
+  private var emitted = 0
 
   override def next(): Boolean = {
+    // pushed limit: stop the line scan after n post-filter rows — the
+    // per-partition superset contract (Spark's Limit takes the final n)
+    if (limit >= 0 && emitted >= limit) return false
     var line = in.readLine()
     while (line != null) {
       if (line.nonEmpty) {
@@ -183,6 +204,7 @@ private[graft] class DocsPartitionReader(file: String,
             j += 1
           }
           current = InternalRow.fromSeq(proj.toIndexedSeq)
+          emitted += 1
           return true
         }
       }

@@ -119,6 +119,19 @@ class DocsConnectorSpec extends SparkSpec {
     sw.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 4L)
   }
 
+  test("limit pushdown: the scan stops shipping rows (find().limit analog)") {
+    val q = docs.filter(col("n_chars") >= 50L).limit(7)
+    docsScanOf(q).description() should include("PushedLimit: 7")
+    q.count() shouldBe 7L
+    // a limit wider than the matching set changes nothing — exactness
+    // never depends on the pushed hint
+    val q2 = docs.filter(col("doc_id") < 5L).limit(100)
+    docsScanOf(q2).description() should include("PushedLimit: 100")
+    q2.orderBy("doc_id").as[(Long, String, String, Long)].collect() shouldBe
+      native.filter(col("doc_id") < 5L)
+        .orderBy("doc_id").as[(Long, String, String, Long)].collect()
+  }
+
   test("schema-pinned: a schemaless read refuses loudly") {
     val e = intercept[Exception] {
       spark.read.format("graft-docs").option("path", dir).load()

@@ -64,6 +64,39 @@ class MonitorAndStructureSpec extends SparkSpec {
     r.getAs[Double]("assortativity") shouldBe -1.0
   }
 
+  test("adamicAdar: square-with-diagonal matches the hand computation") {
+    // edges (1,2),(2,3),(3,4),(4,1),(1,3): the only NON-adjacent
+    // distance-2 pair is (2,4), via centers 1 and 3 (degree 3 each) —
+    // aa = 2·round(1/ln 3, 6); (1,3) is an edge, so it must NOT appear
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("s", "t")
+    val out = GraphOps.adamicAdar(edges, "s", "t")
+      .orderBy("u", "v").collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getAs[Long]("u"), r.getAs[Long]("v")) shouldBe ((2L, 4L))
+    r.getAs[Long]("n_common") shouldBe 2L
+    val term = BigDecimal(1.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    r.getAs[Double]("aa_score") shouldBe (term * 2).toDouble
+  }
+
+  test("adamicAdar: the hub cap drops hub-centered wedges, never invents pairs") {
+    // same square-with-diagonal; maxCenterDegree=2 excludes both
+    // degree-3 centers → (2,4) loses its only evidence and vanishes
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("s", "t")
+    GraphOps.adamicAdar(edges, "s", "t", maxCenterDegree = 2)
+      .count() shouldBe 0L
+    // a path a-b-c keeps its degree-2 center: (a,c) via b, aa = 1/ln 2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val r = GraphOps.adamicAdar(path, "s", "t", maxCenterDegree = 2).head()
+    (r.getAs[Long]("u"), r.getAs[Long]("v")) shouldBe ((1L, 3L))
+    r.getAs[Double]("aa_score") shouldBe
+      BigDecimal(1.0 / math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   test("degreeAssortativity: regular graphs have no degree variance → null") {
     // triangle: every degree 2
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")

@@ -246,4 +246,16 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("set-similarity verification rides the early-exit overlap kernel") {
+    // the verify step of the two most expensive pair joins must carry
+    // graft_overlap_ge (sorted-merge, remaining-length short-circuit) —
+    // a silent regression to array_intersect walks both full arrays per
+    // candidate and re-opens the round-11 top bench lines
+    Seq("q_containment_pairs", "q_jaccard_prefix").foreach { name =>
+      withClue(s"$name missing graft_overlap_ge: ") {
+        planOf(name) should include("graft_overlap_ge")
+      }
+    }
+  }
 }
