@@ -1081,6 +1081,16 @@ object SparkEntry {
 
     // batch BM25 retrieval: 20 queries (each doc's first-5-token set)
     // scored in ONE corpus scan; bounded-heap per-query top-3
+    // Dirichlet-smoothed query likelihood (Zhai–Lafferty) — the
+    // language-modeling member of the classic retrieval trio beside
+    // BM25 and TF-IDF, in the rank-equivalent sparse decomposition
+    // (match term ln(1 + tf·|C|/(μ·cf)) + |q|·ln(μ/(dl+μ))); same query
+    // fixture as q_bm25_batch so the two scorers are comparable
+    "q_lm_dirichlet" -> ((s, d) =>
+      TextOps.lmDirichletTopK(t(s, d, "documents"), "doc_id", "text",
+          selfRetrievalQueries(s, d), k = 3, mu = 50.0)
+        .orderBy("qid", "rnk")),
+
     "q_bm25_batch" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val qt = docs.filter(col("text").isNotNull && col("doc_id") < 20)
@@ -2281,6 +2291,23 @@ object SparkEntry {
       graft.ops.GraphOps.adamicAdar(edges, "id1", "id2",
           maxCenterDegree = 50)
         .orderBy("u", "v")
+    }),
+
+    // local clustering coefficients over the same enriched dup graph:
+    // per node, what fraction of its neighbor PAIRS also collided —
+    // the normalized community-density lens beside q_triangle_counts'
+    // absolute counts (a 100-triangle hub can be less clustered than a
+    // 1-triangle leaf pair)
+    "q_clustering_coeff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = docs.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        .unionAll(docs.filter(col("doc_id") % 10 < 2)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 2).as("id2")))
+        .unionAll(docs.filter(col("doc_id") % 10 < 1)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 4).as("id2")))
+      graft.ops.GraphOps.clusteringCoefficients(edges, "id1", "id2")
+        .orderBy("node")
     }),
 
     // Wald SPRT over the daily urgent-order rate: cumulative LLR of
@@ -5674,6 +5701,44 @@ object SparkEntry {
          SELECT qid, doc_id, bm25, rnk FROM rk WHERE rnk <= 3
          ORDER BY qid, rnk"""),
 
+    // identical decomposition: 6dp-rounded decimal-summed match terms,
+    // one pinned double length-penalty chain, rank by the final rounded
+    // score with (score desc, doc asc) ties
+    "q_lm_dirichlet" ->
+      """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                                CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+                         FROM documents WHERE text IS NOT NULL),
+              stats AS (SELECT SUM(dl) AS total_tokens FROM corpus),
+              q AS (SELECT DISTINCT doc_id AS qid, unnest(toks[1:5]) AS term
+                    FROM corpus WHERE doc_id < 20),
+              post0 AS (SELECT doc_id, dl, unnest(toks) AS term FROM corpus),
+              qterm AS (SELECT DISTINCT term FROM q),
+              postings AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                           FROM post0 JOIN qterm USING (term)
+                           GROUP BY doc_id, dl, term),
+              cf AS (SELECT term, SUM(tf) AS cft FROM postings GROUP BY term),
+              nq AS (SELECT qid, CAST(COUNT(*) AS DOUBLE) AS nq
+                     FROM (SELECT DISTINCT q.qid, q.term
+                           FROM q JOIN cf USING (term))
+                     GROUP BY qid),
+              contrib AS (SELECT q.qid, p.doc_id, p.dl,
+                                 CAST(ROUND(ln(1.0 + p.tf * s.total_tokens /
+                                      (50.0 * c.cft)), 6) AS DECIMAL(18,6)) AS c
+                          FROM q JOIN postings p USING (term)
+                               JOIN cf c USING (term) CROSS JOIN stats s),
+              ds AS (SELECT qid, doc_id, dl, CAST(SUM(c) AS DECIMAL(18,6)) AS ms
+                     FROM contrib GROUP BY qid, doc_id, dl),
+              sc AS (SELECT ds.qid, ds.doc_id,
+                            ROUND(CAST(ds.ms AS DOUBLE) +
+                                  nq.nq * ln(50.0 / (ds.dl + 50.0)), 6) AS lm_score
+                     FROM ds JOIN nq USING (qid)),
+              rk AS (SELECT qid, doc_id, lm_score,
+                            CAST(row_number() OVER (PARTITION BY qid
+                              ORDER BY lm_score DESC, doc_id ASC) AS BIGINT) AS rnk
+                     FROM sc)
+         SELECT qid, doc_id, lm_score, rnk FROM rk WHERE rnk <= 3
+         ORDER BY qid, rnk""",
+
     // the index-backed path must reproduce the batch operator exactly,
     // so it shares its oracle verbatim
     "q_bm25_index_topk" ->
@@ -8514,6 +8579,36 @@ object SparkEntry {
          FROM agg LEFT JOIN e ON e.a = agg.u AND e.b = agg.v
          WHERE e.a IS NULL
          ORDER BY agg.u, agg.v""",
+
+    // exact triangle enumeration (x<y<z via the canonical a<b edge set,
+    // each triangle once), per-node counts, the same 2T/(d(d-1)) form
+    "q_clustering_coeff" ->
+      """WITH e0 AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+                     WHERE doc_id % 10 < 3
+                     UNION ALL
+                     SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 10 < 2
+                     UNION ALL
+                     SELECT doc_id, doc_id + 4 FROM documents WHERE doc_id % 10 < 1),
+              e AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+                    FROM e0 WHERE id1 <> id2),
+              bi AS (SELECT a AS n FROM e UNION ALL SELECT b FROM e),
+              deg AS (SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                      FROM bi GROUP BY n),
+              tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+              tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                     FROM (SELECT x AS node FROM tri
+                           UNION ALL SELECT y FROM tri
+                           UNION ALL SELECT z FROM tri)
+                     GROUP BY node)
+         SELECT deg.node, deg.deg,
+                CAST(COALESCE(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+                ROUND(CAST(COALESCE(tn.n_triangles, 0) AS DOUBLE) * 2.0 /
+                      (deg.deg * (deg.deg - 1)), 6) AS clustering_coeff
+         FROM deg LEFT JOIN tn USING (node)
+         WHERE deg.deg >= 2
+         ORDER BY deg.node""",
 
     // the two LLR factors and both Wald bounds are the same double
     // expressions in both engines; decision compares the ROUNDED llr

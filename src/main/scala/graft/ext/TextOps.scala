@@ -927,6 +927,77 @@ object TextOps {
   }
 
   /**
+   * DIRICHLET-SMOOTHED query-likelihood retrieval (Zhai & Lafferty,
+   * SIGIR'01) — the language-modeling member of the classic scoring trio
+   * beside BM25 (probabilistic) and TF-IDF (vector-space): score(q, d) =
+   * Σ_{t∈q} ln((tf_{t,d} + μ·p(t|C)) / (|d| + μ)), smoothing each
+   * document LM toward the corpus LM with pseudo-count mass μ. Computed
+   * in the standard RANK-EQUIVALENT sparse decomposition
+   *
+   *   Σ_{t ∈ q∩d} ln(1 + tf/(μ·p(t|C)))  +  |q|·ln(μ / (|d| + μ))
+   *
+   * (the doc-independent Σ ln p(t|C) constant dropped), so only genuine
+   * (doc, matching-term) postings ever materialize — the inverted-index
+   * contract [[bm25BatchTopK]] uses. Out-of-vocabulary query terms are
+   * dropped (p(t|C) = 0 degenerates the formula identically for every
+   * document); candidates are docs sharing ≥ 1 in-vocab query term.
+   *
+   * Returns (qid, doc_id, lm_score 6dp, rnk ≤ k), ties (score desc, doc
+   * asc). Determinism: per-term match contributions 6dp-rounded then
+   * DECIMAL-summed; the |q|·ln(μ/(dl+μ)) length penalty is ONE pinned
+   * double chain added before the final 6dp round.
+   *
+   * Scale: identical shape to [[bm25BatchTopK]] — corpus tokens meet the
+   * broadcast query-term set at the scan, the only wide steps are the
+   * (doc, term) tf aggregate and the bounded-heap top-k; corpus text
+   * never shuffles, stats ride 1-row broadcasts.
+   */
+  def lmDirichletTopK(df: DataFrame, idCol: String, textCol: String,
+                      queryTerms: DataFrame, k: Int,
+                      mu: Double = 50.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(mu > 0, s"mu must be positive, got $mu")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val corpus = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = corpus.agg(sum(col("dl")).as("total_tokens"))
+    val qt = queryTerms
+      .select(col("qid").cast("long").as("qid"), col("term")).distinct()
+    val qterm = qt.select("term").distinct()
+    val postings = corpus
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qterm), "term")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // corpus frequency of each (in-vocab) query term: Σ tf over docs
+    val cf = postings.groupBy("term").agg(sum(col("tf")).as("cft"))
+    // in-vocab query size |q| — OOV terms dropped from the penalty too
+    val nq = qt.join(broadcast(cf.select("term")), "term")
+      .groupBy("qid").agg(count(lit(1)).cast("double").as("nq"))
+    val contrib = qt.join(postings, "term")
+      .join(broadcast(cf), "term").crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), col("dl"),
+        round(log(lit(1.0) +
+          col("tf") * col("total_tokens") / (lit(mu) * col("cft"))), 6)
+          .cast(dec).as("c"))
+    val scored = contrib.groupBy(col("qid"), col("doc_id"), col("dl"))
+      .agg(sum(col("c")).cast(dec).as("ms"))
+      .join(broadcast(nq), "qid")
+      .select(col("qid").as("query_id"), col("doc_id").as("neighbor_id"),
+        round(col("ms").cast("double") +
+          col("nq") * log(lit(mu) / (col("dl") + mu)), 6).as("score"))
+    val topk = udaf(new graft.functions.VectorAggregators.TopKByScore(k))
+    scored.filter(col("score").isNotNull)
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("topk"))
+      .select(col("query_id").as("qid"), posexplode(col("topk")))
+      .select(col("qid"), col("col._2").as("doc_id"),
+        col("col._1").as("lm_score"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /**
    * SIGNED FEATURE HASHING (the hashing trick, Weinberger et al. 2009) —
    * text → fixed-`dim` integer count vector with no vocabulary pass:
    * each token lands in bin `fp60(token) mod dim` with sign

@@ -650,6 +650,44 @@ object GraphOps {
    * the blowup while biasing scores DOWN only, never inventing a pair).
    * Two hash joins + one hash agg + one anti-join; never all-pairs.
    */
+  /**
+   * LOCAL CLUSTERING COEFFICIENTS — per node with degree ≥ 2, the
+   * fraction of its neighbor pairs that are themselves connected:
+   * `2·triangles(v) / (deg(v)·(deg(v)−1))`. The community-density lens
+   * on the dup graph: coefficient ≈ 1 inside tight template families
+   * (every neighbor pair also collided), ≈ 0 around incidental hubs —
+   * beside [[triangleCounts]]' absolute counts this is the normalized,
+   * cross-node-comparable form (a 100-triangle hub can be LESS clustered
+   * than a 1-triangle leaf pair).
+   *
+   * Emits (node, deg, n_triangles, clustering_coeff 6dp); zero-triangle
+   * nodes included at 0.0, degree-1 nodes excluded (undefined
+   * denominator).
+   *
+   * Scale: [[triangleCounts]]' degree-oriented wedge scheme (out-degree
+   * O(√m), never all-pairs) + one degree aggregate + one left join —
+   * everything node- or edge-sized.
+   */
+  def clusteringCoefficients(edges: DataFrame, src: String,
+                             dst: String): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangleCounts(edges, src, dst), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(coalesce(col("n_triangles"), lit(0L)).cast("double") * 2.0 /
+          (col("deg") * (col("deg") - 1)).cast("double"), 6)
+          .as("clustering_coeff"))
+  }
+
   def adamicAdar(edges: DataFrame, src: String, dst: String,
                  maxCenterDegree: Int = Int.MaxValue): DataFrame = {
     require(maxCenterDegree >= 2, s"maxCenterDegree $maxCenterDegree < 2")

@@ -130,9 +130,24 @@ private[graft] class DocsScanBuilder(path: String, docSchema: StructType)
 private[graft] class DocsScan(path: String, docSchema: StructType,
                               required: StructType, pushed: Array[Filter],
                               limit: Int = -1)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** The optimizer-stats seam (a production connector reports collection/
+    * shard stats here): size = total on-disk bytes of the listed files —
+    * an upper bound once filters push (conservative for broadcast
+    * decisions: Catalyst only broadcasts when the bound is small, so an
+    * overestimate never broadcasts something big). Row count left
+    * unknown: lines aren't countable without a scan. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes =
+      DocsConnector.listFiles(path).map(f => new java.io.File(f).length).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   override def description(): String =
     s"GraftDocsScan path=$path, " +

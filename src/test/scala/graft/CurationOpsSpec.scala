@@ -368,6 +368,53 @@ class CurationOpsSpec extends SparkSpec {
     out(2) shouldBe ((3L, 4L, 2L, 0.562336))
   }
 
+  test("lmDirichletTopK matches a locally computed Zhai–Lafferty ranking") {
+    val docsDf = graft.sources.Stores.table(spark, sf0001, "documents")
+    val qtDf = docsDf.filter(col("text").isNotNull && col("doc_id") < 20)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(TextOps.tokens(col("text")), 1, 5)))
+          .as("term"))
+    val mu = 50.0
+    val got = TextOps.lmDirichletTopK(docsDf, "doc_id", "text", qtDf,
+        k = 3, mu = mu)
+      .orderBy("qid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+
+    // brute-force reference on the driver, replaying the exact rounding
+    // discipline (per-term 6dp → decimal sum → one pinned penalty chain)
+    val corpus = docsDf.filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val total = corpus.map(_._2.length.toDouble).sum
+    val cf = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    corpus.foreach { case (_, toks) => toks.foreach(t => cf(t) += 1.0) }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = corpus.filter(_._1 < 20).sortBy(_._1)
+      .flatMap { case (qid, qtoks) =>
+        val qterms = qtoks.take(5).distinct.filter(t => cf(t) > 0)
+        val nq = qterms.length.toDouble
+        val scored = corpus.flatMap { case (id, toks) =>
+          val dl = toks.length.toDouble
+          if (!qterms.exists(t => toks.contains(t))) None
+          else {
+            val ms = qterms.foldLeft(BigDecimal(0)) { (acc, t) =>
+              val tf = toks.count(_ == t).toDouble
+              if (tf == 0) acc
+              else acc + r6(math.log(1.0 + tf * total / (mu * cf(t))))
+            }
+            Some((id,
+              r6(ms.toDouble + nq * math.log(mu / (dl + mu))).toDouble))
+          }
+        }
+        scored.sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+          .map { case ((id, s), i) => (qid, id, s, (i + 1).toLong) }
+      }
+    got shouldBe expected
+    got.length should be > 0
+  }
+
   test("bm25BatchTopK: agrees with the single-query ranker; distinctive queries self-retrieve at rank 1") {
     val docs = Seq(
       (1L, "apple pie recipe with apple and sugar"),

@@ -132,6 +132,27 @@ class DocsConnectorSpec extends SparkSpec {
         .orderBy("doc_id").as[(Long, String, String, Long)].collect()
   }
 
+  test("statistics seam: the scan reports its on-disk size to the optimizer") {
+    // SupportsReportStatistics — what lets Catalyst choose broadcast
+    // joins against the connector; size = listed file bytes (an upper
+    // bound under pushdown: overestimates never broadcast something big)
+    val fileBytes = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && !f.getName.endsWith(".crc"))
+      .map(_.length).sum
+    fileBytes should be > 0L
+    val stats = docsScanOf(docs.filter(col("doc_id") >= 0L))
+      .estimateStatistics()
+    stats.sizeInBytes().getAsLong shouldBe fileBytes
+    stats.numRows().isPresent shouldBe false
+    // and Catalyst actually CONSUMES it: the optimized scan relation's
+    // plan statistics carry the connector's size (this is the number
+    // join strategy choices read), not the +inf default of an opaque
+    // source
+    docs.queryExecution.optimizedPlan.stats.sizeInBytes shouldBe
+      BigInt(fileBytes)
+  }
+
   test("schema-pinned: a schemaless read refuses loudly") {
     val e = intercept[Exception] {
       spark.read.format("graft-docs").option("path", dir).load()

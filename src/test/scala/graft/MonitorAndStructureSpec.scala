@@ -97,6 +97,26 @@ class MonitorAndStructureSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("clusteringCoefficients: square-with-diagonal, by hand") {
+    // triangles (1,2,3) and (1,3,4); deg 1,3 = 3 and 2,4 = 2 →
+    // coeff(1) = coeff(3) = 2·2/(3·2) = 2/3; coeff(2) = coeff(4) = 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("s", "t")
+    val out = GraphOps.clusteringCoefficients(edges, "s", "t")
+      .orderBy("node").collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("deg"),
+        r.getAs[Long]("n_triangles"), r.getAs[Double]("clustering_coeff")))
+    out shouldBe Array(
+      (1L, 3L, 2L, 0.666667), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 2L, 0.666667), (4L, 2L, 1L, 1.0))
+    // a triangle-free path: the degree-2 center scores 0.0, leaves
+    // (deg 1) are excluded — the undefined-denominator contract
+    val path = GraphOps.clusteringCoefficients(
+      Seq((1L, 2L), (2L, 3L)).toDF("s", "t"), "s", "t").collect()
+    path.map(r => (r.getAs[Long]("node"),
+      r.getAs[Double]("clustering_coeff"))) shouldBe Array((2L, 0.0))
+  }
+
   test("degreeAssortativity: regular graphs have no degree variance → null") {
     // triangle: every degree 2
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")

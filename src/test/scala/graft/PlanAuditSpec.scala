@@ -54,6 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivfpq_topk",          // exact-baseline cosineTopK's broadcast query set
     "q_pmi_collocations",    // 1-row corpus token total broadcast
     "q_bm25_batch",          // 1-row corpus-stats broadcast
+    "q_lm_dirichlet",        // 1-row corpus-token-total broadcast (the
+                             // q_bm25_batch stats shape)
     "q_bm25_index_topk",     // same 1-row stats broadcast, index-backed
     "q_hybrid_store_rrf",    // inherits the index-backed BM25 stats join
     "q_ann_store_pq",        // exact-baseline cosineTopK's broadcast query set
