@@ -224,11 +224,15 @@ object SparkEntry {
 
   /** documents (sans text) exported ONCE per sf dir as JSON-lines — the
     * document store the custom DataSource V2 connector
-    * ([[graft.sources.DocsDataSource]], `format("graft-docs")`) fronts. */
+    * ([[graft.sources.DocsDataSource]], `format("graft-docs")`) fronts.
+    * Written THROUGH the connector's own write path (two-phase-commit
+    * staged files), so `q_docstore_scan` exercises the full
+    * source+sink lifecycle of the seam. */
   private def docsJsonStore(s: SparkSession, d: String): String =
     artifact("docsjson", d) { p =>
       t(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
-        .write.json(p)
+        .write.format("graft-docs").option("path", p)
+        .mode("overwrite").save()
     }
 
   /** Shared [[graft.ext.DedupOps.ShingleIndex]] over `documents` (3-gram,

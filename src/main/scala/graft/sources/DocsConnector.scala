@@ -5,9 +5,10 @@ import java.nio.charset.StandardCharsets
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,6 +48,9 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - LIMIT pushdown ([[SupportsPushDownLimit]], the `find().limit(n)`
  *    analog): each partition reader stops after n post-filter rows —
  *    a per-partition superset, Spark's own Limit takes the final n.
+ *  - WRITES ([[SupportsWrite]], append + truncate-overwrite): the load
+ *    seam, with a real two-phase commit (task-staged files promoted by
+ *    the driver's job commit — see [[DocsWriteBuilder]]).
  *
  * Scale: one [[InputPartition]] per file — the natural parallel unit of
  * newline-delimited JSON (a production connector over a document STORE
@@ -80,13 +84,18 @@ class DocsDataSource extends TableProvider with DataSourceRegister {
 }
 
 private[graft] class DocsTable(path: String, docSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-docs:$path"
   override def schema(): StructType = docSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocsScanBuilder(path, docSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new DocsWriteBuilder(path, info.schema(), info.queryId())
 }
 
 private[graft] class DocsScanBuilder(path: String, docSchema: StructType)
@@ -232,7 +241,148 @@ private[graft] class DocsPartitionReader(file: String,
   override def close(): Unit = in.close()
 }
 
+/**
+ * The WRITE side of the connector — the load seam (the reference's
+ * psycopg2 loader, DAG:270-316, pointed at a document store instead):
+ * `df.write.format("graft-docs").mode("append"|"overwrite").save()`.
+ *
+ * Two-phase commit, the DSv2 contract done properly:
+ *  1. every task writes its rows to a UNIQUE staged file under
+ *     `<path>/_staging/<queryId>/` (attempt-unique name, so a retried
+ *     task never clobbers its zombie predecessor — only the attempt
+ *     whose message reaches the driver gets promoted);
+ *  2. job `commit()` promotes exactly the staged files named in the
+ *     commit messages into `<path>` via same-volume atomic renames —
+ *     for `overwrite` (SupportsTruncate) the old data files are removed
+ *     in the same commit, after the staged files are proven present;
+ *  3. `abort()` deletes the staging directory — the target never sees a
+ *     partial write (readers skip `_`-prefixed paths, so even a crash
+ *     BETWEEN stage and commit leaves the table readable and clean).
+ */
+private[graft] class DocsWriteBuilder(path: String, schema: StructType,
+                                      queryId: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new DocsBatchWrite(path, schema, queryId, doTruncate)
+  }
+}
+
+private[graft] case class DocsCommitMessage(stagedFile: String)
+    extends WriterCommitMessage
+
+private[graft] class DocsBatchWrite(path: String, schema: StructType,
+                                    queryId: String, truncate: Boolean)
+    extends BatchWrite {
+  DocsConnector.validateSchema(schema)
+  private val staging = s"$path/_staging/$queryId"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new DocsWriterFactory(staging, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val target = new java.io.File(path)
+    target.mkdirs()
+    val staged = messages.map(_.asInstanceOf[DocsCommitMessage].stagedFile)
+    staged.foreach { f =>
+      require(new java.io.File(f).isFile, s"staged file vanished: $f")
+    }
+    // truncate AFTER the staged files are proven present — an overwrite
+    // that cannot complete must not have emptied the table
+    if (truncate) target.listFiles().foreach { f =>
+      val n = f.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+        require(f.delete(), s"could not truncate $f")
+    }
+    staged.foreach { f =>
+      val src = new java.io.File(f)
+      require(src.renameTo(new java.io.File(target, src.getName)),
+        s"could not promote $f")
+    }
+    cleanupStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging()
+
+  /** Remove THIS query's staging dir only (a concurrent writer owns its
+    * own queryId dir); the shared `_staging` parent goes when empty —
+    * plain delete() refuses non-empty dirs, which is exactly right. */
+  private def cleanupStaging(): Unit = {
+    DocsConnector.deleteTree(new java.io.File(staging))
+    new java.io.File(s"$path/_staging").delete()
+    ()
+  }
+}
+
+private[graft] class DocsWriterFactory(staging: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new DocsDataWriter(staging, schema, partitionId, taskId)
+}
+
+/** One staged JSON-lines file per task ATTEMPT (taskId is
+  * attempt-unique): rows stream out as they arrive, `commit()` hands the
+  * file name to the driver, `abort()` removes it. */
+private[graft] class DocsDataWriter(staging: String, schema: StructType,
+                                    partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val file = new java.io.File(
+    staging, f"part-$partitionId%05d-$taskId.jsonl")
+  file.getParentFile.mkdirs()
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new java.io.FileOutputStream(file), StandardCharsets.UTF_8))
+  private val mapper = new ObjectMapper()
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    var i = 0
+    while (i < schema.fields.length) {
+      val f = schema.fields(i)
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case LongType => node.put(f.name, row.getLong(i))
+        case IntegerType => node.put(f.name, row.getInt(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      i += 1
+    }
+    out.write(mapper.writeValueAsString(node))
+    out.write("\n")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    DocsCommitMessage(file.getPath)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    file.delete()
+    ()
+  }
+
+  override def close(): Unit = out.close()
+}
+
 private[graft] object DocsConnector {
+
+  /** Recursive best-effort delete (staging cleanup); absent paths ok. */
+  def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteTree)
+    }
+    f.delete()
+    ()
+  }
 
   def validateSchema(schema: StructType): Unit = schema.fields.foreach { f =>
     f.dataType match {

@@ -153,6 +153,59 @@ class DocsConnectorSpec extends SparkSpec {
       BigInt(fileBytes)
   }
 
+  test("write path: append + truncate-overwrite through the two-phase commit") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_docs_write_").toString + "/table"
+    def table = spark.read.format("graft-docs")
+      .option("path", p).option("schema", ddl).load()
+    def rows = table.orderBy("doc_id")
+      .as[(Long, String, String, Long)].collect()
+
+    val a = Seq((1L, "en", "web", 10L), (2L, "de", "print", 20L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    a.repartition(2).write.format("graft-docs")
+      .option("path", p).mode("append").save()
+    rows shouldBe Array((1L, "en", "web", 10L), (2L, "de", "print", 20L))
+
+    // append accretes
+    Seq((3L, "fr", "web", 30L)).toDF("doc_id", "lang", "source", "n_chars")
+      .write.format("graft-docs").option("path", p).mode("append").save()
+    rows.map(_._1) shouldBe Array(1L, 2L, 3L)
+
+    // overwrite truncates THEN promotes (never an empty window for a
+    // failed overwrite: staged files are verified before the truncate)
+    Seq((9L, "zh", "print", 90L), (8L, "en", "web", 80L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+      .write.format("graft-docs").option("path", p).mode("overwrite").save()
+    rows shouldBe Array((8L, "en", "web", 80L), (9L, "zh", "print", 90L))
+
+    // nulls round-trip; the native JSON reader agrees with the connector
+    Seq((10L, None: Option[String], "web", None: Option[Long]))
+      .toDF("doc_id", "lang", "source", "n_chars")
+      .write.format("graft-docs").option("path", p).mode("append").save()
+    table.filter(col("doc_id") === 10L).head().isNullAt(1) shouldBe true
+    import org.apache.spark.sql.types.StructType
+    spark.read.schema(StructType.fromDDL(ddl)).json(p)
+      .orderBy("doc_id").as[(Long, Option[String], String, Option[Long])]
+      .collect() shouldBe
+      table.orderBy("doc_id")
+        .as[(Long, Option[String], String, Option[Long])].collect()
+
+    // the commit cleaned its staging; nothing non-data is left behind
+    new java.io.File(p).listFiles().map(_.getName)
+      .count(n => n.startsWith("_") || n.startsWith(".")) shouldBe 0
+  }
+
+  test("write path refuses schemas the store cannot hold") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_docs_badw_").toString + "/t"
+    val bad = Seq((1L, Seq(1, 2))).toDF("doc_id", "arr")
+    val e = intercept[Exception] {
+      bad.write.format("graft-docs").option("path", p).mode("append").save()
+    }
+    e.getMessage should include("BIGINT/INT/DOUBLE/STRING/BOOLEAN")
+  }
+
   test("schema-pinned: a schemaless read refuses loudly") {
     val e = intercept[Exception] {
       spark.read.format("graft-docs").option("path", dir).load()
