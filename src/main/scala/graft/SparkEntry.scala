@@ -3060,6 +3060,16 @@ object SparkEntry {
     // the parallel-trends experiment readout beside q_cuped (variance
     // reduction) and q_standardized_effect (confounder adjustment);
     // ONE conditional-aggregation pass, exact-cents means, pinned chain
+    // IPW average treatment effect over event_type strata (treatment =
+    // the even-user hash arm): the reweighting member of the causal
+    // family beside stratification/CUPED/DiD — both the Horvitz–Thompson
+    // and the Hájek (weight-normalized) estimator, non-overlap strata
+    // dropped and counted, never imputed
+    "q_ipw_ate" -> ((s, d) =>
+      graft.ops.StatsOps.ipwAte(
+        t(s, d, "events"), "event_type",
+        col("user_id") % 2 === 0, "value")),
+
     "q_did_readout" -> ((s, d) => {
       val ev = t(s, d, "events")
         .filter(col("value").isNotNull && col("ts").isNotNull)
@@ -9381,6 +9391,47 @@ object SparkEntry {
 
     // the q_cuped md5-arm + midpoint-split fixture; four conditional
     // cells in one pass, the DiD chain mirroring the Spark operand order
+    // identical per-row weighted terms (y·n/nt, 6dp-rounded, decimal-
+    // summed), identical overlap gate, one pinned double chain per output
+    "q_ipw_ate" ->
+      """WITH base AS (SELECT event_type AS s,
+                              CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+                              CAST(value AS DOUBLE) AS y
+                       FROM events
+                       WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              st AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                            CAST(SUM(t) AS BIGINT) AS nt
+                     FROM base GROUP BY s),
+              j AS (SELECT b.t, b.y, st.n, st.nt,
+                           (st.nt > 0 AND st.nt < st.n) AS ov, b.s
+                    FROM base b JOIN st USING (s))
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                CAST(SUM(CASE WHEN ov THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+                CAST(COUNT(DISTINCT s) AS BIGINT) AS n_strata,
+                CAST(COUNT(DISTINCT CASE WHEN NOT ov THEN s END) AS BIGINT)
+                  AS n_nonoverlap_strata,
+                ROUND((CAST(SUM(CASE WHEN ov AND t = 1
+                         THEN CAST(ROUND(y * n / nt, 6) AS DECIMAL(28,6))
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                     - CAST(SUM(CASE WHEN ov AND t = 0
+                         THEN CAST(ROUND(y * n / (n - nt), 6) AS DECIMAL(28,6))
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE))
+                     / SUM(CASE WHEN ov THEN 1 ELSE 0 END), 6) AS ate_ipw,
+                ROUND(CAST(SUM(CASE WHEN ov AND t = 1
+                         THEN CAST(ROUND(y * n / nt, 6) AS DECIMAL(28,6))
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                     / CAST(SUM(CASE WHEN ov AND t = 1
+                         THEN CAST(ROUND(CAST(n AS DOUBLE) / nt, 6) AS DECIMAL(28,6))
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                     - CAST(SUM(CASE WHEN ov AND t = 0
+                         THEN CAST(ROUND(y * n / (n - nt), 6) AS DECIMAL(28,6))
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                     / CAST(SUM(CASE WHEN ov AND t = 0
+                         THEN CAST(ROUND(CAST(n AS DOUBLE) / (n - nt), 6) AS DECIMAL(28,6))
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE), 6)
+                  AS ate_hajek
+         FROM j""",
+
     "q_did_readout" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
                            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c

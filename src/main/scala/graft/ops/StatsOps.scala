@@ -1022,6 +1022,71 @@ object StatsOps {
       round(lit(coverNum).cast("double") / coverDen, 6).as("target"))
   }
 
+  /**
+   * INVERSE-PROPENSITY-WEIGHTED average treatment effect over discrete
+   * strata — the reweighting member of the causal-readout family beside
+   * stratification (`q_standardized_effect`), CUPED, and DiD: when
+   * treatment assignment is imbalanced ACROSS strata, the naive mean
+   * difference confounds stratum composition with the effect; IPW
+   * reweights each observation by 1/P(its own treatment | stratum), so
+   * both arms reconstruct the full population. Propensity here is the
+   * exact empirical rate e_s = n_treated_s / n_s (discrete strata — no
+   * model fit, no tuning).
+   *
+   * Emits one row: (n_total, n_used, n_strata, n_nonoverlap_strata,
+   * ate_ipw, ate_hajek). NON-OVERLAP strata (e_s ∈ {0, 1} — positivity
+   * violated, the weight is undefined) are DROPPED and counted, never
+   * silently imputed. `ate_ipw` is the Horvitz–Thompson form
+   * (Σ ty/e − Σ (1−t)y/(1−e)) / n_used; `ate_hajek` normalizes each arm
+   * by its realized weight mass — the stable estimator when weights are
+   * skewed (both agree on balanced designs).
+   *
+   * Determinism: per-row weighted terms y·n/n_t are 6dp-rounded then
+   * DECIMAL-summed (order-invariant); the final divisions are one
+   * pinned double chain.
+   *
+   * Scale: one stratum aggregate (strata-sized, broadcasts back) + ONE
+   * conditional-aggregation pass — the reconcile shape; no window, no
+   * corpus-sized join state.
+   */
+  def ipwAte(df: DataFrame, strataCol: String, treat: Column,
+             yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val base = df.filter(col(yCol).isNotNull && col(strataCol).isNotNull)
+      .select(col(strataCol).as("__s"),
+        when(treat, 1L).otherwise(0L).as("__t"),
+        col(yCol).cast("double").as("__y"))
+    val strata = base.groupBy("__s")
+      .agg(count(lit(1)).as("__n"), sum(col("__t")).as("__nt"))
+    val ov = col("__nt") > 0 && col("__nt") < col("__n")
+    val z = lit(0).cast(dec)
+    base.join(strata, "__s")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(ov, 1L).otherwise(0L)).as("__nu"),
+        countDistinct(col("__s")).as("n_strata"),
+        countDistinct(when(!ov, col("__s"))).as("n_nonoverlap_strata"),
+        sum(when(ov && col("__t") === 1L,
+          round(col("__y") * col("__n") / col("__nt"), 6).cast(dec))
+          .otherwise(z)).as("__wt"),
+        sum(when(ov && col("__t") === 0L,
+          round(col("__y") * col("__n") / (col("__n") - col("__nt")), 6)
+            .cast(dec)).otherwise(z)).as("__wc"),
+        sum(when(ov && col("__t") === 1L,
+          round(col("__n").cast("double") / col("__nt"), 6).cast(dec))
+          .otherwise(z)).as("__mt"),
+        sum(when(ov && col("__t") === 0L,
+          round(col("__n").cast("double") / (col("__n") - col("__nt")), 6)
+            .cast(dec)).otherwise(z)).as("__mc"))
+      .select(col("n_total"), col("__nu").as("n_used"), col("n_strata"),
+        col("n_nonoverlap_strata"),
+        round((col("__wt").cast("double") - col("__wc").cast("double")) /
+          col("__nu"), 6).as("ate_ipw"),
+        round(col("__wt").cast("double") / col("__mt").cast("double") -
+          col("__wc").cast("double") / col("__mc").cast("double"), 6)
+          .as("ate_hajek"))
+  }
+
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     def pass(d: DataFrame, part: Column): DataFrame = {
       val tagged = d.withColumn("_p", part)

@@ -12,6 +12,32 @@ class AggregatorPropertySpec extends SparkSpec {
 
   private val rng = new scala.util.Random(20260812L)
 
+  test("graft_overlap_ge: randomized sorted sets match the reference on " +
+    "every (arrays, minOverlap) draw") {
+    // the kernel's two-sided contract, exercised across the whole input
+    // space: result ≥ 0 ⇒ exact |A∩B|; result = −1 ⇒ |A∩B| < min —
+    // and the early exit can never fire on a pair that qualifies
+    val rows = (1 to 300).map { _ =>
+      def sortedSet(): Seq[Long] = {
+        val n = rng.nextInt(40)
+        Seq.fill(n)(rng.nextInt(60).toLong).distinct.sorted
+      }
+      val (a, b) = (sortedSet(), sortedSet())
+      val min = rng.nextInt(12).toLong - 2 // includes ≤ 0 and > |A∩B|
+      (a, b, min)
+    }
+    val got = rows.toDF("a", "b", "m")
+      .select(graft.functions.OverlapGeCount(
+        col("a"), col("b"), col("m")).as("c"))
+      .as[Long].collect()
+    rows.zip(got).zipWithIndex.foreach { case (((a, b, min), c), i) =>
+      val exact = a.toSet.intersect(b.toSet).size.toLong
+      withClue(s"case $i (|A∩B|=$exact, min=$min): ") {
+        if (exact >= min) c shouldBe exact else c shouldBe -1L
+      }
+    }
+  }
+
   test("TopKByScore: any split/merge order yields exactly sorted-take-k") {
     val agg = new TopKByScore(5)
     (1 to 25).foreach { trial =>

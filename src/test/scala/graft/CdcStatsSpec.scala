@@ -841,6 +841,35 @@ class CdcStatsSpec extends SparkSpec {
     f("B") shouldBe ((20.0, true))
   }
 
+  test("ipwAte: hand-computed strata incl. a dropped non-overlap stratum") {
+    import spark.implicits._
+    import graft.ops.StatsOps
+    // A (e=1/2): treated {10, 20}, control {1, 3} → HT treated 60,
+    // control 8; B: all-treated → NON-overlap, dropped and counted
+    val df1 = Seq(
+      ("A", 2L, 10.0), ("A", 4L, 20.0), ("A", 1L, 1.0), ("A", 3L, 3.0),
+      ("B", 2L, 99.0), ("B", 4L, 99.0)).toDF("s", "u", "y")
+    val r1 = StatsOps.ipwAte(df1, "s", col("u") % 2 === 0, "y").head()
+    r1.getAs[Long]("n_total") shouldBe 6L
+    r1.getAs[Long]("n_used") shouldBe 4L
+    r1.getAs[Long]("n_strata") shouldBe 2L
+    r1.getAs[Long]("n_nonoverlap_strata") shouldBe 1L
+    // (60 − 8)/4; balanced design → Hájek agrees exactly
+    r1.getAs[Double]("ate_ipw") shouldBe 13.0
+    r1.getAs[Double]("ate_hajek") shouldBe 13.0
+
+    // add an IMBALANCED stratum C (e=1/4): treated {8} → 8·4 = 32,
+    // control {2,4,6} → (2+4+6)·4/3 = 16; combined HT = (92−24)/8 = 8.5
+    val df2 = df1.unionAll(Seq(
+      ("C", 2L, 8.0), ("C", 1L, 2.0), ("C", 3L, 4.0), ("C", 5L, 6.0))
+      .toDF("s", "u", "y"))
+    val r2 = StatsOps.ipwAte(df2, "s", col("u") % 2 === 0, "y").head()
+    r2.getAs[Long]("n_used") shouldBe 8L
+    r2.getAs[Long]("n_nonoverlap_strata") shouldBe 1L
+    r2.getAs[Double]("ate_ipw") shouldBe 8.5
+    r2.getAs[Double]("ate_hajek") shouldBe 8.5
+  }
+
   test("welchTTest: textbook unequal-variance case, exact df and t") {
     import spark.implicits._
     // A = {1,2,3}: n=3, mean 2, var 1; B = {2,4}: n=2, mean 3, var 2
