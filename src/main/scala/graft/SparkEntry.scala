@@ -3070,6 +3070,18 @@ object SparkEntry {
         t(s, d, "events"), "event_type",
         col("user_id") % 2 === 0, "value")),
 
+    // Markov removal-effect attribution (the data-driven multi-touch
+    // model): first-order chain over each user's journey to its FIRST
+    // purchase; each channel credited by how much START→CONV absorption
+    // drops when its inbound transitions redirect to NULL — a channel
+    // that merely co-occurs with conversions earns nothing unless paths
+    // NEED it. The transition matrix is a bounded driver-side model
+    // artifact; the oracle unrolls the identical 50-step recurrence
+    "q_markov_attribution" -> ((s, d) =>
+      TemporalOps.markovRemovalAttribution(t(s, d, "events"), "user_id",
+          "ts", "event_id", "event_type", convType = "purchase", iters = 50)
+        .orderBy("channel")),
+
     "q_did_readout" -> ((s, d) => {
       val ev = t(s, d, "events")
         .filter(col("value").isNotNull && col("ts").isNotNull)
@@ -5434,6 +5446,77 @@ object SparkEntry {
               rk AS (SELECT qid, doc_id, CAST(sc AS DOUBLE) AS bm25,
                             CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id ASC) AS BIGINT) AS rnk
                      FROM ds)"""
+
+  /** Generated DuckDB oracle for q_markov_attribution: `iters` unrolled
+    * K-step absorption updates replaying
+    * [[graft.ops.TemporalOps.markovRemovalAttribution]]'s exact rounding
+    * discipline — 9dp transition probabilities, 9dp-rounded products
+    * summed as DECIMAL(18,9), ONE pinned double CONV add, 9dp per state
+    * per step; 6dp effects and shares. Removal scenarios ride an `rm`
+    * dimension ('NONE' = the full chain); a transition is allowed iff
+    * its destination is a channel other than `rm`. */
+  private def markovAttributionOracle(iters: Int): String = {
+    // MATERIALIZED is load-bearing: without it DuckDB inlines each lK's
+    // whole predecessor chain per reference and the 50-level plan
+    // explodes (observed: the optimizer spins forever at K=50)
+    val iterCtes = (1 to iters).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT r.rm, s.st,
+         |          ROUND(COALESCE(MAX(cv.p), 0) +
+         |                COALESCE(CAST(SUM(CAST(ROUND(t.p * pv.p, 9)
+         |                  AS DECIMAL(18,9))) AS DOUBLE), 0), 9) AS p
+         |        FROM rms r CROSS JOIN states s
+         |        LEFT JOIN trans t ON t.src = s.st AND t.dst <> r.rm
+         |             AND t.dst NOT IN ('CONV', 'NULL')
+         |        LEFT JOIN l${k - 1} pv ON pv.rm = r.rm AND pv.st = t.dst
+         |        LEFT JOIN conv cv ON cv.src = s.st
+         |        GROUP BY r.rm, s.st)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id AS u, ts, event_id AS tie, event_type AS e
+       |            FROM events
+       |            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |              AND event_type IS NOT NULL),
+       |     fl AS (SELECT u, ts, tie, e,
+       |                   COALESCE(SUM(CASE WHEN e = 'purchase' THEN 1 ELSE 0 END)
+       |                     OVER (PARTITION BY u ORDER BY ts, tie
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING
+       |                             AND 1 PRECEDING), 0) AS pc
+       |            FROM ev),
+       |     kept AS (SELECT u, ts, tie, e FROM fl WHERE pc = 0),
+       |     wp AS (SELECT u, e,
+       |                   lag(e) OVER (PARTITION BY u ORDER BY ts, tie) AS prev,
+       |                   lead(e) OVER (PARTITION BY u ORDER BY ts, tie)
+       |                     IS NULL AS lastrow
+       |            FROM kept),
+       |     steps AS (SELECT COALESCE(prev, 'START') AS src,
+       |                      CASE WHEN e = 'purchase' THEN 'CONV' ELSE e END AS dst
+       |               FROM wp
+       |               UNION ALL
+       |               SELECT e, 'NULL' FROM wp WHERE lastrow AND e <> 'purchase'),
+       |     cnt AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+       |             FROM steps GROUP BY 1, 2),
+       |     tot AS (SELECT src, SUM(n) AS tn FROM cnt GROUP BY 1),
+       |     trans AS (SELECT c.src, c.dst, ROUND(CAST(c.n AS DOUBLE) / t.tn, 9) AS p
+       |               FROM cnt c JOIN tot t USING (src)),
+       |     conv AS (SELECT src, p FROM trans WHERE dst = 'CONV'),
+       |     states AS (SELECT src AS st FROM tot),
+       |     channels AS (SELECT st AS ch FROM states WHERE st <> 'START'),
+       |     rms AS (SELECT ch AS rm FROM channels UNION ALL SELECT 'NONE'),
+       |     l0 AS (SELECT r.rm, s.st, CAST(0.0 AS DOUBLE) AS p
+       |            FROM rms r CROSS JOIN states s),
+       |$iterCtes,
+       |     re AS (SELECT c.ch AS channel,
+       |                   ROUND(1.0 - a.p / NULLIF(f.p, 0), 6) AS removal_effect
+       |            FROM channels c
+       |            JOIN l$iters a ON a.rm = c.ch AND a.st = 'START'
+       |            CROSS JOIN (SELECT p FROM l$iters
+       |                        WHERE rm = 'NONE' AND st = 'START') f),
+       |     tre AS (SELECT SUM(CAST(removal_effect AS DECIMAL(18,6))) AS s FROM re)
+       |SELECT re.channel, re.removal_effect,
+       |       ROUND(re.removal_effect / NULLIF(CAST(tre.s AS DOUBLE), 0), 6)
+       |         AS attribution_share
+       |FROM re CROSS JOIN tre
+       |ORDER BY re.channel""".stripMargin
+  }
 
   /** Generated DuckDB oracle for q_geometric_median: `rounds` unrolled
     * Weiszfeld updates over `dims` components replaying
@@ -9391,6 +9474,8 @@ object SparkEntry {
 
     // the q_cuped md5-arm + midpoint-split fixture; four conditional
     // cells in one pass, the DiD chain mirroring the Spark operand order
+    "q_markov_attribution" -> markovAttributionOracle(50),
+
     // identical per-row weighted terms (y·n/nt, 6dp-rounded, decimal-
     // summed), identical overlap gate, one pinned double chain per output
     "q_ipw_ate" ->

@@ -932,4 +932,114 @@ object TemporalOps {
           round(col("__es").cast("double") / col("__ep"), 6))
           .as("mase"))
   }
+
+  /**
+   * MARKOV REMOVAL-EFFECT attribution (Anderl et al.'s data-driven
+   * multi-touch model) — the principled complement of the last-touch
+   * as-of attribution (`q_attribution`): build a first-order Markov
+   * chain over each user's channel journey (truncated at the FIRST
+   * conversion; non-converting journeys absorb into NULL), then credit
+   * each channel by its REMOVAL EFFECT — how much the chain's
+   * START→CONV absorption probability drops when every transition into
+   * that channel is redirected to NULL. A channel that merely
+   * co-occurs with conversions earns nothing unless paths actually
+   * NEED it.
+   *
+   * Emits one row per channel: (channel, removal_effect 6dp,
+   * attribution_share 6dp — removal effects normalized to sum 1); both
+   * NULL when the full chain never converts.
+   *
+   * Absorption is the K-step probability (`iters`, default 50) — exact
+   * for every journey of length ≤ K and the SQL-replayable form of the
+   * fixed point (an exact linear solve has no deterministic SQL twin).
+   * Cross-engine discipline: transition probabilities and each
+   * iteration's state values are 9dp-rounded; the per-state update sums
+   * the 9dp-rounded products EXACTLY (decimal), adds the CONV term in
+   * one pinned double op, rounds 9dp — so any engine replaying the
+   * recurrence lands on identical bits. Final effects/shares round 6dp.
+   *
+   * Scale: ONE window pass (journey truncation + lag/lead) + one
+   * (src, dst) count aggregate over the events; the transition matrix —
+   * (channels+3)² counts — is a bounded MODEL artifact collected to the
+   * driver (the IVF-centroid economics), where the K·channels²·removals
+   * recurrence costs microseconds at any corpus size.
+   */
+  def markovRemovalAttribution(df: DataFrame, userCol: String,
+                               tsCol: String, tieCol: String,
+                               typeCol: String, convType: String,
+                               iters: Int = 50): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("__u").orderBy(col("__ts"), col("__tie"))
+    val base = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), col(typeCol).as("__e"))
+    // journey = the user's events up to and including the FIRST
+    // conversion (prior-conversion count over PRECEDING rows = 0)
+    val kept = base
+      .withColumn("__pc",
+        sum(when(col("__e") === convType, 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(coalesce(col("__pc"), lit(0L)) === 0L)
+    val marked = kept
+      .withColumn("__prev", lag(col("__e"), 1).over(w))
+      .withColumn("__lastrow", lead(col("__e"), 1).over(w).isNull)
+    val steps = marked.select(
+      coalesce(col("__prev"), lit("START")).as("src"),
+      when(col("__e") === convType, lit("CONV")).otherwise(col("__e"))
+        .as("dst"))
+    val terminals = marked
+      .filter(col("__lastrow") && col("__e") =!= convType)
+      .select(col("__e").as("src"), lit("NULL").as("dst"))
+    // bounded model artifact: (channels + START) × (channels + CONV +
+    // NULL) counts — never data
+    val counts = steps.unionAll(terminals).groupBy("src", "dst")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val totals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val prob: Map[(String, String), Double] = counts.map { case (s, t, n) =>
+      (s, t) -> r9(n.toDouble / totals(s))
+    }.toMap
+    val states = totals.keySet // every state with outgoing transitions
+    val channels = states.filter(_ != "START").toSeq.sorted
+
+    // K-step absorption from every state, with channel `removed`'s
+    // inbound transitions redirected to NULL (None = the full chain)
+    def absorb(removed: Option[String]): Double = {
+      var p: Map[String, Double] = states.map(_ -> 0.0).toMap
+      var i = 0
+      while (i < iters) {
+        p = states.map { s =>
+          val terms = channels
+            .filter(t => !removed.contains(t))
+            .flatMap(t => prob.get((s, t)).map(tp => r9(tp * p(t))))
+          val dec = terms.foldLeft(BigDecimal(0))((a, x) => a + BigDecimal(x))
+          s -> r9(dec.toDouble + prob.getOrElse((s, "CONV"), 0.0))
+        }.toMap
+        i += 1
+      }
+      p.getOrElse("START", 0.0)
+    }
+
+    val pFull = absorb(None)
+    val effects = channels.map { c =>
+      c -> (if (pFull > 0.0) Some(r6(1.0 - absorb(Some(c)) / pFull))
+            else None)
+    }
+    val totalEff = effects.flatMap(_._2)
+      .foldLeft(BigDecimal(0))((a, x) => a + BigDecimal(x))
+    val rows = effects.map { case (c, e) =>
+      (c, e, e.flatMap(v =>
+        if (totalEff.toDouble != 0.0) Some(r6(v / totalEff.toDouble))
+        else None))
+    }
+    rows.toDF("channel", "removal_effect", "attribution_share")
+  }
 }

@@ -46,6 +46,43 @@ class TemporalOpsSpec extends SparkSpec {
       .head().getAs[Long]("asof_event_id") shouldBe 51L
   }
 
+  test("markovRemovalAttribution: hand-solvable chain incl. journey " +
+    "truncation at the first conversion") {
+    // u1: click→CONV; u2: view→click→CONV; u3: view→NULL; u4: direct CONV
+    // (u4's post-purchase click must be truncated out of the journey).
+    // T(START)={click .25, view .5, CONV .25}; T(click)={CONV 1};
+    // T(view)={click .5, NULL .5} → p(START)=0.75;
+    // remove click: p=0.25 → effect 2/3; remove view: p=0.5 → effect 1/3
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (1L, "2024-01-01 10:05:00", 2L, "purchase"),
+      (2L, "2024-01-01 11:00:00", 3L, "view"),
+      (2L, "2024-01-01 11:01:00", 4L, "click"),
+      (2L, "2024-01-01 11:02:00", 5L, "purchase"),
+      (3L, "2024-01-01 12:00:00", 6L, "view"),
+      (4L, "2024-01-01 13:00:00", 7L, "purchase"),
+      (4L, "2024-01-01 14:00:00", 8L, "click")) // after conversion: cut
+      .map { case (u, t, i, e) => (u, ts(t), i, e) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = TemporalOps.markovRemovalAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", convType = "purchase", iters = 50)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    out shouldBe Array(
+      ("click", 0.666667, 0.666667),
+      ("view", 0.333333, 0.333333))
+  }
+
+  test("markovRemovalAttribution: a never-converting chain reports NULLs") {
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = TemporalOps.markovRemovalAttribution(ev, "user_id", "ts",
+      "event_id", "event_type", convType = "purchase").collect()
+    out.length shouldBe 2
+    all(out.map(r => r.isNullAt(1) && r.isNullAt(2))) shouldBe true
+  }
+
   test("sessionize starts a new session when gap exceeds threshold") {
     val df = Seq(
       (1L, 10L, "2024-01-01 10:00:00"),
