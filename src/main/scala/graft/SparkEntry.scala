@@ -3070,6 +3070,15 @@ object SparkEntry {
         t(s, d, "events"), "event_type",
         col("user_id") % 2 === 0, "value")),
 
+    // Poisson-bootstrap CI of the mean event value: 40 deterministic
+    // hash-resampled replicates as conditional sums in ONE pass — the
+    // 100 TB form of the bootstrap (classical resampling is R extra
+    // shuffled scans); percentile interval as exact order statistics
+    // over the replicate means
+    "q_bootstrap_ci" -> ((s, d) =>
+      graft.ops.StatsOps.poissonBootstrapMeanCI(
+        t(s, d, "events"), "event_id", "value", replicates = 40)),
+
     // Markov removal-effect attribution (the data-driven multi-touch
     // model): first-order chain over each user's journey to its FIRST
     // purchase; each channel credited by how much START→CONV absorption
@@ -9475,6 +9484,50 @@ object SparkEntry {
     // the q_cuped md5-arm + midpoint-split fixture; four conditional
     // cells in one pass, the DiD chain mirroring the Spark operand order
     "q_markov_attribution" -> markovAttributionOracle(50),
+
+    // identical fp60-derived uniforms, identical 9dp Poisson-CDF
+    // literals, identical decimal sums + 6dp replicate means + exact
+    // order-statistic ranks with the 1e-9 ceil slack
+    "q_bootstrap_ci" ->
+      """WITH base AS (SELECT CAST(event_id AS VARCHAR) AS id,
+                              CAST(value AS DOUBLE) AS y
+                       FROM events
+                       WHERE value IS NOT NULL AND event_id IS NOT NULL),
+              f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                           ROUND(CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6)))
+                                 AS DOUBLE) / COUNT(*), 6) AS mean
+                    FROM base),
+              ex AS (SELECT b.id, b.y, g.r
+                     FROM base b, (SELECT unnest(generate_series(0, 39)) AS r) g),
+              kk AS (SELECT r, y,
+                            CASE WHEN u < 0.367879441 THEN 0
+                                 WHEN u < 0.735758882 THEN 1
+                                 WHEN u < 0.919698603 THEN 2
+                                 WHEN u < 0.981011843 THEN 3
+                                 WHEN u < 0.996340153 THEN 4
+                                 ELSE 5 END AS k
+                     FROM (SELECT r, y,
+                                  CAST(CAST(('0x' || substring(md5(id || ':' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT)
+                                       % 1000000000 AS DOUBLE) / 1e9 AS u
+                           FROM ex)),
+              reps AS (SELECT r,
+                              ROUND(CAST(SUM(CAST(k AS BIGINT) *
+                                    CAST(ROUND(y, 6) AS DECIMAL(28,6)))
+                                    AS DOUBLE) / SUM(k), 6) AS m
+                       FROM kk GROUP BY r HAVING SUM(k) > 0),
+              c AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM reps),
+              rk AS (SELECT m, r, row_number() OVER (ORDER BY m, r) AS rk
+                     FROM reps),
+              sel AS (SELECT rk.m, rk.rk, c.cnt,
+                             GREATEST(CAST(CEIL(0.025 * c.cnt - 0.000000001) AS BIGINT), 1) AS lo,
+                             LEAST(CAST(CEIL(0.975 * c.cnt - 0.000000001) AS BIGINT), c.cnt) AS hi
+                      FROM rk CROSS JOIN c)
+         SELECT f.n_rows, f.mean, agg.n_replicates_used, agg.boot_lo,
+                agg.boot_hi
+         FROM f CROSS JOIN (SELECT MAX(cnt) AS n_replicates_used,
+                                   MAX(CASE WHEN rk = lo THEN m END) AS boot_lo,
+                                   MAX(CASE WHEN rk = hi THEN m END) AS boot_hi
+                            FROM sel) agg""",
 
     // identical per-row weighted terms (y·n/nt, 6dp-rounded, decimal-
     // summed), identical overlap gate, one pinned double chain per output

@@ -1087,6 +1087,85 @@ object StatsOps {
           .as("ate_hajek"))
   }
 
+  /**
+   * POISSON-BOOTSTRAP confidence interval of the mean — estimator
+   * uncertainty at corpus scale WITHOUT resampling the data: the
+   * classical bootstrap draws n rows with replacement per replicate (R
+   * extra scans, a shuffle each — dead at 100 TB); the Poisson
+   * approximation gives each row an independent Poisson(1) multiplicity
+   * per replicate instead, and a DETERMINISTIC fingerprint of
+   * (id, replicate) supplies the randomness — so all R replicates are
+   * conditional sums inside ONE pass, reproducible on any engine and
+   * any partitioning (the hashSample discipline applied to uncertainty).
+   *
+   * Emits one row: (n_rows, mean, n_replicates_used, boot_lo, boot_hi) —
+   * the (α/2, 1−α/2) percentile bootstrap interval as EXACT order
+   * statistics over the replicate means (ranks ⌈α/2·m⌉ / ⌈(1−α/2)·m⌉
+   * with the usual 10⁻⁹ ceil slack; replicates that draw zero total
+   * weight — vanishing for non-toy data — are excluded and counted via
+   * `n_replicates_used`). Poisson(1) multiplicities come from the
+   * inverse CDF on u = fp60(id:r)/2³⁰-ish ∈ [0,1) against 9dp literal
+   * cumulative thresholds (k capped at 5; P(K>5) < 10⁻⁴), shared
+   * verbatim with the oracle.
+   *
+   * Determinism: per-row y 6dp-rounded into DECIMAL sums; replicate
+   * means 6dp-rounded doubles ranked with (mean, replicate) total order.
+   *
+   * Scale: one explode (R× the scan rows, still narrow) + ONE hash agg
+   * to R rows + an R-row window — everything after the aggregate is
+   * replicate-count-sized.
+   */
+  def poissonBootstrapMeanCI(df: DataFrame, idCol: String, yCol: String,
+                             replicates: Int = 40,
+                             alpha: Double = 0.05): DataFrame = {
+    require(replicates >= 4 && replicates <= 1000,
+      s"replicates in [4, 1000], got $replicates")
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val base = df.filter(col(yCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(yCol).cast("double").as("__y"))
+    val full = base.agg(count(lit(1)).as("n_rows"),
+      round(sum(round(col("__y"), 6).cast(dec)).cast("double") /
+        count(lit(1)), 6).as("mean"))
+    // cumulative Poisson(1) CDF at k = 0..4, 9dp literals (the oracle
+    // carries the identical constants)
+    val u = pmod(graft.ext.TextOps.fingerprint60(
+        concat(col("__id"), lit(":"), col("__r"))), lit(1000000000L))
+      .cast("double") / 1e9
+    val k = when(u < 0.367879441, 0L).when(u < 0.735758882, 1L)
+      .when(u < 0.919698603, 2L).when(u < 0.981011843, 3L)
+      .when(u < 0.996340153, 4L).otherwise(5L)
+    val reps = base
+      .select(col("__id"), col("__y"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__r"))
+      .select(col("__r"), k.as("__k"), col("__y"))
+      .groupBy("__r")
+      .agg(sum(col("__k")).as("__n"),
+        sum((col("__k") * round(col("__y"), 6).cast(dec)).cast(dec))
+          .as("__s"))
+      .filter(col("__n") > 0)
+      .select(col("__r"),
+        round(col("__s").cast("double") / col("__n"), 6).as("__m"))
+    val cnt = reps.agg(count(lit(1)).as("__cnt"))
+    val ranked = reps
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__m").asc, col("__r").asc)))
+      .crossJoin(broadcast(cnt))
+      .select(col("__m"), col("__rk"), col("__cnt"),
+        greatest(ceil(lit(alpha / 2) * col("__cnt") - lit(1e-9)), lit(1L))
+          .as("__lo"),
+        least(ceil(lit(1.0 - alpha / 2) * col("__cnt") - lit(1e-9)),
+          col("__cnt")).as("__hi"))
+    val lohi = ranked.agg(
+      max(col("__cnt")).as("n_replicates_used"),
+      max(when(col("__rk") === col("__lo"), col("__m"))).as("boot_lo"),
+      max(when(col("__rk") === col("__hi"), col("__m"))).as("boot_hi"))
+    full.crossJoin(broadcast(lohi))
+      .select(col("n_rows"), col("mean"), col("n_replicates_used"),
+        col("boot_lo"), col("boot_hi"))
+  }
+
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     def pass(d: DataFrame, part: Column): DataFrame = {
       val tagged = d.withColumn("_p", part)

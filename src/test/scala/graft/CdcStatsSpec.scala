@@ -870,6 +870,36 @@ class CdcStatsSpec extends SparkSpec {
     r2.getAs[Double]("ate_hajek") shouldBe 8.5
   }
 
+  test("poissonBootstrapMeanCI: brackets the mean, deterministic, " +
+    "shift-equivariant") {
+    import graft.ops.StatsOps
+    val ev = graft.sources.Stores.table(spark, sf0001, "events")
+      .select("event_id", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.poissonBootstrapMeanCI(df, "event_id", "value",
+        replicates = 40).head()
+    val r = run(ev)
+    r.getAs[Long]("n_replicates_used") shouldBe 40L
+    // a 95% percentile interval over ~2000 rows brackets the mean
+    r.getAs[Double]("boot_lo") should be <= r.getAs[Double]("mean")
+    r.getAs[Double]("mean") should be <= r.getAs[Double]("boot_hi")
+    // and it is a real interval, not a point
+    r.getAs[Double]("boot_hi") should be > r.getAs[Double]("boot_lo")
+    // deterministic: the randomness is a pure hash — same inputs,
+    // identical interval
+    run(ev) shouldBe r
+    // shift equivariance: y + 10 moves mean and BOTH ends by ~10 (the
+    // hash weights don't see y), up to 6dp re-rounding
+    val shifted = run(ev.withColumn("value",
+      org.apache.spark.sql.functions.col("value") + 10.0))
+    math.abs(shifted.getAs[Double]("mean") -
+      r.getAs[Double]("mean") - 10.0) should be < 1e-5
+    math.abs(shifted.getAs[Double]("boot_lo") -
+      r.getAs[Double]("boot_lo") - 10.0) should be < 1e-5
+    math.abs(shifted.getAs[Double]("boot_hi") -
+      r.getAs[Double]("boot_hi") - 10.0) should be < 1e-5
+  }
+
   test("welchTTest: textbook unequal-variance case, exact df and t") {
     import spark.implicits._
     // A = {1,2,3}: n=3, mean 2, var 1; B = {2,4}: n=2, mean 3, var 2

@@ -56,6 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25_batch",          // 1-row corpus-stats broadcast
     "q_lm_dirichlet",        // 1-row corpus-token-total broadcast (the
                              // q_bm25_batch stats shape)
+    "q_bootstrap_ci",        // 1-row replicate-count + 1-row lo/hi-means
+                             // broadcasts over the R-row replicate table
     "q_bm25_index_topk",     // same 1-row stats broadcast, index-backed
     "q_hybrid_store_rrf",    // inherits the index-backed BM25 stats join
     "q_ann_store_pq",        // exact-baseline cosineTopK's broadcast query set
