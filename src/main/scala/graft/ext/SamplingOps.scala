@@ -421,13 +421,13 @@ object SamplingOps {
    * stratum-then-id asc, exact double arithmetic in any engine).
    *
    * Scale: one per-stratum rank window (stratum-partitioned — parallel)
-   * plus the total order. At fixture scale `global_ord` rides a global
-   * row_number (single-partition window — inherent to emitting a total
-   * rank as a COLUMN); at 100 TB you never materialize the rank: write
-   * with `repartitionByRange(interleave_key) + sortWithinPartitions`,
-   * which realizes the same order with a range-partitioned sort and no
-   * single-partition stage — the column here exists for the oracle and
-   * for debugging small runs.
+   * plus the total order, which rides the DISTRIBUTED row_number kernel
+   * ([[graft.ops.StatsOps.distributedRowNumber]]: range-buckets on the
+   * interleave key, per-bucket windows, broadcast prefix offsets) — no
+   * single-partition stage at any corpus width. For a training-order
+   * WRITE the rank column isn't even needed:
+   * `repartitionByRange(interleave_key) + sortWithinPartitions`
+   * realizes the same order directly.
    */
   def curriculumInterleave(df: DataFrame, idCol: String,
                            stratumCol: String): DataFrame = {
@@ -439,10 +439,8 @@ object SamplingOps {
         .over(Window.partitionBy(stratumCol)).cast("long"))
       .withColumn("__key",
         (col("__r").cast("double") - 0.5) / col("__n"))
-    ranked
-      .withColumn("global_ord", row_number().over(
-        Window.orderBy(col("__key").asc, col(stratumCol).asc,
-          col(idCol).asc)).cast("long"))
+    graft.ops.StatsOps.distributedRowNumber(ranked, "__key",
+        desc = false, tieCols = Seq(stratumCol, idCol), "global_ord")
       .select(col(idCol), col(stratumCol), col("__r").as("pos_in_stratum"),
         round(col("__key"), 6).as("interleave_key"), col("global_ord"))
   }

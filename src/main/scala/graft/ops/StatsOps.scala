@@ -332,15 +332,240 @@ object StatsOps {
    * (t = v's multiplicity), so 2·avgRank = 2·cntLess + t + 1 stays
    * integral and every downstream moment can sum exactly. Built from the
    * distinct-value histogram (the [[ksStatistic]] discipline): the corpus
-   * streams once into a support-sized aggregate; the cumulative window
-   * orders the SORTED DISTINCT support, never the corpus.
+   * streams once into a support-sized aggregate.
+   *
+   * DISTRIBUTED ranking for numeric supports — no single-task sort at
+   * ANY support cardinality: the support is range-bucketed on
+   * approximate quantile boundaries of the distinct values (a 1-row
+   * broadcast artifact — the corpus histogram feeds it through exchange
+   * reuse, no extra scan), the cumulative window runs PER BUCKET
+   * (`partitionBy(__bkt)` — each task sorts ~|support|/B values), and
+   * per-bucket prefix offsets are recovered from a second window over
+   * the ≤B bucket totals (B ≤ 256 rows — a bounded model artifact, the
+   * one place an unpartitioned window is sound). cntLess_global =
+   * offset(bucket) + cntLess_within, exact regardless of where the
+   * approximate boundaries fall — boundary quality only affects
+   * BALANCE, never values, so `percentile_approx` nondeterminism
+   * cannot wiggle a rank. Bucket count tracks
+   * `spark.sql.shuffle.partitions` (clamped [32, 256]): raising it for
+   * a big cluster widens the rank stage with it.
+   *
+   * Non-numeric supports (no quantile boundaries) fall back to the
+   * single-bucket form — callers bound those supports by construction
+   * (pre-binned grades, day grids).
    */
   private[graft] def doubledRanks(counts: DataFrame, vCol: String,
-                                  cCol: String): DataFrame = {
-    val w = Window.orderBy(col(vCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    counts.withColumn("__r2",
-      coalesce(sum(col(cCol)).over(w), lit(0L)) * 2 + col(cCol) + 1)
+                                  cCol: String): DataFrame =
+    distributedCumSum(counts, vCol, col(cCol), "__cl",
+        includeCurrent = false)
+      .withColumn("__r2", col("__cl") * 2 + col(cCol) + 1)
+      .drop("__cl")
+
+  /**
+   * Range-bucket a frame on a NUMERIC order column for distributed
+   * order statistics: adds `__bkt` ∈ [0, B), monotone in the requested
+   * order (so equal keys always share a bucket and every cross-bucket
+   * comparison is decided by the bucket index alone). Boundaries are
+   * B−1 approximate quantiles of a 20% SAMPLE of the input, broadcast
+   * as one row — sampling and sketch accuracy only move WHERE the
+   * boundaries fall (bucket BALANCE), never a downstream order
+   * statistic (those are exact per bucket layout), so the cheap
+   * estimate is always sound. Values equal to a boundary go to the
+   * bucket below; duplicate boundaries just leave buckets empty. B
+   * tracks `spark.sql.shuffle.partitions` (clamped [32, 256]): raising
+   * it for a big cluster widens the order-statistic stage with it.
+   * Non-numeric order columns (no quantile boundaries) fall back to a
+   * single bucket — callers bound those supports by construction.
+   */
+  private[graft] def withRangeBuckets(df: DataFrame, orderCol: String,
+                                      desc: Boolean): DataFrame = {
+    val numeric = df.schema(orderCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val buckets = math.max(32, math.min(256,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt))
+    if (!numeric) df.withColumn("__bkt", lit(0))
+    else {
+      // bucketing key: double-cast (collapsing near-ties only merges
+      // buckets, never reorders), sign-flipped for descending order
+      def key(c: Column): Column =
+        if (desc) -c.cast("double") else c.cast("double")
+      val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+      // boundaries COLLECTED (one tiny job over the sample sketch) so
+      // bucket assignment compiles to a literal comparison chain inside
+      // whole-stage codegen — the array-lambda form (`size(filter(...))`)
+      // is CodegenFallback and pays an interpreted eval per row
+      val row = df.sample(withReplacement = false, 0.2, seed = 42)
+        .agg(percentile_approx(key(col(orderCol)),
+          lit(probs), lit(1000)).as("__bnds"))
+        .head()
+      val bnds: Array[Double] =
+        if (row.isNullAt(0)) Array.empty
+        else row.getSeq[Any](0).collect {
+          case d: java.lang.Double if !d.isNaN => d.doubleValue
+        }.distinct.sorted.toArray
+      val k = key(col(orderCol))
+      val chain = bnds.zipWithIndex.foldRight(lit(bnds.length): Column) {
+        case ((b, i), rest) => when(k <= b, lit(i)).otherwise(rest)
+      }
+      df.withColumn("__bkt", when(k.isNull, lit(0)).otherwise(chain))
+    }
+  }
+
+  /**
+   * DISTRIBUTED cumulative sum — `outCol` = Σ `valueExpr` over all rows
+   * at-or-before (`includeCurrent`) / strictly-before the current row
+   * in (`orderCol` asc|desc, `tieCols` asc) order, with NO single-task
+   * corpus sort at any input width: [[withRangeBuckets]] range-buckets
+   * the rows, the cumulative window runs PER BUCKET (each task sorts
+   * ~n/B rows), and cross-bucket prefix offsets come from a second
+   * window over the ≤B bucket totals (a bounded model artifact — the
+   * one place an unpartitioned window is sound) broadcast back on the
+   * bucket key. Callers must pre-filter null order keys (a null key
+   * would land in the FIRST bucket regardless of direction) and make
+   * (orderCol, tieCols) a total order when per-row determinism matters.
+   */
+  private[graft] def distributedCumSum(df: DataFrame, orderCol: String,
+                                       valueExpr: Column, outCol: String,
+                                       includeCurrent: Boolean,
+                                       desc: Boolean = false,
+                                       tieCols: Seq[String] = Nil): DataFrame = {
+    val bucketed = withRangeBuckets(df, orderCol, desc)
+    val offsets = bucketed.groupBy("__bkt")
+      .agg(sum(valueExpr).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(
+        Window.orderBy(col("__bkt").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val ord = (if (desc) col(orderCol).desc else col(orderCol).asc) +:
+      tieCols.map(col(_).asc)
+    val wLocal = Window.partitionBy("__bkt").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding,
+        if (includeCurrent) Window.currentRow else -1)
+    bucketed
+      .join(broadcast(offsets), "__bkt")
+      .withColumn(outCol,
+        col("__off") + coalesce(sum(valueExpr).over(wLocal), lit(0L)))
+      .drop("__bkt", "__off")
+  }
+
+  /**
+   * DISTRIBUTED row_number over (`orderCol` asc|desc, `tieCols` asc) —
+   * the global-total-order primitive without the global-window
+   * single-task sort (the [[distributedCumSum]] machinery counting
+   * 1s). (orderCol, tieCols) must be a total order for the numbering
+   * to be deterministic; null order keys must be pre-filtered.
+   */
+  private[graft] def distributedRowNumber(df: DataFrame, orderCol: String,
+                                          desc: Boolean, tieCols: Seq[String],
+                                          outCol: String): DataFrame =
+    distributedCumSum(df, orderCol, lit(1L), outCol,
+      includeCurrent = true, desc = desc, tieCols = tieCols)
+
+  /**
+   * DISTRIBUTED NTILE(n) over (`orderCol` asc|desc, `tieCol` asc) —
+   * exact SQL NTILE semantics (the first n_rows MOD tiles tiles get one
+   * extra row) from [[distributedRowNumber]] plus a 1-row count
+   * broadcast: tile = f(row_number, n). Row-identical to
+   * `ntile(tiles).over(Window.orderBy(...))` at any width, with no
+   * single-task corpus sort.
+   */
+  def distributedNtile(df: DataFrame, tiles: Int, orderCol: String,
+                       desc: Boolean, tieCol: String,
+                       outCol: String): DataFrame =
+    distributedNtiles(df, tiles, Seq((orderCol, desc, tieCol, outCol)))
+
+  /**
+   * [[distributedNtile]] for SEVERAL orderings of the same frame in one
+   * shot (the RFM shape: three quintile scores over one per-customer
+   * aggregate). Two bounded driver-side model artifacts — the sampled
+   * quantile boundaries for every ordering (one job) and the EXACT
+   * per-bucket row counts for every ordering (one job, ≤ specs·B
+   * conditional sums) — turn each tile into pure literal arithmetic on
+   * (bucket prefix offset + within-bucket row_number): the main plan is
+   * a LINEAR window chain (one range-bucketed sort per ordering, the
+   * minimum any multi-order ranking pays), no joins, no branch
+   * re-evaluation, no single-task sort.
+   *
+   * Each spec is (orderCol ASC|DESC, tieCol ASC → outCol); (orderCol,
+   * tieCol) must be a total order and order keys must be non-null.
+   */
+  def distributedNtiles(df: DataFrame, tiles: Int,
+      specs: Seq[(String, Boolean, String, String)]): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    require(specs.nonEmpty, "at least one ntile spec required")
+    val buckets = math.max(32, math.min(256,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt))
+    def key(c: String, desc: Boolean): Column =
+      if (desc) -col(c).cast("double") else col(c).cast("double")
+    // artifact 1: sampled quantile boundaries per ordering (balance-only
+    // — see withRangeBuckets)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val sketch = df.sample(withReplacement = false, 0.2, seed = 42)
+      .agg(count(lit(1)).as("__cnt"),
+        specs.zipWithIndex.map { case ((c, desc, _, _), i) =>
+          percentile_approx(key(c, desc), lit(probs), lit(1000))
+            .as(s"__b$i")
+        }: _*)
+      .head()
+    val bndsPer: Seq[Array[Double]] = specs.indices.map { i =>
+      if (sketch.isNullAt(i + 1)) Array.empty[Double]
+      else sketch.getSeq[Any](i + 1).collect {
+        case d: java.lang.Double if !d.isNaN => d.doubleValue
+      }.distinct.sorted.toArray
+    }
+    def bucketOf(i: Int): Column = {
+      val (c, desc, _, _) = specs(i)
+      val k = key(c, desc)
+      val chain = bndsPer(i).zipWithIndex
+        .foldRight(lit(bndsPer(i).length): Column) {
+          case ((b, j), rest) => when(k <= b, lit(j)).otherwise(rest)
+        }
+      when(k.isNull, lit(0)).otherwise(chain)
+    }
+    // artifact 2: EXACT per-(ordering, bucket) row counts in one pass —
+    // prefix offsets and n become Scala literals. Shaped as ONE bucket
+    // projection + explode + groupBy (≤ specs·B result rows collected),
+    // NOT specs·B conditional aggregates: the wide-agg form compiles
+    // thousands of codegen branches and its compile time alone dwarfs
+    // the job
+    val cnts = df
+      .select(specs.indices.map(i => bucketOf(i).as(s"__bkt$i")): _*)
+      .select(explode(array(specs.indices.map(i =>
+        struct(lit(i).as("i"), col(s"__bkt$i").as("b"))): _*)).as("x"))
+      .groupBy(col("x.i").as("i"), col("x.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val n: Long = (0 to bndsPer.head.length)
+      .map(b => cnts.getOrElse((0, b), 0L)).sum
+    val offsetsPer: Seq[Array[Long]] = specs.indices.map { i =>
+      val cs = (0 to bndsPer(i).length).map(b => cnts.getOrElse((i, b), 0L))
+      cs.scanLeft(0L)(_ + _).dropRight(1).toArray
+    }
+    // exact NTILE arithmetic on literals: first (n mod tiles) tiles get
+    // size+1 rows
+    val size = n / tiles
+    val rem = n % tiles
+    def tileOf(rn: Column): Column =
+      if (size == 0L) least(rn, lit(tiles.toLong))
+      else when(rn <= rem * (size + 1),
+        floor((rn - 1) / (size + 1)).cast("long") + 1)
+        .otherwise(lit(rem) +
+          floor((rn - rem * (size + 1) - 1) / size).cast("long") + 1)
+    specs.indices.foldLeft(df) { (acc, i) =>
+      val (c, desc, tie, out) = specs(i)
+      val ord = Seq(if (desc) col(c).desc else col(c).asc, col(tie).asc)
+      val offChain = offsetsPer(i).zipWithIndex
+        .foldRight(lit(0L): Column) {
+          case ((off, b), rest) =>
+            when(col(s"__bkt$i") === b, lit(off)).otherwise(rest)
+        }
+      acc.withColumn(s"__bkt$i", bucketOf(i))
+        .withColumn(out, tileOf(offChain +
+          row_number().over(Window.partitionBy(col(s"__bkt$i"))
+            .orderBy(ord: _*)).cast("long")))
+        .drop(s"__bkt$i")
+    }
   }
 
   /**
@@ -358,9 +583,12 @@ object StatsOps {
    * n·Σx² = 4n⁴ fits DECIMAL(38): n ≲ 1.5e9 non-null rows — beyond
    * that, pre-bin values (the KS convention) to shrink rank magnitudes.
    *
-   * Scale: one support-sized histogram + cumulative window per column
-   * (sorted distinct support, not corpus), two rank-map joins back to
-   * the rows, one partial+final aggregate. No corpus-wide sort.
+   * Scale: one support-sized histogram per column ranked DISTRIBUTED
+   * (range-bucketed on quantile boundaries, per-bucket windows — see
+   * [[doubledRanks]]; no single-task sort even on a raw continuous
+   * column whose support approaches corpus cardinality), two rank-map
+   * joins back to the rows, one partial+final aggregate. No corpus-wide
+   * sort at any support width.
    */
   def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(19, 0)

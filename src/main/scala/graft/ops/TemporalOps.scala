@@ -516,10 +516,12 @@ object TemporalOps {
    * break to the earliest boundary.
    *
    * Scale: the corpus folds into a (boundary-second, net-delta)
-   * aggregate — support-sized, not row-sized (concurrent systems share
-   * boundaries; pre-bucket to coarser grain if they don't) — and the
-   * cumulative window runs over that sorted support (the
-   * [[graft.ops.StatsOps.ksStatistic]] discipline).
+   * aggregate — support-sized, not row-sized — and the running sum over
+   * the boundary support rides the DISTRIBUTED cumulative-sum kernel
+   * ([[graft.ops.StatsOps.distributedCumSum]]: range-buckets on the
+   * boundary time, per-bucket windows, broadcast prefix offsets), so
+   * even a second-granular multi-year span (tens of millions of
+   * distinct boundaries) never funnels through one sort task.
    */
   def peakConcurrency(df: DataFrame, startCol: String,
                       endCol: String): DataFrame = {
@@ -534,9 +536,8 @@ object TemporalOps {
         struct(col("__e").as("__t"), lit(-1L).as("__d")))).as("__x"))
       .select(col("__x.__t").as("__t"), col("__x.__d").as("__d"))
       .groupBy(col("__t")).agg(sum(col("__d")).as("__delta"))
-    val w = Window.orderBy(col("__t").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    deltas.withColumn("__c", sum(col("__delta")).over(w))
+    graft.ops.StatsOps.distributedCumSum(deltas, "__t", col("__delta"),
+        "__c", includeCurrent = true)
       .orderBy(col("__c").desc, col("__t").asc)
       .limit(1)
       .select(col("__t").as("at_sec"), col("__c").as("peak"))

@@ -262,4 +262,80 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  /** Queries whose plan legitimately carries an UNPARTITIONED Window:
+    * every entry's window input is bounded by construction — a grid
+    * whose cardinality does NOT grow with corpus size (days, bins,
+    * cents/value range, top-k limits, replicate counts, or the ≤256-row
+    * bucket grid of the distributed rank kernel). This is the
+    * q_spearman gate (round 12's one `weak`): an unpartitioned window
+    * over a corpus-scaled input is a single-task sort at 100 TB, so any
+    * query NOT named here must plan zero unpartitioned windows — and a
+    * name listed here that stops planning one must be removed (the
+    * stale-entry assertion below), so the list can't rot into a bypass.
+    * Add entries only with the same input-bound justification. */
+  private val unpartWindowAllowed: Set[String] = Set(
+    "q_bootstrap_ci",       // ≤R(=40) replicate-mean rows ranked for the CI
+    "q_conformal_interval", // 8dp-rounded residual histogram — value-range-
+                            // bounded, the KS pre-bin convention
+    "q_curriculum_interleave", // distributed-rank kernel bucket grid (≤256
+                            // bucket totals; the support windows are
+                            // __bkt-partitioned)
+    "q_cusum",              // day-grid series (one exact-cents row per day)
+    "q_drawdown",           // day-grid close series
+    "q_ewma_baseline",      // day-grid series (3 windows, all day-bounded)
+    "q_gains_curve",        // 10 score-decile bins
+    "q_hazard_curve",       // duration-day grid (Kaplan-Meier shape)
+    "q_hill_tail",          // top-101 order statistics (limit before rank)
+    "q_hybrid_rrf",         // k(=20)-row BM25 top-k artifact re-ranked
+    "q_isotonic_calibration", // ≤50 calibration bins
+    "q_kaplan_meier",       // duration-day grid
+    "q_ks_test",            // dollar-binned support — value-range-bounded
+    "q_lorenz",             // cents histogram — value-range-bounded
+    "q_mann_whitney",       // distributed-rank kernel bucket grid
+    "q_mase",               // day-grid series
+    "q_median_ci",          // cents histogram of order totals
+    "q_median_survival",    // duration-day grid
+    "q_peak_concurrency",   // distributed-cumsum kernel bucket grid (the
+                            // boundary-second support itself is
+                            // __bkt-partitioned)
+    "q_pr_curve",           // 10 score-decile bins
+    "q_rank_overlap",       // two top-30 ranked lists
+    "q_recalibration_gain", // calibration-bin grid
+    "q_roc_auc",            // distributed-rank kernel bucket grid
+    "q_skyline",            // pass-2 frontier: per-partition Pareto
+                            // survivors only (the constant partition key
+                            // folds away in the physical plan)
+    "q_spearman",           // kernel bucket grid, one per rank map
+    "q_sprt_monitor",       // day-grid decision series
+    "q_vocab_growth",       // crawl-batch grid (one row per ingest wave —
+                            // schedule-bounded, not data-proportional)
+    "q_volatility",         // day-grid close series
+    "q_waterfill_mix",      // |strata|-row allocation grid
+    "q_zipf_slope")         // top-200 vocabulary ranks (limit before rank)
+
+  private def unpartWindows(name: String) =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+
+  test("unpartitioned windows only over whitelisted bounded grids — and the whitelist stays live") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val violations = names.flatMap { name =>
+      val n = unpartWindows(name).length
+      if (n > 0 && !unpartWindowAllowed(name))
+        Some(s"$name: $n unpartitioned Window(s) — single-task sort at " +
+          "scale; partition it, route it through the distributed rank " +
+          "kernel (StatsOps.distributedCumSum), or justify the bound here")
+      else if (n == 0 && unpartWindowAllowed(name))
+        Some(s"$name: whitelisted but plans no unpartitioned window — " +
+          "remove the stale entry")
+      else None
+    }
+    withClue(violations.mkString("unpartitioned-window violations:\n", "\n", "\n")) {
+      violations shouldBe empty
+    }
+  }
 }
