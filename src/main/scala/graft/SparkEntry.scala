@@ -1313,6 +1313,7 @@ object SparkEntry {
         .groupBy("t").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("t").asc).limit(200)
       val ranked = vocab.withColumn("r",
+        // unpartitioned window BOUND: post-limit(200) vocabulary head
         row_number().over(Window.orderBy(col("freq").desc, col("t").asc))
           .cast("long"))
       val sums = ranked.select(
@@ -1891,6 +1892,7 @@ object SparkEntry {
         .select(col("n_chars").cast("double").as("x"), col("doc_id"))
         .orderBy(col("x").desc, col("doc_id").asc).limit(101)
       val ranked = top.withColumn("r", row_number()
+        // unpartitioned window BOUND: post-limit(101) tail order statistics
         .over(Window.orderBy(col("x").desc, col("doc_id").asc)).cast("long"))
       val xref = ranked.filter(col("r") === 101).select(col("x").as("xref"))
       ranked.filter(col("r") <= 100).join(broadcast(xref))
@@ -2468,6 +2470,7 @@ object SparkEntry {
         .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast("long").as("v"))
         .groupBy("v").agg(count(lit(1)).as("c"))
+      // unpartitioned window BOUND: distinct-cent histogram (value-range-bounded)
       val w = Window.orderBy(col("v").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = h.select(col("v"), sum(col("c")).over(w).as("cw"))
@@ -2562,6 +2565,7 @@ object SparkEntry {
           .as("bin"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("y"), 1L).otherwise(0L)).as("k"))
+      // unpartitioned window BOUND: 10 score-decile bins
       val w = Window.orderBy(col("bin").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = bins.agg(sum(col("k")).as("__kt"))
@@ -2596,6 +2600,7 @@ object SparkEntry {
           .as("bin"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("y"), 1L).otherwise(0L)).as("k"))
+      // unpartitioned window BOUND: 10 score-decile bins
       val w = Window.orderBy(col("bin").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = bins.agg(sum(col("n")).as("__nt"), sum(col("k")).as("__kt"))
@@ -2692,6 +2697,7 @@ object SparkEntry {
     // rough the ride is, drawdown says how bad the worst stretch was;
     // exact integer series, one double ratio per day
     "q_drawdown" -> ((s, d) => {
+      // unpartitioned window BOUND: day-grid close series
       val w = Window.orderBy(col("day").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "events")
@@ -2729,6 +2735,7 @@ object SparkEntry {
         .agg(max(struct(col("tsec"), col("event_id"), col("__c")))
           .as("__cl"))
         .select(col("day"), col("__cl.__c").as("c"))
+      // unpartitioned window BOUND: day-grid close series
       val w = Window.orderBy(col("day").asc)
       closes.withColumn("__p", lag(col("c"), 1).over(w))
         .filter(col("__p").isNotNull && col("__p") > 0 && col("c") > 0)
@@ -2846,6 +2853,7 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word").asc).limit(30)
         .withColumn("rank", row_number().over(
+          // unpartitioned window BOUND: post-limit(30) ranked list
           Window.orderBy(col("n").desc, col("word").asc)))
       graft.ops.EvalOps.averageOverlap(topWords("src0"),
         topWords("src1"), "word", "rank", depth = 30)
@@ -3088,6 +3096,7 @@ object SparkEntry {
           explode(TextOps.tokens(col("text"))).as("w"))
       val newPerBatch = toks.groupBy("w").agg(min(col("batch")).as("fb"))
         .groupBy(col("fb").as("batch")).agg(count(lit(1)).as("n_new"))
+      // unpartitioned window BOUND: crawl-batch grid (one row per ingest wave)
       val w = Window.orderBy(col("batch").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       toks.groupBy("batch").agg(count(lit(1)).as("n_tokens"))
@@ -3606,6 +3615,7 @@ object SparkEntry {
       val lex = TextOps.bm25TopK(t(s, d, "documents"), "doc_id", "text",
           terms = Seq("dup", "join", "hash"), k = 20)
         .withColumn("rank", row_number().over(
+          // unpartitioned window BOUND: k(=20)-row top-k artifact
           Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast(LongType))
         .select("doc_id", "rank")
       val emb = t(s, d, "embeddings")
@@ -9556,23 +9566,31 @@ object SparkEntry {
                            ROUND(CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6)))
                                  AS DOUBLE) / COUNT(*), 6) AS mean
                     FROM base),
-              ex AS (SELECT b.id, b.y, g.r
-                     FROM base b, (SELECT unnest(generate_series(0, 39)) AS r) g),
-              kk AS (SELECT r, y,
+              hb AS (SELECT CAST(('0x' || substring(md5(id), 1, 15)) AS BIGINT)
+                            % 1000000007 AS h,
+                            CAST(CAST(ROUND(y, 6) AS DECIMAL(18,6)) * 1000000
+                                 AS BIGINT) AS ym
+                     FROM base),
+              cn AS (SELECT r,
+                            CAST(('0x' || substring(md5('bootA:' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT)
+                              % 1000000006 + 1 AS a,
+                            CAST(('0x' || substring(md5('bootB:' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT)
+                              % 1000000007 AS b
+                     FROM (SELECT unnest(generate_series(0, 39)) AS r)),
+              kk AS (SELECT r, ym,
                             CASE WHEN u < 0.367879441 THEN 0
                                  WHEN u < 0.735758882 THEN 1
                                  WHEN u < 0.919698603 THEN 2
                                  WHEN u < 0.981011843 THEN 3
                                  WHEN u < 0.996340153 THEN 4
                                  ELSE 5 END AS k
-                     FROM (SELECT r, y,
-                                  CAST(CAST(('0x' || substring(md5(id || ':' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT)
-                                       % 1000000000 AS DOUBLE) / 1e9 AS u
-                           FROM ex)),
+                     FROM (SELECT cn.r, hb.ym,
+                                  CAST((hb.h * cn.a + cn.b) % 1000000007 AS DOUBLE)
+                                    / 1000000007 AS u
+                           FROM hb CROSS JOIN cn)),
               reps AS (SELECT r,
-                              ROUND(CAST(SUM(CAST(k AS BIGINT) *
-                                    CAST(ROUND(y, 6) AS DECIMAL(28,6)))
-                                    AS DOUBLE) / SUM(k), 6) AS m
+                              ROUND(CAST(SUM(CAST(k AS BIGINT) * ym)
+                                    AS DOUBLE) / 1000000 / SUM(k), 6) AS m
                        FROM kk GROUP BY r HAVING SUM(k) > 0),
               c AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM reps),
               rk AS (SELECT m, r, row_number() OVER (ORDER BY m, r) AS rk

@@ -187,6 +187,8 @@ object SamplingOps {
    */
   def selectByBudget(df: DataFrame, keyCol: String, weightCol: String,
                      qualityCol: String, budget: Long): DataFrame = {
+    // unpartitioned window: the EXACT-baseline form — corpus-sized; the shipped
+    // scale path is selectByBudgetSharded (per-bucket windows, row-identical)
     val w = Window.orderBy(col(qualityCol).desc, col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__cum_before",
@@ -439,8 +441,12 @@ object SamplingOps {
         .over(Window.partitionBy(stratumCol)).cast("long"))
       .withColumn("__key",
         (col("__r").cast("double") - 0.5) / col("__n"))
+    // the lattice key is uniform on (0,1) BY CONSTRUCTION (stratum
+    // quantile positions), so the bucket boundaries are the fixed
+    // uniform grid — zero probe jobs
     graft.ops.StatsOps.distributedRowNumber(ranked, "__key",
-        desc = false, tieCols = Seq(stratumCol, idCol), "global_ord")
+        desc = false, tieCols = Seq(stratumCol, idCol), "global_ord",
+        fixedBounds = Some((1 until 64).map(_ / 64.0).toArray))
       .select(col(idCol), col(stratumCol), col("__r").as("pos_in_stratum"),
         round(col("__key"), 6).as("interleave_key"), col("global_ord"))
   }
@@ -477,6 +483,7 @@ object SamplingOps {
     require(budget > 0, s"budget must be positive, got $budget")
     val totals = df.groupBy(stratumCol)
       .agg(sum(col(weightCol)).cast("long").as("n_tokens"))
+    // unpartitioned window BOUND: |strata| rows (sources/languages)
     val w = Window.orderBy(col("n_tokens").asc, col(stratumCol).asc)
     val ranked = totals
       .withColumn("__k", row_number().over(w).cast("long"))

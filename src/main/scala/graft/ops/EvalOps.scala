@@ -40,13 +40,16 @@ object EvalOps {
    */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val counts = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+    val kept = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+    val counts = kept
       .groupBy(col(scoreCol).as("__v"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("cp"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("cn"))
       .withColumn("__t", col("cp") + col("cn"))
-    val ranked = StatsOps.doubledRanks(counts, "__v", "__t")
+    // boundary probe over the RAW scores — the histogram shuffle is not
+    // re-evaluated just to sketch its quantiles
+    val ranked = StatsOps.doubledRanks(counts, "__v", "__t",
+      probe = Some(kept.select(col(scoreCol).as("__v"))))
     val m = ranked.agg(
       sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
       sum(col("cp").cast(dec) * col("__r2").cast(dec)).as("rp2"))
@@ -201,6 +204,7 @@ object EvalOps {
   def isotonicCalibration(df: DataFrame, probCol: String,
                           labelCol: String, bins: Int): DataFrame = {
     require(bins >= 2 && bins <= 50, s"bad bins $bins")
+    // unpartitioned window BOUND: ≤`bins` (≤50) calibration-bin rows
     val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
     val wc = w.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding,

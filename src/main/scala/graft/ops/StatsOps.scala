@@ -187,6 +187,7 @@ object StatsOps {
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
     val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // unpartitioned window BOUND: the pre-binned distinct-value support
     val w = Window.orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts.crossJoin(broadcast(tot))
@@ -355,9 +356,10 @@ object StatsOps {
    * (pre-binned grades, day grids).
    */
   private[graft] def doubledRanks(counts: DataFrame, vCol: String,
-                                  cCol: String): DataFrame =
+                                  cCol: String,
+                                  probe: Option[DataFrame] = None): DataFrame =
     distributedCumSum(counts, vCol, col(cCol), "__cl",
-        includeCurrent = false)
+        includeCurrent = false, probe = probe)
       .withColumn("__r2", col("__cl") * 2 + col(cCol) + 1)
       .drop("__cl")
 
@@ -376,13 +378,29 @@ object StatsOps {
    * it for a big cluster widens the order-statistic stage with it.
    * Non-numeric order columns (no quantile boundaries) fall back to a
    * single bucket — callers bound those supports by construction.
+   *
+   * Boundary sources, cheapest sound one wins (balance-only, so ANY
+   * distribution proxy is correct): `fixedBounds` when the caller knows
+   * the key's distribution analytically (e.g. a lattice key uniform on
+   * (0,1) — zero probe jobs); `probe` to sample a cheap RAW upstream
+   * frame (same-named column) instead of re-evaluating an aggregated
+   * `df` just to sketch it — e.g. raw corpus values instead of the
+   * distinct-value histogram built from them; else `df` itself.
    */
   private[graft] def withRangeBuckets(df: DataFrame, orderCol: String,
-                                      desc: Boolean): DataFrame = {
+                                      desc: Boolean,
+                                      probe: Option[DataFrame] = None,
+                                      fixedBounds: Option[Array[Double]] = None,
+                                      nBuckets: Option[Int] = None,
+                                      sampleFraction: Double = 0.2)
+      : DataFrame = {
     val numeric = df.schema(orderCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val buckets = math.max(32, math.min(256,
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt))
+    val buckets = nBuckets.getOrElse(math.max(32, math.min(256,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)))
+    require(buckets >= 1 && buckets <= 1024,
+      s"bucket count $buckets outside [1, 1024] (the literal comparison " +
+        "chain is codegen-bounded)")
     if (!numeric) df.withColumn("__bkt", lit(0))
     else {
       // bucketing key: double-cast (collapsing near-ties only merges
@@ -394,15 +412,21 @@ object StatsOps {
       // bucket assignment compiles to a literal comparison chain inside
       // whole-stage codegen — the array-lambda form (`size(filter(...))`)
       // is CodegenFallback and pays an interpreted eval per row
-      val row = df.sample(withReplacement = false, 0.2, seed = 42)
-        .agg(percentile_approx(key(col(orderCol)),
-          lit(probs), lit(1000)).as("__bnds"))
-        .head()
-      val bnds: Array[Double] =
+      val bnds: Array[Double] = fixedBounds.map { fb =>
+        val sign = fb.map(b => if (desc) -b else b)
+        sign.distinct.sorted
+      }.getOrElse {
+        val src = probe.getOrElse(df)
+        val row = (if (sampleFraction >= 1.0) src
+          else src.sample(withReplacement = false, sampleFraction, seed = 42))
+          .agg(percentile_approx(key(col(orderCol)),
+            lit(probs), lit(1000)).as("__bnds"))
+          .head()
         if (row.isNullAt(0)) Array.empty
         else row.getSeq[Any](0).collect {
           case d: java.lang.Double if !d.isNaN => d.doubleValue
         }.distinct.sorted.toArray
+      }
       val k = key(col(orderCol))
       val chain = bnds.zipWithIndex.foldRight(lit(bnds.length): Column) {
         case ((b, i), rest) => when(k <= b, lit(i)).otherwise(rest)
@@ -428,8 +452,11 @@ object StatsOps {
                                        valueExpr: Column, outCol: String,
                                        includeCurrent: Boolean,
                                        desc: Boolean = false,
-                                       tieCols: Seq[String] = Nil): DataFrame = {
-    val bucketed = withRangeBuckets(df, orderCol, desc)
+                                       tieCols: Seq[String] = Nil,
+                                       probe: Option[DataFrame] = None,
+                                       fixedBounds: Option[Array[Double]] = None)
+      : DataFrame = {
+    val bucketed = withRangeBuckets(df, orderCol, desc, probe, fixedBounds)
     val offsets = bucketed.groupBy("__bkt")
       .agg(sum(valueExpr).as("__tot"))
       .withColumn("__off", coalesce(sum(col("__tot")).over(
@@ -457,9 +484,13 @@ object StatsOps {
    */
   private[graft] def distributedRowNumber(df: DataFrame, orderCol: String,
                                           desc: Boolean, tieCols: Seq[String],
-                                          outCol: String): DataFrame =
+                                          outCol: String,
+                                          probe: Option[DataFrame] = None,
+                                          fixedBounds: Option[Array[Double]] = None)
+      : DataFrame =
     distributedCumSum(df, orderCol, lit(1L), outCol,
-      includeCurrent = true, desc = desc, tieCols = tieCols)
+      includeCurrent = true, desc = desc, tieCols = tieCols,
+      probe = probe, fixedBounds = fixedBounds)
 
   /**
    * DISTRIBUTED NTILE(n) over (`orderCol` asc|desc, `tieCol` asc) —
@@ -596,7 +627,11 @@ object StatsOps {
       .filter(col("__x").isNotNull && col("__y").isNotNull)
     def rankMap(c: String, out: String) =
       doubledRanks(
-        base.groupBy(col(c).as(c)).agg(count(lit(1)).as("__c")), c, "__c")
+        base.groupBy(col(c).as(c)).agg(count(lit(1)).as("__c")), c, "__c",
+        // boundary probe: sample the RAW column (one narrow scan), not
+        // the histogram — re-evaluating the aggregate just to sketch
+        // its quantiles costs a full extra shuffle
+        probe = Some(base.select(c)))
         .select(col(c), col("__r2").as(out))
     val joined = base
       .join(rankMap("__x", "__rx"), "__x")
@@ -638,14 +673,16 @@ object StatsOps {
   def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
                    groupA: String, groupB: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val counts = df
+    val kept = df
       .filter(col(groupCol) === groupA || col(groupCol) === groupB)
       .filter(col(valueCol).isNotNull)
+    val counts = kept
       .groupBy(col(valueCol).as("__v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
       .withColumn("__t", col("ca") + col("cb"))
-    val ranked = doubledRanks(counts, "__v", "__t")
+    val ranked = doubledRanks(counts, "__v", "__t",
+      probe = Some(kept.select(col(valueCol).as("__v"))))
     val m = ranked.agg(
       sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
       // 2·R_A = Σ_v ca_v · r2_v — exact; and the tie-correction mass
@@ -782,6 +819,7 @@ object StatsOps {
    */
   def lorenzCurve(df: DataFrame, valueCol: String,
                   buckets: Int = 10): DataFrame = {
+    // unpartitioned window BOUND: distinct-cent histogram rows (value-range-bounded)
     require(buckets > 0, s"bad buckets=$buckets")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val counts = df
@@ -895,6 +933,7 @@ object StatsOps {
       .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("n_events"),
         sum(when(col(eventCol), 0L).otherwise(1L)).as("n_censored"))
     val tot = counts.agg(sum(col("n_events") + col("n_censored")).as("__n"))
+    // unpartitioned window BOUND: duration-day histogram rows
     val wPrev = Window.orderBy(col("t").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy(col("t").asc)
@@ -1217,6 +1256,7 @@ object StatsOps {
         (col("__sc").cast("double") / col("__n")).as("__pred"))
     def residuals(split: Long) = df.filter(col(splitCol) === split)
       .join(broadcast(model), groupCol)
+      // unpartitioned window BOUND: rounded-residual histogram rows (value-range-bounded)
       .select(round(abs(col(centsCol) - col("__pred")), 0)
         .cast("long").as("__r"))
     val calH = residuals(calSplit).groupBy("__r")
@@ -1332,16 +1372,30 @@ object StatsOps {
    * with the usual 10⁻⁹ ceil slack; replicates that draw zero total
    * weight — vanishing for non-toy data — are excluded and counted via
    * `n_replicates_used`). Poisson(1) multiplicities come from the
-   * inverse CDF on u = fp60(id:r)/2³⁰-ish ∈ [0,1) against 9dp literal
-   * cumulative thresholds (k capped at 5; P(K>5) < 10⁻⁴), shared
-   * verbatim with the oracle.
+   * inverse CDF on u_r ∈ [0,1) against 9dp literal cumulative
+   * thresholds (k capped at 5; P(K>5) < 10⁻⁴). The per-replicate
+   * uniforms are an AFFINE PRF FAMILY over ONE row fingerprint:
+   * h = fp60(id) mod p (p = 1e9+7, a single md5 per ROW), then
+   * u_r = ((h·A_r + B_r) mod p)/p with literal per-replicate constants
+   * A_r/B_r themselves fp60-derived — the classic universal-hashing
+   * construction (uniform marginals per replicate, pairwise-independent
+   * across replicates), chosen over R independent string hashes because
+   * hashing cost is the whole query at R=40: one md5 + R multiply-adds
+   * per row instead of R md5s of R fresh concatenated strings. Constants
+   * and arithmetic are shared verbatim with the oracle (h·A_r < 2⁶⁰ —
+   * exact in BIGINT/Long on both engines).
    *
-   * Determinism: per-row y 6dp-rounded into DECIMAL sums; replicate
-   * means 6dp-rounded doubles ranked with (mean, replicate) total order.
+   * Determinism: per-row y 6dp-rounded into exact integer MICROS (Long
+   * sums — order-free; the corpus mean keeps its DECIMAL sum);
+   * replicate means 6dp-rounded doubles ranked with (mean, replicate)
+   * total order.
    *
-   * Scale: one explode (R× the scan rows, still narrow) + ONE hash agg
-   * to R rows + an R-row window — everything after the aggregate is
-   * replicate-count-sized.
+   * Scale: ONE pass, ZERO row inflation — all R replicates are inline
+   * conditional aggregate pairs (sum k_r, sum k_r·y for r < R) of a
+   * single scan (the round-12 form exploded the scan R× through a
+   * sequence generator before aggregating — same semantics, R× the
+   * rows through the projection); the 1-row 2R-column aggregate then
+   * unpivots to R rows and everything after is replicate-count-sized.
    */
   def poissonBootstrapMeanCI(df: DataFrame, idCol: String, yCol: String,
                              replicates: Int = 40,
@@ -1356,25 +1410,50 @@ object StatsOps {
     val full = base.agg(count(lit(1)).as("n_rows"),
       round(sum(round(col("__y"), 6).cast(dec)).cast("double") /
         count(lit(1)), 6).as("mean"))
+    // one row fingerprint, reduced mod p — the ONLY md5 on the hot path,
+    // materialized as a projected column so it cannot be re-evaluated
+    // per replicate expression
+    val P = 1000000007L
+    // y as exact integer MICROS (round(y,6) scaled through a compact
+    // DECIMAL(18,6) — one decimal op per row): the per-replicate sums
+    // then run in plain Long arithmetic. DECIMAL(28,6) overflows the
+    // compact long representation, and 2R BigDecimal ops per row WAS
+    // the query's cost. Exact while Σ|k·y|·1e6 < 9.2e18 (≈ 1e12 rows of
+    // |y| ≤ 1000 — beyond that, swap `micros` back to the decimal form)
+    val hashed = base.select(
+      (round(col("__y"), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        * 1000000).cast("long").as("__ym"),
+      pmod(graft.ext.TextOps.fingerprint60(col("__id")), lit(P)).as("__h"))
+    val h = col("__h")
+    // per-replicate affine constants, fp60-derived driver-side literals
+    // (the oracle derives the identical values from the same strings)
+    def aOf(r: Int): Long =
+      graft.ext.HashKernel.fp60(s"bootA:$r") % (P - 1) + 1
+    def bOf(r: Int): Long = graft.ext.HashKernel.fp60(s"bootB:$r") % P
     // cumulative Poisson(1) CDF at k = 0..4, 9dp literals (the oracle
     // carries the identical constants)
-    val u = pmod(graft.ext.TextOps.fingerprint60(
-        concat(col("__id"), lit(":"), col("__r"))), lit(1000000000L))
-      .cast("double") / 1e9
-    val k = when(u < 0.367879441, 0L).when(u < 0.735758882, 1L)
-      .when(u < 0.919698603, 2L).when(u < 0.981011843, 3L)
-      .when(u < 0.996340153, 4L).otherwise(5L)
-    val reps = base
-      .select(col("__id"), col("__y"),
-        explode(sequence(lit(0), lit(replicates - 1))).as("__r"))
-      .select(col("__r"), k.as("__k"), col("__y"))
-      .groupBy("__r")
-      .agg(sum(col("__k")).as("__n"),
-        sum((col("__k") * round(col("__y"), 6).cast(dec)).cast(dec))
-          .as("__s"))
+    def kOf(r: Int): Column = {
+      val u = pmod(h * lit(aOf(r)) + lit(bOf(r)), lit(P))
+        .cast("double") / P.toDouble
+      when(u < 0.367879441, 0L).when(u < 0.735758882, 1L)
+        .when(u < 0.919698603, 2L).when(u < 0.981011843, 3L)
+        .when(u < 0.996340153, 4L).otherwise(5L)
+    }
+    val repAggs = (0 until replicates).flatMap { r =>
+      val k = kOf(r)
+      Seq(sum(k).as(s"__n$r"), sum(k * col("__ym")).as(s"__s$r"))
+    }
+    val reps = hashed
+      .agg(repAggs.head, repAggs.tail: _*)
+      .select(explode(array((0 until replicates).map(r =>
+        struct(lit(r).as("r"), col(s"__n$r").as("n"),
+          col(s"__s$r").as("s"))): _*)).as("x"))
+      .select(col("x.r").as("__r"), col("x.n").as("__n"),
+        col("x.s").as("__s"))
+      // unpartitioned window BOUND: ≤R (≤1000) replicate rows
       .filter(col("__n") > 0)
       .select(col("__r"),
-        round(col("__s").cast("double") / col("__n"), 6).as("__m"))
+        round(col("__s").cast("double") / 1e6 / col("__n"), 6).as("__m"))
     val cnt = reps.agg(count(lit(1)).as("__cnt"))
     val ranked = reps
       .withColumn("__rk", row_number().over(

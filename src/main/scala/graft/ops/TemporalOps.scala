@@ -536,8 +536,12 @@ object TemporalOps {
         struct(col("__e").as("__t"), lit(-1L).as("__d")))).as("__x"))
       .select(col("__x.__t").as("__t"), col("__x.__d").as("__d"))
       .groupBy(col("__t")).agg(sum(col("__d")).as("__delta"))
+    // boundary probe over the RAW interval starts (one narrow scan —
+    // ends are starts shifted, same distribution for balance purposes),
+    // so the boundary aggregate isn't re-evaluated just to sketch it
     graft.ops.StatsOps.distributedCumSum(deltas, "__t", col("__delta"),
-        "__c", includeCurrent = true)
+        "__c", includeCurrent = true,
+        probe = Some(iv.select(col("__s").as("__t"))))
       .orderBy(col("__c").desc, col("__t").asc)
       .limit(1)
       .select(col("__t").as("at_sec"), col("__c").as("peak"))
@@ -573,6 +577,7 @@ object TemporalOps {
         graft.ops.StatsOps.cents(col(valueCol)).as("__v"))
       .filter(col("__v").isNotNull)
       .groupBy(col("__d")).agg(sum(col("__v")).as("__s"))
+    // unpartitioned window BOUND: day-grid rows (one per calendar day)
     val idx = daily.withColumn("__i",
       row_number().over(Window.orderBy(col("__d").asc)).cast("long"))
     val j = idx.select(col("__i").as("__j"), col("__s").as("__vj"))
@@ -585,6 +590,7 @@ object TemporalOps {
         round(col("__w") * col("__vj").cast("double") / 100.0, 6).cast(dec))
     val ew = terms.groupBy(col("__d"), col("__i"), col("__s"))
       .agg(sum(col("__t")).as("__e"))
+    // unpartitioned window BOUND: day-grid rows
     ew.withColumn("__prev",
         lag(col("__e"), 1).over(Window.orderBy(col("__i").asc)))
       .select(col("__d").as("day"),
@@ -646,6 +652,7 @@ object TemporalOps {
       .groupBy(col("__d")).agg(sum(col("__v").cast(dec)).as("__s"))
     val tot = daily.agg(sum(col("__s")).as("__t"),
       count(lit(1)).as("__n"))
+    // unpartitioned window BOUND: day-grid rows (one exact-cents row per day)
     val w = Window.orderBy(col("__d").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     daily.crossJoin(broadcast(tot))
@@ -693,6 +700,7 @@ object TemporalOps {
       .groupBy(date_trunc("day", col(ts)).as("day"))
       .agg(count(lit(1)).as("__n"),
         sum(when(col(successCol), 1L).otherwise(0L)).as("__k"))
+    // unpartitioned window BOUND: day-grid rows
     val w = Window.orderBy(col("day").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val c1 = math.log(p1 / p0)
@@ -914,6 +922,7 @@ object TemporalOps {
     val daily = df.filter(col(ts).isNotNull)
       .groupBy(date_trunc("day", col(ts)).as("day"))
       .agg(count(lit(1)).as("__n"))
+    // unpartitioned window BOUND: day-grid rows
     val w = Window.orderBy(col("day").asc)
     daily
       .select(col("day"), col("__n"),

@@ -51,6 +51,11 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - WRITES ([[SupportsWrite]], append + truncate-overwrite): the load
  *    seam, with a real two-phase commit (task-staged files promoted by
  *    the driver's job commit — see [[DocsWriteBuilder]]).
+ *  - STREAMING READS (`readStream.format("graft-docs")`): file-set
+ *    offsets over the two-phase-committed data files — the reference's
+ *    cron-incremental extract as a true micro-batch source (see
+ *    [[DocsMicroBatchStream]]); exactly-once composes with an
+ *    idempotent sink (the keyedIngestJdbc MERGE).
  *
  * Scale: one [[InputPartition]] per file — the natural parallel unit of
  * newline-delimited JSON (a production connector over a document STORE
@@ -89,6 +94,7 @@ private[graft] class DocsTable(path: String, docSchema: StructType)
   override def schema(): StructType = docSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocsScanBuilder(path, docSchema)
@@ -166,11 +172,82 @@ private[graft] class DocsScan(path: String, docSchema: StructType,
 
   override def toBatch: Batch = this
 
+  /** The STREAMING read path — the reference's cron-incremental extract
+    * (DAG:437-446 + the `updated_at >= window_start` filter, DAG:124-129)
+    * as a true Structured Streaming source: each micro-batch reads
+    * exactly the data files that appeared since the last committed
+    * offset. Offsets are the sorted set of processed file names —
+    * sound because the write path is two-phase (files are PROMOTED by
+    * atomic rename, so a listed file is complete and immutable, and
+    * `_staging`/dot files are never listed). Deterministic replay: the
+    * same (start, end) offset pair always plans the same file set, so a
+    * foreachBatch replay after a crash re-reads identical rows
+    * (exactly-once composes with an idempotent sink, e.g. the
+    * `keyedIngestJdbc` MERGE). Pushed filters/projection/limit apply
+    * per micro-batch exactly as in batch scans. A production connector
+    * over a real document store swaps the file-set offset for resume
+    * tokens / change-stream positions through this same seam; a
+    * 100 TB-scale file store would compact the seen-set into a log the
+    * way Spark's own FileStreamSource does — the offset SEMANTICS
+    * (monotone set of complete files) are identical. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DocsMicroBatchStream(path, docSchema, required, pushed, limit)
+
   override def planInputPartitions(): Array[InputPartition] =
     DocsConnector.listFiles(path).map(f => DocsInputPartition(f)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocsReaderFactory(docSchema, required, pushed, limit)
+}
+
+/** Offset = the sorted set of data files already processed (JSON array
+  * of names). Files are immutable once promoted, so set difference IS
+  * the micro-batch. */
+private[graft] case class DocsOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    new ObjectMapper().writeValueAsString(files.sorted.toArray)
+}
+
+private[graft] class DocsMicroBatchStream(path: String,
+                                          docSchema: StructType,
+                                          required: StructType,
+                                          pushed: Array[Filter],
+                                          limit: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = DocsOffset(Nil)
+
+  override def latestOffset(): Offset =
+    DocsOffset(DocsConnector.listFiles(path).map(f =>
+      new java.io.File(f).getName))
+
+  override def deserializeOffset(json: String): Offset =
+    DocsOffset(new ObjectMapper().readValue(json,
+      classOf[Array[String]]).toSeq)
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val done = start.asInstanceOf[DocsOffset].files.toSet
+    val want = end.asInstanceOf[DocsOffset].files.filterNot(done).sorted
+    val root = new java.io.File(path)
+    // files named in a committed offset must still exist — a vanished
+    // file would silently drop rows on replay
+    want.map { name =>
+      val f = if (root.isFile && root.getName == name) root
+        else new java.io.File(path, name)
+      require(f.isFile, s"offset names a vanished file: $f")
+      DocsInputPartition(f.getPath)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsReaderFactory(docSchema, required, pushed, limit)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[graft] case class DocsInputPartition(file: String)
@@ -281,7 +358,7 @@ private[graft] class DocsBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new DocsWriterFactory(staging, schema)
+    new DocsWriterFactory(staging, schema, DocsConnector.fileTag(queryId))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val target = new java.io.File(path)
@@ -299,8 +376,15 @@ private[graft] class DocsBatchWrite(path: String, schema: StructType,
     }
     staged.foreach { f =>
       val src = new java.io.File(f)
-      require(src.renameTo(new java.io.File(target, src.getName)),
-        s"could not promote $f")
+      val dst = new java.io.File(target, src.getName)
+      // promoted names carry the queryId tag so they are globally
+      // unique; a name collision can then only be a REAL conflict
+      // (duplicated commit, foreign file) — fail the commit instead of
+      // silently replacing the earlier data file (taskId alone is only
+      // unique within one Spark application)
+      require(!dst.exists(),
+        s"destination already exists, refusing to overwrite: $dst")
+      require(src.renameTo(dst), s"could not promote $f")
     }
     cleanupStaging()
   }
@@ -318,21 +402,25 @@ private[graft] class DocsBatchWrite(path: String, schema: StructType,
   }
 }
 
-private[graft] class DocsWriterFactory(staging: String, schema: StructType)
+private[graft] class DocsWriterFactory(staging: String, schema: StructType,
+                                       tag: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new DocsDataWriter(staging, schema, partitionId, taskId)
+    new DocsDataWriter(staging, schema, partitionId, taskId, tag)
 }
 
 /** One staged JSON-lines file per task ATTEMPT (taskId is
-  * attempt-unique): rows stream out as they arrive, `commit()` hands the
-  * file name to the driver, `abort()` removes it. */
+  * attempt-unique WITHIN an application; the queryId-derived `tag`
+  * makes the name unique ACROSS applications appending to the same
+  * store): rows stream out as they arrive, `commit()` hands the file
+  * name to the driver, `abort()` removes it. */
 private[graft] class DocsDataWriter(staging: String, schema: StructType,
-                                    partitionId: Int, taskId: Long)
+                                    partitionId: Int, taskId: Long,
+                                    tag: String)
     extends DataWriter[InternalRow] {
   private val file = new java.io.File(
-    staging, f"part-$partitionId%05d-$taskId.jsonl")
+    staging, f"part-$partitionId%05d-$taskId-$tag.jsonl")
   file.getParentFile.mkdirs()
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     new java.io.FileOutputStream(file), StandardCharsets.UTF_8))
@@ -374,6 +462,15 @@ private[graft] class DocsDataWriter(staging: String, schema: StructType,
 
 private[graft] object DocsConnector {
 
+  /** Filename-safe tag from a queryId (a UUID in practice): 16
+    * alphanumerics ≈ 64 bits — globally unique across applications,
+    * which taskId alone is not. */
+  def fileTag(queryId: String): String = {
+    val t = Option(queryId).getOrElse("").filter(_.isLetterOrDigit).take(16)
+    if (t.nonEmpty) t
+    else java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+  }
+
   /** Recursive best-effort delete (staging cleanup); absent paths ok. */
   def deleteTree(f: java.io.File): Unit = {
     if (f.isDirectory) {
@@ -394,7 +491,11 @@ private[graft] object DocsConnector {
   }
 
   /** Files of a JSON-lines dataset under `path` (or `path` itself),
-    * deterministic order; metadata files (_SUCCESS, .crc) skipped. */
+    * deterministic order. Exactly the documented data-file shapes are
+    * read — `part-*`, `*.json`, `*.jsonl` — so a stray non-JSONL file
+    * in the directory is SKIPPED, not parsed into a mid-scan Jackson
+    * error (metadata `_`/`.`-prefixed and `.crc` files were always
+    * skipped; this closes the gap for everything else). */
   def listFiles(path: String): Seq[String] = {
     val root = new java.io.File(path)
     require(root.exists(), s"graft-docs path does not exist: $path")
@@ -402,7 +503,9 @@ private[graft] object DocsConnector {
     else root.listFiles().toSeq
       .filter(f => f.isFile && {
         val n = f.getName
-        !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".crc")
+        !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".crc") &&
+          (n.startsWith("part-") || n.endsWith(".json") ||
+            n.endsWith(".jsonl"))
       })
       .map(_.getPath).sorted
   }

@@ -485,24 +485,32 @@ object Stores {
    * exists for. Block-aligned cuts keep every file inside one rectangle
    * by construction (`nFiles` must be a power of two for the alignment).
    *
-   * At 100 TB the ntile windows over the full corpus are the scale
-   * limiter — production swaps them for approx-quantile cell boundaries
-   * (sampled, driver-sized) with the identical interleave; the layout
-   * contract (rectangular file extents) is unchanged.
+   * Cells are SAMPLED-QUANTILE equi-depth buckets (the
+   * [[graft.ops.StatsOps.withRangeBuckets]] kernel): boundary quality
+   * only moves cell balance, never the rectangle property (assignment
+   * stays monotone in the key), and the corpus never funnels through
+   * the single-task global window an `ntile` would plan — the write
+   * path holds at 100 TB. `bitsPerDim` ≤ 10 keeps the cell comparison
+   * chain codegen-bounded (a 2^10-cell grid is already 1M rectangles).
    */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     nFiles: Int, bitsPerDim: Int = 8): Unit = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    require(bitsPerDim >= 1 && bitsPerDim <= 16, "bitsPerDim in [1,16]")
+    require(bitsPerDim >= 1 && bitsPerDim <= 10, "bitsPerDim in [1,10]")
     require(nFiles > 0 && (nFiles & (nFiles - 1)) == 0,
       s"nFiles=$nFiles must be a power of two (block-aligned z cuts)")
     val blockBits = 31 - Integer.numberOfLeadingZeros(nFiles)
     require(blockBits <= 2 * bitsPerDim, "nFiles exceeds the z-code space")
     val cells = 1 << bitsPerDim
-    val ranked = df
-      .withColumn("__za", ntile(cells).over(Window.orderBy(col(colA))) - 1)
-      .withColumn("__zb", ntile(cells).over(Window.orderBy(col(colB))) - 1)
+    // full-input sketch (not the default 20% sample): a layout write is
+    // a full pass anyway, and tight cell boundaries keep file rectangles
+    // at their nominal fractional extents even on small inputs
+    val ranked = graft.ops.StatsOps.withRangeBuckets(
+        graft.ops.StatsOps.withRangeBuckets(df, colA, desc = false,
+            nBuckets = Some(cells), sampleFraction = 1.0)
+          .withColumnRenamed("__bkt", "__za"),
+        colB, desc = false, nBuckets = Some(cells), sampleFraction = 1.0)
+      .withColumnRenamed("__bkt", "__zb")
     // Morton interleave: bit i of a → bit 2i, bit i of b → bit 2i+1
     val z = (0 until bitsPerDim).map { i =>
       (shiftright(col("__za"), i).bitwiseAND(1).cast("long") * (1L << (2 * i))) +

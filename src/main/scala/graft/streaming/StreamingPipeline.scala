@@ -101,9 +101,12 @@ object StreamingPipeline {
    * foreachBatch replay after a crash re-runs a MERGE that is idempotent
    * on the key — the same rows land (the batch-leg proof is
    * JdbcRoundTripSpec's replay test; the composition is
-   * StreamingPipelineSpec's). Staging is batch-scoped
-   * (`runId = "b<batchId>"`), so a replayed batch reuses — and re-drops —
-   * its own staging table instead of colliding with a neighbor's.
+   * StreamingPipelineSpec's). Staging is batch- AND query-scoped
+   * (`runId = "q<checkpoint-hash>_b<batchId>"`): a replayed batch
+   * reuses — and re-drops — its own staging table, and two CONCURRENT
+   * streaming queries upserting the same target table (distinct
+   * checkpoints by construction) salt to distinct staging names instead
+   * of clobbering each other's overwrite-mode staging writes.
    *
    * The target table must exist (the reference pre-creates it with
    * idempotent DDL, DAG:211-268 — [[graft.sources.Stores]]' mart setup);
@@ -123,7 +126,7 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           Stores.jdbcUpsert(batch, target, key, updateCols,
-            runId = s"b$batchId")
+            runId = f"q${checkpoint.hashCode & 0x7fffffff}%08x_b$batchId")
       }
       .start()
 

@@ -212,4 +212,71 @@ class DocsConnectorSpec extends SparkSpec {
     }
     e.getMessage should include("schema-pinned")
   }
+
+  test("stray non-data files in the store directory are skipped, not parsed") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_docs_stray_").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "lang")
+      .write.format("graft-docs").option("path", p).mode("append").save()
+    // a foreign file that is NOT part-*/[.]json[l] must not break the scan
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$p/README.txt"),
+      "not json at all".getBytes("UTF-8"))
+    spark.read.format("graft-docs").option("path", p)
+      .option("schema", "doc_id BIGINT, lang STRING").load()
+      .orderBy("doc_id").as[(Long, String)].collect() shouldBe
+      Array((1L, "a"), (2L, "b"))
+  }
+
+  test("append commits from different writers never silently replace a data file") {
+    // promoted names carry the queryId tag — two appends land side by
+    // side (the taskId-only name was unique within ONE application and
+    // silently overwrote across applications)
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_docs_uniq_").toString + "/t"
+    Seq((1L, "a")).toDF("doc_id", "lang")
+      .write.format("graft-docs").option("path", p).mode("append").save()
+    Seq((2L, "b")).toDF("doc_id", "lang")
+      .write.format("graft-docs").option("path", p).mode("append").save()
+    val files = graft.sources.DocsConnector.listFiles(p)
+    files.map(f => new java.io.File(f).getName).distinct should have size
+      files.size.toLong
+    spark.read.format("graft-docs").option("path", p)
+      .option("schema", "doc_id BIGINT, lang STRING").load()
+      .orderBy("doc_id").as[(Long, String)].collect() shouldBe
+      Array((1L, "a"), (2L, "b"))
+  }
+
+  test("micro-batch stream: offsets are the committed file set, batches exact set differences") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_docs_mbs_").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "lang")
+      .write.format("graft-docs").option("path", p).mode("append").save()
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("doc_id BIGINT, lang STRING")
+    val stream = new graft.sources.DocsMicroBatchStream(
+      p, schema, schema, Array.empty, -1)
+    val start = stream.initialOffset()
+    val mid = stream.latestOffset()
+    // batch 1 = everything committed so far
+    val b1 = stream.planInputPartitions(start, mid)
+    b1.length shouldBe graft.sources.DocsConnector.listFiles(p).size
+    // offsets survive the checkpoint round trip
+    stream.deserializeOffset(mid.json()).json() shouldBe mid.json()
+    // a second wave appends new files; the next batch is EXACTLY them
+    Seq((3L, "c")).toDF("doc_id", "lang")
+      .write.format("graft-docs").option("path", p).mode("append").save()
+    val end = stream.latestOffset()
+    val b2 = stream.planInputPartitions(mid, end)
+    b2.length shouldBe
+      (graft.sources.DocsConnector.listFiles(p).size - b1.length)
+    // replaying the same (start, end) pair plans the same files —
+    // deterministic micro-batches
+    stream.planInputPartitions(mid, end)
+      .map(_.asInstanceOf[graft.sources.DocsInputPartition].file)
+      .toSeq shouldBe
+      b2.map(_.asInstanceOf[graft.sources.DocsInputPartition].file).toSeq
+    // caught-up: no new files → empty batch
+    stream.planInputPartitions(end, stream.latestOffset()) shouldBe empty
+  }
 }

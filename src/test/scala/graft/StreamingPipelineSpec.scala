@@ -107,6 +107,98 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("graft-docs streaming source → keyedIngestJdbc: incremental file-set offsets, " +
+    "exactly-once per key, fresh-checkpoint replay idempotent") {
+    // the reference's cron-incremental extract (DAG:437-446) through the
+    // CUSTOM connector itself: wave 1 lands via the two-phase batch
+    // write, the stream drains it, wave 2 appends (new docs + revisions
+    // of old keys), and the SAME checkpoint processes only the new
+    // files — the file-set offset is the resume token
+    val work = Files.createTempDirectory("graft_docs_stream_").toString
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    System.setProperty("derby.system.home", work)
+    val mart = Stores.JdbcTarget(s"jdbc:derby:$work/docsmart;create=true",
+      "docs_stream_mart", driver)
+    val store = s"$work/store"
+    val ddl =
+      "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE"
+
+    // canonical frame: ts string-roundtripped to whole seconds so the
+    // JSONL store, the stream, and the batch twin all see one value
+    val allRound = Stores.table(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+    // disjoint key waves: the store is append-only JSONL, so a replay
+    // that lands every file in ONE AvailableNow batch must see one row
+    // per key for the in-batch dedup to be deterministic (update
+    // semantics are covered by the seeded drift below)
+    val wave1 = allRound.filter(col("event_id") % 3 =!= 0)
+    val wave2 = allRound.filter(col("event_id") % 3 === 0)
+
+    // seed the mart (idempotent DDL analog) with drifted values on a
+    // slice of wave 1 — the stream must UPDATE them through the partial
+    // set and INSERT the rest
+    def asTyped(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"),
+        to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val seed = asTyped(wave1.filter(col("event_id") % 2 === 0)
+      .withColumn("value", col("value") * 2)
+      .withColumn("event_type", lit("stale")))
+    Stores.writeJdbcOrParquet(seed, mart, "unused") shouldBe "jdbc"
+
+    wave1.write.format("graft-docs").option("path", store)
+      .mode("overwrite").save()
+    val cp = s"$work/cp"
+    def drain(): Unit =
+      StreamingPipeline.keyedIngestJdbc(
+        asTyped(spark.readStream.format("graft-docs")
+          .option("path", store).option("schema", ddl).load()),
+        mart, key = "event_id", updateCols = Seq("event_type", "value"),
+        checkpoint = cp, watermark = "3650 days")
+        .awaitTermination()
+
+    import org.apache.spark.sql.DataFrame
+    def martRows() = Stores.readJdbcOrParquet(spark, mart, "unused")
+      .orderBy("event_id")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+    def twin(stages: DataFrame*): Array[(Long, java.sql.Timestamp, Long, String, Double)] =
+      stages.foldLeft(seed)((acc, st) =>
+        graft.ops.CoreOps.upsert(acc, asTyped(st), "event_id",
+          Seq("event_type", "value")))
+        .orderBy("event_id")
+        .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+
+    drain()
+    val after1 = martRows()
+    after1 shouldBe twin(wave1)
+    after1.count(_._4 == "stale") shouldBe 0
+
+    // wave 2 appends through the connector's two-phase commit; the SAME
+    // checkpoint picks up exactly the new files
+    wave2.write.format("graft-docs").option("path", store)
+      .mode("append").save()
+    drain()
+    val after2 = martRows()
+    after2 shouldBe twin(wave1, wave2)
+    after2.length shouldBe allRound.count()
+
+    // caught up: another drain on the same checkpoint changes nothing
+    drain()
+    martRows() shouldBe after2
+
+    // fresh checkpoint (renumbered batches, full re-read): the keyed
+    // MERGE is idempotent — same rows land
+    val cp2 = s"$work/cp2"
+    StreamingPipeline.keyedIngestJdbc(
+      asTyped(spark.readStream.format("graft-docs")
+        .option("path", store).option("schema", ddl).load()),
+      mart, key = "event_id", updateCols = Seq("event_type", "value"),
+      checkpoint = cp2, watermark = "3650 days")
+      .awaitTermination()
+    martRows() shouldBe after2
+  }
+
   test("rollupIngest: versioned state equals the from-scratch aggregate across resumes") {
     val work = Files.createTempDirectory("graft_rollup_").toString
     val srcDir = s"$work/src"
