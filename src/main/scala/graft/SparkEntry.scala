@@ -2025,6 +2025,92 @@ object SparkEntry {
         t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
         "vbin", "event_type", "purchase", "view")),
 
+    // one-way ANOVA F across ALL event types: the k-group mean test the
+    // pairwise welch/mann-whitney readouts generalize to; exact-cents
+    // group moments, cancellation-free between/within terms
+    "q_anova_f" -> ((s, d) =>
+      graft.ops.StatsOps.anovaF(t(s, d, "events"), "value", "event_type")),
+
+    // Levene's W on the same groups: does the VARIANCE differ — the
+    // admission check for ANOVA's pooled-variance assumption, and a
+    // spread-drift detector in its own right
+    "q_levene" -> ((s, d) =>
+      graft.ops.StatsOps.leveneW(t(s, d, "events"), "value", "event_type")),
+
+    // Tukey-Kramer HSD: AFTER the F rejects, which event-type PAIRS
+    // moved — studentized-range q per pair against the pooled MS_W
+    "q_tukey_pairs" -> ((s, d) =>
+      graft.ops.StatsOps.tukeyHsd(t(s, d, "events"), "value", "event_type")),
+
+    // Kruskal-Wallis H: the rank ANOVA (k-group mann-whitney) — ranks
+    // ride the distributed kernel, H in the cancellation-free
+    // deviations form, tie-corrected
+    "q_kruskal_wallis" -> ((s, d) =>
+      graft.ops.StatsOps.kruskalWallis(
+        t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
+        "vbin", "event_type")),
+
+    // Cochran-Armitage: does the return RATE trend monotonically across
+    // line numbers (ordered doses) — one degree of freedom on the
+    // trend, where chi-square burns k-1 noticing anything at all
+    "q_trend_test" -> ((s, d) =>
+      graft.ops.StatsOps.cochranArmitage(
+        t(s, d, "lineitem")
+          .withColumn("ret", col("l_returnflag") === "R"),
+        "l_linenumber", "ret")),
+
+    // regression discontinuity at quantity 25 (bandwidth 15): the jump
+    // in line revenue where the running variable crosses the cutoff —
+    // local linear fit each side, one conditional-aggregation pass
+    "q_rdd_readout" -> ((s, d) =>
+      graft.ops.StatsOps.rddReadout(t(s, d, "lineitem"),
+        "l_quantity", "l_extendedprice", cutoff = 25.0, bandwidth = 15.0)),
+
+    // single mean-shift changepoint of the daily value series: the
+    // best one-break split by SSE reduction (binary segmentation's
+    // first cut) — exact-cents prefix sums, cancellation-free gain
+    "q_changepoint_mean" -> ((s, d) =>
+      graft.ops.TemporalOps.changepointMean(
+        t(s, d, "events"), "ts", "value")),
+
+    // Pettitt rank changepoint on the same daily series: the
+    // nonparametric companion — rank-based U_t via the exact doubled-
+    // rank identity, no pair enumeration, asymptotic p
+    "q_pettitt" -> ((s, d) =>
+      graft.ops.TemporalOps.pettittTest(
+        t(s, d, "events"), "ts", "value")),
+
+    // log-rank test on time-to-first-purchase: do the two hash arms
+    // convert at different speeds — users who never purchase are
+    // right-censored at the corpus end; observed-vs-hypergeometric-
+    // expected conversions at every event time
+    "q_log_rank" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val firsts = ev.groupBy("user_id").agg(
+        min(date_trunc("day", col("ts"))).as("__first"),
+        min(when(col("event_type") === "purchase",
+          date_trunc("day", col("ts")))).as("__p"))
+      val maxd = ev.agg(max(date_trunc("day", col("ts"))).as("__maxd"))
+      val units = firsts.crossJoin(broadcast(maxd))
+        .select(
+          datediff(coalesce(col("__p"), col("__maxd")), col("__first"))
+            .cast("long").as("duration"),
+          col("__p").isNotNull.as("converted"),
+          when(pmod(graft.ext.TextOps.fingerprint60(
+            concat(col("user_id").cast("string"), lit(":ab"))),
+            lit(2L)) === 0L, "a").otherwise("b").as("arm"))
+      graft.ops.StatsOps.logRankTest(units, "duration", "converted",
+        "arm", "a", "b")
+    }),
+
+    // 1-D Wasserstein distance between purchase and view values: the
+    // area between the two CDFs — the distribution gap weighted by HOW
+    // FAR the mass moved, where KS reads only the worst point gap
+    "q_wasserstein" -> ((s, d) =>
+      graft.ops.StatsOps.wasserstein1D(
+        t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
+        "vbin", "event_type", "purchase", "view")),
+
     // mutual information (nats) of the same contingency chi-square
     // tests: dependence MAGNITUDE where chi2 gives significance
     "q_mutual_info" -> ((s, d) =>
@@ -9437,6 +9523,317 @@ object SparkEntry {
 
     // the identical cents moments and the identical Welch double chain,
     // division for division
+    // the anova family shares the exact-cents group-moment core: ng/sg/qg
+    // exact integers, between/within terms as single divisions of exact
+    // numerators rounded 4dp into decimal sums (k-way float-add order
+    // can't smear the total), one pinned double chain on the final row
+    "q_anova_f" ->
+      """WITH b AS (SELECT event_type AS g,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+              grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                             SUM(CAST(c AS HUGEINT)) AS sg,
+                             SUM(CAST(c AS HUGEINT) * c) AS qg
+                      FROM b GROUP BY g),
+              tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s,
+                             CAST(COUNT(*) AS BIGINT) AS k FROM grp),
+              terms AS (SELECT n, k,
+                               CAST(ROUND(CAST((sg * n - s * ng) * (sg * n - s * ng) AS DOUBLE)
+                                          / CAST(CAST(n AS HUGEINT) * n * ng AS DOUBLE), 4)
+                                    AS DECIMAL(38,4)) AS bt,
+                               CAST(ROUND(CAST(qg * ng - sg * sg AS DOUBLE) / CAST(ng AS DOUBLE), 4)
+                                    AS DECIMAL(38,4)) AS wt
+                        FROM grp CROSS JOIN tot),
+              ss AS (SELECT n, k, CAST(SUM(bt) AS DOUBLE) AS ssb, CAST(SUM(wt) AS DOUBLE) AS ssw
+                     FROM terms GROUP BY n, k)
+         SELECT n, k AS n_groups,
+                ROUND(ssb / 1e4, 4) AS ss_between,
+                ROUND(ssw / 1e4, 4) AS ss_within,
+                CASE WHEN k >= 2 AND n > k AND ssw > 0
+                     THEN ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) END AS f_stat
+         FROM ss""",
+
+    // Levene = the same core on |y - group mean| quantized to exact
+    // hundredths-of-a-cent (W is scale-invariant; the coarser quantum
+    // keeps (n*sum)^2 inside HUGEINT/DECIMAL(38))
+    "q_levene" ->
+      """WITH b AS (SELECT event_type AS g,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+              mn AS (SELECT g, CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) / COUNT(*) AS m
+                     FROM b GROUP BY g),
+              z AS (SELECT b.g AS g,
+                           CAST(CAST(ROUND(ABS(b.c - mn.m), 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM b JOIN mn USING (g)),
+              grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                             SUM(CAST(c AS HUGEINT)) AS sg,
+                             SUM(CAST(c AS HUGEINT) * c) AS qg
+                      FROM z GROUP BY g),
+              tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s,
+                             CAST(COUNT(*) AS BIGINT) AS k FROM grp),
+              terms AS (SELECT n, k,
+                               CAST(ROUND(CAST((sg * n - s * ng) * (sg * n - s * ng) AS DOUBLE)
+                                          / CAST(CAST(n AS HUGEINT) * n * ng AS DOUBLE), 4)
+                                    AS DECIMAL(38,4)) AS bt,
+                               CAST(ROUND(CAST(qg * ng - sg * sg AS DOUBLE) / CAST(ng AS DOUBLE), 4)
+                                    AS DECIMAL(38,4)) AS wt
+                        FROM grp CROSS JOIN tot),
+              ss AS (SELECT n, k, CAST(SUM(bt) AS DOUBLE) AS ssb, CAST(SUM(wt) AS DOUBLE) AS ssw
+                     FROM terms GROUP BY n, k)
+         SELECT n, k AS n_groups,
+                CASE WHEN k >= 2 AND n > k AND ssw > 0
+                     THEN ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) END AS w_stat
+         FROM ss""",
+
+    // Tukey-Kramer: the k-row group aggregate theta-joined against
+    // itself (g_a < g_b) with the pooled MS_W broadcast on top
+    "q_tukey_pairs" ->
+      """WITH b AS (SELECT event_type AS g,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+              grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                             SUM(CAST(c AS HUGEINT)) AS sg,
+                             SUM(CAST(c AS HUGEINT) * c) AS qg
+                      FROM b GROUP BY g),
+              tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s,
+                             CAST(COUNT(*) AS BIGINT) AS k FROM grp),
+              terms AS (SELECT n, k,
+                               CAST(ROUND(CAST(qg * ng - sg * sg AS DOUBLE) / CAST(ng AS DOUBLE), 4)
+                                    AS DECIMAL(38,4)) AS wt
+                        FROM grp CROSS JOIN tot),
+              ss AS (SELECT n, k, CAST(SUM(wt) AS DOUBLE) AS ssw FROM terms GROUP BY n, k),
+              msw AS (SELECT CASE WHEN n > k THEN ssw / 1e4 / (n - k) END AS msw FROM ss),
+              gm AS (SELECT g, ng, ROUND(CAST(sg AS DOUBLE) / ng / 100.0, 6) AS mean FROM grp)
+         SELECT a.g AS g_a, bb.g AS g_b, a.ng AS n_a, bb.ng AS n_b,
+                a.mean AS mean_a, bb.mean AS mean_b,
+                CASE WHEN msw > 0
+                     THEN ROUND(ABS(a.mean - bb.mean) /
+                                SQRT(msw / 2.0 * (1.0 / a.ng + 1.0 / bb.ng)), 6)
+                END AS q_stat
+         FROM gm a JOIN gm bb ON a.g < bb.g CROSS JOIN msw
+         ORDER BY g_a, g_b""",
+
+    // Kruskal-Wallis: the mann-whitney doubled-rank histogram at any
+    // group count; H in the cancellation-free deviations form
+    "q_kruskal_wallis" ->
+      """WITH f AS (SELECT ROUND(value, 0) AS v, event_type AS g FROM events
+                    WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              hist AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS cgv FROM f GROUP BY v, g),
+              vt AS (SELECT v, CAST(SUM(cgv) AS BIGINT) AS t FROM hist GROUP BY v),
+              r AS (SELECT v, t,
+                           COALESCE(SUM(t) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + t + 1 AS r2
+                    FROM vt),
+              tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                             SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+                      FROM r),
+              byg AS (SELECT g, CAST(SUM(cgv) AS BIGINT) AS ng,
+                             SUM(CAST(cgv AS HUGEINT) * r2) AS r2g
+                      FROM hist JOIN r USING (v) GROUP BY g),
+              devs AS (SELECT n, ties, ng,
+                              CAST(r2g AS DOUBLE) / CAST(ng * 2 AS DOUBLE)
+                                - CAST(n + 1 AS DOUBLE) / 2.0 AS dev
+                       FROM byg CROSS JOIN tot),
+              terms AS (SELECT n, ties,
+                               CAST(ROUND(ng * dev * dev, 4) AS DECIMAL(38,4)) AS bt
+                        FROM devs),
+              sb AS (SELECT n, ties, CAST(COUNT(*) AS BIGINT) AS k, SUM(bt) AS sbv
+                     FROM terms GROUP BY n, ties)
+         SELECT n, k AS n_groups,
+                ROUND(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                        * CAST(sbv AS DOUBLE), 6) AS h,
+                CASE WHEN 1.0 - CAST(ties AS DOUBLE) /
+                              (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               - CAST(n AS DOUBLE)) > 0
+                     THEN ROUND(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                                  * CAST(sbv AS DOUBLE) /
+                                (1.0 - CAST(ties AS DOUBLE) /
+                                  (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                   - CAST(n AS DOUBLE))), 6)
+                END AS h_tie_adj
+         FROM sb WHERE n > 1""",
+
+    // Cochran-Armitage: every moment an exact integer; z as a single
+    // division of exact numerator/denominator forms
+    "q_trend_test" ->
+      """WITH b AS (SELECT CAST(l_linenumber AS BIGINT) AS w,
+                           (l_returnflag = 'R') AS s
+                    FROM lineitem
+                    WHERE l_linenumber IS NOT NULL AND l_returnflag IS NOT NULL),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS r,
+                           SUM(CAST(w AS HUGEINT)) AS sw,
+                           SUM(CAST(w AS HUGEINT) * w) AS sww,
+                           SUM(CASE WHEN s THEN CAST(w AS HUGEINT) ELSE 0 END) AS srw
+                    FROM b)
+         SELECT n, r AS n_success,
+                CASE WHEN r > 0 AND r < n
+                          AND CAST(r AS HUGEINT) * (n - r) * (sww * n - sw * sw) > 0
+                     THEN ROUND(CAST(srw * n - r * sw AS DOUBLE) * SQRT(CAST(n AS DOUBLE)) /
+                                SQRT(CAST(CAST(r AS HUGEINT) * (n - r) * (sww * n - sw * sw) AS DOUBLE)), 8)
+                END AS z
+         FROM m""",
+
+    // RDD at quantity 25 +/- 15: x recentered and quantized to exact
+    // integer micro-units, y to exact cents; per-side OLS moments as
+    // conditional exact sums in ONE pass; fits as single divisions
+    "q_rdd_readout" ->
+      """WITH b AS (SELECT CAST(CAST(ROUND(CAST(l_quantity AS DOUBLE) - 25.0, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xm,
+                           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                      AND CAST(l_quantity AS DOUBLE) >= 10.0 AND CAST(l_quantity AS DOUBLE) <= 40.0),
+              m AS (SELECT
+                      CAST(SUM(CASE WHEN xm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+                      SUM(CASE WHEN xm < 0 THEN CAST(xm AS HUGEINT) ELSE 0 END) AS sx_l,
+                      SUM(CASE WHEN xm < 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy_l,
+                      SUM(CASE WHEN xm < 0 THEN CAST(xm AS HUGEINT) * xm ELSE 0 END) AS sxx_l,
+                      SUM(CASE WHEN xm < 0 THEN CAST(xm AS HUGEINT) * y ELSE 0 END) AS sxy_l,
+                      CAST(SUM(CASE WHEN xm >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+                      SUM(CASE WHEN xm >= 0 THEN CAST(xm AS HUGEINT) ELSE 0 END) AS sx_r,
+                      SUM(CASE WHEN xm >= 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy_r,
+                      SUM(CASE WHEN xm >= 0 THEN CAST(xm AS HUGEINT) * xm ELSE 0 END) AS sxx_r,
+                      SUM(CASE WHEN xm >= 0 THEN CAST(xm AS HUGEINT) * y ELSE 0 END) AS sxy_r
+                    FROM b),
+              fit AS (SELECT *,
+                             CAST(n_l AS HUGEINT) * sxx_l - sx_l * sx_l AS den_l,
+                             CAST(n_r AS HUGEINT) * sxx_r - sx_r * sx_r AS den_r
+                      FROM m),
+              f2 AS (SELECT *,
+                            CAST(CAST(n_l AS HUGEINT) * sxy_l - sx_l * sy_l AS DOUBLE)
+                              / CAST(den_l AS DOUBLE) AS sl_raw,
+                            CAST(CAST(n_r AS HUGEINT) * sxy_r - sx_r * sy_r AS DOUBLE)
+                              / CAST(den_r AS DOUBLE) AS sr_raw
+                     FROM fit),
+              f3 AS (SELECT *,
+                            (CAST(sy_l AS DOUBLE) - sl_raw * CAST(sx_l AS DOUBLE))
+                              / CAST(n_l AS DOUBLE) / 100.0 AS yl,
+                            (CAST(sy_r AS DOUBLE) - sr_raw * CAST(sx_r AS DOUBLE))
+                              / CAST(n_r AS DOUBLE) / 100.0 AS yr
+                     FROM f2)
+         SELECT n_l AS n_left, n_r AS n_right,
+                CASE WHEN n_l >= 2 AND den_l > 0 THEN ROUND(yl, 6) END AS y_left,
+                CASE WHEN n_r >= 2 AND den_r > 0 THEN ROUND(yr, 6) END AS y_right,
+                CASE WHEN n_l >= 2 AND den_l > 0 THEN ROUND(sl_raw * 1e6 / 100.0, 6) END AS slope_left,
+                CASE WHEN n_r >= 2 AND den_r > 0 THEN ROUND(sr_raw * 1e6 / 100.0, 6) END AS slope_right,
+                CASE WHEN n_l >= 2 AND den_l > 0 AND n_r >= 2 AND den_r > 0
+                     THEN ROUND(ROUND(yr, 6) - ROUND(yl, 6), 6) END AS rdd_effect
+         FROM f3""",
+
+    // single mean-shift changepoint: gain via the exact-numerator
+    // identity (n*S_t - t*S)^2 / (t*(n-t)*n) — no ~n^2 float
+    // subtraction; ties break to the earliest day on the RAW gain
+    "q_changepoint_mean" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+                               CAST(COUNT(*) AS BIGINT) AS nd,
+                               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sd
+                        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                        GROUP BY 1),
+              tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS n, CAST(SUM(sd) AS HUGEINT) AS s FROM daily),
+              cum AS (SELECT d,
+                             CAST(SUM(nd) OVER (ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS t,
+                             CAST(SUM(CAST(sd AS HUGEINT)) OVER (ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS st
+                      FROM daily),
+              cand AS (SELECT d, t, st, n, s,
+                              CAST((CAST(n AS HUGEINT) * st - CAST(t AS HUGEINT) * s) *
+                                   (CAST(n AS HUGEINT) * st - CAST(t AS HUGEINT) * s) AS DOUBLE) /
+                              CAST(CAST(t AS HUGEINT) * (n - t) * n AS DOUBLE) AS g_raw
+                       FROM cum CROSS JOIN tot WHERE t < n)
+         SELECT d AS split_day, t AS n_left, n - t AS n_right,
+                ROUND(CAST(st AS DOUBLE) / t / 100.0, 6) AS mean_left,
+                ROUND(CAST(s - st AS DOUBLE) / (n - t) / 100.0, 6) AS mean_right,
+                ROUND(g_raw / 1e4, 6) AS gain
+         FROM cand ORDER BY g_raw DESC, d ASC LIMIT 1""",
+
+    // Pettitt: doubled mid-ranks of the daily means make U_t the exact
+    // integer identity sum(r2, i<=t) - t(n+1) — no pair enumeration
+    "q_pettitt" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+                               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / COUNT(*) AS m
+                        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                        GROUP BY 1),
+              hist AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY m),
+              rnk AS (SELECT m, COALESCE(SUM(t) OVER (ORDER BY m ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + t + 1 AS r2
+                      FROM hist),
+              tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+              u AS (SELECT d, n,
+                           CAST(COUNT(*) OVER wt AS BIGINT) AS i,
+                           CAST(SUM(r2) OVER wt AS BIGINT) AS dsum
+                    FROM daily JOIN rnk USING (m) CROSS JOIN tot
+                    WINDOW wt AS (ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              uu AS (SELECT d, n, dsum - i * (n + 1) AS uv FROM u WHERE i < n)
+         SELECT d AS split_day, n AS n_days, ABS(uv) AS k_stat,
+                ROUND(LEAST(1.0, 2.0 * EXP(-6.0 * CAST(ABS(uv) AS DOUBLE) * CAST(ABS(uv) AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_approx
+         FROM uu ORDER BY ABS(uv) DESC, d ASC LIMIT 1""",
+
+    // log-rank: at-risk sets off cumulative windows over the duration
+    // grid; per-time hypergeometric E/V rounded 8dp into decimal sums
+    "q_log_rank" ->
+      """WITH u AS (SELECT user_id, MIN(date_trunc('day', ts)) AS f,
+                           MIN(CASE WHEN event_type = 'purchase' THEN date_trunc('day', ts) END) AS p
+                    FROM events WHERE ts IS NOT NULL GROUP BY 1),
+              mx AS (SELECT MAX(date_trunc('day', ts)) AS maxd FROM events WHERE ts IS NOT NULL),
+              units AS (SELECT CAST(datediff('day', CAST(f AS DATE), CAST(COALESCE(p, maxd) AS DATE)) AS BIGINT) AS t,
+                               (p IS NOT NULL) AS ev,
+                               (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT) % 2 = 0) AS isa
+                        FROM u CROSS JOIN mx),
+              c AS (SELECT t,
+                           CAST(SUM(CASE WHEN isa AND ev THEN 1 ELSE 0 END) AS BIGINT) AS da,
+                           CAST(SUM(CASE WHEN NOT isa AND ev THEN 1 ELSE 0 END) AS BIGINT) AS db,
+                           CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS la,
+                           CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS lb
+                    FROM units GROUP BY t),
+              tot AS (SELECT CAST(SUM(la) AS BIGINT) AS na, CAST(SUM(lb) AS BIGINT) AS nb FROM c),
+              r AS (SELECT t, da, db, na, nb,
+                           na - COALESCE(SUM(la) OVER wp, 0) AS ra,
+                           nb - COALESCE(SUM(lb) OVER wp, 0) AS rb
+                    FROM c CROSS JOIN tot
+                    WINDOW wp AS (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              terms AS (SELECT na, nb, da,
+                               CAST(ROUND(CAST(da + db AS DOUBLE) * CAST(ra AS DOUBLE) / CAST(ra + rb AS DOUBLE), 8) AS DECIMAL(24,8)) AS et,
+                               CAST(ROUND(CASE WHEN ra + rb > 1
+                                          THEN CAST(da + db AS DOUBLE) * (CAST(ra AS DOUBLE) / CAST(ra + rb AS DOUBLE)) *
+                                               (1.0 - CAST(ra AS DOUBLE) / CAST(ra + rb AS DOUBLE)) *
+                                               CAST(ra + rb - (da + db) AS DOUBLE) / CAST(ra + rb - 1 AS DOUBLE)
+                                          ELSE 0.0 END, 8) AS DECIMAL(24,8)) AS vt
+                        FROM r WHERE da + db > 0),
+              m AS (SELECT na, nb, CAST(SUM(da) AS BIGINT) AS observed_a,
+                           SUM(et) AS ea, SUM(vt) AS va
+                    FROM terms GROUP BY na, nb)
+         SELECT na AS n_a, nb AS n_b, observed_a,
+                ROUND(CAST(ea AS DOUBLE), 6) AS expected_a,
+                CASE WHEN CAST(va AS DOUBLE) > 0
+                     THEN ROUND((CAST(observed_a AS DOUBLE) - CAST(ea AS DOUBLE)) *
+                                (CAST(observed_a AS DOUBLE) - CAST(ea AS DOUBLE)) / CAST(va AS DOUBLE), 6)
+                END AS chi2,
+                CASE WHEN CAST(va AS DOUBLE) > 0
+                     THEN ROUND((CAST(observed_a AS DOUBLE) - CAST(ea AS DOUBLE)) / SQRT(CAST(va AS DOUBLE)), 6)
+                END AS z
+         FROM m""",
+
+    // W1 = area between the two CDFs over the pre-binned support:
+    // per-step |gap| * width rounded 8dp into a decimal sum
+    "q_wasserstein" ->
+      """WITH f AS (SELECT ROUND(value, 0) AS v, event_type AS g FROM events
+                    WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')),
+              c AS (SELECT CAST(v AS DOUBLE) AS v,
+                           CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                           CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                    FROM f GROUP BY 1),
+              tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb FROM c),
+              cdf AS (SELECT ta, tb, v,
+                             SUM(ca) OVER wc AS fa, SUM(cb) OVER wc AS fb,
+                             LEAD(v, 1) OVER (ORDER BY v ASC) AS nxt
+                      FROM c CROSS JOIN tot
+                      WINDOW wc AS (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              terms AS (SELECT ta, tb,
+                               CAST(ROUND(ABS(CAST(fa AS DOUBLE) / ta - CAST(fb AS DOUBLE) / tb)
+                                          * (nxt - v), 8) AS DECIMAL(24,8)) AS w
+                        FROM cdf WHERE nxt IS NOT NULL AND ta > 0 AND tb > 0)
+         SELECT ta AS n_a, tb AS n_b, ROUND(CAST(SUM(w) AS DOUBLE), 6) AS w1
+         FROM terms GROUP BY ta, tb""",
+
     "q_welch_ttest" ->
       """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
                            (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT) % 2 = 0) AS a

@@ -459,6 +459,7 @@ object StatsOps {
     val bucketed = withRangeBuckets(df, orderCol, desc, probe, fixedBounds)
     val offsets = bucketed.groupBy("__bkt")
       .agg(sum(valueExpr).as("__tot"))
+      // unpartitioned window BOUND: ≤B (≤1024) bucket-total rows
       .withColumn("__off", coalesce(sum(col("__tot")).over(
         Window.orderBy(col("__bkt").asc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -955,6 +956,129 @@ object StatsOps {
       .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
         col("survival"))
       .orderBy("t")
+  }
+
+  /**
+   * LOG-RANK TEST — "do the two arms' SURVIVAL CURVES differ", the
+   * standard two-sample test on right-censored lifetimes: where
+   * [[kaplanMeier]] draws each curve, this one asks whether the gap
+   * between them is signal. At every distinct event time, the observed
+   * group-A deaths are compared with the hypergeometric expectation
+   * given the combined at-risk sets; Z = Σ(d_A − E_A)/√ΣV. Input is
+   * the per-unit (duration, eventObserved, group) frame — the
+   * [[kaplanMeier]] input plus the arm. Emits one row (n_a, n_b,
+   * observed_a, expected_a, chi2, z) — expected 6dp, z/chi2 6dp; no
+   * events in either arm, or zero total variance, emits NULL z/chi2.
+   *
+   * Deterministic: at-risk and death counts are exact integers off
+   * cumulative windows over the duration histogram; the per-time
+   * E/V terms are divisions of exact values rounded 8dp and summed
+   * through DECIMAL (partition-order-free); one pinned double chain on
+   * the final row. The V term uses the standard hypergeometric form
+   * d·(n_a/n)·(1 − n_a/n)·(n − d)/(n − 1), zero when n = 1.
+   *
+   * Scale: one duration histogram + two cumulative windows over the
+   * bounded duration grid (the [[kaplanMeier]] shape exactly) + a
+   * grid-row reduce; the unit frame streams once.
+   */
+  def logRankTest(df: DataFrame, durationCol: String, eventCol: String,
+                  groupCol: String, groupA: String,
+                  groupB: String): DataFrame = {
+    val dterm = org.apache.spark.sql.types.DecimalType(24, 8)
+    val kept = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("__e"),
+        (col(groupCol) === groupA).as("__a"))
+    val counts = kept.groupBy("t").agg(
+      sum(when(col("__a") && col("__e"), 1L).otherwise(0L)).as("da"),
+      sum(when(!col("__a") && col("__e"), 1L).otherwise(0L)).as("db"),
+      sum(when(col("__a"), 1L).otherwise(0L)).as("la"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("lb"))
+    val tot = counts.agg(sum(col("la")).as("__na"), sum(col("lb")).as("__nb"))
+    // unpartitioned window BOUND: duration-grid histogram rows
+    val wPrev = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = counts.crossJoin(broadcast(tot))
+      .withColumn("ra",
+        col("__na") - coalesce(sum(col("la")).over(wPrev), lit(0L)))
+      .withColumn("rb",
+        col("__nb") - coalesce(sum(col("lb")).over(wPrev), lit(0L)))
+      .filter(col("da") + col("db") > 0)
+    val d = col("da") + col("db")
+    val n = col("ra") + col("rb")
+    val e = d.cast("double") * col("ra").cast("double") / n.cast("double")
+    val v = when(n > 1,
+      d.cast("double") * (col("ra").cast("double") / n.cast("double")) *
+        (lit(1.0) - col("ra").cast("double") / n.cast("double")) *
+        (n - d).cast("double") / (n - 1).cast("double"))
+      .otherwise(lit(0.0))
+    val m = risk
+      .select(col("__na"), col("__nb"), col("da"),
+        round(e, 8).cast(dterm).as("__et"), round(v, 8).cast(dterm).as("__vt"))
+      .groupBy("__na", "__nb")
+      .agg(sum(col("da")).as("observed_a"), sum(col("__et")).as("__ea"),
+        sum(col("__vt")).as("__va"))
+    val zNum = col("observed_a").cast("double") - col("__ea").cast("double")
+    m.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      col("observed_a"), round(col("__ea").cast("double"), 6).as("expected_a"),
+      when(col("__va").cast("double") > 0,
+        round(zNum * zNum / col("__va").cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("chi2"),
+      when(col("__va").cast("double") > 0,
+        round(zNum / sqrt(col("__va").cast("double")), 6))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /**
+   * 1-D WASSERSTEIN (earth-mover) distance — "how much value-mass must
+   * move, and how far, to turn slice A's distribution into slice B's":
+   * the area between the two CDFs, W₁ = Σᵢ |F_a(vᵢ) − F_b(vᵢ)|·(vᵢ₊₁ −
+   * vᵢ) over the sorted distinct support. Completes the
+   * distribution-gap trio: [[ksStatistic]] reads the WORST point gap,
+   * `driftPsi` a binned likelihood ratio — W₁ is the only one that
+   * weighs HOW FAR the mass moved (a tail shifted by 10× and one
+   * shifted by 1% have the same KS if the same fraction crossed).
+   * Emits one row (n_a, n_b, w1), 6dp in value units. Pre-bin unbounded
+   * continuous values (the KS convention — the support drives a
+   * cumulative window).
+   *
+   * Deterministic: per-value counts exact; each step term
+   * |CDF gap|·gap-width is one double chain off exact integers,
+   * rounded 8dp and decimal-summed.
+   *
+   * Scale: one support-sized histogram + one cumulative + one lead
+   * window over the sorted support + a one-row reduce — the
+   * [[ksStatistic]] shape exactly.
+   */
+  def wasserstein1D(df: DataFrame, valueCol: String, groupCol: String,
+                    groupA: String, groupB: String): DataFrame = {
+    val dterm = org.apache.spark.sql.types.DecimalType(24, 8)
+    val kept = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .filter(col(valueCol).isNotNull)
+    val counts = kept
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("__ta"), sum(col("cb")).as("__tb"))
+    // unpartitioned window BOUND: pre-binned distinct-value support
+    val wCum = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLead = Window.orderBy(col("__v").asc)
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("__fa", sum(col("ca")).over(wCum))
+      .withColumn("__fb", sum(col("cb")).over(wCum))
+      .withColumn("__next", lead(col("__v"), 1).over(wLead))
+      .filter(col("__next").isNotNull && col("__ta") > 0 && col("__tb") > 0)
+      .select(col("__ta"), col("__tb"),
+        round(abs(col("__fa").cast("double") / col("__ta") -
+          col("__fb").cast("double") / col("__tb")) *
+          (col("__next") - col("__v")), 8).cast(dterm).as("__w"))
+    terms.groupBy("__ta", "__tb")
+      .agg(round(sum(col("__w")).cast("double"), 6).as("w1"))
+      .select(col("__ta").as("n_a"), col("__tb").as("n_b"), col("w1"))
   }
 
   /**
@@ -1471,6 +1595,330 @@ object StatsOps {
     full.crossJoin(broadcast(lohi))
       .select(col("n_rows"), col("mean"), col("n_replicates_used"),
         col("boot_lo"), col("boot_hi"))
+  }
+
+  /**
+   * Shared decomposition behind [[anovaF]] / [[leveneW]] / [[tukeyHsd]]:
+   * per-group exact-integer moments (n_g, Σc, Σc²) of `__c` over `__g`,
+   * folded into the one-row (n, k, ssb, ssw) sums the F family needs.
+   * Between/within terms use the cancellation-free exact-numerator
+   * forms — ssb_g = (n·S_g − S·n_g)²/(n²·n_g), ssw_g = (n_g·Q_g −
+   * S_g²)/n_g — whose numerators/denominators are EXACT decimals, so
+   * the only float op per group is one division of two exact values
+   * (IEEE-identical on any engine), then the mutualInformation
+   * discipline: round each term to 4dp and sum through DECIMAL so k-way
+   * addition order can't smear the total. Overflow bound: products stay
+   * inside DECIMAL(38,0) while n·max|Σc| < 10¹⁹ — beyond that, pre-bin
+   * or rescale the metric (the bootstrap-micros convention).
+   *
+   * Scale: one partial-aggregating pass to k group rows, a 1-row total
+   * broadcast back onto them, and a k-row reduce. The corpus streams
+   * once; nothing downstream is data-proportional.
+   */
+  private def anovaCore(base: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dterm = org.apache.spark.sql.types.DecimalType(38, 4)
+    val grp = base.groupBy("__g").agg(
+      count(lit(1)).as("__ng"),
+      sum(col("__c").cast(dec)).as("__sg"),
+      sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__qg"))
+    val tot = grp.agg(sum(col("__ng")).as("__n"), sum(col("__sg")).as("__s"),
+      count(lit(1)).as("__k"))
+    val ngD = col("__ng").cast(dec)
+    val nD = col("__n").cast(dec)
+    val ssbNum = col("__sg") * nD - col("__s") * ngD
+    val ssbTerm = round((ssbNum * ssbNum).cast("double") /
+      (nD * nD * ngD).cast("double"), 4).cast(dterm)
+    val sswTerm = round((col("__qg") * ngD - col("__sg") * col("__sg"))
+      .cast("double") / col("__ng").cast("double"), 4).cast(dterm)
+    grp.crossJoin(broadcast(tot))
+      .select(col("__n"), col("__k"), ssbTerm.as("__bt"), sswTerm.as("__wt"))
+      .groupBy("__n", "__k")
+      .agg(sum(col("__bt")).as("__ssb"), sum(col("__wt")).as("__ssw"))
+      .select(col("__n").as("n"), col("__k").as("k"),
+        col("__ssb").cast("double").as("ssb"),
+        col("__ssw").cast("double").as("ssw"))
+  }
+
+  /** (group, value-as-exact-cents) projection the F family shares. */
+  private def anovaBase(df: DataFrame, valueCol: String,
+                        groupCol: String): DataFrame =
+    df.select(col(groupCol).cast("string").as("__g"),
+        cents(col(valueCol)).as("__c"))
+      .filter(col("__g").isNotNull && col("__c").isNotNull)
+
+  /**
+   * ONE-WAY ANOVA F — "does the metric MEAN differ across k groups",
+   * the k-group generalization of [[welchTTest]] (equal-variance form;
+   * pair with [[leveneW]] to check that assumption and [[tukeyHsd]] to
+   * localize which pairs moved). Emits one row (n, n_groups,
+   * ss_between, ss_within, f_stat): SS in value units² (4dp), F 6dp;
+   * k < 2, n ≤ k, or zero within-variance emit NULL F.
+   *
+   * Deterministic: exact-cents group moments; [[anovaCore]]'s
+   * per-group rounded-term decimal sums; one pinned double chain on
+   * the final row.
+   *
+   * Scale: one conditional-aggregation pass + a k-row reduce — the
+   * welch shape at any group count.
+   */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val core = anovaCore(anovaBase(df, valueCol, groupCol))
+    core.select(col("n"), col("k").as("n_groups"),
+      round(col("ssb") / 1e4, 4).as("ss_between"),
+      round(col("ssw") / 1e4, 4).as("ss_within"),
+      when(col("k") >= 2 && col("n") > col("k") && col("ssw") > 0,
+        round((col("ssb") / (col("k") - 1).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double")), 6))
+        .otherwise(lit(null).cast("double")).as("f_stat"))
+  }
+
+  /**
+   * LEVENE'S TEST (mean-centered) — "do the k groups have equal
+   * VARIANCE": the admission check for [[anovaF]]'s pooled-variance
+   * assumption, and a drift detector in its own right (a segment whose
+   * spread explodes while its mean holds still is invisible to F).
+   * W = ANOVA-F applied to the absolute deviations z_ig = |y_ig − ȳ_g|;
+   * the mean center (original Levene) keeps the whole thing to TWO
+   * aggregate passes — the median-centered Brown–Forsythe variant would
+   * cost a per-group order statistic; at robust-center need, feed this
+   * the winsorized column instead. Emits (n, n_groups, w_stat), 6dp.
+   *
+   * Deterministic: pass 1's group means are exact-decimal sums divided
+   * once into a double (IEEE-identical); z rounds to 2dp and scales to
+   * exact integer hundredths-of-a-cent (W is scale-invariant, and the
+   * coarser quantum keeps anovaCore's (n·ΣZ_g)² products inside
+   * DECIMAL(38) two orders of magnitude past the cents bound), so
+   * pass 2 is [[anovaCore]] on exact integers again.
+   *
+   * Scale: two partial-aggregating passes over the corpus with a
+   * k-row broadcast join between them — no shuffle of the rows
+   * themselves (groupBy(g) shuffles only the k·partitions partials).
+   */
+  def leveneW(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = anovaBase(df, valueCol, groupCol)
+    val means = base.groupBy("__g")
+      .agg((sum(col("__c").cast(dec)).cast("double") / count(lit(1)))
+        .as("__m"))
+    val z = base.join(broadcast(means), "__g")
+      .select(col("__g"),
+        (round(abs(col("__c") - col("__m")), 2)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("__c"))
+    val core = anovaCore(z)
+    core.select(col("n"), col("k").as("n_groups"),
+      when(col("k") >= 2 && col("n") > col("k") && col("ssw") > 0,
+        round((col("ssb") / (col("k") - 1).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double")), 6))
+        .otherwise(lit(null).cast("double")).as("w_stat"))
+  }
+
+  /**
+   * TUKEY HSD pairwise readout — AFTER [[anovaF]] rejects "all means
+   * equal", WHICH pairs differ: for every group pair (a < b), the
+   * studentized-range statistic q = |ȳ_a − ȳ_b| / √(MS_W/2·(1/n_a +
+   * 1/n_b)) against the pooled within-group variance (the
+   * unequal-n Tukey–Kramer form). Emits one row per pair (g_a, g_b,
+   * n_a, n_b, mean_a, mean_b, q_stat), ordered; zero pooled variance
+   * emits NULL q.
+   *
+   * Scale: the pair join is k²/2 over the k-row group aggregate — a
+   * bounded model artifact joined against itself (broadcast
+   * nested-loop by construction, whitelisted in the plan gate); the
+   * corpus streams once into [[anovaCore]]'s moments.
+   */
+  def tukeyHsd(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = anovaBase(df, valueCol, groupCol)
+    val grp = base.groupBy("__g").agg(count(lit(1)).as("__ng"),
+      sum(col("__c").cast(dec)).as("__sg"))
+    val core = anovaCore(base)
+    val msw = core.select(col("n"), col("k"),
+      when(col("n") > col("k"),
+        col("ssw") / 1e4 / (col("n") - col("k")).cast("double"))
+        .as("__msw"))
+    def side(tag: String) = grp.select(col("__g").as(s"g_$tag"),
+      col("__ng").as(s"n_$tag"),
+      round(col("__sg").cast("double") / col("__ng") / 100.0, 6)
+        .as(s"mean_$tag"))
+    side("a").join(broadcast(side("b")), col("g_a") < col("g_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        when(col("__msw") > 0,
+          round(abs(col("mean_a") - col("mean_b")) /
+            sqrt(col("__msw") / 2.0 *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+          .otherwise(lit(null).cast("double")).as("q_stat"))
+      .orderBy("g_a", "g_b")
+  }
+
+  /**
+   * KRUSKAL–WALLIS H — the k-group rank ANOVA: [[mannWhitneyU]]'s
+   * stochastic-dominance question at any group count, and [[anovaF]]
+   * without the normality assumption. Fractional (doubled) ranks over
+   * the COMBINED sample ride the distributed rank kernel
+   * ([[doubledRanks]] — no single-task sort at any support width);
+   * H uses the cancellation-free deviations form
+   * H = 12/(n(n+1)) · Σ n_g·(r̄_g − (n+1)/2)² (the raw Σ R²/n_g − 3(n+1)
+   * form subtracts two ~n² doubles and loses every significant digit
+   * at corpus n), tie-corrected H' = H / (1 − Σ(t³−t)/(n³−n)). Emits
+   * one row (n, n_groups, h, h_tie_adj), 6dp; all-tied input (the
+   * correction denominator hits 0) emits NULL h_tie_adj.
+   *
+   * Deterministic: doubled ranks and tie masses are exact integers;
+   * per-group deviation terms are divisions of exact values rounded
+   * 4dp into decimal sums; the final row is one pinned double chain.
+   *
+   * Scale: a (value,group)-histogram pass, the rank kernel over the
+   * value support, a k-row reduce. Pre-bin unbounded continuous values
+   * (the KS convention) — the kernel removes the sort bottleneck, not
+   * the support-sized shuffle.
+   */
+  def kruskalWallis(df: DataFrame, valueCol: String,
+                    groupCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dterm = org.apache.spark.sql.types.DecimalType(38, 4)
+    val kept = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(valueCol).as("__v"), col(groupCol).cast("string").as("__g"))
+    val hist = kept.groupBy("__v", "__g").agg(count(lit(1)).as("__cgv"))
+    val vt = hist.groupBy("__v").agg(sum(col("__cgv")).as("__t"))
+    val ranked = doubledRanks(vt, "__v", "__t",
+      probe = Some(kept.select("__v")))
+    val tot = ranked.agg(sum(col("__t")).as("__n"),
+      sum(col("__t").cast(dec) * col("__t").cast(dec) * col("__t").cast(dec)
+        - col("__t").cast(dec)).as("__ties"))
+    val byG = hist.join(ranked.select(col("__v"), col("__r2")), "__v")
+      .groupBy("__g")
+      .agg(sum(col("__cgv")).as("__ng"),
+        sum(col("__cgv").cast(dec) * col("__r2").cast(dec)).as("__r2g"))
+    // r̄_g = R_g/n_g = __r2g/(2n_g); center = (n+1)/2; term =
+    // n_g·(r̄_g − center)² — divisions of exact values, then the
+    // rounded-term decimal sum
+    val dev = col("__r2g").cast("double") / (col("__ng") * 2).cast("double") -
+      (col("__n") + 1).cast("double") / 2.0
+    val sb = byG.crossJoin(broadcast(tot))
+      .select(col("__n"), col("__ties"),
+        round(col("__ng") * dev * dev, 4).cast(dterm).as("__bt"))
+      .groupBy("__n", "__ties")
+      .agg(count(lit(1)).as("__k"), sum(col("__bt")).as("__sb"))
+    val nD = col("__n").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1.0)) * col("__sb").cast("double")
+    val corr = lit(1.0) -
+      col("__ties").cast("double") / (nD * nD * nD - nD)
+    sb.filter(col("__n") > 1)
+      .select(col("__n").as("n"), col("__k").as("n_groups"),
+        round(h, 6).as("h"),
+        when(corr > 0, round(h / corr, 6))
+          .otherwise(lit(null).cast("double")).as("h_tie_adj"))
+  }
+
+  /**
+   * COCHRAN–ARMITAGE trend test — "does the success RATE rise or fall
+   * monotonically across ORDERED doses" (quantity bands, severity
+   * levels, model-size tiers): chi² on the k×2 table ([[chiSquareIndependence]])
+   * spends k−1 degrees of freedom noticing ANY difference; this spends
+   * exactly one on the ordered trend, so a monotone effect shows up at
+   * a fraction of the sample. Doses enter as their integer scores.
+   * Emits one row (n, n_success, z) with z = T/√Var(T) 8dp,
+   * T = Σ s_i·w_i − p̄·Σ w_i; degenerate inputs (all-success,
+   * all-failure, or a single dose level) emit NULL z.
+   *
+   * Deterministic: every moment (n, r, Σw, Σw², Σ s·w) is an exact
+   * integer; z's numerator/denominator are exact decimals divided once
+   * — z = (n·Σsw − r·Σw)·√n / √(r(n−r)(n·Σw² − (Σw)²)).
+   *
+   * Scale: ONE conditional-aggregation pass to a single row — the
+   * reconcile shape; no group-count dependence at all.
+   */
+  def cochranArmitage(df: DataFrame, doseCol: String,
+                      successCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(doseCol).cast("long").as("__w"),
+        col(successCol).cast("boolean").as("__s"))
+      .filter(col("__w").isNotNull && col("__s").isNotNull)
+    val w = col("__w").cast(dec)
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__s"), 1L).otherwise(0L)).as("r"),
+      sum(w).as("sw"), sum(w * w).as("sww"),
+      sum(when(col("__s"), w).otherwise(lit(0).cast(dec))).as("srw"))
+    val nD = col("n").cast(dec)
+    val tN = col("srw") * nD - col("r").cast(dec) * col("sw")
+    val varN = col("r").cast(dec) * (nD - col("r").cast(dec)) *
+      (col("sww") * nD - col("sw") * col("sw"))
+    m.select(col("n"), col("r").as("n_success"),
+      when(col("r") > 0 && col("r") < col("n") && varN > 0,
+        round(tN.cast("double") * sqrt(col("n").cast("double")) /
+          sqrt(varN.cast("double")), 8))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /**
+   * REGRESSION-DISCONTINUITY readout — the quasi-experimental effect
+   * estimate when treatment switches at a THRESHOLD of a running
+   * variable (free shipping above an order size, review above a risk
+   * score): fit a local line on each side of the cutoff inside a
+   * bandwidth window and read the jump between the two fits AT the
+   * cutoff. The causal companion to [[ipwAte]] (which needs observed
+   * treatment randomness) and diff-in-diff (which needs a time
+   * dimension). Emits one row (n_left, n_right, y_left, y_right,
+   * slope_left, slope_right, rdd_effect) — fits 6dp in value units;
+   * a side with < 2 points or zero x-variance emits its fit columns
+   * (and the effect) NULL.
+   *
+   * Deterministic: x recenters on the cutoff and quantizes to exact
+   * integer micro-units, y to exact cents; per-side OLS moments are
+   * exact decimal sums; slopes/intercepts are single divisions of
+   * exact values.
+   *
+   * Scale: ONE conditional-aggregation pass over the bandwidth-
+   * filtered scan (the filter pushes down) — both sides' five moments
+   * ride the same partial aggregate; nothing is data-proportional
+   * after it.
+   */
+  def rddReadout(df: DataFrame, xCol: String, yCol: String,
+                 cutoff: Double, bandwidth: Double): DataFrame = {
+    require(bandwidth > 0, s"bandwidth must be positive, got $bandwidth")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(xCol).cast("double").as("__x"),
+        cents(col(yCol)).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") >= cutoff - bandwidth && col("__x") <= cutoff + bandwidth)
+      .select((round(col("__x") - cutoff, 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+        .cast("long").as("__xm"), col("__y"))
+    val right = col("__xm") >= 0L
+    def moments(flag: Column, tag: String) = Seq(
+      sum(when(flag, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(flag, col("__xm").cast(dec)).otherwise(lit(0).cast(dec)))
+        .as(s"sx_$tag"),
+      sum(when(flag, col("__y").cast(dec)).otherwise(lit(0).cast(dec)))
+        .as(s"sy_$tag"),
+      sum(when(flag, col("__xm").cast(dec) * col("__xm").cast(dec))
+        .otherwise(lit(0).cast(dec))).as(s"sxx_$tag"),
+      sum(when(flag, col("__xm").cast(dec) * col("__y").cast(dec))
+        .otherwise(lit(0).cast(dec))).as(s"sxy_$tag"))
+    val aggs = moments(!right, "l") ++ moments(right, "r")
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    def fit(tag: String): (Column, Column, Column) = {
+      val n = col(s"n_$tag").cast(dec)
+      val den = n * col(s"sxx_$tag") - col(s"sx_$tag") * col(s"sx_$tag")
+      val slopeRaw = (n * col(s"sxy_$tag") - col(s"sx_$tag") * col(s"sy_$tag"))
+        .cast("double") / den.cast("double") // cents per micro-x
+      val atC = (col(s"sy_$tag").cast("double") -
+        slopeRaw * col(s"sx_$tag").cast("double")) /
+        col(s"n_$tag").cast("double") / 100.0 // value units at x = cutoff
+      val ok = col(s"n_$tag") >= 2L && den > 0
+      (when(ok, round(atC, 6)),
+        when(ok, round(slopeRaw * 1e6 / 100.0, 6)), ok)
+    }
+    val (yl, sl, okL) = fit("l")
+    val (yr, sr, okR) = fit("r")
+    m.select(col("n_l").as("n_left"), col("n_r").as("n_right"),
+      yl.as("y_left"), yr.as("y_right"),
+      sl.as("slope_left"), sr.as("slope_right"),
+      when(okL && okR, round(yr - yl, 6)).as("rdd_effect"))
   }
 
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {

@@ -669,6 +669,121 @@ object TemporalOps {
   }
 
   /**
+   * MEAN-SHIFT CHANGEPOINT — the single split of the daily series that
+   * most reduces total squared error: where [[cusumChangePoint]] asks
+   * "where does the integrated drift peak", this is the likelihood
+   * answer — "if the level changed ONCE, when, and from what mean to
+   * what mean" (binary-segmentation's first cut; recurse on the halves
+   * for more breaks). Gain for a split at day d uses the
+   * cancellation-free identity S_t²/t + (S−S_t)²/(n−t) − S²/n =
+   * (n·S_t − t·S)² / (t·(n−t)·n) — numerator and denominator are EXACT
+   * decimals off cumulative integer-cent sums, so no ~n²-magnitude
+   * float subtraction ever happens. Emits one row (split_day, n_left,
+   * n_right, mean_left, mean_right, gain): means 6dp value units, gain
+   * 6dp value units² per... (total SSE reduction / 10⁴); ties pick the
+   * earliest day; a single-day series emits no row.
+   *
+   * Scale: one day-grain partial aggregate, a cumulative window over
+   * the bounded day grid, a 1-row total broadcast, and a top-1 on the
+   * grid — the cusum shape exactly; the event rows never re-shuffle.
+   */
+  def changepointMean(df: DataFrame, ts: String,
+                      valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = df
+      .filter(col(ts).isNotNull)
+      .select(date_trunc("day", col(ts)).as("__d"),
+        graft.ops.StatsOps.cents(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("__nd"), sum(col("__v").cast(dec)).as("__sd"))
+    val tot = daily.agg(sum(col("__nd")).as("__n"), sum(col("__sd")).as("__s"))
+    // unpartitioned window BOUND: day-grid rows (one exact-cents row per day)
+    val w = Window.orderBy(col("__d").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("__t", sum(col("__nd")).over(w))
+      .withColumn("__st", sum(col("__sd")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("__t") < col("__n"))
+    val nD = col("__n").cast(dec)
+    val tD = col("__t").cast(dec)
+    val gainNum = nD * col("__st") - tD * col("__s")
+    val gainDen = tD * (nD - tD) * nD
+    cum
+      .withColumn("__gain",
+        (gainNum * gainNum).cast("double") / gainDen.cast("double"))
+      .orderBy(col("__gain").desc, col("__d").asc)
+      .limit(1)
+      .select(col("__d").as("split_day"),
+        col("__t").as("n_left"), (col("__n") - col("__t")).as("n_right"),
+        round(col("__st").cast("double") / col("__t") / 100.0, 6)
+          .as("mean_left"),
+        round((col("__s") - col("__st")).cast("double") /
+          (col("__n") - col("__t")) / 100.0, 6).as("mean_right"),
+        round(col("__gain") / 1e4, 6).as("gain"))
+  }
+
+  /**
+   * PETTITT TEST — the nonparametric changepoint: where
+   * [[changepointMean]] fits the best mean-shift by squared error
+   * (outlier-draggable, scale-dependent), Pettitt asks the rank
+   * question — "is there a day such that before-values systematically
+   * exceed after-values" — via the Mann–Whitney-style statistic
+   * U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j) maximized over split points.
+   * With doubled mid-ranks the double sum collapses to the exact
+   * integer identity U_t = Σ_{i≤t} r2_i − t(n+1) (r2 = 2·avgRank), so
+   * no pair enumeration and no floats until the final p. Emits one row
+   * (split_day, n_days, k_stat, p_approx): K = max|U_t| over t < n
+   * (earliest day on ties), p ≈ 2·exp(−6K²/(n³+n²)) (the standard
+   * asymptotic, capped at 1). Series shorter than 2 days emit no row.
+   *
+   * Deterministic: daily means are single divisions of exact
+   * cent-sums (IEEE-identical); doubled ranks over the day-bounded
+   * mean support are exact integers; U_t is pure integer arithmetic.
+   *
+   * Scale: one day-grain aggregate, then rank + cumulative windows on
+   * the BOUNDED day grid — the cusum shape; the event rows never
+   * re-shuffle and nothing is quadratic in days, let alone data.
+   */
+  def pettittTest(df: DataFrame, ts: String, valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = df
+      .filter(col(ts).isNotNull)
+      .select(date_trunc("day", col(ts)).as("__d"),
+        graft.ops.StatsOps.cents(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__d"))
+      .agg((sum(col("__v").cast(dec)).cast("double") / count(lit(1)))
+        .as("__m"))
+    // doubled mid-ranks of the day means over the day-bounded support
+    val hist = daily.groupBy("__m").agg(count(lit(1)).as("__t"))
+    // unpartitioned window BOUND: day-grid rows (≤1 per distinct mean)
+    val wRank = Window.orderBy(col("__m").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = hist.withColumn("__r2",
+      coalesce(sum(col("__t")).over(wRank), lit(0L)) * 2 + col("__t") + 1)
+    val tot = daily.agg(count(lit(1)).as("__n"))
+    // unpartitioned window BOUND: day-grid rows (time order)
+    val wTime = Window.orderBy(col("__d").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val u = daily.join(ranks.select(col("__m"), col("__r2")), "__m")
+      .withColumn("__i", count(lit(1)).over(wTime))
+      .withColumn("__dsum", sum(col("__r2")).over(wTime))
+      .crossJoin(broadcast(tot))
+      .filter(col("__i") < col("__n"))
+      .withColumn("__u", col("__dsum") - col("__i") * (col("__n") + 1))
+    val nD = col("__n").cast("double")
+    u.orderBy(abs(col("__u")).desc, col("__d").asc)
+      .limit(1)
+      .select(col("__d").as("split_day"), col("__n").as("n_days"),
+        abs(col("__u")).as("k_stat"),
+        round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
+          abs(col("__u")).cast("double") * abs(col("__u")).cast("double") /
+          (nD * nD * nD + nD * nD))), 6).as("p_approx"))
+  }
+
+  /**
    * SPRT sequential monitor — Wald's sequential probability ratio test
    * over a daily Bernoulli stream: per day, the CUMULATIVE
    * log-likelihood ratio of H1 (rate = p1) against H0 (rate = p0) and

@@ -144,7 +144,22 @@ class PlanAuditSpec extends SparkSpec {
                              // value histogram
     "q_acf",                 // 1-row day-bounds + series-totals broadcasts
                              // over the day-count-sized grid
-    "q_xcf")                 // same shape, bivariate
+    "q_xcf",                 // same shape, bivariate
+    "q_anova_f",             // 1-row grand-total broadcast over the k-row
+                             // group moments (anovaCore)
+    "q_levene",              // anovaCore's 1-row total broadcast (the
+                             // group-means join itself is equi/hashed)
+    "q_tukey_pairs",         // k-row group aggregate theta-joined against
+                             // itself (g_a < g_b) + 1-row MS_W broadcast
+    "q_kruskal_wallis",      // 1-row n/ties-total broadcast over the
+                             // k-row group rank sums
+    "q_changepoint_mean",    // 1-row grand-total broadcast over the
+                             // day-count-sized series (the cusum shape)
+    "q_pettitt",             // 1-row day-count broadcast over the day grid
+    "q_log_rank",            // 1-row max-day + arm-total broadcasts over
+                             // the duration grid (the kaplan-meier shape)
+    "q_wasserstein")         // 1-row group-total broadcast over the
+                             // pre-binned value support (the KS shape)
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
@@ -281,7 +296,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_curriculum_interleave", // distributed-rank kernel bucket grid (≤256
                             // bucket totals; the support windows are
                             // __bkt-partitioned)
+    "q_changepoint_mean",   // day-grid series (the cusum shape)
     "q_cusum",              // day-grid series (one exact-cents row per day)
+    "q_kruskal_wallis",     // distributed-rank kernel bucket grid (≤256
+                            // bucket totals; support windows __bkt-split)
     "q_drawdown",           // day-grid close series
     "q_ewma_baseline",      // day-grid series (3 windows, all day-bounded)
     "q_gains_curve",        // 10 score-decile bins
@@ -291,6 +309,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_isotonic_calibration", // ≤50 calibration bins
     "q_kaplan_meier",       // duration-day grid
     "q_ks_test",            // dollar-binned support — value-range-bounded
+    "q_log_rank",           // duration-day grid (the kaplan-meier shape)
+    "q_pettitt",            // day-grid rank + time windows
+    "q_wasserstein",        // dollar-binned support (the KS shape)
     "q_lorenz",             // cents histogram — value-range-bounded
     "q_mann_whitney",       // distributed-rank kernel bucket grid
     "q_mase",               // day-grid series
