@@ -2111,6 +2111,48 @@ object SparkEntry {
         t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
         "vbin", "event_type", "purchase", "view")),
 
+    // Nelson-Aalen cumulative hazard over the conversion durations:
+    // integrated risk on the same censoring-aware risk sets KM draws —
+    // the scale on which hazards ADD
+    "q_nelson_aalen" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val firsts = ev.groupBy("user_id").agg(
+        min(date_trunc("day", col("ts"))).as("__first"),
+        min(when(col("event_type") === "purchase",
+          date_trunc("day", col("ts")))).as("__p"))
+      val maxd = ev.agg(max(date_trunc("day", col("ts"))).as("__maxd"))
+      val units = firsts.crossJoin(broadcast(maxd))
+        .select(
+          datediff(coalesce(col("__p"), col("__maxd")), col("__first"))
+            .cast("long").as("duration"),
+          col("__p").isNotNull.as("converted"))
+      graft.ops.StatsOps.nelsonAalen(units, "duration", "converted")
+    }),
+
+    // Chapman capture-recapture: how many customers exist IN TOTAL
+    // given what the 1996 and 1997 order books each saw — the unseen-
+    // mass estimate beside q_kmv_overlap's observed overlap
+    "q_capture_recapture" -> ((s, d) =>
+      graft.ops.StatsOps.captureRecapture(
+        t(s, d, "orders").select(col("o_custkey"),
+          (year(col("o_orderdate")) === 1996).as("in_a"),
+          (year(col("o_orderdate")) === 1997).as("in_b")),
+        "o_custkey", "in_a", "in_b")),
+
+    // Chao1 + Good-Turing vocabulary richness: how many word types the
+    // corpus has NOT seen — the stopping rule beside q_vocab_growth's
+    // Heaps curve
+    "q_vocab_richness" -> ((s, d) =>
+      TextOps.vocabRichness(t(s, d, "documents"), "text")),
+
+    // item-item CF: per part, its top-5 cosine co-order neighbors with
+    // >= 2 shared orders — the recommender ranking beside basket_lift's
+    // surprise score; per-basket pair fanout, bounded-heap top-k
+    "q_item_cf_topk" -> ((s, d) =>
+      graft.ext.SimilarityOps.itemCfTopK(t(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2L, k = 5)
+        .orderBy("item", "rank")),
+
     // mutual information (nats) of the same contingency chi-square
     // tests: dependence MAGNITUDE where chi2 gives significance
     "q_mutual_info" -> ((s, d) =>
@@ -9833,6 +9875,89 @@ object SparkEntry {
                         FROM cdf WHERE nxt IS NOT NULL AND ta > 0 AND tb > 0)
          SELECT ta AS n_a, tb AS n_b, ROUND(CAST(SUM(w) AS DOUBLE), 6) AS w1
          FROM terms GROUP BY ta, tb""",
+
+    // Nelson-Aalen: the kaplan-meier risk sets with an additive d/n
+    // hazard cumsum (8dp steps through decimal) instead of the product
+    "q_nelson_aalen" ->
+      """WITH u AS (SELECT user_id, MIN(date_trunc('day', ts)) AS f,
+                           MIN(CASE WHEN event_type = 'purchase' THEN date_trunc('day', ts) END) AS p
+                    FROM events WHERE ts IS NOT NULL GROUP BY 1),
+              mx AS (SELECT MAX(date_trunc('day', ts)) AS maxd FROM events WHERE ts IS NOT NULL),
+              units AS (SELECT CAST(datediff('day', CAST(f AS DATE), CAST(COALESCE(p, maxd) AS DATE)) AS BIGINT) AS t,
+                               (p IS NOT NULL) AS ev
+                        FROM u CROSS JOIN mx),
+              c AS (SELECT t, CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+                           CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+                    FROM units GROUP BY t),
+              tot AS (SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS n FROM c),
+              r AS (SELECT t, n_events, n_censored,
+                           n - COALESCE(SUM(n_events + n_censored)
+                                 OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+                    FROM c CROSS JOIN tot),
+              h AS (SELECT t, n_risk, n_events, n_censored,
+                           SUM(CAST(ROUND(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE), 8) AS DECIMAL(18,8)))
+                             OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+                    FROM r)
+         SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+                ROUND(CAST(ch AS DOUBLE), 6) AS cum_hazard,
+                ROUND(EXP(-CAST(ch AS DOUBLE)), 6) AS na_survival
+         FROM h ORDER BY t""",
+
+    // Chapman capture-recapture: all-integer presence totals; N-hat and
+    // Var as single divisions of exact products
+    "q_capture_recapture" ->
+      """WITH per AS (SELECT o_custkey,
+                             MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS a,
+                             MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS b
+                      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+              f AS (SELECT * FROM per WHERE a + b > 0),
+              m AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb,
+                           CAST(SUM(a * b) AS BIGINT) AS nm, CAST(COUNT(*) AS BIGINT) AS no FROM f),
+              e AS (SELECT na, nb, nm, no,
+                           CAST(CAST(na + 1 AS HUGEINT) * (nb + 1) AS DOUBLE) / (nm + 1) - 1.0 AS nhat,
+                           SQRT(CAST(CAST(na + 1 AS HUGEINT) * (nb + 1) * (na - nm) * (nb - nm) AS DOUBLE) /
+                                CAST(CAST(nm + 1 AS HUGEINT) * (nm + 1) * (nm + 2) AS DOUBLE)) AS se
+                    FROM m)
+         SELECT na AS n_a, nb AS n_b, nm AS n_both, no AS n_observed,
+                ROUND(nhat, 6) AS n_hat,
+                ROUND(nhat - 1.96 * se, 6) AS ci_lo,
+                ROUND(nhat + 1.96 * se, 6) AS ci_hi
+         FROM e""",
+
+    // Chao1 + Good-Turing off the word histogram's singleton/doubleton
+    // counts — four conditional sums, one pinned double chain each
+    "q_vocab_richness" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+              wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word),
+              m AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS vocab,
+                           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                           CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+                    FROM wc)
+         SELECT n_tokens, vocab, f1, f2,
+                ROUND(vocab + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 6) AS chao1,
+                CASE WHEN n_tokens > 0 THEN ROUND(CAST(f1 AS DOUBLE) / n_tokens, 8) END AS p_unseen
+         FROM m""",
+
+    // item-item CF: distinct (basket, item) incidences, per-basket pair
+    // join (i1 < i2), cosine off exact counts, rank window in the
+    // oracle where the engine runs the bounded heap
+    "q_item_cf_topk" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+                     WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+              ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM it GROUP BY i),
+              p AS (SELECT x.i AS i1, y.i AS i2, CAST(COUNT(*) AS BIGINT) AS cooc
+                    FROM it x JOIN it y ON x.b = y.b AND x.i < y.i
+                    GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+              bo AS (SELECT i1, i2, cooc FROM p
+                     UNION ALL SELECT i2 AS i1, i1 AS i2, cooc FROM p),
+              s AS (SELECT bo.i1 AS item, bo.i2 AS neighbor,
+                           ROUND(CAST(cooc AS DOUBLE) / SQRT(CAST(c1.c AS DOUBLE) * c2.c), 8) AS cosine
+                    FROM bo JOIN ic c1 ON bo.i1 = c1.i JOIN ic c2 ON bo.i2 = c2.i),
+              r AS (SELECT item, neighbor, cosine,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY item ORDER BY cosine DESC, neighbor ASC) AS INT) AS rank
+                    FROM s)
+         SELECT item, neighbor, cosine, rank FROM r WHERE rank <= 5
+         ORDER BY item, rank""",
 
     "q_welch_ttest" ->
       """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,

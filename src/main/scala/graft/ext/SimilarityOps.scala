@@ -111,6 +111,54 @@ object SimilarityOps {
   }
 
   /**
+   * ITEM–ITEM COLLABORATIVE-FILTERING top-k — "customers who took this
+   * also took that": per item, its k most cosine-similar co-basket
+   * neighbors, cos(i,j) = c_ij / √(c_i·c_j) over distinct
+   * (basket, item) incidences. The co-occurrence recommender beside
+   * `q_basket_lift`'s association rules: lift asks "is the pair
+   * surprising", the cosine ranks WHICH neighbors to show, normalized
+   * so popular items don't dominate every list. Emits (item, neighbor,
+   * cosine 8dp, rank 1..k), ties broken (cosine desc, neighbor asc);
+   * pairs below `minSupport` co-baskets are cut before scoring (a
+   * 1-basket coincidence is noise AND the tail is where the pair count
+   * explodes).
+   *
+   * Scale: the pair join is per-BASKET — fanout Σ basket_size², bounded
+   * by the max basket, never items² (the df-cap discipline: cap basket
+   * size upstream if baskets can be huge); item counts join back on the
+   * item key (equi, shuffled); the per-item top-k rides the bounded
+   * heap ([[heapTopK]] — map-side pruning, never a rank window over the
+   * pair table).
+   */
+  def itemCfTopK(df: DataFrame, basketCol: String, itemCol: String,
+                 minSupport: Long, k: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).cast("long").as("__i"))
+      .distinct()
+    val itemCnt = items.groupBy("__i").agg(count(lit(1)).as("__c"))
+    val pairs = items.as("x")
+      .join(items.as("y"),
+        col("x.__b") === col("y.__b") && col("x.__i") < col("y.__i"))
+      .groupBy(col("x.__i").as("i1"), col("y.__i").as("i2"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= minSupport)
+    val both = pairs.select(col("i1"), col("i2"), col("cooc"))
+      .union(pairs.select(col("i2").as("i1"), col("i1").as("i2"),
+        col("cooc")))
+    val scored = both
+      .join(itemCnt.select(col("__i").as("i1"), col("__c").as("c1")), "i1")
+      .join(itemCnt.select(col("__i").as("i2"), col("__c").as("c2")), "i2")
+      .select(col("i1").as("query_id"), col("i2").as("neighbor_id"),
+        round(col("cooc").cast("double") /
+          sqrt(col("c1").cast("double") * col("c2")), 8).as("score"))
+    heapTopK(scored, k)
+      .select(col("query_id").as("item"), col("neighbor_id").as("neighbor"),
+        col("score").as("cosine"), col("rank"))
+  }
+
+  /**
    * Margin-based nearest-neighbor MINING (Artetxe & Schwenk ratio margin,
    * the CCMatrix/LASER bitext-mining score): for each query, its best
    * corpus neighbor with the best cosine NORMALIZED by the mean of the

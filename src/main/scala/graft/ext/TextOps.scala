@@ -267,6 +267,37 @@ object TextOps {
     df.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
 
+  /**
+   * VOCABULARY RICHNESS estimate — "how much vocabulary has the crawl
+   * NOT seen yet": the Chao1 lower bound on total vocabulary
+   * (V + f1(f1−1)/(2(f2+1)), the bias-corrected form — defined even
+   * with no doubletons) and the Good–Turing unseen-probability mass
+   * p₀ = f1/N, both driven entirely by the singleton/doubleton counts
+   * of the word histogram. The STOPPING-RULE companion to
+   * `q_vocab_growth`'s Heaps curve: growth says how fast new words
+   * arrive, this says how many are left. Emits one row (n_tokens,
+   * vocab, f1, f2, chao1, p_unseen) — chao1 6dp, p_unseen 8dp.
+   *
+   * Deterministic: every input to the two final expressions is an
+   * exact integer count; one pinned double chain each.
+   *
+   * Scale: [[wordFrequency]]'s explode + token-universe hash agg, then
+   * a second aggregate to ONE row — the count-of-counts never
+   * materializes beyond four conditional sums.
+   */
+  def vocabRichness(df: DataFrame, textCol: String): DataFrame = {
+    val wf = wordFrequency(df, textCol)
+    wf.agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("n") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        round(col("vocab") + col("f1").cast("double") * (col("f1") - 1) /
+          (lit(2.0) * (col("f2") + 1)), 6).as("chao1"),
+        when(col("n_tokens") > 0,
+          round(col("f1").cast("double") / col("n_tokens"), 8))
+          .otherwise(lit(null).cast("double")).as("p_unseen"))
+  }
+
   /** Per-partition Misra-Gries summary: every word with LOCAL count
     * > localTokens/m survives, using O(m) memory and one pass. */
   private[graft] def misraGries(it: Iterator[String], m: Int): Iterator[String] = {

@@ -1082,6 +1082,99 @@ object StatsOps {
   }
 
   /**
+   * NELSON–AALEN cumulative hazard — the integrated-risk companion to
+   * [[kaplanMeier]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the same
+   * censoring-aware risk sets. Where KM's product-limit curve answers
+   * "what fraction survives past t", H(t) is the natural scale for
+   * comparing and SUMMING risk (hazards add across competing causes;
+   * survival probabilities don't), and exp(−H) is the second standard
+   * survival estimate (≥ KM's, asymptotically equal). Emits one row
+   * per distinct duration: (t, n_risk, n_events, n_censored,
+   * cum_hazard 6dp, na_survival 6dp), ordered by t.
+   *
+   * Deterministic: counts exact; each step dᵢ/nᵢ rounds to 8dp and
+   * cumulates through DECIMAL; exp runs once per output row on the
+   * decimal-carried sum.
+   *
+   * Scale: identical to [[kaplanMeier]] — one duration histogram + a
+   * cumulative window over the bounded duration grid.
+   */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val dstep = org.apache.spark.sql.types.DecimalType(18, 8)
+    val counts = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col(eventCol), 0L).otherwise(1L)).as("n_censored"))
+    val tot = counts.agg(sum(col("n_events") + col("n_censored")).as("__n"))
+    // unpartitioned window BOUND: duration-grid histogram rows
+    val wPrev = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("__n") - coalesce(sum(col("n_events") + col("n_censored"))
+          .over(wPrev), lit(0L)))
+      .withColumn("__h",
+        sum(round(col("n_events").cast("double") /
+          col("n_risk").cast("double"), 8).cast(dstep)).over(wCum))
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+        round(col("__h").cast("double"), 6).as("cum_hazard"),
+        round(exp(-col("__h").cast("double")), 6).as("na_survival"))
+      .orderBy("t")
+  }
+
+  /**
+   * CAPTURE–RECAPTURE population estimate (Chapman's Lincoln–Petersen)
+   * — "how many exist IN TOTAL, given what two independent sightings
+   * each saw": mark the keys observed in window/source A, re-observe in
+   * B, and the overlap rate calibrates the unseen mass — N̂ =
+   * (n_a+1)(n_b+1)/(m+1) − 1. The ecology estimator is exactly the
+   * coverage question a pipeline asks of two crawls, two vendors, or
+   * two time slices ("how many customers/documents exist that NEITHER
+   * list caught") — the model-based companion to `q_kmv_overlap`'s
+   * exact observed overlap. Emits one row (n_a, n_b, n_both,
+   * n_observed, n_hat, ci_lo, ci_hi) — point estimate and the ±1.96·SE
+   * Chapman interval, 6dp; keys seen by neither list are (necessarily)
+   * excluded by construction.
+   *
+   * Deterministic: per-key presence flags and the four totals are
+   * exact integers; N̂ and Var(N̂) are single divisions of exact
+   * decimal products ((n_a+1)(n_b+1)(n_a−m)(n_b−m) /
+   * ((m+1)²(m+2))); one pinned double chain.
+   *
+   * Scale: one groupBy(key) presence aggregate (partial-aggregating —
+   * the flags OR map-side) + a 1-row reduce. Independence caveat is
+   * the estimator's, not the plan's: correlated sightings bias N̂ low.
+   */
+  def captureRecapture(df: DataFrame, keyCol: String, aCol: String,
+                       bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val per = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(when(col(aCol), 1L).otherwise(0L)).as("__a"),
+        max(when(col(bCol), 1L).otherwise(0L)).as("__b"))
+      .filter(col("__a") + col("__b") > 0)
+    val m = per.agg(sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"),
+      sum(col("__a") * col("__b")).as("n_both"),
+      count(lit(1)).as("n_observed"))
+    val aD = (col("n_a") + 1).cast(dec)
+    val bD = (col("n_b") + 1).cast(dec)
+    val mD = (col("n_both") + 1).cast(dec)
+    val nHat = (aD * bD).cast("double") / (col("n_both") + 1) - 1.0
+    val varNum = aD * bD * (col("n_a") - col("n_both")).cast(dec) *
+      (col("n_b") - col("n_both")).cast(dec)
+    val se = sqrt(varNum.cast("double") /
+      (mD * mD * (col("n_both") + 2).cast(dec)).cast("double"))
+    m.select(col("n_a"), col("n_b"), col("n_both"), col("n_observed"),
+      round(nHat, 6).as("n_hat"),
+      round(nHat - lit(1.96) * se, 6).as("ci_lo"),
+      round(nHat + lit(1.96) * se, 6).as("ci_hi"))
+  }
+
+  /**
    * CUPED variance-reduced experiment readout — the modern A/B-test
    * adjustment: each unit's post-period metric is shifted by
    * θ·(pre − pre̅) where θ = cov(pre, post)/var(pre), which removes the

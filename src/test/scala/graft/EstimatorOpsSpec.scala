@@ -1,0 +1,93 @@
+package graft
+
+import graft.ext.{SimilarityOps, TextOps}
+import graft.ops.StatsOps
+import org.apache.spark.sql.functions._
+
+/** Coverage/population estimators and the co-occurrence recommender
+  * (Nelson-Aalen hazard, Chapman capture-recapture, Chao1/Good-Turing
+  * vocabulary richness, item-item CF top-k) against hand-derived
+  * fixtures. */
+class EstimatorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nelsonAalen accumulates d/n over censoring-aware risk sets") {
+    // t=1: n=5 d=2 → h=0.4; t=2: n=3 c=1 → h stays; t=3: n=2 d=1 → +0.5
+    val df = Seq((1L, true), (1L, true), (2L, false), (3L, true),
+      (3L, false)).toDF("dur", "ev")
+    val rows = StatsOps.nelsonAalen(df, "dur", "ev")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("cum_hazard")))
+    rows.map(x => (x._1, x._2)) shouldBe Array((1L, 5L), (2L, 3L), (3L, 2L))
+    rows(0)._3 shouldBe 0.4 +- 1e-8
+    rows(1)._3 shouldBe 0.4 +- 1e-8
+    rows(2)._3 shouldBe 0.9 +- 1e-8
+    // exp(-H) survival ≥ the KM product-limit estimate, pointwise
+    val km = StatsOps.kaplanMeier(df, "dur", "ev")
+      .collect().map(r => r.getAs[Double]("survival"))
+    val na = StatsOps.nelsonAalen(df, "dur", "ev")
+      .collect().map(r => r.getAs[Double]("na_survival"))
+    na.zip(km).foreach { case (n, k) => n should be >= k - 1e-9 }
+  }
+
+  test("captureRecapture matches the Chapman point estimate and CI") {
+    // A sees 1..4, B sees 3..7 → a=4, b=5, m=2 → N̂ = 5·6/3 − 1 = 9
+    val rows = (1L to 4L).map(k => (k, true, false)) ++
+      (3L to 7L).map(k => (k, false, true))
+    val r = StatsOps.captureRecapture(rows.toDF("k", "a", "b"),
+      "k", "a", "b").collect()(0)
+    r.getLong(0) shouldBe 4L // n_a
+    r.getLong(1) shouldBe 5L // n_b
+    r.getLong(2) shouldBe 2L // n_both
+    r.getLong(3) shouldBe 7L // n_observed
+    r.getAs[Double]("n_hat") shouldBe 9.0 +- 1e-9
+    // Var = 5·6·2·3/(9·4) = 5 → CI = 9 ± 1.96·√5
+    r.getAs[Double]("ci_hi") shouldBe (9.0 + 1.96 * math.sqrt(5.0)) +- 1e-6
+    r.getAs[Double]("ci_lo") shouldBe (9.0 - 1.96 * math.sqrt(5.0)) +- 1e-6
+  }
+
+  test("captureRecapture: zero overlap still yields the Chapman estimate") {
+    val rows = Seq((1L, true, false), (2L, false, true))
+    val r = StatsOps.captureRecapture(rows.toDF("k", "a", "b"),
+      "k", "a", "b").collect()(0)
+    r.getLong(2) shouldBe 0L
+    r.getAs[Double]("n_hat") shouldBe 3.0 +- 1e-9 // (2·2)/1 − 1
+  }
+
+  test("vocabRichness computes Chao1 and the Good-Turing mass") {
+    // tokens: a a a b b c d → V=4, N=7, f1=2 (c,d), f2=1 (b)
+    // chao1 = 4 + 2·1/(2·2) = 4.5; p0 = 2/7
+    val df = Seq("a a a b", "b c d").toDF("text")
+    val r = TextOps.vocabRichness(df, "text").collect()(0)
+    r.getLong(0) shouldBe 7L
+    r.getLong(1) shouldBe 4L
+    r.getLong(2) shouldBe 2L
+    r.getLong(3) shouldBe 1L
+    r.getAs[Double]("chao1") shouldBe 4.5 +- 1e-9
+    r.getAs[Double]("p_unseen") shouldBe (2.0 / 7) +- 1e-8
+  }
+
+  test("itemCfTopK ranks co-basket neighbors by cosine with support cut") {
+    // baskets: (1,2,3), (1,2), (1,2,4), (3,4) → pair (1,2) cooc=3,
+    // (1,3)/(2,3)/(1,4)/(2,4)/(3,4) cooc=1 — only (1,2) survives min 2
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L), (30L, 4L), (40L, 3L), (40L, 4L))
+      .toDF("b", "i")
+    val out = SimilarityOps.itemCfTopK(df, "b", "i", minSupport = 2L, k = 3)
+      .orderBy("item", "rank").collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      Array((1L, 2L), (2L, 1L))
+    // cos(1,2) = 3/√(3·3) = 1.0 — they always co-occur
+    out(0).getAs[Double]("cosine") shouldBe 1.0 +- 1e-9
+    out(0).getAs[Int]("rank") shouldBe 1
+  }
+
+  test("itemCfTopK: duplicate lines in one basket count once") {
+    val df = Seq((10L, 1L), (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L))
+      .toDF("b", "i")
+    val out = SimilarityOps.itemCfTopK(df, "b", "i", minSupport = 2L, k = 3)
+      .collect()
+    out.length shouldBe 2
+    out.head.getAs[Double]("cosine") shouldBe 1.0 +- 1e-9
+  }
+}

@@ -158,14 +158,17 @@ class PlanAuditSpec extends SparkSpec {
     "q_pettitt",             // 1-row day-count broadcast over the day grid
     "q_log_rank",            // 1-row max-day + arm-total broadcasts over
                              // the duration grid (the kaplan-meier shape)
-    "q_wasserstein")         // 1-row group-total broadcast over the
+    "q_wasserstein",         // 1-row group-total broadcast over the
                              // pre-binned value support (the KS shape)
+    "q_nelson_aalen")        // kaplan-meier's 1-row max-day + risk-total
+                             // broadcasts over the duration grid
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
     "q_cosine_topk", "q_ann_topk", "q_ivf_topk", "q_ivf_topk_probe2",
     "q_pq_rerank", "q_ivfpq_topk", "q_minhash_topk", "q_group_topk",
-    "q_cell_prototypes", "q_stratified_topk", "q_contrastive_pairs")
+    "q_cell_prototypes", "q_stratified_topk", "q_contrastive_pairs",
+    "q_item_cf_topk")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
@@ -310,6 +313,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_kaplan_meier",       // duration-day grid
     "q_ks_test",            // dollar-binned support — value-range-bounded
     "q_log_rank",           // duration-day grid (the kaplan-meier shape)
+    "q_nelson_aalen",       // duration-day grid (the kaplan-meier shape)
     "q_pettitt",            // day-grid rank + time windows
     "q_wasserstein",        // dollar-binned support (the KS shape)
     "q_lorenz",             // cents histogram — value-range-bounded
