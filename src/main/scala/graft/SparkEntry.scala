@@ -2153,6 +2153,38 @@ object SparkEntry {
         "l_orderkey", "l_partkey", minSupport = 2L, k = 5)
         .orderBy("item", "rank")),
 
+    // Kendall's tau-b between quantity and line number: order
+    // agreements counted via 2-D prefix sums on the dense level grid —
+    // never pair enumeration; Goodman-Kruskal gamma rides along
+    "q_kendall_tau" -> ((s, d) =>
+      graft.ops.StatsOps.kendallTauB(t(s, d, "lineitem"),
+        "l_quantity", "l_linenumber")),
+
+    // Cliff's delta: the ordinal effect SIZE behind mann-whitney's
+    // significance — P(purchase > view) - P(purchase < view), with the
+    // standard Romano magnitude bands
+    "q_cliffs_delta" -> ((s, d) =>
+      graft.ops.StatsOps.cliffsDelta(
+        t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
+        "vbin", "event_type", "purchase", "view")),
+
+    // Friedman test: do event types rank the same WITHIN each day —
+    // the repeated-measures rank ANOVA where kruskal-wallis would let
+    // day-to-day volume drift masquerade as a type effect
+    "q_friedman" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).as("day"),
+          col("event_type").as("et"))
+        .agg(count(lit(1)).as("cnt"))
+      val days = daily.select("day").distinct()
+      val types = daily.select("et").distinct()
+      val dense = days.crossJoin(broadcast(types))
+        .join(daily, Seq("day", "et"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      graft.ops.StatsOps.friedmanQ(dense, "day", "et", "cnt")
+    }),
+
     // mutual information (nats) of the same contingency chi-square
     // tests: dependence MAGNITUDE where chi2 gives significance
     "q_mutual_info" -> ((s, d) =>
@@ -9958,6 +9990,105 @@ object SparkEntry {
                     FROM s)
          SELECT item, neighbor, cosine, rank FROM r WHERE rank <= 5
          ORDER BY item, rank""",
+
+    // tau-b: concordant/discordant mass off 2-D strict prefix sums on
+    // the dense marginal-cross grid — C, D exact integers
+    "q_kendall_tau" ->
+      """WITH b AS (SELECT l_quantity AS x, l_linenumber AS y FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL),
+              cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+              mx AS (SELECT x, CAST(SUM(n) AS BIGINT) AS cx FROM cells GROUP BY x),
+              my AS (SELECT y, CAST(SUM(n) AS BIGINT) AS cy FROM cells GROUP BY y),
+              grid AS (SELECT mx.x, my.y, mx.cx, COALESCE(cells.n, 0) AS n
+                       FROM mx CROSS JOIN my
+                       LEFT JOIN cells ON cells.x = mx.x AND cells.y = my.y),
+              g2 AS (SELECT x, y, cx, n,
+                            COALESCE(SUM(n) OVER (PARTITION BY x ORDER BY y ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bb
+                     FROM grid),
+              g3 AS (SELECT x, y, n,
+                            COALESCE(SUM(bb) OVER wr, 0) AS p,
+                            COALESCE(SUM(n) OVER wr, 0) AS r,
+                            COALESCE(SUM(cx) OVER wr, 0) AS cxp
+                     FROM g2
+                     WINDOW wr AS (PARTITION BY y ORDER BY x ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              m AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                           SUM(CAST(n AS HUGEINT) * p) AS c,
+                           SUM(CAST(n AS HUGEINT) * (cxp - p - r)) AS d
+                    FROM g3),
+              tx AS (SELECT SUM(CAST(cx AS HUGEINT) * (cx - 1)) AS tx2 FROM mx),
+              ty AS (SELECT SUM(CAST(cy AS HUGEINT) * (cy - 1)) AS ty2 FROM my)
+         SELECT n, CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+                CASE WHEN CAST(CAST(n AS HUGEINT) * (n - 1) - tx2 AS DOUBLE) > 0
+                      AND CAST(CAST(n AS HUGEINT) * (n - 1) - ty2 AS DOUBLE) > 0
+                     THEN ROUND(CAST(c - d AS DOUBLE) * 2 /
+                                SQRT(CAST(CAST(n AS HUGEINT) * (n - 1) - tx2 AS DOUBLE) *
+                                     CAST(CAST(n AS HUGEINT) * (n - 1) - ty2 AS DOUBLE)), 8)
+                END AS tau_b,
+                CASE WHEN CAST(c + d AS DOUBLE) > 0
+                     THEN ROUND(CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE), 8)
+                END AS gamma
+         FROM m CROSS JOIN tx CROSS JOIN ty""",
+
+    // Cliff's delta off the mann-whitney doubled-rank histogram:
+    // 2U/(na*nb) - 1 as a single division of exact integers
+    "q_cliffs_delta" ->
+      """WITH f AS (SELECT ROUND(value, 0) AS v, event_type AS g FROM events
+                    WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+              c AS (SELECT v, CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                           CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                    FROM f GROUP BY v),
+              r AS (SELECT ca, cb,
+                           COALESCE(SUM(ca + cb) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + (ca + cb) + 1 AS r2
+                    FROM c),
+              m AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+                           SUM(CAST(ca AS HUGEINT) * r2) AS ra2
+                    FROM r),
+              e AS (SELECT na, nb,
+                           ROUND(CAST(ra2 - CAST(na AS HUGEINT) * (na + 1) - CAST(na AS HUGEINT) * nb AS DOUBLE)
+                                 / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 8) AS delta
+                    FROM m WHERE na > 0 AND nb > 0)
+         SELECT na AS n_a, nb AS n_b, delta AS cliffs_delta,
+                CASE WHEN ABS(delta) < 0.147 THEN 'negligible'
+                     WHEN ABS(delta) < 0.33 THEN 'small'
+                     WHEN ABS(delta) < 0.474 THEN 'medium'
+                     ELSE 'large' END AS magnitude
+         FROM e""",
+
+    // Friedman: within-day doubled mid-ranks (rank() + same-value
+    // count), Q via the all-integer deviations identity, tie-corrected
+    "q_friedman" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day, event_type AS et,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                        GROUP BY 1, 2),
+              days AS (SELECT DISTINCT day FROM daily),
+              types AS (SELECT DISTINCT et FROM daily),
+              dense AS (SELECT days.day, types.et, COALESCE(daily.cnt, 0) AS cnt
+                        FROM days CROSS JOIN types
+                        LEFT JOIN daily ON daily.day = days.day AND daily.et = types.et),
+              kk AS (SELECT CAST(COUNT(DISTINCT et) AS BIGINT) AS k FROM dense),
+              ranked AS (SELECT day, et, cnt,
+                                (CAST(RANK() OVER (PARTITION BY day ORDER BY CAST(cnt AS DOUBLE) ASC) AS BIGINT) - 1) * 2
+                                  + COUNT(*) OVER (PARTITION BY day, cnt) + 1 AS r2
+                         FROM dense),
+              byt AS (SELECT et, CAST(SUM(r2) AS BIGINT) AS rr2, CAST(COUNT(*) AS BIGINT) AS nb
+                      FROM ranked GROUP BY et),
+              ties AS (SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tiemass
+                       FROM (SELECT day, cnt, CAST(COUNT(*) AS BIGINT) AS t FROM ranked GROUP BY 1, 2)),
+              sb AS (SELECT nb, k,
+                            SUM((CAST(rr2 AS HUGEINT) - CAST(nb AS HUGEINT) * (k + 1)) *
+                                (CAST(rr2 AS HUGEINT) - CAST(nb AS HUGEINT) * (k + 1))) AS sd2
+                     FROM byt CROSS JOIN kk GROUP BY nb, k)
+         SELECT nb AS n_blocks, k,
+                ROUND(3.0 * CAST(sd2 AS DOUBLE) / (CAST(nb AS DOUBLE) * k * (k + 1.0)), 6) AS q,
+                CASE WHEN 1.0 - CAST(tiemass AS DOUBLE) /
+                              (CAST(nb AS DOUBLE) * k * (CAST(k AS DOUBLE) * k - 1.0)) > 0
+                     THEN ROUND(3.0 * CAST(sd2 AS DOUBLE) / (CAST(nb AS DOUBLE) * k * (k + 1.0)) /
+                                (1.0 - CAST(tiemass AS DOUBLE) /
+                                  (CAST(nb AS DOUBLE) * k * (CAST(k AS DOUBLE) * k - 1.0))), 6)
+                END AS q_tie_adj
+         FROM sb CROSS JOIN ties WHERE nb > 0 AND k > 1""",
 
     "q_welch_ttest" ->
       """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,

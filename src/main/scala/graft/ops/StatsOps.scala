@@ -357,9 +357,11 @@ object StatsOps {
    */
   private[graft] def doubledRanks(counts: DataFrame, vCol: String,
                                   cCol: String,
-                                  probe: Option[DataFrame] = None): DataFrame =
+                                  probe: Option[DataFrame] = None,
+                                  fixedBounds: Option[Array[Double]] = None)
+      : DataFrame =
     distributedCumSum(counts, vCol, col(cCol), "__cl",
-        includeCurrent = false, probe = probe)
+        includeCurrent = false, probe = probe, fixedBounds = fixedBounds)
       .withColumn("__r2", col("__cl") * 2 + col(cCol) + 1)
       .drop("__cl")
 
@@ -626,17 +628,31 @@ object StatsOps {
     val dec = org.apache.spark.sql.types.DecimalType(19, 0)
     val base = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
-    def rankMap(c: String, out: String) =
+    // ONE boundary-sketch job covers BOTH rank maps (balance-only — the
+    // distributedNtiles economics): per-rank-map probes would each
+    // re-scan the raw input just to sketch quantiles
+    val buckets = math.max(32, math.min(256,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val sketch = base.sample(withReplacement = false, 0.2, seed = 42)
+      .agg(percentile_approx(col("__x").cast("double"), lit(probs), lit(1000))
+        .as("__bx"),
+        percentile_approx(col("__y").cast("double"), lit(probs), lit(1000))
+          .as("__by"))
+      .head()
+    def boundsOf(i: Int): Array[Double] =
+      if (sketch.isNullAt(i)) Array.empty
+      else sketch.getSeq[Any](i).collect {
+        case d: java.lang.Double if !d.isNaN => d.doubleValue
+      }.toArray
+    def rankMap(c: String, out: String, bnds: Array[Double]) =
       doubledRanks(
         base.groupBy(col(c).as(c)).agg(count(lit(1)).as("__c")), c, "__c",
-        // boundary probe: sample the RAW column (one narrow scan), not
-        // the histogram — re-evaluating the aggregate just to sketch
-        // its quantiles costs a full extra shuffle
-        probe = Some(base.select(c)))
+        fixedBounds = Some(bnds))
         .select(col(c), col("__r2").as(out))
     val joined = base
-      .join(rankMap("__x", "__rx"), "__x")
-      .join(rankMap("__y", "__ry"), "__y")
+      .join(rankMap("__x", "__rx", boundsOf(0)), "__x")
+      .join(rankMap("__y", "__ry", boundsOf(1)), "__y")
     val rx = col("__rx").cast(dec); val ry = col("__ry").cast(dec)
     val m = joined.agg(count(lit(1)).as("n"),
       sum(rx).as("sx"), sum(ry).as("sy"),
@@ -1079,6 +1095,186 @@ object StatsOps {
     terms.groupBy("__ta", "__tb")
       .agg(round(sum(col("__w")).cast("double"), 6).as("w1"))
       .select(col("__ta").as("n_a"), col("__tb").as("n_b"), col("w1"))
+  }
+
+  /**
+   * KENDALL'S τ-b — the concordance rank correlation: of all row pairs,
+   * how many order the two columns the SAME way minus how many invert,
+   * tie-adjusted. Beside [[spearmanCorr]] (which correlates rank
+   * VALUES and rewards large rank gaps), τ counts ORDER AGREEMENTS —
+   * the natural statistic for "does approving X more often accompany
+   * approving Y" on ordinal columns, and the more robust of the two
+   * under heavy ties. Computed WITHOUT pair enumeration: on the dense
+   * |X|×|Y| level grid (marginals crossed, observed counts coalesced in
+   * — the chi²/Cramér's-V shape), concordant mass per cell is the 2-D
+   * strict prefix sum P = Σ_{x'<x,y'<y} n (two windows: a y-prefix
+   * within each column, then an x-prefix of those within each row) and
+   * discordant mass is CX − P − R off the same windows. C = Σ n·P,
+   * D = Σ n·Q are exact integers. Emits one row (n, concordant,
+   * discordant, tau_b, gamma) — τ_b = 2(C−D)/√((n(n−1)−Σtx(tx−1))·
+   * (n(n−1)−Σty(ty−1))), Goodman–Kruskal γ = (C−D)/(C+D), both 8dp;
+   * degenerate denominators emit NULLs.
+   *
+   * PRE-BIN unbounded continuous columns (the KS convention): the
+   * dense grid is |X|·|Y| cells — bounded LEVELS are the contract,
+   * exactly as chi² requires.
+   *
+   * Scale: one (x,y) cell aggregate + two marginal rollups + windows
+   * on the bounded grid + a grid reduce; the corpus streams once.
+   */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = base.groupBy("__x", "__y").agg(count(lit(1)).as("__n"))
+    val mx = cells.groupBy("__x").agg(sum(col("__n")).as("__cx"))
+    val my = cells.groupBy("__y").agg(sum(col("__n")).as("__cy"))
+    val grid = mx.crossJoin(my)
+      .join(cells, Seq("__x", "__y"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    val wB = Window.partitionBy("__x").orderBy(col("__y").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wR = Window.partitionBy("__y").orderBy(col("__x").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g2 = grid
+      .withColumn("__B", coalesce(sum(col("__n")).over(wB), lit(0L)))
+      .withColumn("__P", coalesce(sum(col("__B")).over(wR), lit(0L)))
+      .withColumn("__R", coalesce(sum(col("__n")).over(wR), lit(0L)))
+      .withColumn("__CXp", coalesce(sum(col("__cx")).over(wR), lit(0L)))
+      .withColumn("__Q", col("__CXp") - col("__P") - col("__R"))
+    val m = g2.agg(sum(col("__n")).as("n"),
+      sum(col("__n").cast(dec) * col("__P").cast(dec)).as("__c"),
+      sum(col("__n").cast(dec) * col("__Q").cast(dec)).as("__d"))
+    val tx = mx.agg(sum(col("__cx").cast(dec) * (col("__cx") - 1).cast(dec))
+      .as("__tx2"))
+    val ty = my.agg(sum(col("__cy").cast(dec) * (col("__cy") - 1).cast(dec))
+      .as("__ty2"))
+    val out = m.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+    val n0x2 = col("n").cast(dec) * (col("n") - 1).cast(dec)
+    val d1 = (n0x2 - col("__tx2")).cast("double")
+    val d2 = (n0x2 - col("__ty2")).cast("double")
+    val num = (col("__c") - col("__d")).cast("double")
+    val cd = (col("__c") + col("__d")).cast("double")
+    out.select(col("n"),
+      col("__c").cast("long").as("concordant"),
+      col("__d").cast("long").as("discordant"),
+      when(d1 > 0 && d2 > 0, round(num * 2 / sqrt(d1 * d2), 8))
+        .otherwise(lit(null).cast("double")).as("tau_b"),
+      when(cd > 0, round(num / cd, 8))
+        .otherwise(lit(null).cast("double")).as("gamma"))
+  }
+
+  /**
+   * CLIFF'S DELTA — the ordinal EFFECT SIZE behind [[mannWhitneyU]]'s
+   * significance: δ = P(a > b) − P(a < b) = 2U_a/(n_a·n_b) − 1, the
+   * probability a random group-A value beats a random group-B value,
+   * minus the reverse. Where U's z says "the shift is real", δ says
+   * "how big" on a scale that survives any monotone transform and any
+   * sample size (a t-test effect size needs normality; δ needs only
+   * order). Emits one row (n_a, n_b, cliffs_delta 8dp, magnitude) —
+   * the magnitude label uses the standard Romano bands (|δ| < 0.147
+   * negligible / < 0.33 small / < 0.474 medium / else large).
+   *
+   * Deterministic: 2U_a is the exact doubled-rank integer identity
+   * (2R_A − n_a(n_a+1)); δ is a single division of exact values.
+   *
+   * Scale: the [[mannWhitneyU]] shape — a support-sized histogram
+   * ranked by the distributed kernel + a one-row reduce.
+   */
+  def cliffsDelta(df: DataFrame, valueCol: String, groupCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val kept = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .filter(col(valueCol).isNotNull)
+    val counts = kept
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("__t", col("ca") + col("cb"))
+    val ranked = doubledRanks(counts, "__v", "__t",
+      probe = Some(kept.select(col(valueCol).as("__v"))))
+    val m = ranked.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("ca").cast(dec) * col("__r2").cast(dec)).as("__ra2"))
+    val na = col("n_a"); val nb = col("n_b")
+    val ua2 = col("__ra2") - (na.cast(dec) * (na + 1).cast(dec))
+    val delta = (ua2 - na.cast(dec) * nb.cast(dec)).cast("double") /
+      (na.cast(dec) * nb.cast(dec)).cast("double")
+    val deltaR = round(delta, 8)
+    m.filter(na > 0 && nb > 0)
+      .select(na, nb, deltaR.as("cliffs_delta"),
+        when(abs(deltaR) < 0.147, "negligible")
+          .when(abs(deltaR) < 0.33, "small")
+          .when(abs(deltaR) < 0.474, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
+  /**
+   * FRIEDMAN TEST — the repeated-measures rank ANOVA: k treatments
+   * measured once per BLOCK (k event types per day, k variants per
+   * user), ranked WITHIN each block so between-block level differences
+   * cancel by construction — the question [[kruskalWallis]] cannot ask,
+   * because pooling all blocks lets block-to-block drift masquerade as
+   * a treatment effect. Requires complete blocks; blocks missing any
+   * treatment are DROPPED (and the used count reported) — dense-fill
+   * upstream when absence means zero. Q uses the doubled-mid-rank
+   * deviations identity Q = 3·Σ_j(ΣR2_j − n(k+1))²/(n·k·(k+1)) — all
+   * integer until one division — with the standard tie correction
+   * C = 1 − Σ(t³−t)/(nk(k²−1)). Emits one row (n_blocks, k, q,
+   * q_tie_adj), 6dp; all-tied blocks (C ≤ 0) emit NULL q_tie_adj.
+   *
+   * Scale: within-block ranks ride block-partitioned RANGE windows (k
+   * rows per block — never a corpus-wide sort); everything after is a
+   * k-row reduce. The block-completeness filter is one count window.
+   */
+  def friedmanQ(df: DataFrame, blockCol: String, treatmentCol: String,
+                valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(blockCol).as("__blk"),
+        col(treatmentCol).as("__trt"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__blk").isNotNull && col("__trt").isNotNull &&
+        col("__v").isNotNull)
+    val k = base.agg(countDistinct(col("__trt")).as("__k"))
+    // keep only complete blocks (exactly k treatments present)
+    val wBlk = Window.partitionBy("__blk")
+    val complete = base
+      .withColumn("__bk", count(lit(1)).over(wBlk))
+      .crossJoin(broadcast(k))
+      .filter(col("__bk") === col("__k"))
+    // doubled mid-ranks within block: 2·cnt_less + ties + 1, with
+    // cnt_less = rank() − 1 (rank() is 1 + strictly-smaller count, so
+    // ties share the min rank) and ties from a same-value count — both
+    // block-partitioned, k rows per block
+    val wRank = Window.partitionBy("__blk").orderBy(col("__v").asc)
+    val wTie = Window.partitionBy("__blk", "__v")
+    val ranked = complete
+      .withColumn("__r2",
+        (rank().over(wRank) - 1).cast("long") * 2 +
+          count(lit(1)).over(wTie) + 1)
+    val byT = ranked.groupBy("__trt")
+      .agg(sum(col("__r2")).as("__R2"), count(lit(1)).as("__nb"))
+    // tie mass per (block, value): Σ(t³−t)
+    val ties = ranked.groupBy("__blk", "__v").agg(count(lit(1)).as("__t"))
+      .agg(sum(col("__t").cast(dec) * col("__t").cast(dec) *
+        col("__t").cast(dec) - col("__t").cast(dec)).as("__ties"))
+    val dev = col("__R2").cast(dec) -
+      col("__nb").cast(dec) * (col("__k") + 1).cast(dec)
+    val sb = byT.crossJoin(broadcast(k))
+      .select(col("__nb"), col("__k"), (dev * dev).as("__dev2"))
+      .groupBy("__nb", "__k")
+      .agg(sum(col("__dev2")).as("__sd2"), count(lit(1)).as("__kk"))
+    val out = sb.crossJoin(broadcast(ties))
+    val nD = col("__nb").cast("double")
+    val kD = col("__k").cast("double")
+    val q = lit(3.0) * col("__sd2").cast("double") /
+      (nD * kD * (kD + 1.0))
+    val corr = lit(1.0) - col("__ties").cast("double") /
+      (nD * kD * (kD * kD - 1.0))
+    out.filter(col("__nb") > 0 && col("__k") > 1)
+      .select(col("__nb").as("n_blocks"), col("__k").as("k"),
+        round(q, 6).as("q"),
+        when(corr > 0, round(q / corr, 6))
+          .otherwise(lit(null).cast("double")).as("q_tie_adj"))
   }
 
   /**

@@ -120,6 +120,54 @@ class AnovaFamilySpec extends SparkSpec {
     r.getAs[Double]("y_right") shouldBe 8.0 +- 1e-6
   }
 
+  test("kendallTauB matches the hand-counted concordance with ties") {
+    // (1,1),(2,2),(3,3),(3,1): C=3, D=1, tie pairs tx=ty=2 of n(n-1)=12
+    // → tau_b = 2·2/√(10·10) = 0.4, gamma = 2/4 = 0.5
+    val df = Seq((1.0, 1L), (2.0, 2L), (3.0, 3L), (3.0, 1L)).toDF("x", "y")
+    val r = StatsOps.kendallTauB(df, "x", "y").collect()(0)
+    r.getLong(0) shouldBe 4L
+    r.getLong(1) shouldBe 3L // concordant
+    r.getLong(2) shouldBe 1L // discordant
+    r.getAs[Double]("tau_b") shouldBe 0.4 +- 1e-9
+    r.getAs[Double]("gamma") shouldBe 0.5 +- 1e-9
+  }
+
+  test("kendallTauB: perfect order gives tau_b = 1; reversal gives -1") {
+    val up = Seq((1.0, 1L), (2.0, 2L), (3.0, 3L)).toDF("x", "y")
+    StatsOps.kendallTauB(up, "x", "y").collect()(0)
+      .getAs[Double]("tau_b") shouldBe 1.0 +- 1e-9
+    val down = Seq((1.0, 3L), (2.0, 2L), (3.0, 1L)).toDF("x", "y")
+    StatsOps.kendallTauB(down, "x", "y").collect()(0)
+      .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
+  }
+
+  test("cliffsDelta: balanced overlap is 0, separation is 1 with label") {
+    val bal = Seq(("a", 1.0), ("a", 2.0), ("b", 0.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r0 = StatsOps.cliffsDelta(bal, "v", "g", "a", "b").collect()(0)
+    r0.getAs[Double]("cliffs_delta") shouldBe 0.0 +- 1e-9
+    r0.getString(3) shouldBe "negligible"
+    val sep = Seq(("a", 2.0), ("a", 3.0), ("b", 0.0), ("b", 1.0))
+      .toDF("g", "v")
+    val r1 = StatsOps.cliffsDelta(sep, "v", "g", "a", "b").collect()(0)
+    r1.getAs[Double]("cliffs_delta") shouldBe 1.0 +- 1e-9
+    r1.getString(3) shouldBe "large"
+  }
+
+  test("friedmanQ matches the textbook value and drops incomplete blocks") {
+    // two complete blocks, consistent order 1<2<3 → Q = 4 (perfect
+    // consistency at n=2, k=3); a third block missing one treatment is
+    // dropped and must not change the statistic
+    val df = Seq(("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 3.0),
+      ("b2", "t1", 1.0), ("b2", "t2", 2.0), ("b2", "t3", 3.0),
+      ("b3", "t1", 9.0), ("b3", "t2", 8.0)).toDF("blk", "trt", "v")
+    val r = StatsOps.friedmanQ(df, "blk", "trt", "v").collect()(0)
+    r.getLong(0) shouldBe 2L // n_blocks (b3 dropped)
+    r.getLong(1) shouldBe 3L // k
+    r.getAs[Double]("q") shouldBe 4.0 +- 1e-9
+    r.getAs[Double]("q_tie_adj") shouldBe 4.0 +- 1e-9 // no ties
+  }
+
   test("logRankTest matches the hand-computed hypergeometric decomposition") {
     // a: (1,ev),(2,ev),(3,cens)  b: (1,cens),(2,ev),(4,ev)
     // t=1: E=0.5 V=0.25; t=2: E=1.0 V=1/3; t=4: n=1 → E=0 V=0

@@ -160,8 +160,12 @@ class PlanAuditSpec extends SparkSpec {
                              // the duration grid (the kaplan-meier shape)
     "q_wasserstein",         // 1-row group-total broadcast over the
                              // pre-binned value support (the KS shape)
-    "q_nelson_aalen")        // kaplan-meier's 1-row max-day + risk-total
+    "q_nelson_aalen",        // kaplan-meier's 1-row max-day + risk-total
                              // broadcasts over the duration grid
+    "q_kendall_tau",         // |X|x|Y| marginal cross (the cramers_v
+                             // dense-grid shape) + 1-row tie broadcasts
+    "q_friedman")            // day-grid x |types| dense cross + 1-row
+                             // k/tie-mass broadcasts
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
@@ -300,6 +304,7 @@ class PlanAuditSpec extends SparkSpec {
                             // bucket totals; the support windows are
                             // __bkt-partitioned)
     "q_changepoint_mean",   // day-grid series (the cusum shape)
+    "q_cliffs_delta",       // distributed-rank kernel bucket grid
     "q_cusum",              // day-grid series (one exact-cents row per day)
     "q_kruskal_wallis",     // distributed-rank kernel bucket grid (≤256
                             // bucket totals; support windows __bkt-split)
