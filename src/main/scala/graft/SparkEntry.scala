@@ -2185,6 +2185,19 @@ object SparkEntry {
       graft.ops.StatsOps.friedmanQ(dense, "day", "et", "cnt")
     }),
 
+    // G-test on the same contingency: the log-likelihood twin of chi2
+    // that ADDS across table partitions (per-shard G sums to pooled G)
+    "q_g_test" -> ((s, d) =>
+      graft.ops.StatsOps.gTest(t(s, d, "orders"),
+        "o_orderpriority", "o_orderstatus")),
+
+    // Herfindahl concentration: is each priority band's revenue spread
+    // across many customers or owned by a few — share-squared sums plus
+    // the effective member count 1/HHI
+    "q_hhi" -> ((s, d) =>
+      graft.ops.StatsOps.hhiConcentration(t(s, d, "orders"),
+        "o_orderpriority", "o_custkey", "o_totalprice")),
+
     // mutual information (nats) of the same contingency chi-square
     // tests: dependence MAGNITUDE where chi2 gives significance
     "q_mutual_info" -> ((s, d) =>
@@ -8372,6 +8385,49 @@ object SparkEntry {
                      THEN ROUND((ua - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) / SQRT(varu), 8)
                 END AS z
          FROM u""",
+
+    // G = 2 Σ o·ln(o·n/(ra·rb)) over OBSERVED cells (0·ln0 = 0), 8dp
+    // terms through decimal; dof from the marginal level counts
+    "q_g_test" ->
+      """WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b, CAST(COUNT(*) AS BIGINT) AS o
+                      FROM orders
+                      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+                      GROUP BY 1, 2),
+              ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY a),
+              rb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS rb FROM obs GROUP BY b),
+              tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+              dof AS (SELECT ka, kb, (ka - 1) * (kb - 1) AS dof
+                      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS ka FROM ra)
+                      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS kb FROM rb)),
+              terms AS (SELECT n,
+                               CAST(ROUND(2.0 * o * LN(CAST(o AS DOUBLE) * n / (CAST(ra AS DOUBLE) * rb)), 8)
+                                    AS DECIMAL(20,8)) AS t
+                        FROM obs JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot)
+         SELECT n, CAST(COUNT(*) AS BIGINT) AS n_cells, ka, kb, dof,
+                ROUND(CAST(SUM(t) AS DOUBLE), 6) AS g_stat
+         FROM terms CROSS JOIN dof GROUP BY n, ka, kb, dof""",
+
+    // HHI: per-member exact-cents totals, share^2 terms 8dp through
+    // decimal, effective members = 1/HHI off the rounded index
+    "q_hhi" ->
+      """WITH per AS (SELECT o_orderpriority AS market, o_custkey AS m,
+                             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS mv
+                      FROM orders
+                      WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+                        AND o_totalprice IS NOT NULL
+                      GROUP BY 1, 2),
+              tv AS (SELECT market, CAST(SUM(mv) AS HUGEINT) AS tv FROM per GROUP BY market),
+              terms AS (SELECT per.market,
+                               CAST(ROUND((CAST(mv AS DOUBLE) / CAST(tv AS DOUBLE))
+                                          * (CAST(mv AS DOUBLE) / CAST(tv AS DOUBLE)), 8)
+                                    AS DECIMAL(20,8)) AS t
+                        FROM per JOIN tv ON per.market = tv.market WHERE tv > 0),
+              agg AS (SELECT market, CAST(COUNT(*) AS BIGINT) AS n_members,
+                             ROUND(CAST(SUM(t) AS DOUBLE), 6) AS hhi
+                      FROM terms GROUP BY market)
+         SELECT market, n_members, hhi,
+                CASE WHEN hhi > 0 THEN ROUND(1.0 / hhi, 6) END AS effective_members
+         FROM agg ORDER BY market""",
 
     // observed cells only: 0·ln 0 = 0, so empty grid cells add nothing
     // (unlike chi2's (0-e)^2/e); clamp at 0 so per-term rounding can't

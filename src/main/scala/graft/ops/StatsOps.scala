@@ -130,6 +130,90 @@ object StatsOps {
   }
 
   /**
+   * G-TEST of independence — the log-likelihood-ratio twin of
+   * [[chiSquareIndependence]]: G = 2·Σ o·ln(o·n/(râ·r̂b)), same null,
+   * same dof, but ADDITIVE across partitions of the table (a G
+   * computed per shard/day sums to the pooled G — chi² doesn't
+   * decompose), which is the property a federated QC pipeline needs.
+   * Only observed cells contribute (0·ln 0 = 0, the mutualInformation
+   * contract — and indeed G = 2n·MI in nats). Emits one row (n,
+   * n_cells, ka, kb, dof, g_stat) with n_cells = OBSERVED cells.
+   *
+   * Deterministic: per-cell 2·o·ln(o·n/(ra·rb)) terms round to 8dp
+   * and sum through DECIMAL.
+   *
+   * Scale: the chi² shape — one cell aggregate + two marginal rollups
+   * + 1-row broadcasts; the corpus streams once.
+   */
+  def gTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 8)
+    val obs = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy("__a").agg(sum(col("o")).as("ra"))
+    val rb = obs.groupBy("__b").agg(sum(col("o")).as("rb"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    val dof = ra.agg(count(lit(1)).as("ka"))
+      .crossJoin(broadcast(rb.agg(count(lit(1)).as("kb"))))
+      .select(col("ka"), col("kb"),
+        ((col("ka") - 1) * (col("kb") - 1)).as("dof"))
+    val term = lit(2.0) * col("o") * log(col("o").cast("double") * col("n") /
+      (col("ra").cast("double") * col("rb")))
+    obs.join(ra, "__a").join(rb, "__b").crossJoin(broadcast(tot))
+      .select(col("n"), round(term, 8).cast(dec).as("__t"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum(col("__t")).cast("double"), 6).as("g_stat"))
+      .crossJoin(broadcast(dof))
+      .select(col("n"), col("n_cells"), col("ka"), col("kb"), col("dof"),
+        col("g_stat"))
+  }
+
+  /**
+   * HERFINDAHL–HIRSCHMAN concentration INDEX per market — "is this
+   * slice's volume spread across many members or owned by a few":
+   * HHI = Σ_members share², the antitrust statistic and, for a data
+   * pipeline, the dependence-risk number per (source, supplier,
+   * customer) slice that [[graft.SparkEntry]]'s top-share readout
+   * cannot give (top-k share ignores the shape of the remainder).
+   * Also emits the effective member count 1/HHI ("this market behaves
+   * like N equal firms"). Emits one row per market: (market,
+   * n_members, hhi 6dp, effective_members 6dp), ordered; HHI ∈
+   * (1/n, 1], 1 = monopoly.
+   *
+   * Deterministic: member totals are exact cents; each share² term is
+   * a division of exact values rounded 8dp into a decimal sum.
+   *
+   * Scale: two partial-aggregating passes ((market, member) → market)
+   * + a market-sized broadcast join of totals — no window, no sort.
+   */
+  def hhiConcentration(df: DataFrame, marketCol: String, memberCol: String,
+                       valueCol: String): DataFrame = {
+    val dterm = org.apache.spark.sql.types.DecimalType(20, 8)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val per = df
+      .select(col(marketCol).as("market"), col(memberCol).as("__m"),
+        cents(col(valueCol)).as("__v"))
+      .filter(col("market").isNotNull && col("__m").isNotNull &&
+        col("__v").isNotNull)
+      .groupBy("market", "__m")
+      .agg(sum(col("__v").cast(dec)).as("__mv"))
+    val totals = per.groupBy("market").agg(sum(col("__mv")).as("__tv"))
+    val share = col("__mv").cast("double") / col("__tv").cast("double")
+    per.join(broadcast(totals), "market")
+      .filter(col("__tv") > 0)
+      .select(col("market"), round(share * share, 8).cast(dterm).as("__t"))
+      .groupBy("market")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("__t")).cast("double"), 6).as("hhi"))
+      .select(col("market"), col("n_members"), col("hhi"),
+        when(col("hhi") > 0, round(lit(1.0) / col("hhi"), 6))
+          .otherwise(lit(null).cast("double")).as("effective_members"))
+      .orderBy("market")
+  }
+
+  /**
    * STANDARDIZED RESIDUALS per contingency cell — the drill-down behind
    * [[chiSquareIndependence]]'s single number: which (a, b) cells
    * actually drive the dependence, via (o − e)/√e per cell (|residual|

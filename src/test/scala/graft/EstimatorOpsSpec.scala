@@ -82,6 +82,30 @@ class EstimatorOpsSpec extends SparkSpec {
     out(0).getAs[Int]("rank") shouldBe 1
   }
 
+  test("gTest: zero on exact independence, 8·ln2 on the 2x2 diagonal") {
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("p", "q")
+    StatsOps.gTest(indep, "p", "q").collect()(0)
+      .getAs[Double]("g_stat") shouldBe 0.0 +- 1e-9
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("p", "q")
+    val r = StatsOps.gTest(dep, "p", "q").collect()(0)
+    r.getAs[Double]("g_stat") shouldBe (8 * math.log(2)) +- 1e-6
+    r.getAs[Long]("dof") shouldBe 1L
+    r.getAs[Long]("n_cells") shouldBe 2L // observed cells only
+  }
+
+  test("hhiConcentration: equal split vs monopoly, effective members") {
+    val df = Seq(("m1", 1L, 50.0), ("m1", 2L, 50.0),
+      ("m2", 7L, 100.0)).toDF("mkt", "cust", "rev")
+    val rows = StatsOps.hhiConcentration(df, "mkt", "cust", "rev")
+      .collect()
+    rows(0).getAs[Double]("hhi") shouldBe 0.5 +- 1e-9
+    rows(0).getAs[Double]("effective_members") shouldBe 2.0 +- 1e-6
+    rows(1).getAs[Double]("hhi") shouldBe 1.0 +- 1e-9
+    rows(1).getAs[Long]("n_members") shouldBe 1L
+  }
+
   test("itemCfTopK: duplicate lines in one basket count once") {
     val df = Seq((10L, 1L), (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L))
       .toDF("b", "i")
