@@ -2185,6 +2185,20 @@ object SparkEntry {
       graft.ops.StatsOps.friedmanQ(dense, "day", "et", "cnt")
     }),
 
+    // IPF/raking: fit per-(lang, source) weights so BOTH marginals go
+    // uniform — the training-mix balancer that reweights instead of
+    // discarding; 5 Deming-Stephan sweeps on the bounded cell grid
+    "q_ipf_rake" -> ((s, d) =>
+      graft.ops.StatsOps.ipfRake(t(s, d, "documents"),
+        "lang", "source", rounds = 5)),
+
+    // partial correlation: does price track quantity once discount is
+    // held fixed — the confounder check before q_corr_regr's raw
+    // correlation gets read causally; nine exact moments, one pass
+    "q_partial_corr" -> ((s, d) =>
+      graft.ops.StatsOps.partialCorr(t(s, d, "lineitem"),
+        "l_quantity", "l_extendedprice", "l_discount")),
+
     // G-test on the same contingency: the log-likelihood twin of chi2
     // that ADDS across table partitions (per-shard G sums to pooled G)
     "q_g_test" -> ((s, d) =>
@@ -8385,6 +8399,91 @@ object SparkEntry {
                      THEN ROUND((ua - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) / SQRT(varu), 8)
                 END AS z
          FROM u""",
+
+    // IPF unrolled: 5 row/column sweeps, weights re-quantized to
+    // 8dp decimal after every scaling (exact sums between rounds)
+    "q_ipf_rake" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n_cell
+                      FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+                      GROUP BY 1, 2),
+              tot AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS n,
+                             CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+                             CAST(COUNT(DISTINCT b) AS BIGINT) AS kb FROM cells),
+              w0 AS (SELECT a, b, n_cell, n, ka, kb, CAST(n_cell AS DECIMAL(28,8)) AS w
+                     FROM cells CROSS JOIN tot),
+              w1r AS (SELECT a, SUM(w) AS rs FROM w0 GROUP BY a),
+              w1a AS (SELECT w0.a, w0.b, n_cell, n, ka, kb,
+                              CAST(ROUND(CAST(w AS DOUBLE) * (CAST(n AS DOUBLE) / ka / CAST(rs AS DOUBLE)), 8) AS DECIMAL(28,8)) AS w
+                       FROM w0 JOIN w1r USING (a)),
+              w1c AS (SELECT b, SUM(w) AS cs FROM w1a GROUP BY b),
+              w1 AS (SELECT w1a.a, w1a.b, n_cell, n, ka, kb,
+                             CAST(ROUND(CAST(w AS DOUBLE) * (CAST(n AS DOUBLE) / kb / CAST(cs AS DOUBLE)), 8) AS DECIMAL(28,8)) AS w
+                      FROM w1a JOIN w1c USING (b)),
+              w2r AS (SELECT a, SUM(w) AS rs FROM w1 GROUP BY a),
+              w2a AS (SELECT w1.a, w1.b, n_cell, n, ka, kb,
+                              CAST(ROUND(CAST(w AS DOUBLE) * (CAST(n AS DOUBLE) / ka / CAST(rs AS DOUBLE)), 8) AS DECIMAL(28,8)) AS w
+                       FROM w1 JOIN w2r USING (a)),
+              w2c AS (SELECT b, SUM(w) AS cs FROM w2a GROUP BY b),
+              w2 AS (SELECT w2a.a, w2a.b, n_cell, n, ka, kb,
+                             CAST(ROUND(CAST(w AS DOUBLE) * (CAST(n AS DOUBLE) / kb / CAST(cs AS DOUBLE)), 8) AS DECIMAL(28,8)) AS w
+                      FROM w2a JOIN w2c USING (b)),
+              w3r AS (SELECT a, SUM(w) AS rs FROM w2 GROUP BY a),
+              w3a AS (SELECT w2.a, w2.b, n_cell, n, ka, kb,
+                              CAST(ROUND(CAST(w AS DOUBLE) * (CAST(n AS DOUBLE) / ka / CAST(rs AS DOUBLE)), 8) AS DECIMAL(28,8)) AS w
+                       FROM w2 JOIN w3r USING (a)),
+              w3c AS (SELECT b, SUM(w) AS cs FROM w3a GROUP BY b),
+              w3 AS (SELECT w3a.a, w3a.b, n_cell, n, ka, kb,
+                             CAST(ROUND(CAST(w AS DOUBLE) * (CAST(n AS DOUBLE) / kb / CAST(cs AS DOUBLE)), 8) AS DECIMAL(28,8)) AS w
+                      FROM w3a JOIN w3c USING (b)),
+              w4r AS (SELECT a, SUM(w) AS rs FROM w3 GROUP BY a),
+              w4a AS (SELECT w3.a, w3.b, n_cell, n, ka, kb,
+                              CAST(ROUND(CAST(w AS DOUBLE) * (CAST(n AS DOUBLE) / ka / CAST(rs AS DOUBLE)), 8) AS DECIMAL(28,8)) AS w
+                       FROM w3 JOIN w4r USING (a)),
+              w4c AS (SELECT b, SUM(w) AS cs FROM w4a GROUP BY b),
+              w4 AS (SELECT w4a.a, w4a.b, n_cell, n, ka, kb,
+                             CAST(ROUND(CAST(w AS DOUBLE) * (CAST(n AS DOUBLE) / kb / CAST(cs AS DOUBLE)), 8) AS DECIMAL(28,8)) AS w
+                      FROM w4a JOIN w4c USING (b)),
+              w5r AS (SELECT a, SUM(w) AS rs FROM w4 GROUP BY a),
+              w5a AS (SELECT w4.a, w4.b, n_cell, n, ka, kb,
+                              CAST(ROUND(CAST(w AS DOUBLE) * (CAST(n AS DOUBLE) / ka / CAST(rs AS DOUBLE)), 8) AS DECIMAL(28,8)) AS w
+                       FROM w4 JOIN w5r USING (a)),
+              w5c AS (SELECT b, SUM(w) AS cs FROM w5a GROUP BY b),
+              w5 AS (SELECT w5a.a, w5a.b, n_cell, n, ka, kb,
+                             CAST(ROUND(CAST(w AS DOUBLE) * (CAST(n AS DOUBLE) / kb / CAST(cs AS DOUBLE)), 8) AS DECIMAL(28,8)) AS w
+                      FROM w5a JOIN w5c USING (b))
+         SELECT a, b, n_cell,
+                ROUND(CAST(w AS DOUBLE), 6) AS raked_weight,
+                ROUND(CAST(w AS DOUBLE) / n_cell, 6) AS row_weight
+         FROM w5 ORDER BY a, b""",
+
+    // nine exact HUGEINT moments in one pass; three correlations and
+    // the partial as one pinned double chain
+    "q_partial_corr" ->
+      """WITH b AS (SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+                           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+                           CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS z
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                      AND l_discount IS NOT NULL),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(z AS HUGEINT)) AS sz,
+                           SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy, SUM(CAST(z AS HUGEINT) * z) AS szz,
+                           SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * z) AS sxz, SUM(CAST(y AS HUGEINT) * z) AS syz
+                    FROM b),
+              c AS (SELECT n,
+                           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                                THEN CAST(n * sxy - sx * sy AS DOUBLE) / SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END AS rxy,
+                           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 AND CAST(n * szz - sz * sz AS DOUBLE) > 0
+                                THEN CAST(n * sxz - sx * sz AS DOUBLE) / SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE)) END AS rxz,
+                           CASE WHEN CAST(n * syy - sy * sy AS DOUBLE) > 0 AND CAST(n * szz - sz * sz AS DOUBLE) > 0
+                                THEN CAST(n * syz - sy * sz AS DOUBLE) / SQRT(CAST(n * syy - sy * sy AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE)) END AS ryz
+                    FROM m)
+         SELECT n, ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz, ROUND(ryz, 6) AS r_yz,
+                CASE WHEN rxy IS NOT NULL AND rxz IS NOT NULL AND ryz IS NOT NULL
+                          AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+                     THEN ROUND((rxy - rxz * ryz) / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+                END AS r_xy_given_z
+         FROM c""",
 
     // G = 2 Σ o·ln(o·n/(ra·rb)) over OBSERVED cells (0·ln0 = 0), 8dp
     // terms through decimal; dof from the marginal level counts

@@ -214,6 +214,113 @@ object StatsOps {
   }
 
   /**
+   * IPF / RAKING weights — iterative proportional fitting of cell
+   * weights so BOTH marginals hit uniform targets: the standard survey
+   * / training-mix balancer ("reweight the corpus so every language
+   * AND every source carries equal mass") when per-cell resampling
+   * would discard data a smooth weight can keep. `rounds` alternating
+   * row/column scalings (the classic Deming–Stephan sweep, geometric
+   * convergence); weights stay per-CELL — multiply a row's weight by
+   * `row_weight` downstream. Emits one row per observed (a, b) cell:
+   * (a, b, n_cell, raked_weight 6dp — the cell's total fitted mass,
+   * summing to n — and row_weight 6dp = raked/n_cell), ordered.
+   *
+   * Deterministic: cell counts exact; after every scaling the weight
+   * ROUNDS to 8dp into DECIMAL(28,8), so the per-row/per-column sums
+   * the next ratio divides by are exact decimal sums (k-way float-add
+   * order never touches a weight); ratios are single divisions.
+   *
+   * Scale: the corpus streams ONCE into the |A|×|B| observed-cell
+   * aggregate (bounded LEVELS are the contract, as for chi²); every
+   * round is two grid-sized aggregate+join passes on that bounded
+   * frame — at any corpus size the iteration cost is the grid's, not
+   * the data's.
+   */
+  def ipfRake(df: DataFrame, aCol: String, bCol: String,
+              rounds: Int = 5): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds in [1, 20], got $rounds")
+    val dw = org.apache.spark.sql.types.DecimalType(28, 8)
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n_cell"))
+    val tot = cells.agg(sum(col("n_cell")).as("__n"),
+      countDistinct(col("a")).as("__ka"), countDistinct(col("b")).as("__kb"))
+    val start = cells.crossJoin(broadcast(tot))
+      .withColumn("__w", col("n_cell").cast(dw))
+    val fitted = (1 to rounds).foldLeft(start) { (acc, _) =>
+      val rowS = acc.groupBy("a").agg(sum(col("__w")).as("__rs"))
+      val afterRows = acc.join(broadcast(rowS), "a")
+        .withColumn("__w",
+          round(col("__w").cast("double") *
+            (col("__n").cast("double") / col("__ka") /
+              col("__rs").cast("double")), 8).cast(dw))
+        .drop("__rs")
+      val colS = afterRows.groupBy("b").agg(sum(col("__w")).as("__cs"))
+      afterRows.join(broadcast(colS), "b")
+        .withColumn("__w",
+          round(col("__w").cast("double") *
+            (col("__n").cast("double") / col("__kb") /
+              col("__cs").cast("double")), 8).cast(dw))
+        .drop("__cs")
+    }
+    fitted.select(col("a"), col("b"), col("n_cell"),
+      round(col("__w").cast("double"), 6).as("raked_weight"),
+      round(col("__w").cast("double") / col("n_cell"), 6).as("row_weight"))
+      .orderBy("a", "b")
+  }
+
+  /**
+   * PARTIAL CORRELATION — the linear association of x and y with z
+   * HELD FIXED: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)),
+   * i.e. the correlation of the two OLS residuals after regressing
+   * each on z — the one-line confounder check before anyone reads
+   * `q_corr_regr`'s raw correlation causally ("price tracks quantity —
+   * or do both just track discount?"). Emits one row (n, r_xy, r_xz,
+   * r_yz, r_xy_given_z), 6dp; any degenerate leg (zero variance,
+   * |r·z| = 1) emits NULL for the partial.
+   *
+   * Deterministic: all nine moments are exact integer cents in
+   * DECIMAL(38,0) from ONE aggregation pass; the three correlations
+   * and the partial are one pinned double chain.
+   *
+   * Scale: a single partial-aggregating scan to one row — the
+   * reconcile shape at three columns.
+   */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+                  zCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(cents(col(xCol)).as("__x"),
+        cents(col(yCol)).as("__y"), cents(col(zCol)).as("__z"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__z").isNotNull)
+    val x = col("__x").cast(dec); val y = col("__y").cast(dec)
+    val z = col("__z").cast(dec)
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"), sum(z).as("sz"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(z * z).as("szz"),
+      sum(x * y).as("sxy"), sum(x * z).as("sxz"), sum(y * z).as("syz"))
+    val nD = col("n").cast(dec)
+    def corr(spq: Column, sp: Column, sq: Column, spp: Column,
+             sqq: Column): Column = {
+      val num = (nD * spq - sp * sq).cast("double")
+      val dp = (nD * spp - sp * sp).cast("double")
+      val dq = (nD * sqq - sq * sq).cast("double")
+      when(dp > 0 && dq > 0, num / sqrt(dp * dq))
+        .otherwise(lit(null).cast("double"))
+    }
+    val rxy = corr(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = corr(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = corr(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    val den = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    m.select(col("n"), round(rxy, 6).as("r_xy"), round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      when(rxy.isNotNull && rxz.isNotNull && ryz.isNotNull && den > 0,
+        round((rxy - rxz * ryz) / sqrt(den), 6))
+        .otherwise(lit(null).cast("double")).as("r_xy_given_z"))
+  }
+
+  /**
    * STANDARDIZED RESIDUALS per contingency cell — the drill-down behind
    * [[chiSquareIndependence]]'s single number: which (a, b) cells
    * actually drive the dependence, via (o − e)/√e per cell (|residual|

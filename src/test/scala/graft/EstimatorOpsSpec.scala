@@ -106,6 +106,41 @@ class EstimatorOpsSpec extends SparkSpec {
     rows(1).getAs[Long]("n_members") shouldBe 1L
   }
 
+  test("ipfRake drives both marginals uniform and preserves total mass") {
+    // skewed 2x2: after 5 sweeps each lang and each source should
+    // carry n/2 = 5 within the convergence grain
+    val df = (Seq.fill(6)(("en", "s1")) ++ Seq.fill(2)(("en", "s2")) ++
+      Seq.fill(1)(("de", "s1")) ++ Seq.fill(1)(("de", "s2")))
+      .toDF("lang", "src")
+    val out = StatsOps.ipfRake(df, "lang", "src", rounds = 5).collect()
+    val total = out.map(_.getAs[Double]("raked_weight")).sum
+    total shouldBe 10.0 +- 1e-4
+    val byLang = out.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Double]("raked_weight")).sum).toMap
+    byLang("en") shouldBe 5.0 +- 1e-3
+    byLang("de") shouldBe 5.0 +- 1e-3
+    val bySrc = out.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getAs[Double]("raked_weight")).sum).toMap
+    bySrc("s1") shouldBe 5.0 +- 1e-3
+    bySrc("s2") shouldBe 5.0 +- 1e-3
+  }
+
+  test("partialCorr: identity survives an independent z; collinear z " +
+    "NULLs the partial") {
+    val rows = Seq((1.0, 1.0, 0.0), (2.0, 2.0, 1.0), (3.0, 3.0, 0.0),
+      (4.0, 4.0, 1.0))
+    val r = StatsOps.partialCorr(rows.toDF("x", "y", "z"), "x", "y", "z")
+      .collect()(0)
+    r.getAs[Double]("r_xy") shouldBe 1.0 +- 1e-6
+    r.getAs[Double]("r_xy_given_z") shouldBe 1.0 +- 1e-3
+    // y == z exactly → r_yz = 1 → denominator 0 → NULL partial
+    val collinear = Seq((1.0, 0.0, 0.0), (2.0, 1.0, 1.0), (3.0, 0.0, 0.0),
+      (4.0, 1.0, 1.0))
+    val r2 = StatsOps.partialCorr(collinear.toDF("x", "y", "z"),
+      "x", "y", "z").collect()(0)
+    r2.isNullAt(r2.fieldIndex("r_xy_given_z")) shouldBe true
+  }
+
   test("itemCfTopK: duplicate lines in one basket count once") {
     val df = Seq((10L, 1L), (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L))
       .toDF("b", "i")

@@ -87,6 +87,8 @@ class PlanAuditSpec extends SparkSpec {
                              // against itself (src_a < src_b) — bounded
     "q_mutual_info",         // 1-row corpus-total broadcast (chi² shape)
     "q_g_test",              // chi²'s 1-row total + dof broadcasts
+    "q_ipf_rake",            // 1-row n/ka/kb broadcast over the bounded
+                             // cell grid (round joins are equi/hashed)
     "q_cramers_v",           // chi²'s 1-row total + dof broadcasts
     "q_cohen_kappa",         // two 1-row artifacts (diag, Σ ra·rb) joined
     "q_tcloseness",          // 1-row support-size/total broadcast over the
