@@ -2080,6 +2080,20 @@ object SparkEntry {
       graft.ops.TemporalOps.pettittTest(
         t(s, d, "events"), "ts", "value")),
 
+    // classical additive decomposition of the daily value series:
+    // centered 7-day trend, day-of-week seasonal, residual — the table
+    // behind q_seasonality_strength's single eta-squared
+    "q_seasonal_decompose" -> ((s, d) =>
+      graft.ops.TemporalOps.seasonalDecompose(
+        t(s, d, "events"), "ts", "value")),
+
+    // Granger-style lag test: does yesterday's click volume improve
+    // today's purchase forecast beyond yesterday's purchases — closed-
+    // form nested-OLS F off nine exact moments on the day grid
+    "q_granger_lite" -> ((s, d) =>
+      graft.ops.TemporalOps.grangerLite(
+        t(s, d, "events"), "ts", "event_type", "click", "purchase")),
+
     // log-rank test on time-to-first-purchase: do the two hash arms
     // convert at different speeds — users who never purchase are
     // right-censored at the corpus end; observed-vs-hypergeometric-
@@ -9972,6 +9986,93 @@ object SparkEntry {
                 ROUND(CAST(s - st AS DOUBLE) / (n - t) / 100.0, 6) AS mean_right,
                 ROUND(g_raw / 1e4, 6) AS gain
          FROM cand ORDER BY g_raw DESC, d ASC LIMIT 1""",
+
+    // additive decomposition: grid zeros are real observations; trend a
+    // 7-day centered exact-cents mean; seasonal means through micros
+    "q_seasonal_decompose" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
+                        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                        GROUP BY 1),
+              b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+              grid AS (SELECT CAST(unnest(generate_series(0,
+                         datediff('day', d0, d1))) AS BIGINT) AS idx FROM b),
+              s AS (SELECT g.idx,
+                           CAST((SELECT d0 FROM b) AS DATE) + CAST(g.idx AS INT) AS day,
+                           COALESCE(d.s, 0) AS s
+                    FROM grid g LEFT JOIN
+                      (SELECT datediff('day', (SELECT d0 FROM b), day) AS idx, s
+                       FROM daily) d USING (idx)),
+              t AS (SELECT idx, day, s,
+                           ROUND(CAST(s AS DOUBLE) / 100.0, 6) AS value,
+                           CASE WHEN COUNT(*) OVER w7 = 7
+                                THEN ROUND(CAST(SUM(s) OVER w7 AS DOUBLE) / 7.0 / 100.0, 6) END AS trend
+                    FROM s
+                    WINDOW w7 AS (ORDER BY idx ASC ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              t2 AS (SELECT *,
+                            CASE WHEN trend IS NOT NULL THEN ROUND(value - trend, 6) END AS detr,
+                            ((datediff('day', DATE '2024-01-01', day) % 7) + 7) % 7 AS dow
+                     FROM t),
+              se AS (SELECT dow,
+                            ROUND(CAST(SUM(CAST(CAST(detr AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE)
+                                  / COUNT(*) / 1e6, 6) AS seasonal
+                     FROM t2 WHERE detr IS NOT NULL GROUP BY dow)
+         SELECT day, value, trend, seasonal,
+                CASE WHEN trend IS NOT NULL AND seasonal IS NOT NULL
+                     THEN ROUND(value - trend - seasonal, 6) END AS residual
+         FROM t2 LEFT JOIN se USING (dow) ORDER BY day""",
+
+    // nested-OLS F in closed form off nine exact HUGEINT moments of
+    // (y, y1, x1) on the lag-joined day grid
+    "q_granger_lite" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+                        FROM events
+                        WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+                        GROUP BY 1),
+              b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+              grid AS (SELECT CAST(unnest(generate_series(0,
+                         datediff('day', d0, d1))) AS BIGINT) AS idx FROM b),
+              s AS (SELECT g.idx, COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+                    FROM grid g LEFT JOIN
+                      (SELECT datediff('day', (SELECT d0 FROM b), day) AS idx, x, y
+                       FROM daily) d USING (idx)),
+              l AS (SELECT a.y AS y, bb.y AS y1, bb.x AS x1
+                    FROM s a JOIN s bb ON a.idx = bb.idx + 1),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(y1 AS HUGEINT)) AS sy1,
+                           SUM(CAST(x1 AS HUGEINT)) AS sx1,
+                           SUM(CAST(y AS HUGEINT) * y) AS syy,
+                           SUM(CAST(y1 AS HUGEINT) * y1) AS sy1y1,
+                           SUM(CAST(x1 AS HUGEINT) * x1) AS sx1x1,
+                           SUM(CAST(y AS HUGEINT) * y1) AS syy1,
+                           SUM(CAST(y AS HUGEINT) * x1) AS syx1,
+                           SUM(CAST(y1 AS HUGEINT) * x1) AS sy1x1
+                    FROM l),
+              c AS (SELECT n,
+                           CASE WHEN CAST(n * syy - sy * sy AS DOUBLE) > 0 AND CAST(n * sy1y1 - sy1 * sy1 AS DOUBLE) > 0
+                                THEN CAST(n * syy1 - sy * sy1 AS DOUBLE) /
+                                     SQRT(CAST(n * syy - sy * sy AS DOUBLE) * CAST(n * sy1y1 - sy1 * sy1 AS DOUBLE)) END AS ra,
+                           CASE WHEN CAST(n * syy - sy * sy AS DOUBLE) > 0 AND CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE) > 0
+                                THEN CAST(n * syx1 - sy * sx1 AS DOUBLE) /
+                                     SQRT(CAST(n * syy - sy * sy AS DOUBLE) * CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE)) END AS rb,
+                           CASE WHEN CAST(n * sy1y1 - sy1 * sy1 AS DOUBLE) > 0 AND CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE) > 0
+                                THEN CAST(n * sy1x1 - sy1 * sx1 AS DOUBLE) /
+                                     SQRT(CAST(n * sy1y1 - sy1 * sy1 AS DOUBLE) * CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE)) END AS rc
+                    FROM m),
+              f2 AS (SELECT n, ra, rb, rc,
+                            (ra * ra + rb * rb - 2.0 * ra * rb * rc) / (1.0 - rc * rc) AS r2f,
+                            (ra IS NOT NULL AND rb IS NOT NULL AND rc IS NOT NULL
+                             AND 1.0 - rc * rc > 0 AND n > 3) AS ok
+                     FROM c)
+         SELECT n AS n_days_used,
+                CASE WHEN ra IS NOT NULL THEN ROUND(ra * ra, 6) END AS r2_restricted,
+                CASE WHEN ok THEN ROUND(r2f, 6) END AS r2_full,
+                CASE WHEN ok AND 1.0 - r2f > 0
+                     THEN ROUND(GREATEST(0.0, (r2f - ra * ra) * (n - 3) / (1.0 - r2f)), 6)
+                END AS f_stat
+         FROM f2""",
 
     // Pettitt: doubled mid-ranks of the daily means make U_t the exact
     // integer identity sum(r2, i<=t) - t(n+1) — no pair enumeration

@@ -899,6 +899,157 @@ object TemporalOps {
   }
 
   /**
+   * SEASONAL DECOMPOSITION of the daily value series — the classical
+   * additive split value = trend + seasonal + residual: trend is the
+   * CENTERED 7-day moving average (defined only where the full window
+   * exists), seasonal is the day-of-week mean of the detrended series,
+   * residual is what neither explains — the table behind
+   * `q_seasonality_strength`'s single η² ("Mondays run +2.3k above
+   * trend" instead of "the weekly cycle explains 40%"). Gap days enter
+   * as true zeros on the contiguous grid (the [[acf]] convention — a
+   * day with no rows is a real observation of a daily SUM). Emits one
+   * row per grid day: (day, value, trend, seasonal, residual), 6dp,
+   * ordered; the first/last 3 days carry NULL trend/residual.
+   *
+   * Deterministic: daily sums are exact cents; trend is one division
+   * of an exact 7-day decimal sum; the detrended values re-quantize to
+   * exact micros before the day-of-week mean (float-add order never
+   * crosses days); day-of-week is pure date arithmetic (an epoch-anchor
+   * datediff mod 7 — engine-native DOW numbering conventions differ).
+   *
+   * Scale: one day-grain aggregate + grid windows + a 7-row seasonal
+   * broadcast — the cusum shape; events never re-shuffle.
+   */
+  def seasonalDecompose(df: DataFrame, ts: String,
+                        valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = df.filter(col(ts).isNotNull)
+      .select(date_trunc("day", col(ts)).as("day"),
+        graft.ops.StatsOps.cents(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("day").agg(sum(col("__v").cast(dec)).as("__s"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val idxd = daily.crossJoin(broadcast(bounds))
+      .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+        col("__s"))
+    val grid = bounds
+      .select(col("d0"), explode(sequence(lit(0L),
+        datediff(col("d1"), col("d0")).cast("long"))).as("idx"))
+      .join(idxd, Seq("idx"), "left")
+      .select(col("idx"),
+        date_add(col("d0").cast("date"), col("idx").cast("int")).as("day"),
+        coalesce(col("__s"), lit(0).cast(dec)).as("__s"))
+    // unpartitioned window BOUND: contiguous day-grid rows
+    val w7 = Window.orderBy(col("idx").asc).rowsBetween(-3, 3)
+    val value = round(col("__s").cast("double") / 100.0, 6)
+    val withTrend = grid
+      .withColumn("value", value)
+      .withColumn("trend",
+        when(count(lit(1)).over(w7) === 7,
+          round(sum(col("__s")).over(w7).cast("double") / 7.0 / 100.0, 6)))
+      .withColumn("__detr",
+        when(col("trend").isNotNull, round(col("value") - col("trend"), 6)))
+      // engine-neutral day-of-week: datediff from a Monday anchor mod 7
+      .withColumn("__dow",
+        pmod(datediff(col("day"), to_date(lit("2024-01-01"))), lit(7)))
+    val seasonal = withTrend
+      .filter(col("__detr").isNotNull)
+      .select(col("__dow"),
+        (col("__detr").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          * 1000000).cast("long").as("__dm"))
+      .groupBy("__dow")
+      .agg(round(sum(col("__dm")).cast("double") / count(lit(1)) / 1e6, 6)
+        .as("seasonal"))
+    withTrend.join(broadcast(seasonal), Seq("__dow"), "left")
+      .select(col("day"), col("value"), col("trend"), col("seasonal"),
+        when(col("trend").isNotNull && col("seasonal").isNotNull,
+          round(col("value") - col("trend") - col("seasonal"), 6))
+          .as("residual"))
+      .orderBy("day")
+  }
+
+  /**
+   * GRANGER-STYLE lag test — "does YESTERDAY'S x volume improve today's
+   * y forecast beyond what yesterday's y already tells you": the
+   * predictive-direction readout behind [[crossCorrelation]]'s
+   * symmetric lead/lag peak. Fits y_t ~ y_{t−1} against
+   * y_t ~ y_{t−1} + x_{t−1} in CLOSED FORM (the two-predictor R²
+   * identity off pairwise correlations — no iterative fit), and reads
+   * the F statistic of the added regressor. Daily counts on the
+   * contiguous grid with gap days as true zeros (the [[acf]]
+   * convention). Emits one row (n_days_used, r2_restricted, r2_full,
+   * f_stat), 6dp; degenerate legs (constant series, collinear lags,
+   * n ≤ 3) emit NULLs. Association, not causation — the usual Granger
+   * caveat: it reads PREDICTIVE priority only.
+   *
+   * Deterministic: all nine moments of (y, y₁, x₁) are exact integer
+   * sums in DECIMAL(38,0) from one pass over the lag-joined grid; the
+   * correlations, R²s, and F are one pinned double chain.
+   *
+   * Scale: one day-grain conditional aggregate + a grid self-join on
+   * the shifted index + a 1-row reduce — day-count-sized everything.
+   */
+  def grangerLite(df: DataFrame, ts: String, typeCol: String,
+                  xType: String, yType: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = df
+      .filter(col(ts).isNotNull &&
+        (col(typeCol) === xType || col(typeCol) === yType))
+      .groupBy(date_trunc("day", col(ts)).as("day"))
+      .agg(sum(when(col(typeCol) === xType, 1L).otherwise(0L)).as("__x"),
+        sum(when(col(typeCol) === yType, 1L).otherwise(0L)).as("__y"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val idxd = daily.crossJoin(broadcast(bounds))
+      .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+        col("__x"), col("__y"))
+    val series = bounds
+      .select(explode(sequence(lit(0L),
+        datediff(col("d1"), col("d0")).cast("long"))).as("idx"))
+      .join(idxd, Seq("idx"), "left")
+      .select(col("idx"), coalesce(col("__x"), lit(0L)).cast(dec).as("x"),
+        coalesce(col("__y"), lit(0L)).cast(dec).as("y"))
+    val lagged = series.select(col("idx"), col("y"))
+      .join(series.select((col("idx") + 1).as("idx"), col("y").as("y1"),
+        col("x").as("x1")), "idx")
+    val m = lagged.agg(count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(col("y1")).as("sy1"),
+      sum(col("x1")).as("sx1"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("y1") * col("y1")).as("sy1y1"),
+      sum(col("x1") * col("x1")).as("sx1x1"),
+      sum(col("y") * col("y1")).as("syy1"),
+      sum(col("y") * col("x1")).as("syx1"),
+      sum(col("y1") * col("x1")).as("sy1x1"))
+    val nD = col("n").cast(dec)
+    def corr(spq: Column, sp: Column, sq: Column, spp: Column,
+             sqq: Column): Column = {
+      val num = (nD * spq - sp * sq).cast("double")
+      val dp = (nD * spp - sp * sp).cast("double")
+      val dq = (nD * sqq - sq * sq).cast("double")
+      when(dp > 0 && dq > 0, num / sqrt(dp * dq))
+        .otherwise(lit(null).cast("double"))
+    }
+    val ra = corr(col("syy1"), col("sy"), col("sy1"), col("syy"),
+      col("sy1y1")) // corr(y, y1)
+    val rb = corr(col("syx1"), col("sy"), col("sx1"), col("syy"),
+      col("sx1x1")) // corr(y, x1)
+    val rc = corr(col("sy1x1"), col("sy1"), col("sx1"), col("sy1y1"),
+      col("sx1x1")) // corr(y1, x1)
+    val r2r = ra * ra
+    val r2f = (ra * ra + rb * rb - lit(2.0) * ra * rb * rc) /
+      (lit(1.0) - rc * rc)
+    val ok = ra.isNotNull && rb.isNotNull && rc.isNotNull &&
+      (lit(1.0) - rc * rc) > 0 && col("n") > 3
+    val f = greatest(lit(0.0), (r2f - r2r) * (col("n") - 3).cast("double") /
+      (lit(1.0) - r2f))
+    m.select(col("n").as("n_days_used"),
+      when(ra.isNotNull, round(r2r, 6)).as("r2_restricted"),
+      when(ok, round(r2f, 6)).as("r2_full"),
+      when(ok && (lit(1.0) - r2f) > 0, round(f, 6))
+        .otherwise(lit(null).cast("double")).as("f_stat"))
+  }
+
+  /**
    * CROSS-CORRELATION between two event streams' daily counts — r_k for
    * lags −`maxLag`..+`maxLag`: does stream A LEAD stream B (marketing
    * clicks today → purchases in k days shows as a positive-lag peak), or

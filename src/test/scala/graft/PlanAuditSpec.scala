@@ -89,6 +89,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_g_test",              // chi²'s 1-row total + dof broadcasts
     "q_ipf_rake",            // 1-row n/ka/kb broadcast over the bounded
                              // cell grid (round joins are equi/hashed)
+    "q_seasonal_decompose",  // 1-row day-bounds broadcast over the day
+                             // grid (the acf shape)
+    "q_granger_lite",        // 1-row day-bounds broadcast; lag join is
+                             // the day-grid equi self-join
     "q_cramers_v",           // chi²'s 1-row total + dof broadcasts
     "q_cohen_kappa",         // two 1-row artifacts (diag, Σ ra·rb) joined
     "q_tcloseness",          // 1-row support-size/total broadcast over the
@@ -323,6 +327,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_log_rank",           // duration-day grid (the kaplan-meier shape)
     "q_nelson_aalen",       // duration-day grid (the kaplan-meier shape)
     "q_pettitt",            // day-grid rank + time windows
+    "q_seasonal_decompose", // day-grid 7-day centered window
     "q_wasserstein",        // dollar-binned support (the KS shape)
     "q_lorenz",             // cents histogram — value-range-bounded
     "q_mann_whitney",       // distributed-rank kernel bucket grid

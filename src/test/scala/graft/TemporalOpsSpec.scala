@@ -445,4 +445,57 @@ class TemporalOpsSpec extends SparkSpec {
         "click", "purchase", maxLag = 1)
       .filter(col("xcf").isNotNull).count() shouldBe 0L
   }
+
+  test("seasonalDecompose: constant series has zero seasonal and residual") {
+    val df = (0 until 14).map { d =>
+      (s"2024-02-${"%02d".format(d + 1)} 10:00:00", 100.0)
+    }.toDF("ts_s", "v").withColumn("ts", col("ts_s").cast("timestamp"))
+    val rows = TemporalOps.seasonalDecompose(df, "ts", "v")
+      .collect()
+    rows.length shouldBe 14
+    // interior days: trend = value = 100, seasonal = residual = 0
+    val interior = rows.filter(!_.isNullAt(2))
+    interior.length shouldBe 8
+    interior.foreach { r =>
+      r.getAs[Double]("trend") shouldBe 100.0 +- 1e-9
+      r.getAs[Double]("seasonal") shouldBe 0.0 +- 1e-9
+      r.getAs[Double]("residual") shouldBe 0.0 +- 1e-9
+    }
+    // edge days carry NULL trend/residual but still get a seasonal
+    rows.take(3).foreach(r => r.isNullAt(2) shouldBe true)
+  }
+
+  test("seasonalDecompose: value = trend + seasonal + residual identity") {
+    val df = (0 until 21).map { d =>
+      val dow = d % 7
+      (s"2024-02-${"%02d".format(d + 1)} 10:00:00", 100.0 + dow * 10.0)
+    }.toDF("ts_s", "v").withColumn("ts", col("ts_s").cast("timestamp"))
+    TemporalOps.seasonalDecompose(df, "ts", "v")
+      .filter(col("residual").isNotNull).collect().foreach { r =>
+        val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+          r.getAs[Double]("residual")
+        recon shouldBe r.getAs[Double]("value") +- 1e-5
+      }
+  }
+
+  test("grangerLite: a perfect one-day lead gives r2_full 1 vs tiny r2_r") {
+    // x follows an irregular deterministic sequence (so its own lag-1
+    // autocorrelation is weak); y = exactly yesterday's x — lag-1 x
+    // predicts y perfectly while y's own lag explains little
+    def xOf(d: Int): Int = (d * d * 31) % 7 + 1
+    val rows = (0 until 20).flatMap { d =>
+      val day = f"2024-02-${d + 1}%02d"
+      val xs = Seq.fill(xOf(d))((s"$day 09:00:00", "click"))
+      val ys = Seq.fill(if (d == 0) 0 else xOf(d - 1))(
+        (s"$day 10:00:00", "purchase"))
+      xs ++ ys
+    }
+    val df = rows.toDF("ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val r = TemporalOps.grangerLite(df, "ts", "event_type",
+      "click", "purchase").collect()(0)
+    r.getAs[Double]("r2_full") shouldBe 1.0 +- 1e-6
+    // the restricted fit (y on its own lag) is far from perfect
+    r.getAs[Double]("r2_restricted") should be < 0.9
+  }
 }
