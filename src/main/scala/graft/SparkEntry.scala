@@ -2094,6 +2094,39 @@ object SparkEntry {
       graft.ops.TemporalOps.grangerLite(
         t(s, d, "events"), "ts", "event_type", "click", "purchase")),
 
+    // Mantel-Haenszel pooled odds ratio across line-number strata, with
+    // the RBG confidence interval and VanderWeele's E-value — the
+    // Simpson-proof stratified 2x2 beside q_odds_ratio's pooled table
+    "q_mantel_haenszel" -> ((s, d) =>
+      graft.ops.StatsOps.mantelHaenszelOr(
+        t(s, d, "lineitem")
+          .withColumn("disc", col("l_discount") > 0.05)
+          .withColumn("ret", col("l_returnflag") === "R"),
+        "l_linenumber", "disc", "ret")),
+
+    // Qini uplift curve: per activity-score decile, the cumulative
+    // incremental conversions the treated hash arm shows over control —
+    // the curve an uplift model is judged on, deciles off the NTILE
+    // kernel (no single-task sort)
+    "q_qini" -> ((s, d) => {
+      val users = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("score"),
+          // "heavy buyer" conversion (>= 14 purchases — above the
+          // fixture median) so both outcomes carry real mass; an
+          // any-purchase definition converts ~everyone and flattens
+          // the curve to zero
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 14).as("converted"))
+        .withColumn("treated",
+          pmod(graft.ext.TextOps.fingerprint60(
+            concat(col("user_id").cast("string"), lit(":ab"))),
+            lit(2L)) === 0L)
+      graft.ops.StatsOps.qiniCurve(users, "score", "user_id",
+        "treated", "converted")
+    }),
+
     // log-rank test on time-to-first-purchase: do the two hash arms
     // convert at different speeds — users who never purchase are
     // right-censored at the corpus end; observed-vs-hypergeometric-
@@ -9986,6 +10019,83 @@ object SparkEntry {
                 ROUND(CAST(s - st AS DOUBLE) / (n - t) / 100.0, 6) AS mean_right,
                 ROUND(g_raw / 1e4, 6) AS gain
          FROM cand ORDER BY g_raw DESC, d ASC LIMIT 1""",
+
+    // MH terms r/s/p/q as single divisions of exact cell counts rounded
+    // 8dp into decimal sums; RBG variance and the E-value on one row
+    "q_mantel_haenszel" ->
+      """WITH b AS (SELECT l_linenumber AS s, (l_discount > 0.05) AS e, (l_returnflag = 'R') AS o
+                    FROM lineitem
+                    WHERE l_linenumber IS NOT NULL AND l_discount IS NOT NULL
+                      AND l_returnflag IS NOT NULL),
+              cells AS (SELECT s,
+                               CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                               CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+                               CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                               CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+                        FROM b GROUP BY s),
+              terms AS (SELECT
+                          CAST(ROUND(CAST(a AS DOUBLE) * d / CAST(a + bb + c + d AS DOUBLE), 8) AS DECIMAL(24,8)) AS r,
+                          CAST(ROUND(CAST(bb AS DOUBLE) * c / CAST(a + bb + c + d AS DOUBLE), 8) AS DECIMAL(24,8)) AS ss,
+                          CAST(ROUND((CAST(a AS DOUBLE) * d / CAST(a + bb + c + d AS DOUBLE))
+                                     * (CAST(a + d AS DOUBLE) / CAST(a + bb + c + d AS DOUBLE)), 8) AS DECIMAL(24,8)) AS pr,
+                          CAST(ROUND((CAST(a AS DOUBLE) * d / CAST(a + bb + c + d AS DOUBLE))
+                                     * (CAST(bb + c AS DOUBLE) / CAST(a + bb + c + d AS DOUBLE))
+                                     + (CAST(bb AS DOUBLE) * c / CAST(a + bb + c + d AS DOUBLE))
+                                     * (CAST(a + d AS DOUBLE) / CAST(a + bb + c + d AS DOUBLE)), 8) AS DECIMAL(24,8)) AS psqr,
+                          CAST(ROUND((CAST(bb AS DOUBLE) * c / CAST(a + bb + c + d AS DOUBLE))
+                                     * (CAST(bb + c AS DOUBLE) / CAST(a + bb + c + d AS DOUBLE)), 8) AS DECIMAL(24,8)) AS qs
+                        FROM cells),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                           SUM(r) AS sr, SUM(ss) AS sss,
+                           SUM(pr) AS spr, SUM(psqr) AS spsqr, SUM(qs) AS sqs
+                    FROM terms),
+              e AS (SELECT n_strata,
+                           CAST(sr AS DOUBLE) AS srd, CAST(sss AS DOUBLE) AS ssd,
+                           CAST(sr AS DOUBLE) / CAST(sss AS DOUBLE) AS ormh,
+                           CAST(spr AS DOUBLE) / (2.0 * CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                             + CAST(spsqr AS DOUBLE) / (2.0 * CAST(sr AS DOUBLE) * CAST(sss AS DOUBLE))
+                             + CAST(sqs AS DOUBLE) / (2.0 * CAST(sss AS DOUBLE) * CAST(sss AS DOUBLE)) AS varln
+                    FROM m),
+              f AS (SELECT *, CASE WHEN ormh >= 1.0 THEN ormh ELSE 1.0 / ormh END AS rr FROM e)
+         SELECT n_strata,
+                CASE WHEN srd > 0 AND ssd > 0 THEN ROUND(ormh, 6) END AS or_mh,
+                CASE WHEN srd > 0 AND ssd > 0 AND varln >= 0
+                     THEN ROUND(EXP(LN(ormh) - 1.96 * SQRT(varln)), 6) END AS or_lo,
+                CASE WHEN srd > 0 AND ssd > 0 AND varln >= 0
+                     THEN ROUND(EXP(LN(ormh) + 1.96 * SQRT(varln)), 6) END AS or_hi,
+                CASE WHEN srd > 0 AND ssd > 0
+                     THEN ROUND(CASE WHEN rr > 1.0 THEN rr + SQRT(rr * (rr - 1.0)) ELSE 1.0 END, 6)
+                END AS e_value
+         FROM f""",
+
+    // NTILE in the oracle mirrors the engine's distributed kernel
+    // (row-identical by contract); everything after is decile-sized
+    "q_qini" ->
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
+                           (SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14) AS converted,
+                           (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT) % 2 = 0) AS treated
+                    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                    GROUP BY user_id),
+              tiled AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY CAST(score AS DOUBLE) DESC, user_id ASC) AS BIGINT) AS decile
+                        FROM u),
+              per AS (SELECT decile,
+                             CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+                             CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+                             CAST(SUM(CASE WHEN treated AND converted THEN 1 ELSE 0 END) AS BIGINT) AS conv_treated,
+                             CAST(SUM(CASE WHEN NOT treated AND converted THEN 1 ELSE 0 END) AS BIGINT) AS conv_control
+                      FROM tiled GROUP BY decile),
+              cum AS (SELECT *,
+                             CAST(SUM(conv_treated) OVER wc AS BIGINT) AS ct,
+                             CAST(SUM(conv_control) OVER wc AS BIGINT) AS cc,
+                             CAST(SUM(n_treated) OVER wc AS BIGINT) AS nt,
+                             CAST(SUM(n_control) OVER wc AS BIGINT) AS nc
+                      FROM per
+                      WINDOW wc AS (ORDER BY decile ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT decile, n_treated, n_control, conv_treated, conv_control,
+                CASE WHEN nc > 0
+                     THEN ROUND(CAST(ct AS DOUBLE) - CAST(cc AS DOUBLE) * nt / nc, 6)
+                END AS qini
+         FROM cum ORDER BY decile""",
 
     // additive decomposition: grid zeros are real observations; trend a
     // 7-day centered exact-cents mean; seasonal means through micros

@@ -1108,6 +1108,136 @@ object StatsOps {
   }
 
   /**
+   * MANTEL–HAENSZEL pooled odds ratio — the stratified 2×2 readout:
+   * one odds ratio ACROSS strata, each stratum contributing by its own
+   * size, immune to the Simpson's inversion a pooled-table
+   * `oddsRatio` walks into when exposure and outcome both vary by
+   * stratum. OR_MH = Σᵢ aᵢdᵢ/nᵢ / Σᵢ bᵢcᵢ/nᵢ, with the
+   * Robins–Breslow–Greenland variance for the CI (valid under both
+   * sparse-strata and large-strata asymptotics — the reason it
+   * displaced the Woolf weights). Also emits VanderWeele's E-VALUE —
+   * the minimum strength of unmeasured confounding (on the risk-ratio
+   * scale) that could explain the association away: the one-number
+   * sensitivity analysis every observational readout should ship with.
+   * Emits one row (n_strata, or_mh, or_lo, or_hi, e_value), 6dp;
+   * zero-mass denominators emit NULLs.
+   *
+   * Deterministic: per-stratum cell counts exact; the P/Q/R/S terms
+   * are divisions of exact integers rounded 8dp into decimal sums; the
+   * final OR/CI/E chain is pinned doubles on one row.
+   *
+   * Scale: one conditional-aggregation pass to |strata| rows + a
+   * strata-row reduce — the welch shape per stratum.
+   */
+  def mantelHaenszelOr(df: DataFrame, stratumCol: String, exposedCol: String,
+                       outcomeCol: String): DataFrame = {
+    val dterm = org.apache.spark.sql.types.DecimalType(24, 8)
+    val base = df.select(col(stratumCol).as("__s"),
+        col(exposedCol).cast("boolean").as("__e"),
+        col(outcomeCol).cast("boolean").as("__o"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__o").isNotNull)
+    val cells = base.groupBy("__s").agg(
+      sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)).as("d"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    def t8(c: Column) = round(c, 8).cast(dterm)
+    val terms = cells.select(
+      t8(col("a").cast("double") * col("d") / n).as("__r"),
+      t8(col("b").cast("double") * col("c") / n).as("__sS"),
+      t8((col("a").cast("double") * col("d") / n) *
+        ((col("a") + col("d")).cast("double") / n)).as("__pr"),
+      t8((col("a").cast("double") * col("d") / n) *
+        ((col("b") + col("c")).cast("double") / n) +
+        (col("b").cast("double") * col("c") / n) *
+          ((col("a") + col("d")).cast("double") / n)).as("__psqr"),
+      t8((col("b").cast("double") * col("c") / n) *
+        ((col("b") + col("c")).cast("double") / n)).as("__qs"))
+    val m = terms.agg(count(lit(1)).as("n_strata"),
+      sum(col("__r")).as("sr"), sum(col("__sS")).as("ss"),
+      sum(col("__pr")).as("spr"), sum(col("__psqr")).as("spsqr"),
+      sum(col("__qs")).as("sqs"))
+    val srD = col("sr").cast("double"); val ssD = col("ss").cast("double")
+    val orMh = srD / ssD
+    val varLn = col("spr").cast("double") / (lit(2.0) * srD * srD) +
+      col("spsqr").cast("double") / (lit(2.0) * srD * ssD) +
+      col("sqs").cast("double") / (lit(2.0) * ssD * ssD)
+    val ok = srD > 0 && ssD > 0
+    val seLn = sqrt(varLn)
+    // E-value on the OR treated as a risk ratio (rare-outcome reading):
+    // flip below 1 so the scale is symmetric
+    val rr = when(orMh >= 1.0, orMh).otherwise(lit(1.0) / orMh)
+    val ev = when(rr > 1.0, rr + sqrt(rr * (rr - 1.0))).otherwise(lit(1.0))
+    m.select(col("n_strata"),
+      when(ok, round(orMh, 6)).otherwise(lit(null).cast("double"))
+        .as("or_mh"),
+      when(ok && varLn >= 0, round(exp(log(orMh) - lit(1.96) * seLn), 6))
+        .otherwise(lit(null).cast("double")).as("or_lo"),
+      when(ok && varLn >= 0, round(exp(log(orMh) + lit(1.96) * seLn), 6))
+        .otherwise(lit(null).cast("double")).as("or_hi"),
+      when(ok, round(ev, 6)).otherwise(lit(null).cast("double"))
+        .as("e_value"))
+  }
+
+  /**
+   * QINI / UPLIFT curve — the causal twin of the gains curve: rank the
+   * population by a targeting score, and per score decile read the
+   * CUMULATIVE incremental conversions the treated arm shows over the
+   * control arm scaled to the treated volume — Qini(k) = convT(k) −
+   * convC(k)·nT(k)/nC(k). A model can have a great ROC and a flat Qini
+   * (it finds converters, not PERSUADABLES); this is the curve an
+   * uplift/targeting model is actually judged on. Deciles come from
+   * the distributed NTILE kernel (exact SQL-NTILE semantics, no
+   * single-task sort). Emits one row per decile: (decile, n_treated,
+   * n_control, conv_treated, conv_control, qini 6dp), cumulative,
+   * ordered.
+   *
+   * Deterministic: decile assignment is the kernel's exact rank
+   * arithmetic on a (score desc, key asc) total order; all counts
+   * exact; qini is one double chain per decile row.
+   *
+   * Scale: the kernel's probe + bucketed windows over the unit frame,
+   * one decile aggregate, a 10-row cumulative window — unit-frame
+   * sized once, decile-sized after.
+   */
+  def qiniCurve(df: DataFrame, scoreCol: String, keyCol: String,
+                treatedCol: String, convertedCol: String,
+                bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins in [2, 100], got $bins")
+    val base = df.select(col(scoreCol).cast("double").as("__sc"),
+        col(keyCol).as("__k"), col(treatedCol).cast("boolean").as("__t"),
+        col(convertedCol).cast("boolean").as("__c"))
+      .filter(col("__sc").isNotNull && col("__k").isNotNull &&
+        col("__t").isNotNull && col("__c").isNotNull)
+    val tiled = distributedNtile(base, bins, "__sc", desc = true,
+      tieCol = "__k", outCol = "decile")
+    val per = tiled.groupBy("decile").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("n_treated"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("n_control"),
+      sum(when(col("__t") && col("__c"), 1L).otherwise(0L))
+        .as("conv_treated"),
+      sum(when(!col("__t") && col("__c"), 1L).otherwise(0L))
+        .as("conv_control"))
+    // unpartitioned window BOUND: ≤bins decile rows
+    val wCum = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    per
+      .withColumn("__ct", sum(col("conv_treated")).over(wCum))
+      .withColumn("__cc", sum(col("conv_control")).over(wCum))
+      .withColumn("__nt", sum(col("n_treated")).over(wCum))
+      .withColumn("__nc", sum(col("n_control")).over(wCum))
+      .select(col("decile"), col("n_treated"), col("n_control"),
+        col("conv_treated"), col("conv_control"),
+        when(col("__nc") > 0,
+          round(col("__ct").cast("double") - col("__cc").cast("double") *
+            col("__nt") / col("__nc"), 6))
+          .otherwise(lit(null).cast("double")).as("qini"))
+      .orderBy("decile")
+  }
+
+  /**
    * KAPLAN–MEIER survival estimator — the right-censoring-aware
    * lifetime curve: S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over the observed
    * event times, where censored units (still alive when observation

@@ -141,6 +141,38 @@ class EstimatorOpsSpec extends SparkSpec {
     r2.isNullAt(r2.fieldIndex("r_xy_given_z")) shouldBe true
   }
 
+  test("mantelHaenszelOr pools strata with a common OR exactly") {
+    // stratum 1: (10,5,5,10), stratum 2: (4,2,2,4) — both OR = 4
+    def cells(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    val df = (cells("s1", 10, 5, 5, 10) ++ cells("s2", 4, 2, 2, 4))
+      .toDF("st", "e", "o")
+    val r = StatsOps.mantelHaenszelOr(df, "st", "e", "o").collect()(0)
+    r.getLong(0) shouldBe 2L
+    r.getAs[Double]("or_mh") shouldBe 4.0 +- 1e-6
+    r.getAs[Double]("e_value") shouldBe (4.0 + math.sqrt(12.0)) +- 1e-6
+    r.getAs[Double]("or_lo") should be < 4.0
+    r.getAs[Double]("or_hi") should be > 4.0
+  }
+
+  test("mantelHaenszelOr: an all-exposed table emits NULLs") {
+    val df = Seq(("s1", true, true), ("s1", true, false)).toDF("st", "e", "o")
+    val r = StatsOps.mantelHaenszelOr(df, "st", "e", "o").collect()(0)
+    r.isNullAt(r.fieldIndex("or_mh")) shouldBe true
+  }
+
+  test("qiniCurve cumulates incremental conversions by score bin") {
+    val df = Seq((4.0, 1L, true, true), (3.0, 2L, false, false),
+      (2.0, 3L, true, false), (1.0, 4L, false, true))
+      .toDF("score", "k", "t", "c")
+    val rows = StatsOps.qiniCurve(df, "score", "k", "t", "c", bins = 2)
+      .collect()
+    rows.length shouldBe 2
+    rows(0).getAs[Double]("qini") shouldBe 1.0 +- 1e-9 // top bin: +1
+    rows(1).getAs[Double]("qini") shouldBe 0.0 +- 1e-9 // full population
+  }
+
   test("itemCfTopK: duplicate lines in one basket count once") {
     val df = Seq((10L, 1L), (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L))
       .toDF("b", "i")

@@ -327,6 +327,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_log_rank",           // duration-day grid (the kaplan-meier shape)
     "q_nelson_aalen",       // duration-day grid (the kaplan-meier shape)
     "q_pettitt",            // day-grid rank + time windows
+    "q_qini",               // ≤10 decile rows cumulated (deciles ride
+                            // the NTILE kernel's partitioned windows)
     "q_seasonal_decompose", // day-grid 7-day centered window
     "q_wasserstein",        // dollar-binned support (the KS shape)
     "q_lorenz",             // cents histogram — value-range-bounded
