@@ -2080,6 +2080,13 @@ object SparkEntry {
       graft.ops.TemporalOps.pettittTest(
         t(s, d, "events"), "ts", "value")),
 
+    // Mann-Kendall monotone-trend test on the daily value series: the
+    // significance companion to q_theil_sen's robust slope — exact
+    // integer S over the day-pair triangle, tie-corrected z
+    "q_mann_kendall" -> ((s, d) =>
+      graft.ops.TemporalOps.mannKendall(
+        t(s, d, "events"), "ts", "value")),
+
     // classical additive decomposition of the daily value series:
     // centered 7-day trend, day-of-week seasonal, residual — the table
     // behind q_seasonality_strength's single eta-squared
@@ -10096,6 +10103,32 @@ object SparkEntry {
                      THEN ROUND(CAST(ct AS DOUBLE) - CAST(cc AS DOUBLE) * nt / nc, 6)
                 END AS qini
          FROM cum ORDER BY decile""",
+
+    // S over the day-pair triangle (quadratic in DAYS, the theil_sen
+    // shape); tie-corrected variance, continuity-corrected z
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+                               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
+                        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                        GROUP BY 1),
+              p AS (SELECT CAST(SUM(CAST(SIGN(CAST(b.s - a.s AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_stat
+                    FROM daily a JOIN daily b ON a.d < b.d),
+              t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(CAST(t AS HUGEINT) * (t - 1) * (t * 2 + 5)) AS tiemass
+                    FROM (SELECT s, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY s)),
+              v AS (SELECT s_stat, n,
+                           CAST(CAST(n AS HUGEINT) * (n - 1) * (n * 2 + 5) - tiemass AS DOUBLE) / 18.0 AS vars
+                    FROM p CROSS JOIN t WHERE n > 1)
+         SELECT n AS n_days, s_stat,
+                CASE WHEN vars > 0
+                     THEN ROUND(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / SQRT(vars)
+                                     WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / SQRT(vars)
+                                     ELSE 0.0 END, 6)
+                END AS z,
+                CASE WHEN s_stat > 0 THEN 'increasing'
+                     WHEN s_stat < 0 THEN 'decreasing'
+                     ELSE 'none' END AS direction
+         FROM v""",
 
     // additive decomposition: grid zeros are real observations; trend a
     // 7-day centered exact-cents mean; seasonal means through micros

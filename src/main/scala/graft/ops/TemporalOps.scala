@@ -725,6 +725,58 @@ object TemporalOps {
   }
 
   /**
+   * MANN–KENDALL trend test — "is the daily series monotonically
+   * drifting, and is the drift significant": S = Σ_{i<j} sgn(y_j −
+   * y_i) over the day series with the tie-corrected normal
+   * approximation — the SIGNIFICANCE companion to [[theilSenSlope]]'s
+   * robust slope (Sen tells you how steep, MK whether to believe it;
+   * they are the standard pair). Emits one row (n_days, s_stat, z,
+   * direction ∈ increasing | decreasing | none) — z uses the
+   * continuity correction (S∓1)/√Var, 6dp; series shorter than 2 days
+   * emit no row, zero variance emits NULL z.
+   *
+   * Deterministic: daily totals are exact cents; S and the tie mass
+   * Σt(t−1)(2t+5) are exact integers; z is one double chain.
+   *
+   * Scale: one day-grain aggregate + a day×day triangular self-join —
+   * quadratic in DAYS (the [[theilSenSlope]] shape), never in data;
+   * the events shuffle once into the daily aggregate.
+   */
+  def mannKendall(df: DataFrame, ts: String, valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = df
+      .filter(col(ts).isNotNull)
+      .select(date_trunc("day", col(ts)).as("__d"),
+        graft.ops.StatsOps.cents(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__d")).agg(sum(col("__v").cast(dec)).as("__s"))
+    val pairs = daily.select(col("__d").as("__da"), col("__s").as("__sa"))
+      .join(daily.select(col("__d").as("__db"), col("__s").as("__sb")),
+        col("__da") < col("__db"))
+      .agg(sum(signum((col("__sb") - col("__sa")).cast("double"))
+        .cast("long")).as("s_stat"))
+    val ties = daily.groupBy("__s").agg(count(lit(1)).as("__t"))
+      .agg(count(lit(1)).as("__groups"), sum(col("__t")).as("__n"),
+        sum(col("__t").cast(dec) * (col("__t") - 1).cast(dec) *
+          (col("__t") * 2 + 5).cast(dec)).as("__tiemass"))
+    val out = pairs.crossJoin(broadcast(ties))
+    val nD = col("__n").cast(dec)
+    val varS = (nD * (col("__n") - 1).cast(dec) *
+      (col("__n") * 2 + 5).cast(dec) - col("__tiemass")).cast("double") / 18.0
+    val sD = col("s_stat").cast("double")
+    val zRaw = when(col("s_stat") > 0, (sD - 1.0) / sqrt(varS))
+      .when(col("s_stat") < 0, (sD + 1.0) / sqrt(varS))
+      .otherwise(lit(0.0))
+    out.filter(col("__n") > 1)
+      .select(col("__n").as("n_days"), col("s_stat"),
+        when(varS > 0, round(zRaw, 6))
+          .otherwise(lit(null).cast("double")).as("z"),
+        when(col("s_stat") > 0, "increasing")
+          .when(col("s_stat") < 0, "decreasing")
+          .otherwise("none").as("direction"))
+  }
+
+  /**
    * PETTITT TEST — the nonparametric changepoint: where
    * [[changepointMean]] fits the best mean-shift by squared error
    * (outlier-draggable, scale-dependent), Pettitt asks the rank

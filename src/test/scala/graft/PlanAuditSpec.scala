@@ -103,6 +103,8 @@ class PlanAuditSpec extends SparkSpec {
                              // — quadratic in DAYS, not data; bounded
     "q_theil_sen",           // same day×day triangular join (i < j) + 1-row
                              // min-day and day-count broadcasts
+    "q_mann_kendall",        // theil_sen's day×day triangle + a 1-row
+                             // tie-mass broadcast
     "q_cuped",               // 1-row time-midpoint + 1-row pooled-moment
                              // broadcasts (the experiment-readout shape)
     "q_chi_residuals",       // chi²'s marginal grid (ra×rb, |levels|²-

@@ -498,4 +498,24 @@ class TemporalOpsSpec extends SparkSpec {
     // the restricted fit (y on its own lag) is far from perfect
     r.getAs[Double]("r2_restricted") should be < 0.9
   }
+
+  test("mannKendall: monotone series maxes S; constant series NULLs z") {
+    val up = (0 until 8).map { d =>
+      (s"2024-04-${"%02d".format(d + 1)} 09:00:00", 10.0 + d)
+    }.toDF("ts_s", "v").withColumn("ts", col("ts_s").cast("timestamp"))
+    val r = TemporalOps.mannKendall(up, "ts", "v").collect()(0)
+    r.getLong(0) shouldBe 8L
+    r.getLong(1) shouldBe 28L // n(n-1)/2, every pair concordant
+    r.getString(3) shouldBe "increasing"
+    // z = (S-1)/sqrt(n(n-1)(2n+5)/18) with no ties
+    val expZ = 27.0 / math.sqrt(8.0 * 7 * 21 / 18.0)
+    r.getAs[Double]("z") shouldBe expZ +- 1e-6
+    val const = (0 until 5).map { d =>
+      (s"2024-04-${"%02d".format(d + 1)} 09:00:00", 7.0)
+    }.toDF("ts_s", "v").withColumn("ts", col("ts_s").cast("timestamp"))
+    val rc = TemporalOps.mannKendall(const, "ts", "v").collect()(0)
+    rc.getLong(1) shouldBe 0L
+    rc.isNullAt(2) shouldBe true
+    rc.getString(3) shouldBe "none"
+  }
 }
