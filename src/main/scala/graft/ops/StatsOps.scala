@@ -246,28 +246,46 @@ object StatsOps {
       .agg(count(lit(1)).as("n_cell"))
     val tot = cells.agg(sum(col("n_cell")).as("__n"),
       countDistinct(col("a")).as("__ka"), countDistinct(col("b")).as("__kb"))
-    val start = cells.crossJoin(broadcast(tot))
-      .withColumn("__w", col("n_cell").cast(dw))
-    val fitted = (1 to rounds).foldLeft(start) { (acc, _) =>
-      val rowS = acc.groupBy("a").agg(sum(col("__w")).as("__rs"))
-      val afterRows = acc.join(broadcast(rowS), "a")
+    // per-round persist/rebase (the kCoreBounded discipline): a lazy
+    // foldLeft would nest each round's TWO aggregate branches over the
+    // whole prefix plan — ~2^rounds re-evaluations of the corpus scan.
+    // The grid is bounded, so materializing it per round costs ~nothing
+    // and every round reads a LogicalRDD leaf.
+    def materializeCut(df: DataFrame)
+        : (DataFrame, org.apache.spark.sql.Dataset[_]) = {
+      val p = df.persist()
+      p.count()
+      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+    }
+    var (cur, handle) = materializeCut(
+      cells.crossJoin(broadcast(tot)).withColumn("__w", col("n_cell").cast(dw)))
+    for (_ <- 1 to rounds) {
+      val rowS = cur.groupBy("a").agg(sum(col("__w")).as("__rs"))
+      val afterRows = cur.join(broadcast(rowS), "a")
         .withColumn("__w",
           round(col("__w").cast("double") *
             (col("__n").cast("double") / col("__ka") /
               col("__rs").cast("double")), 8).cast(dw))
         .drop("__rs")
       val colS = afterRows.groupBy("b").agg(sum(col("__w")).as("__cs"))
-      afterRows.join(broadcast(colS), "b")
+      val next = afterRows.join(broadcast(colS), "b")
         .withColumn("__w",
           round(col("__w").cast("double") *
             (col("__n").cast("double") / col("__kb") /
               col("__cs").cast("double")), 8).cast(dw))
         .drop("__cs")
+      val (nextCut, nextHandle) = materializeCut(next)
+      handle.unpersist(blocking = false)
+      cur = nextCut
+      handle = nextHandle
     }
-    fitted.select(col("a"), col("b"), col("n_cell"),
-      round(col("__w").cast("double"), 6).as("raked_weight"),
-      round(col("__w").cast("double") / col("n_cell"), 6).as("row_weight"))
+    val out = cur.select(col("a"), col("b"), col("n_cell"),
+        round(col("__w").cast("double"), 6).as("raked_weight"),
+        round(col("__w").cast("double") / col("n_cell"), 6).as("row_weight"))
       .orderBy("a", "b")
+      .localCheckpoint()
+    handle.unpersist(blocking = false)
+    out
   }
 
   /**
