@@ -2222,6 +2222,13 @@ object SparkEntry {
         t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
         "vbin", "event_type", "purchase", "view")),
 
+    // Page's trend test: within 7-line orders, do later line positions
+    // carry systematically larger quantities — the ordered-alternative
+    // Friedman, one degree of freedom on the hypothesized order
+    "q_page_trend" -> ((s, d) =>
+      graft.ops.StatsOps.pageTrend(t(s, d, "lineitem"),
+        "l_orderkey", "l_linenumber", "l_quantity")),
+
     // Friedman test: do event types rank the same WITHIN each day —
     // the repeated-measures rank ANOVA where kruskal-wallis would let
     // day-to-day volume drift masquerade as a type effect
@@ -10452,6 +10459,40 @@ object SparkEntry {
                      WHEN ABS(delta) < 0.33 THEN 'small'
                      WHEN ABS(delta) < 0.474 THEN 'medium'
                      ELSE 'large' END AS magnitude
+         FROM e""",
+
+    // Page's L: 2L = sum j*R2_j exact; classical no-ties moments for z
+    "q_page_trend" ->
+      """WITH base AS (SELECT l_orderkey AS blk, l_linenumber AS trt,
+                               CAST(l_quantity AS DOUBLE) AS v
+                        FROM lineitem
+                        WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+                          AND l_quantity IS NOT NULL),
+              kk AS (SELECT CAST(COUNT(DISTINCT trt) AS BIGINT) AS k FROM base),
+              complete AS (SELECT b.* FROM base b CROSS JOIN kk
+                           QUALIFY COUNT(*) OVER (PARTITION BY blk) = k),
+              ranked AS (SELECT blk, trt, v,
+                                (CAST(RANK() OVER (PARTITION BY blk ORDER BY v ASC) AS BIGINT) - 1) * 2
+                                  + COUNT(*) OVER (PARTITION BY blk, v) + 1 AS r2
+                         FROM complete),
+              w AS (SELECT trt, CAST(ROW_NUMBER() OVER (ORDER BY trt ASC) AS BIGINT) AS j
+                    FROM (SELECT DISTINCT trt FROM ranked)),
+              byt AS (SELECT r.trt, CAST(SUM(r.r2) AS BIGINT) AS rr2,
+                             CAST(COUNT(*) AS BIGINT) AS nb
+                      FROM ranked r GROUP BY r.trt),
+              m AS (SELECT SUM(CAST(j AS HUGEINT) * rr2) AS l2,
+                           CAST(MAX(nb) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+                    FROM byt JOIN w USING (trt)),
+              e AS (SELECT n, k, CAST(l2 AS DOUBLE) AS l2d,
+                           CAST(n AS DOUBLE) * k * (k + 1.0) * (k + 1.0) / 2.0 AS e2,
+                           CAST(n AS DOUBLE) * k * k * (k + 1.0)
+                             * (CAST(k AS DOUBLE) * k - 1.0) / 36.0 AS var4
+                    FROM m WHERE n > 0 AND k > 1)
+         SELECT n AS n_blocks, k, ROUND(l2d / 2.0, 1) AS l_stat,
+                CASE WHEN var4 > 0 THEN ROUND((l2d - e2) / SQRT(var4), 6) END AS z,
+                CASE WHEN l2d > e2 THEN 'increasing'
+                     WHEN l2d < e2 THEN 'decreasing'
+                     ELSE 'none' END AS direction
          FROM e""",
 
     // Friedman: within-day doubled mid-ranks (rank() + same-value

@@ -1617,6 +1617,69 @@ object StatsOps {
   }
 
   /**
+   * PAGE'S TREND TEST — the ORDERED-alternative Friedman: when the
+   * treatments carry an a-priori order (line positions, dose levels,
+   * model sizes), [[friedmanQ]] spends k−1 degrees of freedom noticing
+   * ANY ranking difference; Page's L = Σ_j j·R_j spends one on the
+   * hypothesized monotone order and detects it at a fraction of the
+   * sample — the within-block twin of [[cochranArmitage]]. Treatment
+   * weights are 1..k in ascending `treatmentCol` order (the order IS
+   * the alternative). Same complete-block contract as Friedman
+   * (incomplete blocks dropped); mid-rank ties keep L exact via
+   * doubled ranks (2L = Σ j·R2_j, integer), z uses the classical
+   * no-ties moments (mid-ranks make it mildly conservative under
+   * heavy ties — the standard reading). Emits one row (n_blocks, k,
+   * l_stat, z, direction ∈ increasing | decreasing | none), z 6dp.
+   *
+   * Scale: identical to [[friedmanQ]] — block-partitioned k-row
+   * windows, a k-row weight artifact, a k-row reduce.
+   */
+  def pageTrend(df: DataFrame, blockCol: String, treatmentCol: String,
+                valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(blockCol).as("__blk"),
+        col(treatmentCol).as("__trt"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__blk").isNotNull && col("__trt").isNotNull &&
+        col("__v").isNotNull)
+    val k = base.agg(countDistinct(col("__trt")).as("__k"))
+    val wBlk = Window.partitionBy("__blk")
+    val complete = base
+      .withColumn("__bk", count(lit(1)).over(wBlk))
+      .crossJoin(broadcast(k))
+      .filter(col("__bk") === col("__k"))
+    val wRank = Window.partitionBy("__blk").orderBy(col("__v").asc)
+    val wTie = Window.partitionBy("__blk", "__v")
+    val ranked = complete
+      .withColumn("__r2",
+        (rank().over(wRank) - 1).cast("long") * 2 +
+          count(lit(1)).over(wTie) + 1)
+    // treatment weights 1..k in the hypothesized ascending order
+    // unpartitioned window BOUND: k distinct treatment rows
+    val wj = Window.orderBy(col("__trt").asc)
+    val weights = ranked.select("__trt").distinct()
+      .withColumn("__j", row_number().over(wj).cast("long"))
+    val byT = ranked.groupBy("__trt")
+      .agg(sum(col("__r2")).as("__R2"), count(lit(1)).as("__nb"))
+      .join(broadcast(weights), "__trt")
+    val m = byT.agg(
+      sum(col("__j").cast(dec) * col("__R2").cast(dec)).as("__l2"),
+      max(col("__nb")).as("__n"), count(lit(1)).as("__kk"))
+    val nD = col("__n").cast("double")
+    val kD = col("__kk").cast("double")
+    val l2D = col("__l2").cast("double")
+    // z = (2L − 2E)/√(4·Var): 2E = n·k(k+1)²/2, 4·Var = n·k²(k+1)(k²−1)/36
+    val e2 = nD * kD * (kD + 1.0) * (kD + 1.0) / 2.0
+    val var4 = nD * kD * kD * (kD + 1.0) * (kD * kD - 1.0) / 36.0
+    m.filter(col("__n") > 0 && col("__kk") > 1)
+      .select(col("__n").as("n_blocks"), col("__kk").as("k"),
+        round(l2D / 2.0, 1).as("l_stat"),
+        when(var4 > 0, round((l2D - e2) / sqrt(var4), 6))
+          .otherwise(lit(null).cast("double")).as("z"),
+        when(l2D > e2, "increasing").when(l2D < e2, "decreasing")
+          .otherwise("none").as("direction"))
+  }
+
+  /**
    * NELSON–AALEN cumulative hazard — the integrated-risk companion to
    * [[kaplanMeier]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the same
    * censoring-aware risk sets. Where KM's product-limit curve answers

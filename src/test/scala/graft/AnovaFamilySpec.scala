@@ -168,6 +168,24 @@ class AnovaFamilySpec extends SparkSpec {
     r.getAs[Double]("q_tie_adj") shouldBe 4.0 +- 1e-9 // no ties
   }
 
+  test("pageTrend: a perfectly ordered fixture maxes L; reversal flips it") {
+    // 2 blocks, 3 ordered treatments, values follow the order exactly:
+    // R_j = j per block → L = n·Σj² = 28 vs E = n·k(k+1)²/4 = 24
+    val up = Seq(("b1", 1L, 1.0), ("b1", 2L, 2.0), ("b1", 3L, 3.0),
+      ("b2", 1L, 5.0), ("b2", 2L, 6.0), ("b2", 3L, 7.0))
+      .toDF("blk", "trt", "v")
+    val r = StatsOps.pageTrend(up, "blk", "trt", "v").collect()(0)
+    r.getLong(0) shouldBe 2L
+    r.getLong(1) shouldBe 3L
+    r.getAs[Double]("l_stat") shouldBe 28.0 +- 1e-9
+    r.getString(4) shouldBe "increasing"
+    r.getAs[Double]("z") should be > 0.0
+    val down = up.withColumn("v", -col("v"))
+    val rd = StatsOps.pageTrend(down, "blk", "trt", "v").collect()(0)
+    rd.getAs[Double]("l_stat") shouldBe 20.0 +- 1e-9 // n·Σ j·(k+1−j)
+    rd.getString(4) shouldBe "decreasing"
+  }
+
   test("logRankTest matches the hand-computed hypergeometric decomposition") {
     // a: (1,ev),(2,ev),(3,cens)  b: (1,cens),(2,ev),(4,ev)
     // t=1: E=0.5 V=0.25; t=2: E=1.0 V=1/3; t=4: n=1 → E=0 V=0

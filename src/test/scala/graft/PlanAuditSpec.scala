@@ -173,8 +173,10 @@ class PlanAuditSpec extends SparkSpec {
                              // broadcasts over the duration grid
     "q_kendall_tau",         // |X|x|Y| marginal cross (the cramers_v
                              // dense-grid shape) + 1-row tie broadcasts
-    "q_friedman")            // day-grid x |types| dense cross + 1-row
+    "q_friedman",            // day-grid x |types| dense cross + 1-row
                              // k/tie-mass broadcasts
+    "q_page_trend")          // friedman's 1-row k broadcast + k-row
+                             // weight artifact
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   private val annHeapOnly: Set[String] = Set(
@@ -328,6 +330,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ks_test",            // dollar-binned support — value-range-bounded
     "q_log_rank",           // duration-day grid (the kaplan-meier shape)
     "q_nelson_aalen",       // duration-day grid (the kaplan-meier shape)
+    "q_page_trend",         // k-row treatment-weight artifact ranked
     "q_pettitt",            // day-grid rank + time windows
     "q_qini",               // ≤10 decile rows cumulated (deciles ride
                             // the NTILE kernel's partitioned windows)
