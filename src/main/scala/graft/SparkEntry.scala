@@ -2080,6 +2080,13 @@ object SparkEntry {
       graft.ops.TemporalOps.pettittTest(
         t(s, d, "events"), "ts", "value")),
 
+    // Durbin-Watson on the daily trend residuals: is the fitted line
+    // under-modeling — serial correlation left in the errors makes its
+    // confidence intervals lie; closed-form OLS + exact-cents residuals
+    "q_durbin_watson" -> ((s, d) =>
+      graft.ops.TemporalOps.durbinWatson(
+        t(s, d, "events"), "ts", "value")),
+
     // Mann-Kendall monotone-trend test on the daily value series: the
     // significance companion to q_theil_sen's robust slope — exact
     // integer S over the day-pair triangle, tie-corrected z
@@ -10110,6 +10117,57 @@ object SparkEntry {
                      THEN ROUND(CAST(ct AS DOUBLE) - CAST(cc AS DOUBLE) * nt / nc, 6)
                 END AS qini
          FROM cum ORDER BY decile""",
+
+    // DW off exact-integer-cent residuals of the closed-form day trend;
+    // both quadratic sums exact under any partitioning
+    "q_durbin_watson" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
+                        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                        GROUP BY 1),
+              b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+              grid AS (SELECT CAST(unnest(generate_series(0,
+                         datediff('day', d0, d1))) AS BIGINT) AS idx FROM b),
+              se AS (SELECT g.idx, COALESCE(d.s, 0) AS y
+                     FROM grid g LEFT JOIN
+                       (SELECT datediff('day', (SELECT d0 FROM b), day) AS idx, s
+                        FROM daily) d USING (idx)),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(CAST(idx AS HUGEINT)) AS st, SUM(CAST(y AS HUGEINT)) AS sy,
+                           SUM(CAST(idx AS HUGEINT) * idx) AS stt,
+                           SUM(CAST(idx AS HUGEINT) * y) AS sty
+                    FROM se),
+              fit AS (SELECT n,
+                             CASE WHEN n * stt - st * st > 0
+                                  THEN CAST(n * sty - st * sy AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE)
+                                  ELSE 0.0 END AS bcoef,
+                             CASE WHEN n * stt - st * st > 0
+                                  THEN (CAST(sy AS DOUBLE) -
+                                        CAST(n * sty - st * sy AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE)
+                                          * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+                                  ELSE CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) END AS acoef,
+                             (n * stt - st * st > 0) AS hasden,
+                             CAST(n * sty - st * sy AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE) AS rawslope
+                      FROM m),
+              res AS (SELECT se.idx, fit.n,
+                             CAST(ROUND(CAST(y AS DOUBLE) - (acoef + bcoef * se.idx), 0) AS BIGINT) AS e
+                      FROM se CROSS JOIN fit),
+              lagd AS (SELECT idx, n, e,
+                              LAG(e, 1) OVER (ORDER BY idx ASC) AS ep
+                       FROM res),
+              agg AS (SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+                             SUM(CAST(e AS HUGEINT) * e) AS see,
+                             SUM(CASE WHEN ep IS NOT NULL
+                                      THEN CAST(e - ep AS HUGEINT) * (e - ep)
+                                      ELSE 0 END) AS sd
+                      FROM lagd)
+         SELECT n_days,
+                CASE WHEN hasden THEN ROUND(rawslope / 100.0, 6) END AS slope,
+                CASE WHEN see > 0 THEN ROUND(CAST(sd AS DOUBLE) / CAST(see AS DOUBLE), 6) END AS dw,
+                CASE WHEN see > 0
+                     THEN ROUND(1.0 - CAST(sd AS DOUBLE) / CAST(see AS DOUBLE) / 2.0, 6)
+                END AS rho1
+         FROM agg CROSS JOIN fit""",
 
     // S over the day-pair triangle (quadratic in DAYS, the theil_sen
     // shape); tie-corrected variance, continuity-corrected z

@@ -725,6 +725,82 @@ object TemporalOps {
   }
 
   /**
+   * DURBIN–WATSON statistic — "after fitting the daily linear trend,
+   * are the residuals still serially correlated": DW = Σ(e_t −
+   * e_{t−1})²/Σe_t² over the detrended day series, ≈ 2(1 − ρ₁). The
+   * regression DIAGNOSTIC beside [[acf]]'s raw autocorrelations — a
+   * trend line with DW ≪ 2 is under-modeling (the errors still carry
+   * structure, so its confidence intervals lie). The trend fits in
+   * closed form from exact moments over the contiguous day grid (gap
+   * days as true zeros, the [[acf]] convention). Emits one row
+   * (n_days, slope 6dp in value units/day, dw 6dp, rho1 6dp = 1 −
+   * DW/2); a flat series (zero residual mass) emits NULL dw/rho1.
+   *
+   * Deterministic: OLS moments are exact integers; per-day residuals
+   * quantize to exact integer cents (sub-cent residual precision is
+   * noise at any real magnitude) so the two quadratic sums are exact
+   * decimals under any partitioning.
+   *
+   * Scale: one day-grain aggregate + grid windows + a grid reduce —
+   * the cusum shape; events never re-shuffle.
+   */
+  def durbinWatson(df: DataFrame, ts: String, valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = df.filter(col(ts).isNotNull)
+      .select(date_trunc("day", col(ts)).as("day"),
+        graft.ops.StatsOps.cents(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("day").agg(sum(col("__v").cast(dec)).as("__s"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val idxd = daily.crossJoin(broadcast(bounds))
+      .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+        col("__s"))
+    val series = bounds
+      .select(explode(sequence(lit(0L),
+        datediff(col("d1"), col("d0")).cast("long"))).as("idx"))
+      .join(idxd, Seq("idx"), "left")
+      .select(col("idx"), coalesce(col("__s"), lit(0).cast(dec)).as("y"))
+    val m = series.agg(count(lit(1)).as("n"),
+      sum(col("idx").cast(dec)).as("st"), sum(col("y")).as("sy"),
+      sum(col("idx").cast(dec) * col("idx").cast(dec)).as("stt"),
+      sum(col("idx").cast(dec) * col("y")).as("sty"))
+    val nD = col("n").cast(dec)
+    val den = nD * col("stt") - col("st") * col("st")
+    val slope = (nD * col("sty") - col("st") * col("sy")).cast("double") /
+      den.cast("double") // cents per day
+    val icept = (col("sy").cast("double") -
+      slope * col("st").cast("double")) / col("n").cast("double")
+    val fitted = series.crossJoin(broadcast(
+      m.select(col("n"),
+        when(den > 0, slope).otherwise(lit(0.0)).as("__b"),
+        when(den > 0, icept)
+          .otherwise(col("sy").cast("double") / col("n")).as("__a"))))
+      .select(col("idx"), col("n"),
+        // residual quantized to exact integer cents
+        round(col("y").cast("double") -
+          (col("__a") + col("__b") * col("idx")), 0).cast("long").as("__e"))
+    // unpartitioned window BOUND: contiguous day-grid rows
+    val wLag = Window.orderBy(col("idx").asc)
+    val r = fitted
+      .withColumn("__ep", lag(col("__e"), 1).over(wLag))
+      .agg(max(col("n")).as("n_days"),
+        sum(col("__e").cast(dec) * col("__e").cast(dec)).as("__see"),
+        sum(when(col("__ep").isNotNull,
+          (col("__e") - col("__ep")).cast(dec) *
+            (col("__e") - col("__ep")).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__sd"))
+    val dw = col("__sd").cast("double") / col("__see").cast("double")
+    r.crossJoin(broadcast(m.select(
+        when(den > 0, round(slope / 100.0, 6))
+          .otherwise(lit(null).cast("double")).as("slope"))))
+      .select(col("n_days"), col("slope"),
+        when(col("__see") > 0, round(dw, 6))
+          .otherwise(lit(null).cast("double")).as("dw"),
+        when(col("__see") > 0, round(lit(1.0) - dw / 2.0, 6))
+          .otherwise(lit(null).cast("double")).as("rho1"))
+  }
+
+  /**
    * MANN–KENDALL trend test — "is the daily series monotonically
    * drifting, and is the drift significant": S = Σ_{i<j} sgn(y_j −
    * y_i) over the day series with the tie-corrected normal

@@ -105,6 +105,8 @@ class PlanAuditSpec extends SparkSpec {
                              // min-day and day-count broadcasts
     "q_mann_kendall",        // theil_sen's day×day triangle + a 1-row
                              // tie-mass broadcast
+    "q_durbin_watson",       // 1-row day-bounds + fitted-coefficient
+                             // broadcasts over the day grid
     "q_cuped",               // 1-row time-midpoint + 1-row pooled-moment
                              // broadcasts (the experiment-readout shape)
     "q_chi_residuals",       // chi²'s marginal grid (ra×rb, |levels|²-
@@ -317,6 +319,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_changepoint_mean",   // day-grid series (the cusum shape)
     "q_cliffs_delta",       // distributed-rank kernel bucket grid
     "q_cusum",              // day-grid series (one exact-cents row per day)
+    "q_durbin_watson",      // day-grid residual lag window
     "q_kruskal_wallis",     // distributed-rank kernel bucket grid (≤256
                             // bucket totals; support windows __bkt-split)
     "q_drawdown",           // day-grid close series

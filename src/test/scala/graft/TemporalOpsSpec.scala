@@ -518,4 +518,25 @@ class TemporalOpsSpec extends SparkSpec {
     rc.isNullAt(2) shouldBe true
     rc.getString(3) shouldBe "none"
   }
+
+  test("durbinWatson: alternating residuals push DW toward 4, a smooth " +
+    "ramp toward 2") {
+    // values alternate +/-100 around a flat line → e_t = -e_{t-1}
+    // → DW = sum(2e)^2 / sum(e^2) ≈ 4 (edge terms shave a little)
+    val alt = (0 until 12).map { d =>
+      (s"2024-05-${"%02d".format(d + 1)} 09:00:00",
+        if (d % 2 == 0) 200.0 else 0.0)
+    }.toDF("ts_s", "v").withColumn("ts", col("ts_s").cast("timestamp"))
+    val r = TemporalOps.durbinWatson(alt, "ts", "v").collect()(0)
+    r.getLong(0) shouldBe 12L
+    r.getAs[Double]("dw") should be > 3.5
+    r.getAs[Double]("rho1") should be < -0.7
+    // an exact linear ramp has zero residuals → NULL dw
+    val ramp = (0 until 10).map { d =>
+      (s"2024-05-${"%02d".format(d + 1)} 09:00:00", 100.0 + 10.0 * d)
+    }.toDF("ts_s", "v").withColumn("ts", col("ts_s").cast("timestamp"))
+    val rr = TemporalOps.durbinWatson(ramp, "ts", "v").collect()(0)
+    rr.getAs[Double]("slope") shouldBe 10.0 +- 1e-6
+    rr.isNullAt(rr.fieldIndex("dw")) shouldBe true
+  }
 }
