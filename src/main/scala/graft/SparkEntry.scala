@@ -2164,6 +2164,14 @@ object SparkEntry {
         "arm", "a", "b")
     }),
 
+    // Cramér-von Mises: the L2 distribution gap — squared CDF
+    // difference integrated over the pooled sample; catches many small
+    // persistent deviations KS's single worst gap misses
+    "q_cvm_test" -> ((s, d) =>
+      graft.ops.StatsOps.cramerVonMises(
+        t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
+        "vbin", "event_type", "purchase", "view")),
+
     // 1-D Wasserstein distance between purchase and view values: the
     // area between the two CDFs — the distribution gap weighted by HOW
     // FAR the mass moved, where KS reads only the worst point gap
@@ -10349,6 +10357,32 @@ object SparkEntry {
                      THEN ROUND((CAST(observed_a AS DOUBLE) - CAST(ea AS DOUBLE)) / SQRT(CAST(va AS DOUBLE)), 6)
                 END AS z
          FROM m""",
+
+    // CvM: per pooled point t*(Fa-Fb)^2 rounded 8dp into decimal; the
+    // nm/N^2 normalizer on the final row
+    "q_cvm_test" ->
+      """WITH f AS (SELECT ROUND(value, 0) AS v, event_type AS g FROM events
+                    WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')),
+              c AS (SELECT CAST(v AS DOUBLE) AS v,
+                           CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                           CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                    FROM f GROUP BY 1),
+              tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb FROM c),
+              cdf AS (SELECT ta, tb, ca, cb,
+                             SUM(ca) OVER wc AS fa, SUM(cb) OVER wc AS fb
+                      FROM c CROSS JOIN tot
+                      WINDOW wc AS (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              terms AS (SELECT ta, tb,
+                               CAST(ROUND(CAST(ca + cb AS DOUBLE) *
+                                          (CAST(fa AS DOUBLE) / ta - CAST(fb AS DOUBLE) / tb) *
+                                          (CAST(fa AS DOUBLE) / ta - CAST(fb AS DOUBLE) / tb), 8)
+                                    AS DECIMAL(24,8)) AS t
+                        FROM cdf WHERE ta > 0 AND tb > 0)
+         SELECT ta AS n_a, tb AS n_b,
+                ROUND(CAST(ta AS DOUBLE) * tb /
+                      ((CAST(ta AS DOUBLE) + tb) * (CAST(ta AS DOUBLE) + tb)) *
+                      CAST(SUM(t) AS DOUBLE), 6) AS t_stat
+         FROM terms GROUP BY ta, tb""",
 
     // W1 = area between the two CDFs over the pre-binned support:
     // per-step |gap| * width rounded 8dp into a decimal sum

@@ -1773,6 +1773,55 @@ object StatsOps {
   }
 
   /**
+   * CRAMÉR–VON MISES two-sample statistic — the L² member of the
+   * distribution-gap trio: [[ksStatistic]] reads the WORST CDF gap
+   * (one point can carry it), [[wasserstein1D]] the total mass-moved
+   * distance (scale-dependent), CvM the squared gap INTEGRATED over
+   * the pooled sample — sensitive to many small persistent deviations
+   * KS misses, scale-free where W₁ is not. Anderson's two-sample form
+   * T = nm/N² · Σ_pooled (F_a(z) − F_b(z))², summed over all N pooled
+   * observations with multiplicity. Emits one row (n_a, n_b, t_stat
+   * 6dp); empty slices emit no row. Pre-bin unbounded continuous
+   * values (the KS convention).
+   *
+   * Deterministic: ECDF steps are divisions of exact integers; each
+   * pooled-point term t·(F_a − F_b)² rounds to 8dp into a decimal sum.
+   *
+   * Scale: the [[ksStatistic]] shape — one support-sized histogram +
+   * one cumulative window over the sorted support + a one-row reduce.
+   */
+  def cramerVonMises(df: DataFrame, valueCol: String, groupCol: String,
+                     groupA: String, groupB: String): DataFrame = {
+    val dterm = org.apache.spark.sql.types.DecimalType(24, 8)
+    val kept = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .filter(col(valueCol).isNotNull)
+    val counts = kept
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("__ta"), sum(col("cb")).as("__tb"))
+    // unpartitioned window BOUND: pre-binned distinct-value support
+    val wCum = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gap = col("__fa").cast("double") / col("__ta") -
+      col("__fb").cast("double") / col("__tb")
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("__fa", sum(col("ca")).over(wCum))
+      .withColumn("__fb", sum(col("cb")).over(wCum))
+      .filter(col("__ta") > 0 && col("__tb") > 0)
+      .select(col("__ta"), col("__tb"),
+        round((col("ca") + col("cb")).cast("double") * gap * gap, 8)
+          .cast(dterm).as("__t"))
+    val nD = col("__ta").cast("double"); val mD = col("__tb").cast("double")
+    terms.groupBy("__ta", "__tb")
+      .agg(sum(col("__t")).as("__sum"))
+      .select(col("__ta").as("n_a"), col("__tb").as("n_b"),
+        round(nD * mD / ((nD + mD) * (nD + mD)) *
+          col("__sum").cast("double"), 6).as("t_stat"))
+  }
+
+  /**
    * CUPED variance-reduced experiment readout — the modern A/B-test
    * adjustment: each unit's post-period metric is shifted by
    * θ·(pre − pre̅) where θ = cov(pre, post)/var(pre), which removes the

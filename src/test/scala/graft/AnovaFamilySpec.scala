@@ -234,6 +234,22 @@ class AnovaFamilySpec extends SparkSpec {
     ab shouldBe 3.0 +- 1e-6 // both points shift by 3
   }
 
+  test("cramerVonMises: zero on identical slices, hand value on a shift") {
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    StatsOps.cramerVonMises(same, "v", "g", "a", "b").collect()(0)
+      .getAs[Double]("t_stat") shouldBe 0.0 +- 1e-9
+    // a: {1,2}, b: {3,4} — gaps at pooled points: 1/2, 1, 1/2, 0
+    // T = (2·2/16)·(2·(1/4) + 2·1 + 2·(1/4) + 0)... per-point with
+    // multiplicity t=1 each: Σ = 1/4 + ... compute directly:
+    // F_a = .5,1,1,1; F_b = 0,0,.5,1 → gaps² = .25,1,.25,0 → Σ=1.5
+    // T = (4/16)·1.5 = 0.375
+    val shift = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    StatsOps.cramerVonMises(shift, "v", "g", "a", "b").collect()(0)
+      .getAs[Double]("t_stat") shouldBe 0.375 +- 1e-6
+  }
+
   test("pettittTest finds the rank changepoint with the exact integer U") {
     // days 1-5 low (10,11,12,11,10), days 6-10 high (50,51,52,51,50):
     // doubled ranks 3,7,10,7,3,13,17,20,17,13 → K = |U_5| = 25 at day 5

@@ -171,6 +171,7 @@ class PlanAuditSpec extends SparkSpec {
                              // the duration grid (the kaplan-meier shape)
     "q_wasserstein",         // 1-row group-total broadcast over the
                              // pre-binned value support (the KS shape)
+    "q_cvm_test",            // same KS-shape 1-row total broadcast
     "q_nelson_aalen",        // kaplan-meier's 1-row max-day + risk-total
                              // broadcasts over the duration grid
     "q_kendall_tau",         // |X|x|Y| marginal cross (the cramers_v
@@ -319,6 +320,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_changepoint_mean",   // day-grid series (the cusum shape)
     "q_cliffs_delta",       // distributed-rank kernel bucket grid
     "q_cusum",              // day-grid series (one exact-cents row per day)
+    "q_cvm_test",           // dollar-binned support (the KS shape)
     "q_durbin_watson",      // day-grid residual lag window
     "q_kruskal_wallis",     // distributed-rank kernel bucket grid (≤256
                             // bucket totals; support windows __bkt-split)
