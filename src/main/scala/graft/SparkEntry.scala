@@ -2229,6 +2229,14 @@ object SparkEntry {
       graft.ops.StatsOps.kendallTauB(t(s, d, "lineitem"),
         "l_quantity", "l_linenumber")),
 
+    // Brunner-Munzel: the heteroscedastic rank test — P(X<Y)+half-ties
+    // without the equal-shape assumption mann-whitney inherits; three
+    // rank maps off the kernel with one shared boundary probe
+    "q_brunner_munzel" -> ((s, d) =>
+      graft.ops.StatsOps.brunnerMunzel(
+        t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
+        "vbin", "event_type", "purchase", "view")),
+
     // Cliff's delta: the ordinal effect SIZE behind mann-whitney's
     // significance — P(purchase > view) - P(purchase < view), with the
     // standard Romano magnitude bands
@@ -10527,6 +10535,50 @@ object SparkEntry {
                      THEN ROUND(CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE), 8)
                 END AS gamma
          FROM m CROSS JOIN tx CROSS JOIN ty""",
+
+    // three doubled-rank maps off one histogram; per-value deviation
+    // terms 4dp through decimal; the scipy-canonical W and df forms
+    "q_brunner_munzel" ->
+      """WITH f AS (SELECT ROUND(value, 0) AS v, event_type AS g FROM events
+                    WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+              h AS (SELECT v, CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                           CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                    FROM f GROUP BY v),
+              r AS (SELECT v, ca, cb,
+                           COALESCE(SUM(ca + cb) OVER wp, 0) * 2 + (ca + cb) + 1 AS r2,
+                           COALESCE(SUM(ca) OVER wp, 0) * 2 + ca + 1 AS r2a,
+                           COALESCE(SUM(cb) OVER wp, 0) * 2 + cb + 1 AS r2b
+                    FROM h
+                    WINDOW wp AS (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+                             SUM(CAST(ca AS HUGEINT) * r2) AS sra,
+                             SUM(CAST(cb AS HUGEINT) * r2) AS srb
+                      FROM r),
+              d AS (SELECT r.*, na, nb,
+                           CAST(sra AS DOUBLE) / na AS m2a, CAST(srb AS DOUBLE) / nb AS m2b
+                    FROM r CROSS JOIN tot),
+              terms AS (SELECT na, nb, m2a, m2b,
+                               CAST(ROUND(ca * (r2 - r2a - m2a + (na + 1)) * (r2 - r2a - m2a + (na + 1)), 4) AS DECIMAL(38,4)) AS va,
+                               CAST(ROUND(cb * (r2 - r2b - m2b + (nb + 1)) * (r2 - r2b - m2b + (nb + 1)), 4) AS DECIMAL(38,4)) AS vb
+                        FROM d),
+              m AS (SELECT na, nb, m2a, m2b, SUM(va) AS sva, SUM(vb) AS svb
+                    FROM terms GROUP BY na, nb, m2a, m2b),
+              e AS (SELECT na, nb, m2a, m2b,
+                           CAST(na AS DOUBLE) * (CAST(sva AS DOUBLE) / (4.0 * (CAST(na AS DOUBLE) - 1.0))) AS ua,
+                           CAST(nb AS DOUBLE) * (CAST(svb AS DOUBLE) / (4.0 * (CAST(nb AS DOUBLE) - 1.0))) AS ub
+                    FROM m WHERE na > 0 AND nb > 0)
+         SELECT na AS n_a, nb AS n_b,
+                ROUND((m2b - (CAST(nb AS DOUBLE) + 1.0)) / (2.0 * CAST(na AS DOUBLE)), 6) AS p_hat,
+                CASE WHEN na >= 2 AND nb >= 2 AND ua + ub > 0
+                     THEN ROUND(CAST(na AS DOUBLE) * nb * ((m2b - m2a) / 2.0) /
+                                ((CAST(na AS DOUBLE) + nb) * SQRT(ua + ub)), 6)
+                END AS w_stat,
+                CASE WHEN na >= 2 AND nb >= 2 AND ua + ub > 0
+                     THEN ROUND((ua + ub) * (ua + ub) /
+                                (ua * ua / (CAST(na AS DOUBLE) - 1.0)
+                                 + ub * ub / (CAST(nb AS DOUBLE) - 1.0)), 6)
+                END AS df
+         FROM e""",
 
     // Cliff's delta off the mann-whitney doubled-rank histogram:
     // 2U/(na*nb) - 1 as a single division of exact integers

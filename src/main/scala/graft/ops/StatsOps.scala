@@ -936,6 +936,97 @@ object StatsOps {
   }
 
   /**
+   * BRUNNER–MUNZEL test — the heteroscedastic Mann–Whitney: tests
+   * P(X < Y) + ½P(X = Y) = ½ WITHOUT the equal-variance/equal-shape
+   * assumption [[mannWhitneyU]] inherits (under unequal spreads MWU's
+   * size is wrong; BM is the modern default recommendation for the
+   * two-sample rank problem). Estimates p̂ = (R̄_b − (n_b+1)/2)/n_a
+   * from overall mid-ranks, with per-group variances built from the
+   * overall-minus-within-group rank deviations and a Welch–
+   * Satterthwaite df. Emits one row (n_a, n_b, p_hat, w_stat, df),
+   * 6dp; an arm with < 2 rows or zero rank variance emits NULL w/df.
+   *
+   * Deterministic: all three rank maps (pooled, within-a, within-b)
+   * are exact doubled integers off the distributed rank kernel with
+   * ONE shared boundary probe; per-value deviation terms round 4dp
+   * into decimal sums; the final row is one pinned double chain.
+   *
+   * Scale: one support-sized histogram + three kernel cumulative
+   * passes over it + a one-row reduce. Pre-bin unbounded continuous
+   * values (the KS convention).
+   */
+  def brunnerMunzel(df: DataFrame, valueCol: String, groupCol: String,
+                    groupA: String, groupB: String): DataFrame = {
+    val dterm = org.apache.spark.sql.types.DecimalType(38, 4)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val kept = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"),
+        (col(groupCol) === groupA).as("__a"))
+    val hist = kept.groupBy("__v").agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("cb"))
+    // one boundary probe shared by the three rank maps (balance-only)
+    val buckets = math.max(32, math.min(256,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val sk = kept.sample(withReplacement = false, 0.2, seed = 42)
+      .agg(percentile_approx(col("__v"), lit(probs), lit(1000)).as("__b"))
+      .head()
+    val bnds: Array[Double] =
+      if (sk.isNullAt(0)) Array.empty
+      else sk.getSeq[Any](0).collect {
+        case d: java.lang.Double if !d.isNaN => d.doubleValue
+      }.toArray
+    def cum(c: String, out: String)(d: DataFrame) =
+      distributedCumSum(d, "__v", col(c), out, includeCurrent = false,
+        fixedBounds = Some(bnds))
+    val ranked = cum("ca", "__cla")(cum("cb", "__clb")(
+      hist.withColumn("__t", col("ca") + col("cb"))
+        .transform(cum("__t", "__cl"))))
+      .withColumn("__r2", col("__cl") * 2 + col("__t") + 1)
+      .withColumn("__r2a", col("__cla") * 2 + col("ca") + 1)
+      .withColumn("__r2b", col("__clb") * 2 + col("cb") + 1)
+    val tot = ranked.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      sum(col("ca").cast(dec) * col("__r2").cast(dec)).as("sra"),
+      sum(col("cb").cast(dec) * col("__r2").cast(dec)).as("srb"))
+    // per-value doubled deviations D2 = r2 − r2_within − 2R̄ + (n+1);
+    // variance terms c·D2² rounded 4dp into decimal sums
+    val withM = ranked.crossJoin(broadcast(tot))
+      .withColumn("__m2a", col("sra").cast("double") / col("na"))
+      .withColumn("__m2b", col("srb").cast("double") / col("nb"))
+    val d2a = col("__r2") - col("__r2a") - col("__m2a") + (col("na") + 1)
+    val d2b = col("__r2") - col("__r2b") - col("__m2b") + (col("nb") + 1)
+    val m = withM
+      .select(col("na"), col("nb"), col("__m2a"), col("__m2b"),
+        round(col("ca") * d2a * d2a, 4).cast(dterm).as("__va"),
+        round(col("cb") * d2b * d2b, 4).cast(dterm).as("__vb"))
+      .groupBy("na", "nb", "__m2a", "__m2b")
+      .agg(sum(col("__va")).as("__sva"), sum(col("__vb")).as("__svb"))
+    val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+    val nD = naD + nbD
+    // S² = Σc·D2²/(4(n−1)); the canonical combination n_a·S_a² + n_b·S_b²
+    val sa2 = col("__sva").cast("double") / (lit(4.0) * (naD - 1.0))
+    val sb2 = col("__svb").cast("double") / (lit(4.0) * (nbD - 1.0))
+    val ua = naD * sa2
+    val ub = nbD * sb2
+    val pHat = (col("__m2b") - (nbD + 1.0)) / (lit(2.0) * naD)
+    val w = naD * nbD * ((col("__m2b") - col("__m2a")) / lit(2.0)) /
+      (nD * sqrt(ua + ub))
+    val dfW = (ua + ub) * (ua + ub) /
+      (ua * ua / (naD - 1.0) + ub * ub / (nbD - 1.0))
+    val ok = col("na") >= 2L && col("nb") >= 2L && (ua + ub) > 0
+    m.filter(col("na") > 0 && col("nb") > 0)
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(pHat, 6).as("p_hat"),
+        when(ok, round(w, 6)).otherwise(lit(null).cast("double"))
+          .as("w_stat"),
+        when(ok, round(dfW, 6)).otherwise(lit(null).cast("double"))
+          .as("df"))
+  }
+
+  /**
    * MUTUAL INFORMATION (nats) between two categorical columns — "how many
    * nats does knowing a tell you about b": the magnitude companion to
    * [[chiSquareIndependence]]'s significance test, and the standard

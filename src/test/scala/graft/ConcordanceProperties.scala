@@ -87,6 +87,41 @@ object ConcordanceProperties extends Properties("Concordance") {
       math.abs(got - expect) < 1e-6
     }
 
+  property("brunnerMunzel matches the brute-force mid-rank computation") =
+    forAll(Gen.listOfN(24, for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.chooseNum(0, 5)
+    } yield (g, v.toDouble))) { rows =>
+      val as = rows.collect { case ("a", v) => v }
+      val bs = rows.collect { case ("b", v) => v }
+      if (as.size < 2 || bs.size < 2) true
+      else {
+        def midRanks(in: Seq[Double], of: Seq[Double]): Seq[Double] =
+          of.map(v => in.count(_ < v) + (in.count(_ == v) + 1) / 2.0)
+        val pooled = as ++ bs
+        val rcA = midRanks(pooled, as); val rcB = midRanks(pooled, bs)
+        val rA = midRanks(as, as); val rB = midRanks(bs, bs)
+        val na = as.size; val nb = bs.size
+        val ma = rcA.sum / na; val mb = rcB.sum / nb
+        val sA = rcA.zip(rA).map { case (rc, r) =>
+          math.pow(rc - r - ma + (na + 1) / 2.0, 2) }.sum / (na - 1)
+        val sB = rcB.zip(rB).map { case (rc, r) =>
+          math.pow(rc - r - mb + (nb + 1) / 2.0, 2) }.sum / (nb - 1)
+        val pExp = (mb - (nb + 1) / 2.0) / na
+        val r = StatsOps.brunnerMunzel(rows.toDF("g", "v"), "v", "g",
+          "a", "b").head()
+        val pOk = math.abs(r.getAs[Double]("p_hat") - pExp) < 1e-5
+        val denom = na * sA + nb * sB
+        if (denom > 0) {
+          val wExp = na * nb * (mb - ma) / ((na + nb) * math.sqrt(denom))
+          val dfExp = denom * denom /
+            (math.pow(na * sA, 2) / (na - 1) + math.pow(nb * sB, 2) / (nb - 1))
+          pOk && math.abs(r.getAs[Double]("w_stat") - wExp) < 1e-4 &&
+            math.abs(r.getAs[Double]("df") - dfExp) < 1e-3
+        } else pOk && r.isNullAt(r.fieldIndex("w_stat"))
+      }
+    }
+
   property("logRankTest is antisymmetric in the arm labels") =
     forAll(Gen.listOfN(20, for {
       t <- Gen.chooseNum(0, 6)

@@ -172,6 +172,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_wasserstein",         // 1-row group-total broadcast over the
                              // pre-binned value support (the KS shape)
     "q_cvm_test",            // same KS-shape 1-row total broadcast
+    "q_brunner_munzel",      // 1-row rank-total broadcast over the
+                             // support histogram (the KS shape)
     "q_nelson_aalen",        // kaplan-meier's 1-row max-day + risk-total
                              // broadcasts over the duration grid
     "q_kendall_tau",         // |X|x|Y| marginal cross (the cramers_v
@@ -317,6 +319,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_curriculum_interleave", // distributed-rank kernel bucket grid (≤256
                             // bucket totals; the support windows are
                             // __bkt-partitioned)
+    "q_brunner_munzel",     // kernel bucket grid ×3 rank maps
     "q_changepoint_mean",   // day-grid series (the cusum shape)
     "q_cliffs_delta",       // distributed-rank kernel bucket grid
     "q_cusum",              // day-grid series (one exact-cents row per day)
