@@ -2050,6 +2050,13 @@ object SparkEntry {
         t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
         "vbin", "event_type")),
 
+    // Jonckheere-Terpstra: do higher line numbers ship systematically
+    // larger quantities — the ordered-alternative kruskal-wallis, one
+    // degree of freedom on the hypothesized group order
+    "q_jonckheere" -> ((s, d) =>
+      graft.ops.StatsOps.jonckheereTerpstra(t(s, d, "lineitem"),
+        "l_quantity", "l_linenumber")),
+
     // Cochran-Armitage: does the return RATE trend monotonically across
     // line numbers (ordered doses) — one degree of freedom on the
     // trend, where chi-square burns k-1 noticing anything at all
@@ -9964,6 +9971,51 @@ object SparkEntry {
                                    - CAST(n AS DOUBLE))), 6)
                 END AS h_tie_adj
          FROM sb WHERE n > 1""",
+
+    // 2JT = sum c*(2A+B) over the dense (support x groups) grid — pair
+    // counting without pair enumeration; classical no-ties moments
+    "q_jonckheere" ->
+      """WITH kept AS (SELECT CAST(l_quantity AS DOUBLE) AS v, l_linenumber AS g FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL),
+              h AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY 1, 2),
+              cumd AS (SELECT v, g, c,
+                              COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                       FROM h),
+              vs AS (SELECT DISTINCT v FROM h),
+              gs AS (SELECT DISTINCT g FROM h),
+              dense AS (SELECT vs.v, gs.g, COALESCE(cumd.c, 0) AS c, cumd.cum
+                        FROM vs CROSS JOIN gs
+                        LEFT JOIN cumd ON cumd.v = vs.v AND cumd.g = gs.g),
+              filled AS (SELECT v, g, c,
+                                COALESCE(cum,
+                                  MAX(CASE WHEN cum IS NOT NULL THEN cum + c END)
+                                    OVER (PARTITION BY g ORDER BY v ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                  0) AS cumf
+                         FROM dense),
+              terms AS (SELECT v, g, c,
+                               COALESCE(SUM(cumf) OVER wp, 0) AS a,
+                               COALESCE(SUM(c) OVER wp, 0) AS b
+                        FROM filled
+                        WINDOW wp AS (PARTITION BY v ORDER BY g ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              m AS (SELECT SUM(CAST(c AS HUGEINT) * (CAST(a AS HUGEINT) * 2 + b)) AS jt2
+                    FROM terms WHERE c > 0),
+              sz AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS ntot,
+                            SUM(CAST(ng AS HUGEINT) * ng) AS sn2,
+                            SUM(CAST(ng AS HUGEINT) * ng * (ng * 2 + 3)) AS sn23
+                     FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng FROM kept GROUP BY g)),
+              e AS (SELECT k, ntot, CAST(jt2 AS DOUBLE) / 2.0 AS jt,
+                           (CAST(ntot AS DOUBLE) * ntot - CAST(sn2 AS DOUBLE)) / 4.0 AS ejt,
+                           (CAST(ntot AS DOUBLE) * ntot * (2.0 * CAST(ntot AS DOUBLE) + 3.0)
+                            - CAST(sn23 AS DOUBLE)) / 72.0 AS varj
+                    FROM m CROSS JOIN sz WHERE k > 1)
+         SELECT ntot AS n, k, ROUND(jt, 1) AS jt_stat,
+                CASE WHEN varj > 0 THEN ROUND((jt - ejt) / SQRT(varj), 6) END AS z,
+                CASE WHEN jt > ejt THEN 'increasing'
+                     WHEN jt < ejt THEN 'decreasing'
+                     ELSE 'none' END AS direction
+         FROM e""",
 
     // Cochran-Armitage: every moment an exact integer; z as a single
     // division of exact numerator/denominator forms

@@ -2646,6 +2646,87 @@ object StatsOps {
   }
 
   /**
+   * JONCKHEERE–TERPSTRA test — the ordered-alternative
+   * [[kruskalWallis]]: when the k groups carry an a-priori order (dose
+   * levels, size tiers), KW spends k−1 degrees of freedom noticing ANY
+   * location difference; JT sums the pairwise Mann–Whitney counts in
+   * the hypothesized direction, JT = Σ_{i<j} U_ij, and detects a
+   * monotone shift at a fraction of the sample — completing the
+   * ordered-trend family with [[cochranArmitage]] (binary outcomes)
+   * and [[pageTrend]] (blocked designs). Doubled counting keeps
+   * 2·JT = Σ_v Σ_g c_g(v)·(2·A_g(v) + B_g(v)) an exact integer, where
+   * A/B are lower-group cumulative/at-value counts — no pair
+   * enumeration at any width. z uses the classical no-ties moments
+   * (mid-counting makes it mildly conservative under heavy ties — the
+   * [[pageTrend]] reading). Groups order by their ascending
+   * `groupCol` value (the order IS the alternative). Emits one row
+   * (n, k, jt_stat, z, direction), z 6dp; fewer than 2 groups emits
+   * no row, zero variance emits NULL z.
+   *
+   * Scale: one (value, group) histogram + a per-group kernel
+   * cumulative over the support + a k-bounded per-value prefix window
+   * + a one-row reduce. Pre-bin unbounded continuous values.
+   */
+  def jonckheereTerpstra(df: DataFrame, valueCol: String,
+                         groupCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val kept = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"), col(groupCol).as("__g"))
+    val hist = kept.groupBy("__v", "__g").agg(count(lit(1)).as("__c"))
+    // per-group cumulative count strictly below v — group-partitioned
+    // window over the (pre-binned) support
+    val wCumG = Window.partitionBy("__g").orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumd = hist.withColumn("__cum",
+      coalesce(sum(col("__c")).over(wCumG), lit(0L)))
+    // lower-group prefixes at each value: A = Σ_{i<g} cum_i(v−),
+    // B = Σ_{i<g} c_i(v) — k-bounded per-value windows. Missing
+    // (v, lower-group) rows cost nothing: their cum contribution is
+    // carried by the groups' own rows only when the group appears at
+    // v, so build the dense (v × groups) grid first.
+    val groups = hist.select("__g").distinct()
+    val dense = hist.select("__v").distinct().crossJoin(broadcast(groups))
+      .join(cumd, Seq("__v", "__g"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    // a missing (v, g) cell still needs that group's running cum at v:
+    // forward-fill the group's cumulative via a max window over the
+    // group's own rows (cum is monotone in v within a group)
+    val wFill = Window.partitionBy("__g").orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val filled = dense.withColumn("__cumf",
+      coalesce(col("__cum"),
+        max(when(col("__cum").isNotNull, col("__cum") + col("__c")))
+          .over(wFill), lit(0L)))
+    val wPrefix = Window.partitionBy("__v").orderBy(col("__g").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = filled
+      .withColumn("__A", coalesce(sum(col("__cumf")).over(wPrefix), lit(0L)))
+      .withColumn("__B", coalesce(sum(col("__c")).over(wPrefix), lit(0L)))
+      .filter(col("__c") > 0)
+    val m = terms.agg(sum(col("__c")).as("n"),
+      sum(col("__c").cast(dec) *
+        (col("__A").cast(dec) * 2 + col("__B").cast(dec))).as("__jt2"))
+    val sizes = kept.groupBy("__g").agg(count(lit(1)).as("__ng"))
+      .agg(count(lit(1)).as("k"), sum(col("__ng")).as("__ntot"),
+        sum(col("__ng").cast(dec) * col("__ng").cast(dec)).as("__sn2"),
+        sum(col("__ng").cast(dec) * col("__ng").cast(dec) *
+          (col("__ng") * 2 + 3).cast(dec)).as("__sn23"))
+    val out = m.crossJoin(broadcast(sizes))
+    val nD = col("__ntot").cast("double")
+    val jt = col("__jt2").cast("double") / 2.0
+    val e = (nD * nD - col("__sn2").cast("double")) / 4.0
+    val varJ = (nD * nD * (lit(2.0) * nD + 3.0) -
+      col("__sn23").cast("double")) / 72.0
+    out.filter(col("k") > 1)
+      .select(col("__ntot").as("n"), col("k"),
+        round(jt, 1).as("jt_stat"),
+        when(varJ > 0, round((jt - e) / sqrt(varJ), 6))
+          .otherwise(lit(null).cast("double")).as("z"),
+        when(jt > e, "increasing").when(jt < e, "decreasing")
+          .otherwise("none").as("direction"))
+  }
+
+  /**
    * COCHRAN–ARMITAGE trend test — "does the success RATE rise or fall
    * monotonically across ORDERED doses" (quantity bands, severity
    * levels, model-size tiers): chi² on the k×2 table ([[chiSquareIndependence]])
