@@ -19,12 +19,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Plan-gate audit per query (graft.plans.PlanAudit — the SAME rule
+    // set PlanAuditSpec enforces under `sbt test`): round 13 shipped a
+    // query whose answer was oracle-green but whose plan violated the
+    // gate, invisible to the driver's correctness pass. Recording the
+    // violations beside the results makes the per-round artifact carry
+    // plan health too, not just answers.
+    val planViolations = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries
       .filter { case (name, _) => onlyNames.isEmpty || onlyNames(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          planViolations ++= graft.plans.PlanAudit.violations(name, df)
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -44,6 +53,12 @@ object Verify {
       .filter { case (k, _) => onlyNames.isEmpty || onlyNames(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/plan_violations.json"),
+      planViolations.map(q).mkString("[", ",", "]"))
+    if (planViolations.nonEmpty)
+      System.err.println(
+        s"[verify] ${planViolations.size} plan-gate violation(s): " +
+          planViolations.mkString("; "))
     spark.stop()
   }
 }

@@ -124,19 +124,33 @@ object SimilarityOps {
    * explodes).
    *
    * Scale: the pair join is per-BASKET — fanout Σ basket_size², bounded
-   * by the max basket, never items² (the df-cap discipline: cap basket
-   * size upstream if baskets can be huge); item counts join back on the
-   * item key (equi, shuffled); the per-item top-k rides the bounded
-   * heap ([[heapTopK]] — map-side pruning, never a rank window over the
-   * pair table).
+   * by `maxBasketSize` (ENFORCED, not assumed: oversized baskets are
+   * deterministically truncated to their `maxBasketSize` smallest item
+   * ids before the self-join — the `maxCenterDegree` wedge-cap
+   * discipline; a megabasket carries almost no per-pair signal AND is
+   * exactly where the quadratic blows up), never items²; item counts
+   * join back on the item key (equi, shuffled); the per-item top-k
+   * rides the bounded heap ([[heapTopK]] — map-side pruning, never a
+   * rank window over the pair table). The capped path dedupes and
+   * truncates in ONE basket-keyed aggregate (`collect_set` →
+   * `sort_array` → `slice`), so it costs the same single exchange as
+   * the uncapped `distinct`. Counts c_i are computed on the truncated
+   * incidence set, so the cosine stays internally consistent.
    */
   def itemCfTopK(df: DataFrame, basketCol: String, itemCol: String,
-                 minSupport: Long, k: Int): DataFrame = {
+                 minSupport: Long, k: Int,
+                 maxBasketSize: Int = Int.MaxValue): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val items = df
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val raw = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).cast("long").as("__i"))
-      .distinct()
+    val items =
+      if (maxBasketSize == Int.MaxValue) raw.distinct()
+      else raw.groupBy("__b")
+        .agg(slice(sort_array(collect_set(col("__i"))), 1, maxBasketSize)
+          .as("__is"))
+        .select(col("__b"), explode(col("__is")).as("__i"))
     val itemCnt = items.groupBy("__i").agg(count(lit(1)).as("__c"))
     val pairs = items.as("x")
       .join(items.as("y"),

@@ -125,6 +125,68 @@ object EvalOps {
   }
 
   /**
+   * MURPHY DECOMPOSITION of the Brier score — reliability − resolution
+   * + uncertainty, over equal-width probability bins: where
+   * [[brierScore]] hands back one mingled number, the decomposition
+   * says WHY it is what it is — reliability (how far each bin's mean
+   * prediction sits from its realized rate — pure miscalibration,
+   * fixable by recalibration), resolution (how much the bins' realized
+   * rates spread around the base rate — the model's actual
+   * discrimination, NOT fixable post-hoc), and uncertainty (the base
+   * rate's own irreducible variance). The triage readout before anyone
+   * "fixes" a score: high reliability → recalibrate; low resolution →
+   * retrain. Emits one row (n, bins, base_rate, reliability,
+   * resolution, uncertainty, brier_binned), 8dp, with brier_binned =
+   * rel − res + unc (exact over the binned predictions).
+   *
+   * Deterministic: bin counts/positives exact; bin mean-predictions
+   * come from 8dp-rounded decimal sums; per-bin n·(·)² terms round 8dp
+   * and sum through DECIMAL over the bins-row table; one pinned double
+   * chain on the final row.
+   *
+   * Scale: one |bins|-row aggregate + a 1-row base-rate broadcast —
+   * the [[calibrationBins]] shape; the corpus streams once.
+   */
+  def brierDecomposition(df: DataFrame, probCol: String, labelCol: String,
+                         bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+    val base = df.filter(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(floor(col(probCol) * bins).cast("long"), lit(bins - 1L))
+          .as("bin"),
+        round(col(probCol), 8).cast(dec).as("__p"),
+        when(col(labelCol), 1L).otherwise(0L).as("__y"))
+    val byBin = base.groupBy("bin")
+      .agg(count(lit(1)).as("__n"), sum(col("__p")).as("__sp"),
+        sum(col("__y")).as("__pos"))
+    val tot = byBin.agg(sum(col("__n")).as("n"), sum(col("__pos")).as("__ny"))
+    val pb = col("__sp").cast("double") / col("__n").cast("double")
+    val ob = col("__pos").cast("double") / col("__n").cast("double")
+    val obar = col("__ny").cast("double") / col("n").cast("double")
+    val terms = byBin.crossJoin(broadcast(tot))
+      .select(col("n"), col("__ny"),
+        round(col("__n").cast("double") * (pb - ob) * (pb - ob), 8)
+          .cast(dec).as("__rel"),
+        round(col("__n").cast("double") * (ob - obar) * (ob - obar), 8)
+          .cast(dec).as("__res"))
+    terms.groupBy("n", "__ny")
+      .agg(count(lit(1)).as("bins"),
+        sum(col("__rel")).as("__srel"), sum(col("__res")).as("__sres"))
+      .filter(col("n") > 0)
+      .select(col("n"), col("bins"),
+        round(obar, 8).as("base_rate"),
+        round(col("__srel").cast("double") / col("n").cast("double"), 8)
+          .as("reliability"),
+        round(col("__sres").cast("double") / col("n").cast("double"), 8)
+          .as("resolution"),
+        round(obar * (lit(1.0) - obar), 8).as("uncertainty"),
+        round(col("__srel").cast("double") / col("n").cast("double") -
+          col("__sres").cast("double") / col("n").cast("double") +
+          obar * (lit(1.0) - obar), 8).as("brier_binned"))
+  }
+
+  /**
    * COHEN'S KAPPA — agreement between two categorical raters beyond
    * chance: κ = (pₒ − pₑ)/(1 − pₑ), which reduces to the all-integer
    * form (diag·n − Σ rᵃ·rᵇ)/(n² − Σ rᵃ·rᵇ) — the annotation-QC number

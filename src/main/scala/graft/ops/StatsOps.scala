@@ -163,8 +163,12 @@ object StatsOps {
     obs.join(ra, "__a").join(rb, "__b").crossJoin(broadcast(tot))
       .select(col("n"), round(term, 8).cast(dec).as("__t"))
       .groupBy("n")
+      // G >= 0 mathematically; the 8dp per-cell rounding can leave a
+      // -1e-6 residue on a near-independent table, so clamp the final
+      // sum at 0 (the mutualInformation contract)
       .agg(count(lit(1)).as("n_cells"),
-        round(sum(col("__t")).cast("double"), 6).as("g_stat"))
+        greatest(lit(0.0),
+          round(sum(col("__t")).cast("double"), 6)).as("g_stat"))
       .crossJoin(broadcast(dof))
       .select(col("n"), col("n_cells"), col("ka"), col("kb"), col("dof"),
         col("g_stat"))
@@ -260,19 +264,25 @@ object StatsOps {
     var (cur, handle) = materializeCut(
       cells.crossJoin(broadcast(tot)).withColumn("__w", col("n_cell").cast(dw)))
     for (_ <- 1 to rounds) {
+      // floor each re-quantized weight at 1e-8: on an extremely skewed
+      // grid the 8dp rounding could zero a cell, and a zero marginal
+      // sum would then drive an Infinity/NaN ratio through every
+      // remaining round — the floor (never binding on count-seeded
+      // grids, where weights start >= 1) degrades the degenerate case
+      // gracefully instead of poisoning the whole grid
       val rowS = cur.groupBy("a").agg(sum(col("__w")).as("__rs"))
       val afterRows = cur.join(broadcast(rowS), "a")
         .withColumn("__w",
-          round(col("__w").cast("double") *
+          greatest(lit(1e-8), round(col("__w").cast("double") *
             (col("__n").cast("double") / col("__ka") /
-              col("__rs").cast("double")), 8).cast(dw))
+              col("__rs").cast("double")), 8)).cast(dw))
         .drop("__rs")
       val colS = afterRows.groupBy("b").agg(sum(col("__w")).as("__cs"))
       val next = afterRows.join(broadcast(colS), "b")
         .withColumn("__w",
-          round(col("__w").cast("double") *
+          greatest(lit(1e-8), round(col("__w").cast("double") *
             (col("__n").cast("double") / col("__kb") /
-              col("__cs").cast("double")), 8).cast(dw))
+              col("__cs").cast("double")), 8)).cast(dw))
         .drop("__cs")
       val (nextCut, nextHandle) = materializeCut(next)
       handle.unpersist(blocking = false)
@@ -416,6 +426,48 @@ object StatsOps {
   }
 
   /**
+   * KUIPER two-sample statistic — V = D⁺ + D⁻, the SIGNED-gap twin of
+   * [[ksStatistic]]: KS takes the single largest |CDF gap| and goes
+   * blind when one sample leads in the lower tail and lags in the
+   * upper by similar amounts (the classic cyclic/phase-shift shape —
+   * a distribution rotated around the week); Kuiper adds the largest
+   * gap in EACH direction, catching tail-swap and cyclic shifts with
+   * near-uniform sensitivity across the support. Emits one row (n_a,
+   * n_b, d_plus, d_minus, v_stat), 8dp.
+   *
+   * Deterministic: the [[ksStatistic]] discipline — exact cumulative
+   * counts over the pre-binned support, per-value signed gaps rounded
+   * 8dp, two max reduces.
+   *
+   * Scale: the KS shape exactly — one support-sized histogram + one
+   * cumulative window over the bounded support + a one-row reduce.
+   */
+  def kuiperTest(df: DataFrame, valueCol: String, groupCol: String,
+                 groupA: String, groupB: String): DataFrame = {
+    val counts = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // unpartitioned window BOUND: the pre-binned distinct-value support
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(tot))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("na"), col("nb"),
+        round(sum(col("ca")).over(w).cast("double") / col("na") -
+          sum(col("cb")).over(w).cast("double") / col("nb"), 8).as("g"))
+      .groupBy("na", "nb")
+      .agg(greatest(max(col("g")), lit(0.0)).as("d_plus"),
+        greatest(-min(col("g")), lit(0.0)).as("d_minus"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("d_plus"), col("d_minus"),
+        round(col("d_plus") + col("d_minus"), 8).as("v_stat"))
+  }
+
+  /**
    * WILSON score interval for per-group success rates — the confidence
    * band an experiment dashboard puts around a conversion rate. Unlike
    * the naive normal interval, Wilson stays inside [0, 1] and behaves at
@@ -492,6 +544,108 @@ object StatsOps {
             (lit(2) * col("__six") - (col("n") + 1) * col("__sx"))
               .cast("double") /
               (col("n") * col("__sx")).cast("double"), 6)).as("gini"))
+  }
+
+  /**
+   * THEIL INDEX with WITHIN/BETWEEN decomposition — the inequality
+   * measure that DECOMPOSES exactly: T = Σ_g s_g·T_g (within) +
+   * Σ_g s_g·ln(μ_g/μ) (between), s_g = group value share. Where
+   * [[gini]] gives one number per group, Theil answers the next
+   * question — "is the corpus's value inequality driven by gaps
+   * BETWEEN segments or by spread INSIDE them" (the domain-mix vs
+   * in-domain-skew split a sampling-weights design needs). Zero and
+   * negative values are excluded (ln; the standard income-data
+   * contract). Emits one row (n, k_groups, theil_within,
+   * theil_between, theil_total), 6dp, total = within + between by
+   * construction.
+   *
+   * Deterministic: values are exact cents; per-row (x/μ_g)·ln(x/μ_g)
+   * terms and per-group share·ln terms round to 8dp and sum through
+   * DECIMAL; the group joins broadcast k-row stats.
+   *
+   * Scale: one group aggregate (k rows, broadcast back) + one
+   * corpus-streaming term pass + a k-row reduce — no windows, no
+   * sort.
+   */
+  def theilIndex(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val dterm = org.apache.spark.sql.types.DecimalType(24, 8)
+    val dec = dec380
+    val base = df
+      .select(col(groupCol).as("__g"), cents(col(valueCol)).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull && col("__x") > 0)
+    val gs = base.groupBy("__g")
+      .agg(count(lit(1)).as("__ng"), sum(col("__x").cast(dec)).as("__sg"))
+    val tot = gs.agg(sum(col("__ng")).as("n"), sum(col("__sg")).as("__s"),
+      count(lit(1)).as("k_groups"))
+    // per-row within terms: (x/μ_g)·ln(x/μ_g) with x/μ_g = x·n_g/s_g
+    val ratio = col("__x").cast("double") * col("__ng").cast("double") /
+      col("__sg").cast("double")
+    val within = base.join(broadcast(gs), "__g")
+      .select(col("__g"), round(ratio * log(ratio), 8).cast(dterm).as("__t"))
+      .groupBy("__g").agg(sum(col("__t")).as("__tg2"))
+      // T_g = (1/n_g)·Σ terms; weight by the value share s_g/s
+      .join(broadcast(gs), "__g").crossJoin(broadcast(tot))
+      .select(round(
+        (col("__sg").cast("double") / col("__s").cast("double")) *
+          (col("__tg2").cast("double") / col("__ng").cast("double")), 8)
+        .cast(dterm).as("__w"))
+      .agg(coalesce(sum(col("__w")), lit(0).cast(dterm)).as("__within"))
+    val between = gs.crossJoin(broadcast(tot))
+      .select(round(
+        (col("__sg").cast("double") / col("__s").cast("double")) *
+          log(col("__sg").cast("double") * col("n").cast("double") /
+            (col("__s").cast("double") * col("__ng").cast("double"))), 8)
+        .cast(dterm).as("__b"))
+      .agg(coalesce(sum(col("__b")), lit(0).cast(dterm)).as("__between"))
+    tot.crossJoin(broadcast(within)).crossJoin(broadcast(between))
+      .filter(col("n") > 0)
+      .select(col("n"), col("k_groups"),
+        round(col("__within").cast("double"), 6).as("theil_within"),
+        round(col("__between").cast("double"), 6).as("theil_between"),
+        round((col("__within") + col("__between")).cast("double"), 6)
+          .as("theil_total"))
+  }
+
+  /**
+   * ATKINSON INDEX (ε = 1) per group — inequality as WELFARE LOSS:
+   * A = 1 − geomean/mean, "what fraction of this segment's total value
+   * could be discarded with no welfare loss if the rest were spread
+   * evenly". The normative companion to [[gini]] (rank-weighted) and
+   * [[theilIndex]] (log-deviation): at ε = 1 the index weights
+   * transfers at the bottom of the distribution most — the right lens
+   * for "is this domain's token budget carried by a starving tail".
+   * Zero/negative values excluded (geomean). Emits one row per group:
+   * (group, n, mean, atkinson), mean in original units 6dp, index 6dp
+   * in [0, 1).
+   *
+   * Deterministic: exact-cents values; per-row ln(x) terms round 8dp
+   * and sum through DECIMAL; geomean = exp(Σ/n) is one pinned double
+   * chain per group (the [[kaplanMeier]] exp-of-summed-logs
+   * discipline).
+   *
+   * Scale: one partial-aggregating group pass — no windows, no joins;
+   * the corpus streams once.
+   */
+  def atkinsonIndex(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val dterm = org.apache.spark.sql.types.DecimalType(24, 8)
+    val dec = dec380
+    val base = df
+      .select(col(groupCol), cents(col(valueCol)).as("__x"))
+      .filter(col(valueCol).isNotNull && col("__x").isNotNull &&
+        col("__x") > 0)
+    base.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(col("__x").cast(dec)).as("__s"),
+        sum(round(log(col("__x").cast("double")), 8).cast(dterm))
+          .as("__sl"))
+      .select(col(groupCol), col("n"),
+        round(col("__s").cast("double") / col("n").cast("double") / 100.0,
+          6).as("mean"),
+        round(lit(1.0) -
+          exp(col("__sl").cast("double") / col("n").cast("double")) /
+            (col("__s").cast("double") / col("n").cast("double")), 6)
+          .as("atkinson"))
   }
 
   /**
@@ -1553,7 +1707,32 @@ object StatsOps {
    * on the bounded grid + a grid reduce; the corpus streams once.
    */
   def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val out = concordanceCore(df, xCol, yCol)
+    val n0x2 = col("n").cast(dec380) * (col("n") - 1).cast(dec380)
+    val d1 = (n0x2 - col("__tx2")).cast("double")
+    val d2 = (n0x2 - col("__ty2")).cast("double")
+    val num = (col("__c") - col("__d")).cast("double")
+    val cd = (col("__c") + col("__d")).cast("double")
+    out.select(col("n"),
+      col("__c").cast("long").as("concordant"),
+      col("__d").cast("long").as("discordant"),
+      when(d1 > 0 && d2 > 0, round(num * 2 / sqrt(d1 * d2), 8))
+        .otherwise(lit(null).cast("double")).as("tau_b"),
+      when(cd > 0, round(num / cd, 8))
+        .otherwise(lit(null).cast("double")).as("gamma"))
+  }
+
+  private val dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Shared concordance kernel behind [[kendallTauB]] and [[somersD]]:
+    * one row (n, __c = concordant-pair count, __d = discordant, __tx2 =
+    * Σ cx(cx−1) doubled x-tie mass, __ty2 = doubled y-tie mass), all
+    * exact integers, computed on the dense |X|×|Y| level grid via 2-D
+    * strict prefix sums — never pair enumeration (see kendallTauB's
+    * doc for the construction and the PRE-BIN contract). */
+  private def concordanceCore(df: DataFrame, xCol: String,
+                              yCol: String): DataFrame = {
+    val dec = dec380
     val base = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
     val cells = base.groupBy("__x", "__y").agg(count(lit(1)).as("__n"))
@@ -1579,19 +1758,148 @@ object StatsOps {
       .as("__tx2"))
     val ty = my.agg(sum(col("__cy").cast(dec) * (col("__cy") - 1).cast(dec))
       .as("__ty2"))
-    val out = m.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
-    val n0x2 = col("n").cast(dec) * (col("n") - 1).cast(dec)
-    val d1 = (n0x2 - col("__tx2")).cast("double")
-    val d2 = (n0x2 - col("__ty2")).cast("double")
+    m.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+  }
+
+  /**
+   * SOMERS' D — the ASYMMETRIC concordance coefficient: where
+   * [[kendallTauB]] treats the two columns symmetrically (its
+   * denominator is the geometric mean of the two untied-pair counts),
+   * Somers' D names a RESPONSE: D_y|x = (C−D) / (pairs untied on x) —
+   * "of the pairs the predictor actually orders, what fraction does
+   * the response order the same way, net". The ordinal analog of a
+   * regression slope (and the statistic under the AUC identity
+   * D = 2·AUC − 1 for binary y) — the right readout when one column
+   * predicts and the other responds, where τ-b would dilute by ties
+   * in the response. Emits one row (n, concordant, discordant,
+   * d_y_given_x, d_x_given_y), both directions 8dp (τ_b² =
+   * D_y|x · D_x|y); an all-tied predictor emits NULL for its
+   * direction.
+   *
+   * PRE-BIN unbounded continuous columns (the [[kendallTauB]] grid
+   * contract: bounded levels).
+   *
+   * Deterministic: the shared concordance kernel is all exact
+   * integers; each direction is one division on the final row.
+   *
+   * Scale: identical to [[kendallTauB]] — one cell aggregate + two
+   * marginal rollups + windows on the bounded |X|×|Y| grid + a grid
+   * reduce; the corpus streams once.
+   */
+  def somersD(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val out = concordanceCore(df, xCol, yCol)
+    val n0x2 = col("n").cast(dec380) * (col("n") - 1).cast(dec380)
+    val d1 = (n0x2 - col("__tx2")).cast("double") // pairs untied on x (×2)
+    val d2 = (n0x2 - col("__ty2")).cast("double") // pairs untied on y (×2)
     val num = (col("__c") - col("__d")).cast("double")
-    val cd = (col("__c") + col("__d")).cast("double")
     out.select(col("n"),
       col("__c").cast("long").as("concordant"),
       col("__d").cast("long").as("discordant"),
-      when(d1 > 0 && d2 > 0, round(num * 2 / sqrt(d1 * d2), 8))
-        .otherwise(lit(null).cast("double")).as("tau_b"),
-      when(cd > 0, round(num / cd, 8))
-        .otherwise(lit(null).cast("double")).as("gamma"))
+      when(d1 > 0, round(num * 2 / d1, 8))
+        .otherwise(lit(null).cast("double")).as("d_y_given_x"),
+      when(d2 > 0, round(num * 2 / d2, 8))
+        .otherwise(lit(null).cast("double")).as("d_x_given_y"))
+  }
+
+  /**
+   * GOODMAN–KRUSKAL LAMBDA — proportional-reduction-in-error
+   * association for two categoricals: λ_b|a = how much better you
+   * predict b's modal category when told a, relative to always
+   * guessing b's global mode — (Σ_a max_b n_ab − max_b n_·b) /
+   * (n − max_b n_·b). The "does this column actually help a
+   * classifier" score that chi²/MI cannot give directly (they measure
+   * dependence, λ measures PREDICTION gain; λ = 0 means a never
+   * changes the best guess even when dependence exists). Emits one
+   * row (n, lambda_b_given_a, lambda_a_given_b), 8dp; a degenerate
+   * margin (global mode = everything) emits NULL for that direction.
+   *
+   * Deterministic: all counts exact integers; one division per
+   * direction on the final row.
+   *
+   * Scale: the chi² shape — one cell aggregate, two per-level max
+   * rollups, two 1-row marginal-max broadcasts; the corpus streams
+   * once.
+   */
+  def gkLambda(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    // within-level modal masses: Σ_a max_b and Σ_b max_a
+    val rowMax = cells.groupBy("__a").agg(max(col("o")).as("__m"))
+      .agg(sum(col("__m")).as("__sma"))
+    val colMax = cells.groupBy("__b").agg(max(col("o")).as("__m"))
+      .agg(sum(col("__m")).as("__smb"))
+    // global modal masses of each margin + the total
+    val margA = cells.groupBy("__a").agg(sum(col("o")).as("__ca"))
+      .agg(max(col("__ca")).as("__gma"), sum(col("__ca")).as("n"))
+    val margB = cells.groupBy("__b").agg(sum(col("o")).as("__cb"))
+      .agg(max(col("__cb")).as("__gmb"))
+    val out = margA.crossJoin(broadcast(margB))
+      .crossJoin(broadcast(rowMax)).crossJoin(broadcast(colMax))
+    val denB = (col("n") - col("__gmb")).cast("double")
+    val denA = (col("n") - col("__gma")).cast("double")
+    out.select(col("n"),
+      when(denB > 0,
+        round((col("__sma") - col("__gmb")).cast("double") / denB, 8))
+        .otherwise(lit(null).cast("double")).as("lambda_b_given_a"),
+      when(denA > 0,
+        round((col("__smb") - col("__gma")).cast("double") / denA, 8))
+        .otherwise(lit(null).cast("double")).as("lambda_a_given_b"))
+  }
+
+  /**
+   * THEIL'S U (uncertainty coefficient) — the ENTROPY-normalized
+   * dependence: U(b|a) = (H(b) − H(b|a)) / H(b) = MI / H(b), the
+   * fraction of b's uncertainty that knowing a removes. The [0,1]
+   * companion to [[mutualInformation]]'s raw nats (MI has no fixed
+   * scale — 0.3 nats is huge for a near-constant column and trivial
+   * for a uniform one; U normalizes by the margin's own entropy) and,
+   * unlike Cramér's V, it is ASYMMETRIC — U(label|feature) is the
+   * feature-selection readout. Emits one row (n, h_a, h_b, mi,
+   * u_b_given_a, u_a_given_b), entropies/MI 6dp in nats, U 8dp;
+   * a constant margin (H = 0) emits NULL for its direction.
+   *
+   * Deterministic: the [[mutualInformation]] discipline — per-cell
+   * and per-level (c/n)·ln terms round to 8dp and sum through
+   * DECIMAL; MI clamps at 0.
+   *
+   * Scale: the chi² shape — one cell aggregate + two marginal
+   * rollups + 1-row broadcasts; the corpus streams once.
+   */
+  def theilsU(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 8)
+    val obs = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy("__a").agg(sum(col("o")).as("ra"))
+    val rb = obs.groupBy("__b").agg(sum(col("o")).as("rb"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    // marginal entropies: −Σ (c/n)·ln(c/n), 8dp terms through decimal
+    def entropyOf(marg: DataFrame, cnt: String): DataFrame =
+      marg.crossJoin(broadcast(tot))
+        .select(round(col(cnt).cast("double") / col("n") *
+          log(col(cnt).cast("double") / col("n")), 8).cast(dec).as("__t"))
+        .agg(greatest(round(-sum(col("__t")).cast("double"), 6), lit(0.0))
+          .as("__h"))
+    val ha = entropyOf(ra, "ra")
+    val hb = entropyOf(rb, "rb")
+    val p = col("o").cast("double") / col("n")
+    val term = p * log(col("o").cast("double") * col("n") /
+      (col("ra").cast("double") * col("rb")))
+    val mi = obs.join(ra, "__a").join(rb, "__b").crossJoin(broadcast(tot))
+      .select(col("n"), round(term, 8).cast(dec).as("__t"))
+      .groupBy("n")
+      .agg(greatest(round(sum(col("__t")).cast("double"), 6), lit(0.0))
+        .as("mi"))
+    mi.crossJoin(broadcast(ha.select(col("__h").as("h_a"))))
+      .crossJoin(broadcast(hb.select(col("__h").as("h_b"))))
+      .select(col("n"), col("h_a"), col("h_b"), col("mi"),
+        when(col("h_b") > 0, round(col("mi") / col("h_b"), 8))
+          .otherwise(lit(null).cast("double")).as("u_b_given_a"),
+        when(col("h_a") > 0, round(col("mi") / col("h_a"), 8))
+          .otherwise(lit(null).cast("double")).as("u_a_given_b"))
   }
 
   /**
@@ -1655,7 +1963,8 @@ object StatsOps {
    *
    * Scale: within-block ranks ride block-partitioned RANGE windows (k
    * rows per block — never a corpus-wide sort); everything after is a
-   * k-row reduce. The block-completeness filter is one count window.
+   * k-row reduce. The block-completeness filter is a count window plus
+   * a k-bounded collect_set distinct-count window (both block-local).
    */
   def friedmanQ(df: DataFrame, blockCol: String, treatmentCol: String,
                 valueCol: String): DataFrame = {
@@ -1665,12 +1974,18 @@ object StatsOps {
       .filter(col("__blk").isNotNull && col("__trt").isNotNull &&
         col("__v").isNotNull)
     val k = base.agg(countDistinct(col("__trt")).as("__k"))
-    // keep only complete blocks (exactly k treatments present)
+    // keep only complete blocks: exactly k rows AND k DISTINCT
+    // treatments — row count alone would let a block with a duplicated
+    // treatment and a missing one slip through as "complete" and skew
+    // its within-block ranks (distinct window aggregates are
+    // unsupported, so the distinct count rides a k-bounded collect_set)
     val wBlk = Window.partitionBy("__blk")
     val complete = base
       .withColumn("__bk", count(lit(1)).over(wBlk))
+      .withColumn("__bkd", size(collect_set(col("__trt")).over(wBlk)))
       .crossJoin(broadcast(k))
-      .filter(col("__bk") === col("__k"))
+      .filter(col("__bk") === col("__k") && col("__bkd") === col("__k"))
+      .drop("__bkd")
     // doubled mid-ranks within block: 2·cnt_less + ties + 1, with
     // cnt_less = rank() − 1 (rank() is 1 + strictly-smaller count, so
     // ties share the min rank) and ties from a same-value count — both
@@ -1733,11 +2048,15 @@ object StatsOps {
       .filter(col("__blk").isNotNull && col("__trt").isNotNull &&
         col("__v").isNotNull)
     val k = base.agg(countDistinct(col("__trt")).as("__k"))
+    // friedmanQ's completeness contract: k rows AND k distinct
+    // treatments per block (see the duplicated-treatment note there)
     val wBlk = Window.partitionBy("__blk")
     val complete = base
       .withColumn("__bk", count(lit(1)).over(wBlk))
+      .withColumn("__bkd", size(collect_set(col("__trt")).over(wBlk)))
       .crossJoin(broadcast(k))
-      .filter(col("__bk") === col("__k"))
+      .filter(col("__bk") === col("__k") && col("__bkd") === col("__k"))
+      .drop("__bkd")
     val wRank = Window.partitionBy("__blk").orderBy(col("__v").asc)
     val wTie = Window.partitionBy("__blk", "__v")
     val ranked = complete
@@ -1768,6 +2087,486 @@ object StatsOps {
           .otherwise(lit(null).cast("double")).as("z"),
         when(l2D > e2, "increasing").when(l2D < e2, "decreasing")
           .otherwise("none").as("direction"))
+  }
+
+  /**
+   * KENDALL'S W (coefficient of concordance) — "how much do the blocks
+   * AGREE on the treatment ranking", the [0, 1]-normalized form of
+   * [[friedmanQ]]: W = Q / (m·(k−1)) (the exact classical identity,
+   * tie-corrected alongside). Friedman answers "is ANY ranking
+   * difference real"; W answers "how consistent is the ranking across
+   * blocks" on a fixed scale — 1 = every block ranks the treatments
+   * identically, 0 = no agreement beyond chance — the inter-rater /
+   * day-over-day stability readout. Same complete-block contract as
+   * Friedman (k rows AND k distinct treatments per block). Emits one
+   * row (n_blocks, k, w, w_tie_adj), 8dp; all-tied blocks emit NULL
+   * w_tie_adj.
+   *
+   * Deterministic: derives from friedmanQ's 6dp-pinned Q (one division
+   * per direction on the one-row frame — the oracle replays the same
+   * chain off the same Q).
+   *
+   * Scale: exactly [[friedmanQ]] — block-partitioned k-row windows +
+   * a k-row reduce.
+   */
+  def kendallW(df: DataFrame, blockCol: String, treatmentCol: String,
+               valueCol: String): DataFrame = {
+    val q = friedmanQ(df, blockCol, treatmentCol, valueCol)
+    val den = (col("n_blocks") * (col("k") - 1)).cast("double")
+    q.select(col("n_blocks"), col("k"),
+      when(den > 0, round(col("q") / den, 8))
+        .otherwise(lit(null).cast("double")).as("w"),
+      when(den > 0 && col("q_tie_adj").isNotNull,
+        round(col("q_tie_adj") / den, 8))
+        .otherwise(lit(null).cast("double")).as("w_tie_adj"))
+  }
+
+  /**
+   * COCHRAN'S Q — the BINARY repeated-measures test: k treatments
+   * observed as success/failure within each block ("did the user ever
+   * do event type t", "did the day hit the SLA on each pipeline"), is
+   * the success RATE the same across treatments once block-to-block
+   * propensity is held fixed? The dichotomous member of the
+   * within-block family ([[friedmanQ]] ranks values; McNemar is the
+   * k = 2 special case): Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+   * with C_j = per-treatment successes, R_i = per-block successes,
+   * N = total. An absent (block, treatment) cell counts as failure
+   * (the dense-grid convention — absence means "didn't happen"), so
+   * every block is complete by construction. Emits one row (n_blocks,
+   * k, n_success, q), q 6dp; a degenerate denominator (every block
+   * all-success or all-failure) emits NULL q.
+   *
+   * Deterministic: all sums exact integers (flags deduped per cell
+   * first); one division on the final row.
+   *
+   * Scale: one (block, treatment) incidence aggregate + two rollups
+   * (treatment-sized, block-sized) + 1-row reduces — no windows, no
+   * grid; the corpus streams once.
+   */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+               flagCol: String): DataFrame = {
+    val dec = dec380
+    // per-cell incidence: any true observation makes the cell a success
+    val cells = df
+      .filter(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(flagCol).isNotNull)
+      .groupBy(col(blockCol).as("__b"), col(treatmentCol).as("__t"))
+      .agg(max(when(col(flagCol).cast("boolean"), 1L).otherwise(0L))
+        .as("__x"))
+    val k = cells.agg(countDistinct(col("__t")).as("k"))
+    val byT = cells.groupBy("__t").agg(sum(col("__x")).as("__cj"))
+      .agg(sum(col("__cj")).as("__nn"),
+        sum(col("__cj").cast(dec) * col("__cj").cast(dec)).as("__sc2"))
+    val byB = cells.groupBy("__b").agg(sum(col("__x")).as("__ri"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__ri").cast(dec) * col("__ri").cast(dec)).as("__sr2"))
+    val out = byB.crossJoin(broadcast(byT)).crossJoin(broadcast(k))
+    val kD = col("k").cast(dec)
+    val num = (kD - 1) * (kD * col("__sc2") -
+      col("__nn").cast(dec) * col("__nn").cast(dec))
+    val den = kD * col("__nn").cast(dec) - col("__sr2")
+    out.filter(col("k") > 1)
+      .select(col("n_blocks"), col("k"), col("__nn").as("n_success"),
+        when(den.cast("double") > 0,
+          round(num.cast("double") / den.cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("q"))
+  }
+
+  /**
+   * FLEISS' KAPPA — chance-corrected agreement for m RATERS per item
+   * over k categories (Cohen's kappa is the m = 2, named-raters case;
+   * Fleiss handles "any m judges per item, identity-free" — the crowd-
+   * label / multi-annotator QC statistic): κ = (P̄ − P̄_e)/(1 − P̄_e)
+   * with per-item agreement P_i = (Σ_c n_ic² − m)/(m(m−1)) and chance
+   * agreement P̄_e = Σ_c p_c². Items must carry EXACTLY m ratings —
+   * items with any other count are dropped (and the used count
+   * reported), the standard balanced-panel contract. Emits one row
+   * (n_items, m, k_categories, p_bar, p_e, kappa), 6dp; P̄_e = 1
+   * (all ratings one category) emits NULL kappa.
+   *
+   * Deterministic: all counts exact integers; P̄/P̄_e/κ is one pinned
+   * double chain on the final row.
+   *
+   * Scale: one (item, category) cell aggregate + an item rollup + a
+   * category rollup + 1-row reduces — no windows; the corpus streams
+   * once.
+   */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
+                  m: Int): DataFrame = {
+    require(m >= 2, s"m must be >= 2, got $m")
+    val dec = dec380
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(categoryCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    // keep only items with exactly m ratings
+    val itemTot = cells.groupBy("__i").agg(sum(col("__n")).as("__mi"))
+      .filter(col("__mi") === m)
+    val kept = cells.join(itemTot, "__i")
+    val perItem = kept.groupBy("__i")
+      .agg(sum(col("__n").cast(dec) * col("__n").cast(dec)).as("__s2"))
+      .agg(count(lit(1)).as("n_items"), sum(col("__s2")).as("__ss2"))
+    val perCat = kept.groupBy("__c").agg(sum(col("__n")).as("__nc"))
+      .agg(count(lit(1)).as("k_categories"),
+        sum(col("__nc").cast(dec) * col("__nc").cast(dec)).as("__snc2"))
+    val out = perItem.crossJoin(broadcast(perCat))
+    val nI = col("n_items").cast("double")
+    val mD = lit(m.toDouble)
+    // P̄ = (Σ_i Σ_c n_ic² − n·m) / (n·m·(m−1))
+    val pBar = (col("__ss2").cast("double") - nI * mD) /
+      (nI * mD * (mD - 1.0))
+    // p_c = Σ_i n_ic / (n·m); P̄_e = Σ p_c²
+    val pE = col("__snc2").cast("double") / (nI * mD * nI * mD)
+    out.filter(col("n_items") > 0)
+      .select(col("n_items"), lit(m.toLong).as("m"), col("k_categories"),
+        round(pBar, 6).as("p_bar"), round(pE, 6).as("p_e"),
+        when(round(pE, 6) < 1.0,
+          round((pBar - pE) / (lit(1.0) - pE), 6))
+          .otherwise(lit(null).cast("double")).as("kappa"))
+  }
+
+  /**
+   * JARQUE–BERA normality test — "are these values even close to
+   * Gaussian": JB = n/6·(S² + (K−3)²/4) from the sample skewness and
+   * kurtosis. The cheap gate before anyone applies a normal-theory
+   * readout (z-intervals, CUSUM thresholds, 3σ outlier fences) to a
+   * column that might be heavy-tailed — JB large means those
+   * calibrations lie. Emits one row (n, skewness, kurtosis, jb), 6dp
+   * (kurtosis is the RAW fourth moment ratio, 3 = Gaussian); zero
+   * variance emits NULL statistics.
+   *
+   * Deterministic: the four power sums Σx..Σx⁴ are exact integer cents
+   * in DECIMAL(38,0); the central-moment identities A = nΣx²−(Σx)²,
+   * B = n²Σx³−3nΣx²Σx+2(Σx)³, C = n³Σx⁴−4n²Σx³Σx+6nΣx²(Σx)²−3(Σx)⁴
+   * stay exact (no catastrophic cancellation in doubles — the
+   * kruskalWallis lesson), and S = B/A^1.5, K = C/A² collapse the n
+   * powers away; one pinned double chain on the final row. VALUE-RANGE
+   * CONTRACT: |x| ≤ ~1e4 units (Σx)⁴ must fit DECIMAL(38) — wire on
+   * bounded measures (rates, scores, bounded values); a wider column
+   * overflows to NULL on BOTH engines rather than silently wrapping.
+   *
+   * Scale: one partial-aggregating pass to one row — the reconcile
+   * shape at four powers.
+   */
+  def jarqueBera(df: DataFrame, valueCol: String): DataFrame = {
+    val dec = dec380
+    val base = df.select(cents(col(valueCol)).as("__x"))
+      .filter(col("__x").isNotNull)
+    val x = col("__x").cast(dec)
+    val m = base.agg(count(lit(1)).as("n"), sum(x).as("s1"),
+      sum(x * x).as("s2"), sum(x * x * x).as("s3"),
+      sum(x * x * x * x).as("s4"))
+    val nD = col("n").cast(dec)
+    val a = nD * col("s2") - col("s1") * col("s1")
+    val b = nD * nD * col("s3") - nD * col("s2") * col("s1") * 3 +
+      col("s1") * col("s1") * col("s1") * 2
+    val c = nD * nD * nD * col("s4") -
+      nD * nD * col("s3") * col("s1") * 4 +
+      nD * col("s2") * col("s1") * col("s1") * 6 -
+      col("s1") * col("s1") * col("s1") * col("s1") * 3
+    val aD = a.cast("double")
+    val skew = b.cast("double") / pow(aD, 1.5)
+    val kurt = c.cast("double") / (aD * aD)
+    val jb = col("n").cast("double") / 6.0 *
+      (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    m.filter(col("n") > 1)
+      .select(col("n"),
+        when(aD > 0, round(skew, 6))
+          .otherwise(lit(null).cast("double")).as("skewness"),
+        when(aD > 0, round(kurt, 6))
+          .otherwise(lit(null).cast("double")).as("kurtosis"),
+        when(aD > 0, round(jb, 6))
+          .otherwise(lit(null).cast("double")).as("jb"))
+  }
+
+  /**
+   * CATEGORICAL DISTRIBUTION DISTANCES between two slices — total
+   * variation, Bhattacharyya coefficient, and Hellinger distance over
+   * the union category support: the drift-audit trio beside
+   * [[graft.ops.QualityCheck]]'s PSI (PSI explodes on vanishing bins
+   * and JSD needs a log; TVD is the worst-case probability gap a
+   * decision rule can suffer, Hellinger is the proper metric that
+   * stays bounded through zero bins). Emits one row (n_a, n_b,
+   * n_cats, tvd, bhattacharyya, hellinger), 6dp; an empty slice emits
+   * no row.
+   *
+   * Deterministic: per-category |p−q| and √(p·q) terms round 8dp and
+   * sum through DECIMAL; Hellinger's √(1−BC) clamps the rounded BC
+   * at 1.
+   *
+   * Scale: one category histogram + a 1-row totals broadcast + a
+   * support-sized reduce — the KS shape on categories.
+   */
+  def distributionDistance(df: DataFrame, catCol: String, groupCol: String,
+                           groupA: String, groupB: String): DataFrame = {
+    val dterm = org.apache.spark.sql.types.DecimalType(24, 8)
+    val counts = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("__c"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val p = col("ca").cast("double") / col("na")
+    val q = col("cb").cast("double") / col("nb")
+    counts.crossJoin(broadcast(tot))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("na"), col("nb"),
+        round(abs(p - q), 8).cast(dterm).as("__tv"),
+        round(sqrt(p * q), 8).cast(dterm).as("__bc"))
+      .groupBy("na", "nb")
+      .agg(count(lit(1)).as("n_cats"),
+        sum(col("__tv")).as("__stv"), sum(col("__bc")).as("__sbc"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("n_cats"),
+        round(col("__stv").cast("double") / 2.0, 6).as("tvd"),
+        round(least(col("__sbc").cast("double"), lit(1.0)), 6)
+          .as("bhattacharyya"),
+        round(sqrt(greatest(lit(0.0),
+          lit(1.0) - least(col("__sbc").cast("double"), lit(1.0)))), 6)
+          .as("hellinger"))
+  }
+
+  /**
+   * HODGES–LEHMANN shift estimator — the median of ALL pairwise
+   * differences a − b between the two samples: the LOCATION companion
+   * to [[mannWhitneyU]]'s significance and [[cliffsDelta]]'s
+   * probability scale ("group A's values run 4.50 higher, robustly").
+   * Unlike mean-difference it survives outliers; unlike
+   * median-of-A − median-of-B it is the estimator actually consistent
+   * with the rank test. Computed WITHOUT pair enumeration: on the
+   * |A-support| × |B-support| level grid, each difference value
+   * carries weight ca·cb, and the weighted median reads off a
+   * cumulative over the bounded difference support (lower/upper
+   * middle averaged — the exact even/odd convention). PRE-BIN
+   * unbounded continuous values (the kendall grid contract). Emits
+   * one row (n_a, n_b, n_pairs, hl_shift), 6dp.
+   *
+   * Deterministic: weights and cumulative positions are exact
+   * integers; the only division is the final lo/hi average.
+   *
+   * Scale: one support histogram + a support × support broadcast
+   * cross (bounded levels) + a difference-support window + two 1-row
+   * reduces; the corpus streams once.
+   */
+  def hodgesLehmann(df: DataFrame, valueCol: String, groupCol: String,
+                    groupA: String, groupB: String): DataFrame = {
+    val dec = dec380
+    val kept = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"),
+        (col(groupCol) === groupA).as("__a"))
+    val sa = kept.filter(col("__a")).groupBy("__v")
+      .agg(count(lit(1)).as("ca"))
+    val sb = kept.filter(!col("__a")).groupBy("__v")
+      .agg(count(lit(1)).as("cb"))
+    val diffs = sa.select(col("__v").as("__va"), col("ca"))
+      .crossJoin(broadcast(sb.select(col("__v").as("__vb"), col("cb"))))
+      .select(round(col("__va") - col("__vb"), 8).as("__d"),
+        (col("ca").cast(dec) * col("cb").cast(dec)).as("__w"))
+      .groupBy("__d").agg(sum(col("__w")).as("__w"))
+    // unpartitioned window BOUND: the bounded difference support
+    val wCum = Window.orderBy(col("__d").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = diffs.withColumn("__cum", sum(col("__w")).over(wCum))
+    // NB the total must NOT be named "__W": Spark resolution is
+    // case-insensitive by default, so it would collide with the
+    // weight column "__w" above
+    val tot = cum.agg(max(col("__cum")).as("__wtot"))
+    // lower/upper middle positions read off ONE conditional aggregate
+    // over the positioned difference support
+    val loHi = cum.crossJoin(broadcast(tot)).agg(
+      min(when(col("__cum") * 2 >= col("__wtot") + (col("__wtot") % 2),
+        col("__d"))).as("__lo"),
+      min(when(col("__cum") * 2 >= col("__wtot") + 2 - (col("__wtot") % 2),
+        col("__d"))).as("__hi"),
+      max(col("__wtot")).as("__Wt"))
+    val sizes = kept.agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    sizes.crossJoin(broadcast(loHi))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("n_a"), col("n_b"),
+        col("__Wt").cast("long").as("n_pairs"),
+        round((col("__lo") + col("__hi")) / 2.0, 6).as("hl_shift"))
+  }
+
+  /**
+   * MOOD'S SCALE TEST — "is group A more SPREAD OUT than group B",
+   * rank-based: M = Σ_{i∈A}(rᵢ − (n+1)/2)², weighting each A-rank by
+   * its squared distance from the center — a sample whose ranks crowd
+   * the extremes scores high. The dispersion twin of [[mannWhitneyU]]
+   * (same machinery, squared-deviation scores instead of raw ranks):
+   * use it when two slices agree on the median but one is wilder —
+   * Levene asks this with moments (outlier-fragile), Mood with ranks.
+   * Mid-ranks under ties; z uses the classical no-ties moments
+   * E = n_a(n²−1)/12, Var = n_a·n_b(n+1)(n²−4)/180 (mildly
+   * conservative under heavy ties — the [[pageTrend]] reading).
+   * PRE-BIN unbounded continuous values. Emits one row (n_a, n_b,
+   * m_stat, z, direction ∈ wider | narrower | none), m 2dp, z 6dp.
+   *
+   * Deterministic: doubled ranks keep 4·(r−(n+1)/2)² = (r2−(n+1))²
+   * exact-integer; decimal sums; one pinned double chain.
+   *
+   * Scale: the [[mannWhitneyU]] shape — a support histogram ranked by
+   * the distributed kernel + a one-row reduce.
+   */
+  def moodScaleTest(df: DataFrame, valueCol: String, groupCol: String,
+                    groupA: String, groupB: String): DataFrame = {
+    val dec = dec380
+    val kept = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .filter(col(valueCol).isNotNull)
+    val counts = kept
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("__t", col("ca") + col("cb"))
+    val ranked = doubledRanks(counts, "__v", "__t",
+      probe = Some(kept.select(col(valueCol).as("__v"))))
+    val tot = ranked.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val m = ranked.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        (col("ca").cast(dec) *
+          (col("__r2").cast(dec) - (col("na") + col("nb") + 1).cast(dec)) *
+          (col("__r2").cast(dec) - (col("na") + col("nb") + 1).cast(dec)))
+          .as("__m4"))
+      .groupBy("na", "nb").agg(sum(col("__m4")).as("__sm4"))
+    val na = col("na").cast("double"); val nb = col("nb").cast("double")
+    val n = na + nb
+    val mStat = col("__sm4").cast("double") / 4.0
+    val e = na * (n * n - 1.0) / 12.0
+    val v = na * nb * (n + 1.0) * (n * n - 4.0) / 180.0
+    val mR = round(mStat, 2)
+    m.filter(col("na") > 0 && col("nb") > 0)
+      .select(col("na").as("n_a"), col("nb").as("n_b"), mR.as("m_stat"),
+        when(v > 0, round((mStat - e) / sqrt(v), 6))
+          .otherwise(lit(null).cast("double")).as("z"),
+        when(v <= 0, "none")
+          .when(mStat > e, "wider").when(mStat < e, "narrower")
+          .otherwise("none").as("direction"))
+  }
+
+  /**
+   * INDEX OF DISPERSION (Fano factor) per group — variance-to-mean
+   * ratio of per-unit counts on the DENSE group × unit grid: 1 =
+   * Poisson (events land independently), > 1 = bursty/clumped
+   * (retries, bots, batch jobs), < 1 = regular (rate-limited,
+   * scheduled). The burstiness screen a traffic QC runs per segment
+   * before trusting any Poisson-based alert threshold. Units with no
+   * observation count as TRUE ZEROS (the dense-grid convention —
+   * a day with no errors is an observation of zero errors). Emits one
+   * row per group: (group, n_units, mean_count, variance, dispersion),
+   * 6dp, ordered; single-unit or zero-mean groups emit NULLs.
+   *
+   * Deterministic: counts exact; sample variance via the exact
+   * integer identity (n·Σc² − (Σc)²)/(n(n−1)) in DECIMAL; pinned
+   * divisions per group row.
+   *
+   * Scale: one (group, unit) count aggregate + a bounded
+   * groups × units dense cross + a group rollup — no windows; the
+   * corpus streams once.
+   */
+  def dispersionIndex(df: DataFrame, groupCol: String,
+                      unitCol: String): DataFrame = {
+    val dec = dec380
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(unitCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(unitCol).as("__u"))
+      .agg(count(lit(1)).as("__c"))
+    val groups = cells.select("__g").distinct()
+    val units = cells.select("__u").distinct()
+    val dense = groups.crossJoin(units)
+      .join(cells, Seq("__g", "__u"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val g = dense.groupBy("__g")
+      .agg(count(lit(1)).as("n_units"), sum(col("__c").cast(dec)).as("__s"),
+        sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__s2"))
+    val nD = col("n_units").cast(dec)
+    val varNum = (nD * col("__s2") - col("__s") * col("__s")).cast("double")
+    val mean = col("__s").cast("double") / col("n_units").cast("double")
+    val variance = varNum /
+      (col("n_units").cast("double") * (col("n_units") - 1).cast("double"))
+    g.select(col("__g").as(groupCol), col("n_units"),
+        round(mean, 6).as("mean_count"),
+        when(col("n_units") > 1, round(variance, 6))
+          .otherwise(lit(null).cast("double")).as("variance"),
+        when(col("n_units") > 1 && mean > 0, round(variance / mean, 6))
+          .otherwise(lit(null).cast("double")).as("dispersion"))
+      .orderBy(groupCol)
+  }
+
+  /**
+   * QUADE TEST — the WEIGHTED Friedman: blocks whose treatments
+   * actually differ (large within-block RANGE) get proportionally
+   * more say; near-tied blocks, which contribute mostly rank noise to
+   * [[friedmanQ]], are down-weighted. The more powerful choice at
+   * small k when block magnitudes are comparable across blocks (the
+   * standard guidance: Quade for k ≤ 4–5, Friedman beyond). Same
+   * complete-block contract (k rows AND k distinct treatments).
+   * F = (b−1)·ΣTⱼ² / (b·ΣT² − ΣTⱼ²) over the doubled-integer scores
+   * T_ij = q2ᵢ·(r2ᵢⱼ − (k+1)) (block-range mid-ranks × centered
+   * within-block mid-ranks — the doubling cancels in F). Emits one
+   * row (n_blocks, k, f_stat), 6dp; a degenerate denominator (one
+   * block, or all scores identical) emits NULL.
+   *
+   * Deterministic: both rank maps are exact doubled integers; ΣT²
+   * and ΣTⱼ² sum in DECIMAL; one division.
+   *
+   * Scale: [[friedmanQ]]'s block-partitioned k-row windows + ONE
+   * block-level rank window (input = one row per block — the day-grid
+   * bound) + a k-row reduce.
+   */
+  def quadeTest(df: DataFrame, blockCol: String, treatmentCol: String,
+                valueCol: String): DataFrame = {
+    val dec = dec380
+    val base = df.select(col(blockCol).as("__blk"),
+        col(treatmentCol).as("__trt"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__blk").isNotNull && col("__trt").isNotNull &&
+        col("__v").isNotNull)
+    val k = base.agg(countDistinct(col("__trt")).as("__k"))
+    val wBlk = Window.partitionBy("__blk")
+    val complete = base
+      .withColumn("__bk", count(lit(1)).over(wBlk))
+      .withColumn("__bkd", size(collect_set(col("__trt")).over(wBlk)))
+      .crossJoin(broadcast(k))
+      .filter(col("__bk") === col("__k") && col("__bkd") === col("__k"))
+      .drop("__bkd")
+    val wRank = Window.partitionBy("__blk").orderBy(col("__v").asc)
+    val wTie = Window.partitionBy("__blk", "__v")
+    val ranked = complete
+      .withColumn("__r2",
+        (rank().over(wRank) - 1).cast("long") * 2 +
+          count(lit(1)).over(wTie) + 1)
+    // block weights: doubled mid-ranks of the within-block RANGE over
+    // the block-level frame (one row per block — grid-bounded)
+    val ranges = ranked.groupBy("__blk")
+      .agg((max(col("__v")) - min(col("__v"))).as("__rng"))
+    val wQ = Window.orderBy(col("__rng").asc)
+    val wQt = Window.partitionBy("__rng")
+    val weights = ranges
+      .withColumn("__q2",
+        (rank().over(wQ) - 1).cast("long") * 2 +
+          count(lit(1)).over(wQt) + 1)
+      .select("__blk", "__q2")
+    val scored = ranked.join(weights, "__blk")
+      .select(col("__trt"), col("__k"),
+        (col("__q2").cast(dec) *
+          (col("__r2").cast(dec) - (col("__k") + 1).cast(dec))).as("__T"))
+    val byT = scored.groupBy("__trt", "__k")
+      .agg(sum(col("__T")).as("__Tj"), sum(col("__T") * col("__T")).as("__T2"),
+        count(lit(1)).as("__b"))
+    val m = byT.groupBy("__k", "__b")
+      .agg(sum(col("__Tj") * col("__Tj")).as("__sTj2"),
+        sum(col("__T2")).as("__sT2"))
+    val bD = col("__b").cast(dec)
+    val num = (bD - 1) * col("__sTj2")
+    val den = bD * col("__sT2") - col("__sTj2")
+    m.filter(col("__k") > 1 && col("__b") > 0)
+      .select(col("__b").as("n_blocks"), col("__k").as("k"),
+        when(den.cast("double") > 0,
+          round(num.cast("double") / den.cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("f_stat"))
   }
 
   /**
@@ -1813,6 +2612,117 @@ object StatsOps {
         round(col("__h").cast("double"), 6).as("cum_hazard"),
         round(exp(-col("__h").cast("double")), 6).as("na_survival"))
       .orderBy("t")
+  }
+
+  /**
+   * RESTRICTED MEAN SURVIVAL TIME — the AREA under the [[kaplanMeier]]
+   * curve up to horizon τ: "how many of the next τ days does a unit
+   * survive, on average". The single-number summary the median
+   * ([[medianSurvival]]'s readout) cannot give when the curve never
+   * crosses 0.5, and the standard censoring-robust effect scale for
+   * comparing retention curves ("arm A keeps users 3.1 of the first
+   * 30 days longer"). RMST(τ) = Σ segments S(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ)
+   * plus the leading [0, t_min) segment at S = 1. τ beyond the last
+   * observed time extends the final S flat (report τ conservatively
+   * within follow-up). Emits one row (tau, n, rmst), rmst 6dp.
+   *
+   * Deterministic: each segment is the 6dp-pinned KM survival times an
+   * integer width, rounded 8dp and decimal-summed.
+   *
+   * Scale: the [[kaplanMeier]] shape — a duration histogram +
+   * cumulative windows over the bounded duration grid + a lead window
+   * + a one-row reduce.
+   */
+  def rmst(df: DataFrame, durationCol: String, eventCol: String,
+           tau: Long): DataFrame = {
+    require(tau > 0, s"tau must be > 0, got $tau")
+    val dterm = org.apache.spark.sql.types.DecimalType(24, 8)
+    val km = kaplanMeier(df, durationCol, eventCol)
+    // unpartitioned window BOUND: duration-grid histogram rows
+    val wLead = Window.orderBy(col("t").asc)
+    val seg = km
+      .withColumn("__next", coalesce(lead(col("t"), 1).over(wLead),
+        greatest(col("t"), lit(tau))))
+      .withColumn("__w",
+        greatest(least(col("__next"), lit(tau)) - col("t"), lit(0L)))
+      .select(round(col("survival") * col("__w").cast("double"), 8)
+        .cast(dterm).as("__a"))
+      .agg(coalesce(sum(col("__a")), lit(0).cast(dterm)).as("__area"))
+    // leading [0, min t) segment at survival 1, plus the unit count
+    val head = km.agg(least(coalesce(min(col("t")), lit(0L)), lit(tau))
+        .cast("double").as("__lead"),
+      coalesce(sum(col("n_events") + col("n_censored")), lit(0L)).as("n"))
+    seg.crossJoin(broadcast(head))
+      .filter(col("n") > 0)
+      .select(lit(tau).as("tau"), col("n"),
+        round(col("__area").cast("double") + col("__lead"), 6).as("rmst"))
+  }
+
+  /**
+   * CUMULATIVE INCIDENCE under COMPETING RISKS (Aalen–Johansen) — the
+   * probability of failing FROM EACH CAUSE by time t when causes
+   * compete for the same units ("converted" vs "churned": a churned
+   * user can never convert — 1 − KM per cause OVERSTATES every cause
+   * because it treats the others' failures as censoring). CIF_c(t) =
+   * Σ_{s≤t} S(s−)·d_c(s)/n(s) with S the ALL-CAUSE Kaplan–Meier;
+   * Σ_c CIF_c(∞) + S(∞-mass) = 1 by construction. Input is one row
+   * per unit: (duration, cause) with cause NULL meaning censored.
+   * Emits the long-format grid (t, cause, n_risk, n_events, cif 6dp),
+   * ordered, one row per (event time, cause that fired there).
+   *
+   * Deterministic: risk/death counts exact off cumulative windows;
+   * S(s−) is the 8dp-log-summed KM product ([[kaplanMeier]]'s chain)
+   * one step back; each increment rounds 8dp and decimal-sums per
+   * cause.
+   *
+   * Scale: one (t, cause) histogram + cumulative windows over the
+   * bounded duration grid (t-grid unpartitioned — the KM bound; the
+   * per-cause cumsum partitions by cause); the unit frame streams
+   * once.
+   */
+  def cumulativeIncidence(df: DataFrame, durationCol: String,
+                          causeCol: String): DataFrame = {
+    val dterm = org.apache.spark.sql.types.DecimalType(24, 8)
+    val units = df.filter(col(durationCol).isNotNull)
+      .select(col(durationCol).cast("long").as("t"),
+        col(causeCol).cast("string").as("__c"))
+    // all-cause per-time totals: events (any cause) + censored
+    val byT = units.groupBy("t").agg(
+      sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("__d"),
+      sum(when(col("__c").isNull, 1L).otherwise(0L)).as("__cens"))
+    val tot = byT.agg(sum(col("__d") + col("__cens")).as("__n"))
+    // unpartitioned window BOUND: duration-grid histogram rows
+    val wPrev = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val risk = byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("__n") - coalesce(sum(col("__d") + col("__cens"))
+          .over(wPrev), lit(0L)))
+      .withColumn("__f",
+        round(lit(1.0) - col("__d").cast("double") /
+          col("n_risk").cast("double"), 8))
+      // S(s−): the KM product over STRICTLY EARLIER times (log-sum
+      // chain, the kaplanMeier discipline; empty prefix = 1)
+      .withColumn("__sprev",
+        round(exp(coalesce(sum(
+          round(log(when(col("__f") > 0, col("__f")).otherwise(1.0)), 8))
+          .over(wPrev), lit(0.0))), 8))
+    // per-(t, cause) deaths joined onto the all-cause risk grid
+    val dc = units.filter(col("__c").isNotNull)
+      .groupBy("t", "__c").agg(count(lit(1)).as("n_events"))
+    val wCause = Window.partitionBy("__c").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dc.join(risk.select("t", "n_risk", "__sprev"), "t")
+      .withColumn("__inc",
+        round(col("__sprev") * col("n_events").cast("double") /
+          col("n_risk").cast("double"), 8).cast(dterm))
+      .withColumn("cif",
+        round(sum(col("__inc")).over(wCause).cast("double"), 6))
+      .select(col("t"), col("__c").as("cause"), col("n_risk"),
+        col("n_events"), col("cif"))
+      .orderBy("t", "cause")
   }
 
   /**

@@ -816,7 +816,13 @@ object TemporalOps {
    *
    * Scale: one day-grain aggregate + a day×day triangular self-join —
    * quadratic in DAYS (the [[theilSenSlope]] shape), never in data;
-   * the events shuffle once into the daily aggregate.
+   * the events shuffle once into the daily aggregate. DAY-GRAIN
+   * CONTRACT: do not call at sub-day/unbounded grain — days² is fine
+   * for years of daily points but not for per-second series; a
+   * finer-grain caller should pre-bin to days (or port S to the
+   * doubled-rank prefix identity S = Σ sgn-pairs = concordant −
+   * discordant over the ranked support, the linear [[pettittTest]]
+   * formulation) before exposing this at scale.
    */
   def mannKendall(df: DataFrame, ts: String, valueCol: String): DataFrame = {
     val dec = DecimalType(38, 0)
@@ -1024,6 +1030,404 @@ object TemporalOps {
             col("n_pairs").cast("double") * m * m) / denom, 6))
           .otherwise(lit(null).cast("double")).as("acf"))
       .orderBy("lag")
+  }
+
+  /** Contiguous day-grid of daily EVENT COUNTS with the grid length and
+    * count total — the shared series construction behind [[acf]],
+    * [[ljungBox]], [[kpssTest]] and [[dominantCycle]]: gap days enter
+    * as true zeros (a day with no rows IS an observation of a daily
+    * count), values ride DECIMAL(38,0) (the welchCore discipline — a
+    * BIGINT Σy·y would silently wrap under non-ANSI Spark). */
+  private def dailyCountSeries(df: DataFrame, ts: String)
+      : (DataFrame, DataFrame) = {
+    val daily = df.filter(col(ts).isNotNull)
+      .groupBy(date_trunc("day", col(ts)).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dailyIdx = daily.crossJoin(broadcast(bounds))
+      .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+        col("y"))
+    val series = bounds
+      .select(explode(sequence(lit(0L),
+        datediff(col("d1"), col("d0")).cast("long"))).as("idx"))
+      .join(dailyIdx, Seq("idx"), "left")
+      .select(col("idx"),
+        coalesce(col("y"), lit(0L)).cast("decimal(38,0)").as("y"))
+    val totals = series.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    (series, totals)
+  }
+
+  /**
+   * LJUNG–BOX portmanteau test — "is the daily series white noise":
+   * Q = n(n+2)·Σ_{k=1..h} ρ_k²/(n−k) over the first h sample
+   * autocorrelations. Where [[acf]] hands back the per-lag picture,
+   * Ljung–Box collapses it into ONE is-there-any-structure number —
+   * the residual-diagnostics gate after a seasonal fit, and the
+   * pre-check before anyone trusts an i.i.d.-assuming monitor on the
+   * series. Rides [[acf]]'s exact-moment machinery (gap days = true
+   * zeros on the contiguous grid). Emits one row (n_days, h, q_stat),
+   * 6dp; a zero-variance series (all ρ undefined) emits NULL q_stat.
+   *
+   * Deterministic: each ρ is acf's 6dp-pinned value; the ρ²/(n−k)
+   * terms round 8dp and sum through DECIMAL; one pinned double chain.
+   *
+   * Scale: exactly [[acf]] — one day-grain aggregate + an h-fanout
+   * equi self-join on the bounded day grid + a one-row reduce.
+   */
+  def ljungBox(df: DataFrame, ts: String, maxLag: Int): DataFrame = {
+    val dterm = DecimalType(24, 8)
+    val a = acf(df, ts, maxLag)
+    // contiguous grid ⇒ n = lag + n_pairs on every row
+    val terms = a.select(
+      (col("lag") + col("n_pairs")).cast("long").as("__n"),
+      col("acf"),
+      round(col("acf") * col("acf") / col("n_pairs").cast("double"), 8)
+        .cast(dterm).as("__t"))
+    terms.groupBy("__n")
+      .agg(count(lit(1)).as("h"), count(col("acf")).as("__ok"),
+        sum(col("__t")).as("__s"))
+      .select(col("__n").as("n_days"), col("h"),
+        when(col("__ok") === col("h"),
+          round(col("__n").cast("double") * (col("__n") + 2).cast("double")
+            * col("__s").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("q_stat"))
+  }
+
+  /**
+   * KPSS level-stationarity test — "does the daily series mean-revert
+   * or drift": η = (Σ_t S_t²/n²) / σ̂²_lr with S_t the partial sums of
+   * the demeaned series and σ̂²_lr the Bartlett-weighted long-run
+   * variance at the given bandwidth. The STATIONARITY companion to
+   * [[mannKendall]] (MK asks "is there a monotone trend"; KPSS asks
+   * "is the LEVEL stable at all" — a unit-root random walk passes MK
+   * and fails KPSS). Null = stationary: η above the 5% critical value
+   * 0.463 rejects. Emits one row (n_days, bandwidth, eta,
+   * level_stationary), η 6dp, verdict at the 5% point; zero long-run
+   * variance emits NULL η.
+   *
+   * Deterministic: everything scales by n so the demeaned series
+   * E_t = n·y_t − Σy is an EXACT integer; partial sums, ΣE², and the
+   * lagged ΣE_tE_{t−j} all run in DECIMAL(38,0); η is one pinned
+   * double chain on the final row (η = n·ΣS'² / (n²·(ΣE² + 2Σw_jΣEE_j))
+   * after the n-power bookkeeping).
+   *
+   * Scale: the [[acf]] shape — one day-grain aggregate, a bandwidth-
+   * fanout equi self-join and one cumulative window on the bounded day
+   * grid, 1-row reduces.
+   */
+  def kpssTest(df: DataFrame, ts: String, bandwidth: Int): DataFrame = {
+    require(bandwidth >= 0 && bandwidth <= 366, s"bad bandwidth $bandwidth")
+    val dec = DecimalType(38, 0)
+    val (series, totals) = dailyCountSeries(df, ts)
+    // E_t = n·y_t − s: the ×n-scaled demeaned series, exact integer
+    val e = series.crossJoin(broadcast(totals))
+      .select(col("idx"), col("n"),
+        (col("n").cast(dec) * col("y") - col("s")).as("__e"))
+    // unpartitioned window BOUND: contiguous day-grid rows
+    val wCum = Window.orderBy(col("idx").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sums = e
+      .withColumn("__sp", sum(col("__e")).over(wCum))
+      .agg(max(col("n")).as("n"),
+        sum(col("__e") * col("__e")).as("__se2"),
+        sum(col("__sp") * col("__sp")).as("__ss2"))
+    // Bartlett-weighted lagged cross-terms g_j = Σ_t E_t·E_{t−j}
+    val lagged =
+      if (bandwidth == 0) null
+      else e.select(col("idx"), col("__e").as("__ea"),
+          explode(sequence(lit(1), lit(bandwidth))).as("lag"))
+        .select(col("lag"), (col("idx") + col("lag")).as("idxb"),
+          col("__ea"))
+        .join(e.select(col("idx").as("idxb"), col("__e").as("__eb")),
+          "idxb")
+        .groupBy("lag").agg(sum(col("__ea") * col("__eb")).as("__g"))
+        .select(round((lit(1.0) - col("lag").cast("double") /
+          (bandwidth + 1.0)) * col("__g").cast("double"), 4)
+          .cast(DecimalType(38, 4)).as("__wg"))
+        .agg(coalesce(sum(col("__wg")), lit(0).cast(DecimalType(38, 4)))
+          .as("__swg"))
+    val withLr =
+      if (bandwidth == 0)
+        sums.withColumn("__swg", lit(0).cast(DecimalType(38, 4)))
+      else sums.crossJoin(broadcast(lagged))
+    val nD = col("n").cast("double")
+    // σ²_lr·n³ = ΣE² + 2Σw_j·g_j;  Σ S_t²/n² = ΣS'²/n⁴
+    // η = ΣS'² / (n · (ΣE² + 2Σw_j·g_j))
+    val lr = col("__se2").cast("double") +
+      col("__swg").cast("double") * 2.0
+    val eta = col("__ss2").cast("double") / (nD * lr)
+    withLr.filter(col("n") > 1)
+      .select(col("n").as("n_days"), lit(bandwidth.toLong).as("bandwidth"),
+        when(lr > 0, round(eta, 6))
+          .otherwise(lit(null).cast("double")).as("eta"),
+        when(lr > 0, round(eta, 6) <= 0.463)
+          .otherwise(lit(null).cast("boolean")).as("level_stationary"))
+  }
+
+  /**
+   * DOMINANT-CYCLE PERIODOGRAM — the share of the daily series'
+   * variance carried by each candidate period p: the discrete-Fourier
+   * power 2·(a_p² + b_p²)/(n·ΣE²) of the demeaned series at frequency
+   * 1/p, for p = 2..maxPeriod days. Where [[seasonalDecompose]]
+   * ASSUMES the weekly cycle and measures it, the periodogram FINDS
+   * the cycle — "is this metric weekly, biweekly, or monthly" before
+   * anyone hard-codes a 7. Emits one row per period: (period, power
+   * 6dp, is_dominant), ordered; power ≈ 1 means the series is a pure
+   * sinusoid at that period.
+   *
+   * Deterministic: the demeaned series is the exact integer
+   * E_t = n·y_t − Σy; cos/sin arguments reduce mod p IN INTEGER first
+   * (2π·(t mod p)/p stays in [0, 2π) — large-argument libm reduction
+   * is where engines could diverge); each E·cos term rounds to 4dp
+   * and sums through DECIMAL; one pinned double chain per period.
+   *
+   * Scale: one day-grain aggregate + a (maxPeriod−1)-fanout explode
+   * over the bounded day grid + a per-period reduce + a 1-row max
+   * broadcast — never corpus-scaled.
+   */
+  def dominantCycle(df: DataFrame, ts: String, maxPeriod: Int): DataFrame = {
+    require(maxPeriod >= 2 && maxPeriod <= 366, s"bad maxPeriod $maxPeriod")
+    val dsum = DecimalType(38, 4)
+    val (series, totals) = dailyCountSeries(df, ts)
+    val e = series.crossJoin(broadcast(totals))
+      .select(col("idx"), col("n"),
+        (col("n").cast(DecimalType(38, 0)) * col("y") - col("s")).as("__e"))
+    val twoPi = lit(2.0 * math.Pi)
+    val arg = twoPi * pmod(col("idx"), col("period")).cast("double") /
+      col("period").cast("double")
+    val byP = e
+      .select(col("idx"), col("n"), col("__e"),
+        explode(sequence(lit(2), lit(maxPeriod))).as("period"))
+      .select(col("period"), col("n"),
+        round(col("__e").cast("double") * cos(arg), 4).cast(dsum).as("__a"),
+        round(col("__e").cast("double") * sin(arg), 4).cast(dsum).as("__b"),
+        (col("__e") * col("__e")).as("__e2"))
+      .groupBy("period")
+      .agg(max(col("n")).as("n"), sum(col("__a")).as("__sa"),
+        sum(col("__b")).as("__sb"), sum(col("__e2")).as("__se2"))
+    val powered = byP.select(col("period").cast("long").as("period"),
+      when(col("__se2").cast("double") > 0,
+        round((col("__sa").cast("double") * col("__sa").cast("double") +
+          col("__sb").cast("double") * col("__sb").cast("double")) * 2.0 /
+          (col("n").cast("double") * col("__se2").cast("double")), 6))
+        .otherwise(lit(null).cast("double")).as("power"))
+    val top = powered.agg(max(col("power")).as("__mx"))
+    powered.crossJoin(broadcast(top))
+      .select(col("period"), col("power"),
+        (col("power").isNotNull && col("power") === col("__mx"))
+          .as("is_dominant"))
+      .orderBy("period")
+  }
+
+  /**
+   * CHATTERJEE'S ξ — the MODERN dependence coefficient (Chatterjee
+   * 2020) of the daily series on TIME: ξ ≈ 0 when the value is
+   * independent of the date, ξ → 1 when the value is a FUNCTION of the
+   * date — any function, not just monotone. The nonlinear companion to
+   * [[mannKendall]] (MK only sees monotone drift; a clean seasonal
+   * wave scores MK ≈ 0 but ξ high). General tie-aware form on the day
+   * grid (t ordered): ξ = 1 − n·Σ|r_{t+1} − r_t| /
+   * (2·Σ l_t·(n − l_t)), r_t = #{u: y_u ≤ y_t}, l_t = #{u: y_u ≥ y_t}.
+   * Daily values are exact cents sums; gap days are true zeros (the
+   * [[acf]] convention). Emits one row (n_days, xi), 6dp; a constant
+   * series emits NULL.
+   *
+   * Deterministic: r/l are exact tie-inclusive counts off RANGE
+   * windows; the sum of adjacent rank jumps is an exact integer; one
+   * division on the final row.
+   *
+   * Scale: one day-grain aggregate + three windows over the bounded
+   * contiguous day grid + a one-row reduce; events never re-shuffle.
+   */
+  def chatterjeeXi(df: DataFrame, ts: String, valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = df.filter(col(ts).isNotNull)
+      .groupBy(date_trunc("day", col(ts)).as("day"))
+      .agg(coalesce(sum(graft.ops.StatsOps.cents(col(valueCol))), lit(0L))
+        .as("y"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val series = bounds
+      .select(explode(sequence(lit(0L),
+        datediff(col("d1"), col("d0")).cast("long"))).as("idx"))
+      .join(daily.crossJoin(broadcast(bounds))
+        .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+          col("y")), Seq("idx"), "left")
+      .select(col("idx"), coalesce(col("y"), lit(0L)).as("y"))
+    // unpartitioned windows BOUND: contiguous day-grid rows.
+    // r = tie-inclusive count of y_u <= y_t (RANGE frame over value);
+    // l = tie-inclusive count of y_u >= y_t
+    val wLe = Window.orderBy(col("y").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGe = Window.orderBy(col("y").asc)
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val wT = Window.orderBy(col("idx").asc)
+    val tot = series.agg(count(lit(1)).as("n"))
+    val ranked = series.crossJoin(broadcast(tot))
+      .withColumn("__r", count(lit(1)).over(wLe))
+      .withColumn("__l", count(lit(1)).over(wGe))
+      .withColumn("__rn", lead(col("__r"), 1).over(wT))
+    val m = ranked.agg(max(col("n")).as("n"),
+      sum(when(col("__rn").isNotNull, abs(col("__rn") - col("__r")))
+        .otherwise(lit(0L)).cast(dec)).as("__sd"),
+      sum(col("__l").cast(dec) *
+        (col("n") - col("__l")).cast(dec)).as("__sl"))
+    m.filter(col("n") > 1)
+      .select(col("n").as("n_days"),
+        when(col("__sl").cast("double") > 0,
+          round(lit(1.0) - col("n").cast("double") *
+            col("__sd").cast("double") /
+            (lit(2.0) * col("__sl").cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("xi"))
+  }
+
+  /**
+   * WALD–WOLFOWITZ RUNS TEST — "do the daily values wander in STREAKS
+   * or flip like a coin": count the runs of consecutive above-median /
+   * below-median days and compare with the exchangeability
+   * expectation. Too FEW runs = persistence/regime-clustering (a
+   * level-shifted or autocorrelated series); too MANY = forced
+   * alternation (load-balancer artifacts, overcorrection). The
+   * order-sensitive randomness check the value histogram cannot see —
+   * any permutation of the same days has the same histogram but a
+   * different run count. Days equal to the median are dropped (the
+   * standard convention); the median is the lower/upper-middle
+   * average over the day grid. Emits one row (n_used, n_above,
+   * n_below, runs, z, verdict ∈ clustered | alternating | none),
+   * z 6dp with the classical moments.
+   *
+   * Deterministic: daily values are exact cents; the median positions,
+   * sign sequence, and run count are exact integers off bounded-grid
+   * windows; one pinned double chain.
+   *
+   * Scale: one day-grain aggregate + cumulative/lag windows over the
+   * bounded contiguous day grid + a one-row reduce; events never
+   * re-shuffle.
+   */
+  def runsTest(df: DataFrame, ts: String, valueCol: String): DataFrame = {
+    val daily = df.filter(col(ts).isNotNull)
+      .groupBy(date_trunc("day", col(ts)).as("day"))
+      .agg(coalesce(sum(graft.ops.StatsOps.cents(col(valueCol))), lit(0L))
+        .as("y"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val series = bounds
+      .select(explode(sequence(lit(0L),
+        datediff(col("d1"), col("d0")).cast("long"))).as("idx"))
+      .join(daily.crossJoin(broadcast(bounds))
+        .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+          col("y")), Seq("idx"), "left")
+      .select(col("idx"), coalesce(col("y"), lit(0L)).as("y"))
+    // unpartitioned windows BOUND: contiguous day-grid rows
+    val tot = series.agg(count(lit(1)).as("__n"))
+    val ranked = series.crossJoin(broadcast(tot))
+      .withColumn("__cum", count(lit(1)).over(
+        Window.orderBy(col("y").asc)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+    val lo = ranked.filter(col("__cum") * 2 >= col("__n") + (col("__n") % 2))
+      .agg(min(col("y")).as("__lo"))
+    val hi = ranked
+      .filter(col("__cum") * 2 >= col("__n") + 2 - (col("__n") % 2))
+      .agg(min(col("y")).as("__hi"))
+    val med = lo.crossJoin(broadcast(hi))
+      .select(((col("__lo") + col("__hi")).cast("double") / 2.0).as("__med"))
+    val signed = series.crossJoin(broadcast(med))
+      .filter(col("y").cast("double") =!= col("__med"))
+      .select(col("idx"), (col("y").cast("double") > col("__med")).as("__s"))
+    val wT = Window.orderBy(col("idx").asc)
+    val runs = signed
+      .withColumn("__prev", lag(col("__s"), 1).over(wT))
+      .agg(count(lit(1)).as("n_used"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(!col("__s"), 1L).otherwise(0L)).as("n_below"),
+        (sum(when(col("__prev").isNotNull && col("__prev") =!= col("__s"),
+          1L).otherwise(0L)) + 1).as("runs"))
+    val n1 = col("n_above").cast("double"); val n2 = col("n_below").cast("double")
+    val n = n1 + n2
+    val e = n1 * n2 * 2.0 / n + 1.0
+    val v = n1 * n2 * 2.0 * (n1 * n2 * 2.0 - n) / (n * n * (n - 1.0))
+    val z = (col("runs").cast("double") - e) / sqrt(v)
+    runs.filter(col("n_above") > 0 && col("n_below") > 0)
+      .select(col("n_used"), col("n_above"), col("n_below"), col("runs"),
+        when(v > 0, round(z, 6))
+          .otherwise(lit(null).cast("double")).as("z"),
+        when(v <= 0, "none")
+          .when(z < -1.96, "clustered").when(z > 1.96, "alternating")
+          .otherwise("none").as("verdict"))
+  }
+
+  /**
+   * MARKOV STATIONARY DISTRIBUTION of the event-type chain — where
+   * does a user's behavior SETTLE: the long-run occupancy of each
+   * event type under the observed first-order transition matrix,
+   * found by power iteration with per-step renormalization. The
+   * equilibrium companion to `q_markov_transitions`' one-step matrix
+   * and [[markovRemovalAttribution]]'s absorption view — raw event
+   * FREQUENCY over-counts burst states; the stationary distribution
+   * weights each state by where the DYNAMICS keep returning. Emits
+   * one row per state: (state, stationary_prob), 6dp, ordered;
+   * transitions into never-a-source sink states leak mass that the
+   * renormalization redistributes (documented; with every observed
+   * type also observed as a source — the common case — the chain is
+   * closed).
+   *
+   * Deterministic: the [[markovRemovalAttribution]] discipline —
+   * transition probabilities 9dp off exact counts, per-step products
+   * 9dp into exact BigDecimal sums, renormalized ratios re-pinned to
+   * 9dp per state per step; the oracle unrolls the identical chain.
+   *
+   * Scale: ONE corpus pass (user-partitioned lag + a (states²)-bounded
+   * count aggregate); the iteration runs driver-side on the bounded
+   * model artifact — never on data (the attribution precedent:
+   * "(channels+3)² transition matrices" are model artifacts, not
+   * corpus rows).
+   */
+  def markovStationary(df: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String,
+                       iters: Int = 30): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"bad iters $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("__u").orderBy(col("__ts"), col("__tie"))
+    val base = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), col(typeCol).as("__e"))
+    val counts = base
+      .withColumn("__prev", lag(col("__e"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("src"), col("__e").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val totals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val prob: Map[(String, String), Double] = counts.map { case (s, t, n) =>
+      (s, t) -> r9(n.toDouble / totals(s))
+    }.toMap
+    val states = totals.keySet.toSeq.sorted
+    var pi: Map[String, Double] =
+      states.map(_ -> r9(1.0 / states.size)).toMap
+    for (_ <- 1 to iters) {
+      // exact 9dp-term sums in BigDecimal (partition-order-free by
+      // construction: the fold runs over the sorted state list)
+      val raw: Map[String, BigDecimal] = states.map { j =>
+        j -> states.foldLeft(BigDecimal(0)) { (acc, i) =>
+          prob.get((i, j)) match {
+            case Some(p) => acc + BigDecimal(r9(pi(i) * p))
+            case None => acc
+          }
+        }
+      }.toMap
+      val tot = raw.values.sum
+      pi =
+        if (tot > 0)
+          states.map(j => j -> r9(raw(j).toDouble / tot.toDouble)).toMap
+        else pi
+    }
+    states.map(st => (st, r6(pi(st))))
+      .toDF("state", "stationary_prob")
+      .orderBy("state")
   }
 
   /**

@@ -168,6 +168,23 @@ class AnovaFamilySpec extends SparkSpec {
     r.getAs[Double]("q_tie_adj") shouldBe 4.0 +- 1e-9 // no ties
   }
 
+  test("friedmanQ: a duplicated-treatment block is NOT complete") {
+    // block b3 has k=3 ROWS but only 2 distinct treatments (t1 twice,
+    // t3 missing) — a row-count-only completeness filter would admit it
+    // and skew the within-block ranks; the distinct-count filter drops
+    // it, leaving the two clean blocks' statistic untouched
+    val df = Seq(("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 3.0),
+      ("b2", "t1", 1.0), ("b2", "t2", 2.0), ("b2", "t3", 3.0),
+      ("b3", "t1", 9.0), ("b3", "t1", 8.0), ("b3", "t2", 7.0))
+      .toDF("blk", "trt", "v")
+    val r = StatsOps.friedmanQ(df, "blk", "trt", "v").collect()(0)
+    r.getLong(0) shouldBe 2L // n_blocks — b3 dropped despite 3 rows
+    r.getAs[Double]("q") shouldBe 4.0 +- 1e-9
+    // same contract on pageTrend (shared completeness filter)
+    val rp = StatsOps.pageTrend(df, "blk", "trt", "v").collect()(0)
+    rp.getLong(0) shouldBe 2L
+  }
+
   test("pageTrend: a perfectly ordered fixture maxes L; reversal flips it") {
     // 2 blocks, 3 ordered treatments, values follow the order exactly:
     // R_j = j per block → L = n·Σj² = 28 vs E = n·k(k+1)²/4 = 24

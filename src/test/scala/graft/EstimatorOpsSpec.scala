@@ -181,4 +181,31 @@ class EstimatorOpsSpec extends SparkSpec {
     out.length shouldBe 2
     out.head.getAs[Double]("cosine") shouldBe 1.0 +- 1e-9
   }
+
+  test("itemCfTopK: maxBasketSize cap is enforced and deterministic") {
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L), (30L, 4L), (40L, 3L), (40L, 4L))
+      .toDF("b", "i")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("item", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSeq
+    // cap >= the largest basket (3): output identical to uncapped
+    rows(SimilarityOps.itemCfTopK(df, "b", "i", 2L, 3,
+      maxBasketSize = 3)) shouldBe
+      rows(SimilarityOps.itemCfTopK(df, "b", "i", 2L, 3))
+    // binding cap (2): each oversized basket keeps its 2 SMALLEST item
+    // ids — baskets 10 (1,2,3) and 30 (1,2,4) truncate to (1,2), i.e.
+    // exactly the incidence set with rows (10,3) and (30,4) deleted;
+    // both pairs and item counts run on the truncated incidences
+    val capped = rows(SimilarityOps.itemCfTopK(df, "b", "i", 1L, 3,
+      maxBasketSize = 2))
+    val manual = rows(SimilarityOps.itemCfTopK(
+      df.filter(!(col("b") === 10L && col("i") === 3L) &&
+        !(col("b") === 30L && col("i") === 4L)), "b", "i", 1L, 3))
+    capped shouldBe manual
+    // and the cap truly dropped the cross-pairs: item 3 now only
+    // co-occurs with 4 (basket 40), never with 1 or 2
+    capped.filter(_._1 == 3L).map(_._2) shouldBe Seq(4L)
+  }
 }
