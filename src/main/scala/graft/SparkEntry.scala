@@ -2256,12 +2256,17 @@ object SparkEntry {
     // >= 2 shared orders — the recommender ranking beside basket_lift's
     // surprise score; per-basket pair fanout, bounded-heap top-k
     "q_item_cf_topk" -> ((s, d) =>
-      // reads the shared persisted basket frame (one scan feeds this
-      // and q_basket_lift); the 64-item cap never binds on TPC-H
-      // baskets (≤7 lines/order) but makes the Σ basket² pair-fanout
-      // bound ENFORCED rather than assumed
-      graft.ext.SimilarityOps.itemCfTopK(orderBaskets(s, d),
-        "ok", "pk", minSupport = 2L, k = 5, maxBasketSize = 64)
+      // raw lineitem input on purpose: item-CF keys on partkey alone,
+      // so routing it through the shared lineitem⋈part basket frame
+      // (which q_basket_lift/q_basket_rules genuinely need for ptype)
+      // buys nothing and makes this query pay the full join rebuild
+      // whenever the cached frame is evicted mid-bench (observed:
+      // 2.6s → 4.8s). The 64-item cap never binds on TPC-H baskets
+      // (≤7 lines/order) but makes the Σ basket² pair-fanout bound
+      // ENFORCED rather than assumed
+      graft.ext.SimilarityOps.itemCfTopK(t(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2L, k = 5,
+        maxBasketSize = 64)
         .orderBy("item", "rank")),
 
     // Kendall's tau-b between quantity and line number: order
@@ -5928,6 +5933,129 @@ object SparkEntry {
     "q_markov_stationary" -> ((s, d) =>
       TemporalOps.markovStationary(t(s, d, "events"), "user_id", "ts",
         "event_id", "event_type", iters = 30)),
+
+    // Flesch / FK readability per doc: the audience-difficulty axis of
+    // text quality the length/punct heuristics can't see — three
+    // per-row regex kernels, zero shuffles
+    "q_readability" -> ((s, d) =>
+      TextOps.readabilityScores(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // per-doc type-token ratio + hapax share: global vocabulary reuse
+    // (template pages) where the repetition kernels see only adjacency
+    "q_doc_ttr" -> ((s, d) =>
+      TextOps.docTtr(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Gwet's AC1 on the same 4-line panels as q_fleiss_kappa: the
+    // prevalence-robust agreement twin (kappa << AC1 = skew diagnostic)
+    "q_gwet_ac1" -> ((s, d) =>
+      graft.ops.StatsOps.gwetAc1(t(s, d, "lineitem"),
+        "l_orderkey", "l_returnflag", m = 4)),
+
+    // ICC(1): how much of order value variance lives BETWEEN priority
+    // classes — the variance-components strength reading of q_anova_f
+    "q_icc" -> ((s, d) =>
+      graft.ops.StatsOps.iccOneWay(t(s, d, "orders"),
+        "o_totalprice", "o_orderpriority")),
+
+    // Cronbach's alpha: do the five event types' daily counts move as
+    // ONE signal across days — composite-metric reliability on the
+    // same dense day x type grid as q_friedman
+    "q_cronbach_alpha" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).as("day"),
+          col("event_type").as("et"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val days = daily.select("day").distinct()
+      val types = daily.select("et").distinct()
+      val dense = days.crossJoin(broadcast(types))
+        .join(daily, Seq("day", "et"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0.0)))
+      graft.ops.StatsOps.cronbachAlpha(dense, "day", "et", "cnt")
+    }),
+
+    // Lin's CCC: do order-header totals AGREE with summed line prices
+    // (same scale) — near 0 here, correctly flagging that this corpus'
+    // headers don't derive from lines; pearson rides along
+    "q_lin_ccc" -> ((s, d) => {
+      val ls = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("line_sum"))
+      val paired = t(s, d, "orders")
+        .join(ls, col("o_orderkey") === col("l_orderkey"))
+      graft.ops.StatsOps.linCcc(paired, "o_totalprice", "line_sum")
+    }),
+
+    // Bland-Altman limits of agreement on the same header-vs-lines
+    // pair: the actionable band behind q_lin_ccc's single number
+    "q_bland_altman" -> ((s, d) => {
+      val ls = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("line_sum"))
+      val paired = t(s, d, "orders")
+        .join(ls, col("o_orderkey") === col("l_orderkey"))
+      graft.ops.StatsOps.blandAltman(paired, "o_totalprice", "line_sum")
+    }),
+
+    // Newcombe score CI on the purchase-rate DIFFERENCE between the
+    // two hash arms — the diff-with-band readout beside the per-arm
+    // q_conversion_wilson rows
+    "q_newcombe_ci" -> ((s, d) =>
+      graft.ops.StatsOps.newcombeDiffCi(
+        t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .withColumn("arm",
+            when(pmod(graft.ext.TextOps.fingerprint60(
+              concat(col("user_id").cast("string"), lit(":ab"))),
+              lit(2L)) === 0L, "a").otherwise("b"))
+          .withColumn("ok", col("event_type") === "purchase"),
+        "ok", "arm", "a", "b")),
+
+    // one-sample KS vs discrete uniform on the split-hash buckets —
+    // the uniformity audit every fingerprint-based sampler rests on
+    "q_ks_uniform" -> ((s, d) =>
+      graft.ops.StatsOps.ksUniform(
+        t(s, d, "events").filter(col("user_id").isNotNull)
+          .withColumn("bkt", pmod(graft.ext.TextOps.fingerprint60(
+            concat(col("user_id").cast("string"), lit(":ab"))),
+            lit(1000L))),
+        "bkt")),
+
+    // Mood's MEDIAN test: do the five priority classes share one
+    // median order value — the assumption-free k-group location test
+    "q_median_test" -> ((s, d) =>
+      graft.ops.StatsOps.medianTest(t(s, d, "orders"),
+        "o_totalprice", "o_orderpriority")),
+
+    // Bowker symmetry on the event-type transition pairs: does A→B
+    // genuinely outnumber B→A — the directionality score behind
+    // q_markov_transitions' raw matrix (McNemar's k-category form)
+    "q_bowker" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pairsDf = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      graft.ops.StatsOps.bowkerSymmetry(pairsDf, "prev", "event_type")
+    }),
+
+    // spectral entropy: is the daily count series' rhythm owned by one
+    // period or spread white — the one-number periodogram summary
+    "q_spectral_entropy" -> ((s, d) =>
+      TemporalOps.spectralEntropy(t(s, d, "events"), "ts", maxPeriod = 14)),
+
+    // two-period Poisson rate test on error events: did the error
+    // rate change between the window's halves — level, where
+    // q_runs_test sees pattern
+    "q_poisson_rate" -> ((s, d) =>
+      TemporalOps.poissonRateTest(
+        t(s, d, "events").filter(col("event_type") === "error"), "ts")),
 
     // association rules over the shared basket frame: directed
     // support/confidence/lift/leverage/conviction per category pair —
@@ -14569,6 +14697,355 @@ object SparkEntry {
          FROM pr JOIN single s1 ON s1.ptype = pr.antecedent
                  JOIN single s2 ON s2.ptype = pr.consequent
                  CROSS JOIN tot
-         ORDER BY antecedent, consequent"""
+         ORDER BY antecedent, consequent""",
+
+    // Flesch/FK: identical character-class regex counts on both
+    // engines, pinned score chains
+    "q_readability" ->
+      """WITH c AS (SELECT doc_id,
+                           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                           GREATEST(CAST(1 AS BIGINT),
+                             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+                           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+                    FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+                ROUND(206.835 - CAST(n_words AS DOUBLE) / n_sentences * 1.015
+                              - CAST(n_syllables AS DOUBLE) / n_words * 84.6, 4) AS flesch,
+                ROUND(CAST(n_words AS DOUBLE) / n_sentences * 0.39
+                      + CAST(n_syllables AS DOUBLE) / n_words * 11.8 - 15.59, 4) AS fk_grade
+         FROM c WHERE n_words > 0 ORDER BY doc_id""",
+
+    // per-doc TTR + hapax share off the (doc, word) histogram
+    "q_doc_ttr" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents WHERE text IS NOT NULL),
+              cnt AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM toks GROUP BY 1, 2),
+              agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                             CAST(COUNT(*) AS BIGINT) AS n_types,
+                             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+                      FROM cnt GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_types, n_hapax,
+                ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+                ROUND(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share
+         FROM agg WHERE n_tokens > 0 ORDER BY doc_id""",
+
+    // Gwet's AC1: fleiss' exact moments with the gamma chance term
+    // (1 - Sum pi_c^2)/(k-1)
+    "q_gwet_ac1" ->
+      """WITH cells AS (SELECT l_orderkey AS i, l_returnflag AS c,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM lineitem
+                        WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+                        GROUP BY 1, 2),
+              keep AS (SELECT i FROM (SELECT i, SUM(n) AS mi FROM cells GROUP BY i)
+                       WHERE mi = 4),
+              kept AS (SELECT cells.* FROM cells JOIN keep USING (i)),
+              pi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items, SUM(s2) AS ss2
+                     FROM (SELECT i, SUM(CAST(n AS HUGEINT) * n) AS s2 FROM kept GROUP BY i)),
+              pc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_categories,
+                            SUM(CAST(nc AS HUGEINT) * nc) AS snc2
+                     FROM (SELECT c, SUM(n) AS nc FROM kept GROUP BY c)),
+              f AS (SELECT n_items, k_categories,
+                           (CAST(ss2 AS DOUBLE) - CAST(n_items AS DOUBLE) * 4.0) /
+                             (CAST(n_items AS DOUBLE) * 4.0 * 3.0) AS pbar,
+                           (1.0 - CAST(snc2 AS DOUBLE) /
+                             (CAST(n_items AS DOUBLE) * 4.0 * CAST(n_items AS DOUBLE) * 4.0)) /
+                             (CAST(k_categories AS DOUBLE) - 1.0) AS peg
+                    FROM pi CROSS JOIN pc
+                    WHERE n_items > 0 AND k_categories > 1)
+         SELECT n_items, CAST(4 AS BIGINT) AS m, k_categories,
+                ROUND(pbar, 6) AS p_bar, ROUND(peg, 6) AS p_e_gamma,
+                CASE WHEN ROUND(peg, 6) < 1.0
+                     THEN ROUND((pbar - peg) / (1.0 - peg), 6) END AS ac1
+         FROM f""",
+
+    // ICC(1): the anova exact-moment chain + Sum ng^2 for the
+    // unbalanced n0; one pinned double chain
+    "q_icc" ->
+      """WITH b AS (SELECT o_orderpriority AS g,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+              grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                             SUM(CAST(c AS HUGEINT)) AS sg,
+                             SUM(CAST(c AS HUGEINT) * c) AS qg
+                      FROM b GROUP BY g),
+              tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s,
+                             CAST(COUNT(*) AS BIGINT) AS k,
+                             SUM(CAST(ng AS HUGEINT) * ng) AS sn2 FROM grp),
+              terms AS (SELECT n, k, sn2,
+                               CAST(ROUND(CAST((sg * n - s * ng) * (sg * n - s * ng) AS DOUBLE)
+                                          / CAST(CAST(n AS HUGEINT) * n * ng AS DOUBLE), 4)
+                                    AS DECIMAL(38,4)) AS bt,
+                               CAST(ROUND(CAST(qg * ng - sg * sg AS DOUBLE) / CAST(ng AS DOUBLE), 4)
+                                    AS DECIMAL(38,4)) AS wt
+                        FROM grp CROSS JOIN tot),
+              ss AS (SELECT n, k, CAST(sn2 AS DOUBLE) AS sn2,
+                            CAST(SUM(bt) AS DOUBLE) AS ssb, CAST(SUM(wt) AS DOUBLE) AS ssw
+                     FROM terms GROUP BY n, k, sn2),
+              f AS (SELECT n, k,
+                           ssb / (k - 1.0) AS msb, ssw / (CAST(n AS DOUBLE) - k) AS msw,
+                           (CAST(n AS DOUBLE) - sn2 / CAST(n AS DOUBLE)) / (k - 1.0) AS n0
+                    FROM ss)
+         SELECT n, k,
+                CASE WHEN k >= 2 THEN ROUND(n0, 6) END AS n0,
+                CASE WHEN k >= 2 AND n > k AND msb + (n0 - 1.0) * msw > 0
+                     THEN ROUND((msb - msw) / (msb + (n0 - 1.0) * msw), 6) END AS icc
+         FROM f""",
+
+    // Cronbach's alpha on the dense day x type grid: the n(n-1)
+    // denominators cancel so the variance ratio is exact-integer
+    "q_cronbach_alpha" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day, event_type AS et,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                        GROUP BY 1, 2),
+              days AS (SELECT DISTINCT day FROM daily),
+              types AS (SELECT DISTINCT et FROM daily),
+              dense AS (SELECT days.day, types.et,
+                               COALESCE(daily.cnt, 0) * 100 AS x
+                        FROM days CROSS JOIN types
+                        LEFT JOIN daily ON daily.day = days.day AND daily.et = types.et),
+              bi AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_items, MAX(nd) AS nd,
+                            SUM(ai) AS sai
+                     FROM (SELECT et, CAST(COUNT(*) AS BIGINT) AS nd,
+                                  CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+                                    - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)) AS ai
+                           FROM dense GROUP BY et)),
+              bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                            CAST(COUNT(*) AS HUGEINT) * SUM(CAST(t AS HUGEINT) * t)
+                              - SUM(CAST(t AS HUGEINT)) * SUM(CAST(t AS HUGEINT)) AS at
+                     FROM (SELECT day, SUM(x) AS t FROM dense GROUP BY day))
+         SELECT n_subjects, k_items,
+                CASE WHEN k_items >= 2 AND CAST(at AS DOUBLE) > 0
+                     THEN ROUND(CAST(k_items AS DOUBLE) / (k_items - 1.0) *
+                            (1.0 - CAST(sai AS DOUBLE) / CAST(at AS DOUBLE)), 6)
+                END AS alpha
+         FROM bi CROSS JOIN bs""",
+
+    // Lin's CCC: five exact moments, n^2 factors cancelled
+    "q_lin_ccc" ->
+      """WITH ls AS (SELECT l_orderkey,
+                            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS line_sum
+                     FROM lineitem GROUP BY 1),
+              p AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+                           CAST(CAST(line_sum AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+                    FROM orders JOIN ls ON l_orderkey = o_orderkey
+                    WHERE o_totalprice IS NOT NULL AND line_sum IS NOT NULL),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                           SUM(CAST(y AS HUGEINT) * y) AS syy,
+                           SUM(CAST(x AS HUGEINT) * y) AS sxy
+                    FROM p),
+              c AS (SELECT n,
+                           CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+                           CAST(n AS HUGEINT) * syy - sy * sy AS vy,
+                           CAST(n AS HUGEINT) * sxy - sx * sy AS cxy,
+                           (sx - sy) * (sx - sy) AS dd
+                    FROM m)
+         SELECT n,
+                CASE WHEN CAST(vx AS DOUBLE) > 0 AND CAST(vy AS DOUBLE) > 0
+                     THEN ROUND(CAST(cxy AS DOUBLE) /
+                                SQRT(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 8) END AS pearson_r,
+                CASE WHEN CAST(vx + vy + dd AS DOUBLE) > 0
+                     THEN ROUND(CAST(cxy AS DOUBLE) * 2 / CAST(vx + vy + dd AS DOUBLE), 8)
+                END AS ccc
+         FROM c WHERE n > 1""",
+
+    // Bland-Altman: exact-cents difference moments, 1.96-sd band
+    "q_bland_altman" ->
+      """WITH ls AS (SELECT l_orderkey,
+                            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS line_sum
+                     FROM lineitem GROUP BY 1),
+              p AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) -
+                           CAST(CAST(line_sum AS DECIMAL(18,2)) * 100 AS BIGINT) AS d
+                    FROM orders JOIN ls ON l_orderkey = o_orderkey
+                    WHERE o_totalprice IS NOT NULL AND line_sum IS NOT NULL),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(CAST(d AS HUGEINT)) AS sd1,
+                           SUM(CAST(d AS HUGEINT) * d) AS sd2
+                    FROM p),
+              c AS (SELECT n,
+                           CAST(sd1 AS DOUBLE) / n / 100.0 AS bias,
+                           CAST(CAST(n AS HUGEINT) * sd2 - sd1 * sd1 AS DOUBLE) /
+                             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e4 AS vard
+                    FROM m WHERE n > 0)
+         SELECT n, ROUND(bias, 6) AS bias,
+                CASE WHEN n > 1 AND vard >= 0 THEN ROUND(SQRT(vard), 6) END AS sd_diff,
+                CASE WHEN n > 1 AND vard >= 0 THEN ROUND(bias - SQRT(vard) * 1.96, 6) END AS loa_lo,
+                CASE WHEN n > 1 AND vard >= 0 THEN ROUND(bias + SQRT(vard) * 1.96, 6) END AS loa_hi
+         FROM c""",
+
+    // Newcombe: per-arm Wilson bounds composed into the difference CI
+    // (center/half computed separately - the engine's op order)
+    "q_newcombe_ci" ->
+      """WITH f AS (SELECT (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT) % 2 = 0) AS a,
+                           (event_type = 'purchase') AS ok
+                    FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+              m AS (SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                           CAST(SUM(CASE WHEN a AND ok THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+                           CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                           CAST(SUM(CASE WHEN NOT a AND ok THEN 1 ELSE 0 END) AS BIGINT) AS k_b
+                    FROM f),
+              w AS (SELECT n_a, k_a, n_b, k_b,
+                           CAST(k_a AS DOUBLE) / n_a AS pa, CAST(k_b AS DOUBLE) / n_b AS pb,
+                           (CAST(k_a AS DOUBLE) / n_a + (1.96 * 1.96) / (n_a * 2)) / (1.0 + (1.96 * 1.96) / n_a) AS ca,
+                           1.96 * SQRT((CAST(k_a AS DOUBLE) / n_a) * (1.0 - CAST(k_a AS DOUBLE) / n_a) / n_a
+                                       + (1.96 * 1.96) / (CAST(n_a AS DOUBLE) * n_a * 4)) / (1.0 + (1.96 * 1.96) / n_a) AS ha,
+                           (CAST(k_b AS DOUBLE) / n_b + (1.96 * 1.96) / (n_b * 2)) / (1.0 + (1.96 * 1.96) / n_b) AS cb,
+                           1.96 * SQRT((CAST(k_b AS DOUBLE) / n_b) * (1.0 - CAST(k_b AS DOUBLE) / n_b) / n_b
+                                       + (1.96 * 1.96) / (CAST(n_b AS DOUBLE) * n_b * 4)) / (1.0 + (1.96 * 1.96) / n_b) AS hb
+                    FROM m WHERE n_a > 0 AND n_b > 0)
+         SELECT n_a, k_a, n_b, k_b,
+                ROUND(pa - pb, 6) AS diff,
+                ROUND(pa - pb - SQRT((pa - (ca - ha)) * (pa - (ca - ha)) +
+                                     ((cb + hb) - pb) * ((cb + hb) - pb)), 6) AS lo,
+                ROUND(pa - pb + SQRT(((ca + ha) - pa) * ((ca + ha) - pa) +
+                                     (pb - (cb - hb)) * (pb - (cb - hb))), 6) AS hi
+         FROM w""",
+
+    // one-sample KS vs the discrete uniform over the observed range of
+    // the split-hash buckets
+    "q_ks_uniform" ->
+      """WITH f AS (SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT) % 1000 AS v
+                    FROM events WHERE user_id IS NOT NULL),
+              c AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY v),
+              tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                             CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi FROM c),
+              g AS (SELECT v, n, hi - lo + 1 AS range_size,
+                           ROUND(ABS(CAST(SUM(c) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / n
+                                     - CAST(v - lo + 1 AS DOUBLE) / CAST(hi - lo + 1 AS DOUBLE)), 8) AS d
+                    FROM c CROSS JOIN tot WHERE n > 0)
+         SELECT n, range_size, d AS d_stat, v AS at_v
+         FROM g ORDER BY d DESC, v ASC LIMIT 1""",
+
+    // Mood's MEDIAN test: exact grand median off the cents histogram,
+    // 2 x k chi-square with 8dp decimal terms
+    "q_median_test" ->
+      """WITH b AS (SELECT o_orderpriority AS g,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                    FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+              h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY v),
+              tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM h),
+              cum AS (SELECT v, nn, SUM(c) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+                      FROM h CROSS JOIN tot),
+              md AS (SELECT CAST(MIN(CASE WHEN cm * 2 >= nn + (nn % 2) THEN v END) +
+                                 MIN(CASE WHEN cm * 2 >= nn + 2 - (nn % 2) THEN v END) AS DOUBLE) / 2.0 AS med
+                     FROM cum),
+              obs AS (SELECT g, (CAST(v AS DOUBLE) > med) AS above, CAST(COUNT(*) AS BIGINT) AS o
+                      FROM b CROSS JOIN md GROUP BY 1, 2),
+              cells AS (SELECT gg.g, aa.above, COALESCE(obs.o, 0) AS o
+                        FROM (SELECT DISTINCT g FROM obs) gg
+                        CROSS JOIN (SELECT DISTINCT above FROM obs) aa
+                        LEFT JOIN obs ON obs.g = gg.g AND obs.above = aa.above),
+              rg AS (SELECT g, CAST(SUM(o) AS BIGINT) AS rg FROM cells GROUP BY g),
+              rs AS (SELECT above, CAST(SUM(o) AS BIGINT) AS rs FROM cells GROUP BY above),
+              nn2 AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+              terms AS (SELECT n,
+                               CAST(ROUND((o - CAST(rg AS DOUBLE) * rs / n) * (o - CAST(rg AS DOUBLE) * rs / n)
+                                          / (CAST(rg AS DOUBLE) * rs / n), 8) AS DECIMAL(24,8)) AS t
+                        FROM cells JOIN rg USING (g) JOIN rs USING (above) CROSS JOIN nn2),
+              kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM rg),
+              sd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM rs)
+         SELECT n, k,
+                CASE WHEN ns > 1 AND k > 1 THEN ROUND(CAST(SUM(t) AS DOUBLE), 6) END AS chi2,
+                (k - 1) * (ns - 1) AS dof
+         FROM terms CROSS JOIN kk CROSS JOIN sd GROUP BY n, k, ns""",
+
+    // Bowker symmetry on the event-transition pairs: per unordered
+    // pair (n_ij - n_ji)^2/(n_ij + n_ji), 8dp decimal terms
+    "q_bowker" ->
+      """WITH ev AS (SELECT user_id AS u, ts, event_id AS tie, event_type AS e
+                     FROM events
+                     WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+              prs AS (SELECT LAG(e) OVER (PARTITION BY u ORDER BY ts ASC, tie ASC) AS a, e AS b FROM ev),
+              cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+                        FROM prs WHERE a IS NOT NULL AND a <> b GROUP BY 1, 2),
+              pairs AS (SELECT LEAST(a, b) AS lo, GREATEST(a, b) AS hi,
+                               CAST(SUM(CASE WHEN a < b THEN n ELSE 0 END) AS BIGINT) AS nij,
+                               CAST(SUM(CASE WHEN a > b THEN n ELSE 0 END) AS BIGINT) AS nji
+                        FROM cells GROUP BY 1, 2),
+              kept AS (SELECT nij, nji FROM pairs WHERE nij + nji > 0),
+              terms AS (SELECT CAST(ROUND(CAST(nij - nji AS DOUBLE) * CAST(nij - nji AS DOUBLE)
+                                          / CAST(nij + nji AS DOUBLE), 8) AS DECIMAL(24,8)) AS t
+                        FROM kept)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_tested,
+                CAST(COUNT(*) AS BIGINT) AS dof,
+                ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2
+         FROM terms HAVING COUNT(*) > 0""",
+
+    // spectral entropy: the dominant-cycle periodogram renormalized
+    // (decimal power sum), -p ln p terms 8dp through decimal
+    "q_spectral_entropy" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                               CAST(COUNT(*) AS BIGINT) AS y
+                        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+              b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+              grid AS (SELECT CAST(unnest(generate_series(0,
+                         datediff('day', d0, d1))) AS BIGINT) AS idx FROM b),
+              s AS (SELECT g.idx, COALESCE(d.y, 0) AS y
+                    FROM grid g LEFT JOIN
+                      (SELECT datediff('day', (SELECT d0 FROM b), day) AS idx, y
+                       FROM daily) d USING (idx)),
+              t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sm FROM s),
+              e AS (SELECT idx, n, CAST(n AS HUGEINT) * y - sm AS ee
+                    FROM s CROSS JOIN t),
+              byp AS (SELECT p, MAX(n) AS n,
+                             SUM(CAST(ROUND(CAST(ee AS DOUBLE) *
+                               COS(2 * PI() * (idx % p) / p), 4) AS DECIMAL(38,4))) AS sa,
+                             SUM(CAST(ROUND(CAST(ee AS DOUBLE) *
+                               SIN(2 * PI() * (idx % p) / p), 4) AS DECIMAL(38,4))) AS sb,
+                             SUM(ee * ee) AS se2
+                      FROM e CROSS JOIN (SELECT unnest(generate_series(2, 14)) AS p)
+                      GROUP BY p),
+              pw AS (SELECT CASE WHEN CAST(se2 AS DOUBLE) > 0
+                                 THEN ROUND((CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) +
+                                             CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) * 2.0 /
+                                            (CAST(n AS DOUBLE) * CAST(se2 AS DOUBLE)), 6)
+                            END AS power
+                     FROM byp),
+              pos AS (SELECT power FROM pw WHERE power IS NOT NULL AND power > 0),
+              tp AS (SELECT SUM(CAST(power AS DECIMAL(18,6))) AS tp,
+                            CAST(COUNT(*) AS BIGINT) AS n_periods FROM pos),
+              h AS (SELECT n_periods,
+                           SUM(CAST(ROUND(-(power / CAST(tp AS DOUBLE)) *
+                             LN(power / CAST(tp AS DOUBLE)), 8) AS DECIMAL(24,8))) AS hh
+                    FROM pos CROSS JOIN tp GROUP BY n_periods)
+         SELECT n_periods,
+                CASE WHEN n_periods > 1
+                     THEN ROUND(GREATEST(CAST(hh AS DOUBLE), 0.0) /
+                                LN(CAST(n_periods AS DOUBLE)), 6)
+                     ELSE 0.0 END AS spectral_entropy,
+                ROUND(1.0 - (CASE WHEN n_periods > 1
+                                  THEN ROUND(GREATEST(CAST(hh AS DOUBLE), 0.0) /
+                                             LN(CAST(n_periods AS DOUBLE)), 6)
+                                  ELSE 0.0 END), 6) AS concentration
+         FROM h""",
+
+    // two-period Poisson rate test on error events: conditional
+    // binomial z at the window midpoint, exact integer inputs
+    "q_poisson_rate" ->
+      """WITH d AS (SELECT date_trunc('day', ts) AS dd FROM events
+                    WHERE event_type = 'error' AND ts IS NOT NULL),
+              b AS (SELECT MIN(dd) AS d0,
+                           CAST(datediff('day', MIN(dd), MAX(dd)) AS BIGINT) AS span
+                    FROM d),
+              m AS (SELECT span,
+                           CAST(SUM(CASE WHEN datediff('day', d0, dd) <= span // 2 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                           CAST(SUM(CASE WHEN datediff('day', d0, dd) > span // 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+                    FROM d CROSS JOIN b GROUP BY span),
+              c AS (SELECT k1, k2, span // 2 + 1 AS t1, span + 1 - (span // 2 + 1) AS t2,
+                           CAST(k1 + k2 AS DOUBLE) AS kt,
+                           CAST(span // 2 + 1 AS DOUBLE) / CAST(span + 1 AS DOUBLE) AS frac,
+                           span
+                    FROM m)
+         SELECT k1, CAST(t1 AS BIGINT) AS t1_days, k2, CAST(t2 AS BIGINT) AS t2_days,
+                ROUND(CAST(k1 AS DOUBLE) / CAST(t1 AS DOUBLE), 6) AS rate1,
+                ROUND(CAST(k2 AS DOUBLE) / CAST(t2 AS DOUBLE), 6) AS rate2,
+                CASE WHEN span > 0 AND kt > 0 AND frac > 0 AND frac < 1
+                     THEN ROUND((CAST(k1 AS DOUBLE) - kt * frac) /
+                                SQRT(kt * frac * (1.0 - frac)), 6) END AS z
+         FROM c"""
   )
 }

@@ -258,6 +258,82 @@ object TextOps {
       subwordCount(col(textCol)).as("n_subwords"),
       fingerprintHex(col(textCol)).as("fingerprint"))
 
+  /**
+   * READABILITY SCORES — Flesch reading ease and Flesch–Kincaid grade
+   * per document: the audience-difficulty axis of text quality that
+   * length/punctuation heuristics (the Gopher filter) don't capture —
+   * a legal-boilerplate page and a children's story can share every
+   * Gopher stat and sit 60 Flesch points apart. Words are non-space
+   * runs, sentences are [.!?]+ runs (floored at 1), syllables are the
+   * standard vowel-group approximation [aeiouy]+ over the lowercased
+   * text (a vowel run never spans a space, so the whole-text count
+   * equals the per-word sum). Emits (id, n_words, n_sentences,
+   * n_syllables, flesch, fk_grade), 4dp, empty-text docs dropped;
+   * Flesch is NOT clamped to [0, 100] (out-of-range values are the
+   * signal on degenerate text).
+   *
+   * Deterministic: all three counts come from identical simple
+   * character-class regexes on both engines; the two scores are pinned
+   * double chains per row.
+   *
+   * Scale: three per-row regex kernels inside the scan stage — ZERO
+   * shuffles; output is id-keyed rows.
+   */
+  def readabilityScores(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val words = size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+      .cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val sylls = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), words.as("n_words"), sents.as("n_sentences"),
+        sylls.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835) -
+          col("n_words").cast("double") / col("n_sentences") * 1.015 -
+          col("n_syllables").cast("double") / col("n_words") * 84.6, 4)
+          .as("flesch"),
+        round(col("n_words").cast("double") / col("n_sentences") * 0.39 +
+          col("n_syllables").cast("double") / col("n_words") * 11.8 -
+          15.59, 4).as("fk_grade"))
+  }
+
+  /**
+   * TYPE–TOKEN RATIO + HAPAX SHARE per document — lexical diversity:
+   * TTR = distinct words / words ("does this doc say new things or
+   * repeat itself"), hapax share = fraction of its vocabulary used
+   * exactly once (template pages reuse a tiny vocabulary everywhere;
+   * natural prose keeps minting singletons). The per-DOC diversity
+   * companion to the corpus-level [[vocabRichness]] and the repetition
+   * kernels' n-gram view (those see adjacent repeats; TTR sees global
+   * vocabulary reuse at any distance). Emits (id, n_tokens, n_types,
+   * n_hapax, ttr, hapax_share), 6dp, empty docs dropped.
+   *
+   * Deterministic: exact integer counts off the token histogram; two
+   * pinned divisions per row.
+   *
+   * Scale: explode + one (doc, word) hash agg + one doc rollup — the
+   * wordFrequency shape, doc-keyed; map-side partial aggregation
+   * bounds the exchange by the per-doc vocabulary, not token count.
+   */
+  def docTtr(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .filter(col("n_tokens") > 0)
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_share"))
+
   /** Corpus word frequency: explode + count. The explode fans out rows
     * (narrow), then one hash-agg shuffle on the token — the canonical
     * scalable word-count shape with map-side partial aggregation. At

@@ -2193,6 +2193,28 @@ object StatsOps {
    */
   def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
                   m: Int): DataFrame = {
+    val out = fleissCore(df, itemCol, categoryCol, m)
+    val nI = col("n_items").cast("double")
+    val mD = lit(m.toDouble)
+    // P̄ = (Σ_i Σ_c n_ic² − n·m) / (n·m·(m−1))
+    val pBar = (col("__ss2").cast("double") - nI * mD) /
+      (nI * mD * (mD - 1.0))
+    // p_c = Σ_i n_ic / (n·m); P̄_e = Σ p_c²
+    val pE = col("__snc2").cast("double") / (nI * mD * nI * mD)
+    out.filter(col("n_items") > 0)
+      .select(col("n_items"), lit(m.toLong).as("m"), col("k_categories"),
+        round(pBar, 6).as("p_bar"), round(pE, 6).as("p_e"),
+        when(round(pE, 6) < 1.0,
+          round((pBar - pE) / (lit(1.0) - pE), 6))
+          .otherwise(lit(null).cast("double")).as("kappa"))
+  }
+
+  /** Shared balanced-panel agreement moments behind [[fleissKappa]] and
+    * [[gwetAc1]]: one row (n_items, k_categories, __ss2 = Σᵢ Σ_c n_ic²
+    * over items with exactly m ratings, __snc2 = Σ_c (Σᵢ n_ic)²), all
+    * exact decimals. */
+  private def fleissCore(df: DataFrame, itemCol: String,
+                         categoryCol: String, m: Int): DataFrame = {
     require(m >= 2, s"m must be >= 2, got $m")
     val dec = dec380
     val cells = df
@@ -2209,20 +2231,45 @@ object StatsOps {
     val perCat = kept.groupBy("__c").agg(sum(col("__n")).as("__nc"))
       .agg(count(lit(1)).as("k_categories"),
         sum(col("__nc").cast(dec) * col("__nc").cast(dec)).as("__snc2"))
-    val out = perItem.crossJoin(broadcast(perCat))
+    perItem.crossJoin(broadcast(perCat))
+  }
+
+  /**
+   * GWET'S AC1 — the PREVALENCE-ROBUST agreement coefficient:
+   * [[fleissKappa]] collapses toward 0 when one category dominates
+   * (the kappa paradox — 95% raw agreement can score κ ≈ 0 because
+   * chance agreement is defined as marginal-product matching), while
+   * AC1's chance term P_eγ = Σ_c π_c(1−π_c)/(k−1) models chance as
+   * agreeing only on the categories raters are genuinely UNSURE about.
+   * Report both: κ ≪ AC1 is itself the prevalence-skew diagnostic.
+   * Same balanced-panel contract (items with exactly m ratings). Emits
+   * one row (n_items, m, k_categories, p_bar, p_e_gamma, ac1), 6dp;
+   * P_eγ = 1 emits NULL ac1.
+   *
+   * Deterministic: [[fleissKappa]]'s exact integer moments; one pinned
+   * double chain.
+   *
+   * Scale: identical to [[fleissKappa]] — one (item, category) cell
+   * aggregate + two rollups + 1-row reduces.
+   */
+  def gwetAc1(df: DataFrame, itemCol: String, categoryCol: String,
+              m: Int): DataFrame = {
+    val out = fleissCore(df, itemCol, categoryCol, m)
     val nI = col("n_items").cast("double")
     val mD = lit(m.toDouble)
-    // P̄ = (Σ_i Σ_c n_ic² − n·m) / (n·m·(m−1))
+    val kD = col("k_categories").cast("double")
     val pBar = (col("__ss2").cast("double") - nI * mD) /
       (nI * mD * (mD - 1.0))
-    // p_c = Σ_i n_ic / (n·m); P̄_e = Σ p_c²
-    val pE = col("__snc2").cast("double") / (nI * mD * nI * mD)
-    out.filter(col("n_items") > 0)
+    // Σ π_c² = Σ(Σᵢ n_ic)² / (n·m)²; P_eγ = (Σπ_c − Σπ_c²)/(k−1) with
+    // Σπ_c = 1 on the balanced panel
+    val sumPi2 = col("__snc2").cast("double") / (nI * mD * nI * mD)
+    val pEg = (lit(1.0) - sumPi2) / (kD - 1.0)
+    out.filter(col("n_items") > 0 && col("k_categories") > 1)
       .select(col("n_items"), lit(m.toLong).as("m"), col("k_categories"),
-        round(pBar, 6).as("p_bar"), round(pE, 6).as("p_e"),
-        when(round(pE, 6) < 1.0,
-          round((pBar - pE) / (lit(1.0) - pE), 6))
-          .otherwise(lit(null).cast("double")).as("kappa"))
+        round(pBar, 6).as("p_bar"), round(pEg, 6).as("p_e_gamma"),
+        when(round(pEg, 6) < 1.0,
+          round((pBar - pEg) / (lit(1.0) - pEg), 6))
+          .otherwise(lit(null).cast("double")).as("ac1"))
   }
 
   /**
@@ -3364,7 +3411,10 @@ object StatsOps {
       sum(col("__c").cast(dec)).as("__sg"),
       sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__qg"))
     val tot = grp.agg(sum(col("__ng")).as("__n"), sum(col("__sg")).as("__s"),
-      count(lit(1)).as("__k"))
+      count(lit(1)).as("__k"),
+      // Σ n_g² rides along for the unbalanced-design corrections
+      // (ICC's n0) at zero extra passes
+      sum(col("__ng").cast(dec) * col("__ng").cast(dec)).as("__sn2"))
     val ngD = col("__ng").cast(dec)
     val nD = col("__n").cast(dec)
     val ssbNum = col("__sg") * nD - col("__s") * ngD
@@ -3373,10 +3423,12 @@ object StatsOps {
     val sswTerm = round((col("__qg") * ngD - col("__sg") * col("__sg"))
       .cast("double") / col("__ng").cast("double"), 4).cast(dterm)
     grp.crossJoin(broadcast(tot))
-      .select(col("__n"), col("__k"), ssbTerm.as("__bt"), sswTerm.as("__wt"))
-      .groupBy("__n", "__k")
+      .select(col("__n"), col("__k"), col("__sn2"),
+        ssbTerm.as("__bt"), sswTerm.as("__wt"))
+      .groupBy("__n", "__k", "__sn2")
       .agg(sum(col("__bt")).as("__ssb"), sum(col("__wt")).as("__ssw"))
       .select(col("__n").as("n"), col("__k").as("k"),
+        col("__sn2").cast("double").as("sn2"),
         col("__ssb").cast("double").as("ssb"),
         col("__ssw").cast("double").as("ssw"))
   }
@@ -3412,6 +3464,384 @@ object StatsOps {
         round((col("ssb") / (col("k") - 1).cast("double")) /
           (col("ssw") / (col("n") - col("k")).cast("double")), 6))
         .otherwise(lit(null).cast("double")).as("f_stat"))
+  }
+
+  /**
+   * INTRACLASS CORRELATION ICC(1) — "how much of the metric's variance
+   * lives BETWEEN groups": the variance-components reading of
+   * [[anovaF]]'s same decomposition — F answers "is the group effect
+   * real", ICC answers "how STRONG is the grouping" on a [0, 1] scale
+   * (0 = the label explains nothing, 1 = members of a group are
+   * clones). The number behind design-effect corrections (clustered
+   * sampling inflates variance by 1 + (m−1)·ICC) and the
+   * is-this-partition-key-informative audit. Unbalanced-design form:
+   * ICC = (MSB − MSW) / (MSB + (n₀−1)·MSW) with n₀ = (N − Σn_g²/N) /
+   * (k−1). Emits one row (n, k, n0, icc), n0/icc 6dp; k < 2, n ≤ k, or
+   * a non-positive denominator emits NULL icc.
+   *
+   * Deterministic: rides [[anovaF]]'s exact-moment `anovaCore` (Σn_g²
+   * is one more exact decimal in the same pass); one pinned double
+   * chain.
+   *
+   * Scale: identical to [[anovaF]] — one conditional-aggregation pass
+   * + a k-row reduce.
+   */
+  def iccOneWay(df: DataFrame, valueCol: String,
+                groupCol: String): DataFrame = {
+    val core = anovaCore(anovaBase(df, valueCol, groupCol))
+    val nD = col("n").cast("double"); val kD = col("k").cast("double")
+    val msb = col("ssb") / (kD - 1.0)
+    val msw = col("ssw") / (nD - kD)
+    val n0 = (nD - col("sn2") / nD) / (kD - 1.0)
+    val den = msb + (n0 - 1.0) * msw
+    core.select(col("n"), col("k"),
+      when(col("k") >= 2, round(n0, 6))
+        .otherwise(lit(null).cast("double")).as("n0"),
+      when(col("k") >= 2 && col("n") > col("k") && den > 0,
+        round((msb - msw) / den, 6))
+        .otherwise(lit(null).cast("double")).as("icc"))
+  }
+
+  /**
+   * CRONBACH'S ALPHA — internal-consistency reliability of k "items"
+   * measured per subject: do the items move TOGETHER across subjects
+   * (α → 1) or independently (α → 0)? The questionnaire statistic,
+   * repurposed for pipelines: items = the k per-segment daily metrics,
+   * subjects = days — "is this metric family one signal or k separate
+   * ones" before anyone averages them into a composite score.
+   * α = k/(k−1) · (1 − Σᵢ Var(itemᵢ) / Var(Σ items)); the variance
+   * RATIO lets the n(n−1) denominators cancel, so α is exact-integer
+   * until one division. Same complete-block contract as [[friedmanQ]]
+   * (k rows AND k distinct items per subject; dense-fill upstream when
+   * absence means zero). Emits one row (n_subjects, k_items, alpha),
+   * 6dp; k < 2 or zero total variance emits NULL.
+   *
+   * Scale: subject-partitioned completeness windows + one item-level
+   * moment aggregate + one subject-total moment aggregate — the
+   * friedman economics; the corpus streams once.
+   */
+  def cronbachAlpha(df: DataFrame, subjectCol: String, itemCol: String,
+                    valueCol: String): DataFrame = {
+    val dec = dec380
+    val base = df.select(col(subjectCol).as("__s"), col(itemCol).as("__i"),
+        cents(col(valueCol)).as("__v"))
+      .filter(col("__s").isNotNull && col("__i").isNotNull &&
+        col("__v").isNotNull)
+    val k = base.agg(countDistinct(col("__i")).as("__k"))
+    val wS = Window.partitionBy("__s")
+    val complete = base
+      .withColumn("__sk", count(lit(1)).over(wS))
+      .withColumn("__skd", size(collect_set(col("__i")).over(wS)))
+      .crossJoin(broadcast(k))
+      .filter(col("__sk") === col("__k") && col("__skd") === col("__k"))
+    // per-item variance numerators A_i = n·Σx² − (Σx)² — exact
+    val byItem = complete.groupBy("__i")
+      .agg(count(lit(1)).as("__n"), sum(col("__v").cast(dec)).as("__sx"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__sxx"))
+      .select(col("__n"),
+        (col("__n").cast(dec) * col("__sxx") - col("__sx") * col("__sx"))
+          .as("__ai"))
+      .groupBy("__n").agg(count(lit(1)).as("k_items"),
+        sum(col("__ai")).as("__sai"))
+    // subject-total variance numerator A_T over the same subjects
+    val bySubj = complete.groupBy("__s")
+      .agg(sum(col("__v").cast(dec)).as("__t"))
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(col("__t")).as("__st"), sum(col("__t") * col("__t")).as("__stt"))
+      .select(col("n_subjects"),
+        (col("n_subjects").cast(dec) * col("__stt") -
+          col("__st") * col("__st")).as("__at"))
+    val out = byItem.crossJoin(broadcast(bySubj))
+    val kD = col("k_items").cast("double")
+    val alpha = kD / (kD - 1.0) *
+      (lit(1.0) - col("__sai").cast("double") / col("__at").cast("double"))
+    out.select(col("n_subjects"), col("k_items"),
+      when(col("k_items") >= 2 && col("__at").cast("double") > 0,
+        round(alpha, 6))
+        .otherwise(lit(null).cast("double")).as("alpha"))
+  }
+
+  /**
+   * LIN'S CONCORDANCE CORRELATION (CCC) — do two same-scale measures
+   * AGREE, not merely correlate: CCC = 2·s_xy / (s_x² + s_y² +
+   * (μx−μy)²) penalizes location and scale disagreement that Pearson's
+   * r forgives (r = 1 for y = 2x + 5; CCC is not). The
+   * reconciliation-strength readout for paired pipeline figures
+   * (header total vs detail sum, two independent meters of one
+   * quantity). Emits one row (n, pearson_r, ccc), 8dp; zero variance
+   * on either side emits NULLs.
+   *
+   * Deterministic: five exact integer-cents moments in one pass; the
+   * n² factors cancel so CCC = 2(nΣxy−ΣxΣy) / (nΣx²−(Σx)² +
+   * nΣy²−(Σy)² + (Σx−Σy)²) is exact until one division.
+   *
+   * Scale: one partial-aggregating scan to one row — the reconcile
+   * shape at two columns.
+   */
+  def linCcc(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = dec380
+    val base = df.select(cents(col(xCol)).as("__x"), cents(col(yCol)).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val x = col("__x").cast(dec); val y = col("__y").cast(dec)
+    val m = base.agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val nD = col("n").cast(dec)
+    val vx = nD * col("sxx") - col("sx") * col("sx")
+    val vy = nD * col("syy") - col("sy") * col("sy")
+    val cxy = nD * col("sxy") - col("sx") * col("sy")
+    val dd = col("sx") - col("sy")
+    val denC = (vx + vy + dd * dd).cast("double")
+    m.filter(col("n") > 1)
+      .select(col("n"),
+        when(vx.cast("double") > 0 && vy.cast("double") > 0,
+          round(cxy.cast("double") /
+            sqrt(vx.cast("double") * vy.cast("double")), 8))
+          .otherwise(lit(null).cast("double")).as("pearson_r"),
+        when(denC > 0, round(cxy.cast("double") * 2 / denC, 8))
+          .otherwise(lit(null).cast("double")).as("ccc"))
+  }
+
+  /**
+   * BLAND–ALTMAN limits of agreement — the interchangeability audit
+   * behind [[linCcc]]'s single number: bias = mean(x − y) and the
+   * band bias ± 1.96·sd(x − y) inside which 95% of paired differences
+   * fall. "The two meters agree to ±4.20 with a +0.31 offset" — the
+   * actionable form of "CCC = 0.97". Emits one row (n, bias, sd_diff,
+   * loa_lo, loa_hi) in original value units, 6dp; n < 2 or zero
+   * spread emits NULL band.
+   *
+   * Deterministic: differences are exact integer cents; sample sd via
+   * the exact identity (nΣd²−(Σd)²)/(n(n−1)); pinned final chain.
+   *
+   * Scale: one partial-aggregating scan to one row.
+   */
+  def blandAltman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = dec380
+    val base = df.select(cents(col(xCol)).as("__x"), cents(col(yCol)).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .select((col("__x") - col("__y")).cast(dec).as("__d"))
+    val m = base.agg(count(lit(1)).as("n"), sum(col("__d")).as("sd1"),
+      sum(col("__d") * col("__d")).as("sd2"))
+    val nD = col("n").cast("double")
+    val bias = col("sd1").cast("double") / nD / 100.0
+    val varD = (col("n").cast(dec) * col("sd2") - col("sd1") * col("sd1"))
+      .cast("double") / (nD * (nD - 1.0)) / 1e4
+    val sd = sqrt(varD)
+    m.filter(col("n") > 0)
+      .select(col("n"), round(bias, 6).as("bias"),
+        when(col("n") > 1 && varD >= 0, round(sd, 6))
+          .otherwise(lit(null).cast("double")).as("sd_diff"),
+        when(col("n") > 1 && varD >= 0, round(bias - sd * 1.96, 6))
+          .otherwise(lit(null).cast("double")).as("loa_lo"),
+        when(col("n") > 1 && varD >= 0, round(bias + sd * 1.96, 6))
+          .otherwise(lit(null).cast("double")).as("loa_hi"))
+  }
+
+  /**
+   * NEWCOMBE two-proportion difference CI — the score-interval band
+   * around p_a − p_b: each arm gets its own [[wilsonInterval]] bounds
+   * and the difference CI composes them (lo = d − √((p_a−l_a)² +
+   * (u_b−p_b)²), hi symmetric) — the method that stays sane at small
+   * n and extreme rates where the naive Wald band escapes [−1, 1].
+   * The experiment-readout companion to the per-arm Wilson rows:
+   * dashboards want THE DIFFERENCE with a band, not two overlapping
+   * intervals to eyeball. `successCol` boolean, `armCol` ∈ {armA,
+   * armB}. Emits one row (n_a, k_a, n_b, k_b, diff, lo, hi), 6dp;
+   * an empty arm emits no row.
+   *
+   * Deterministic: (k, n) exact integers into one fixed-order double
+   * expression — the wilsonInterval discipline, composed.
+   *
+   * Scale: one conditional-aggregation pass to one row.
+   */
+  def newcombeDiffCi(df: DataFrame, successCol: String, armCol: String,
+                     armA: String, armB: String,
+                     z: Double = 1.96): DataFrame = {
+    val m = df.filter(col(armCol) === armA || col(armCol) === armB)
+      .filter(col(successCol).isNotNull)
+      .agg(
+        sum(when(col(armCol) === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(armCol) === armA && col(successCol), 1L)
+          .otherwise(0L)).as("k_a"),
+        sum(when(col(armCol) === armB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(armCol) === armB && col(successCol), 1L)
+          .otherwise(0L)).as("k_b"))
+    def wilson(k: Column, n: Column): (Column, Column, Column) = {
+      val nD = n.cast("double"); val p = k.cast("double") / nD
+      val z2 = z * z
+      val center = (p + lit(z2) / (nD * 2)) / (lit(1.0) + lit(z2) / nD)
+      val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+        lit(z2) / (nD * nD * 4)) / (lit(1.0) + lit(z2) / nD)
+      (p, center - half, center + half)
+    }
+    val (pa, la, ua) = wilson(col("k_a"), col("n_a"))
+    val (pb, lb, ub) = wilson(col("k_b"), col("n_b"))
+    val d = pa - pb
+    m.filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        round(d, 6).as("diff"),
+        round(d - sqrt((pa - la) * (pa - la) + (ub - pb) * (ub - pb)), 6)
+          .as("lo"),
+        round(d + sqrt((ua - pa) * (ua - pa) + (pb - lb) * (pb - lb)), 6)
+          .as("hi"))
+  }
+
+  /**
+   * ONE-SAMPLE KS vs the DISCRETE UNIFORM over the observed integer
+   * range — "is this hash/bucket/shard assignment actually uniform":
+   * D = max_v |F_emp(v) − (v−lo+1)/(hi−lo+1)|. The uniformity audit
+   * behind every fingerprint-based split and salting scheme
+   * ([[graft.ext.SamplingOps]]'s determinism rests on it) — chi²
+   * goodness-of-fit sees bin-mass deviations, KS sees RANGE-ordered
+   * drift (a biased-high hash passes chi² per bucket and fails here).
+   * Emits one row (n, range_size, d_stat, at_v), D 8dp with the value
+   * attaining it (ties broken low).
+   *
+   * Deterministic: exact cumulative counts over the integer support;
+   * per-value gaps are pinned divisions rounded 8dp.
+   *
+   * Scale: the [[ksStatistic]] shape — one support histogram + a
+   * cumulative window over the bounded support + a top-1.
+   */
+  def ksUniform(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("n"), min(col("v")).as("lo"),
+      max(col("v")).as("hi"))
+    // unpartitioned window BOUND: the bounded integer support
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(tot))
+      .filter(col("n") > 0)
+      .select(col("v"), col("n"),
+        (col("hi") - col("lo") + 1).as("range_size"),
+        round(abs(sum(col("c")).over(w).cast("double") / col("n") -
+          (col("v") - col("lo") + 1).cast("double") /
+            (col("hi") - col("lo") + 1).cast("double")), 8).as("d"))
+      .orderBy(col("d").desc, col("v").asc)
+      .limit(1)
+      .select(col("n"), col("range_size"), col("d").as("d_stat"),
+        col("v").as("at_v"))
+  }
+
+  /**
+   * MOOD'S MEDIAN TEST (k-group) — "do the k groups share one MEDIAN":
+   * classify every row above / at-or-below the grand median and chi²
+   * the resulting 2×k table. The blunt-but-assumption-free member of
+   * the k-group family: [[anovaF]] needs variances, [[kruskalWallis]]
+   * assumes comparable shapes — the median test only needs counts, so
+   * it survives wild outliers and mixed shapes (at some power cost —
+   * the standard trade). Not to be confused with [[moodScaleTest]]
+   * (two-sample dispersion). Grand median = exact lower/upper-middle
+   * average over the cents histogram. Emits one row (n, k, chi2, dof),
+   * chi2 6dp; a degenerate table (all mass one side) emits NULL chi2.
+   *
+   * Deterministic: the median positions and all cell counts are exact
+   * integers; per-cell (o−e)²/e terms round 8dp and sum through
+   * DECIMAL (the chi² discipline).
+   *
+   * Scale: one cents histogram + a bounded-support cumulative for the
+   * median + one (group, side) cell aggregate + a k-row reduce.
+   */
+  def medianTest(df: DataFrame, valueCol: String,
+                 groupCol: String): DataFrame = {
+    val dterm = org.apache.spark.sql.types.DecimalType(24, 8)
+    val base = df.select(col(groupCol).as("__g"), cents(col(valueCol)).as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val hist = base.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val tot = hist.agg(sum(col("__c")).as("__n"))
+    // unpartitioned window BOUND: the cents-value support
+    val wCum = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+    val med = cum.agg(
+      min(when(col("__cum") * 2 >= col("__n") + (col("__n") % 2),
+        col("__v"))).as("__lo"),
+      min(when(col("__cum") * 2 >= col("__n") + 2 - (col("__n") % 2),
+        col("__v"))).as("__hi"))
+      .select(((col("__lo") + col("__hi")).cast("double") / 2.0).as("__med"))
+    // cells is the bounded 2×k table, but it is REFERENCED five times
+    // below (terms, both margins, total, k/sides) — un-materialized,
+    // every reference re-plans the whole corpus scan + median chain
+    // (observed: 5 scans, 15 BNLJs in the raw plan). localCheckpoint
+    // pins the tiny table once (the ipfRake materialize discipline).
+    val observed = base.crossJoin(broadcast(med))
+      .groupBy(col("__g"), (col("__v").cast("double") > col("__med"))
+        .as("__above"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    // chi² runs over the FULL 2×k cross (the chiSquareIndependence
+    // contract): a group entirely on one side still contributes its
+    // empty cell's (0−e)²/e
+    val cells = observed.select("__g").distinct()
+      .crossJoin(observed.select("__above").distinct())
+      .join(observed, Seq("__g", "__above"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val rg = cells.groupBy("__g").agg(sum(col("o")).as("rg"))
+    val rs = cells.groupBy("__above").agg(sum(col("o")).as("rs"))
+    val nn = cells.agg(sum(col("o")).as("n"))
+    val e = col("rg").cast("double") * col("rs").cast("double") /
+      col("n").cast("double")
+    val terms = cells.join(rg, "__g").join(rs, "__above")
+      .crossJoin(broadcast(nn))
+      .select(col("n"),
+        round((col("o") - e) * (col("o") - e) / e, 8).cast(dterm).as("__t"))
+    val k = rg.agg(count(lit(1)).as("k"))
+    val sides = rs.agg(count(lit(1)).as("__ns"))
+    terms.groupBy("n").agg(sum(col("__t")).as("__chi2"))
+      .crossJoin(broadcast(k)).crossJoin(broadcast(sides))
+      .select(col("n"), col("k"),
+        when(col("__ns") > 1 && col("k") > 1,
+          round(col("__chi2").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("chi2"),
+        ((col("k") - 1) * (col("__ns") - 1)).as("dof"))
+  }
+
+  /**
+   * BOWKER'S SYMMETRY TEST — "is the k×k pair table SYMMETRIC": for a
+   * transition/confusion matrix, χ² = Σ_{i<j} (n_ij − n_ji)² /
+   * (n_ij + n_ji), the k-category generalization of McNemar (which is
+   * the 2×2 case). On an event-transition matrix this is the
+   * DIRECTIONALITY test — "does A→B genuinely outnumber B→A once
+   * chance flow is netted out" — the question the raw
+   * `q_markov_transitions` matrix shows but cannot score. Emits one
+   * row (n_pairs_tested, dof, chi2), chi2 6dp; pairs with
+   * n_ij + n_ji = 0 are untestable and excluded (dof counts the
+   * tested off-diagonal pairs).
+   *
+   * Deterministic: cell counts exact; per-pair terms round 8dp and
+   * sum through DECIMAL.
+   *
+   * Scale: one (a, b) cell aggregate folded to unordered pairs —
+   * everything after the first exchange is (levels²)-bounded.
+   */
+  def bowkerSymmetry(df: DataFrame, aCol: String,
+                     bCol: String): DataFrame = {
+    val dterm = org.apache.spark.sql.types.DecimalType(24, 8)
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val pairs = cells
+      .select(least(col("__a"), col("__b")).as("__lo"),
+        greatest(col("__a"), col("__b")).as("__hi"),
+        when(col("__a") < col("__b"), col("__n")).otherwise(0L).as("__nij"),
+        when(col("__a") > col("__b"), col("__n")).otherwise(0L).as("__nji"))
+      .groupBy("__lo", "__hi")
+      .agg(sum(col("__nij")).as("nij"), sum(col("__nji")).as("nji"))
+      .filter(col("nij") + col("nji") > 0)
+    val diff = (col("nij") - col("nji")).cast("double")
+    pairs
+      .select(round(diff * diff /
+        (col("nij") + col("nji")).cast("double"), 8).cast(dterm).as("__t"))
+      .agg(count(lit(1)).as("n_pairs_tested"),
+        round(sum(col("__t")).cast("double"), 6).as("__c"))
+      .filter(col("n_pairs_tested") > 0)
+      .select(col("n_pairs_tested"), col("n_pairs_tested").as("dof"),
+        col("__c").as("chi2"))
   }
 
   /**

@@ -1220,6 +1220,96 @@ object TemporalOps {
   }
 
   /**
+   * SPECTRAL ENTROPY of the daily series — how CONCENTRATED is the
+   * series' rhythm: the Shannon entropy of the normalized
+   * [[dominantCycle]] periodogram, scaled to [0, 1] by ln(periods).
+   * Near 0 = one period owns the variance (a metronome — schedule it);
+   * near 1 = white-noise spectrum (no cycle to exploit). The
+   * one-number summary of the periodogram the dominant-period argmax
+   * can't give ("period 7 wins" hides whether it won by 90% or 9%).
+   * Emits one row (n_periods, spectral_entropy, concentration =
+   * 1 − entropy), 6dp; a degenerate spectrum (≤1 positive-power
+   * period) emits entropy 0 / concentration 1.
+   *
+   * Deterministic: rides dominantCycle's 6dp-pinned powers; the
+   * renormalized −p·ln(p) terms round 8dp and sum through DECIMAL.
+   *
+   * Scale: exactly [[dominantCycle]] + a periods-row reduce.
+   */
+  def spectralEntropy(df: DataFrame, ts: String,
+                      maxPeriod: Int): DataFrame = {
+    val dterm = DecimalType(24, 8)
+    // the ≤(maxPeriod−1)-row periodogram is referenced twice (the
+    // normalizer and the term pass) — localCheckpoint pins it so the
+    // whole day-grid fanout chain runs once, not per reference
+    val pw = dominantCycle(df, ts, maxPeriod)
+      .filter(col("power").isNotNull && col("power") > 0)
+      .localCheckpoint()
+    // the 6dp powers sum through DECIMAL (a double sum over the
+    // period rows would be partition-order-sensitive in the last ulp)
+    val tot = pw.agg(sum(col("power").cast(DecimalType(18, 6))).as("__tp"),
+      count(lit(1)).as("n_periods"))
+    val p = col("power") / col("__tp").cast("double")
+    val h = pw.crossJoin(broadcast(tot))
+      .select(col("n_periods"),
+        round(-p * log(p), 8).cast(dterm).as("__t"))
+      .groupBy("n_periods").agg(sum(col("__t")).as("__h"))
+    h.select(col("n_periods"),
+      when(col("n_periods") > 1,
+        round(greatest(col("__h").cast("double"), lit(0.0)) /
+          log(col("n_periods").cast("double")), 6))
+        .otherwise(lit(0.0)).as("spectral_entropy"))
+      .withColumn("concentration",
+        round(lit(1.0) - col("spectral_entropy"), 6))
+  }
+
+  /**
+   * TWO-PERIOD POISSON RATE TEST — "did the event rate CHANGE between
+   * the first and second half of the window": with k₁ events over t₁
+   * days and k₂ over t₂, under a constant rate the first-half count is
+   * Binomial(k₁+k₂, t₁/(t₁+t₂)) — the conditional test whose z is
+   * exact-input and nuisance-free (no rate variance to estimate). The
+   * incident-rate companion to [[runsTest]] (runs sees pattern, this
+   * sees LEVEL: "errors per day doubled"). The split is the midpoint
+   * of the observed day range. Emits one row (k1, t1_days, k2,
+   * t2_days, rate1, rate2, z), rates/z 6dp; a degenerate window
+   * (single day or zero events) emits NULL z.
+   *
+   * Deterministic: counts and day spans are exact integers; one pinned
+   * double chain.
+   *
+   * Scale: one 1-row bounds aggregate + one conditional-aggregation
+   * pass — the reconcile shape.
+   */
+  def poissonRateTest(df: DataFrame, ts: String): DataFrame = {
+    val daysOf = df.filter(col(ts).isNotNull)
+      .select(date_trunc("day", col(ts)).as("__d"))
+    val bounds = daysOf.agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
+      .select(col("__d0"),
+        datediff(col("__d1"), col("__d0")).cast("long").as("__span"))
+    // integer midpoint: Spark's `/` on longs is TRUE division — keep
+    // the split day and the span arithmetic in exact longs
+    val mid = floor(col("__span") / 2).cast("long")
+    val m = daysOf.crossJoin(broadcast(bounds))
+      .select((datediff(col("__d"), col("__d0")).cast("long") <= mid)
+        .as("__first"), col("__span"))
+      .groupBy("__span")
+      .agg(sum(when(col("__first"), 1L).otherwise(0L)).as("k1"),
+        sum(when(!col("__first"), 1L).otherwise(0L)).as("k2"))
+    val t1 = mid + 1
+    val t2 = col("__span") + 1 - t1
+    val kTot = (col("k1") + col("k2")).cast("double")
+    val frac = t1.cast("double") / (col("__span") + 1).cast("double")
+    val z = (col("k1").cast("double") - kTot * frac) /
+      sqrt(kTot * frac * (lit(1.0) - frac))
+    m.select(col("k1"), t1.as("t1_days"), col("k2"), t2.as("t2_days"),
+      round(col("k1").cast("double") / t1.cast("double"), 6).as("rate1"),
+      round(col("k2").cast("double") / t2.cast("double"), 6).as("rate2"),
+      when(col("__span") > 0 && kTot > 0 && frac > 0 && frac < 1,
+        round(z, 6)).otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /**
    * CHATTERJEE'S ξ — the MODERN dependence coefficient (Chatterjee
    * 2020) of the daily series on TIME: ξ ≈ 0 when the value is
    * independent of the date, ξ → 1 when the value is a FUNCTION of the

@@ -247,8 +247,32 @@ object PlanAudit {
                              // 1-row k broadcast + day-sized weight join
     "q_runs_test",           // 1-row day-bounds/median/grid-length
                              // broadcasts over the day grid
-    "q_basket_rules")        // q_basket_lift's 1-row basket-total
+    "q_basket_rules",        // q_basket_lift's 1-row basket-total
                              // broadcast
+    "q_icc",                 // anova's 1-row grand-total broadcast over
+                             // the k-row group moments
+    "q_cronbach_alpha",      // friedman's dense day × |types| cross +
+                             // 1-row k broadcast + 1-row subject-moment
+                             // artifact
+    "q_lin_ccc",             // 1-row five-moment reduce (the
+                             // partial_corr shape; the pair join itself
+                             // is equi/hashed)
+    "q_bland_altman",        // 1-row difference-moment reduce
+    "q_newcombe_ci",         // 1-row four-count reduce (the cuped shape)
+    "q_ks_uniform",          // 1-row totals broadcast over the bounded
+                             // bucket support (the KS shape)
+    "q_median_test",         // 1-row total + 1-row median broadcasts
+                             // over the cents histogram; the 2×k cell
+                             // table is localCheckpoint-pinned
+    "q_bowker",              // 1-row pair-term reduce over the
+                             // states²-bounded transition cells
+    "q_spectral_entropy",    // dominant_cycle's 1-row series-totals +
+                             // 1-row normalizer broadcasts (periodogram
+                             // localCheckpoint-pinned)
+    "q_poisson_rate",        // 1-row day-bounds broadcast (the
+                             // reconcile shape)
+    "q_gwet_ac1")            // fleiss_kappa's 1-row item-rollup ×
+                             // 1-row category-rollup broadcasts
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   val annHeapOnly: Set[String] = Set(
@@ -334,7 +358,12 @@ object PlanAudit {
     "q_kuiper",             // dollar-binned support (the KS shape)
     "q_quade",              // block-RANGE rank over the day grid (one
                             // row per block — grid-bounded)
-    "q_runs_test")          // day-grid median rank + lag windows
+    "q_runs_test",          // day-grid median rank + lag windows
+    "q_ks_uniform")         // bounded hash-bucket support cumulative
+                            // (the KS shape; q_median_test's median
+                            // cumulative runs inside its eager
+                            // localCheckpoint and never reaches the
+                            // audited plan)
 
   /** All gate violations for one query's compiled plan (no execution).
     * Empty = the plan is clean. The stale-whitelist check is included

@@ -363,6 +363,181 @@ class Round14StatsSpec extends SparkSpec {
     }
   }
 
+  test("iccOneWay: clone groups score 1; shared distribution scores ~0") {
+    val clones = Seq(("A", 1.0), ("A", 1.0), ("B", 3.0), ("B", 3.0))
+      .toDF("g", "v")
+    val r = StatsOps.iccOneWay(clones, "v", "g").collect()(0)
+    r.getAs[Double]("n0") shouldBe 2.0 +- 1e-9
+    r.getAs[Double]("icc") shouldBe 1.0 +- 1e-6
+    val mixed = Seq(("A", 1.0), ("A", 3.0), ("B", 1.0), ("B", 3.0))
+      .toDF("g", "v")
+    StatsOps.iccOneWay(mixed, "v", "g").collect()(0)
+      .getAs[Double]("icc") should be < 0.0 // MSB = 0 pulls ICC negative
+  }
+
+  test("cronbachAlpha: identical items give 1; anti-correlated go negative") {
+    val same = Seq(("s1", "i1", 1.0), ("s2", "i1", 2.0), ("s3", "i1", 3.0),
+      ("s1", "i2", 1.0), ("s2", "i2", 2.0), ("s3", "i2", 3.0))
+      .toDF("s", "i", "v")
+    StatsOps.cronbachAlpha(same, "s", "i", "v").collect()(0)
+      .getAs[Double]("alpha") shouldBe 1.0 +- 1e-6
+    // item2 = (3,1,2) against item1 = (1,2,3): cov = -0.5 → alpha = -2
+    val anti = Seq(("s1", "i1", 1.0), ("s2", "i1", 2.0), ("s3", "i1", 3.0),
+      ("s1", "i2", 3.0), ("s2", "i2", 1.0), ("s3", "i2", 2.0))
+      .toDF("s", "i", "v")
+    StatsOps.cronbachAlpha(anti, "s", "i", "v").collect()(0)
+      .getAs[Double]("alpha") shouldBe -2.0 +- 1e-6
+  }
+
+  test("linCcc: identity agrees fully; a constant offset only correlates") {
+    val id = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y")
+    val r1 = StatsOps.linCcc(id, "x", "y").collect()(0)
+    r1.getAs[Double]("pearson_r") shouldBe 1.0 +- 1e-8
+    r1.getAs[Double]("ccc") shouldBe 1.0 +- 1e-8
+    // y = x + 5: r stays 1, CCC collapses by the location penalty:
+    // 2v/(2v + n·(5)²-in-cents form) = 120000/2370000
+    val off = Seq((1.0, 6.0), (2.0, 7.0), (3.0, 8.0)).toDF("x", "y")
+    val r2 = StatsOps.linCcc(off, "x", "y").collect()(0)
+    r2.getAs[Double]("pearson_r") shouldBe 1.0 +- 1e-8
+    r2.getAs[Double]("ccc") shouldBe (120000.0 / 2370000.0) +- 1e-6
+  }
+
+  test("blandAltman: hand bias and limits on a two-pair fixture") {
+    // diffs (1, 3): bias 2, sd = sqrt(2), loa = 2 -/+ 1.96*sqrt(2)
+    val df = Seq((3.0, 2.0), (7.0, 4.0)).toDF("x", "y")
+    val r = StatsOps.blandAltman(df, "x", "y").collect()(0)
+    r.getAs[Double]("bias") shouldBe 2.0 +- 1e-9
+    r.getAs[Double]("sd_diff") shouldBe math.sqrt(2.0) +- 1e-6
+    r.getAs[Double]("loa_lo") shouldBe (2.0 - 1.96 * math.sqrt(2.0)) +- 1e-5
+    r.getAs[Double]("loa_hi") shouldBe (2.0 + 1.96 * math.sqrt(2.0)) +- 1e-5
+  }
+
+  test("newcombeDiffCi composes the per-arm Wilson bounds") {
+    val rows = Seq(("a", true), ("a", true), ("a", false), ("a", false),
+      ("b", true), ("b", false), ("b", false), ("b", false))
+    val r = StatsOps.newcombeDiffCi(rows.toDF("arm", "ok"), "ok", "arm",
+      "a", "b").collect()(0)
+    r.getAs[Double]("diff") shouldBe 0.25 +- 1e-9
+    // replicate the op's own pinned chain for the bounds
+    def wilson(k: Double, n: Double): (Double, Double, Double) = {
+      val p = k / n; val z = 1.96; val z2 = z * z
+      val c = (p + z2 / (n * 2)) / (1.0 + z2 / n)
+      val h = z * math.sqrt(p * (1 - p) / n + z2 / (n * n * 4)) /
+        (1.0 + z2 / n)
+      (p, c - h, c + h)
+    }
+    val (pa, la, ua) = wilson(2, 4); val (pb, lb, ub) = wilson(1, 4)
+    val d = pa - pb
+    r.getAs[Double]("lo") shouldBe
+      (d - math.sqrt(math.pow(pa - la, 2) + math.pow(ub - pb, 2))) +- 1e-5
+    r.getAs[Double]("hi") shouldBe
+      (d + math.sqrt(math.pow(ua - pa, 2) + math.pow(pb - lb, 2))) +- 1e-5
+    (r.getAs[Double]("lo") <= d && d <= r.getAs[Double]("hi")) shouldBe true
+  }
+
+  test("ksUniform: exact uniform scores 0; a point mass is caught") {
+    val unif = (0L to 9L).toDF("v")
+    StatsOps.ksUniform(unif, "v").collect()(0)
+      .getAs[Double]("d_stat") shouldBe 0.0 +- 1e-9
+    val skew = Seq(0L, 0L, 0L, 1L).toDF("v")
+    val r = StatsOps.ksUniform(skew, "v").collect()(0)
+    r.getAs[Double]("d_stat") shouldBe 0.25 +- 1e-9
+    r.getLong(3) shouldBe 0L // at_v
+  }
+
+  test("medianTest: full separation gives the 2x2 chi2 of 4") {
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("g", "v")
+    val r = StatsOps.medianTest(df, "v", "g").collect()(0)
+    r.getLong(0) shouldBe 4L
+    r.getLong(1) shouldBe 2L
+    r.getAs[Double]("chi2") shouldBe 4.0 +- 1e-6
+    r.getLong(3) shouldBe 1L
+  }
+
+  test("bowkerSymmetry: directional flow scores (3-1)^2/4; symmetric scores 0") {
+    val dir = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A"))).toDF("a", "b")
+    val r = StatsOps.bowkerSymmetry(dir, "a", "b").collect()(0)
+    r.getLong(0) shouldBe 1L
+    r.getAs[Double]("chi2") shouldBe 1.0 +- 1e-9
+    val sym = Seq(("A", "B"), ("B", "A")).toDF("a", "b")
+    StatsOps.bowkerSymmetry(sym, "a", "b").collect()(0)
+      .getAs[Double]("chi2") shouldBe 0.0 +- 1e-9
+  }
+
+  test("spectralEntropy: a pure cycle concentrates relative to noise") {
+    // non-divisor periods carry spectral LEAKAGE over a finite window,
+    // so even a pure cycle's entropy is well above 0 — the invariant
+    // is RELATIVE: the cycle's spectrum is more concentrated than an
+    // irregular series', and entropy + concentration = 1
+    val cyc = TemporalOps.spectralEntropy(
+      eventsOn(Seq(2, 1, 0, 1, 2, 1, 0, 1)), "ts", 8).collect()(0)
+    val noise = TemporalOps.spectralEntropy(
+      eventsOn(Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7)), "ts", 8)
+      .collect()(0)
+    noise.getAs[Double]("spectral_entropy") should be >
+      cyc.getAs[Double]("spectral_entropy")
+    (cyc.getAs[Double]("spectral_entropy") +
+      cyc.getAs[Double]("concentration")) shouldBe 1.0 +- 1e-9
+  }
+
+  test("poissonRateTest: hand z on a 4-day split") {
+    // days 1..4, events (4,0,1,1): halves (day1,2) vs (day3,4):
+    // k=(4,2), t=(2,2), z = (4-3)/sqrt(6*0.25) = 0.816497
+    val df = eventsOn(Seq(4, 0, 1, 1))
+    val r = TemporalOps.poissonRateTest(df, "ts").collect()(0)
+    r.getLong(0) shouldBe 4L // k1
+    r.getLong(1) shouldBe 2L // t1_days
+    r.getLong(2) shouldBe 2L // k2
+    r.getAs[Double]("rate1") shouldBe 2.0 +- 1e-9
+    r.getAs[Double]("rate2") shouldBe 1.0 +- 1e-9
+    r.getAs[Double]("z") shouldBe 0.816497 +- 1e-6
+  }
+
+  test("readabilityScores: hand counts on a two-sentence fixture") {
+    // "See the cat. It runs away!" → 6 words, 2 sentences,
+    // syllables: see(1) the(1) cat(1) / it(1) runs(1) away(2) = 7
+    val df = Seq((1L, "See the cat. It runs away!")).toDF("id", "text")
+    val r = graft.ext.TextOps.readabilityScores(df, "id", "text")
+      .collect()(0)
+    r.getLong(1) shouldBe 6L
+    r.getLong(2) shouldBe 2L
+    r.getLong(3) shouldBe 7L
+    val flesch = 206.835 - 6.0 / 2 * 1.015 - 7.0 / 6 * 84.6
+    r.getAs[Double]("flesch") shouldBe flesch +- 1e-3
+    val fk = 6.0 / 2 * 0.39 + 7.0 / 6 * 11.8 - 15.59
+    r.getAs[Double]("fk_grade") shouldBe fk +- 1e-3
+  }
+
+  test("docTtr: repetitive vs diverse docs rank correctly, hand counts") {
+    val df = Seq((1L, "a a a a"), (2L, "w x y z"), (3L, "p p q r"))
+      .toDF("id", "text")
+    val out = graft.ext.TextOps.docTtr(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Double]("ttr") shouldBe 0.25 +- 1e-9
+    out(1L).getAs[Double]("hapax_share") shouldBe 0.0 +- 1e-9
+    out(2L).getAs[Double]("ttr") shouldBe 1.0 +- 1e-9
+    out(2L).getAs[Double]("hapax_share") shouldBe 1.0 +- 1e-9
+    out(3L).getLong(1) shouldBe 4L // tokens
+    out(3L).getLong(2) shouldBe 3L // types
+    out(3L).getLong(3) shouldBe 2L // hapax (q, r)
+  }
+
+  test("gwetAc1 stays high where prevalence skew crushes kappa") {
+    // 19 items rated AA (consensus on the dominant class) + 1 item AB:
+    // raw agreement 95%, but kappa's marginal-product chance is also
+    // ~95% → kappa near 0 / negative; AC1 stays near 1 — the paradox
+    // this statistic exists for
+    val rows = (1 to 19).flatMap(i => Seq((s"i$i", "A"), (s"i$i", "A"))) ++
+      Seq(("i20", "A"), ("i20", "B"))
+    val df = rows.toDF("item", "cat")
+    val k = StatsOps.fleissKappa(df, "item", "cat", m = 2).collect()(0)
+    val g = StatsOps.gwetAc1(df, "item", "cat", m = 2).collect()(0)
+    g.getAs[Double]("p_bar") shouldBe k.getAs[Double]("p_bar") +- 1e-9
+    g.getAs[Double]("ac1") should be > 0.9
+    k.getAs[Double]("kappa") should be < 0.1
+  }
+
   test("chatterjeeXi: strictly monotone daily values give the closed form") {
     // n=4 distinct increasing values: xi = 1 - 3(n-1)/(n^2-1) = 0.4
     val daily = Seq(
