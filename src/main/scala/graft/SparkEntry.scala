@@ -49,12 +49,13 @@ object SparkEntry {
   private val storeRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def artifact(name: String, d: String)(build: String => Unit): String =
-    storeRoots.computeIfAbsent(s"$d#$name", _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory(s"graft_store_${name}_").toString + "/store"
-      build(p)
-      p
-    })
+    storeRoots.computeIfAbsent(s"$d#$name", _ =>
+      ArtifactRegistry.timed(s"store:$name@$d") {
+        val p = java.nio.file.Files
+          .createTempDirectory(s"graft_store_${name}_").toString + "/store"
+        build(p)
+        p
+      })
   private def store(name: String, d: String)(pairs: => DataFrame): String =
     artifact(name, d)(p => graft.ext.ClusterStore.build(p, pairs))
 
@@ -65,12 +66,13 @@ object SparkEntry {
   private val bpeMergeTables =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
   private def trainedBpeMerges(s: SparkSession, d: String): Seq[String] =
-    bpeMergeTables.computeIfAbsent(d, _ => {
-      val docs = t(s, d, "documents").filter(col("text").isNotNull)
-      TextOps.bpeTrainMerges(
-        SamplingOps.hashSample(docs, "doc_id", k = 2, r = 0), "text",
-        nMerges = 6, batch = 3)
-    })
+    bpeMergeTables.computeIfAbsent(d, _ =>
+      ArtifactRegistry.timed(s"model:bpe@$d") {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        TextOps.bpeTrainMerges(
+          SamplingOps.hashSample(docs, "doc_id", k = 2, r = 0), "text",
+          nMerges = 6, batch = 3)
+      })
 
   /** Synthetic chain dup graph (multi-hop components) — the CC fixture. */
   private def chainStore(s: SparkSession, d: String): String =
@@ -242,10 +244,11 @@ object SparkEntry {
     * mismatch (the dead entry's cache died with its context; dropping
     * the reference is the whole cleanup). */
   private def memoDf(map: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
-                     s: SparkSession, key: String)
+                     s: SparkSession, key: String, tag: String)
                     (build: => DataFrame): DataFrame =
     map.compute(key, (_, prev) =>
-      if (prev != null && (prev.sparkSession eq s)) prev else build)
+      if (prev != null && (prev.sparkSession eq s)) prev
+      else ArtifactRegistry.timed(s"frame:$tag@$key")(build))
 
   /** Shared [[graft.ext.DedupOps.ShingleIndex]] over `documents` (3-gram,
     * df-cap 50) — the whole set-similarity family (full inverted-index
@@ -260,8 +263,9 @@ object SparkEntry {
       : graft.ext.DedupOps.ShingleIndex =
     shingleIndexes.compute(d, (_, prev) =>
       if (prev != null && (prev.shPos.sparkSession eq s)) prev
-      else DedupOps.shingleIndex(t(s, d, "documents"), "doc_id", "text",
-        n = 3, maxShingleDf = 50))
+      else ArtifactRegistry.timed(s"index:shingle@$d")(
+        DedupOps.shingleIndex(t(s, d, "documents"), "doc_id", "text",
+          n = 3, maxShingleDf = 50)))
 
   /** Shared WINNOW fingerprint artifact over `documents` (char-8-gram,
     * window 16 — the MOSS parameters both winnow queries use): the
@@ -274,7 +278,7 @@ object SparkEntry {
   private val winnowFps =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def docWinnowFingerprints(s: SparkSession, d: String): DataFrame =
-    memoDf(winnowFps, s, d)(
+    memoDf(winnowFps, s, d, "winnow_fp")(
       TextOps.winnowFingerprints(t(s, d, "documents"), "doc_id", "text",
         k = 8, w = 16).persist())
 
@@ -287,7 +291,7 @@ object SparkEntry {
   private val nbScoredFrames =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def nbScored(s: SparkSession, d: String): DataFrame =
-    memoDf(nbScoredFrames, s, d) {
+    memoDf(nbScoredFrames, s, d, "nb_scored") {
       val docs = t(s, d, "documents")
       ClassifyOps.nbClassify(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "source")
@@ -300,7 +304,7 @@ object SparkEntry {
   private val selfHitFrames =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def selfRetrievalHits(s: SparkSession, d: String): DataFrame =
-    memoDf(selfHitFrames, s, d) {
+    memoDf(selfHitFrames, s, d, "self_hits") {
       val docs = t(s, d, "documents")
       TextOps.bm25BatchTopK(docs, "doc_id", "text",
           selfRetrievalQueries(s, d), k = 10)
@@ -331,14 +335,16 @@ object SparkEntry {
     String, Seq[(Long, Seq[Float])]]()
   private def embCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Float])] =
     centroidModels.computeIfAbsent(d, _ =>
-      SimilarityOps.takeCentroids(t(s, d, "embeddings"), "vec_id",
-        "embedding", 8))
+      ArtifactRegistry.timed(s"model:centroids@$d")(
+        SimilarityOps.takeCentroids(t(s, d, "embeddings"), "vec_id",
+          "embedding", 8)))
   private val pqCodebookModels = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[Seq[Seq[Float]]]]()
   private def embPqCodebooks(s: SparkSession, d: String): Seq[Seq[Seq[Float]]] =
     pqCodebookModels.computeIfAbsent(d, _ =>
-      SimilarityOps.pqTrainCodebooks(t(s, d, "embeddings"), "vec_id",
-        "embedding", m = 8, codes = 16, iters = 2, dim = 64))
+      ArtifactRegistry.timed(s"model:pq@$d")(
+        SimilarityOps.pqTrainCodebooks(t(s, d, "embeddings"), "vec_id",
+          "embedding", m = 8, codes = 16, iters = 2, dim = 64)))
 
   /** Shared [[graft.ops.GraphOps.PreparedGraph]] artifacts — the
     * iterative graph family (PageRank, PPR, k-core, LPA, BFS) all start
@@ -354,7 +360,8 @@ object SparkEntry {
     preparedGraphs.compute(key, (_, prev) =>
       if (prev != null &&
           (prev.bi.sparkSession eq edges.sparkSession)) prev
-      else graft.ops.GraphOps.prepared(edges, src, dst))
+      else ArtifactRegistry.timed(s"graph:$key")(
+        graft.ops.GraphOps.prepared(edges, src, dst)))
 
   /** Memoized LABEL-PROPAGATION label frames, keyed (graph key, rounds)
     * — `q_label_prop` and `q_cluster_agreement` each run 3-round LPA
@@ -368,7 +375,7 @@ object SparkEntry {
   private def lpaLabels(s: SparkSession, key: String,
                         g: => graft.ops.GraphOps.PreparedGraph,
                         rounds: Int): DataFrame =
-    memoDf(lpaLabelFrames, s, s"$key#lpa$rounds")(
+    memoDf(lpaLabelFrames, s, s"$key#lpa$rounds", "lpa_labels")(
       graft.ops.GraphOps.labelPropagation(g, rounds))
 
   /** Memoized RFM per-customer base aggregate (persisted; ~|customers|
@@ -379,7 +386,7 @@ object SparkEntry {
   private val rfmBaseFrames =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def rfmBase(s: SparkSession, d: String): DataFrame =
-    memoDf(rfmBaseFrames, s, d) {
+    memoDf(rfmBaseFrames, s, d, "rfm_base") {
       val o = t(s, d, "orders")
       val per = o.groupBy("o_custkey").agg(
         max(col("o_orderdate")).as("last_order"),
@@ -409,7 +416,7 @@ object SparkEntry {
   private val basketFrames =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def orderBaskets(s: SparkSession, d: String): DataFrame =
-    memoDf(basketFrames, s, d) {
+    memoDf(basketFrames, s, d, "baskets") {
       t(s, d, "lineitem")
         .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
@@ -422,7 +429,7 @@ object SparkEntry {
     * (single counts, order total, both self-join sides), so the
     * category-level distinct exchange is also paid once. */
   private def orderPtypeBaskets(s: SparkSession, d: String): DataFrame =
-    memoDf(basketFrames, s, s"$d#ptype")(
+    memoDf(basketFrames, s, s"$d#ptype", "baskets")(
       orderBaskets(s, d).select("ok", "ptype").distinct().persist())
 
   /** The evidence-graph artifact (the dense dup graph the analytics

@@ -55,6 +55,15 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/plan_violations.json"),
       planViolations.map(q).mkString("[", ",", "]"))
+    // artifact lifecycle beside the results: builds and build-lambda
+    // seconds per memoized shared artifact (ArtifactRegistry). One Verify
+    // sweep in one session must build each exactly once — a count > 1
+    // here is the same red finding Bench's artifact_rebuilds flags.
+    Files.writeString(Paths.get(s"$outDir/artifact_builds.json"),
+      ArtifactRegistry.snapshot().toSeq.sortBy(_._1).map { case (k, (n, s)) =>
+        s"${q(k)}: {\"builds\":$n,\"secs\":${BigDecimal(s)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP)}}"
+      }.mkString("{", ",", "}"))
     if (planViolations.nonEmpty)
       System.err.println(
         s"[verify] ${planViolations.size} plan-gate violation(s): " +

@@ -490,19 +490,27 @@ object GraphOps {
    * co-cluster-pair cardinality; the C(·,2) sums reduce to a 1-row
    * artifact — pairs are COUNTED via the contingency identity, never
    * materialized (the naive pairs-within-cluster join is quadratic).
+   * ALL four statistics (n, sij, sa, sb) derive from the ONE
+   * (ca, cb, nij) contingency grid: n = Σ nij and the marginals
+   * a_i / b_j are row/column sums of the grid, so the id join and its
+   * exchange run once (Catalyst reuses the identical grid-aggregate
+   * exchange across the branches) instead of once per statistic — the
+   * pre-r15 form re-joined and re-shuffled the full input four times.
    */
   def clusterAgreement(a: DataFrame, aId: String, aCl: String,
                        b: DataFrame, bId: String, bCl: String): DataFrame = {
     val j = a.select(col(aId).as("id"), col(aCl).as("ca"))
       .join(b.select(col(bId).as("id"), col(bCl).as("cb")), "id")
     def c2(name: String) = expr(s"($name * ($name - 1)) div 2")
-    val sij = j.groupBy("ca", "cb").agg(count(lit(1)).as("nij"))
-      .agg(sum(c2("nij")).as("sij"))
-    val sa = j.groupBy("ca").agg(count(lit(1)).as("na"))
+    val cells = j.groupBy("ca", "cb").agg(count(lit(1)).as("nij"))
+    val sij = cells.agg(sum(c2("nij")).as("sij"))
+    val sa = cells.groupBy("ca").agg(sum(col("nij")).as("na"))
       .agg(sum(c2("na")).as("sa"))
-    val sb = j.groupBy("cb").agg(count(lit(1)).as("nb"))
+    val sb = cells.groupBy("cb").agg(sum(col("nij")).as("nb"))
       .agg(sum(c2("nb")).as("sb"))
-    j.agg(count(lit(1)).as("n"))
+    // coalesce: sum over an empty grid is NULL where the old count-based
+    // form gave 0 — keep the degenerate-input contract bit-identical
+    cells.agg(coalesce(sum(col("nij")), lit(0L)).as("n"))
       .crossJoin(broadcast(sij)).crossJoin(broadcast(sa))
       .crossJoin(broadcast(sb))
       .withColumn("n_pairs", c2("n"))
