@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the bench runs 442 queries × 3 passes in ONE
+  // local[32] JVM that is simultaneously driver, executor, and the home of
+  // every session-memoized artifact. Round 15 measured the 8g heap as the
+  // round-14 diffuse regression: the SAME code at sf0.1 ran 289.0s on 8g
+  // vs 254.0s on 24g (per-pass GC seconds halved, late passes stopped
+  // degrading, and every r13→r14 "unchanged-code" bench flag returned to
+  // its r13 level). The box has 128 GiB; 24g ≈ 19% of it. Overridable via
+  // SPARK_DRIVER_MEM either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

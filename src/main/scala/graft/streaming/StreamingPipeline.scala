@@ -985,6 +985,74 @@ object StreamingPipeline {
   }
 
   /**
+   * Streaming EXACT-dedup corpus ingest — the streaming twin of
+   * [[graft.ext.DedupOps.dedupIncremental]] +
+   * [[graft.ext.DedupOps.fingerprintIndex]] (the batch incremental-exact
+   * path): each micro-batch collapses its in-batch exact duplicates to
+   * the min-id representative, drops rows whose 16-byte content
+   * fingerprint already exists in the persisted corpus FINGERPRINT
+   * INDEX, and appends survivors to the corpus and their fingerprints
+   * to the index — the corpus text is never re-scanned, and index
+   * maintenance is O(admitted) per batch.
+   *
+   * Exactly-once at the directory level, like [[dedupIngest]]: both
+   * writes land in `run=<tag>/batch_id=N` subdirectories via OVERWRITE,
+   * so an at-least-once foreachBatch replay overwrites its own output.
+   * One subtlety the near-dup path doesn't have: a replayed batch
+   * re-reads the index INCLUDING its own crashed attempt's
+   * contribution, and exact fingerprints carry no doc id to
+   * self-suppress on (the near-dup path suppresses `id == corpus_id`
+   * pairs by contract) — so the index read EXCLUDES the batch's own
+   * `(run, batch_id)` partition, which is also pure partition pruning.
+   * Post-stream state is row-identical to folding the same waves
+   * through the batch path (spec-proven).
+   *
+   * Scale: per batch one hash-agg over the batch + one anti-join
+   * against the 16-byte index (broadcast when the batch ≪ index — AQE
+   * decides); nothing data-proportional to the corpus.
+   */
+  def exactDedupIngest(spark: SparkSession, docs: DataFrame, idCol: String,
+                       textCol: String, corpusPath: String,
+                       indexPath: String, checkpoint: String)
+      : StreamingQuery = {
+    import graft.ext.DedupOps
+    val runTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).take(4).map("%02x".format(_))
+      .mkString
+    docs.writeStream
+      .queryName("graft_exact_dedup_ingest")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          try {
+            val fs = new org.apache.hadoop.fs.Path(indexPath)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val seen =
+              if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+                spark.read.parquet(indexPath)
+                  .filter(!(col("run") === runTag &&
+                    col("batch_id") === batchId))
+                  .select("fingerprint")
+              else b.select(md5(col(textCol)).as("fingerprint")).limit(0)
+            val admitted = DedupOps
+              .dedupIncremental(b, idCol, textCol, seen).persist()
+            try {
+              admitted.write.mode("overwrite")
+                .parquet(s"$corpusPath/run=$runTag/batch_id=$batchId")
+              DedupOps.fingerprintIndex(admitted, textCol)
+                .write.mode("overwrite")
+                .parquet(s"$indexPath/run=$runTag/batch_id=$batchId")
+            } finally admitted.unpersist(blocking = false)
+            ()
+          } finally b.unpersist(blocking = false)
+        }
+      }
+      .start()
+  }
+
+  /**
    * CURATED streaming ingest — lexical dedup admission AND ANN index
    * growth fused in ONE foreachBatch: each micro-batch is deduplicated
    * against itself and the admitted corpus exactly as [[dedupIngest]]

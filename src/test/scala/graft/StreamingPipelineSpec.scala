@@ -694,4 +694,78 @@ class StreamingPipelineSpec extends SparkSpec {
       ClusterStore.assignment(spark, rebuilt)
         .orderBy("id").as[(Long, Long)].collect()
   }
+
+  test("exactDedupIngest: streamed waves leave corpus and fingerprint index row-identical to the batch incremental path") {
+    import graft.ext.DedupOps
+    val work = Files.createTempDirectory("graft_exact_ingest_").toString
+    val corpus = s"$work/corpus"; val index = s"$work/index"
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // three waves: wave 2 carries an in-batch dup pair (11/12), a dup of
+    // wave-1 content (13≡1), and a null-text doc (14 — a DISTINCT
+    // document by contract, admitted untouched); wave 3 re-sends content
+    // admitted in each earlier wave plus one genuinely new doc
+    val waves = Seq(
+      Seq((1L, "alpha beta gamma"), (2L, "one two three")),
+      Seq((11L, "seven eight nine"), (12L, "seven eight nine"),
+        (13L, "alpha beta gamma"), (14L, null: String)),
+      Seq((21L, "one two three"), (22L, "seven eight nine"),
+        (23L, "fresh new content")))
+    // streaming path: one source file per wave, maxFilesPerTrigger=1 →
+    // one micro-batch per wave in order
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$work/src/w$i")
+    }
+    // stage into one dir with stable names so file order = wave order
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val t0 = System.currentTimeMillis()
+    waves.indices.foreach { i =>
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$work/src/w$i/part-*.parquet"))(0)
+      val staged = new org.apache.hadoop.fs.Path(s"$work/staged/wave_$i.parquet")
+      fs.rename(part.getPath, staged)
+      // the file source orders micro-batches by modification time, and
+      // rename PRESERVES the source part-file's mtime — all three land in
+      // the same clock tick, scrambling wave order; pin strictly
+      // increasing mtimes so batch order IS wave order
+      fs.setTimes(staged, t0 + i * 60000L, -1)
+    }
+    val q = StreamingPipeline.exactDedupIngest(spark,
+      spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(s"$work/staged"),
+      "doc_id", "text", corpus, index, s"$work/cp")
+    q.awaitTermination()
+
+    // batch path: fold the SAME waves through dedupIncremental +
+    // fingerprintIndex, index growing append-only
+    var admittedAll = Seq.empty[(Long, String)]
+    var seenFps = Seq.empty[String]
+    waves.foreach { w =>
+      val batch = w.toDF("doc_id", "text")
+      val seen = seenFps.toDF("fingerprint")
+      val admitted = DedupOps
+        .dedupIncremental(batch, "doc_id", "text", seen)
+        .as[(Long, String)].collect().toSeq
+      admittedAll ++= admitted
+      seenFps ++= DedupOps.fingerprintIndex(
+          admitted.toDF("doc_id", "text"), "text")
+        .as[String].collect().toSeq
+    }
+
+    val streamedCorpus = spark.read.parquet(corpus)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    streamedCorpus shouldBe admittedAll.sortBy(_._1).toArray
+    val streamedFps = spark.read.parquet(index)
+      .select("fingerprint").as[String].collect().sorted
+    streamedFps shouldBe seenFps.sorted.toArray
+    // and the specific admissions are the contract's: in-batch dup
+    // collapses to min id, cross-wave dups drop, null text passes
+    streamedCorpus.map(_._1) shouldBe Array(1L, 2L, 11L, 14L, 23L)
+  }
 }
