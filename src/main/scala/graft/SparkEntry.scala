@@ -5960,6 +5960,72 @@ object SparkEntry {
       graft.ops.StatsOps.gwetAc1(t(s, d, "lineitem"),
         "l_orderkey", "l_returnflag", m = 4)),
 
+    // Hoover (Robin Hood) index per priority class: the share of order
+    // value that would have to move to equalize customers — q_gini's
+    // operational sibling, and rank-free so it costs no per-group sort
+    "q_hoover" -> ((s, d) =>
+      graft.ops.StatsOps.hoover(t(s, d, "orders"), "o_orderpriority",
+          "o_totalprice")
+        .orderBy("o_orderpriority")),
+
+    // Simpson diversity per source: probability two docs share a lang —
+    // the dominance-weighted diversity reading next to the entropy one
+    "q_simpson_diversity" -> ((s, d) =>
+      graft.ops.StatsOps.simpsonDiversity(t(s, d, "documents"),
+          "source", "lang")
+        .orderBy("source")),
+
+    // Grubbs max-outlier on the daily value series: which day breaks
+    // the metric, in SD units — the named-single-point companion to
+    // the z-score sweep
+    "q_grubbs" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).cast("double").as("daily_total"))
+      graft.ops.StatsOps.grubbsMaxOutlier(daily, "day", "daily_total")
+    }),
+
+    // Cuzick's trend test: does price rank rise with line position —
+    // the global-rank member of the ordered-trend trio (JT sums pair
+    // directions, Page handles blocks, Cuzick weights ranks by dose).
+    // $100 pre-bin: rank tests need LEVELS, not dollars — the dollar
+    // grain put ~90k support values through the rank kernel (3.2s) for
+    // the same trend reading a ~900-value support gives at 0.6s
+    "q_cuzick_trend" -> ((s, d) =>
+      graft.ops.StatsOps.cuzickTrend(
+        t(s, d, "lineitem").withColumn("vbin",
+          round(col("l_extendedprice"), -2)),
+        "vbin", "l_linenumber")),
+
+    // Page-Hinkley drift alarm backtest on daily value totals: when
+    // would the ONLINE monitor have fired, and how loudly — cusum's
+    // running-mean sibling (cusum integrates against the global mean)
+    "q_page_hinkley" -> ((s, d) =>
+      graft.ops.TemporalOps.pageHinkley(t(s, d, "events"), "ts", "value")),
+
+    // permutation entropy (m=3) of the daily value series: order-
+    // pattern complexity, invariant to any monotone transform — the
+    // model-free structured-vs-random number beside acf/periodogram
+    "q_perm_entropy" -> ((s, d) =>
+      graft.ops.TemporalOps.permutationEntropy(t(s, d, "events"),
+        "ts", "value")),
+
+    // two-sample energy distance (purchase vs view values): the
+    // unweighted-L2 member of the CDF-gap family — full-strength on
+    // tail gaps the pooled CvM weighting discounts
+    "q_energy_distance" -> ((s, d) =>
+      graft.ops.StatsOps.energyDistance1D(
+        t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
+        "vbin", "event_type", "purchase", "view")),
+
+    // Welch's ANOVA on the q_anova_f fixture: the k-group mean test
+    // that survives unequal segment variances (pair with q_levene)
+    "q_welch_anova" -> ((s, d) =>
+      graft.ops.StatsOps.welchAnova(t(s, d, "events"), "value",
+        "event_type")),
+
     // ICC(1): how much of order value variance lives BETWEEN priority
     // classes — the variance-components strength reading of q_anova_f
     "q_icc" -> ((s, d) =>
@@ -14766,6 +14832,217 @@ object SparkEntry {
                 CASE WHEN ROUND(peg, 6) < 1.0
                      THEN ROUND((pbar - peg) / (1.0 - peg), 6) END AS ac1
          FROM f""",
+
+    // Hoover: Σ|x−μ| stays integer via |n·x−S|; one division at the end
+    "q_hoover" ->
+      """WITH x AS (SELECT o_orderpriority AS g,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM orders WHERE o_totalprice IS NOT NULL),
+              gs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                            SUM(CAST(c AS HUGEINT)) AS s
+                     FROM x GROUP BY g),
+              dv AS (SELECT g, n, s, SUM(ABS(CAST(c AS HUGEINT) * n - s)) AS d
+                     FROM x JOIN gs USING (g) GROUP BY g, n, s)
+         SELECT g AS o_orderpriority, n, CAST(s AS DOUBLE) / 100 AS total,
+                CASE WHEN n = 1 OR s <= 0 THEN 0.0
+                     ELSE ROUND(CAST(d AS DOUBLE) /
+                                (2.0 * CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+                END AS hoover
+         FROM dv ORDER BY 1""",
+
+    // Simpson: pure integer pair counts, two divisions at the end
+    "q_simpson_diversity" ->
+      """WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM documents
+                        WHERE source IS NOT NULL AND lang IS NOT NULL
+                        GROUP BY 1, 2),
+              agg AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                             CAST(COUNT(*) AS BIGINT) AS n_categories,
+                             SUM(CAST(c AS HUGEINT) * (c - 1)) AS p2,
+                             SUM(CAST(c AS HUGEINT) * c) AS q2
+                      FROM cells GROUP BY source)
+         SELECT source, n, n_categories,
+                CASE WHEN n >= 2
+                     THEN ROUND(1.0 - CAST(p2 AS DOUBLE) /
+                                (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)
+                END AS simpson_diversity,
+                ROUND(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) /
+                      CAST(q2 AS DOUBLE), 6) AS effective_categories
+         FROM agg ORDER BY 1""",
+
+    // Grubbs: exact cents moments; |n·x−S| exact; one double chain
+    "q_grubbs" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS v
+                        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                        GROUP BY 1),
+              b AS (SELECT day, CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) AS x FROM daily),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(CAST(x AS HUGEINT)) AS s,
+                           SUM(CAST(x AS HUGEINT) * x) AS q FROM b),
+              dv AS (SELECT day, x, n, s, q,
+                            ABS(CAST(x AS HUGEINT) * n - s) AS d
+                     FROM b CROSS JOIN m)
+         SELECT n, day AS at, ROUND(CAST(x AS DOUBLE) / 100.0, 2) AS value,
+                CASE WHEN n >= 3 AND CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) > 0
+                     THEN ROUND(CAST(d AS DOUBLE) /
+                                (CAST(n AS DOUBLE) *
+                                 SQRT(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) /
+                                      (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))), 6)
+                END AS g_stat
+         FROM dv ORDER BY d DESC, day ASC LIMIT 1""",
+
+    // Cuzick: kruskal's doubled-rank map; T, E[T], Var numerator exact
+    "q_cuzick_trend" ->
+      """WITH b AS (SELECT ROUND(l_extendedprice, -2) AS v,
+                           CAST(l_linenumber AS BIGINT) AS l
+                    FROM lineitem
+                    WHERE l_extendedprice IS NOT NULL AND l_linenumber IS NOT NULL),
+              hist AS (SELECT v, l, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY v, l),
+              vt AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM hist GROUP BY v),
+              r AS (SELECT v, t,
+                           COALESCE(SUM(t) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + t + 1 AS r2
+                    FROM vt),
+              tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                             SUM(CAST(t AS HUGEINT) * t * t - t) AS ties FROM r),
+              byg AS (SELECT l, CAST(SUM(c) AS BIGINT) AS ng,
+                             SUM(CAST(c AS HUGEINT) * r2) AS r2g
+                      FROM hist JOIN r USING (v) GROUP BY l),
+              sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                            SUM(CAST(r2g AS HUGEINT) * l) AS t2,
+                            SUM(CAST(ng AS HUGEINT) * l) AS snl,
+                            SUM(CAST(ng AS HUGEINT) * l * l) AS snl2
+                     FROM byg),
+              f AS (SELECT n, k, t2,
+                           CAST(t2 - (n + 1) * snl AS DOUBLE) AS num2,
+                           CAST(CAST(n AS HUGEINT) * snl2 - snl * snl AS DOUBLE) *
+                             CAST(CAST(n AS HUGEINT) * n * n - n - ties AS DOUBLE) /
+                             (CAST(n AS DOUBLE) * 12.0 * CAST(n - 1 AS DOUBLE)) AS vart
+                    FROM sc CROSS JOIN tot WHERE k >= 2)
+         SELECT n, k, CAST(t2 AS DOUBLE) / 2 AS t_stat,
+                CASE WHEN vart > 0 THEN ROUND(num2 / SQRT(4.0 * vart), 6) END AS z,
+                CASE WHEN num2 > 0 THEN 'up'
+                     WHEN num2 < 0 THEN 'down' ELSE 'flat' END AS direction
+         FROM f""",
+
+    // Page-Hinkley: per-day dev rounds 6dp independently; decimal cumsums
+    "q_page_hinkley" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS x
+                        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                        GROUP BY 1),
+              bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+              grid AS (SELECT d0, UNNEST(generate_series(0, CAST(date_diff('day', d0, d1) AS BIGINT))) AS idx
+                       FROM bounds),
+              series AS (SELECT idx, grid.d0 + idx * INTERVAL 1 DAY AS day,
+                                COALESCE(x, 0) AS x
+                         FROM grid LEFT JOIN daily ON daily.day = grid.d0 + idx * INTERVAL 1 DAY),
+              nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM series),
+              devs AS (SELECT idx, day,
+                              CAST(ROUND(CAST(CAST(idx + 1 AS HUGEINT) * x -
+                                         SUM(x) OVER wc AS DOUBLE) /
+                                         CAST(idx + 1 AS DOUBLE) / 100.0, 6) AS DECIMAL(38,6)) AS dev
+                       FROM series
+                       WINDOW wc AS (ORDER BY idx ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              cum AS (SELECT idx, day, SUM(dev) OVER wc AS p
+                      FROM devs
+                      WINDOW wc AS (ORDER BY idx ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              ph AS (SELECT idx, day, p, MIN(p) OVER wc AS mn
+                     FROM cum
+                     WINDOW wc AS (ORDER BY idx ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT n_days, day AS at_day,
+                ROUND(CAST(p - mn AS DOUBLE), 6) AS ph_stat, 'up' AS direction
+         FROM ph CROSS JOIN nd
+         ORDER BY p - mn DESC, idx ASC LIMIT 1""",
+
+    // permutation entropy: integer order patterns; 8dp-rounded -p·ln p
+    "q_perm_entropy" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS x
+                        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                        GROUP BY 1),
+              bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+              grid AS (SELECT d0, UNNEST(generate_series(0, CAST(date_diff('day', d0, d1) AS BIGINT))) AS idx
+                       FROM bounds),
+              series AS (SELECT idx, COALESCE(x, 0) AS x
+                         FROM grid LEFT JOIN daily ON daily.day = grid.d0 + idx * INTERVAL 1 DAY),
+              trip AS (SELECT x AS a, LEAD(x, 1) OVER w AS b, LEAD(x, 2) OVER w AS c
+                       FROM series WINDOW w AS (ORDER BY idx ASC)),
+              pats AS (SELECT (CASE WHEN b >= a THEN 4 ELSE 0 END +
+                               CASE WHEN c >= a THEN 2 ELSE 0 END +
+                               CASE WHEN c >= b THEN 1 ELSE 0 END) AS p
+                       FROM trip WHERE b IS NOT NULL AND c IS NOT NULL),
+              counts AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM pats GROUP BY p),
+              tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+              terms AS (SELECT n,
+                               CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                                          LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 8) AS DECIMAL(24,8)) AS h
+                        FROM counts CROSS JOIN tot)
+         SELECT n AS n_windows, CAST(COUNT(*) AS BIGINT) AS n_patterns,
+                ROUND(CAST(SUM(h) AS DOUBLE), 6) AS perm_entropy,
+                ROUND(CAST(SUM(h) AS DOUBLE) / LN(6.0), 6) AS normalized_entropy
+         FROM terms GROUP BY n""",
+
+    // energy distance: the wasserstein grid with a squared gap, ×2
+    "q_energy_distance" ->
+      """WITH f AS (SELECT ROUND(value, 0) AS v, event_type AS g FROM events
+                    WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')),
+              c AS (SELECT CAST(v AS DOUBLE) AS v,
+                           CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                           CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                    FROM f GROUP BY 1),
+              tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb FROM c),
+              cdf AS (SELECT ta, tb, v,
+                             SUM(ca) OVER wc AS fa, SUM(cb) OVER wc AS fb,
+                             LEAD(v, 1) OVER (ORDER BY v ASC) AS nxt
+                      FROM c CROSS JOIN tot
+                      WINDOW wc AS (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              terms AS (SELECT ta, tb,
+                               CAST(ROUND((CAST(fa AS DOUBLE) / ta - CAST(fb AS DOUBLE) / tb)
+                                          * (CAST(fa AS DOUBLE) / ta - CAST(fb AS DOUBLE) / tb)
+                                          * (nxt - v), 8) AS DECIMAL(24,8)) AS w
+                        FROM cdf WHERE nxt IS NOT NULL AND ta > 0 AND tb > 0)
+         SELECT ta AS n_a, tb AS n_b,
+                ROUND(CAST(SUM(w) AS DOUBLE) * 2, 6) AS energy
+         FROM terms GROUP BY ta, tb""",
+
+    // Welch: exact group moments; 12dp/8dp rounded-term decimal reduces
+    "q_welch_anova" ->
+      """WITH b AS (SELECT event_type AS g,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+              grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                             SUM(CAST(c AS HUGEINT)) AS sg,
+                             SUM(CAST(c AS HUGEINT) * c) AS qg
+                      FROM b GROUP BY g),
+              us AS (SELECT ng,
+                            CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS m,
+                            CAST(CAST(ng AS HUGEINT) * qg - sg * sg AS DOUBLE) /
+                              (CAST(ng AS DOUBLE) *
+                               (CAST(ng AS DOUBLE) - 1.0)) AS v2
+                     FROM grp WHERE ng >= 2),
+              uw AS (SELECT ng, m, CAST(ng AS DOUBLE) / v2 AS w FROM us WHERE v2 > 0),
+              w1 AS (SELECT CAST(SUM(CAST(ROUND(w, 12) AS DECIMAL(38,12))) AS DOUBLE) AS wt,
+                            CAST(SUM(CAST(ROUND(w * m, 8) AS DECIMAL(38,8))) AS DOUBLE) AS wm,
+                            CAST(SUM(ng) AS BIGINT) AS n,
+                            CAST(COUNT(*) AS BIGINT) AS k
+                     FROM uw),
+              red AS (SELECT n, k,
+                             CAST(SUM(CAST(ROUND(w * (m - wm / wt) * (m - wm / wt), 8) AS DECIMAL(38,8))) AS DOUBLE) AS a,
+                             CAST(SUM(CAST(ROUND((1.0 - w / wt) * (1.0 - w / wt) /
+                                                 CAST(ng - 1 AS DOUBLE), 12) AS DECIMAL(38,12))) AS DOUBLE) AS lam
+                      FROM uw CROSS JOIN w1 GROUP BY n, k)
+         SELECT n, k AS n_groups,
+                CASE WHEN k >= 2
+                     THEN ROUND(a / (CAST(k AS DOUBLE) - 1.0) /
+                                (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0) /
+                                 (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) * lam), 6)
+                END AS f_stat,
+                CASE WHEN k >= 2 AND lam > 0
+                     THEN ROUND((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) /
+                                (3.0 * lam), 6)
+                END AS df2
+         FROM red""",
 
     // ICC(1): the anova exact-moment chain + Sum ng^2 for the
     // unbalanced n0; one pinned double chain

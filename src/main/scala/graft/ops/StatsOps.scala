@@ -4188,4 +4188,326 @@ object StatsOps {
     }
     pass(pass(df, spark_partition_id()), lit(1))
   }
+
+  /**
+   * HOOVER INDEX (Robin Hood index) per group — the share of the total
+   * that would have to move to equalize everyone: H = Σ|xᵢ−μ| / (2Σxᵢ).
+   * The [[gini]] sibling with the direct operational reading ("how much
+   * budget is misallocated"), and the one inequality index that needs
+   * NO ranking — so it costs one aggregate + one join where gini costs
+   * a per-group sort.
+   *
+   * Emits (groupCol, n, total, hoover) — total exact cents→double,
+   * hoover 6dp; single-member or zero-total groups emit 0.
+   *
+   * Deterministic: |xᵢ−μ| = |n·xᵢ−S|/n keeps EVERYTHING integer —
+   * Σ|n·xᵢ−S| is an exact decimal and only the final H = that/(2nS)
+   * divides in doubles. No ranking ⇒ no tie hazard at all.
+   *
+   * Scale: one group-moment aggregate (k rows, broadcast back by the
+   * equi-join) + one corpus-streaming |·| pass + a k-row rollup — no
+   * windows, no sort; strictly cheaper than [[gini]].
+   */
+  def hoover(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = dec380
+    val base = df.select(col(groupCol), cents(col(valueCol)).as("__x"))
+      .filter(col("__x").isNotNull)
+    val gs = base.groupBy(groupCol).agg(count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec)).as("__s"))
+    base.join(gs, Seq(groupCol))
+      .groupBy(col(groupCol), col("__n"), col("__s"))
+      .agg(sum(abs(col("__x").cast(dec) * col("__n").cast(dec) - col("__s")))
+        .as("__dev"))
+      .select(col(groupCol), col("__n").as("n"),
+        (col("__s").cast("double") / 100).as("total"),
+        when(col("__n") === 1 || col("__s") <= 0, lit(0.0))
+          .otherwise(round(col("__dev").cast("double") /
+            (lit(2.0) * col("__n").cast("double") *
+              col("__s").cast("double")), 6)).as("hoover"))
+  }
+
+  /**
+   * SIMPSON DIVERSITY per group — the probability two members drawn
+   * WITHOUT replacement share a category: λ = Σ n_c(n_c−1)/(N(N−1));
+   * emitted as diversity 1−λ and the effective category count 1/λ′
+   * (inverse Simpson on the with-replacement form λ′ = Σ(n_c/N)²).
+   * Where entropy (q_source_lang_entropy) weights rare categories
+   * logarithmically, Simpson is dominance-weighted — the "is this
+   * source really multilingual or 95% one language" audit, and the
+   * ecology-standard pair to the Shannon reading.
+   *
+   * Emits (groupCol, n, n_categories, simpson_diversity,
+   * effective_categories), 6dp; groups with n < 2 emit NULL diversity.
+   *
+   * Deterministic: pure integer counts; two divisions at the end.
+   *
+   * Scale: one (group, category) count aggregate + a per-group rollup
+   * — two narrow exchanges, nothing data-proportional after the first.
+   */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+                       catCol: String): DataFrame = {
+    val dec = dec380
+    val cells = df.filter(col(groupCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(groupCol), col(catCol)).agg(count(lit(1)).as("__c"))
+    cells.groupBy(groupCol)
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("n_categories"),
+        sum(col("__c").cast(dec) * (col("__c") - 1).cast(dec)).as("__p2"),
+        sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__q2"))
+      .select(col(groupCol), col("n"), col("n_categories"),
+        when(col("n") >= 2, round(lit(1.0) -
+          col("__p2").cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("simpson_diversity"),
+        round(col("n").cast("double") * col("n").cast("double") /
+          col("__q2").cast("double"), 6).as("effective_categories"))
+  }
+
+  /**
+   * GRUBBS MAX-OUTLIER statistic on a value series — WHICH observation
+   * sits farthest from the mean in standard-deviation units, and how
+   * far: G = max|xᵢ−x̄|/s. The single-point companion to the z-score
+   * sweep (q_outlier_zscore tags everything past a threshold; Grubbs
+   * names THE most extreme point with the test statistic the classical
+   * one-outlier test compares to its t-based critical value). Run on a
+   * bounded series — the daily-total grid here — it answers "does one
+   * day break the metric, and which".
+   *
+   * Emits one row (n, at, value, g_stat): value in metric units (2dp —
+   * it IS exact cents), G 6dp; n < 3 or zero variance emits NULL G.
+   * Ties on G pick the earliest key.
+   *
+   * Deterministic: moments (n, S=Σx, Q=Σx²) are exact decimals;
+   * |n·xᵢ−S| is an exact decimal per row, its max is exact, and
+   * G = max|n·x−S| / (n·s) with s² = (nQ−S²)/(n(n−1)) divides once in
+   * doubles.
+   *
+   * Scale: one 1-row moment reduce broadcast over the series + one
+   * max-by pass — the cusum cost class on the bounded day grid; the
+   * raw rows stream once into the grid.
+   */
+  def grubbsMaxOutlier(series: DataFrame, keyCol: String,
+                       valueCol: String): DataFrame = {
+    val dec = dec380
+    val base = series.select(col(keyCol).as("__k"),
+        cents(col(valueCol)).as("__x"))
+      .filter(col("__x").isNotNull)
+    val m = base.agg(count(lit(1)).as("__n"), sum(col("__x").cast(dec))
+      .as("__s"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__q"))
+    val nD = col("__n").cast(dec)
+    val varNum = (nD * col("__q") - col("__s") * col("__s")).cast("double")
+    val dev = abs(col("__x").cast(dec) * nD - col("__s"))
+    base.crossJoin(broadcast(m))
+      .withColumn("__dev", dev)
+      .orderBy(col("__dev").desc, col("__k").asc)
+      .limit(1)
+      .select(col("__n").as("n"), col("__k").as("at"),
+        round(col("__x").cast("double") / 100.0, 2).as("value"),
+        when(col("__n") >= 3 && varNum > 0,
+          round(col("__dev").cast("double") /
+            (col("__n").cast("double") *
+              sqrt(varNum / (col("__n").cast("double") *
+                (col("__n") - 1).cast("double")))), 6))
+          .otherwise(lit(null).cast("double")).as("g_stat"))
+  }
+
+  /**
+   * CUZICK'S TREND TEST — the ordered-alternative rank test on k
+   * ordinal DOSE levels: T = Σᵢ lᵢ·rᵢ (each observation's group score
+   * times its global rank), z against the permutation moments. The
+   * Wilcoxon-family member of the ordered-trend trio: where
+   * [[jonckheereTerpstra]] sums pairwise directional U counts and
+   * [[pageTrend]] handles blocked designs, Cuzick weights the GLOBAL
+   * rank by the dose score — one pass over the rank map, no pairwise
+   * structure at all, so it is the cheapest of the three.
+   *
+   * Groups order by their ascending numeric `groupCol` value, which IS
+   * the score lⱼ (the alternative being tested). Emits one row
+   * (n, k, t_stat, z, direction): T exact (doubled-rank form halved at
+   * the end), z 6dp with the tie-corrected permutation variance
+   * Var(T) = Σ(lᵢ−l̄)² · (N³−N−Σ(t³−t)) / (12(N−1)); fewer than 2
+   * groups emits no row, zero variance emits NULL z.
+   *
+   * Deterministic: doubled ranks off the [[doubledRanks]] kernel are
+   * exact integers; 2T, (N+1)Σnⱼlⱼ, N·Σnⱼlⱼ²−(Σnⱼlⱼ)², and the tie
+   * mass are exact decimals; one double chain at the end.
+   *
+   * Scale: the [[kruskalWallis]] shape exactly — one (value, group)
+   * histogram, the distributed rank kernel over the value support, a
+   * k-row score rollup, and 1-row reduces. Pre-bin unbounded
+   * continuous values (the KS convention).
+   */
+  def cuzickTrend(df: DataFrame, valueCol: String,
+                  groupCol: String): DataFrame = {
+    val dec = dec380
+    val kept = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(valueCol).as("__v"), col(groupCol).cast("long").as("__l"))
+    val hist = kept.groupBy("__v", "__l").agg(count(lit(1)).as("__cgv"))
+    val vt = hist.groupBy("__v").agg(sum(col("__cgv")).as("__t"))
+    val ranked = doubledRanks(vt, "__v", "__t",
+      probe = Some(kept.select("__v")))
+    val tot = ranked.agg(sum(col("__t")).as("__n"),
+      sum(col("__t").cast(dec) * col("__t").cast(dec) * col("__t").cast(dec)
+        - col("__t").cast(dec)).as("__ties"))
+    // per-group: size and Σ doubled-rank, then the score rollups — all
+    // exact integers (scores ARE the group values)
+    val byG = hist.join(ranked.select(col("__v"), col("__r2")), "__v")
+      .groupBy("__l")
+      .agg(sum(col("__cgv")).as("__ng"),
+        sum(col("__cgv").cast(dec) * col("__r2").cast(dec)).as("__r2g"))
+    val sc = byG.agg(count(lit(1)).as("__k"),
+      sum(col("__r2g") * col("__l").cast(dec)).as("__t2"), // 2T
+      sum(col("__ng").cast(dec) * col("__l").cast(dec)).as("__snl"),
+      sum(col("__ng").cast(dec) * col("__l").cast(dec) * col("__l").cast(dec))
+        .as("__snl2"))
+    val nD = col("__n").cast(dec)
+    // 2(T−E[T]) = __t2 − (N+1)·Σn_j·l_j (exact); Σ(l−l̄)² = (N·Σnl² −
+    // (Σnl)²)/N — keep the N in the variance product instead of dividing
+    val num2 = (col("__t2") - (nD + 1) * col("__snl")).cast("double")
+    val sl2N = (nD * col("__snl2") - col("__snl") * col("__snl"))
+      .cast("double") // N·Σ(l−l̄)²
+    val rankVar = (nD * nD * nD - nD - col("__ties")).cast("double")
+    // Var(T) = Σ(l−l̄)²·(N³−N−Σ(t³−t)) / (12(N−1)); sl2N carries an
+    // extra factor N, divided back here. z = 2(T−E) / √(4·Var(T)).
+    val varT = sl2N * rankVar /
+      (col("__n").cast("double") * 12.0 * (col("__n") - 1).cast("double"))
+    sc.crossJoin(broadcast(tot))
+      .filter(col("__k") >= 2)
+      .select(col("__n").as("n"), col("__k").as("k"),
+        (col("__t2").cast("double") / 2).as("t_stat"),
+        when(varT > 0, round(num2 / sqrt(lit(4.0) * varT), 6))
+          .otherwise(lit(null).cast("double")).as("z"),
+        when(num2 > 0, lit("up"))
+          .when(num2 < 0, lit("down")).otherwise(lit("flat"))
+          .as("direction"))
+  }
+
+  /**
+   * TWO-SAMPLE ENERGY DISTANCE (1-D, squared form) — the third member
+   * of the CDF-gap family: D² = 2·∫(F−G)²dt (Székely's 2E|X−Y| −
+   * E|X−X′| − E|Y−Y′| collapses to exactly this unweighted L2 integral
+   * in one dimension). Beside [[wasserstein1D]] (∫|F−G|, mass-transport
+   * units) and the CvM statistic (∫(F−G)²dF̂ — pooled-data weighted),
+   * energy distance weights every point of the SUPPORT equally, so
+   * gaps in sparse tails count at full strength — the member that
+   * notices a shifted tail the pooled weighting discounts. Rotation-
+   * invariant and metric in general dimension; the 1-D grid form here
+   * is exact, not estimated.
+   *
+   * Emits one row (n_a, n_b, energy): energy 6dp in value units
+   * (D², the squared-distance convention); an empty side emits no row.
+   *
+   * Deterministic: per-segment terms round to 8dp and sum through
+   * DECIMAL (the wasserstein discipline — segment width × squared CDF
+   * gap, both off exact integer cumulatives).
+   *
+   * Scale: the KS/wasserstein shape — one (value) histogram with
+   * per-side counts, a cumulative window over the bounded pre-binned
+   * support, a 1-row totals broadcast, one reduce.
+   */
+  def energyDistance1D(df: DataFrame, valueCol: String, groupCol: String,
+                       groupA: String, groupB: String): DataFrame = {
+    val dterm = org.apache.spark.sql.types.DecimalType(24, 8)
+    val kept = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .filter(col(valueCol).isNotNull)
+    val counts = kept
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("__ta"), sum(col("cb")).as("__tb"))
+    // unpartitioned window BOUND: pre-binned distinct-value support
+    val wCum = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLead = Window.orderBy(col("__v").asc)
+    val gap = col("__fa").cast("double") / col("__ta") -
+      col("__fb").cast("double") / col("__tb")
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("__fa", sum(col("ca")).over(wCum))
+      .withColumn("__fb", sum(col("cb")).over(wCum))
+      .withColumn("__next", lead(col("__v"), 1).over(wLead))
+      .filter(col("__next").isNotNull && col("__ta") > 0 && col("__tb") > 0)
+      .select(col("__ta"), col("__tb"),
+        round(gap * gap * (col("__next") - col("__v")), 8)
+          .cast(dterm).as("__w"))
+    terms.groupBy("__ta", "__tb")
+      .agg(round(sum(col("__w")).cast("double") * 2, 6).as("energy"))
+      .select(col("__ta").as("n_a"), col("__tb").as("n_b"), col("energy"))
+  }
+
+  /**
+   * WELCH'S ANOVA — the k-group mean comparison that does NOT assume
+   * equal variances: where [[anovaF]] pools a single within-group
+   * variance (and [[leveneW]] exists to check that pooling), Welch
+   * weights each group by nⱼ/s²ⱼ and stays calibrated when segment
+   * variances differ 10× — the realistic case for revenue-like metrics
+   * across segments. F* = [Σwⱼ(mⱼ−m̄w)²/(k−1)] / [1 + (2(k−2)/(k²−1))·
+   * Σ(1−wⱼ/W)²/(nⱼ−1)], with the Welch–Satterthwaite df₂ =
+   * (k²−1) / (3·Σ(1−wⱼ/W)²/(nⱼ−1)).
+   *
+   * Emits one row (n, n_groups, f_stat, df2): F and df₂ 6dp; groups
+   * with nⱼ < 2 or zero variance are EXCLUDED (they carry no weight —
+   * wⱼ is undefined), and fewer than 2 usable groups emits NULL F.
+   *
+   * Deterministic: per-group moments (n, Σx, Σx²) are exact decimal
+   * cents; means/variances divide once per group (k rows); every
+   * cross-row reduce sums 12dp/8dp-rounded terms through DECIMAL (the
+   * kruskalWallis discipline — a bare double sum is partition-order
+   * dependent), and the final F/df₂ chain is one pinned double
+   * expression.
+   *
+   * Scale: ONE corpus aggregation to k group-moment rows + two k-row
+   * reduces with a 1-row broadcast between — the [[anovaF]] cost
+   * class; nothing data-proportional after the first exchange.
+   */
+  def welchAnova(df: DataFrame, valueCol: String,
+                 groupCol: String): DataFrame = {
+    val dec = dec380
+    val grp = anovaBase(df, valueCol, groupCol).groupBy("__g").agg(
+      count(lit(1)).as("__ng"),
+      sum(col("__c").cast(dec)).as("__sg"),
+      sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__qg"))
+    val ngD = col("__ng").cast("double")
+    // cents² sample variance s² = (nQ − S²)/(n(n−1)), exact-moment form
+    val varG = (col("__ng").cast(dec) * col("__qg") -
+      col("__sg") * col("__sg")).cast("double") /
+      (ngD * (ngD - 1.0))
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val d8 = org.apache.spark.sql.types.DecimalType(38, 8)
+    val usable = grp
+      .withColumn("__m", col("__sg").cast("double") / ngD)
+      .withColumn("__v2", varG)
+      .filter(col("__ng") >= 2 && col("__v2") > 0)
+      .withColumn("__w", ngD / col("__v2"))
+    val w1 = usable.agg(
+      sum(round(col("__w"), 12).cast(d12)).as("__W"),
+      sum(round(col("__w") * col("__m"), 8).cast(d8)).as("__wm"),
+      sum(col("__ng")).as("__n"), count(lit(1)).as("__k"))
+    val joined = usable.crossJoin(broadcast(
+      w1.select(col("__W").cast("double").as("__W_b"),
+        col("__wm").cast("double").as("__wm_b"),
+        col("__n").as("__n_b"), col("__k").as("__k_b"))))
+    val mw = col("__W_b")
+    val mbar = col("__wm_b") / mw
+    val red = joined.select(col("__n_b"), col("__k_b"),
+        round(col("__w") * (col("__m") - mbar) * (col("__m") - mbar), 8)
+          .cast(d8).as("__a"),
+        round(((lit(1.0) - col("__w") / mw) * (lit(1.0) - col("__w") / mw)) /
+          (col("__ng") - 1).cast("double"), 12).cast(d12).as("__lam"))
+      .groupBy("__n_b", "__k_b")
+      .agg(sum(col("__a")).cast("double").as("__A"),
+        sum(col("__lam")).cast("double").as("__L"))
+    val kD = col("__k_b").cast("double")
+    // F is dimensionless: w·(m−m̄)² = (n/s²)·(Δcents)² cancels cents²
+    val fNum = col("__A") / (kD - 1.0)
+    val fDen = lit(1.0) + lit(2.0) * (kD - 2.0) / (kD * kD - 1.0) *
+      col("__L")
+    red.select(col("__n_b").as("n"), col("__k_b").as("n_groups"),
+      when(col("__k_b") >= 2,
+        round(fNum / fDen, 6))
+        .otherwise(lit(null).cast("double")).as("f_stat"),
+      when(col("__k_b") >= 2 && col("__L") > 0,
+        round((kD * kD - 1.0) / (lit(3.0) * col("__L")), 6))
+        .otherwise(lit(null).cast("double")).as("df2"))
+  }
 }

@@ -1940,4 +1940,136 @@ object TemporalOps {
     }
     rows.toDF("channel", "removal_effect", "attribution_share")
   }
+
+  /** Contiguous day-grid of daily VALUE TOTALS in exact integer cents —
+    * the value-series sibling of [[dailyCountSeries]] ([[cusumChangePoint]]
+    * builds the same shape inline): gap days enter as true zeros (a day
+    * with no rows IS an observation of zero daily value). Returns
+    * (idx, x) with x DECIMAL(38,0) cents. */
+  private def dailyCentsSeries(df: DataFrame, ts: String,
+                               valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = df.filter(col(ts).isNotNull)
+      .select(date_trunc("day", col(ts)).as("day"),
+        graft.ops.StatsOps.cents(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("day").agg(sum(col("__v").cast(dec)).as("x"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dailyIdx = daily.crossJoin(broadcast(bounds))
+      .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+        col("x"), col("d0"))
+    bounds
+      .select(col("d0"), explode(sequence(lit(0L),
+        datediff(col("d1"), col("d0")).cast("long"))).as("idx"))
+      .join(dailyIdx.drop("d0"), Seq("idx"), "left")
+      // timestampadd, not date_add: the grid day must stay TIMESTAMP
+      // (date_trunc's type) so emitted days match the daily frame's
+      .select(col("idx"),
+        expr("timestampadd(DAY, CAST(idx AS INT), d0)").as("day"),
+        coalesce(col("x"), lit(0L).cast(dec)).as("x"))
+  }
+
+  /**
+   * PAGE–HINKLEY drift statistic on the daily value series — the
+   * sequential change detector: PH_t = Σ_{i≤t}(xᵢ − mean(x₁..xᵢ) − δ),
+   * alarm statistic M_t = PH_t − min_{s≤t} PH_s. Where
+   * [[cusumChangePoint]] integrates deviation from the GLOBAL mean
+   * (retrospective — it needs the whole series first), Page–Hinkley
+   * deviates from the RUNNING mean, the form an online monitor
+   * actually runs — so this readout answers "when would the live
+   * drift alarm have fired, and how loudly" on historical data, the
+   * backtest of the production monitor. δ (tolerance, value units)
+   * suppresses sub-δ drift; δ=0 is the pure detector.
+   *
+   * Emits one row (n_days, at_day, ph_stat, direction): ph_stat =
+   * max M_t in value units (6dp), at_day its day (earliest tie),
+   * direction "up" (the mirrored detector on −x decides "down" — the
+   * emitted statistic is the upward alarm; run on negated values for
+   * the other side).
+   *
+   * Deterministic: daily totals are exact integer cents on the
+   * contiguous grid (gap days = true zeros); each dev_t =
+   * (t·x_t − CumS_t)/t − δ rounds to 6dp INDEPENDENTLY and the
+   * partial sums run in DECIMAL — no float recursion (the
+   * ewmaBaseline discipline).
+   *
+   * Scale: one day-grain partial aggregate + cumulative windows over
+   * the bounded day grid + a top-1 — the cusum cost class; event rows
+   * never re-shuffle.
+   */
+  def pageHinkley(df: DataFrame, ts: String, valueCol: String,
+                  delta: Double = 0.0): DataFrame = {
+    val dterm = DecimalType(38, 6)
+    val series = dailyCentsSeries(df, ts, valueCol)
+    // unpartitioned window BOUND: contiguous day grid (one row per day)
+    val wCum = Window.orderBy(col("idx").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val t = col("idx") + 1
+    val devs = series
+      .withColumn("__cs", sum(col("x")).over(wCum))
+      .withColumn("__dev",
+        round((t.cast("decimal(38,6)") * col("x") - col("__cs"))
+          .cast("double") / t.cast("double") / 100.0 - delta, 6)
+          .cast(dterm))
+    val ph = devs.withColumn("__ph", sum(col("__dev")).over(wCum))
+      .withColumn("__mn", min(col("__ph")).over(wCum))
+      .withColumn("__m", col("__ph") - col("__mn"))
+    ph.orderBy(col("__m").desc, col("idx").asc).limit(1)
+      .crossJoin(broadcast(series.agg(count(lit(1)).as("n_days"))))
+      .select(col("n_days"), col("day").as("at_day"),
+        round(col("__m").cast("double"), 6).as("ph_stat"),
+        lit("up").as("direction"))
+  }
+
+  /**
+   * PERMUTATION ENTROPY (order m=3) of the daily value series — the
+   * complexity of the series' ORDER PATTERNS: each consecutive triple
+   * (x_t, x_{t+1}, x_{t+2}) maps to one of 3! = 6 ordinal patterns
+   * (ties broken toward the earlier index, the standard convention),
+   * and H = −Σ p·ln p over the pattern distribution, normalized by
+   * ln 6 to [0, 1]. A flat or strictly trending series scores ~0 (one
+   * pattern dominates), i.i.d. noise scores ~1 — the model-free
+   * "is this metric structured or random" number that, unlike
+   * [[acf]]/spectral readouts, is invariant to any monotone transform
+   * of the values (it never reads magnitudes, only orderings).
+   *
+   * Emits one row (n_windows, n_patterns, perm_entropy,
+   * normalized_entropy), 6dp; fewer than 3 grid days emits no row.
+   *
+   * Deterministic: patterns are pure integer comparisons on exact-cent
+   * totals over the contiguous grid (gap days = true zeros); the ≤6
+   * per-pattern −p·ln p terms round to 8dp and sum through DECIMAL.
+   *
+   * Scale: one day-grain partial aggregate + two lead windows on the
+   * bounded day grid + a ≤6-row reduce — the cusum cost class.
+   */
+  def permutationEntropy(df: DataFrame, ts: String,
+                         valueCol: String): DataFrame = {
+    val dterm = DecimalType(24, 8)
+    val series = dailyCentsSeries(df, ts, valueCol)
+    // unpartitioned window BOUND: contiguous day grid (one row per day)
+    val wLead = Window.orderBy(col("idx").asc)
+    val trip = series
+      .withColumn("__b", lead(col("x"), 1).over(wLead))
+      .withColumn("__c", lead(col("x"), 2).over(wLead))
+      .filter(col("__b").isNotNull && col("__c").isNotNull)
+    // ties break toward the earlier index: "later ≥ earlier" keeps the
+    // earlier element ranked first, so each comparison is >=
+    val pat = (when(col("__b") >= col("x"), 4).otherwise(0) +
+      when(col("__c") >= col("x"), 2).otherwise(0) +
+      when(col("__c") >= col("__b"), 1).otherwise(0)).as("__pat")
+    val counts = trip.select(pat).groupBy("__pat")
+      .agg(count(lit(1)).as("__c"))
+    val tot = counts.agg(sum(col("__c")).as("__n"))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    counts.crossJoin(broadcast(tot))
+      .select(col("__n"),
+        round(-p * log(p), 8).cast(dterm).as("__h"))
+      .groupBy("__n")
+      .agg(count(lit(1)).as("n_patterns"), sum(col("__h")).as("__H"))
+      .select(col("__n").as("n_windows"), col("n_patterns"),
+        round(col("__H").cast("double"), 6).as("perm_entropy"),
+        round(col("__H").cast("double") / math.log(6.0), 6)
+          .as("normalized_entropy"))
+  }
 }

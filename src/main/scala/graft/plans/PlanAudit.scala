@@ -271,8 +271,20 @@ object PlanAudit {
                              // localCheckpoint-pinned)
     "q_poisson_rate",        // 1-row day-bounds broadcast (the
                              // reconcile shape)
-    "q_gwet_ac1")            // fleiss_kappa's 1-row item-rollup ×
+    "q_gwet_ac1",            // fleiss_kappa's 1-row item-rollup ×
                              // 1-row category-rollup broadcasts
+    "q_grubbs",              // 1-row moment reduce broadcast over the
+                             // day grid (the cusum shape)
+    "q_welch_anova",         // 1-row weight-totals broadcast over the
+                             // k-row group moments (the anova shape)
+    "q_page_hinkley",        // 1-row day-bounds + 1-row n_days
+                             // broadcasts over the day grid (acf shape)
+    "q_perm_entropy",        // 1-row day-bounds + 1-row pattern-total
+                             // broadcasts over the day grid (acf shape)
+    "q_energy_distance",     // 1-row per-side totals broadcast over the
+                             // pre-binned support (wasserstein shape)
+    "q_cuzick_trend")        // 1-row n/tie-mass broadcast over the
+                             // k-row score rollup (the kruskal shape)
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   val annHeapOnly: Set[String] = Set(
@@ -359,11 +371,16 @@ object PlanAudit {
     "q_quade",              // block-RANGE rank over the day grid (one
                             // row per block — grid-bounded)
     "q_runs_test",          // day-grid median rank + lag windows
-    "q_ks_uniform")         // bounded hash-bucket support cumulative
+    "q_ks_uniform",         // bounded hash-bucket support cumulative
                             // (the KS shape; q_median_test's median
                             // cumulative runs inside its eager
                             // localCheckpoint and never reaches the
                             // audited plan)
+    "q_page_hinkley",       // day-grid cumulative + running-min windows
+                            // (the cusum shape)
+    "q_perm_entropy",       // day-grid lead windows (the runs_test shape)
+    "q_energy_distance",    // pre-binned support cumulative (KS shape)
+    "q_cuzick_trend")       // distributed-rank kernel bucket grid
 
   /** All gate violations for one query's compiled plan (no execution).
     * Empty = the plan is clean. The stale-whitelist check is included
