@@ -6026,6 +6026,27 @@ object SparkEntry {
       graft.ops.StatsOps.welchAnova(t(s, d, "events"), "value",
         "event_type")),
 
+    // Brown-Forsythe on the q_levene fixture: the MEDIAN-centered
+    // equal-variance test — calibrated on the skewed segments whose
+    // outliers drag Levene's own mean centers
+    "q_brown_forsythe" -> ((s, d) =>
+      graft.ops.StatsOps.brownForsythe(t(s, d, "events"), "value",
+        "event_type")),
+
+    // Games-Howell on the q_tukey_pairs fixture: which pairs moved,
+    // per-pair SE + Welch-Satterthwaite df — no pooled-variance
+    // assumption (tukey's q is anticonservative under heteroscedasticity)
+    "q_games_howell" -> ((s, d) =>
+      graft.ops.StatsOps.gamesHowell(t(s, d, "events"), "value",
+        "event_type")),
+
+    // Siegel repeated-medians slope on the q_theil_sen fixture: the
+    // 50%-breakdown trend — survives corrupt SPANS of days, not just
+    // scattered outliers
+    "q_siegel_slope" -> ((s, d) =>
+      graft.ops.TemporalOps.siegelSlope(t(s, d, "events"), "ts",
+        "value")),
+
     // ICC(1): how much of order value variance lives BETWEEN priority
     // classes — the variance-components strength reading of q_anova_f
     "q_icc" -> ((s, d) =>
@@ -15043,6 +15064,86 @@ object SparkEntry {
                                 (3.0 * lam), 6)
                 END AS df2
          FROM red""",
+
+    // Brown-Forsythe: median centers (quantile_cont = Spark percentile),
+    // then the leveneW hundredth-cent quantum into the anova moments
+    "q_brown_forsythe" ->
+      """WITH b AS (SELECT event_type AS g,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+              meds AS (SELECT g, quantile_cont(c, 0.5) AS med FROM b GROUP BY g),
+              z AS (SELECT b.g,
+                           CAST(CAST(ROUND(ABS(c - med), 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM b JOIN meds USING (g)),
+              grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                             SUM(CAST(c AS HUGEINT)) AS sg,
+                             SUM(CAST(c AS HUGEINT) * c) AS qg
+                      FROM z GROUP BY g),
+              tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s,
+                             CAST(COUNT(*) AS BIGINT) AS k FROM grp),
+              terms AS (SELECT n, k,
+                               CAST(ROUND(CAST((sg * n - s * ng) * (sg * n - s * ng) AS DOUBLE)
+                                          / CAST(CAST(n AS HUGEINT) * n * ng AS DOUBLE), 4)
+                                    AS DECIMAL(38,4)) AS bt,
+                               CAST(ROUND(CAST(qg * ng - sg * sg AS DOUBLE) / CAST(ng AS DOUBLE), 4)
+                                    AS DECIMAL(38,4)) AS wt
+                        FROM grp CROSS JOIN tot),
+              sums AS (SELECT n, k, CAST(SUM(bt) AS DOUBLE) AS ssb,
+                              CAST(SUM(wt) AS DOUBLE) AS ssw
+                       FROM terms GROUP BY n, k)
+         SELECT n, k AS n_groups,
+                CASE WHEN k >= 2 AND n > k AND ssw > 0
+                     THEN ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6)
+                END AS f_stat
+         FROM sums""",
+
+    // Games-Howell: exact moments per group; per-pair q and W-S df
+    "q_games_howell" ->
+      """WITH b AS (SELECT event_type AS g,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+              grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                             SUM(CAST(c AS HUGEINT)) AS sg,
+                             SUM(CAST(c AS HUGEINT) * c) AS qg
+                      FROM b GROUP BY g),
+              us AS (SELECT g, ng,
+                            CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) / 100.0 AS m,
+                            CAST(CAST(ng AS HUGEINT) * qg - sg * sg AS DOUBLE) /
+                              (CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1.0)) / 10000.0 AS v
+                     FROM grp WHERE ng >= 2),
+              uv AS (SELECT * FROM us WHERE v > 0),
+              pairs AS (SELECT a.g AS g_a, b2.g AS g_b, a.ng AS n_a, b2.ng AS n_b,
+                               a.m AS m_a, b2.m AS m_b, a.v AS v_a, b2.v AS v_b
+                        FROM uv a JOIN uv b2 ON a.g < b2.g)
+         SELECT g_a, g_b, n_a, n_b,
+                ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+                ROUND(ABS(m_a - m_b) /
+                      SQRT((v_a / n_a + v_b / n_b) / 2.0), 6) AS q_stat,
+                CASE WHEN (v_a / n_a) * (v_a / n_a) / CAST(n_a - 1 AS DOUBLE) +
+                          (v_b / n_b) * (v_b / n_b) / CAST(n_b - 1 AS DOUBLE) > 0
+                     THEN ROUND((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b) /
+                                ((v_a / n_a) * (v_a / n_a) / CAST(n_a - 1 AS DOUBLE) +
+                                 (v_b / n_b) * (v_b / n_b) / CAST(n_b - 1 AS DOUBLE)), 6)
+                END AS df
+         FROM pairs ORDER BY g_a, g_b""",
+
+    // Siegel: per-day slope medians, then the median of medians
+    "q_siegel_slope" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+                               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
+                        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                        GROUP BY 1),
+              mn AS (SELECT MIN(d) AS d0 FROM daily),
+              idx AS (SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS i, s
+                      FROM daily CROSS JOIN mn),
+              perday AS (SELECT a.i,
+                                quantile_cont(CAST(b.s - a.s AS DOUBLE) /
+                                              CAST(b.i - a.i AS DOUBLE), 0.5) AS ms
+                         FROM idx a JOIN idx b ON b.i <> a.i
+                         GROUP BY a.i)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                ROUND(quantile_cont(ms, 0.5) / 100.0, 8) AS slope
+         FROM perday HAVING COUNT(*) >= 2""",
 
     // ICC(1): the anova exact-moment chain + Sum ng^2 for the
     // unbalanced n0; one pinned double chain

@@ -3886,6 +3886,104 @@ object StatsOps {
   }
 
   /**
+   * BROWN–FORSYTHE TEST — [[leveneW]] with MEDIAN centers: the robust
+   * equal-variance test. Levene's mean center is itself dragged by the
+   * outliers whose spread it measures; centering on the group median
+   * (the Brown–Forsythe variant, the one statistical practice actually
+   * recommends for skewed data) keeps the test calibrated on
+   * heavy-tailed segments — exactly the revenue-like metrics this
+   * engine audits. F = ANOVA-F applied to z_ig = |y_ig − med_g|.
+   * Costs [[leveneW]] + one per-group exact order statistic — the
+   * trade leveneW's doc prices out is bought here explicitly.
+   *
+   * Emits one row (n, n_groups, f_stat), 6dp; k < 2, n ≤ k, or zero
+   * within-variance of the deviations emits NULL.
+   *
+   * Deterministic: group medians are exact interpolated percentiles
+   * over integer cents (halves at worst — exactly representable);
+   * z rounds to 2dp and scales to exact integer hundredth-cents (the
+   * leveneW quantum), so the second pass is [[anovaCore]] on exact
+   * integers again.
+   *
+   * Scale: one exact-percentile aggregate (k-row output, broadcast
+   * back) + one corpus-streaming deviation pass into anovaCore — the
+   * madOutliers economics; the corpus streams twice, never sorts.
+   */
+  def brownForsythe(df: DataFrame, valueCol: String,
+                    groupCol: String): DataFrame = {
+    val base = anovaBase(df, valueCol, groupCol)
+    val meds = base.groupBy("__g")
+      .agg(expr("percentile(__c, 0.5)").as("__med"))
+    val z = base.join(broadcast(meds), "__g")
+      .select(col("__g"),
+        (round(abs(col("__c") - col("__med")), 2)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("__c"))
+    val core = anovaCore(z)
+    core.select(col("n"), col("k").as("n_groups"),
+      when(col("k") >= 2 && col("n") > col("k") && col("ssw") > 0,
+        round((col("ssb") / (col("k") - 1).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double")), 6))
+        .otherwise(lit(null).cast("double")).as("f_stat"))
+  }
+
+  /**
+   * GAMES–HOWELL pairwise readout — [[tukeyHsd]]'s unequal-variance
+   * twin: after [[welchAnova]] rejects, WHICH pairs differ, without
+   * the pooled-MS_W assumption Tukey–Kramer makes. Per pair (a < b):
+   * the studentized-range statistic q = |ȳ_a − ȳ_b| /
+   * √((s²_a/n_a + s²_b/n_b)/2) against its own pairwise standard
+   * error, with the Welch–Satterthwaite degrees of freedom
+   * df = (s²_a/n_a + s²_b/n_b)² / ((s²_a/n_a)²/(n_a−1) +
+   * (s²_b/n_b)²/(n_b−1)) — the pair a variance-heterogeneous segment
+   * comparison actually needs (Tukey's pooled q is anticonservative
+   * against a high-variance group).
+   *
+   * Emits one row per usable pair (g_a, g_b, n_a, n_b, mean_a,
+   * mean_b, q_stat, df), ordered; groups with n < 2 or zero variance
+   * are excluded (no pairwise SE exists for them).
+   *
+   * Deterministic: exact decimal group moments; per-group mean and
+   * variance divide once (k rows); each pair's q/df is one pinned
+   * double chain over the k²-bounded grid.
+   *
+   * Scale: the tukeyHsd economics — the corpus streams once into a
+   * k-row moment aggregate; the pair join is the bounded model
+   * artifact theta-joined against itself (whitelisted BNLJ).
+   */
+  def gamesHowell(df: DataFrame, valueCol: String,
+                  groupCol: String): DataFrame = {
+    val dec = dec380
+    val grp = anovaBase(df, valueCol, groupCol).groupBy("__g").agg(
+      count(lit(1)).as("__ng"),
+      sum(col("__c").cast(dec)).as("__sg"),
+      sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__qg"))
+    val ngD = col("__ng").cast("double")
+    val usable = grp
+      .withColumn("__m", col("__sg").cast("double") / ngD / 100.0)
+      .withColumn("__v2", (col("__ng").cast(dec) * col("__qg") -
+        col("__sg") * col("__sg")).cast("double") /
+        (ngD * (ngD - 1.0)) / 1e4)
+      .filter(col("__ng") >= 2 && col("__v2") > 0)
+    def side(tag: String) = usable.select(col("__g").as(s"g_$tag"),
+      col("__ng").as(s"n_$tag"), col("__m").as(s"m_$tag"),
+      col("__v2").as(s"v_$tag"))
+    val se2 = col("v_a") / col("n_a") + col("v_b") / col("n_b")
+    val dfDen = (col("v_a") / col("n_a")) * (col("v_a") / col("n_a")) /
+      (col("n_a") - 1).cast("double") +
+      (col("v_b") / col("n_b")) * (col("v_b") / col("n_b")) /
+        (col("n_b") - 1).cast("double")
+    side("a").join(broadcast(side("b")), col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(col("m_a"), 6).as("mean_a"), round(col("m_b"), 6).as("mean_b"),
+        round(abs(col("m_a") - col("m_b")) / sqrt(se2 / 2.0), 6)
+          .as("q_stat"),
+        when(dfDen > 0, round(se2 * se2 / dfDen, 6))
+          .otherwise(lit(null).cast("double")).as("df"))
+      .orderBy("g_a", "g_b")
+  }
+
+  /**
    * TUKEY HSD pairwise readout — AFTER [[anovaF]] rejects "all means
    * equal", WHICH pairs differ: for every group pair (a < b), the
    * studentized-range statistic q = |ȳ_a − ȳ_b| / √(MS_W/2·(1/n_a +

@@ -641,6 +641,52 @@ object TemporalOps {
         round(col("__med") / 100.0, 8).as("slope"))
   }
 
+  /**
+   * SIEGEL REPEATED-MEDIANS SLOPE — [[theilSenSlope]]'s
+   * higher-breakdown sibling: for each day i the MEDIAN of its
+   * pairwise slopes to every other day, then the median of those
+   * per-day medians. Theil–Sen's single global median breaks down at
+   * 29% contamination (corrupt days contribute O(n) of the O(n²)
+   * pairs); the repeated-medians form survives 50% — the slope to
+   * reach for when whole SPANS of days are bad (an outage week, a
+   * backfill gap), not just scattered outliers.
+   *
+   * Emits one row (n_days, slope): slope in value units per day
+   * (8dp); fewer than 2 days emits no row.
+   *
+   * Deterministic: day totals are exact integer cents, each pairwise
+   * slope is one double division of exact values, and both median
+   * layers are exact interpolated percentiles (sort-based —
+   * partition-order invariant).
+   *
+   * Scale: the theilSenSlope economics — quadratic in DAYS, never in
+   * data (the day×day join is a bounded-grid self-join, whitelisted);
+   * the per-day median layer adds one day-keyed aggregate over the
+   * same pair frame.
+   */
+  def siegelSlope(df: DataFrame, ts: String, valueCol: String): DataFrame = {
+    val daily = df
+      .filter(col(ts).isNotNull)
+      .select(date_trunc("day", col(ts)).as("__d"),
+        graft.ops.StatsOps.cents(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__d")).agg(sum(col("__v")).as("__s"))
+    val mn = daily.agg(min(col("__d")).as("__d0"))
+    val idx = daily.crossJoin(broadcast(mn))
+      .select(datediff(col("__d"), col("__d0")).cast("long").as("__i"),
+        col("__s"))
+    val b = idx.select(col("__i").as("__j"), col("__s").as("__sj"))
+    val perDay = idx.join(b, col("__j") =!= col("__i"))
+      .select(col("__i"), ((col("__sj") - col("__s")).cast("double") /
+        (col("__j") - col("__i")).cast("double")).as("__slope"))
+      .groupBy("__i")
+      .agg(expr("percentile(__slope, 0.5)").as("__ms"))
+    perDay.agg(count(lit(1)).as("n_days"),
+        expr("percentile(__ms, 0.5)").as("__med"))
+      .filter(col("n_days") >= 2)
+      .select(col("n_days"), round(col("__med") / 100.0, 8).as("slope"))
+  }
+
   def cusumChangePoint(df: DataFrame, ts: String,
                        valueCol: String): DataFrame = {
     val dec = DecimalType(38, 0)

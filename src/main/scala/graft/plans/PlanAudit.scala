@@ -283,8 +283,16 @@ object PlanAudit {
                              // broadcasts over the day grid (acf shape)
     "q_energy_distance",     // 1-row per-side totals broadcast over the
                              // pre-binned support (wasserstein shape)
-    "q_cuzick_trend")        // 1-row n/tie-mass broadcast over the
+    "q_cuzick_trend",        // 1-row n/tie-mass broadcast over the
                              // k-row score rollup (the kruskal shape)
+    "q_brown_forsythe",      // anovaF's 1-row grand-total broadcast over
+                             // the k-row deviation moments (the levene
+                             // shape; the median join itself is equi)
+    "q_games_howell",        // k-row moment artifact theta-joined
+                             // against itself (g_a < g_b) — the
+                             // q_tukey_pairs bounded-grid shape
+    "q_siegel_slope")        // theil_sen's day×day bounded-grid join
+                             // (j ≠ i) + 1-row min-day/median broadcasts
 
   /** ANN/top-k paths that must stay on the bounded-heap aggregate. */
   val annHeapOnly: Set[String] = Set(

@@ -206,6 +206,71 @@ class Round15StatsSpec extends SparkSpec {
     r.isNullAt(r.fieldIndex("f_stat")) shouldBe false
   }
 
+  test("brownForsythe: brute-force F on median-centered deviations; outlier-robust centers") {
+    val g1 = Seq(1.0, 2.0, 3.0, 100.0) // median 2.5 — the outlier can't drag it
+    val g2 = Seq(5.0, 6.0, 7.0)
+    val df = (g1.map(("a", _)) ++ g2.map(("b", _))).toDF("g", "v")
+    val r = StatsOps.brownForsythe(df, "v", "g").collect()(0)
+    def med(x: Seq[Double]) = { val s = x.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2 }
+    val zs = Seq(g1, g2).map(x => x.map(v => math.abs(v - med(x))))
+    val all = zs.flatten; val n = all.size; val k = 2
+    val gm = all.sum / n
+    val ssb = zs.map(z => z.size * math.pow(z.sum / z.size - gm, 2)).sum
+    val ssw = zs.map(z => { val m = z.sum / z.size
+      z.map(v => (v - m) * (v - m)).sum }).sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    r.getAs[Long]("n") shouldBe 7L
+    r.getAs[Double]("f_stat") shouldBe f +- 1e-4
+  }
+
+  test("brownForsythe: equal spreads stay near 0 while a variance-shifted group is caught") {
+    val calm = (1 to 20).map(i => ("a", (i % 5).toDouble)) ++
+      (1 to 20).map(i => ("b", (i % 5).toDouble))
+    StatsOps.brownForsythe(calm.toDF("g", "v"), "v", "g").collect()(0)
+      .getAs[Double]("f_stat") shouldBe 0.0 +- 1e-6
+    val wild = (1 to 20).map(i => ("a", (i % 5).toDouble)) ++
+      (1 to 20).map(i => ("b", (i % 5) * 10.0))
+    StatsOps.brownForsythe(wild.toDF("g", "v"), "v", "g").collect()(0)
+      .getAs[Double]("f_stat") should be > 10.0
+  }
+
+  test("gamesHowell: collapses to Tukey's q when variances and sizes are equal; brute-force df") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val gh = StatsOps.gamesHowell(df, "v", "g").collect()(0)
+    val tk = StatsOps.tukeyHsd(df, "v", "g").collect()(0)
+    gh.getAs[Double]("q_stat") shouldBe tk.getAs[Double]("q_stat") +- 1e-6
+    // equal v=1, n=3 → df = (2/3)²/(2·(1/3)²/2) = 4 (the W-S identity)
+    gh.getAs[Double]("df") shouldBe 4.0 +- 1e-6
+    // brute force on unequal groups
+    val g1 = Seq(1.0, 2.0, 3.0); val g2 = Seq(10.0, 14.0, 30.0, 2.0)
+    val d2 = (g1.map(("a", _)) ++ g2.map(("b", _))).toDF("g", "v")
+    val r = StatsOps.gamesHowell(d2, "v", "g").collect()(0)
+    def mv(x: Seq[Double]) = { val m = x.sum / x.size
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.size - 1)) }
+    val (m1, v1) = mv(g1); val (m2, v2) = mv(g2)
+    val se2 = v1 / g1.size + v2 / g2.size
+    r.getAs[Double]("q_stat") shouldBe
+      (math.abs(m1 - m2) / math.sqrt(se2 / 2)) +- 1e-4
+    r.getAs[Double]("df") shouldBe (se2 * se2 /
+      (math.pow(v1 / g1.size, 2) / (g1.size - 1) +
+        math.pow(v2 / g2.size, 2) / (g2.size - 1))) +- 1e-3
+  }
+
+  test("siegelSlope: recovers an exact line, and survives 2 corrupt days of 6") {
+    val line = (1 to 5).map(i => (ts(i), 10.0 + 2 * (i - 1))).toDF("ts", "v")
+    TemporalOps.siegelSlope(line, "ts", "v").collect()(0)
+      .getAs[Double]("slope") shouldBe 2.0 +- 1e-8
+    // days 3 and 5 corrupted by +1000 — per-day medians of the four
+    // clean days still read 2.0, and the median of medians holds
+    val vals = Seq(10.0, 12.0, 1014.0, 16.0, 1018.0, 20.0)
+    val dirty = vals.zipWithIndex.map { case (v, i) => (ts(i + 1), v) }
+      .toDF("ts", "v")
+    TemporalOps.siegelSlope(dirty, "ts", "v").collect()(0)
+      .getAs[Double]("slope") shouldBe 2.0 +- 1e-8
+  }
+
   private def emptyNum: DataFrame =
     Seq.empty[(String, Double)].toDF("g", "v")
   private def emptyTs: DataFrame =
@@ -242,5 +307,8 @@ class Round15StatsSpec extends SparkSpec {
     ok("energyDistance1D")(
       StatsOps.energyDistance1D(emptyNum, "v", "g", "A", "B"))
     ok("welchAnova")(StatsOps.welchAnova(emptyNum, "v", "g"))
+    ok("brownForsythe")(StatsOps.brownForsythe(emptyNum, "v", "g"))
+    ok("gamesHowell")(StatsOps.gamesHowell(emptyNum, "v", "g"))
+    ok("siegelSlope")(TemporalOps.siegelSlope(emptyTs, "ts", "v"))
   }
 }
