@@ -148,6 +148,10 @@ object Bench {
     // disappearance is by design, not churn. Only an RDD seen at ≥2
     // boundaries (a long-lived artifact) going away is worth an event.
     val seenCount = scala.collection.mutable.Map.empty[Int, Int]
+    // seed from the pre-loop snapshot: a long-lived artifact cached during
+    // warmup and evicted during the very first query would otherwise read
+    // seenCount=1 at its disappearance and dodge the `gone` detector
+    storBefore.keysIterator.foreach(id => seenCount.update(id, 1))
     val passTimes = (1 to passes).map { pass =>
       calibrations += calibrate()
       parCalibrations += calibratePar(cpus.toInt)

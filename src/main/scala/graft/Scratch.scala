@@ -35,6 +35,11 @@ object Scratch {
       drain(fn(spark, d))
       println(s"== $name: ${(System.nanoTime() - t0) / 1e9}s")
     }
+    // artifact build costs paid during the run (warm pass included) —
+    // the same per-key numbers Bench emits, for ad-hoc profiling
+    ArtifactRegistry.snapshot().toSeq.sortBy(-_._2._2).foreach {
+      case (k, (n, secs)) => println(f"== artifact $k: $n%d builds, $secs%.2f s")
+    }
     spark.stop()
   }
 }

@@ -133,18 +133,25 @@ object IngestOps {
       graft.sources.TreeSwap.recover(spark, _, ".compact", ".precompact",
         Marker))
     // one batch scan feeds every stage — persist the (small) wave, not
-    // the corpus
+    // the corpus. The gate outputs are ALSO persisted for the wave's
+    // scope: the lockstep section below runs ~6 independent actions
+    // (corpus write, band index, cluster append, ANN append, postings
+    // append, report), and without a cut each action would re-run the
+    // shingle/minhash/band/verify pipelines from scratch — measured 2-3×
+    // the whole wave's cost at sf0.1, pure recomputation.
     val b = batch.persist()
+    val scoped = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def scopePersist(df: DataFrame): DataFrame = { scoped += df; df.persist() }
     try {
-      val gatedIds = TextOps.gopherFilter(b, idCol, textCol,
+      val gatedIds = scopePersist(TextOps.gopherFilter(b, idCol, textCol,
           minTokens = minTokens, maxTokens = maxTokens,
           minStopHits = minStopHits)
-        .filter(col("keep")).select(idCol)
+        .filter(col("keep")).select(idCol))
       val gated = b.join(gatedIds, idCol)
 
       // in-batch near-dup evidence: LSH candidates, exact-Jaccard verified
-      val batchPairs = DedupOps.minhashDedupPairs(gated, idCol, textCol,
-        n, numHashes, bands, threshold)
+      val batchPairs = scopePersist(DedupOps.minhashDedupPairs(gated,
+        idCol, textCol, n, numHashes, bands, threshold))
       // pair-min admission: id2 of any verified pair (id1 < id2) rejects
       val batchLosers = batchPairs.select(col("id2").as(idCol)).distinct()
       val batchKept = gated.join(batchLosers, Seq(idCol), "left_anti")
@@ -161,8 +168,9 @@ object IngestOps {
       val corpusText = spark.read.parquet(stores.corpusPath)
         .filter(col("wave") =!= waveId)
         .select(col(idCol), col(textCol))
-      val crossPairs = DedupOps.incrementalNearDupPairs(batchKept, idCol,
-        textCol, corpusIndex, corpusText, n, numHashes, bands, threshold)
+      val crossPairs = scopePersist(DedupOps.incrementalNearDupPairs(
+        batchKept, idCol, textCol, corpusIndex, corpusText,
+        n, numHashes, bands, threshold))
       val corpusLosers = crossPairs.select(col("new_id").as(idCol)).distinct()
       val batchKept2 = batchKept.join(corpusLosers, Seq(idCol), "left_anti")
 
@@ -173,10 +181,10 @@ object IngestOps {
           val corpusVecs = spark.read.parquet(s"${stores.annPath}/cells")
             .filter(col("b") =!= waveId)
             .select(col(idCol), col(vecCol))
-          SimilarityOps.cosineNearDupPairsIncremental(
+          scopePersist(SimilarityOps.cosineNearDupPairsIncremental(
               batchKept2.filter(col(vecCol).isNotNull), corpusVecs,
               idCol, vecCol, tau, nBits, stride)
-            .select(col("new_id").as(idCol)).distinct()
+            .select(col("new_id").as(idCol)).distinct())
         case None => batchKept2.select(idCol).limit(0)
       }
       val admitted = batchKept2.join(semanticLosers, Seq(idCol), "left_anti")
@@ -220,6 +228,9 @@ object IngestOps {
           .parquet(s"${stores.reportPath}/wave=$waveId")
         spark.read.parquet(s"${stores.reportPath}/wave=$waveId")
       } finally admitted.unpersist(blocking = false)
-    } finally b.unpersist(blocking = false)
+    } finally {
+      scoped.foreach(_.unpersist(blocking = false))
+      b.unpersist(blocking = false)
+    }
   }
 }

@@ -4494,6 +4494,8 @@ object StatsOps {
    *
    * Emits one row (n_a, n_b, energy): energy 6dp in value units
    * (D², the squared-distance convention); an empty side emits no row.
+   * Two non-empty sides over a single-point pooled support (all values
+   * equal) emit energy 0 — identical distributions, zero distance.
    *
    * Deterministic: per-segment terms round to 8dp and sum through
    * DECIMAL (the wasserstein discipline — segment width × squared CDF
@@ -4524,9 +4526,12 @@ object StatsOps {
       .withColumn("__fa", sum(col("ca")).over(wCum))
       .withColumn("__fb", sum(col("cb")).over(wCum))
       .withColumn("__next", lead(col("__v"), 1).over(wLead))
-      .filter(col("__next").isNotNull && col("__ta") > 0 && col("__tb") > 0)
+      // keep the last (lead-null) support row with a 0 term rather than
+      // filtering it: on a single-point support that row is the ONLY row,
+      // and dropping it emitted no row at all where energy is exactly 0
+      .filter(col("__ta") > 0 && col("__tb") > 0)
       .select(col("__ta"), col("__tb"),
-        round(gap * gap * (col("__next") - col("__v")), 8)
+        round(gap * gap * coalesce(col("__next") - col("__v"), lit(0.0)), 8)
           .cast(dterm).as("__w"))
     terms.groupBy("__ta", "__tb")
       .agg(round(sum(col("__w")).cast("double") * 2, 6).as("energy"))

@@ -931,6 +931,29 @@ object StreamingPipeline {
     * the unpersist) and (the batch's verified dup EVIDENCE — in-batch
     * pairs plus batch×corpus pairs in canonical (min, max) order — for
     * callers growing a [[graft.ext.ClusterStore]] in the same lockstep). */
+  /** True iff `path` exists and holds at least one COMMITTED data file —
+    * i.e. a visible file not under a `_temporary` attempt directory and not
+    * a `_`/`.`-prefixed marker. A directory failing this is treated as an
+    * absent index: either never written, or a crashed first write whose
+    * replay will overwrite it wholesale. */
+  private def hasCommittedParquet(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(path) && {
+      val it = fs.listFiles(path, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next().getPath
+        // check every path component STRICTLY below the base dir (the base
+        // dir's own name is the caller's business, not a visibility marker)
+        val hidden = Iterator.iterate(f)(_.getParent)
+          .takeWhile(p => p != null && p.toUri.getPath.length >
+            path.toUri.getPath.length)
+          .exists(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+        found = !hidden
+      }
+      found
+    }
+
   private def admitDedupBatch(spark: SparkSession, b: DataFrame,
                               batchId: Long, runTag: String, idCol: String,
                               textCol: String, corpusPath: String,
@@ -951,8 +974,13 @@ object StreamingPipeline {
       }
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // committed-files guard, not bare exists: a first-batch crash mid-write
+    // can leave indexPath holding only `_temporary` files; schema inference
+    // over zero committed files throws and wedges every replay. (The id
+    // column's type follows the caller's idCol, so an explicit schema can't
+    // be pinned here the way exactDedupIngest pins its fingerprint index.)
     val crossPairs =
-      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath))) Some {
+      if (hasCommittedParquet(fs, new org.apache.hadoop.fs.Path(indexPath))) Some {
         val idx = spark.read.parquet(indexPath)
           .select("band_key", "id")
         val ctext = spark.read.parquet(corpusPath)
@@ -1029,9 +1057,22 @@ object StreamingPipeline {
           try {
             val fs = new org.apache.hadoop.fs.Path(indexPath)
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // Explicit schema, never inference: if the first index write
+            // crashed mid-job, indexPath exists holding only uncommitted
+            // `_temporary` files — inference would throw "unable to infer
+            // schema" and wedge every replay until manual cleanup, while an
+            // explicit schema reads the zero committed files as an empty
+            // index and the replay heals the directory by overwriting it.
+            val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("fingerprint",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("run",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("batch_id",
+                org.apache.spark.sql.types.LongType)))
             val seen =
               if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
-                spark.read.parquet(indexPath)
+                spark.read.schema(idxSchema).parquet(indexPath)
                   .filter(!(col("run") === runTag &&
                     col("batch_id") === batchId))
                   .select("fingerprint")

@@ -41,10 +41,19 @@ class ArtifactBuildOnceSpec extends SparkSpec {
     // Each key may be built AT MOST once by the sweep. Keys built before
     // the sweep (other specs in the shared-session suite) must not build
     // again — a re-entry would mean the memoizer missed on a live session.
+    // Violation = more than one build during the sweep, OR any build at
+    // all of a key that already existed before the sweep (before > 0 &&
+    // delta > 0): a pre-built key re-entering its builder is exactly the
+    // "memoizer missed on a live session" failure this spec pins — the
+    // old `delta > 1` predicate let a single re-build pass silently.
     val violations = after.collect {
       case (key, (n, secs))
-          if n - before.get(key).map(_._1).getOrElse(0) > 1 =>
-        f"$key built ${n - before.get(key).map(_._1).getOrElse(0)}%d times during the sweep ($secs%.2f s total)"
+          if {
+            val beforeN = before.get(key).map(_._1).getOrElse(0)
+            val delta = n - beforeN
+            delta > 1 || (beforeN > 0 && delta > 0)
+          } =>
+        f"$key built ${n - before.get(key).map(_._1).getOrElse(0)}%d times during the sweep (pre-sweep builds: ${before.get(key).map(_._1).getOrElse(0)}%d; $secs%.2f s total)"
     }
     assert(violations.isEmpty, violations.mkString("; "))
     // And the sweep must have actually exercised the memoizers: the query

@@ -166,6 +166,16 @@ class Round15StatsSpec extends SparkSpec {
     val same = (a.map(("A", _)) ++ a.map(("B", _))).toDF("g", "v")
     StatsOps.energyDistance1D(same, "v", "g", "A", "B").collect()(0)
       .getAs[Double]("energy") shouldBe 0.0 +- 1e-9
+    // single-point pooled support (every value equal, both sides
+    // non-empty): identical distributions, so a row MUST come back with
+    // energy exactly 0 — the pre-r16 cut filtered the lead-null support
+    // row and emitted nothing here
+    val onePoint = Seq(("A", 3.0), ("A", 3.0), ("B", 3.0)).toDF("g", "v")
+    val p = StatsOps.energyDistance1D(onePoint, "v", "g", "A", "B").collect()
+    p.length shouldBe 1
+    p(0).getAs[Long]("n_a") shouldBe 2L
+    p(0).getAs[Long]("n_b") shouldBe 1L
+    p(0).getAs[Double]("energy") shouldBe 0.0 +- 1e-12
   }
 
   test("welchAnova: brute-force F* and df2 on unequal-variance groups") {
