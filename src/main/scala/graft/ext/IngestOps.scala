@@ -191,27 +191,29 @@ object IngestOps {
         .persist()
 
       try {
+        // materialize the whole persisted admission chain with ONE action
+        // before fanning out: every scoped frame (gate, pairs, losers) is
+        // in `admitted`'s lineage, so this caches them all exactly once —
+        // concurrent first-touch from the parallel writers below would
+        // instead compute the same partitions redundantly (BlockManager
+        // races are correct but wasteful)
+        admitted.count()
+
         // ---- artifacts advance in lockstep, all wave-scoped ----
-        admitted.drop(vecCol).write.mode("overwrite")
-          .parquet(s"${stores.corpusPath}/wave=$waveId")
-        DedupOps.bandIndex(admitted, idCol, textCol, n, numHashes, bands)
-          .write.mode("overwrite")
-          .parquet(s"${stores.bandIndexPath}/wave=$waveId")
+        // The six writes are pairwise independent (disjoint store dirs)
+        // and the wave is replay-idempotent at the directory level
+        // (IngestWaveSpec), so completion ORDER carries no recovery
+        // meaning — a crash mid-fanout heals exactly like a crash
+        // mid-sequence. Submitting them concurrently overlaps their job
+        // scheduling/IO latency: each write is a handful of small jobs
+        // over the cached frames, and the wave's wall cost is the max of
+        // the six instead of the sum.
         // cluster evidence: BOTH pair families, canonical (min, max) order
         val waveEvidence = batchPairs.select("id1", "id2", "jaccard")
           .unionByName(crossPairs.select(
             least(col("new_id"), col("corpus_id")).as("id1"),
             greatest(col("new_id"), col("corpus_id")).as("id2"),
             col("jaccard")))
-        ClusterStore.append(stores.clusterPath, waveEvidence)
-        // a doc without an embedding is admitted but not ANN-searchable
-        // (the lexical index still carries it) — never NPE the assign
-        AnnIndexStore.append(stores.annPath,
-          admitted.filter(col(vecCol).isNotNull), idCol, vecCol,
-          batchId = waveId)
-        LexIndexStore.append(stores.lexPath, admitted, idCol, textCol,
-          batchId = waveId)
-
         // ---- per-doc admission report, the wave's audit artifact ----
         val report = b.select(col(idCol))
           .join(gatedIds.withColumn("__g", lit(1)), Seq(idCol), "left")
@@ -224,8 +226,32 @@ object IngestOps {
               .when(col("__c").isNotNull, "rejected_corpus_dup")
               .when(col("__s").isNotNull, "rejected_semantic_dup")
               .otherwise("admitted").as("disposition"))
-        report.write.mode("overwrite")
-          .parquet(s"${stores.reportPath}/wave=$waveId")
+        val actions: Seq[() => Unit] = Seq(
+          () => admitted.drop(vecCol).write.mode("overwrite")
+            .parquet(s"${stores.corpusPath}/wave=$waveId"),
+          () => DedupOps.bandIndex(admitted, idCol, textCol, n, numHashes,
+              bands)
+            .write.mode("overwrite")
+            .parquet(s"${stores.bandIndexPath}/wave=$waveId"),
+          () => ClusterStore.append(stores.clusterPath, waveEvidence),
+          // a doc without an embedding is admitted but not ANN-searchable
+          // (the lexical index still carries it) — never NPE the assign
+          () => AnnIndexStore.append(stores.annPath,
+            admitted.filter(col(vecCol).isNotNull), idCol, vecCol,
+            batchId = waveId),
+          () => LexIndexStore.append(stores.lexPath, admitted, idCol,
+            textCol, batchId = waveId),
+          () => report.write.mode("overwrite")
+            .parquet(s"${stores.reportPath}/wave=$waveId"))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          actions.size)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            actions.map(a => scala.concurrent.Future(a()))),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
         spark.read.parquet(s"${stores.reportPath}/wave=$waveId")
       } finally admitted.unpersist(blocking = false)
     } finally {
