@@ -46,8 +46,12 @@ object ScaleAudit {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    // "ALL" sweeps the entire query surface (sorted, the bench order) —
+    // the full-surface scaling check; otherwise the named subset
     val names =
-      if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+      if (args.length > 1 && args(1) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.drop(1).toSeq
+      else DefaultQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_AUDIT_PASSES", "2").toInt max 1
     val spark = SparkSession.builder()
