@@ -14590,34 +14590,51 @@ object SparkEntry {
                 END AS xi
          FROM m WHERE n > 1""",
 
-    // Jarque-Bera: exact integer power sums, central-moment identities
-    // A/B/C, one pinned double chain for S = B/A^1.5, K = C/A^2
+    // Jarque-Bera: two anchored passes — pinned integer anchor
+    // mu = floor(sum(x)/n as doubles), exact integer deviation sums
+    // d..d^4 (spread-bounded, never magnitude-bounded — the r16 scale
+    // audit caught the raw-power identity overflowing DECIMAL(38) at 6M
+    // rows), then one pinned double chain for the delta-corrected
+    // central sums and S = sqrt(n)*M3/M2^1.5, K = n*M4/M2^2
     "q_jarque_bera" ->
       """WITH base AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
                        FROM events WHERE value IS NOT NULL),
-              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                           SUM(CAST(x AS HUGEINT)) AS s1,
-                           SUM(CAST(x AS HUGEINT) * x) AS s2,
-                           SUM(CAST(x AS HUGEINT) * x * x) AS s3,
-                           SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
-                    FROM base),
+              s0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                            SUM(CAST(x AS HUGEINT)) AS s1
+                     FROM base),
+              anch AS (SELECT n,
+                              CAST(FLOOR(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mu
+                       FROM s0),
+              m AS (SELECT a.n,
+                           SUM(CAST(b.x - a.mu AS HUGEINT)) AS d1,
+                           SUM(CAST(b.x - a.mu AS HUGEINT) * (b.x - a.mu)) AS d2,
+                           SUM(CAST(b.x - a.mu AS HUGEINT) * (b.x - a.mu) * (b.x - a.mu)) AS d3,
+                           SUM(CAST(b.x - a.mu AS HUGEINT) * (b.x - a.mu) * (b.x - a.mu) * (b.x - a.mu)) AS d4
+                    FROM base b CROSS JOIN anch a GROUP BY a.n),
               c AS (SELECT n,
-                           CAST(n AS HUGEINT) * s2 - s1 * s1 AS a,
-                           CAST(n AS HUGEINT) * n * s3 - 3 * CAST(n AS HUGEINT) * s2 * s1 + 2 * s1 * s1 * s1 AS bb,
-                           CAST(n AS HUGEINT) * n * n * s4 - 4 * CAST(n AS HUGEINT) * n * s3 * s1
-                             + 6 * CAST(n AS HUGEINT) * s2 * s1 * s1 - 3 * s1 * s1 * s1 * s1 AS cc
-                    FROM m)
+                           CAST(d1 AS DOUBLE) / CAST(n AS DOUBLE) AS delta,
+                           CAST(d2 AS DOUBLE) AS d2d,
+                           CAST(d3 AS DOUBLE) AS d3d,
+                           CAST(d4 AS DOUBLE) AS d4d
+                    FROM m),
+              cm AS (SELECT n,
+                            d2d - CAST(n AS DOUBLE) * delta * delta AS m2,
+                            d3d - 3.0 * delta * d2d
+                              + 2.0 * CAST(n AS DOUBLE) * delta * delta * delta AS m3,
+                            d4d - 4.0 * delta * d3d + 6.0 * delta * delta * d2d
+                              - 3.0 * CAST(n AS DOUBLE) * delta * delta * delta * delta AS m4
+                     FROM c)
          SELECT n,
-                CASE WHEN CAST(a AS DOUBLE) > 0
-                     THEN ROUND(CAST(bb AS DOUBLE) / POWER(CAST(a AS DOUBLE), 1.5), 6) END AS skewness,
-                CASE WHEN CAST(a AS DOUBLE) > 0
-                     THEN ROUND(CAST(cc AS DOUBLE) / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), 6) END AS kurtosis,
-                CASE WHEN CAST(a AS DOUBLE) > 0
+                CASE WHEN m2 > 0
+                     THEN ROUND(SQRT(CAST(n AS DOUBLE)) * m3 / POWER(m2, 1.5), 6) END AS skewness,
+                CASE WHEN m2 > 0
+                     THEN ROUND(CAST(n AS DOUBLE) * m4 / (m2 * m2), 6) END AS kurtosis,
+                CASE WHEN m2 > 0
                      THEN ROUND(CAST(n AS DOUBLE) / 6.0 *
-                            (CAST(bb AS DOUBLE) / POWER(CAST(a AS DOUBLE), 1.5) * (CAST(bb AS DOUBLE) / POWER(CAST(a AS DOUBLE), 1.5))
-                             + (CAST(cc AS DOUBLE) / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) - 3.0)
-                               * (CAST(cc AS DOUBLE) / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) - 3.0) / 4.0), 6) END AS jb
-         FROM c WHERE n > 1""",
+                            (SQRT(CAST(n AS DOUBLE)) * m3 / POWER(m2, 1.5) * (SQRT(CAST(n AS DOUBLE)) * m3 / POWER(m2, 1.5))
+                             + (CAST(n AS DOUBLE) * m4 / (m2 * m2) - 3.0)
+                               * (CAST(n AS DOUBLE) * m4 / (m2 * m2) - 3.0) / 4.0), 6) END AS jb
+         FROM cm WHERE n > 1""",
 
     // TVD/Bhattacharyya/Hellinger over the union lang support of two
     // sources: 8dp decimal terms, BC clamped at 1 before the sqrt

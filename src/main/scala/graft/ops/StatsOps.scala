@@ -2282,47 +2282,61 @@ object StatsOps {
    * (kurtosis is the RAW fourth moment ratio, 3 = Gaussian); zero
    * variance emits NULL statistics.
    *
-   * Deterministic: the four power sums Σx..Σx⁴ are exact integer cents
-   * in DECIMAL(38,0); the central-moment identities A = nΣx²−(Σx)²,
-   * B = n²Σx³−3nΣx²Σx+2(Σx)³, C = n³Σx⁴−4n²Σx³Σx+6nΣx²(Σx)²−3(Σx)⁴
-   * stay exact (no catastrophic cancellation in doubles — the
-   * kruskalWallis lesson), and S = B/A^1.5, K = C/A² collapse the n
-   * powers away; one pinned double chain on the final row. VALUE-RANGE
-   * CONTRACT: |x| ≤ ~1e4 units (Σx)⁴ must fit DECIMAL(38) — wire on
-   * bounded measures (rates, scores, bounded values); a wider column
-   * overflows to NULL on BOTH engines rather than silently wrapping.
+   * Deterministic AND scale-robust: two anchored passes. Pass 1 takes n
+   * and the exact Σx; the anchor μ̂ = floor(Σx/n as doubles) is a pinned
+   * integer both engines derive identically (IEEE division + floor on
+   * exact inputs). Pass 2 sums the anchored deviations d = x−μ̂ to the
+   * exact integer Σd..Σd⁴ in DECIMAL(38,0) — |d| is spread-bounded, not
+   * magnitude-bounded, so Σd⁴ fits 38 digits even at 10¹² rows of
+   * 10⁶-cent spread (the r16 scale audit caught the previous raw-power
+   * identity form overflowing at 6M rows: n³Σx⁴ needs ~n³x⁴ digits and
+   * ANSI mode THROWS on decimal overflow rather than degrading to
+   * NULL). The true central sums follow on the final row in one pinned
+   * double chain with δ = Σd/n ∈ [0,1): M2 = Σd²−nδ², M3 = Σd³−3δΣd²
+   * +2nδ³, M4 = Σd⁴−4δΣd³+6δ²Σd²−3nδ⁴ — the corrections are ≤δᵏ-sized
+   * against spread-sized main terms, so no catastrophic cancellation
+   * (the kruskalWallis lesson); then S = √n·M3/M2^1.5, K = n·M4/M2².
    *
-   * Scale: one partial-aggregating pass to one row — the reconcile
-   * shape at four powers.
+   * Scale: two partial-aggregating passes to one row + a 1-row anchor
+   * broadcast — the reconcile shape at four powers, no value-range
+   * contract.
    */
   def jarqueBera(df: DataFrame, valueCol: String): DataFrame = {
     val dec = dec380
     val base = df.select(cents(col(valueCol)).as("__x"))
       .filter(col("__x").isNotNull)
-    val x = col("__x").cast(dec)
-    val m = base.agg(count(lit(1)).as("n"), sum(x).as("s1"),
-      sum(x * x).as("s2"), sum(x * x * x).as("s3"),
-      sum(x * x * x * x).as("s4"))
-    val nD = col("n").cast(dec)
-    val a = nD * col("s2") - col("s1") * col("s1")
-    val b = nD * nD * col("s3") - nD * col("s2") * col("s1") * 3 +
-      col("s1") * col("s1") * col("s1") * 2
-    val c = nD * nD * nD * col("s4") -
-      nD * nD * col("s3") * col("s1") * 4 +
-      nD * col("s2") * col("s1") * col("s1") * 6 -
-      col("s1") * col("s1") * col("s1") * col("s1") * 3
-    val aD = a.cast("double")
-    val skew = b.cast("double") / pow(aD, 1.5)
-    val kurt = c.cast("double") / (aD * aD)
-    val jb = col("n").cast("double") / 6.0 *
+    val s0 = base.agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).as("s1"))
+      .withColumn("__mu",
+        floor(col("s1").cast("double") / col("n").cast("double"))
+          .cast("long"))
+    val d = (col("__x") - col("__mu")).cast(dec)
+    val m = base.crossJoin(broadcast(s0))
+      .select(col("n"), d.as("__d"))
+      .groupBy("n")
+      .agg(sum(col("__d")).as("d1"),
+        sum(col("__d") * col("__d")).as("d2"),
+        sum(col("__d") * col("__d") * col("__d")).as("d3"),
+        sum(col("__d") * col("__d") * col("__d") * col("__d")).as("d4"))
+    val nD = col("n").cast("double")
+    val delta = col("d1").cast("double") / nD
+    val m2 = col("d2").cast("double") - nD * delta * delta
+    val m3 = col("d3").cast("double") - lit(3.0) * delta *
+      col("d2").cast("double") + lit(2.0) * nD * delta * delta * delta
+    val m4 = col("d4").cast("double") - lit(4.0) * delta *
+      col("d3").cast("double") + lit(6.0) * delta * delta *
+      col("d2").cast("double") - lit(3.0) * nD * delta * delta * delta * delta
+    val skew = sqrt(nD) * m3 / pow(m2, 1.5)
+    val kurt = nD * m4 / (m2 * m2)
+    val jb = nD / 6.0 *
       (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
     m.filter(col("n") > 1)
       .select(col("n"),
-        when(aD > 0, round(skew, 6))
+        when(m2 > 0, round(skew, 6))
           .otherwise(lit(null).cast("double")).as("skewness"),
-        when(aD > 0, round(kurt, 6))
+        when(m2 > 0, round(kurt, 6))
           .otherwise(lit(null).cast("double")).as("kurtosis"),
-        when(aD > 0, round(jb, 6))
+        when(m2 > 0, round(jb, 6))
           .otherwise(lit(null).cast("double")).as("jb"))
   }
 

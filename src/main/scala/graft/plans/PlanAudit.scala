@@ -97,6 +97,8 @@ object PlanAudit {
     "q_cluster_agreement",   // three 1-row C(n,2)-sum artifacts joined
     "q_knn_confusion",       // cosineTopK's broadcast query set
     "q_chi_square",          // 1-row total + 1-row dof broadcasts
+    "q_jarque_bera",         // 1-row Σx/n anchor broadcast (two-pass
+                             // anchored moments — the overflow-safe form)
     "q_ks_test",             // 1-row group-total broadcast
     "q_rfm",                 // 1-row corpus-max-date broadcast
     "q_basket_lift",         // 1-row basket-total broadcast

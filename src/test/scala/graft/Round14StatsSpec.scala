@@ -248,6 +248,29 @@ class Round14StatsSpec extends SparkSpec {
     r.getAs[Double]("jb") shouldBe 0.28125 +- 1e-6
   }
 
+  test("jarqueBera: magnitude-robust — large offset values the raw-power " +
+    "identity form could not represent") {
+    // 100 values at 1e9 + i: the pre-r16 form summed raw x^4 in
+    // DECIMAL(38,0) and its (sum x)^4 identity term needs ~52 digits here
+    // — ANSI mode THREW (the r16 scale audit caught it live at 6M rows).
+    // The anchored two-pass form is spread-bounded; brute-force central
+    // moments (centered in plain Scala doubles, safe at n=100) agree.
+    val vals = (0 until 100).map(i => 1e9 + i)
+    val df = vals.toDF("v")
+    val r = StatsOps.jarqueBera(df, "v").collect()(0)
+    r.getLong(0) shouldBe 100L
+    val mean = vals.sum / vals.size
+    val m2 = vals.map(v => math.pow(v - mean, 2)).sum / vals.size
+    val m3 = vals.map(v => math.pow(v - mean, 3)).sum / vals.size
+    val m4 = vals.map(v => math.pow(v - mean, 4)).sum / vals.size
+    val s = m3 / math.pow(m2, 1.5)
+    val k = m4 / (m2 * m2)
+    r.getAs[Double]("skewness") shouldBe s +- 1e-6
+    r.getAs[Double]("kurtosis") shouldBe k +- 1e-6
+    r.getAs[Double]("jb") shouldBe
+      (100.0 / 6.0 * (s * s + (k - 3.0) * (k - 3.0) / 4.0)) +- 1e-5
+  }
+
   test("distributionDistance: 0 on identical slices, 1 on disjoint") {
     val same = Seq(("x", "a"), ("y", "a"), ("x", "b"), ("y", "b"))
       .toDF("c", "g")
