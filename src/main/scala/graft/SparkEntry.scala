@@ -129,6 +129,22 @@ object SparkEntry {
         .select(col("vec_id").as("doc_id"), col("embedding")),
       Seq("doc_id"), "left")
 
+  /** The paired-family fixture: per-user click vs view spend as EXACT
+    * cent sums (decimal-routed, order-independent) — one row per user,
+    * a null side where the user lacks that event type. */
+  private def pairedSpend(s: SparkSession, d: String): DataFrame = {
+    def centsOf(tpe: String) =
+      sum(when(col("event_type") === tpe,
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long")))
+    t(s, d, "events")
+      .filter(col("event_type").isin("click", "view") &&
+        col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(centsOf("click").as("click_cents"),
+        centsOf("view").as("view_cents"))
+  }
+
   /** Recursive local-FS copy of the shared base into a wave store root.
     * Plain NIO, not a Spark job: these are memoizer temp dirs on local
     * disk, and the copy replaces five Spark job chains per store. */
@@ -2107,6 +2123,27 @@ object SparkEntry {
       graft.ops.StatsOps.mannWhitneyU(
         t(s, d, "events").withColumn("vbin", round(col("value"), 0)),
         "vbin", "event_type", "purchase", "view")),
+
+    // the PAIRED family (r16): per-user click vs view spend — the same
+    // pair fixture feeds all three tests so the rank / parametric /
+    // sign readouts are comparable. Pair values are exact per-user cent
+    // sums (order-independent); users missing either side drop (null
+    // difference), matching the ops' null-sided-pair contract.
+    "q_wilcoxon_signed_rank" -> ((s, d) =>
+      graft.ops.StatsOps.wilcoxonSignedRank(pairedSpend(s, d),
+        "click_cents", "view_cents")),
+
+    // paired t on the same pairs: mean_diff is in the PAIR's units
+    // (cents of spend), t with unbiased s^2, df = n-1
+    "q_paired_ttest" -> ((s, d) =>
+      graft.ops.StatsOps.pairedTTest(pairedSpend(s, d),
+        "click_cents", "view_cents")),
+
+    // sign test on the same pairs: only the sign of each difference
+    // counts — the outlier-proof member of the trio
+    "q_sign_test" -> ((s, d) =>
+      graft.ops.StatsOps.signTest(pairedSpend(s, d),
+        "click_cents", "view_cents")),
 
     // one-way ANOVA F across ALL event types: the k-group mean test the
     // pairwise welch/mann-whitney readouts generalize to; exact-cents
@@ -9093,6 +9130,76 @@ object SparkEntry {
                      THEN ROUND((ua - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) / SQRT(varu), 8)
                 END AS z
          FROM u""",
+
+    // paired family shared pair construction: per-user exact cent sums
+    // of click vs view spend; the op layer's cents() scales both sides
+    // by a further 100 (monotone — ranks/signs unchanged, mirrored here)
+    "q_wilcoxon_signed_rank" ->
+      """WITH ev AS (SELECT user_id,
+                SUM(CASE WHEN event_type = 'click' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS cc,
+                SUM(CASE WHEN event_type = 'view' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS vc
+              FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+              GROUP BY user_id),
+              pairs AS (SELECT (cc - vc) * 100 AS d FROM ev
+                        WHERE cc IS NOT NULL AND vc IS NOT NULL AND cc <> vc),
+              h AS (SELECT ABS(d) AS av, CAST(COUNT(*) AS BIGINT) AS t,
+                           CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                    FROM pairs GROUP BY 1),
+              r AS (SELECT t, pos,
+                           COALESCE(SUM(t) OVER (ORDER BY av ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + t + 1 AS r2
+                    FROM h),
+              m AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                           SUM(CAST(pos AS HUGEINT) * CAST(r2 AS HUGEINT)) AS w2,
+                           SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS ties
+                    FROM r),
+              s AS (SELECT n, CAST(w2 AS DOUBLE) / 2.0 AS wp,
+                           CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                             - CAST(ties AS DOUBLE) / 48.0 AS varw
+                    FROM m WHERE n > 0)
+         SELECT n AS n_pairs, ROUND(wp, 1) AS w_plus,
+                CASE WHEN varw > 0
+                     THEN ROUND((wp - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0) / SQRT(varw), 6)
+                END AS z
+         FROM s""",
+
+    "q_paired_ttest" ->
+      """WITH ev AS (SELECT user_id,
+                SUM(CASE WHEN event_type = 'click' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS cc,
+                SUM(CASE WHEN event_type = 'view' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS vc
+              FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+              GROUP BY user_id),
+              pairs AS (SELECT (cc - vc) * 100 AS d FROM ev
+                        WHERE cc IS NOT NULL AND vc IS NOT NULL),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(CAST(d AS HUGEINT)) AS s1,
+                           SUM(CAST(d AS HUGEINT) * d) AS s2
+                    FROM pairs),
+              c AS (SELECT n,
+                           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS meancents,
+                           CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE) AS varnum
+                    FROM m WHERE n > 0)
+         SELECT n AS n_pairs,
+                ROUND(meancents / 100.0, 6) AS mean_diff,
+                CASE WHEN n > 1 AND varnum > 0
+                     THEN ROUND(meancents / SQRT(varnum / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE)), 6)
+                END AS t_stat,
+                n - 1 AS df
+         FROM c""",
+
+    "q_sign_test" ->
+      """WITH ev AS (SELECT user_id,
+                SUM(CASE WHEN event_type = 'click' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS cc,
+                SUM(CASE WHEN event_type = 'view' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS vc
+              FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+              GROUP BY user_id),
+              pairs AS (SELECT (cc - vc) * 100 AS d FROM ev
+                        WHERE cc IS NOT NULL AND vc IS NOT NULL AND cc <> vc),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS np
+                    FROM pairs)
+         SELECT n AS n_pairs, np AS n_pos,
+                ROUND((CAST(np AS DOUBLE) * 2.0 - CAST(n AS DOUBLE)) / SQRT(CAST(n AS DOUBLE)), 6) AS z
+         FROM m WHERE n > 0""",
 
     // IPF unrolled: 5 row/column sweeps, weights re-quantized to
     // 8dp decimal after every scaling (exact sums between rounds)

@@ -1090,6 +1090,120 @@ object StatsOps {
   }
 
   /**
+   * WILCOXON SIGNED-RANK test — the PAIRED two-sample location test
+   * [[mannWhitneyU]] is not: "did the metric shift within subjects",
+   * for (a, b) observed on the same unit (same user before/after, same
+   * doc under two scorers). Differences d = a − b in exact integer
+   * cents; zero differences are dropped (the Wilcoxon convention),
+   * |d| gets fractional ranks over the combined nonzero sample, and
+   * W+ = Σ ranks of positive d. Emits one row (n_pairs, w_plus, z)
+   * with the tie-corrected normal approximation
+   * z = (W+ − n(n+1)/4)/√(n(n+1)(2n+1)/24 − Σ(t³−t)/48), 6dp; no
+   * nonzero pairs emit no row, zero variance emits z NULL.
+   *
+   * Deterministic by construction: doubled ranks and tie terms are
+   * exact integers summed in DECIMAL (w_plus has exact 0.5
+   * granularity); the one double expression (z) runs on the final row.
+   *
+   * Scale: one support-sized |d| histogram + the distributed rank
+   * kernel's cumulative pass + a one-row reduce — the mannWhitneyU
+   * shape on the difference support, no single-task sort anywhere.
+   */
+  def wilcoxonSignedRank(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = cents(col(aCol)) - cents(col(bCol))
+    val pairs = df.select(d.as("__d"))
+      .filter(col("__d").isNotNull && col("__d") =!= 0)
+    val hist = pairs.groupBy(abs(col("__d")).as("__v"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__pos"))
+    val ranked = doubledRanks(hist, "__v", "__t",
+      probe = Some(pairs.select(abs(col("__d")).as("__v"))))
+    val m = ranked.agg(
+      sum(col("__t")).as("n"),
+      // 2·W+ = Σ_v pos_v · r2_v — exact; and the tie mass Σ(t³−t)
+      sum(col("__pos").cast(dec) * col("__r2").cast(dec)).as("w2"),
+      sum(col("__t").cast(dec) * col("__t").cast(dec) *
+        col("__t").cast(dec) - col("__t").cast(dec)).as("ties"))
+    val nD = col("n").cast("double")
+    val wPlus = col("w2").cast("double") / 2.0
+    val varW = nD * (nD + 1.0) * (nD * 2.0 + 1.0) / 24.0 -
+      col("ties").cast("double") / 48.0
+    m.filter(col("n") > 0)
+      .select(col("n").as("n_pairs"),
+        round(wPlus, 1).as("w_plus"),
+        when(varW > 0,
+          round((wPlus - nD * (nD + 1.0) / 4.0) / sqrt(varW), 6))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /**
+   * PAIRED t-TEST — the parametric member of the paired family beside
+   * [[wilcoxonSignedRank]] (rank) and [[signTest]] (median): a
+   * one-sample t on the within-pair differences d = a − b. Emits one
+   * row (n_pairs, mean_diff, t_stat, df): mean_diff in original value
+   * units (6dp), t = d̄/√(s²/n) with the unbiased s² (6dp), df = n−1.
+   * Null-sided pairs drop; n < 2 or zero variance emits NULL t.
+   *
+   * Deterministic: n, Σd, Σd² are exact integer cents in DECIMAL; the
+   * variance identity nΣd²−(Σd)² stays in the overflow-safe quadratic
+   * class (≤ 2×digits(Σd) — fine to ~10¹² rows, SCALE.md §9.1); one
+   * pinned double chain on the final row.
+   *
+   * Scale: one partial-aggregating pass to one row — the reconcile
+   * shape.
+   */
+  def pairedTTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = cents(col(aCol)) - cents(col(bCol))
+    val m = df.select(d.as("__d")).filter(col("__d").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__d").cast(dec)).as("s1"),
+        sum(col("__d").cast(dec) * col("__d").cast(dec)).as("s2"))
+    val nD = col("n").cast("double")
+    val meanCents = col("s1").cast("double") / nD
+    // nΣd²−(Σd)² exact in decimal, then the double chain
+    val varNum = (col("n").cast(dec) * col("s2") -
+      col("s1") * col("s1")).cast("double")
+    val s2 = varNum / (nD * (nD - 1.0))
+    val t = meanCents / sqrt(s2 / nD)
+    m.filter(col("n") > 0)
+      .select(col("n").as("n_pairs"),
+        round(meanCents / 100.0, 6).as("mean_diff"),
+        when(col("n") > 1 && varNum > 0, round(t, 6))
+          .otherwise(lit(null).cast("double")).as("t_stat"),
+        (col("n") - 1).as("df"))
+  }
+
+  /**
+   * SIGN TEST — the assumption-free member of the paired family: only
+   * the SIGN of each within-pair difference counts, so it survives
+   * wild asymmetry and outliers that bend [[pairedTTest]] and (less
+   * so) [[wilcoxonSignedRank]]. Zero differences drop (the standard
+   * convention); emits one row (n_pairs, n_pos, z) with the normal
+   * approximation z = (2·B − n)/√n (6dp); no nonzero pairs emit no
+   * row.
+   *
+   * Deterministic trivially: two exact counts and one double
+   * expression on the final row.
+   *
+   * Scale: one counting pass to one row.
+   */
+  def signTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d = cents(col(aCol)) - cents(col(bCol))
+    val m = df.select(d.as("__d"))
+      .filter(col("__d").isNotNull && col("__d") =!= 0)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("n_pos"))
+    m.filter(col("n") > 0)
+      .select(col("n").as("n_pairs"), col("n_pos"),
+        round((col("n_pos").cast("double") * 2.0 -
+          col("n").cast("double")) / sqrt(col("n").cast("double")), 6)
+          .as("z"))
+  }
+
+  /**
    * BRUNNER–MUNZEL test — the heteroscedastic Mann–Whitney: tests
    * P(X < Y) + ½P(X = Y) = ½ WITHOUT the equal-variance/equal-shape
    * assumption [[mannWhitneyU]] inherits (under unequal spreads MWU's

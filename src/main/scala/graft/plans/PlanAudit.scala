@@ -348,6 +348,8 @@ object PlanAudit {
     "q_wasserstein",        // dollar-binned support (the KS shape)
     "q_lorenz",             // cents histogram — value-range-bounded
     "q_mann_whitney",       // distributed-rank kernel bucket grid
+    "q_wilcoxon_signed_rank", // distributed-rank kernel bucket grid over
+                            // the |d| difference support
     "q_mase",               // day-grid series
     "q_median_ci",          // cents histogram of order totals
     "q_median_survival",    // duration-day grid
