@@ -297,31 +297,58 @@ object GraphOps {
       .select(col("node"),
         when(col("__seed").isNotNull, 1L).otherwise(0L).as("is_seed"))
       .persist()
-    def materializeCut(df: DataFrame): (DataFrame, DataFrame) = {
-      val p = df.persist()
-      p.count()
-      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
-    }
-    var (pr, prHandle) = materializeCut(
+    // the receiver's seed flag rides the STATIC edge frame (one join
+    // before the loop) instead of a per-round join of the rank frame
+    // back onto `nodes`: bi is symmetric, so every node receives at
+    // least one contribution row and the old left-join's coalesce(s, 0)
+    // branch was dead — dropping it removes a whole join (two exchanges
+    // plus a pass over the node set) from every round at any scale
+    val eSeed = g.biDeg
+      .join(nodes.select(col("node").as("v"), col("is_seed")), "v")
+      .persist()
+    var (pr, prRelease) = checkpointCut(
       nodes.withColumn("pr", col("is_seed") * lit(1000000000000L))
         .select("node", "pr"))
     for (_ <- 1 to iterations) {
-      val contrib = g.biDeg
-        .join(pr, g.biDeg("u") === pr("node"))
-        .selectExpr("v AS node", "pr div deg AS c")
-        .groupBy("node").agg(sum(col("c")).as("s"))
-      val (next, nextHandle) = materializeCut(
-        nodes.join(contrib, Seq("node"), "left")
+      val (next, nextRelease) = checkpointCut(
+        eSeed.join(pr, eSeed("u") === pr("node"))
+          .selectExpr("v AS node", "is_seed", "pr div deg AS c")
+          .groupBy("node", "is_seed").agg(sum(col("c")).as("s"))
           .selectExpr("node",
-            "is_seed * 150000000000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS pr"))
-      prHandle.unpersist(blocking = false)
+            "is_seed * 150000000000 + (85 * s) div 100 AS pr"))
+      prRelease()
       pr = next
-      prHandle = nextHandle
+      prRelease = nextRelease
     }
-    val result = pr.localCheckpoint()
-    prHandle.unpersist(blocking = false)
+    // pr is already lineage-cut; its blocks are released by the
+    // ContextCleaner once the caller drops the frame (the
+    // [[graft.ext.DedupOps.connectedComponents]] return discipline) —
+    // the final release thunk is deliberately NOT invoked.
+    eSeed.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    result
+    pr
+  }
+
+  /** Materialize one iteration's frame and TRULY cut its lineage:
+    * eager `localCheckpoint` truncates both the logical plan AND the
+    * physical RDD dependency chain. persist()+rdd-rebase (the
+    * [[graft.ext.DedupOps.connectedComponentsStar]] materializeCut)
+    * truncates only the logical plan — each round's serialized task
+    * binary still references the full RDD object graph of every
+    * previous round (ShuffleDependency links are not pruned at stage
+    * boundaries), and ~50 accumulated rounds overflow the task
+    * DESERIALIZER's stack (pinned by CdcStatsSpec's 50-iteration
+    * PageRank test). Returns the checkpointed frame plus a release
+    * thunk that frees the checkpoint blocks (the LogicalRDD leaf's
+    * RDD) once the next round has materialized. */
+  private def checkpointCut(df: DataFrame): (DataFrame, () => Unit) = {
+    val p = df.localCheckpoint()
+    val release = () => p.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ =>
+    }
+    (p, release)
   }
 
   /**
@@ -387,32 +414,30 @@ object GraphOps {
     * once across the whole graph-query family. */
   def pageRankScaled(g: PreparedGraph, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"bad iterations $iterations")
-    // persist() alone does not truncate the logical plan; rebasing on the
-    // persisted RDD does, while the original stays available as an
-    // explicit unpersist handle
-    def materializeCut(df: DataFrame): (DataFrame, DataFrame) = {
-      val p = df.persist()
-      p.count()
-      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
-    }
-    var (pr, prHandle) = materializeCut(
+    // Rounds materialize via [[checkpointCut]] (eager localCheckpoint):
+    // a TRUE lineage cut per round — see its scaladoc for why the
+    // persist+rdd-rebase form is not enough here. No per-round left-join
+    // back onto `nodes`: bi is symmetric, so contrib already covers
+    // every node and the coalesce(s, 0) branch was dead — one join (two
+    // exchanges plus a pass over the node set) gone per round at any
+    // scale.
+    var (pr, prRelease) = checkpointCut(
       g.nodes.withColumn("pr", lit(1000000000000L)))
     for (_ <- 1 to iterations) {
-      val contrib = g.biDeg
-        .join(pr, g.biDeg("u") === pr("node"))
-        .selectExpr("v AS node", "pr div deg AS c")
-        .groupBy("node").agg(sum(col("c")).as("s"))
-      val (next, nextHandle) = materializeCut(
-        g.nodes.join(contrib, Seq("node"), "left")
+      val (next, nextRelease) = checkpointCut(
+        g.biDeg
+          .join(pr, g.biDeg("u") === pr("node"))
+          .selectExpr("v AS node", "pr div deg AS c")
+          .groupBy("node").agg(sum(col("c")).as("s"))
           .selectExpr("node",
-            "150000000000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS pr"))
-      prHandle.unpersist(blocking = false)
+            "150000000000 + (85 * s) div 100 AS pr"))
+      prRelease()
       pr = next
-      prHandle = nextHandle
+      prRelease = nextRelease
     }
-    val result = pr.localCheckpoint()
-    prHandle.unpersist(blocking = false)
-    result
+    // already lineage-cut; blocks released by the ContextCleaner once
+    // the caller drops the frame
+    pr
   }
 
   /**

@@ -235,67 +235,90 @@ object StatsOps {
    * order never touches a weight); ratios are single divisions.
    *
    * Scale: the corpus streams ONCE into the |A|×|B| observed-cell
-   * aggregate (bounded LEVELS are the contract, as for chi²); every
-   * round is two grid-sized aggregate+join passes on that bounded
-   * frame — at any corpus size the iteration cost is the grid's, not
-   * the data's.
+   * aggregate (bounded LEVELS are the contract, as for chi²); the
+   * Deming–Stephan sweeps then run DRIVER-SIDE on the collected grid —
+   * a bounded post-aggregation model artifact, the distributedNtiles /
+   * transition-grid class — in arithmetic that mirrors the engine
+   * expression chain step for step (exact java.math.BigDecimal marginal
+   * sums; each re-quantization is the same double multiply + HALF_UP
+   * 8dp round the SQL form computed), so results are bit-identical to
+   * the former per-round aggregate/join formulation at any grid. At any
+   * corpus size the corpus cost is the ONE grid aggregate; the former
+   * form paid ~9 grid-sized Spark jobs per round (2 aggregates, 2
+   * broadcasts, a materialize cut) whose per-job scheduling latency
+   * dwarfed the grid arithmetic at every scale.
    */
   def ipfRake(df: DataFrame, aCol: String, bCol: String,
               rounds: Int = 5): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds in [1, 20], got $rounds")
-    val dw = org.apache.spark.sql.types.DecimalType(28, 8)
+    val spark = df.sparkSession
     val cells = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("n_cell"))
-    val tot = cells.agg(sum(col("n_cell")).as("__n"),
-      countDistinct(col("a")).as("__ka"), countDistinct(col("b")).as("__kb"))
-    // per-round persist/rebase (the kCoreBounded discipline): a lazy
-    // foldLeft would nest each round's TWO aggregate branches over the
-    // whole prefix plan — ~2^rounds re-evaluations of the corpus scan.
-    // The grid is bounded, so materializing it per round costs ~nothing
-    // and every round reads a LogicalRDD leaf.
-    def materializeCut(df: DataFrame)
-        : (DataFrame, org.apache.spark.sql.Dataset[_]) = {
-      val p = df.persist()
-      p.count()
-      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+    val grid = cells.collect()
+    val outSchema = org.apache.spark.sql.types.StructType(
+      cells.schema.fields.take(2) ++ Seq(
+        org.apache.spark.sql.types.StructField("n_cell",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("raked_weight",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("row_weight",
+          org.apache.spark.sql.types.DoubleType)))
+    if (grid.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(
+        Seq.empty[org.apache.spark.sql.Row].asJava, outSchema)
     }
-    var (cur, handle) = materializeCut(
-      cells.crossJoin(broadcast(tot)).withColumn("__w", col("n_cell").cast(dw)))
+    val a = grid.map(_.get(0))
+    val b = grid.map(_.get(1))
+    val nCell = grid.map(_.getLong(2))
+    val n = nCell.sum.toDouble
+    val ka = a.distinct.length.toDouble
+    val kb = b.distinct.length.toDouble
+    // weights in exact DECIMAL(28,8) semantics: java BigDecimal at scale 8
+    var w: Array[java.math.BigDecimal] =
+      nCell.map(c => java.math.BigDecimal.valueOf(c).setScale(8))
+    // one re-quantization step == the engine/oracle expression
+    // CAST(ROUND(CAST(w AS DOUBLE) * (CAST(n AS DOUBLE)/k/CAST(ms AS DOUBLE)), 8)
+    //      AS DECIMAL(28,8)), floored at 1e-8 (greatest(lit(1e-8), …)):
+    // on an extremely skewed grid the 8dp rounding could zero a cell and
+    // a zero marginal would then drive Infinity/NaN through every
+    // remaining round — the floor (never binding on count-seeded grids,
+    // where weights start >= 1) degrades the degenerate case gracefully
+    def requantize(wi: java.math.BigDecimal, k: Double,
+                   marginal: java.math.BigDecimal): java.math.BigDecimal = {
+      val x = wi.doubleValue * (n / k / marginal.doubleValue)
+      val r = math.max(1e-8, java.math.BigDecimal.valueOf(x)
+        .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue)
+      java.math.BigDecimal.valueOf(r).setScale(8, java.math.RoundingMode.HALF_UP)
+    }
+    def sweep(keys: Array[Any], k: Double): Unit = {
+      val sums = scala.collection.mutable.HashMap
+        .empty[Any, java.math.BigDecimal]
+      var i = 0
+      while (i < w.length) {
+        sums.updateWith(keys(i)) {
+          case Some(s) => Some(s.add(w(i)))
+          case None => Some(w(i))
+        }
+        i += 1
+      }
+      w = Array.tabulate(w.length)(i => requantize(w(i), k, sums(keys(i))))
+    }
     for (_ <- 1 to rounds) {
-      // floor each re-quantized weight at 1e-8: on an extremely skewed
-      // grid the 8dp rounding could zero a cell, and a zero marginal
-      // sum would then drive an Infinity/NaN ratio through every
-      // remaining round — the floor (never binding on count-seeded
-      // grids, where weights start >= 1) degrades the degenerate case
-      // gracefully instead of poisoning the whole grid
-      val rowS = cur.groupBy("a").agg(sum(col("__w")).as("__rs"))
-      val afterRows = cur.join(broadcast(rowS), "a")
-        .withColumn("__w",
-          greatest(lit(1e-8), round(col("__w").cast("double") *
-            (col("__n").cast("double") / col("__ka") /
-              col("__rs").cast("double")), 8)).cast(dw))
-        .drop("__rs")
-      val colS = afterRows.groupBy("b").agg(sum(col("__w")).as("__cs"))
-      val next = afterRows.join(broadcast(colS), "b")
-        .withColumn("__w",
-          greatest(lit(1e-8), round(col("__w").cast("double") *
-            (col("__n").cast("double") / col("__kb") /
-              col("__cs").cast("double")), 8)).cast(dw))
-        .drop("__cs")
-      val (nextCut, nextHandle) = materializeCut(next)
-      handle.unpersist(blocking = false)
-      cur = nextCut
-      handle = nextHandle
+      sweep(a.asInstanceOf[Array[Any]], ka)
+      sweep(b.asInstanceOf[Array[Any]], kb)
     }
-    val out = cur.select(col("a"), col("b"), col("n_cell"),
-        round(col("__w").cast("double"), 6).as("raked_weight"),
-        round(col("__w").cast("double") / col("n_cell"), 6).as("row_weight"))
-      .orderBy("a", "b")
-      .localCheckpoint()
-    handle.unpersist(blocking = false)
-    out
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val rows = grid.indices.map { i =>
+      val wd = w(i).doubleValue
+      org.apache.spark.sql.Row(a(i), b(i), nCell(i),
+        r6(wd), r6(wd / nCell(i)))
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, outSchema).orderBy("a", "b")
   }
 
   /**
@@ -820,25 +843,51 @@ object StatsOps {
                                        tieCols: Seq[String] = Nil,
                                        probe: Option[DataFrame] = None,
                                        fixedBounds: Option[Array[Double]] = None)
+      : DataFrame =
+    distributedCumSums(df, orderCol, Seq((valueExpr, outCol)), includeCurrent,
+      desc, tieCols, probe, fixedBounds)
+
+  /** [[distributedCumSum]] for SEVERAL value expressions over ONE shared
+    * ordering in a single kernel pass: one bucket assignment, one
+    * (multi-column) per-bucket offset aggregate + broadcast, one
+    * per-bucket window operator carrying every running sum — callers
+    * needing k cumulatives on the same order (e.g. Brunner–Munzel's
+    * combined/within-a/within-b ranks) previously chained k full kernel
+    * passes (k bucket joins, k offset aggregates, k window exchanges);
+    * the fused form pays the kernel exactly once and is row-identical
+    * (the extra cumulative columns never feed the bucket layout). */
+  private[graft] def distributedCumSums(df: DataFrame, orderCol: String,
+                                        values: Seq[(Column, String)],
+                                        includeCurrent: Boolean,
+                                        desc: Boolean = false,
+                                        tieCols: Seq[String] = Nil,
+                                        probe: Option[DataFrame] = None,
+                                        fixedBounds: Option[Array[Double]] = None)
       : DataFrame = {
+    require(values.nonEmpty, "at least one cumulative value required")
     val bucketed = withRangeBuckets(df, orderCol, desc, probe, fixedBounds)
-    val offsets = bucketed.groupBy("__bkt")
-      .agg(sum(valueExpr).as("__tot"))
-      // unpartitioned window BOUND: ≤B (≤1024) bucket-total rows
-      .withColumn("__off", coalesce(sum(col("__tot")).over(
-        Window.orderBy(col("__bkt").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bkt"), col("__off"))
+    // unpartitioned window BOUND: ≤B (≤1024) bucket-total rows
+    val wBkt = Window.orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totAggs = values.zipWithIndex.map { case ((v, _), i) =>
+      sum(v).as(s"__tot$i")
+    }
+    val offsets = values.indices.foldLeft(
+        bucketed.groupBy("__bkt").agg(totAggs.head, totAggs.tail: _*)) {
+        (acc, i) => acc.withColumn(s"__off$i",
+          coalesce(sum(col(s"__tot$i")).over(wBkt), lit(0L)))
+      }
+      .select(col("__bkt") +: values.indices.map(i => col(s"__off$i")): _*)
     val ord = (if (desc) col(orderCol).desc else col(orderCol).asc) +:
       tieCols.map(col(_).asc)
     val wLocal = Window.partitionBy("__bkt").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding,
         if (includeCurrent) Window.currentRow else -1)
-    bucketed
-      .join(broadcast(offsets), "__bkt")
-      .withColumn(outCol,
-        col("__off") + coalesce(sum(valueExpr).over(wLocal), lit(0L)))
-      .drop("__bkt", "__off")
+    values.zipWithIndex.foldLeft(bucketed.join(broadcast(offsets), "__bkt")) {
+        case (acc, ((v, out), i)) => acc.withColumn(out,
+          col(s"__off$i") + coalesce(sum(v).over(wLocal), lit(0L)))
+      }
+      .drop("__bkt" +: values.indices.map(i => s"__off$i"): _*)
   }
 
   /**
@@ -985,7 +1034,11 @@ object StatsOps {
    * [[doubledRanks]]; no single-task sort even on a raw continuous
    * column whose support approaches corpus cardinality), two rank-map
    * joins back to the rows, one partial+final aggregate. No corpus-wide
-   * sort at any support width.
+   * sort at any support width. (An (x, y) cell-grid form — aggregate
+   * once, weight the moments by cell count — was measured in r16: the
+   * grid is only ~0.75× corpus rows on this data shape, so its extra
+   * corpus-wide exchange cost more than the grid-sized joins saved at
+   * every scale where the supports stay broadcastable; reverted.)
    */
   def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(19, 0)
@@ -1247,12 +1300,13 @@ object StatsOps {
       else sk.getSeq[Any](0).collect {
         case d: java.lang.Double if !d.isNaN => d.doubleValue
       }.toArray
-    def cum(c: String, out: String)(d: DataFrame) =
-      distributedCumSum(d, "__v", col(c), out, includeCurrent = false,
-        fixedBounds = Some(bnds))
-    val ranked = cum("ca", "__cla")(cum("cb", "__clb")(
-      hist.withColumn("__t", col("ca") + col("cb"))
-        .transform(cum("__t", "__cl"))))
+    // all three cumulatives (combined, within-b, within-a) ride ONE
+    // kernel pass — same bucket layout, same per-bucket window
+    val ranked = distributedCumSums(
+        hist.withColumn("__t", col("ca") + col("cb")), "__v",
+        Seq((col("__t"), "__cl"), (col("cb"), "__clb"),
+          (col("ca"), "__cla")),
+        includeCurrent = false, fixedBounds = Some(bnds))
       .withColumn("__r2", col("__cl") * 2 + col("__t") + 1)
       .withColumn("__r2a", col("__cla") * 2 + col("ca") + 1)
       .withColumn("__r2b", col("__clb") * 2 + col("cb") + 1)
