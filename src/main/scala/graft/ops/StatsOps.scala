@@ -3928,7 +3928,6 @@ object StatsOps {
    */
   def medianTest(df: DataFrame, valueCol: String,
                  groupCol: String): DataFrame = {
-    val dterm = org.apache.spark.sql.types.DecimalType(24, 8)
     val base = df.select(col(groupCol).as("__g"), cents(col(valueCol)).as("__v"))
       .filter(col("__g").isNotNull && col("__v").isNotNull)
     val hist = base.groupBy("__v").agg(count(lit(1)).as("__c"))
@@ -3944,41 +3943,71 @@ object StatsOps {
       min(when(col("__cum") * 2 >= col("__n") + 2 - (col("__n") % 2),
         col("__v"))).as("__hi"))
       .select(((col("__lo") + col("__hi")).cast("double") / 2.0).as("__med"))
-    // cells is the bounded 2×k table, but it is REFERENCED five times
-    // below (terms, both margins, total, k/sides) — un-materialized,
-    // every reference re-plans the whole corpus scan + median chain
-    // (observed: 5 scans, 15 BNLJs in the raw plan). localCheckpoint
-    // pins the tiny table once (the ipfRake materialize discipline).
+    // the 2×k observed table is a bounded post-aggregation model
+    // artifact (k group levels × 2 sides); the chi² finisher over it is
+    // pure grid arithmetic, so it runs DRIVER-SIDE (the ipfRake /
+    // transition-grid class) in arithmetic mirroring the former
+    // expression chain step for step — the former distributed finisher
+    // spent ~12 tiny AQE stage-jobs (two margins, total, cross, three
+    // broadcasts, final rollup) scheduling ≤2k-row frames, pure
+    // latency at every scale. chi² runs over the FULL 2×k cross (the
+    // chiSquareIndependence contract): a group entirely on one side
+    // still contributes its empty cell's (0−e)²/e.
     val observed = base.crossJoin(broadcast(med))
       .groupBy(col("__g"), (col("__v").cast("double") > col("__med"))
         .as("__above"))
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint()
-    // chi² runs over the FULL 2×k cross (the chiSquareIndependence
-    // contract): a group entirely on one side still contributes its
-    // empty cell's (0−e)²/e
-    val cells = observed.select("__g").distinct()
-      .crossJoin(observed.select("__above").distinct())
-      .join(observed, Seq("__g", "__above"), "left")
-      .withColumn("o", coalesce(col("o"), lit(0L)))
-    val rg = cells.groupBy("__g").agg(sum(col("o")).as("rg"))
-    val rs = cells.groupBy("__above").agg(sum(col("o")).as("rs"))
-    val nn = cells.agg(sum(col("o")).as("n"))
-    val e = col("rg").cast("double") * col("rs").cast("double") /
-      col("n").cast("double")
-    val terms = cells.join(rg, "__g").join(rs, "__above")
-      .crossJoin(broadcast(nn))
-      .select(col("n"),
-        round((col("o") - e) * (col("o") - e) / e, 8).cast(dterm).as("__t"))
-    val k = rg.agg(count(lit(1)).as("k"))
-    val sides = rs.agg(count(lit(1)).as("__ns"))
-    terms.groupBy("n").agg(sum(col("__t")).as("__chi2"))
-      .crossJoin(broadcast(k)).crossJoin(broadcast(sides))
-      .select(col("n"), col("k"),
-        when(col("__ns") > 1 && col("k") > 1,
-          round(col("__chi2").cast("double"), 6))
-          .otherwise(lit(null).cast("double")).as("chi2"),
-        ((col("k") - 1) * (col("__ns") - 1)).as("dof"))
+      .collect()
+    val spark = df.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("chi2",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("dof",
+        org.apache.spark.sql.types.LongType)))
+    if (observed.isEmpty) {
+      // empty input produced an empty frame in the former distributed
+      // finisher (the final rollup grouped an empty terms frame) — keep
+      // that contract
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(
+        Seq.empty[org.apache.spark.sql.Row].asJava, outSchema)
+    }
+    val o = scala.collection.mutable.HashMap.empty[(Any, Boolean), Long]
+    observed.foreach(r => o((r.get(0), r.getBoolean(1))) = r.getLong(2))
+    val gs = observed.map(_.get(0)).distinct
+    val sidesSeen = observed.map(_.getBoolean(1)).distinct
+    val k = gs.length.toLong
+    val ns = sidesSeen.length
+    val rg = gs.map(g => g -> sidesSeen.map(s => o.getOrElse((g, s), 0L)).sum)
+      .toMap
+    val rs = sidesSeen.map(s => s -> gs.map(g => o.getOrElse((g, s), 0L)).sum)
+      .toMap
+    val n = rg.valuesIterator.sum
+    // per-cell term == round((o − e)² / e, 8) in DECIMAL(24,8), summed
+    // exactly; final chi² == round(CAST(sum AS DOUBLE), 6) — the same
+    // HALF_UP chains the SQL form computed
+    def r8(x: Double): java.math.BigDecimal = java.math.BigDecimal
+      .valueOf(x).setScale(8, java.math.RoundingMode.HALF_UP)
+    val chi2 =
+      if (ns > 1 && k > 1) {
+        var s = java.math.BigDecimal.ZERO
+        for (g <- gs; sd <- sidesSeen) {
+          val e = rg(g).toDouble * rs(sd).toDouble / n.toDouble
+          val d = o.getOrElse((g, sd), 0L) - e
+          s = s.add(r8(d * d / e))
+        }
+        java.lang.Double.valueOf(java.math.BigDecimal
+          .valueOf(s.doubleValue)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+      } else null
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(n, k, chi2, (k - 1) * (ns - 1))).asJava,
+      outSchema)
   }
 
   /**
